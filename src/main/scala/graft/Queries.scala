@@ -1,0 +1,397 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.DriverEventsAdapter
+
+/** The operator-level query registry behind [[SparkEntry]].
+  *
+  * Every entry is (a) a Spark implementation exercising one operator from
+  * SURVEY §2 on the driver's testdata, and (b) where SQL-expressible, a
+  * DuckDB oracle in [[oracles]] computing the same result (column names
+  * aligned — the driver hash-compares after sorting columns by name).
+  *
+  * Determinism rules used throughout:
+  *  - double aggregates rounded (sums to 2 dp, avgs to 4 dp) on BOTH sides
+  *    so engine-order FP drift can't flip the hash;
+  *  - timestamps surfaced as DATE or epoch seconds, never raw ns;
+  *  - every query output is content-deterministic (no limits w/o order).
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def li(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def tbl(s: SparkSession, dir: String, name: String) =
+    s.read.parquet(s"$dir/$name.parquet")
+  private def env(s: SparkSession, dir: String) =
+    DriverEventsAdapter.load(s, dir)
+
+  // ---- relational / bench block (SURVEY §2.6/§2.7 "free via Spark SQL") --
+
+  val relational: Map[String, Q] = Map(
+    "q1_agg" -> ((s, dir) => li(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))),
+
+    "q3_join_topk" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val customer = tbl(s, dir, "customer")
+      li(s, dir)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_multi_join" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val customer = tbl(s, dir, "customer")
+      val supplier = tbl(s, dir, "supplier")
+      val nation = tbl(s, dir, "nation")
+      val region = tbl(s, dir, "region")
+      li(s, dir)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    "window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(
+        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      li(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), round(col("l_extendedprice"), 2).as("price"))
+    }),
+
+    "semi_anti_join" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      tbl(s, dir, "customer")
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    })
+  )
+
+  val relationalOracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_topk" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+    "window_rank" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, price FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    ROUND(l_extendedprice, 2) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t WHERE rn <= 3""".stripMargin,
+    "semi_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""".stripMargin
+  )
+
+  // ---- event-pipeline block (SURVEY §2.3/§2.4/§2.5/§2.6) ----------------
+
+  /** DuckDB fragment reproducing DriverEventsAdapter's derived columns. */
+  private val adapterCte =
+    """WITH env AS (
+      |  SELECT
+      |    'm' || event_id AS message_id,
+      |    CASE WHEN event_type = 'signup' THEN 'identify'
+      |         WHEN event_type = 'view' THEN 'page'
+      |         ELSE 'track' END AS type,
+      |    event_type AS event,
+      |    CAST(ts AS TIMESTAMP) AS timestamp,
+      |    'a' || user_id AS anonymous_id,
+      |    CASE WHEN event_type IN ('signup','purchase')
+      |         THEN 'u' || user_id END AS user_id,
+      |    'wk' || (user_id % 3) AS write_key,
+      |    'c' || (event_id % 4) AS connection_id,
+      |    user_id AS raw_user_id,
+      |    event_id AS raw_event_id,
+      |    value, props
+      |  FROM events)
+      |""".stripMargin
+
+  val pipeline: Map[String, Q] = Map(
+    // A1/A5: billing active events, exact count-distinct, day grain
+    "a1_active_events" -> ((s, dir) =>
+      MetricsAgg.activeEventsExact(
+        env(s, dir).withColumnRenamed("write_key", "workspace_id"))
+        .withColumn("period", date_format(col("period"), "yyyy-MM-dd"))
+        .withColumnRenamed("workspace_id", "write_key")
+        .withColumnRenamed("count", "n_active")),
+
+    // A2-shaped rollup on the event stream (sum + exact uniq by day/type)
+    "a2_metrics_rollup" -> ((s, dir) =>
+      env(s, dir)
+        .groupBy(date_format(col("timestamp"), "yyyy-MM-dd").as("period"),
+          col("connection_id"), col("type"))
+        .agg(count(lit(1)).as("events"),
+          countDistinct(col("message_id")).as("uniq_events"))),
+
+    // F3/F4/F6/F7/F8/F9/F12 scalar battery over the envelope
+    "f_scalars" -> ((s, dir) => {
+      import graft.functions.Scalars._
+      env(s, dir).select(
+        col("message_id"),
+        plural(col("type")).as("table_name"),
+        anonymizeIp(col("context.ip")).as("anon_ip"),
+        urlHost(col("context.page.url")).as("url_host"),
+        urlPath(col("context.page.url")).as("url_path"),
+        urlParam(col("context.page.url"), "utm_source").as("utm_source"),
+        referringDomain(col("context.page.referrer")).as("ref_domain"),
+        md5InsertId(col("message_id"), col("anonymous_id")).as("insert_id"),
+        sha256Pii(get_json_object(col("traits"), "$.email")).as("email_hash"),
+        partitionId(col("anonymous_id")).as("partition_id"),
+        unix_timestamp(eventTimeSafe(col("timestamp"), col("received_at")))
+          .as("event_time_s"))
+    }),
+
+    // P2: segment single-table layout (stable column subset)
+    "p2_segment_single" -> ((s, dir) =>
+      Layouts.segmentSingleTable(env(s, dir)).select(
+        col("message_id"), col("type"), col("event"),
+        col("anonymous_id"), col("user_id"),
+        col("context_page_path"), col("context_campaign_source"),
+        col("context_geo_country"), col("properties"), col("traits"),
+        col("_table"))),
+
+    // P1: multi-table layout — row fan-out + table routing counts
+    "p1_segment_multi" -> ((s, dir) =>
+      Layouts.segmentMultiTable(env(s, dir))
+        .groupBy(col("_table"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("message_id")).as("uniq_messages"))),
+
+    // P3: jitsu legacy layout (stable scalar subset)
+    "p3_jitsu_legacy" -> ((s, dir) =>
+      Layouts.jitsuLegacy(env(s, dir)).select(
+        col("eventn_ctx_event_id"), col("event_type"), col("api_key"),
+        col("anon_ip"), col("doc_host"), col("doc_path"),
+        col("location.country").as("geo_country"),
+        col("user.email").as("user_email"),
+        col("screen_resolution"))),
+
+    // P7+P8: event filter + bot filter
+    "p7_event_filter" -> ((s, dir) =>
+      Layouts.botFilter(Layouts.eventFilter(env(s, dir), "track,signup"))
+        .groupBy(col("event")).agg(count(lit(1)).as("n"))),
+
+    // J2: sessionization (30-min gap) — session stats per user
+    "j2_sessions" -> ((s, dir) =>
+      Sessionize.sessions(env(s, dir), col("anonymous_id"), col("timestamp"))
+        .groupBy(col("key").as("anonymous_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))),
+
+    // J1: user recognition, batch form — recovered identities
+    "j1_user_recognition" -> ((s, dir) =>
+      UserRecognition.resolveBatch(env(s, dir))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("recognized"), 1).otherwise(0)).as("n_recognized"))),
+
+    // J5/A6/A7: built-in profile build
+    "j5_profiles" -> ((s, dir) =>
+      Profiles.buildProfiles(UserRecognition.resolveBatch(env(s, dir)))
+        .select(col("user_id"), col("email"), col("name"),
+          col("last_anonymous_id"), col("n_events"),
+          unix_timestamp(col("first_seen")).as("first_seen_s"),
+          unix_timestamp(col("last_seen")).as("last_seen_s"),
+          col("n_tracks"), col("n_pages")))
+  )
+
+  val pipelineOracles: Map[String, String] = Map(
+    "a1_active_events" -> (adapterCte +
+      """SELECT write_key,
+        |  strftime(timestamp, '%Y-%m-%d') AS period,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_active
+        |FROM env GROUP BY write_key, 2""".stripMargin),
+    "a2_metrics_rollup" -> (adapterCte +
+      """SELECT strftime(timestamp, '%Y-%m-%d') AS period,
+        |  connection_id, type,
+        |  CAST(COUNT(*) AS BIGINT) AS events,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq_events
+        |FROM env GROUP BY 1, 2, 3""".stripMargin),
+    "f_scalars" -> (adapterCte +
+      """SELECT message_id,
+        |  CASE type WHEN 'identify' THEN 'identifies'
+        |            WHEN 'alias' THEN 'aliases'
+        |            ELSE type || 's' END AS table_name,
+        |  '10.' || (raw_user_id % 200) || '.' || (raw_event_id % 250) || '.0'
+        |    AS anon_ip,
+        |  'shop.example.com' AS url_host,
+        |  '/p/' || event AS url_path,
+        |  'src' || (raw_user_id % 5) AS utm_source,
+        |  'ref' || (raw_event_id % 4) || '.example.org' AS ref_domain,
+        |  md5(message_id || ':' || anonymous_id) AS insert_id,
+        |  CASE WHEN type = 'identify' THEN sha256(lower(trim(
+        |    'user' || raw_user_id || '@example.com'))) END AS email_hash,
+        |  ('0x' || substr(sha256(anonymous_id), 1, 8))::BIGINT % 240
+        |    AS partition_id,
+        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) AS event_time_s
+        |FROM env""".stripMargin),
+    "p2_segment_single" -> (adapterCte +
+      """SELECT message_id, type, event, anonymous_id, user_id,
+        |  '/p/' || event AS context_page_path,
+        |  'src' || (raw_user_id % 5) AS context_campaign_source,
+        |  CASE (raw_user_id % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
+        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END
+        |    AS context_geo_country,
+        |  '{"k": ' || json_extract_string(props, '$.k') || ', "value": '
+        |    || printf('%.2f', value) || '}' AS properties,
+        |  CASE WHEN type = 'identify' THEN '{"email": "user' || raw_user_id
+        |    || '@example.com", "name": "User ' || raw_user_id || '"}' END
+        |    AS traits,
+        |  'events' AS _table
+        |FROM env""".stripMargin),
+    "p1_segment_multi" -> (adapterCte +
+      """SELECT _table, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq_messages
+        |FROM (
+        |  SELECT message_id,
+        |    CASE type WHEN 'identify' THEN 'identifies'
+        |              WHEN 'page' THEN 'pages' END AS _table
+        |  FROM env WHERE type <> 'track'
+        |  UNION ALL
+        |  SELECT message_id, 'tracks' FROM env WHERE type = 'track'
+        |  UNION ALL
+        |  SELECT message_id, event FROM env WHERE type = 'track'
+        |) GROUP BY _table""".stripMargin),
+    "p3_jitsu_legacy" -> (adapterCte +
+      """SELECT message_id AS eventn_ctx_event_id, event AS event_type,
+        |  write_key AS api_key,
+        |  '10.' || (raw_user_id % 200) || '.' || (raw_event_id % 250) || '.0'
+        |    AS anon_ip,
+        |  'shop.example.com' AS doc_host,
+        |  '/p/' || event AS doc_path,
+        |  CASE (raw_user_id % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
+        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END AS geo_country,
+        |  CASE WHEN type = 'identify'
+        |    THEN 'user' || raw_user_id || '@example.com' END AS user_email,
+        |  CASE (raw_user_id % 2) WHEN 0 THEN '1280x720'
+        |    ELSE '1920x1080' END AS screen_resolution
+        |FROM env""".stripMargin),
+    "p7_event_filter" -> (adapterCte +
+      """SELECT event, CAST(COUNT(*) AS BIGINT) AS n FROM env
+        |WHERE (type IN ('track','signup') OR event IN ('track','signup'))
+        |  AND (raw_event_id % 3) <> 2
+        |GROUP BY event""".stripMargin),
+    "j2_sessions" -> (adapterCte +
+      """SELECT anonymous_id,
+        |  CAST(COUNT(DISTINCT session_idx) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT anonymous_id,
+        |    SUM(new_session) OVER (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM (
+        |    SELECT anonymous_id, timestamp, message_id,
+        |      CASE WHEN lag(timestamp) OVER (PARTITION BY anonymous_id
+        |          ORDER BY timestamp, message_id) IS NULL
+        |        OR date_diff('second', lag(timestamp) OVER (
+        |          PARTITION BY anonymous_id ORDER BY timestamp, message_id),
+        |          timestamp) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM env))
+        |GROUP BY anonymous_id""".stripMargin),
+    "j1_user_recognition" -> (adapterCte +
+      """, resolved AS (
+        |  SELECT
+        |    COALESCE(user_id,
+        |      CASE WHEN next_id_ts IS NOT NULL
+        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY
+        |        THEN next_id END) AS user_id,
+        |    CASE WHEN user_id IS NULL AND next_id_ts IS NOT NULL
+        |      AND next_id_ts <= timestamp + INTERVAL 30 DAY
+        |      THEN 1 ELSE 0 END AS recognized
+        |  FROM (
+        |    SELECT *,
+        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END)
+        |        OVER w AS next_id_ts,
+        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
+        |    FROM env
+        |    WINDOW w AS (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(recognized) AS BIGINT) AS n_recognized
+        |FROM resolved GROUP BY user_id""".stripMargin),
+    "j5_profiles" -> (adapterCte +
+      """, resolved AS (
+        |  SELECT *,
+        |    COALESCE(user_id, FIRST_VALUE(user_id IGNORE NULLS) OVER (
+        |      PARTITION BY anonymous_id ORDER BY timestamp, message_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS r_user_id
+        |  FROM env)
+        |SELECT r_user_id AS user_id,
+        |  MAX(CASE WHEN type = 'identify'
+        |    THEN 'user' || raw_user_id || '@example.com' END) AS email,
+        |  MAX(CASE WHEN type = 'identify'
+        |    THEN 'User ' || raw_user_id END) AS name,
+        |  arg_max(anonymous_id, timestamp) AS last_anonymous_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(epoch(date_trunc('second', MIN(timestamp))) AS BIGINT)
+        |    AS first_seen_s,
+        |  CAST(epoch(date_trunc('second', MAX(timestamp))) AS BIGINT)
+        |    AS last_seen_s,
+        |  CAST(SUM(CASE WHEN type = 'track' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tracks,
+        |  CAST(SUM(CASE WHEN type = 'page' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pages
+        |FROM resolved WHERE r_user_id IS NOT NULL
+        |GROUP BY r_user_id""".stripMargin)
+  )
+
+  def all: Map[String, Q] = relational ++ pipeline
+  def allOracles: Map[String, String] = relationalOracles ++ pipelineOracles
+}

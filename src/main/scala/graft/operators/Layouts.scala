@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Scalars
+
+/** Data-layout operators — SURVEY §2.3 (P1–P6).
+  *
+  * Each layout maps the AnalyticsServerEvent envelope to flat warehouse
+  * rows tagged with a `_table` column; the sink router groups by `_table`.
+  * All layouts are pure column projections (single narrow `select`, no
+  * shuffle); the only row-multiplying case is the segment multi-table
+  * track fan-out (one event -> `tracks` row + per-event-name row), done
+  * with explode over a 2-element array, which stays in codegen.
+  *
+  * Ref: `libs/core-functions/src/functions/bulker-destination.ts:57-329`.
+  */
+object Layouts {
+
+  private def ctx(name: String): Column = col(s"context.$name")
+
+  /** Columns shared by all segment-style rows (ref :174-231). */
+  private def segmentCommon: Seq[Column] = Seq(
+    col("message_id"),
+    col("type"),
+    col("timestamp"),
+    col("sent_at"),
+    col("received_at"),
+    col("anonymous_id"),
+    col("user_id"),
+    ctx("ip").as("context_ip"),
+    ctx("locale").as("context_locale"),
+    ctx("user_agent").as("context_user_agent"),
+    ctx("page.url").as("context_page_url"),
+    ctx("page.path").as("context_page_path"),
+    ctx("page.search").as("context_page_search"),
+    ctx("page.referrer").as("context_page_referrer"),
+    ctx("page.referring_domain").as("context_page_referring_domain"),
+    ctx("page.title").as("context_page_title"),
+    ctx("campaign.source").as("context_campaign_source"),
+    ctx("campaign.medium").as("context_campaign_medium"),
+    ctx("geo.country").as("context_geo_country"),
+    ctx("geo.city").as("context_geo_city"))
+
+  /** P2 segmentLayout single-table: all types -> table `events`, `type`
+    * kept, traits + properties carried (ref :165-261). */
+  def segmentSingleTable(events: DataFrame): DataFrame =
+    events.select(
+      (segmentCommon :+
+        col("event") :+
+        col("properties") :+
+        coalesce(col("traits"), ctx("traits")).as("traits") :+
+        lit("events").as("_table")): _*)
+
+  /** P1 segmentLayout multi-table: identify -> `identifies`, group ->
+    * `groups`, page/screen -> `pages`/`screens`, track -> TWO rows:
+    * `tracks` (no properties) + `{event}` table (with properties)
+    * (ref :154-272; `plural` :310-323). */
+  def segmentMultiTable(events: DataFrame): DataFrame = {
+    val eventTable = Scalars.snakeCase(coalesce(col("event"), col("type")))
+    val tables = when(col("type") === "track",
+      array(lit("tracks"), eventTable))
+      .otherwise(array(Scalars.plural(col("type"))))
+    events
+      .withColumn("_table", explode(tables))
+      .select(
+        (segmentCommon :+
+          col("event") :+
+          // tracks row carries no properties; the event-named row does
+          when(col("type") =!= "track" || col("_table") =!= "tracks",
+            col("properties")).as("properties") :+
+          coalesce(col("traits"), ctx("traits")).as("traits") :+
+          col("_table")): _*)
+  }
+
+  /** P3 jitsuLegacy layout: classic Jitsu column set (ref :57-152). */
+  def jitsuLegacy(events: DataFrame): DataFrame =
+    events.select(
+      Scalars.anonymizeIp(ctx("ip")).as("anon_ip"),
+      col("write_key").as("api_key"),
+      ctx("page.host").as("doc_host"),
+      ctx("page.path").as("doc_path"),
+      ctx("page.search").as("doc_search"),
+      ctx("page.title").as("page_title"),
+      ctx("page.referrer").as("referer"),
+      col("message_id").as("eventn_ctx_event_id"),
+      coalesce(col("event"), col("type")).as("event_type"),
+      struct(
+        ctx("geo.city").as("city"),
+        ctx("geo.country").as("country"),
+        ctx("geo.region").as("region"),
+        ctx("geo.lat").as("latitude"),
+        ctx("geo.lon").as("longitude"),
+        ctx("geo.timezone").as("timezone")).as("location"),
+      struct(
+        ctx("client_ids.ga4").as("ga"),
+        ctx("client_ids.fbp").as("fbp"),
+        ctx("client_ids.fbc").as("fbc")).as("ids"),
+      Scalars.parseUa(ctx("user_agent")).as("parsed_ua"),
+      ctx("user_agent").as("user_agent"),
+      ctx("locale").as("user_language"),
+      Scalars.screenRes(ctx("screen.width"), ctx("screen.height"))
+        .as("screen_resolution"),
+      Scalars.screenRes(ctx("screen.width"), ctx("screen.height"))
+        .as("vp_size"),
+      struct(
+        col("user_id").as("id"),
+        col("anonymous_id").as("anonymous_id"),
+        get_json_object(col("traits"), "$.email").as("email"),
+        get_json_object(col("traits"), "$.name").as("name")).as("user"),
+      struct(
+        ctx("campaign.name").as("name"),
+        ctx("campaign.source").as("source"),
+        ctx("campaign.medium").as("medium")).as("utm"),
+      col("timestamp").as("utc_time"),
+      col("timestamp").as("_timestamp"),
+      col("properties"),
+      lit("events").as("_table"))
+
+  /** P4 passthrough layout: event minus control columns, table from
+    * `$table`/JITSU_TABLE_NAME or `events` (ref :329). */
+  def passthrough(events: DataFrame): DataFrame =
+    events
+      .withColumn("_table", coalesce(col("table_name"), lit("events")))
+      .drop("table_name")
+
+  /** P7 event-type/name filter — `createFilter` semantics (ref
+    * `lib/index.ts:231-242`): "*" everything, "" everything except
+    * page/screen, else comma-list matching type OR event name. */
+  def eventFilter(events: DataFrame, spec: String): DataFrame = spec match {
+    case "*" => events
+    case "" => events.filter(!col("type").isin("page", "screen"))
+    case list =>
+      val names = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      events.filter(col("type").isin(names: _*) || col("event").isin(names: _*))
+  }
+
+  /** P8 bot filter (ref `mixpanel-destination.ts:497-501`). */
+  def botFilter(events: DataFrame): DataFrame =
+    events.filter(!Scalars.parseUa(ctx("user_agent")).getField("bot"))
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Metrics / billing aggregation layer — SURVEY §2.6 (A1–A5, A8).
+  *
+  * The reference materializes partial aggregates into ClickHouse
+  * AggregatingMergeTree MVs (`webapps/console/prisma/metrics.sql`):
+  * `sumState(events)` + `uniqState(messageId)` keyed by minute + 7 dims,
+  * then report endpoints run `sumMerge`/`uniqMerge` with `date_trunc`.
+  *
+  * In Spark the partial/final split is native to the physical hash
+  * aggregate (partial map-side combine -> final after one shuffle), and
+  * `approx_count_distinct` (HyperLogLog++) is the `uniq` analogue whose
+  * sketches merge the same way — so the whole MV machinery collapses to
+  * plain `groupBy().agg()` over the metrics stream, plus an incrementally
+  * maintained pre-agg table for the streaming path (foreachBatch upsert).
+  */
+object MetricsAgg {
+
+  /** A4: status derivation per execution-log row (ref
+    * `services/rotor/src/lib/metrics.ts:156-182`). */
+  def statusCol(functionType: Column, error: Column, dropped: Column): Column =
+    when(dropped, "dropped")
+      .when(error.isNotNull && functionType.startsWith("builtin"), "builtin_function_error")
+      .when(error.isNotNull, "function_error")
+      .otherwise("success")
+
+  /** A2: the minute-grain 7-dim partial aggregate (`metrics.sql:85-110`).
+    * Input: one row per (event x function) execution. */
+  def metricsRollup(rows: DataFrame): DataFrame =
+    rows.groupBy(
+        date_trunc("minute", col("timestamp")).as("period"),
+        col("workspace_id"), col("stream_id"), col("connection_id"),
+        col("function_id"), col("destination_id"), col("status"))
+      .agg(
+        sum(col("events")).as("events"),
+        approx_count_distinct(col("message_id")).as("uniq_events"))
+
+  /** A1: billing "active events" — hour-grain HLL distinct messageIds per
+    * workspace (`metrics.sql:10-49`). */
+  def activeEventsHll(rows: DataFrame): DataFrame =
+    rows.groupBy(
+        col("workspace_id"),
+        date_trunc("hour", col("timestamp")).as("period"))
+      .agg(approx_count_distinct(col("message_id")).as("count"))
+
+  /** A1/A5 exact variant (count distinct) — oracle-checkable form. */
+  def activeEventsExact(rows: DataFrame, grain: String = "day"): DataFrame =
+    rows.groupBy(
+        col("workspace_id"),
+        date_trunc(grain, col("timestamp")).as("period"))
+      .agg(countDistinct(col("message_id")).as("count"))
+
+  /** A3: final report query — event-stat style day rollup with filters
+    * (ref `event-stat.ts:40-56`): sumMerge over the pre-agg. */
+  def eventStatReport(preAgg: DataFrame, workspaceId: String): DataFrame =
+    preAgg
+      .filter(col("workspace_id") === workspaceId)
+      .groupBy(date_trunc("day", col("period")).as("period"), col("status"))
+      .agg(sum(col("events")).as("events"))
+      .orderBy(col("period").desc, col("events").desc)
+}

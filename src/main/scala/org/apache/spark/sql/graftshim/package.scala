@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's private[sql] Column <-> Expression converters.
+  *
+  * Spark 4 hides the `Column(Expression)` constructor behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`; custom Catalyst
+  * expressions (graft.functions.*) need this to surface as user-facing
+  * [[Column]]s without going through the (slower) UDF registry.
+  */
+package object graftshim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
