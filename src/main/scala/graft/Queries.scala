@@ -392,6 +392,8 @@ object Queries {
         |GROUP BY r_user_id""".stripMargin)
   )
 
-  def all: Map[String, Q] = relational ++ pipeline
-  def allOracles: Map[String, String] = relationalOracles ++ pipelineOracles
+  def all: Map[String, Q] =
+    relational ++ pipeline ++ QueriesTrainingData.queries
+  def allOracles: Map[String, String] =
+    relationalOracles ++ pipelineOracles ++ QueriesTrainingData.oracles
 }

@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.SimHash64
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data pipeline queries: dedup family, ANN similarity search,
+  * text analysis, multimodal plumbing — over the driver's `documents` and
+  * `embeddings` tables. See [[Queries]] for the determinism rules.
+  */
+object QueriesTrainingData {
+  import Queries.Q
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup on text digest — survivors
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // word-set fingerprint dedup groups
+    "dedup_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))),
+
+    // exact pairwise 3-gram Jaccard >= 0.5 via shingle inverted index
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)),
+
+    // MinHash(128) + LSH(64x2) + exact verify — oracle: exact Jaccard
+    // (recall at j>=0.5 is 1 - 0.75^64 ~ 1-1e-8)
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2)),
+
+    // SimHash near-dup pairs (custom codegen'd expression) — rows-only
+    // maxHamming=3 with 4 chunks => exact recall by pigeonhole
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    // embedding near-dup pairs via hyperplane LSH + exact cosine verify
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(
+        embs(s, dir).withColumnRenamed("embedding", "vec"),
+        "vec_id", "vec", dim = 64, threshold = 0.99)),
+
+    // brute-force exact cosine top-10 for 10 query vectors
+    "ann_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(
+        e.filter(col("id") < 10).select(col("id").as("qid"), col("vec")),
+        e, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // LSH-bucketed ANN (scale path) — rows-only (approximate by design)
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshTopK(
+        e.filter(col("id") < 10).select(col("id").as("qid"), col("vec")),
+        e, dim = 64, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // token counting + quality scoring + fingerprint
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).as("n_words"),
+        TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+        TextFunctions.stopwordCount(col("text")).as("n_stopwords"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))),
+
+    // language id (stopword-profile heuristic)
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    // multimodal: metadata extraction over binary media column
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(Multimodal.synthesize(docs(s, dir)))
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.size_bytes").as("size_bytes"))),
+
+    // multimodal: frame sampling fan-out — rows-only (binary payloads)
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.synthesize(docs(s, dir)))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("frame_bytes")))
+  )
+
+  /** Shared DuckDB text-prep CTEs. */
+  private val wordsOnlyCte =
+    """WITH ws AS (
+      |  SELECT doc_id, lang, source, n_chars, text,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |                w -> len(w) > 0) AS w
+      |  FROM documents)
+      |""".stripMargin
+
+  private val wordsCte =
+    wordsOnlyCte.stripSuffix("\n").stripSuffix(")") +
+      """),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(0, greatest(len(w) - 2, 0)),
+        |      i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        |  FROM ws)
+        |""".stripMargin
+
+  private val jaccardSql =
+    wordsCte +
+      """, sized AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+        |freq AS (SELECT sh, COUNT(*) AS f FROM sh GROUP BY 1),
+        |filtered AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq USING (sh)
+        |             WHERE f <= 1000),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM filtered a JOIN filtered b
+        |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sized sa ON sa.doc_id = id_a
+        |  JOIN sized sb ON sb.doc_id = id_b)
+        |WHERE jaccard >= 0.5""".stripMargin
+
+  private def langHits(lang: String, stops: Seq[String]): String = {
+    val lst = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"len(list_filter(list_distinct(w), x -> list_contains($lst, x))) AS $lang"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0))), ' ')) AS fingerprint,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardSql,
+    "dedup_minhash_lsh" -> jaccardSql,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 4) >= 0.99""".stripMargin,
+    "ann_topk" ->
+      """SELECT qid, rank, id, cosine FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[]), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+        |        c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+    "text_stats" -> (wordsOnlyCte +
+      """SELECT doc_id,
+        |  CAST(len(w) AS INT) AS n_words,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_tokens_bpe,
+        |  CAST(len(list_filter(w, x -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it','for',
+        |     'on','with','as','at','by','this','that'], x))) AS INT)
+        |    AS n_stopwords,
+        |  ROUND((
+        |    least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) +
+        |    least(CAST(len(list_filter(w, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','for',
+        |       'on','with','as','at','by','this','that'], x))) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), 1.0) * 4.0, 1.0) +
+        |    CAST(len(list_distinct(w)) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), 1.0) +
+        |    (1.0 - least(CAST(len(regexp_extract_all(text,
+        |      '[^a-zA-Z0-9\s]')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+        |  ) / 4.0, 4) AS quality,
+        |  md5(array_to_string(list_sort(list_distinct(w)), ' '))
+        |    AS fingerprint
+        |FROM ws""".stripMargin),
+    "text_langid" ->
+      (s"""WITH ws AS (
+         |  SELECT doc_id, list_distinct(list_filter(
+         |    string_split_regex(lower(text), '\\s+'),
+         |    w -> len(w) > 0)) AS w
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id,
+         |    ${langHits("de", Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))},
+         |    ${langHits("en", Seq("the", "and", "is", "of", "to", "in", "that", "it"))},
+         |    ${langHits("es", Seq("el", "la", "de", "que", "y", "los", "es", "un"))},
+         |    ${langHits("fr", Seq("le", "la", "les", "de", "et", "est", "un", "une"))},
+         |    ${langHits("zh", Seq("的", "是", "不", "了", "在", "人", "有", "我"))}
+         |  FROM ws)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+         |       WHEN zh >= greatest(de, en, es, fr) THEN 'zh'
+         |       WHEN fr >= greatest(de, en, es) THEN 'fr'
+         |       WHEN es >= greatest(de, en) THEN 'es'
+         |       WHEN en >= de THEN 'en'
+         |       ELSE 'de' END AS lang_pred
+         |FROM hits""".stripMargin),
+    "mm_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(('0x' || substr(md5(text), 1, 2))::BIGINT % 4 AS INT)
+        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
+        |    ELSE 'mp4' END AS format,
+        |  CAST(64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 AS INT)
+        |    AS width,
+        |  CAST(64 + ('0x' || substr(md5(text), 9, 8))::BIGINT % 1024 AS INT)
+        |    AS height,
+        |  CAST(strlen(text) AS BIGINT) * 10 AS duration_ms,
+        |  CAST(strlen(text) AS BIGINT) AS size_bytes
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language id, fingerprinting.
+  * All built-in compositions (codegen'd); DuckDB-mirrorable for oracles.
+  */
+object TextFunctions {
+
+  /** Whitespace word tokens, lowercased, empties dropped. */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation —
+    * the standard pre-tokenizer shape (GPT-2-style regex, simplified). */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Word n-gram shingles (distinct) — the unit for Jaccard/MinHash dedup.
+    * Guarded: texts shorter than n words yield an empty array (Spark's
+    * `sequence(0, negative)` would count DOWN, not produce empty). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Rolling-hash document fingerprint: md5 of the sorted distinct word
+    * set (case-folded) — robust to word order and duplication. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  // ---- quality scoring -------------------------------------------------
+
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "this", "that")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = StopwordsEn): Column =
+    size(filter(words(text), w => w.isInCollection(stopwords)))
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * lexical diversity + low punctuation density. Deterministic; rounded
+    * to 4 dp for engine parity. */
+  def qualityScore(text: Column): Column = {
+    val nw = size(words(text)).cast("double")
+    val nchars = length(text).cast("double")
+    val lenScore = least(nw / lit(50.0), lit(1.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nw, lit(1.0))
+    val stopScore = least(stopRatio * lit(4.0), lit(1.0))
+    val diversity = size(array_distinct(words(text))).cast("double") /
+      greatest(nw, lit(1.0))
+    val punct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double")
+    val punctScore = lit(1.0) - least(punct / greatest(nchars, lit(1.0)) * lit(10.0), lit(1.0))
+    round((lenScore + stopScore + diversity + punctScore) / lit(4.0), 4)
+  }
+
+  // ---- language id -----------------------------------------------------
+
+  /** Tiny deterministic stopword-profile language detector. Scores each
+    * language by distinct-stopword hits; highest count wins, ties broken
+    * by language code order, 0 hits -> 'und'. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  def langId(text: Column): Column = {
+    val ws = array_distinct(words(text))
+    val scored = LangProfiles.map { case (lang, stops) =>
+      struct(size(filter(ws, w => w.isInCollection(stops))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct = lexicographic (hits, lang); ties -> later code.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.SimHash64
+import graft.functions.expressions.VectorKernels
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design notes (the point of each variant):
+  *  - exact: one hash-shuffle on the digest; no text comparison.
+  *  - shingle-join Jaccard: exact pairwise similarity WITHOUT an O(n²)
+  *    cross join — explode to (shingle, doc) pairs, self-join on shingle,
+  *    count intersections. Cost ~ sum of shingle-frequency². Frequent
+  *    shingles are capped ([[jaccardPairs]] `maxShingleFreq`) the way
+  *    common words are dropped from inverted indexes.
+  *  - MinHash+LSH: candidate generation with recall ~1 at the target
+  *    threshold (banding), then exact verification of candidates only.
+  *    This is the 100 TB path: constant-size signatures, band-bucket
+  *    shuffle, no pairwise work outside buckets.
+  *  - SimHash: constant 8-byte fingerprint, near-dup = small Hamming
+  *    distance; bucketing on 16-bit chunks (Manku et al. WWW'07).
+  *  - embedding cosine: hyperplane-LSH bucketing + exact verify.
+  */
+object Dedup {
+
+  /** Exact dedup on a digest of `cols`: keeps the row with the smallest
+    * `idCol` per digest. Returns the surviving rows. */
+  def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame = {
+    val digest = md5(concat_ws("", cols.map(col): _*))
+    val w = Window.partitionBy(digest).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Exact pairwise word-shingle Jaccard >= `threshold` via shingle
+    * inverted-index join. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    * `maxShingleFreq` drops shingles appearing in more than that many
+    * docs (stopword-like; they cannot define near-duplicates but explode
+    * the join). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), n).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val filtered = sh
+      .withColumn("freq", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("freq") <= maxShingleFreq)
+      .drop("freq")
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: `numHashes` minima over the shingle set — a
+    * codegen'd Catalyst expression ([[MinHashSig]]); the equivalent
+    * higher-order-function composition runs interpreted and re-hashes
+    * every shingle per family member (~100x slower). */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    graft.functions.expressions.MinHashSig.minhash_sig(shinglesCol, numHashes)
+
+  /** MinHash + LSH banding + exact-Jaccard verification.
+    *
+    * Bands of `rowsPerBand` rows: candidate iff some band collides.
+    * With 64 bands x 2 rows, P(miss | jaccard >= 0.5) < 1e-8, so the
+    * verified output equals the exact [[jaccardPairs]] result (which is
+    * the oracle) while only hashing candidates.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.5,
+                      numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val withSh = docs.select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    // Candidate generation carries ONLY (id, band, bucket): the band join
+    // multiplies rows (up to numBands x per colliding pair), so payloads
+    // are joined back after dedup, not shuffled through it.
+    val banded = withSh
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // Size-ratio prefilter: jaccard >= t forces |A|/|B| within [t, 1/t];
+    // cuts exact verification work before touching the shingle arrays.
+    val sized = withSh.select(col("id"), col("shingles"),
+      size(col("shingles")).as("n_sh"))
+    candidates
+      .join(sized.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(sized.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .filter(col("n_a") >= col("n_b") * threshold &&
+        col("n_b") >= col("n_a") * threshold)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, candidates via
+    * `numChunks` bit-chunk buckets, verified with exact bit_count(xor).
+    * Pigeonhole: any pair with Hamming distance <= numChunks-1 shares at
+    * least one chunk, so recall is EXACT for maxHamming <= numChunks-1
+    * (Manku et al. WWW'07 block-permute scheme, single permutation).
+    * More chunks -> higher guaranteed distance but coarser buckets
+    * (bucket join cost ~ n²/2^(64/numChunks) per chunk). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, numChunks: Int = 4): DataFrame = {
+    require(64 % numChunks == 0, "numChunks must divide 64")
+    require(maxHamming <= numChunks - 1,
+      s"recall only guaranteed for maxHamming <= ${numChunks - 1}")
+    val chunkBits = 64 / numChunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
+    val fp = docs.select(col(idCol).as("id"),
+      SimHash64.simhash64(TextFunctions.words(col(textCol))).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      explode(array((0 until numChunks).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("fp"), i * chunkBits).bitwiseAND(lit(mask)).as("key"))): _*))
+        .as("ck"))
+      .select(col("id"), col("fp"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup pairs: deterministic hyperplane-LSH bucketing
+    * (`numBits` sign bits per `numTables` tables), exact cosine verify.
+    * At 100 TB the bucket join replaces the O(n²) cross join; recall is
+    * tuned by numTables. */
+  def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     threshold: Double = 0.99, numBits: Int = 8,
+                     numTables: Int = 8): DataFrame = {
+    val planes = Similarity.hyperplanes(dim, numBits * numTables, seed = 42)
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val keyed = base
+      .withColumn("table", explode(sequence(lit(0), lit(numTables - 1))))
+      .withColumn("bucket", Similarity.lshKey(col("vec"), planes, col("table"), numBits))
+      .select(col("id"), col("table"), col("bucket"))
+    val candidates = keyed.as("a").join(keyed.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .withColumn("cosine", round(VectorKernels.cosine_sim(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.VectorKernels
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * [[bruteForceTopK]] is the exact baseline: broadcast the (small) query
+  * set, score every corpus row with the codegen'd cosine kernel, take
+  * per-query top-k with a window. One corpus scan, no shuffle of the
+  * corpus itself — at 100 TB this is the "scan everything once" floor.
+  *
+  * [[lshTopK]] is the scale path: deterministic hyperplane LSH assigns
+  * each corpus vector to `numTables` sign-buckets; a query only scores
+  * rows sharing a bucket (multi-probe via tables). Corpus bucketing is a
+  * one-time transform (writable as a bucketed table); per-query work drops
+  * from |corpus| to the bucket population.
+  */
+object Similarity {
+
+  /** Deterministic unit hyperplanes: `count` rows of `dim` doubles from
+    * a seeded xorshift — same on every JVM. Returned as a literal array
+    * column (goes to every executor with the plan, no broadcast var). */
+  def hyperplanes(dim: Int, count: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(count)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def planeLit(planes: Array[Array[Double]]): Column =
+    array(planes.map(p => array(p.map(lit): _*)): _*)
+
+  /** Sign-bit bucket key for one LSH table: bits `table*numBits ..
+    * table*numBits+numBits-1` of the plane projections. */
+  def lshKey(vec: Column, planes: Array[Array[Double]], table: Column,
+             numBits: Int): Column = {
+    val planesC = planeLit(planes)
+    val terms = (0 until numBits).map { i =>
+      val plane = element_at(planesC, (table * numBits + (i + 1)).cast("int"))
+      val proj = aggregate(
+        zip_with(vec, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1 << i)).otherwise(lit(0))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`: (qid, vec); `corpus`: (id, vec). Output (qid, rank, id,
+    * cosine). Requires queries to be broadcastable. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.select(col("id"), col("vec"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("vec").as("qvec"))))
+      .withColumn("cosine", round(VectorKernels.cosine_sim(col("qvec"), col("vec")), 6))
+      .filter(col("qid") =!= col("id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("cosine"))
+  }
+
+  /** LSH-bucketed ANN top-k: score only bucket-mates across tables. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+              numBits: Int = 8, numTables: Int = 8): DataFrame = {
+    val planes = hyperplanes(dim, numBits * numTables, seed = 42)
+    def keyed(df: DataFrame, idName: String) = df
+      .withColumn("table", explode(sequence(lit(0), lit(numTables - 1))))
+      .withColumn("bucket", lshKey(col(if (idName == "qid") "qvec" else "vec"),
+        planes, col("table"), numBits))
+    val c = keyed(corpus.select(col("id"), col("vec")), "id")
+    val q = keyed(queries.select(col("qid"), col("vec").as("qvec")), "qid")
+    val scored = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("qid") =!= col("id"))
+      .dropDuplicates("qid", "id")
+      .withColumn("cosine", round(VectorKernels.cosine_sim(col("qvec"), col("vec")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("cosine"))
+  }
+}

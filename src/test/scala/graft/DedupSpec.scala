@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  // 0/1 near-identical (one word changed), 2 permuted copy of 0,
+  // 3 unrelated, 4 exact copy of 3
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (2L, "today again and again dog lazy the over jumps fox brown quick the"),
+    (3L, "completely different content about spark catalyst optimizer rules"),
+    (4L, "completely different content about spark catalyst optimizer rules")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per digest") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("jaccard pairs finds near-dup and exact pair, not unrelated") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L ^ p._2 == 4L))
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 2,
+      threshold = 0.4, numHashes = 128, rowsPerBand = 2)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("simhash flags exact + near dups with small hamming distance") {
+    // long docs: 1-word-in-100 diff keeps hamming small enough for the
+    // 8-chunk pigeonhole guarantee (recall exact for hamming <= 7)
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val longDocs = Seq(
+      (0L, base),
+      (1L, base.replace("tok50", "changed")),   // near dup
+      (2L, base.split(" ").reverse.mkString(" ")), // permutation
+      (3L, (200 to 300).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(longDocs, "doc_id", "text",
+      maxHamming = 7, numChunks = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((0L, 2L)) == 0)        // permutation -> same bag of words
+    assert(pairs.contains((0L, 1L)))    // one-word diff -> small distance
+    assert(!pairs.keys.exists(p => p._2 == 3L)) // unrelated not flagged
+  }
+
+  test("simhash on driver documents is stable") {
+    val docs01 = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Dedup.simhashPairs(docs01, "doc_id", "text", maxHamming = 3).count()
+    val b = Dedup.simhashPairs(docs01, "doc_id", "text", maxHamming = 3).count()
+    assert(a == b)
+  }
+
+  test("embedding LSH finds planted near-duplicate vectors") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = Array.fill(20)(vec())
+    // plant: vec 100+i = tiny perturbation of vec i (cosine ~0.9999)
+    val rows =
+      base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      base.take(5).zipWithIndex.map { case (v, i) =>
+        ((100 + i).toLong, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat)) }
+    val df = spark.createDataFrame(rows.toSeq).toDF("vec_id", "vec")
+    val pairs = Dedup.embeddingPairs(df, "vec_id", "vec", dim = 64,
+      threshold = 0.99).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((0 until 5).forall(i => pairs.contains((i.toLong, (100 + i).toLong))),
+      s"missing planted pairs, got $pairs")
+    assert(pairs.size == 5)
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Scalars
+import graft.operators.{Layouts, Multimodal, Profiles, Sessionize, UserRecognition}
+import graft.sources.DriverEventsAdapter
+
+class OperatorsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val env = DriverEventsAdapter.load(spark, sf)
+
+  // ---- layouts (golden-output style, ref datalayout-segment.test.ts) ----
+
+  test("segment multi-table: track fans out to tracks + event table") {
+    val one = env.filter(col("type") === "track").limit(1)
+    val out = Layouts.segmentMultiTable(one)
+    val tables = out.select("_table").as[String].collect().sorted
+    val ev = one.select("event").as[String].head()
+    assert(tables.toSeq == Seq(ev, "tracks").sorted)
+    // tracks row has no properties; event row does
+    val props = out.select("_table", "properties").collect()
+      .map(r => r.getString(0) -> (r.get(1) != null)).toMap
+    assert(!props("tracks") && props(ev))
+  }
+
+  test("segment multi-table: identify -> identifies with traits") {
+    val out = Layouts.segmentMultiTable(env.filter(col("type") === "identify"))
+    assert(out.select("_table").distinct().as[String].collect().toSeq ==
+      Seq("identifies"))
+    assert(out.filter(col("traits").isNull).count() == 0)
+  }
+
+  test("jitsu legacy layout: anonymized ip + screen resolution shape") {
+    val row = Layouts.jitsuLegacy(env).limit(50).collect()
+    row.foreach { r =>
+      assert(r.getAs[String]("anon_ip").endsWith(".0"))
+      assert(r.getAs[String]("screen_resolution").matches("\\d+x\\d+"))
+    }
+  }
+
+  // ---- scalar functions -------------------------------------------------
+
+  test("snake_case semantics match reference idToSnakeCaseFast") {
+    assert(Scalars.snakeCaseName("camelCaseKey") == "camel_case_key")
+    assert(Scalars.snakeCaseName("With Spaces-and-dash") == "with_spaces_and_dash")
+    assert(Scalars.snakeCaseName("already_snake") == "already_snake")
+    assert(Scalars.snakeCaseName("HTTPCode2xx") == "httpcode2xx")
+  }
+
+  test("snakeCaseSchema renames nested struct fields") {
+    val df = Seq((1, ("a", 2))).toDF("topLevel", "nestedStruct")
+      .withColumn("nestedStruct", struct(lit("a").as("innerField"),
+        lit(2).as("otherOne")))
+    val out = Scalars.snakeCaseSchema(df)
+    assert(out.columns.toSeq == Seq("top_level", "nested_struct"))
+    val inner = out.schema("nested_struct").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(inner == Seq("inner_field", "other_one"))
+  }
+
+  test("plural matches reference table naming") {
+    val out = Seq("identify", "page", "track", "group", "screen", "alias")
+      .toDF("t").select(Scalars.plural(col("t"))).as[String].collect()
+    assert(out.toSeq == Seq("identifies", "pages", "tracks", "groups",
+      "screens", "aliases"))
+  }
+
+  // ---- user recognition (ref user-recognition.test.ts scenario) --------
+
+  test("UR: 3 anonymous pages + 1 identified -> all 4 identified") {
+    val rows = Seq(
+      ("m1", "anon1", null, ts("2024-01-01 10:00:00")),
+      ("m2", "anon1", null, ts("2024-01-01 10:05:00")),
+      ("m3", "anon1", null, ts("2024-01-01 10:10:00")),
+      ("m4", "anon1", "user42", ts("2024-01-01 10:15:00")),
+      ("m5", "anon2", null, ts("2024-01-01 10:20:00"))
+    ).toDF("message_id", "anonymous_id", "user_id", "timestamp")
+    val out = UserRecognition.resolveBatch(rows)
+    val got = out.select("message_id", "user_id").as[(String, String)]
+      .collect().toMap
+    assert(Seq("m1", "m2", "m3", "m4").forall(got(_) == "user42"))
+    assert(got("m5") == null)
+    assert(out.filter(col("recognized")).count() == 3)
+  }
+
+  test("UR: identity does not flow backwards beyond lookback") {
+    val rows = Seq(
+      ("m1", "a", null, ts("2023-01-01 00:00:00")), // 1y before identify
+      ("m2", "a", "u1", ts("2024-01-01 00:00:00"))
+    ).toDF("message_id", "anonymous_id", "user_id", "timestamp")
+    val got = UserRecognition.resolveBatch(rows, lookbackDays = 30)
+      .select("message_id", "user_id").as[(String, String)].collect().toMap
+    assert(got("m1") == null && got("m2") == "u1")
+  }
+
+  // ---- sessionization ---------------------------------------------------
+
+  test("sessions: 30-min gap splits sessions") {
+    val rows = Seq(
+      ("a", ts("2024-01-01 10:00:00")),
+      ("a", ts("2024-01-01 10:20:00")), // same session (20 min)
+      ("a", ts("2024-01-01 11:30:00")), // new session (70 min gap)
+      ("b", ts("2024-01-01 10:00:00"))
+    ).toDF("anonymous_id", "timestamp")
+    val s = Sessionize.sessions(rows, col("anonymous_id"), col("timestamp"))
+    val byKey = s.groupBy("key").count().as[(String, Long)].collect().toMap
+    assert(byKey("a") == 2 && byKey("b") == 1)
+    val tagged = Sessionize.tagEvents(rows, "anonymous_id", "timestamp")
+    val ids = tagged.filter(col("anonymous_id") === "a")
+      .select("session_id").distinct().count()
+    assert(ids == 2)
+  }
+
+  // ---- profiles ---------------------------------------------------------
+
+  test("profile traits fold: last non-null wins in timestamp order") {
+    val rows = Seq(
+      ("u1", "identify", "identify", ts("2024-01-01 10:00:00"), null,
+        """{"email":"old@x.com","name":"Old"}"""),
+      ("u1", "identify", "identify", ts("2024-01-02 10:00:00"), null,
+        """{"email":"new@x.com"}"""),
+      ("u1", "track", "click", ts("2024-01-03 10:00:00"), "{}", null)
+    ).toDF("user_id", "type", "event", "timestamp", "properties", "traits")
+      .withColumn("anonymous_id", lit("a1"))
+    val p = Profiles.buildProfiles(rows).collect().head
+    assert(p.getAs[String]("email") == "new@x.com")
+    assert(p.getAs[String]("name") == "Old") // not overwritten by null
+    assert(p.getAs[Long]("n_events") == 3)
+  }
+
+  test("pluggable profile function over event history") {
+    val rows = Seq(
+      ("u1", "track", "purchase", ts("2024-01-01 10:00:00"),
+        """{"value": 10.5}""", null),
+      ("u1", "track", "purchase", ts("2024-01-02 10:00:00"),
+        """{"value": 4.5}""", null)
+    ).toDF("user_id", "type", "event", "timestamp", "properties", "traits")
+    val fn: Profiles.ProfileFunction = (uid, events) =>
+      Map("n_purchases" -> events.count(_.event == "purchase").toString)
+    val out = Profiles.runProfileFunction(rows, fn).collect().head
+    assert(out.properties("n_purchases") == "2")
+  }
+
+  // ---- multimodal -------------------------------------------------------
+
+  test("multimodal meta + frames are deterministic and shaped") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val media = Multimodal.synthesize(docs)
+    val meta = Multimodal.extractMeta(media)
+    assert(meta.count() == 20)
+    val m = meta.select("meta.format", "meta.width", "meta.height").collect()
+    m.foreach { r =>
+      assert(Seq("jpeg", "png", "wav", "mp4").contains(r.getString(0)))
+      assert(r.getInt(1) >= 64 && r.getInt(1) < 64 + 1024)
+    }
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.count() == 60) // 3 frames per media
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq)).sortBy(t => (t._1, t._2)).toSeq
+    assert(key(frames) == key(Multimodal.sampleFrames(media)))
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+}
