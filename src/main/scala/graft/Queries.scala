@@ -393,7 +393,9 @@ object Queries {
   )
 
   def all: Map[String, Q] =
-    relational ++ pipeline ++ QueriesTrainingData.queries
+    relational ++ pipeline ++ QueriesTrainingData.queries ++
+      QueriesSystem.queries
   def allOracles: Map[String, String] =
-    relationalOracles ++ pipelineOracles ++ QueriesTrainingData.oracles
+    relationalOracles ++ pipelineOracles ++ QueriesTrainingData.oracles ++
+      QueriesSystem.oracles
 }

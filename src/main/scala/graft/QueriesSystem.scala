@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import org.apache.spark.sql.functions._
+
+import graft.chain.FunctionChain
+import graft.chain.FunctionChain._
+import graft.operators.UserRecognition
+import graft.sinks.{SinkOptions, SinkRouter}
+import graft.sources.DriverEventsAdapter
+import graft.sql.GuardedSql
+import graft.streaming.EventPipeline
+
+/** System-level queries: each round-trips a whole subsystem (function
+  * chain, sink router, guarded SQL, streaming pipeline) and reduces the
+  * result to a DuckDB-mirrorable aggregate, so the correctness gate covers
+  * the runtime paths, not just column math.
+  */
+object QueriesSystem {
+  import Queries.Q
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  val queries: Map[String, Q] = Map(
+    // R1-R5: chain with SQL-mirrorable semantics — drop errors, enrich,
+    // fan out purchases (only-last-multiplies)
+    "r1_chain" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(s"$dir/events.parquet")
+        .select(to_json(struct(col("event_id"), col("event_type"))).as("value"))
+        .as[String]
+      val chain = Seq(
+        EventFunction("drop_errors", builtin = true,
+          e => if (e.get("event_type").asText() == "error") Drop else Same),
+        EventFunction("tag", builtin = true, e => {
+          e.put("tagged", true); Replace(Seq(e))
+        }),
+        EventFunction("fanout_purchase", builtin = false, e =>
+          if (e.get("event_type").asText() == "purchase") {
+            val b = e.deepCopy().asInstanceOf[ObjectNode]
+            b.put("dup", true)
+            Replace(Seq(e, b))
+          } else Same))
+      FunctionChain.run(raw, chain).toDF()
+        .groupBy(get_json_object(col("event"), "$.event_type").as("event_type"),
+          col("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // K1: sink router round-trip — append, then UR re-emission overwrite
+    // via dedup merge on message_id
+    "k1_sink_dedup" -> ((s, dir) => {
+      val wh = tmp("graft-q-sink")
+      val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+      val env = DriverEventsAdapter.load(s, dir)
+        .select(col("message_id"), col("timestamp"), col("anonymous_id"),
+          col("user_id"), col("type"))
+      router.write(env.withColumn("_table", lit("events")))
+      // re-emit recognized events (same message_id, identity filled)
+      val recognized = UserRecognition.resolveBatch(env)
+        .filter(col("recognized"))
+        .select(col("message_id"), col("timestamp"), col("anonymous_id"),
+          col("user_id"), col("type"))
+      router.write(recognized.withColumn("_table", lit("events")))
+      router.readTable(s, "events")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("message_id")).as("n_messages"),
+          sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
+    }),
+
+    // L1: guarded SQL — user limit clamped to 50, row-numbered
+    "l1_sql_guard" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .createOrReplaceTempView("lineitem_guard")
+      GuardedSql.query(s,
+        """SELECT l_orderkey, l_linenumber FROM lineitem_guard
+          |ORDER BY l_orderkey, l_linenumber LIMIT 9999""".stripMargin)
+        .withColumnRenamed("#", "row_num")
+    }),
+
+    // §3.1: streaming pipeline round-trip — JSON file source ->
+    // envelope -> dedup-in-watermark -> layout -> sink router
+    "s1_streaming" -> ((s, dir) => {
+      val in = tmp("graft-q-in"); val wh = tmp("graft-q-wh")
+      val cp = tmp("graft-q-cp")
+      val env = DriverEventsAdapter.load(s, dir)
+      val json = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+      json.unionAll(json) // duplicates: watermark dedup must collapse them
+        .coalesce(4).write.mode("overwrite").text(in)
+      val q = EventPipeline.start(s, in, wh, cp)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$wh/events")
+        .groupBy(col("type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("message_id")).as("n_distinct"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "r1_chain" ->
+      """SELECT event_type, 'success' AS status,
+        |  CAST(COUNT(*) * CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type""".stripMargin,
+    "k1_sink_dedup" ->
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    'a' || user_id AS anonymous_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp
+        |  FROM events),
+        |resolved AS (
+        |  SELECT message_id,
+        |    COALESCE(user_id,
+        |      CASE WHEN next_id_ts IS NOT NULL
+        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
+        |      AS user_id
+        |  FROM (
+        |    SELECT *,
+        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |        AS next_id_ts,
+        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
+        |    FROM env
+        |    WINDOW w AS (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_identified
+        |FROM resolved""".stripMargin,
+    "l1_sql_guard" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INT)
+        |    AS row_num
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+    "s1_streaming" ->
+      """SELECT CASE WHEN event_type = 'signup' THEN 'identify'
+        |            WHEN event_type = 'view' THEN 'page'
+        |            ELSE 'track' END AS type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.sql.GuardedSql
+import graft.sql.GuardedSql.SqlRejected
+
+class GuardedSqlSpec extends GraftSpec {
+
+  private lazy val init: Unit = {
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .createOrReplaceTempView("lineitem_v")
+  }
+
+  test("SELECT passes, default limit 50, row numbers from 1") {
+    init
+    val out = GuardedSql.query(spark,
+      "SELECT l_orderkey FROM lineitem_v ORDER BY l_orderkey")
+    val rows = out.collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Int]("#")).toSeq == (1 to 50))
+  }
+
+  test("user limit below api limit respected; above clamped") {
+    init
+    assert(GuardedSql.query(spark,
+      "SELECT l_orderkey FROM lineitem_v ORDER BY l_orderkey LIMIT 7")
+      .count() == 7)
+    assert(GuardedSql.query(spark,
+      "SELECT l_orderkey FROM lineitem_v ORDER BY l_orderkey LIMIT 9999")
+      .count() == 50)
+  }
+
+  test("offset shifts rows and numbering") {
+    init
+    val rows = GuardedSql.query(spark,
+      "SELECT l_orderkey FROM lineitem_v ORDER BY l_orderkey LIMIT 5",
+      offset = 3).collect()
+    assert(rows.length == 5)
+    assert(rows.head.getAs[Int]("#") == 4)
+  }
+
+  test("non-SELECT statements rejected") {
+    init
+    intercept[SqlRejected](GuardedSql.query(spark,
+      "DROP TABLE lineitem_v"))
+    intercept[SqlRejected](GuardedSql.query(spark,
+      "INSERT INTO lineitem_v VALUES (1)"))
+    intercept[SqlRejected](GuardedSql.query(spark,
+      "SET spark.sql.shuffle.partitions=1"))
+    intercept[SqlRejected](GuardedSql.query(spark,
+      "SELECT 1; SELECT 2"))
+  }
+
+  test("table whitelist enforced") {
+    init
+    intercept[SqlRejected](GuardedSql.query(spark,
+      "SELECT * FROM lineitem_v", allowedTables = Set("orders")))
+    assert(GuardedSql.query(spark,
+      "SELECT l_orderkey FROM lineitem_v ORDER BY 1 LIMIT 1",
+      allowedTables = Set("lineitem_v")).count() == 1)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.UserRecognition
+import graft.sources.DriverEventsAdapter
+import graft.streaming.EventPipeline
+
+class StreamingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def writeJsonEvents(dir: String): Long = {
+    val env = DriverEventsAdapter.load(spark, sf)
+    val json = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+    json.coalesce(1).write.mode("overwrite").text(dir)
+    env.count()
+  }
+
+  test("file-source streaming pipeline lands events deduped in warehouse") {
+    val in = tmp("graft-in"); val wh = tmp("graft-wh"); val cp = tmp("graft-cp")
+    // write every event TWICE: dropDuplicatesWithinWatermark must land
+    // each message_id exactly once
+    val env = DriverEventsAdapter.load(spark, sf)
+    val json = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+    json.unionAll(json).coalesce(1).write.mode("overwrite").text(in)
+    val n = env.count()
+    val q = EventPipeline.start(spark, in, wh, cp)
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(s"$wh/events")
+    assert(landed.count() == n)
+    assert(landed.select("message_id").distinct().count() == n)
+  }
+
+  test("batch/stream symmetry: same transform graph, same result") {
+    val in = tmp("graft-in2")
+    writeJsonEvents(in)
+    val batchDf = spark.read.text(in)
+    val out = EventPipeline.transform(batchDf)
+    val direct = graft.operators.Layouts.segmentSingleTable(
+      DriverEventsAdapter.load(spark, sf))
+    assert(out.count() == direct.count())
+    assert(out.columns.sorted.sameElements(direct.columns.sorted))
+  }
+
+  test("streaming user recognition recovers buffered anonymous events") {
+    val in = tmp("graft-ur-in")
+    Seq(
+      """{"message_id":"m1","anonymous_id":"a1","user_id":null,"timestamp":"2024-01-01T10:00:00.000Z"}""",
+      """{"message_id":"m2","anonymous_id":"a1","user_id":null,"timestamp":"2024-01-01T10:05:00.000Z"}""",
+      """{"message_id":"m3","anonymous_id":"a1","user_id":"u42","timestamp":"2024-01-01T10:10:00.000Z"}""",
+      """{"message_id":"m4","anonymous_id":"a2","user_id":null,"timestamp":"2024-01-01T10:15:00.000Z"}"""
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(in)
+    val schema = "message_id STRING, anonymous_id STRING, user_id STRING, timestamp TIMESTAMP"
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(schema)).json(in)
+    val resolved = UserRecognition.streamingResolve(stream)
+    val q = resolved.writeStream.format("memory").queryName("ur_out")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ur_out")
+      .select("message_id", "user_id").as[(String, Option[String])]
+      .collect().toMap
+    // m1,m2 recovered with u42; m3 identified; m4 still buffered in state
+    assert(got.get("m1").flatten.contains("u42"))
+    assert(got.get("m2").flatten.contains("u42"))
+    assert(got.get("m3").flatten.contains("u42"))
+    assert(!got.contains("m4"))
+  }
+}
