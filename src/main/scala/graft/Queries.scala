@@ -394,8 +394,8 @@ object Queries {
 
   def all: Map[String, Q] =
     relational ++ pipeline ++ QueriesTrainingData.queries ++
-      QueriesSystem.queries
+      QueriesSystem.queries ++ QueriesExtra.queries
   def allOracles: Map[String, String] =
     relationalOracles ++ pipelineOracles ++ QueriesTrainingData.oracles ++
-      QueriesSystem.oracles
+      QueriesSystem.oracles ++ QueriesExtra.oracles
 }

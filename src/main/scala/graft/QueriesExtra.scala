@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Scalars
+import graft.operators.{MetricsAgg, Profiles, SaasProjections}
+import graft.sources.DriverEventsAdapter
+
+/** Coverage-widening queries: SaaS projections (K3), geo/UA enrichment
+  * (F1/F2), config lookup join + connection fan-out (J3/J4), report
+  * queries (A3), changed-users scan (S6), rollup (beyond-reference SQL
+  * surface). Same determinism rules as [[Queries]].
+  */
+object QueriesExtra {
+  import Queries.Q
+
+  private def env(s: org.apache.spark.sql.SparkSession, dir: String) =
+    DriverEventsAdapter.load(s, dir)
+
+  /** Rebuild of the adapter-derived UA strings for the oracle CASE. */
+  private val uaCase =
+    """CASE (raw_event_id % 3)
+      |  WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari' ELSE 'unknown' END""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // K3: mixpanel track projection
+    "k3_mixpanel" -> ((s, dir) =>
+      SaasProjections.mixpanelTrack(env(s, dir))
+        .select(col("distinct_id"), col("event"), col("time"),
+          col("insert_id"), col("utm_source"), col("city"))),
+
+    // K3: ga4 projection (client_id fallback + name mapping)
+    "k3_ga4" -> ((s, dir) =>
+      SaasProjections.ga4Events(env(s, dir))
+        .select(col("client_id"), col("user_id"), col("event_name"),
+          col("timestamp_micros"))),
+
+    // K3: facebook conversions (hashed PII)
+    "k3_facebook" -> ((s, dir) =>
+      SaasProjections.facebookConversions(env(s, dir))
+        .select(col("event_name"), col("event_time"), col("em"),
+          col("external_id"))),
+
+    // F2: UA parse over the envelope
+    "f2_ua_parse" -> ((s, dir) =>
+      env(s, dir).select(
+        col("message_id"),
+        Scalars.parseUa(col("context.user_agent")).getField("name").as("browser"),
+        Scalars.parseUa(col("context.user_agent")).getField("os_name").as("os"),
+        Scalars.parseUa(col("context.user_agent")).getField("device_type").as("device"),
+        Scalars.parseUa(col("context.user_agent")).getField("bot").as("is_bot"))),
+
+    // F1: geo enrichment as broadcast lookup join (MaxMind stand-in:
+    // a small dimension keyed by ip prefix)
+    "f1_geo_join" -> ((s, dir) => {
+      val events = env(s, dir)
+      val geoDim = s.range(0, 200)
+        .select(col("id").cast("int").as("ip_prefix"),
+          concat(lit("AS"), pmod(col("id"), lit(7))).as("asn"),
+          (pmod(col("id"), lit(2)) === 0).as("is_datacenter"))
+      events
+        .withColumn("ip_prefix",
+          split(col("context.ip"), "\\.").getItem(1).cast("int"))
+        .join(broadcast(geoDim), Seq("ip_prefix"), "left")
+        .groupBy(col("asn"), col("is_datacenter"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("anonymous_id")).as("n_users"))
+    }),
+
+    // J3+J4: config lookup join + connection fan-out (explode)
+    "j4_fanout" -> ((s, dir) => {
+      val events = env(s, dir)
+      // connections config: each event's connection_id fans out to that
+      // connection plus the catch-all c_all (J4); J3 = broadcast lookup
+      val connections = s.createDataFrame(Seq(
+        ("c0", "clickhouse", true), ("c1", "postgres", true),
+        ("c2", "mixpanel", false), ("c3", "webhook", false),
+        ("c_all", "s3", true))).toDF("connection_id", "destination", "uses_bulker")
+      events
+        .withColumn("connection_id",
+          explode(array(col("connection_id"), lit("c_all"))))
+        .join(broadcast(connections), Seq("connection_id"))
+        .groupBy(col("connection_id"), col("destination"), col("uses_bulker"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // A3: event-stat report over the A2-shaped pre-agg (sumMerge analog)
+    "a3_event_stat" -> ((s, dir) => {
+      val preAgg = env(s, dir)
+        .withColumn("workspace_id", col("write_key"))
+        .groupBy(date_trunc("minute", col("timestamp")).as("period"),
+          col("workspace_id"), col("type").as("status"))
+        .agg(count(lit(1)).as("events"))
+      MetricsAgg.eventStatReport(preAgg, "wk0")
+        .withColumn("period", date_format(col("period"), "yyyy-MM-dd"))
+    }),
+
+    // S6: changed-users scan (time-bounded distinct)
+    "s6_changed_users" -> ((s, dir) =>
+      Profiles.changedUsers(env(s, dir),
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        .orderBy(col("user_id"))),
+
+    // beyond-reference: ROLLUP exposed through the Spark SQL surface
+    "a9_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n")))
+  )
+
+  private val adapterCte =
+    """WITH env AS (
+      |  SELECT 'm' || event_id AS message_id,
+      |    CASE WHEN event_type = 'signup' THEN 'identify'
+      |         WHEN event_type = 'view' THEN 'page'
+      |         ELSE 'track' END AS type,
+      |    event_type AS event,
+      |    CAST(ts AS TIMESTAMP) AS timestamp,
+      |    'a' || user_id AS anonymous_id,
+      |    CASE WHEN event_type IN ('signup','purchase')
+      |         THEN 'u' || user_id END AS user_id,
+      |    'wk' || (user_id % 3) AS write_key,
+      |    'c' || (event_id % 4) AS connection_id,
+      |    user_id AS raw_user_id, event_id AS raw_event_id
+      |  FROM events)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "k3_mixpanel" -> (adapterCte +
+      """SELECT COALESCE(user_id, anonymous_id) AS distinct_id, event,
+        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) * 1000
+        |    AS time,
+        |  md5(message_id) AS insert_id,
+        |  'src' || (raw_user_id % 5) AS utm_source,
+        |  CASE (raw_user_id % 5) WHEN 0 THEN 'New York' WHEN 1 THEN 'Berlin'
+        |    WHEN 2 THEN 'Paris' WHEN 3 THEN 'London' ELSE 'Beijing' END
+        |    AS city
+        |FROM env WHERE type = 'track'""".stripMargin),
+    "k3_ga4" -> (adapterCte +
+      """SELECT 'ga-' || raw_user_id AS client_id, user_id,
+        |  CASE WHEN type = 'page' THEN 'page_view' ELSE event END
+        |    AS event_name,
+        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) * 1000000
+        |    AS timestamp_micros
+        |FROM env WHERE type IN ('track', 'page')""".stripMargin),
+    "k3_facebook" -> (adapterCte +
+      """SELECT event AS event_name,
+        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT)
+        |    AS event_time,
+        |  CASE WHEN type = 'identify' THEN sha256(
+        |    'user' || raw_user_id || '@example.com') END AS em,
+        |  sha256(COALESCE(user_id, anonymous_id)) AS external_id
+        |FROM env WHERE type = 'track'""".stripMargin),
+    "f2_ua_parse" -> (adapterCte +
+      s"""SELECT message_id,
+         |  $uaCase AS browser,
+         |  CASE (raw_event_id % 3) WHEN 0 THEN 'macOS' WHEN 1 THEN 'iOS'
+         |    ELSE 'unknown' END AS os,
+         |  CASE (raw_event_id % 3) WHEN 1 THEN 'mobile' ELSE 'desktop' END
+         |    AS device,
+         |  (raw_event_id % 3) = 2 AS is_bot
+         |FROM env""".stripMargin),
+    "f1_geo_join" -> (adapterCte +
+      """SELECT 'AS' || ((raw_user_id % 200) % 7) AS asn,
+        |  ((raw_user_id % 200) % 2) = 0 AS is_datacenter,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS n_users
+        |FROM env GROUP BY 1, 2""".stripMargin),
+    "j4_fanout" -> (adapterCte +
+      """, fanned AS (
+        |  SELECT connection_id FROM env
+        |  UNION ALL SELECT 'c_all' FROM env),
+        |conns AS (
+        |  SELECT * FROM (VALUES
+        |    ('c0', 'clickhouse', true), ('c1', 'postgres', true),
+        |    ('c2', 'mixpanel', false), ('c3', 'webhook', false),
+        |    ('c_all', 's3', true)) t(connection_id, destination, uses_bulker))
+        |SELECT f.connection_id, c.destination, c.uses_bulker,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM fanned f JOIN conns c USING (connection_id)
+        |GROUP BY 1, 2, 3""".stripMargin),
+    "a3_event_stat" -> (adapterCte +
+      """SELECT strftime(date_trunc('day', timestamp), '%Y-%m-%d') AS period,
+        |  type AS status, CAST(COUNT(*) AS BIGINT) AS events
+        |FROM env WHERE write_key = 'wk0'
+        |GROUP BY date_trunc('day', timestamp), type
+        |ORDER BY 1 DESC, 3 DESC""".stripMargin),
+    "s6_changed_users" -> (adapterCte +
+      """SELECT DISTINCT user_id FROM env
+        |WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
+        |  AND timestamp <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND user_id IS NOT NULL
+        |ORDER BY user_id""".stripMargin),
+    "a9_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+  )
+}

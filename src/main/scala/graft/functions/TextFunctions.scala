@@ -22,17 +22,12 @@ object TextFunctions {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
-  /** Word n-gram shingles (distinct) — the unit for Jaccard/MinHash dedup.
-    * Guarded: texts shorter than n words yield an empty array (Spark's
-    * `sequence(0, negative)` would count DOWN, not produce empty). */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
-    when(size(ws) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles (distinct) — the unit for Jaccard/MinHash
+    * dedup. Codegen'd Catalyst expression (the equivalent higher-order-
+    * function composition runs interpreted and re-walks the word array
+    * per shingle; see [[graft.functions.expressions.WordShingles]]). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.expressions.WordShingles.word_shingles(text, n)
 
   /** Rolling-hash document fingerprint: md5 of the sorted distinct word
     * set (case-folded) — robust to word order and duplication. */
