@@ -102,6 +102,14 @@ object QueriesExtra {
         java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
         .orderBy(col("user_id"))),
 
+    // A1 mergeable-sketch form (uniqState/uniqMerge analogue) — rows-only
+    // (HLL estimates are not bit-equal to an exact-count oracle)
+    "a1_hll_sketch" -> ((s, dir) =>
+      MetricsAgg.mergeActiveEvents(
+        MetricsAgg.activeEventsSketch(
+          env(s, dir).withColumn("workspace_id", col("write_key"))))
+        .withColumn("period", date_format(col("period"), "yyyy-MM-dd"))),
+
     // beyond-reference: ROLLUP exposed through the Spark SQL surface
     "a9_rollup" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")

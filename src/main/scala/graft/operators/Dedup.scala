@@ -162,9 +162,7 @@ object Dedup {
                      numTables: Int = 8): DataFrame = {
     val planes = Similarity.hyperplanes(dim, numBits * numTables, seed = 42)
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val keyed = base
-      .withColumn("table", explode(sequence(lit(0), lit(numTables - 1))))
-      .withColumn("bucket", Similarity.lshKey(col("vec"), planes, col("table"), numBits))
+    val keyed = Similarity.withBuckets(base, "vec", planes, numBits, numTables)
       .select(col("id"), col("table"), col("bucket"))
     val candidates = keyed.as("a").join(keyed.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

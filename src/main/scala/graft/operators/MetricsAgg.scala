@@ -53,6 +53,27 @@ object MetricsAgg {
         date_trunc(grain, col("timestamp")).as("period"))
       .agg(countDistinct(col("message_id")).as("count"))
 
+  /** A1 with MERGEABLE sketches — the exact analogue of ClickHouse
+    * `AggregateFunction(uniq)` state columns: the pre-agg table stores
+    * binary DataSketches HLL sketches per (workspace, hour); report
+    * queries union-merge them across any coarser grain
+    * (`uniqState` -> `hll_sketch_agg`, `uniqMerge` -> `hll_union_agg`).
+    * This is what makes the metrics MV incrementally maintainable at
+    * 100 TB: micro-batches append partial sketches, readers merge. */
+  def activeEventsSketch(rows: DataFrame): DataFrame =
+    rows.groupBy(
+        col("workspace_id"),
+        date_trunc("hour", col("timestamp")).as("period"))
+      .agg(hll_sketch_agg(col("message_id")).as("uniq_sketch"))
+
+  /** Merge stored sketches to a day-grain estimate (`uniqMerge`). */
+  def mergeActiveEvents(preAgg: DataFrame): DataFrame =
+    preAgg.groupBy(
+        col("workspace_id"),
+        date_trunc("day", col("period")).as("period"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("uniq_sketch")))
+        .as("active_events"))
+
   /** A3: final report query — event-stat style day rollup with filters
     * (ref `event-stat.ts:40-56`): sumMerge over the pre-agg. */
   def eventStatReport(preAgg: DataFrame, workspaceId: String): DataFrame =

@@ -29,23 +29,17 @@ object Similarity {
     Array.fill(count)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def planeLit(planes: Array[Array[Double]]): Column =
-    array(planes.map(p => array(p.map(lit): _*)): _*)
-
-  /** Sign-bit bucket key for one LSH table: bits `table*numBits ..
-    * table*numBits+numBits-1` of the plane projections. */
-  def lshKey(vec: Column, planes: Array[Array[Double]], table: Column,
-             numBits: Int): Column = {
-    val planesC = planeLit(planes)
-    val terms = (0 until numBits).map { i =>
-      val plane = element_at(planesC, (table * numBits + (i + 1)).cast("int"))
-      val proj = aggregate(
-        zip_with(vec, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1 << i)).otherwise(lit(0))
-    }
-    terms.reduce(_ + _)
-  }
+  /** (table, bucket) rows for every LSH table of each input row — one
+    * codegen'd kernel pass ([[graft.functions.expressions
+    * .HyperplaneBuckets]]) + posexplode. */
+  def withBuckets(df: DataFrame, vecCol: String,
+                  planes: Array[Array[Double]], numBits: Int,
+                  numTables: Int): DataFrame =
+    df.select(col("*"),
+        posexplode(graft.functions.expressions.HyperplaneBuckets
+          .hyperplane_buckets(col(vecCol), planes, numBits, numTables)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`: (qid, vec); `corpus`: (id, vec). Output (qid, rank, id,
@@ -67,12 +61,10 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
               numBits: Int = 8, numTables: Int = 8): DataFrame = {
     val planes = hyperplanes(dim, numBits * numTables, seed = 42)
-    def keyed(df: DataFrame, idName: String) = df
-      .withColumn("table", explode(sequence(lit(0), lit(numTables - 1))))
-      .withColumn("bucket", lshKey(col(if (idName == "qid") "qvec" else "vec"),
-        planes, col("table"), numBits))
-    val c = keyed(corpus.select(col("id"), col("vec")), "id")
-    val q = keyed(queries.select(col("qid"), col("vec").as("qvec")), "qid")
+    val c = withBuckets(corpus.select(col("id"), col("vec")), "vec",
+      planes, numBits, numTables)
+    val q = withBuckets(queries.select(col("qid"), col("vec").as("qvec")),
+      "qvec", planes, numBits, numTables)
     val scored = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("qid") =!= col("id"))
       .dropDuplicates("qid", "id")
