@@ -90,7 +90,7 @@ object QueriesSystem {
       val env = DriverEventsAdapter.load(s, dir)
       val json = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
       json.unionAll(json) // duplicates: watermark dedup must collapse them
-        .coalesce(4).write.mode("overwrite").text(in)
+        .repartition(16).write.mode("overwrite").text(in)
       val q = EventPipeline.start(s, in, wh, cp)
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(s"$wh/events")

@@ -74,6 +74,7 @@ object FunctionChain {
       catch { case NonFatal(e) =>
         return Seq(ChainOutput(raw, "error", "parse", e.toString))
       }
+    var lastError: String = null
     var i = math.max(fromStage, 0)
     while (i < chain.length) {
       val f = chain(i)
@@ -82,9 +83,16 @@ object FunctionChain {
       var aborted: Option[Seq[ChainOutput]] = None
       current.foreach { ev =>
         if (aborted.isEmpty) {
+          // R3: a PLAIN exception skips this function's edits but the
+          // event continues down the chain (ref functions-chain.ts:
+          // 352-358, "error" scenario); only an explicit Retry/DropRetry
+          // result interrupts (ref RetryError semantics).
           val result =
             try f.fn(ev.deepCopy()) // functions get a deep copy (R5)
-            catch { case NonFatal(e) => Retry(e.toString) }
+            catch { case NonFatal(e) =>
+              lastError = s"${f.id}: ${e.toString}"
+              Same
+            }
           result match {
             case Same => next += ev
             case Replace(evs) =>
@@ -115,7 +123,7 @@ object FunctionChain {
       }
     }
     current.map(ev => ChainOutput(mapper.writeValueAsString(ev),
-      "success", chain.lastOption.map(_.id).getOrElse(""), null))
+      "success", chain.lastOption.map(_.id).getOrElse(""), lastError))
   }
 
   /** R2: re-drive retry rows from their failed stage. `retries` is the

@@ -44,14 +44,16 @@ object Layouts {
     ctx("geo.city").as("context_geo_city"))
 
   /** P2 segmentLayout single-table: all types -> table `events`, `type`
-    * kept, traits + properties carried (ref :165-261). */
+    * kept, traits + properties carried (ref :165-261). `$table`
+    * (JITSU_TABLE_NAME) overrides routing when set (ref
+    * `functions.d.ts:44-49`). */
   def segmentSingleTable(events: DataFrame): DataFrame =
     events.select(
       (segmentCommon :+
         col("event") :+
         col("properties") :+
         coalesce(col("traits"), ctx("traits")).as("traits") :+
-        lit("events").as("_table")): _*)
+        coalesce(col("table_name"), lit("events")).as("_table")): _*)
 
   /** P1 segmentLayout multi-table: identify -> `identifies`, group ->
     * `groups`, page/screen -> `pages`/`screens`, track -> TWO rows:
@@ -59,8 +61,8 @@ object Layouts {
     * (ref :154-272; `plural` :310-323). */
   def segmentMultiTable(events: DataFrame): DataFrame = {
     val eventTable = Scalars.snakeCase(coalesce(col("event"), col("type")))
-    val tables = when(col("type") === "track",
-      array(lit("tracks"), eventTable))
+    val tables = when(col("table_name").isNotNull, array(col("table_name")))
+      .when(col("type") === "track", array(lit("tracks"), eventTable))
       .otherwise(array(Scalars.plural(col("type"))))
     events
       .withColumn("_table", explode(tables))

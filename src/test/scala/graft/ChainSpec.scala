@@ -67,6 +67,18 @@ class ChainSpec extends GraftSpec {
     assert(redriven.head.event.contains("\"dst\":\"x\""))
   }
 
+  test("plain error: function edits skipped, event still delivered (R3)") {
+    val boom = EventFunction("f_boom", builtin = false,
+      _ => throw new RuntimeException("plain failure"))
+    val out = FunctionChain.run(Seq(ev(1, "track")).toDS(),
+      Seq(tag("pre", "a"), boom, tag("post", "b"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.status == "success") // delivered despite the failure
+    assert(r.event.contains("\"pre\":\"a\"") && r.event.contains("\"post\":\"b\""))
+    assert(r.error != null && r.error.contains("f_boom"))
+  }
+
   test("only the last function may multiply (R4)") {
     val bad = FunctionChain.run(Seq(ev(1, "track")).toDS(),
       Seq(fanout, tag("dst", "x"))).collect()
@@ -75,6 +87,25 @@ class ChainSpec extends GraftSpec {
     val good = FunctionChain.run(Seq(ev(1, "track")).toDS(),
       Seq(tag("pre", "y"), fanout)).collect()
     assert(good.length == 2 && good.forall(_.status == "success"))
+  }
+
+  test("dst_retry: destination retry reruns destination only (R2)") {
+    // destination fails on first attempt; function results must be
+    // preserved and NOT re-run on redrive (ref dst_retry scenario)
+    var chain = Seq(tag("fn_result", "v1"),
+      EventFunction("dst", builtin = false, _ => Retry("dst down")))
+    val out = FunctionChain.run(Seq(ev(1, "track")).toDS(), chain)
+    val r = out.collect().head
+    assert(r.status == "retry" && r.functionId == "dst")
+    assert(r.event.contains("\"fn_result\":\"v1\"")) // attempt-0 results kept
+    // redrive: a tag fn that would CHANGE the value if re-run
+    val chain2 = Seq(tag("fn_result", "CHANGED"),
+      EventFunction("dst", builtin = false, e => { e.put("sent", true); Replace(Seq(e)) }))
+    val redriven = FunctionChain.redrive(
+      out.filter(_.status == "retry"), chain2).collect().head
+    assert(redriven.status == "success")
+    assert(redriven.event.contains("\"fn_result\":\"v1\"")) // dst-only rerun
+    assert(redriven.event.contains("\"sent\":true"))
   }
 
   test("metrics status derivation (A4)") {

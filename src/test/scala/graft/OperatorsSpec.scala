@@ -34,6 +34,14 @@ class OperatorsSpec extends GraftSpec {
     assert(out.filter(col("traits").isNull).count() == 0)
   }
 
+  test("$table override routes to the named table in both segment layouts") {
+    val one = env.limit(4).withColumn("table_name", lit("custom_tbl"))
+    assert(Layouts.segmentSingleTable(one).select("_table").distinct()
+      .as[String].collect().toSeq == Seq("custom_tbl"))
+    assert(Layouts.segmentMultiTable(one).select("_table").distinct()
+      .as[String].collect().toSeq == Seq("custom_tbl"))
+  }
+
   test("jitsu legacy layout: anonymized ip + screen resolution shape") {
     val row = Layouts.jitsuLegacy(env).limit(50).collect()
     row.foreach { r =>
