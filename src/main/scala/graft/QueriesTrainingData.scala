@@ -86,6 +86,18 @@ object QueriesTrainingData {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
 
+    // composed pipeline: quality filter -> exact dedup -> per-language
+    // token accounting — the end-to-end shape of a curation job
+    "td_pipeline" -> ((s, dir) => {
+      val curated = Dedup.exact(
+        docs(s, dir).filter(TextFunctions.qualityScore(col("text")) >= 0.5),
+        "doc_id", Seq("text"))
+      curated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCountWs(col("text"))).as("total_words"),
+          round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"))
+    }),
+
     // multimodal: metadata extraction over binary media column
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.synthesize(docs(s, dir)))
@@ -160,6 +172,32 @@ object QueriesTrainingData {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+    "td_pipeline" -> (wordsOnlyCte +
+      """, scored AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(w) AS DOUBLE) AS nw,
+        |    ROUND((
+        |      least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) +
+        |      least(CAST(len(list_filter(w, x -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it','for',
+        |         'on','with','as','at','by','this','that'], x))) AS DOUBLE)
+        |        / greatest(CAST(len(w) AS DOUBLE), 1.0) * 4.0, 1.0) +
+        |      CAST(len(list_distinct(w)) AS DOUBLE)
+        |        / greatest(CAST(len(w) AS DOUBLE), 1.0) +
+        |      (1.0 - least(CAST(len(regexp_extract_all(text,
+        |        '[^a-zA-Z0-9\s]')) AS DOUBLE)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+        |    ) / 4.0, 4) AS quality
+        |  FROM ws),
+        |curated AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rn
+        |    FROM scored WHERE quality >= 0.5) WHERE rn = 1)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(nw AS INT)) AS BIGINT) AS total_words,
+        |  ROUND(AVG(quality), 4) AS avg_quality
+        |FROM curated GROUP BY lang""".stripMargin),
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
     "dedup_embedding" ->

@@ -42,6 +42,16 @@ class OperatorsSpec extends GraftSpec {
       .as[String].collect().toSeq == Seq("custom_tbl"))
   }
 
+  test("group/screen/alias types route to plural tables (full type matrix)") {
+    val all = Seq("group", "screen", "alias").map(t =>
+      env.limit(1).withColumn("type", lit(t)).withColumn("event",
+        lit(null).cast("string")))
+      .reduce(_ unionByName _)
+    val tables = Layouts.segmentMultiTable(all)
+      .select("_table").as[String].collect().sorted
+    assert(tables.toSeq == Seq("aliases", "groups", "screens"))
+  }
+
   test("jitsu legacy layout: anonymized ip + screen resolution shape") {
     val row = Layouts.jitsuLegacy(env).limit(50).collect()
     row.foreach { r =>
