@@ -37,17 +37,20 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
 
   private def tablePath(table: String) = s"$warehouseDir/$table"
 
-  /** Route one batch: split by `_table`, write each group. Single pass:
-    * the distinct table set is collected (small — bounded by layout
-    * design), then each group filtered+written; Spark prunes the scan
-    * per filter. */
+  /** Route one batch: split by `_table`, write each group. The batch is
+    * cached for the duration — table discovery plus one write per table
+    * would otherwise recompute the upstream (e.g. re-parse every JSON
+    * event per pass in the streaming path). */
   def write(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
-    val tables = batch.select("_table").distinct().collect().map(_.getString(0))
-    tables.foreach { t =>
-      val rows = batch.filter(col("_table") === t).drop("_table")
-      writeTable(spark, t, rows)
-    }
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tables = cached.select("_table").distinct().collect().map(_.getString(0))
+      tables.foreach { t =>
+        val rows = cached.filter(col("_table") === t).drop("_table")
+        writeTable(spark, t, rows)
+      }
+    } finally cached.unpersist(false)
   }
 
   private def readExisting(spark: SparkSession, path: String): Option[DataFrame] =
