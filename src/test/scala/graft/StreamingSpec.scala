@@ -48,6 +48,35 @@ class StreamingSpec extends GraftSpec {
     assert(out.columns.sorted.sameElements(direct.columns.sorted))
   }
 
+  test("streaming sessionization: session_window aggregates under watermark") {
+    val in = tmp("graft-sess-in")
+    Seq(
+      """{"anonymous_id":"a1","timestamp":"2024-01-01T10:00:00.000Z"}""",
+      """{"anonymous_id":"a1","timestamp":"2024-01-01T10:20:00.000Z"}""",
+      """{"anonymous_id":"a1","timestamp":"2024-01-01T11:30:00.000Z"}""",
+      """{"anonymous_id":"a2","timestamp":"2024-01-01T10:00:00.000Z"}""",
+      // far-future event advances the watermark so earlier windows close
+      """{"anonymous_id":"zz","timestamp":"2024-01-02T00:00:00.000Z"}"""
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(in)
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "anonymous_id STRING, timestamp TIMESTAMP")).json(in)
+    val sessions = stream
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy(col("anonymous_id"),
+        session_window(col("timestamp"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess_out")
+      .select("anonymous_id", "n_events")
+      .as[(String, Long)].collect().groupBy(_._1)
+    // a1: 2 sessions ({10:00,10:20}, {11:30}); a2: 1 session
+    assert(got("a1").map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(got("a2").map(_._2).toSeq == Seq(1L))
+  }
+
   test("streaming user recognition recovers buffered anonymous events") {
     val in = tmp("graft-ur-in")
     Seq(
