@@ -67,4 +67,72 @@ class SinkRouterSpec extends GraftSpec {
     val m1 = t.filter(col("message_id") === "m1").collect().head
     assert(m1.getAs[String]("user_id") == "u1")
   }
+
+  private def batch(rows: (String, String, String)*) =
+    rows.toSeq.map { case (m, ts, u) => (m, java.sql.Timestamp.valueOf(ts), u) }
+      .toDF("message_id", "timestamp", "user_id")
+      .withColumn("_table", lit("events"))
+
+  test("merge rewrites only partitions holding a batch key") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+    router.write(batch(
+      ("m1", "2024-01-01 10:00:00", null),
+      ("m2", "2024-01-01 11:00:00", null),
+      ("m3", "2024-01-02 10:00:00", null)))
+    def partFiles(d: String) =
+      Option(new java.io.File(s"$wh/events/graft_dt=$d").listFiles())
+        .getOrElse(Array.empty).map(f => (f.getName, f.lastModified)).toSet
+    val day1Before = partFiles("2024-01-01")
+    assert(day1Before.nonEmpty && partFiles("2024-01-02").nonEmpty)
+    // merge touching only m3 (day 2): day-1 partition dir must be untouched
+    router.write(batch(("m3", "2024-01-02 10:00:00", "u3")))
+    assert(partFiles("2024-01-01") == day1Before)
+    val t = router.readTable(spark, "events")
+    assert(t.count() == 3)
+    assert(t.filter(col("message_id") === "m3").collect().head
+      .getAs[String]("user_id") == "u3")
+  }
+
+  test("crash between staged merge write and partition swap loses nothing") {
+    val wh = tmpDir()
+    val crashing = new SinkRouter(wh, SinkOptions(deduplicate = true)) {
+      override protected def beforeSwapHook(): Unit =
+        throw new RuntimeException("simulated crash before swap")
+    }
+    crashing.write(batch(
+      ("m1", "2024-01-01 10:00:00", null),
+      ("m2", "2024-01-01 11:00:00", "u2")))
+    val ex = intercept[RuntimeException] {
+      crashing.write(batch(("m1", "2024-01-01 10:00:00", "u1")))
+    }
+    assert(ex.getMessage.contains("simulated crash"))
+    // old table fully intact: 2 rows, m1 still unidentified
+    val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+    val t = router.readTable(spark, "events")
+    assert(t.count() == 2)
+    assert(t.filter(col("message_id") === "m1").collect().head.isNullAt(
+      t.columns.indexOf("user_id")))
+    // next write recovers the abandoned stage and completes the merge
+    router.write(batch(("m1", "2024-01-01 10:00:00", "u1")))
+    val t2 = router.readTable(spark, "events")
+    assert(t2.count() == 2)
+    assert(t2.filter(col("message_id") === "m1").collect().head
+      .getAs[String]("user_id") == "u1")
+  }
+
+  test("crash mid-swap (partition in trash) is restored on next write") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+    router.write(batch(("m1", "2024-01-01 10:00:00", "u1")))
+    // simulate a crash between the two renames: live dir moved to trash,
+    // staged replacement never landed
+    val live = new java.io.File(s"$wh/events/graft_dt=2024-01-01")
+    val trash = new java.io.File(s"$wh/events/.trash-crash")
+    assert(trash.mkdirs())
+    assert(live.renameTo(new java.io.File(trash, live.getName)))
+    router.write(batch(("m2", "2024-01-02 09:00:00", "u2")))
+    val t = router.readTable(spark, "events")
+    assert(t.count() == 2) // m1 restored from trash, m2 appended
+  }
 }
