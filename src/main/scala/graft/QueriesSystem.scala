@@ -25,6 +25,21 @@ object QueriesSystem {
   private def tmp(prefix: String) =
     Files.createTempDirectory(prefix).toFile.getAbsolutePath
 
+  /** Test-input fabrication for `s1_streaming` (doubled JSON lines so the
+    * watermark dedup has work to do), memoized per sf dir: Bench pre-stages
+    * it in warmup so the timed region measures the pipeline, not writing
+    * the synthetic input. */
+  private val stagedInput = scala.collection.concurrent.TrieMap[String, String]()
+  def stageStreamingInput(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    stagedInput.getOrElseUpdate(dir, {
+      val in = tmp("graft-q-in")
+      val env = DriverEventsAdapter.load(s, dir)
+      val json = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+      json.unionAll(json) // duplicates: watermark dedup must collapse them
+        .repartition(16).write.mode("overwrite").text(in)
+      in
+    })
+
   val queries: Map[String, Q] = Map(
     // R1-R5: chain with SQL-mirrorable semantics — drop errors, enrich,
     // fan out purchases (only-last-multiplies)
@@ -85,14 +100,10 @@ object QueriesSystem {
     // §3.1: streaming pipeline round-trip — JSON file source ->
     // envelope -> dedup-in-watermark -> layout -> sink router
     "s1_streaming" -> ((s, dir) => {
-      val in = tmp("graft-q-in"); val wh = tmp("graft-q-wh")
-      val cp = tmp("graft-q-cp")
-      val env = DriverEventsAdapter.load(s, dir)
-      val json = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
-      json.unionAll(json) // duplicates: watermark dedup must collapse them
-        .repartition(16).write.mode("overwrite").text(in)
+      val in = stageStreamingInput(s, dir)
+      val wh = tmp("graft-q-wh"); val cp = tmp("graft-q-cp")
       val q = EventPipeline.start(s, in, wh, cp)
-      try q.processAllAvailable() finally q.stop()
+      try q.awaitTermination() finally q.stop()
       s.read.parquet(s"$wh/events")
         .groupBy(col("type"))
         .agg(count(lit(1)).as("n"),

@@ -1,10 +1,12 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType, DateType}
 
 /** The warehouse sink layer — SURVEY §2.2 (K1/K2/K8) — reproducing
   * bulker's observable semantics on a parquet warehouse:
@@ -23,30 +25,64 @@ import org.apache.spark.sql.functions._
   * == Scale design (the 100 TB path) ==
   *
   * Tables are Hive-partitioned by event date (`graft_dt`, derived from
-  * `timestampColumn`). The two write paths:
+  * `timestampColumn`). Two costs that would dominate at scale are designed
+  * out:
+  *
+  *  - '''No per-write metadata scan.''' The table schema lives in a
+  *    `_graft_schema.json` sidecar (underscore-prefixed → invisible to
+  *    Spark's file index), written on creation and updated only when the
+  *    schema evolves. Appends and merges read it (O(1)) instead of footer-
+  *    scanning every parquet file with `mergeSchema` — which is O(files)
+  *    per micro-batch and grows forever on a streaming table. Reads pass
+  *    the sidecar schema explicitly, so evolution costs nothing at read
+  *    time either (missing columns in old files surface as nulls).
+  *  - '''No small-files explosion.''' Every partitioned write first
+  *    `repartition(col(graft_dt))`, so each date partition is written by
+  *    one task → one file per date per batch instead of (tasks × dates)
+  *    files. On a real cluster with very hot dates you'd add a bucket
+  *    term (`repartition(n, col(graft_dt), pmod(hash(pk), b))`) to keep
+  *    per-task output bounded; at the sandbox's batch sizes one task per
+  *    date is the right shape.
+  *
+  * Write paths:
   *
   *  - '''append''': a plain partitioned `SaveMode.Append` — Spark's file
-  *    commit protocol (task-attempt staging + rename) makes it crash-safe,
-  *    and schema evolution costs nothing because `readTable` uses
-  *    `mergeSchema` (old files simply surface new columns as null). No
-  *    rewrite, ever.
+  *    commit protocol (task-attempt staging + rename) makes it crash-safe.
+  *    Incoming columns already known to the table are cast to the table's
+  *    type (a long column later arriving as string cannot poison reads);
+  *    genuinely new columns evolve the sidecar schema (unless
+  *    `schemaFreeze`). No rewrite, ever.
   *  - '''merge''' (deduplicate=true): the logical equivalent of Delta's
   *    `MERGE INTO`. Only partitions that can contain a prior version of a
   *    batch key are read (partition-pruned to the batch's date range ±
   *    `deduplicateWindowDays`, then narrowed to dates actually holding a
   *    matching primary key via a column-pruned semi-join). The merged
-  *    output is written to a hidden `.stage-*` dir by a normal Spark job,
-  *    then ONLY the touched `graft_dt=` directories are swapped in:
-  *    old → `.trash-*`, staged → live, trash deleted. A crash at any point
-  *    before the swap leaves the live table untouched (stage/trash dirs
-  *    start with '.', invisible to Spark's file index); a crash mid-swap is
-  *    repaired by `recover()` on the next write (restores any partition
-  *    whose live dir is missing from trash). Cost per batch is
-  *    O(touched partitions), not O(table) — at 100 TB the sink rewrites a
-  *    few recent date partitions, never history.
+  *    output is written to a hidden `.stage-*` dir by a normal Spark job;
+  *    then a swap manifest (`.swap-*`: touched dates + which have staged
+  *    output) is persisted, and ONLY the touched `graft_dt=` directories
+  *    are swapped in: old → `.trash-*`, staged → live, trash deleted.
+  *    The manifest is the commit point: a crash before it is rolled BACK
+  *    on the next write (stage/trash dropped, live table untouched); a
+  *    crash after it is rolled FORWARD (the swap is completed from the
+  *    manifest, including partitions the merge legitimately deleted).
+  *    Cost per batch is O(touched partitions), not O(table) — at 100 TB
+  *    the sink rewrites a few recent date partitions, never history.
   *
-  * Reference contract: jitsu `bulker-destination.ts:340-392` (MERGE with
-  * primary key + dedup window), `destinations.tsx:134-149` (option names).
+  * Durability caveat (sandbox compromise, stated honestly): the swap and
+  * recovery use driver-local POSIX directory renames, which are atomic on
+  * a local filesystem but do not exist on S3 (and HDFS rename is not a
+  * cheap metadata op for dir trees on object stores). On a real deployment
+  * this commit protocol is exactly what a table format (Delta/Iceberg)
+  * provides; the partition-pruned merge SHAPE (what to read, what to
+  * rewrite) is the part that transfers unchanged.
+  *
+  * Reference contract: jitsu bulker's table options — `deduplicate`,
+  * `primaryKey`, `timestampColumn`, `deduplicateWindow`, `schemaFreeze`,
+  * `keepOriginalNames` (console destination option schemas,
+  * `webapps/console/lib/schema/destinations.ts`; bulker applies them as
+  * MERGE vs append in its SQL adapters, e.g.
+  * `bulkerlib/implementations/sql/abstract.go`). The HTTP forwarding side
+  * lives in `libs/core-functions/src/functions/bulker-destination.ts`.
   */
 case class SinkOptions(
     mode: String = "batch",            // batch | stream (semantics identical here)
@@ -63,8 +99,16 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     * underscore-prefixed dirs, which would hide every partition). */
   val DateCol = "graft_dt"
   private val EpochDate = java.sql.Date.valueOf("1970-01-01")
+  private val SchemaSidecar = "_graft_schema.json"
 
   private def tablePath(table: String) = s"$warehouseDir/$table"
+
+  /** Per-router schema cache: table path -> full table schema (data
+    * columns + DateCol, all nullable). Single writer per table (as in the
+    * reference's bulker), so the cache only goes stale if another process
+    * writes concurrently — which the commit protocol doesn't support
+    * anyway. */
+  private val schemaCache = scala.collection.mutable.HashMap[String, StructType]()
 
   /** Route one batch: split by `_table`, write each group. The batch is
     * cached for the duration — table discovery plus one write per table
@@ -74,18 +118,53 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     val spark = batch.sparkSession
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val tables = cached.select("_table").distinct().collect().map(_.getString(0))
-      tables.foreach { t =>
+      // one pass: routing map (table -> distinct event dates). The date
+      // sets ride along so the merge path never runs a separate
+      // batch-dates job; they're bounded by (tables × dates in batch).
+      // resolve the timestamp column against its POST-snake-case name, so
+      // routing dates agree with the dates withDate() will assign
+      val tsSource = batch.columns.find(c =>
+        (if (options.keepOriginalNames) c
+         else graft.functions.Scalars.snakeCaseName(c)) == options.timestampColumn)
+      val dateExpr = tsSource
+        .map(c => coalesce(to_date(col(s"`$c`")), lit(EpochDate)))
+        .getOrElse(lit(EpochDate))
+      val routing = cached
+        .groupBy(col("_table"))
+        .agg(collect_set(dateExpr).as("_dates"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[java.sql.Date](1).toArray.sortBy(_.toLocalDate.toEpochDay))
+      routing.foreach { case (t, dates) =>
         val rows = cached.filter(col("_table") === t).drop("_table")
-        writeTable(spark, t, rows)
+        writeTable(spark, t, rows, dates)
       }
     } finally cached.unpersist(false)
   }
 
-  private def tableExists(path: String): Boolean = {
-    val f = new java.io.File(path)
-    f.exists() && f.listFiles() != null &&
-      f.listFiles().exists(d => d.getName.startsWith(s"$DateCol="))
+  private def listDir(path: String): Array[java.io.File] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+
+  private def tableExists(path: String): Boolean = listDir(path).exists(f =>
+    f.getName.startsWith(s"$DateCol=") ||
+      (f.isFile && f.getName.endsWith(".parquet")))
+
+  /** A table written by a pre-partitioning version of this router has bare
+    * parquet files under the table dir. Fold them into the epoch partition
+    * (merges always include the epoch partition in their window, so the
+    * rows stay merge-visible) instead of letting SaveMode.Overwrite
+    * silently destroy them. */
+  private def migrateLegacyLayout(path: String): Unit = {
+    val loose = listDir(path).filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (loose.nonEmpty) {
+      val epochDir = Paths.get(path, s"$DateCol=$EpochDate")
+      Files.createDirectories(epochDir)
+      loose.foreach(f =>
+        Files.move(f.toPath, epochDir.resolve(f.getName),
+          StandardCopyOption.ATOMIC_MOVE))
+      schemaCache.remove(path)
+      Files.deleteIfExists(Paths.get(path, SchemaSidecar)): Unit
+    }
   }
 
   /** Tag every row with its date partition. Null timestamps (and tables
@@ -97,25 +176,96 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
         coalesce(to_date(col(options.timestampColumn)), lit(EpochDate)))
     else df.withColumn(DateCol, lit(EpochDate))
 
-  private def writeTable(spark: SparkSession, table: String, rows: DataFrame): Unit = {
+  // ---- schema sidecar ------------------------------------------------------
+
+  private def nullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Table schema: cache -> sidecar -> (legacy fallback) one mergeSchema
+    * scan that then persists the sidecar so it never happens again. */
+  private def loadSchema(spark: SparkSession, path: String): StructType =
+    schemaCache.getOrElseUpdate(path, {
+      val sidecar = Paths.get(path, SchemaSidecar)
+      if (Files.exists(sidecar)) {
+        val json = new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8)
+        DataType.fromJson(json).asInstanceOf[StructType]
+      } else {
+        val s = nullable(
+          spark.read.option("mergeSchema", "true").parquet(path).schema)
+        persistSchema(path, s)
+        s
+      }
+    })
+
+  private def persistSchema(path: String, schema: StructType): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$SchemaSidecar.tmp")
+    Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(SchemaSidecar),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    schemaCache(path) = schema
+  }
+
+  /** Superset schema: existing fields (types win) + new incoming fields. */
+  private def mergeSchemas(existing: StructType, incoming: StructType): StructType = {
+    val have = existing.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => have(f.name))
+      .map(f => StructField(f.name, f.dataType, nullable = true))
+    StructType(existing.fields ++ added)
+  }
+
+  // ---- write paths ---------------------------------------------------------
+
+  /** One task per date partition (see scale notes in the class doc). The
+    * partition count is pinned (AQE would coalesce a small shuffle down to
+    * one task, serializing the creation of every partition file); pinning
+    * keeps date-files created in parallel while each date still lands in
+    * exactly one task → one file per date per batch. */
+  private def writePartitioned(df: DataFrame, path: String, mode: SaveMode): Unit = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, col(DateCol))
+      .write.mode(mode).partitionBy(DateCol).parquet(path)
+  }
+
+  private def writeTable(spark: SparkSession, table: String, rows: DataFrame,
+                         batchDates: Array[java.sql.Date]): Unit = {
     val path = tablePath(table)
     recover(path)
+    migrateLegacyLayout(path)
     val base =
       if (options.keepOriginalNames) rows
       else graft.functions.Scalars.snakeCaseSchema(rows)
+    if (base.columns.contains(DateCol))
+      throw new IllegalArgumentException(
+        s"column name '$DateCol' is reserved for the sink's date partition")
     val incoming = withDate(base)
     if (!tableExists(path)) {
-      incoming.write.mode(SaveMode.Overwrite).partitionBy(DateCol).parquet(path)
+      writePartitioned(incoming, path, SaveMode.Overwrite)
+      persistSchema(path, nullable(incoming.schema))
     } else {
-      val existing = spark.read.option("mergeSchema", "true").parquet(path)
-      val have = existing.columns.toSet
-      val newCols = incoming.columns.filterNot(c => have(c) || c == DateCol)
+      val existing = loadSchema(spark, path)
+      val haveTypes = existing.fields.map(f => f.name -> f.dataType).toMap
+      val newCols = incoming.columns.filterNot(c => haveTypes.contains(c))
       if (options.schemaFreeze && newCols.nonEmpty)
         throw new IllegalStateException(
           s"schemaFreeze: new columns ${newCols.mkString(",")} rejected")
-      if (!options.deduplicate)
-        incoming.write.mode(SaveMode.Append).partitionBy(DateCol).parquet(path)
-      else mergeInto(spark, path, existing, incoming)
+      // known columns arriving with a drifted type are cast to the table's
+      // type at write time — otherwise one bad batch poisons every read
+      val aligned = incoming.select(incoming.columns.map { c =>
+        haveTypes.get(c) match {
+          case Some(dt) if dt != incoming.schema(c).dataType => col(c).cast(dt).as(c)
+          case _ => col(c)
+        }
+      }: _*)
+      val evolved = mergeSchemas(existing, nullable(aligned.schema))
+      if (!options.deduplicate) {
+        writePartitioned(aligned, path, SaveMode.Append)
+        if (newCols.nonEmpty) persistSchema(path, evolved)
+      } else {
+        mergeInto(spark, path, existing, aligned, batchDates)
+        if (newCols.nonEmpty) persistSchema(path, evolved)
+      }
     }
   }
 
@@ -132,26 +282,38 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
   }
 
   /** MERGE INTO, partition-scoped. Reads only live partitions inside the
-    * dedup window that hold a prior version of a batch key, merges them
-    * with the batch (latest per `primaryKey` wins; batch beats existing on
-    * timestamp ties — re-emitted UR events overwrite), stages the result,
-    * and swaps just those partition dirs. */
+    * dedup window (plus the epoch partition: null-timestamp rows and
+    * migrated legacy rows live there) that hold a prior version of a batch
+    * key, merges them with the batch (latest per `primaryKey` wins; batch
+    * beats existing on timestamp ties — re-emitted UR events overwrite),
+    * stages the result, and swaps just those partition dirs. The existing
+    * table is read with the sidecar schema — no footer scans. */
+  private def prof[A](label: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_SINK_PROF")) {
+      val t0 = System.nanoTime(); val r = f
+      println(f"#### sink.$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    } else f
+
   private def mergeInto(
       spark: SparkSession, path: String,
-      existing: DataFrame, incoming: DataFrame): Unit = {
+      tableSchema: StructType, incoming: DataFrame,
+      batchDates: Array[java.sql.Date]): Unit = {
     val w = options.deduplicateWindowDays
-    val Row(minD: java.sql.Date, maxD: java.sql.Date) =
-      incoming.agg(min(DateCol), max(DateCol)).head()
-    val lo = java.sql.Date.valueOf(minD.toLocalDate.minusDays(w.toLong))
-    val hi = java.sql.Date.valueOf(maxD.toLocalDate.plusDays(w.toLong))
+    // batch dates arrive from write()'s routing pass; window bounds
+    // derive driver-side — no extra job
+    val lo = java.sql.Date.valueOf(
+      batchDates.map(_.toLocalDate).min.minusDays(w.toLong))
+    val hi = java.sql.Date.valueOf(
+      batchDates.map(_.toLocalDate).max.plusDays(w.toLong))
+    val existing = spark.read.schema(tableSchema).parquet(path)
     // partition-pruned, column-pruned probe: which dates hold a batch key?
-    val windowed = existing.filter(col(DateCol).between(lit(lo), lit(hi)))
-    val touched = windowed
+    val windowed = existing.filter(
+      col(DateCol).between(lit(lo), lit(hi)) || col(DateCol) === lit(EpochDate))
+    val touched = prof("probe") { windowed
       .select(col(DateCol), col(options.primaryKey))
       .join(incoming.select(options.primaryKey).distinct(),
         Seq(options.primaryKey), "left_semi")
-      .select(DateCol).distinct().collect().map(_.getDate(0))
-    val batchDates = incoming.select(DateCol).distinct().collect().map(_.getDate(0))
+      .select(DateCol).distinct().collect().map(_.getDate(0)) }
     val rewriteDates = (touched ++ batchDates).distinct.toSeq
     val oldRows = windowed.filter(col(DateCol).isin(rewriteDates: _*))
 
@@ -167,43 +329,93 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
 
     val id = java.util.UUID.randomUUID().toString.take(8)
     val stage = s"$path/.stage-$id"
-    merged.write.mode(SaveMode.Overwrite).partitionBy(DateCol).parquet(stage)
+    prof("stageWrite") { writePartitioned(merged, stage, SaveMode.Overwrite) }
     beforeSwapHook()
-    swapPartitions(path, stage, s"$path/.trash-$id", rewriteDates)
+    // Commit point: persist the swap manifest (touched dates + which have
+    // staged output). Crash before this line -> recover() rolls the merge
+    // back; crash after -> recover() rolls it forward.
+    val stagedNames = listDir(stage)
+      .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
+    // defensive union: every staged dir must be swapped in even if the
+    // rewrite-date bookkeeping ever disagrees with the staged output
+    val dirNames = (rewriteDates.map(d => s"$DateCol=$d") ++ stagedNames).distinct
+    writeManifest(path, id, dirNames, stagedNames)
+    completeSwap(path, id, dirNames, stagedNames)
   }
 
   /** Test seam: runs after the staged merge output is fully committed and
-    * before any live partition dir is touched. A crash here must leave the
-    * table exactly as it was (SinkRouterSpec proves it). */
+    * before the swap manifest (the commit point) is written. A crash here
+    * must leave the table exactly as it was (SinkRouterSpec proves it). */
   protected def beforeSwapHook(): Unit = ()
 
-  /** Swap touched partition dirs: live → trash, staged → live, drop trash.
-    * Dates with no staged dir (every row superseded away) simply vanish.
-    * All moves are same-filesystem directory renames (atomic on POSIX). */
-  private def swapPartitions(
-      path: String, stage: String, trash: String,
-      dates: Seq[java.sql.Date]): Unit = {
+  // ---- swap protocol -------------------------------------------------------
+
+  private def manifestPath(path: String, id: String): Path =
+    Paths.get(path, s".swap-$id")
+
+  /** Line 1: comma-joined dir names of every touched partition.
+    * Line 2: comma-joined dir names that have staged output (absent from
+    * this set = the merge legitimately deleted the partition). */
+  private def writeManifest(path: String, id: String,
+                            dates: Seq[String], staged: Set[String]): Unit = {
+    val tmp = Paths.get(path, s".swap-$id.tmp")
+    Files.write(tmp,
+      (dates.mkString(",") + "\n" + staged.mkString(",") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(path, id), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Execute (or re-execute, idempotently) the partition swap recorded in
+    * a manifest: live → trash, staged → live; partitions with no staged
+    * output are deletions. Safe to re-run from any crash point:
+    *  - staged dir still present  → its swap hasn't happened; do it.
+    *  - staged dir gone           → already swapped; skip.
+    *  - deletion date, live exists → not yet deleted; trash it (a swapped
+    *    partition can't be confused for it: deletions never get a new
+    *    live dir).
+    * Then trash, stage and manifest are dropped, in that order. */
+  private def completeSwap(path: String, id: String,
+                           dates: Seq[String], staged: Set[String]): Unit = {
+    val stage = s"$path/.stage-$id"
+    val trash = s"$path/.trash-$id"
     Files.createDirectories(Paths.get(trash))
-    dates.foreach { d =>
-      val dir = s"$DateCol=$d"
+    dates.foreach { dir =>
       val live = Paths.get(path, dir)
-      if (Files.exists(live))
+      if (staged(dir)) {
+        val st = Paths.get(stage, dir)
+        if (Files.exists(st)) {
+          if (Files.exists(live))
+            Files.move(live, Paths.get(trash, dir), StandardCopyOption.ATOMIC_MOVE)
+          Files.move(st, live, StandardCopyOption.ATOMIC_MOVE)
+        }
+      } else if (Files.exists(live)) {
         Files.move(live, Paths.get(trash, dir), StandardCopyOption.ATOMIC_MOVE)
-      val staged = Paths.get(stage, dir)
-      if (Files.exists(staged))
-        Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
+      }
     }
     deleteRecursive(new java.io.File(trash))
     deleteRecursive(new java.io.File(stage))
+    Files.deleteIfExists(manifestPath(path, id)): Unit
   }
 
-  /** Crash repair, run before every write. A partition present in a trash
-    * dir but missing live (crash between the two renames of a swap) is
-    * restored; then all stage/trash leftovers are dropped. Single writer
-    * per table, as in the reference's bulker. */
+  /** Crash repair, run before every write. Swaps with a persisted manifest
+    * are rolled FORWARD (completed). Leftover stage/trash dirs WITHOUT a
+    * manifest date from before the commit point: trash partitions missing
+    * a live dir are restored first (covers crashes from the
+    * pre-manifest-protocol router), then the leftovers are rolled back.
+    * Single writer per table, as in the reference's bulker. */
   private def recover(path: String): Unit = {
-    val root = new java.io.File(path)
-    val kids = Option(root.listFiles()).getOrElse(Array.empty)
+    listDir(path)
+      .filter(f => f.getName.startsWith(".swap-") && !f.getName.endsWith(".tmp"))
+      .foreach { m =>
+        val lines = new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)
+          .split("\n", -1)
+        val dates = lines.headOption.map(_.split(",").filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        val staged = if (lines.length > 1)
+          lines(1).split(",").filter(_.nonEmpty).toSet else Set.empty[String]
+        completeSwap(path, m.getName.stripPrefix(".swap-"), dates, staged)
+      }
+    val kids = listDir(path)
     kids.filter(_.getName.startsWith(".trash-")).foreach { trash =>
       Option(trash.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith(s"$DateCol="))
@@ -222,8 +434,11 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     f.delete(): Unit
   }
 
-  /** Read a routed table back: merged superset schema (evolution), minus
-    * the internal partition column. */
-  def readTable(spark: SparkSession, table: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(tablePath(table)).drop(DateCol)
+  /** Read a routed table back with the sidecar schema (merged superset —
+    * evolution; no footer scans), minus the internal partition column. */
+  def readTable(spark: SparkSession, table: String): DataFrame = {
+    val path = tablePath(table)
+    recover(path)
+    spark.read.schema(loadSchema(spark, path)).parquet(path).drop(DateCol)
+  }
 }

@@ -62,7 +62,11 @@ object EventPipeline {
     transform(raw, layout).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime("5 seconds"))
+      // AvailableNow: drain everything already in the source in bounded
+      // micro-batches, then stop — same incremental execution as a
+      // long-running ProcessingTime trigger (which a deployment would use),
+      // without idling between 5 s ticks.
+      .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         router.write(batch)
         ()
