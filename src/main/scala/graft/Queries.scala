@@ -394,8 +394,8 @@ object Queries {
 
   def all: Map[String, Q] =
     relational ++ pipeline ++ QueriesTrainingData.queries ++
-      QueriesSystem.queries ++ QueriesExtra.queries
+      QueriesSystem.queries ++ QueriesExtra.queries ++ QueriesSaas.queries
   def allOracles: Map[String, String] =
     relationalOracles ++ pipelineOracles ++ QueriesTrainingData.oracles ++
-      QueriesSystem.oracles ++ QueriesExtra.oracles
+      QueriesSystem.oracles ++ QueriesExtra.oracles ++ QueriesSaas.oracles
 }

@@ -69,6 +69,200 @@ object SaasProjections {
       ctx("user_agent").as("client_user_agent"),
       ctx("page.url").as("event_source_url"))
 
-  /** Intercom/webhook-style passthrough with event allow-list is covered
-    * by Layouts.eventFilter + passthrough. */
+  /** PostHog capture projection (ref `posthog-destination.ts:31-79,
+    * 129-169`): track/page/screen -> capture rows with `$`-prefixed
+    * context properties ($pageview for page), distinct_id preference
+    * user_id > anonymous_id, UA-derived browser/os/device, geoip_* from
+    * the geo context, screen dims. Anonymous events pass only when
+    * `enableAnonymousUserProfiles` (ref :138,159). */
+  def posthogCapture(events: DataFrame,
+                     enableAnonymousUserProfiles: Boolean = true): DataFrame = {
+    val ua = Scalars.parseUa(ctx("user_agent"))
+    events.filter(col("type").isin("track", "page") &&
+        (col("user_id").isNotNull || lit(enableAnonymousUserProfiles)))
+      .select(
+        coalesce(col("user_id"), col("anonymous_id")).as("distinct_id"),
+        when(col("type") === "page", "$pageview").otherwise(col("event"))
+          .as("event"),
+        (unix_timestamp(col("timestamp")) * 1000).as("time"),
+        ctx("page.url").as("current_url"),
+        ctx("page.host").as("host"),
+        ctx("page.path").as("pathname"),
+        ctx("page.referrer").as("referrer"),
+        ctx("page.referring_domain").as("referring_domain"),
+        ua.getField("name").as("browser"),
+        ua.getField("os_name").as("os"),
+        ua.getField("device_type").as("device"),
+        ctx("geo.city").as("geoip_city_name"),
+        ctx("geo.country").as("geoip_country_code"),
+        ctx("screen.width").as("screen_width"),
+        ctx("screen.height").as("screen_height"),
+        ctx("screen.density").as("screen_dpi"))
+  }
+
+  /** Amplitude projection (ref `amplitude-destination.ts:38-137`): page/
+    * track rows carry a session_id — the reference assigns it from a
+    * 30-minute TTL store keyed by device (anonymousId); the batch
+    * equivalent is gap-sessionization ([[Sessionize.tagEvents]], same
+    * 30-min window, session id = epoch-ms of session start). identify
+    * rows become `$identify` with `$set` user properties (:38-54).
+    * os/platform fall back to the parsed UA when the event has no os
+    * context (:121-127). */
+  def amplitudeEvents(events: DataFrame,
+                      enableAnonymousUserProfiles: Boolean = true): DataFrame = {
+    val ua = Scalars.parseUa(ctx("user_agent"))
+    val tracked = Sessionize.tagEvents(
+        events.filter(col("type").isin("track", "page") &&
+          (col("user_id").isNotNull || lit(enableAnonymousUserProfiles))),
+        "anonymous_id", "timestamp")
+      .select(
+        col("message_id").as("insert_id"),
+        (unix_timestamp(col("timestamp")) * 1000).as("time"),
+        when(col("type") === "page", "pageview")
+          .otherwise(coalesce(col("event"), lit("Unknown Event")))
+          .as("event_type"),
+        col("session_id"),
+        col("user_id"),
+        col("anonymous_id").as("device_id"),
+        ua.getField("os_name").as("os_name"),
+        ua.getField("device_type").as("platform"),
+        ctx("locale").as("language"),
+        ctx("ip").as("ip"),
+        ctx("user_agent").as("user_agent"),
+        ctx("geo.country").as("country"),
+        ctx("geo.city").as("city"),
+        ctx("geo.lat").as("location_lat"),
+        ctx("geo.lon").as("location_lng"))
+    val identified = events
+      .filter(col("type") === "identify" && col("user_id").isNotNull)
+      .select(
+        col("message_id").as("insert_id"),
+        (unix_timestamp(col("timestamp")) * 1000).as("time"),
+        lit("$identify").as("event_type"),
+        col("user_id"),
+        get_json_object(col("traits"), "$.email").as("user_email"),
+        get_json_object(col("traits"), "$.name").as("user_name"))
+    tracked.unionByName(identified, allowMissingColumns = true)
+  }
+
+  /** Intercom projection (ref `intercom-destination.ts:195-303,306-404`):
+    * identify w/ email -> contact upsert rows (role=user, external_id,
+    * last_seen_at); non-identify/group -> event rows (event_name
+    * page-view for page, created_at epoch-seconds, metadata url/ip/
+    * timezone). One frame, discriminated by `kind`. */
+  def intercomRows(events: DataFrame): DataFrame = {
+    val contacts = events
+      .filter(col("type") === "identify" &&
+        get_json_object(col("traits"), "$.email").isNotNull)
+      .select(
+        lit("contact").as("kind"),
+        lit("user").as("role"),
+        col("user_id").as("external_id"),
+        get_json_object(col("traits"), "$.email").as("email"),
+        get_json_object(col("traits"), "$.name").as("name"),
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("last_seen_at"))
+    val evs = events
+      .filter(!col("type").isin("identify", "group"))
+      .select(
+        lit("event").as("kind"),
+        when(col("type") === "track", col("event"))
+          .when(col("type") === "page", "page-view")
+          .otherwise(col("type")).as("event_name"),
+        unix_timestamp(col("timestamp")).as("created_at"),
+        col("user_id").as("external_id"),
+        get_json_object(ctx("traits"), "$.email").as("email"),
+        ctx("page.url").as("url"),
+        ctx("ip").as("ip"),
+        ctx("geo.timezone").as("timezone"))
+    contacts.unionByName(evs, allowMissingColumns = true)
+  }
+
+  /** HubSpot contact upsert projection (ref `hubspot-destination.ts:
+    * 20-26,156-197,257-263`): identify with userId+email -> contact
+    * properties with the reference's name split (first token = firstname,
+    * remainder = lastname or absent) and the jitsu_user_id marker
+    * property. */
+  def hubspotContacts(events: DataFrame): DataFrame = {
+    val name = get_json_object(col("traits"), "$.name")
+    val parts = split(name, " ")
+    events.filter(col("type") === "identify" && col("user_id").isNotNull &&
+        get_json_object(col("traits"), "$.email").isNotNull)
+      .select(
+        get_json_object(col("traits"), "$.email").as("email"),
+        element_at(parts, 1).as("firstname"),
+        nullif(array_join(slice(parts, 2, Int.MaxValue), " "), lit(""))
+          .as("lastname"),
+        col("user_id").as("jitsu_user_id"))
+  }
+
+  /** Braze users/track projection (ref `braze-destination.ts:46-88,
+    * 215-220`): track events with the id-part preference external_id
+    * (userId) > user_alias (anonymousId aliased as `anonymous_id` when
+    * `useJitsuAnonymousIdAlias`), ISO-8601 event time. */
+  def brazeTrack(events: DataFrame, appId: String = "app",
+                 useJitsuAnonymousIdAlias: Boolean = true): DataFrame =
+    events.filter(col("type") === "track")
+      .select(
+        col("user_id").as("external_id"),
+        when(col("user_id").isNull && lit(useJitsuAnonymousIdAlias),
+          col("anonymous_id")).as("alias_name"),
+        when(col("user_id").isNull && lit(useJitsuAnonymousIdAlias),
+          "anonymous_id").as("alias_label"),
+        lit(appId).as("app_id"),
+        col("event").as("name"),
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("time"),
+        col("properties").as("properties"))
+
+  /** June.so track projection (ref `june-destination.ts:21-42,87-94`):
+    * track/page -> "Page View" naming, campaign_/screen_ prefixed context
+    * properties, ip/userAgent/locale carried into properties. */
+  def juneTrack(events: DataFrame,
+                enableAnonymousUserProfiles: Boolean = true): DataFrame =
+    events.filter(col("type").isin("track", "page") &&
+        (col("user_id").isNotNull || lit(enableAnonymousUserProfiles)))
+      .select(
+        lit("track").as("type"),
+        when(col("type") === "page", "Page View").otherwise(col("event"))
+          .as("event"),
+        unix_timestamp(col("timestamp")).as("timestamp_s"),
+        col("anonymous_id").as("anonymousId"),
+        col("user_id").as("userId"),
+        get_json_object(ctx("traits"), "$.email").as("email"),
+        ctx("campaign.source").as("campaign_source"),
+        ctx("campaign.medium").as("campaign_medium"),
+        ctx("screen.width").as("screen_width"),
+        ctx("screen.height").as("screen_height"),
+        ctx("ip").as("ip"),
+        ctx("user_agent").as("userAgent"),
+        ctx("locale").as("locale"))
+
+  /** Segment-proxy projection (ref `segment-destination.ts:13-36`): the
+    * forwarding request per event — `{apiBase}/{type}` URL, Basic auth of
+    * `writeKey:` base64d, JSON payload. The reference holds writeKey in
+    * destination props; the envelope's per-workspace `write_key` is that
+    * value in multi-tenant routing, so the projection uses it. */
+  def segmentProxy(events: DataFrame,
+                   apiBase: String = "https://api.segment.io/v1"): DataFrame = {
+    val base = apiBase.stripSuffix("/")
+    events.select(
+      concat(lit(s"$base/"), col("type")).as("url"),
+      lit("POST").as("method"),
+      base64(concat(col("write_key"), lit(":")).cast("binary")).as("authorization"),
+      to_json(struct(col("message_id"), col("type"), col("event"),
+        col("anonymous_id"))).as("payload"))
+  }
+
+  /** Webhook projection (ref `webhook-destination.ts:6-29`): POST of the
+    * event JSON to a configured URL with configured headers. to_json drops
+    * null fields — same shape as the reference's JSON.stringify. */
+  def webhookRequests(events: DataFrame,
+                      url: String = "https://hooks.example.com/jitsu",
+                      method: String = "POST"): DataFrame =
+    events.select(
+      lit(url).as("url"),
+      lit(method).as("method"),
+      lit("application/json").as("content_type"),
+      to_json(struct(col("message_id"), col("type"), col("event"),
+        col("anonymous_id"), col("user_id"))).as("body"))
 }
