@@ -25,6 +25,25 @@ object QueriesSaas {
     "k3_braze" -> ((s, dir) => SaasProjections.brazeTrack(env(s, dir))),
     "k3_june" -> ((s, dir) => SaasProjections.juneTrack(env(s, dir))),
     "k3_segment" -> ((s, dir) => SaasProjections.segmentProxy(env(s, dir))),
+
+    // GA4 e-commerce items: the driver's purchase events carry no products
+    // array, so (adapter-style) a deterministic one is synthesized from
+    // (props.k, value) and pushed through the REAL parse→transform→explode
+    // path of ga4PurchaseItems.
+    "k3_ga4_items" -> ((s, dir) => {
+      val k = get_json_object(col("properties"), "$.k").cast("int")
+      val price = get_json_object(col("properties"), "$.value")
+      def prod(i: Int) = format_string(
+        "{\"product_id\":\"p%s-%s\",\"name\":\"Product %s-%s\",\"price\":%s," +
+          "\"quantity\":%s,\"category\":\"cat%s\",\"position\":%s}",
+        k, lit(i), k, lit(i), price,
+        lit(1) + pmod(k + lit(i), lit(3)), pmod(k, lit(4)), lit(i))
+      val productsJson = concat(lit("["), prod(1),
+        when(pmod(k, lit(2)) === 1, concat(lit(","), prod(2)))
+          .otherwise(lit("")), lit("]"))
+      SaasProjections.ga4PurchaseItems(
+        env(s, dir).filter(col("event") === "purchase"), productsJson)
+    }),
     "k3_webhook" -> ((s, dir) => SaasProjections.webhookRequests(env(s, dir)))
   )
 
@@ -189,6 +208,19 @@ object QueriesSaas {
         |  screen_w AS screen_width, screen_h AS screen_height,
         |  ip, ua AS userAgent, locale
         |FROM env WHERE type IN ('track', 'page')""".stripMargin),
+    "k3_ga4_items" -> (cte +
+      """, p AS (
+        |  SELECT *, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM env WHERE event = 'purchase')
+        |SELECT 'ga-' || uid AS client_id, user_id,
+        |  'purchase' AS event_name, message_id AS transaction_id,
+        |  'p' || k || '-' || i AS item_id,
+        |  'Product ' || k || '-' || i AS item_name,
+        |  CAST(printf('%.2f', value) AS DOUBLE) AS item_price,
+        |  CAST(1 + ((k + i) % 3) AS INTEGER) AS item_quantity,
+        |  'cat' || (k % 4) AS item_category
+        |FROM p CROSS JOIN (VALUES (1), (2)) t(i)
+        |WHERE i <= 1 + (k % 2)""".stripMargin),
     "k3_segment" -> (cte +
       """SELECT 'https://api.segment.io/v1/' || type AS url,
         |  'POST' AS method,

@@ -144,20 +144,32 @@ object Scalars {
   /** F13 JSON ser/de passthroughs. */
   def jsonGet(c: Column, path: String): Column = get_json_object(c, path)
 
-  /** F14 GA4 event-name mapping (subset of `ga4-destination.ts:169-298`)
-    * + name sanitize/truncate-40. */
+  /** F14 GA4 event-name mapping — the full segment-style switch of
+    * `ga4-destination.ts:169-298` + name sanitize/truncate-40 (:164-167). */
+  val Ga4NameMap: Map[String, String] = Map(
+    "Promotion Clicked" -> "select_promotion",
+    "Promotion Viewed" -> "view_promotion",
+    "Product List Viewed" -> "view_item_list",
+    "Product Viewed" -> "view_item",
+    "Product Clicked" -> "select_item",
+    "Product Added" -> "add_to_cart",
+    "Product Removed" -> "remove_from_cart",
+    "Product Added to Wishlist" -> "add_to_wishlist",
+    "Cart Viewed" -> "view_cart",
+    "Checkout Started" -> "begin_checkout",
+    "Payment Info Entered" -> "add_payment_info",
+    "Order Completed" -> "purchase",
+    "Order Refunded" -> "refund",
+    "Products Searched" -> "search",
+    "Signed Up" -> "sign_up",
+    "Signed In" -> "login")
+
   def ga4EventName(event: Column): Column = {
-    val mapped =
-      when(event === "Promotion Clicked", "select_promotion")
-        .when(event === "Product Added", "add_to_cart")
-        .when(event === "Product Removed", "remove_from_cart")
-        .when(event === "Order Completed", "purchase")
-        .when(event === "Checkout Started", "begin_checkout")
-        .when(event === "Products Searched", "search")
-        .when(event === "Signed Up", "sign_up")
-        .when(event === "Signed In", "login")
-        .otherwise(event)
-    substring(regexp_replace(mapped, "[^a-zA-Z0-9_]", "_"), 1, 40)
+    val mapped = Ga4NameMap.foldLeft(lit(null).cast("string")) {
+      case (acc, (from, to)) => when(event === from, to).otherwise(acc)
+    }
+    substring(
+      regexp_replace(coalesce(mapped, event), "[^a-zA-Z0-9_]", "_"), 1, 40)
   }
 
   /** F15 Mixpanel special traits: prefix `$` on reserved trait names

@@ -57,6 +57,45 @@ object SaasProjections {
       ctx("page.url").as("page_location"),
       ctx("page.title").as("page_title"))
 
+  /** GA4 e-commerce items (ref `ga4-destination.ts:39-76,64-104`): the
+    * `properties.products[]` array parsed and mapped product->Ga4Item
+    * (product_id->item_id, name->item_name, position->index, ...), one
+    * output row per item (exploded). `productsJson` defaults to a
+    * `products` JSON array inside the properties blob; items with no
+    * product_id or name are dropped, as in getItem (:77-79). */
+  def ga4PurchaseItems(events: DataFrame,
+                       productsJson: Column = get_json_object(col("properties"), "$.products"))
+      : DataFrame = {
+    val productSchema = org.apache.spark.sql.types.DataType.fromDDL(
+      "array<struct<product_id:string,name:string,price:double," +
+        "quantity:int,category:string,position:int>>")
+    val items = filter(
+      transform(from_json(productsJson, productSchema), p =>
+        struct(
+          p.getField("product_id").as("item_id"),
+          p.getField("name").as("item_name"),
+          p.getField("price").as("price"),
+          p.getField("quantity").as("quantity"),
+          p.getField("category").as("item_category"),
+          p.getField("position").as("index"))),
+      p => p.getField("item_id").isNotNull && p.getField("item_name").isNotNull)
+    events.filter(col("type") === "track")
+      .select(
+        coalesce(ctx("client_ids.ga4"),
+          Scalars.fingerprintId(ctx("ip"), ctx("user_agent"))).as("client_id"),
+        col("user_id"),
+        Scalars.ga4EventName(col("event")).as("event_name"),
+        col("message_id").as("transaction_id"),
+        explode(items).as("item"))
+      .select(col("client_id"), col("user_id"), col("event_name"),
+        col("transaction_id"),
+        col("item.item_id").as("item_id"),
+        col("item.item_name").as("item_name"),
+        col("item.price").as("item_price"),
+        col("item.quantity").as("item_quantity"),
+        col("item.item_category").as("item_category"))
+  }
+
   /** Facebook conversions projection (ref `facebook-conversions.ts`):
     * sha256-hashed lowercase/trimmed PII, event time in seconds. */
   def facebookConversions(events: DataFrame): DataFrame =
