@@ -87,6 +87,36 @@ object QueriesSystem {
           sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
     }),
 
+    // P1b/§7.5: dynamic property hoisting + sink schema evolution — two
+    // batches whose properties carry DIFFERENT key sets are hoisted to
+    // real columns and land in ONE event-named table; the second batch
+    // evolves the table schema (coupon), the first batch's rows read the
+    // new column back as null (and vice versa for value).
+    "p1b_hoist_evolve" -> ((s, dir) => {
+      val wh = tmp("graft-q-hoist")
+      val router = new SinkRouter(wh)
+      val clicks = DriverEventsAdapter.load(s, dir)
+        .filter(col("event") === "click")
+      val eid = expr("CAST(substring(message_id, 2) AS BIGINT)")
+      val k = get_json_object(col("properties"), "$.k")
+      val b1 = clicks.filter(pmod(eid, lit(2)) === 0)
+      val b2 = clicks.filter(pmod(eid, lit(2)) === 1)
+        .withColumn("properties", concat(
+          lit("{\"k\": "), k,
+          lit(", \"coupon\": \"cp"), pmod(eid, lit(7)), lit("\"}")))
+      router.write(operators.Layouts.hoistProperties(
+        operators.Layouts.segmentMultiTable(b1)))
+      router.write(operators.Layouts.hoistProperties(
+        operators.Layouts.segmentMultiTable(b2)))
+      router.readTable(s, "click").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("value")), 2).as("sum_value"),
+        count(col("value")).as("n_value"),
+        count(col("coupon")).as("n_coupon"),
+        countDistinct(col("coupon")).as("uniq_coupons"))
+    }),
+
     // L1: guarded SQL — user limit clamped to 50, row-numbered
     "l1_sql_guard" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -146,6 +176,23 @@ object QueriesSystem {
         |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_identified
         |FROM resolved""".stripMargin,
+    "p1b_hoist_evolve" ->
+      """WITH c AS (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CAST(printf('%.2f', value) AS DOUBLE) AS value2
+        |  FROM events WHERE event_type = 'click')
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  ROUND(SUM(CASE WHEN event_id % 2 = 0 THEN value2 END), 2)
+        |    AS sum_value,
+        |  CAST(COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_value,
+        |  CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |    AS n_coupon,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 1
+        |    THEN 'cp' || (event_id % 7) END) AS BIGINT) AS uniq_coupons
+        |FROM c""".stripMargin,
     "l1_sql_guard" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INT)

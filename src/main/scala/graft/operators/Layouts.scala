@@ -127,6 +127,44 @@ object Layouts {
       .withColumn("_table", coalesce(col("table_name"), lit("events")))
       .drop("table_name")
 
+  /** Dynamic property hoisting — SURVEY §7.5 hard part #1 (ref
+    * `bulker-destination.ts:148,233-246`): spread the open `properties`
+    * JSON map into top-level warehouse columns, names snake_cased
+    * (`transferAsSnakeCase`), envelope columns winning on collision (the
+    * reference assigns envelope fields after properties). The JSON blob
+    * column is dropped — its keys now live as real columns and flow
+    * through the sink router's schema evolution / `schemaFreeze` gate.
+    *
+    * Schema inference is Spark's own distributed JSON inference
+    * (`spark.read.json` over the batch's property strings): one map-side
+    * pass + a treeAggregate schema merge, no shuffle of event rows — the
+    * per-batch analogue of bulker's per-batch column discovery, and the
+    * right shape at 100 TB because the inference pass carries only the
+    * props column. Types arrive as JSON types (long/double/string/bool;
+    * nested objects stay struct columns). */
+  def hoistProperties(events: DataFrame, propsCol: String = "properties"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val jsons = events.select(col(propsCol).cast("string"))
+      .where(col(propsCol).isNotNull).as[String]
+    val inferred = spark.read.json(jsons).schema
+    val fields = inferred.fields.filterNot(_.name == "_corrupt_record")
+    if (fields.isEmpty) events.drop(propsCol)
+    else {
+      val taken = scala.collection.mutable.Set(
+        events.columns.map(Scalars.snakeCaseName).toIndexedSeq: _*)
+      val parsed = from_json(col(propsCol),
+        org.apache.spark.sql.types.StructType(fields))
+      val hoisted = fields.toSeq.flatMap { f =>
+        val name = Scalars.snakeCaseName(f.name)
+        if (taken(name) || name == "_table") None
+        else { taken += name; Some(parsed.getField(f.name).as(name)) }
+      }
+      events.select(
+        events.columns.filterNot(_ == propsCol).map(col).toSeq ++ hoisted: _*)
+    }
+  }
+
   /** P7 event-type/name filter — `createFilter` semantics (ref
     * `lib/index.ts:231-242`): "*" everything, "" everything except
     * page/screen, else comma-list matching type OR event name. */

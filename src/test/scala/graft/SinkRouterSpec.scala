@@ -51,6 +51,36 @@ class SinkRouterSpec extends GraftSpec {
     }
   }
 
+  test("hoistProperties: keys become snake_case columns, envelope wins, blob dropped") {
+    val df = Seq(
+      ("m1", """{"planTier": "pro", "seats": 3, "messageId": "SHADOWED"}"""),
+      ("m2", """{"planTier": "free", "nested": {"a": 1}}""")
+    ).toDF("message_id", "properties")
+    val out = graft.operators.Layouts.hoistProperties(df)
+    assert(out.columns.toSet == Set("message_id", "plan_tier", "seats", "nested"))
+    val m1 = out.filter(col("message_id") === "m1").collect().head
+    assert(m1.getAs[String]("plan_tier") == "pro")
+    assert(m1.getAs[Long]("seats") == 3L) // JSON number -> bigint
+    assert(m1.getAs[String]("message_id") == "m1") // envelope wins over messageId
+    val m2 = out.filter(col("message_id") === "m2").collect().head
+    assert(m2.getAs[org.apache.spark.sql.Row]("nested").getAs[Long]("a") == 1L)
+    assert(m2.isNullAt(m2.fieldIndex("seats")))
+  }
+
+  test("schemaFreeze rejects a batch whose hoisted properties add a column") {
+    val wh = tmpDir()
+    val open = new SinkRouter(wh)
+    open.write(graft.operators.Layouts.hoistProperties(
+      Seq(("m1", """{"k": 1}""")).toDF("message_id", "properties"))
+      .withColumn("_table", lit("t")))
+    val frozen = new SinkRouter(wh, SinkOptions(schemaFreeze = true))
+    intercept[IllegalStateException] {
+      frozen.write(graft.operators.Layouts.hoistProperties(
+        Seq(("m2", """{"k": 2, "coupon": "x"}""")).toDF("message_id", "properties"))
+        .withColumn("_table", lit("t")))
+    }
+  }
+
   test("dedup merge: latest per primary key wins (UR re-emission overwrite)") {
     val wh = tmpDir()
     val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
