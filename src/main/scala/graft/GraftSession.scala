@@ -23,6 +23,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // UR trait merge concatenates own+identified key maps; later (identified)
+      // keys must win, as in lodash merge
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       // driver testdata writes TIMESTAMP(NANOS) parquet, which Spark 4 only
       // reads as LongType behind this flag; EventSchema.readEvents converts

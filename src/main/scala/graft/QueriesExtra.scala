@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{MetricsAgg, Profiles, SaasProjections}
+import graft.operators.{MetricsAgg, Profiles, SaasProjections, UserRecognition}
 import graft.sources.DriverEventsAdapter
 
 /** Coverage-widening queries: SaaS projections (K3), geo/UA enrichment
@@ -101,6 +101,16 @@ object QueriesExtra {
         java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
         java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
         .orderBy(col("user_id"))),
+
+    // J1b: UR with configurable identifier fields — user_id AND the traits
+    // JSON object are merged from the first identifying event onto
+    // recovered anonymous events (email lands on page/click rows)
+    "j1b_identity_merge" -> ((s, dir) =>
+      UserRecognition.resolveConfigured(env(s, dir),
+        UserRecognition.URConfig(identifierFields = Seq("user_id", "traits")))
+        .select(col("message_id"), col("user_id"),
+          get_json_object(col("traits"), "$.email").as("email"),
+          col("recognized"))),
 
     // A1 mergeable-sketch form (uniqState/uniqMerge analogue) — rows-only
     // (HLL estimates are not bit-equal to an exact-count oracle)
@@ -204,6 +214,36 @@ object QueriesExtra {
         |  AND timestamp <= TIMESTAMP '2024-01-20 00:00:00'
         |  AND user_id IS NOT NULL
         |ORDER BY user_id""".stripMargin),
+    "j1b_identity_merge" -> (adapterCte +
+      """, marked AS (
+        |  SELECT *,
+        |    MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |      AS ident_ts,
+        |    FIRST_VALUE(CASE WHEN user_id IS NOT NULL THEN message_id END
+        |      IGNORE NULLS) OVER w AS ident_mid
+        |  FROM env
+        |  WINDOW w AS (PARTITION BY anonymous_id
+        |    ORDER BY timestamp, message_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |j AS (
+        |  SELECT m.*, e.user_id AS ident_uid,
+        |    CASE WHEN e.type = 'identify'
+        |      THEN 'user' || e.raw_user_id || '@example.com' END AS ident_email
+        |  FROM marked m LEFT JOIN env e ON e.message_id = m.ident_mid)
+        |SELECT message_id,
+        |  CASE WHEN user_id IS NOT NULL THEN user_id
+        |       WHEN ident_ts IS NOT NULL
+        |         AND ident_ts <= timestamp + INTERVAL 30 DAY
+        |         THEN ident_uid END AS user_id,
+        |  CASE WHEN user_id IS NOT NULL THEN
+        |         (CASE WHEN type = 'identify'
+        |            THEN 'user' || raw_user_id || '@example.com' END)
+        |       WHEN ident_ts IS NOT NULL
+        |         AND ident_ts <= timestamp + INTERVAL 30 DAY
+        |         THEN ident_email END AS email,
+        |  user_id IS NULL AND ident_ts IS NOT NULL
+        |    AND ident_ts <= timestamp + INTERVAL 30 DAY AS recognized
+        |FROM j""".stripMargin),
     "a9_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,

@@ -2,7 +2,10 @@ package graft.operators
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -11,45 +14,94 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * self-join (ref `libs/core-functions/src/functions/user-recognition.ts:
   * 24-108` + Mongo buffer `lib/mongodb.ts:40-84`).
   *
-  * Semantics: events carry an `anonymous_id`; an event may also carry an
-  * identity (`user_id`). Anonymous events are buffered per anonymous_id for
-  * `lookbackDays` (30 d default). When an identified event arrives for the
-  * same anonymous_id, all buffered events are re-emitted with the identity
-  * merged in; downstream the sink's dedup-on-`message_id` merge makes the
-  * re-emitted rows overwrite the originals.
+  * Semantics: the anonymous key is the first non-null of
+  * `anonymousIdFields` (ref `getAnonId` :87-95); an event is identified
+  * when ANY of `identifierFields` is non-empty (ref `getIdentifiedFields`
+  * :97-108). Anonymous events are buffered per key for
+  * `lookbackWindowDays`; when an identified event arrives for the same
+  * key, all buffered events are re-emitted with THAT event's identifier
+  * fields merged in (identified values overwrite, JSON-object fields
+  * deep-merge at key level — lodash `merge` :66). Downstream the sink's
+  * dedup-on-`message_id` merge makes re-emitted rows overwrite originals.
   *
-  * [[resolveBatch]] is the batch/oracle-checkable equivalent: identity =
-  * first identity observed for the anonymous_id within the lookback window
-  * *after* the event (the streaming operator attaches the identity that
-  * triggers eviction, i.e. the first identify at-or-after buffering).
-  * [[streamingResolve]] is the production streaming form:
-  * `flatMapGroupsWithState` with event-time timeout as the 30-day TTL
-  * (RocksDB-backed state at scale, one shuffle on anonymous_id).
+  * [[resolveBatch]] is the batch/oracle-checkable equivalent: the merge
+  * source is the FIRST identified event at-or-after each row within the
+  * lookback window (exactly the event that would trigger eviction in the
+  * streaming form). Single shuffle on the anonymous key (window
+  * functions), no join. [[streamingResolve]] is the production streaming
+  * form: `flatMapGroupsWithState` with event-time timeout as the TTL
+  * (RocksDB-backed state at scale, one shuffle on the key).
+  *
+  * Simplification vs the reference, stated plainly: identifier fields are
+  * merged back into TOP-LEVEL columns (`userId`, `traits`); the
+  * reference's `set(res, path, f)` can also write dotted paths like
+  * `context.traits`, which here would mean rebuilding a nested struct —
+  * read-side dotted paths are supported for the anonymous key, write-back
+  * targets top-level columns.
   */
 object UserRecognition {
 
-  /** Batch resolution: fill missing user_id from the earliest identified
-    * event of the same anonymous_id that falls within
-    * [event_ts, event_ts + lookbackDays]. Single shuffle on anonymous_id
-    * (window functions), no join. */
-  def resolveBatch(events: DataFrame, lookbackDays: Int = 30): DataFrame = {
-    val w = Window.partitionBy(col("anonymous_id"))
+  /** ref `UserRecognitionConfig` zod schema :8-19. `jsonObjectFields`:
+    * identifier columns holding a JSON object string (deep-merged at key
+    * level instead of overwritten). */
+  case class URConfig(
+      anonymousIdFields: Seq[String] = Seq("anonymous_id"),
+      identifierFields: Seq[String] = Seq("user_id"),
+      lookbackDays: Int = 30,
+      jsonObjectFields: Set[String] = Set("traits"))
+
+  private def fieldAlias(path: String) = path.replace('.', '_')
+
+  private def nonEmpty(c: Column, isJsonObject: Boolean): Column =
+    if (isJsonObject) c.isNotNull && c =!= "{}" else c.isNotNull
+
+  /** Batch resolution under a config. One window pass: the first
+    * identified event's (timestamp + identifier fields) struct is
+    * computed per row over the forward frame; each identifier field is
+    * then merged in when that event falls inside the lookback window. */
+  def resolveConfigured(events: DataFrame, config: URConfig): DataFrame = {
+    val anonKey = coalesce(config.anonymousIdFields.map(col): _*)
+    val isIdent = config.identifierFields
+      .map(f => nonEmpty(col(f), config.jsonObjectFields(f))).reduce(_ || _)
+    val w = Window.partitionBy(anonKey)
       .orderBy(col("timestamp"), col("message_id"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val nextIdentityTs = min(when(col("user_id").isNotNull, col("timestamp"))).over(w)
-    val nextIdentity = first(when(col("user_id").isNotNull, col("user_id")),
+    val identEvent = first(
+      when(isIdent, struct(
+        (col("timestamp").as("_ts") +:
+          config.identifierFields.map(f => col(f).as(fieldAlias(f)))): _*)),
       ignoreNulls = true).over(w)
-    events
-      .withColumn("_rec_user_id",
-        when(col("user_id").isNotNull, col("user_id"))
-          .when(nextIdentityTs.isNotNull &&
-            nextIdentityTs <= col("timestamp") + expr(s"INTERVAL $lookbackDays DAYS"),
-            nextIdentity))
-      .withColumn("recognized",
-        col("user_id").isNull && col("_rec_user_id").isNotNull)
-      .withColumn("user_id", col("_rec_user_id"))
-      .drop("_rec_user_id")
+    val withIdent = events
+      .withColumn("_is_ident", isIdent)
+      .withColumn("_ident", identEvent)
+    val inWindow = col("_ident").isNotNull &&
+      col("_ident._ts") <= col("timestamp") +
+        expr(s"INTERVAL ${config.lookbackDays} DAYS")
+    val merged = config.identifierFields.foldLeft(withIdent) { (df, f) =>
+      val rec = when(inWindow, col(s"_ident.${fieldAlias(f)}"))
+      val out =
+        if (config.jsonObjectFields(f)) {
+          // key-level JSON object merge, identified keys win (LAST_WIN
+          // dedup policy set by GraftSession)
+          val mapT = org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)
+          val ownMap = from_json(col(f), mapT)
+          val recMap = from_json(rec, mapT)
+          when(rec.isNull, col(f))
+            .when(col(f).isNull, rec)
+            .otherwise(to_json(map_concat(ownMap, recMap)))
+        } else when(rec.isNotNull, rec).otherwise(col(f))
+      df.withColumn(f, out)
+    }
+    merged
+      .withColumn("recognized", !col("_is_ident") && inWindow)
+      .drop("_is_ident", "_ident")
   }
+
+  /** Backwards-compatible form: hardcoded anonymous_id -> user_id. */
+  def resolveBatch(events: DataFrame, lookbackDays: Int = 30): DataFrame =
+    resolveConfigured(events, URConfig(lookbackDays = lookbackDays))
 
   // ---- streaming form ------------------------------------------------
 
@@ -89,7 +141,8 @@ object UserRecognition {
     out.iterator
   }
 
-  /** Streaming user recognition over an envelope-shaped stream. */
+  /** Streaming user recognition over an envelope-shaped stream
+    * (hardcoded identity fields, kept for the simple common case). */
   def streamingResolve(events: DataFrame, lookbackDays: Int = 30,
                        watermark: String = "1 hour"): Dataset[UREvent] = {
     val spark = events.sparkSession
@@ -102,5 +155,104 @@ object UserRecognition {
       .groupByKey(_.anonymous_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         urTransition(lookbackDays * 86400000L))
+  }
+
+  // ---- configurable streaming form (full-event payloads) -------------
+
+  /** Streaming event: anonymous key + identified flag pre-computed as
+    * columns, payload = the full event as JSON (the Mongo collection in
+    * the reference stores whole events the same way). */
+  case class URGenEvent(key: String, ident: Boolean, ts: Timestamp, payload: String)
+  case class URGenState(buffered: List[String])
+
+  /** A JSON-object value, whether it arrives as a real object node or as
+    * a string column holding serialized JSON (the envelope keeps open
+    * maps as strings). */
+  private def asObjectNode(mapper: ObjectMapper,
+                           n: com.fasterxml.jackson.databind.JsonNode): Option[ObjectNode] =
+    n match {
+      case o: ObjectNode => Some(o)
+      case t if t.isTextual =>
+        try mapper.readTree(t.asText()) match {
+          case o: ObjectNode => Some(o)
+          case _ => None
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+
+  private[graft] def mergeIdentifiers(
+      mapper: ObjectMapper, identifierFields: Seq[String])(
+      target: String, identSource: String): String = {
+    val t = mapper.readTree(target).asInstanceOf[ObjectNode]
+    val s = mapper.readTree(identSource)
+    identifierFields.foreach { f =>
+      val v = s.get(f)
+      if (v != null && !v.isNull && !(v.isObject && v.isEmpty)) {
+        val merged = (asObjectNode(mapper, v),
+            Option(t.get(f)).filterNot(_.isNull).flatMap(asObjectNode(mapper, _))) match {
+          case (Some(identObj), Some(ownObj)) =>
+            // lodash-merge semantics at key level: identified keys win
+            val m = ownObj.deepCopy[ObjectNode]()
+            val _ = m.setAll[ObjectNode](identObj)
+            if (v.isTextual) mapper.getNodeFactory.textNode(mapper.writeValueAsString(m))
+            else m
+          case _ => v.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        }
+        val _ = t.set[ObjectNode](f, merged)
+      }
+    }
+    mapper.writeValueAsString(t)
+  }
+
+  def urGenTransition(lookbackMs: Long, identifierFields: Seq[String])(
+      key: String, rows: Iterator[URGenEvent],
+      state: GroupState[URGenState]): Iterator[String] = {
+    val mapper = new ObjectMapper()
+    val merge = mergeIdentifiers(mapper, identifierFields) _
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(_.buffered).getOrElse(Nil)
+      state.remove()
+      return out.iterator
+    }
+    val sorted = rows.toSeq.sortBy(_.ts.getTime)
+    var buffered = state.getOption.map(_.buffered).getOrElse(Nil)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var lastTs = 0L
+    sorted.foreach { e =>
+      if (e.ident) {
+        out ++= buffered.map(b => merge(b, e.payload))
+        buffered = Nil
+        out += e.payload
+      } else buffered = buffered :+ e.payload
+      lastTs = e.ts.getTime
+    }
+    if (buffered.nonEmpty) {
+      state.update(URGenState(buffered))
+      if (state.getCurrentWatermarkMs() < lastTs + lookbackMs)
+        state.setTimeoutTimestamp(lastTs + lookbackMs)
+    } else state.remove()
+    out.iterator
+  }
+
+  /** Configurable streaming user recognition: buffers whole events (as
+    * JSON payloads) per anonymous key and deep-merges the identifying
+    * event's `identifierFields` into evicted events — the streaming twin
+    * of [[resolveConfigured]]. Returns merged event JSON strings. */
+  def streamingResolveConfigured(events: DataFrame, config: URConfig = URConfig(),
+                                 watermark: String = "1 hour"): Dataset[String] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val anonKey = coalesce(config.anonymousIdFields.map(col): _*)
+    val isIdent = config.identifierFields
+      .map(f => nonEmpty(col(f), config.jsonObjectFields(f))).reduce(_ || _)
+    events
+      .withWatermark("timestamp", watermark)
+      .select(anonKey.as("key"), isIdent.as("ident"),
+        col("timestamp").as("ts"),
+        to_json(struct(events.columns.map(col): _*)).as("payload"))
+      .as[URGenEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        urGenTransition(config.lookbackDays * 86400000L, config.identifierFields))
   }
 }

@@ -101,4 +101,47 @@ class StreamingSpec extends GraftSpec {
     assert(got.get("m3").flatten.contains("u42"))
     assert(!got.contains("m4"))
   }
+
+  test("configurable streaming UR merges identifier fields (traits email)") {
+    val in = tmp("graft-urc-in")
+    Seq(
+      """{"message_id":"m1","anonymous_id":"a1","user_id":null,"traits":null,"timestamp":"2024-01-01T10:00:00.000Z"}""",
+      """{"message_id":"m2","anonymous_id":"a1","user_id":null,"traits":null,"timestamp":"2024-01-01T10:05:00.000Z"}""",
+      """{"message_id":"m3","anonymous_id":"a1","user_id":"u42","traits":"{\"email\":\"u42@x.io\",\"plan\":\"pro\"}","timestamp":"2024-01-01T10:10:00.000Z"}"""
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(in)
+    val schema = "message_id STRING, anonymous_id STRING, user_id STRING, " +
+      "traits STRING, timestamp TIMESTAMP"
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(schema)).json(in)
+    val resolved = UserRecognition.streamingResolveConfigured(stream,
+      UserRecognition.URConfig(identifierFields = Seq("user_id", "traits")))
+    val q = resolved.writeStream.format("memory").queryName("urc_out")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("urc_out").as[String].collect()
+      .map { j =>
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+        n.get("message_id").asText() ->
+          (Option(n.get("user_id")).map(_.asText()).getOrElse(""),
+            Option(n.get("traits")).filterNot(_.isNull).map(_.asText()).getOrElse(""))
+      }.toMap
+    // both buffered anon events recovered with the identifying event's
+    // user_id AND traits installed
+    assert(got("m1")._1 == "u42" && got("m1")._2.contains("u42@x.io"))
+    assert(got("m2")._1 == "u42" && got("m2")._2.contains("u42@x.io"))
+    assert(got("m3")._1 == "u42")
+  }
+
+  test("identifier deep merge: JSON-object fields merge at key level, identified wins") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val merged = UserRecognition.mergeIdentifiers(mapper, Seq("user_id", "traits"))(
+      """{"message_id":"b1","traits":"{\"plan\":\"free\",\"tz\":\"UTC\"}"}""",
+      """{"user_id":"u1","traits":"{\"email\":\"e@x.io\",\"plan\":\"pro\"}"}""")
+    val n = mapper.readTree(merged)
+    assert(n.get("user_id").asText() == "u1")
+    val traits = mapper.readTree(n.get("traits").asText())
+    assert(traits.get("plan").asText() == "pro")   // identified key wins
+    assert(traits.get("tz").asText() == "UTC")     // own key survives
+    assert(traits.get("email").asText() == "e@x.io")
+  }
 }
