@@ -3,8 +3,6 @@ package graft.sql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
 /** The interactive SQL surface — SURVEY §2.7 L1–L3 (ref
   * `webapps/console/pages/api/[workspaceId]/sql/query.ts:39-158`).
@@ -27,14 +25,42 @@ object GuardedSql {
 
   case class SqlRejected(reason: String) extends Exception(reason)
 
-  /** Parse + validate; returns the user's own LIMIT if present. */
+  /** True when `sql` holds a ';' that separates two statements — i.e. a
+    * semicolon outside any quoted literal/identifier with non-blank text
+    * after it. Literals like `WHERE name = 'a;b'` do NOT trip this. */
+  private[sql] def looksMultiStatement(sql: String): Boolean = {
+    var i = 0; var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        if (c == quote)
+          if (i + 1 < sql.length && sql.charAt(i + 1) == quote) i += 1 // escaped
+          else quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case ';' if sql.substring(i + 1).trim.nonEmpty => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Parse + validate; returns the user's own LIMIT if present. The
+    * multi-statement check is parser-based: Catalyst's `singleStatement`
+    * grammar rejects a second statement, and the quote-aware scan only
+    * chooses the error message — a ';' inside a string literal parses
+    * fine and is allowed. */
   def validate(spark: SparkSession, sql: String,
                allowedTables: Set[String] = Set.empty): Option[Int] = {
-    if (sql.trim.split(";").count(_.trim.nonEmpty) > 1)
-      throw SqlRejected("multi-statement input is not allowed")
     val plan =
       try spark.sessionState.sqlParser.parsePlan(sql)
-      catch { case e: Exception => throw SqlRejected(s"parse error: ${e.getMessage}") }
+      catch {
+        case e: Exception =>
+          if (looksMultiStatement(sql))
+            throw SqlRejected("multi-statement input is not allowed")
+          throw SqlRejected(s"parse error: ${e.getMessage}")
+      }
     plan.foreach {
       case _: Command | _: ParsedStatement | _: InsertIntoStatement =>
         throw SqlRejected("only SELECT queries are allowed")
@@ -60,7 +86,13 @@ object GuardedSql {
   /** Run a guarded query: validated, limit-clamped, row-numbered from
     * offset+1 (ref query.ts:78-83,124-158). The user's own LIMIT node is
     * stripped and replaced by the clamped offset+limit — the reference
-    * rewrites the AST limit the same way. */
+    * rewrites the AST limit the same way.
+    *
+    * Row numbering happens DRIVER-SIDE on the collected (clamped, ≤
+    * offset+apiLimit) rows — exactly the reference's client-side
+    * numbering, and the scale-correct shape: a global row_number window
+    * would pull every row into one partition, while here only the
+    * already-limited result crosses to the driver. */
   def query(spark: SparkSession, sql: String, offset: Int = 0,
             apiLimit: Int = DefaultLimit,
             allowedTables: Set[String] = Set.empty): DataFrame = {
@@ -73,10 +105,16 @@ object GuardedSql {
       case other => other
     }
     val df = org.apache.spark.sql.graftshim.ofRows(spark, stripped)
-    val w = Window.orderBy(monotonically_increasing_id())
-    df.limit(effective + offset)
-      .withColumn("#", row_number().over(w) )
-      .filter(col("`#`") > offset)
+      .limit(effective + offset)
+    val collected = df.collect()
+    val numbered = collected.iterator.zipWithIndex.drop(offset).map {
+      case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+    }.toList
+    val schema = df.schema.add("#", org.apache.spark.sql.types.IntegerType,
+      nullable = false)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(numbered).asJava), schema)
   }
 
   /** S8 schema introspection: {table -> [(name, type)]} (ref

@@ -50,6 +50,17 @@ class GuardedSqlSpec extends GraftSpec {
       "SELECT 1; SELECT 2"))
   }
 
+  test("';' inside a string literal is not treated as multi-statement") {
+    init
+    val rows = GuardedSql.query(spark, "SELECT 'a;b' AS s").collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("s") == "a;b")
+    // trailing semicolon is a single statement too
+    assert(GuardedSql.query(spark, "SELECT 1 AS x;").count() == 1)
+    val ex = intercept[SqlRejected](GuardedSql.query(spark,
+      "SELECT 1; DROP TABLE lineitem_v"))
+    assert(ex.getMessage.contains("multi-statement"))
+  }
+
   test("table whitelist enforced") {
     init
     intercept[SqlRejected](GuardedSql.query(spark,
