@@ -38,9 +38,28 @@ object FunctionChain {
   case class DropRetry(reason: String) extends Result
 
   /** An event function: name + body. `builtin` controls the metrics status
-    * prefix (ref metrics.ts:156-175). */
+    * prefix (ref metrics.ts:156-175) and exempts the function from the
+    * UDF timeout (only user code runs in rotor's isolate). The body
+    * receives the event and the [[ChainContext]] (`store`/`props`/`geo`/
+    * `ua`/`retries` — ref functions.d.ts:68-73,140-176). */
   case class EventFunction(id: String, builtin: Boolean,
-                           fn: ObjectNode => Result)
+                           fn: (ObjectNode, ChainContext) => Result)
+  object EventFunction {
+    /** Context-free form, for functions that only look at the event. */
+    def apply(id: String, builtin: Boolean,
+              fn: ObjectNode => Result): EventFunction =
+      EventFunction(id, builtin, (e: ObjectNode, _: ChainContext) => fn(e))
+  }
+
+  /** Chain-level options: connection identity (store namespace + props,
+    * ref FullContext.connection), retry attempt number surfaced as
+    * ctx.retries, and the R9 task-level UDF timeout (ref
+    * `udf_wrapper.ts:232-291`, UDF_TIMEOUT_MS default 5000). */
+  case class ChainOptions(
+      connectionId: String = "c0",
+      props: Map[String, String] = Map.empty,
+      retries: Int = 0,
+      udfTimeoutMs: Long = 5000L)
 
   case class ChainOutput(event: String, status: String, functionId: String,
                          error: String)
@@ -56,19 +75,88 @@ object FunctionChain {
     * earlier results). Only the LAST function may multiply (R4).
     */
   def run(events: Dataset[String], chain: Seq[EventFunction],
-          fromStage: Int = 0): Dataset[ChainOutput] = {
+          fromStage: Int = 0,
+          options: ChainOptions = ChainOptions()): Dataset[ChainOutput] = {
     val enc = Encoders.product[ChainOutput]
     events.mapPartitions { it =>
       val mapper = mapperTl.get()
       it.flatMap { raw =>
-        runOne(mapper, raw, chain, fromStage)
+        runOne(mapper, raw, chain, fromStage, options)
       }
     }(enc)
   }
 
+  // ---- ctx construction ----------------------------------------------
+
+  /** JVM mirror of Scalars.parseUa (same keyword heuristics, ref
+    * `lib/ua.ts:6,22`) for the chain-side ctx.ua. */
+  private[chain] def parseUaNode(mapper: ObjectMapper, ua: String): ObjectNode = {
+    val l = ua.toLowerCase
+    val n = mapper.createObjectNode()
+    n.put("name",
+      if (l.contains("chrome")) "Chrome"
+      else if (l.contains("safari")) "Safari"
+      else if (l.contains("firefox")) "Firefox" else "unknown")
+    n.put("os_name",
+      if (l.contains("iphone") || l.contains("ios")) "iOS"
+      else if (l.contains("android")) "Android"
+      else if (l.contains("macintosh") || l.contains("mac os")) "macOS"
+      else if (l.contains("windows")) "Windows"
+      else if (l.contains("linux")) "Linux" else "unknown")
+    n.put("device_type",
+      if (l.contains("iphone") || l.contains("android")) "mobile" else "desktop")
+    n.put("bot", "bot|crawl|spider|slurp|bingpreview".r.findFirstIn(l).isDefined)
+    n
+  }
+
+  /** Per-event ctx: store namespaced by connection, geo/ua pulled from
+    * the event's own context (rotor builds FullContext the same way). */
+  private def buildCtx(mapper: ObjectMapper, ev: ObjectNode,
+                       options: ChainOptions): ChainContext = {
+    val context = Option(ev.get("context")).filterNot(_.isNull)
+    val geo = context.flatMap(c => Option(c.get("geo"))).filterNot(_.isNull)
+    val ua = context.flatMap(c => Option(c.get("user_agent")))
+      .filterNot(_.isNull).map(u => parseUaNode(mapper, u.asText()))
+    ChainContext(options.connectionId, options.props,
+      new TTLStore(options.connectionId), geo, ua, options.retries)
+  }
+
+  // ---- R9 task-level UDF timeout -------------------------------------
+
+  private lazy val udfPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-udf")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Bound a user function call to `ms` (ref `udf_wrapper.ts:232-291`:
+    * rotor kills the isolate after UDF_TIMEOUT_MS and surfaces a
+    * RetryError). A JVM thread cannot be force-killed, so the call is
+    * interrupted and abandoned — sleeping/IO-bound functions die
+    * immediately; a hard CPU loop leaks its thread until it checks the
+    * interrupt flag (the cluster-grade hammer for that is Spark's task
+    * reaper, the moral twin of disposing the isolate). The overrun
+    * surfaces as a retryable failure at this stage. */
+  private def callBounded(ms: Long)(body: => Result): Result =
+    if (ms <= 0) body
+    else {
+      val fut = udfPool.submit(new java.util.concurrent.Callable[Result] {
+        def call(): Result = body
+      })
+      try fut.get(ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          fut.cancel(true)
+          Retry(s"function execution took longer than ${ms}ms")
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }
+
   private[chain] def runOne(mapper: ObjectMapper, raw: String,
                             chain: Seq[EventFunction],
-                            fromStage: Int): Seq[ChainOutput] = {
+                            fromStage: Int,
+                            options: ChainOptions = ChainOptions()): Seq[ChainOutput] = {
     var current: Seq[ObjectNode] =
       try Seq(mapper.readTree(raw).asInstanceOf[ObjectNode])
       catch { case NonFatal(e) =>
@@ -88,8 +176,12 @@ object FunctionChain {
           // 352-358, "error" scenario); only an explicit Retry/DropRetry
           // result interrupts (ref RetryError semantics).
           val result =
-            try f.fn(ev.deepCopy()) // functions get a deep copy (R5)
-            catch { case NonFatal(e) =>
+            try {
+              val ctx = buildCtx(mapper, ev, options)
+              val copy = ev.deepCopy[ObjectNode]() // functions get a deep copy (R5)
+              if (f.builtin) f.fn(copy, ctx) // builtins run unbounded, as in rotor
+              else callBounded(options.udfTimeoutMs)(f.fn(copy, ctx))
+            } catch { case NonFatal(e) =>
               lastError = s"${f.id}: ${e.toString}"
               Same
             }
@@ -130,13 +222,17 @@ object FunctionChain {
     * output of a previous run filtered to status == "retry"; returns the
     * chain output of the re-run (stage index looked up by function id). */
   def redrive(retries: Dataset[ChainOutput],
-              chain: Seq[EventFunction]): Dataset[ChainOutput] = {
+              chain: Seq[EventFunction],
+              options: ChainOptions = ChainOptions()): Dataset[ChainOutput] = {
     val stageById = chain.map(_.id).zipWithIndex.toMap
     val enc = Encoders.product[ChainOutput]
+    // a re-driven event sees ctx.retries bumped (ref function2retry
+    // scenario: success only when retries >= 1)
+    val attempt = options.copy(retries = options.retries + 1)
     retries.mapPartitions { it =>
       val mapper = mapperTl.get()
       it.flatMap { r =>
-        runOne(mapper, r.event, chain, stageById.getOrElse(r.functionId, 0))
+        runOne(mapper, r.event, chain, stageById.getOrElse(r.functionId, 0), attempt)
       }
     }(enc)
   }

@@ -108,6 +108,112 @@ class ChainSpec extends GraftSpec {
     assert(redriven.event.contains("\"sent\":true"))
   }
 
+  test("ctx.store counts events per user across two batches (TTL KV)") {
+    graft.chain.TTLStore.clearAll()
+    val counter = EventFunction("f_count", builtin = false,
+      (e: ObjectNode, ctx: graft.chain.ChainContext) => {
+        val n = ctx.store.increment(s"n:${e.get("user").asText()}",
+          ttl = graft.chain.TTLStore.TtlDuration("1d"))
+        e.put("seen", n)
+        Replace(Seq(e))
+      })
+    def batch(ids: Seq[Int]) = ids
+      .map(i => s"""{"messageId":"m$i","type":"track","user":"u1"}""")
+      .toDS().repartition(1) // same-user events serialized for the counter
+    val opts = ChainOptions(connectionId = "conn1")
+    FunctionChain.run(batch(Seq(1, 2)), Seq(counter), options = opts).collect()
+    val out2 = FunctionChain.run(batch(Seq(3)), Seq(counter), options = opts)
+      .collect().head
+    assert(out2.event.contains("\"seen\":3")) // state survived across batches
+    // store is namespaced per connection: other connection starts at 1
+    val other = FunctionChain.run(batch(Seq(4)), Seq(counter),
+      options = ChainOptions(connectionId = "conn2")).collect().head
+    assert(other.event.contains("\"seen\":1"))
+  }
+
+  test("ttl store: expiry, getWithTTL, duration parse, inf") {
+    import graft.chain.TTLStore
+    TTLStore.clearAll()
+    val s = new TTLStore("t")
+    assert(TTLStore.ttlSeconds(TTLStore.TtlDuration("30m")) == 1800L)
+    assert(TTLStore.ttlSeconds(TTLStore.TtlDuration("1d")) == 86400L)
+    assert(TTLStore.ttlSeconds(TTLStore.TtlDuration("inf")) == -1L)
+    s.setLong("a", 42L, TTLStore.TtlSeconds(3600))
+    val Some((v, ttl)) = s.getWithTTL("a"): @unchecked
+    assert(v.asLong() == 42L && ttl > 3500 && ttl <= 3600)
+    s.setLong("b", 1L, TTLStore.NoExpiry)
+    assert(s.ttl("b") == -1L)
+    assert(s.ttl("missing") == -2L)
+    s.setLong("c", 1L, TTLStore.TtlSeconds(0)) // expires immediately
+    assert(s.get("c").isEmpty)
+    s.del("a")
+    assert(s.get("a").isEmpty)
+  }
+
+  test("multi scenario: ctx functions chain then last multiplies; retries visible") {
+    // ref functions-chain-data.ts `multi` connection: function1 (stamps
+    // first/retries/counter) -> function2 -> functionmulti (2 events)
+    def stamp(id: String, field: String) = EventFunction(id, builtin = false,
+      (e: ObjectNode, ctx: graft.chain.ChainContext) => {
+        e.put(field, "1st")
+        e.put("retries", ctx.retries)
+        e.put("counter", Option(e.get("counter")).map(_.asInt()).getOrElse(0) + 1)
+        Replace(Seq(e))
+      })
+    val multi = EventFunction("functionmulti", builtin = false, (e: ObjectNode) => {
+      val a = e.deepCopy[ObjectNode]().put("n", 1)
+      val b = e.deepCopy[ObjectNode]().put("n", 2)
+      Replace(Seq(a, b))
+    })
+    val out = FunctionChain.run(Seq(ev(1, "track")).toDS(),
+      Seq(stamp("function1", "first"), stamp("function2", "second"), multi))
+      .collect()
+    assert(out.length == 2 && out.forall(_.status == "success"))
+    assert(out.forall(_.event.contains("\"counter\":2")))
+    assert(out.forall(_.event.contains("\"retries\":0")))
+    assert(out.map(o => o.event.contains("\"n\":1") || o.event.contains("\"n\":2"))
+      .forall(identity))
+  }
+
+  test("ctx.geo and ctx.ua derive from the event context") {
+    val withCtx =
+      """{"messageId":"m1","type":"track","context":{"geo":{"country":"DE","city":"Berlin"},
+        |"user_agent":"Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Safari/604.1"}}"""
+        .stripMargin.replace("\n", "")
+    val probe = EventFunction("f_probe", builtin = false,
+      (e: ObjectNode, ctx: graft.chain.ChainContext) => {
+        e.put("geo_country", ctx.geo.map(_.get("country").asText()).getOrElse(""))
+        e.put("ua_os", ctx.ua.map(_.get("os_name").asText()).getOrElse(""))
+        e.put("ua_device", ctx.ua.map(_.get("device_type").asText()).getOrElse(""))
+        Replace(Seq(e))
+      })
+    val out = FunctionChain.run(Seq(withCtx).toDS(), Seq(probe)).collect().head
+    assert(out.event.contains("\"geo_country\":\"DE\""))
+    assert(out.event.contains("\"ua_os\":\"iOS\""))
+    assert(out.event.contains("\"ua_device\":\"mobile\""))
+  }
+
+  test("R9: a function overrunning the UDF timeout becomes a retry at its stage") {
+    val sleeper = EventFunction("f_slow", builtin = false, (_: ObjectNode) => {
+      Thread.sleep(60000); Same
+    })
+    val out = FunctionChain.run(Seq(ev(1, "track")).toDS(),
+      Seq(passThrough, sleeper),
+      options = ChainOptions(udfTimeoutMs = 300)).collect().head
+    assert(out.status == "retry")
+    assert(out.functionId == "f_slow")
+    assert(out.error.contains("longer than 300ms"))
+    // builtins are exempt (rotor only sandboxes user code): a builtin
+    // running past the budget still completes
+    val slowBuiltin = EventFunction("b_slow", builtin = true, (_: ObjectNode) => {
+      Thread.sleep(500); Same
+    })
+    val ok = FunctionChain.run(Seq(ev(1, "track")).toDS(),
+      Seq(slowBuiltin), options = ChainOptions(udfTimeoutMs = 100))
+      .collect().head
+    assert(ok.status == "success")
+  }
+
   test("metrics status derivation (A4)") {
     val out = FunctionChain.run(
       Seq(ev(3, "track")).toDS(), Seq(dropPages, failOnType3))
