@@ -265,17 +265,26 @@ object QueriesTrainingData {
          |       WHEN en >= de THEN 'en'
          |       ELSE 'de' END AS lang_pred
          |FROM hits""".stripMargin),
+    // the oracle recomputes what the REAL header parsers must read back
+    // from the deterministic fixture headers (doc_id-derived dims/rates,
+    // UTF-8 payload bytes appended after a fixed-size header)
     "mm_meta" ->
       """SELECT doc_id AS media_id,
-        |  CASE CAST(('0x' || substr(md5(text), 1, 2))::BIGINT % 4 AS INT)
-        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
-        |    ELSE 'mp4' END AS format,
-        |  CAST(64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 AS INT)
-        |    AS width,
-        |  CAST(64 + ('0x' || substr(md5(text), 9, 8))::BIGINT % 1024 AS INT)
-        |    AS height,
-        |  CAST(strlen(text) AS BIGINT) * 10 AS duration_ms,
-        |  CAST(strlen(text) AS BIGINT) AS size_bytes
+        |  CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+        |  CASE WHEN doc_id % 4 IN (0, 1)
+        |    THEN CAST(64 + doc_id % 1024 AS INT) END AS width,
+        |  CASE WHEN doc_id % 4 IN (0, 1)
+        |    THEN CAST(64 + (doc_id * 7) % 1024 AS INT) END AS height,
+        |  CASE
+        |    WHEN doc_id % 4 = 2 THEN
+        |      (CAST(strlen(text) AS BIGINT) * 100 * 1000)
+        |        // ((8000 + (doc_id % 5) * 8000) * (1 + doc_id % 2) * 2)
+        |    WHEN doc_id % 4 = 3 THEN CAST(strlen(text) AS BIGINT) * 50
+        |  END AS duration_ms,
+        |  CAST(strlen(text) AS BIGINT) +
+        |    CASE doc_id % 4 WHEN 0 THEN 41 WHEN 1 THEN 45
+        |      WHEN 2 THEN 44 ELSE 136 END AS size_bytes
         |FROM documents""".stripMargin
   )
 }

@@ -1,21 +1,24 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media payloads are opaque `binary` columns plus a typed metadata
-  * struct; the decode step is a clearly-marked deterministic STUB (the
-  * container has no codec libraries) while everything Spark-side —
-  * schema, batching, partition-level iteration, output shapes — is real.
-  *
-  * The production swap-in point is [[FakeCodec]]: replace with JNI/javacv
-  * bindings; the `mapPartitions` batching pattern (decode per partition,
-  * reuse a codec instance across rows, emit typed rows) is exactly what a
-  * real decoder needs, mirroring how Pandas-UDF `mapInPandas` pipelines
-  * batch decode work in PySpark.
+  * struct. Format sniffing and header metadata are REAL, pure-JVM
+  * parsers over magic bytes and container headers ([[MediaSniffer]]:
+  * JPEG SOF scan, PNG IHDR, GIF logical screen, WAV RIFF/fmt/data,
+  * MP4 ftyp/moov/mvhd). Only pixel/sample DECODE remains a
+  * clearly-marked stub ([[FakeCodec.frame]]/[[FakeCodec.resize]]) — the
+  * container has no codec libraries; the swap-in point is those two
+  * functions (JNI/javacv), and the `mapPartitions` batching pattern
+  * (init once per partition, emit typed rows) is exactly what a real
+  * decoder needs.
   */
 object Multimodal {
 
@@ -31,24 +34,183 @@ object Multimodal {
     StructField("media", BinaryType),
     StructField("meta", mediaMetaStruct)))
 
-  /** STUB codec: deterministic pure functions of the payload bytes
-    * (md5-derived, so oracle-checkable from SQL). Replace with a real
-    * decoder; signatures are the contract. */
-  object FakeCodec {
-    private def md5hex(bytes: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("MD5").digest(bytes)
-        .map("%02x".format(_)).mkString
-    def sniffFormat(bytes: Array[Byte]): String =
-      if (bytes.isEmpty) "empty"
-      else Seq("jpeg", "png", "wav", "mp4")(
-        (java.lang.Long.parseLong(md5hex(bytes).substring(0, 2), 16) % 4).toInt)
-    def dimensions(bytes: Array[Byte]): (Int, Int) = {
-      val h = md5hex(bytes)
-      val a = java.lang.Long.parseLong(h.substring(0, 8), 16)
-      val b = java.lang.Long.parseLong(h.substring(8, 16), 16)
-      ((64 + a % 1024).toInt, (64 + b % 1024).toInt)
+  case class MediaMeta(format: String, width: Option[Int], height: Option[Int],
+                       durationMs: Option[Long])
+
+  /** Real magic-byte + header parsers. Pure JVM, zero dependencies. */
+  object MediaSniffer {
+
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def u32le(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def u16le(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def ascii(b: Array[Byte], i: Int, n: Int): String =
+      if (i + n <= b.length) new String(b, i, n, StandardCharsets.US_ASCII) else ""
+
+    /** JPEG: FF D8, then scan segments for SOF0/1/2 (height, width). */
+    def jpeg(b: Array[Byte]): Option[MediaMeta] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) // EOI / SOS: no SOF seen
+          return Some(MediaMeta("jpeg", None, None, None))
+        val len = u16(b, i + 2)
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          val h = u16(b, i + 5)
+          val w = u16(b, i + 7)
+          return Some(MediaMeta("jpeg", Some(w), Some(h), None))
+        }
+        i += 2 + len
+      }
+      Some(MediaMeta("jpeg", None, None, None))
     }
-    def durationMs(bytes: Array[Byte]): Long = bytes.length.toLong * 10L
+
+    /** PNG: 8-byte signature, IHDR width/height big-endian at 16/20. */
+    def png(b: Array[Byte]): Option[MediaMeta] = {
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      if (b.length < 24 || !sig.indices.forall(i => (b(i) & 0xff) == sig(i)))
+        return None
+      if (ascii(b, 12, 4) != "IHDR") return Some(MediaMeta("png", None, None, None))
+      Some(MediaMeta("png", Some(u32(b, 16).toInt), Some(u32(b, 20).toInt), None))
+    }
+
+    /** GIF87a/89a: logical screen width/height little-endian at 6/8. */
+    def gif(b: Array[Byte]): Option[MediaMeta] = {
+      if (b.length < 10 || ascii(b, 0, 4) != "GIF8") return None
+      Some(MediaMeta("gif", Some(u16le(b, 6)), Some(u16le(b, 8)), None))
+    }
+
+    /** WAV: RIFF/WAVE; duration = data size over fmt byte-rate. */
+    def wav(b: Array[Byte]): Option[MediaMeta] = {
+      if (b.length < 12 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
+        return None
+      var i = 12
+      var byteRate = 0L
+      var dataSize = -1L
+      while (i + 8 <= b.length && (byteRate == 0L || dataSize < 0)) {
+        val id = ascii(b, i, 4)
+        val size = u32le(b, i + 4)
+        if (id == "fmt " && i + 16 + 8 <= b.length) byteRate = u32le(b, i + 16)
+        else if (id == "data") dataSize = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      val dur = if (byteRate > 0 && dataSize >= 0)
+        Some(dataSize * 1000L / byteRate) else None
+      Some(MediaMeta("wav", None, None, dur))
+    }
+
+    /** MP4/ISO-BMFF: ftyp at top level; duration from moov/mvhd
+      * (version-0 layout: timescale at +20, duration at +24 from box
+      * start). */
+    def mp4(b: Array[Byte]): Option[MediaMeta] = {
+      if (b.length < 12 || ascii(b, 4, 4) != "ftyp") return None
+      def findBox(name: String, from: Int, until: Int): Int = {
+        var i = from
+        while (i + 8 <= until) {
+          if (ascii(b, i + 4, 4) == name) return i
+          val size = u32(b, i).toInt
+          if (size < 8) return -1
+          i += size
+        }
+        -1
+      }
+      val moov = findBox("moov", 0, b.length)
+      val dur = if (moov >= 0) {
+        val end = math.min(moov + u32(b, moov).toInt, b.length)
+        val mvhd = findBox("mvhd", moov + 8, end)
+        if (mvhd >= 0 && mvhd + 28 <= b.length) {
+          val timescale = u32(b, mvhd + 20)
+          val duration = u32(b, mvhd + 24)
+          if (timescale > 0) Some(duration * 1000L / timescale) else None
+        } else None
+      } else None
+      Some(MediaMeta("mp4", None, None, dur))
+    }
+
+    def sniff(b: Array[Byte]): MediaMeta =
+      if (b == null || b.isEmpty) MediaMeta("empty", None, None, None)
+      else jpeg(b).orElse(png(b)).orElse(gif(b)).orElse(wav(b)).orElse(mp4(b))
+        .getOrElse(MediaMeta("unknown", None, None, None))
+  }
+
+  /** Deterministic REAL-header fixtures: minimal but spec-valid file
+    * prefixes the sniffer must parse back exactly. Used by the synthetic
+    * media table and the header specs. */
+  object MediaFixtures {
+    def jpegBytes(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(41 + payload.length)
+      out.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+      out.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16) // APP0
+      out.put("JFIF".getBytes(StandardCharsets.US_ASCII)).put(0.toByte)
+      out.put(Array[Byte](1, 1, 0)).putShort(1).putShort(1)
+      out.put(Array[Byte](0, 0))
+      out.put(Array(0xff, 0xc0).map(_.toByte)).putShort(17) // SOF0
+      out.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      (1 to 3).foreach(c => out.put(c.toByte).put(0x11.toByte).put(0.toByte))
+      out.put(Array(0xff, 0xd9).map(_.toByte)) // EOI
+      out.put(payload)
+      out.array()
+    }
+
+    def pngBytes(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(45 + payload.length)
+      out.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      out.putInt(13).put("IHDR".getBytes(StandardCharsets.US_ASCII))
+      out.putInt(w).putInt(h)
+      out.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      out.putInt(0) // CRC (not validated by the sniffer)
+      out.putInt(0).put("IEND".getBytes(StandardCharsets.US_ASCII)).putInt(0)
+      out.put(payload)
+      out.array()
+    }
+
+    /** 44-byte canonical WAV header; `dataSize` is the DECLARED data
+      * chunk size (payload may be truncated — parsers read the header). */
+    def wavBytes(sampleRate: Int, channels: Int, dataSize: Long,
+                 payload: Array[Byte]): Array[Byte] = {
+      val byteRate = sampleRate * channels * 2
+      val out = ByteBuffer.allocate(44 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+      out.putInt((36 + dataSize).toInt)
+      out.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      out.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      out.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      out.putInt(byteRate).putShort((channels * 2).toShort).putShort(16)
+      out.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataSize.toInt)
+      out.put(payload)
+      out.array()
+    }
+
+    /** ftyp(20) + moov(8+mvhd(108)) = 136-byte prefix. */
+    def mp4Bytes(timescale: Long, duration: Long, payload: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(136 + payload.length)
+      out.putInt(20).put("ftyp".getBytes(StandardCharsets.US_ASCII))
+      out.put("isom".getBytes(StandardCharsets.US_ASCII)).putInt(0)
+      out.put("isom".getBytes(StandardCharsets.US_ASCII))
+      out.putInt(116).put("moov".getBytes(StandardCharsets.US_ASCII))
+      out.putInt(108).put("mvhd".getBytes(StandardCharsets.US_ASCII))
+      out.putInt(0) // version + flags
+      out.putInt(0).putInt(0) // ctime, mtime
+      out.putInt(timescale.toInt).putInt(duration.toInt)
+      out.put(new Array[Byte](108 - 8 - 4 - 16)) // rate/volume/matrix/... zeroed
+      out.put(payload)
+      out.array()
+    }
+  }
+
+  /** STUB decode: deterministic pure functions of the payload bytes.
+    * These two are the fiction (no codec libs in the container) — format
+    * sniffing above is real. */
+  object FakeCodec {
     /** "Decode" a frame at index i: deterministic byte slice. */
     def frame(bytes: Array[Byte], i: Int): Array[Byte] = {
       if (bytes.isEmpty) Array.emptyByteArray
@@ -63,18 +225,37 @@ object Multimodal {
       bytes.zipWithIndex.collect { case (b, i) if i % 4 == 0 => b }.take(w * h)
   }
 
-  /** Synthesize a media table from the documents table: payload = UTF-8
-    * text bytes. Keeps the pipeline testable with driver data only. */
-  def synthesize(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      col("text").cast(BinaryType).as("media"),
-      lit(null).cast(mediaMetaStruct).as("meta"))
+  /** Synthesize a media table from the documents table: REAL file headers
+    * (format by doc_id%4, dimensions/rates derived from doc_id, payload =
+    * the document's UTF-8 bytes), so extractMeta exercises the actual
+    * parsers and an oracle can recompute every field from (doc_id, text). */
+  def synthesize(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getString(1)).getOrElse("")
+            .getBytes(StandardCharsets.UTF_8)
+          val w = (64 + id % 1024).toInt
+          val h = (64 + (id * 7) % 1024).toInt
+          val bytes = (id % 4) match {
+            case 0 => MediaFixtures.jpegBytes(w, h, payload)
+            case 1 => MediaFixtures.pngBytes(w, h, payload)
+            case 2 => MediaFixtures.wavBytes(
+              8000 + (id % 5).toInt * 8000, 1 + (id % 2).toInt,
+              payload.length.toLong * 100, payload)
+            case _ => MediaFixtures.mp4Bytes(1000L, payload.length.toLong * 50, payload)
+          }
+          Row(id, bytes, null)
+        }
+      }(enc)
+  }
 
   /** Metadata extraction: mapPartitions batch over the binary column
-    * (codec instance amortized per partition, not per row). */
+    * (parser/codec state amortized per partition, not per row), REAL
+    * header parsing via [[MediaSniffer]]. */
   def extractMeta(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val outSchema = StructType(mediaSchema.fields.map {
       case f if f.name == "meta" => f.copy(nullable = true)
       case f => f
@@ -82,19 +263,20 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("media"), col("meta"))
       .mapPartitions { rows =>
-        // per-partition codec init goes here in a real impl
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray
             else r.getAs[Array[Byte]](1)
-          val (w, h) = FakeCodec.dimensions(bytes)
-          Row(id, bytes, Row(FakeCodec.sniffFormat(bytes), w, h,
-            FakeCodec.durationMs(bytes), bytes.length.toLong))
+          val m = MediaSniffer.sniff(bytes)
+          Row(id, bytes, Row(m.format, m.width.map(Int.box).orNull,
+            m.height.map(Int.box).orNull, m.durationMs.map(Long.box).orNull,
+            bytes.length.toLong))
         }
       }(enc)
   }
 
-  /** Frame sampling: one output row per sampled frame (UDTF shape). */
+  /** Frame sampling: one output row per sampled frame (UDTF shape).
+    * Frame DECODE is the stub; the fan-out/batching is real. */
   def sampleFrames(media: DataFrame, everyN: Int = 4, maxFrames: Int = 3): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),

@@ -165,15 +165,41 @@ class OperatorsSpec extends GraftSpec {
 
   // ---- multimodal -------------------------------------------------------
 
-  test("multimodal meta + frames are deterministic and shaped") {
+  test("media sniffer parses hand-built real headers exactly") {
+    import Multimodal.{MediaFixtures, MediaSniffer}
+    val payload = "hello media".getBytes("UTF-8")
+    val j = MediaSniffer.sniff(MediaFixtures.jpegBytes(640, 480, payload))
+    assert(j.format == "jpeg" && j.width.contains(640) && j.height.contains(480))
+    val p = MediaSniffer.sniff(MediaFixtures.pngBytes(1920, 1080, payload))
+    assert(p.format == "png" && p.width.contains(1920) && p.height.contains(1080))
+    // 16kHz stereo 16-bit -> 64000 B/s; 128000 bytes of data = 2000 ms
+    val w = MediaSniffer.sniff(MediaFixtures.wavBytes(16000, 2, 128000L, payload))
+    assert(w.format == "wav" && w.durationMs.contains(2000L))
+    // timescale 600, duration 1800 units -> 3000 ms
+    val m = MediaSniffer.sniff(MediaFixtures.mp4Bytes(600L, 1800L, payload))
+    assert(m.format == "mp4" && m.durationMs.contains(3000L))
+    assert(MediaSniffer.sniff("plain text".getBytes("UTF-8")).format == "unknown")
+    assert(MediaSniffer.sniff(Array.emptyByteArray).format == "empty")
+    // GIF89a logical screen 320x200, little-endian
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00, 0, 0)
+    assert(MediaSniffer.sniff(gif).format == "gif")
+    assert(MediaSniffer.sniff(gif).width.contains(320))
+    assert(MediaSniffer.sniff(gif).height.contains(200))
+  }
+
+  test("multimodal meta + frames: real headers round-trip, deterministic frames") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
     val media = Multimodal.synthesize(docs)
     val meta = Multimodal.extractMeta(media)
     assert(meta.count() == 20)
-    val m = meta.select("meta.format", "meta.width", "meta.height").collect()
-    m.foreach { r =>
-      assert(Seq("jpeg", "png", "wav", "mp4").contains(r.getString(0)))
-      assert(r.getInt(1) >= 64 && r.getInt(1) < 64 + 1024)
+    meta.select(col("media_id"), col("meta.format"), col("meta.width"),
+      col("meta.duration_ms")).collect().foreach { r =>
+      val id = r.getLong(0)
+      val expected = Seq("jpeg", "png", "wav", "mp4")((id % 4).toInt)
+      assert(r.getString(1) == expected)
+      if (id % 4 <= 1) assert(r.getInt(2) == (64 + id % 1024).toInt)
+      else assert(!r.isNullAt(3)) // wav/mp4 carry a parsed duration
     }
     val frames = Multimodal.sampleFrames(media)
     assert(frames.count() == 60) // 3 frames per media
