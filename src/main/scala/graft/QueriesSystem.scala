@@ -87,6 +87,34 @@ object QueriesSystem {
           sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
     }),
 
+    // K7: events-log sink persisted as a real warehouse table — chain
+    // outputs (success/retry with levels) land via the sink router and
+    // aggregate back out
+    "k7_events_log" -> ((s, dir) => {
+      import s.implicits._
+      val wh = tmp("graft-q-log")
+      val router = new SinkRouter(wh)
+      val raw = s.read.parquet(s"$dir/events.parquet")
+        .select(to_json(struct(col("event_id"), col("event_type"))).as("value"))
+        .as[String]
+      val chain = Seq(
+        EventFunction("drop_errors", builtin = true,
+          e => if (e.get("event_type").asText() == "error") Drop else Same),
+        EventFunction("dst", builtin = false, (e: ObjectNode) =>
+          e.get("event_type").asText() match {
+            case "click" => Retry("dst 503")
+            case "purchase" =>
+              val b = e.deepCopy[ObjectNode]()
+              b.put("dup", true)
+              Replace(Seq(e, b))
+            case _ => Same
+          }))
+      graft.chain.EventsLog.persist(router, FunctionChain.run(raw, chain), "c1")
+      router.readTable(s, "events_log")
+        .groupBy(col("level"), col("status"), col("function_id"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // P1b/§7.5: dynamic property hoisting + sink schema evolution — two
     // batches whose properties carry DIFFERENT key sets are hoisted to
     // real columns and land in ONE event-named table; the second batch
@@ -176,6 +204,15 @@ object QueriesSystem {
         |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_identified
         |FROM resolved""".stripMargin,
+    "k7_events_log" ->
+      """SELECT 'warn' AS level, 'retry' AS status, 'dst' AS function_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'info', 'success', 'dst',
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END)
+        |    AS BIGINT)
+        |FROM events WHERE event_type IN ('view', 'signup', 'purchase')""".stripMargin,
     "p1b_hoist_evolve" ->
       """WITH c AS (
         |  SELECT event_id,

@@ -48,6 +48,22 @@ class StreamingSpec extends GraftSpec {
     assert(out.columns.sorted.sameElements(direct.columns.sorted))
   }
 
+  test("kafka-wire schema adapts into the pipeline's value frame") {
+    val env = DriverEventsAdapter.load(spark, sf)
+    val json = env.select(to_json(struct(env.columns.map(col): _*)).as("v"))
+    // the connector's fixed output schema, built statically
+    val kafkaShaped = json.select(
+      lit(null).cast("binary").as("key"),
+      col("v").cast("binary").as("value"),
+      lit("events").as("topic"), lit(0).as("partition"),
+      monotonically_increasing_id().as("offset"),
+      current_timestamp().as("timestamp"), lit(0).as("timestampType"))
+    val out = EventPipeline.transform(EventPipeline.fromKafkaWire(kafkaShaped))
+    val direct = graft.operators.Layouts.segmentSingleTable(env)
+    assert(out.count() == direct.count())
+    assert(out.columns.sorted.sameElements(direct.columns.sorted))
+  }
+
   test("streaming sessionization: session_window aggregates under watermark") {
     val in = tmp("graft-sess-in")
     Seq(
