@@ -132,10 +132,13 @@ object QueriesSystem {
         .withColumn("properties", concat(
           lit("{\"k\": "), k,
           lit(", \"coupon\": \"cp"), pmod(eid, lit(7)), lit("\"}")))
-      router.write(operators.Layouts.hoistProperties(
-        operators.Layouts.segmentMultiTable(b1)))
-      router.write(operators.Layouts.hoistProperties(
-        operators.Layouts.segmentMultiTable(b2)))
+      // the gate is the event-named table's hoist+evolution; skip the
+      // tracks-table write (its path is covered by p1_segment_multi)
+      def hoisted(b: org.apache.spark.sql.DataFrame) =
+        operators.Layouts.hoistProperties(
+          operators.Layouts.segmentMultiTable(b).filter(col("_table") === "click"))
+      router.write(hoisted(b1))
+      router.write(hoisted(b2))
       router.readTable(s, "click").agg(
         count(lit(1)).as("n_rows"),
         sum(col("k")).as("sum_k"),
