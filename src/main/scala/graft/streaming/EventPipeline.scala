@@ -29,15 +29,27 @@ import graft.sinks.{SinkOptions, SinkRouter}
 object EventPipeline {
 
   /** Build the transform graph from a raw-JSON event stream (batch or
-    * streaming DataFrame with a `value` string column). */
+    * streaming DataFrame with a `value` string column).
+    *
+    * `dedupWatermark` bounds the dedup state AND is the late-data
+    * cutoff: a stateful operator filters input older than the watermark,
+    * so events arriving later than this are DROPPED by the dedup stage.
+    * For live ingestion (roughly time-ordered arrival) the 1-hour
+    * default is right — state stays small and the sink MERGE catches any
+    * residual duplicates. For bulk backfills/replays, where batch N+1
+    * can carry events far older than batch N's max timestamp, pass a
+    * watermark wider than the replayed span (or withDedup=false and let
+    * the sink MERGE dedup) — otherwise old events are silently lost
+    * (StreamingSpec's multi-batch test demonstrates both sides). */
   def transform(raw: DataFrame, layout: String = "segment-single-table",
-                withDedup: Boolean = true): DataFrame = {
+                withDedup: Boolean = true,
+                dedupWatermark: String = "1 hour"): DataFrame = {
     import raw.sparkSession.implicits._
     val parsed = EventSchema.fromJson(raw.select(col("value").as("value")).as[String])
     val deduped =
       if (!withDedup) parsed
       else if (parsed.isStreaming)
-        parsed.withWatermark("timestamp", "1 hour")
+        parsed.withWatermark("timestamp", dedupWatermark)
           .dropDuplicatesWithinWatermark("message_id")
       else parsed.dropDuplicates("message_id")
     layout match {
@@ -64,13 +76,14 @@ object EventPipeline {
     * (swap `format("json")` for `format("kafka")` + value cast in prod). */
   def start(spark: SparkSession, inputDir: String, warehouseDir: String,
             checkpointDir: String, layout: String = "segment-single-table",
-            options: SinkOptions = SinkOptions()): StreamingQuery = {
+            options: SinkOptions = SinkOptions(),
+            dedupWatermark: String = "1 hour"): StreamingQuery = {
     val raw = spark.readStream
       .format("text")
       .option("maxFilesPerTrigger", "16")
       .load(inputDir)
     val router = new SinkRouter(warehouseDir, options)
-    transform(raw, layout).writeStream
+    transform(raw, layout, withDedup = true, dedupWatermark).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       // AvailableNow: drain everything already in the source in bounded
