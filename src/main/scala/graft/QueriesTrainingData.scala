@@ -98,6 +98,18 @@ object QueriesTrainingData {
           round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"))
     }),
 
+    // ANN: IVF cell-probed variant (kmeans centroids; the 100TB path is
+    // the cell id as a bucket column of the stored table) — rows-only
+    // like ann_lsh_topk (recall is spec-asserted, not hash-matched)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(
+        e.filter(col("id") < 10).select(col("id").as("qid"), col("vec")),
+        e, k = 10, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // multimodal: metadata extraction over binary media column
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.synthesize(docs(s, dir)))

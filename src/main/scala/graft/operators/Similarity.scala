@@ -57,6 +57,86 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("cosine"))
   }
 
+  // ---- IVF (inverted-file) ANN ---------------------------------------
+
+  /** Lloyd's k-means over the corpus embeddings, entirely as DataFrame
+    * jobs: assignment is `nlist` codegen'd cosine kernels + argmax; the
+    * new centroid is the element-wise mean via posexplode + groupBy
+    * (cell, dim) — only (nlist × dim) aggregates ever reach the driver.
+    * Deterministic: init = first `nlist` vectors by id. At 100 TB you
+    * train on a sample (pass one in); assignment stays a full-scan
+    * narrow map either way. */
+  def trainCentroids(corpus: DataFrame, nlist: Int = 16,
+                     iters: Int = 2): Array[Array[Float]] = {
+    var centroids = corpus.select(col("id"), col("vec")).orderBy(col("id"))
+      .limit(nlist).collect()
+      .map(_.getSeq[Float](1).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(col("vec"),
+        cellOf(col("vec"), centroids).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val m = old.clone()
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+            m
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id: argmax over `nlist` codegen'd cosine
+    * kernels against literal centroid vectors. */
+  def cellOf(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val sims = array(centroids.map(c =>
+      VectorKernels.cosine_sim(vec, typedLit(c.toSeq))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** The `nprobe` nearest centroid cells for a query vector. */
+  def probeCells(vec: Column, centroids: Array[Array[Float]],
+                 nprobe: Int): Column = {
+    val simIdx = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorKernels.cosine_sim(vec, typedLit(c.toSeq)).as("s"),
+        lit(i).as("i"))
+    }: _*)
+    transform(slice(reverse(array_sort(simIdx)), 1, nprobe), p => p.getField("i"))
+  }
+
+  /** IVF ANN top-k: corpus rows are assigned to their nearest-centroid
+    * cell (a one-time transform — at scale, a partition/bucket column of
+    * the stored table); each query probes its `nprobe` nearest cells and
+    * scores only those cells' rows. `nprobe == nlist` degenerates to the
+    * exact scan (SimilaritySpec asserts bit-equality with brute force
+    * there — the routing is provably lossless). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus.select(col("id"), col("vec")), nlist))
+    val c = corpus.select(col("id"), col("vec"))
+      .withColumn("cell", cellOf(col("vec"), cents))
+    val q = queries.select(col("qid"), col("vec").as("qvec"))
+      .withColumn("cell", explode(probeCells(col("qvec"), cents, nprobe)))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cosine", round(VectorKernels.cosine_sim(col("qvec"), col("vec")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN top-k: score only bucket-mates across tables. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
               numBits: Int = 8, numTables: Int = 8): DataFrame = {

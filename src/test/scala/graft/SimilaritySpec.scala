@@ -51,6 +51,43 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.8, s"LSH recall $recall too low on clustered data")
   }
 
+  test("IVF: nprobe=nlist reproduces brute force exactly; partial probe is a real subset search") {
+    val q = embs.filter(col("id") < 5).select(col("id").as("qid"), col("vec"))
+    val exact = Similarity.bruteForceTopK(q, embs, k = 10)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    // probing every cell must scan everything -> bit-identical to exact
+    // (proves the cell routing loses nothing)
+    val full = Similarity.ivfTopK(q, embs, k = 10, nlist = 8, nprobe = 8)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(full == exact)
+    // partial probe: meaningful recall at a fraction of the scan
+    val part = Similarity.ivfTopK(q, embs, k = 10, nlist = 8, nprobe = 3)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(t => (t._1, t._3))
+    val recall = (exactPairs & part).size.toDouble / exactPairs.size
+    assert(recall >= 0.3, s"IVF recall $recall unreasonably low")
+    assert(part.size <= exactPairs.size)
+  }
+
+  test("IVF on clustered data: high recall at small probe fraction") {
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(20)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val corpus = base.zipWithIndex.flatMap { case (v, i) =>
+      (0 until 8).map(j => ((i * 10 + j).toLong,
+        v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)))
+    }
+    val corpusDf = spark.createDataFrame(corpus.toSeq).toDF("id", "vec")
+    val qDf = spark.createDataFrame(
+      base.take(8).zipWithIndex.map { case (v, i) => (i.toLong * 1000, v) }.toSeq)
+      .toDF("qid", "vec")
+    val exact = Similarity.bruteForceTopK(qDf, corpusDf, k = 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(qDf, corpusDf, k = 5, nlist = 10, nprobe = 3)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
+  }
+
   test("planted identical vector is always rank-1 neighbor") {
     val planted = embs.filter(col("id") === 0)
       .select((col("id") + 10000).as("id"), col("vec"))
