@@ -88,9 +88,33 @@ object FunctionChain {
 
   // ---- ctx construction ----------------------------------------------
 
+  /** Per-thread memo of parsed UA nodes: real traffic has modest UA
+    * cardinality, so the keyword scan runs once per distinct string per
+    * task thread (callers get a deepCopy — ctx.ua is handed to user
+    * code). */
+  private val uaCacheTl = new ThreadLocal[java.util.LinkedHashMap[String, ObjectNode]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[String, ObjectNode](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, ObjectNode]): Boolean = size() > 1024
+      }
+  }
+
   /** JVM mirror of Scalars.parseUa (same keyword heuristics, ref
-    * `lib/ua.ts:6,22`) for the chain-side ctx.ua. */
-  private[chain] def parseUaNode(mapper: ObjectMapper, ua: String): ObjectNode = {
+    * `lib/ua.ts:6,22`) for the chain-side ctx.ua. ChainSpec's drift
+    * guard asserts this and the Column form agree — change BOTH. */
+  private[graft] def parseUaMemo(mapper: ObjectMapper, ua: String): ObjectNode = {
+    val cache = uaCacheTl.get()
+    val hit = cache.get(ua)
+    val node = if (hit != null) hit else {
+      val fresh = parseUaNode(mapper, ua)
+      cache.put(ua, fresh)
+      fresh
+    }
+    node.deepCopy[ObjectNode]()
+  }
+
+  private[graft] def parseUaNode(mapper: ObjectMapper, ua: String): ObjectNode = {
     val l = ua.toLowerCase
     val n = mapper.createObjectNode()
     n.put("name",
@@ -116,7 +140,7 @@ object FunctionChain {
     val context = Option(ev.get("context")).filterNot(_.isNull)
     val geo = context.flatMap(c => Option(c.get("geo"))).filterNot(_.isNull)
     val ua = context.flatMap(c => Option(c.get("user_agent")))
-      .filterNot(_.isNull).map(u => parseUaNode(mapper, u.asText()))
+      .filterNot(_.isNull).map(u => parseUaMemo(mapper, u.asText()))
     ChainContext(options.connectionId, options.props,
       new TTLStore(options.connectionId), geo, ua, options.retries)
   }
@@ -130,11 +154,23 @@ object FunctionChain {
   private lazy val reaper: Thread = {
     val t = new Thread(() => {
       while (true) {
-        Thread.sleep(ReaperTickMs)
-        val now = System.currentTimeMillis()
-        activeCalls.forEach { (thread, deadline) =>
-          if (now > deadline && activeCalls.remove(thread, deadline))
-            thread.interrupt()
+        try {
+          Thread.sleep(ReaperTickMs)
+          val now = System.currentTimeMillis()
+          activeCalls.forEach { (thread, deadline) =>
+            if (now > deadline)
+              // interrupt INSIDE the map-bin computation: it serializes
+              // against callBounded's finally-remove, so an interrupt can
+              // never land after the call already finished and cleared
+              // its flag (stale interrupts would poison the next call or
+              // Spark IO on the task thread)
+              activeCalls.computeIfPresent(thread, (th, dl) => {
+                if (now > dl) { th.interrupt(); null } else dl
+              }): Unit
+          }
+        } catch {
+          case _: InterruptedException => // spurious; keep reaping
+          case scala.util.control.NonFatal(_) => // never let the reaper die
         }
       }
     }, "graft-udf-reaper")

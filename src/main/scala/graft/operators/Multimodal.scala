@@ -95,12 +95,16 @@ object Multimodal {
       var i = 12
       var byteRate = 0L
       var dataSize = -1L
-      while (i + 8 <= b.length && (byteRate == 0L || dataSize < 0)) {
+      var corrupt = false
+      while (!corrupt && i + 8 <= b.length && (byteRate == 0L || dataSize < 0)) {
         val id = ascii(b, i, 4)
         val size = u32le(b, i + 4)
         if (id == "fmt " && i + 16 + 8 <= b.length) byteRate = u32le(b, i + 16)
         else if (id == "data") dataSize = size
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // corrupt/adversarial sizes must not stall the walk (size is u32;
+        // a huge value overflows toInt negative and would never advance)
+        if (size < 0 || size > b.length) corrupt = true
+        else i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
       }
       val dur = if (byteRate > 0 && dataSize >= 0)
         Some(dataSize * 1000L / byteRate) else None

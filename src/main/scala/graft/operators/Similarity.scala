@@ -68,11 +68,12 @@ object Similarity {
     * narrow map either way. */
   def trainCentroids(corpus: DataFrame, nlist: Int = 16,
                      iters: Int = 2): Array[Array[Float]] = {
-    var centroids = corpus.select(col("id"), col("vec")).orderBy(col("id"))
+    val vecs = corpus.select(col("id"), col("vec")).na.drop(Seq("vec"))
+    var centroids = vecs.orderBy(col("id"))
       .limit(nlist).collect()
       .map(_.getSeq[Float](1).toArray)
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(col("vec"),
+      val assigned = vecs.select(col("vec"),
         cellOf(col("vec"), centroids).as("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col("vec")))
@@ -122,7 +123,7 @@ object Similarity {
               centroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val cents = centroids.getOrElse(
       trainCentroids(corpus.select(col("id"), col("vec")), nlist))
-    val c = corpus.select(col("id"), col("vec"))
+    val c = corpus.select(col("id"), col("vec")).na.drop(Seq("vec"))
       .withColumn("cell", cellOf(col("vec"), cents))
     val q = queries.select(col("qid"), col("vec").as("qvec"))
       .withColumn("cell", explode(probeCells(col("qvec"), cents, nprobe)))

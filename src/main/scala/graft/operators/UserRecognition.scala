@@ -74,7 +74,11 @@ object UserRecognition {
     val withIdent = events
       .withColumn("_is_ident", isIdent)
       .withColumn("_ident", identEvent)
-    val inWindow = col("_ident").isNotNull &&
+    // no anonymous key -> recognition skipped entirely (ref getAnonId
+    // :87-95 returns the event untouched); without this guard every
+    // null-key event lands in one window partition and an identified
+    // null-key event would stamp its identity across unrelated users
+    val inWindow = anonKey.isNotNull && col("_ident").isNotNull &&
       col("_ident._ts") <= col("timestamp") +
         expr(s"INTERVAL ${config.lookbackDays} DAYS")
     val merged = config.identifierFields.foldLeft(withIdent) { (df, f) =>
@@ -82,14 +86,21 @@ object UserRecognition {
       val out =
         if (config.jsonObjectFields(f)) {
           // key-level JSON object merge, identified keys win (LAST_WIN
-          // dedup policy set by GraftSession)
+          // dedup policy set by GraftSession). The rec === own case (an
+          // identified event merging with itself — the common path) is
+          // returned verbatim; only a genuine two-object merge pays the
+          // map round-trip, whose string value type stringifies non-string
+          // JSON values — a stated divergence from the streaming twin's
+          // node-level merge, acceptable because buffered anonymous
+          // events rarely carry their own traits object (carrying one
+          // makes the event identified).
           val mapT = org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,
             org.apache.spark.sql.types.StringType)
           val ownMap = from_json(col(f), mapT)
           val recMap = from_json(rec, mapT)
           when(rec.isNull, col(f))
-            .when(col(f).isNull, rec)
+            .when(col(f).isNull || col(f) === rec, rec)
             .otherwise(to_json(map_concat(ownMap, recMap)))
         } else when(rec.isNotNull, rec).otherwise(col(f))
       df.withColumn(f, out)
@@ -147,14 +158,18 @@ object UserRecognition {
                        watermark: String = "1 hour"): Dataset[UREvent] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val base = events
       .select(col("message_id"), col("anonymous_id"), col("user_id"),
         col("timestamp"))
       .withWatermark("timestamp", watermark)
+    // null-key events bypass recognition (see streamingResolveConfigured)
+    val keyless = base.filter(col("anonymous_id").isNull).as[UREvent]
+    base.filter(col("anonymous_id").isNotNull)
       .as[UREvent]
       .groupByKey(_.anonymous_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         urTransition(lookbackDays * 86400000L))
+      .union(keyless)
   }
 
   // ---- configurable streaming form (full-event payloads) -------------
@@ -245,14 +260,19 @@ object UserRecognition {
     val anonKey = coalesce(config.anonymousIdFields.map(col): _*)
     val isIdent = config.identifierFields
       .map(f => nonEmpty(col(f), config.jsonObjectFields(f))).reduce(_ || _)
-    events
+    val tagged = events
       .withWatermark("timestamp", watermark)
       .select(anonKey.as("key"), isIdent.as("ident"),
         col("timestamp").as("ts"),
         to_json(struct(events.columns.map(col): _*)).as("payload"))
+    // no anonymous key -> bypass the stateful op untouched (ref
+    // getAnonId :87-95); a shared null key would cross-contaminate
+    val keyless = tagged.filter(col("key").isNull).select(col("payload")).as[String]
+    val resolved = tagged.filter(col("key").isNotNull)
       .as[URGenEvent]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         urGenTransition(config.lookbackDays * 86400000L, config.identifierFields))
+    resolved.union(keyless)
   }
 }

@@ -259,13 +259,13 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
         }
       }: _*)
       val evolved = mergeSchemas(existing, nullable(aligned.schema))
-      if (!options.deduplicate) {
-        writePartitioned(aligned, path, SaveMode.Append)
-        if (newCols.nonEmpty) persistSchema(path, evolved)
-      } else {
-        mergeInto(spark, path, existing, aligned, batchDates)
-        if (newCols.nonEmpty) persistSchema(path, evolved)
-      }
+      // evolve the sidecar BEFORE writing: a sidecar column with no data
+      // yet reads back as nulls (harmless), whereas committed data with a
+      // column the sidecar lacks would be invisible to every read after a
+      // crash in between
+      if (newCols.nonEmpty) persistSchema(path, evolved)
+      if (!options.deduplicate) writePartitioned(aligned, path, SaveMode.Append)
+      else mergeInto(spark, path, existing, aligned, batchDates)
     }
   }
 

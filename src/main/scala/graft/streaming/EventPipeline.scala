@@ -74,10 +74,17 @@ object EventPipeline {
 
   /** Start the full streaming pipeline from a JSON-lines directory source
     * (swap `format("json")` for `format("kafka")` + value cast in prod). */
+  /** `trigger` defaults to AvailableNow — drain everything already in
+    * the source in bounded micro-batches, then stop (the drive/backfill
+    * shape; same incremental execution as a long-running trigger without
+    * idling between ticks). A tailing deployment that must keep
+    * ingesting new arrivals passes
+    * `Trigger.ProcessingTime("5 seconds")`. */
   def start(spark: SparkSession, inputDir: String, warehouseDir: String,
             checkpointDir: String, layout: String = "segment-single-table",
             options: SinkOptions = SinkOptions(),
-            dedupWatermark: String = "1 hour"): StreamingQuery = {
+            dedupWatermark: String = "1 hour",
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val raw = spark.readStream
       .format("text")
       .option("maxFilesPerTrigger", "16")
@@ -86,11 +93,7 @@ object EventPipeline {
     transform(raw, layout, withDedup = true, dedupWatermark).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      // AvailableNow: drain everything already in the source in bounded
-      // micro-batches, then stop — same incremental execution as a
-      // long-running ProcessingTime trigger (which a deployment would use),
-      // without idling between 5 s ticks.
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         router.write(batch)
         ()

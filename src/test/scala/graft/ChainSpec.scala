@@ -214,6 +214,28 @@ class ChainSpec extends GraftSpec {
     assert(ok.status == "success")
   }
 
+  test("drift guard: JVM UA parser agrees with the Column UA parser") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val uas = Seq(
+      "Mozilla/5.0 (Macintosh) AppleWebKit/537.36 Chrome/120.0 Safari/537.36",
+      "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Safari/604.1",
+      "Googlebot/2.1 (+http://www.google.com/bot.html)",
+      "Mozilla/5.0 (Windows NT 10.0) Gecko/20100101 Firefox/121.0",
+      "Mozilla/5.0 (Linux; Android 14) Chrome/120.0 Mobile Safari/537.36")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    uas.foreach { ua =>
+      val jvm = FunctionChain.parseUaNode(mapper, ua)
+      val sql = spark.range(1).select(
+        graft.functions.Scalars.parseUa(lit(ua)).as("u"))
+        .select(col("u.name"), col("u.os_name"), col("u.device_type"), col("u.bot"))
+        .collect().head
+      assert(jvm.get("name").asText() == sql.getString(0), ua)
+      assert(jvm.get("os_name").asText() == sql.getString(1), ua)
+      assert(jvm.get("device_type").asText() == sql.getString(2), ua)
+      assert(jvm.get("bot").asBoolean() == sql.getBoolean(3), ua)
+    }
+  }
+
   test("metrics status derivation (A4)") {
     val out = FunctionChain.run(
       Seq(ev(3, "track")).toDS(), Seq(dropPages, failOnType3))

@@ -67,6 +67,21 @@ class SinkRouterSpec extends GraftSpec {
     assert(m2.isNullAt(m2.fieldIndex("seats")))
   }
 
+  test("hoistProperties tolerates malformed and null JSON") {
+    val df = Seq(
+      ("m1", """{"k": 1}"""),
+      ("m2", "not json at all"),
+      ("m3", null.asInstanceOf[String])
+    ).toDF("message_id", "properties")
+    val out = graft.operators.Layouts.hoistProperties(df)
+    assert(out.columns.toSet == Set("message_id", "k"))
+    val rows = out.collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows("m1").contains(1L))
+    assert(rows("m2").isEmpty) // malformed -> nulls, row survives
+    assert(rows("m3").isEmpty)
+  }
+
   test("schemaFreeze rejects a batch whose hoisted properties add a column") {
     val wh = tmpDir()
     val open = new SinkRouter(wh)
