@@ -112,6 +112,22 @@ object QueriesExtra {
           get_json_object(col("traits"), "$.email").as("email"),
           col("recognized"))),
 
+    // J5b/A7/S5: the pluggable profile-UDF surface (per-user history scan
+    // + arbitrary reduce), with a SQL-expressible reduce so the whole
+    // groupByKey/mapGroups path is oracle-gated (not just spec'd)
+    "j5b_profile_fn" -> ((s, dir) => {
+      val fn: Profiles.ProfileFunction = (_, events) => Map(
+        "n_purchases" -> events.count(_.event == "purchase").toString,
+        "first_type" -> events.head.`type`)
+      Profiles.runProfileFunction(env(s, dir), fn)
+        .toDF()
+        .select(col("user_id"),
+          element_at(col("properties"), "n_purchases").cast("long")
+            .as("n_purchases"),
+          element_at(col("properties"), "first_type").as("first_type"),
+          unix_timestamp(col("updated_at")).as("updated_at_s"))
+    }),
+
     // A1 mergeable-sketch form (uniqState/uniqMerge analogue) — rows-only
     // (HLL estimates are not bit-equal to an exact-count oracle)
     "a1_hll_sketch" -> ((s, dir) =>
@@ -214,6 +230,15 @@ object QueriesExtra {
         |  AND timestamp <= TIMESTAMP '2024-01-20 00:00:00'
         |  AND user_id IS NOT NULL
         |ORDER BY user_id""".stripMargin),
+    "j5b_profile_fn" -> (adapterCte +
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  arg_min(type, timestamp) AS first_type,
+        |  CAST(epoch(date_trunc('second', MAX(timestamp))) AS BIGINT)
+        |    AS updated_at_s
+        |FROM env WHERE user_id IS NOT NULL
+        |GROUP BY user_id""".stripMargin),
     "j1b_identity_merge" -> (adapterCte +
       """, marked AS (
         |  SELECT *,

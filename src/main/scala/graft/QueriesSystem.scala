@@ -87,6 +87,38 @@ object QueriesSystem {
           sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
     }),
 
+    // K9/R1: dead-letter flow — a permanently failing destination is
+    // retried MaxRetries times with exponential backoff, then every event
+    // lands in the DLQ split; backoff schedule oracle-checked
+    "k9_dlq" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(s"$dir/events.parquet")
+        .select(to_json(struct(col("event_id"), col("event_type"))).as("value"))
+        .as[String]
+      val dst = Seq(EventFunction("dst", builtin = false,
+        (_: ObjectNode) => Retry("dst permanently down")))
+      val t0 = to_timestamp(lit("2024-06-01 00:00:00"))
+      var table = chain.RetryPolicy.schedule(
+        FunctionChain.run(raw, dst).filter(col("status") === "retry").toDF(), t0)
+      for (attempt <- 2 to chain.RetryPolicy.MaxRetries + 1) {
+        val due = chain.RetryPolicy.due(table,
+          to_timestamp(lit("2099-01-01 00:00:00")))
+        val redriven = FunctionChain.redrive(
+          due.select("event", "status", "functionId", "error")
+            .as[FunctionChain.ChainOutput], dst)
+        table = chain.RetryPolicy.schedule(
+          redriven.filter(col("status") === "retry").toDF(), t0,
+          prevAttempt = lit(attempt - 1))
+      }
+      chain.RetryPolicy.deadLetters(table).agg(
+        count(lit(1)).as("n_dead"),
+        max(col("attempt")).cast("int").as("final_attempt"),
+        round(max(chain.RetryPolicy.backoffMinutes(lit(1))), 1).as("b1"),
+        round(max(chain.RetryPolicy.backoffMinutes(lit(2))), 1).as("b2"),
+        round(max(chain.RetryPolicy.backoffMinutes(lit(3))), 1).as("b3"),
+        round(max(chain.RetryPolicy.backoffMinutes(lit(4))), 1).as("b4"))
+    }),
+
     // K7: events-log sink persisted as a real warehouse table — chain
     // outputs (success/retry with levels) land via the sink router and
     // aggregate back out
@@ -207,6 +239,11 @@ object QueriesSystem {
         |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_identified
         |FROM resolved""".stripMargin,
+    "k9_dlq" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_dead,
+        |  4 AS final_attempt,
+        |  10.0 AS b1, 100.0 AS b2, 1000.0 AS b3, 1440.0 AS b4
+        |FROM events""".stripMargin,
     "k7_events_log" ->
       """SELECT 'warn' AS level, 'retry' AS status, 'dst' AS function_id,
         |  CAST(COUNT(*) AS BIGINT) AS n
