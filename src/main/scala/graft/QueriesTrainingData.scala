@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.expressions.SimHash64
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 
 /** Training-data pipeline queries: dedup family, ANN similarity search,
   * text analysis, multimodal plumbing — over the driver's `documents` and
@@ -98,6 +98,16 @@ object QueriesTrainingData {
           round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"))
     }),
 
+    // training-data mixing: deterministic stratified sampling by language
+    // (md5-bucket per doc id, per-stratum basis-point rates) — the
+    // reproducible corpus-mix primitive
+    "td_mix" -> ((s, dir) =>
+      Sampling.stratifiedMix(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 8000, "de" -> 5000, "fr" -> 2500), defaultRateBp = 1000)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))),
+
     // ANN: IVF cell-probed variant (kmeans centroids; the 100TB path is
     // the cell id as a bucket column of the stored table) — rows-only
     // like ann_lsh_topk (recall is spec-asserted, not hash-matched)
@@ -184,6 +194,15 @@ object QueriesTrainingData {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+    "td_mix" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 10000 <
+        |  CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
+        |    WHEN 'fr' THEN 2500 ELSE 1000 END
+        |GROUP BY lang""".stripMargin,
     "td_pipeline" -> (wordsOnlyCte +
       """, scored AS (
         |  SELECT doc_id, lang, text,

@@ -441,4 +441,35 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     recover(path)
     spark.read.schema(loadSchema(spark, path)).parquet(path).drop(DateCol)
   }
+
+  /** Maintenance compaction (Delta OPTIMIZE analogue): rewrite each date
+    * partition that has accumulated more than `maxFilesPerPartition`
+    * files into one file, through the same staged-write + manifest swap
+    * as a merge — crash-safe at every point, readers never see a partial
+    * state. Streaming appends create one file per date per micro-batch,
+    * so long-running tables need this periodically; untouched partitions
+    * are not read or rewritten (O(compacted partitions), not O(table)). */
+  def compact(spark: SparkSession, table: String,
+              maxFilesPerPartition: Int = 8): Unit = {
+    val path = tablePath(table)
+    recover(path)
+    if (!tableExists(path)) return
+    val crowded = listDir(path)
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$DateCol="))
+      .filter(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet")) > maxFilesPerPartition)
+      .map(_.getName)
+    if (crowded.isEmpty) return
+    val schema = loadSchema(spark, path)
+    val dates = crowded.map(_.stripPrefix(s"$DateCol="))
+    val rows = spark.read.schema(schema).parquet(path)
+      .filter(col(DateCol).isin(dates: _*))
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val stage = s"$path/.stage-$id"
+    writePartitioned(rows, stage, SaveMode.Overwrite) // 1 file per date
+    val stagedNames = listDir(stage)
+      .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
+    writeManifest(path, id, crowded.toSeq, stagedNames)
+    completeSwap(path, id, crowded.toSeq, stagedNames)
+  }
 }

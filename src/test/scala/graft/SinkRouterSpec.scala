@@ -166,6 +166,31 @@ class SinkRouterSpec extends GraftSpec {
       .getAs[String]("user_id") == "u1")
   }
 
+  test("compact folds accumulated per-batch files into one per partition") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh)
+    // 5 appends -> >=5 files in the one date partition
+    (1 to 5).foreach(i => router.write(batch((s"m$i", "2024-01-01 10:00:00", s"u$i"))))
+    def files() = Option(
+      new java.io.File(s"$wh/events/graft_dt=2024-01-01").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files() >= 5)
+    router.compact(spark, "events", maxFilesPerPartition = 2)
+    assert(files() == 1)
+    val t = router.readTable(spark, "events")
+    assert(t.count() == 5) // no rows lost
+    assert(t.select("message_id").distinct().count() == 5)
+    // partitions under the threshold are untouched
+    router.write(batch(("m9", "2024-02-01 10:00:00", "u9")))
+    val before = Option(new java.io.File(s"$wh/events/graft_dt=2024-02-01")
+      .listFiles()).get.map(f => (f.getName, f.lastModified)).toSet
+    router.compact(spark, "events", maxFilesPerPartition = 2)
+    val after = Option(new java.io.File(s"$wh/events/graft_dt=2024-02-01")
+      .listFiles()).get.map(f => (f.getName, f.lastModified)).toSet
+    assert(before == after)
+  }
+
   test("crash mid-swap (partition in trash) is restored on next write") {
     val wh = tmpDir()
     val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
