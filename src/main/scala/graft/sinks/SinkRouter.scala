@@ -4,7 +4,6 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType, DateType}
 
@@ -320,12 +319,17 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     val (e2, i2) = evolve(oldRows, incoming)
     val all = e2.withColumn("_src", lit(0))
       .unionByName(i2.withColumn("_src", lit(1)))
-    val rank = Window.partitionBy(col(options.primaryKey))
-      .orderBy(col(options.timestampColumn).desc_nulls_last, col("_src").desc)
+    // latest-per-key via hash aggregation, not a sort window: max_by on
+    // (timestamp, _src) — struct comparison ranks null timestamps lowest
+    // (= desc_nulls_last winner) and _src breaks ties (batch beats
+    // existing). Partial map-side aggregation, no per-partition sort.
+    val dataCols = all.columns.filterNot(_ == "_src")
     val merged = all
-      .withColumn("_rn", row_number().over(rank))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_src")
+      .groupBy(col(options.primaryKey))
+      .agg(max_by(
+        struct(dataCols.map(col): _*),
+        struct(col(options.timestampColumn), col("_src"))).as("_r"))
+      .select(col("_r.*"))
 
     val id = java.util.UUID.randomUUID().toString.take(8)
     val stage = s"$path/.stage-$id"
