@@ -67,6 +67,22 @@ object QueriesExtra {
           countDistinct(col("anonymous_id")).as("n_users"))
     }),
 
+    // F1b: geo enrichment as a bucketed RANGE join (MaxMind shape: a dim
+    // of (ip_lo, ip_hi] ranges; equi-join on /16 bucket + range residual,
+    // not a nested loop)
+    "f1b_geo_range" -> ((s, dir) => {
+      val ranges = s.range(0, 200).select(
+        (lit(10L) * 16777216L + col("id") * 65536L).as("ip_lo"),
+        (lit(10L) * 16777216L + col("id") * 65536L + 65535L).as("ip_hi"),
+        element_at(array(lit("US"), lit("DE"), lit("FR"), lit("GB"), lit("CN")),
+          (pmod(col("id"), lit(5)) + 1).cast("int")).as("range_country"),
+        concat(lit("AS"), pmod(col("id"), lit(7))).as("range_asn"))
+      operators.GeoIp.lookup(env(s, dir), col("context.ip"), ranges)
+        .groupBy(col("range_country"), col("range_asn"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("anonymous_id")).as("n_users"))
+    }),
+
     // J3+J4: config lookup join + connection fan-out (explode)
     "j4_fanout" -> ((s, dir) => {
       val events = env(s, dir)
@@ -202,6 +218,15 @@ object QueriesExtra {
     "f1_geo_join" -> (adapterCte +
       """SELECT 'AS' || ((raw_user_id % 200) % 7) AS asn,
         |  ((raw_user_id % 200) % 2) = 0 AS is_datacenter,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS n_users
+        |FROM env GROUP BY 1, 2""".stripMargin),
+    "f1b_geo_range" -> (adapterCte +
+      """SELECT
+        |  CASE ((raw_user_id % 200) % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
+        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END
+        |    AS range_country,
+        |  'AS' || ((raw_user_id % 200) % 7) AS range_asn,
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS n_users
         |FROM env GROUP BY 1, 2""".stripMargin),
