@@ -83,6 +83,24 @@ object QueriesExtra {
           countDistinct(col("anonymous_id")).as("n_users"))
     }),
 
+    // J3b: temporal config lookup — AS-OF join events to versioned
+    // connection configs (latest version at-or-before event time);
+    // oracle = DuckDB's native ASOF JOIN
+    "j3b_asof_config" -> ((s, dir) => {
+      val versions = s.createDataFrame(
+        (for (c <- 0 to 3; v <- 0 to 2) yield (
+          s"c$c",
+          java.sql.Timestamp.valueOf(s"2024-0${v + 1}-0${c * 2 + 1} 00:00:00"),
+          s"v$v-c$c",
+          (v + 1) * 100 + c)).toSeq)
+        .toDF("connection_id", "valid_from", "config_version", "budget")
+      operators.AsOfJoin.asof(
+        env(s, dir), versions, "connection_id", "timestamp", "valid_from",
+        Seq("config_version", "budget"))
+        .groupBy(col("connection_id"), col("config_version"), col("budget"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // J3+J4: config lookup join + connection fan-out (explode)
     "j4_fanout" -> ((s, dir) => {
       val events = env(s, dir)
@@ -221,6 +239,19 @@ object QueriesExtra {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS n_users
         |FROM env GROUP BY 1, 2""".stripMargin),
+    "j3b_asof_config" -> (adapterCte +
+      """, versions AS (
+        |  SELECT 'c' || c AS connection_id,
+        |    CAST(('2024-0' || (v + 1) || '-0' || (c * 2 + 1) || ' 00:00:00')
+        |      AS TIMESTAMP) AS valid_from,
+        |    'v' || v || '-c' || c AS config_version,
+        |    (v + 1) * 100 + c AS budget
+        |  FROM range(0, 4) t1(c), range(0, 3) t2(v))
+        |SELECT e.connection_id, v.config_version, CAST(v.budget AS INT) AS budget,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM env e ASOF LEFT JOIN versions v
+        |  ON e.connection_id = v.connection_id AND e.timestamp >= v.valid_from
+        |GROUP BY 1, 2, 3""".stripMargin),
     "f1b_geo_range" -> (adapterCte +
       """SELECT
         |  CASE ((raw_user_id % 200) % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'

@@ -163,6 +163,28 @@ class OperatorsSpec extends GraftSpec {
     assert(out.properties("n_purchases") == "2")
   }
 
+  test("as-of join: latest at-or-before version attaches; earlier rows get nulls") {
+    val left = Seq(
+      ("k1", ts("2024-01-01 09:00:00"), "e1"), // before any version
+      ("k1", ts("2024-01-01 10:00:00"), "e2"), // exactly at v1 (inclusive)
+      ("k1", ts("2024-01-01 11:30:00"), "e3"), // between v1 and v2
+      ("k1", ts("2024-01-01 12:00:00"), "e4"), // exactly at v2
+      ("k2", ts("2024-01-01 12:00:00"), "e5")  // other key, no versions
+    ).toDF("k", "event_ts", "name")
+    val right = Seq(
+      ("k1", ts("2024-01-01 10:00:00"), "v1"),
+      ("k1", ts("2024-01-01 12:00:00"), "v2")
+    ).toDF("k", "valid_from", "version")
+    val out = graft.operators.AsOfJoin.asof(
+      left, right, "k", "event_ts", "valid_from", Seq("version"))
+      .select("name", "version").as[(String, Option[String])].collect().toMap
+    assert(out("e1").isEmpty)
+    assert(out("e2").contains("v1"))
+    assert(out("e3").contains("v1"))
+    assert(out("e4").contains("v2"))
+    assert(out("e5").isEmpty)
+  }
+
   // ---- multimodal -------------------------------------------------------
 
   test("media sniffer parses hand-built real headers exactly") {
