@@ -170,6 +170,18 @@ object QueriesExtra {
           env(s, dir).withColumn("workspace_id", col("write_key"))))
         .withColumn("period", date_format(col("period"), "yyyy-MM-dd"))),
 
+    // beyond-reference: exact interpolated percentiles per event type
+    // (report-style latency/value distribution; approx_percentile is the
+    // sketch form at scale, exact keeps the oracle hash-checkable)
+    "a5_value_percentiles" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))),
+
     // beyond-reference: ROLLUP exposed through the Spark SQL surface
     "a9_rollup" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -325,6 +337,13 @@ object QueriesExtra {
         |  user_id IS NULL AND ident_ts IS NOT NULL
         |    AND ident_ts <= timestamp + INTERVAL 30 DAY AS recognized
         |FROM j""".stripMargin),
+    "a5_value_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        |  ROUND(quantile_cont(value, 0.99), 4) AS p99,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "a9_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
