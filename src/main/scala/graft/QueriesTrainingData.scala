@@ -108,6 +108,20 @@ object QueriesTrainingData {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("kept_chars"))),
 
+    // PII scrubbing: deterministic PII is injected (the corpus has none)
+    // and the redaction chain must strip it — the oracle replays the
+    // exact regex rewrite, so engine-for-engine behavior is hash-checked
+    "td_pii_scrub" -> ((s, dir) => {
+      val spiked = docs(s, dir).withColumn("s", concat(
+        col("text"),
+        lit(" Contact: user"), col("doc_id"), lit("@mail.example.com"),
+        lit(", tel +1 (202) 555-01"), pmod(col("doc_id"), lit(100)),
+        lit(", ip 192.168."), pmod(col("doc_id"), lit(255)), lit(".7")))
+      spiked.select(col("doc_id"),
+        TextFunctions.redactPii(col("s"))
+          .substr(length(col("text")) + 1, lit(200)).as("tail"))
+    }),
+
     // ANN: IVF cell-probed variant (kmeans centroids; the 100TB path is
     // the cell id as a bucket column of the stored table) — rows-only
     // like ann_lsh_topk (recall is spec-asserted, not hash-matched)
@@ -203,6 +217,23 @@ object QueriesTrainingData {
         |  CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
         |    WHEN 'fr' THEN 2500 ELSE 1000 END
         |GROUP BY lang""".stripMargin,
+    "td_pii_scrub" ->
+      """WITH spiked AS (
+        |  SELECT doc_id, text,
+        |    text || ' Contact: user' || doc_id || '@mail.example.com'
+        |      || ', tel +1 (202) 555-01' || (doc_id % 100)
+        |      || ', ip 192.168.' || (doc_id % 255) || '.7' AS s
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\+?[0-9][0-9() .-]{7,}[0-9]', '[PHONE]', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g')
+        |      AS r
+        |  FROM spiked)
+        |SELECT doc_id, substr(r, length(text) + 1, 200) AS tail
+        |FROM red""".stripMargin,
     "td_pipeline" -> (wordsOnlyCte +
       """, scored AS (
         |  SELECT doc_id, lang, text,

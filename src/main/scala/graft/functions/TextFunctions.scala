@@ -82,4 +82,23 @@ object TextFunctions {
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
+
+  // ---- PII scrubbing ---------------------------------------------------
+
+  /** Redaction patterns, chosen from the regex subset Java and RE2
+    * (DuckDB) interpret identically so the oracle can replay the exact
+    * rewrite. Order matters: emails first (an email contains digit runs
+    * a phone pattern could nibble). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\+?[0-9][0-9() .-]{7,}[0-9]" -> "[PHONE]",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "[IP]")
+
+  /** Scrub emails/phones/IPs from free text — the curation step a
+    * training corpus runs before tokenization. One codegen'd
+    * regexp_replace chain, no UDF. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pattern, tag)) =>
+      regexp_replace(c, pattern, tag)
+    }
 }
