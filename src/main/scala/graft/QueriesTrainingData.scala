@@ -108,6 +108,13 @@ object QueriesTrainingData {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("kept_chars"))),
 
+    // near-dup CLUSTERS: connected components over the MinHash+LSH pair
+    // list (iterative min-label propagation) + survivor/member summary —
+    // oracle = recursive-CTE transitive closure over exact-Jaccard pairs
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2))),
+
     // PII scrubbing: deterministic PII is injected (the corpus has none)
     // and the redaction chain must strip it — the oracle replays the
     // exact regex rewrite, so engine-for-engine behavior is hash-checked
@@ -217,6 +224,23 @@ object QueriesTrainingData {
         |  CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
         |    WHEN 'fr' THEN 2500 ELSE 1000 END
         |GROUP BY lang""".stripMargin,
+    "dedup_clusters" -> (jaccardSql
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+      .replace("SELECT id_a, id_b, jaccard FROM (",
+        ", pairs AS (SELECT id_a, id_b, jaccard FROM (")
+      .replace("WHERE jaccard >= 0.5", "WHERE jaccard >= 0.5)") +
+      """, edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT component AS survivor_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM labels GROUP BY component""".stripMargin),
     "td_pii_scrub" ->
       """WITH spiked AS (
         |  SELECT doc_id, text,

@@ -176,4 +176,52 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Connected components over near-dup pairs `(id_a, id_b)` by
+    * iterative min-label propagation: every node starts labeled with its
+    * own id; each round joins labels across edges and keeps the min;
+    * stop when a round changes nothing. Convergence takes at most the
+    * longest path in a component — near-dup clusters are shallow, so
+    * this is a handful of shuffle rounds; the classic large-star
+    * optimization drops it to O(log n) if components ever get deep.
+    * Output: (id, component) for every id that appears in a pair. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label per node = min(own, neighbors' labels)
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("nbr"))
+      val next = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist(false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** Near-dup cluster summary: one row per component with the surviving
+    * (minimum) id and member count — what a curation pipeline keeps and
+    * what it drops. */
+  def clusters(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("component").as("survivor_id"))
+      .agg(count(lit(1)).as("n_members"))
 }

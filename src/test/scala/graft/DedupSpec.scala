@@ -83,4 +83,21 @@ class DedupSpec extends GraftSpec {
       s"missing planted pairs, got $pairs")
     assert(pairs.size == 5)
   }
+
+  test("connected components converge on deep chains and star shapes") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 (depth 5), star 10-{11,12,13}, isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    val cl = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cl == Map(1L -> 6L, 10L -> 4L, 20L -> 2L))
+  }
 }
