@@ -43,21 +43,38 @@ object EventPipeline {
     * (StreamingSpec's multi-batch test demonstrates both sides). */
   def transform(raw: DataFrame, layout: String = "segment-single-table",
                 withDedup: Boolean = true,
-                dedupWatermark: String = "1 hour"): DataFrame = {
-    import raw.sparkSession.implicits._
-    val parsed = EventSchema.fromJson(raw.select(col("value").as("value")).as[String])
+                dedupWatermark: String = "1 hour",
+                quarantineCorrupt: Boolean = false): DataFrame = {
+    val parsedRaw = raw.select(col("value").cast("string").as("value"),
+      from_json(col("value").cast("string"), EventSchema.envelope).as("e"))
+    val isCorrupt = col("e").isNull || col("e.timestamp").isNull
+    val parsed = parsedRaw.filter(!isCorrupt).select("e.*")
+      .withColumn("message_id",
+        coalesce(col("message_id"), expr("uuid()")))
     val deduped =
       if (!withDedup) parsed
       else if (parsed.isStreaming)
         parsed.withWatermark("timestamp", dedupWatermark)
           .dropDuplicatesWithinWatermark("message_id")
       else parsed.dropDuplicates("message_id")
-    layout match {
+    val laid = layout match {
       case "segment-single-table" => Layouts.segmentSingleTable(deduped)
       case "segment" => Layouts.segmentMultiTable(deduped)
       case "jitsu-legacy" => Layouts.jitsuLegacy(deduped)
       case "passthrough" => Layouts.passthrough(deduped)
       case other => throw new IllegalArgumentException(s"unknown layout $other")
+    }
+    if (!quarantineCorrupt) laid
+    else {
+      // unparseable lines (invalid JSON, or no event time — they could
+      // never pass the watermark) route to a quarantine table instead of
+      // vanishing in the stateful dedup; the reference logs these to its
+      // events log (`udf_wrapper`/rotor error paths)
+      val bad = parsedRaw.filter(isCorrupt).select(
+        col("value").as("raw_event"),
+        lit("parse_error").as("error"),
+        lit("quarantine").as("_table"))
+      laid.unionByName(bad, allowMissingColumns = true)
     }
   }
 
@@ -90,7 +107,8 @@ object EventPipeline {
       .option("maxFilesPerTrigger", "16")
       .load(inputDir)
     val router = new SinkRouter(warehouseDir, options)
-    transform(raw, layout, withDedup = true, dedupWatermark).writeStream
+    transform(raw, layout, withDedup = true, dedupWatermark,
+      quarantineCorrupt = true).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

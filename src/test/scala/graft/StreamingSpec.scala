@@ -48,6 +48,24 @@ class StreamingSpec extends GraftSpec {
     assert(out.columns.sorted.sameElements(direct.columns.sorted))
   }
 
+  test("corrupt JSON lines land in the quarantine table, not the void") {
+    val in = tmp("graft-q-in"); val wh = tmp("graft-q-wh"); val cp = tmp("graft-q-cp")
+    val env = DriverEventsAdapter.load(spark, sf).limit(50)
+    val good = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+    val bad = Seq(
+      "this is not json at all",
+      """{"message_id":"mX","type":"track"}""" // parseable but no event time
+    ).toDF("value")
+    good.unionAll(bad).coalesce(1).write.mode("overwrite").text(in)
+    val q = EventPipeline.start(spark, in, wh, cp)
+    try q.awaitTermination() finally q.stop()
+    assert(spark.read.parquet(s"$wh/events").count() == 50)
+    val quarantined = spark.read.parquet(s"$wh/quarantine")
+    assert(quarantined.count() == 2)
+    assert(quarantined.filter(col("error") === "parse_error").count() == 2)
+    assert(quarantined.filter(col("raw_event").contains("not json")).count() == 1)
+  }
+
   test("AvailableNow drains a multi-file source in bounded micro-batches") {
     val in = tmp("graft-mb-in"); val wh = tmp("graft-mb-wh"); val cp = tmp("graft-mb-cp")
     val env = DriverEventsAdapter.load(spark, sf)
