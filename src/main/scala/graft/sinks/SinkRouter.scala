@@ -109,6 +109,32 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     * anyway. */
   private val schemaCache = scala.collection.mutable.HashMap[String, StructType]()
 
+  /** Idempotent streaming entry point: `foreachBatch((df, id) =>
+    * router.writeBatch(df, id))`. Structured Streaming re-delivers a
+    * micro-batch after a failure; a replayed batch whose id is already
+    * recorded as committed is skipped, so plain-append tables don't
+    * double-land rows on the COMMON replay (re-delivery after a fully
+    * committed batch). Honest limit: a crash mid-batch (some tables
+    * written, marker not yet advanced) still re-appends to the already-
+    * written tables on replay — append tables are at-least-once across
+    * partial failures; deduplicate=true tables self-heal via the MERGE.
+    * Full multi-table atomicity is a table-format/transaction-log
+    * concern (see the class durability caveat). */
+  def writeBatch(batch: DataFrame, batchId: Long): Unit = {
+    val marker = Paths.get(warehouseDir, "_graft_last_batch")
+    val last =
+      if (Files.exists(marker))
+        new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim.toLong
+      else -1L
+    if (batchId <= last) return
+    write(batch)
+    val tmp = Paths.get(warehouseDir, "._graft_last_batch.tmp")
+    Files.createDirectories(Paths.get(warehouseDir))
+    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, marker,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
   /** Route one batch: split by `_table`, write each group. The batch is
     * cached for the duration — table discovery plus one write per table
     * would otherwise recompute the upstream (e.g. re-parse every JSON

@@ -112,8 +112,8 @@ object EventPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        router.write(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        router.writeBatch(batch, batchId) // idempotent on replay
         ()
       }
       .start()

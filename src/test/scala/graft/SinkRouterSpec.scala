@@ -166,6 +166,17 @@ class SinkRouterSpec extends GraftSpec {
       .getAs[String]("user_id") == "u1")
   }
 
+  test("writeBatch is idempotent: a replayed micro-batch does not double-land") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh)
+    val b = batch(("m1", "2024-01-01 10:00:00", "u1"))
+    router.writeBatch(b, batchId = 0L)
+    router.writeBatch(b, batchId = 0L) // foreachBatch re-delivery
+    assert(router.readTable(spark, "events").count() == 1)
+    router.writeBatch(batch(("m2", "2024-01-01 11:00:00", "u2")), batchId = 1L)
+    assert(router.readTable(spark, "events").count() == 2)
+  }
+
   test("compact folds accumulated per-batch files into one per partition") {
     val wh = tmpDir()
     val router = new SinkRouter(wh)
