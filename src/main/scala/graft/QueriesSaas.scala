@@ -21,6 +21,7 @@ object QueriesSaas {
     "k3_posthog" -> ((s, dir) => SaasProjections.posthogCapture(env(s, dir))),
     "k3_amplitude" -> ((s, dir) => SaasProjections.amplitudeEvents(env(s, dir))),
     "k3_intercom" -> ((s, dir) => SaasProjections.intercomRows(env(s, dir))),
+    "k3_mixpanel_people" -> ((s, dir) => SaasProjections.mixpanelPeople(env(s, dir))),
     "k3_hubspot" -> ((s, dir) => SaasProjections.hubspotContacts(env(s, dir))),
     "k3_braze" -> ((s, dir) => SaasProjections.brazeTrack(env(s, dir))),
     "k3_june" -> ((s, dir) => SaasProjections.juneTrack(env(s, dir))),
@@ -180,6 +181,11 @@ object QueriesSaas {
         |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) AS created_at,
         |  page_url AS url, ip, 'UTC' AS timezone
         |FROM env WHERE type NOT IN ('identify', 'group')""".stripMargin),
+    "k3_mixpanel_people" -> (cte +
+      """SELECT COALESCE(user_id, anonymous_id) AS distinct_id,
+        |  '{"$email":"' || traits_email || '","$name":"' || traits_name
+        |    || '"}' AS set_payload
+        |FROM env WHERE type = 'identify' AND traits_email IS NOT NULL""".stripMargin),
     "k3_hubspot" -> (cte +
       """SELECT traits_email AS email,
         |  'User' AS firstname,

@@ -57,6 +57,25 @@ object SaasProjections {
       ctx("page.url").as("page_location"),
       ctx("page.title").as("page_title"))
 
+  /** Mixpanel people ($set) payload with the full special-traits rule
+    * (ref `mixpanel-destination.ts:14-23,127-132`): every reserved trait
+    * name gets the `$` prefix, custom traits pass through unchanged —
+    * applied DYNAMICALLY over whatever keys the traits object carries
+    * (transform_keys over the parsed map), not a fixed column list. */
+  def mixpanelPeople(events: DataFrame): DataFrame = {
+    val mapT = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType)
+    val traits = from_json(col("traits"), mapT)
+    val prefixed = transform_keys(traits, (k, _) =>
+      when(k.isInCollection(Scalars.MixpanelSpecialTraits), concat(lit("$"), k))
+        .otherwise(k))
+    events.filter(col("type") === "identify" && col("traits").isNotNull)
+      .select(
+        coalesce(col("user_id"), col("anonymous_id")).as("distinct_id"),
+        to_json(prefixed).as("set_payload"))
+  }
+
   /** GA4 e-commerce items (ref `ga4-destination.ts:39-76,64-104`): the
     * `properties.products[]` array parsed and mapped product->Ga4Item
     * (product_id->item_id, name->item_name, position->index, ...), one
