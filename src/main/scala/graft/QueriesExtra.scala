@@ -152,7 +152,9 @@ object QueriesExtra {
     "j5b_profile_fn" -> ((s, dir) => {
       val fn: Profiles.ProfileFunction = (_, events) => Map(
         "n_purchases" -> events.count(_.event == "purchase").toString,
-        "first_type" -> events.head.`type`)
+        // (ts, type) tie-break — events.head would be order-unstable on
+        // same-user timestamp collisions and the oracle could disagree
+        "first_type" -> events.minBy(e => (e.timestamp.getTime, e.`type`)).`type`)
       Profiles.runProfileFunction(env(s, dir), fn)
         .toDF()
         .select(col("user_id"),
@@ -299,14 +301,21 @@ object QueriesExtra {
         |  AND user_id IS NOT NULL
         |ORDER BY user_id""".stripMargin),
     "j5b_profile_fn" -> (adapterCte +
-      """SELECT user_id,
-        |  CAST(SUM(CASE WHEN event = 'purchase' THEN 1 ELSE 0 END)
+      """, firsts AS (
+        |  SELECT user_id, type AS first_type FROM (
+        |    SELECT user_id, type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY timestamp, type) AS rn
+        |    FROM env WHERE user_id IS NOT NULL) WHERE rn = 1)
+        |SELECT e.user_id,
+        |  CAST(SUM(CASE WHEN e.event = 'purchase' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_purchases,
-        |  arg_min(type, timestamp) AS first_type,
-        |  CAST(epoch(date_trunc('second', MAX(timestamp))) AS BIGINT)
+        |  f.first_type,
+        |  CAST(epoch(date_trunc('second', MAX(e.timestamp))) AS BIGINT)
         |    AS updated_at_s
-        |FROM env WHERE user_id IS NOT NULL
-        |GROUP BY user_id""".stripMargin),
+        |FROM env e JOIN firsts f USING (user_id)
+        |WHERE e.user_id IS NOT NULL
+        |GROUP BY e.user_id, f.first_type""".stripMargin),
     "j1b_identity_merge" -> (adapterCte +
       """, marked AS (
         |  SELECT *,

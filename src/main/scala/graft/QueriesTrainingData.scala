@@ -252,8 +252,8 @@ object QueriesTrainingData {
         |  SELECT doc_id, text,
         |    regexp_replace(regexp_replace(regexp_replace(s,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |      '\+?[0-9][0-9() .-]{7,}[0-9]', '[PHONE]', 'g'),
-        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g')
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |      '\+?[0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g')
         |      AS r
         |  FROM spiked)
         |SELECT doc_id, substr(r, length(text) + 1, 200) AS tail

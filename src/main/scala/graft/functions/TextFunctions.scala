@@ -87,12 +87,17 @@ object TextFunctions {
 
   /** Redaction patterns, chosen from the regex subset Java and RE2
     * (DuckDB) interpret identically so the oracle can replay the exact
-    * rewrite. Order matters: emails first (an email contains digit runs
-    * a phone pattern could nibble). */
+    * rewrite. Order matters: emails first (an email contains runs the
+    * later rules could nibble), then IPs (dotted digits), then phones —
+    * the phone class deliberately has NO dot so it can never consume an
+    * IP. Stated precision tradeoff: long dash/space digit runs that are
+    * not phones (e.g. "2024-01-01 2025") also redact — PII scrubbing for
+    * training corpora errs toward recall, as the big public corpus
+    * filters do. */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
-    "\\+?[0-9][0-9() .-]{7,}[0-9]" -> "[PHONE]",
-    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "[IP]")
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "[IP]",
+    "\\+?[0-9][0-9() -]{7,}[0-9]" -> "[PHONE]")
 
   /** Scrub emails/phones/IPs from free text — the curation step a
     * training corpus runs before tokenization. One codegen'd

@@ -214,7 +214,17 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
-    labels
+    // no silent caps: unconverged labels would mean phantom clusters
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "maxIter; raise it (or add the large-star contraction)")
+    // truncate lineage and release the iteration caches — callers get a
+    // materialized frame, not 20 rounds of joins pinned in the cache
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(false)
+    out
   }
 
   /** Near-dup cluster summary: one row per component with the surviving

@@ -120,15 +120,27 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     * partial failures; deduplicate=true tables self-heal via the MERGE.
     * Full multi-table atomicity is a table-format/transaction-log
     * concern (see the class durability caveat). */
-  def writeBatch(batch: DataFrame, batchId: Long): Unit = {
-    val marker = Paths.get(warehouseDir, "_graft_last_batch")
+  def writeBatch(batch: DataFrame, batchId: Long,
+                 streamId: String = "default"): Unit =
+    runOnce(batchId, streamId)(write(batch))
+
+  /** Execute `body` once per (stream, batchId): replays are skipped. The
+    * marker is keyed by the stream identity (pass the checkpoint dir —
+    * batch ids are only monotonic WITHIN one checkpoint; a fresh
+    * checkpoint restarts at 0 and must get a fresh marker, or every new
+    * batch would be silently skipped against the old high-water mark). */
+  def runOnce(batchId: Long, streamId: String = "default")(body: => Unit): Unit = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(streamId.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val marker = Paths.get(warehouseDir, s"_graft_last_batch_$suffix")
     val last =
       if (Files.exists(marker))
         new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim.toLong
       else -1L
     if (batchId <= last) return
-    write(batch)
-    val tmp = Paths.get(warehouseDir, "._graft_last_batch.tmp")
+    body
+    val tmp = Paths.get(warehouseDir, s"._graft_last_batch_$suffix.tmp")
     Files.createDirectories(Paths.get(warehouseDir))
     Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, marker,

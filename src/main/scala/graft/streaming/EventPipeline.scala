@@ -45,36 +45,46 @@ object EventPipeline {
                 withDedup: Boolean = true,
                 dedupWatermark: String = "1 hour",
                 quarantineCorrupt: Boolean = false): DataFrame = {
-    val parsedRaw = raw.select(col("value").cast("string").as("value"),
-      from_json(col("value").cast("string"), EventSchema.envelope).as("e"))
-    val isCorrupt = col("e").isNull || col("e.timestamp").isNull
-    val parsed = parsedRaw.filter(!isCorrupt).select("e.*")
-      .withColumn("message_id",
-        coalesce(col("message_id"), expr("uuid()")))
-    val deduped =
-      if (!withDedup) parsed
-      else if (parsed.isStreaming)
-        parsed.withWatermark("timestamp", dedupWatermark)
-          .dropDuplicatesWithinWatermark("message_id")
-      else parsed.dropDuplicates("message_id")
-    val laid = layout match {
+    import raw.sparkSession.implicits._
+    def applyLayout(deduped: DataFrame): DataFrame = layout match {
       case "segment-single-table" => Layouts.segmentSingleTable(deduped)
       case "segment" => Layouts.segmentMultiTable(deduped)
       case "jitsu-legacy" => Layouts.jitsuLegacy(deduped)
       case "passthrough" => Layouts.passthrough(deduped)
       case other => throw new IllegalArgumentException(s"unknown layout $other")
     }
-    if (!quarantineCorrupt) laid
-    else {
-      // unparseable lines (invalid JSON, or no event time — they could
-      // never pass the watermark) route to a quarantine table instead of
-      // vanishing in the stateful dedup; the reference logs these to its
-      // events log (`udf_wrapper`/rotor error paths)
+    def dedup(parsed: DataFrame): DataFrame =
+      if (!withDedup) parsed
+      else if (parsed.isStreaming)
+        parsed.withWatermark("timestamp", dedupWatermark)
+          .dropDuplicatesWithinWatermark("message_id")
+      else parsed.dropDuplicates("message_id")
+
+    if (!quarantineCorrupt) {
+      // batch/replay path: identical to EventSchema.fromJson — null-
+      // timestamp rows pass through (the sink has an epoch partition for
+      // them); nothing is classified corrupt here
+      applyLayout(dedup(
+        EventSchema.fromJson(raw.select(col("value").cast("string").as("value")).as[String])))
+    } else {
+      // streaming path: lines that are invalid JSON or carry no event
+      // time (they could never pass the watermark and would vanish in
+      // the stateful dedup) route to a quarantine table instead — the
+      // reference logs these to its events log. The two branches each
+      // parse the source (a union has two children); the batch is tiny
+      // relative to the stateful stages and foreachBatch persists before
+      // routing.
+      val parsedRaw = raw.select(col("value").cast("string").as("value"),
+        from_json(col("value").cast("string"), EventSchema.envelope).as("e"))
+      val isCorrupt = col("e").isNull || col("e.timestamp").isNull
+      val parsed = parsedRaw.filter(!isCorrupt).select("e.*")
+        .withColumn("message_id",
+          coalesce(col("message_id"), expr("uuid()")))
       val bad = parsedRaw.filter(isCorrupt).select(
         col("value").as("raw_event"),
         lit("parse_error").as("error"),
         lit("quarantine").as("_table"))
-      laid.unionByName(bad, allowMissingColumns = true)
+      applyLayout(dedup(parsed)).unionByName(bad, allowMissingColumns = true)
     }
   }
 
@@ -113,7 +123,20 @@ object EventPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        router.writeBatch(batch, batchId) // idempotent on replay
+        // split the quarantine rows off BEFORE routing so their
+        // raw_event/error columns never pollute the real tables'
+        // schemas; marker keyed by checkpoint = this stream's batch-id
+        // namespace; the whole split commits as one idempotent unit
+        router.runOnce(batchId, streamId = checkpointDir) {
+          val cached = batch.persist()
+          try {
+            val isQ = col("_table") === "quarantine"
+            router.write(cached.filter(!isQ).drop("raw_event", "error"))
+            val bad = cached.filter(isQ)
+              .select(col("raw_event"), col("error"), col("_table"))
+            if (!bad.isEmpty) router.write(bad)
+          } finally { cached.unpersist(false); () }
+        }
         ()
       }
       .start()
