@@ -198,14 +198,24 @@ object FunctionChain {
       reaper // ensure started
       val self = Thread.currentThread()
       activeCalls.put(self, System.currentTimeMillis() + ms)
+      var taskKilled = false
       try body
       catch {
-        case _: InterruptedException =>
+        case e: InterruptedException =>
+          // Only the reaper's deadline interrupt converts to Retry. An
+          // interrupt from Spark killing/cancelling THIS TASK must
+          // propagate, or the kill would be swallowed as a UDF-timeout
+          // retry and the task would run on to the next row boundary.
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null && tc.isInterrupted()) {
+            taskKilled = true
+            throw e
+          }
           Retry(s"function execution took longer than ${ms}ms")
       } finally {
         activeCalls.remove(self)
-        Thread.interrupted() // clear a late-fired interrupt flag
-        ()
+        if (taskKilled) self.interrupt() // re-assert the kill signal
+        else { Thread.interrupted(); () } // clear a late-fired reaper interrupt
       }
     }
 

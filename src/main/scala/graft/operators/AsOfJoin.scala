@@ -33,9 +33,15 @@ object AsOfJoin {
       leftStruct.as("_l"))
     val both = l.unionByName(r.withColumn("_l",
       lit(null).cast(l.schema("_l").dataType)), allowMissingColumns = false)
-    // right rows sort BEFORE left rows at equal ts => inclusive as-of
+    // right rows sort BEFORE left rows at equal ts => inclusive as-of;
+    // the payload struct is the final tiebreak so equal-(key, ts) right
+    // rows resolve identically on every run/partitioning (without it,
+    // whichever tie sorts last under an unstable sort would win) — the
+    // greatest payload tuple is attached, matching e.g. DuckDB's ASOF
+    // determinism requirements. Payload columns must therefore be of
+    // orderable types (true for config/rate tables).
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts").asc, col("_isR").desc)
+      .orderBy(col("_ts").asc, col("_isR").desc, col("_p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     both
       .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))

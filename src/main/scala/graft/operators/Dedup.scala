@@ -133,8 +133,13 @@ object Dedup {
       s"recall only guaranteed for maxHamming <= ${numChunks - 1}")
     val chunkBits = 64 / numChunks
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
+    // Materialize the fingerprints (16 bytes/doc): the chunk-bucket
+    // self-join would otherwise evaluate the whole text-hashing subplan
+    // once per join side — at 100 TB the signature table is exactly what
+    // you'd persist (or store as a column) before any pairing pass.
     val fp = docs.select(col(idCol).as("id"),
-      SimHash64.simhash64(TextFunctions.words(col(textCol))).as("fp"))
+        SimHash64.simhash64(TextFunctions.words(col(textCol))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = fp.select(col("id"), col("fp"),
       explode(array((0 until numChunks).map(i =>
         struct(lit(i).as("chunk"),
@@ -186,31 +191,45 @@ object Dedup {
     * optimization drops it to O(log n) if components ever get deep.
     * Output: (id, component) for every id that appears in a pair. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // undirected edge list, both directions — explode instead of a
+    // self-union so the (possibly expensive) pairs subplan is evaluated
+    // ONCE, not once per direction
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+      .persist(lvl)
+    var cachedNext: DataFrame = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_chg", lit(0L))
+      .persist(lvl)
+    var labels = cachedNext.drop("_chg")
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // candidate label per node = min(own, neighbors' labels)
+      // candidate label per node = min(own, neighbors' labels); the
+      // did-anything-change flag rides along so ONE action per round both
+      // materializes the new labels into cache and returns the
+      // convergence count (a separate count() job per round is pure
+      // scheduler overhead on shallow near-dup graphs)
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("nbr"))
-      val next = labels.join(viaEdges, Seq("id"), "left")
+      val prev = cachedNext
+      cachedNext = labels.join(viaEdges, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
-      labels.unpersist(false)
-      labels = next
+            .as("component"),
+          (col("component") > col("nbr")).cast("long").as("_chg"))
+        .persist(lvl)
+      changed = cachedNext.agg(coalesce(sum(col("_chg")), lit(0L)))
+        .head.getLong(0)
+      prev.unpersist(false)
+      labels = cachedNext.drop("_chg")
       iter += 1
     }
     edges.unpersist(false)
@@ -223,7 +242,7 @@ object Dedup {
     // truncate lineage and release the iteration caches — callers get a
     // materialized frame, not 20 rounds of joins pinned in the cache
     val out = labels.localCheckpoint(true)
-    labels.unpersist(false)
+    cachedNext.unpersist(false)
     out
   }
 

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType, DateType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType, DateType}
 
 /** The warehouse sink layer — SURVEY §2.2 (K1/K2/K8) — reproducing
   * bulker's observable semantics on a parquet warehouse:
@@ -244,13 +244,51 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     schemaCache(path) = schema
   }
 
-  /** Superset schema: existing fields (types win) + new incoming fields. */
+  /** Superset schema: existing fields (types win) + new incoming fields.
+    * Struct-typed fields merge RECURSIVELY — hoisted JSON properties are
+    * inferred per batch, so a nested object gaining a key must evolve the
+    * nested type (new nested fields read back as null from old files via
+    * parquet by-name resolution), not fail a cast. */
   private def mergeSchemas(existing: StructType, incoming: StructType): StructType = {
+    val incMap = incoming.fields.map(f => f.name -> f).toMap
+    val merged = existing.fields.map { ef =>
+      incMap.get(ef.name).map(inf => (ef.dataType, inf.dataType) match {
+        case (e: StructType, i: StructType) =>
+          StructField(ef.name, mergeSchemas(e, i), nullable = true)
+        case (ArrayType(e: StructType, _), ArrayType(i: StructType, _)) =>
+          StructField(ef.name, ArrayType(mergeSchemas(e, i), containsNull = true),
+            nullable = true)
+        case _ => ef // existing type wins; alignColumn casts at write
+      }).getOrElse(ef)
+    }
     val have = existing.fieldNames.toSet
     val added = incoming.fields.filterNot(f => have(f.name))
       .map(f => StructField(f.name, f.dataType, nullable = true))
-    StructType(existing.fields ++ added)
+    StructType(merged ++ added)
   }
+
+  /** Align one incoming column to the table's (possibly evolved) type.
+    * Plain types cast; structs rebuild field-by-field (missing fields
+    * null, nested structs recurse) because Spark cannot cast between
+    * StructTypes with different field sets — a blind cast would throw an
+    * AnalysisException that a replayed streaming batch hits forever. */
+  private def alignColumn(c: org.apache.spark.sql.Column,
+                          from: DataType, to: DataType): org.apache.spark.sql.Column =
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (f: StructType, t: StructType) =>
+        val fTypes = f.fields.map(x => x.name -> x.dataType).toMap
+        when(c.isNull, lit(null).cast(t)).otherwise(
+          struct(t.fields.map { tf =>
+            fTypes.get(tf.name)
+              .map(fd => alignColumn(c.getField(tf.name), fd, tf.dataType))
+              .getOrElse(lit(null).cast(tf.dataType))
+              .as(tf.name)
+          }: _*))
+      case (ArrayType(f, _), ArrayType(t, _)) if f != t =>
+        transform(c, x => alignColumn(x, f, t))
+      case _ => c.cast(to)
+    }
 
   // ---- write paths ---------------------------------------------------------
 
@@ -282,27 +320,30 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
       persistSchema(path, nullable(incoming.schema))
     } else {
       val existing = loadSchema(spark, path)
-      val haveTypes = existing.fields.map(f => f.name -> f.dataType).toMap
-      val newCols = incoming.columns.filterNot(c => haveTypes.contains(c))
-      if (options.schemaFreeze && newCols.nonEmpty)
+      val evolved = mergeSchemas(existing, nullable(incoming.schema))
+      if (options.schemaFreeze && evolved != existing) {
+        val have = existing.fieldNames.toSet
+        val newCols = incoming.columns.filterNot(have)
         throw new IllegalStateException(
-          s"schemaFreeze: new columns ${newCols.mkString(",")} rejected")
-      // known columns arriving with a drifted type are cast to the table's
-      // type at write time — otherwise one bad batch poisons every read
+          s"schemaFreeze: schema change rejected (new columns: " +
+            s"${newCols.mkString(",")}; or nested field additions)")
+      }
+      // known columns arriving with a drifted type are aligned to the
+      // table's (evolved) type at write time — otherwise one bad batch
+      // poisons every read; struct columns rebuild field-by-field
+      val evolvedTypes = evolved.fields.map(f => f.name -> f.dataType).toMap
       val aligned = incoming.select(incoming.columns.map { c =>
-        haveTypes.get(c) match {
-          case Some(dt) if dt != incoming.schema(c).dataType => col(c).cast(dt).as(c)
-          case _ => col(c)
-        }
+        val from = incoming.schema(c).dataType
+        val to = evolvedTypes(c)
+        (if (from == to) col(c) else alignColumn(col(c), from, to)).as(c)
       }: _*)
-      val evolved = mergeSchemas(existing, nullable(aligned.schema))
       // evolve the sidecar BEFORE writing: a sidecar column with no data
       // yet reads back as nulls (harmless), whereas committed data with a
       // column the sidecar lacks would be invisible to every read after a
       // crash in between
-      if (newCols.nonEmpty) persistSchema(path, evolved)
+      if (evolved != existing) persistSchema(path, evolved)
       if (!options.deduplicate) writePartitioned(aligned, path, SaveMode.Append)
-      else mergeInto(spark, path, existing, aligned, batchDates)
+      else mergeInto(spark, path, evolved, aligned, batchDates)
     }
   }
 
@@ -346,11 +387,25 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     // partition-pruned, column-pruned probe: which dates hold a batch key?
     val windowed = existing.filter(
       col(DateCol).between(lit(lo), lit(hi)) || col(DateCol) === lit(EpochDate))
-    val touched = prof("probe") { windowed
-      .select(col(DateCol), col(options.primaryKey))
-      .join(incoming.select(options.primaryKey).distinct(),
-        Seq(options.primaryKey), "left_semi")
-      .select(DateCol).distinct().collect().map(_.getDate(0)) }
+    // Dates the batch itself carries are rewritten regardless, so the
+    // probe only needs to scan windowed partitions OUTSIDE the batch's
+    // own date set — listed driver-side from the partition dirs. In the
+    // common streaming case (batch dates ⊇ live window dates) the probe
+    // job disappears entirely.
+    val batchSet = batchDates.toSet
+    val probeDates = listDir(path)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$DateCol="))
+      .map(f => java.sql.Date.valueOf(f.getName.stripPrefix(s"$DateCol=")))
+      .filter(d => (!d.before(lo) && !d.after(hi)) || d == EpochDate)
+      .filterNot(batchSet.contains)
+    val touched =
+      if (probeDates.isEmpty) Array.empty[java.sql.Date]
+      else prof("probe") { windowed
+        .filter(col(DateCol).isin(probeDates.toSeq: _*))
+        .select(col(DateCol), col(options.primaryKey))
+        .join(incoming.select(options.primaryKey).distinct(),
+          Seq(options.primaryKey), "left_semi")
+        .select(DateCol).distinct().collect().map(_.getDate(0)) }
     val rewriteDates = (touched ++ batchDates).distinct.toSeq
     val oldRows = windowed.filter(col(DateCol).isin(rewriteDates: _*))
 
@@ -446,7 +501,13 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     * pre-manifest-protocol router), then the leftovers are rolled back.
     * Single writer per table, as in the reference's bulker. */
   private def recover(path: String): Unit = {
-    listDir(path)
+    // fast path: a healthy table has no swap/stage/trash entries — one
+    // directory listing and out (recover runs before EVERY write/read)
+    val entries = listDir(path)
+    if (!entries.exists(f => f.getName.startsWith(".swap-") ||
+        f.getName.startsWith(".stage-") || f.getName.startsWith(".trash-")))
+      return
+    entries
       .filter(f => f.getName.startsWith(".swap-") && !f.getName.endsWith(".tmp"))
       .foreach { m =>
         val lines = new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)

@@ -60,26 +60,36 @@ object EventPipeline {
           .dropDuplicatesWithinWatermark("message_id")
       else parsed.dropDuplicates("message_id")
 
+    // Missing event time defaults to received_at, else processing time
+    // (the reference ingest stamps receivedAt and uses it as the event
+    // timestamp fallback) — the event still flows through the stateful
+    // dedup (the defaulted timestamp passes the watermark) and layouts,
+    // identically in batch and streaming.
+    def defaultTs(df: DataFrame): DataFrame = df.withColumn("timestamp",
+      coalesce(col("timestamp"), col("received_at"), current_timestamp()))
+
     if (!quarantineCorrupt) {
-      // batch/replay path: identical to EventSchema.fromJson — null-
-      // timestamp rows pass through (the sink has an epoch partition for
-      // them); nothing is classified corrupt here
-      applyLayout(dedup(
-        EventSchema.fromJson(raw.select(col("value").cast("string").as("value")).as[String])))
+      // batch/replay path: EventSchema.fromJson + the timestamp default;
+      // nothing is classified corrupt here
+      applyLayout(dedup(defaultTs(
+        EventSchema.fromJson(raw.select(col("value").cast("string").as("value")).as[String]))))
     } else {
-      // streaming path: lines that are invalid JSON or carry no event
-      // time (they could never pass the watermark and would vanish in
-      // the stateful dedup) route to a quarantine table instead — the
-      // reference logs these to its events log. The two branches each
-      // parse the source (a union has two children); the batch is tiny
-      // relative to the stateful stages and foreachBatch persists before
-      // routing.
+      // streaming path: lines that are not valid JSON objects route to a
+      // quarantine table instead of vanishing — the reference logs these
+      // to its events log. The two branches each parse the source (a
+      // union has two children); the batch is tiny relative to the
+      // stateful stages and foreachBatch persists before routing.
       val parsedRaw = raw.select(col("value").cast("string").as("value"),
         from_json(col("value").cast("string"), EventSchema.envelope).as("e"))
-      val isCorrupt = col("e").isNull || col("e.timestamp").isNull
-      val parsed = parsedRaw.filter(!isCorrupt).select("e.*")
+      // PERMISSIVE from_json yields an all-null struct (not a null) for
+      // malformed input, so corrupt = null struct OR null `type` — the
+      // protocol's one mandatory field (analytics.d.ts: every event
+      // carries its type); events missing only the timestamp flow on
+      // with the received_at default
+      val isCorrupt = col("e").isNull || col("e.type").isNull
+      val parsed = defaultTs(parsedRaw.filter(!isCorrupt).select("e.*")
         .withColumn("message_id",
-          coalesce(col("message_id"), expr("uuid()")))
+          coalesce(col("message_id"), expr("uuid()"))))
       val bad = parsedRaw.filter(isCorrupt).select(
         col("value").as("raw_event"),
         lit("parse_error").as("error"),

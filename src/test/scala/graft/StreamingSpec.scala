@@ -54,15 +54,21 @@ class StreamingSpec extends GraftSpec {
     val good = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
     val bad = Seq(
       "this is not json at all",
-      """{"message_id":"mX","type":"track"}""" // parseable but no event time
+      // parseable but no event time: NOT quarantined — timestamp
+      // defaults to received_at/processing time (reference ingest
+      // semantics) and the event flows through dedup + layout
+      """{"message_id":"mX","type":"track"}"""
     ).toDF("value")
     good.unionAll(bad).coalesce(1).write.mode("overwrite").text(in)
     val q = EventPipeline.start(spark, in, wh, cp)
     try q.awaitTermination() finally q.stop()
-    assert(spark.read.parquet(s"$wh/events").count() == 50)
+    val events = spark.read.parquet(s"$wh/events")
+    assert(events.count() == 51)
+    assert(events.filter(col("message_id") === "mX")
+      .filter(col("timestamp").isNotNull).count() == 1)
     val quarantined = spark.read.parquet(s"$wh/quarantine")
-    assert(quarantined.count() == 2)
-    assert(quarantined.filter(col("error") === "parse_error").count() == 2)
+    assert(quarantined.count() == 1)
+    assert(quarantined.filter(col("error") === "parse_error").count() == 1)
     assert(quarantined.filter(col("raw_event").contains("not json")).count() == 1)
   }
 
