@@ -87,6 +87,28 @@ object QueriesSystem {
           sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
     }),
 
+    // K2: JDBC warehouse round-trip (embedded Derby standing in for
+    // postgres/mysql) — same append-then-merge flow as k1_sink_dedup,
+    // through CREATE TABLE / staged bulk load / ANSI MERGE
+    "k2_jdbc" -> ((s, dir) => {
+      val db = tmp("graft-q-jdbc")
+      val sink = new graft.sinks.JdbcSink(s"jdbc:derby:$db/wh;create=true",
+        SinkOptions(deduplicate = true))
+      val env = DriverEventsAdapter.load(s, dir)
+        .select(col("message_id"), col("timestamp"), col("anonymous_id"),
+          col("user_id"), col("type"))
+      sink.write(env.withColumn("_table", lit("events")))
+      val recognized = UserRecognition.resolveBatch(env)
+        .filter(col("recognized"))
+        .select(col("message_id"), col("timestamp"), col("anonymous_id"),
+          col("user_id"), col("type"))
+      sink.write(recognized.withColumn("_table", lit("events")))
+      sink.readTable(s, "events")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("message_id")).as("n_messages"),
+          sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
+    }),
+
     // K9/R1: dead-letter flow — a permanently failing destination is
     // retried MaxRetries times with exponential backoff, then every event
     // lands in the DLQ split; backoff schedule oracle-checked
@@ -212,6 +234,34 @@ object QueriesSystem {
         |FROM events WHERE event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
     "k1_sink_dedup" ->
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    'a' || user_id AS anonymous_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp
+        |  FROM events),
+        |resolved AS (
+        |  SELECT message_id,
+        |    COALESCE(user_id,
+        |      CASE WHEN next_id_ts IS NOT NULL
+        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
+        |      AS user_id
+        |  FROM (
+        |    SELECT *,
+        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |        AS next_id_ts,
+        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
+        |    FROM env
+        |    WINDOW w AS (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_identified
+        |FROM resolved""".stripMargin,
+    "k2_jdbc" ->
       """WITH env AS (
         |  SELECT 'm' || event_id AS message_id,
         |    'a' || user_id AS anonymous_id,

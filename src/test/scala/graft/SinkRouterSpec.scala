@@ -40,6 +40,28 @@ class SinkRouterSpec extends GraftSpec {
     assert(t.count() == 2)
   }
 
+  test("nested struct evolution: a struct column gaining/losing keys aligns") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh)
+    val b1 = spark.sql(
+      """SELECT 'm1' AS message_id, named_struct('a', 1) AS props""")
+    val b2 = spark.sql(
+      """SELECT 'm2' AS message_id, named_struct('b', 'x') AS props""")
+    router.write(b1.withColumn("_table", lit("t")))
+    // batch 2's struct has a DIFFERENT field set: must evolve (a blind
+    // cast between StructTypes throws and wedges a replayed stream batch)
+    router.write(b2.withColumn("_table", lit("t")))
+    val t = router.readTable(spark, "t")
+    assert(t.count() == 2)
+    assert(t.select("props.a", "props.b").columns.toSeq == Seq("a", "b"))
+    val m1 = t.filter(col("message_id") === "m1")
+      .select("props.a", "props.b").collect().head
+    assert(m1.getInt(0) == 1 && m1.isNullAt(1))
+    val m2 = t.filter(col("message_id") === "m2")
+      .select("props.a", "props.b").collect().head
+    assert(m2.isNullAt(0) && m2.getString(1) == "x")
+  }
+
   test("schemaFreeze rejects new columns") {
     val wh = tmpDir()
     val router = new SinkRouter(wh, SinkOptions(schemaFreeze = true))
