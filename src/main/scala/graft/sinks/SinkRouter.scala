@@ -552,6 +552,15 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     * state. Streaming appends create one file per date per micro-batch,
     * so long-running tables need this periodically; untouched partitions
     * are not read or rewritten (O(compacted partitions), not O(table)). */
+  /** Compact every table under the warehouse dir (table = a child dir
+    * holding date partitions or parquet files). The streaming pipeline
+    * calls this on a batch cadence — see EventPipeline.start. */
+  def compactAll(spark: SparkSession, maxFilesPerPartition: Int = 8): Unit =
+    listDir(warehouseDir)
+      .filter(d => d.isDirectory && !d.getName.startsWith(".") &&
+        !d.getName.startsWith("_") && tableExists(d.getAbsolutePath))
+      .foreach(d => compact(spark, d.getName, maxFilesPerPartition))
+
   def compact(spark: SparkSession, table: String,
               maxFilesPerPartition: Int = 8): Unit = {
     val path = tablePath(table)

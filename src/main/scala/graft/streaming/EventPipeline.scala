@@ -41,18 +41,24 @@ object EventPipeline {
     * watermark wider than the replayed span (or withDedup=false and let
     * the sink MERGE dedup) — otherwise old events are silently lost
     * (StreamingSpec's multi-batch test demonstrates both sides). */
+  /** The layout projection by name — applied inside `transform`, or (in
+    * [[start]]) deferred into foreachBatch so per-batch config rerouting
+    * can precede it. */
+  def applyLayout(deduped: DataFrame, layout: String): DataFrame = layout match {
+    case "segment-single-table" => Layouts.segmentSingleTable(deduped)
+    case "segment" => Layouts.segmentMultiTable(deduped)
+    case "jitsu-legacy" => Layouts.jitsuLegacy(deduped)
+    case "passthrough" => Layouts.passthrough(deduped)
+    case other => throw new IllegalArgumentException(s"unknown layout $other")
+  }
+
   def transform(raw: DataFrame, layout: String = "segment-single-table",
                 withDedup: Boolean = true,
                 dedupWatermark: String = "1 hour",
                 quarantineCorrupt: Boolean = false): DataFrame = {
     import raw.sparkSession.implicits._
-    def applyLayout(deduped: DataFrame): DataFrame = layout match {
-      case "segment-single-table" => Layouts.segmentSingleTable(deduped)
-      case "segment" => Layouts.segmentMultiTable(deduped)
-      case "jitsu-legacy" => Layouts.jitsuLegacy(deduped)
-      case "passthrough" => Layouts.passthrough(deduped)
-      case other => throw new IllegalArgumentException(s"unknown layout $other")
-    }
+    def applyLayout(deduped: DataFrame): DataFrame =
+      EventPipeline.applyLayout(deduped, layout)
     def dedup(parsed: DataFrame): DataFrame =
       if (!withDedup) parsed
       else if (parsed.isStreaming)
@@ -98,6 +104,32 @@ object EventPipeline {
     }
   }
 
+  /** The streaming stage graph WITHOUT the layout: parse + quarantine
+    * split + watermarked dedup, returning envelope rows unioned with
+    * quarantine rows (identified by a non-null `error` column). [[start]]
+    * consumes this and applies config rerouting + the layout inside
+    * foreachBatch — the layout is a narrow projection, but the reroute
+    * join needs the envelope's `connection_id` and the CURRENT config
+    * snapshot, which only exists per batch. */
+  private def envelopeStream(raw: DataFrame,
+                             dedupWatermark: String): DataFrame = {
+    val parsedRaw = raw.select(col("value").cast("string").as("value"),
+      from_json(col("value").cast("string"), EventSchema.envelope).as("e"))
+    // PERMISSIVE from_json yields an all-null struct for malformed input
+    val isCorrupt = col("e").isNull || col("e.type").isNull
+    val parsed = parsedRaw.filter(!isCorrupt).select("e.*")
+      .withColumn("message_id", coalesce(col("message_id"), expr("uuid()")))
+      .withColumn("timestamp",
+        coalesce(col("timestamp"), col("received_at"), current_timestamp()))
+    val deduped = parsed
+      .withWatermark("timestamp", dedupWatermark)
+      .dropDuplicatesWithinWatermark("message_id")
+    val bad = parsedRaw.filter(isCorrupt).select(
+      col("value").as("raw_event"),
+      lit("parse_error").as("error"))
+    deduped.unionByName(bad, allowMissingColumns = true)
+  }
+
   /** Adapt a Kafka-wire DataFrame (the connector's fixed output schema:
     * key/value binary, topic, partition, offset, timestamp) to the raw
     * JSON `value` frame the pipeline consumes — the exact projection a
@@ -117,18 +149,47 @@ object EventPipeline {
     * idling between ticks). A tailing deployment that must keep
     * ingesting new arrivals passes
     * `Trigger.ProcessingTime("5 seconds")`. */
+  /** `compactEvery`: run [[SinkRouter.compactAll]] after every Nth
+    * micro-batch (0 disables). Streaming appends create one file per
+    * date per batch, so a long-running table accumulates small files
+    * forever without it; compaction is maintenance (idempotent,
+    * crash-safe via the same staged swap as a merge) so it runs OUTSIDE
+    * the batch's idempotency marker — re-running after a replay is
+    * harmless. `compactMaxFiles` is the per-partition file-count
+    * threshold that triggers a rewrite. */
   def start(spark: SparkSession, inputDir: String, warehouseDir: String,
             checkpointDir: String, layout: String = "segment-single-table",
             options: SinkOptions = SinkOptions(),
             dedupWatermark: String = "1 hour",
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            compactEvery: Int = 16,
+            compactMaxFiles: Int = 8,
+            configDir: Option[String] = None): StreamingQuery = {
     val raw = spark.readStream
       .format("text")
       .option("maxFilesPerTrigger", "16")
       .load(inputDir)
     val router = new SinkRouter(warehouseDir, options)
-    transform(raw, layout, withDedup = true, dedupWatermark,
-      quarantineCorrupt = true).writeStream
+    // S4: live connection configs — re-checked before every micro-batch
+    // (driver-side stat; re-read only on change), so a config edit
+    // reroutes the NEXT batch without restarting the stream. The
+    // override sets the envelope's `table_name` ($table), the same
+    // routing override every layout already honors.
+    val configStore = configDir.map(d => new graft.sources.ConfigStore(spark, d))
+    def reroute(env: DataFrame): DataFrame = configStore match {
+      case None => env
+      case Some(cs) =>
+        val conns = cs.connections().select(
+          col("connection_id"),
+          col("table_name").as("_cfg_table"),
+          col("enabled").as("_cfg_enabled"))
+        env.join(broadcast(conns), Seq("connection_id"), "left")
+          .filter(col("_cfg_enabled").isNull || col("_cfg_enabled"))
+          .withColumn("table_name",
+            coalesce(col("_cfg_table"), col("table_name")))
+          .drop("_cfg_table", "_cfg_enabled")
+    }
+    envelopeStream(raw, dedupWatermark).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -140,13 +201,17 @@ object EventPipeline {
         router.runOnce(batchId, streamId = checkpointDir) {
           val cached = batch.persist()
           try {
-            val isQ = col("_table") === "quarantine"
-            router.write(cached.filter(!isQ).drop("raw_event", "error"))
+            val isQ = col("error").isNotNull
+            val env = cached.filter(!isQ).drop("raw_event", "error")
+            router.write(applyLayout(reroute(env), layout))
             val bad = cached.filter(isQ)
-              .select(col("raw_event"), col("error"), col("_table"))
+              .select(col("raw_event"), col("error"),
+                lit("quarantine").as("_table"))
             if (!bad.isEmpty) router.write(bad)
           } finally { cached.unpersist(false); () }
         }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          router.compactAll(spark, compactMaxFiles)
         ()
       }
       .start()

@@ -37,6 +37,59 @@ class StreamingSpec extends GraftSpec {
     assert(landed.select("message_id").distinct().count() == n)
   }
 
+  test("auto-compaction bounds per-partition file count across micro-batches") {
+    val in = tmp("graft-cpt-in"); val wh = tmp("graft-cpt-wh"); val cp = tmp("graft-cpt-cp")
+    // all events on ONE date so every micro-batch appends a file to the
+    // same partition; 40 input files / maxFilesPerTrigger=16 => 3 batches
+    val env = DriverEventsAdapter.load(spark, sf).limit(200)
+      .withColumn("timestamp", to_timestamp(lit("2024-03-01 12:00:00")))
+    val json = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+    json.repartition(40).write.mode("overwrite").text(in)
+    val q = EventPipeline.start(spark, in, wh, cp,
+      compactEvery = 1, compactMaxFiles = 1)
+    try q.awaitTermination() finally q.stop()
+    assert(spark.read.parquet(s"$wh/events").count() == 200)
+    val partDir = new java.io.File(s"$wh/events/graft_dt=2024-03-01")
+    assert(partDir.isDirectory)
+    val files = partDir.listFiles().count(f =>
+      f.isFile && f.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 compacted file, found $files")
+  }
+
+  test("S4: a connection-config edit reroutes the following batches") {
+    val in = tmp("graft-cfg-in"); val wh = tmp("graft-cfg-wh")
+    val cp = tmp("graft-cfg-cp"); val cfg = tmp("graft-cfg-dir")
+    def writeCfg(table: String): Unit = {
+      val f = new java.io.File(cfg, "conns.json")
+      java.nio.file.Files.write(f.toPath,
+        s"""{"connection_id":"c1","table_name":"$table","enabled":true}"""
+          .getBytes("UTF-8"))
+      // force a fingerprint change even within mtime granularity
+      f.setLastModified(System.currentTimeMillis() + scala.util.Random.nextInt(10000) + 1000)
+      ()
+    }
+    def writeEvents(file: String, ids: Range): Unit = {
+      val lines = ids.map(i =>
+        s"""{"message_id":"m$i","type":"track","connection_id":"c1",""" +
+          s""""timestamp":"2024-01-01T10:00:00.000Z"}""").mkString("\n")
+      java.nio.file.Files.write(new java.io.File(in, file).toPath,
+        lines.getBytes("UTF-8"))
+      ()
+    }
+    writeCfg("table_a")
+    writeEvents("b1.txt", 0 until 20)
+    val q1 = EventPipeline.start(spark, in, wh, cp, configDir = Some(cfg))
+    try q1.awaitTermination() finally q1.stop()
+    assert(spark.read.parquet(s"$wh/table_a").count() == 20)
+    // edit the config; NEW events (new files, new ids) must reroute
+    writeCfg("table_b")
+    writeEvents("b2.txt", 20 until 35)
+    val q2 = EventPipeline.start(spark, in, wh, cp, configDir = Some(cfg))
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.read.parquet(s"$wh/table_b").count() == 15)
+    assert(spark.read.parquet(s"$wh/table_a").count() == 20)
+  }
+
   test("batch/stream symmetry: same transform graph, same result") {
     val in = tmp("graft-in2")
     writeJsonEvents(in)
