@@ -146,6 +146,29 @@ object QueriesExtra {
           get_json_object(col("traits"), "$.email").as("email"),
           col("recognized"))),
 
+    // J1c: dotted-path write-back (ref user-recognition.ts:66 `set(res,
+    // path, f)`) — identity traits merged INTO the nested context struct,
+    // which the operator rebuilds with withField. identify events carry
+    // context.traits; click events carry an empty object (not an
+    // identifier, but exercises the object-merge path); purchase events
+    // identify via user_id only (their context.traits stays null).
+    "j1c_nested_writeback" -> ((s, dir) => {
+      val uid = expr("substring(anonymous_id, 2)")
+      val ctxTraits = when(col("type") === "identify",
+          concat(lit("{\"email\": \"user"), uid,
+            lit("@example.com\", \"vip\": true}")))
+        .when(col("event") === "click", lit("{}"))
+      val prepped = env(s, dir).withColumn("context",
+        col("context").withField("traits", ctxTraits))
+      UserRecognition.resolveConfigured(prepped,
+        UserRecognition.URConfig(
+          identifierFields = Seq("user_id", "context.traits"),
+          jsonObjectFields = Set("context.traits")))
+        .select(col("message_id"), col("user_id"),
+          get_json_object(col("context.traits"), "$.email").as("email"),
+          col("recognized"))
+    }),
+
     // J5b/A7/S5: the pluggable profile-UDF surface (per-user history scan
     // + arbitrary reduce), with a SQL-expressible reduce so the whole
     // groupByKey/mapGroups path is oracle-gated (not just spec'd)
@@ -345,6 +368,33 @@ object QueriesExtra {
         |         THEN ident_email END AS email,
         |  user_id IS NULL AND ident_ts IS NOT NULL
         |    AND ident_ts <= timestamp + INTERVAL 30 DAY AS recognized
+        |FROM j""".stripMargin),
+    "j1c_nested_writeback" -> (adapterCte +
+      """, marked AS (
+        |  SELECT *,
+        |    MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |      AS ident_ts,
+        |    FIRST_VALUE(CASE WHEN user_id IS NOT NULL THEN message_id END
+        |      IGNORE NULLS) OVER w AS ident_mid
+        |  FROM env
+        |  WINDOW w AS (PARTITION BY anonymous_id
+        |    ORDER BY timestamp, message_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |j AS (
+        |  SELECT m.*, e.user_id AS ident_uid,
+        |    CASE WHEN e.type = 'identify'
+        |      THEN 'user' || e.raw_user_id || '@example.com' END AS ident_email,
+        |    m.ident_ts IS NOT NULL
+        |      AND m.ident_ts <= m.timestamp + INTERVAL 30 DAY AS in_window
+        |  FROM marked m LEFT JOIN env e ON e.message_id = m.ident_mid)
+        |SELECT message_id,
+        |  CASE WHEN user_id IS NOT NULL THEN user_id
+        |       WHEN in_window THEN ident_uid END AS user_id,
+        |  CASE WHEN user_id IS NOT NULL THEN
+        |         (CASE WHEN type = 'identify'
+        |            THEN 'user' || raw_user_id || '@example.com' END)
+        |       WHEN in_window THEN ident_email END AS email,
+        |  user_id IS NULL AND in_window AS recognized
         |FROM j""".stripMargin),
     "a5_value_percentiles" ->
       """SELECT event_type,

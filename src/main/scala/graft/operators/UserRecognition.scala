@@ -32,12 +32,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * form: `flatMapGroupsWithState` with event-time timeout as the TTL
   * (RocksDB-backed state at scale, one shuffle on the key).
   *
-  * Simplification vs the reference, stated plainly: identifier fields are
-  * merged back into TOP-LEVEL columns (`userId`, `traits`); the
-  * reference's `set(res, path, f)` can also write dotted paths like
-  * `context.traits`, which here would mean rebuilding a nested struct —
-  * read-side dotted paths are supported for the anonymous key, write-back
-  * targets top-level columns.
+  * Identifier fields may be dotted paths (`context.traits`), read AND
+  * write side, matching the reference's `set(res, path, f)` (:66): the
+  * write-back rebuilds the nested struct with `Column.withField` (a
+  * null top-level struct is materialized as an all-null struct first,
+  * the way lodash `set` creates intermediate objects — one level deep;
+  * a null struct nested BELOW the top level stays a no-op, stated
+  * limitation). The streaming twin walks/creates JSON object paths.
   */
 object UserRecognition {
 
@@ -103,7 +104,21 @@ object UserRecognition {
             .when(col(f).isNull || col(f) === rec, rec)
             .otherwise(to_json(map_concat(ownMap, recMap)))
         } else when(rec.isNotNull, rec).otherwise(col(f))
-      df.withColumn(f, out)
+      if (!f.contains('.')) df.withColumn(f, out)
+      else {
+        // dotted write-back: rebuild the top-level struct around the
+        // merged leaf. A null struct would make withField a no-op, so a
+        // recognized value materializes an all-null struct first (lodash
+        // set creating the intermediate object).
+        val top = f.substring(0, f.indexOf('.'))
+        val rest = f.substring(f.indexOf('.') + 1)
+        val st = df.schema(top).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        val emptyStruct = struct(st.fields.toSeq.map(sf =>
+          lit(null).cast(sf.dataType).as(sf.name)): _*)
+        df.withColumn(top,
+          when(col(top).isNull && out.isNull, col(top))
+            .otherwise(coalesce(col(top), emptyStruct).withField(rest, out)))
+      }
     }
     merged
       .withColumn("recognized", !col("_is_ident") && inWindow)
@@ -195,16 +210,41 @@ object UserRecognition {
       case _ => None
     }
 
+  /** Dotted-path read on a JSON tree: null at any missing/non-object hop. */
+  private def getPath(n: com.fasterxml.jackson.databind.JsonNode,
+                      path: String): com.fasterxml.jackson.databind.JsonNode =
+    path.split('.').foldLeft(n: com.fasterxml.jackson.databind.JsonNode) {
+      (cur, p) => if (cur == null || cur.isNull) null else cur.get(p)
+    }
+
+  /** Dotted-path write: intermediate objects are created when missing or
+    * non-object (lodash `set`). */
+  private def setPath(mapper: ObjectMapper, t: ObjectNode, path: String,
+                      v: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val parts = path.split('.')
+    var cur = t
+    parts.dropRight(1).foreach { p =>
+      cur.get(p) match {
+        case o: ObjectNode => cur = o
+        case _ =>
+          val o = mapper.createObjectNode()
+          cur.set[ObjectNode](p, o)
+          cur = o
+      }
+    }
+    val _ = cur.set[ObjectNode](parts.last, v)
+  }
+
   private[graft] def mergeIdentifiers(
       mapper: ObjectMapper, identifierFields: Seq[String])(
       target: String, identSource: String): String = {
     val t = mapper.readTree(target).asInstanceOf[ObjectNode]
     val s = mapper.readTree(identSource)
     identifierFields.foreach { f =>
-      val v = s.get(f)
+      val v = getPath(s, f)
       if (v != null && !v.isNull && !(v.isObject && v.isEmpty)) {
         val merged = (asObjectNode(mapper, v),
-            Option(t.get(f)).filterNot(_.isNull).flatMap(asObjectNode(mapper, _))) match {
+            Option(getPath(t, f)).filterNot(_.isNull).flatMap(asObjectNode(mapper, _))) match {
           case (Some(identObj), Some(ownObj)) =>
             // lodash-merge semantics at key level: identified keys win
             val m = ownObj.deepCopy[ObjectNode]()
@@ -213,7 +253,7 @@ object UserRecognition {
             else m
           case _ => v.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
         }
-        val _ = t.set[ObjectNode](f, merged)
+        setPath(mapper, t, f, merged)
       }
     }
     mapper.writeValueAsString(t)

@@ -90,6 +90,22 @@ class StreamingSpec extends GraftSpec {
     assert(spark.read.parquet(s"$wh/table_a").count() == 20)
   }
 
+  test("dotted-path identifier merge writes into nested JSON objects") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val merge = UserRecognition.mergeIdentifiers(
+      mapper, Seq("user_id", "context.traits")) _
+    val target = """{"message_id":"m1","context":{"traits":{"plan":"basic"}}}"""
+    val src =
+      """{"user_id":"u1","context":{"traits":{"email":"a@x.io","plan":"pro"}}}"""
+    val out = mapper.readTree(merge(target, src))
+    assert(out.get("user_id").asText() == "u1")
+    assert(out.at("/context/traits/email").asText() == "a@x.io")
+    assert(out.at("/context/traits/plan").asText() == "pro") // ident wins
+    // lodash-set: missing intermediate objects are created
+    val out2 = mapper.readTree(merge("""{"message_id":"m2"}""", src))
+    assert(out2.at("/context/traits/email").asText() == "a@x.io")
+  }
+
   test("batch/stream symmetry: same transform graph, same result") {
     val in = tmp("graft-in2")
     writeJsonEvents(in)
