@@ -23,11 +23,26 @@ object QueriesExtra {
       |  WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari' ELSE 'unknown' END""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    // K3: mixpanel track projection
-    "k3_mixpanel" -> ((s, dir) =>
-      SaasProjections.mixpanelTrack(env(s, dir))
+    // K3: mixpanel track projection + CLICK_IDS extraction from the page
+    // URL. Click ids are planted deterministically; gclid and fbclid
+    // co-occur on event_id%3==0 rows, so substring-matching extraction
+    // (gclid reading "...fbclid=...") would hash-mismatch.
+    "k3_mixpanel" -> ((s, dir) => {
+      val eid = expr("CAST(substring(message_id, 2) AS BIGINT)")
+      val url2 = concat(col("context.page.url"),
+        when(pmod(eid, lit(3)) === 0, concat(lit("&gclid=g"), eid))
+          .otherwise(lit("")),
+        when(pmod(eid, lit(3)) < 2, concat(lit("&fbclid=fb"), eid))
+          .otherwise(lit("")),
+        when(pmod(eid, lit(5)) === 0, concat(lit("&ttclid=tt"), eid))
+          .otherwise(lit("")))
+      val prepped = env(s, dir).withColumn("context",
+        col("context").withField("page.url", url2))
+      SaasProjections.mixpanelTrack(prepped)
         .select(col("distinct_id"), col("event"), col("time"),
-          col("insert_id"), col("utm_source"), col("city"))),
+          col("insert_id"), col("utm_source"), col("city"),
+          col("gclid"), col("fbclid"), col("ttclid"), col("msclkid"))
+    }),
 
     // K3: ga4 projection (client_id fallback + name mapping)
     "k3_ga4" -> ((s, dir) =>
@@ -244,7 +259,14 @@ object QueriesExtra {
         |  'src' || (raw_user_id % 5) AS utm_source,
         |  CASE (raw_user_id % 5) WHEN 0 THEN 'New York' WHEN 1 THEN 'Berlin'
         |    WHEN 2 THEN 'Paris' WHEN 3 THEN 'London' ELSE 'Beijing' END
-        |    AS city
+        |    AS city,
+        |  CASE WHEN raw_event_id % 3 = 0 THEN 'g' || raw_event_id END
+        |    AS gclid,
+        |  CASE WHEN raw_event_id % 3 < 2 THEN 'fb' || raw_event_id END
+        |    AS fbclid,
+        |  CASE WHEN raw_event_id % 5 = 0 THEN 'tt' || raw_event_id END
+        |    AS ttclid,
+        |  CAST(NULL AS VARCHAR) AS msclkid
         |FROM env WHERE type = 'track'""".stripMargin),
     "k3_ga4" -> (adapterCte +
       """SELECT 'ga-' || raw_user_id AS client_id, user_id,

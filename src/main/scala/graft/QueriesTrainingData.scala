@@ -149,9 +149,13 @@ object QueriesTrainingData {
           col("meta.duration_ms").as("duration_ms"),
           col("meta.size_bytes").as("size_bytes"))),
 
-    // multimodal: frame sampling fan-out — rows-only (binary payloads)
+    // multimodal: frame sampling with REAL image decode (JDK ImageIO) —
+    // image rows yield the full packed-RGB raster + a 16x16 thumbnail
+    // (so frame_bytes = w*h*3 + 768, oracle-recomputable from doc_id);
+    // wav/mp4 rows keep the declared FakeCodec slices (lengths are a
+    // pure function of the payload size, also oracle-recomputable)
     "mm_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.synthesize(docs(s, dir)))
+      Multimodal.sampleFrames(Multimodal.synthesizeDecodable(docs(s, dir)))
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame"))).as("frame_bytes")))
@@ -351,6 +355,24 @@ object QueriesTrainingData {
          |       WHEN en >= de THEN 'en'
          |       ELSE 'de' END AS lang_pred
          |FROM hits""".stripMargin),
+    // image rows: ImageIO-decoded raster (w*h*3) + 16x16 thumbnail (768);
+    // av rows: 3 FakeCodec slices, each min(16, L - (idx*7 % L)) bytes
+    // of an L-byte file (payload + fixed header)
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 32 AS w,
+        |    8 + (doc_id * 7) % 32 AS h,
+        |    CAST(strlen(text) AS BIGINT) +
+        |      CASE WHEN doc_id % 4 = 2 THEN 44 ELSE 136 END AS L
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 2 ELSE 3 END AS BIGINT)
+        |    AS n_frames,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN w * h * 3 + 768
+        |    ELSE least(16, L) + least(16, L - (28 % L)) + least(16, L - (56 % L))
+        |    END AS BIGINT) AS frame_bytes
+        |FROM m""".stripMargin,
     // the oracle recomputes what the REAL header parsers must read back
     // from the deterministic fixture headers (doc_id-derived dims/rates,
     // UTF-8 payload bytes appended after a fixed-size header)

@@ -211,9 +211,82 @@ object Multimodal {
     }
   }
 
-  /** STUB decode: deterministic pure functions of the payload bytes.
-    * These two are the fiction (no codec libs in the container) — format
-    * sniffing above is real. */
+  /** REAL image codec via the JDK's `javax.imageio` (ships with the JVM,
+    * zero extra dependencies): PNG/JPEG encode, decode, and resize.
+    * Pixels are materialized as packed RGB byte rasters (w*h*3), the
+    * shape a feature extractor consumes. Audio/video sample decode has
+    * no JDK codec — that half stays in [[FakeCodec]]. */
+  object ImageCodec {
+    ImageIOInit
+    private object ImageIOInit {
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+    }
+
+    /** Deterministic test image: pixel = hash(seed, x, y). */
+    private def pattern(w: Int, h: Int, seed: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (((seed + x * 31L + y * 131L) * 2654435761L) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def encode(format: String, w: Int, h: Int, seed: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(pattern(w, h, seed), format, bos)
+      bos.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+    def resize(img: java.awt.image.BufferedImage,
+               w: Int, h: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null); ()
+      } finally g.dispose()
+      out
+    }
+
+    /** Packed RGB raster: 3 bytes per pixel, row-major — w*h*3 bytes. */
+    def rgbBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val i = (y * w + x) * 3
+          out(i) = ((rgb >> 16) & 0xff).toByte
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** STUB decode for audio/video samples: deterministic pure functions of
+    * the payload bytes — the container has no audio/video codec libs.
+    * Image decode is REAL ([[ImageCodec]]); the swap-in point for av is
+    * these functions (JNI/javacv), and the `mapPartitions` batching
+    * pattern is exactly what a real decoder needs. */
   object FakeCodec {
     /** "Decode" a frame at index i: deterministic byte slice. */
     def frame(bytes: Array[Byte], i: Int): Array[Byte] = {
@@ -279,8 +352,41 @@ object Multimodal {
       }(enc)
   }
 
+  /** A decodable media table: REAL small PNG/JPEG images (deterministic
+    * pixel pattern, dims derived from doc_id) for image rows, the header
+    * fixtures for wav/mp4 (no JDK av codec). [[sampleFrames]] over this
+    * table really decodes the image rows. Dims stay small (8..39 px):
+    * the point is exercising the decode path, not shipping megapixel
+    * rasters through the gate. */
+  def synthesizeDecodable(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getString(1)).getOrElse("")
+            .getBytes(StandardCharsets.UTF_8)
+          val w = (8 + id % 32).toInt
+          val h = (8 + (id * 7) % 32).toInt
+          val bytes = (id % 4) match {
+            case 0 => ImageCodec.encode("jpg", w, h, id)
+            case 1 => ImageCodec.encode("png", w, h, id)
+            case 2 => MediaFixtures.wavBytes(
+              8000 + (id % 5).toInt * 8000, 1 + (id % 2).toInt,
+              payload.length.toLong * 100, payload)
+            case _ => MediaFixtures.mp4Bytes(1000L, payload.length.toLong * 50, payload)
+          }
+          Row(id, bytes, null)
+        }
+      }(enc)
+  }
+
   /** Frame sampling: one output row per sampled frame (UDTF shape).
-    * Frame DECODE is the stub; the fan-out/batching is real. */
+    * Image rows (sniffed jpeg/png that actually decode) are REALLY
+    * decoded via [[ImageCodec]]: frame 0 = the full packed-RGB raster,
+    * frame 1 = a 16x16 resized thumbnail — the decode + resize a
+    * training pipeline runs. Audio/video rows (and header-only image
+    * fixtures with no pixel data) fall back to the [[FakeCodec]] slices. */
   def sampleFrames(media: DataFrame, everyN: Int = 4, maxFrames: Int = 3): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -293,8 +399,18 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray
             else r.getAs[Array[Byte]](1)
-          (0 until maxFrames).map(i => Row(id, i * everyN,
-            FakeCodec.frame(bytes, i * everyN)))
+          val decoded = MediaSniffer.sniff(bytes).format match {
+            case "jpeg" | "png" => ImageCodec.decode(bytes)
+            case _ => None
+          }
+          decoded match {
+            case Some(img) => Seq(
+              Row(id, 0, ImageCodec.rgbBytes(img)),
+              Row(id, 1, ImageCodec.rgbBytes(ImageCodec.resize(img, 16, 16))))
+            case None =>
+              (0 until maxFrames).map(i => Row(id, i * everyN,
+                FakeCodec.frame(bytes, i * everyN)))
+          }
         }
       }(enc)
   }

@@ -17,21 +17,33 @@ object SaasProjections {
 
   private def ctx(name: String): Column = col(s"context.$name")
 
+  /** Ad-platform click-id query parameters Mixpanel lifts from the page
+    * URL into event properties (ref `mixpanel-destination.ts:25,102-115`
+    * CLICK_IDS + `clickIdProperties`). */
+  val ClickIds: Seq[String] = Seq(
+    "dclid", "fbclid", "gbraid", "gclid", "ko_click_id", "li_fat_id",
+    "msclkid", "rtd_cid", "ttclid", "twclid", "wbraid")
+
   /** Mixpanel track projection (ref `mixpanel-destination.ts:334-420`):
     * distinct_id preference user_id > anonymous_id, md5 $insert_id,
-    * $-prefixed reserved traits, UTM fields. */
+    * $-prefixed reserved traits, UTM fields, click ids parsed from the
+    * page URL's query string (null when absent — proper query-key
+    * parsing, not substring matching: `gclid` must not read `fbclid`). */
   def mixpanelTrack(events: DataFrame): DataFrame =
     events.filter(col("type") === "track").select(
-      coalesce(col("user_id"), col("anonymous_id")).as("distinct_id"),
-      col("event").as("event"),
-      (unix_timestamp(col("timestamp")) * 1000).as("time"),
-      Scalars.md5InsertId(col("message_id")).as("insert_id"),
-      ctx("ip").as("ip"),
-      ctx("campaign.source").as("utm_source"),
-      ctx("campaign.medium").as("utm_medium"),
-      ctx("page.url").as("current_url"),
-      ctx("geo.city").as("city"),
-      ctx("geo.country").as("country_code"))
+      Seq(
+        coalesce(col("user_id"), col("anonymous_id")).as("distinct_id"),
+        col("event").as("event"),
+        (unix_timestamp(col("timestamp")) * 1000).as("time"),
+        Scalars.md5InsertId(col("message_id")).as("insert_id"),
+        ctx("ip").as("ip"),
+        ctx("campaign.source").as("utm_source"),
+        ctx("campaign.medium").as("utm_medium"),
+        ctx("page.url").as("current_url"),
+        ctx("geo.city").as("city"),
+        ctx("geo.country").as("country_code")) ++
+      ClickIds.map(k =>
+        parse_url(ctx("page.url"), lit("QUERY"), lit(k)).as(k)): _*)
 
   /** Mixpanel identify ($set) projection: reserved traits get the `$`
     * prefix (ref :14-23,127-132). */

@@ -231,5 +231,40 @@ class OperatorsSpec extends GraftSpec {
     assert(key(frames) == key(Multimodal.sampleFrames(media)))
   }
 
+  test("ImageIO codec: real PNG/JPEG decode, raster shape, resize, lossless PNG") {
+    import Multimodal.{ImageCodec, MediaSniffer}
+    val png = ImageCodec.encode("png", 20, 12, 7L)
+    assert(MediaSniffer.sniff(png).format == "png") // real header too
+    val img = ImageCodec.decode(png).get
+    assert(img.getWidth == 20 && img.getHeight == 12)
+    assert(ImageCodec.rgbBytes(img).length == 20 * 12 * 3)
+    val jpg = ImageCodec.encode("jpg", 9, 33, 3L)
+    assert(MediaSniffer.sniff(jpg).format == "jpeg")
+    val jimg = ImageCodec.decode(jpg).get
+    assert(jimg.getWidth == 9 && jimg.getHeight == 33)
+    assert(ImageCodec.rgbBytes(ImageCodec.resize(img, 16, 16)).length == 768)
+    // PNG is lossless: pixels round-trip exactly
+    val img2 = ImageCodec.decode(ImageCodec.encode("png", 20, 12, 7L)).get
+    assert((0 until 12).forall(y =>
+      (0 until 20).forall(x => img.getRGB(x, y) == img2.getRGB(x, y))))
+    // header-only fixtures (no pixel data) must NOT decode
+    assert(ImageCodec.decode(
+      Multimodal.MediaFixtures.jpegBytes(64, 64, Array.emptyByteArray)).isEmpty)
+  }
+
+  test("sampleFrames really decodes image rows of the decodable table") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(8)
+    val frames = Multimodal.sampleFrames(Multimodal.synthesizeDecodable(docs))
+      .collect().groupBy(_.getLong(0))
+    frames.foreach { case (id, rows) =>
+      if (id % 4 <= 1) {
+        val w = (8 + id % 32).toInt; val h = (8 + (id * 7) % 32).toInt
+        assert(rows.length == 2)
+        assert(rows.map(r => r.getAs[Array[Byte]](2).length).sorted.toSeq ==
+          Seq(768, w * h * 3).sorted)
+      } else assert(rows.length == 3)
+    }
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }
