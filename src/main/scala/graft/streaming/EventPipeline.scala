@@ -131,15 +131,42 @@ object EventPipeline {
   }
 
   /** Adapt a Kafka-wire DataFrame (the connector's fixed output schema:
-    * key/value binary, topic, partition, offset, timestamp) to the raw
-    * JSON `value` frame the pipeline consumes — the exact projection a
-    * production `spark.readStream.format("kafka")` source needs (ref
+    * key/value binary, topic, partition, offset, timestamp, and — with
+    * `includeHeaders` — headers array<struct<key,value binary>>) to the
+    * raw JSON `value` frame the pipeline consumes — the exact projection
+    * a production `spark.readStream.format("kafka")` source needs (ref
     * `services/rotor/src/rotor.ts:59-68`: rotor consumes the topic's
-    * message value as the event JSON). The Kafka connector jar is not in
-    * this sandbox, so the connector itself cannot run here; everything
-    * from the wire schema onward is this code path and is spec-covered. */
-  def fromKafkaWire(kafka: DataFrame): DataFrame =
-    kafka.selectExpr("CAST(value AS STRING) AS value")
+    * message value as the event JSON). `withMeta` additionally surfaces
+    * topic/partition/offset/broker-timestamp (rotor's log/metrics
+    * context) and the headers as a string map (rotor reads its retry
+    * bookkeeping from message headers, `rotor.ts:228-237`). The Kafka
+    * connector jar is not in this sandbox, so the connector itself
+    * cannot run here; everything from the wire schema onward is this
+    * code path and is spec-covered. */
+  def fromKafkaWire(kafka: DataFrame, withMeta: Boolean = false): DataFrame =
+    if (!withMeta) kafka.selectExpr("CAST(value AS STRING) AS value")
+    else {
+      val headers =
+        if (kafka.columns.contains("headers"))
+          map_from_entries(org.apache.spark.sql.functions.transform(
+            col("headers"),
+            (h: org.apache.spark.sql.Column) => struct(
+              h.getField("key").as("key"),
+              h.getField("value").cast("string").as("value"))))
+        else lit(null).cast("map<string,string>")
+      kafka.select(
+        col("value").cast("string").as("value"),
+        col("topic").as("_kafka_topic"),
+        col("partition").as("_kafka_partition"),
+        col("offset").as("_kafka_offset"),
+        col("timestamp").as("_kafka_timestamp"),
+        headers.as("_kafka_headers"))
+    }
+
+  /** A named header's value from the `_kafka_headers` map (rotor's
+    * retry-count / error headers live there). */
+  def kafkaHeader(name: String): org.apache.spark.sql.Column =
+    element_at(col("_kafka_headers"), name)
 
   /** Start the full streaming pipeline from a JSON-lines directory source
     * (swap `format("json")` for `format("kafka")` + value cast in prod). */

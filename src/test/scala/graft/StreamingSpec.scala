@@ -201,6 +201,26 @@ class StreamingSpec extends GraftSpec {
     assert(out.columns.sorted.sameElements(direct.columns.sorted))
   }
 
+  test("kafka-wire meta projection surfaces partition/offset/headers") {
+    val withHeaders = Seq(("""{"type":"track"}""", 3, 42L)).toDF("v", "p", "o")
+      .select(col("v").cast("binary").as("value"),
+        lit("events").as("topic"), col("p").as("partition"),
+        col("o").as("offset"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"),
+        lit(0).as("timestampType"),
+        array(struct(lit("retries").as("key"),
+          lit("2").cast("binary").as("value"))).as("headers"))
+    val meta = EventPipeline.fromKafkaWire(withHeaders, withMeta = true)
+    val r = meta.select(col("value"), col("_kafka_partition"),
+      col("_kafka_offset"), EventPipeline.kafkaHeader("retries")).head
+    assert(r.getString(0) == """{"type":"track"}""")
+    assert(r.getInt(1) == 3 && r.getLong(2) == 42L && r.getString(3) == "2")
+    // headers column absent (includeHeaders off) -> null map, same schema
+    val noHeaders = EventPipeline.fromKafkaWire(
+      withHeaders.drop("headers"), withMeta = true)
+    assert(noHeaders.select(EventPipeline.kafkaHeader("retries")).head.isNullAt(0))
+  }
+
   test("streaming sessionization: session_window aggregates under watermark") {
     val in = tmp("graft-sess-in")
     Seq(
