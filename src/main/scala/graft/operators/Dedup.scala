@@ -182,15 +182,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Connected components over near-dup pairs `(id_a, id_b)` by
-    * iterative min-label propagation: every node starts labeled with its
-    * own id; each round joins labels across edges and keeps the min;
-    * stop when a round changes nothing. Convergence takes at most the
-    * longest path in a component — near-dup clusters are shallow, so
-    * this is a handful of shuffle rounds; the classic large-star
-    * optimization drops it to O(log n) if components ever get deep.
-    * Output: (id, component) for every id that appears in a pair. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Connected components over near-dup pairs `(id_a, id_b)`.
+    * Output: (id, component=min id) for every id that appears in a pair.
+    *
+    * Hybrid execution, both shapes honest at 100 TB:
+    *  - The pair list is duplicates-only — usually FAR smaller than the
+    *    corpus (a 100 TB corpus with 1% near-dups has ~1e8 pairs of ids,
+    *    a few GB). When it fits under `driverMaxPairs`, ONE job collects
+    *    it and a driver-side union-find labels it — versus ~diameter
+    *    shuffle rounds of pure scheduler overhead.
+    *  - Past the threshold, iterative min-label propagation (the
+    *    canonical distributed CC; O(diameter) shuffle rounds, one action
+    *    per round with the convergence count fused in).
+    * The cutover is detected with `limit(threshold+1)` — no extra
+    * count job; an oversized collect never happens. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverMaxPairs: Int = 5000000): DataFrame = {
+    val idType = pairs.schema("id_a").dataType
+    val sample = pairs.select(col("id_a"), col("id_b"))
+      .limit(driverMaxPairs + 1).collect()
+    if (sample.length <= driverMaxPairs) {
+      // driver union-find, min id as the component label
+      val parent = scala.collection.mutable.HashMap[Any, Any]()
+      // iterative find + path compression (recursion would stack-overflow
+      // on a multi-million-long chain)
+      def find(x: Any): Any = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      sample.foreach { r =>
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val ids = sample.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+      val spark = pairs.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          ids.map(i => org.apache.spark.sql.Row(i, find(i))).toSeq,
+          numSlices = math.max(1, ids.length / 500000 + 1)),
+        schema)
+    }
+    distributedComponents(pairs, maxIter)
+  }
+
+  /** Iterative min-label propagation (see [[connectedComponents]]). */
+  private[graft] def distributedComponents(
+      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected edge list, both directions — explode instead of a
     // self-union so the (possibly expensive) pairs subplan is evaluated

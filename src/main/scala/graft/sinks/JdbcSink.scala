@@ -127,6 +127,7 @@ class JdbcSink(url: String, options: SinkOptions = SinkOptions(),
 
   private def jdbcWriter(df: DataFrame) =
     df.coalesce(numWritePartitions).write
+      .option("batchsize", "10000") // batched inserts, commit per partition
 
   /** Route one batch by `_table` — same contract as SinkRouter.write. */
   def write(batch: DataFrame): Unit = {
@@ -161,6 +162,19 @@ class JdbcSink(url: String, options: SinkOptions = SinkOptions(),
     val exists = withConn(c => tableExists(c, table))
     if (!exists) {
       jdbcWriter(df).mode(SaveMode.Append).jdbc(url, table, props)
+      // dedup tables merge on the primary key every batch: without an
+      // index the MERGE join is a nested loop over the whole table
+      // (O(batch x table) — 60s+ at 10k x 10k), with it an index lookup
+      // per staged key. Real warehouses get this from their PK/cluster
+      // key; Derby needs the index spelled out.
+      if (options.deduplicate && df.columns.contains(options.primaryKey))
+        withConn { c =>
+          val st = c.createStatement()
+          try st.executeUpdate(
+            s"CREATE INDEX ${storedTableName(table)}_PK_IDX ON " +
+              s"${storedTableName(table)} (${q(options.primaryKey)})")
+          finally st.close()
+        }
     } else {
       val existing = withConn(c => tableColumns(c, table))
       val existingSet = existing.toSet

@@ -99,5 +99,10 @@ class DedupSpec extends GraftSpec {
     val cl = Dedup.clusters(pairs)
       .as[(Long, Long)].collect().toMap
     assert(cl == Map(1L -> 6L, 10L -> 4L, 20L -> 2L))
+    // the driver union-find fast path and the distributed label
+    // propagation must agree exactly
+    val dist = Dedup.distributedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == comp)
   }
 }
