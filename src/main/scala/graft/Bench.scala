@@ -14,14 +14,17 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // stage s1_streaming's synthetic input outside the timed region
     QueriesSystem.stageStreamingInput(spark, sfDir)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic (sorted) order: Map iteration order varies with the
+    // query set, which moves scheduling/GC interactions between
+    // neighbors and makes per-query times incomparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

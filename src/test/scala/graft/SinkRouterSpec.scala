@@ -62,6 +62,28 @@ class SinkRouterSpec extends GraftSpec {
     assert(m2.isNullAt(0) && m2.getString(1) == "x")
   }
 
+  test("array-of-struct evolution: element field sets align per element") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh)
+    val b1 = spark.sql(
+      """SELECT 'm1' AS message_id,
+        |  array(named_struct('sku', 'a1', 'qty', 1)) AS items""".stripMargin)
+    val b2 = spark.sql(
+      """SELECT 'm2' AS message_id,
+        |  array(named_struct('sku', 'b1', 'price', 9.5D)) AS items""".stripMargin)
+    router.write(b1.withColumn("_table", lit("t")))
+    router.write(b2.withColumn("_table", lit("t")))
+    val t = router.readTable(spark, "t")
+    val m2 = t.filter(col("message_id") === "m2")
+      .selectExpr("items[0].sku", "items[0].qty", "items[0].price")
+      .collect().head
+    assert(m2.getString(0) == "b1" && m2.isNullAt(1) && m2.getDouble(2) == 9.5)
+    val m1 = t.filter(col("message_id") === "m1")
+      .selectExpr("items[0].sku", "items[0].qty", "items[0].price")
+      .collect().head
+    assert(m1.getString(0) == "a1" && m1.getInt(1) == 1 && m1.isNullAt(2))
+  }
+
   test("schemaFreeze rejects new columns") {
     val wh = tmpDir()
     val router = new SinkRouter(wh, SinkOptions(schemaFreeze = true))
