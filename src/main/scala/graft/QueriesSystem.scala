@@ -36,7 +36,7 @@ object QueriesSystem {
       val env = DriverEventsAdapter.load(s, dir)
       val json = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
       json.unionAll(json) // duplicates: watermark dedup must collapse them
-        .repartition(16).write.mode("overwrite").text(in)
+        .repartition(32).write.mode("overwrite").text(in)
       in
     })
 

@@ -104,30 +104,36 @@ object EventPipeline {
     }
   }
 
-  /** The streaming stage graph WITHOUT the layout: parse + quarantine
-    * split + watermarked dedup, returning envelope rows unioned with
-    * quarantine rows (identified by a non-null `error` column). [[start]]
-    * consumes this and applies config rerouting + the layout inside
-    * foreachBatch — the layout is a narrow projection, but the reroute
-    * join needs the envelope's `connection_id` and the CURRENT config
-    * snapshot, which only exists per batch. */
+  /** The streaming stage graph WITHOUT the layout: ONE parse pass +
+    * watermarked dedup, returning envelope rows with quarantine rows
+    * inline (identified by a non-null `error` column; their `raw_event`
+    * carries the offending line, and all other rows carry nulls there —
+    * near-zero shuffle overhead). A good-rows/bad-rows UNION would read
+    * and parse the source once per branch (the bench showed 2x input
+    * rows); instead corrupt rows ride through the stateful dedup under a
+    * fresh uuid key (each adds one short-lived state entry) and are
+    * split off in foreachBatch. [[start]] consumes this and applies
+    * config rerouting + the layout inside foreachBatch — the layout is
+    * a narrow projection, but the reroute join needs the envelope's
+    * `connection_id` and the CURRENT config snapshot, which only exists
+    * per batch. */
   private def envelopeStream(raw: DataFrame,
                              dedupWatermark: String): DataFrame = {
     val parsedRaw = raw.select(col("value").cast("string").as("value"),
       from_json(col("value").cast("string"), EventSchema.envelope).as("e"))
     // PERMISSIVE from_json yields an all-null struct for malformed input
     val isCorrupt = col("e").isNull || col("e.type").isNull
-    val parsed = parsedRaw.filter(!isCorrupt).select("e.*")
+    val unified = parsedRaw
+      .select(Seq(
+        when(isCorrupt, col("value")).as("raw_event"),
+        when(isCorrupt, lit("parse_error")).as("error")) ++
+        EventSchema.envelope.fieldNames.toSeq.map(f => col(s"e.$f").as(f)): _*)
       .withColumn("message_id", coalesce(col("message_id"), expr("uuid()")))
       .withColumn("timestamp",
         coalesce(col("timestamp"), col("received_at"), current_timestamp()))
-    val deduped = parsed
+    unified
       .withWatermark("timestamp", dedupWatermark)
       .dropDuplicatesWithinWatermark("message_id")
-    val bad = parsedRaw.filter(isCorrupt).select(
-      col("value").as("raw_event"),
-      lit("parse_error").as("error"))
-    deduped.unionByName(bad, allowMissingColumns = true)
   }
 
   /** Adapt a Kafka-wire DataFrame (the connector's fixed output schema:
@@ -191,10 +197,11 @@ object EventPipeline {
             trigger: Trigger = Trigger.AvailableNow(),
             compactEvery: Int = 16,
             compactMaxFiles: Int = 8,
-            configDir: Option[String] = None): StreamingQuery = {
+            configDir: Option[String] = None,
+            maxFilesPerTrigger: Int = 32): StreamingQuery = {
     val raw = spark.readStream
       .format("text")
-      .option("maxFilesPerTrigger", "16")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(inputDir)
     val router = new SinkRouter(warehouseDir, options)
     // S4: live connection configs — re-checked before every micro-batch

@@ -145,7 +145,7 @@ class StreamingSpec extends GraftSpec {
     val in = tmp("graft-mb-in"); val wh = tmp("graft-mb-wh"); val cp = tmp("graft-mb-cp")
     val env = DriverEventsAdapter.load(spark, sf)
     val json = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
-    json.repartition(40).write.mode("overwrite").text(in) // > maxFilesPerTrigger=16
+    json.repartition(40).write.mode("overwrite").text(in) // > maxFilesPerTrigger=32
     val n = env.count()
     // backfill shape: batches arrive in random time order, so the dedup
     // watermark must exceed the replayed span or old events are dropped
