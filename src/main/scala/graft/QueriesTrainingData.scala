@@ -141,6 +141,23 @@ object QueriesTrainingData {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // decontamination: flag corpus docs sharing any 8-word n-gram with a
+    // "benchmark" set (every 97th doc stands in for the eval set) — the
+    // train/test-leak scan; benchmark n-grams broadcast, corpus scanned
+    // once
+    "td_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("text").as("btext"))
+      operators.Decontamination.flag(d, "doc_id", "text", bench, "btext", n = 8)
+    }),
+
+    // vocabulary/token-frequency table (tokenizer-training input):
+    // global word counts, min-count floor, deterministic top-100
+    "td_vocab" -> ((s, dir) =>
+      operators.Decontamination.vocab(docs(s, dir), "text", minCount = 50)
+        .orderBy(desc("n"), asc("word")).limit(100)),
+
     // multimodal: metadata extraction over binary media column
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.synthesize(docs(s, dir)))
@@ -355,6 +372,31 @@ object QueriesTrainingData {
          |       WHEN en >= de THEN 'en'
          |       ELSE 'de' END AS lang_pred
          |FROM hits""".stripMargin),
+    "td_decontam" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(0, greatest(len(w) - 7, 0)),
+        |      i -> array_to_string(w[i+1:i+8], ' ')))) AS sh
+        |  FROM ws),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id AS id, CAST(COUNT(DISTINCT s.sh) AS BIGINT)
+        |  AS n_matched
+        |FROM sh s JOIN bench USING (sh)
+        |GROUP BY 1""".stripMargin,
+    "td_vocab" ->
+      """WITH ws AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                     w -> len(w) > 0) AS w
+        |  FROM documents),
+        |words AS (SELECT unnest(w) AS word FROM ws)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM words GROUP BY word HAVING COUNT(*) >= 50
+        |ORDER BY n DESC, word LIMIT 100""".stripMargin,
     // image rows: ImageIO-decoded raster (w*h*3) + 16x16 thumbnail (768);
     // av rows: 3 FakeCodec slices, each min(16, L - (idx*7 % L)) bytes
     // of an L-byte file (payload + fixed header)

@@ -105,4 +105,23 @@ class DedupSpec extends GraftSpec {
       .as[(Long, Long)].collect().toMap
     assert(dist == comp)
   }
+
+  test("decontamination flags docs sharing an n-gram with the benchmark") {
+    import graft.operators.Decontamination
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // contains bench 4-gram
+      (1L, "alpha beta gamma delta epsilon zeta"), // dup of 0 -> also flagged
+      (2L, "one two three four five six seven"),   // clean
+      (3L, "xx alpha beta gamma delta yy")         // contains bench 4-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("btext")
+    val flagged = Decontamination
+      .flag(corpus, "doc_id", "text", bench, "btext", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.keySet == Set(0L, 1L, 3L))
+    assert(flagged(0L) == 2L && flagged(3L) == 1L) // 2 vs 1 colliding 4-grams
+    val vocab = Decontamination.vocab(corpus, "text", minCount = 2)
+      .as[(String, Long)].collect().toMap
+    assert(vocab("alpha") == 3L && !vocab.contains("one"))
+  }
 }
