@@ -114,6 +114,41 @@ object QueriesSystem {
           sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
     }),
 
+    // K4: document-store destination (ref mongodb-destination.ts:41-61 —
+    // upsert the WHOLE event document keyed by its id). The observable
+    // contract is id-keyed whole-doc upsert of a serialized document
+    // column; the sandbox store is the same Derby-backed sink (a Mongo
+    // client is a driver swap on an identical flow). Doc JSON is built
+    // by concat so the oracle reproduces it byte-for-byte; identify
+    // events are re-written as v2 (the $set re-upsert) and must replace
+    // their v1 rows.
+    "k4_docstore" -> ((s, dir) => {
+      val db = tmp("graft-q-doc")
+      val sink = new graft.sinks.JdbcSink(s"jdbc:derby:$db/wh;create=true",
+        SinkOptions(deduplicate = true, primaryKey = "_id",
+          timestampColumn = "ts"))
+      val eid = expr("CAST(substring(message_id, 2) AS BIGINT)")
+      val env = DriverEventsAdapter.load(s, dir)
+        .filter(pmod(eid, lit(10)) === 0)
+      def doc(version: Int) = concat(
+        lit("{\"message_id\":\""), col("message_id"),
+        lit("\",\"type\":\""), col("type"),
+        lit("\",\"v\":"), lit(version), lit("}"))
+      val v1 = env.select(col("message_id").as("_id"),
+        col("timestamp").as("ts"), doc(1).as("doc"))
+      sink.write(v1.withColumn("_table", lit("events_docs")))
+      val v2 = env.filter(col("type") === "identify")
+        .select(col("message_id").as("_id"),
+          (col("timestamp") + expr("INTERVAL 1 SECOND")).as("ts"),
+          doc(2).as("doc"))
+      sink.write(v2.withColumn("_table", lit("events_docs")))
+      sink.readTable(s, "events_docs")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("_id")).as("n_ids"),
+          sum(get_json_object(col("doc"), "$.v").cast("long")).as("sum_v"),
+          sum(length(col("doc"))).as("doc_bytes"))
+    }),
+
     // K9/R1: dead-letter flow — a permanently failing destination is
     // retried MaxRetries times with exponential backoff, then every event
     // lands in the DLQ split; backoff schedule oracle-checked
@@ -294,6 +329,25 @@ object QueriesSystem {
         |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_identified
         |FROM resolved""".stripMargin,
+    "k4_docstore" ->
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    CASE WHEN event_type = 'signup' THEN 'identify'
+        |         WHEN event_type = 'view' THEN 'page'
+        |         ELSE 'track' END AS type
+        |  FROM events WHERE event_id % 10 = 0),
+        |docs AS (
+        |  SELECT message_id,
+        |    CASE WHEN type = 'identify' THEN 2 ELSE 1 END AS v,
+        |    '{"message_id":"' || message_id || '","type":"' || type ||
+        |      '","v":' || (CASE WHEN type = 'identify' THEN 2 ELSE 1 END)
+        |      || '}' AS doc
+        |  FROM env)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_ids,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v,
+        |  CAST(SUM(length(doc)) AS BIGINT) AS doc_bytes
+        |FROM docs""".stripMargin,
     "k9_dlq" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_dead,
         |  4 AS final_attempt,
