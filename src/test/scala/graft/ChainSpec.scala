@@ -221,19 +221,44 @@ class ChainSpec extends GraftSpec {
       "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Safari/604.1",
       "Googlebot/2.1 (+http://www.google.com/bot.html)",
       "Mozilla/5.0 (Windows NT 10.0) Gecko/20100101 Firefox/121.0",
-      "Mozilla/5.0 (Linux; Android 14) Chrome/120.0 Mobile Safari/537.36")
+      "Mozilla/5.0 (Linux; Android 14) Chrome/120.0 Mobile Safari/537.36",
+      // Edge/Opera contain "Chrome"; iPad Safari carries Version/x;
+      // Android without "Mobile" is a tablet
+      "Mozilla/5.0 (Windows NT 10.0; Win64) Chrome/120.0 Safari/537.36 Edg/120.0.1",
+      "Mozilla/5.0 (X11; Linux x86_64) Chrome/119.0 Safari/537.36 OPR/105.0.0.0",
+      "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) Version/16.6 Mobile/15E148 Safari/604.1",
+      "Mozilla/5.0 (Linux; Android 13; SM-X700) Chrome/118.0 Safari/537.36",
+      "Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) Chrome/120.0 Safari/537.36")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     uas.foreach { ua =>
       val jvm = FunctionChain.parseUaNode(mapper, ua)
       val sql = spark.range(1).select(
         graft.functions.Scalars.parseUa(lit(ua)).as("u"))
-        .select(col("u.name"), col("u.os_name"), col("u.device_type"), col("u.bot"))
+        .select(col("u.name"), col("u.os_name"), col("u.device_type"),
+          col("u.bot"), col("u.version"), col("u.os_version"))
         .collect().head
       assert(jvm.get("name").asText() == sql.getString(0), ua)
       assert(jvm.get("os_name").asText() == sql.getString(1), ua)
       assert(jvm.get("device_type").asText() == sql.getString(2), ua)
       assert(jvm.get("bot").asBoolean() == sql.getBoolean(3), ua)
+      assert(jvm.get("version").asText() == sql.getString(4), ua)
+      assert(jvm.get("os_version").asText() == sql.getString(5), ua)
     }
+    // spot-check detection itself (not just twin agreement)
+    val edge = FunctionChain.parseUaNode(mapper, uas(5))
+    assert(edge.get("name").asText() == "Edge" &&
+      edge.get("version").asText() == "120.0.1" &&
+      edge.get("os_version").asText() == "10.0")
+    val ipad = FunctionChain.parseUaNode(mapper, uas(7))
+    assert(ipad.get("name").asText() == "Safari" &&
+      ipad.get("device_type").asText() == "tablet" &&
+      ipad.get("version").asText() == "16.6" &&
+      ipad.get("os_version").asText() == "16.6")
+    val tab = FunctionChain.parseUaNode(mapper, uas(8))
+    assert(tab.get("device_type").asText() == "tablet" &&
+      tab.get("os_name").asText() == "Android")
+    assert(FunctionChain.parseUaNode(mapper, uas(9))
+      .get("os_name").asText() == "ChromeOS")
   }
 
   test("metrics status derivation (A4)") {
