@@ -246,7 +246,12 @@ object Multimodal {
 
     def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch {
+        // ImageIO readers throw RuntimeExceptions (IAE, AIOOBE,
+        // CMMException) on truncated/corrupt data, not just IOException;
+        // a malformed payload must fall back, not fail the task
+        case scala.util.control.NonFatal(_) => None
+      }
 
     def resize(img: java.awt.image.BufferedImage,
                w: Int, h: Int): java.awt.image.BufferedImage = {

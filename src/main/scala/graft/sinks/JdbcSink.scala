@@ -207,11 +207,16 @@ class JdbcSink(url: String, options: SinkOptions = SinkOptions(),
     val cols = df.columns
     val updatable = cols.filterNot(_ == pk)
     val t = storedTableName(table); val s = storedTableName(stage)
+    // a key-only table has nothing to update — emit an insert-only
+    // MERGE instead of the syntactically invalid "UPDATE SET "
+    val matched =
+      if (updatable.isEmpty) ""
+      else s"""WHEN MATCHED AND (t.${q(ts)} IS NULL OR s.${q(ts)} >= t.${q(ts)})
+           |  THEN UPDATE SET ${updatable.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")}
+           |""".stripMargin
     val merge =
       s"""MERGE INTO $t t USING $s s ON t.${q(pk)} = s.${q(pk)}
-         |WHEN MATCHED AND (t.${q(ts)} IS NULL OR s.${q(ts)} >= t.${q(ts)})
-         |  THEN UPDATE SET ${updatable.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")}
-         |WHEN NOT MATCHED
+         |${matched}WHEN NOT MATCHED
          |  THEN INSERT (${cols.map(q).mkString(", ")})
          |  VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
     withConn { c =>

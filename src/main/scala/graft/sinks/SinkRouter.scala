@@ -215,8 +215,25 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
 
   // ---- schema sidecar ------------------------------------------------------
 
+  /** DEEP nullability normalization: warehouse columns are nullable at
+    * every level (schema evolution backfills nulls), and mergeSchemas
+    * rebuilds nested fields nullable — if the persisted sidecar kept a
+    * batch's nullable=false / containsNull=false nested flags, a
+    * byte-identical second batch would compare as a schema CHANGE and
+    * wedge a schemaFreeze table on every replay. */
+  private def nullableType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = nullableType(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      ArrayType(nullableType(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        m.keyType, nullableType(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private def nullable(s: StructType): StructType =
-    StructType(s.fields.map(_.copy(nullable = true)))
+    nullableType(s).asInstanceOf[StructType]
 
   /** Table schema: cache -> sidecar -> (legacy fallback) one mergeSchema
     * scan that then persists the sidecar so it never happens again. */
@@ -225,7 +242,9 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
       val sidecar = Paths.get(path, SchemaSidecar)
       if (Files.exists(sidecar)) {
         val json = new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8)
-        DataType.fromJson(json).asInstanceOf[StructType]
+        // normalize on load too: sidecars written before deep
+        // normalization may carry non-nullable nested flags
+        nullable(DataType.fromJson(json).asInstanceOf[StructType])
       } else {
         val s = nullable(
           spark.read.option("mergeSchema", "true").parquet(path).schema)

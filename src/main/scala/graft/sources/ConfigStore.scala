@@ -49,10 +49,25 @@ class ConfigStore(spark: SparkSession, dir: String) {
     val fp = fingerprint()
     if (loaded == null || loaded._2 != fp) {
       if (loaded != null) loaded._1.unpersist(false)
+      import org.apache.spark.sql.functions._
       val df =
         if (fp._2 == 0) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).json(dir)
+        else spark.read.schema(schema)
+          // read EXACTLY the files the fingerprint tracks — a stray
+          // non-.json file must neither be ingested nor invisible-until-
+          // an-unrelated-edit
+          .option("pathGlobFilter", "*.json")
+          .json(dir)
+          // one row per connection_id (the reference entity store keys
+          // by id): duplicate definitions resolve to the greatest
+          // (table_name, enabled) tuple — deterministic regardless of
+          // file enumeration order — instead of fanning out the reroute
+          // join and double-writing events
+          .groupBy(col("connection_id"))
+          .agg(max(struct(col("table_name"), col("enabled"))).as("_c"))
+          .select(col("connection_id"), col("_c.table_name").as("table_name"),
+            col("_c.enabled").as("enabled"))
           .localCheckpoint(true) // materialize: later batches must not re-list
       loaded = (df, fp)
     }

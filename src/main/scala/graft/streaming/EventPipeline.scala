@@ -66,34 +66,21 @@ object EventPipeline {
           .dropDuplicatesWithinWatermark("message_id")
       else parsed.dropDuplicates("message_id")
 
-    // Missing event time defaults to received_at, else processing time
-    // (the reference ingest stamps receivedAt and uses it as the event
-    // timestamp fallback) — the event still flows through the stateful
-    // dedup (the defaulted timestamp passes the watermark) and layouts,
-    // identically in batch and streaming.
-    def defaultTs(df: DataFrame): DataFrame = df.withColumn("timestamp",
-      coalesce(col("timestamp"), col("received_at"), current_timestamp()))
-
     if (!quarantineCorrupt) {
       // batch/replay path: EventSchema.fromJson + the timestamp default;
       // nothing is classified corrupt here
-      applyLayout(dedup(defaultTs(
+      applyLayout(dedup(defaultTimestamp(
         EventSchema.fromJson(raw.select(col("value").cast("string").as("value")).as[String]))))
     } else {
       // streaming path: lines that are not valid JSON objects route to a
       // quarantine table instead of vanishing — the reference logs these
-      // to its events log. The two branches each parse the source (a
-      // union has two children); the batch is tiny relative to the
-      // stateful stages and foreachBatch persists before routing.
+      // to its events log. Corrupt detection and timestamp defaulting
+      // are the SHARED helpers (isCorruptStruct/defaultTimestamp) so
+      // this path and envelopeStream can never drift apart.
       val parsedRaw = raw.select(col("value").cast("string").as("value"),
         from_json(col("value").cast("string"), EventSchema.envelope).as("e"))
-      // PERMISSIVE from_json yields an all-null struct (not a null) for
-      // malformed input, so corrupt = null struct OR null `type` — the
-      // protocol's one mandatory field (analytics.d.ts: every event
-      // carries its type); events missing only the timestamp flow on
-      // with the received_at default
-      val isCorrupt = col("e").isNull || col("e.type").isNull
-      val parsed = defaultTs(parsedRaw.filter(!isCorrupt).select("e.*")
+      val isCorrupt = isCorruptStruct(col("e"))
+      val parsed = defaultTimestamp(parsedRaw.filter(!isCorrupt).select("e.*")
         .withColumn("message_id",
           coalesce(col("message_id"), expr("uuid()"))))
       val bad = parsedRaw.filter(isCorrupt).select(
@@ -104,36 +91,57 @@ object EventPipeline {
     }
   }
 
-  /** The streaming stage graph WITHOUT the layout: ONE parse pass +
-    * watermarked dedup, returning envelope rows with quarantine rows
-    * inline (identified by a non-null `error` column; their `raw_event`
-    * carries the offending line, and all other rows carry nulls there —
-    * near-zero shuffle overhead). A good-rows/bad-rows UNION would read
-    * and parse the source once per branch (the bench showed 2x input
-    * rows); instead corrupt rows ride through the stateful dedup under a
-    * fresh uuid key (each adds one short-lived state entry) and are
-    * split off in foreachBatch. [[start]] consumes this and applies
-    * config rerouting + the layout inside foreachBatch — the layout is
-    * a narrow projection, but the reroute join needs the envelope's
-    * `connection_id` and the CURRENT config snapshot, which only exists
-    * per batch. */
+  /** Corrupt = unparseable JSON or no `type` — the protocol's one
+    * mandatory field (`analytics.d.ts`: every event carries its type).
+    * `probe` must use from_json (PERMISSIVE yields an all-null struct
+    * for malformed input, and field-coercion rules must match the full
+    * envelope parse — a get_json_object probe would disagree on e.g. a
+    * numeric `type`). Shared by [[transform]] and [[envelopeStream]] so
+    * batch replay and the live stream classify identically. */
+  private val typeProbe: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("type",
+        org.apache.spark.sql.types.StringType)))
+  private def isCorruptStruct(e: org.apache.spark.sql.Column) =
+    e.isNull || e.getField("type").isNull
+
+  /** Missing event time defaults to received_at, else processing time
+    * (the reference ingest stamps receivedAt and uses it as the event
+    * timestamp fallback). */
+  private def defaultTimestamp(df: DataFrame): DataFrame =
+    df.withColumn("timestamp",
+      coalesce(col("timestamp"), col("received_at"), current_timestamp()))
+
+  /** The streaming stage graph WITHOUT the layout: parse + watermarked
+    * dedup over the GOOD rows, quarantine rows unioned in (identified
+    * by a non-null `error` column). Corrupt rows must stay OUT of the
+    * watermarked branch: they carry no event time, and stamping them
+    * with processing time would drag the event-time watermark to
+    * wall-clock now — one bad line in a historical backfill would then
+    * silently expire every older event in later batches. The bad branch
+    * re-scans the source (union children are independent) but parses
+    * only a one-field `type` probe, not the full envelope, so the
+    * second pass costs a text scan + a trivial from_json. [[start]]
+    * consumes this and applies config rerouting + the layout inside
+    * foreachBatch — the layout is a narrow projection, but the reroute
+    * join needs the envelope's `connection_id` and the CURRENT config
+    * snapshot, which only exists per batch. */
   private def envelopeStream(raw: DataFrame,
                              dedupWatermark: String): DataFrame = {
-    val parsedRaw = raw.select(col("value").cast("string").as("value"),
-      from_json(col("value").cast("string"), EventSchema.envelope).as("e"))
-    // PERMISSIVE from_json yields an all-null struct for malformed input
-    val isCorrupt = col("e").isNull || col("e.type").isNull
-    val unified = parsedRaw
-      .select(Seq(
-        when(isCorrupt, col("value")).as("raw_event"),
-        when(isCorrupt, lit("parse_error")).as("error")) ++
-        EventSchema.envelope.fieldNames.toSeq.map(f => col(s"e.$f").as(f)): _*)
+    val value = col("value").cast("string")
+    val parsed = raw
+      .select(from_json(value, EventSchema.envelope).as("e"))
+      .filter(!isCorruptStruct(col("e")))
+      .select("e.*")
       .withColumn("message_id", coalesce(col("message_id"), expr("uuid()")))
-      .withColumn("timestamp",
-        coalesce(col("timestamp"), col("received_at"), current_timestamp()))
-    unified
+    val good = defaultTimestamp(parsed)
       .withWatermark("timestamp", dedupWatermark)
       .dropDuplicatesWithinWatermark("message_id")
+    val bad = raw
+      .select(value.as("raw_event"), from_json(value, typeProbe).as("p"))
+      .filter(isCorruptStruct(col("p")))
+      .select(col("raw_event"), lit("parse_error").as("error"))
+    good.unionByName(bad, allowMissingColumns = true)
   }
 
   /** Adapt a Kafka-wire DataFrame (the connector's fixed output schema:
@@ -154,8 +162,14 @@ object EventPipeline {
     else {
       val headers =
         if (kafka.columns.contains("headers"))
+          // Kafka legally carries DUPLICATE header keys (appended retry/
+          // trace headers); keep the LAST occurrence per key before
+          // building the map — map_from_entries throws on duplicates
+          // under Spark's default EXCEPTION dedup policy
           map_from_entries(org.apache.spark.sql.functions.transform(
-            col("headers"),
+            expr("""filter(headers, (e, i) ->
+                   |  NOT exists(slice(headers, i + 2, size(headers) - i - 1),
+                   |             x -> x.key = e.key))""".stripMargin),
             (h: org.apache.spark.sql.Column) => struct(
               h.getField("key").as("key"),
               h.getField("value").cast("string").as("value"))))
