@@ -71,6 +71,15 @@ class JdbcSinkSpec extends GraftSpec {
     assert(rows == Map("m1" -> "v2", "m2" -> "v1", "m3" -> "new"))
   }
 
+  test("key-only table merges as insert-only (no empty UPDATE SET)") {
+    val sink = new JdbcSink(freshUrl(),
+      SinkOptions(deduplicate = true, timestampColumn = "message_id"))
+    val b = Seq("m1", "m2").toDF("message_id").withColumn("_table", lit("t"))
+    sink.write(b)
+    sink.write(Seq("m2", "m3").toDF("message_id").withColumn("_table", lit("t")))
+    assert(sink.readTable(spark, "t").count() == 3)
+  }
+
   test("JDBC and parquet routers agree on the append+merge flow") {
     val sf = "/root/testdata/sf0.001"
     val env = graft.sources.DriverEventsAdapter.load(spark, sf)

@@ -106,6 +106,68 @@ class StreamingSpec extends GraftSpec {
     assert(out2.at("/context/traits/email").asText() == "a@x.io")
   }
 
+  test("a corrupt line does not advance the watermark over a backfill") {
+    val in = tmp("graft-wm-in"); val wh = tmp("graft-wm-wh"); val cp = tmp("graft-wm-cp")
+    // batch 1: one corrupt line + a few 2023 events; batch 2 (new run,
+    // same checkpoint): MORE 2023 events. If the corrupt row were
+    // stamped with processing time inside the watermarked branch, the
+    // watermark would jump to ~now and batch 2's events would be
+    // silently expired as late.
+    def evs(file: String, ids: Range, extra: Seq[String] = Nil): Unit = {
+      val lines = ids.map(i =>
+        s"""{"message_id":"w$i","type":"track","timestamp":"2023-05-01T10:00:00.000Z"}""") ++ extra
+      java.nio.file.Files.write(new java.io.File(in, file).toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    evs("b1.txt", 0 until 10, Seq("corrupt {not json"))
+    val q1 = EventPipeline.start(spark, in, wh, cp, dedupWatermark = "1 hour")
+    try q1.awaitTermination() finally q1.stop()
+    evs("b2.txt", 10 until 25)
+    val q2 = EventPipeline.start(spark, in, wh, cp, dedupWatermark = "1 hour")
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.read.parquet(s"$wh/events").count() == 25,
+      "backfill events after a corrupt line must not be dropped as late")
+    assert(spark.read.parquet(s"$wh/quarantine").count() == 1)
+  }
+
+  test("duplicate connection-config definitions do not fan out events") {
+    val in = tmp("graft-dup-in"); val wh = tmp("graft-dup-wh")
+    val cp = tmp("graft-dup-cp"); val cfg = tmp("graft-dup-dir")
+    // two files BOTH defining c1 — the reroute join must see one row
+    java.nio.file.Files.write(new java.io.File(cfg, "a.json").toPath,
+      """{"connection_id":"c1","table_name":"table_a","enabled":true}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(cfg, "b.json").toPath,
+      """{"connection_id":"c1","table_name":"table_a","enabled":true}"""
+        .getBytes("UTF-8"))
+    val lines = (0 until 10).map(i =>
+      s"""{"message_id":"d$i","type":"track","connection_id":"c1",""" +
+        s""""timestamp":"2024-01-01T10:00:00.000Z"}""")
+    java.nio.file.Files.write(new java.io.File(in, "b1.txt").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val q = EventPipeline.start(spark, in, wh, cp, configDir = Some(cfg))
+    try q.awaitTermination() finally q.stop()
+    assert(spark.read.parquet(s"$wh/table_a").count() == 10)
+  }
+
+  test("kafka-wire meta tolerates duplicate header keys (last wins)") {
+    val kafka = Seq(("""{"type":"track"}""")).toDF("v")
+      .select(col("v").cast("binary").as("value"),
+        lit("t").as("topic"), lit(0).as("partition"), lit(1L).as("offset"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"),
+        lit(0).as("timestampType"),
+        array(
+          struct(lit("retries").as("key"), lit("1").cast("binary").as("value")),
+          struct(lit("trace").as("key"), lit("t0").cast("binary").as("value")),
+          struct(lit("retries").as("key"), lit("2").cast("binary").as("value"))
+        ).as("headers"))
+    val r = EventPipeline.fromKafkaWire(kafka, withMeta = true)
+      .select(EventPipeline.kafkaHeader("retries"),
+        EventPipeline.kafkaHeader("trace")).head
+    assert(r.getString(0) == "2" && r.getString(1) == "t0")
+  }
+
   test("batch/stream symmetry: same transform graph, same result") {
     val in = tmp("graft-in2")
     writeJsonEvents(in)
