@@ -141,6 +141,17 @@ object QueriesTrainingData {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // incremental dedup: NEW batch (odd ids) near-dup-scanned against
+    // the PRIOR corpus (even ids) — band keys of the prior side are the
+    // stored-index shape; oracle = exact cross-parity Jaccard pairs
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashLshCrossPairs(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", n = 3, threshold = 0.5)
+    }),
+
     // decontamination: flag corpus docs sharing any 8-word n-gram with a
     // "benchmark" set (every 97th doc stands in for the eval set) — the
     // train/test-leak scan; benchmark n-grams broadcast, corpus scanned
@@ -372,6 +383,13 @@ object QueriesTrainingData {
          |       WHEN en >= de THEN 'en'
          |       ELSE 'de' END AS lang_pred
          |FROM hits""".stripMargin),
+    "dedup_incremental" -> (
+      s"""SELECT
+         |  CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id_a,
+         |  CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS id_b,
+         |  jaccard
+         |FROM ($jaccardSql)
+         |WHERE (id_a % 2) <> (id_b % 2)""".stripMargin),
     "td_decontam" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

@@ -82,37 +82,39 @@ object Dedup {
     * verified output equals the exact [[jaccardPairs]] result (which is
     * the oracle) while only hashing candidates.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, threshold: Double = 0.5,
-                      numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val withSh = docs.select(col(idCol).as("id"),
+  /** (id, shingles) with empties dropped. */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
         TextFunctions.shingles(col(textCol), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    // Candidate generation carries ONLY (id, band, bucket): the band join
-    // multiplies rows (up to numBands x per colliding pair), so payloads
-    // are joined back after dedup, not shuffled through it.
-    val banded = withSh
+
+  /** LSH band keys: (id, band, bucket) — candidate generation carries
+    * ONLY these (the band join multiplies rows up to numBands x per
+    * colliding pair, so payloads are joined back after dedup, not
+    * shuffled through it). */
+  private def banded(withSh: DataFrame, numHashes: Int,
+                     rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    withSh
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(numBands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val candidates = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // Size-ratio prefilter: jaccard >= t forces |A|/|B| within [t, 1/t];
-    // cuts exact verification work before touching the shingle arrays.
-    val sized = withSh.select(col("id"), col("shingles"),
-      size(col("shingles")).as("n_sh"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle
+    * frames, with the size-ratio prefilter (jaccard >= t forces |A|/|B|
+    * within [t, 1/t] — cuts exact work before touching the arrays). */
+  private def verifyPairs(candidates: DataFrame, sizedA: DataFrame,
+                          sizedB: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(sized.select(col("id").as("id_a"), col("shingles").as("sh_a"),
-        col("n_sh").as("n_a")), "id_a")
-      .join(sized.select(col("id").as("id_b"), col("shingles").as("sh_b"),
-        col("n_sh").as("n_b")), "id_b")
+      .join(sizedA.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+        size(col("shingles")).as("n_a")), "id_a")
+      .join(sizedB.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+        size(col("shingles")).as("n_b")), "id_b")
       .filter(col("n_a") >= col("n_b") * threshold &&
         col("n_b") >= col("n_a") * threshold)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
@@ -120,6 +122,40 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.5,
+                      numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame = {
+    val withSh = shingled(docs, idCol, textCol, n)
+    val bandKeys = banded(withSh, numHashes, rowsPerBand)
+    val candidates = bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyPairs(candidates, withSh, withSh, threshold)
+  }
+
+  /** Incremental near-dup scan: pairs (id_a = NEW doc, id_b = PRIOR
+    * doc) with jaccard >= threshold — the continuously-growing-corpus
+    * shape: the prior side's band keys are exactly what a production
+    * pipeline keeps as a STORED index table, so each arriving batch
+    * computes signatures only for itself and bucket-joins the index
+    * (cost ~ batch size, never O(corpus) work per batch). An anti-join
+    * of the new batch against this output is the "keep" set; new-vs-new
+    * duplicates are [[minhashLshPairs]]' job, composed separately. */
+  def minhashLshCrossPairs(newDocs: DataFrame, priorDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5,
+                           numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame = {
+    val newSh = shingled(newDocs, idCol, textCol, n)
+    val priorSh = shingled(priorDocs, idCol, textCol, n)
+    val candidates = banded(newSh, numHashes, rowsPerBand).as("a")
+      .join(banded(priorSh, numHashes, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyPairs(candidates, newSh, priorSh, threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates via

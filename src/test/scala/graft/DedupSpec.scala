@@ -106,6 +106,20 @@ class DedupSpec extends GraftSpec {
     assert(dist == comp)
   }
 
+  test("incremental cross-pairs find new-vs-prior near-dups only") {
+    // docs: 0/1 near-identical, 2 permuted copy of 0, 3/4 exact copies
+    val newSide = docs.filter(col("doc_id") % 2 === 1)   // 1, 3
+    val priorSide = docs.filter(col("doc_id") % 2 === 0) // 0, 2, 4
+    val pairs = Dedup.minhashLshCrossPairs(newSide, priorSide,
+      "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 1~0 (one word changed), 3==4 exact; 1~2 only if permutation keeps
+    // enough shared 3-grams (it does not — permuted word ORDER breaks
+    // shingles); and NO new-vs-new or prior-vs-prior pairs
+    assert(pairs.contains((1L, 0L)) && pairs.contains((3L, 4L)))
+    assert(pairs.forall { case (a, b) => a % 2 == 1 && b % 2 == 0 })
+  }
+
   test("decontamination flags docs sharing an n-gram with the benchmark") {
     import graft.operators.Decontamination
     val corpus = Seq(
