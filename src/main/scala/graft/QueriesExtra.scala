@@ -230,7 +230,46 @@ object QueriesExtra {
           count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
-          col("sum_qty"), col("n")))
+          col("sum_qty"), col("n"))),
+
+    // beyond-reference: ordered multi-step funnel (view -> signup ->
+    // purchase, each step strictly after the previous) — all three step
+    // times are windows over the SAME user partitioning, so the whole
+    // funnel costs ONE shuffle; at 100 TB that is the floor for a
+    // per-user ordered computation
+    "a10_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.schema.EventSchema.readEvents(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+      val staged = e
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "signup" && col("ts") > col("t1"),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+            col("ts"))).over(w))
+      staged.agg(
+        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_signup"),
+        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase"))
+    }),
+
+    // beyond-reference: weekly cohort retention matrix (cohort = week of
+    // first event; cell = distinct users from that cohort active in week
+    // offset k) — two keyed aggregations + one equi-join on user_id
+    "a11_retention" -> ((s, dir) => {
+      val e = graft.schema.EventSchema.readEvents(s, dir)
+      val firsts = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val active = e.select(col("user_id"),
+        date_trunc("week", col("ts")).as("wk")).distinct()
+      active.join(firsts, "user_id")
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    })
   )
 
   private val adapterCte =
@@ -251,6 +290,35 @@ object QueriesExtra {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a10_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'signup' AND ts > t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM s1 WHERE t1 IS NOT NULL) AS BIGINT)
+        |    AS n_view,
+        |  CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_signup,
+        |  CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase""".stripMargin,
+    "a11_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |      FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "k3_mixpanel" -> (adapterCte +
       """SELECT COALESCE(user_id, anonymous_id) AS distinct_id, event,
         |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) * 1000

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.expressions.SimHash64
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextQuality}
 
 /** Training-data pipeline queries: dedup family, ANN similarity search,
   * text analysis, multimodal plumbing — over the driver's `documents` and
@@ -152,6 +152,18 @@ object QueriesTrainingData {
         "doc_id", "text", n = 3, threshold = 0.5)
     }),
 
+    // incremental membership with a bloom prefilter: batch (odd ids)
+    // docs whose word-set fingerprint exists in the prior corpus (even
+    // ids) — bloom built by a distributed aggregate, map-side
+    // might_contain scan, exact semi-join verify (result is exact)
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomIncremental(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text")
+    }),
+
     // decontamination: flag corpus docs sharing any 8-word n-gram with a
     // "benchmark" set (every 97th doc stands in for the eval set) — the
     // train/test-leak scan; benchmark n-grams broadcast, corpus scanned
@@ -168,6 +180,22 @@ object QueriesTrainingData {
     "td_vocab" -> ((s, dir) =>
       operators.Decontamination.vocab(docs(s, dir), "text", minCount = 50)
         .orderBy(desc("n"), asc("word")).limit(100)),
+
+    // Gopher-style quality rule suite: per-doc metrics + composite pass
+    // flag — a single codegen'd map pass, no shuffle (the per-doc gate
+    // every web-scale curation pipeline runs first)
+    "td_gopher_quality" -> ((s, dir) =>
+      TextQuality.gopherQuality(docs(s, dir), "doc_id", "text")),
+
+    // within-doc repetition metrics (Gopher repetition family): most
+    // frequent 2-gram char coverage + duplicate-chunk char fraction
+    "td_repetition" -> ((s, dir) =>
+      TextQuality.repetition(docs(s, dir), "doc_id", "text")),
+
+    // cross-doc boilerplate scrub (CCNet/RefinedWeb line dedup): chunks
+    // seen in >= 2 distinct docs are boilerplate; per-doc survival stats
+    "td_boilerplate" -> ((s, dir) =>
+      TextQuality.boilerplateScrub(docs(s, dir), "doc_id", "text")),
 
     // multimodal: metadata extraction over binary media column
     "mm_meta" -> ((s, dir) =>
@@ -390,6 +418,15 @@ object QueriesTrainingData {
          |  jaccard
          |FROM ($jaccardSql)
          |WHERE (id_a % 2) <> (id_b % 2)""".stripMargin),
+    "dedup_incremental_bloom" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.doc_id AS id, a.fp FROM f a
+        |WHERE a.doc_id % 2 = 1 AND EXISTS (
+        |  SELECT 1 FROM f b WHERE b.doc_id % 2 = 0 AND b.fp = a.fp)""".stripMargin,
     "td_decontam" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -406,6 +443,83 @@ object QueriesTrainingData {
         |  AS n_matched
         |FROM sh s JOIN bench USING (sh)
         |GROUP BY 1""".stripMargin,
+    "td_gopher_quality" -> (wordsOnlyCte +
+      """, m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS DOUBLE) AS nw,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS cw,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) AS sym,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS DOUBLE) AS alpha,
+        |    len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS hits
+        |  FROM ws),
+        |r AS (
+        |  SELECT doc_id, nw, hits,
+        |    ROUND(cw / greatest(nw, 1.0), 4) AS mwl,
+        |    ROUND(sym / greatest(nw, 1.0), 4) AS symr,
+        |    ROUND(alpha / greatest(nw, 1.0), 4) AS alphaf
+        |  FROM m)
+        |SELECT doc_id, CAST(nw AS INT) AS n_words, mwl AS mean_word_len,
+        |  symr AS symbol_ratio, alphaf AS alpha_word_frac,
+        |  CAST(hits AS INT) AS stopword_hits,
+        |  (nw >= 30 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |    AND symr < 0.1 AND alphaf > 0.80 AND hits >= 2) AS pass
+        |FROM r""".stripMargin),
+    "td_repetition" -> (wordsOnlyCte +
+      """, grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+        |    list_transform(range(0, len(w) - 1),
+        |      i -> array_to_string(w[i+1:i+2], ' '))
+        |    ELSE [] END) AS g
+        |  FROM ws),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, cnt AS top_cnt, g AS top_g FROM (
+        |    SELECT doc_id, cnt, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt DESC, g DESC) AS rn
+        |    FROM gc) WHERE rn = 1),
+        |chunks AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) > 0 THEN
+        |    list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+        |      i -> array_to_string(w[i*10+1:i*10+10], ' '))
+        |    ELSE [] END) AS c
+        |  FROM ws),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM chunks GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT doc_id, SUM(len(c) * cnt) AS total_chars,
+        |    SUM(CASE WHEN cnt > 1 THEN len(c) * cnt ELSE 0 END) AS dup_chars
+        |  FROM cc GROUP BY 1),
+        |dc AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      AS word_chars
+        |  FROM ws)
+        |SELECT dc.doc_id AS id,
+        |  CAST(COALESCE(top_cnt, 0) AS BIGINT) AS top_gram_count,
+        |  ROUND(CAST(COALESCE(top_cnt * (length(top_g) - 1), 0) AS DOUBLE)
+        |    / greatest(word_chars, 1.0), 4) AS top_gram_frac,
+        |  ROUND(CAST(COALESCE(dup_chars, 0) AS DOUBLE)
+        |    / greatest(CAST(COALESCE(total_chars, 0) AS DOUBLE), 1.0), 4)
+        |    AS dup_chunk_frac
+        |FROM dc
+        |LEFT JOIN top ON top.doc_id = dc.doc_id
+        |LEFT JOIN cs ON cs.doc_id = dc.doc_id""".stripMargin),
+    "td_boilerplate" -> (wordsOnlyCte +
+      """, chunks AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) > 0 THEN
+        |    list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+        |      i -> array_to_string(w[i*10+1:i*10+10], ' '))
+        |    ELSE [] END) AS c
+        |  FROM ws),
+        |freq AS (SELECT c, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
+        |SELECT doc_id AS id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(SUM(CASE WHEN df < 2 THEN len(c) ELSE 0 END) AS BIGINT)
+        |    AS kept_chars
+        |FROM chunks JOIN freq USING (c)
+        |GROUP BY 1""".stripMargin),
     "td_vocab" ->
       """WITH ws AS (
         |  SELECT list_filter(string_split_regex(lower(text), '\s+'),

@@ -349,4 +349,42 @@ object Dedup {
     connectedComponents(pairs)
       .groupBy(col("component").as("survivor_id"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** Incremental MEMBERSHIP scan with a bloom prefilter: batch docs whose
+    * word-set fingerprint ([[TextFunctions.fingerprint]] — exact-content
+    * and permutation-robust) already exists in the prior corpus.
+    *
+    * 100 TB shape: the prior side collapses to a bloom filter built by a
+    * DISTRIBUTED aggregate (Spark's own `BloomFilterAggregate`, the
+    * runtime-filter primitive — partial filters merge tree-wise; only the
+    * final ~`1.2 MB/1M keys` bitmap reaches the driver, exactly like
+    * Spark's injected runtime filters). The batch scan is then a pure
+    * map-side codegen'd `might_contain` — the non-matching majority never
+    * shuffles. False positives are removed by an exact semi-join against
+    * the prior fingerprints, so the RESULT is exact (oracle-checkable);
+    * only the candidate set (true matches + ~fpp of the batch) pays the
+    * join shuffle. */
+  def bloomIncremental(batch: DataFrame, prior: DataFrame,
+                       idCol: String, textCol: String,
+                       expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val priorFp = prior.select(fp.as("fp"))
+    val bloomBytes = priorFp
+      .select(graftshim.column(new BloomFilterAggregate(
+        graftshim.expression(xxhash64(col("fp"))), expectedItems)
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (bloomBytes == null) // empty prior corpus: nothing can match
+      return batch.select(col(idCol).as("id"), fp.as("fp")).limit(0)
+    val candidates = batch
+      .select(col(idCol).as("id"), fp.as("fp"))
+      .filter(graftshim.column(BloomFilterMightContain(
+        graftshim.expression(lit(bloomBytes)),
+        graftshim.expression(xxhash64(col("fp"))))))
+    candidates.join(priorFp.distinct(), Seq("fp"), "left_semi")
+      .select(col("id"), col("fp"))
+  }
 }

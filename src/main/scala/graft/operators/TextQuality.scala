@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-quality operators in the style of the published web-scale
+  * pipeline heuristics (Gopher / C4 / RefinedWeb rule families): per-doc
+  * quality gates, within-doc repetition scoring, and cross-doc
+  * boilerplate removal. The reference pipeline stops at event analytics;
+  * these are the curation steps an LLM training pipeline adds on top —
+  * built as first-class Spark operators alongside the dedup family in
+  * [[Dedup]].
+  *
+  * Engine-parity rules (every metric is DuckDB-replayable, so the whole
+  * operator is hash-checked, not spot-checked):
+  *  - ratios round to 4 dp;
+  *  - "words" are [[TextFunctions.words]] (lowercased, \s+ split);
+  *  - documents in this corpus carry no newlines, so the paragraph unit
+  *    is a deterministic CHUNK of `chunkWords` consecutive words — the
+  *    operators take the unit as a parameter and work unchanged on
+  *    newline-delimited corpora by swapping the chunker.
+  */
+object TextQuality {
+
+  /** Gopher-style required stopwords ("at least 2 of" rule). */
+  val RequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule thresholds (word-count band widened to this corpus's
+    * short synthetic docs; the published bounds are 50..100k). */
+  val MinWords = 30
+  val MaxWords = 100000
+  val MinMeanWordLen = 3.0
+  val MaxMeanWordLen = 10.0
+  val MaxSymbolRatio = 0.1
+  val MinAlphaWordFrac = 0.80
+  val MinStopwordHits = 2
+
+  /** Per-document quality-rule metrics + the composite pass flag. One
+    * narrow projection — no shuffle, no UDF; every metric is a codegen'd
+    * column expression, so at 100 TB this is a single map pass that
+    * whole-stage-codegens into the parquet scan. */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val w = TextFunctions.words(text)
+    val nWords = size(w).cast("double")
+    val denomW = greatest(nWords, lit(1.0))
+    // sum(len(word)) == count of non-whitespace chars — keeps the metric
+    // codegen'd (no interpreted aggregate() lambda over the word array)
+    val charsInWords = length(regexp_replace(text, "\\s+", "")).cast("double")
+    val meanWordLen = round(charsInWords / denomW, 4)
+    val symbolRatio = round(
+      size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") / denomW, 4)
+    val alphaWordFrac = round(
+      size(filter(w, x => x.rlike("[a-z]"))).cast("double") / denomW, 4)
+    val stopHits = size(array_intersect(array_distinct(w),
+      array(RequiredStopwords.map(lit): _*)))
+    docs.select(
+      col(idCol),
+      nWords.cast("int").as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaWordFrac.as("alpha_word_frac"),
+      stopHits.as("stopword_hits"),
+      (nWords >= MinWords && nWords <= MaxWords &&
+        meanWordLen >= MinMeanWordLen && meanWordLen <= MaxMeanWordLen &&
+        symbolRatio < MaxSymbolRatio &&
+        alphaWordFrac > MinAlphaWordFrac &&
+        stopHits >= MinStopwordHits).as("pass"))
+  }
+
+  /** Word 2-grams WITH multiplicity (sliding, order-preserving) — unlike
+    * [[TextFunctions.shingles]], which is the distinct set for Jaccard.
+    * Guarded: `sequence(0, -1)` would generate a DESCENDING range. */
+  private def slidingGrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(array())
+
+  /** Non-overlapping chunks of `chunkWords` words (the paragraph stand-in
+    * for corpora without newlines; last chunk may be short). */
+  private def chunks(w: Column, chunkWords: Int): Column =
+    when(size(w) > 0,
+      transform(sequence(lit(0), ceil(size(w) / lit(chunkWords.toDouble)).cast("int") - 1),
+        i => concat_ws(" ", slice(w, i * chunkWords + lit(1), lit(chunkWords)))))
+      .otherwise(array())
+
+  /** Within-document repetition metrics (the Gopher repetition family):
+    *  - `top_gram_frac`: chars covered by the most frequent word 2-gram
+    *    (count x gram length / total word chars), ties broken by the
+    *    lexicographically greatest gram;
+    *  - `dup_chunk_frac`: chars in chunk values occurring more than once
+    *    in the doc / total chunk chars (duplicate-paragraph fraction).
+    *
+    * Shape: explode -> per-(doc, gram) hash agg -> per-doc agg. Two
+    * shuffles keyed by doc id; partial aggregation is map-side, and
+    * nothing wider than (id, gram, count) ever shuffles. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 10): DataFrame = {
+    val w = TextFunctions.words(col(textCol))
+    val base = docs.select(col(idCol).as("id"), w.as("w"))
+
+    val gramCounts = base
+      .select(col("id"), explode(slidingGrams(col("w"), 2)).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val topGram = gramCounts
+      .groupBy(col("id"))
+      .agg(max(struct(col("cnt"), col("g"))).as("top"))
+      .select(col("id"), col("top.cnt").as("top_cnt"), col("top.g").as("top_g"))
+
+    val chunkStats = base
+      .select(col("id"), explode(chunks(col("w"), chunkWords)).as("c"))
+      .groupBy(col("id"), col("c")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(sum(length(col("c")) * col("cnt")).as("total_chars"),
+        sum(when(col("cnt") > 1, length(col("c")) * col("cnt"))
+          .otherwise(lit(0))).as("dup_chars"))
+
+    val docChars = docs.select(col(idCol).as("id"),
+      length(regexp_replace(col(textCol), "\\s+", "")).cast("double").as("word_chars"))
+
+    docChars
+      .join(topGram, Seq("id"), "left")
+      .join(chunkStats, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_gram_count"),
+        round(coalesce(col("top_cnt") * (length(col("top_g")) - 1), lit(0L))
+          .cast("double") / greatest(col("word_chars"), lit(1.0)), 4)
+          .as("top_gram_frac"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          greatest(coalesce(col("total_chars"), lit(0L)).cast("double"), lit(1.0)), 4)
+          .as("dup_chunk_frac"))
+  }
+
+  /** Cross-document boilerplate removal (the CCNet / RefinedWeb line-dedup
+    * step): a chunk whose value appears in >= `minDocs` DISTINCT documents
+    * is boilerplate; report per-doc totals and what survives.
+    *
+    * Shape: explode -> global (chunk -> distinct-doc count) hash agg ->
+    * join back -> per-doc agg. The chunk-frequency table is the only
+    * global state and it shuffles as (chunk-hash, id) pairs — at 100 TB
+    * this is the standard two-shuffle inverted-index pass; the frequent
+    * set is NOT broadcast because its size is corpus-dependent (hot
+    * boilerplate lines number millions at web scale). */
+  def boilerplateScrub(docs: DataFrame, idCol: String, textCol: String,
+                       chunkWords: Int = 10, minDocs: Int = 2): DataFrame = {
+    val w = TextFunctions.words(col(textCol))
+    val exploded = docs
+      .select(col(idCol).as("id"), explode(chunks(w, chunkWords)).as("c"))
+    val freq = exploded
+      .groupBy(col("c")).agg(countDistinct(col("id")).as("df"))
+    exploded
+      .join(freq, Seq("c"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= minDocs, 1).otherwise(0)).as("n_boiler"),
+        sum(when(col("df") < minDocs, length(col("c"))).otherwise(lit(0)))
+          .as("kept_chars"))
+  }
+}

@@ -17,6 +17,22 @@ class DedupSpec extends GraftSpec {
     (4L, "completely different content about spark catalyst optimizer rules")
   ).toDF("doc_id", "text")
 
+  test("bloom incremental: permuted copy matches prior, new content does not") {
+    val prior = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "spark catalyst rules rewrite logical plans")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "dog lazy the over jumps fox brown quick the"), // permutation of 10
+      (3L, "entirely novel text never seen before anywhere")
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomIncremental(batch, prior, "doc_id", "text")
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+    // empty prior: no matches, no crash
+    assert(Dedup.bloomIncremental(batch, prior.limit(0), "doc_id", "text")
+      .count() == 0)
+  }
+
   test("exact dedup keeps smallest id per digest") {
     val out = Dedup.exact(docs, "doc_id", Seq("text"))
       .select("doc_id").as[Long].collect().sorted

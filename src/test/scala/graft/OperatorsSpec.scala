@@ -185,6 +185,23 @@ class OperatorsSpec extends GraftSpec {
     assert(out("e5").isEmpty)
   }
 
+  test("as-of join: equal-(key, ts) right rows resolve to the greatest payload") {
+    val left = Seq(("k1", ts("2024-01-01 11:00:00"), "e1"))
+      .toDF("k", "event_ts", "name")
+    // two versions stamped at the SAME instant: the payload tiebreak must
+    // pick the greatest tuple on every run/partitioning (ADVICE r4)
+    val right = Seq(
+      ("k1", ts("2024-01-01 10:00:00"), "vB"),
+      ("k1", ts("2024-01-01 10:00:00"), "vA")
+    ).toDF("k", "valid_from", "version")
+    (1 to 3).foreach { _ =>
+      val out = graft.operators.AsOfJoin.asof(
+        left, right.repartition(5), "k", "event_ts", "valid_from", Seq("version"))
+        .select("version").as[String].collect()
+      assert(out.toSeq == Seq("vB"))
+    }
+  }
+
   // ---- multimodal -------------------------------------------------------
 
   test("media sniffer parses hand-built real headers exactly") {

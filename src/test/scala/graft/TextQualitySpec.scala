@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.TextQuality
+
+class TextQualitySpec extends GraftSpec {
+  import spark.implicits._
+
+  test("gopher quality: planted violations trip exactly their rule") {
+    val goodText = (1 to 5).map(_ =>
+      "the curious engineers have shipped that resilient pipeline " +
+        "be careful with many joined stages of work and testing").mkString(" ")
+    val docs = Seq(
+      (1L, goodText),                              // passes every rule
+      (2L, "too short to pass"),                   // word-count floor
+      (3L, goodText + " ###### ##### #### ### ## # # # # # # # # # # # " +
+        "# # # # # # # # # # # # # # # # # # # # # # # # # #"), // symbols
+      (4L, (1 to 40).map(_ => "12345 67890").mkString(" "))      // no alpha
+    ).toDF("doc_id", "text")
+    val out = TextQuality.gopherQuality(docs, "doc_id", "text")
+      .select("doc_id", "pass", "stopword_hits").as[(Long, Boolean, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1)
+    assert(out(1L)._2 >= 2) // the/that/have/with/be/of present
+    assert(!out(2L)._1)
+    assert(!out(3L)._1)
+    assert(!out(4L)._1)
+  }
+
+  test("repetition: repeated 2-gram and duplicated chunk dominate") {
+    val chunk = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      // chunk appears twice (20 words = chunks [0,10) and [10,20) equal)
+      (1L, chunk + " " + chunk),
+      // "go go" repeated: top 2-gram count is high
+      (2L, (1 to 12).map(_ => "go").mkString(" ") + " stop now"),
+      (3L, "all unique words here nothing repeats at chunk level")
+    ).toDF("doc_id", "text")
+    val out = TextQuality.repetition(docs, "doc_id", "text")
+      .select("id", "top_gram_count", "dup_chunk_frac")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._2 == 1.0)  // both chunks are duplicates
+    assert(out(2L)._1 == 11L)  // "go go" x11 sliding
+    assert(out(3L)._2 == 0.0)
+  }
+
+  test("boilerplate scrub: shared chunk flagged across docs, unique kept") {
+    val boiler = "subscribe to our newsletter for updates terms and conditions now"
+    val docs = Seq(
+      (1L, boiler + " unique body one with its own special content here ok"),
+      (2L, boiler + " another body two carrying different original text here"),
+      (3L, "entirely original document three with no shared chunks at all")
+    ).toDF("doc_id", "text")
+    val out = TextQuality.boilerplateScrub(docs, "doc_id", "text")
+      .select("id", "n_chunks", "n_boiler").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, 1L)))
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((1L, 0L)))
+  }
+
+  test("empty and single-word docs do not crash the chunkers") {
+    val docs = Seq((1L, ""), (2L, "word"), (3L, "   ")).toDF("doc_id", "text")
+    assert(TextQuality.repetition(docs, "doc_id", "text").count() == 3)
+    // empty docs produce no chunks at all -> absent from boilerplate stats
+    assert(TextQuality.boilerplateScrub(docs, "doc_id", "text").count() == 1)
+    val q = TextQuality.gopherQuality(docs, "doc_id", "text")
+    assert(q.filter("pass").count() == 0)
+  }
+}
