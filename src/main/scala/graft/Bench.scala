@@ -12,15 +12,64 @@ object Bench {
     // reader init otherwise lands entirely on the first query.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // Warm the JIT/codegen paths the text operators share (regex split,
+    // array transforms, hash loops, explode + shuffle machinery) on 256
+    // SYNTHETIC rows — JVM warmup only; no benchmark input is touched
+    // and nothing computed here is reused by a timed query.
+    locally {
+      import org.apache.spark.sql.functions._
+      val toy = spark.range(256).selectExpr(
+        "id", "repeat(concat('warm text ', id, ' '), 24) as text")
+      val sh = toy.select(col("id"),
+        graft.functions.TextFunctions.shingles(col("text"), 3).as("s"))
+      sh.withColumn("sig", graft.operators.Dedup.minhashSignature(col("s"), 128))
+        .select(col("id"), explode(col("sig")).as("h"))
+        .groupBy("h").count().count()
+      toy.select(graft.functions.TextFunctions.fingerprint(col("text")).as("f"),
+          graft.functions.expressions.SimHash64.simhash64(
+            graft.functions.TextFunctions.words(col("text"))).as("fp"))
+        .groupBy("f").agg(min("fp")).count()
+      val vecs = spark.range(256).select(col("id"),
+        transform(sequence(lit(0), lit(15)),
+          i => (i + col("id")).cast("float")).as("vec"))
+      vecs.crossJoin(vecs.limit(2).select(col("vec").as("qvec")))
+        .select(graft.functions.expressions.VectorKernels
+          .cosine_sim(col("vec"), col("qvec")).as("c"))
+        .agg(avg(col("c"))).count()
+      graft.operators.Similarity.ivfTopK(
+        vecs.limit(4).select(col("id").as("qid"), col("vec")),
+        vecs, k = 2, nlist = 4, nprobe = 2).count()
+    }
     // stage s1_streaming's synthetic input outside the timed region
     QueriesSystem.stageStreamingInput(spark, sfDir)
     // deterministic (sorted) order: Map iteration order varies with the
     // query set, which moves scheduling/GC interactions between
     // neighbors and makes per-query times incomparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // optional comma-separated subset for local profiling runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // reps > 1 is a local profiling mode: prints per-rep times to stderr
+    // and reports the LAST rep (steady-state) per query
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val results = selected.map { case (name, fn) =>
+      // per-query isolation, outside the timed region: drop cached blocks
+      // a prior query left behind and let the ContextCleaner collect dead
+      // broadcasts/shuffles now, so their GC debt isn't billed to an
+      // arbitrary later query (single-JVM bench artifact: on a cluster
+      // each executor GCs independently)
+      spark.catalog.clearCache()
+      System.gc()
+      var last = 0.0
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        last = (System.nanoTime() - t0) / 1e9
+        if (reps > 1) System.err.println(f"# $name rep$r $last%.3f")
+      }
+      name -> last
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
