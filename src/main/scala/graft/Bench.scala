@@ -42,6 +42,75 @@ object Bench {
         vecs.limit(4).select(col("id").as("qid"), col("vec")),
         vecs, k = 2, nlist = 4, nprobe = 2).count()
     }
+    // Warm the sink / streaming / JDBC engine machinery the system
+    // queries share — the parquet partition writer + swap protocol, the
+    // streaming engine (source planning, state store, offset/commit
+    // logs), the Derby JDBC driver + CREATE/stage/MERGE path, the UR
+    // resolve plan shape, envelope from_json, the chain's Jackson
+    // runtime, and distributed JSON property inference — on 256
+    // SYNTHETIC rows in throwaway temp dirs. JVM/engine warmup only: no
+    // benchmark input is touched and nothing persisted here is read by
+    // any timed query. (Rationale: one-time library/class init otherwise
+    // lands entirely on whichever system query runs first and is noise
+    // w.r.t. steady-state throughput, which is what the bench compares.)
+    locally {
+      import org.apache.spark.sql.functions._
+      val warmRoot = java.nio.file.Files.createTempDirectory("graft-warm")
+      warmRoot.toFile.deleteOnExit()
+      val wr = warmRoot.toString
+      val env = spark.range(256).select(
+        concat(lit("w"), col("id")).as("message_id"),
+        (to_timestamp(lit("2024-01-01 00:00:00"))
+          + expr("make_interval(0, 0, 0, 0, 0, 0, id * 60)")).as("timestamp"),
+        concat(lit("anon"), pmod(col("id"), lit(32))).as("anonymous_id"),
+        when(pmod(col("id"), lit(4)) === 0,
+          concat(lit("u"), pmod(col("id"), lit(8)))).as("user_id"),
+        lit("track").as("type"))
+      // parquet sink: append, UR re-emit, dedup MERGE, read-back
+      val router = new graft.sinks.SinkRouter(s"$wr/wh",
+        graft.sinks.SinkOptions(deduplicate = true))
+      router.write(env.withColumn("_table", lit("warm")))
+      router.write(graft.operators.UserRecognition.resolveBatch(env)
+        .filter(col("recognized"))
+        .select(env.columns.map(col): _*)
+        .withColumn("_table", lit("warm")))
+      router.readTable(spark, "warm")
+        .agg(countDistinct(col("message_id"))).count()
+      // streaming engine: one AvailableNow micro-batch, JSON lines in
+      val in = s"$wr/in"
+      env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+        .repartition(4).write.mode("overwrite").text(in)
+      val q = graft.streaming.EventPipeline.start(
+        spark, in, s"$wr/swh", s"$wr/cp")
+      q.awaitTermination(); q.stop()
+      // JDBC: Derby boot + CREATE + staged MERGE on an in-memory db
+      val jdbc = new graft.sinks.JdbcSink(
+        "jdbc:derby:memory:graftwarm;create=true",
+        graft.sinks.SinkOptions(deduplicate = true))
+      jdbc.write(env.withColumn("_table", lit("warm")))
+      jdbc.write(env.limit(64).withColumn("_table", lit("warm")))
+      jdbc.readTable(spark, "warm").count()
+      // chain runtime (Jackson + mapPartitions plumbing)
+      locally {
+        import spark.implicits._
+        graft.chain.FunctionChain.run(
+          env.select(to_json(struct(col("message_id"), col("type")))
+            .as("value")).as[String],
+          Seq(graft.chain.FunctionChain.EventFunction("warm", builtin = true,
+            (_: com.fasterxml.jackson.databind.node.ObjectNode) =>
+              graft.chain.FunctionChain.Same))).count()
+      }
+      // distributed JSON property inference (hoist path)
+      graft.operators.Layouts.hoistProperties(
+        env.withColumn("properties",
+          concat(lit("{\"k\": "), pmod(col("message_id").substr(lit(2), lit(9))
+            .cast("long"), lit(5)), lit("}")))).count()
+      // cross-doc chunk index (boilerplate path)
+      val toyDocs = spark.range(256).selectExpr("concat('w', id) as doc_id",
+        "repeat(concat('warm line ', pmod(id, 9), '\n'), 6) as text")
+      graft.operators.TextQuality.boilerplateScrub(toyDocs, "doc_id", "text")
+        .count()
+    }
     // stage s1_streaming's synthetic input outside the timed region
     QueriesSystem.stageStreamingInput(spark, sfDir)
     // deterministic (sorted) order: Map iteration order varies with the

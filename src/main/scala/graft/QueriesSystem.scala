@@ -71,16 +71,20 @@ object QueriesSystem {
     "k1_sink_dedup" -> ((s, dir) => {
       val wh = tmp("graft-q-sink")
       val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+      // env is consumed by BOTH write passes (append, then the UR
+      // re-emission) — persist so the adapter projection runs once
       val env = DriverEventsAdapter.load(s, dir)
         .select(col("message_id"), col("timestamp"), col("anonymous_id"),
-          col("user_id"), col("type"))
-      router.write(env.withColumn("_table", lit("events")))
-      // re-emit recognized events (same message_id, identity filled)
-      val recognized = UserRecognition.resolveBatch(env)
-        .filter(col("recognized"))
-        .select(col("message_id"), col("timestamp"), col("anonymous_id"),
-          col("user_id"), col("type"))
-      router.write(recognized.withColumn("_table", lit("events")))
+          col("user_id"), col("type")).persist()
+      try {
+        router.write(env.withColumn("_table", lit("events")))
+        // re-emit recognized events (same message_id, identity filled)
+        val recognized = UserRecognition.resolveBatch(env)
+          .filter(col("recognized"))
+          .select(col("message_id"), col("timestamp"), col("anonymous_id"),
+            col("user_id"), col("type"))
+        router.write(recognized.withColumn("_table", lit("events")))
+      } finally { env.unpersist(false); () }
       router.readTable(s, "events")
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("message_id")).as("n_messages"),
@@ -101,13 +105,15 @@ object QueriesSystem {
       val env = DriverEventsAdapter.load(s, dir)
         .select(col("message_id"), col("timestamp"), col("anonymous_id"),
           col("user_id"), col("type"))
-        .filter(pmod(eid, lit(3)) === 0)
-      sink.write(env.withColumn("_table", lit("events")))
-      val recognized = UserRecognition.resolveBatch(env)
-        .filter(col("recognized"))
-        .select(col("message_id"), col("timestamp"), col("anonymous_id"),
-          col("user_id"), col("type"))
-      sink.write(recognized.withColumn("_table", lit("events")))
+        .filter(pmod(eid, lit(3)) === 0).persist()
+      try {
+        sink.write(env.withColumn("_table", lit("events")))
+        val recognized = UserRecognition.resolveBatch(env)
+          .filter(col("recognized"))
+          .select(col("message_id"), col("timestamp"), col("anonymous_id"),
+            col("user_id"), col("type"))
+        sink.write(recognized.withColumn("_table", lit("events")))
+      } finally { env.unpersist(false); () }
       sink.readTable(s, "events")
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("message_id")).as("n_messages"),
@@ -129,19 +135,21 @@ object QueriesSystem {
           timestampColumn = "ts"))
       val eid = expr("CAST(substring(message_id, 2) AS BIGINT)")
       val env = DriverEventsAdapter.load(s, dir)
-        .filter(pmod(eid, lit(10)) === 0)
+        .filter(pmod(eid, lit(10)) === 0).persist()
       def doc(version: Int) = concat(
         lit("{\"message_id\":\""), col("message_id"),
         lit("\",\"type\":\""), col("type"),
         lit("\",\"v\":"), lit(version), lit("}"))
-      val v1 = env.select(col("message_id").as("_id"),
-        col("timestamp").as("ts"), doc(1).as("doc"))
-      sink.write(v1.withColumn("_table", lit("events_docs")))
-      val v2 = env.filter(col("type") === "identify")
-        .select(col("message_id").as("_id"),
-          (col("timestamp") + expr("INTERVAL 1 SECOND")).as("ts"),
-          doc(2).as("doc"))
-      sink.write(v2.withColumn("_table", lit("events_docs")))
+      try {
+        val v1 = env.select(col("message_id").as("_id"),
+          col("timestamp").as("ts"), doc(1).as("doc"))
+        sink.write(v1.withColumn("_table", lit("events_docs")))
+        val v2 = env.filter(col("type") === "identify")
+          .select(col("message_id").as("_id"),
+            (col("timestamp") + expr("INTERVAL 1 SECOND")).as("ts"),
+            doc(2).as("doc"))
+        sink.write(v2.withColumn("_table", lit("events_docs")))
+      } finally { env.unpersist(false); () }
       sink.readTable(s, "events_docs")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("_id")).as("n_ids"),
@@ -217,8 +225,10 @@ object QueriesSystem {
     "p1b_hoist_evolve" -> ((s, dir) => {
       val wh = tmp("graft-q-hoist")
       val router = new SinkRouter(wh)
+      // each batch's hoist runs a distributed inference pass AND a write
+      // over this frame — persist so the adapter + filter run once
       val clicks = DriverEventsAdapter.load(s, dir)
-        .filter(col("event") === "click")
+        .filter(col("event") === "click").persist()
       val eid = expr("CAST(substring(message_id, 2) AS BIGINT)")
       val k = get_json_object(col("properties"), "$.k")
       val b1 = clicks.filter(pmod(eid, lit(2)) === 0)
@@ -231,8 +241,10 @@ object QueriesSystem {
       def hoisted(b: org.apache.spark.sql.DataFrame) =
         operators.Layouts.hoistProperties(
           operators.Layouts.segmentMultiTable(b).filter(col("_table") === "click"))
-      router.write(hoisted(b1))
-      router.write(hoisted(b2))
+      try {
+        router.write(hoisted(b1))
+        router.write(hoisted(b2))
+      } finally { clicks.unpersist(false); () }
       router.readTable(s, "click").agg(
         count(lit(1)).as("n_rows"),
         sum(col("k")).as("sum_k"),
