@@ -81,7 +81,7 @@ object Bench {
       env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
         .repartition(4).write.mode("overwrite").text(in)
       val q = graft.streaming.EventPipeline.start(
-        spark, in, s"$wr/swh", s"$wr/cp")
+        spark, in, s"$wr/swh", s"$wr/cp", statePartitions = 4)
       q.awaitTermination(); q.stop()
       // JDBC: Derby boot + CREATE + staged MERGE on an in-memory db
       val jdbc = new graft.sinks.JdbcSink(

@@ -269,7 +269,12 @@ object QueriesSystem {
     "s1_streaming" -> ((s, dir) => {
       val in = stageStreamingInput(s, dir)
       val wh = tmp("graft-q-wh"); val cp = tmp("graft-q-cp")
-      val q = EventPipeline.start(s, in, wh, cp)
+      // state shards sized to the workload (~100k live dedup keys at
+      // sf0.1 → 8 shards of ~12.5k keys): state-store commit cost is a
+      // fixed per-shard file write, so over-sharding a small key volume
+      // pays 32 file commits per batch for nothing (see the
+      // statePartitions doc on EventPipeline.start)
+      val q = EventPipeline.start(s, in, wh, cp, statePartitions = 8)
       try q.awaitTermination() finally q.stop()
       s.read.parquet(s"$wh/events")
         .groupBy(col("type"))

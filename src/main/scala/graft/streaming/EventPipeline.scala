@@ -204,6 +204,17 @@ object EventPipeline {
     * the batch's idempotency marker — re-running after a replay is
     * harmless. `compactMaxFiles` is the per-partition file-count
     * threshold that triggers a rewrite. */
+  /** `statePartitions`: shard count for the stateful dedup's state store
+    * (0 = inherit the session's shuffle partitions). State-store commit
+    * cost is dominated by a FIXED per-shard file overhead (delta write +
+    * rename per shard per micro-batch, paid even by empty shards and by
+    * the trailing watermark-eviction batch), so shards should be sized
+    * to the steady-state concurrent key volume — ~10-50k live keys per
+    * shard — not to the CPU count. A 100-executor deployment ingesting
+    * millions of keys per watermark window raises this into the
+    * hundreds; a small topic keeps it single digits. Pinned into the
+    * checkpoint at first start (Spark reuses the checkpointed shard
+    * count on restart). */
   def start(spark: SparkSession, inputDir: String, warehouseDir: String,
             checkpointDir: String, layout: String = "segment-single-table",
             options: SinkOptions = SinkOptions(),
@@ -212,8 +223,18 @@ object EventPipeline {
             compactEvery: Int = 16,
             compactMaxFiles: Int = 8,
             configDir: Option[String] = None,
-            maxFilesPerTrigger: Int = 32): StreamingQuery = {
-    val raw = spark.readStream
+            maxFilesPerTrigger: Int = 32,
+            statePartitions: Int = 0): StreamingQuery = {
+    // a cloned session scopes the shuffle-partition override to THIS
+    // query (shared SparkContext, independent SQL conf)
+    val session =
+      if (statePartitions <= 0) spark
+      else {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        s2
+      }
+    val raw = session.readStream
       .format("text")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(inputDir)
@@ -223,7 +244,7 @@ object EventPipeline {
     // reroutes the NEXT batch without restarting the stream. The
     // override sets the envelope's `table_name` ($table), the same
     // routing override every layout already honors.
-    val configStore = configDir.map(d => new graft.sources.ConfigStore(spark, d))
+    val configStore = configDir.map(d => new graft.sources.ConfigStore(session, d))
     def reroute(env: DataFrame): DataFrame = configStore match {
       case None => env
       case Some(cs) =>

@@ -37,6 +37,25 @@ class StreamingSpec extends GraftSpec {
     assert(landed.select("message_id").distinct().count() == n)
   }
 
+  test("statePartitions shards the dedup state without changing results") {
+    val in = tmp("graft-in"); val wh = tmp("graft-wh"); val cp = tmp("graft-cp")
+    val env = DriverEventsAdapter.load(spark, sf)
+    val json = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+    json.unionAll(json).coalesce(1).write.mode("overwrite").text(in)
+    val n = env.count()
+    val q = EventPipeline.start(spark, in, wh, cp, statePartitions = 3)
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(s"$wh/events")
+    assert(landed.count() == n)
+    assert(landed.select("message_id").distinct().count() == n)
+    // the checkpoint's state dir carries exactly the requested shards
+    val shards = new java.io.File(s"$cp/state/0").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.forall(_.isDigit))
+    assert(shards.toSet == Set("0", "1", "2"))
+    // the override is query-scoped: the caller's session conf is untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "3")
+  }
+
   test("auto-compaction bounds per-partition file count across micro-batches") {
     val in = tmp("graft-cpt-in"); val wh = tmp("graft-cpt-wh"); val cp = tmp("graft-cpt-cp")
     // all events on ONE date so every micro-batch appends a file to the
