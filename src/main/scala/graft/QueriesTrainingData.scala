@@ -197,6 +197,19 @@ object QueriesTrainingData {
     "td_boilerplate" -> ((s, dir) =>
       TextQuality.boilerplateScrub(docs(s, dir), "doc_id", "text")),
 
+    // cross-doc EXACT substring duplication (Lee et al. 2022 family):
+    // k-word windows occurring >= 2 times anywhere in the corpus,
+    // per-doc covered-position fraction (suffix-array method re-expressed
+    // as a positional window inverted index)
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDups(docs(s, dir), "doc_id", "text", k = 8)),
+
+    // perplexity-style quality scoring (CCNet shape): add-alpha bigram
+    // LM trained on the corpus itself, per-doc mean negative
+    // log-likelihood + perplexity
+    "td_perplexity" -> ((s, dir) =>
+      TextQuality.perplexity(docs(s, dir), "doc_id", "text", alpha = 0.1)),
+
     // multimodal: metadata extraction over binary media column
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.synthesize(docs(s, dir)))
@@ -443,6 +456,58 @@ object QueriesTrainingData {
         |  AS n_matched
         |FROM sh s JOIN bench USING (sh)
         |GROUP BY 1""".stripMargin,
+    "dedup_substring" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS w
+        |  FROM documents),
+        |wp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(w) - 7, 0)),
+        |      i -> {'pos': i, 'gram': array_to_string(w[i+1:i+8], ' ')})) AS pw
+        |  FROM ws),
+        |wins AS (SELECT doc_id, pw.pos AS pos, pw.gram AS gram FROM wp),
+        |dupg AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= 2),
+        |dw AS (SELECT doc_id, pos FROM wins JOIN dupg USING (gram)),
+        |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+        |       FROM dw GROUP BY 1),
+        |cov AS (SELECT doc_id,
+        |          unnest(list_transform(range(0, 8), o -> pos + o)) AS p
+        |        FROM dw),
+        |covd AS (SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT)
+        |           AS n_covered
+        |         FROM cov GROUP BY 1)
+        |SELECT ws.doc_id AS id, CAST(len(w) AS INTEGER) AS n_words,
+        |  COALESCE(nd.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+        |  COALESCE(covd.n_covered, CAST(0 AS BIGINT)) AS n_covered,
+        |  ROUND(COALESCE(covd.n_covered, 0) / greatest(len(w), 1), 4)
+        |    AS dup_frac
+        |FROM ws LEFT JOIN nd USING (doc_id) LEFT JOIN covd USING (doc_id)
+        |""".stripMargin,
+    "td_perplexity" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+        |v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS vsz FROM tok),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+        |      i -> {'w1': w[i+1], 'w2': w[i+2]})) AS b
+        |  FROM ws),
+        |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n
+        |       FROM bb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(n) AS DOUBLE) AS n_head
+        |       FROM c2 GROUP BY 1),
+        |sc AS (
+        |  SELECT bb.doc_id,
+        |    -ln((c2.n + 0.1) / (c1.n_head + 0.1 * v.vsz)) AS nll
+        |  FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(nll), 4) AS avg_nll, ROUND(EXP(AVG(nll)), 2) AS ppl
+        |FROM sc GROUP BY 1""".stripMargin,
     "td_gopher_quality" -> (wordsOnlyCte +
       """, m AS (
         |  SELECT doc_id,

@@ -387,4 +387,64 @@ object Dedup {
     candidates.join(priorFp.distinct(), Seq("fp"), "left_semi")
       .select(col("id"), col("fp"))
   }
+
+  /** Cross-document EXACT substring duplication (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" family):
+    * flag every `k`-word window whose exact text occurs at two or more
+    * positions anywhere in the corpus (other docs or elsewhere in the
+    * same doc), and report per doc how much of it is duplicated text.
+    *
+    * The single-node reference method is a suffix array; the distributed
+    * equivalent is a positional window inverted index — windows shuffle
+    * on their gram key, duplicated keys (count >= 2) join back, covered
+    * word positions are the union of the flagged windows' spans:
+    *
+    *   (doc, pos, gram) -> count per gram -> dup grams -> dup windows
+    *   -> explode each window's k positions -> distinct (doc, pos)
+    *
+    * Output per doc: n_words, n_dup_windows, n_covered (distinct word
+    * positions inside a duplicated window), dup_frac = n_covered /
+    * n_words. Docs shorter than `k` words report zeros.
+    *
+    * Scale: every shuffle is keyed on the gram or (doc, position) — no
+    * doc-pair blowup, cost ~ one row per corpus token per stage. The
+    * gram key here is the literal k-word string (oracle-comparable); at
+    * 100 TB swap it for xxhash64(gram) — a 2^-64 collision rate is
+    * noise for span flagging and the shuffle payload drops to 8 bytes.
+    * The removal step (cutting flagged spans out of the text) is a
+    * per-doc map over the covered-position list, same as the flag. */
+  def substringDups(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+        TextFunctions.words(col(textCol)).as("w"))
+      .withColumn("n_words", size(col("w")))
+    // positional windows (NOT distinct — a within-doc repeat is a dup)
+    val wins = base
+      .withColumn("grams",
+        when(col("n_words") < k, array().cast("array<string>"))
+          .otherwise(expr(
+            s"transform(sequence(1, size(w) - ${k - 1}), " +
+              s"i -> concat_ws(' ', slice(w, i, $k)))")))
+      .select(col("id"), posexplode(col("grams")).as(Seq("pos", "gram")))
+    val dupGrams = wins.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val dupWins = wins.join(dupGrams, Seq("gram"))
+    val perDoc = dupWins.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    val covered = dupWins
+      .select(col("id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_covered"))
+    base.select(col("id"), col("n_words"))
+      .join(perDoc, Seq("id"), "left")
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_words"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("dup_frac",
+        round(col("n_covered") / greatest(col("n_words"), lit(1)), 4))
+  }
 }

@@ -162,4 +162,67 @@ object TextQuality {
         sum(when(col("df") < minDocs, length(col("c"))).otherwise(lit(0)))
           .as("kept_chars"))
   }
+
+  /** Corpus-trained bigram language-model over the lowercase whitespace
+    * token stream, with add-alpha smoothing:
+    *
+    *   P(w2 | w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha * V)
+    *
+    * where c(w1 ·) sums the bigram heads and V is the corpus vocabulary
+    * size. Returns (w1, w2, n) counts plus head counts — the model a
+    * perplexity filter scores against. One explode + two hash aggs. */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val w = TextFunctions.words(col(textCol))
+    docs.select(explode(bigrams(w)).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** (w1, w2) struct pairs of adjacent tokens; empty below 2 tokens. */
+  private def bigrams(w: Column): Column =
+    when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(arrays_zip(
+        slice(w, lit(1), size(w) - 1).as("w1"),
+        slice(w, lit(2), size(w) - 1).as("w2")).cast(
+        "array<struct<w1:string,w2:string>>"))
+
+  /** Perplexity-style quality scoring (the CCNet shape: score every
+    * document against a language model; unusually-high perplexity =
+    * gibberish/boilerplate, unusually-low = degenerate repetition). The
+    * model here is the corpus's own add-alpha bigram LM ([[bigramCounts]]
+    * — self-scoring, the tokenizer-free stand-in for CCNet's pretrained
+    * KenLM); per doc:
+    *
+    *   avg_nll = mean over bigrams of -ln P(w2 | w1),   ppl = e^avg_nll
+    *
+    * Docs with fewer than 2 tokens carry no bigrams and are dropped.
+    *
+    *  Scale: counting is explode + hash agg (map-side partial); scoring
+    *  re-joins the token stream to the model on the bigram key — both
+    *  shuffles are keyed on words, never on documents or pairs of them.
+    *  At 100 TB the model table is pruned with a min-count floor and
+    *  broadcast (OOV bigrams fall back to the smoothing floor exactly as
+    *  the unpruned model scores a count-0 bigram), turning the scoring
+    *  pass into a map-side join; here the full model joins by shuffle so
+    *  the oracle can reproduce every count. */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+                 alpha: Double = 0.1): DataFrame = {
+    val w = TextFunctions.words(col(textCol))
+    val toks = docs.select(col(idCol).as("id"), explode(w).as("word"))
+    val vocab = toks.select(col("word")).distinct().count()
+    val model = bigramCounts(docs, textCol)
+    val heads = model.groupBy(col("w1")).agg(sum(col("n")).as("n_head"))
+    val docBi = docs.select(col(idCol).as("id"), explode(bigrams(w)).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    docBi
+      .join(model, Seq("w1", "w2"))
+      .join(heads, Seq("w1"))
+      .select(col("id"),
+        (-log((col("n") + lit(alpha)) /
+          (col("n_head") + lit(alpha) * lit(vocab.toDouble)))).as("nll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 4).as("avg_nll"),
+        round(exp(avg(col("nll"))), 2).as("ppl"))
+  }
 }

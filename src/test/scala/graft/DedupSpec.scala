@@ -47,6 +47,30 @@ class DedupSpec extends GraftSpec {
     assert(!pairs.exists(p => p._1 == 3L ^ p._2 == 4L))
   }
 
+  test("substring dups: planted shared span flags both docs, unique text none") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight" // exactly k=8 words
+    val d = Seq(
+      (1L, "alpha start " + span + " tail of doc one here"),
+      (2L, "totally different head " + span + " and another ending"),
+      (3L, "nothing here repeats anywhere in this corpus at all truly"),
+      // within-doc repeat: the same 8-word window occurs twice in doc 4
+      (4L, span + " filler middle words go here now " + span),
+      (5L, "tiny")).toDF("doc_id", "text")
+    val out = Dedup.substringDups(d, "doc_id", "text", k = 8)
+      .select("id", "n_words", "n_dup_windows", "n_covered")
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1 and 2 share exactly one 8-word window -> 8 covered words
+    assert(out(1L)._2 == 1L && out(1L)._3 == 8L)
+    assert(out(2L)._2 == 1L && out(2L)._3 == 8L)
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L)
+    // doc 4's two copies are BOTH duplicated windows (within-doc repeat)
+    assert(out(4L)._2 == 2L && out(4L)._3 == 16L)
+    // shorter than k words: zero windows, zero coverage, still present
+    assert(out(5L) == ((1, 0L, 0L)))
+  }
+
   test("minhash LSH pairs == exact jaccard pairs") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet

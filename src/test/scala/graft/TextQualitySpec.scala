@@ -58,6 +58,38 @@ class TextQualitySpec extends GraftSpec {
     assert(out(3L) == ((1L, 0L)))
   }
 
+  test("perplexity: degenerate repetition scores far below varied text") {
+    val repeated = (1 to 50).map(_ => "spam").mkString(" ")
+    val varied = "the curious engineer shipped a resilient pipeline " +
+      "careful testing of many joined stages makes the work reliable " +
+      "and every operator earns its place through measured evidence"
+    val docs = Seq((1L, repeated), (2L, varied), (3L, "one")).toDF("doc_id", "text")
+    val out = TextQuality.perplexity(docs, "doc_id", "text")
+      .select("id", "n_bigrams", "ppl").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // "spam spam" is the overwhelmingly dominant bigram -> near-1 ppl
+    assert(out(1L)._1 == 49L)
+    assert(out(1L)._2 < 2.0)
+    // varied text: every bigram is rare in this tiny corpus -> higher ppl
+    assert(out(2L)._2 > out(1L)._2 * 2)
+    // single-token doc carries no bigrams and is absent
+    assert(!out.contains(3L))
+  }
+
+  test("perplexity: hand-checked add-alpha probabilities on a micro corpus") {
+    // corpus tokens: "a b a b" + "a c": bigrams (a,b)x2, (b,a)x1, (a,c)x1
+    // heads: a->3, b->1 ; V = 3 ; alpha = 0.1
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextQuality.perplexity(docs, "doc_id", "text", alpha = 0.1)
+      .select("id", "avg_nll").as[(Long, Double)].collect().toMap
+    val pAB = (2 + 0.1) / (3 + 0.3) // P(b|a)
+    val pBA = (1 + 0.1) / (1 + 0.3) // P(a|b)
+    val pAC = (1 + 0.1) / (3 + 0.3) // P(c|a)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(1L) == r4(-(math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3))
+    assert(out(2L) == r4(-math.log(pAC)))
+  }
+
   test("empty and single-word docs do not crash the chunkers") {
     val docs = Seq((1L, ""), (2L, "word"), (3L, "   ")).toDF("doc_id", "text")
     assert(TextQuality.repetition(docs, "doc_id", "text").count() == 3)
