@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.expressions.SimHash64
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextQuality}
+import graft.operators.{Dedup, Multimodal, QualityClassifier, Sampling, Similarity, TextQuality}
 
 /** Training-data pipeline queries: dedup family, ANN similarity search,
   * text analysis, multimodal plumbing — over the driver's `documents` and
@@ -209,6 +209,25 @@ object QueriesTrainingData {
     // log-likelihood + perplexity
     "td_perplexity" -> ((s, dir) =>
       TextQuality.perplexity(docs(s, dir), "doc_id", "text", alpha = 0.1)),
+
+    // model-based quality filter (the GPT-3/CCNet classifier stage):
+    // seed labels from the heuristic quality score (top vs bottom half
+    // at the corpus median) on half the corpus, train the hashed-ngram
+    // logistic classifier, score the held-out half from TEXT alone —
+    // rows-only (iterative float optimization isn't SQL-reproducible;
+    // QualityClassifierSpec proves separation on planted data)
+    "td_quality_classifier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val stats = d.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"), col("text"))
+      val med = stats.stat.approxQuantile("q", Array(0.5), 0.001).head
+      val labeled = stats.select(col("doc_id"),
+        (col("q") >= med).cast("int").as("label"), col("text"))
+      val model = QualityClassifier.train(
+        labeled.filter(col("doc_id") % 2 === 0), "text", "label")
+      QualityClassifier.score(
+        model, d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    }),
 
     // multimodal: metadata extraction over binary media column
     "mm_meta" -> ((s, dir) =>
