@@ -108,6 +108,15 @@ object QueriesTrainingData {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("kept_chars"))),
 
+    // sequence packing (GPT-style concat-and-split training prep):
+    // global token offsets by a distributed two-phase prefix sum, each
+    // doc mapped to the fixed-length sequences it lands in
+    "td_pack" -> ((s, dir) =>
+      Sampling.packSequences(
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).as("n_toks")),
+        "doc_id", "n_toks", seqLen = 512)),
+
     // near-dup CLUSTERS: connected components over the MinHash+LSH pair
     // list (iterative min-label propagation) + survivor/member summary —
     // oracle = recursive-CTE transitive closure over exact-Jaccard pairs
@@ -316,6 +325,21 @@ object QueriesTrainingData {
         |  CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
         |    WHEN 'fr' THEN 2500 ELSE 1000 END
         |GROUP BY lang""".stripMargin,
+    "td_pack" ->
+      """WITH ws AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'), w -> len(w) > 0))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+        |  FROM ws)
+        |SELECT doc_id AS id, n_tokens, cum_before,
+        |  cum_before // 512 AS seq_first,
+        |  (cum_before + greatest(n_tokens, 1) - 1) // 512 AS seq_last
+        |FROM c""".stripMargin,
     "dedup_clusters" -> (jaccardSql
       .replaceFirst("WITH ", "WITH RECURSIVE ")
       .replace("SELECT id_a, id_b, jaccard FROM (",

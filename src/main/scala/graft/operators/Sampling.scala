@@ -40,4 +40,78 @@ object Sampling {
     }
     df.filter(bucket(col(idCol)) < rate)
   }
+
+  /** Temperature-scaled source mixing (the multilingual/multi-source
+    * sampling rule: mix shares ∝ n_s^T, T in (0, 1] — T=1 keeps the
+    * corpus proportions, T→0 approaches uniform across sources).
+    * Keep-rate per source is r_s ∝ n_s^(T-1), normalized so the
+    * SMALLEST source keeps `maxRateBp` (downsample-only — the standard
+    * regime; upsampling is epoch repetition, not a filter). Feed the
+    * result to [[stratifiedMix]]. One tiny aggregation (a row per
+    * source) reaches the driver; corpus rows are never shuffled. */
+  def temperatureRates(df: DataFrame, strataCol: String,
+                       temperature: Double,
+                       maxRateBp: Int = 10000): Map[String, Int] = {
+    require(temperature > 0 && temperature <= 1, "temperature in (0,1]")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) Map.empty
+    else {
+      val minN = counts.values.min.toDouble
+      counts.map { case (s, n) =>
+        val rate = math.pow(n / minN, temperature - 1) // <= 1
+        s -> math.max(1, math.round(rate * maxRateBp).toInt)
+      }
+    }
+  }
+
+  /** Sequence packing — the training-prep step that concatenates the
+    * tokenized corpus in a fixed deterministic order (`idCol` ascending)
+    * and splits it into training sequences of `seqLen` tokens. Emits per
+    * doc its global token offset and the first/last sequence it lands
+    * in (a doc crossing a boundary spans several sequences — the
+    * GPT-style concat-and-split regime).
+    *
+    * The global running sum is a distributed two-phase prefix sum, NOT
+    * a single-partition window: range-repartition on id (order-
+    * preserving splits), per-partition window cumsum (parallel —
+    * partitionBy the physical partition id), plus per-partition totals
+    * cumulated driver-side (one row per partition) and joined back as a
+    * broadcast offset. At 100 TB the only data-sized costs are the
+    * range shuffle and one narrow window pass; the driver sees
+    * #partitions rows. */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, "seqLen must be positive")
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .select(col(idCol).as("id"), col(tokensCol).cast("long").as("n_tokens"))
+      .repartitionByRange(n, col("id"))
+      .withColumn("_part", spark_partition_id())
+    val w = Window.partitionBy(col("_part")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_cum_in_part", sum(col("n_tokens")).over(w))
+    // one row per partition reaches the driver; offsets are exact longs
+    val totals = local.groupBy(col("_part"))
+      .agg(max(col("_cum_in_part")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) =>
+      (p, acc + t)
+    }.init.map { case (_, off) => off }
+    val offsetByPart = totals.map(_._1).zip(offsets).toMap
+    val offCol = offsetByPart.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("_part") === p, lit(off)).otherwise(acc)
+    }
+    local
+      .withColumn("cum_before", col("_cum_in_part") - col("n_tokens") + offCol)
+      // integral DIV, not `/` (which widens to double and loses exactness
+      // on corpus-scale token offsets)
+      .withColumn("seq_first", expr(s"cum_before div $seqLen"))
+      .withColumn("seq_last",
+        expr(s"(cum_before + greatest(n_tokens, 1L) - 1) div $seqLen"))
+      .select(col("id"), col("n_tokens"), col("cum_before"),
+        col("seq_first"), col("seq_last"))
+  }
 }

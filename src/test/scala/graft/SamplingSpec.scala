@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("packSequences: two-phase prefix sum equals a sequential pack") {
+    // deliberately more docs than shuffle partitions, shuffled input
+    // order, and token counts that cross sequence boundaries mid-doc
+    val rows = (0L until 200L).map(i => (i, 1L + (i * 37) % 97))
+    val df = rows.reverse.toDF("doc_id", "n_toks").repartition(7)
+    val out = Sampling.packSequences(df, "doc_id", "n_toks", seqLen = 64)
+      .select("id", "cum_before", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    rows.foreach { case (id, n) =>
+      val (oid, cb, sf, sl) = out(id.toInt)
+      assert(oid == id && cb == cum, s"doc $id offset")
+      assert(sf == cum / 64 && sl == (cum + n - 1) / 64, s"doc $id seqs")
+      cum += n
+    }
+  }
+
+  test("packSequences: zero-token docs pin to their boundary position") {
+    val df = Seq((1L, 64L), (2L, 0L), (3L, 5L)).toDF("doc_id", "n_toks")
+    val out = Sampling.packSequences(df, "doc_id", "n_toks", seqLen = 64)
+      .select("id", "seq_first", "seq_last")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 0L, 0L)))
+    assert(out(1) == ((2L, 1L, 1L))) // empty doc sits at offset 64
+    assert(out(2) == ((3L, 1L, 1L)))
+  }
+
+  test("temperatureRates: T=1 proportional identity, T<1 flattens the head") {
+    val df = (Seq.fill(800)("big") ++ Seq.fill(50)("small"))
+      .zipWithIndex.map(_.swap).toDF("id", "src")
+    val t1 = Sampling.temperatureRates(df, "src", temperature = 1.0)
+    assert(t1 == Map("big" -> 10000, "small" -> 10000)) // T=1: keep all
+    val t5 = Sampling.temperatureRates(df, "src", temperature = 0.5)
+    assert(t5("small") == 10000) // smallest source keeps everything
+    // big keeps (800/50)^(-0.5) = 1/4 of itself
+    assert(t5("big") == 2500)
+    // resulting mix shares ∝ n^T: 800*0.25 = 200 kept vs 50 — ratio 4 = sqrt(16)
+  }
+}
