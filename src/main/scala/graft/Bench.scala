@@ -105,6 +105,16 @@ object Bench {
         env.withColumn("properties",
           concat(lit("{\"k\": "), pmod(col("message_id").substr(lit(2), lit(9))
             .cast("long"), lit(5)), lit("}")))).count()
+      // ML pipeline machinery (HashingTF + L-BFGS class init)
+      locally {
+        val toy = spark.range(64).selectExpr("id",
+          "CAST(pmod(id, 2) AS INT) AS label",
+          "concat('warm w', pmod(id, 2), ' tok', pmod(id, 7)) AS text")
+        val m = graft.operators.QualityClassifier.train(
+          toy.coalesce(2), "text", "label",
+          numFeatures = 1 << 10, maxIter = 5)
+        graft.operators.QualityClassifier.score(m, toy, "id", "text").count()
+      }
       // cross-doc chunk index (boilerplate path)
       val toyDocs = spark.range(256).selectExpr("concat('w', id) as doc_id",
         "repeat(concat('warm line ', pmod(id, 9), '\n'), 6) as text")

@@ -232,8 +232,12 @@ object QueriesTrainingData {
       val med = stats.stat.approxQuantile("q", Array(0.5), 0.001).head
       val labeled = stats.select(col("doc_id"),
         (col("q") >= med).cast("int").as("label"), col("text"))
+      // thousands of seed docs: a handful of partitions and a 2^16
+      // hash width carry them; 25 L-BFGS iterations converge the
+      // probabilities (see the train() doc on per-iteration cost)
       val model = QualityClassifier.train(
-        labeled.filter(col("doc_id") % 2 === 0), "text", "label")
+        labeled.filter(col("doc_id") % 2 === 0).coalesce(8),
+        "text", "label", numFeatures = 1 << 16, maxIter = 15)
       QualityClassifier.score(
         model, d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     }),

@@ -48,13 +48,20 @@ object QualityClassifier {
 
   /** Fit on (textCol, labelCol ∈ {0, 1}) rows. `numFeatures` is the
     * hash-bucket width (collisions degrade gracefully, as in fastText);
-    * L2 `regParam` keeps hashed collisions from being memorized. */
+    * L2 `regParam` keeps hashed collisions from being memorized. Every
+    * L-BFGS iteration is one treeAggregate job shipping a
+    * numFeatures-sized gradient per partition — size the TRAINING
+    * frame's partition count to its row count (coalesce a small seed
+    * set; a billion-doc seed keeps its natural partitioning) and cap
+    * `maxIter` accordingly: per-iteration cost is fixed, so iterations
+    * beyond convergence are pure scheduler+gradient overhead. */
   def train(labeled: DataFrame, textCol: String, labelCol: String,
             numFeatures: Int = 1 << 18,
-            regParam: Double = 1e-3): LogisticRegressionModel =
+            regParam: Double = 1e-3,
+            maxIter: Int = 50): LogisticRegressionModel =
     new LogisticRegression()
       .setFeaturesCol("features").setLabelCol(labelCol)
-      .setRegParam(regParam).setMaxIter(50)
+      .setRegParam(regParam).setMaxIter(maxIter)
       .fit(featurize(labeled.select(col(labelCol).cast("double").as(labelCol),
         col(textCol)), textCol, numFeatures))
 
