@@ -224,14 +224,32 @@ object EventPipeline {
             compactMaxFiles: Int = 8,
             configDir: Option[String] = None,
             maxFilesPerTrigger: Int = 32,
-            statePartitions: Int = 0): StreamingQuery = {
-    // a cloned session scopes the shuffle-partition override to THIS
-    // query (shared SparkContext, independent SQL conf)
+            statePartitions: Int = 0,
+            stateStore: String = "hdfs"): StreamingQuery = {
+    // a cloned session scopes the overrides to THIS query (shared
+    // SparkContext, independent SQL conf)
     val session =
-      if (statePartitions <= 0) spark
+      if (statePartitions <= 0 && stateStore == "hdfs") spark
       else {
         val s2 = spark.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        if (statePartitions > 0)
+          s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        stateStore match {
+          case "hdfs" => // default provider: whole state map on heap
+          case "rocksdb" =>
+            // large-state path: per-shard state lives off-heap/on-disk in
+            // an embedded RocksDB (state >> executor heap — the multi-day
+            // dedup-window regime); changelog checkpointing ships deltas
+            // instead of full SST snapshots each commit
+            s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+              "org.apache.spark.sql.execution.streaming.state." +
+                "RocksDBStateStoreProvider")
+            s2.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+              "changelogCheckpointing.enabled", "true")
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown stateStore '$other' (hdfs | rocksdb)")
+        }
         s2
       }
     val raw = session.readStream

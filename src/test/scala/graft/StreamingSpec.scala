@@ -56,6 +56,28 @@ class StreamingSpec extends GraftSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") != "3")
   }
 
+  test("rocksdb state store dedups identically to the default provider") {
+    val in = tmp("graft-in"); val wh = tmp("graft-wh"); val cp = tmp("graft-cp")
+    val env = DriverEventsAdapter.load(spark, sf)
+    val json = env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+    json.unionAll(json).coalesce(1).write.mode("overwrite").text(in)
+    val n = env.count()
+    val q = EventPipeline.start(spark, in, wh, cp,
+      statePartitions = 2, stateStore = "rocksdb")
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(s"$wh/events")
+    assert(landed.count() == n)
+    assert(landed.select("message_id").distinct().count() == n)
+    // the checkpoint really carries RocksDB artifacts (sst/changelog
+    // files under the state dir), not HDFS-provider delta files
+    import scala.jdk.CollectionConverters._
+    val names = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$cp/state"))
+      .iterator().asScala.map(_.getFileName.toString).toList
+    assert(names.exists(f => f.endsWith(".changelog") || f.endsWith(".zip")),
+      s"no rocksdb artifacts in $names")
+  }
+
   test("auto-compaction bounds per-partition file count across micro-batches") {
     val in = tmp("graft-cpt-in"); val wh = tmp("graft-cpt-wh"); val cp = tmp("graft-cpt-cp")
     // all events on ONE date so every micro-batch appends a file to the
