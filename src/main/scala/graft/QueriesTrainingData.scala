@@ -117,6 +117,16 @@ object QueriesTrainingData {
           TextFunctions.tokenCountWs(col("text")).as("n_toks")),
         "doc_id", "n_toks", seqLen = 512)),
 
+    // overlapping chunking for embedding/retrieval prep: 64-word chunks
+    // every 48 words (16-word overlap), one codegen'd projection +
+    // explode — chunk text hashed so the gate stays compact
+    "td_chunks" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          explode(TextFunctions.chunkWindows(col("text"), 64, 48)).as("c"))
+        .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+          md5(col("c.chunk")).as("chunk_md5"),
+          length(col("c.chunk")).as("chunk_chars"))),
+
     // near-dup CLUSTERS: connected components over the MinHash+LSH pair
     // list (iterative min-label propagation) + survivor/member summary —
     // oracle = recursive-CTE transitive closure over exact-Jaccard pairs
@@ -329,6 +339,21 @@ object QueriesTrainingData {
         |  CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
         |    WHEN 'fr' THEN 2500 ELSE 1000 END
         |GROUP BY lang""".stripMargin,
+    "td_chunks" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS w
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(w), 0), 48),
+        |      s -> {'idx': s // 48,
+        |            'chunk': array_to_string(w[s+1:s+64], ' ')})) AS c
+        |  FROM ws WHERE len(w) >= 1)
+        |SELECT doc_id, CAST(c.idx AS INTEGER) AS chunk_idx,
+        |  md5(c.chunk) AS chunk_md5,
+        |  CAST(length(c.chunk) AS INTEGER) AS chunk_chars
+        |FROM ch""".stripMargin,
     "td_pack" ->
       """WITH ws AS (
         |  SELECT doc_id, CAST(len(list_filter(

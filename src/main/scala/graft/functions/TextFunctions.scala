@@ -34,6 +34,24 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
+  /** Overlapping word-window chunks (embedding/retrieval prep: split a
+    * document into `chunkWords`-word pieces every `strideWords` words;
+    * stride < chunk ⇒ overlap). Array of (idx, chunk) structs — a pure
+    * per-row projection (codegen'd, no shuffle at any scale); explode
+    * downstream to get one row per chunk. The final chunk clamps at the
+    * document end; empty docs yield no chunks. */
+  def chunkWindows(text: Column, chunkWords: Int, strideWords: Int): Column = {
+    require(chunkWords > 0 && strideWords > 0, "chunk/stride must be positive")
+    val w = words(text)
+    when(size(w) < 1,
+      array().cast("array<struct<idx:int,chunk:string>>"))
+      .otherwise(transform(
+        sequence(lit(0), size(w) - 1, lit(strideWords)),
+        st => struct(
+          (st / strideWords).cast("int").as("idx"),
+          concat_ws(" ", slice(w, st + 1, lit(chunkWords))).as("chunk"))))
+  }
+
   // ---- quality scoring -------------------------------------------------
 
   val StopwordsEn: Seq[String] = Seq(

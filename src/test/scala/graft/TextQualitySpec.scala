@@ -90,6 +90,24 @@ class TextQualitySpec extends GraftSpec {
     assert(out(2L) == r4(-math.log(pAC)))
   }
 
+  test("chunkWindows: overlap, tail clamp, and empty-doc behavior") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val words = (1 to 10).map(i => s"w$i").mkString(" ") // 10 words
+    val docs = Seq((1L, words), (2L, ""), (3L, "solo")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .chunkWindows(col("text"), chunkWords = 4, strideWords = 3)).as("c"))
+      .select(col("doc_id"), col("c.idx"), col("c.chunk"))
+      .as[(Long, Int, String)].collect().toList
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2).map(c => (c._2, c._3))
+    // starts 0,3,6,9: full chunks then a clamped tail
+    assert(d1 == List(
+      (0, "w1 w2 w3 w4"), (1, "w4 w5 w6 w7"),
+      (2, "w7 w8 w9 w10"), (3, "w10")))
+    assert(!out.exists(_._1 == 2L)) // empty doc: no chunks
+    assert(out.filter(_._1 == 3L).map(_._3) == List("solo"))
+  }
+
   test("empty and single-word docs do not crash the chunkers") {
     val docs = Seq((1L, ""), (2L, "word"), (3L, "   ")).toDF("doc_id", "text")
     assert(TextQuality.repetition(docs, "doc_id", "text").count() == 3)
