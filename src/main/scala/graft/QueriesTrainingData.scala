@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.expressions.SimHash64
-import graft.operators.{Dedup, Multimodal, QualityClassifier, Sampling, Similarity, TextQuality}
+import graft.operators.{Dedup, Multimodal, QualityClassifier, Quantization, Sampling, Similarity, TextQuality, Tokenizer, UrlFilter}
 
 /** Training-data pipeline queries: dedup family, ANN similarity search,
   * text analysis, multimodal plumbing — over the driver's `documents` and
@@ -252,6 +252,66 @@ object QueriesTrainingData {
         model, d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     }),
 
+    // URL/domain filtering (UT1-blocklist stage): deterministic URLs are
+    // synthesized from doc_id (the corpus has none), then the blocklist
+    // verdict — subdomain-suffix domain match, eTLD+1 extraction with a
+    // public-suffix excerpt, path-substring rules — is hash-checked
+    // against an oracle replaying the exact rules
+    "td_urlfilter" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("url", concat(lit("https://"),
+        element_at(typedLit(UrlHosts), (pmod(col("doc_id"), lit(8)) + 1).cast("int")),
+        element_at(typedLit(UrlPaths), (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+        col("doc_id")))
+      UrlFilter.flag(d, "url",
+          blockedDomains = Seq("bad-site.com", "ads-network.net"),
+          blockedPathParts = Seq("/ads/"))
+        .select(col("doc_id"), col("host"), col("registered_domain"),
+          col("reason"), col("blocked"))
+    }),
+
+    // deterministic global shuffle + sharding (reproducible training
+    // order): shard and in-shard position are pure functions of
+    // (seed, doc_id) — the oracle replays them exactly
+    "td_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(docs(s, dir), "doc_id", "epoch0", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // int8 scalar quantization of the embedding column (4x smaller ANN
+    // storage): floor-based rounding is engine-exact, so the full code
+    // array is md5-gated against the oracle
+    "emb_quantize" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = Quantization.quantizeInt8(col("embedding"))
+      e.select(col("vec_id"),
+        round(Quantization.int8Scale(col("embedding")), 6).as("scale"),
+        md5(concat_ws(",", transform(q, _.cast("string")))).as("q_md5"),
+        aggregate(q, lit(0L), (a, x) => a + x.cast("long")).as("q_sum"))
+    }),
+
+    // product-quantization ANN (FAISS PQ shape): m=8 subspace codebooks
+    // trained driver-side on a bounded sample, corpus stored as 8-byte
+    // codes, ADC scoring via per-query literal LUTs — rows-only
+    // (approximate by design; SimilaritySpec asserts recall vs brute
+    // force and exact-reconstruction parity when codebooks are lossless)
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val model = Quantization.trainPq(e, dim = 64, m = 8, k = 16,
+        iters = 5, sampleSize = 1024)
+      Quantization.pqTopK(
+        e.filter(col("id") < 10).select(col("id").as("qid"), col("vec")),
+        e, model, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // distributed BPE tokenizer training (Sennrich 2016): 20 merges
+    // learned over the word histogram — rows-only (iterative argmax
+    // state isn't SQL-expressible; TokenizerSpec proves merge-for-merge
+    // parity with an independent single-node reference implementation)
+    "td_bpe_train" -> ((s, dir) =>
+      Tokenizer.mergesDf(s,
+        Tokenizer.trainBpe(docs(s, dir), "text", numMerges = 20))),
+
     // multimodal: metadata extraction over binary media column
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.synthesize(docs(s, dir)))
@@ -271,6 +331,16 @@ object QueriesTrainingData {
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame"))).as("frame_bytes")))
   )
+
+  /** Deterministic URL synthesis tables for `td_urlfilter` (hosts keyed
+    * by doc_id % 8, path prefixes by doc_id % 5 — co-prime moduli so
+    * every combination occurs). */
+  private val UrlHosts = Seq(
+    "news.example.com", "blog.sample.org", "spam.bad-site.com",
+    "tracker.ads-network.net", "docs.example.com", "shop.example.co.uk",
+    "mirror.bad-site.com", "wiki.opencorpus.org")
+  private val UrlPaths = Seq(
+    "/articles/", "/ads/banner/", "/posts/", "/guide/", "/click/")
 
   /** Shared DuckDB text-prep CTEs. */
   private val wordsOnlyCte =
@@ -666,6 +736,65 @@ object QueriesTrainingData {
         |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         |FROM words GROUP BY word HAVING COUNT(*) >= 50
         |ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    "td_urlfilter" -> {
+      val hostList = UrlHosts.map(h => s"'$h'").mkString("[", ", ", "]")
+      val pathList = UrlPaths.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    $hostList[CAST(doc_id % 8 AS INT) + 1] AS host,
+         |    $pathList[CAST(doc_id % 5 AS INT) + 1] || doc_id AS path
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, host, path,
+         |    string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+         |  FROM u),
+         |e AS (
+         |  SELECT doc_id, host, path, ls, n,
+         |    array_to_string(ls[n-1:], '.') AS last2
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, host,
+         |    CASE WHEN last2 IN ('co.uk','org.uk','ac.uk','com.au','co.jp','com.br')
+         |        AND n >= 3
+         |      THEN array_to_string(ls[n-2:], '.') ELSE last2
+         |    END AS registered_domain,
+         |    CASE WHEN host = 'bad-site.com' OR host LIKE '%.bad-site.com'
+         |        OR host = 'ads-network.net' OR host LIKE '%.ads-network.net'
+         |      THEN 'domain'
+         |    WHEN path LIKE '%/ads/%' THEN 'path'
+         |    ELSE 'ok' END AS reason
+         |  FROM e)
+         |SELECT doc_id, host, registered_domain, reason,
+         |  reason <> 'ok' AS blocked
+         |FROM r""".stripMargin
+    },
+    "td_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('epoch0:' || doc_id) AS key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, key,
+        |    CAST(('0x' || substr(key, 1, 8))::BIGINT % 8 AS INT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+        |FROM s""".stripMargin,
+    "emb_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+        |      AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(v, x -> CAST(floor(
+        |      CASE WHEN scale = 0 THEN 0.0 ELSE x / scale * 127 END + 0.5)
+        |      AS INT)) AS qv
+        |  FROM v)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  md5(array_to_string(qv, ',')) AS q_md5,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum
+        |FROM q""".stripMargin,
     // image rows: ImageIO-decoded raster (w*h*3) + 16x16 thumbnail (768);
     // av rows: 3 FakeCodec slices, each min(16, L - (idx*7 % L)) bytes
     // of an L-byte file (payload + fixed header)

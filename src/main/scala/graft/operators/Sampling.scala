@@ -66,6 +66,39 @@ object Sampling {
     }
   }
 
+  /** Seeded per-row shuffle key: md5 of `"<seed>:<id>"` — a pure column
+    * function, so the induced order is identical across runs, engines
+    * and partitionings (unlike `orderBy(rand())`). */
+  def shuffleKey(id: Column, seed: String): Column =
+    md5(concat(lit(seed + ":"), id.cast("string")))
+
+  /** Deterministic global shuffle + sharding — the "shuffle the corpus
+    * before training" step, reproducible from (seed, id) alone. Each row
+    * gets a shard in [0, numShards) and a dense position within its
+    * shard; readers stream shard files in position order and observe the
+    * same pseudo-random order every epoch/run.
+    *
+    * Physically this is ONE hash shuffle on `shard` plus a per-shard
+    * sort — at scale, `repartition(numShards, shard)` +
+    * `sortWithinPartitions(key)` writes the shards directly and the
+    * window below degenerates to a streaming row_number with no extra
+    * exchange. Size `numShards` to the target file count (corpus bytes /
+    * desired shard bytes), not to the CPU count. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+                           numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, "numShards must be positive")
+    val key = shuffleKey(col(idCol), seed)
+    val shard = (conv(substring(key, 1, 8), 16, 10).cast("long")
+      % numShards).cast("int")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_key"), col(idCol))
+    df.withColumn("_key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_key")
+  }
+
   /** Sequence packing — the training-prep step that concatenates the
     * tokenized corpus in a fixed deterministic order (`idCol` ascending)
     * and splits it into training sequences of `seqLen` tokens. Emits per

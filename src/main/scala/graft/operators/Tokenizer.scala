@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training + encoding (training-data
+  * extension — the "train the tokenizer on the corpus" step; Sennrich
+  * et al. 2016, the SentencePiece/GPT-2 vocabulary regime).
+  *
+  * Everything after the first corpus pass runs on the WORD HISTOGRAM,
+  * not the corpus: one `explode + groupBy` shuffle reduces 100 TB of
+  * text to a vocab-sized (word, count) table, and each merge iteration
+  * is one aggregation over that table (pair counts weighted by word
+  * frequency) plus a single driver-side row (the argmax pair). That is
+  * the classic distributed-BPE shape: N merges cost N small jobs whose
+  * input never grows with corpus size. Symbol sequences start as the
+  * word's characters plus a terminal `</w>` marker; a merge rewrites
+  * every word in one narrow `aggregate()` fold (greedy left-to-right,
+  * non-overlapping — the standard semantics).
+  *
+  * Encoding reuses the same trick in reverse: each DISTINCT word is
+  * encoded once (vocab-sized work, a Scala function over the histogram
+  * — the genuinely iterative, data-dependent merge loop that a codegen
+  * expression can't express), then joined back to the corpus by word.
+  * At 100 TB that join broadcasts the vocab side.
+  */
+object Tokenizer {
+
+  /** One learned merge: rank-ordered, with its winning pair count. */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** (word, n) histogram — the single corpus-sized shuffle. */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Initial symbol sequence: characters + terminal marker. */
+  private def initSyms(word: Column): Column =
+    concat(filter(split(word, ""), s => length(s) > 0),
+      array(lit("</w>")))
+
+  /** Greedy left-to-right, non-overlapping application of one merge
+    * rule to a symbol array, as a single `aggregate()` fold. */
+  def applyMerge(syms: Column, left: String, right: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === left && x === right,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Adjacent symbol pairs of each word, weighted by word count. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("n"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** Train `numMerges` BPE merges over the corpus. Deterministic: ties
+    * on pair count break to the lexicographically smallest (left,
+    * right). Stops early when no pair reaches `minPairCount`. The
+    * histogram is localCheckpoint'd each round so the plan stays flat
+    * across iterations (the loop would otherwise stack one projection
+    * per merge). */
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
+               minPairCount: Long = 2): Seq[Merge] = {
+    val hist = wordHistogram(docs, textCol)
+    // vocab-sized table: a handful of partitions beats 32-way task
+    // overhead in the per-merge jobs (at real vocab sizes, size to
+    // rows/1M as with any small dimension)
+    var words = hist.select(initSyms(col("word")).as("syms"), col("n"))
+      .coalesce(4).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(desc("cnt"), asc("left"), asc("right"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < minPairCount) {
+        done = true
+      } else {
+        val l = top.head.getAs[String]("left")
+        val r = top.head.getAs[String]("right")
+        merges += Merge(rank, l, r, top.head.getAs[Long]("cnt"))
+        val next = words
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("n"))
+          .localCheckpoint()
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    merges.result()
+  }
+
+  /** Merge list as a DataFrame (rank, left, right, pair_count). */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.count))
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Encode one word with trained merges: repeatedly merge the
+    * lowest-rank pair present (the standard BPE encode loop). */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = word.map(_.toString) :+ "</w>"
+    var continue = syms.length > 1
+    while (continue) {
+      var bestIdx = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) continue = false
+      else {
+        syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+          syms.drop(bestIdx + 2)
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Per-distinct-word token counts: the vocab-sized encode table to
+    * join back against the corpus (broadcast it — it is the small side
+    * at any corpus scale). */
+  def encodeHistogram(hist: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bc = hist.sparkSession.sparkContext.broadcast(ranks)
+    val nTokens = udf((w: String) => encodeWord(w, bc.value).length)
+    hist.withColumn("n_bpe", nTokens(col("word")))
+  }
+
+  /** Per-doc BPE token counts under a trained tokenizer: corpus words
+    * joined (broadcast) to the encoded vocab — the full train->apply
+    * round trip. */
+  def docTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[Merge]): DataFrame = {
+    val hist = wordHistogram(docs, textCol).drop("n")
+    val encoded = encodeHistogram(hist, merges)
+      .select(col("word"), col("n_bpe"))
+    docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(encoded), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain filtering for web-corpus curation (training-data
+  * extension; the UT1-blocklist stage every web-scale pipeline runs —
+  * RefinedWeb §3.1, Dolma's URL filters).
+  *
+  * Rules follow the blocklist convention: a listed domain blocks itself
+  * and every subdomain (`bad-site.com` blocks `spam.bad-site.com` but
+  * not `notbad-site.com`), and path substrings catch ad/click routes on
+  * otherwise-fine hosts. Everything is a narrow codegen'd column
+  * expression over the URL string — no shuffle, no UDF; at 100 TB this
+  * runs inside the first scan's WholeStageCodegen span and the dropped
+  * rows never reach later stages. Blocklists are plan literals: real UT1
+  * lists (millions of domains) would swap the `exists` chain for a
+  * broadcast left-semi join on [[registeredDomain]] — same output
+  * contract, so the swap is an implementation detail behind this API.
+  */
+object UrlFilter {
+
+  /** Multi-label public suffixes where the registrable domain needs three
+    * labels (a tiny excerpt of the public-suffix list; extend as data). */
+  val DefaultPublicSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br")
+
+  /** Hostname of an absolute URL (scheme required, port stripped). */
+  def host(url: Column): Column =
+    regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+  /** Path component (everything from the first `/` after the host). */
+  def path(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)", 1)
+
+  /** eTLD+1: last two host labels, or three when the last two form a
+    * listed public suffix (`shop.example.co.uk` -> `example.co.uk`). */
+  def registeredDomain(hostCol: Column,
+                       suffixes: Seq[String] = DefaultPublicSuffixes): Column = {
+    val labels = split(hostCol, "\\.")
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val isPublic = suffixes.map(last2 === _)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    when(isPublic && size(labels) >= 3, concat_ws(".", slice(labels, -3, 3)))
+      .otherwise(last2)
+  }
+
+  /** True when `hostCol` is `domain` or any subdomain of it. */
+  def domainMatches(hostCol: Column, domain: String): Column =
+    hostCol === domain || hostCol.endsWith("." + domain)
+
+  /** Per-row verdict over a URL column. Output adds `host`,
+    * `registered_domain`, `blocked` and `reason` (`domain` beats `path`
+    * beats `ok` — deterministic rule precedence, matching blocklist
+    * semantics where a domain listing is authoritative). */
+  def flag(df: DataFrame, urlCol: String,
+           blockedDomains: Seq[String],
+           blockedPathParts: Seq[String],
+           suffixes: Seq[String] = DefaultPublicSuffixes): DataFrame = {
+    val h = host(col(urlCol))
+    val domainHit = blockedDomains.map(domainMatches(h, _))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val pathHit = blockedPathParts.map(p => path(col(urlCol)).contains(p))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.withColumn("host", h)
+      .withColumn("registered_domain", registeredDomain(col("host"), suffixes))
+      .withColumn("reason",
+        when(domainHit, "domain").when(pathHit, "path").otherwise("ok"))
+      .withColumn("blocked", col("reason") =!= "ok")
+  }
+
+  /** The keep-side filter a pipeline composes: rows whose URL survives. */
+  def keep(df: DataFrame, urlCol: String,
+           blockedDomains: Seq[String],
+           blockedPathParts: Seq[String]): DataFrame =
+    flag(df, urlCol, blockedDomains, blockedPathParts)
+      .filter(!col("blocked"))
+      .drop("host", "registered_domain", "reason", "blocked")
+}

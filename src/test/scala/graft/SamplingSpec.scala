@@ -45,4 +45,29 @@ class SamplingSpec extends GraftSpec {
     assert(t5("big") == 2500)
     // resulting mix shares ∝ n^T: 800*0.25 = 200 kept vs 50 — ratio 4 = sqrt(16)
   }
+
+  test("deterministicShuffle: dense positions, partitioning-invariant") {
+    val df = (0L until 300L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = Sampling.deterministicShuffle(df, "doc_id", "epoch0", 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    // every row lands in exactly one shard, in range
+    assert(a.length == 300 && a.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions are dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // identical output from a differently-partitioned, reordered input
+    val b = Sampling.deterministicShuffle(
+        df.orderBy(desc("doc_id")).repartition(13), "doc_id", "epoch0", 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // a different seed reorders (at least some rows move)
+    val c = Sampling.deterministicShuffle(df, "doc_id", "epoch1", 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(a.toSeq != c.toSeq)
+  }
 }

@@ -88,6 +88,92 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
   }
 
+  test("quantizeInt8: range, extremes, zero vector, reconstruction bound") {
+    import graft.operators.Quantization
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(3.0f, 1.5f, -3.0f, 0.1f))).toDF("id", "vec")
+    val out = df.select(col("id"),
+        Quantization.int8Scale(col("vec")).as("scale"),
+        Quantization.quantizeInt8(col("vec")).as("q"))
+      .as[(Long, Double, Seq[Int])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(2L) == ((0.0, Seq(0, 0, 0, 0)))) // zero vector -> zero codes
+    val (s1, q1) = out(1L)
+    assert(s1 == 1.0 && q1 == Seq(64, -127, 32, 0)) // floor(0.5*127+0.5)=64
+    val (s3, q3) = out(3L)
+    assert(s3 == 3.0 && q3.max == 127 && q3.min == -127)
+    // reconstruction error bounded by half a quantization step
+    val orig = Array(3.0, 1.5, -3.0, 0.1)
+    q3.zip(orig).foreach { case (q, v) =>
+      assert(math.abs(q * s3 / 127 - v) <= s3 / 127 / 2 + 1e-9)
+    }
+  }
+
+  test("PQ with lossless codebooks reproduces exact L2 ranking") {
+    import graft.operators.Quantization
+    // subvectors drawn from exactly k=4 patterns per subspace -> k-means
+    // recovers them exactly and ADC distance == true squared L2
+    val rnd = new scala.util.Random(7)
+    val patterns = Array.fill(4, 4)(Array.fill(2)(rnd.nextGaussian().toFloat))
+    def mk(i: Int): Array[Float] =
+      (0 until 4).flatMap(sub => patterns(sub)((i / math.pow(4, sub).toInt) % 4)).toArray
+    val corpus = (0 until 256).map(i => (i.toLong, mk(i)))
+    val corpusDf = corpus.toDF("id", "vec")
+    val model = Quantization.trainPq(corpusDf, dim = 8, m = 4, k = 4,
+      iters = 8, sampleSize = 256)
+    val queries = corpus.take(3).map { case (i, v) => (i + 1000, v) }
+    val got = Quantization.pqTopK(queries.toDF("qid", "vec"), corpusDf,
+        model, k = 5)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    // exact reference: squared L2 accumulated per-subspace then summed
+    // (the ADC association order), rounded like the operator so ties
+    // resolve identically by id
+    def dist6(qv: Array[Float], v: Array[Float]): BigDecimal = {
+      var total = 0.0
+      for (sub <- 0 until 4) {
+        var d = 0.0
+        for (j <- 0 until 2) {
+          val t = qv(sub * 2 + j).toDouble - v(sub * 2 + j).toDouble
+          d += t * t
+        }
+        total += d
+      }
+      BigDecimal(total).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = queries.flatMap { case (qid, qv) =>
+      corpus.map { case (id, v) => (qid, id, dist6(qv, v)) }
+        .sortBy { case (_, id, d) => (d, id) }
+        .take(5).zipWithIndex
+        .map { case ((q, id, _), r) => (q, r + 1, id) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("PQ ANN recall on clustered data") {
+    import graft.operators.Quantization
+    val rnd = new scala.util.Random(29)
+    val base = Array.fill(16)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val corpus = base.zipWithIndex.flatMap { case (v, i) =>
+      (0 until 10).map(j => ((i * 10 + j).toLong,
+        v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)))
+    }
+    val corpusDf = corpus.toSeq.toDF("id", "vec")
+    val model = Quantization.trainPq(corpusDf, dim = 64, m = 8, k = 16,
+      iters = 8, sampleSize = 160)
+    val qDf = base.take(5).zipWithIndex
+      .map { case (v, i) => (i.toLong + 5000, v) }.toSeq.toDF("qid", "vec")
+    val pq = Quantization.pqTopK(qDf, corpusDf, model, k = 5)
+      .select("qid", "id").as[(Long, Long)].collect()
+    // all 10 members of a query's cluster share (nearly) one code, so
+    // PQ cannot rank WITHIN the cluster — the ADC guarantee is that
+    // every returned neighbor comes from the right cluster
+    assert(pq.length == 25)
+    val wrongCluster = pq.count { case (qid, id) => id / 10 != qid - 5000 }
+    assert(wrongCluster == 0,
+      s"$wrongCluster of ${pq.length} PQ neighbors from the wrong cluster")
+  }
+
   test("planted identical vector is always rank-1 neighbor") {
     val planted = embs.filter(col("id") === 0)
       .select((col("id") + 10000).as("id"), col("vec"))

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tokenizer
+
+class TokenizerSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Independent single-node BPE reference (Sennrich 2016): symbol
+    * sequences per word occurrence, overlapping adjacent-pair counts,
+    * lexicographic tiebreak, greedy left-to-right non-overlapping merge
+    * application. Deliberately written over plain Scala collections —
+    * shares no code with the DataFrame implementation. */
+  private def refBpe(docs: Seq[String], numMerges: Int,
+                     minPairCount: Long = 2): Seq[(String, String, Long)] = {
+    var words: Seq[(Vector[String], Long)] = docs
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).toSeq
+      .map { case (w, ws) =>
+        (w.map(_.toString).toVector :+ "</w>", ws.size.toLong)
+      }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _         =>
+        }
+      }
+      val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minPairCount =>
+          out += ((l, r, c))
+          words = words.map { case (syms, n) =>
+            val merged = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+              else acc :+ x
+            }
+            (merged, n)
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out.result()
+  }
+
+  private val corpus = Seq(
+    "low low low low low lower lower newest newest",
+    "newest newest newest widest widest widest new new",
+    "the lowest of the low the newest of the new")
+
+  test("trainBpe matches the single-node reference merge-for-merge") {
+    val df = corpus.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+      .repartition(5)
+    val got = Tokenizer.trainBpe(df, "text", numMerges = 12)
+      .map(m => (m.left, m.right, m.count))
+    val want = refBpe(corpus, numMerges = 12)
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("applyMerge is greedy left-to-right, non-overlapping") {
+    val out = spark.range(1)
+      .select(Tokenizer.applyMerge(
+        typedLit(Seq("a", "a", "a", "a", "b")), "a", "a").as("s"))
+      .as[Seq[String]].head()
+    assert(out == Seq("aa", "aa", "b")) // NOT aa,a,a / a,aa,a shapes
+  }
+
+  test("trainBpe stops when no pair reaches minPairCount") {
+    val df = Seq((0, "ab cd ef")).toDF("doc_id", "text")
+    val got = Tokenizer.trainBpe(df, "text", numMerges = 50, minPairCount = 2)
+    // every word unique, every pair count 1 -> zero merges
+    assert(got.isEmpty)
+  }
+
+  test("encodeWord replays merges: tokens reconcatenate; trained words collapse") {
+    val df = corpus.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val merges = Tokenizer.trainBpe(df, "text", numMerges = 30)
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    for (w <- Seq("low", "newest", "widest", "unseen")) {
+      val toks = Tokenizer.encodeWord(w, ranks)
+      assert(toks.mkString == w + "</w>", s"$w round-trip")
+    }
+    // 'low' appears 7x in a tiny corpus: it must be fully merged
+    assert(Tokenizer.encodeWord("low", ranks).length == 1)
+  }
+
+  test("docTokenCounts: counts bounded by chars+1 and at least 1 per word") {
+    val df = corpus.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val merges = Tokenizer.trainBpe(df, "text", numMerges = 12)
+    val out = Tokenizer.docTokenCounts(df, "doc_id", "text", merges)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == corpus.length)
+    corpus.zipWithIndex.foreach { case (doc, i) =>
+      val words = doc.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val (_, nWords, nToks) = out(i)
+      assert(nWords == words.length)
+      assert(nToks >= nWords) // >= one token per word
+      assert(nToks <= words.map(_.length + 1L).sum) // <= chars + marker
+    }
+  }
+}
