@@ -304,10 +304,12 @@ object QueriesTrainingData {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // distributed BPE tokenizer training (Sennrich 2016): 20 merges
-    // learned over the word histogram — rows-only (iterative argmax
-    // state isn't SQL-expressible; TokenizerSpec proves merge-for-merge
-    // parity with an independent single-node reference implementation)
+    // BPE tokenizer training (Sennrich 2016): 20 merges learned over
+    // the corpus-reduced word histogram (driver loop under the vocab
+    // cutover, distributed merge iterations above it — bit-identical
+    // paths) — rows-only (iterative argmax state isn't SQL-expressible;
+    // TokenizerSpec proves merge-for-merge parity with an independent
+    // single-node reference implementation and cross-path equality)
     "td_bpe_train" -> ((s, dir) =>
       Tokenizer.mergesDf(s,
         Tokenizer.trainBpe(docs(s, dir), "text", numMerges = 20))),

@@ -96,24 +96,15 @@ object Quantization {
     best
   }
 
-  private def sqDist(a: Column, b: Array[Double]): Column =
-    b.zipWithIndex.map { case (cj, j) =>
-      val d = element_at(a, j + 1).cast("double") - cj
-      d * d
-    }.reduce(_ + _)
-
-  /** Code column for one subspace: argmin_k L2(sub-slice, centroid). */
-  private def subCode(vec: Column, model: PqModel, sub: Int): Column = {
-    val slc = slice(vec, sub * model.subDim + 1, model.subDim)
-    val ds = array(model.centroids(sub).map(c => sqDist(slc, c)): _*)
-    (array_position(ds, array_min(ds)) - 1).cast("int")
-  }
-
-  /** Attach the m-byte PQ code array — the stored-table transform. */
+  /** Attach the m-byte PQ code array — the stored-table transform. One
+    * codegen'd kernel call per row ([[graft.functions.expressions
+    * .PqEncode]]); the codebook rides along as a plan reference
+    * object. */
   def encodePq(corpus: DataFrame, vecCol: String, model: PqModel,
                codeCol: String = "pq_code"): DataFrame =
     corpus.withColumn(codeCol,
-      array((0 until model.m).map(subCode(col(vecCol), model, _)): _*))
+      graft.functions.expressions.PqEncode.pq_encode(
+        col(vecCol), model.centroids))
 
   /** ADC top-k: approximate L2 distance = sum over subspaces of the
     * exact query-subvector -> centroid distance looked up by the stored

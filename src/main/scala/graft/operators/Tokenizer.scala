@@ -61,18 +61,89 @@ object Tokenizer {
 
   /** Train `numMerges` BPE merges over the corpus. Deterministic: ties
     * on pair count break to the lexicographically smallest (left,
-    * right). Stops early when no pair reaches `minPairCount`. The
-    * histogram is localCheckpoint'd each round so the plan stays flat
-    * across iterations (the loop would otherwise stack one projection
-    * per merge). */
+    * right). Stops early when no pair reaches `minPairCount`.
+    *
+    * Hybrid execution (same pattern as `Dedup.connectedComponents`'
+    * driver cutover): the word histogram is corpus-reduced and usually
+    * tiny relative to the corpus — when it fits under
+    * `driverMaxWords` it is collected ONCE and the merge loop runs
+    * in-memory (zero per-iteration jobs; this is also what
+    * single-node tokenizer trainers do after their own count pass).
+    * Above the cutoff the loop stays distributed: one pair-count
+    * aggregation per merge over the vocab-sized table, lineage
+    * truncated by a localCheckpoint every few merges. Both paths are
+    * bit-identical (TokenizerSpec forces each and compares). */
   def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
-               minPairCount: Long = 2): Seq[Merge] = {
+               minPairCount: Long = 2,
+               driverMaxWords: Int = 200000): Seq[Merge] = {
     val hist = wordHistogram(docs, textCol)
-    // vocab-sized table: a handful of partitions beats 32-way task
+    val probe = hist.limit(driverMaxWords + 1).collect()
+    if (probe.length <= driverMaxWords)
+      trainLocal(probe.map(r => (r.getString(0), r.getLong(1))),
+        numMerges, minPairCount)
+    else trainDistributed(hist, numMerges, minPairCount)
+  }
+
+  /** In-memory merge loop over a collected histogram (driver path). */
+  private def trainLocal(hist: Array[(String, Long)], numMerges: Int,
+                         minPairCount: Long): Seq[Merge] = {
+    var words: Array[(Array[String], Long)] = hist.map { case (w, n) =>
+      (w.map(_.toString).toArray :+ "</w>", n)
+    }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, e @ ((l, r), c)) =>
+          acc match {
+            case Some(((bl, br), bc))
+              if bc > c || (bc == c && (bl < l || (bl == l && br <= r))) => acc
+            case _ => Some(e)
+          }
+      }
+      best match {
+        case Some(((l, r), c)) if c >= minPairCount =>
+          merges += Merge(rank, l, r, c)
+          words = words.map { case (syms, n) =>
+            if (!syms.contains(l)) (syms, n)
+            else {
+              val out = collection.mutable.ArrayBuffer.empty[String]
+              syms.foreach { x =>
+                if (out.nonEmpty && out.last == l && x == r) {
+                  out.remove(out.length - 1); out += (l + r)
+                } else out += x
+              }
+              (out.toArray, n)
+            }
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed merge loop (giant-vocab path): one aggregation job per
+    * merge, plan kept flat by periodic localCheckpoints. */
+  private def trainDistributed(hist: DataFrame, numMerges: Int,
+                               minPairCount: Long): Seq[Merge] = {
+    // vocab-sized table: a handful of partitions beats wide-task
     // overhead in the per-merge jobs (at real vocab sizes, size to
     // rows/1M as with any small dimension)
     var words = hist.select(initSyms(col("word")).as("syms"), col("n"))
       .coalesce(4).localCheckpoint()
+    var lastCheckpoint = words
+    var sinceCheckpoint = 0
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
@@ -86,15 +157,20 @@ object Tokenizer {
         val l = top.head.getAs[String]("left")
         val r = top.head.getAs[String]("right")
         merges += Merge(rank, l, r, top.head.getAs[Long]("cnt"))
-        val next = words
+        words = words
           .select(applyMerge(col("syms"), l, r).as("syms"), col("n"))
-          .localCheckpoint()
-        words.unpersist()
-        words = next
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= 4) { // bounded recompute depth, fewer jobs
+          val cp = words.localCheckpoint()
+          lastCheckpoint.unpersist()
+          lastCheckpoint = cp
+          words = cp
+          sinceCheckpoint = 0
+        }
         rank += 1
       }
     }
-    words.unpersist()
+    lastCheckpoint.unpersist()
     merges.result()
   }
 

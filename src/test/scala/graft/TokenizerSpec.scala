@@ -71,6 +71,15 @@ class TokenizerSpec extends GraftSpec {
     assert(out == Seq("aa", "aa", "b")) // NOT aa,a,a / a,aa,a shapes
   }
 
+  test("distributed path is bit-identical to the driver cutover path") {
+    val df = corpus.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+      .repartition(3)
+    val local = Tokenizer.trainBpe(df, "text", numMerges = 10)
+    val dist = Tokenizer.trainBpe(df, "text", numMerges = 10,
+      driverMaxWords = 0) // force the distributed loop
+    assert(local.nonEmpty && local == dist)
+  }
+
   test("trainBpe stops when no pair reaches minPairCount") {
     val df = Seq((0, "ab cd ef")).toDF("doc_id", "text")
     val got = Tokenizer.trainBpe(df, "text", numMerges = 50, minPairCount = 2)
