@@ -269,7 +269,15 @@ object QueriesExtra {
         .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
           (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
-    })
+    }),
+
+    // beyond-reference: EXACT heavy hitters (count >= n/k) in two passes
+    // — per-partition Misra-Gries candidates (guaranteed superset), then
+    // an exact count of candidates only. The oracle is the naive full
+    // groupBy; at 100 TB only the candidates shuffle.
+    "a12_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Frequency.heavyHitters(
+        graft.schema.EventSchema.readEvents(s, dir), "user_id", k = 150))
   )
 
   private val adapterCte =
@@ -290,6 +298,13 @@ object QueriesExtra {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a12_heavy_hitters" ->
+      """SELECT CAST(user_id AS VARCHAR) AS item,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1
+        |HAVING COUNT(*) * 150 >= (
+        |  SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)""".stripMargin,
     "a10_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id,

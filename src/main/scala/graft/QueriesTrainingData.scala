@@ -304,6 +304,48 @@ object QueriesTrainingData {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // SemDeDup (Abbas 2023): k-means-cell candidate pairs + exact cosine
+    // verify + drop-the-larger-id. The survivor rule is clustering-
+    // independent, so the oracle is an exact all-pairs NOT EXISTS scan
+    // even though the engine only ever compares within cells.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(
+        embs(s, dir).select(col("vec_id").as("id"),
+          col("embedding").as("vec"), col("label")),
+        "id", "vec", threshold = 0.9, nlist = 16, nprobe = 2,
+        keepCols = Seq("label"))),
+
+    // IVF-PQ composite ANN (FAISS IVFPQ shape): cell-pruned scan over
+    // 8-byte PQ codes, ADC scoring — rows-only (approximate by design;
+    // SimilaritySpec asserts nprobe=nlist bit-equality with pqTopK and
+    // recall vs brute force)
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val model = Quantization.trainPq(e, dim = 64, m = 8, k = 16,
+        iters = 5, sampleSize = 1024)
+      Quantization.ivfPqTopK(
+        e.filter(col("id") < 10).select(col("id").as("qid"), col("vec")),
+        e, model, k = 10, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // HTML -> text extraction (the WET step of a crawl corpus): the
+    // documents are wrapped in a deterministic HTML envelope (tags,
+    // comments, script/style, encoded entities), then extracted; the
+    // oracle replays both the wrap and the strip
+    "td_html_extract" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        concat(
+          lit("<html><head><title>T</title><style>p{color:red}</style>" +
+            "</head><body><h1>"),
+          col("source"),
+          lit("</h1><!-- hidden --><p>"), substring(col("text"), 1, 200),
+          lit(" &quot;A&#39;s&quot; &lt;tag&gt; B&amp;C</p>" +
+            "<script>var x = 1 < 2;</script></body></html>")).as("html"))
+        .select(col("doc_id"),
+          TextFunctions.htmlToText(col("html")).as("text_clean"))),
+
     // BPE tokenizer training (Sennrich 2016): 20 merges learned over
     // the corpus-reduced word histogram (driver loop under the vocab
     // cutover, distributed merge iterations above it — bit-identical
@@ -387,6 +429,39 @@ object QueriesTrainingData {
   private def langHits(lang: String, stops: Seq[String]): String = {
     val lst = stops.map(s => s"'$s'").mkString("[", ", ", "]")
     s"len(list_filter(list_distinct(w), x -> list_contains($lst, x))) AS $lang"
+  }
+
+  /** Mirrors [[TextFunctions.htmlToText]] rule-for-rule: same synthetic
+    * wrap as the Spark query, then the identical strip/decode/collapse
+    * chain (the patterns are from the Java/RE2 common subset, so the two
+    * engines must rewrite identically). */
+  private val htmlExtractSql: String = {
+    val strip = Seq(
+      "(?is)<script[^>]*>.*?</script>",
+      "(?is)<style[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "(?s)</?[A-Za-z!][^>]*>")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val stripped = strip.foldLeft("html")(
+      (acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')")
+    val decoded = entities.foldLeft(stripped) { case (acc, (e, r)) =>
+      val rep = if (r == "'") "''" else r
+      s"regexp_replace($acc, '$e', '$rep', 'g')"
+    }
+    """WITH wrapped AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>T</title><style>p{color:red}</style>'
+      |    || '</head><body><h1>' || source || '</h1><!-- hidden --><p>'
+      |    || substr(text, 1, 200)
+      |    || ' &quot;A&#39;s&quot; &lt;tag&gt; B&amp;C</p>'
+      |    || '<script>var x = 1 < 2;</script></body></html>' AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |""".stripMargin +
+      s"  trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS text_clean\n" +
+      "FROM wrapped"
   }
 
   val oracles: Map[String, String] = Map(
@@ -511,6 +586,14 @@ object QueriesTrainingData {
         |WHERE a.vec_id < b.vec_id
         |  AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
         |    b.embedding::DOUBLE[]), 4) >= 0.99""".stripMargin,
+    "dedup_semantic" ->
+      """SELECT e.vec_id AS id, e.label FROM embeddings e
+        |WHERE e.embedding IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM embeddings b WHERE b.vec_id < e.vec_id
+        |      AND ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
+        |        e.embedding::DOUBLE[]), 4) >= 0.9)""".stripMargin,
+    "td_html_extract" -> htmlExtractSql,
     "ann_topk" ->
       """SELECT qid, rank, id, cosine FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS id,

@@ -124,4 +124,30 @@ object TextFunctions {
     PiiPatterns.foldLeft(text) { case (c, (pattern, tag)) =>
       regexp_replace(c, pattern, tag)
     }
+
+  // ---- HTML text extraction ---------------------------------------------
+
+  /** HTML -> plain text (the WET-extraction step of a web-crawl corpus):
+    * drop script/style subtrees and comments, strip remaining tags,
+    * decode the core character entities, collapse whitespace. Like
+    * [[PiiPatterns]], every pattern is from the Java-regex/RE2 common
+    * subset — `(?is)` flags and lazy quantifiers, NO backreferences
+    * (RE2 has none) — so a DuckDB oracle replays the rewrite exactly.
+    * Entity order: named entities decode before `&amp;` so "&amp;lt;"
+    * correctly yields "&lt;" (double-encoded stays encoded one level),
+    * the standard single-pass decode rule. */
+  def htmlToText(html: Column): Column = {
+    val stripped = Seq(
+      "(?is)<script[^>]*>.*?</script>",
+      "(?is)<style[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "(?s)</?[A-Za-z!][^>]*>").foldLeft(html)(
+      (c, p) => regexp_replace(c, p, " "))
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&").foldLeft(stripped) {
+      case (c, (e, r)) => regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -406,11 +406,16 @@ object Dedup {
     * positions inside a duplicated window), dup_frac = n_covered /
     * n_words. Docs shorter than `k` words report zeros.
     *
-    * Scale: every shuffle is keyed on the gram or (doc, position) — no
-    * doc-pair blowup, cost ~ one row per corpus token per stage. The
-    * gram key here is the literal k-word string (oracle-comparable); at
-    * 100 TB swap it for xxhash64(gram) — a 2^-64 collision rate is
-    * noise for span flagging and the shuffle payload drops to 8 bytes.
+    * Scale: every shuffle is keyed on the gram HASH or (doc, position) —
+    * no doc-pair blowup, cost ~ one row per corpus token per stage. The
+    * key is xxhash64 of the k-word window, computed INSIDE the window
+    * transform: the per-doc array is array<long> (8 bytes/window) and the
+    * window strings are codegen-transient — never materialized per doc,
+    * never shuffled. (The literal-string-key variant held the whole doc
+    * text x k in one array per row; those humongous allocations wrecked
+    * the heap for every later query in a shared JVM.) A 2^-64 collision
+    * rate is noise for span flagging; the DuckDB oracle keeps literal
+    * string keys and must agree unless xxhash64 collides on this data.
     * The removal step (cutting flagged spans out of the text) is a
     * per-doc map over the covered-position list, same as the flag. */
   def substringDups(docs: DataFrame, idCol: String, textCol: String,
@@ -421,10 +426,10 @@ object Dedup {
     // positional windows (NOT distinct — a within-doc repeat is a dup)
     val wins = base
       .withColumn("grams",
-        when(col("n_words") < k, array().cast("array<string>"))
+        when(col("n_words") < k, array().cast("array<bigint>"))
           .otherwise(expr(
             s"transform(sequence(1, size(w) - ${k - 1}), " +
-              s"i -> concat_ws(' ', slice(w, i, $k)))")))
+              s"i -> xxhash64(concat_ws(' ', slice(w, i, $k))))")))
       .select(col("id"), posexplode(col("grams")).as(Seq("pos", "gram")))
     val dupGrams = wins.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occ"))
@@ -446,5 +451,47 @@ object Dedup {
         coalesce(col("n_covered"), lit(0L)).as("n_covered"))
       .withColumn("dup_frac",
         round(col("n_covered") / greatest(col("n_words"), lit(1)), 4))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the IVF k-means
+    * ([[Similarity.trainCentroids]]), generate candidate pairs only
+    * within cells, verify candidates with the exact cosine kernel, and
+    * drop every id that has a SMALLER near-dup neighbor.
+    *
+    * The survivor rule is clustering-independent — `id` is dropped iff
+    * some `id' < id` has `round(cos, 4) >= threshold` — so the output is
+    * oracle-checkable by an exact all-pairs scan even though the engine
+    * never runs one. Each vector keys into its `nprobe` nearest cells
+    * (not 1) so near-dup pairs straddling a Voronoi boundary still share
+    * a cell; DedupSpec verifies recall on planted duplicates.
+    *
+    * 100 TB shape: the cell id is a stored bucket column (one narrow
+    * kernel pass); candidate generation shuffles (cell, id) only — the
+    * vectors are joined back to candidates, mirroring [[embeddingPairs]];
+    * the exact verify touches candidates, never the n² cross join. */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.9, nlist: Int = 16,
+                    nprobe: Int = 2,
+                    keepCols: Seq[String] = Nil): DataFrame = {
+    val base = embs.select(
+      (Seq(col(idCol).as("id"), col(vecCol).as("vec")) ++ keepCols.map(col)): _*)
+      .na.drop(Seq("vec"))
+    val cents = Similarity.trainCentroids(
+      base.select(col("id"), col("vec")), nlist)
+    val keyed = base.select(col("id"),
+      explode(Similarity.probeCells(col("vec"), cents, nprobe)).as("cell"))
+    val candidates = keyed.as("a").join(keyed.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vecs = base.select(col("id"), col("vec"))
+    val dropped = candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .filter(round(VectorKernels.cosine_sim(col("va"), col("vb")), 4)
+        >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    base.join(dropped, Seq("id"), "left_anti").drop("vec")
   }
 }

@@ -142,4 +142,72 @@ object Quantization {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("adc_dist"))
   }
+
+  /** IVF-PQ ANN (the FAISS `IVFPQ` composite): corpus rows carry BOTH
+    * their IVF cell id and their PQ code (two one-time stored-column
+    * transforms); a query probes its `nprobe` nearest cells and ADC-scores
+    * only those cells' codes. This is the standard billion-scale index
+    * shape — the cell prunes the scan, the code shrinks the bytes read.
+    * With `nprobe == nlist` the routing is lossless and the result is
+    * bit-equal to [[pqTopK]] (SimilaritySpec asserts this).
+    *
+    * Query cells are computed driver-side from the collected (bounded)
+    * query set with the same cosine-argmax rule as
+    * [[Similarity.probeCells]], so corpus and query agree on geometry. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, model: PqModel,
+                k: Int, nlist: Int = 16, nprobe: Int = 4,
+                centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val base = corpus.select(col("id"), col("vec")).na.drop(Seq("vec"))
+    val cents = centroids.getOrElse(Similarity.trainCentroids(base, nlist))
+    val coded = encodePq(base, "vec", model)
+      .withColumn("cell", Similarity.cellOf(col("vec"), cents))
+      .select(col("id"), col("cell"), col("pq_code"))
+    val qs = queries.select(col("qid"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val qRows = qs.flatMap { case (qid, qv) =>
+      val lut = Array.tabulate(model.m) { sub =>
+        val slc = qv.slice(sub * model.subDim, (sub + 1) * model.subDim)
+        model.centroids(sub).map { c =>
+          var d = 0d
+          for (j <- slc.indices) { val t = slc(j) - c(j); d += t * t }
+          d
+        }.toSeq
+      }.toSeq
+      nearestCells(qv, cents, nprobe).map(cell =>
+        struct(lit(qid).as("qid"), typedLit(lut).as("lut"),
+          lit(cell).as("cell")))
+    }
+    val q = queries.sparkSession.range(1)
+      .select(explode(array(qRows.toIndexedSeq: _*)).as("q"))
+      .select(col("q.qid").as("qid"), col("q.lut").as("lut"),
+        col("q.cell").as("cell"))
+    val scored = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("id"), col("qid"),
+        round(aggregate(
+          zip_with(col("pq_code"), col("lut"),
+            (code, lut) => element_at(lut, code + 1)),
+          lit(0d), (acc, x) => acc + x), 6).as("adc_dist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("adc_dist"))
+  }
+
+  /** Driver-side `nprobe` nearest centroids by cosine — the collected-
+    * query twin of [[Similarity.probeCells]] (same cosine score; exact
+    * score ties resolve to the lower cell id). */
+  private def nearestCells(v: Array[Double], cents: Array[Array[Float]],
+                           nprobe: Int): Seq[Int] = {
+    def cos(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d
+      for (i <- a.indices) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0d else dot / math.sqrt(na * nb)
+    }
+    cents.zipWithIndex.map { case (c, i) => (cos(v, c), i) }
+      .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2).toSeq
+  }
 }

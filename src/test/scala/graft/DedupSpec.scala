@@ -178,4 +178,27 @@ class DedupSpec extends GraftSpec {
       .as[(String, Long)].collect().toMap
     assert(vocab("alpha") == 3L && !vocab.contains("one"))
   }
+
+  test("semantic dedup: planted near-copies drop, lowest id survives each group") {
+    val rnd = new scala.util.Random(17)
+    val base = Array.fill(6)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    // group g: ids g*10 (original), g*10+1 (exact copy), g*10+2 (tiny
+    // perturbation, cosine > 0.999); groups mutually near-orthogonal
+    val rows = base.zipWithIndex.flatMap { case (v, g) =>
+      Seq((g * 10L, v, g),
+        (g * 10L + 1, v.clone(), g),
+        (g * 10L + 2, v.map(x => x + 0.005f * rnd.nextGaussian().toFloat), g))
+    }
+    val df = rows.toSeq.toDF("id", "vec", "label")
+    val out = Dedup.semanticDedup(df, "id", "vec", threshold = 0.99,
+      nlist = 4, nprobe = 2, keepCols = Seq("label"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == (0 until 6).map(_ * 10L))
+    // survivor rule is clustering-independent: with threshold above any
+    // cross-group cosine, distinct groups never collapse into each other
+    val labels = Dedup.semanticDedup(df, "id", "vec", threshold = 0.99,
+      nlist = 2, nprobe = 1, keepCols = Seq("label"))
+      .select("label").as[Int].collect().toSet
+    assert(labels == (0 until 6).toSet)
+  }
 }

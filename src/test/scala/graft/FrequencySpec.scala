@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Frequency
+
+class FrequencySpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Skewed stream: "hot" 2400x, "warm" 500x, 100 tail items 71x each —
+    * 10000 rows total. */
+  private lazy val skewed = {
+    val rows = Seq.fill(2400)("hot") ++ Seq.fill(500)("warm") ++
+      (0 until 100).flatMap(i => Seq.fill(71)(s"tail$i"))
+    rows.zipWithIndex.map { case (item, i) => (i.toLong, item) }
+      .toDF("row_id", "item")
+  }
+
+  private def naive(df: org.apache.spark.sql.DataFrame, k: Int): Set[(String, Long)] = {
+    val n = df.filter(col("item").isNotNull).count()
+    df.filter(col("item").isNotNull)
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k >= n)
+      .as[(String, Long)].collect().toSet
+  }
+
+  test("exact vs naive groupBy across k, scattered layout") {
+    val df = skewed.repartition(7)
+    for (k <- Seq(3, 10, 50, 200)) {
+      val got = Frequency.heavyHitters(df, "item", k)
+        .as[(String, Long)].collect().toSet
+      assert(got == naive(df, k), s"mismatch at k=$k")
+    }
+  }
+
+  test("adversarial layout: hot keys packed into one partition") {
+    // range-partition by row_id so "hot" occupies the first partitions
+    // entirely — the layout where per-partition summaries are most
+    // lopsided; the pigeonhole superset argument must still hold
+    val packed = skewed.repartitionByRange(8, col("row_id"))
+    for (k <- Seq(4, 20, 141)) { // 141: threshold 70.9 — every tail item
+      val got = Frequency.heavyHitters(packed, "item", k)
+        .as[(String, Long)].collect().toSet
+      assert(got == naive(packed, k), s"mismatch at k=$k")
+    }
+  }
+
+  test("k=2 returns only an absolute-majority item") {
+    val minority = skewed // hot is 24% — no majority
+    assert(Frequency.heavyHitters(minority, "item", 2).count() == 0)
+    val majority = (Seq.fill(60)("m") ++ Seq.fill(40)("x"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("row_id", "item")
+    assert(Frequency.heavyHitters(majority, "item", 2)
+      .as[(String, Long)].collect().toSeq == Seq(("m", 60L)))
+  }
+
+  test("nulls are excluded from items and from the total") {
+    val withNulls = (Seq.fill(6)(Some("a")) ++ Seq.fill(6)(Option.empty[String]))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s.orNull) }
+      .toDF("row_id", "item")
+    // 6 non-null rows; "a" has all of them -> heavy at k=1
+    assert(Frequency.heavyHitters(withNulls, "item", 1)
+      .as[(String, Long)].collect().toSeq == Seq(("a", 6L)))
+  }
+
+  test("non-string key column is cast, output matches its string form") {
+    val nums = (Seq.fill(9)(7L) ++ Seq(1L, 2L, 3L))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("row_id", "item")
+    val got = Frequency.heavyHitters(nums, "item", 2)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("7", 9L)))
+  }
+}

@@ -183,4 +183,33 @@ class SimilaritySpec extends GraftSpec {
     assert(top.getAs[Long]("id") == 10000L)
     assert(top.getAs[Double]("cosine") == 1.0)
   }
+
+  test("IVFPQ: nprobe=nlist is bit-equal to flat PQ; partial probe stays in-cluster") {
+    import graft.operators.Quantization
+    val rnd = new scala.util.Random(31)
+    val base = Array.fill(16)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val corpus = base.zipWithIndex.flatMap { case (v, i) =>
+      (0 until 10).map(j => ((i * 10 + j).toLong,
+        v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)))
+    }
+    val corpusDf = corpus.toSeq.toDF("id", "vec")
+    val model = Quantization.trainPq(corpusDf, dim = 64, m = 8, k = 16,
+      iters = 8, sampleSize = 160)
+    val qDf = base.take(5).zipWithIndex
+      .map { case (v, i) => (i.toLong + 5000, v) }.toSeq.toDF("qid", "vec")
+    // full probe: the cell routing must lose nothing vs the flat PQ scan
+    val flat = Quantization.pqTopK(qDf, corpusDf, model, k = 5)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val full = Quantization.ivfPqTopK(qDf, corpusDf, model, k = 5,
+        nlist = 8, nprobe = 8)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(full == flat)
+    // partial probe: every neighbor still from the query's own cluster
+    val part = Quantization.ivfPqTopK(qDf, corpusDf, model, k = 5,
+        nlist = 8, nprobe = 2)
+      .select("qid", "id").as[(Long, Long)].collect()
+    assert(part.length == 25)
+    val wrong = part.count { case (qid, id) => id / 10 != qid - 5000 }
+    assert(wrong == 0, s"$wrong IVFPQ neighbors from the wrong cluster")
+  }
 }

@@ -116,4 +116,27 @@ class TextQualitySpec extends GraftSpec {
     val q = TextQuality.gopherQuality(docs, "doc_id", "text")
     assert(q.filter("pass").count() == 0)
   }
+
+  test("html extraction: tags/script/style/comments out, entities decoded, ws collapsed") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      (1L, "<html><body><h1>Title</h1><p>Hello <b>world</b></p></body></html>",
+        "Title Hello world"),
+      // script/style bodies vanish entirely, including < inside them
+      (2L, "<p>a</p><script type=\"x\">if (1 < 2) alert('x')</script>" +
+        "<style>p { color: red }</style><p>b</p>", "a b"),
+      (3L, "keep <!-- secret comment --> these", "keep these"),
+      // single-pass entity decode: &amp;lt; -> &lt; and stops
+      (4L, "A&amp;B &lt;tag&gt; &quot;q&#39;s&quot; &amp;lt; x&nbsp;y",
+        "A&B <tag> \"q's\" &lt; x y"),
+      // stray < that opens no tag survives as text
+      (5L, "1 < 2 but <em>3</em>", "1 < 2 but 3"),
+      (6L, "  \t spaced\n\nout \n", "spaced out"))
+    val out = cases.toDF("id", "html", "want")
+      .select(col("id"), col("want"),
+        graft.functions.TextFunctions.htmlToText(col("html")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"case ${r.getLong(0)}: got '${r.getString(2)}'"))
+  }
 }
