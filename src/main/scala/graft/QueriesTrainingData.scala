@@ -346,6 +346,16 @@ object QueriesTrainingData {
         .select(col("doc_id"),
           TextFunctions.htmlToText(col("html")).as("text_clean"))),
 
+    // DSIR importance weights (Xie 2023): every doc scored by target-vs-
+    // raw bigram log-likelihood ratio; target = the corpus' own English
+    // slice, so high scores mark en-like text
+    "td_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.dsirWeights(d, d.filter(col("lang") === "en"),
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // BPE tokenizer training (Sennrich 2016): 20 merges learned over
     // the corpus-reduced word histogram (driver loop under the vocab
     // cutover, distributed merge iterations above it — bit-identical
@@ -594,6 +604,25 @@ object QueriesTrainingData {
         |      AND ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
         |        e.embedding::DOUBLE[]), 4) >= 0.9)""".stripMargin,
     "td_html_extract" -> htmlExtractSql,
+    "td_dsir" -> (wordsOnlyCte +
+      """, rb AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i + 1])) AS b
+        |  FROM ws WHERE len(w) >= 2),
+        |craw AS (SELECT b, COUNT(*) AS n_raw FROM rb GROUP BY 1),
+        |ctgt AS (SELECT b, COUNT(*) AS n_tgt FROM rb
+        |         WHERE lang = 'en' GROUP BY 1),
+        |consts AS (SELECT
+        |  (SELECT COUNT(*) FROM craw) AS v,
+        |  (SELECT COUNT(*) FROM rb) AS nr,
+        |  (SELECT COUNT(*) FROM rb WHERE lang = 'en') AS nt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(
+        |    ln((COALESCE(n_tgt, 0) + 0.1) / (nt + 0.1 * v)) -
+        |    ln((n_raw + 0.1) / (nr + 0.1 * v))), 4) AS log_importance
+        |FROM rb JOIN craw USING (b) LEFT JOIN ctgt USING (b), consts
+        |GROUP BY doc_id""".stripMargin),
     "ann_topk" ->
       """SELECT qid, rank, id, cosine FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS id,

@@ -48,10 +48,17 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleFreq: Int = 1000): DataFrame = {
+    // the shingle string never reaches the output — key the index by its
+    // xxhash64 so every shuffle row is (id, n_sh, 8-byte key) instead of
+    // carrying n words of text; a collision (2^-64 per distinct-shingle
+    // pair) could only merge two postings lists, and the sf-gated oracle
+    // (literal string keys) would catch it
     val sh = docs.select(col(idCol).as("id"),
         TextFunctions.shingles(col(textCol), n).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
-      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+      .select(col("id"), col("n_sh"),
+        explode(col("shingles")).as("sh_raw"))
+      .select(col("id"), col("n_sh"), xxhash64(col("sh_raw")).as("sh"))
     val filtered = sh
       .withColumn("freq", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("freq") <= maxShingleFreq)

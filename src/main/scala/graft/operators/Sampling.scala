@@ -147,4 +147,60 @@ object Sampling {
       .select(col("id"), col("n_tokens"), col("cum_before"),
         col("seq_first"), col("seq_last"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its n-gram profile is under a
+    * TARGET corpus' bigram distribution than under the raw corpus' own —
+    *
+    *   w(d) = mean over bigrams b of [ ln P_tgt(b) - ln P_raw(b) ],
+    *   P(b) = (c(b) + alpha) / (n + alpha * V)
+    *
+    * with V the distinct-bigram count over raw ∪ target (one smoothing
+    * universe, so target-OOV bigrams fall to the alpha floor rather than
+    * vanishing). High-w docs are "target-like"; resampling keeps the top
+    * mass ([[sampleBp]] on a weight-ordered rank, or a plain threshold).
+    *
+    * Scale shape, same rules as the perplexity scorer: every shuffle key
+    * is xxhash64 of the bigram (8 bytes; the paper's hashed-ngram
+    * buckets, taken to a 64-bit bucket space — the oracle keys literal
+    * strings and would expose a collision), the exploded raw stream is
+    * cached once and reused for counting and scoring, and the count
+    * tables join by key — at 100 TB the target histogram (bounded: the
+    * target is a curated sample by definition) broadcasts. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, alpha: Double = 0.1): DataFrame = {
+    def explodedBigrams(df: DataFrame, keep: Seq[(String, String)]): DataFrame = {
+      val w = graft.functions.TextFunctions.words(col(textCol))
+      val bi = when(size(w) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(arrays_zip(
+          slice(w, lit(1), size(w) - 1).as("w1"),
+          slice(w, lit(2), size(w) - 1).as("w2"))
+          .cast("array<struct<w1:string,w2:string>>"))
+      df.select(keep.map { case (src, as) => col(src).as(as) } :+
+          explode(bi).as("b"): _*)
+        .select(keep.map { case (_, as) => col(as) } :+
+          xxhash64(col("b.w1"), col("b.w2")).as("bh"): _*)
+    }
+    val rawBi = explodedBigrams(raw, Seq(idCol -> "id")).persist()
+    val tgtBi = explodedBigrams(target, Nil)
+    val cRaw = rawBi.groupBy(col("bh")).agg(count(lit(1)).as("n_raw"))
+    val cTgt = tgtBi.groupBy(col("bh")).agg(count(lit(1)).as("n_tgt"))
+    val vocab = cRaw.select(col("bh"))
+      .union(cTgt.select(col("bh"))).distinct().count()
+    val nRaw = rawBi.count()
+    val nTgt = tgtBi.count()
+    val logTgt = log((coalesce(col("n_tgt"), lit(0L)) + lit(alpha)) /
+      lit(nTgt + alpha * vocab))
+    val logRaw = log((col("n_raw") + lit(alpha)) /
+      lit(nRaw + alpha * vocab))
+    rawBi
+      .join(cRaw, Seq("bh"))
+      .join(cTgt, Seq("bh"), "left")
+      .select(col("id"), (logTgt - logRaw).as("lw"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lw")), 4).as("log_importance"))
+  }
 }

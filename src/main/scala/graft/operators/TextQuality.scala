@@ -200,23 +200,32 @@ object TextQuality {
     *  Scale: counting is explode + hash agg (map-side partial); scoring
     *  re-joins the token stream to the model on the bigram key — both
     *  shuffles are keyed on words, never on documents or pairs of them.
-    *  At 100 TB the model table is pruned with a min-count floor and
-    *  broadcast (OOV bigrams fall back to the smoothing floor exactly as
-    *  the unpruned model scores a count-0 bigram), turning the scoring
-    *  pass into a map-side join; here the full model joins by shuffle so
-    *  the oracle can reproduce every count. */
+    *  Every shuffle/join key is xxhash64 of the word/bigram (8 bytes, not
+    *  text; the oracle keeps literal strings, so a collision — 2^-64 per
+    *  distinct pair — would surface as a gate mismatch), and the model
+    *  and head counts both derive from ONE cached exploded pass instead
+    *  of re-parsing the corpus per aggregate. At 100 TB the model table
+    *  is pruned with a min-count floor and broadcast (OOV bigrams fall
+    *  back to the smoothing floor exactly as the unpruned model scores a
+    *  count-0 bigram), turning the scoring pass into a map-side join;
+    *  here the full model joins by shuffle so the oracle can reproduce
+    *  every count. */
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
                  alpha: Double = 0.1): DataFrame = {
     val w = TextFunctions.words(col(textCol))
-    val toks = docs.select(col(idCol).as("id"), explode(w).as("word"))
-    val vocab = toks.select(col("word")).distinct().count()
-    val model = bigramCounts(docs, textCol)
-    val heads = model.groupBy(col("w1")).agg(sum(col("n")).as("n_head"))
-    val docBi = docs.select(col(idCol).as("id"), explode(bigrams(w)).as("b"))
-      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val vocab = docs.select(explode(w).as("word"))
+      .select(xxhash64(col("word")).as("wh"))
+      .distinct().count()
+    val docBi = docs
+      .select(col(idCol).as("id"), explode(bigrams(w)).as("b"))
+      .select(col("id"), xxhash64(col("b.w1")).as("h1"),
+        xxhash64(col("b.w1"), col("b.w2")).as("h12"))
+      .persist()
+    val model = docBi.groupBy(col("h12")).agg(count(lit(1)).as("n"))
+    val heads = docBi.groupBy(col("h1")).agg(count(lit(1)).as("n_head"))
     docBi
-      .join(model, Seq("w1", "w2"))
-      .join(heads, Seq("w1"))
+      .join(model, Seq("h12"))
+      .join(heads, Seq("h1"))
       .select(col("id"),
         (-log((col("n") + lit(alpha)) /
           (col("n_head") + lit(alpha) * lit(vocab.toDouble)))).as("nll"))

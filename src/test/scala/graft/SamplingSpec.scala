@@ -70,4 +70,23 @@ class SamplingSpec extends GraftSpec {
       .as[(Long, Int, Long)].collect().sortBy(_._1)
     assert(a.toSeq != c.toSeq)
   }
+
+  test("DSIR weights: hand-computed log ratios; target-like docs rank higher") {
+    val raw = Seq((1L, "a b a b"), (2L, "x y x y")).toDF("doc_id", "text")
+    val target = Seq((10L, "a b")).toDF("doc_id", "text")
+    val got = Sampling.dsirWeights(raw, target, "doc_id", "text", alpha = 0.1)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // raw bigrams: d1 = [a b, b a, a b], d2 = [x y, y x, x y] -> nr=6
+    // target bigrams: [a b] -> nt=1; V = |{a b, b a, x y, y x}| = 4
+    def p(c: Long, n: Long) = (c + 0.1) / (n + 0.1 * 4)
+    def lw(ct: Long, cr: Long) = math.log(p(ct, 1)) - math.log(p(cr, 6))
+    val d1 = BigDecimal((2 * lw(1, 2) + lw(0, 1)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = BigDecimal((2 * lw(0, 2) + lw(0, 1)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got.map(_._2).toSeq == Seq(3L, 3L))
+    assert(got(0)._3 == d1 && got(1)._3 == d2)
+    assert(d1 > d2, "target-like doc must outscore the unrelated doc")
+  }
 }
