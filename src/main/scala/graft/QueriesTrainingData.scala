@@ -366,6 +366,18 @@ object QueriesTrainingData {
       Tokenizer.mergesDf(s,
         Tokenizer.trainBpe(docs(s, dir), "text", numMerges = 20))),
 
+    // BPE ENCODE under a pinned merge table (the tokenize-the-corpus
+    // step a training pipeline runs far more often than training): each
+    // DISTINCT word is encoded once with the greedy lowest-rank-first
+    // loop (vocab-sized work) and broadcast-joined back onto the token
+    // stream. Pinning the merges as config — the deploy-time shape: a
+    // tokenizer is trained once and shipped — is also what makes the
+    // oracle exact: DuckDB replays the same greedy loop per distinct
+    // word as a recursive CTE over the same literal merge list
+    "td_bpe_encode" -> ((s, dir) =>
+      Tokenizer.docTokenCounts(docs(s, dir), "doc_id", "text",
+        FixedBpeMerges)),
+
     // multimodal: metadata extraction over binary media column
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.synthesize(docs(s, dir)))
@@ -385,6 +397,16 @@ object QueriesTrainingData {
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame"))).as("frame_bytes")))
   )
+
+  /** Pinned BPE merge table for `td_bpe_encode`: rank-ordered, chained
+    * so multi-level merges exercise the loop (e.g. `th`+`e</w>` only
+    * fires after both constituents). Counts are irrelevant to encode. */
+  private[graft] val FixedBpeMerges: Seq[Tokenizer.Merge] = Seq(
+    "e" -> "</w>", "t" -> "h", "th" -> "e</w>", "s" -> "</w>",
+    "i" -> "n", "a" -> "n", "an" -> "d", "and" -> "</w>",
+    "o" -> "</w>", "e" -> "r", "in" -> "g", "ing" -> "</w>",
+    "o" -> "n", "r" -> "e", "er" -> "</w>", "t" -> "</w>")
+    .zipWithIndex.map { case ((l, r), i) => Tokenizer.Merge(i, l, r, 0L) }
 
   /** Deterministic URL synthesis tables for `td_urlfilter` (hosts keyed
     * by doc_id % 8, path prefixes by doc_id % 5 — co-prime moduli so
@@ -487,6 +509,43 @@ object QueriesTrainingData {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+    "td_bpe_encode" -> {
+      // same pinned merge table as the Spark side, rendered once — the
+      // two sides cannot drift
+      val ms = FixedBpeMerges.map(m => s"'${m.left}|${m.right}'")
+        .mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+        |                       w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |words AS (SELECT DISTINCT word FROM toks),
+        |enc AS (
+        |  SELECT word, list_append(string_split(word, ''), '</w>') AS syms
+        |  FROM words
+        |  UNION ALL
+        |  SELECT word,
+        |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+        |  FROM (
+        |    SELECT word, syms,
+        |      list_sort(list_filter(
+        |        list_transform(range(1, len(syms)),
+        |          i -> {'r': list_position($ms,
+        |                  syms[i] || '|' || syms[i+1]), 'i': i}),
+        |        x -> x.r > 0))[1].i AS bi
+        |    FROM enc
+        |  ) WHERE bi IS NOT NULL),
+        |fixed AS (
+        |  SELECT word, len(syms) AS n_bpe FROM enc
+        |  WHERE len(list_filter(list_transform(range(1, len(syms)),
+        |      i -> list_position($ms, syms[i] || '|' || syms[i+1])),
+        |    r -> r > 0)) = 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+        |FROM toks JOIN fixed USING (word)
+        |GROUP BY doc_id""".stripMargin
+    },
     "td_mix" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars

@@ -99,6 +99,22 @@ class TokenizerSpec extends GraftSpec {
     assert(Tokenizer.encodeWord("low", ranks).length == 1)
   }
 
+  test("pinned merge table: hand-computed greedy encodes") {
+    val ranks = QueriesTrainingData.FixedBpeMerges
+      .map(m => (m.left, m.right) -> m.rank).toMap
+    // 'the': e|</w> (rank 0) fires before t|h (rank 1), then th+e</w>
+    // (rank 2) collapses the word to a single token
+    assert(Tokenizer.encodeWord("the", ranks) == Seq("the</w>"))
+    // 'then': t|h, th|e? blocked ('e' merged? no — e|</w> needs </w>
+    // adjacency): t h e n </w> -> th e n </w> -> no th|e (rank for
+    // (th,e) absent; table has (th,e</w>)) -> i|n,a|n absent -> done
+    assert(Tokenizer.encodeWord("then", ranks).length == 4)
+    // 'and' chains three ranks: a|n -> an|d -> and|</w>
+    assert(Tokenizer.encodeWord("and", ranks) == Seq("and</w>"))
+    // 'ring': r|e absent, i|n -> in|g -> ing|</w>, r survives
+    assert(Tokenizer.encodeWord("ring", ranks) == Seq("r", "ing</w>"))
+  }
+
   test("docTokenCounts: counts bounded by chars+1 and at least 1 per word") {
     val df = corpus.zipWithIndex.map(_.swap).toDF("doc_id", "text")
     val merges = Tokenizer.trainBpe(df, "text", numMerges = 12)
