@@ -378,6 +378,26 @@ object QueriesTrainingData {
       Tokenizer.docTokenCounts(docs(s, dir), "doc_id", "text",
         FixedBpeMerges)),
 
+    // corpus statistics card: one ROLLUP pass publishes the per-
+    // (source, lang), per-source, and grand-total doc/char/token
+    // counts a data team reports with every corpus release. ROLLUP is
+    // partial-aggregation-friendly (each level is a re-aggregation of
+    // the finer one, all map-side combinable) — one shuffle keyed on
+    // the grouping tuple regardless of corpus size
+    "td_corpus_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextFunctions.tokenCountWs(col("text")).as("n_words"))
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_words").cast("long")).as("total_words"),
+          round(avg(col("n_words")), 2).as("avg_words"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("n_docs"), col("total_chars"), col("total_words"),
+          col("avg_words"))),
+
     // multimodal: metadata extraction over binary media column
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.synthesize(docs(s, dir)))
@@ -509,6 +529,18 @@ object QueriesTrainingData {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+    "td_corpus_stats" ->
+      """SELECT COALESCE(source, '(all)') AS source,
+        |  COALESCE(lang, '(all)') AS lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  ROUND(AVG(n_words), 2) AS avg_words
+        |FROM (SELECT source, lang, n_chars,
+        |        len(list_filter(string_split_regex(lower(text), '\s+'),
+        |            w -> len(w) > 0)) AS n_words
+        |      FROM documents)
+        |GROUP BY ROLLUP(source, lang)""".stripMargin,
     "td_bpe_encode" -> {
       // same pinned merge table as the Spark side, rendered once — the
       // two sides cannot drift
