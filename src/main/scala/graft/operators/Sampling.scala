@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  // deferred cache release (same pattern as Dedup.lastSimhashCache):
+  // the frame returned by dsirWeights is lazy and still reads the
+  // persisted bigram stream, so the cache can only be dropped on the
+  // NEXT call — bounding a repeated caller to one live cache.
+  private var lastDsirCache: Option[DataFrame] = None
+
   /** Stable per-row bucket in [0, 10000): first 8 hex chars of
     * md5(id-as-string), mod 10⁴. */
   def bucket(id: Column): Column =
@@ -184,6 +190,10 @@ object Sampling {
           xxhash64(col("b.w1"), col("b.w2")).as("bh"): _*)
     }
     val rawBi = explodedBigrams(raw, Seq(idCol -> "id")).persist()
+    Sampling.synchronized {
+      lastDsirCache.foreach(_.unpersist(false))
+      lastDsirCache = Some(rawBi)
+    }
     val tgtBi = explodedBigrams(target, Nil)
     val cRaw = rawBi.groupBy(col("bh")).agg(count(lit(1)).as("n_raw"))
     val cTgt = tgtBi.groupBy(col("bh")).agg(count(lit(1)).as("n_tgt"))

@@ -102,14 +102,19 @@ object Similarity {
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
-  /** The `nprobe` nearest centroid cells for a query vector. */
+  /** The `nprobe` nearest centroid cells for a query vector. Exact
+    * score ties resolve to the LOWER cell id — the same rule as
+    * [[cellOf]]'s argmax and the driver-side twin in
+    * [[Quantization]], so corpus and query geometry agree. */
   def probeCells(vec: Column, centroids: Array[Array[Float]],
                  nprobe: Int): Column = {
+    // sort key is (-score, id): ascending array_sort yields descending
+    // score with the lower id first on ties
     val simIdx = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(VectorKernels.cosine_sim(vec, typedLit(c.toSeq)).as("s"),
+      struct((-VectorKernels.cosine_sim(vec, typedLit(c.toSeq))).as("ns"),
         lit(i).as("i"))
     }: _*)
-    transform(slice(reverse(array_sort(simIdx)), 1, nprobe), p => p.getField("i"))
+    transform(slice(array_sort(simIdx), 1, nprobe), p => p.getField("i"))
   }
 
   /** IVF ANN top-k: corpus rows are assigned to their nearest-centroid

@@ -24,6 +24,11 @@ import graft.functions.TextFunctions
   */
 object TextQuality {
 
+  // deferred cache release (same pattern as Dedup.lastSimhashCache):
+  // perplexity's returned frame still reads the persisted bigram
+  // stream, so the cache is dropped on the NEXT call.
+  private var lastPerplexityCache: Option[DataFrame] = None
+
   /** Gopher-style required stopwords ("at least 2 of" rule). */
   val RequiredStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -221,6 +226,10 @@ object TextQuality {
       .select(col("id"), xxhash64(col("b.w1")).as("h1"),
         xxhash64(col("b.w1"), col("b.w2")).as("h12"))
       .persist()
+    TextQuality.synchronized {
+      lastPerplexityCache.foreach(_.unpersist(false))
+      lastPerplexityCache = Some(docBi)
+    }
     val model = docBi.groupBy(col("h12")).agg(count(lit(1)).as("n"))
     val heads = docBi.groupBy(col("h1")).agg(count(lit(1)).as("n_head"))
     docBi
