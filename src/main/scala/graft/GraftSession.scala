@@ -18,6 +18,9 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // native expressions on the SQL surface (simhash64, minhash_sig,
+      // word_shingles, cosine_sim, dot_product)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

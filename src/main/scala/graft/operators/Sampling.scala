@@ -22,6 +22,7 @@ object Sampling {
   // persisted bigram stream, so the cache can only be dropped on the
   // NEXT call — bounding a repeated caller to one live cache.
   private var lastDsirCache: Option[DataFrame] = None
+  private var lastDsirRawCache: Option[DataFrame] = None
 
   /** Stable per-row bucket in [0, 10000): first 8 hex chars of
     * md5(id-as-string), mod 10⁴. */
@@ -190,24 +191,38 @@ object Sampling {
           xxhash64(col("b.w1"), col("b.w2")).as("bh"): _*)
     }
     val rawBi = explodedBigrams(raw, Seq(idCol -> "id")).persist()
+    // one vocab-sized count table instead of two: full-outer join of the
+    // raw and target histograms, materialized once — (V, n_raw_total,
+    // n_tgt_total) then fall out of a SINGLE driver action over it (the
+    // three separate count()/distinct().count() jobs each re-walked a
+    // corpus-sized frame), and the scoring pass joins the corpus stream
+    // ONCE instead of once per histogram
+    val counts = rawBi.groupBy(col("bh")).agg(count(lit(1)).as("n_raw"))
+      .join(explodedBigrams(target, Nil)
+          .groupBy(col("bh")).agg(count(lit(1)).as("n_tgt")),
+        Seq("bh"), "full_outer")
+      .persist()
     Sampling.synchronized {
       lastDsirCache.foreach(_.unpersist(false))
-      lastDsirCache = Some(rawBi)
+      lastDsirCache = Some(counts)
+      lastDsirRawCache.foreach(_.unpersist(false))
+      lastDsirRawCache = Some(rawBi)
     }
-    val tgtBi = explodedBigrams(target, Nil)
-    val cRaw = rawBi.groupBy(col("bh")).agg(count(lit(1)).as("n_raw"))
-    val cTgt = tgtBi.groupBy(col("bh")).agg(count(lit(1)).as("n_tgt"))
-    val vocab = cRaw.select(col("bh"))
-      .union(cTgt.select(col("bh"))).distinct().count()
-    val nRaw = rawBi.count()
-    val nTgt = tgtBi.count()
+    // coalesce the sums: an empty corpus yields null sums, not 0
+    val g = counts.agg(count(lit(1)),
+      coalesce(sum(col("n_raw")), lit(0L)),
+      coalesce(sum(col("n_tgt")), lit(0L))).head
+    val vocab = g.getLong(0)
+    val nRaw = g.getLong(1)
+    val nTgt = g.getLong(2)
     val logTgt = log((coalesce(col("n_tgt"), lit(0L)) + lit(alpha)) /
       lit(nTgt + alpha * vocab))
     val logRaw = log((col("n_raw") + lit(alpha)) /
       lit(nRaw + alpha * vocab))
     rawBi
-      .join(cRaw, Seq("bh"))
-      .join(cTgt, Seq("bh"), "left")
+      // inner join: every raw bigram has a histogram row (n_raw >= 1);
+      // target-only rows drop out here exactly as before
+      .join(counts, Seq("bh"))
       .select(col("id"), (logTgt - logRaw).as("lw"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
