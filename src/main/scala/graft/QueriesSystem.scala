@@ -12,7 +12,7 @@ import graft.operators.UserRecognition
 import graft.sinks.{SinkOptions, SinkRouter}
 import graft.sources.DriverEventsAdapter
 import graft.sql.GuardedSql
-import graft.streaming.EventPipeline
+import graft.streaming.{CorpusIngest, EventPipeline}
 
 /** System-level queries: each round-trips a whole subsystem (function
   * chain, sink router, guarded SQL, streaming pipeline) and reduces the
@@ -264,6 +264,49 @@ object QueriesSystem {
         .withColumnRenamed("#", "row_num")
     }),
 
+    // streaming incremental corpus construction: three document batches
+    // (doc_id % 3, one file per micro-batch in mtime order) flow through
+    // CorpusIngest — each checked against the accumulated signature
+    // index, survivors extend it, every doc's outcome logged. Oracle:
+    // the batch-sequential drop rule unrolled over the exact-Jaccard
+    // pair list in SQL
+    "s2_corpus_ingest" -> ((s, dir) => {
+      val in = tmp("graft-ci-in"); val idx = tmp("graft-ci-idx")
+      val out = tmp("graft-ci-out"); val cp = tmp("graft-ci-cp")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      (0 to 2).foreach { b =>
+        val stage = tmp("graft-ci-st")
+        docs.filter(pmod(col("doc_id"), lit(3)) === b).coalesce(1)
+          .write.mode("overwrite").json(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".json")).get
+        val dst = new java.io.File(in, s"b$b.json")
+        Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + b * 60000L)
+        ()
+      }
+      val q = CorpusIngest.start(s, in, idx, out, cp)
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(out)
+        .withColumn("batch", pmod(col("doc_id"), lit(3)).cast("int"))
+        .select(col("doc_id"), col("batch"), col("status"))
+    }),
+
+    // L1 + extensions: a native graft expression (word_shingles,
+    // registered by GraftExtensions) called straight from the guarded
+    // SQL surface — the "switch engines, keep your SQL" contract; the
+    // oracle replays the shingle definition in DuckDB list ops
+    "l2_sql_functions" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView("documents_guard")
+      GuardedSql.query(s,
+        """SELECT doc_id, size(word_shingles(text, 3)) AS n_shingles
+          |FROM documents_guard ORDER BY doc_id LIMIT 9999""".stripMargin)
+        .withColumnRenamed("#", "row_num")
+    }),
+
     // §3.1: streaming pipeline round-trip — JSON file source ->
     // envelope -> dedup-in-watermark -> layout -> sink router
     "s1_streaming" -> ((s, dir) => {
@@ -401,6 +444,62 @@ object QueriesSystem {
         |  CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INT)
         |    AS row_num
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+    "s2_corpus_ingest" ->
+      """WITH ws0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS w
+        |  FROM documents),
+        |ws AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS b,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM ws0 WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, b, len(sh) AS n_sh, unnest(sh) AS s FROM ws),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+        |    b.n_sh AS n_b, a.b AS ba, b.b AS bb, COUNT(*) AS i
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |jp AS (SELECT id_a, id_b, ba, bb FROM inter
+        |       WHERE ROUND(i * 1.0 / (n_a + n_b - i), 4) >= 0.5),
+        |d0 AS (SELECT id_b AS id FROM jp WHERE ba = 0 AND bb = 0),
+        |k0 AS (SELECT doc_id FROM ws WHERE b = 0
+        |       AND doc_id NOT IN (SELECT id FROM d0)),
+        |d1 AS (SELECT id_b AS id FROM jp WHERE ba = 1 AND bb = 1
+        |       UNION SELECT id_b FROM jp WHERE ba = 0 AND bb = 1
+        |         AND id_a IN (SELECT doc_id FROM k0)
+        |       UNION SELECT id_a FROM jp WHERE ba = 1 AND bb = 0
+        |         AND id_b IN (SELECT doc_id FROM k0)),
+        |k01 AS (SELECT doc_id FROM ws WHERE b = 1
+        |          AND doc_id NOT IN (SELECT id FROM d1)
+        |        UNION ALL SELECT doc_id FROM k0),
+        |d2 AS (SELECT id_b AS id FROM jp WHERE ba = 2 AND bb = 2
+        |       UNION SELECT id_b FROM jp WHERE bb = 2 AND ba < 2
+        |         AND id_a IN (SELECT doc_id FROM k01)
+        |       UNION SELECT id_a FROM jp WHERE ba = 2 AND bb < 2
+        |         AND id_b IN (SELECT doc_id FROM k01)),
+        |dropped AS (SELECT DISTINCT id FROM
+        |  (SELECT id FROM d0 UNION ALL SELECT id FROM d1
+        |   UNION ALL SELECT id FROM d2))
+        |SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS batch,
+        |  CASE WHEN dr.id IS NOT NULL THEN 'dup' ELSE 'kept' END AS status
+        |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.id""".stripMargin,
+    "l2_sql_functions" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(CASE WHEN len(w) < 3 THEN 0
+        |    ELSE len(list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) END AS INT)
+        |    AS n_shingles
+        |  FROM ws)
+        |SELECT doc_id, n_shingles,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INT) AS row_num
+        |FROM sh ORDER BY doc_id LIMIT 50""".stripMargin,
     "s1_streaming" ->
       """SELECT CASE WHEN event_type = 'signup' THEN 'identify'
         |            WHEN event_type = 'view' THEN 'page'

@@ -90,7 +90,7 @@ object Dedup {
     * the oracle) while only hashing candidates.
     */
   /** (id, shingles) with empties dropped. */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingled(docs: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =
     docs.select(col(idCol).as("id"),
         TextFunctions.shingles(col(textCol), n).as("shingles"))
@@ -100,7 +100,7 @@ object Dedup {
     * ONLY these (the band join multiplies rows up to numBands x per
     * colliding pair, so payloads are joined back after dedup, not
     * shuffled through it). */
-  private def banded(withSh: DataFrame, numHashes: Int,
+  private[graft] def banded(withSh: DataFrame, numHashes: Int,
                      rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     withSh
@@ -115,7 +115,7 @@ object Dedup {
   /** Exact-Jaccard verification of candidate pairs against the shingle
     * frames, with the size-ratio prefilter (jaccard >= t forces |A|/|B|
     * within [t, 1/t] — cuts exact work before touching the arrays). */
-  private def verifyPairs(candidates: DataFrame, sizedA: DataFrame,
+  private[graft] def verifyPairs(candidates: DataFrame, sizedA: DataFrame,
                           sizedB: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(sizedA.select(col("id").as("id_a"), col("shingles").as("sh_a"),

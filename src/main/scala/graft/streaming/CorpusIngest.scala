@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.Dedup
+
+/** Streaming incremental corpus construction — the streaming twin of
+  * [[graft.operators.Dedup.minhashLshCrossPairs]]: document batches
+  * arrive as files, each micro-batch is near-dup-checked against the
+  * accumulated SIGNATURE INDEX of everything kept so far, survivors
+  * append their signatures to the index, and every document's outcome is
+  * recorded. This is the "corpus grows continuously" production shape:
+  * per batch the work is O(batch) signature computation plus a bucket
+  * join against the stored index — never O(corpus) re-shingling.
+  *
+  * Drop rule (deterministic, order-free within its scope):
+  *  - cross: a new doc is dropped iff some KEPT doc from an earlier
+  *    batch has exact shingle-Jaccard >= `threshold` (candidates via
+  *    MinHash banding — recall 1-1e-8 at j >= 0.5 with 64x2 bands —
+  *    then exact verify, same as the batch operators);
+  *  - within-batch: a doc is dropped iff a SMALLER-id doc in the same
+  *    batch matches it (the pair list's id_b side). A doc similar only
+  *    to an already-dropped batch-mate is still dropped — the duplicate
+  *    cluster keeps its minimal representative (or its prior match).
+  *
+  * The index is two parquet tables: `bands` (id, band, bucket — the
+  * bucket-join side) and `shingles` (id, shingles — the exact-verify
+  * side). At 100 TB the bands table is exactly the stored LSH index a
+  * pipeline maintains (compact: numBands ints per doc); the shingle
+  * table is the verify column. Appends are per-micro-batch and NOT
+  * idempotent under mid-append crash replay (at-least-once, same
+  * honest caveat as the event sink's append mode — a production
+  * deployment wraps the two appends + outcome write in a table-format
+  * transaction).
+  */
+object CorpusIngest {
+
+  val DocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType)))
+
+  /** Process `inputDir` (json-lines doc files, one micro-batch per file
+    * in modification-time order) with Trigger.AvailableNow. */
+  def start(spark: SparkSession, inputDir: String, indexDir: String,
+            outDir: String, checkpointDir: String,
+            n: Int = 3, threshold: Double = 0.5,
+            numHashes: Int = 128, rowsPerBand: Int = 2): StreamingQuery =
+    spark.readStream
+      .schema(DocSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inputDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, indexDir, outDir, n, threshold,
+          numHashes, rowsPerBand)
+      }
+      .start()
+
+  /** One batch against the stored index; also usable directly from a
+    * batch job for backfills. */
+  def processBatch(batch: DataFrame, indexDir: String, outDir: String,
+                   n: Int, threshold: Double,
+                   numHashes: Int, rowsPerBand: Int): Unit = {
+    val spark = batch.sparkSession
+    val newSh = Dedup.shingled(batch, "doc_id", "text", n)
+      .persist()
+    try {
+      val newBands = Dedup.banded(newSh, numHashes, rowsPerBand)
+      // cross-batch: candidates vs the STORED band index, exact verify
+      // against the stored shingle sets
+      val crossDrop =
+        if (Files.exists(Paths.get(s"$indexDir/bands"))) {
+          val priorBands = spark.read.parquet(s"$indexDir/bands")
+          val priorSh = spark.read.parquet(s"$indexDir/shingles")
+          val cands = newBands.as("a").join(priorBands.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+            .dropDuplicates("id_a", "id_b")
+          Dedup.verifyPairs(cands, newSh, priorSh, threshold)
+            .select(col("id_a").as("id")).distinct()
+        } else newSh.select(col("id")).limit(0)
+      // within-batch: the banding self-join, drop the larger id of
+      // every verified pair
+      val withinCands = newBands.as("a").join(newBands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val withinDrop = Dedup.verifyPairs(withinCands, newSh, newSh, threshold)
+        .select(col("id_b").as("id")).distinct()
+      // EAGER localCheckpoint, NOT a lazy persist: this plan reads the
+      // index parquet the code below appends to, and Spark refreshes
+      // path-based caches on write — a lazily-cached frame would be
+      // recomputed AFTER the append and match every new doc against its
+      // own just-written signatures (self-pair, jaccard 1, everything
+      // flagged dup). Checkpointing pins the verdict first.
+      val dropped = crossDrop.union(withinDrop).distinct()
+        .localCheckpoint(true)
+      val kept = newSh.join(dropped, Seq("id"), "left_anti")
+      // survivors extend the index; their band keys are recomputed from
+      // the cached shingle frame (cheap) rather than filtered from
+      // newBands (which would re-shuffle the full batch)
+      Dedup.banded(kept, numHashes, rowsPerBand)
+        .write.mode("append").parquet(s"$indexDir/bands")
+      kept.write.mode("append").parquet(s"$indexDir/shingles")
+      // per-doc outcome log — keyed on the BATCH, not the shingle frame:
+      // a doc too short to shingle can never match and is kept
+      batch.select(col("doc_id"))
+        .join(dropped.withColumnRenamed("id", "doc_id")
+          .withColumn("status", lit("dup")), Seq("doc_id"), "left")
+        .na.fill("kept", Seq("status"))
+        .write.mode("append").parquet(outDir)
+      dropped.unpersist(false)
+      () // (unpersist releases the checkpoint's backing cache blocks)
+    } finally { newSh.unpersist(false); () }
+  }
+}

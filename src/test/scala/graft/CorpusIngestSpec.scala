@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CorpusIngest
+
+/** Streaming incremental corpus dedup: batch-sequential drop semantics
+  * on planted documents. */
+class CorpusIngestSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    Files.createTempDirectory(p).toFile.getAbsolutePath
+
+  private val textA = "alpha beta gamma delta epsilon zeta eta theta"
+  private val textB = "one two three four five six seven eight nine ten"
+  private val textC = "red orange yellow green blue indigo violet purple"
+
+  test("cross-batch dups drop; dups of DROPPED docs survive; within-batch keeps min id") {
+    val in = tmp("ci-spec-in"); val idx = tmp("ci-spec-idx")
+    val out = tmp("ci-spec-out"); val cp = tmp("ci-spec-cp")
+    // batch 0: docs 10 (A), 11 (B), 12 (copy of B -> within-batch dup)
+    // batch 1: doc 20 (copy of A -> cross dup of KEPT 10),
+    //          doc 21 (copy of B -> cross dup of KEPT 11),
+    //          doc 22 (C, novel -> kept)
+    // batch 2: doc 30 (copy of C -> cross dup of KEPT 22),
+    //          doc 31 (novel -> kept)
+    val batches = Seq(
+      Seq((10L, textA), (11L, textB), (12L, textB)),
+      Seq((20L, textA), (21L, textB), (22L, textC)),
+      Seq((30L, textC), (31L, "lone wolf words that match nothing else here")))
+    batches.zipWithIndex.foreach { case (docs, b) =>
+      val stage = tmp("ci-spec-st")
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .coalesce(1).write.mode("overwrite").json(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".json")).get
+      val dst = new java.io.File(in, s"b$b.json")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + b * 60000L)
+      ()
+    }
+    val q = CorpusIngest.start(spark, in, idx, out, cp, n = 3,
+      threshold = 0.5)
+    try q.awaitTermination() finally q.stop()
+    val got = spark.read.parquet(out).as[(Long, String)].collect().toMap
+    assert(got == Map(
+      10L -> "kept", 11L -> "kept", 12L -> "dup",
+      20L -> "dup", 21L -> "dup", 22L -> "kept",
+      30L -> "dup", 31L -> "kept"))
+    // the signature index holds exactly the kept docs
+    val indexed = spark.read.parquet(s"$idx/shingles")
+      .select(col("id")).as[Long].collect().toSet
+    assert(indexed == Set(10L, 11L, 22L, 31L))
+  }
+
+  test("a doc matching only a DROPPED prior is kept (index holds survivors only)") {
+    val in = tmp("ci-spec2-in"); val idx = tmp("ci-spec2-idx")
+    val out = tmp("ci-spec2-out"); val cp = tmp("ci-spec2-cp")
+    // textA = 8 words -> 6 3-shingles. doc 2 = A + 4-word tail: 12
+    // words -> 10 shingles, 6 shared -> j(2,1) = 6/10 = 0.6 -> dropped
+    // within batch 0. doc 3 = last 4 A-words + tail: 8 words -> 6
+    // shingles, ALL contained in doc 2 -> j(3,2) = 6/10 = 0.6, but only
+    // 2 shared with doc 1 -> j(3,1) = 2/10 = 0.2. Doc 2 was dropped so
+    // its signatures are NOT in the index; doc 3 must survive.
+    val tail = "omega psi chi phi"
+    val batches = Seq(
+      Seq((1L, textA), (2L, textA + " " + tail)),
+      Seq((3L, "epsilon zeta eta theta " + tail)))
+    batches.zipWithIndex.foreach { case (docs, b) =>
+      val stage = tmp("ci-spec2-st")
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .coalesce(1).write.mode("overwrite").json(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".json")).get
+      val dst = new java.io.File(in, s"b$b.json")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + b * 60000L)
+      ()
+    }
+    val q = CorpusIngest.start(spark, in, idx, out, cp, n = 3,
+      threshold = 0.5)
+    try q.awaitTermination() finally q.stop()
+    val got = spark.read.parquet(out).as[(Long, String)].collect().toMap
+    assert(got(1L) == "kept")
+    assert(got(2L) == "dup")
+    // 3 is a near-dup of DROPPED 2 only — survivor-index semantics keep it
+    assert(got(3L) == "kept")
+  }
+}
