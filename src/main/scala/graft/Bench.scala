@@ -121,8 +121,10 @@ object Bench {
       graft.operators.TextQuality.boilerplateScrub(toyDocs, "doc_id", "text")
         .count()
     }
-    // stage s1_streaming's synthetic input outside the timed region
+    // stage s1_streaming's and s2_corpus_ingest's inputs outside the
+    // timed region
     QueriesSystem.stageStreamingInput(spark, sfDir)
+    QueriesSystem.stageCorpusBatches(spark, sfDir)
     // deterministic (sorted) order: Map iteration order varies with the
     // query set, which moves scheduling/GC interactions between
     // neighbors and makes per-query times incomparable across rounds

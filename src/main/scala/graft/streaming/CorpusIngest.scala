@@ -45,12 +45,26 @@ object CorpusIngest {
     StructField("lang", StringType), StructField("source", StringType)))
 
   /** Process `inputDir` (json-lines doc files, one micro-batch per file
-    * in modification-time order) with Trigger.AvailableNow. */
+    * in modification-time order) with Trigger.AvailableNow.
+    * `shufflePartitions` (0 = inherit) sizes the per-batch joins to the
+    * BATCH volume, not the cluster width — the same sizing rule as
+    * [[EventPipeline.start]]'s state shards: a small arriving batch
+    * over-sharded to the session's width pays fixed per-task overhead
+    * across ~10 jobs per micro-batch for nothing. */
   def start(spark: SparkSession, inputDir: String, indexDir: String,
             outDir: String, checkpointDir: String,
             n: Int = 3, threshold: Double = 0.5,
-            numHashes: Int = 128, rowsPerBand: Int = 2): StreamingQuery =
-    spark.readStream
+            numHashes: Int = 128, rowsPerBand: Int = 2,
+            shufflePartitions: Int = 0): StreamingQuery = {
+    val session =
+      if (shufflePartitions <= 0) spark
+      else {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitions.toString)
+        s2
+      }
+    session.readStream
       .schema(DocSchema)
       .option("maxFilesPerTrigger", "1")
       .json(inputDir)
@@ -62,6 +76,7 @@ object CorpusIngest {
           numHashes, rowsPerBand)
       }
       .start()
+  }
 
   /** One batch against the stored index; also usable directly from a
     * batch job for backfills. */
