@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.SimHash64
+import graft.operators.{Dedup, Tokenizer}
+
+/** Seeded randomized cross-checks: each operator against an independent
+  * brute-force reference on a corpus it was never tuned for. Seeds are
+  * fixed, so these are deterministic — "random" means only that the
+  * inputs encode no knowledge of the implementation. */
+class RandomizedInvariantsSpec extends GraftSpec {
+  import spark.implicits._
+
+  // 120 docs over a 40-word vocab, lengths 20-60, with every 10th doc a
+  // lightly-mutated copy of its predecessor (guaranteed near-dup mass)
+  private lazy val corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(12345)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val base = Vector.tabulate(120) { i =>
+      val len = 20 + rnd.nextInt(41)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    base.map { case (id, text) =>
+      if (id % 10 == 9) {
+        val prev = base((id - 1).toInt)._2.split(" ").toSeq
+        // drop one word near the middle — a high-jaccard near-dup
+        (id, (prev.take(prev.size / 2) ++ prev.drop(prev.size / 2 + 1))
+          .mkString(" "))
+      } else (id, text)
+    }
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs on a random corpus") {
+    val df = corpus.toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(df, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleFreq = 10000)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(df, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "corpus must contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash bucketing recall is EXACT for hamming <= numChunks-1 (vs brute force)") {
+    val df = corpus.toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        SimHash64.simhash64(TextFunctions.words(col("text"))).as("fp"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val got = Dedup.simhashPairs(df, "doc_id", "text",
+        maxHamming = 3, numChunks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("driver union-find and distributed label propagation agree on a random graph") {
+    val rnd = new scala.util.Random(99)
+    val pairs = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val df = pairs.toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(df)
+      .as[(Long, Long)].collect().toMap
+    val viaDistributed = Dedup.distributedComponents(df, maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver.nonEmpty && viaDriver == viaDistributed)
+  }
+
+  test("BPE encode round-trips every random word under pinned and trained merges") {
+    val rnd = new scala.util.Random(4242)
+    val words = Seq.fill(300)(
+      (1 to (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(6)).toChar)
+        .mkString)
+    val pinned = QueriesTrainingData.FixedBpeMerges
+      .map(m => (m.left, m.right) -> m.rank).toMap
+    val trained = Tokenizer.trainBpe(
+        corpus.toDF("doc_id", "text"), "text", numMerges = 10)
+      .map(m => (m.left, m.right) -> m.rank).toMap
+    for (ranks <- Seq(pinned, trained); w <- words) {
+      val toks = Tokenizer.encodeWord(w, ranks)
+      assert(toks.mkString == w + "</w>", s"round-trip failed for '$w'")
+      assert(toks.nonEmpty && toks.size <= w.length + 1)
+    }
+  }
+
+  test("substring dup coverage is bounded and exact on planted spans") {
+    val df = corpus.toDF("doc_id", "text")
+    val out = Dedup.substringDups(df, "doc_id", "text", k = 8)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(out.length == corpus.size)
+    out.foreach { case (_, nWords, nWins, nCov, frac) =>
+      assert(nCov <= nWords, "coverage cannot exceed doc length")
+      assert(nWins == 0 || nCov >= 8, "any dup window covers >= k positions")
+      assert(frac <= 1.0001)
+    }
+    // the mutated copies guarantee some duplicated spans exist
+    assert(out.exists(_._3 > 0))
+  }
+}
