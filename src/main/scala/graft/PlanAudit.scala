@@ -1,0 +1,14 @@
+package graft
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("td_dsir", "td_bpe_encode", "td_corpus_stats", "l2_sql_functions")) {
+      println(s"===== $q =====")
+      try SparkEntry.queries(q)(spark, dir).explain("formatted")
+      catch { case e: Throwable => println(s"failed: $e") }
+    }
+    spark.stop()
+  }
+}
