@@ -223,6 +223,13 @@ object QueriesTrainingData {
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringDups(docs(s, dir), "doc_id", "text", k = 8)),
 
+    // the REMOVAL half of the above (Lee et al. 2022 cut the spans, not
+    // just measured them): every word position covered by a duplicated
+    // k-window is excised and the survivors re-joined — the oracle
+    // replays the full rebuild byte-for-byte
+    "dedup_span_removal" -> ((s, dir) =>
+      Dedup.removeDupSpans(docs(s, dir), "doc_id", "text", k = 8)),
+
     // perplexity-style quality scoring (CCNet shape): add-alpha bigram
     // LM trained on the corpus itself, per-doc mean negative
     // log-likelihood + perplexity
@@ -830,6 +837,30 @@ object QueriesTrainingData {
         |  ROUND(COALESCE(covd.n_covered, 0) / greatest(len(w), 1), 4)
         |    AS dup_frac
         |FROM ws LEFT JOIN nd USING (doc_id) LEFT JOIN covd USING (doc_id)
+        |""".stripMargin,
+    "dedup_span_removal" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS w
+        |  FROM documents),
+        |wp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(w) - 7, 0)),
+        |      i -> {'pos': i, 'gram': array_to_string(w[i+1:i+8], ' ')})) AS pw
+        |  FROM ws),
+        |wins AS (SELECT doc_id, pw.pos AS pos, pw.gram AS gram FROM wp),
+        |dupg AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= 2),
+        |cov AS (SELECT doc_id,
+        |          unnest(list_transform(range(0, 8), o -> pos + o)) AS p
+        |        FROM wins JOIN dupg USING (gram)),
+        |covd AS (SELECT doc_id, list(DISTINCT p) AS cov FROM cov GROUP BY 1)
+        |SELECT ws.doc_id AS id, CAST(len(w) AS INTEGER) AS n_words,
+        |  CAST(COALESCE(len(covd.cov), 0) AS INTEGER) AS n_removed,
+        |  COALESCE(array_to_string(
+        |    list_filter(w, (x, i) -> NOT list_contains(
+        |      COALESCE(covd.cov, CAST([] AS BIGINT[])), i - 1)), ' '), '')
+        |    AS text_clean
+        |FROM ws LEFT JOIN covd USING (doc_id)
         |""".stripMargin,
     "td_perplexity" ->
       """WITH ws AS (

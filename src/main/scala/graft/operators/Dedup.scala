@@ -460,6 +460,48 @@ object Dedup {
         round(col("n_covered") / greatest(col("n_words"), lit(1)), 4))
   }
 
+  /** The REMOVAL half of [[substringDups]] (Lee et al. 2022 actually cut
+    * the flagged spans, not just measured them): rebuild each document
+    * with every word position covered by a duplicated k-window removed.
+    * Output (id, n_words, n_removed, text_clean) where `text_clean` is
+    * the surviving words joined by single spaces (the words-stream
+    * normalization — lowercased, whitespace collapsed — which is the
+    * form a tokenizer consumes anyway).
+    *
+    * Scale shape: identical to the flag pass (hashed gram keys, one row
+    * per token per stage) plus ONE join of the covered-position sets
+    * back to the word arrays keyed on doc id; the excision itself is a
+    * per-row `filter` lambda over (word, index) — no extra shuffle. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+        TextFunctions.words(col(textCol)).as("w"))
+      .withColumn("n_words", size(col("w")))
+    val wins = base
+      .withColumn("grams",
+        when(col("n_words") < k, array().cast("array<bigint>"))
+          .otherwise(expr(
+            s"transform(sequence(1, size(w) - ${k - 1}), " +
+              s"i -> xxhash64(concat_ws(' ', slice(w, i, $k))))")))
+      .select(col("id"), posexplode(col("grams")).as(Seq("pos", "gram")))
+    val dupGrams = wins.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val covered = wins.join(dupGrams, Seq("gram"))
+      .select(col("id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
+      .groupBy(col("id"))
+      .agg(collect_set(col("p")).as("cov"))
+    base.join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_words"),
+        coalesce(size(col("cov")), lit(0)).as("n_removed"),
+        concat_ws(" ",
+          filter(col("w"), (x, i) =>
+            not(array_contains(
+              coalesce(col("cov"), array().cast("array<int>")), i))))
+          .as("text_clean"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the IVF k-means
     * ([[Similarity.trainCentroids]]), generate candidate pairs only

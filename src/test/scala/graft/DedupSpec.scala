@@ -71,6 +71,25 @@ class DedupSpec extends GraftSpec {
     assert(out(5L) == ((1, 0L, 0L)))
   }
 
+  test("span removal excises exactly the covered positions") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight" // exactly k=8 words
+    val d = Seq(
+      (1L, "alpha start " + span + " tail of doc one here"),
+      (2L, "totally different head " + span + " and another ending"),
+      (3L, "nothing here repeats anywhere in this corpus at all truly"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(d, "doc_id", "text", k = 8)
+      .select("id", "n_words", "n_removed", "text_clean")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((15, 8, "alpha start tail of doc one here")))
+    assert(out(2L) == ((14, 8, "totally different head and another ending")))
+    assert(out(3L)._2 == 0 &&
+      out(3L)._3 == "nothing here repeats anywhere in this corpus at all truly")
+    assert(out(4L) == ((1, 0, "tiny")))
+  }
+
   test("minhash LSH pairs == exact jaccard pairs") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
