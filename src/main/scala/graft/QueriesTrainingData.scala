@@ -148,6 +148,26 @@ object QueriesTrainingData {
           .substr(length(col("text")) + 1, lit(200)).as("tail"))
     }),
 
+    // PII: Luhn-validated card redaction + SSN. Five spiked candidates
+    // per doc_id%5 — three Luhn-valid (Visa 16, MC dashed 16, Amex 15),
+    // two invalid that must fall through to the [PHONE] recall rule —
+    // plus an SSN on even ids. The oracle replays the whole chain
+    // including the Luhn fold (list_reduce + nested lambdas).
+    "td_pii_cards" -> ((s, dir) => {
+      val cards = Seq("4111 1111 1111 1111", "5500-0000-0000-0004",
+        "378282246310005", "1234 5678 9012 3456", "4111111111111112")
+      val card = element_at(array(cards.map(lit): _*),
+        pmod(col("doc_id"), lit(5)).cast("int") + 1)
+      val spiked = docs(s, dir).withColumn("s", concat(col("text"),
+        lit(" card "), card,
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit(" ssn 123-45-6789")).otherwise(lit("")),
+        lit(" end")))
+      spiked.select(col("doc_id"),
+        TextFunctions.redactPiiAll(col("s"))
+          .substr(length(col("text")) + 1, lit(200)).as("tail"))
+    }),
+
     // ANN: IVF cell-probed variant (kmeans centroids; the 100TB path is
     // the cell id as a bucket column of the stored table) — rows-only
     // like ann_lsh_topk (recall is spec-asserted, not hash-matched)
@@ -650,12 +670,64 @@ object QueriesTrainingData {
         |  FROM documents),
         |red AS (
         |  SELECT doc_id, text,
-        |    regexp_replace(regexp_replace(regexp_replace(s,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
         |      '\+?[0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g')
         |      AS r
         |  FROM spiked)
+        |SELECT doc_id, substr(r, length(text) + 1, 200) AS tail
+        |FROM red""".stripMargin,
+    "td_pii_cards" ->
+      """WITH spiked AS (
+        |  SELECT doc_id, text,
+        |    text || ' card ' ||
+        |    (CASE doc_id % 5
+        |       WHEN 0 THEN '4111 1111 1111 1111'
+        |       WHEN 1 THEN '5500-0000-0000-0004'
+        |       WHEN 2 THEN '378282246310005'
+        |       WHEN 3 THEN '1234 5678 9012 3456'
+        |       ELSE '4111111111111112' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ' ssn 123-45-6789' ELSE '' END)
+        |    || ' end' AS s
+        |  FROM documents),
+        |em AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+        |      'g') AS s
+        |  FROM spiked),
+        |carded AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_prepend(s, list_filter(
+        |      regexp_extract_all(s, '\b[0-9](?:[ -]?[0-9]){12,18}\b'),
+        |      c -> (len(regexp_replace(c, '[^0-9]', '', 'g'))
+        |              BETWEEN 13 AND 19
+        |        AND list_sum(list_transform(
+        |          range(0, len(regexp_replace(c, '[^0-9]', '', 'g'))), i ->
+        |          CASE WHEN i % 2 = 1 THEN
+        |            CASE WHEN 2*CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'),
+        |                   len(regexp_replace(c, '[^0-9]', '', 'g')) - i, 1)
+        |                   AS INT) > 9
+        |              THEN 2*CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'),
+        |                   len(regexp_replace(c, '[^0-9]', '', 'g')) - i, 1)
+        |                   AS INT) - 9
+        |              ELSE 2*CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'),
+        |                   len(regexp_replace(c, '[^0-9]', '', 'g')) - i, 1)
+        |                   AS INT) END
+        |          ELSE CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'),
+        |                 len(regexp_replace(c, '[^0-9]', '', 'g')) - i, 1)
+        |                 AS INT) END)) % 10 = 0))),
+        |      (acc, c) -> replace(acc, c, '[CARD]')) AS s
+        |  FROM em),
+        |red AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(s,
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+        |      '\+?[0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g') AS r
+        |  FROM carded)
         |SELECT doc_id, substr(r, length(text) + 1, 200) AS tail
         |FROM red""".stripMargin,
     "td_pipeline" -> (wordsOnlyCte +

@@ -115,6 +115,7 @@ object TextFunctions {
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
     "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "[IP]",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "[SSN]",
     "\\+?[0-9][0-9() -]{7,}[0-9]" -> "[PHONE]")
 
   /** Scrub emails/phones/IPs from free text — the curation step a
@@ -123,6 +124,49 @@ object TextFunctions {
   def redactPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (pattern, tag)) =>
       regexp_replace(c, pattern, tag)
+    }
+
+  /** Card-number candidates: 13–19 digits with single space/dash
+    * separators, word-bounded. Pattern-only matching would redact any
+    * long number (dates, ids); real card detection is pattern + Luhn. */
+  val CardCandidate = "\\b[0-9](?:[ -]?[0-9]){12,18}\\b"
+
+  /** Luhn checksum over the digits of `c` (rightmost digit is position
+    * 0; every second digit from the right doubles, >9 subtracts 9; valid
+    * iff the sum is a multiple of 10). Pure higher-order-function fold —
+    * stays inside whole-stage codegen, no UDF. */
+  def luhnValid(c: Column): Column = {
+    val ds = regexp_replace(c, "[^0-9]", "")
+    val n = length(ds)
+    val sum = aggregate(
+      sequence(lit(0), n - 1), lit(0),
+      (acc, i) => {
+        val d = ds.substr(n - i, lit(1)).cast("int")
+        acc + when(pmod(i, lit(2)) === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    n.between(13, 19) && pmod(sum, lit(10)) === 0
+  }
+
+  /** Redact Luhn-valid card numbers: extract candidates, validate each,
+    * fold-replace the exact matched substrings. Luhn-INVALID candidates
+    * are left for the later pattern rules (a non-card digit run may
+    * still be a phone — recall over precision, as with the rest of the
+    * chain). */
+  def redactCards(text: Column): Column = {
+    val valid = filter(
+      regexp_extract_all(text, lit(CardCandidate), lit(0)),
+      c => luhnValid(c))
+    aggregate(valid, text, (acc, c) => replace(acc, c, lit("[CARD]")))
+  }
+
+  /** Full PII chain: emails, then Luhn-validated cards (before the IP/
+    * SSN/phone digit rules can nibble a separated card run), then the
+    * pattern rules. */
+  def redactPiiAll(text: Column): Column =
+    PiiPatterns.tail.foldLeft(redactCards(regexp_replace(text,
+        PiiPatterns.head._1, PiiPatterns.head._2))) {
+      case (c, (pattern, tag)) => regexp_replace(c, pattern, tag)
     }
 
   // ---- HTML text extraction ---------------------------------------------

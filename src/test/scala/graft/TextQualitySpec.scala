@@ -117,6 +117,30 @@ class TextQualitySpec extends GraftSpec {
     assert(q.filter("pass").count() == 0)
   }
 
+  test("luhn validation and card redaction: valid cards redact, invalid fall to phone") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // Visa 16 (valid), spaced and dashed and plain
+      (1L, "pay 4111 1111 1111 1111 now", "pay [CARD] now"),
+      (2L, "pay 5500-0000-0000-0004 now", "pay [CARD] now"),
+      (3L, "amex 378282246310005 ok", "amex [CARD] ok"),
+      // luhn-INVALID 16-digit: not a card; the phone recall rule eats it
+      (4L, "num 1234 5678 9012 3456 x", "num [PHONE] x"),
+      (5L, "num 4111111111111112 x", "num [PHONE] x"),
+      // SSN
+      (6L, "ssn 123-45-6789 here", "ssn [SSN] here"),
+      // 12 digits: too short for a card, dashed pairs -> phone rule
+      (7L, "id 1234-5678-9012 z", "id [PHONE] z"),
+      // email with digits survives as [EMAIL], not nibbled by digit rules
+      (8L, "mail a4111111111111111@x.co t", "mail [EMAIL] t"))
+    val out = cases.toDF("id", "s", "want")
+      .select(col("id"), col("want"),
+        graft.functions.TextFunctions.redactPiiAll(col("s")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"case ${r.getLong(0)}: got '${r.getString(2)}'"))
+  }
+
   test("html extraction: tags/script/style/comments out, entities decoded, ws collapsed") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
