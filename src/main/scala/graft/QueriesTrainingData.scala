@@ -108,6 +108,20 @@ object QueriesTrainingData {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("kept_chars"))),
 
+    // temperature-scaled source mixing (multilingual sampling rule,
+    // shares ∝ n^T): per-source keep rates from one tiny aggregate,
+    // then the same deterministic md5-bucket filter as td_mix — the
+    // oracle recomputes the rates (power/round/clamp) and replays the
+    // filter
+    "td_mix_temperature" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rates = Sampling.temperatureRates(d, "lang", temperature = 0.7)
+      Sampling.stratifiedMix(d, "doc_id", "lang", rates)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+    }),
+
     // sequence packing (GPT-style concat-and-split training prep):
     // global token offsets by a distributed two-phase prefix sum, each
     // doc mapped to the fixed-length sequences it lands in
@@ -614,6 +628,22 @@ object QueriesTrainingData {
         |  CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
         |    WHEN 'fr' THEN 2500 ELSE 1000 END
         |GROUP BY lang""".stripMargin,
+    "td_mix_temperature" ->
+      """WITH cnt AS (
+        |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY 1),
+        |mn AS (SELECT MIN(n) AS mn FROM cnt),
+        |rates AS (
+        |  SELECT lang,
+        |    GREATEST(1, CAST(ROUND(POWER(n / mn, 0.7 - 1) * 10000) AS INT))
+        |      AS bp
+        |  FROM cnt, mn)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 10000 < r.bp
+        |GROUP BY d.lang""".stripMargin,
     "td_chunks" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
