@@ -277,7 +277,37 @@ object QueriesExtra {
     // groupBy; at 100 TB only the candidates shuffle.
     "a12_heavy_hitters" -> ((s, dir) =>
       graft.operators.Frequency.heavyHitters(
-        graft.schema.EventSchema.readEvents(s, dir), "user_id", k = 150))
+        graft.schema.EventSchema.readEvents(s, dir), "user_id", k = 150)),
+
+    // skew remedies: both must be ROW-IDENTICAL to the plain inner join
+    // (the oracle is the plain join + aggregate). saltedJoin fans each
+    // partkey over 8 reducers; hotColdJoin broadcast-joins the heavy-
+    // hitter keys and shuffle-joins the cold tail.
+    "skew_salted_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity"))
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.SkewJoin.saltedJoin(li, part, Seq("l_partkey"),
+          saltFactor = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+    "skew_hotcold_join" -> ((s, dir) => {
+      val ev = graft.schema.EventSchema.readEvents(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"))
+      val users = graft.schema.EventSchema.readEvents(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.SkewJoin.hotColdJoin(ev, users, "user_id",
+          hotKeyFraction = 0.005)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_events")).as("sum_user_events"))
+    })
   )
 
   private val adapterCte =
@@ -305,6 +335,21 @@ object QueriesExtra {
         |GROUP BY 1
         |HAVING COUNT(*) * 150 >= (
         |  SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "skew_hotcold_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type FROM events WHERE user_id IS NOT NULL),
+        |u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_events) AS BIGINT) AS sum_user_events
+        |FROM ev JOIN u USING (user_id)
+        |GROUP BY 1""".stripMargin,
     "a10_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id,
