@@ -447,6 +447,14 @@ object QueriesTrainingData {
           col("meta.duration_ms").as("duration_ms"),
           col("meta.size_bytes").as("size_bytes"))),
 
+    // multimodal: REAL WAV/PCM audio decode (JDK javax.sound.sampled) —
+    // per-file sample stats (the silence/clipping/length gates an audio
+    // corpus filters on); the oracle recomputes every int16 sample from
+    // the payload bytes (hex-string byte extraction) and replays
+    // rms/peak exactly
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.audioStats(Multimodal.synthesize(docs(s, dir)))),
+
     // multimodal: frame sampling with REAL image decode (JDK ImageIO) —
     // image rows yield the full packed-RGB raster + a 16x16 thumbnail
     // (so frame_bytes = w*h*3 + 768, oracle-recomputable from doc_id);
@@ -1154,6 +1162,34 @@ object QueriesTrainingData {
     // the oracle recomputes what the REAL header parsers must read back
     // from the deterministic fixture headers (doc_id-derived dims/rates,
     // UTF-8 payload bytes appended after a fixed-size header)
+    "mm_audio" ->
+      """WITH wav AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) AS sample_rate
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |s AS (
+        |  SELECT doc_id, channels, sample_rate,
+        |    ((len(hx) // 2) // (2 * channels)) * channels AS nsamples, hx
+        |  FROM wav),
+        |sam AS (
+        |  SELECT doc_id, channels, sample_rate, nsamples,
+        |    list_transform(range(0, nsamples), k ->
+        |      CASE WHEN CAST(('0x' || substr(hx, 4*k+3, 2)
+        |                        || substr(hx, 4*k+1, 2)) AS INT) >= 32768
+        |        THEN CAST(('0x' || substr(hx, 4*k+3, 2)
+        |                     || substr(hx, 4*k+1, 2)) AS INT) - 65536
+        |        ELSE CAST(('0x' || substr(hx, 4*k+3, 2)
+        |                     || substr(hx, 4*k+1, 2)) AS INT) END) AS ss
+        |  FROM s)
+        |SELECT doc_id AS media_id, sample_rate, channels,
+        |  CAST(nsamples AS BIGINT) AS n_samples,
+        |  ROUND(CASE WHEN nsamples = 0 THEN 0.0
+        |    ELSE sqrt(list_sum(list_transform(ss,
+        |           x -> CAST(x AS DOUBLE) * x)) / nsamples) END, 2) AS rms,
+        |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0)
+        |    AS INTEGER) AS peak
+        |FROM sam""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'

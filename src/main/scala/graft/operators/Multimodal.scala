@@ -211,11 +211,88 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM
+    * support ships with the JVM, zero extra dependencies). Samples
+    * truncate to whole frames so results are deterministic against the
+    * byte-level oracle; a declared data-chunk size larger than the
+    * actual payload (our truncated fixtures) just ends the stream
+    * early, exactly like a truncated upload would in production. */
+  object AudioCodec {
+    /** Decode 16-bit PCM: (sampleRateHz, channels, samples) — samples
+      * interleaved, truncated to complete frames. None for non-audio or
+      * unsupported encodings. */
+    def pcmSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val frameSize = math.max(fmt.getFrameSize, 2)
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](math.max(frameSize, 4096 - 4096 % frameSize))
+            var n = in.read(chunk)
+            while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            val raw = buf.toByteArray
+            val usable = raw.length - raw.length % frameSize
+            val bb = java.nio.ByteBuffer.wrap(raw, 0, usable).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val out = new Array[Short](usable / 2)
+            var i = 0
+            while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+            Some((fmt.getSampleRate.toInt, fmt.getChannels, out))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Audio feature extraction over the media table: REAL PCM decode of
+    * the WAV rows ([[AudioCodec]]), one row per decodable audio file
+    * with the stats a corpus-curation gate filters on (silence, clipping,
+    * length). mapPartitions batch shape, same as [[extractMeta]]. */
+  def audioStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("rms", DoubleType),
+      StructField("peak", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](1)
+          AudioCodec.pcmSamples(bytes).map { case (rate, ch, ss) =>
+            var sumSq = 0.0
+            var peak = 0
+            var i = 0
+            while (i < ss.length) {
+              val v = ss(i).toInt
+              sumSq += v.toDouble * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            val rms = if (ss.isEmpty) 0.0
+              else BigDecimal(math.sqrt(sumSq / ss.length))
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Row(r.getLong(0), rate, ch, ss.length.toLong, rms, peak)
+          }
+        }
+      }(enc)
+  }
+
   /** REAL image codec via the JDK's `javax.imageio` (ships with the JVM,
     * zero extra dependencies): PNG/JPEG encode, decode, and resize.
     * Pixels are materialized as packed RGB byte rasters (w*h*3), the
-    * shape a feature extractor consumes. Audio/video sample decode has
-    * no JDK codec — that half stays in [[FakeCodec]]. */
+    * shape a feature extractor consumes. Compressed audio/video sample
+    * decode has no JDK codec — WAV/PCM is real ([[AudioCodec]]); the
+    * mp4 half stays in [[FakeCodec]]. */
   object ImageCodec {
     ImageIOInit
     private object ImageIOInit {

@@ -269,6 +269,29 @@ class OperatorsSpec extends GraftSpec {
       Multimodal.MediaFixtures.jpegBytes(64, 64, Array.emptyByteArray)).isEmpty)
   }
 
+  test("AudioCodec: real JDK WAV/PCM decode — samples, stereo frames, odd tail, non-audio") {
+    import Multimodal.{AudioCodec, MediaFixtures}
+    // mono 16-bit: bytes 0x01 0x02 0x03 0x04 -> samples 0x0201, 0x0403
+    val mono = MediaFixtures.wavBytes(8000, 1, 4L,
+      Array[Byte](0x01, 0x02, 0x03, 0x04))
+    val (rate, ch, ss) = AudioCodec.pcmSamples(mono).get
+    assert(rate == 8000 && ch == 1)
+    assert(ss.toSeq == Seq[Short](0x0201, 0x0403))
+    // negative sample: 0xFF 0xFF -> -1
+    val neg = MediaFixtures.wavBytes(8000, 1, 2L,
+      Array[Byte](0xff.toByte, 0xff.toByte))
+    assert(AudioCodec.pcmSamples(neg).get._3.toSeq == Seq[Short](-1))
+    // stereo: 6 payload bytes but declared larger; frame size 4 ->
+    // only 1 complete frame (2 samples), tail truncated
+    val st = MediaFixtures.wavBytes(16000, 2, 600L,
+      Array[Byte](1, 0, 2, 0, 3, 0))
+    val (r2, c2, s2) = AudioCodec.pcmSamples(st).get
+    assert(r2 == 16000 && c2 == 2 && s2.toSeq == Seq[Short](1, 2))
+    // non-audio bytes -> None
+    assert(AudioCodec.pcmSamples("not a wav".getBytes).isEmpty)
+    assert(AudioCodec.pcmSamples(Array.emptyByteArray).isEmpty)
+  }
+
   test("sampleFrames really decodes image rows of the decodable table") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(8)
     val frames = Multimodal.sampleFrames(Multimodal.synthesizeDecodable(docs))
