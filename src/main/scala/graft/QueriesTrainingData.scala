@@ -122,6 +122,17 @@ object QueriesTrainingData {
           sum(col("n_chars")).as("kept_chars"))
     }),
 
+    // upsampling by epoch repetition (the over-1.0 half of mixing):
+    // floor(w) copies plus a deterministic md5-bucket fractional copy;
+    // the oracle recomputes per-doc copy counts and replays the totals
+    "td_upsample" -> ((s, dir) =>
+      Sampling.epochRepeat(docs(s, dir), "doc_id", "lang",
+        Map("fr" -> 2.5, "de" -> 1.25))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("epoch")).as("max_epoch"))),
+
     // sequence packing (GPT-style concat-and-split training prep):
     // global token offsets by a distributed two-phase prefix sum, each
     // doc mapped to the fixed-length sequences it lands in
@@ -652,6 +663,24 @@ object QueriesTrainingData {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |    % 10000 < r.bp
         |GROUP BY d.lang""".stripMargin,
+    "td_upsample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'fr' THEN 2.5 WHEN 'de' THEN 1.25
+        |      ELSE 1.0 END AS wt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(FLOOR(wt) AS INT) +
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             ::BIGINT % 10000
+        |           < CAST((wt - FLOOR(wt)) * 10000 AS INT)
+        |      THEN 1 ELSE 0 END AS n
+        |  FROM w)
+        |SELECT lang, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(n) - 1 AS INT) AS max_epoch
+        |FROM c GROUP BY 1""".stripMargin,
     "td_chunks" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

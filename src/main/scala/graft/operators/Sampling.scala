@@ -73,6 +73,37 @@ object Sampling {
     }
   }
 
+  /** Upsampling by epoch repetition — the other half of temperature
+    * mixing (downsampling is a filter, [[stratifiedMix]]; a source whose
+    * target share EXCEEDS its natural share repeats). Each row emits
+    * `floor(w)` copies plus one more for the fractional part, decided by
+    * the same deterministic md5 bucket as the filters — so an epoch
+    * weight of 2.3 repeats every row twice and 30% of rows (by id hash)
+    * a third time, and the realized mix is exact in expectation and
+    * reproducible run-to-run. Copies carry `epoch` (0-based) so a
+    * downstream shuffle ([[deterministicShuffle]] keyed on (id, epoch))
+    * spreads repeats across the corpus instead of adjacent rows.
+    *
+    * Scale shape: one `explode(sequence(...))` projection — no shuffle,
+    * no driver data; the output is `~w×` the input and every copy is
+    * derived, not stored. Weights in [1, 100] (an epoch weight above a
+    * few is already a curation smell). */
+  def epochRepeat(df: DataFrame, idCol: String, strataCol: String,
+                  weights: Map[String, Double],
+                  defaultWeight: Double = 1.0): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq)
+      .forall(w => w >= 1.0 && w <= 100.0), "weights in [1, 100]")
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (stratum, wt)) =>
+        when(col(strataCol) === stratum, lit(wt)).otherwise(acc)
+    }
+    val base = floor(w).cast("int")
+    val fracBp = ((w - floor(w)) * 10000).cast("int")
+    val extra = (bucket(col(idCol)) < fracBp).cast("int")
+    df.withColumn("epoch",
+      explode(sequence(lit(0), base + extra - 1)))
+  }
+
   /** Seeded per-row shuffle key: md5 of `"<seed>:<id>"` — a pure column
     * function, so the induced order is identical across runs, engines
     * and partitionings (unlike `orderBy(rand())`). */

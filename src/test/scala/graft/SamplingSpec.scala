@@ -46,6 +46,30 @@ class SamplingSpec extends GraftSpec {
     // resulting mix shares ∝ n^T: 800*0.25 = 200 kept vs 50 — ratio 4 = sqrt(16)
   }
 
+  test("epochRepeat: exact copy counts, fractional part by the shared bucket") {
+    import graft.operators.Sampling
+    val df = (0L until 400L).map(i => (i, if (i < 200) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.epochRepeat(df, "doc_id", "lang",
+      Map("a" -> 2.5), defaultWeight = 1.0)
+    val counts = out.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    // every "b" row exactly once, epoch 0
+    (200L until 400L).foreach(i => assert(counts(i) == 1L))
+    // every "a" row 2 or 3 times, matching the md5 bucket rule exactly
+    val buckets = df.filter(col("lang") === "a")
+      .select(col("doc_id"), Sampling.bucket(col("doc_id")).as("b"))
+      .as[(Long, Int)].collect().toMap
+    (0L until 200L).foreach { i =>
+      val want = if (buckets(i) < 5000) 3L else 2L
+      assert(counts(i) == want, s"doc $i bucket ${buckets(i)}")
+    }
+    // epochs are dense 0..n-1 per row
+    val eps = out.filter(col("doc_id") === 0L)
+      .select("epoch").as[Int].collect().sorted.toSeq
+    assert(eps == (0 until eps.size))
+  }
+
   test("deterministicShuffle: dense positions, partitioning-invariant") {
     val df = (0L until 300L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val a = Sampling.deterministicShuffle(df, "doc_id", "epoch0", 8)
