@@ -23,6 +23,7 @@ object Sampling {
   // NEXT call — bounding a repeated caller to one live cache.
   private var lastDsirCache: Option[DataFrame] = None
   private var lastDsirRawCache: Option[DataFrame] = None
+  private var lastPackCache: Option[DataFrame] = None
 
   /** Stable per-row bucket in [0, 10000): first 8 hex chars of
     * md5(id-as-string), mod 10⁴. */
@@ -161,9 +162,19 @@ object Sampling {
       .select(col(idCol).as("id"), col(tokensCol).cast("long").as("n_tokens"))
       .repartitionByRange(n, col("id"))
       .withColumn("_part", spark_partition_id())
+    // MUST persist: the totals collect and the output pass both consume
+    // this frame, and RangePartitioner SAMPLES its boundaries per
+    // execution — two independent executions can put a boundary row in
+    // different partitions, pairing rows with offsets from the other
+    // run's layout (caught by the sf0.1 gate; invisible at sf0.01 where
+    // the sample is exhaustive). The cache is 4 longs/row; released on
+    // the next call (same bounded-cache pattern as the DSIR scorer).
     val w = Window.partitionBy(col("_part")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("_cum_in_part", sum(col("n_tokens")).over(w))
+      .persist()
+    lastPackCache.foreach(_.unpersist())
+    lastPackCache = Some(local)
     // one row per partition reaches the driver; offsets are exact longs
     val totals = local.groupBy(col("_part"))
       .agg(max(col("_cum_in_part")).as("t"))

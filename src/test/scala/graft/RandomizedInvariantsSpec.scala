@@ -90,6 +90,60 @@ class RandomizedInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("random Luhn-valid cards always redact; invalid never as [CARD]") {
+    val rnd = new scala.util.Random(777)
+    def randomCard(valid: Boolean): String = {
+      val nDigits = 13 + rnd.nextInt(7) // 13..19
+      val body = Seq.fill(nDigits - 1)(rnd.nextInt(10))
+      // Luhn check digit: with the check digit at position 0 (rightmost),
+      // body positions are 1..n-1 from the right, so doubling applies to
+      // odd positions — i.e. the LAST body digit, third-last, ...
+      val sum = body.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 0) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      val check = (10 - sum % 10) % 10
+      val digits = body :+ (if (valid) check else (check + 1) % 10)
+      // random separator style: plain, spaced groups of 4, dashed
+      rnd.nextInt(3) match {
+        case 0 => digits.mkString
+        case 1 => digits.grouped(4).map(_.mkString).mkString(" ")
+        case _ => digits.grouped(4).map(_.mkString).mkString("-")
+      }
+    }
+    val rows = (0 until 60).map { i =>
+      val valid = i % 2 == 0
+      (i.toLong, valid, s"pay ${randomCard(valid)} now")
+    }
+    val out = rows.toDF("id", "valid", "s")
+      .select(col("id"), col("valid"),
+        TextFunctions.redactPiiAll(col("s")).as("r"))
+      .as[(Long, Boolean, String)].collect()
+    out.foreach { case (id, valid, r) =>
+      if (valid) assert(r == "pay [CARD] now", s"row $id: '$r'")
+      else assert(!r.contains("[CARD]"), s"row $id wrongly carded: '$r'")
+    }
+  }
+
+  test("salted and hot/cold joins equal the plain join on random skewed data") {
+    import graft.operators.SkewJoin
+    val rnd = new scala.util.Random(4242)
+    // zipf-ish: key 0 hot, long tail; some keys only on one side
+    val left = (0 until 500).map { i =>
+      val k = if (rnd.nextInt(100) < 60) 0L else rnd.nextInt(40).toLong
+      (k, s"l$i")
+    }.toDF("k", "lv")
+    val right = (0 until 80).map { i =>
+      (rnd.nextInt(50).toLong, s"r$i")
+    }.toDF("k", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lv", "rv").as[(Long, String, String)].collect()
+        .toSeq.sorted
+    val plain = canon(left.join(right, Seq("k")))
+    assert(plain.nonEmpty)
+    assert(canon(SkewJoin.saltedJoin(left, right, Seq("k"), 5)) == plain)
+    assert(canon(SkewJoin.hotColdJoin(left, right, "k", 0.02)) == plain)
+  }
+
   test("substring dup coverage is bounded and exact on planted spans") {
     val df = corpus.toDF("doc_id", "text")
     val out = Dedup.substringDups(df, "doc_id", "text", k = 8)
