@@ -216,6 +216,27 @@ object QueriesTrainingData {
         "doc_id", "text", n = 3, threshold = 0.5)
     }),
 
+    // FUZZY decontamination: near-duplicate overlap between the corpus
+    // and the benchmark slice (doc_id%97==0, the td_decontam convention)
+    // via the minhash cross-pairs — catches REWORDED test leakage that
+    // exact n-gram matching misses. The corpus is spiked with a leaked
+    // copy of every benchmark doc (first word dropped, id+10000) so the
+    // gate proves detection, not absence; oracle = exact cross-set
+    // Jaccard over the same spiked corpus
+    "td_decontam_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"), col("text"))
+      val w = TextFunctions.words(col("text"))
+      val leaked = bench.select((col("doc_id") + 10000).as("doc_id"),
+        concat_ws(" ", slice(w, lit(2), size(w))).as("text"))
+      val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(leaked)
+      Dedup.minhashLshCrossPairs(corpus, bench,
+        "doc_id", "text", n = 3, threshold = 0.5)
+    }),
+
     // incremental membership with a bloom prefilter: batch (odd ids)
     // docs whose word-set fingerprint exists in the prior corpus (even
     // ids) — bloom built by a distributed aggregate, map-side
@@ -260,6 +281,12 @@ object QueriesTrainingData {
     // seen in >= 2 distinct docs are boilerplate; per-doc survival stats
     "td_boilerplate" -> ((s, dir) =>
       TextQuality.boilerplateScrub(docs(s, dir), "doc_id", "text")),
+
+    // zlib-compressibility signal (RefinedWeb/FineWeb gate) — rows-only
+    // (no SQL engine replays deflate); TextQualitySpec pins the
+    // compressible << prose << noise ordering and determinism
+    "td_compress" -> ((s, dir) =>
+      TextQuality.compressionRatio(docs(s, dir), "doc_id", "text")),
 
     // cross-doc EXACT substring duplication (Lee et al. 2022 family):
     // k-word windows occurring >= 2 times anywhere in the corpus,
@@ -924,6 +951,43 @@ object QueriesTrainingData {
          |  jaccard
          |FROM ($jaccardSql)
          |WHERE (id_a % 2) <> (id_b % 2)""".stripMargin),
+    "td_decontam_fuzzy" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id,
+        |    array_to_string(list_filter(string_split_regex(lower(text),
+        |      '\s+'), w -> len(w) > 0)[2:], ' ') AS text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |shc AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 2, 0)),
+        |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |          '\s+'), w -> len(w) > 0) AS w FROM corpus) t),
+        |shb AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 2, 0)),
+        |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |          '\s+'), w -> len(w) > 0) AS w FROM bench) t),
+        |nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM shc GROUP BY 1),
+        |nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM shb GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM shc a JOIN shb b ON a.sh = b.sh GROUP BY 1, 2)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    ROUND(CAST(i AS DOUBLE) / (nc.n + nb.n - i), 4) AS jaccard
+        |  FROM inter
+        |  JOIN nc ON nc.doc_id = id_a
+        |  JOIN nb ON nb.doc_id = id_b)
+        |WHERE jaccard >= 0.5""".stripMargin,
     "dedup_incremental_bloom" ->
       """WITH f AS (
         |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(

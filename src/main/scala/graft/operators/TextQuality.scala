@@ -151,6 +151,48 @@ object TextQuality {
     * this is the standard two-shuffle inverted-index pass; the frequent
     * set is NOT broadcast because its size is corpus-dependent (hot
     * boilerplate lines number millions at web scale). */
+  /** zlib-compressibility quality signal (the RefinedWeb/FineWeb
+    * "compression ratio" gate): highly compressible text is repetitive
+    * boilerplate; near-incompressible text is noise/binary junk — the
+    * curation keep-band sits between. Deflate is genuinely imperative
+    * (stateful dictionary), so this is the documented mapPartitions
+    * exception: ONE `Deflater` per partition, reset per row, no
+    * per-row allocation beyond the output buffer. One narrow map pass,
+    * no shuffle; rows-only gate (no SQL engine replays zlib) with the
+    * property spec pinning the compressible/incompressible ordering. */
+  def compressionRatio(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_bytes",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_compressed",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ratio",
+        org.apache.spark.sql.types.DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { r =>
+          val bytes = (if (r.isNullAt(1)) "" else r.getString(1))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var total = 0L
+          while (!deflater.finished()) total += deflater.deflate(buf)
+          val ratio = if (bytes.isEmpty) 1.0
+            else BigDecimal(total.toDouble / bytes.length)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          org.apache.spark.sql.Row(r.getLong(0), bytes.length.toLong,
+            total, ratio)
+        }
+      }(enc)
+  }
+
   def boilerplateScrub(docs: DataFrame, idCol: String, textCol: String,
                        chunkWords: Int = 10, minDocs: Int = 2): DataFrame = {
     val w = TextFunctions.words(col(textCol))

@@ -117,6 +117,32 @@ class TextQualitySpec extends GraftSpec {
     assert(q.filter("pass").count() == 0)
   }
 
+  test("compression ratio orders boilerplate < prose < noise; deterministic") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(99)
+    val noise = Seq.fill(400)(rnd.nextPrintableChar()).mkString
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "wanders through the quiet forest looking for something new ") * 4
+    val rows = Seq(
+      (1L, "boiler " * 200),     // highly repetitive
+      (2L, prose),                // normal prose
+      (3L, noise),                // near-incompressible
+      (4L, ""))                   // empty -> ratio 1.0 by definition
+    val out = graft.operators.TextQuality
+      .compressionRatio(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id", "n_bytes", "ratio").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._2 < 0.1, s"boilerplate ratio ${out(1L)._2}")
+    assert(out(2L)._2 > out(1L)._2 && out(2L)._2 < out(3L)._2)
+    assert(out(3L)._2 > 0.5, s"noise ratio ${out(3L)._2}")
+    assert(out(4L) == ((0L, 1.0)))
+    // deterministic across runs
+    val again = graft.operators.TextQuality
+      .compressionRatio(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id", "ratio").as[(Long, Double)].collect().toMap
+    assert(out.forall { case (k, (_, r)) => again(k) == r })
+  }
+
   test("luhn validation and card redaction: valid cards redact, invalid fall to phone") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
