@@ -31,8 +31,9 @@ object SkewJoin {
   /** Inner equi-join with the left side's rows salted into `saltFactor`
     * sub-keys and the right side replicated once per salt value. Every
     * hot key fans over `saltFactor` reducers instead of one. The salt is
-    * a deterministic hash of `saltOnCols` (default: all left columns) so
-    * replays partition identically.
+    * a deterministic hash of `saltOnCols` (default: all left columns —
+    * pass explicit columns when rows carry types `xxhash64` rejects,
+    * e.g. maps) so replays partition identically.
     *
     * Scale shape: left shuffles once on (keys, salt) — same volume as
     * the plain join; right shuffles `saltFactor`× its size. Pick

@@ -175,6 +175,9 @@ object TextQuality {
     docs.select(col(idCol).cast("long"), col(textCol))
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(6)
+        // Deflater holds NATIVE buffers; release at task end, not GC
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         rows.map { r =>
           val bytes = (if (r.isNullAt(1)) "" else r.getString(1))

@@ -408,6 +408,28 @@ class StreamingSpec extends GraftSpec {
     assert(got("m3")._1 == "u42")
   }
 
+  test("progress log captures per-batch rows, bounded by capacity") {
+    val in = tmp("graft-in"); val wh = tmp("graft-wh"); val cp = tmp("graft-cp")
+    val n = writeJsonEvents(in)
+    val log = new graft.streaming.ProgressLog(capacity = 2)
+    spark.streams.addListener(log)
+    try {
+      val q = EventPipeline.start(spark, in, wh, cp)
+      try q.processAllAvailable() finally q.stop()
+      // listener events are delivered async; wait for at least one
+      val deadline = System.currentTimeMillis() + 20000
+      while (log.snapshot.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val rows = log.snapshot
+      assert(rows.nonEmpty, "no progress captured")
+      assert(rows.size <= 2, "ring must honor capacity")
+      assert(rows.exists(_.numInputRows > 0), s"no input rows in $rows")
+      assert(rows.forall(_.batchDurationMs >= 0))
+      val df = log.toDf(spark)
+      assert(df.columns.contains("stateRows") && df.count() == rows.size)
+    } finally spark.streams.removeListener(log)
+  }
+
   test("identifier deep merge: JSON-object fields merge at key level, identified wins") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val merged = UserRecognition.mergeIdentifiers(mapper, Seq("user_id", "traits"))(
