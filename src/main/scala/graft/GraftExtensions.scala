@@ -52,8 +52,10 @@ object GraftExtensions {
     args
   }
 
+  private type FnRow = (String, Class[_], String, Seq[Expression] => Expression)
+
   /** (name, usage, builder) for every SQL-expressible native expression. */
-  private val functions: Seq[(String, Class[_], String, Seq[Expression] => Expression)] = Seq(
+  private val nativeFunctions: Seq[FnRow] = Seq(
     ("word_shingles", classOf[WordShingles],
       "word_shingles(text, n) - distinct lowercase word n-gram shingles",
       args => { arity("word_shingles", args, 2)
@@ -73,6 +75,46 @@ object GraftExtensions {
       "dot_product(a, b) - dot product of two float arrays",
       args => { arity("dot_product", args, 2)
         DotProduct(args.head, args(1)) }))
+
+  private def functions: Seq[FnRow] = nativeFunctions ++ columnFunctions
+
+  /** Column-composition functions (scalar library, no driver state):
+    * registered by converting the composed Catalyst tree back to an
+    * Expression via the shim — same codegen'd plan as the Column API,
+    * still zero UDFs. */
+  private def col1(fn: String, args: Seq[Expression])(
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Expression = {
+    arity(fn, args, 1)
+    org.apache.spark.sql.graftshim.expressionTree(
+      f(org.apache.spark.sql.graftshim.column(args.head)))
+  }
+
+  private def columnFunctions: Seq[FnRow] = {
+    import graft.functions.TextFunctions
+    val cls = TextFunctions.getClass
+    Seq(
+      ("lang_id", cls,
+        "lang_id(text) - stopword-profile language code (de/en/es/fr/zh/und)",
+        args => col1("lang_id", args)(TextFunctions.langId)),
+      ("token_count", cls,
+        "token_count(text) - whitespace token count",
+        args => col1("token_count", args)(TextFunctions.tokenCountWs)),
+      ("doc_fingerprint", cls,
+        "doc_fingerprint(text) - md5 of the sorted distinct word set",
+        args => col1("doc_fingerprint", args)(TextFunctions.fingerprint)),
+      ("redact_pii", cls,
+        "redact_pii(text) - email/card(Luhn)/IP/SSN/phone redaction chain",
+        args => col1("redact_pii", args)(TextFunctions.redactPiiAll)),
+      ("luhn_valid", cls,
+        "luhn_valid(str) - Luhn checksum over the digits of str (13-19 digits)",
+        args => col1("luhn_valid", args)(TextFunctions.luhnValid)),
+      ("html_to_text", cls,
+        "html_to_text(html) - strip tags/script/style, decode entities, collapse ws",
+        args => col1("html_to_text", args)(TextFunctions.htmlToText)),
+      ("quality_score", cls,
+        "quality_score(text) - heuristic [0,1] text quality",
+        args => col1("quality_score", args)(TextFunctions.qualityScore)))
+  }
 
   def registerAll(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, cls, usage, builder) =>

@@ -282,6 +282,20 @@ object QueriesTrainingData {
     "td_boilerplate" -> ((s, dir) =>
       TextQuality.boilerplateScrub(docs(s, dir), "doc_id", "text")),
 
+    // the scalar text library through the SQL surface: same GuardedSql
+    // path as l2 but over the registered COLUMN-composition functions
+    // (lang_id/token_count/doc_fingerprint) — proves the SQL registry
+    // produces the same codegen'd semantics the Column API does
+    "l3_sql_text" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView("documents_guard")
+      graft.sql.GuardedSql.query(s,
+        """SELECT doc_id, lang_id(text) AS lang_pred,
+          |  token_count(text) AS n_toks, doc_fingerprint(text) AS fp
+          |FROM documents_guard ORDER BY doc_id LIMIT 9999""".stripMargin)
+        .withColumnRenamed("#", "row_num")
+    }),
+
     // zlib-compressibility signal (RefinedWeb/FineWeb gate) — rows-only
     // (no SQL engine replays deflate); TextQualitySpec pins the
     // compressible << prose << noise ordering and determinism
@@ -944,6 +958,35 @@ object QueriesTrainingData {
          |       WHEN en >= de THEN 'en'
          |       ELSE 'de' END AS lang_pred
          |FROM hits""".stripMargin),
+    "l3_sql_text" ->
+      (s"""WITH ws0 AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'),
+         |    w -> len(w) > 0) AS wall
+         |  FROM documents),
+         |ws AS (SELECT doc_id, list_distinct(wall) AS w, wall FROM ws0),
+         |hits AS (
+         |  SELECT doc_id, wall,
+         |    ${langHits("de", Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))},
+         |    ${langHits("en", Seq("the", "and", "is", "of", "to", "in", "that", "it"))},
+         |    ${langHits("es", Seq("el", "la", "de", "que", "y", "los", "es", "un"))},
+         |    ${langHits("fr", Seq("le", "la", "les", "de", "et", "est", "un", "une"))},
+         |    ${langHits("zh", Seq("的", "是", "不", "了", "在", "人", "有", "我"))}
+         |  FROM ws),
+         |out AS (
+         |  SELECT doc_id,
+         |    CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+         |         WHEN zh >= greatest(de, en, es, fr) THEN 'zh'
+         |         WHEN fr >= greatest(de, en, es) THEN 'fr'
+         |         WHEN es >= greatest(de, en) THEN 'es'
+         |         WHEN en >= de THEN 'en'
+         |         ELSE 'de' END AS lang_pred,
+         |    CAST(len(wall) AS INT) AS n_toks,
+         |    md5(array_to_string(list_sort(list_distinct(wall)), ' ')) AS fp
+         |  FROM hits)
+         |SELECT doc_id, lang_pred, n_toks, fp,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INT) AS row_num
+         |FROM out ORDER BY doc_id LIMIT 50""".stripMargin),
     "dedup_incremental" -> (
       s"""SELECT
          |  CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id_a,

@@ -54,6 +54,37 @@ class GraftExtensionsSpec extends GraftSpec {
   test("functions visible in the registry with usage text") {
     val fns = spark.sql("SHOW FUNCTIONS").as[String].collect().toSet
     Seq("simhash64", "minhash_sig", "word_shingles", "cosine_sim",
-      "dot_product").foreach(f => assert(fns.contains(f), f))
+      "dot_product", "lang_id", "token_count", "doc_fingerprint",
+      "redact_pii", "luhn_valid", "html_to_text", "quality_score")
+      .foreach(f => assert(fns.contains(f), f))
+  }
+
+  test("column-composition text functions callable from SQL, equal to Column API") {
+    val df = Seq(
+      (1L, "the quick brown fox and the lazy dog in the fog"),
+      (2L, "der und die das ist nicht ein mit der und"),
+      (3L, "mail me a@b.co or pay 4111 1111 1111 1111 or 123-45-6789"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("ext_txt")
+    val viaSql = spark.sql(
+      """SELECT id, lang_id(text) AS lang, token_count(text) AS n,
+        |  doc_fingerprint(text) AS fp, redact_pii(text) AS red,
+        |  luhn_valid(text) AS lv, quality_score(text) AS q
+        |FROM ext_txt""".stripMargin)
+      .as[(Long, String, Int, String, String, Boolean, Double)]
+      .collect().sortBy(_._1)
+    val viaCol = df.select(col("id"),
+        TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.tokenCountWs(col("text")).as("n"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.redactPiiAll(col("text")).as("red"),
+        TextFunctions.luhnValid(col("text")).as("lv"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .as[(Long, String, Int, String, String, Boolean, Double)]
+      .collect().sortBy(_._1)
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.find(_._1 == 3L).get._5 ==
+      "mail me [EMAIL] or pay [CARD] or [SSN]")
+    assert(viaSql.find(_._1 == 2L).get._2 == "de")
   }
 }
