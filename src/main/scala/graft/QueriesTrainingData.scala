@@ -1286,12 +1286,22 @@ object QueriesTrainingData {
         |    8 + doc_id % 32 AS w,
         |    8 + (doc_id * 7) % 32 AS h,
         |    CAST(strlen(text) AS BIGINT) +
-        |      CASE WHEN doc_id % 4 = 2 THEN 44 ELSE 136 END AS L
+        |      CASE WHEN doc_id % 4 = 2 THEN 44 ELSE 136 END AS L,
+        |    ((CAST(strlen(text) AS BIGINT) // (2 * (1 + doc_id % 2)))
+        |      * (1 + doc_id % 2)) AS ns
         |  FROM documents)
         |SELECT doc_id AS media_id,
-        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 2 ELSE 3 END AS BIGINT)
-        |    AS n_frames,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 2
+        |    WHEN doc_id % 4 = 2 THEN
+        |      (CASE WHEN ns > 0 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN ns > 64 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN ns > 128 THEN 1 ELSE 0 END)
+        |    ELSE 3 END AS BIGINT) AS n_frames,
         |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN w * h * 3 + 768
+        |    WHEN doc_id % 4 = 2 THEN
+        |      2 * least(16, ns) +
+        |      (CASE WHEN ns > 64 THEN 2 * least(16, ns - 64) ELSE 0 END) +
+        |      (CASE WHEN ns > 128 THEN 2 * least(16, ns - 128) ELSE 0 END)
         |    ELSE least(16, L) + least(16, L - (28 % L)) + least(16, L - (56 % L))
         |    END AS BIGINT) AS frame_bytes
         |FROM m""".stripMargin,

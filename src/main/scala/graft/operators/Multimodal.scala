@@ -467,8 +467,11 @@ object Multimodal {
     * Image rows (sniffed jpeg/png that actually decode) are REALLY
     * decoded via [[ImageCodec]]: frame 0 = the full packed-RGB raster,
     * frame 1 = a 16x16 resized thumbnail — the decode + resize a
-    * training pipeline runs. Audio/video rows (and header-only image
-    * fixtures with no pixel data) fall back to the [[FakeCodec]] slices. */
+    * training pipeline runs. Audio rows are REALLY decoded via
+    * [[AudioCodec]]: up to `maxFrames` 16-sample PCM windows at sample
+    * stride `everyN * 16` (windows past the decoded sample count are
+    * not emitted). Only compressed a/v (mp4) and undecodable payloads
+    * fall back to the [[FakeCodec]] slices. */
   def sampleFrames(media: DataFrame, everyN: Int = 4, maxFrames: Int = 3): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -490,8 +493,24 @@ object Multimodal {
               Row(id, 0, ImageCodec.rgbBytes(img)),
               Row(id, 1, ImageCodec.rgbBytes(ImageCodec.resize(img, 16, 16))))
             case None =>
-              (0 until maxFrames).map(i => Row(id, i * everyN,
-                FakeCodec.frame(bytes, i * everyN)))
+              AudioCodec.pcmSamples(bytes) match {
+                case Some((_, _, ss)) =>
+                  (0 until maxFrames).flatMap { f =>
+                    val start = f * everyN * 16
+                    if (start >= ss.length) Nil
+                    else {
+                      val len = math.min(16, ss.length - start)
+                      val bb = java.nio.ByteBuffer.allocate(len * 2)
+                        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                      var i = 0
+                      while (i < len) { bb.putShort(ss(start + i)); i += 1 }
+                      Seq(Row(id, f * everyN, bb.array()))
+                    }
+                  }
+                case None =>
+                  (0 until maxFrames).map(i => Row(id, i * everyN,
+                    FakeCodec.frame(bytes, i * everyN)))
+              }
           }
         }
       }(enc)

@@ -241,7 +241,19 @@ class OperatorsSpec extends GraftSpec {
       else assert(!r.isNullAt(3)) // wav/mp4 carry a parsed duration
     }
     val frames = Multimodal.sampleFrames(media)
-    assert(frames.count() == 60) // 3 frames per media
+    // image/mp4 fixtures (no decodable pixels) -> 3 FakeCodec frames;
+    // wav fixtures REALLY decode -> 1..3 PCM windows at stride 64
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val id = r.getLong(0)
+      if (id % 4 != 2) 3L
+      else {
+        val nb = r.getString(1).getBytes("UTF-8").length
+        val ch = 1 + (id % 2).toInt
+        val ns = (nb / (2 * ch)) * ch
+        Seq(0, 64, 128).count(_ < ns).toLong
+      }
+    }.sum
+    assert(frames.count() == expected)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1),
         r.getAs[Array[Byte]](2).toSeq)).sortBy(t => (t._1, t._2)).toSeq
@@ -296,12 +308,26 @@ class OperatorsSpec extends GraftSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(8)
     val frames = Multimodal.sampleFrames(Multimodal.synthesizeDecodable(docs))
       .collect().groupBy(_.getLong(0))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     frames.foreach { case (id, rows) =>
       if (id % 4 <= 1) {
         val w = (8 + id % 32).toInt; val h = (8 + (id * 7) % 32).toInt
         assert(rows.length == 2)
         assert(rows.map(r => r.getAs[Array[Byte]](2).length).sorted.toSeq ==
           Seq(768, w * h * 3).sorted)
+      } else if (id % 4 == 2) {
+        // REAL PCM windows: each frame is the exact payload byte slice
+        val payload = texts(id).getBytes("UTF-8")
+        val ch = 1 + (id % 2).toInt
+        val ns = (payload.length / (2 * ch)) * ch
+        assert(rows.length == Seq(0, 64, 128).count(_ < ns))
+        rows.sortBy(_.getInt(1)).zipWithIndex.foreach { case (r, f) =>
+          val start = f * 64
+          val len = math.min(16, ns - start)
+          val want = payload.slice(2 * start, 2 * (start + len)).toSeq
+          assert(r.getAs[Array[Byte]](2).toSeq == want, s"media $id frame $f")
+        }
       } else assert(rows.length == 3)
     }
   }
