@@ -362,6 +362,47 @@ object QueriesTrainingData {
           col("reason"), col("blocked"))
     }),
 
+    // URL canonicalization before url-dedup: messy deterministic URLs
+    // (mixed-case scheme, default ports, tracking params, fragments,
+    // trailing slashes) collapse to canonical form; the oracle replays
+    // the group-free rewrite byte-for-byte
+    "td_url_canon" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        element_at(array(lit("https://"), lit("HTTPS://"), lit("http://")),
+          pmod(id, lit(3)).cast("int") + 1),
+        element_at(typedLit(UrlHosts), (pmod(id, lit(8)) + 1).cast("int")),
+        element_at(array(lit(""), lit(":443"), lit(":80")),
+          pmod(id, lit(3)).cast("int") + 1),
+        element_at(typedLit(UrlPaths), (pmod(id, lit(5)) + 1).cast("int")),
+        id,
+        element_at(array(lit("/"), lit("")),
+          pmod(id, lit(2)).cast("int") + 1),
+        element_at(array(lit("?utm_source=x&q=1"),
+          lit("?q=2&utm_campaign=y&gclid=g1"),
+          lit("?fbclid=f&utm_medium=z"), lit("")),
+          pmod(id, lit(4)).cast("int") + 1),
+        element_at(array(lit("#frag"), lit("")),
+          pmod(id, lit(2)).cast("int") + 1))
+      docs(s, dir).select(col("doc_id"), url.as("url"),
+        UrlFilter.canonicalUrl(url).as("canon"))
+    }),
+
+    // per-domain cap over the canonical URLs (crawl frequency caps):
+    // at most 40 docs per host, chosen by the seeded deterministic
+    // shuffle order; row_number<=N compiles to WindowGroupLimit (hot
+    // domains ship N rows, not their mass)
+    "td_domain_cap" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("host",
+        element_at(typedLit(UrlHosts), (pmod(col("doc_id"), lit(8)) + 1).cast("int")))
+      val kept = Sampling.perKeyCap(d, "host", "doc_id",
+        maxPerKey = 40, seed = "capseed")
+      d.groupBy(col("host")).agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy(col("host")).agg(count(lit(1)).as("n_kept")),
+          Seq("host"))
+        .select(col("host"), col("n_total"), col("n_kept"))
+    }),
+
     // deterministic global shuffle + sharding (reproducible training
     // order): shard and in-shard position are pure functions of
     // (seed, doc_id) — the oracle replays them exactly
@@ -538,6 +579,10 @@ object QueriesTrainingData {
     "mirror.bad-site.com", "wiki.opencorpus.org")
   private val UrlPaths = Seq(
     "/articles/", "/ads/banner/", "/posts/", "/guide/", "/click/")
+
+  /** DuckDB list literal from a Scala string seq. */
+  private def duckList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   /** Shared DuckDB text-prep CTEs. */
   private val wordsOnlyCte =
@@ -1250,6 +1295,73 @@ object QueriesTrainingData {
          |  reason <> 'ok' AS blocked
          |FROM r""".stripMargin
     },
+    "td_url_canon" ->
+      (s"""WITH u AS (
+         |  SELECT doc_id,
+         |    (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTPS://'
+         |       ELSE 'http://' END)
+         |    || ${duckList(UrlHosts)}[CAST(doc_id % 8 AS INT) + 1]
+         |    || (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN ':443'
+         |          ELSE ':80' END)
+         |    || ${duckList(UrlPaths)}[CAST(doc_id % 5 AS INT) + 1]
+         |    || doc_id
+         |    || (CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END)
+         |    || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&q=1'
+         |          WHEN 1 THEN '?q=2&utm_campaign=y&gclid=g1'
+         |          WHEN 2 THEN '?fbclid=f&utm_medium=z' ELSE '' END)
+         |    || (CASE doc_id % 2 WHEN 0 THEN '#frag' ELSE '' END) AS url
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag
+         |  FROM u),
+         |sh0 AS (
+         |  SELECT doc_id, url, nofrag,
+         |    regexp_extract(nofrag,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS sh
+         |  FROM st),
+         |parts AS (
+         |  SELECT doc_id, url,
+         |    CASE WHEN lower(sh) LIKE 'http://%' AND lower(sh) LIKE '%:80'
+         |           THEN substr(lower(sh), 1, length(sh) - 3)
+         |         WHEN lower(sh) LIKE 'https://%' AND lower(sh) LIKE '%:443'
+         |           THEN substr(lower(sh), 1, length(sh) - 4)
+         |         ELSE lower(sh) END AS shp,
+         |    substr(nofrag, length(sh) + 1) AS tail
+         |  FROM sh0),
+         |pq AS (
+         |  SELECT doc_id, url, shp,
+         |    CASE WHEN strpos(tail, '?') = 0 THEN tail
+         |         ELSE substr(tail, 1, strpos(tail, '?') - 1) END AS p,
+         |    CASE WHEN strpos(tail, '?') = 0 THEN ''
+         |         ELSE substr(tail, strpos(tail, '?') + 1) END AS qs
+         |  FROM parts),
+         |canon AS (
+         |  SELECT doc_id, url, shp,
+         |    CASE WHEN p LIKE '%/' AND length(p) > 1
+         |         THEN substr(p, 1, length(p) - 1) ELSE p END AS p2,
+         |    list_filter(string_split(qs, '&'), x -> len(x) > 0
+         |      AND NOT regexp_matches(x,
+         |        '^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|ttclid|mc_eid)='))
+         |      AS ps
+         |  FROM pq)
+         |SELECT doc_id, url,
+         |  shp || p2 || (CASE WHEN len(ps) > 0
+         |    THEN '?' || array_to_string(ps, '&') ELSE '' END) AS canon
+         |FROM canon""".stripMargin),
+    "td_domain_cap" ->
+      (s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ${duckList(UrlHosts)}[CAST(doc_id % 8 AS INT) + 1] AS host,
+         |    md5('capseed:' || doc_id) AS key
+         |  FROM documents),
+         |r AS (
+         |  SELECT host, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY key, doc_id)
+         |      AS rk
+         |  FROM d)
+         |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(COUNT(CASE WHEN rk <= 40 THEN 1 END) AS BIGINT) AS n_kept
+         |FROM r GROUP BY host""".stripMargin),
     "td_shuffle" ->
       """WITH k AS (
         |  SELECT doc_id, md5('epoch0:' || doc_id) AS key

@@ -74,6 +74,23 @@ object Sampling {
     }
   }
 
+  /** Per-key cap (crawl-style domain caps, per-user caps): keep at most
+    * `maxPerKey` rows per key, chosen by the deterministic seeded
+    * shuffle order ([[shuffleKey]]) so the survivors are an unbiased,
+    * reproducible sample — NOT the first rows by storage order. The
+    * `row_number <= N` filter compiles to Spark's `WindowGroupLimit`,
+    * which keeps only N rows per key on the MAP side before the
+    * shuffle — a hot key ships N rows, not its full mass. */
+  def perKeyCap(df: DataFrame, keyCol: String, idCol: String,
+                maxPerKey: Int, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerKey > 0, "maxPerKey must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(shuffleKey(col(idCol), seed), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPerKey).drop("_rk")
+  }
+
   /** Upsampling by epoch repetition — the other half of temperature
     * mixing (downsampling is a filter, [[stratifiedMix]]; a source whose
     * target share EXCEEDS its natural share repeats). Each row emits

@@ -33,6 +33,45 @@ object UrlFilter {
   def path(url: Column): Column =
     regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)", 1)
 
+  /** Tracking params dropped by [[canonicalUrl]] (anchored key match). */
+  val TrackingParamPattern: String =
+    "^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|ttclid|mc_eid)="
+
+  /** Canonical URL form — the normalization a crawl pipeline applies
+    * BEFORE url-dedup so trivially-different references collapse:
+    * lowercase scheme+authority, drop the fragment, strip default ports
+    * (`:80` on http, `:443` on https), drop tracking query params
+    * ([[TrackingParamPattern]]), trim a trailing slash from a non-root
+    * path. Every rule is from the Java/RE2 common subset and GROUP-FREE
+    * on the replacement side (Java replacements use `$1` where RE2 uses
+    * `\1` — a parity trap); splitting/filtering uses positions and
+    * higher-order list ops instead, so a DuckDB oracle replays the
+    * rewrite byte-for-byte. One codegen'd projection, no UDF. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val sh = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val tail = noFrag.substr(length(sh) + 1, length(noFrag))
+    val shl = lower(sh)
+    val shp = when(shl.startsWith("http://") && shl.endsWith(":80"),
+        shl.substr(lit(1), length(shl) - 3))
+      .when(shl.startsWith("https://") && shl.endsWith(":443"),
+        shl.substr(lit(1), length(shl) - 4))
+      .otherwise(shl)
+    val qpos = instr(tail, "?")
+    val pathPart = when(qpos === 0, tail)
+      .otherwise(tail.substr(lit(1), qpos - 1))
+    val qs = when(qpos === 0, lit(""))
+      .otherwise(tail.substr(qpos + 1, length(tail)))
+    val path2 = when(pathPart.endsWith("/") && length(pathPart) > 1,
+        pathPart.substr(lit(1), length(pathPart) - 1))
+      .otherwise(pathPart)
+    val params = filter(split(qs, "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamPattern))
+    val q2 = when(size(params) > 0,
+      concat(lit("?"), concat_ws("&", params))).otherwise(lit(""))
+    concat(shp, path2, q2)
+  }
+
   /** eTLD+1: last two host labels, or three when the last two form a
     * listed public suffix (`shop.example.co.uk` -> `example.co.uk`). */
   def registeredDomain(hostCol: Column,

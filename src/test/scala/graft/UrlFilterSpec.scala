@@ -49,4 +49,48 @@ class UrlFilterSpec extends GraftSpec {
     assert(kept.select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 4L, 6L, 8L))
   }
+
+  test("canonicalUrl: case, ports, fragments, tracking params, slashes") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // scheme+host lowercase, path case preserved
+      (1L, "HTTPS://Ex.COM/Path/X", "https://ex.com/Path/X"),
+      // default ports strip; non-default survive
+      (2L, "http://a.com:80/x", "http://a.com/x"),
+      (3L, "https://a.com:443/x", "https://a.com/x"),
+      (4L, "http://a.com:8080/x", "http://a.com:8080/x"),
+      // https:80 is NOT a default port pair
+      (5L, "https://a.com:80/x", "https://a.com:80/x"),
+      // fragment drops, trailing slash trims (root slash survives)
+      (6L, "https://a.com/x/#sec", "https://a.com/x"),
+      (7L, "https://a.com/", "https://a.com/"),
+      // tracking params drop wherever they sit; order of rest kept
+      (8L, "https://a.com/p?utm_source=t&q=1&fbclid=f&r=2",
+        "https://a.com/p?q=1&r=2"),
+      (9L, "https://a.com/p?utm_campaign=x", "https://a.com/p"),
+      (10L, "https://a.com/p?gclid=1&utm_x=2", "https://a.com/p"))
+    val out = cases.toDF("id", "url", "want")
+      .select(col("id"), col("want"),
+        UrlFilter.canonicalUrl(col("url")).as("got")).collect()
+    out.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"case ${r.getLong(0)}: got '${r.getString(2)}'"))
+  }
+
+  test("perKeyCap keeps exactly N per key by the seeded order, via WindowGroupLimit") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sampling
+    val df = (0L until 300L).map(i => (i, s"k${i % 3}")).toDF("id", "key")
+    val kept = Sampling.perKeyCap(df, "key", "id", maxPerKey = 7, seed = "s")
+    val byKey = kept.groupBy("key").count().as[(String, Long)].collect().toMap
+    assert(byKey.values.toSet == Set(7L) && byKey.size == 3)
+    // survivors = the 7 smallest md5("s:"+id) per key, exactly
+    val expect = (0L until 300L).groupBy(i => i % 3).flatMap { case (_, ids) =>
+      ids.sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$i".getBytes).map("%02x".format(_)).mkString).take(7)
+    }.toSet
+    assert(kept.select("id").as[Long].collect().toSet == expect)
+    // the cap must compile to WindowGroupLimit (map-side top-N per key)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
 }
