@@ -144,6 +144,31 @@ class RandomizedInvariantsSpec extends GraftSpec {
     assert(canon(SkewJoin.hotColdJoin(left, right, "k", 0.02)) == plain)
   }
 
+  test("canonicalUrl is idempotent on randomized messy URLs") {
+    import graft.operators.UrlFilter
+    val rnd = new scala.util.Random(31337)
+    val schemes = Seq("http://", "https://", "HTTP://", "HtTpS://")
+    val hosts = Seq("Ex.COM", "a.b.co.uk", "x.io:8080", "y.net:443", "z.org:80")
+    val paths = Seq("", "/", "/A/b", "/a/b/", "/idx.html")
+    val queries = Seq("", "?q=1", "?utm_source=a&b=2", "?x=1&gclid=g&y=2",
+      "?utm_a=1&utm_b=2")
+    val frags = Seq("", "#f", "#a/b?c")
+    val urls = (0 until 200).map { i =>
+      (i.toLong, schemes(rnd.nextInt(schemes.size)) +
+        hosts(rnd.nextInt(hosts.size)) + paths(rnd.nextInt(paths.size)) +
+        queries(rnd.nextInt(queries.size)) + frags(rnd.nextInt(frags.size)))
+    }
+    val out = urls.toDF("id", "url")
+      .select(col("id"),
+        UrlFilter.canonicalUrl(col("url")).as("c1"),
+        UrlFilter.canonicalUrl(UrlFilter.canonicalUrl(col("url"))).as("c2"))
+      .as[(Long, String, String)].collect()
+    out.foreach { case (id, c1, c2) =>
+      assert(c1 == c2, s"url ${urls(id.toInt)._2}: '$c1' re-canoned to '$c2'")
+      assert(!c1.contains("#") && !c1.contains("utm_"), s"residual junk in $c1")
+    }
+  }
+
   test("substring dup coverage is bounded and exact on planted spans") {
     val df = corpus.toDF("doc_id", "text")
     val out = Dedup.substringDups(df, "doc_id", "text", k = 8)
