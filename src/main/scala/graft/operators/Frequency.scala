@@ -56,4 +56,60 @@ object Frequency {
       .filter(col("cnt") * k >= col("n_total"))
       .select(col("item"), col("cnt"))
   }
+
+  /** Streaming state for one Misra–Gries bucket: the live counters plus
+    * the total decrement applied so far (the MG error bound — true count
+    * of any tracked item is within [counter, counter + decremented]). */
+  case class MGState(counters: Map[String, Long], decremented: Long)
+
+  /** STREAMING pass 1 of [[heavyHitters]]: per-trigger heavy-hitter
+    * CANDIDATES over an unbounded stream — the live "what's hot right
+    * now" feed (frequency caps during ingest, hot-key alarms) where the
+    * batch operator's exact second pass would mean re-scanning history.
+    *
+    * Items hash into `buckets` key-groups; each group keeps ONE
+    * Misra–Gries summary with k counters in `GroupState` (RocksDB-ready:
+    * state per bucket is ≤ k entries — bounded regardless of stream
+    * cardinality or lifetime, the property that makes this safe to run
+    * forever). All occurrences of an item land in the same bucket, so
+    * the per-bucket superset guarantee IS the global one: any item with
+    * total count ≥ bucketRows/(k+1) is still tracked. Emitted
+    * `min_count` is the MG lower bound; `max_count` adds the bucket's
+    * cumulative decrement (upper bound). Exactness, when needed, is the
+    * batch verify pass over the landed table — same split as the batch
+    * operator, with pass 1 continuous instead of per-job. */
+  def streamingHeavyHitterCandidates(df: DataFrame, itemCol: String,
+                                     k: Int, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k >= 1 && buckets >= 1, "k and buckets must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .as[String]
+      .groupByKey(s => math.floorMod(s.hashCode, buckets))
+      .flatMapGroupsWithState[MGState, (String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val prev = state.getOption.getOrElse(MGState(Map.empty, 0L))
+          val counters =
+            scala.collection.mutable.HashMap[String, Long](prev.counters.toSeq: _*)
+          var dec = prev.decremented
+          rows.foreach { x =>
+            counters.get(x) match {
+              case Some(c) => counters.update(x, c + 1)
+              case None if counters.size < k => counters.update(x, 1L)
+              case None =>
+                dec += 1
+                val dead = counters.iterator
+                  .collect { case (key, 1L) => key }.toList
+                counters.mapValuesInPlace((_, c) => c - 1)
+                dead.foreach(counters.remove)
+            }
+          }
+          state.update(MGState(counters.toMap, dec))
+          counters.iterator.map { case (i, c) => (i, c, c + dec) }
+      }
+      .toDF("item", "min_count", "max_count")
+  }
 }

@@ -7,6 +7,39 @@ import graft.operators.Frequency
 class FrequencySpec extends GraftSpec {
   import spark.implicits._
 
+  test("streaming MG candidates track the hot item across micro-batches, bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = Frequency.streamingHeavyHitterCandidates(
+      in.toDF().withColumnRenamed("value", "item"), "item",
+      k = 4, buckets = 8)
+    val q = out.writeStream.format("memory").queryName("mg_cand")
+      .outputMode("update").start()
+    try {
+      // batch 1: hot 60x among 40 distinct tail items
+      in.addData(Seq.fill(60)("hot") ++ (0 until 40).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("mg_cand")
+        .groupBy("item").agg(max("min_count").as("mc"))
+        .as[(String, Long)].collect().toMap
+      assert(b1.contains("hot"), s"hot missing from $b1")
+      // batch 2: hot again — state carries over, count grows
+      in.addData(Seq.fill(50)("hot") ++ (0 until 40).map(i => s"u$i"): _*)
+      q.processAllAvailable()
+      val b2 = spark.table("mg_cand")
+        .groupBy("item").agg(max("min_count").as("mc"), max("max_count").as("xc"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // MG lower bound <= true count <= upper bound; hot's true = 110
+      assert(b2("hot")._1 <= 110L && b2("hot")._2 >= 110L)
+      assert(b2("hot")._1 > 50L, s"hot lower bound too weak: ${b2("hot")}")
+      // bounded state: every trigger emits <= k rows per bucket
+      val lastBatch = spark.table("mg_cand")
+      assert(lastBatch.count() <= 2L * 4 * 8, "emission exceeds k*buckets per trigger")
+    } finally q.stop()
+  }
+
   /** Skewed stream: "hot" 2400x, "warm" 500x, 100 tail items 71x each —
     * 10000 rows total. */
   private lazy val skewed = {
