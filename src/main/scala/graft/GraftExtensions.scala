@@ -113,7 +113,13 @@ object GraftExtensions {
         args => col1("html_to_text", args)(TextFunctions.htmlToText)),
       ("quality_score", cls,
         "quality_score(text) - heuristic [0,1] text quality",
-        args => col1("quality_score", args)(TextFunctions.qualityScore)))
+        args => col1("quality_score", args)(TextFunctions.qualityScore)),
+      ("canonical_url", graft.operators.UrlFilter.getClass,
+        "canonical_url(url) - lowercase scheme+host, strip fragment/default port/tracking params/trailing slash",
+        args => col1("canonical_url", args)(graft.operators.UrlFilter.canonicalUrl)),
+      ("url_host", graft.operators.UrlFilter.getClass,
+        "url_host(url) - hostname of an absolute URL (port stripped)",
+        args => col1("url_host", args)(graft.operators.UrlFilter.host)))
   }
 
   def registerAll(ext: SparkSessionExtensions): Unit =

@@ -55,7 +55,8 @@ class GraftExtensionsSpec extends GraftSpec {
     val fns = spark.sql("SHOW FUNCTIONS").as[String].collect().toSet
     Seq("simhash64", "minhash_sig", "word_shingles", "cosine_sim",
       "dot_product", "lang_id", "token_count", "doc_fingerprint",
-      "redact_pii", "luhn_valid", "html_to_text", "quality_score")
+      "redact_pii", "luhn_valid", "html_to_text", "quality_score",
+      "canonical_url", "url_host")
       .foreach(f => assert(fns.contains(f), f))
   }
 
@@ -86,5 +87,10 @@ class GraftExtensionsSpec extends GraftSpec {
     assert(viaSql.find(_._1 == 3L).get._5 ==
       "mail me [EMAIL] or pay [CARD] or [SSN]")
     assert(viaSql.find(_._1 == 2L).get._2 == "de")
+    val urls = spark.sql(
+      """SELECT canonical_url('HTTP://A.com:80/x/?utm_a=1&q=2#f') AS c,
+        |       url_host('https://Sub.Ex.org:8443/p') AS h""".stripMargin)
+      .as[(String, String)].collect().head
+    assert(urls == (("http://a.com/x?q=2", "sub.ex.org")))
   }
 }
