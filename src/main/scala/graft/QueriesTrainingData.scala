@@ -159,6 +159,20 @@ object QueriesTrainingData {
       Dedup.clusters(Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2))),
 
+    // leakage-free split: near-dup cluster members must land in the
+    // same train/val/test split (a near-copy of a training doc in the
+    // test set is contamination) — split key = component label, or own
+    // id for singletons; oracle replays components (recursive CTE) +
+    // the md5 bucket rule
+    "td_split_leakfree" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2)
+      Dedup.leakFreeSplit(d.select(col("doc_id")), "doc_id", pairs,
+          testBp = 1000, valBp = 1000)
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     // PII scrubbing: deterministic PII is injected (the corpus has none)
     // and the redaction chain must strip it — the oracle replays the
     // exact regex rewrite, so engine-for-engine behavior is hash-checked
@@ -814,6 +828,34 @@ object QueriesTrainingData {
         |  FROM reach GROUP BY src)
         |SELECT component AS survivor_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM labels GROUP BY component""".stripMargin),
+    "td_split_leakfree" -> (jaccardSql
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+      .replace("SELECT id_a, id_b, jaccard FROM (",
+        ", pairs AS (SELECT id_a, id_b, jaccard FROM (")
+      .replace("WHERE jaccard >= 0.5", "WHERE jaccard >= 0.5)") +
+      """, edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |keyed AS (
+        |  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS key
+        |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))
+        |             ::BIGINT % 10000 < 1000 THEN 'test'
+        |         WHEN ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))
+        |             ::BIGINT % 10000 < 2000 THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM keyed)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM sp GROUP BY split""".stripMargin),
     "td_pii_scrub" ->
       """WITH spiked AS (
         |  SELECT doc_id, text,

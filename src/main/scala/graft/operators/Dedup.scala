@@ -357,6 +357,30 @@ object Dedup {
       .groupBy(col("component").as("survivor_id"))
       .agg(count(lit(1)).as("n_members"))
 
+  /** Leakage-free train/val/test split: a near-copy of a training doc
+    * in the held-out set is contamination, so the SPLIT KEY is the
+    * doc's near-dup component (all members land together); docs in no
+    * pair split by their own id. Assignment is the deterministic md5
+    * bucket of the key — reproducible, engine-independent, and at any
+    * scale a join of the (small) component map onto the corpus plus a
+    * map-side bucket filter. `testBp`/`valBp` are basis points of the
+    * KEY space; realized doc shares deviate by cluster-mass granularity
+    * (the price of leak-freedom). */
+  def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    testBp: Int, valBp: Int): DataFrame = {
+    require(testBp >= 0 && valBp >= 0 && testBp + valBp <= 10000,
+      "testBp/valBp must be >= 0 and sum to <= 10000")
+    val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val keyed = docs.join(comp, Seq(idCol), "left")
+      .withColumn("_key", coalesce(col("component"), col(idCol)))
+    val b = Sampling.bucket(col("_key"))
+    keyed.withColumn("split",
+        when(b < testBp, lit("test"))
+          .when(b < testBp + valBp, lit("val"))
+          .otherwise(lit("train")))
+      .drop("_key", "component")
+  }
+
   /** Incremental MEMBERSHIP scan with a bloom prefilter: batch docs whose
     * word-set fingerprint ([[TextFunctions.fingerprint]] — exact-content
     * and permutation-robust) already exists in the prior corpus.

@@ -90,6 +90,30 @@ class DedupSpec extends GraftSpec {
     assert(out(4L) == ((1, 0, "tiny")))
   }
 
+  test("leakFreeSplit: cluster members share a split, zero crossing pairs") {
+    import spark.implicits._
+    // 60 docs; pairs chain 0-1-2, 10-11, 20-21-22-23; rest singletons
+    val d = (0L until 60L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("id_a", "id_b")
+    val out = Dedup.leakFreeSplit(d, "doc_id", pairs,
+      testBp = 3000, valBp = 3000)
+    assert(out.count() == 60)
+    val split = out.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    // every pair co-located
+    Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 23L)).foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) crosses splits")
+    }
+    // with 30%/30% rates on 54 effective keys, all three splits appear
+    assert(split.values.toSet == Set("train", "val", "test"))
+    // deterministic across runs
+    val again = Dedup.leakFreeSplit(d, "doc_id", pairs, 3000, 3000)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == split)
+  }
+
   test("minhash LSH pairs == exact jaccard pairs") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
