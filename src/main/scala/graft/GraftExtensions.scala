@@ -119,7 +119,13 @@ object GraftExtensions {
         args => col1("canonical_url", args)(graft.operators.UrlFilter.canonicalUrl)),
       ("url_host", graft.operators.UrlFilter.getClass,
         "url_host(url) - hostname of an absolute URL (port stripped)",
-        args => col1("url_host", args)(graft.operators.UrlFilter.host)))
+        args => col1("url_host", args)(graft.operators.UrlFilter.host)),
+      ("nfc_normalize", classOf[UnicodeNormalize],
+        "nfc_normalize(text) - Unicode NFC composition",
+        args => col1("nfc_normalize", args)(TextFunctions.nfc)),
+      ("strip_accents", classOf[UnicodeNormalize],
+        "strip_accents(text) - decompose, drop nonspacing marks, recompose",
+        args => col1("strip_accents", args)(TextFunctions.stripAccents)))
   }
 
   def registerAll(ext: SparkSessionExtensions): Unit =

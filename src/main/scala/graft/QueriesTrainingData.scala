@@ -159,6 +159,21 @@ object QueriesTrainingData {
       Dedup.clusters(Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2))),
 
+    // Unicode normalization: deterministic spikes with DECOMPOSED
+    // sequences, combining marks, ß/ø (no decomposition) — NFC and
+    // accent-strip must agree byte-for-byte with DuckDB's
+    // nfc_normalize/strip_accents (different Unicode implementations,
+    // same standard)
+    "td_unicode_norm" -> ((s, dir) => {
+      val spikes = Seq("Café au lait", "münchen straße",
+        "ñoño øre", "plain ascii only")
+      val sp = element_at(array(spikes.map(lit): _*),
+        pmod(col("doc_id"), lit(4)).cast("int") + 1)
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.nfc(sp).as("nfc"),
+        TextFunctions.stripAccents(sp).as("plain"))
+    }),
+
     // leakage-free split: near-dup cluster members must land in the
     // same train/val/test split (a near-copy of a training doc in the
     // test set is contamination) — split key = component label, or own
@@ -828,6 +843,18 @@ object QueriesTrainingData {
         |  FROM reach GROUP BY src)
         |SELECT component AS survivor_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM labels GROUP BY component""".stripMargin),
+    "td_unicode_norm" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'Cafe' || chr(769) || ' au lait'
+        |      WHEN 1 THEN 'mu' || chr(776) || 'nchen stra' || chr(223) || 'e'
+        |      WHEN 2 THEN 'n' || chr(771) || 'on' || chr(771) || 'o '
+        |                    || chr(248) || 're'
+        |      ELSE 'plain ascii only' END AS s
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(s) AS nfc, strip_accents(s) AS plain
+        |FROM sp""".stripMargin,
     "td_split_leakfree" -> (jaccardSql
       .replaceFirst("WITH ", "WITH RECURSIVE ")
       .replace("SELECT id_a, id_b, jaccard FROM (",

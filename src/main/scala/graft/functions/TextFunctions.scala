@@ -29,6 +29,15 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     graft.functions.expressions.WordShingles.word_shingles(text, n)
 
+  /** Unicode NFC composition (visually-identical strings hash alike). */
+  def nfc(text: Column): Column =
+    graft.functions.expressions.UnicodeNormalize.unicode_normalize(text, "NFC")
+
+  /** Decompose, drop nonspacing marks, recompose — 'café' -> 'cafe'. */
+  def stripAccents(text: Column): Column =
+    graft.functions.expressions.UnicodeNormalize
+      .unicode_normalize(text, "STRIP_ACCENTS")
+
   /** Rolling-hash document fingerprint: md5 of the sorted distinct word
     * set (case-folded) — robust to word order and duplication. */
   def fingerprint(text: Column): Column =

@@ -117,6 +117,31 @@ class TextQualitySpec extends GraftSpec {
     assert(q.filter("pass").count() == 0)
   }
 
+  test("unicode normalization: NFC composes, NFKC folds, accents strip") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    import graft.functions.expressions.UnicodeNormalize.unicode_normalize
+    val decomposed = "Café" // e + combining acute
+    val cases = Seq(
+      (1L, decomposed), (2L, "Caf\u00e9"), // composed form
+      (3L, "münchen straße"), (4L, "ＡBC ① ﬁ"))
+    val out = cases.toDF("id", "s").select(col("id"),
+        TextFunctions.nfc(col("s")).as("nfc"),
+        TextFunctions.stripAccents(col("s")).as("plain"),
+        unicode_normalize(col("s"), "NFKC").as("nfkc"))
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // both input forms converge to the composed NFC bytes
+    assert(out(1L)._1 == "Caf\u00e9" && out(2L)._1 == "Caf\u00e9")
+    assert(out(1L)._2 == "Cafe" && out(2L)._2 == "Cafe")
+    // ß is not a mark (survives strip); ü loses its diaeresis
+    assert(out(3L)._2 == "munchen straße")
+    // NFKC folds fullwidth A, circled 1, fi ligature
+    assert(out(4L)._3 == "ABC 1 fi")
+    // null-safe + works inside codegen over a real column
+    assert(cases.toDF("id", "s").selectExpr("nfc_normalize(s)").count() == 4)
+  }
+
   test("compression ratio orders boilerplate < prose < noise; deterministic") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(99)
