@@ -569,6 +569,20 @@ object QueriesTrainingData {
           col("meta.duration_ms").as("duration_ms"),
           col("meta.size_bytes").as("size_bytes"))),
 
+    // multimodal: perceptual image dedup — REAL pixel decode → dHash →
+    // the same pigeonhole Hamming pairing as text simhash. Planted
+    // twins (PNG original + JPEG re-encode of the same pattern) have
+    // different bytes but near-identical pixels; exact/byte dedup
+    // cannot catch them, dHash must. Rows-only (pixel decode is not
+    // SQL-replayable); OperatorsSpec pins hamming behavior.
+    "dedup_image" -> ((s, dir) =>
+      Dedup.fingerprintPairs(
+        Multimodal.imageDHash(
+          Multimodal.synthesizeImageTwins(docs(s, dir).limit(200)))
+          .select(col("media_id").as("id"), col("dhash").as("fp")),
+        maxHamming = 3, numChunks = 4)
+        .filter(col("id_b") === col("id_a") + 1000000L)),
+
     // multimodal: REAL WAV/PCM audio decode (JDK javax.sound.sampled) —
     // per-file sample stats (the silence/clipping/length gates an audio
     // corpus filters on); the oracle recomputes every int16 sample from

@@ -174,11 +174,6 @@ object Dedup {
     * (bucket join cost ~ n²/2^(64/numChunks) per chunk). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, numChunks: Int = 4): DataFrame = {
-    require(64 % numChunks == 0, "numChunks must divide 64")
-    require(maxHamming <= numChunks - 1,
-      s"recall only guaranteed for maxHamming <= ${numChunks - 1}")
-    val chunkBits = 64 / numChunks
-    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
     // Materialize the fingerprints (16 bytes/doc): the chunk-bucket
     // self-join would otherwise evaluate the whole text-hashing subplan
     // once per join side — at 100 TB the signature table is exactly what
@@ -193,6 +188,22 @@ object Dedup {
       lastSimhashCache.foreach(_.unpersist(false))
       lastSimhashCache = Some(fp)
     }
+    fingerprintPairs(fp, maxHamming, numChunks)
+  }
+
+  /** Chunk-bucketed Hamming pairs over ANY 64-bit fingerprint table
+    * `(id, fp)` — the pigeonhole pattern shared by text SimHash and
+    * image dHash: split fp into `numChunks` pieces, bucket-join on each
+    * piece (two fps within `numChunks-1` Hamming must agree on at least
+    * one piece), exact `bit_count` verify on candidates. Shuffles only
+    * (id, fp, chunk, key) rows. */
+  def fingerprintPairs(fp: DataFrame, maxHamming: Int,
+                       numChunks: Int = 4): DataFrame = {
+    require(64 % numChunks == 0, "numChunks must divide 64")
+    require(maxHamming <= numChunks - 1,
+      s"recall only guaranteed for maxHamming <= ${numChunks - 1}")
+    val chunkBits = 64 / numChunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
     val chunked = fp.select(col("id"), col("fp"),
       explode(array((0 until numChunks).map(i =>
         struct(lit(i).as("chunk"),

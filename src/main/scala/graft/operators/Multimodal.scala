@@ -463,6 +463,88 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit difference hash (dHash) over REALLY decoded pixels: resize
+    * to a 9×8 grayscale thumbnail, emit one bit per horizontal gradient
+    * sign — the standard perceptual image-dedup fingerprint (resize/
+    * re-encode/small-edit robust; near-identical images differ in few
+    * bits). One row per DECODABLE image: (media_id, dhash). Pairing is
+    * [[Dedup.fingerprintPairs]] — the same pigeonhole chunk-bucket join
+    * text SimHash uses, so image dedup at 100 TB shuffles 16-byte
+    * fingerprint rows, never pixels. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](1)
+          ImageCodec.decode(bytes).map { img =>
+            val t = ImageCodec.resize(img, 9, 8)
+            var h = 0L
+            var bit = 0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                def lum(px: Int): Int = {
+                  val v = t.getRGB(px, y)
+                  (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+                    (v & 0xff) * 114) / 1000
+                }
+                if (lum(x) > lum(x + 1)) h |= (1L << bit)
+                bit += 1
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(0), h)
+          }
+        }
+      }(enc)
+  }
+
+  /** Image table with planted PERCEPTUAL near-duplicates: for each
+    * image doc, the original PNG and — at id+1000000 — the SAME image
+    * brightness-shifted (+12 per channel, clamped) and re-encoded.
+    * Different bytes, different exact hashes, same gradient structure:
+    * what [[imageDHash]] + [[Dedup.fingerprintPairs]] must catch and
+    * exact/byte dedup cannot (dHash is gradient-sign based, so a
+    * uniform brightness shift flips bits only where clamping flattens
+    * a gradient). */
+  def synthesizeImageTwins(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id").cast(LongType))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val w = (8 + id % 32).toInt
+          val h = (8 + (id * 7) % 32).toInt
+          val png = ImageCodec.encode("png", w, h, id)
+          val img = ImageCodec.decode(png).get
+          val shifted = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y)
+              def ch(s: Int): Int = math.min(255, ((v >> s) & 0xff) + 12)
+              shifted.setRGB(x, y, (ch(16) << 16) | (ch(8) << 8) | ch(0))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(shifted, "png", out)
+          Seq(Row(id, png, null),
+            Row(id + 1000000L, out.toByteArray, null))
+        }
+      }(enc)
+  }
+
   /** Frame sampling: one output row per sampled frame (UDTF shape).
     * Image rows (sniffed jpeg/png that actually decode) are REALLY
     * decoded via [[ImageCodec]]: frame 0 = the full packed-RGB raster,

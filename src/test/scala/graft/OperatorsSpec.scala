@@ -304,6 +304,26 @@ class OperatorsSpec extends GraftSpec {
     assert(AudioCodec.pcmSamples(Array.emptyByteArray).isEmpty)
   }
 
+  test("image dHash: brightness twins pair within hamming 3, distinct patterns do not") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 6)
+    val twins = Multimodal.synthesizeImageTwins(docs)
+    assert(twins.count() == 12)
+    val fp = Multimodal.imageDHash(twins)
+      .select(col("media_id").as("id"), col("dhash").as("fp"))
+    assert(fp.count() == 12) // every image decodes
+    val pairs = graft.operators.Dedup.fingerprintPairs(fp, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    (0L until 6L).foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 1000000L),
+        s"twin of image $i not detected")
+    }
+    // the 6 distinct patterns must not collide with each other
+    assert(!pairs.exists(p => p._2 < 1000000L),
+      s"distinct patterns wrongly paired: ${pairs.mkString(",")}")
+  }
+
   test("sampleFrames really decodes image rows of the decodable table") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(8)
     val frames = Multimodal.sampleFrames(Multimodal.synthesizeDecodable(docs))
