@@ -159,6 +159,20 @@ object QueriesTrainingData {
       Dedup.clusters(Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2))),
 
+    // corpus snapshot diff (crawl-N vs crawl-N+1 versioning): old drops
+    // doc_id%7==0, new drops %5==0 and rewords %11==0 — per-id status
+    // from the fingerprint full-outer join, replayed exactly
+    "td_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val newSnap = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" appended v2 sentence")))
+            .otherwise(col("text")))
+      Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
     // Unicode normalization: deterministic spikes with DECOMPOSED
     // sequences, combining marks, ß/ø (no decomposition) — NFC and
     // accent-strip must agree byte-for-byte with DuckDB's
@@ -857,6 +871,29 @@ object QueriesTrainingData {
         |  FROM reach GROUP BY src)
         |SELECT component AS survivor_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM labels GROUP BY component""".stripMargin),
+    "td_corpus_diff" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0))), ' ')) AS fp, text
+        |  FROM documents),
+        |o AS (SELECT doc_id, fp FROM f WHERE doc_id % 7 <> 0),
+        |n0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN text || ' appended v2 sentence' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |n AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0))), ' ')) AS fp
+        |  FROM n0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp <> n.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "td_unicode_norm" ->
       """WITH sp AS (
         |  SELECT doc_id,

@@ -368,6 +368,27 @@ object Dedup {
       .groupBy(col("component").as("survivor_id"))
       .agg(count(lit(1)).as("n_members"))
 
+  /** Corpus snapshot diff — the versioning primitive behind "what
+    * changed between crawl N and crawl N+1": full-outer join of the two
+    * snapshots' (id, content-fingerprint) tables, one status per id —
+    * `added` / `removed` / `changed` / `unchanged`. The fingerprint is
+    * [[TextFunctions.fingerprint]] (word-set md5), so formatting-only
+    * edits that survive the words() normalization count as unchanged —
+    * same normalization the dedup family keys on. One shuffle per side
+    * on id; fingerprints are 32 bytes/doc, text never joins. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def fps(df: DataFrame, as: String) = df.select(
+      col(idCol).as("id"),
+      TextFunctions.fingerprint(col(textCol)).as(as))
+    fps(oldDocs, "fp_old").join(fps(newDocs, "fp_new"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Leakage-free train/val/test split: a near-copy of a training doc
     * in the held-out set is contamination, so the SPLIT KEY is the
     * doc's near-dup component (all members land together); docs in no
