@@ -169,6 +169,26 @@ class RandomizedInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("snapshotDiff invariants: self-diff all unchanged; disjoint adds+removes; word-permutation invariant") {
+    val df = corpus.toDF("doc_id", "text")
+    val self = Dedup.snapshotDiff(df, df, "doc_id", "text")
+      .select("status").distinct().as[String].collect().toSeq
+    assert(self == Seq("unchanged"))
+    val odd = df.filter(col("doc_id") % 2 === 1)
+    val even = df.filter(col("doc_id") % 2 === 0)
+    val disj = Dedup.snapshotDiff(odd, even, "doc_id", "text")
+      .groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(disj.keySet == Set("added", "removed"))
+    assert(disj("added") == 60 && disj("removed") == 60)
+    // fingerprint keys the word SET: permuting words is 'unchanged'
+    val shuffled = df.select(col("doc_id"),
+      concat_ws(" ", reverse(graft.functions.TextFunctions
+        .words(col("text")))).as("text"))
+    val perm = Dedup.snapshotDiff(df, shuffled, "doc_id", "text")
+      .select("status").distinct().as[String].collect().toSeq
+    assert(perm == Seq("unchanged"))
+  }
+
   test("substring dup coverage is bounded and exact on planted spans") {
     val df = corpus.toDF("doc_id", "text")
     val out = Dedup.substringDups(df, "doc_id", "text", k = 8)
