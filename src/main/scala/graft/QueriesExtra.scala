@@ -279,6 +279,27 @@ object QueriesExtra {
       graft.operators.Frequency.heavyHitters(
         graft.schema.EventSchema.readEvents(s, dir), "user_id", k = 150)),
 
+    // J6-beyond: time-windowed attribution (view -> purchase within 10
+    // min). Same Attribution.attribute code path the stream-stream join
+    // runs (watermarks are analyzer-eliminated in batch), so the oracle
+    // gates the join's time-bound semantics; StreamingSpec covers the
+    // streaming state/append behavior.
+    "j6_attribution" -> ((s, dir) => {
+      val ev = graft.schema.EventSchema.readEvents(s, dir)
+        .filter(col("user_id").isNotNull)
+      val imps = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").cast("string").as("imp_id"))
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").cast("string").as("conv_id"))
+      graft.streaming.Attribution.attribute(imps, convs, "user_id",
+          windowSeconds = 600)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("lag_seconds")).as("sum_lag"))
+    }),
+
     // skew remedies: both must be ROW-IDENTICAL to the plain inner join
     // (the oracle is the plain join + aggregate). saltedJoin fans each
     // partkey over 8 reducers; hotColdJoin broadcast-joins the heavy-
@@ -335,6 +356,23 @@ object QueriesExtra {
         |GROUP BY 1
         |HAVING COUNT(*) * 150 >= (
         |  SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)""".stripMargin,
+    "j6_attribution" ->
+      """WITH i AS (
+        |  SELECT user_id, ts, CAST(event_id AS VARCHAR) AS imp_id
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, ts, CAST(event_id AS VARCHAR) AS conv_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type = 'purchase'),
+        |p AS (
+        |  SELECT i.user_id,
+        |    (epoch_ns(c.ts) // 1000000000)
+        |      - (epoch_ns(i.ts) // 1000000000) AS lag
+        |  FROM i JOIN c ON i.user_id = c.user_id
+        |    AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 600 SECONDS)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(lag) AS BIGINT) AS sum_lag
+        |FROM p GROUP BY 1""".stripMargin,
     "skew_salted_join" ->
       """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty

@@ -408,6 +408,43 @@ class StreamingSpec extends GraftSpec {
     assert(got("m3")._1 == "u42")
   }
 
+  test("stream-stream attribution: in-window pairs only, append under watermarks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val imps = MemoryStream[(String, Timestamp, String)]
+    val convs = MemoryStream[(String, Timestamp, String)]
+    val out = graft.streaming.Attribution.attribute(
+      imps.toDF().toDF("user_id", "ts", "imp_id"),
+      convs.toDF().toDF("user_id", "ts", "conv_id"),
+      "user_id", windowSeconds = 300, watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      imps.addData(("u1", ts(0), "i1"), ("u2", ts(0), "i2"),
+        ("u1", ts(20), "i3"))
+      convs.addData(
+        ("u1", ts(3), "c1"),   // 3 min after i1 -> attributed
+        ("u2", ts(9), "c2"),   // 9 min after i2 -> outside 5-min window
+        ("u3", ts(2), "c3"))   // no impression -> dropped (inner join)
+      q.processAllAvailable()
+      // advance both watermarks far enough to finalize earlier matches
+      imps.addData(("u9", ts(40), "i9"))
+      convs.addData(("u9", ts(41), "c9"))
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .select("imp_id", "conv_id", "lag_seconds")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("i1", "c1", 180L)), s"missing i1/c1 in $rows")
+      assert(rows.contains(("i9", "c9", 60L)))
+      assert(!rows.exists(_._2 == "c2"), "out-of-window conversion attributed")
+      assert(!rows.exists(_._2 == "c3"), "conversion without impression")
+      // the physical plan is a real stream-stream join with state
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("progress log captures per-batch rows, bounded by capacity") {
     val in = tmp("graft-in"); val wh = tmp("graft-wh"); val cp = tmp("graft-cp")
     val n = writeJsonEvents(in)
