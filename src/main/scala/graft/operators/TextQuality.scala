@@ -196,6 +196,66 @@ object TextQuality {
       }(enc)
   }
 
+  /** Oracle-gateable form of [[compressionRatio]]: deflate + inflate
+    * every document and emit the properties a SQL oracle CAN replay —
+    * the UTF-8 byte length, whether the codec round-trip reproduced the
+    * input bytes exactly, and whether the compressed size respects the
+    * zlib envelope (non-empty output, at most input + header slack).
+    * The compression work is identical to [[compressionRatio]] (same
+    * deflater level/loop) so the timed cost is representative; the spec
+    * keeps pinning the ratio ordering on the raw variant. */
+  def compressionRoundTrip(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_bytes",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("roundtrip_ok",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("bounds_ok",
+        org.apache.spark.sql.types.BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val inflater = new java.util.zip.Inflater()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            deflater.end(); inflater.end()
+          })
+        val buf = new Array[Byte](1 << 16)
+        rows.map { r =>
+          val bytes = (if (r.isNullAt(1)) "" else r.getString(1))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          val compressed = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+          while (!deflater.finished()) {
+            val n = deflater.deflate(buf)
+            compressed.write(buf, 0, n)
+          }
+          val comp = compressed.toByteArray
+          inflater.reset()
+          inflater.setInput(comp)
+          val back = new java.io.ByteArrayOutputStream(bytes.length + 16)
+          while (!inflater.finished()) {
+            val n = inflater.inflate(buf)
+            if (n > 0) back.write(buf, 0, n)
+            // inflate() can return 0 on the call that consumes the
+            // trailer (finished flips mid-call) — only a 0 that still
+            // wants input without being finished is a truncated stream
+            else if (!inflater.finished() && inflater.needsInput())
+              sys.error("truncated zlib stream")
+          }
+          val ok = java.util.Arrays.equals(back.toByteArray, bytes)
+          val bounds = comp.length > 0 && comp.length <= bytes.length + 64
+          org.apache.spark.sql.Row(r.getLong(0), bytes.length.toLong, ok, bounds)
+        }
+      }(enc)
+  }
+
   def boilerplateScrub(docs: DataFrame, idCol: String, textCol: String,
                        chunkWords: Int = 10, minDocs: Int = 2): DataFrame = {
     val w = TextFunctions.words(col(textCol))

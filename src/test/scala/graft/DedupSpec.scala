@@ -143,6 +143,19 @@ class DedupSpec extends GraftSpec {
     assert(!pairs.keys.exists(p => p._2 == 3L)) // unrelated not flagged
   }
 
+  test("simhash is invariant to case and whitespace mangling (hamming 0)") {
+    // the dedup_simhash gate's planted-twin contract: words() lowercases
+    // and splits on \s+, so an uppercased, whitespace-doubled copy has
+    // the identical word sequence and hence the identical fingerprint
+    val base = (1 to 40).map(i => s"Tok$i word$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),
+      (1L, base.toUpperCase.replace(" ", "  "))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 0)))
+  }
+
   test("simhash on driver documents is stable") {
     val docs01 = spark.read.parquet(s"$sf/documents.parquet")
     val a = Dedup.simhashPairs(docs01, "doc_id", "text", maxHamming = 3).count()

@@ -168,6 +168,24 @@ class TextQualitySpec extends GraftSpec {
     assert(out.forall { case (k, (_, r)) => again(k) == r })
   }
 
+  test("compression round-trip: inflate(deflate(x)) == x, zlib envelope holds") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq(
+      (1L, "boiler " * 200),
+      (2L, Seq.fill(500)(rnd.nextPrintableChar()).mkString),
+      (3L, "unicode é中文 mixed"),
+      (4L, ""))
+    val out = graft.operators.TextQuality
+      .compressionRoundTrip(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.values.forall(_._2), "round-trip must reproduce input bytes")
+    assert(out.values.forall(_._3), "compressed size must respect envelope")
+    // utf-8 byte length, not char length
+    assert(out(3L)._1 == "unicode é中文 mixed"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+  }
+
   test("luhn validation and card redaction: valid cards redact, invalid fall to phone") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
