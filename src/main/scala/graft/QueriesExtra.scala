@@ -233,6 +233,41 @@ object QueriesExtra {
           round(expr("percentile(value, 0.99)"), 4).as("p99"),
           count(lit(1)).as("n"))),
 
+    // A5 sketch form — approx_percentile is the mergeable-quantile path
+    // at 100 TB (KLL-style: micro-batches append partial sketches,
+    // readers merge, exactly like the HLL story for distincts). Gated
+    // as the RANK-SPACE error property (the guarantee the sketch
+    // actually makes: accuracy 10000 bounds rank error to 1e-4, and
+    // approx_percentile returns a real data value, not an
+    // interpolation — so value-space deltas are meaningless at small
+    // n): each approximate percentile must lie between the exact
+    // interpolated percentiles at q +/- 1%. Both sides deterministic
+    // -> hash-stable.
+    "a5b_percentile_sketch" -> ((s, dir) => {
+      val e = graft.schema.EventSchema.readEvents(s, dir)
+      def within(a: org.apache.spark.sql.Column,
+                 lo: org.apache.spark.sql.Column,
+                 hi: org.apache.spark.sql.Column) = a >= lo && a <= hi
+      e.groupBy(col("event_type")).agg(
+          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")
+            .as("ap"),
+          expr("percentile(value, array(0.5, 0.95, 0.99))").as("ep"),
+          expr("percentile(value, array(0.49, 0.51, 0.94, 0.96, 0.98, 1.0))")
+            .as("eb"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          round(element_at(col("ep"), 1), 4).as("p50"),
+          round(element_at(col("ep"), 2), 4).as("p95"),
+          round(element_at(col("ep"), 3), 4).as("p99"),
+          (within(element_at(col("ap"), 1),
+              element_at(col("eb"), 1), element_at(col("eb"), 2)) &&
+            within(element_at(col("ap"), 2),
+              element_at(col("eb"), 3), element_at(col("eb"), 4)) &&
+            within(element_at(col("ap"), 3),
+              element_at(col("eb"), 5), element_at(col("eb"), 6)))
+            .as("sketch_ok"))
+    }),
+
     // beyond-reference: ROLLUP exposed through the Spark SQL surface
     "a9_rollup" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -632,6 +667,13 @@ object QueriesExtra {
         |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
         |  ROUND(quantile_cont(value, 0.99), 4) AS p99,
         |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "a5b_percentile_sketch" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        |  ROUND(quantile_cont(value, 0.99), 4) AS p99,
+        |  true AS sketch_ok
         |FROM events GROUP BY event_type""".stripMargin,
     "a9_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,

@@ -378,6 +378,48 @@ class StreamingSpec extends GraftSpec {
     assert(!got.contains("m4"))
   }
 
+  test("transformWithState UR emits exactly what flatMapGroupsWithState does") {
+    val in = tmp("graft-tws-in")
+    Seq(
+      """{"message_id":"m1","anonymous_id":"a1","user_id":null,"timestamp":"2024-01-01T10:00:00.000Z"}""",
+      """{"message_id":"m2","anonymous_id":"a1","user_id":null,"timestamp":"2024-01-01T10:05:00.000Z"}""",
+      """{"message_id":"m3","anonymous_id":"a1","user_id":"u42","timestamp":"2024-01-01T10:10:00.000Z"}""",
+      """{"message_id":"m4","anonymous_id":"a2","user_id":null,"timestamp":"2024-01-01T10:15:00.000Z"}""",
+      """{"message_id":"m5","anonymous_id":null,"user_id":"u7","timestamp":"2024-01-01T10:16:00.000Z"}""",
+      """{"message_id":"m6","anonymous_id":"a1","user_id":null,"timestamp":"2024-01-01T10:20:00.000Z"}""",
+      """{"message_id":"m7","anonymous_id":"a1","user_id":"u43","timestamp":"2024-01-01T10:25:00.000Z"}"""
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(in)
+    val schema = "message_id STRING, anonymous_id STRING, user_id STRING, timestamp TIMESTAMP"
+    // transformWithState requires the RocksDB provider; scope it to a
+    // cloned session so the suite's other queries keep the default
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(name: String, tws: Boolean): Map[String, Option[String]] = {
+      val sess = if (tws) s2 else spark
+      val stream = sess.readStream.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(schema)).json(in)
+      val resolved =
+        if (tws) UserRecognition.streamingResolveTws(stream)
+        else UserRecognition.streamingResolve(stream)
+      val q = resolved.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      sess.table(name).select("message_id", "user_id")
+        .as[(String, Option[String])](
+          org.apache.spark.sql.Encoders.product[(String, Option[String])])
+        .collect().toMap
+    }
+    val classic = run("ur_classic", tws = false)
+    val modern = run("ur_tws", tws = true)
+    assert(modern == classic)
+    // the re-identification chain resolved: m1/m2 -> u42, m6 -> u43
+    assert(modern.get("m1").flatten.contains("u42"))
+    assert(modern.get("m6").flatten.contains("u43"))
+    assert(modern.get("m5").flatten.contains("u7")) // keyless passthrough
+    assert(!modern.contains("m4"))                  // still buffered
+  }
+
   test("configurable streaming UR merges identifier fields (traits email)") {
     val in = tmp("graft-urc-in")
     Seq(
