@@ -59,6 +59,42 @@ class RandomizedInvariantsSpec extends GraftSpec {
     assert(got == brute)
   }
 
+  test("simhash is mangling-invariant on random texts (random case flips + whitespace injection)") {
+    // the dedup_simhash gate's contract, randomized: ANY case mangling
+    // and whitespace padding leaves the word sequence — and hence the
+    // 64-bit fingerprint — exactly unchanged
+    val rnd = new scala.util.Random(777)
+    def mangle(text: String): String =
+      text.map(c => if (rnd.nextBoolean()) c.toUpper else c.toLower)
+        .flatMap(c => if (c == ' ' && rnd.nextBoolean()) "  \t" else c.toString)
+    val rows = corpus.take(40).map { case (id, t) => (id, t, mangle(t)) }
+    val df = rows.toDF("doc_id", "text", "mangled")
+    val diff = df.select(
+        SimHash64.simhash64(TextFunctions.words(col("text"))).as("a"),
+        SimHash64.simhash64(TextFunctions.words(col("mangled"))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("zlib round-trip holds on random binary-ish and unicode strings") {
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 60).map { i =>
+      val len = rnd.nextInt(2000)
+      val s = i % 3 match {
+        case 0 => Seq.fill(len)(rnd.nextPrintableChar()).mkString
+        case 1 => Seq.fill(len)((rnd.nextInt(0xD7FF) + 1).toChar).mkString
+        case _ => ("répeat中" * (len / 7 + 1)).take(len)
+      }
+      (i.toLong, s)
+    }
+    val out = graft.operators.TextQuality
+      .compressionRoundTrip(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    assert(out.length == 60)
+    assert(out.forall(_._3), "round-trip must hold for every input")
+    assert(out.forall(_._4), "zlib size envelope must hold for every input")
+  }
+
   test("driver union-find and distributed label propagation agree on a random graph") {
     val rnd = new scala.util.Random(99)
     val pairs = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
