@@ -86,8 +86,11 @@ object CorpusIngest {
     val spark = batch.sparkSession
     val newSh = Dedup.shingled(batch, "doc_id", "text", n)
       .persist()
+    // the band frame is read three times per batch (cross join, within
+    // join, survivor append) — cache the ~(docs x bands) key rows once
+    // instead of re-running minhash + explode for each consumer
+    val newBands = Dedup.banded(newSh, numHashes, rowsPerBand).persist()
     try {
-      val newBands = Dedup.banded(newSh, numHashes, rowsPerBand)
       // cross-batch: candidates vs the STORED band index, exact verify
       // against the stored shingle sets
       val crossDrop =
@@ -121,10 +124,10 @@ object CorpusIngest {
       val dropped = crossDrop.union(withinDrop).distinct()
         .localCheckpoint(true)
       val kept = newSh.join(dropped, Seq("id"), "left_anti")
-      // survivors extend the index; their band keys are recomputed from
-      // the cached shingle frame (cheap) rather than filtered from
-      // newBands (which would re-shuffle the full batch)
-      Dedup.banded(kept, numHashes, rowsPerBand)
+      // survivors extend the index; their band keys are anti-joined out
+      // of the CACHED band frame against the broadcast dropped-id set
+      // (no shuffle, no minhash recompute)
+      newBands.join(broadcast(dropped), Seq("id"), "left_anti")
         .write.mode("append").parquet(s"$indexDir/bands")
       kept.write.mode("append").parquet(s"$indexDir/shingles")
       // per-doc outcome log — keyed on the BATCH, not the shingle frame:
@@ -136,6 +139,6 @@ object CorpusIngest {
         .write.mode("append").parquet(outDir)
       dropped.unpersist(false)
       () // (unpersist releases the checkpoint's backing cache blocks)
-    } finally { newSh.unpersist(false); () }
+    } finally { newSh.unpersist(false); newBands.unpersist(false); () }
   }
 }
