@@ -321,6 +321,33 @@ object QueriesSystem {
         .withColumnRenamed("#", "row_num")
     }),
 
+    // S8/L4: schema introspection through the guarded-SQL catalog
+    // surface (ref sql/schema.ts:38-64) — the table/column/type listing
+    // a query console shows. Engine-specific type names are mapped to a
+    // neutral vocabulary on BOTH sides (Spark catalog types here,
+    // DuckDB information_schema in the oracle), so the gate asserts the
+    // two engines agree on the actual parquet schema
+    "l4_sql_describe" -> ((s, dir) => {
+      for (t <- Seq("lineitem", "region", "documents", "embeddings"))
+        s.read.parquet(s"$dir/$t.parquet")
+          .createOrReplaceTempView(s"${t}_cat")
+      val neutral = Map(
+        "bigint" -> "int64", "int" -> "int32", "double" -> "float64",
+        "string" -> "string", "timestamp" -> "timestamp",
+        // parquet ms-timestamps without UTC adjustment surface as NTZ
+        // in the Spark catalog and as plain TIMESTAMP in DuckDB
+        "timestamp_ntz" -> "timestamp",
+        "array<float>" -> "list<float32>")
+      import s.implicits._
+      GuardedSql.describeTables(s).toSeq
+        .filter(_._1.endsWith("_cat"))
+        .flatMap { case (t, cols) =>
+          cols.map { case (c, dt) =>
+            (t.stripSuffix("_cat"), c, neutral.getOrElse(dt, dt)) }
+        }
+        .toDF("table_name", "column_name", "data_type")
+    }),
+
     // §3.1: streaming pipeline round-trip — JSON file source ->
     // envelope -> dedup-in-watermark -> layout -> sink router
     "s1_streaming" -> ((s, dir) => {
@@ -499,6 +526,17 @@ object QueriesSystem {
         |SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS batch,
         |  CASE WHEN dr.id IS NOT NULL THEN 'dup' ELSE 'kept' END AS status
         |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.id""".stripMargin,
+    "l4_sql_describe" ->
+      """SELECT table_name, column_name,
+        |  CASE lower(data_type)
+        |    WHEN 'bigint' THEN 'int64' WHEN 'integer' THEN 'int32'
+        |    WHEN 'double' THEN 'float64' WHEN 'varchar' THEN 'string'
+        |    WHEN 'timestamp' THEN 'timestamp'
+        |    WHEN 'float[]' THEN 'list<float32>'
+        |    ELSE lower(data_type) END AS data_type
+        |FROM information_schema.columns
+        |WHERE table_name IN
+        |  ('lineitem', 'region', 'documents', 'embeddings')""".stripMargin,
     "l2_sql_functions" ->
       """WITH ws AS (
         |  SELECT doc_id,
