@@ -24,7 +24,7 @@ object QueriesTrainingData {
     * kmeans/hyperplanes, deterministic tiebreaks), so the boolean is
     * hash-stable and a SQL oracle can replay the expected all-true rows
     * from the query-id list alone. */
-  private def perQidRecallGate(approx: org.apache.spark.sql.DataFrame,
+  private[graft] def perQidRecallGate(approx: org.apache.spark.sql.DataFrame,
                                exact: org.apache.spark.sql.DataFrame,
                                queries: org.apache.spark.sql.DataFrame,
                                minHits: Int): org.apache.spark.sql.DataFrame = {
@@ -42,7 +42,7 @@ object QueriesTrainingData {
     * zero): total exact-top-k hits summed over every query must clear
     * `minTotal`. Single-row output, oracle-replayable from the query
     * count alone. */
-  private def totalRecallGate(approx: org.apache.spark.sql.DataFrame,
+  private[graft] def totalRecallGate(approx: org.apache.spark.sql.DataFrame,
                               exact: org.apache.spark.sql.DataFrame,
                               queries: org.apache.spark.sql.DataFrame,
                               minTotal: Int): org.apache.spark.sql.DataFrame = {

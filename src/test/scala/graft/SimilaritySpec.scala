@@ -212,4 +212,27 @@ class SimilaritySpec extends GraftSpec {
     val wrong = part.count { case (qid, id) => id / 10 != qid - 5000 }
     assert(wrong == 0, s"$wrong IVFPQ neighbors from the wrong cluster")
   }
+
+  test("recall-gate helpers count hits honestly (zero-hit qids included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // qid 1: full overlap; qid 2: disjoint; qid 3: returns nothing
+    val queries = Seq(1L, 2L, 3L).toDF("qid")
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L)).toDF("qid", "id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 90L), (2L, 91L))
+      .toDF("qid", "id")
+    val perQid = QueriesTrainingData
+      .perQidRecallGate(approx, exact, queries.select(col("qid")), minHits = 1)
+      .as[(Long, Boolean)].collect().toMap
+    assert(perQid == Map(1L -> true, 2L -> false, 3L -> false))
+    val total = QueriesTrainingData
+      .totalRecallGate(approx, exact, queries.select(col("qid")), minTotal = 3)
+      .as[(Long, Boolean)].collect().toSeq
+    assert(total == Seq((3L, false))) // only 2 true hits < 3
+    val totalOk = QueriesTrainingData
+      .totalRecallGate(approx, exact, queries.select(col("qid")), minTotal = 2)
+      .as[(Long, Boolean)].collect().toSeq
+    assert(totalOk == Seq((3L, true)))
+  }
 }
