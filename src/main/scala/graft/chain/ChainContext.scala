@@ -17,12 +17,21 @@ case class ChainContext(
     store: TTLStore,
     geo: Option[JsonNode],
     ua: Option[ObjectNode],
-    retries: Int) {
+    retries: Int,
+    /** When set (the [[FunctionChain.testRun]] harness), log calls are
+      * captured as (level, message) instead of written to stderr. */
+    logSink: Option[scala.collection.mutable.Buffer[(String, String)]] = None) {
   /** FunctionLogger surface (ref functions.d.ts:62-67). Log output is a
     * side channel in the reference (ClickHouse logger); here messages go
     * to the task's stderr, which is what Spark executors collect. */
-  def logInfo(msg: String): Unit = System.err.println(s"[chain:$connectionId] $msg")
-  def logError(msg: String): Unit = System.err.println(s"[chain:$connectionId] ERROR $msg")
+  def logInfo(msg: String): Unit = logSink match {
+    case Some(buf) => buf += (("info", msg)): Unit
+    case None => System.err.println(s"[chain:$connectionId] $msg")
+  }
+  def logError(msg: String): Unit = logSink match {
+    case Some(buf) => buf += (("error", msg)): Unit
+    case None => System.err.println(s"[chain:$connectionId] ERROR $msg")
+  }
 }
 
 /** TTL key-value store exposed to functions (ref `functions.d.ts:9-22,
@@ -85,6 +94,28 @@ class TTLStore(namespace: String) extends Serializable {
       if (exp >= 0 && exp <= now()) { data.remove(k(key), e); None }
       else Some(e)
     }
+
+  /** Remove every entry of this namespace (fresh-store semantics of a
+    * console test run) — test/console surface, not a hot path. */
+  def clear(): Unit = {
+    val prefix = s"store:$namespace:"
+    import scala.jdk.CollectionConverters._
+    data.keySet().asScala.filter(_.startsWith(prefix))
+      .foreach(data.remove(_): Unit)
+  }
+
+  /** All live entries of this namespace (ref UDFTestRun returns the
+    * store's final state, udf_wrapper.ts:346-498) — test/console
+    * surface, not a hot path. */
+  def dump(): Map[String, JsonNode] = {
+    val prefix = s"store:$namespace:"
+    import scala.jdk.CollectionConverters._
+    data.asScala.collect {
+      case (key, (v, exp)) if key.startsWith(prefix) &&
+          (exp < 0 || exp > now()) =>
+        key.substring(prefix.length) -> v
+    }.toMap
+  }
 }
 
 object TTLStore {

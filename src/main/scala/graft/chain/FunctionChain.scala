@@ -316,6 +316,49 @@ object FunctionChain {
       "success", chain.lastOption.map(_.id).getOrElse(""), lastError))
   }
 
+  /** Result of a single-function console test run (ref `UDFTestRun`,
+    * `udf_wrapper.ts:346-498`, and the console endpoint
+    * `pages/api/[workspaceId]/function/run.ts:31-70`): the output
+    * events, the captured function log, the error/reason string, and
+    * the store's final state — everything the "test function" button
+    * shows. */
+  case class TestRunResult(status: String, events: Seq[String],
+                           logs: Seq[(String, String)], error: String,
+                           store: Map[String, String])
+
+  /** Driver-side single-event test harness: run ONE function (or a
+    * short chain) against one event JSON with a synthetic context —
+    * seeded store namespace, captured logs, default connection props —
+    * without touching Spark. Mirrors the reference's UDFTestRun
+    * defaults: a fresh store namespace per invocation unless the caller
+    * pins `options.connectionId`. */
+  def testRun(chain: Seq[EventFunction], eventJson: String,
+              options: ChainOptions = ChainOptions(connectionId = "test-run"),
+              storeSeed: Map[String, String] = Map.empty): TestRunResult = {
+    val mapper = mapperTl.get()
+    val store = new TTLStore(options.connectionId)
+    store.clear() // fresh-store semantics per invocation, like UDFTestRun
+    storeSeed.foreach { case (key, json) =>
+      store.set(key, mapper.readTree(json))
+    }
+    val logs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val wrapped = chain.map(f => f.copy(fn =
+      (e: ObjectNode, ctx: ChainContext) =>
+        f.fn(e, ctx.copy(logSink = Some(logs)))))
+    val out = runOne(mapper, eventJson, wrapped, fromStage = 0, options)
+    val status =
+      if (out.isEmpty) "drop"
+      else if (out.exists(_.status != "success")) out.head.status
+      else "success"
+    TestRunResult(
+      status = status,
+      events = out.filter(_.status == "success").map(_.event),
+      logs = logs.toSeq,
+      error = out.map(_.error).find(e => e != null && e.nonEmpty).orNull,
+      store = store.dump().map { case (key, v) =>
+        key -> mapper.writeValueAsString(v) })
+  }
+
   /** R2: re-drive retry rows from their failed stage. `retries` is the
     * output of a previous run filtered to status == "retry"; returns the
     * chain output of the re-run (stage index looked up by function id). */

@@ -2,7 +2,7 @@ package graft
 
 import com.fasterxml.jackson.databind.node.ObjectNode
 
-import graft.chain.FunctionChain
+import graft.chain.{ChainContext, FunctionChain}
 import graft.chain.FunctionChain._
 
 /** Chain-semantics suite replicating the reference scenarios
@@ -267,5 +267,52 @@ class ChainSpec extends GraftSpec {
     val m = FunctionChain.withMetricsStatus(out.toDF(),
       Seq(dropPages, failOnType3)).collect().head
     assert(m.getAs[String]("metric_status") == "function_error")
+  }
+
+  test("testRun harness: logs captured, store seeded+visible, events out (UDFTestRun shape)") {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    import FunctionChain._
+    val fn = EventFunction("enrich", builtin = false,
+      (e: ObjectNode, ctx: ChainContext) => {
+        ctx.logInfo(s"seen ${e.get("type").asText()}")
+        val n = ctx.store.increment("count")
+        e.put("n", n)
+        e.put("seeded", ctx.store.get("plan").map(_.asText()).getOrElse("?"))
+        Replace(Seq(e))
+      })
+    val r = FunctionChain.testRun(Seq(fn),
+      """{"type":"track","event":"click"}""",
+      storeSeed = Map("plan" -> "\"pro\""))
+    assert(r.status == "success")
+    assert(r.events.size == 1)
+    assert(r.events.head.contains("\"n\":1"))
+    assert(r.events.head.contains("\"seeded\":\"pro\""))
+    assert(r.logs == Seq(("info", "seen track")))
+    assert(r.store.get("count").contains("1"))
+    assert(r.error == null)
+    // fresh-store semantics: a second run does not see the first's count
+    val r2 = FunctionChain.testRun(Seq(fn),
+      """{"type":"track","event":"click"}""",
+      storeSeed = Map("plan" -> "\"pro\""))
+    assert(r2.events.head.contains("\"n\":1"))
+  }
+
+  test("testRun harness: drop, plain-exception pass-through, and retry statuses") {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    import FunctionChain._
+    val dropper = EventFunction("dropper", builtin = false,
+      (_: ObjectNode) => Drop)
+    assert(FunctionChain.testRun(Seq(dropper), """{"type":"page"}""")
+      .status == "drop")
+    // R3: a plain exception skips the function's edits, event continues
+    val thrower = EventFunction("thrower", builtin = false,
+      (_: ObjectNode) => sys.error("boom"))
+    val r = FunctionChain.testRun(Seq(thrower), """{"type":"page"}""")
+    assert(r.status == "success" && r.events.size == 1)
+    assert(r.error != null && r.error.contains("boom"))
+    val retrier = EventFunction("retrier", builtin = false,
+      (_: ObjectNode) => Retry("upstream 503"))
+    val rr = FunctionChain.testRun(Seq(retrier), """{"type":"page"}""")
+    assert(rr.status == "retry" && rr.error.contains("upstream 503"))
   }
 }
