@@ -246,7 +246,29 @@ object Queries {
           col("last_anonymous_id"), col("n_events"),
           unix_timestamp(col("first_seen")).as("first_seen_s"),
           unix_timestamp(col("last_seen")).as("last_seen_s"),
-          col("n_tracks"), col("n_pages")))
+          col("n_tracks"), col("n_pages"))),
+
+    // J5c: INCREMENTAL profile maintenance — the reference's profile
+    // builder loop (S6 changed-users scan feeding S5 per-user history
+    // rebuilds, builder.ts:305-342): only users with events in the
+    // changed window are rebuilt, each over their FULL history. The
+    // oracle is the full j5 profile SQL restricted to the changed-user
+    // set — i.e. the gate asserts the incremental path produces
+    // byte-identical profiles to a full rebuild for every touched user
+    // (the materialized-view maintenance contract).
+    "j5c_incremental_profiles" -> ((s, dir) => {
+      val resolved = UserRecognition.resolveBatch(env(s, dir))
+      val changed = Profiles.changedUsers(resolved,
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+      Profiles.buildProfiles(
+          resolved.join(changed, Seq("user_id"), "left_semi"))
+        .select(col("user_id"), col("email"), col("name"),
+          col("last_anonymous_id"), col("n_events"),
+          unix_timestamp(col("first_seen")).as("first_seen_s"),
+          unix_timestamp(col("last_seen")).as("last_seen_s"),
+          col("n_tracks"), col("n_pages"))
+    })
   )
 
   val pipelineOracles: Map[String, String] = Map(
@@ -389,6 +411,36 @@ object Queries {
         |  CAST(SUM(CASE WHEN type = 'page' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_pages
         |FROM resolved WHERE r_user_id IS NOT NULL
+        |GROUP BY r_user_id""".stripMargin),
+    "j5c_incremental_profiles" -> (adapterCte +
+      """, resolved AS (
+        |  SELECT *,
+        |    COALESCE(user_id, FIRST_VALUE(user_id IGNORE NULLS) OVER (
+        |      PARTITION BY anonymous_id ORDER BY timestamp, message_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS r_user_id
+        |  FROM env),
+        |changed AS (
+        |  SELECT DISTINCT r_user_id FROM resolved
+        |  WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
+        |    AND timestamp <= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND r_user_id IS NOT NULL)
+        |SELECT r_user_id AS user_id,
+        |  MAX(CASE WHEN type = 'identify'
+        |    THEN 'user' || raw_user_id || '@example.com' END) AS email,
+        |  MAX(CASE WHEN type = 'identify'
+        |    THEN 'User ' || raw_user_id END) AS name,
+        |  arg_max(anonymous_id, timestamp) AS last_anonymous_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(epoch(date_trunc('second', MIN(timestamp))) AS BIGINT)
+        |    AS first_seen_s,
+        |  CAST(epoch(date_trunc('second', MAX(timestamp))) AS BIGINT)
+        |    AS last_seen_s,
+        |  CAST(SUM(CASE WHEN type = 'track' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tracks,
+        |  CAST(SUM(CASE WHEN type = 'page' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pages
+        |FROM resolved
+        |WHERE r_user_id IN (SELECT r_user_id FROM changed)
         |GROUP BY r_user_id""".stripMargin)
   )
 
