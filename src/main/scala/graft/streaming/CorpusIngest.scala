@@ -24,7 +24,7 @@ import graft.operators.Dedup
   *    MinHash banding — recall 1-1e-8 at j >= 0.5 with 64x2 bands —
   *    then exact verify, same as the batch operators);
   *  - within-batch: a doc is dropped iff a SMALLER-id doc in the same
-  *    batch matches it (the pair list's id_b side). A doc similar only
+  *    batch matches it. A doc similar only
   *    to an already-dropped batch-mate is still dropped — the duplicate
   *    cluster keeps its minimal representative (or its prior match).
   *
@@ -91,39 +91,47 @@ object CorpusIngest {
     // instead of re-running minhash + explode for each consumer
     val newBands = Dedup.banded(newSh, numHashes, rowsPerBand).persist()
     try {
-      // cross-batch: candidates vs the STORED band index, exact verify
-      // against the stored shingle sets
-      val crossDrop =
-        if (Files.exists(Paths.get(s"$indexDir/bands"))) {
-          val priorBands = spark.read.parquet(s"$indexDir/bands")
-          val priorSh = spark.read.parquet(s"$indexDir/shingles")
-          val cands = newBands.as("a").join(priorBands.as("b"),
-              col("a.band") === col("b.band") &&
-                col("a.bucket") === col("b.bucket"))
-            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-            .dropDuplicates("id_a", "id_b")
-          Dedup.verifyPairs(cands, newSh, priorSh, threshold)
-            .select(col("id_a").as("id")).distinct()
-        } else newSh.select(col("id")).limit(0)
-      // within-batch: the banding self-join, drop the larger id of
-      // every verified pair
+      // Candidate pairs are ORIENTED so the to-drop doc is always id_a,
+      // letting cross-batch and within-batch candidates share ONE
+      // dedup + verify pass (halves the per-batch job count; verify is
+      // jaccard-symmetric so orientation never changes the verdict):
+      //  - cross: (id_a = new doc, id_b = stored doc) — the new copy
+      //    of an already-kept doc drops;
+      //  - within: (id_a = larger id, id_b = smaller id) — the
+      //    duplicate cluster keeps its minimal representative.
+      val hasPrior = Files.exists(Paths.get(s"$indexDir/bands"))
       val withinCands = newBands.as("a").join(newBands.as("b"),
           col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket") &&
-            col("a.id") < col("b.id"))
+            col("a.id") > col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-      val withinDrop = Dedup.verifyPairs(withinCands, newSh, newSh, threshold)
-        .select(col("id_b").as("id")).distinct()
+      val cands =
+        if (hasPrior) {
+          val priorBands = spark.read.parquet(s"$indexDir/bands")
+          withinCands.union(newBands.as("a").join(priorBands.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
+        } else withinCands
+      // id_a is always a new doc; id_b can be new OR stored, so the
+      // verify side is the union of the batch's shingles and the
+      // stored shingle table (ids are disjoint across batches)
+      val verifySide =
+        if (hasPrior)
+          newSh.unionByName(spark.read.parquet(s"$indexDir/shingles"))
+        else newSh
       // EAGER localCheckpoint, NOT a lazy persist: this plan reads the
       // index parquet the code below appends to, and Spark refreshes
       // path-based caches on write — a lazily-cached frame would be
       // recomputed AFTER the append and match every new doc against its
       // own just-written signatures (self-pair, jaccard 1, everything
       // flagged dup). Checkpointing pins the verdict first.
-      val dropped = crossDrop.union(withinDrop).distinct()
+      val dropped = Dedup.verifyPairs(
+          cands.dropDuplicates("id_a", "id_b"), newSh, verifySide,
+          threshold)
+        .select(col("id_a").as("id")).distinct()
         .localCheckpoint(true)
-      val kept = newSh.join(dropped, Seq("id"), "left_anti")
+      val kept = newSh.join(broadcast(dropped), Seq("id"), "left_anti")
       // survivors extend the index; their band keys are anti-joined out
       // of the CACHED band frame against the broadcast dropped-id set
       // (no shuffle, no minhash recompute)
@@ -133,8 +141,8 @@ object CorpusIngest {
       // per-doc outcome log — keyed on the BATCH, not the shingle frame:
       // a doc too short to shingle can never match and is kept
       batch.select(col("doc_id"))
-        .join(dropped.withColumnRenamed("id", "doc_id")
-          .withColumn("status", lit("dup")), Seq("doc_id"), "left")
+        .join(broadcast(dropped.withColumnRenamed("id", "doc_id")
+          .withColumn("status", lit("dup"))), Seq("doc_id"), "left")
         .na.fill("kept", Seq("status"))
         .write.mode("append").parquet(outDir)
       dropped.unpersist(false)
