@@ -12,7 +12,7 @@ import graft.operators.UserRecognition
 import graft.sinks.{SinkOptions, SinkRouter}
 import graft.sources.DriverEventsAdapter
 import graft.sql.GuardedSql
-import graft.streaming.{CorpusIngest, EventPipeline}
+import graft.streaming.{AnnIngest, CorpusIngest, EventPipeline}
 
 /** System-level queries: each round-trips a whole subsystem (function
   * chain, sink router, guarded SQL, streaming pipeline) and reduces the
@@ -57,6 +57,30 @@ object QueriesSystem {
           .find(f => f.getName.startsWith("part-") &&
             f.getName.endsWith(".json")).get
         val dst = new java.io.File(in, s"b$b.json")
+        Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + b * 60000L)
+        ()
+      }
+      in
+    })
+
+  /** Staged 3-file embedding input for `s3_ann_ingest` (one parquet
+    * file per micro-batch, vec_id % 3, mtime ordered), memoized per sf
+    * dir. Parquet staging keeps float32 embeddings bit-exact. */
+  private val stagedVecs = scala.collection.concurrent.TrieMap.empty[String, String]
+  def stageVecBatches(s: org.apache.spark.sql.SparkSession,
+                      dir: String): String =
+    stagedVecs.getOrElseUpdate(dir, {
+      val in = tmp("graft-ai-in")
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      (0 to 2).foreach { b =>
+        val stage = tmp("graft-ai-st")
+        vecs.filter(pmod(col("vec_id"), lit(3)) === b).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(in, s"b$b.parquet")
         Files.move(part.toPath, dst.toPath)
         dst.setLastModified(1700000000000L + b * 60000L)
         ()
@@ -308,6 +332,24 @@ object QueriesSystem {
         .select(col("doc_id"), col("batch"), col("status"))
     }),
 
+    // streaming embedding-index ingest: three embedding batches flow
+    // through AnnIngest — the FIRST seeds the IVF quantizer (its 8
+    // smallest-id vectors become the cells), every batch is assigned
+    // against the STORED centroids and appended to the cell-partitioned
+    // vector table. Oracle: the seed rule + the rounded-cosine argmax
+    // (ties to the lower cell) replayed exactly in SQL
+    "s3_ann_ingest" -> ((s, dir) => {
+      val in = stageVecBatches(s, dir)
+      val idx = tmp("graft-ai-idx")
+      val out = tmp("graft-ai-out"); val cp = tmp("graft-ai-cp")
+      val q = AnnIngest.start(s, in, idx, out, cp, nlist = 8,
+        shufflePartitions = 8)
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(out)
+        .withColumn("batch", pmod(col("vec_id"), lit(3)).cast("int"))
+        .select(col("vec_id"), col("batch"), col("cell"), col("cos"))
+    }),
+
     // L1 + extensions: a native graft expression (word_shingles,
     // registered by GraftExtensions) called straight from the guarded
     // SQL surface — the "switch engines, keep your SQL" contract; the
@@ -485,6 +527,23 @@ object QueriesSystem {
         |  CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INT)
         |    AS row_num
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+    "s3_ann_ingest" ->
+      """WITH cents AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cell, embedding AS cvec
+        |  FROM embeddings
+        |  WHERE vec_id % 3 = 0 AND embedding IS NOT NULL
+        |  ORDER BY vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT e.vec_id, CAST(e.vec_id % 3 AS INT) AS batch, c.cell,
+        |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      c.cvec::DOUBLE[]), 6) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+        |        c.cvec::DOUBLE[]), 6) DESC, c.cell) AS rk
+        |  FROM embeddings e CROSS JOIN cents c
+        |  WHERE e.embedding IS NOT NULL)
+        |SELECT vec_id, batch, cell, cos FROM scored WHERE rk = 1""".stripMargin,
     "s2_corpus_ingest" ->
       """WITH ws0 AS (
         |  SELECT doc_id,

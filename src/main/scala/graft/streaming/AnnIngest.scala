@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType,
+  LongType, StructField, StructType}
+
+import graft.functions.expressions.VectorKernels
+
+/** Streaming embedding-index ingest — the vector-search twin of
+  * [[CorpusIngest]]: embedding batches arrive as files, the FIRST batch
+  * seeds the IVF coarse quantizer (its `nlist` smallest-id vectors
+  * become the cell centroids — deterministic, so an external engine can
+  * replay every downstream assignment), and every batch is assigned to
+  * its nearest-centroid cell and appended to a cell-partitioned vector
+  * table. This is the "embedding corpus grows continuously" production
+  * shape: per batch the work is O(batch × nlist) codegen'd kernel
+  * evaluations against BROADCAST centroids (nlist × dim floats — the
+  * one piece of an IVF index that is always driver/executor-resident)
+  * plus a partitioned append; never a re-index of the stored corpus.
+  *
+  * Assignment rule (deterministic): argmax of ROUND(cosine, 6) over the
+  * stored centroids, exact ties to the LOWER cell id — rounding is part
+  * of the CONTRACT, not a display choice, so any engine computing
+  * double-precision cosine reproduces the same cells (the same rule as
+  * [[graft.operators.Similarity.ivfTopK]]'s scoring).
+  *
+  * The stored layout is `centroids` (cell, vec — written once) and
+  * `vectors` (id, vec) PARTITIONED BY cell: a search probing p cells
+  * reads exactly p directories (partition pruning does the routing; at
+  * 100 TB this is the difference between a scan and an index lookup).
+  * Centroids are intentionally NEVER retrained on later batches —
+  * re-seeding would silently re-route future appends away from the
+  * cells earlier vectors live in; a production recentroid is a separate
+  * offline rebuild of the whole table (the honest caveat, same family
+  * as the sink's append-mode at-least-once note).
+  */
+object AnnIngest {
+
+  val VecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Process `inputDir` (one parquet file per micro-batch in
+    * modification-time order) with Trigger.AvailableNow. Parquet, not
+    * json-lines, on purpose: float32 embeddings survive the file hop
+    * bit-exactly. `shufflePartitions` sizes per-batch jobs to the batch
+    * volume (same rule as [[CorpusIngest.start]]). */
+  def start(spark: SparkSession, inputDir: String, indexDir: String,
+            outDir: String, checkpointDir: String,
+            nlist: Int = 8, shufflePartitions: Int = 0): StreamingQuery = {
+    val session =
+      if (shufflePartitions <= 0) spark
+      else {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitions.toString)
+        s2
+      }
+    session.readStream
+      .schema(VecSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, indexDir, outDir, nlist)
+      }
+      .start()
+  }
+
+  /** One batch against the stored index; also usable from a batch job
+    * for backfills. */
+  def processBatch(batch: DataFrame, indexDir: String, outDir: String,
+                   nlist: Int): Unit = {
+    val spark = batch.sparkSession
+    val vecs = batch.na.drop(Seq("embedding"))
+    val centDir = s"$indexDir/centroids"
+    val cents: Array[(Int, Array[Float])] =
+      if (Files.exists(Paths.get(centDir)))
+        spark.read.parquet(centDir).collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+      else {
+        // seed quantizer: the batch's nlist smallest ids, cell = rank.
+        // Only nlist × dim floats ever reach the driver.
+        val seeds = vecs.select(col("vec_id"), col("embedding"))
+          .orderBy(col("vec_id")).limit(nlist).collect()
+          .zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+        spark.createDataFrame(seeds.toSeq.map { case (c, v) => (c, v.toSeq) })
+          .toDF("cell", "vec")
+          .coalesce(1).write.parquet(centDir)
+        seeds
+      }
+    val assigned = vecs.select(col("vec_id"), col("embedding"),
+        bestCell(col("embedding"), cents).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cell").as("cell"), col("best.cos").as("cos"))
+    // partitioned append: the stored, searchable index — probe-time
+    // partition pruning reads only the probed cells' directories
+    assigned.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/vectors")
+    // per-vector outcome log (the query surface)
+    assigned.select(col("vec_id"), col("cell"), col("cos"))
+      .write.mode("append").parquet(outDir)
+  }
+
+  /** struct(cell, cos) of the nearest centroid under the rounded-cosine
+    * argmax rule: max by (cos, -cell) — exact ties take the lower cell. */
+  private def bestCell(vec: Column,
+                       cents: Array[(Int, Array[Float])]): Column = {
+    val simIdx = array(cents.map { case (cell, cv) =>
+      struct(
+        round(VectorKernels.cosine_sim(vec, typedLit(cv.toSeq)), 6).as("cos"),
+        lit(-cell).as("nc"))
+    }: _*)
+    val best = array_max(simIdx)
+    struct((-best.getField("nc")).cast("int").as("cell"),
+      best.getField("cos").as("cos"))
+  }
+}
