@@ -350,6 +350,22 @@ object QueriesExtra {
       graft.operators.Frequency.heavyHitters(
         graft.schema.EventSchema.readEvents(s, dir), "user_id", k = 150)),
 
+    // A12-beyond: count-min sketch — the MERGEABLE frequency sketch
+    // (heavyHitters' exact-two-pass complement for shard/window merge).
+    // md5-derived buckets make the sketch AND every min-estimate
+    // engine-replayable, so the gate is hash-exact, not a bound check;
+    // the output carries the exact count alongside so est >= cnt is
+    // visible in the gated rows. CmsSpec holds mergeability + bounds.
+    "a12b_cms_freq" -> ((s, dir) => {
+      val ev = graft.schema.EventSchema.readEvents(s, dir)
+      val sk = graft.operators.Frequency.cmsSketch(ev, "user_id")
+      graft.operators.Frequency.cmsEstimate(sk, ev, "user_id")
+        .join(ev.filter(col("user_id").isNotNull)
+          .groupBy(col("user_id").cast("string").as("item"))
+          .agg(count(lit(1)).as("cnt")), Seq("item"))
+        .select(col("item"), col("est"), col("cnt"))
+    }),
+
     // J6-beyond: time-windowed attribution (view -> purchase within 10
     // min). Same Attribution.attribute code path the stream-stream join
     // runs (watermarks are analyzer-eliminated in batch), so the oracle
@@ -426,6 +442,32 @@ object QueriesExtra {
         |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS exact_uniques,
         |  true AS hll_ok
         |FROM env GROUP BY 1, 2""".stripMargin),
+    "a12b_cms_freq" ->
+      """WITH it AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS item FROM events
+        |  WHERE user_id IS NOT NULL),
+        |rs AS (SELECT unnest(range(4)) AS r),
+        |bk AS (
+        |  SELECT item, r,
+        |    CAST(('0x' || substr(md5(item || '|' || CAST(r AS VARCHAR)),
+        |      1, 8))::BIGINT % 512 AS INT) AS c
+        |  FROM it CROSS JOIN rs),
+        |sk AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM bk GROUP BY r, c),
+        |di AS (SELECT DISTINCT item FROM it),
+        |db AS (
+        |  SELECT item, r,
+        |    CAST(('0x' || substr(md5(item || '|' || CAST(r AS VARCHAR)),
+        |      1, 8))::BIGINT % 512 AS INT) AS c
+        |  FROM di CROSS JOIN rs),
+        |est AS (
+        |  SELECT d.item, MIN(COALESCE(s.cnt, 0)) AS est
+        |  FROM db d LEFT JOIN sk s ON d.r = s.r AND d.c = s.c
+        |  GROUP BY d.item),
+        |ex AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM it GROUP BY item)
+        |SELECT e.item, e.est, x.cnt
+        |FROM est e JOIN ex x ON e.item = x.item""".stripMargin,
     "a12_heavy_hitters" ->
       """SELECT CAST(user_id AS VARCHAR) AS item,
         |  CAST(COUNT(*) AS BIGINT) AS cnt

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Frequency analysis over unbounded key domains.
@@ -112,4 +112,55 @@ object Frequency {
       }
       .toDF("item", "min_count", "max_count")
   }
+
+  /** Count-min sketch (Cormode–Muthukrishnan '05) as a depth × width
+    * counter TABLE `(r, c, cnt)` — the mergeable frequency sketch
+    * complementing [[heavyHitters]]' exact two-pass: sketches from
+    * disjoint corpus shards (or stream windows) merge by summing on
+    * (r, c), and a point estimate never needs the raw data again.
+    * Buckets derive from md5 (the same engine-replayable rule as
+    * [[Sampling]]'s buckets, NOT a JVM-private hash), so the sketch and
+    * every estimate are deterministic and exactly reproducible by any
+    * engine — the gate can be hash-exact instead of a bound check.
+    * Classic one-sided error: est >= true always (CmsSpec), and
+    * overestimates exceed 2N/width with probability < 2^-depth.
+    * At 100 TB: one map-side-combinable explode-aggregate over the
+    * corpus; the sketch itself is <= depth*width rows regardless of
+    * input size. */
+  def cmsBucket(item: Column, r: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws("|", item, lit(r.toString))), 1, 8),
+      16, 10).cast("long"), lit(width.toLong)).cast("int")
+
+  def cmsSketch(df: DataFrame, itemCol: String, depth: Int = 4,
+                width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .select(posexplode(array((0 until depth).map(r =>
+        cmsBucket(col("item"), r, width)): _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "c")
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches built with identical (depth, width): (r, c)-wise
+    * sum. This IS the maintenance step — a stored sketch plus each
+    * micro-batch's sketch, or per-shard sketches at reduce time; no
+    * raw data is revisited. */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for every distinct item in `items`:
+    * min over the item's depth counters (absent bucket = 0). The sketch
+    * side broadcasts (<= depth*width rows by construction). */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
+                  depth: Int = 4, width: Int = 512): DataFrame =
+    items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull).distinct()
+      .select(col("item"), posexplode(array((0 until depth).map(r =>
+        cmsBucket(col("item"), r, width)): _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "c")
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

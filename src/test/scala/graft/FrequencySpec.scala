@@ -103,4 +103,50 @@ class FrequencySpec extends GraftSpec {
       .as[(String, Long)].collect().toSet
     assert(got == Set(("7", 9L)))
   }
+
+  // ---- count-min sketch ----
+
+  private def cmsData(rows: Seq[String]) =
+    rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("row_id", "item")
+
+  test("cms: estimate is never below the true count, and exact on a collision-free toy set") {
+    val df = cmsData(Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+    val sk = Frequency.cmsSketch(df, "item", depth = 4, width = 512)
+    val est = Frequency.cmsEstimate(sk, df, "item", depth = 4, width = 512)
+      .as[(String, Long)].collect().toMap
+    // 3 items into 512 buckets x 4 rows: some row is collision-free
+    // with near-certainty, so the min IS the true count
+    assert(est == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+  }
+
+  test("cms: est >= true for every item under forced collisions (width 2)") {
+    val rows = (1 to 40).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i"))
+    val df = cmsData(rows)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = Frequency.cmsEstimate(
+        Frequency.cmsSketch(df, "item", depth = 3, width = 2),
+        df, "item", depth = 3, width = 2)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == truth.keySet)
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"$k: est ${est(k)} < true $t") }
+    // every sketch row sums to N — no occurrence lost or double-counted
+    val rowSums = Frequency.cmsSketch(df, "item", depth = 3, width = 2)
+      .groupBy(col("r")).agg(sum(col("cnt")).as("s"))
+      .as[(Int, Long)].collect().toMap
+    assert(rowSums == Map(0 -> rows.size.toLong, 1 -> rows.size.toLong,
+      2 -> rows.size.toLong))
+  }
+
+  test("cms: sketches of disjoint shards merge by (r,c) sum to the whole-corpus sketch") {
+    val a = cmsData(Seq.fill(4)("x") ++ Seq.fill(2)("y"))
+    val b = cmsData(Seq.fill(3)("y") ++ Seq("z"))
+    val whole = cmsData(Seq.fill(4)("x") ++ Seq.fill(5)("y") ++ Seq("z"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val merged = toMap(Frequency.cmsMerge(
+      Frequency.cmsSketch(a, "item"), Frequency.cmsSketch(b, "item")))
+    assert(merged == toMap(Frequency.cmsSketch(whole, "item")))
+  }
 }
