@@ -88,6 +88,22 @@ object Queries {
           col("l_linenumber"), round(col("l_extendedprice"), 2).as("price"))
     }),
 
+    // navigation window battery — lead/lag/ntile/cume_dist over one
+    // per-supplier sort (all four ride the same Window spec = one
+    // shuffle + sort; the plan-shape floor for ordered-neighbor logic)
+    "window_nav" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(
+        col("l_orderkey"), col("l_linenumber"))
+      li(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          lag(col("l_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("l_orderkey"), 1).over(w).as("next_order"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .filter(col("l_suppkey") % 10 === 0)
+    }),
+
     "semi_anti_join" -> ((s, dir) => {
       val orders = tbl(s, dir, "orders").filter(col("o_totalprice") > 100000)
       tbl(s, dir, "customer")
@@ -124,6 +140,17 @@ object Queries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name""".stripMargin,
+    "window_nav" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    LAG(l_orderkey, 1) OVER w AS prev_order,
+        |    LEAD(l_orderkey, 1) OVER w AS next_order,
+        |    CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |    ROUND(CUME_DIST() OVER w, 6) AS cume
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber)) t
+        |WHERE l_suppkey % 10 = 0""".stripMargin,
     "window_rank" ->
       """SELECT l_suppkey, rn, l_orderkey, l_linenumber, price FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber,
@@ -176,6 +203,50 @@ object Queries {
           col("connection_id"), col("type"))
         .agg(count(lit(1)).as("events"),
           countDistinct(col("message_id")).as("uniq_events"))),
+
+    // A2-incremental: PARTITION-grain MV maintenance of the metrics
+    // rollup — a changed event invalidates its period partition, and
+    // only those partitions are recomputed (from ALL their events).
+    // The j5c twin at partition grain instead of key grain: the gate
+    // asserts the incremental path is byte-identical to a full rebuild
+    // restricted to the touched periods. countDistinct makes the
+    // rollup non-subtractable, so partition recompute (not delta
+    // arithmetic) is the honest maintenance strategy.
+    "a2b_incremental_rollup" -> ((s, dir) => {
+      val e = env(s, dir)
+        .withColumn("period",
+          date_format(col("timestamp"), "yyyy-MM-dd"))
+      val changed = e.filter(
+          col("timestamp") > lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("timestamp") <= lit("2024-01-20 00:00:00").cast("timestamp"))
+        .select(col("period")).distinct()
+      e.join(broadcast(changed), Seq("period"), "left_semi")
+        .groupBy(col("period"), col("connection_id"), col("type"))
+        .agg(count(lit(1)).as("events"),
+          countDistinct(col("message_id")).as("uniq_events"))
+    }),
+
+    // A2-beyond: z-score anomaly flags over the per-connection daily
+    // event series (the alerting pass a metrics MV feeds). Both the
+    // threshold comparison and the reported z use 4-dp-ROUNDED values
+    // so the flag decision is engine-exact, not a float knife-edge;
+    // the series stats are one window over the (tiny) rollup, not the
+    // event stream.
+    "a15_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = env(s, dir)
+        .groupBy(col("connection_id"),
+          date_format(col("timestamp"), "yyyy-MM-dd").as("period"))
+        .agg(count(lit(1)).as("events"))
+      val w = Window.partitionBy(col("connection_id"))
+      d.withColumn("mu", avg(col("events")).over(w))
+        .withColumn("sd", stddev_samp(col("events")).over(w))
+        .filter(col("sd") > 0 &&
+          round(abs(col("events") - col("mu")), 4) >
+            round(col("sd") * 2, 4))
+        .select(col("connection_id"), col("period"), col("events"),
+          round((col("events") - col("mu")) / col("sd"), 4).as("z"))
+    }),
 
     // F3/F4/F6/F7/F8/F9/F12 scalar battery over the envelope
     "f_scalars" -> ((s, dir) => {
@@ -283,6 +354,31 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS events,
         |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq_events
         |FROM env GROUP BY 1, 2, 3""".stripMargin),
+    "a15_anomaly" -> (adapterCte +
+      """, d AS (
+        |  SELECT connection_id, strftime(timestamp, '%Y-%m-%d') AS period,
+        |    CAST(COUNT(*) AS BIGINT) AS events
+        |  FROM env GROUP BY 1, 2),
+        |st AS (
+        |  SELECT *, AVG(events) OVER (PARTITION BY connection_id) AS mu,
+        |    STDDEV_SAMP(events) OVER (PARTITION BY connection_id) AS sd
+        |  FROM d)
+        |SELECT connection_id, period, events,
+        |  ROUND((events - mu) / sd, 4) AS z
+        |FROM st
+        |WHERE sd > 0 AND ROUND(ABS(events - mu), 4) > ROUND(2 * sd, 4)"""
+        .stripMargin),
+    "a2b_incremental_rollup" -> (adapterCte +
+      """SELECT strftime(timestamp, '%Y-%m-%d') AS period,
+        |  connection_id, type,
+        |  CAST(COUNT(*) AS BIGINT) AS events,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq_events
+        |FROM env
+        |WHERE strftime(timestamp, '%Y-%m-%d') IN (
+        |  SELECT DISTINCT strftime(timestamp, '%Y-%m-%d') FROM env
+        |  WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
+        |    AND timestamp <= TIMESTAMP '2024-01-20 00:00:00')
+        |GROUP BY 1, 2, 3""".stripMargin),
     "f_scalars" -> (adapterCte +
       """SELECT message_id,
         |  CASE type WHEN 'identify' THEN 'identifies'
