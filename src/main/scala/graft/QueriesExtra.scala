@@ -415,6 +415,32 @@ object QueriesExtra {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_events")).as("sum_user_events"))
+    }),
+
+    // beyond-reference: declarative data-quality battery (dbt-test /
+    // Great-Expectations family) — each check reduces to one violation
+    // count, the union is the promotion gate. Includes checks that
+    // REALLY fire on this data (qty<=30, date ordering) so the gate
+    // proves the counting, not just a row of zeros.
+    "dq_checks" -> ((s, dir) => {
+      import graft.operators.DataChecks
+      val liT = s.read.parquet(s"$dir/lineitem.parquet")
+      val ordT = s.read.parquet(s"$dir/orders.parquet")
+      val custT = s.read.parquet(s"$dir/customer.parquet")
+      DataChecks.run(
+        DataChecks.unique(ordT, Seq("o_orderkey"), "orders_pk_unique"),
+        DataChecks.referential(liT, "l_orderkey", ordT, "o_orderkey",
+          "lineitem_orderkey_ref"),
+        DataChecks.referential(ordT, "o_custkey", custT, "c_custkey",
+          "orders_custkey_ref"),
+        DataChecks.notNull(liT, Seq("l_orderkey", "l_linenumber"),
+          "lineitem_keys_notnull"),
+        DataChecks.expression(liT,
+          col("l_quantity") >= 1 && col("l_quantity") <= 30,
+          "lineitem_qty_le30"),
+        DataChecks.expression(liT,
+          col("l_discount") >= 0 && col("l_discount") <= 0.1,
+          "lineitem_discount_range"))
     })
   )
 
@@ -442,6 +468,39 @@ object QueriesExtra {
         |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS exact_uniques,
         |  true AS hll_ok
         |FROM env GROUP BY 1, 2""".stripMargin),
+    "dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |    CAST((SELECT COALESCE(SUM(n - 1), 0) FROM (
+        |        SELECT COUNT(*) AS n FROM orders
+        |        WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey) t)
+        |      + (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+        |      AS BIGINT) AS violations
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_ref',
+        |    CAST((SELECT COUNT(*) FROM lineitem l
+        |      WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+        |        SELECT 1 FROM orders o
+        |        WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders_custkey_ref',
+        |    CAST((SELECT COUNT(*) FROM orders o
+        |      WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+        |        SELECT 1 FROM customer c
+        |        WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem_keys_notnull',
+        |    CAST((SELECT COUNT(*) FROM lineitem
+        |      WHERE l_orderkey IS NULL OR l_linenumber IS NULL) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_le30',
+        |    CAST((SELECT COUNT(*) FROM lineitem WHERE NOT COALESCE(
+        |      l_quantity >= 1 AND l_quantity <= 30, FALSE)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |    CAST((SELECT COUNT(*) FROM lineitem WHERE NOT COALESCE(
+        |      l_discount >= 0 AND l_discount <= 0.1, FALSE)) AS BIGINT)
+        |) ORDER BY check_name""".stripMargin,
     "a12b_cms_freq" ->
       """WITH it AS (
         |  SELECT CAST(user_id AS VARCHAR) AS item FROM events

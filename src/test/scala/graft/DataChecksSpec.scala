@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DataChecks
+
+/** Data-quality battery: every check counts exactly its planted
+  * violations and nothing else. */
+class DataChecksSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("unique: counts extra copies per key plus null-keyed rows") {
+    val df = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None, None)
+      .toDF("k")
+    // key 1 has 2 extra copies; 2 null keys
+    val got = DataChecks.run(DataChecks.unique(df, Seq("k"), "u"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("u", 4L)))
+  }
+
+  test("referential: non-null child keys missing from the parent") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = DataChecks.run(
+        DataChecks.referential(child, "fk", parent, "pk", "r"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("r", 2L))) // both 9s; the null is not a violation
+  }
+
+  test("notNull and expression: null-pass counts as a violation") {
+    val df = Seq((Some(1L), Some(5.0)), (None, Some(0.5)),
+      (Some(3L), None)).toDF("a", "b")
+    val got = DataChecks.run(
+        DataChecks.notNull(df, Seq("a"), "nn"),
+        DataChecks.expression(df, col("b") <= 1.0, "expr"))
+      .as[(String, Long)].collect().toMap
+    // nn: one null a; expr: b=5.0 fails, b=null fails (null-pass = fail)
+    assert(got == Map("nn" -> 1L, "expr" -> 2L))
+  }
+
+  test("run: clean tables yield an all-zero report in check-name order") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val got = DataChecks.run(
+        DataChecks.unique(df, Seq("id"), "b_unique"),
+        DataChecks.notNull(df, Seq("id", "v"), "a_notnull"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a_notnull", 0L), ("b_unique", 0L)))
+  }
+}
