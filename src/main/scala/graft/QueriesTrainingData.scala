@@ -371,6 +371,23 @@ object QueriesTrainingData {
       operators.Decontamination.vocab(docs(s, dir), "text", minCount = 50)
         .orderBy(desc("n"), asc("word")).limit(100)),
 
+    // BM25 keyword retrieval — the lexical half of the retrieval
+    // surface (ANN is the semantic half). Terms span the df spectrum
+    // ("dup" is rare → high idf; the others near-ubiquitous) so the
+    // scores exercise both idf regimes. Rounded-score + doc_id
+    // ordering makes the top-50 cut engine-stable.
+    "td_bm25" -> ((s, dir) =>
+      operators.KeywordSearch.bm25(docs(s, dir), "doc_id", "text",
+        Seq("dup", "vector", "key"), topK = 50)),
+
+    // TF-IDF top-3 keywords per doc (keyword-extraction dual of BM25);
+    // per-doc cut compiles to WindowGroupLimit. Bounded to a
+    // deterministic doc subset to keep the gate output small.
+    "td_tfidf_terms" -> ((s, dir) =>
+      operators.KeywordSearch.tfIdfTopTerms(
+        docs(s, dir).filter(pmod(col("doc_id"), lit(29)) === 0),
+        "doc_id", "text", topN = 3)),
+
     // Gopher-style quality rule suite: per-doc metrics + composite pass
     // flag — a single codegen'd map pass, no shuffle (the per-doc gate
     // every web-scale curation pipeline runs first)
@@ -1524,6 +1541,54 @@ object QueriesTrainingData {
         |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         |FROM words GROUP BY word HAVING COUNT(*) >= 50
         |ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    "td_bm25" ->
+      """WITH dld AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS INT) AS dl, w FROM dld),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |m AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(w) AS term FROM dl)
+        |  WHERE term IN ('dup', 'vector', 'key')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(*) AS df FROM m GROUP BY 1),
+        |s AS (
+        |  SELECT m.doc_id, m.dl, m.tf,
+        |    ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |      (m.tf * 2.2) /
+        |      (m.tf + 1.2 * (0.25 + 0.75 * m.dl / stats.avgdl)) AS s
+        |  FROM m, df, stats WHERE m.term = df.term)
+        |SELECT doc_id, dl, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(tf) AS BIGINT) AS sum_tf, ROUND(SUM(s), 4) AS score
+        |FROM s GROUP BY 1, 2
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "td_tfidf_terms" ->
+      """WITH dld AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS w
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |dl AS (SELECT doc_id, CAST(len(w) AS INT) AS dl, w FROM dld),
+        |n AS (SELECT COUNT(*) AS n_docs FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(w) AS term FROM dl)
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    ROUND((CAST(tf.tf AS DOUBLE) / tf.dl) *
+        |      ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+        |  FROM tf, df, n WHERE tf.term = df.term),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+        |  CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
     "td_urlfilter" -> {
       val hostList = UrlHosts.map(h => s"'$h'").mkString("[", ", ", "]")
       val pathList = UrlPaths.map(p => s"'$p'").mkString("[", ", ", "]")
