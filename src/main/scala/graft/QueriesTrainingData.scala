@@ -117,6 +117,26 @@ object QueriesTrainingData {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // hybrid retrieval: lexical (word-set Jaccard) top-20 + semantic
+    // (exact cosine) top-20, fused by reciprocal rank fusion — RRF
+    // consumes only ranks, so the fusion replays exactly in SQL even
+    // though the two score spaces are incomparable. doc_id and vec_id
+    // share an id space in the testdata (one embedding per document).
+    "td_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("ws"))
+      val lex = operators.HybridRetrieval.jaccardTopK(
+        d.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("ws")),
+        d.select(col("doc_id").as("id"), col("ws")), k = 20)
+      val e = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val sem = Similarity.bruteForceTopK(
+        e.filter(col("id") < 5).select(col("id").as("qid"), col("vec")),
+        e, k = 20)
+      operators.HybridRetrieval.rrf(lex, sem, topK = 10)
+    }),
+
     // LSH-bucketed ANN (scale path) — rows-only (approximate by design)
     "ann_lsh_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -1234,6 +1254,46 @@ object QueriesTrainingData {
         |        c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rank
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+    "td_hybrid_rrf" ->
+      """WITH dw AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    w -> len(w) > 0)) AS ws
+        |  FROM documents),
+        |lexall AS (
+        |  SELECT q.doc_id AS qid, c.doc_id AS id,
+        |    ROUND(CAST(len(list_intersect(q.ws, c.ws)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(q.ws, c.ws))), 6) AS jaccard
+        |  FROM dw q, dw c WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id),
+        |lex AS (
+        |  SELECT qid, id, lex_rank FROM (
+        |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY jaccard DESC, id) AS lex_rank FROM lexall)
+        |  WHERE lex_rank <= 20),
+        |semall AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |sem AS (
+        |  SELECT qid, id, sem_rank FROM (
+        |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, id) AS sem_rank FROM semall)
+        |  WHERE sem_rank <= 20),
+        |fused AS (
+        |  SELECT COALESCE(lex.qid, sem.qid) AS qid,
+        |    COALESCE(lex.id, sem.id) AS id,
+        |    ROUND(COALESCE(1.0 / (60 + lex_rank), 0) +
+        |          COALESCE(1.0 / (60 + sem_rank), 0), 6) AS rrf,
+        |    CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+        |    CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank
+        |  FROM lex FULL OUTER JOIN sem
+        |    ON lex.qid = sem.qid AND lex.id = sem.id)
+        |SELECT qid, rank, id, rrf, lex_rank, sem_rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, id) AS INT) AS rank FROM fused)
         |WHERE rank <= 10""".stripMargin,
     "text_stats" -> (wordsOnlyCte +
       """SELECT doc_id,
