@@ -248,6 +248,27 @@ object Queries {
           round((col("events") - col("mu")) / col("sd"), 4).as("z"))
     }),
 
+    // A2-beyond: gap-filled daily resample of per-user event counts
+    // (the time_bucket_gapfill family) — zero-fill for the count,
+    // LOCF for the gauge reading, is_gap marking manufactured rows.
+    // Operates on the rollup; the dense grid is keys × days sized.
+    "a16_gapfill" -> ((s, dir) => {
+      val pts = env(s, dir)
+        .filter(col("user_id").isNotNull &&
+          pmod(substring(col("user_id"), 2, 19).cast("long"),
+            lit(10)) === 0)
+        .groupBy(col("user_id").as("key"),
+          to_date(col("timestamp")).as("d"))
+        .agg(count(lit(1)).as("value"))
+      graft.operators.TimeSeries.gapfillDaily(pts)
+        .select(col("key"),
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("value").as("events"),
+          col("value_zero").as("events_zero"),
+          col("value_locf").as("events_locf"),
+          col("is_gap"))
+    }),
+
     // F3/F4/F6/F7/F8/F9/F12 scalar battery over the envelope
     "f_scalars" -> ((s, dir) => {
       import graft.functions.Scalars._
@@ -354,6 +375,28 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS events,
         |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq_events
         |FROM env GROUP BY 1, 2, 3""".stripMargin),
+    "a16_gapfill" -> (adapterCte +
+      """, pts AS (
+        |  SELECT user_id AS key, CAST(timestamp AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM env
+        |  WHERE user_id IS NOT NULL AND raw_user_id % 10 = 0
+        |  GROUP BY 1, 2),
+        |spans AS (SELECT key, MIN(d) AS d0, MAX(d) AS d1
+        |  FROM pts GROUP BY 1),
+        |grid AS (SELECT key,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS d
+        |  FROM spans),
+        |j AS (SELECT g.key, g.d, p.v
+        |  FROM grid g LEFT JOIN pts p ON g.key = p.key AND g.d = p.d)
+        |SELECT key, strftime(d, '%Y-%m-%d') AS day, v AS events,
+        |  COALESCE(v, 0) AS events_zero,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS events_locf,
+        |  v IS NULL AS is_gap
+        |FROM j""".stripMargin),
     "a15_anomaly" -> (adapterCte +
       """, d AS (
         |  SELECT connection_id, strftime(timestamp, '%Y-%m-%d') AS period,
