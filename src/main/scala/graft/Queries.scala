@@ -104,6 +104,20 @@ object Queries {
         .filter(col("l_suppkey") % 10 === 0)
     }),
 
+    // explicit bloom runtime filter: non-matching lineitem rows die
+    // map-side against a driver-built bloom before the exchange; the
+    // follow-up exact semi join makes the result identical to a plain
+    // semi join (the oracle), so the bloom is pure pruning.
+    "q6_bloom_semi" -> ((s, dir) => {
+      val hot = tbl(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      graft.operators.BloomPrune.semiJoin(
+          li(s, dir), "l_orderkey", hot, "o_orderkey",
+          expectedItems = 100000L, numBits = 1L << 20)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
     "semi_anti_join" -> ((s, dir) => {
       val orders = tbl(s, dir, "orders").filter(col("o_totalprice") > 100000)
       tbl(s, dir, "customer")
@@ -151,6 +165,13 @@ object Queries {
         |  WINDOW w AS (PARTITION BY l_suppkey
         |    ORDER BY l_orderkey, l_linenumber)) t
         |WHERE l_suppkey % 10 = 0""".stripMargin,
+    "q6_bloom_semi" ->
+      """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY 1""".stripMargin,
     "window_rank" ->
       """SELECT l_suppkey, rn, l_orderkey, l_linenumber, price FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber,
