@@ -104,6 +104,20 @@ object Queries {
         .filter(col("l_suppkey") % 10 === 0)
     }),
 
+    // Z-order curve key (OPTIMIZE ZORDER family): all-engine-exact
+    // floor-normalized bit interleave, so the layout decision itself
+    // is oracle-checkable; clusterBy's physical rewrite rides this key
+    "zorder_key" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      val l = li(s, dir)
+      val r = l.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      l.filter(pmod(col("l_orderkey"), lit(100)) === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          ZOrder.zValue16(col("l_orderkey"), r.getLong(0), r.getLong(1),
+            col("l_suppkey"), r.getLong(2), r.getLong(3)).as("z"))
+    }),
+
     // explicit bloom runtime filter: non-matching lineitem rows die
     // map-side against a driver-built bloom before the exchange; the
     // follow-up exact semi join makes the result identical to a plain
@@ -165,6 +179,25 @@ object Queries {
         |  WINDOW w AS (PARTITION BY l_suppkey
         |    ORDER BY l_orderkey, l_linenumber)) t
         |WHERE l_suppkey % 10 = 0""".stripMargin,
+    "zorder_key" -> {
+      val terms = (0 until 16).map { i =>
+        s"((((na >> $i) & 1) << ${2 * i}) | (((nb >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT MIN(l_orderkey) AS mno, MAX(l_orderkey) AS mxo,
+         |    MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs
+         |  FROM lineitem),
+         |n AS (
+         |  SELECT l_orderkey, l_linenumber, l_suppkey,
+         |    CAST(FLOOR((l_orderkey - mno) * 65535.0 / (mxo - mno))
+         |      AS BIGINT) AS na,
+         |    CAST(FLOOR((l_suppkey - mns) * 65535.0 / (mxs - mns))
+         |      AS BIGINT) AS nb
+         |  FROM lineitem, b WHERE l_orderkey % 100 = 0)
+         |SELECT l_orderkey, l_linenumber, l_suppkey,
+         |  ($terms) AS z
+         |FROM n""".stripMargin
+    },
     "q6_bloom_semi" ->
       """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
         |  ROUND(SUM(l_extendedprice), 2) AS sum_price
