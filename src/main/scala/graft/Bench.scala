@@ -152,10 +152,38 @@ object Bench {
       }
       name -> last
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // Full per-query results → a file: the driver captures only the
+    // last ~2000 chars of stdout, and 129 queries no longer fit on one
+    // line (round 5's bench line was truncated mid-JSON in the capture).
+    val fullQs = results.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullLine + "\n").getBytes("UTF-8"))
+    // stdout: ONE parseable JSON line sized to fit the tail capture —
+    // slowest queries individually (they are the ones worth comparing
+    // across rounds), the fast tail folded into "rest".
+    def r2(v: Double): Double = math.rint(v * 100) / 100
+    val byTime = results.sortBy(-_._2)
+    val budget = 1600
+    val kept = new StringBuilder
+    var nKept = 0
+    var keptSec = 0.0
+    var full = false
+    byTime.foreach { case (k, v) =>
+      val entry = (if (nKept == 0) "" else ",") + "\"" + k + "\":" + r2(v)
+      if (!full && kept.length + entry.length <= budget) {
+        kept.append(entry); nKept += 1; keptSec += v
+      } else full = true
+    }
+    val restN = results.size - nKept
+    val restSec = r2(math.max(0.0, total - keptSec))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":{${kept.toString}},"rest":{"n":$restN,"sec":$restSec},"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }
