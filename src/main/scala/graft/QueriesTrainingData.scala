@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.expressions.SimHash64
-import graft.operators.{Dedup, Multimodal, QualityClassifier, Quantization, Sampling, Similarity, TextQuality, Tokenizer, UrlFilter}
+import graft.operators.{Dedup, FilterFunnel, Multimodal, QualityClassifier, Quantization, Sampling, Similarity, TextQuality, Tokenizer, UrlFilter}
 
 /** Training-data pipeline queries: dedup family, ANN similarity search,
   * text analysis, multimodal plumbing — over the driver's `documents` and
@@ -413,6 +413,35 @@ object QueriesTrainingData {
     // every web-scale curation pipeline runs first)
     "td_gopher_quality" -> ((s, dir) =>
       TextQuality.gopherQuality(docs(s, dir), "doc_id", "text")),
+
+    // single-pass filter-funnel audit (Gopher A1 / RefinedWeb attrition
+    // table): each doc charged to the FIRST gate it fails, whole battery
+    // one corpus scan; summary = dropped + remaining per stage in order
+    "td_filter_funnel" -> ((s, dir) => {
+      val text = col("text")
+      val w = TextFunctions.words(text)
+      val nWords = size(w).cast("double")
+      val denomW = greatest(nWords, lit(1.0))
+      val meanWordLen = round(
+        length(regexp_replace(text, "\\s+", "")).cast("double") / denomW, 4)
+      val symbolRatio = round(
+        size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+          .cast("double") / denomW, 4)
+      val stopHits = size(array_intersect(array_distinct(w),
+        array(TextQuality.RequiredStopwords.map(lit): _*)))
+      val emailPat = TextFunctions.PiiPatterns.head._1
+      val stages = Seq(
+        "lang_en" -> (col("lang") === "en"),
+        "too_short" -> (nWords >= TextQuality.MinWords),
+        "mean_word_len" -> (meanWordLen >= TextQuality.MinMeanWordLen &&
+          meanWordLen <= TextQuality.MaxMeanWordLen),
+        "symbol_ratio" -> (symbolRatio < TextQuality.MaxSymbolRatio),
+        "stopwords" -> (stopHits >= TextQuality.MinStopwordHits),
+        "email_pii" ->
+          (size(regexp_extract_all(text, lit(emailPat), lit(0))) === 0))
+      FilterFunnel.funnel(FilterFunnel.audit(docs(s, dir), stages),
+        stages.map(_._1))
+    }),
 
     // within-doc repetition metrics (Gopher repetition family): most
     // frequent 2-gram char coverage + duplicate-chunk char fraction
@@ -1515,6 +1544,41 @@ object QueriesTrainingData {
         |SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  ROUND(AVG(nll), 4) AS avg_nll, ROUND(EXP(AVG(nll)), 2) AS ppl
         |FROM sc GROUP BY 1""".stripMargin,
+    "td_filter_funnel" -> (wordsOnlyCte +
+      """, m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(w) AS DOUBLE) AS nw,
+        |    ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), 1.0), 4) AS mwl,
+        |    ROUND(CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), 1.0), 4) AS symr,
+        |    len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS hits,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails
+        |  FROM ws),
+        |v AS (
+        |  SELECT CASE
+        |    WHEN NOT (lang = 'en') THEN 'lang_en'
+        |    WHEN NOT (nw >= 30) THEN 'too_short'
+        |    WHEN NOT (mwl >= 3.0 AND mwl <= 10.0) THEN 'mean_word_len'
+        |    WHEN NOT (symr < 0.1) THEN 'symbol_ratio'
+        |    WHEN NOT (hits >= 2) THEN 'stopwords'
+        |    WHEN NOT (emails = 0) THEN 'email_pii'
+        |  END AS first_drop FROM m),
+        |c AS (SELECT first_drop, COUNT(*) AS n FROM v
+        |      WHERE first_drop IS NOT NULL GROUP BY 1),
+        |st(stage, stage_idx) AS (VALUES
+        |  ('lang_en', 1), ('too_short', 2), ('mean_word_len', 3),
+        |  ('symbol_ratio', 4), ('stopwords', 5), ('email_pii', 6)),
+        |tot AS (SELECT COUNT(*) AS t FROM v)
+        |SELECT stage, CAST(stage_idx AS INT) AS stage_idx,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS dropped,
+        |  CAST(t - SUM(COALESCE(n, 0)) OVER (ORDER BY stage_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS remaining
+        |FROM st LEFT JOIN c ON stage = first_drop CROSS JOIN tot
+        |ORDER BY stage_idx""".stripMargin),
     "td_gopher_quality" -> (wordsOnlyCte +
       """, m AS (
         |  SELECT doc_id,
