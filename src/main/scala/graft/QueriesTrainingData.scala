@@ -238,6 +238,18 @@ object QueriesTrainingData {
       Dedup.clusters(Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2))),
 
+    // quality-aware survivor selection: keep the LONGEST member of each
+    // near-dup cluster (ties -> smallest id) — the keep-the-best-copy
+    // policy, vs dedup_clusters' arbitrary min-id rule
+    "dedup_best_survivor" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2)
+      Dedup.clustersBestOf(pairs,
+        d.select(col("doc_id"), length(col("text")).cast("long").as("q")),
+        "doc_id", "q")
+    }),
+
     // corpus snapshot diff (crawl-N vs crawl-N+1 versioning): old drops
     // doc_id%7==0, new drops %5==0 and rewords %11==0 — per-id status
     // from the fingerprint full-outer join, replayed exactly
@@ -1078,6 +1090,33 @@ object QueriesTrainingData {
         |  FROM reach GROUP BY src)
         |SELECT component AS survivor_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM labels GROUP BY component""".stripMargin),
+    "dedup_best_survivor" -> (jaccardSql
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+      .replace("SELECT id_a, id_b, jaccard FROM (",
+        ", pairs AS (SELECT id_a, id_b, jaccard FROM (")
+      .replace("WHERE jaccard >= 0.5", "WHERE jaccard >= 0.5)") +
+      """, edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |scored AS (
+        |  SELECT l.id, l.component, CAST(length(d.text) AS BIGINT) AS q
+        |  FROM labels l JOIN documents d ON d.doc_id = l.id),
+        |sel AS (
+        |  SELECT component, id, q,
+        |    ROW_NUMBER() OVER (PARTITION BY component
+        |      ORDER BY q DESC, id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY component) AS nm
+        |  FROM scored)
+        |SELECT component, id AS survivor_id, q AS survivor_quality,
+        |  CAST(nm AS BIGINT) AS n_members
+        |FROM sel WHERE rn = 1""".stripMargin),
     "td_corpus_diff" ->
       """WITH f AS (
         |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(

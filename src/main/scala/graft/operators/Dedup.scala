@@ -368,6 +368,32 @@ object Dedup {
       .groupBy(col("component").as("survivor_id"))
       .agg(count(lit(1)).as("n_members"))
 
+  /** Quality-aware survivor selection: per near-dup component keep the
+    * member with the HIGHEST quality (ties → smallest id) instead of the
+    * arbitrary min-id member — the policy real curation pipelines use
+    * (keep the longest / best-scoring copy; FineWeb keeps the most
+    * complete duplicate). `quality`: one row per doc (`idCol`, `qCol`);
+    * members without a quality row rank last. Only docs that appear in
+    * `pairs` are listed (singletons have no cluster to pick from).
+    *
+    * Scale shape: the component frame is duplicates-only (orders of
+    * magnitude smaller than the corpus), so the quality join and the one
+    * (component)-shuffle window ride frames of that size; the corpus
+    * itself is touched only by whatever produced `pairs`/`quality`. */
+  def clustersBestOf(pairs: DataFrame, quality: DataFrame,
+                     idCol: String, qCol: String): DataFrame = {
+    val members = connectedComponents(pairs)
+    val q = quality.select(col(idCol).as("id"), col(qCol).as("_q"))
+    val byComp = Window.partitionBy(col("component"))
+    val pick = byComp.orderBy(col("_q").desc_nulls_last, col("id").asc)
+    members.join(q, Seq("id"), "left")
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .select(col("component"), col("id").as("survivor_id"),
+        col("_q").as("survivor_quality"), col("n_members"))
+  }
+
   /** Corpus snapshot diff — the versioning primitive behind "what
     * changed between crawl N and crawl N+1": full-outer join of the two
     * snapshots' (id, content-fingerprint) tables, one status per id —

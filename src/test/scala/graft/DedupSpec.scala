@@ -202,6 +202,21 @@ class DedupSpec extends GraftSpec {
     assert(dist == comp)
   }
 
+  test("clustersBestOf keeps the highest-quality member, min-id on ties") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    // component 1: id 3 has the best quality (beats the min-id rule);
+    // component 10: quality TIE -> smaller id 10 wins;
+    // component 20: id 21 has quality, id 20 has none (null ranks last)
+    val quality = Seq((1L, 5L), (2L, 7L), (3L, 9L), (10L, 4L), (11L, 4L),
+      (21L, 1L)).toDF("doc_id", "q")
+    val got = Dedup.clustersBestOf(pairs, quality, "doc_id", "q")
+      .select("component", "survivor_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 3L), (10L, 10L, 2L), (20L, 21L, 2L)))
+  }
+
   test("incremental cross-pairs find new-vs-prior near-dups only") {
     // docs: 0/1 near-identical, 2 permuted copy of 0, 3/4 exact copies
     val newSide = docs.filter(col("doc_id") % 2 === 1)   // 1, 3
