@@ -604,6 +604,20 @@ object QueriesTrainingData {
       Sampling.deterministicShuffle(docs(s, dir), "doc_id", "epoch0", 8)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // token-budget mix assembly: greedy per-source fill in deterministic
+    // shuffle-key order until each source's TOKEN budget is reached
+    // (overshoot <= one doc); kept set is a key-order prefix per source
+    "td_token_budget" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCountWs(col("text")).as("n_toks"))
+      Sampling.tokenBudget(toks, "doc_id", "n_toks", "source",
+        Map("src0" -> 500L, "src1" -> 200L), seed = "tb",
+        defaultBudget = 100L)
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"))
+    }),
+
     // int8 scalar quantization of the embedding column (4x smaller ANN
     // storage): floor-based rounding is engine-exact, so the full code
     // array is md5-gated against the oracle
@@ -1851,6 +1865,23 @@ object QueriesTrainingData {
          |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_total,
          |  CAST(COUNT(CASE WHEN rk <= 40 THEN 1 END) AS BIGINT) AS n_kept
          |FROM r GROUP BY host""".stripMargin),
+    "td_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> len(w) > 0)) AS BIGINT) AS n_toks,
+        |    md5('tb:' || doc_id) AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_toks) OVER (PARTITION BY source ORDER BY k, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS cb
+        |  FROM t)
+        |SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_toks) AS BIGINT) AS kept_tokens
+        |FROM c
+        |WHERE cb < CASE source WHEN 'src0' THEN 500
+        |                       WHEN 'src1' THEN 200 ELSE 100 END
+        |GROUP BY source""".stripMargin,
     "td_shuffle" ->
       """WITH k AS (
         |  SELECT doc_id, md5('epoch0:' || doc_id) AS key

@@ -214,6 +214,68 @@ object Sampling {
         col("seq_first"), col("seq_last"))
   }
 
+  /** Token-budget sampling — "take this many TOKENS from each source",
+    * the primitive behind assembling a fixed-size training mix ("100 B
+    * tokens of web, 20 B of code"). Greedy fill in the deterministic
+    * [[shuffleKey]] order: a doc is kept iff the tokens of the docs
+    * BEFORE it (same stratum, key order) have not yet filled the
+    * stratum's budget — so each budget overshoots by at most one doc and
+    * the selection is reproducible from (seed, id) alone.
+    *
+    * The within-stratum running sum is the [[packSequences]] two-phase
+    * prefix sum with the stratum prepended to the range key:
+    * range-repartition on (stratum, key) keeps each stratum's rows in
+    * key order across partitions, the per-partition window cumsum runs
+    * partitionBy (physical partition, stratum) — parallel, never one
+    * reducer per stratum (strata are sources: few and huge, exactly the
+    * shape a stratum-keyed global window would hot-key) — and the
+    * driver folds #partitions × #strata totals rows into per-
+    * (partition, stratum) offsets joined back as a broadcast. */
+  def tokenBudget(docs: DataFrame, idCol: String, tokensCol: String,
+                  stratumCol: String, budgets: Map[String, Long],
+                  seed: String = "tb",
+                  defaultBudget: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .select(col(idCol).as("id"), col(stratumCol).as("stratum"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("_key", shuffleKey(col("id"), seed))
+      .repartitionByRange(n, col("stratum"), col("_key"), col("id"))
+      .withColumn("_part", spark_partition_id())
+    val w = Window.partitionBy(col("_part"), col("stratum"))
+      .orderBy(col("_key"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persist for the same reason as packSequences: RangePartitioner
+    // samples boundaries per execution, and the totals collect and the
+    // output pass must see ONE layout
+    val local = ranged.withColumn("_cum", sum(col("n_tokens")).over(w))
+      .persist()
+    lastBudgetCache.foreach(_.unpersist())
+    lastBudgetCache = Some(local)
+    val totals = local.groupBy(col("_part"), col("stratum"))
+      .agg(max(col("_cum")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (st, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1)
+        .zip(sorted.scanLeft(0L)((acc, r) => acc + r._3).init)
+        .map { case (p, off) => (p, st, off) }
+    }
+    val offDf = offsets.toDF("_part", "stratum", "_off")
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (st, b)) => when(col("stratum") === st, lit(b)).otherwise(acc)
+    }
+    local.join(broadcast(offDf), Seq("_part", "stratum"))
+      .withColumn("cum_before", col("_cum") - col("n_tokens") + col("_off"))
+      .filter(col("cum_before") < budgetCol)
+      .select(col("id"), col("stratum"), col("n_tokens"), col("cum_before"))
+  }
+
+  private var lastBudgetCache: Option[DataFrame] = None
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how much more likely its n-gram profile is under a

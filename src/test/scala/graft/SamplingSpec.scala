@@ -95,6 +95,38 @@ class SamplingSpec extends GraftSpec {
     assert(a.toSeq != c.toSeq)
   }
 
+  test("tokenBudget equals a sequential greedy fill per stratum") {
+    import graft.operators.Sampling.shuffleKey
+    // enough docs to cross shuffle partitions; two strata, skewed sizes
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "big" else "small", 1L + (i * 13) % 29))
+    val df = rows.reverse.toDF("doc_id", "source", "n_toks").repartition(7)
+    val budgets = Map("big" -> 120L, "small" -> 40L)
+    val got = Sampling.tokenBudget(df, "doc_id", "n_toks", "source",
+      budgets, seed = "s1").select("id", "stratum", "n_tokens", "cum_before")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // sequential reference: sort each stratum by (md5 key, id), fill
+    val keys = df.select(col("doc_id"),
+        shuffleKey(col("doc_id"), "s1").as("k"))
+      .as[(Long, String)].collect().toMap
+    val expected = rows.groupBy(_._2).flatMap { case (st, docs) =>
+      var cum = 0L
+      docs.sortBy(d => (keys(d._1), d._1)).flatMap { case (id, _, t) =>
+        val keep = cum < budgets(st)
+        val r = if (keep) Some((id, st, t, cum)) else None
+        cum += t
+        r
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    // kept set is a key-order PREFIX per stratum and overshoot <= 1 doc
+    budgets.foreach { case (st, b) =>
+      val kept = got.filter(_._2 == st).sortBy(_._4)
+      assert(kept.init.forall(d => d._4 + d._3 < b + kept.last._3))
+      assert(kept.last._4 < b, "last kept doc must start under budget")
+    }
+  }
+
   test("DSIR weights: hand-computed log ratios; target-like docs rank higher") {
     val raw = Seq((1L, "a b a b"), (2L, "x y x y")).toDF("doc_id", "text")
     val target = Seq((10L, "a b")).toDF("doc_id", "text")
