@@ -387,6 +387,31 @@ object QueriesExtra {
           sum(col("lag_seconds")).as("sum_lag"))
     }),
 
+    // beyond-reference: SCD Type-2 dimension maintenance. A per-user
+    // "tier" attribute (value band of the day's latest event) is folded
+    // into a versioned dim in TWO incremental merges (initial load up to
+    // Jan 16, then the rest) — the oracle replays the whole chain in ONE
+    // window pass, so the gate proves incremental folding == full
+    // rebuild (Scd2.merge's associativity contract), plus the
+    // valid_from/valid_to/is_current chain arithmetic itself.
+    "j7_scd2" -> ((s, dir) => {
+      import graft.operators.Scd2
+      val ev = graft.schema.EventSchema.readEvents(s, dir)
+      val tier = when(col("value") >= 200, "high")
+        .when(col("value") >= 50, "mid").otherwise("low")
+      val updates = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max_by(struct(col("ts"), tier.as("tier")),
+          struct(col("ts"), col("event_id"))).as("_r"))
+        .select(col("user_id"), col("_r.ts").as("ts"), col("_r.tier").as("tier"))
+      val split = lit("2024-01-16").cast("timestamp")
+      val d0 = Scd2.emptyDim(updates, "user_id", "ts", Seq("tier"))
+      val d1 = Scd2.merge(d0, updates.filter(col("ts") < split),
+        "user_id", "ts", Seq("tier"))
+      Scd2.merge(d1, updates.filter(col("ts") >= split),
+        "user_id", "ts", Seq("tier"))
+    }),
+
     // skew remedies: both must be ROW-IDENTICAL to the plain inner join
     // (the oracle is the plain join + aggregate). saltedJoin fans each
     // partkey over 8 reducers; hotColdJoin broadcast-joins the heavy-
@@ -534,6 +559,26 @@ object QueriesExtra {
         |GROUP BY 1
         |HAVING COUNT(*) * 150 >= (
         |  SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)""".stripMargin,
+    "j7_scd2" ->
+      """WITH up AS (
+        |  SELECT user_id, ts, tier FROM (
+        |    SELECT user_id, ts,
+        |      CASE WHEN value >= 200 THEN 'high'
+        |           WHEN value >= 50 THEN 'mid' ELSE 'low' END AS tier,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |chg AS (
+        |  SELECT user_id, ts, tier FROM (
+        |    SELECT user_id, ts, tier,
+        |      LAG(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |    FROM up)
+        |  WHERE prev IS NULL OR tier <> prev)
+        |SELECT user_id, tier, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    AS is_current
+        |FROM chg""".stripMargin,
     "j6_attribution" ->
       """WITH i AS (
         |  SELECT user_id, ts, CAST(event_id AS VARCHAR) AS imp_id

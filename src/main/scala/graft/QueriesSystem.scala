@@ -205,6 +205,54 @@ object QueriesSystem {
           sum(length(col("doc"))).as("doc_bytes"))
     }),
 
+    // K10: GDPR right-to-be-forgotten — DELETE WHERE over the file
+    // warehouse. Write the events table, erase every row attributable to
+    // a deterministic 10% of identified users (partition-pruned rewrite
+    // through the manifest-swap protocol), read back. The gate checks
+    // both the survivors (grouped counts) and the deleted row count the
+    // driver-side API returned.
+    "k10_gdpr_delete" -> ((s, dir) => {
+      val wh = tmp("graft-q-gdpr")
+      val router = new SinkRouter(wh, SinkOptions())
+      val env = DriverEventsAdapter.load(s, dir)
+        .select(col("message_id"), col("timestamp"), col("user_id"),
+          col("type"))
+      router.write(env.withColumn("_table", lit("events")))
+      val erased = col("user_id").isNotNull &&
+        pmod(expr("CAST(substring(user_id, 2) AS BIGINT)"), lit(10)) === 3
+      val nDeleted = router.deleteWhere(s, "events", erased)
+      router.readTable(s, "events")
+        .groupBy(col("type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("message_id")).as("n_messages"),
+          sum(when(col("user_id").isNotNull, 1).otherwise(0))
+            .as("n_identified"))
+        .withColumn("n_deleted", lit(nDeleted))
+    }),
+
+    // K11: retention vacuum — drop partitions older than the retention
+    // window (here 14 days back from the newest event date). Pure
+    // directory-rename maintenance, zero data read; the gate checks the
+    // surviving day range plus the dropped-partition count.
+    "k11_vacuum" -> ((s, dir) => {
+      val wh = tmp("graft-q-vac")
+      val router = new SinkRouter(wh, SinkOptions())
+      val env = DriverEventsAdapter.load(s, dir)
+        .select(col("message_id"), col("timestamp"), col("type"))
+      router.write(env.withColumn("_table", lit("events")))
+      val asOf = env.agg(max(to_date(col("timestamp")))).head()
+        .getDate(0).toLocalDate
+      val dropped = router.vacuum("events", 14, asOf)
+      router.readTable(s, "events")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(to_date(col("timestamp"))).as("n_days"),
+          date_format(min(to_date(col("timestamp"))), "yyyy-MM-dd")
+            .as("min_day"),
+          date_format(max(to_date(col("timestamp"))), "yyyy-MM-dd")
+            .as("max_day"))
+        .withColumn("n_dropped_partitions", lit(dropped.size))
+    }),
+
     // K9/R1: dead-letter flow — a permanently failing destination is
     // retried MaxRetries times with exponential backoff, then every event
     // lands in the DLQ split; backoff schedule oracle-checked
@@ -472,6 +520,46 @@ object QueriesSystem {
         |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_identified
         |FROM resolved""".stripMargin,
+    "k10_gdpr_delete" ->
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CASE WHEN event_type = 'signup' THEN 'identify'
+        |         WHEN event_type = 'view' THEN 'page'
+        |         ELSE 'track' END AS type
+        |  FROM events),
+        |del AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted FROM env
+        |  WHERE user_id IS NOT NULL
+        |    AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 3)
+        |SELECT type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_identified,
+        |  n_deleted
+        |FROM env CROSS JOIN del
+        |WHERE NOT (user_id IS NOT NULL
+        |           AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 3)
+        |GROUP BY type, n_deleted""".stripMargin,
+    "k11_vacuum" ->
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp
+        |  FROM events),
+        |mx AS (SELECT MAX(CAST(timestamp AS DATE)) AS max_day FROM env),
+        |drp AS (
+        |  SELECT CAST(COUNT(DISTINCT CAST(e.timestamp AS DATE)) AS INT)
+        |    AS n_dropped_partitions
+        |  FROM env e, mx
+        |  WHERE CAST(e.timestamp AS DATE) < mx.max_day - 14)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT CAST(timestamp AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(MIN(CAST(timestamp AS DATE)) AS VARCHAR) AS min_day,
+        |  CAST(MAX(CAST(timestamp AS DATE)) AS VARCHAR) AS max_day,
+        |  (SELECT n_dropped_partitions FROM drp) AS n_dropped_partitions
+        |FROM env, mx
+        |WHERE CAST(timestamp AS DATE) >= mx.max_day - 14""".stripMargin,
     "k4_docstore" ->
       """WITH env AS (
         |  SELECT 'm' || event_id AS message_id,

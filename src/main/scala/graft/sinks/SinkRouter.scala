@@ -564,6 +564,74 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     spark.read.schema(loadSchema(spark, path)).parquet(path).drop(DateCol)
   }
 
+  /** Targeted row erasure (GDPR right-to-be-forgotten / DELETE WHERE —
+    * the reference's warehouse world implies it, bulker leaves it to the
+    * warehouse's own DELETE; a file-based table must rewrite files).
+    * Two-job shape, O(touched partitions) not O(table):
+    *   1. probe: which date partitions hold a matching row? Column-pruned
+    *      to (DateCol + predicate columns) — at 100 TB this is a scan of
+    *      just the predicate columns with the parquet footer stats /
+    *      dictionary doing row-group pruning, not a row rewrite.
+    *   2. rewrite ONLY those partitions with the predicate inverted,
+    *      through the same staged-write + manifest-swap commit protocol
+    *      as the merge — crash-safe, readers never see partial deletes.
+    *      A partition whose every row matches is a legitimate partition
+    *      deletion (no staged dir), which `completeSwap` already encodes.
+    * Returns the number of rows deleted. */
+  def deleteWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    val path = tablePath(table)
+    recover(path)
+    if (!tableExists(path)) return 0L
+    val schema = loadSchema(spark, path)
+    val full = spark.read.schema(schema).parquet(path)
+    val hits = full.filter(predicate)
+      .groupBy(col(DateCol)).agg(count(lit(1)).as("_n"))
+      .collect()
+    if (hits.isEmpty) return 0L
+    val touched = hits.map(_.getDate(0))
+    val deleted = hits.map(_.getLong(1)).sum
+    val keep = full
+      .filter(col(DateCol).isin(touched.toSeq: _*))
+      .filter(!predicate)
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val stage = s"$path/.stage-$id"
+    writePartitioned(keep, stage, SaveMode.Overwrite)
+    val stagedNames = listDir(stage)
+      .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
+    val dirNames = touched.map(d => s"$DateCol=$d").toSeq
+    writeManifest(path, id, dirNames, stagedNames)
+    completeSwap(path, id, dirNames, stagedNames)
+    deleted
+  }
+
+  /** Retention vacuum: drop every date partition strictly older than
+    * `asOf - retainDays`. Pure metadata + directory renames through the
+    * manifest protocol (deletions have no staged dirs) — ZERO data is
+    * read or rewritten, cost is O(dropped partitions). `asOf` is a
+    * parameter (not now()) so retention runs are reproducible and
+    * testable; callers pass LocalDate.now() in production. Rows in the
+    * epoch partition (null-timestamp parking) are never vacuumed — age
+    * unknown. Returns the dropped partition dates. */
+  def vacuum(table: String, retainDays: Int,
+             asOf: java.time.LocalDate): Seq[java.sql.Date] = {
+    val path = tablePath(table)
+    recover(path)
+    if (!tableExists(path)) return Seq.empty
+    val cutoff = asOf.minusDays(retainDays.toLong)
+    val dropped = listDir(path)
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$DateCol="))
+      .map(d => java.sql.Date.valueOf(d.getName.stripPrefix(s"$DateCol=")))
+      .filter(d => d != EpochDate && d.toLocalDate.isBefore(cutoff))
+      .sortBy(_.toLocalDate.toEpochDay).toSeq
+    if (dropped.isEmpty) return Seq.empty
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val dirNames = dropped.map(d => s"$DateCol=$d")
+    writeManifest(path, id, dirNames, Set.empty)
+    completeSwap(path, id, dirNames, Set.empty)
+    dropped
+  }
+
   /** Maintenance compaction (Delta OPTIMIZE analogue): rewrite each date
     * partition that has accumulated more than `maxFilesPerPartition`
     * files into one file, through the same staged-write + manifest swap

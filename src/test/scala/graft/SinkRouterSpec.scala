@@ -246,6 +246,59 @@ class SinkRouterSpec extends GraftSpec {
     assert(before == after)
   }
 
+  test("deleteWhere erases matching rows, rewrites only touched partitions") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh)
+    router.write(batch(
+      ("m1", "2024-01-01 10:00:00", "u1"), ("m2", "2024-01-01 11:00:00", "u2"),
+      ("m3", "2024-01-02 10:00:00", "u2"), ("m4", "2024-01-03 10:00:00", "u3")))
+    val untouched = Option(new java.io.File(s"$wh/events/graft_dt=2024-01-03")
+      .listFiles()).get.map(f => (f.getName, f.lastModified)).toSet
+    val n = router.deleteWhere(spark, "events", col("user_id") === "u2")
+    assert(n == 2)
+    val t = router.readTable(spark, "events")
+    assert(t.select("message_id").as[String].collect().sorted.toSeq ==
+      Seq("m1", "m4"))
+    // 2024-01-03 held no u2 row: its files must be byte-identical
+    val after = Option(new java.io.File(s"$wh/events/graft_dt=2024-01-03")
+      .listFiles()).get.map(f => (f.getName, f.lastModified)).toSet
+    assert(untouched == after)
+  }
+
+  test("deleteWhere: a fully-matching partition is deleted outright") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh)
+    router.write(batch(
+      ("m1", "2024-01-01 10:00:00", "u1"), ("m2", "2024-01-02 10:00:00", "u1"),
+      ("m3", "2024-01-02 11:00:00", "u2")))
+    assert(router.deleteWhere(spark, "events", col("user_id") === "u1") == 2)
+    assert(!new java.io.File(s"$wh/events/graft_dt=2024-01-01").exists())
+    assert(router.readTable(spark, "events").count() == 1)
+    // no-match delete is a no-op returning 0
+    assert(router.deleteWhere(spark, "events", col("user_id") === "zz") == 0)
+  }
+
+  test("vacuum drops partitions beyond retention, keeps the window and epoch") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh)
+    router.write(batch(
+      ("m1", "2024-01-01 10:00:00", "u1"), ("m2", "2024-01-10 10:00:00", "u2"),
+      ("m3", "2024-01-20 10:00:00", "u3")))
+    // a null-timestamp row lands in the epoch partition and must survive
+    router.write(Seq(("m4", null.asInstanceOf[java.sql.Timestamp], "u4"))
+      .toDF("message_id", "timestamp", "user_id")
+      .withColumn("_table", lit("events")))
+    val dropped = router.vacuum("events", 10,
+      java.time.LocalDate.parse("2024-01-20"))
+    assert(dropped.map(_.toString) == Seq("2024-01-01"))
+    val left = router.readTable(spark, "events")
+      .select("message_id").as[String].collect().sorted.toSeq
+    assert(left == Seq("m2", "m3", "m4"))
+    // idempotent: nothing further to drop
+    assert(router.vacuum("events", 10,
+      java.time.LocalDate.parse("2024-01-20")).isEmpty)
+  }
+
   test("crash mid-swap (partition in trash) is restored on next write") {
     val wh = tmpDir()
     val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
