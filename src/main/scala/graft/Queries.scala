@@ -118,6 +118,43 @@ object Queries {
             col("l_suppkey"), r.getLong(2), r.getLong(3)).as("z"))
     }),
 
+    // stats-based data skipping over the z-order layout (the ANALYZE +
+    // min/max file-pruning pair): per-bucket stats collected in one
+    // pass, the candidate-bucket decision for a 2-column box predicate,
+    // and the pruned scan — which the oracle proves row-identical to
+    // the PLAIN filter (pruning exactness), alongside the bucket
+    // counts (pruning effectiveness, engine-exact).
+    "l5_stats_skipping" -> ((s, dir) => {
+      import graft.operators.{StatsSkipping, ZOrder}
+      val l = li(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+      val r = l.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      val (mno, mxo, mns, mxs) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val bucketed = l.withColumn("bucket",
+        shiftright(ZOrder.zValue16(col("l_orderkey"), mno, mxo,
+          col("l_suppkey"), mns, mxs), 26))
+      // stats live driver-side (table-metadata analogue): one pass,
+      // then a LocalRelation feeds both the decision and the semi join
+      val statsDf = StatsSkipping.collect(bucketed, "bucket",
+        Seq("l_orderkey", "l_suppkey"))
+      val stats = s.createDataFrame(
+        java.util.Arrays.asList(statsDf.collect(): _*), statsDf.schema)
+      val ranges = Seq(
+        ("l_orderkey", mno + (mxo - mno) / 4, mno + (mxo - mno) / 2),
+        ("l_suppkey", mns + (mxs - mns) / 4, mns + (mxs - mns) / 2))
+      val cand = StatsSkipping.candidateBuckets(stats, ranges)
+        .agg(count(lit(1)).as("n_candidate_buckets"),
+          sum(col("n_rows")).as("n_rows_scanned"))
+      val tot = stats.agg(count(lit(1)).as("n_total_buckets"))
+      val matched = StatsSkipping
+        .prunedScan(bucketed, stats, "bucket", ranges)
+        .agg(count(lit(1)).as("n_rows_matched"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      tot.crossJoin(cand).crossJoin(matched)
+    }),
+
     // explicit bloom runtime filter: non-matching lineitem rows die
     // map-side against a driver-built bloom before the exchange; the
     // follow-up exact semi join makes the result identical to a plain
@@ -197,6 +234,52 @@ object Queries {
          |SELECT l_orderkey, l_linenumber, l_suppkey,
          |  ($terms) AS z
          |FROM n""".stripMargin
+    },
+    "l5_stats_skipping" -> {
+      val terms = (0 until 16).map { i =>
+        s"((((na >> $i) & 1) << ${2 * i}) | (((nb >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT MIN(l_orderkey) AS mno, MAX(l_orderkey) AS mxo,
+         |    MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs
+         |  FROM lineitem),
+         |n AS (
+         |  SELECT l_orderkey, l_suppkey, l_extendedprice,
+         |    CAST(FLOOR((l_orderkey - mno) * 65535.0 / (mxo - mno))
+         |      AS BIGINT) AS na,
+         |    CAST(FLOOR((l_suppkey - mns) * 65535.0 / (mxs - mns))
+         |      AS BIGINT) AS nb
+         |  FROM lineitem, b),
+         |z AS (
+         |  SELECT l_orderkey, l_suppkey, l_extendedprice,
+         |    ($terms) >> 26 AS bucket
+         |  FROM n),
+         |st AS (
+         |  SELECT bucket, COUNT(*) AS n_rows,
+         |    MIN(l_orderkey) AS omin, MAX(l_orderkey) AS omax,
+         |    MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+         |  FROM z GROUP BY 1),
+         |r AS (
+         |  SELECT mno + (mxo - mno) // 4 AS lo1, mno + (mxo - mno) // 2 AS hi1,
+         |    mns + (mxs - mns) // 4 AS lo2, mns + (mxs - mns) // 2 AS hi2
+         |  FROM b),
+         |cand AS (
+         |  SELECT st.* FROM st, r
+         |  WHERE omax >= lo1 AND omin <= hi1
+         |    AND smax >= lo2 AND smin <= hi2),
+         |m AS (
+         |  SELECT COUNT(*) AS nm, ROUND(SUM(l_extendedprice), 2) AS sp
+         |  FROM z, r
+         |  WHERE l_orderkey BETWEEN lo1 AND hi1
+         |    AND l_suppkey BETWEEN lo2 AND hi2)
+         |SELECT
+         |  CAST((SELECT COUNT(*) FROM st) AS BIGINT) AS n_total_buckets,
+         |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT)
+         |    AS n_candidate_buckets,
+         |  CAST((SELECT SUM(n_rows) FROM cand) AS BIGINT) AS n_rows_scanned,
+         |  CAST(nm AS BIGINT) AS n_rows_matched,
+         |  sp AS sum_price
+         |FROM m""".stripMargin
     },
     "q6_bloom_semi" ->
       """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
