@@ -230,6 +230,38 @@ object QueriesSystem {
         .withColumn("n_deleted", lit(nDeleted))
     }),
 
+    // K10b: merge-on-read erasure — deletion vectors instead of the
+    // partition rewrite (delete = keys-sized sidecar write, applied as
+    // a broadcast anti join at read; purge folds them in later). The
+    // result carries the SAME grouped read-back twice — once under MoR
+    // vectors ('mor', collected before the purge mutates files), once
+    // after purgeDeletes ('purged') — so the oracle gates that both
+    // mechanisms erase identically, plus the key/row counts.
+    "k10b_delete_mor" -> ((s, dir) => {
+      val wh = tmp("graft-q-mor")
+      val router = new SinkRouter(wh, SinkOptions())
+      val env = DriverEventsAdapter.load(s, dir)
+        .select(col("message_id"), col("timestamp"), col("user_id"),
+          col("type"))
+      router.write(env.withColumn("_table", lit("events")))
+      val erased = col("user_id").isNotNull &&
+        pmod(expr("CAST(substring(user_id, 2) AS BIGINT)"), lit(10)) === 7
+      val nKeys = router.deleteWhereMor(s, "events", erased)
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("message_id")).as("n_messages"))
+      val morDf = agg(router.readTable(s, "events"))
+        .withColumn("stage", lit("mor"))
+      val morLocal = s.createDataFrame(
+        java.util.Arrays.asList(morDf.collect(): _*), morDf.schema)
+      val nPurged = router.purgeDeletes(s, "events")
+      agg(router.readTable(s, "events")).withColumn("stage", lit("purged"))
+        .unionByName(morLocal)
+        .withColumn("n_deleted_keys", lit(nKeys))
+        .withColumn("n_purged_rows", lit(nPurged))
+    }),
+
     // K11: retention vacuum — drop partitions older than the retention
     // window (here 14 days back from the newest event date). Pure
     // directory-rename maintenance, zero data read; the gate checks the
@@ -542,6 +574,31 @@ object QueriesSystem {
         |WHERE NOT (user_id IS NOT NULL
         |           AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 3)
         |GROUP BY type, n_deleted""".stripMargin,
+    "k10b_delete_mor" ->
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CASE WHEN event_type = 'signup' THEN 'identify'
+        |         WHEN event_type = 'view' THEN 'page'
+        |         ELSE 'track' END AS type
+        |  FROM events),
+        |del AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM env
+        |  WHERE user_id IS NOT NULL
+        |    AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 7),
+        |sel AS (
+        |  SELECT type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages
+        |  FROM env
+        |  WHERE NOT (user_id IS NOT NULL
+        |             AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 7)
+        |  GROUP BY type)
+        |SELECT type, n, n_messages, stage,
+        |  nd AS n_deleted_keys, nd AS n_purged_rows
+        |FROM (SELECT sel.*, 'mor' AS stage FROM sel
+        |      UNION ALL
+        |      SELECT sel.*, 'purged' AS stage FROM sel), del""".stripMargin,
     "k11_vacuum" ->
       """WITH env AS (
         |  SELECT 'm' || event_id AS message_id,

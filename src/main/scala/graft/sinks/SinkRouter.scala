@@ -561,7 +561,8 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
   def readTable(spark: SparkSession, table: String): DataFrame = {
     val path = tablePath(table)
     recover(path)
-    spark.read.schema(loadSchema(spark, path)).parquet(path).drop(DateCol)
+    applyDeletes(spark, path,
+      spark.read.schema(loadSchema(spark, path)).parquet(path)).drop(DateCol)
   }
 
   /** Targeted row erasure (GDPR right-to-be-forgotten / DELETE WHERE —
@@ -603,6 +604,91 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     writeManifest(path, id, dirNames, stagedNames)
     completeSwap(path, id, dirNames, stagedNames)
     deleted
+  }
+
+  /** Merge-on-read erasure (deletion vectors): instead of rewriting the
+    * matching partitions (copy-on-write `deleteWhere`), record the
+    * matching primary keys in a tiny sidecar table and apply them as an
+    * anti join at read. Delete cost becomes O(matching keys) — one
+    * column-pruned probe plus a KB-sized write — regardless of how many
+    * 100 TB partitions the rows live in; the read pays a broadcast anti
+    * join until `purgeDeletes` folds the vectors in (Delta/Iceberg
+    * deletion-vector semantics, position-keyed there, key-keyed here —
+    * same MoR trade: cheap deletes now, a background rewrite later).
+    * The sidecar lives under `_deletes/` (underscore-prefixed, so
+    * Spark's file index hides it from the main table scan). Returns the
+    * number of newly recorded keys. */
+  def deleteWhereMor(spark: SparkSession, table: String,
+                     predicate: org.apache.spark.sql.Column): Long = {
+    val path = tablePath(table)
+    recover(path)
+    if (!tableExists(path)) return 0L
+    val schema = loadSchema(spark, path)
+    val pk = options.primaryKey
+    val keys = spark.read.schema(schema).parquet(path)
+      .filter(predicate).select(col(pk)).distinct()
+    val dv = dvPath(path)
+    val fresh =
+      if (!new java.io.File(dv).exists()) keys
+      else keys.join(spark.read.parquet(dv), Seq(pk), "left_anti")
+    fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.coalesce(1).write.mode(SaveMode.Append).parquet(dv)
+      n
+    } finally { fresh.unpersist(false); () }
+  }
+
+  /** Semantics note: the vector is KEY-keyed, so a later re-ingest of a
+    * deleted key stays hidden until `purgeDeletes` — i.e. erase-and-
+    * block, which is what GDPR tombstoning wants (no resurrection from
+    * upstream replays). Position-keyed vectors (Delta/Iceberg) make the
+    * opposite choice; both are stated trade-offs of MoR deletes. */
+
+  private def dvPath(path: String) = s"$path/_deletes"
+
+  private def applyDeletes(spark: SparkSession, path: String,
+                           df: DataFrame): DataFrame = {
+    val dv = dvPath(path)
+    if (!new java.io.File(dv).exists()) df
+    else df.join(broadcast(spark.read.parquet(dv)),
+      Seq(options.primaryKey), "left_anti")
+  }
+
+  /** Fold accumulated deletion vectors into the data files (the
+    * background rewrite of the MoR trade): rewrite ONLY the partitions
+    * holding a recorded key, anti-joined against the vector (broadcast
+    * — the vector is keys-sized, never the table), through the same
+    * manifest swap; then drop the sidecar. Read results are unchanged
+    * before/after (SinkRouterSpec proves it). Returns rows removed. */
+  def purgeDeletes(spark: SparkSession, table: String): Long = {
+    val path = tablePath(table)
+    recover(path)
+    val dv = dvPath(path)
+    if (!new java.io.File(dv).exists()) return 0L
+    val pk = options.primaryKey
+    val keys = spark.read.parquet(dv)
+    val schema = loadSchema(spark, path)
+    val full = spark.read.schema(schema).parquet(path)
+    val hits = full.join(broadcast(keys), Seq(pk), "left_semi")
+      .groupBy(col(DateCol)).agg(count(lit(1)).as("_n"))
+      .collect()
+    if (hits.nonEmpty) {
+      val touched = hits.map(_.getDate(0))
+      val keep = full
+        .filter(col(DateCol).isin(touched.toSeq: _*))
+        .join(broadcast(keys), Seq(pk), "left_anti")
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val stage = s"$path/.stage-$id"
+      writePartitioned(keep, stage, SaveMode.Overwrite)
+      val stagedNames = listDir(stage)
+        .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
+      val dirNames = touched.map(d => s"$DateCol=$d").toSeq
+      writeManifest(path, id, dirNames, stagedNames)
+      completeSwap(path, id, dirNames, stagedNames)
+    }
+    deleteRecursive(new java.io.File(dv))
+    hits.map(_.getLong(1)).sum
   }
 
   /** Retention vacuum: drop every date partition strictly older than

@@ -278,6 +278,47 @@ class SinkRouterSpec extends GraftSpec {
     assert(router.deleteWhere(spark, "events", col("user_id") === "zz") == 0)
   }
 
+  test("MoR delete: data files untouched, rows hidden at read, purge folds in") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh)
+    router.write(batch(
+      ("m1", "2024-01-01 10:00:00", "u1"), ("m2", "2024-01-01 11:00:00", "u2"),
+      ("m3", "2024-01-02 10:00:00", "u2")))
+    val before = Option(new java.io.File(s"$wh/events/graft_dt=2024-01-01")
+      .listFiles()).get.filter(_.isFile)
+      .map(f => (f.getName, f.lastModified)).toSet
+    assert(router.deleteWhereMor(spark, "events", col("user_id") === "u2") == 2)
+    // read hides the rows, but the data partition was NOT rewritten
+    assert(router.readTable(spark, "events")
+      .select("message_id").as[String].collect().toSeq == Seq("m1"))
+    val after = Option(new java.io.File(s"$wh/events/graft_dt=2024-01-01")
+      .listFiles()).get.filter(_.isFile)
+      .map(f => (f.getName, f.lastModified)).toSet
+    assert(before == after)
+    // overlapping second delete records only fresh keys
+    assert(router.deleteWhereMor(spark, "events",
+      col("user_id").isin("u1", "u2")) == 1)
+    // purge: vectors folded into the files, read result unchanged
+    assert(router.purgeDeletes(spark, "events") == 3)
+    assert(!new java.io.File(s"$wh/events/_deletes").exists())
+    assert(router.readTable(spark, "events").count() == 0)
+    assert(router.purgeDeletes(spark, "events") == 0) // idempotent
+  }
+
+  test("MoR delete tombstones: a re-ingested deleted key stays hidden until purge") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh)
+    router.write(batch(("m1", "2024-01-01 10:00:00", "u1")))
+    assert(router.deleteWhereMor(spark, "events", col("user_id") === "u1") == 1)
+    // upstream replay re-appends the same message
+    router.write(batch(("m1", "2024-01-01 10:00:00", "u1")))
+    assert(router.readTable(spark, "events").count() == 0) // still erased
+    router.purgeDeletes(spark, "events")
+    // after the fold the tombstone is gone; fresh ingest lives again
+    router.write(batch(("m1", "2024-01-01 10:00:00", "u1")))
+    assert(router.readTable(spark, "events").count() == 1)
+  }
+
   test("vacuum drops partitions beyond retention, keeps the window and epoch") {
     val wh = tmpDir()
     val router = new SinkRouter(wh)
