@@ -117,6 +117,19 @@ object QueriesTrainingData {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // hard-negative mining for contrastive training: per anchor, the
+    // top-5 highest-cosine candidates with a DIFFERENT label (positives
+    // excluded) below the near-duplicate threshold — the FAISS/SBERT
+    // mining recipe, engine-exact on 6-dp-rounded cosines
+    "emb_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      Similarity.hardNegatives(
+        e.filter(col("id") < 20)
+          .select(col("id").as("qid"), col("vec"), col("label")),
+        e, k = 5)
+    }),
+
     // hybrid retrieval: lexical (word-set Jaccard) top-20 + semantic
     // (exact cosine) top-20, fused by reciprocal rank fusion — RRF
     // consumes only ranks, so the fusion replays exactly in SQL even
@@ -1326,6 +1339,20 @@ object QueriesTrainingData {
         |    ln((n_raw + 0.1) / (nr + 0.1 * v))), 4) AS log_importance
         |FROM rb JOIN craw USING (b) LEFT JOIN ctgt USING (b), consts
         |GROUP BY doc_id""".stripMargin),
+    "emb_hard_negatives" ->
+      """SELECT qid, rank, id, cosine FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[]), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+        |        c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+        |    AND q.label <> c.label
+        |    AND ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[]), 6) < 0.99)
+        |WHERE rank <= 5""".stripMargin,
     "ann_topk" ->
       """SELECT qid, rank, id, cosine FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS id,

@@ -57,6 +57,34 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("cosine"))
   }
 
+  /** Hard-negative mining for embedding/contrastive training: for each
+    * anchor, the top-k highest-cosine candidates that are NOT positives
+    * (different `label`) and not near-duplicate twins (rounded cosine
+    * below `dupCos` — mislabeled near-copies are the classic false
+    * negative, so they are excluded, the FAISS/SBERT mining recipe).
+    * `queries`: (qid, vec, label); `corpus`: (id, vec, label).
+    * Output (qid, rank, id, cosine), engine-exact: 6-dp-rounded cosine
+    * ranks with id tiebreak, threshold applied to the ROUNDED value.
+    * Same scale shape as `bruteForceTopK` (corpus scanned once, never
+    * shuffled; per-partition top-k via WindowGroupLimit); at 100 TB
+    * feed `ivfTopK` candidates in as the corpus instead of brute force.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    dupCos: Double = 0.99): DataFrame = {
+    val scored = corpus.select(col("id"), col("vec"), col("label"))
+      .crossJoin(broadcast(queries.select(col("qid"),
+        col("vec").as("qvec"), col("label").as("qlabel"))))
+      .withColumn("cosine",
+        round(VectorKernels.cosine_sim(col("qvec"), col("vec")), 6))
+      .filter(col("qid") =!= col("id") &&
+        col("label") =!= col("qlabel") && col("cosine") < dupCos)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long"), col("id"), col("cosine"))
+  }
+
   // ---- IVF (inverted-file) ANN ---------------------------------------
 
   /** Lloyd's k-means over the corpus embeddings, entirely as DataFrame

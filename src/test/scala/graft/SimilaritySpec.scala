@@ -213,6 +213,27 @@ class SimilaritySpec extends GraftSpec {
     assert(wrong == 0, s"$wrong IVFPQ neighbors from the wrong cluster")
   }
 
+  test("hardNegatives: positives and near-dup twins excluded, hardest kept") {
+    // anchor a0 (label 0). Candidates: c1 = near-identical twin but
+    // label 1 (cos ~ 1 -> excluded by dupCos), c2 = same label, high
+    // cos (positive -> excluded), c3/c4 = different label, moderate cos
+    // (the actual hard negatives, c3 harder than c4).
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (0L, v(1, 0, 0, 0), 0),
+      (1L, v(0.999, 0.045, 0, 0), 1),  // twin, wrong label
+      (2L, v(0.95, 0.31, 0, 0), 0),    // positive
+      (3L, v(0.8, 0.6, 0, 0), 1),      // hard negative
+      (4L, v(0.5, 0.87, 0, 0), 1)      // easier negative
+    ).toDF("id", "vec", "label")
+    val q = corpus.filter(col("id") === 0)
+      .select(col("id").as("qid"), col("vec"), col("label"))
+    val out = Similarity.hardNegatives(q, corpus, k = 2)
+      .orderBy("rank")
+      .select("rank", "id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 4L)))
+  }
+
   test("recall-gate helpers count hits honestly (zero-hit qids included)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
