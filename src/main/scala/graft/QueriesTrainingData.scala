@@ -631,6 +631,22 @@ object QueriesTrainingData {
           sum(col("n_tokens")).as("kept_tokens"))
     }),
 
+    // length-bucketed batch assembly: smallest covering cap per doc
+    // (docs over the largest cap dropped), fixed docs-per-batch =
+    // floor(batchTokens/cap) since every doc pads to the cap, batch
+    // membership in deterministic shuffle order — per-(bucket, batch)
+    // token/padding accounting replays exactly in SQL
+    "td_length_buckets" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).as("n_toks"))
+      Sampling.lengthBucketBatches(toks, "doc_id", "n_toks",
+          edges = Seq(24, 48, 96), batchTokens = 768, seed = "lb")
+        .groupBy(col("bucket_cap"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("padded_tokens")).as("sum_padding"))
+    }),
+
     // int8 scalar quantization of the embedding column (4x smaller ANN
     // storage): floor-based rounding is engine-exact, so the full code
     // array is md5-gated against the oracle
@@ -1909,6 +1925,29 @@ object QueriesTrainingData {
         |WHERE cb < CASE source WHEN 'src0' THEN 500
         |                       WHEN 'src1' THEN 200 ELSE 100 END
         |GROUP BY source""".stripMargin,
+    "td_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> len(w) > 0)) AS BIGINT) AS n_toks,
+        |    md5('lb:' || doc_id) AS k
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, CASE WHEN n_toks <= 24 THEN 24
+        |                 WHEN n_toks <= 48 THEN 48
+        |                 WHEN n_toks <= 96 THEN 96 END AS cap
+        |  FROM t),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY cap ORDER BY k, doc_id) - 1
+        |      AS rk
+        |  FROM b WHERE cap IS NOT NULL)
+        |SELECT CAST(cap AS INT) AS bucket_cap,
+        |  rk // GREATEST(1, 768 // cap) AS batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(cap - n_toks) AS BIGINT) AS sum_padding
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "td_shuffle" ->
       """WITH k AS (
         |  SELECT doc_id, md5('epoch0:' || doc_id) AS key

@@ -276,6 +276,70 @@ object Sampling {
 
   private var lastBudgetCache: Option[DataFrame] = None
 
+  /** Length-bucketed batch assembly — the padding-aware batching step of
+    * a training / batch-inference pipeline: each doc lands in the
+    * SMALLEST length bucket whose cap covers it (docs over the largest
+    * cap are dropped; truncate-vs-reject is an upstream choice), and a
+    * batch holds a FIXED doc count per bucket — floor(batchTokens/cap),
+    * since every doc pads to the cap — so the token budget per batch
+    * holds by construction and per-doc padding waste is cap − tokens.
+    * Batch membership is the seeded deterministic shuffle order, so the
+    * assignment replays exactly in SQL. The within-bucket global rank
+    * is the same two-phase prefix pass as `tokenBudget`, partitioned by
+    * (physical partition, bucket) — buckets are few and huge, exactly
+    * the shape a bucket-keyed global window would hot-key.
+    * Output: (id, bucket_cap, batch_id, n_tokens, padded_tokens). */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, tokensCol: String,
+                          edges: Seq[Int], batchTokens: Int,
+                          seed: String = "lb"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(edges.nonEmpty && batchTokens > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    // smallest covering cap: fold DESCENDING so the smallest check ends
+    // up outermost
+    val capCol = edges.sorted.reverse
+      .foldLeft(lit(null).cast("int")) { (acc, e) =>
+        when(col("n_tokens") <= e, lit(e)).otherwise(acc)
+      }
+    val ranged = docs
+      .select(col(idCol).as("id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("bucket_cap", capCol)
+      .filter(col("bucket_cap").isNotNull)
+      .withColumn("_key", shuffleKey(col("id"), seed))
+      .repartitionByRange(n, col("bucket_cap"), col("_key"), col("id"))
+      .withColumn("_part", spark_partition_id())
+    val w = Window.partitionBy(col("_part"), col("bucket_cap"))
+      .orderBy(col("_key"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persist: RangePartitioner samples boundaries per execution; the
+    // totals collect and the output pass must see ONE layout
+    val local = ranged.withColumn("_cnt", count(lit(1)).over(w)).persist()
+    lastBucketCache.foreach(_.unpersist())
+    lastBucketCache = Some(local)
+    val totals = local.groupBy(col("_part"), col("bucket_cap"))
+      .agg(max(col("_cnt")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (cap, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1)
+        .zip(sorted.scanLeft(0L)((acc, r) => acc + r._3).init)
+        .map { case (p, off) => (p, cap, off) }
+    }
+    val offDf = offsets.toDF("_part", "bucket_cap", "_off")
+    local.join(broadcast(offDf), Seq("_part", "bucket_cap"))
+      .withColumn("_rank0", col("_cnt") - 1 + col("_off"))
+      .withColumn("batch_id", expr(
+        s"_rank0 div greatest(1, $batchTokens div bucket_cap)"))
+      .select(col("id"), col("bucket_cap"), col("batch_id"),
+        col("n_tokens"),
+        (col("bucket_cap") - col("n_tokens")).as("padded_tokens"))
+  }
+
+  private var lastBucketCache: Option[DataFrame] = None
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how much more likely its n-gram profile is under a

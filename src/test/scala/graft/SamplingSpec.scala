@@ -127,6 +127,43 @@ class SamplingSpec extends GraftSpec {
     }
   }
 
+  test("lengthBucketBatches equals sequential assignment; batches are full") {
+    import graft.operators.Sampling.shuffleKey
+    // lengths 1..60 across three caps; some rows over the largest cap
+    val rows = (0L until 250L).map(i => (i, 1L + (i * 17) % 60))
+    val df = rows.reverse.toDF("doc_id", "n_toks").repartition(7)
+    val edges = Seq(16, 32, 48)
+    val got = Sampling.lengthBucketBatches(df, "doc_id", "n_toks",
+        edges, batchTokens = 96, seed = "s2")
+      .select("id", "bucket_cap", "batch_id", "n_tokens", "padded_tokens")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    // docs over the largest cap are dropped
+    assert(got.forall(_._4 <= 48))
+    assert(rows.count(_._2 <= 48) == got.length)
+    // sequential reference
+    val keys = df.select(col("doc_id"),
+        shuffleKey(col("doc_id"), "s2").as("k"))
+      .as[(Long, String)].collect().toMap
+    val expected = rows.filter(_._2 <= 48).map { case (id, t) =>
+      val cap = edges.find(t <= _).get
+      (id, cap, t)
+    }.groupBy(_._2).flatMap { case (cap, ds) =>
+      val perBatch = math.max(1, 96 / cap)
+      ds.sortBy(d => (keys(d._1), d._1)).zipWithIndex.map {
+        case ((id, c, t), i) => (id, c, (i / perBatch).toLong, t, c - t)
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    // every batch except possibly the bucket's last is exactly full
+    got.groupBy(g => (g._2, g._3)).foreach { case ((cap, b), ds) =>
+      val perBatch = math.max(1, 96 / cap)
+      val lastBatch = got.filter(_._2 == cap).map(_._3).max
+      if (b != lastBatch) assert(ds.size == perBatch)
+      // and the padded cost meets the token budget
+      assert(ds.size * cap <= 96 || perBatch == 1)
+    }
+  }
+
   test("DSIR weights: hand-computed log ratios; target-like docs rank higher") {
     val raw = Seq((1L, "a b a b"), (2L, "x y x y")).toDF("doc_id", "text")
     val target = Seq((10L, "a b")).toDF("doc_id", "text")
