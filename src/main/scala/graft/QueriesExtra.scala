@@ -447,6 +447,24 @@ object QueriesExtra {
     // count, the union is the promotion gate. Includes checks that
     // REALLY fire on this data (qty<=30, date ordering) so the gate
     // proves the counting, not just a row of zeros.
+    // order-independent table checksum (cross-warehouse sync verify):
+    // per-row md5 digest folded by XOR and an exact SUM — commutative,
+    // so no sort; the oracle recomputes the identical checksum in
+    // DuckDB, which is the actual production use (warehouse-side SQL
+    // checksum vs pipeline-side checksum)
+    "dq_checksum" -> ((s, dir) => {
+      import graft.operators.DataChecks
+      val liT = s.read.parquet(s"$dir/lineitem.parquet")
+      val ordT = s.read.parquet(s"$dir/orders.parquet")
+      DataChecks.tableChecksum(liT,
+          Seq("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_linestatus"), "lineitem")
+        .unionByName(DataChecks.tableChecksum(ordT,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"), "orders"))
+        .withColumn("sum_sig", col("sum_sig").cast("string"))
+    }),
+
     "dq_checks" -> ((s, dir) => {
       import graft.operators.DataChecks
       val liT = s.read.parquet(s"$dir/lineitem.parquet")
@@ -493,6 +511,30 @@ object QueriesExtra {
         |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS exact_uniques,
         |  true AS hll_ok
         |FROM env GROUP BY 1, 2""".stripMargin),
+    "dq_checksum" ->
+      """WITH lv AS (
+        |  SELECT CAST(('0x' || substring(md5(
+        |    COALESCE(CAST(l_orderkey AS VARCHAR), chr(0)) || chr(1) ||
+        |    COALESCE(CAST(l_linenumber AS VARCHAR), chr(0)) || chr(1) ||
+        |    COALESCE(l_returnflag, chr(0)) || chr(1) ||
+        |    COALESCE(l_linestatus, chr(0))), 1, 15)) AS BIGINT) AS v
+        |  FROM lineitem),
+        |ov AS (
+        |  SELECT CAST(('0x' || substring(md5(
+        |    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(1) ||
+        |    COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(1) ||
+        |    COALESCE(o_orderstatus, chr(0)) || chr(1) ||
+        |    COALESCE(o_orderpriority, chr(0))), 1, 15)) AS BIGINT) AS v
+        |  FROM orders)
+        |SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(v) AS BIGINT) AS xor_sig,
+        |  CAST(CAST(SUM(v) AS HUGEINT) AS VARCHAR) AS sum_sig
+        |FROM lv
+        |UNION ALL
+        |SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+        |  CAST(bit_xor(v) AS BIGINT),
+        |  CAST(CAST(SUM(v) AS HUGEINT) AS VARCHAR)
+        |FROM ov""".stripMargin,
     "dq_checks" ->
       """SELECT * FROM (
         |  SELECT 'orders_pk_unique' AS check_name,

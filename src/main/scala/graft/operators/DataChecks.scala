@@ -53,6 +53,32 @@ object DataChecks {
     name -> df.select(count(when(!coalesce(pass, lit(false)), 1))
       .as("violations"))
 
+  /** Order-independent table checksum — the cross-warehouse sync
+    * verification primitive (did every row land, byte-for-byte, after a
+    * bulker-style load?): canonical per-row digest (column values joined
+    * on U+0001, nulls as U+0000, md5, top 60 bits as an integer) folded
+    * with BOTH an XOR and an exact 128-bit-safe SUM — two independent
+    * commutative digests plus the row count make collisions by
+    * rearrangement or pairwise cancellation implausible, and commutative
+    * folds need no global sort: one map pass, partial aggregation, a
+    * few-bytes result per table regardless of size. Engine-exact (the
+    * gate replays it in DuckDB), so the SAME checksum can be computed by
+    * the warehouse itself in SQL and compared against the pipeline's.
+    * Restrict `cols` to int/string columns — float/timestamp→string
+    * rendering differs across engines. */
+  def tableChecksum(df: DataFrame, cols: Seq[String],
+                    label: String): DataFrame = {
+    val repr = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val v = conv(substring(md5(repr), 1, 15), 16, 10).cast("long")
+    df.select(v.as("_v"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_v)").as("xor_sig"),
+        sum(col("_v").cast("decimal(38,0)")).as("sum_sig"))
+      .select(lit(label).as("tbl"), col("n_rows"), col("xor_sig"),
+        col("sum_sig"))
+  }
+
   /** Union the per-check scalar frames into one (check_name, violations)
     * report, ordered by check name. ("check" is an ANSI reserved word —
     * the column name keeps the report portable across SQL engines.) */

@@ -46,4 +46,23 @@ class DataChecksSpec extends GraftSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("a_notnull", 0L), ("b_unique", 0L)))
   }
+
+  test("tableChecksum: order/partitioning-invariant, mutation-sensitive, null-safe") {
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      DataChecks.tableChecksum(df, Seq("id", "name"), "t")
+        .select("n_rows", "xor_sig", "sum_sig")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDecimal(2).toString)).head
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+    val a = sig(rows.toDF("id", "name"))
+    val b = sig(rows.reverse.toDF("id", "name").repartition(5))
+    assert(a == b, "checksum must not depend on row order or layout")
+    // any single-value mutation changes at least one signature
+    val mut = sig(Seq((1L, "a"), (2L, "b"), (3L, "x")).toDF("id", "name"))
+    assert(mut != a)
+    // null vs the literal rendering of null's sentinel must differ from
+    // the empty string
+    val e = sig(Seq((1L, "a"), (2L, "b"), (3L, "")).toDF("id", "name"))
+    assert(e != a)
+  }
 }
