@@ -1336,6 +1336,10 @@ object QueriesTrainingData {
         |      AND ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
         |        e.embedding::DOUBLE[]), 4) >= 0.9)""".stripMargin,
     "td_html_extract" -> htmlExtractSql,
+    // `+ 0.0` after ROUND: DuckDB's double ROUND keeps IEEE signed zero
+    // (-1e-5 rounds to -0.0) while Spark's BigDecimal round yields +0.0;
+    // adding positive zero normalizes -0.0 -> 0.0 without moving any
+    // other value (the r06 hash mismatch was exactly this, doc_id=9)
     "td_dsir" -> (wordsOnlyCte +
       """, rb AS (
         |  SELECT doc_id, lang,
@@ -1352,7 +1356,7 @@ object QueriesTrainingData {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  ROUND(AVG(
         |    ln((COALESCE(n_tgt, 0) + 0.1) / (nt + 0.1 * v)) -
-        |    ln((n_raw + 0.1) / (nr + 0.1 * v))), 4) AS log_importance
+        |    ln((n_raw + 0.1) / (nr + 0.1 * v))), 4) + 0.0 AS log_importance
         |FROM rb JOIN craw USING (b) LEFT JOIN ctgt USING (b), consts
         |GROUP BY doc_id""".stripMargin),
     "emb_hard_negatives" ->

@@ -361,7 +361,14 @@ object Sampling {
     * tables join by key — at 100 TB the target histogram (bounded: the
     * target is a curated sample by definition) broadcasts. */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                  textCol: String, alpha: Double = 0.1): DataFrame = {
+                  textCol: String, alpha: Double = 0.1): DataFrame =
+    dsirWeightsFull(raw, target, idCol, textCol, alpha)
+      .withColumn("log_importance", round(col("log_importance"), 4))
+
+  /** [[dsirWeights]] without the 4-decimal display rounding — full
+    * double precision, for tolerance-based comparison/diagnostics. */
+  def dsirWeightsFull(raw: DataFrame, target: DataFrame, idCol: String,
+                      textCol: String, alpha: Double = 0.1): DataFrame = {
     def explodedBigrams(df: DataFrame, keep: Seq[(String, String)]): DataFrame = {
       val w = graft.functions.TextFunctions.words(col(textCol))
       val bi = when(size(w) < 2,
@@ -411,6 +418,6 @@ object Sampling {
       .select(col("id"), (logTgt - logRaw).as("lw"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("lw")), 4).as("log_importance"))
+        avg(col("lw")).as("log_importance"))
   }
 }
