@@ -470,6 +470,78 @@ object QueriesSystem {
         .toDF("table_name", "column_name", "data_type")
     }),
 
+    // K12: CDC apply — a Debezium-shaped op batch (i/u/d + lsn) folded
+    // into the customer snapshot: per key the max-lsn op decides
+    // (u-then-u last-wins, u-then-d delete-wins), inserts add new keys,
+    // untouched rows pass through. Gate = per-segment rollup of the
+    // post-batch table (CDC_NEW segment isolates the inserts)
+    "k12_cdc_apply" -> ((s, dir) => {
+      import graft.operators.Cdc
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val m = pmod(col("c_custkey"), lit(7))
+      def op(rows: org.apache.spark.sql.DataFrame, o: String, lsn: Long,
+             bal: org.apache.spark.sql.Column,
+             seg: org.apache.spark.sql.Column) =
+        rows.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          bal.as("c_acctbal"), seg.as("c_mktsegment"),
+          lit(o).as("op"), lit(lsn).as("lsn"))
+      val ops = op(c.filter(m === 0), "d", 10L,
+          col("c_acctbal"), col("c_mktsegment"))
+        .unionByName(op(c.filter(m === 1), "u", 10L,
+          col("c_acctbal") + 100, col("c_mktsegment")))
+        .unionByName(op(c.filter(m === 1), "u", 20L,
+          col("c_acctbal") + 200, col("c_mktsegment")))
+        .unionByName(op(c.filter(m === 2), "u", 10L,
+          col("c_acctbal"), lit("CDC_SEG")))
+        .unionByName(op(c.filter(m === 2), "d", 20L,
+          col("c_acctbal"), col("c_mktsegment")))
+        .unionByName(op(c.filter(m === 3), "i", 10L,
+          col("c_acctbal") + 50.0, lit("CDC_NEW"))
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      Cdc.applyBatch(c, ops, Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"),
+          countDistinct(col("c_custkey")).as("n_keys"))
+    }),
+
+    // S7: connector sync — Airbyte-style stream pulls: two sync RUNS
+    // over two streams (orders INCREMENTAL on an o_orderdate high-water
+    // mark, customer FULL_REFRESH), state threaded between runs. The
+    // inclusive cursor re-reads the boundary rows on run 2 and the
+    // warehouse dedup-merge absorbs them, so run 2 leaves the table
+    // unchanged — the oracle gates rows-read, the emitted cursor state,
+    // AND the post-run table cardinality for every (stream, run)
+    "s7_sync_incremental" -> ((s, dir) => {
+      import graft.sources.ConnectorSync
+      import ConnectorSync.{StreamConfig, StreamState}
+      val wh = tmp("graft-q-sync")
+      val streams = Seq(
+        StreamConfig("orders", "incremental", Some("o_orderdate"),
+          primaryKey = "o_orderkey"),
+        StreamConfig("customer", "full_refresh"))
+      val st0 = Map(
+        "orders" -> StreamState("orders", Some("1999-01-01 00:00:00")))
+      def runOnce(run: Int, states: Map[String, StreamState])
+          : (Seq[(String, Int, String, Long, String, Long)],
+             Map[String, StreamState]) = {
+        val results = ConnectorSync.sync(s, dir, wh, streams, states)
+        val rows = results.map { r =>
+          val cfg = streams.find(_.stream == r.stream).get
+          (r.stream, run, r.mode, r.rowsRead,
+            if (r.mode == "incremental") r.newState.cursor.orNull
+            else null: String,
+            ConnectorSync.readDest(s, wh, cfg).count())
+        }
+        (rows, results.map(r => r.stream -> r.newState).toMap)
+      }
+      val (rows1, st1) = runOnce(1, st0)
+      val (rows2, _) = runOnce(2, st1)
+      import s.implicits._
+      (rows1 ++ rows2).toDF(
+        "stream", "run", "mode", "rows_read", "cursor_out", "table_rows")
+    }),
+
     // §3.1: streaming pipeline round-trip — JSON file source ->
     // envelope -> dedup-in-watermark -> layout -> sink router
     "s1_streaming" -> ((s, dir) => {
@@ -490,6 +562,44 @@ object QueriesSystem {
   )
 
   val oracles: Map[String, String] = Map(
+    "k12_cdc_apply" ->
+      """WITH final AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_custkey % 7 NOT IN (0, 1, 2)
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 200, c_mktsegment FROM customer
+        |  WHERE c_custkey % 7 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal + 50.0, 'CDC_NEW'
+        |  FROM customer WHERE c_custkey % 7 = 3)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  ROUND(SUM(c_acctbal), 2) AS sum_bal,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+        |FROM final GROUP BY c_mktsegment""".stripMargin,
+    "s7_sync_incremental" ->
+      """WITH p AS (
+        |  SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+        |mx AS (SELECT MAX(o_orderdate) AS m FROM p),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
+        |SELECT 'orders' AS stream, 1 AS run, 'incremental' AS mode,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS rows_read,
+        |  (SELECT strftime(m, '%Y-%m-%d %H:%M:%S') FROM mx) AS cursor_out,
+        |  (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM p)
+        |    AS table_rows
+        |UNION ALL
+        |SELECT 'orders', 2, 'incremental',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p, mx
+        |   WHERE o_orderdate >= m),
+        |  (SELECT strftime(m, '%Y-%m-%d %H:%M:%S') FROM mx),
+        |  (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM p)
+        |UNION ALL
+        |SELECT 'customer', 1, 'full_refresh',
+        |  (SELECT n FROM c), CAST(NULL AS VARCHAR), (SELECT n FROM c)
+        |UNION ALL
+        |SELECT 'customer', 2, 'full_refresh',
+        |  (SELECT n FROM c), CAST(NULL AS VARCHAR), (SELECT n FROM c)
+        |""".stripMargin,
     "r1_chain" ->
       """SELECT event_type, 'success' AS status,
         |  CAST(COUNT(*) * CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END
