@@ -406,6 +406,22 @@ object Queries {
           col("is_gap"))
     }),
 
+    // A2-smoothing: EWMA baseline + spike flag over the per-type daily
+    // series — the recursion runs as an in-row array fold (one shuffle
+    // to group each key's bounded series), and because the fold's IEEE
+    // op order is replayed exactly by the oracle's recursive CTE, the
+    // smoothed values hash-match
+    "a17_ewma" -> ((s, dir) => {
+      val pts = graft.schema.EventSchema.readEvents(s, dir)
+        .groupBy(col("event_type").as("key"),
+          to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).cast("long").as("value"))
+      graft.operators.TimeSeries.ewmaDaily(pts)
+        .select(col("key"),
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("value").as("events"), col("ewma"), col("spike"))
+    }),
+
     // F3/F4/F6/F7/F8/F9/F12 scalar battery over the envelope
     "f_scalars" -> ((s, dir) => {
       import graft.functions.Scalars._
@@ -534,6 +550,30 @@ object Queries {
         |    AS events_locf,
         |  v IS NULL AS is_gap
         |FROM j""".stripMargin),
+    // the recursive CTE replays the EWMA fold in the same per-key day
+    // order with the same IEEE double ops, so the smoothed values are
+    // bit-identical before the display round
+    "a17_ewma" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT key, d, x,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY d) AS i
+        |  FROM pts),
+        |e AS (
+        |  SELECT key, i, d, x, x AS s FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.key, idx.i, idx.d, idx.x,
+        |    0.2 * idx.x + 0.8 * e.s
+        |  FROM idx JOIN e ON idx.key = e.key AND idx.i = e.i + 1)
+        |SELECT cur.key, strftime(cur.d, '%Y-%m-%d') AS day,
+        |  CAST(cur.x AS BIGINT) AS events, ROUND(cur.s, 4) AS ewma,
+        |  CASE WHEN prev.s IS NULL THEN FALSE
+        |       ELSE cur.x > 2.0 * ROUND(prev.s, 4) END AS spike
+        |FROM e cur LEFT JOIN e prev
+        |  ON cur.key = prev.key AND cur.i = prev.i + 1""".stripMargin,
     "a15_anomaly" -> (adapterCte +
       """, d AS (
         |  SELECT connection_id, strftime(timestamp, '%Y-%m-%d') AS period,

@@ -730,6 +730,20 @@ object QueriesTrainingData {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // DSIR importance RESAMPLING (the paper's actual selection step):
+    // Gumbel-top-200 over the full-precision weights with md5-derived
+    // deterministic noise — the oracle re-derives the identical noise
+    // and replays the ranking, so the KEPT SET is gated, not just the
+    // weights
+    "td_dsir_resample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = Sampling.dsirWeightsFull(d, d.filter(col("lang") === "en"),
+        "doc_id", "text")
+      Sampling.importanceResample(w, "id", "log_importance", n = 200)
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("log_importance"), 4).as("log_importance"))
+    }),
+
     // BPE tokenizer training (Sennrich 2016): 20 merges learned over
     // the corpus-reduced word histogram (driver loop under the vocab
     // cutover, distributed merge iterations above it — bit-identical
@@ -863,6 +877,30 @@ object QueriesTrainingData {
       |    list_filter(string_split_regex(lower(text), '\s+'),
       |                w -> len(w) > 0) AS w
       |  FROM documents)
+      |""".stripMargin
+
+  /** Shared DSIR CTE chain: full-precision per-doc bigram
+    * log-likelihood-ratio weights as `dw(doc_id, n_bigrams, li)`. */
+  private val dsirCore = wordsOnlyCte +
+    """, rb AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i + 1])) AS b
+      |  FROM ws WHERE len(w) >= 2),
+      |craw AS (SELECT b, COUNT(*) AS n_raw FROM rb GROUP BY 1),
+      |ctgt AS (SELECT b, COUNT(*) AS n_tgt FROM rb
+      |         WHERE lang = 'en' GROUP BY 1),
+      |consts AS (SELECT
+      |  (SELECT COUNT(*) FROM craw) AS v,
+      |  (SELECT COUNT(*) FROM rb) AS nr,
+      |  (SELECT COUNT(*) FROM rb WHERE lang = 'en') AS nt),
+      |dw AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    AVG(
+      |      ln((COALESCE(n_tgt, 0) + 0.1) / (nt + 0.1 * v)) -
+      |      ln((n_raw + 0.1) / (nr + 0.1 * v))) AS li
+      |  FROM rb JOIN craw USING (b) LEFT JOIN ctgt USING (b), consts
+      |  GROUP BY doc_id)
       |""".stripMargin
 
   private val wordsCte =
@@ -1340,25 +1378,20 @@ object QueriesTrainingData {
     // (-1e-5 rounds to -0.0) while Spark's BigDecimal round yields +0.0;
     // adding positive zero normalizes -0.0 -> 0.0 without moving any
     // other value (the r06 hash mismatch was exactly this, doc_id=9)
-    "td_dsir" -> (wordsOnlyCte +
-      """, rb AS (
-        |  SELECT doc_id, lang,
-        |    unnest(list_transform(range(1, len(w)),
-        |      i -> w[i] || ' ' || w[i + 1])) AS b
-        |  FROM ws WHERE len(w) >= 2),
-        |craw AS (SELECT b, COUNT(*) AS n_raw FROM rb GROUP BY 1),
-        |ctgt AS (SELECT b, COUNT(*) AS n_tgt FROM rb
-        |         WHERE lang = 'en' GROUP BY 1),
-        |consts AS (SELECT
-        |  (SELECT COUNT(*) FROM craw) AS v,
-        |  (SELECT COUNT(*) FROM rb) AS nr,
-        |  (SELECT COUNT(*) FROM rb WHERE lang = 'en') AS nt)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  ROUND(AVG(
-        |    ln((COALESCE(n_tgt, 0) + 0.1) / (nt + 0.1 * v)) -
-        |    ln((n_raw + 0.1) / (nr + 0.1 * v))), 4) + 0.0 AS log_importance
-        |FROM rb JOIN craw USING (b) LEFT JOIN ctgt USING (b), consts
-        |GROUP BY doc_id""".stripMargin),
+    "td_dsir" -> (dsirCore +
+      """SELECT doc_id, n_bigrams,
+        |  ROUND(li, 4) + 0.0 AS log_importance
+        |FROM dw""".stripMargin),
+    // selection replay: same full-precision weights + the md5-derived
+    // Gumbel noise, top-200 by score — membership is what's gated
+    "td_dsir_resample" -> (dsirCore +
+      """SELECT doc_id, n_bigrams,
+        |  ROUND(li, 4) + 0.0 AS log_importance
+        |FROM dw
+        |ORDER BY li + (-ln(-ln(
+        |  (('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |     ::BIGINT + 0.5) / 281474976710656.0))) DESC, doc_id
+        |LIMIT 200""".stripMargin),
     "emb_hard_negatives" ->
       """SELECT qid, rank, id, cosine FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS id,

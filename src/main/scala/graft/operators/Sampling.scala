@@ -420,4 +420,34 @@ object Sampling {
       .agg(count(lit(1)).as("n_bigrams"),
         avg(col("lw")).as("log_importance"))
   }
+
+  /** DSIR importance RESAMPLING — the selection step after
+    * [[dsirWeights]] (Xie 2023 §2.3 samples WITHOUT replacement from
+    * the softmax of the log ratios; the Gumbel-top-k trick makes that
+    * a single deterministic ranking pass): per doc,
+    *
+    *   score = w + g,   g = -ln(-ln(u)),
+    *   u = (md5_48bit("<seed>:<id>") + 0.5) / 2^48
+    *
+    * and the kept set is the top `n` scores. The noise is a pure column
+    * function of (seed, id) — same replayable-determinism contract as
+    * every sampler here (no Spark RNG: stable under retries/splits, and
+    * an external engine can re-derive the exact sample).
+    *
+    * Scale shape: `orderBy(desc).limit(n)` compiles to
+    * TakeOrderedAndProject — each partition ships only its local top-n,
+    * no global sort, no full shuffle; the result is n rows on one
+    * reducer by construction. */
+  def importanceResample(weights: DataFrame, idCol: String, wCol: String,
+                         n: Int, seed: Long = 0L): DataFrame = {
+    val u = (conv(substring(md5(concat(lit(s"$seed:"),
+        col(idCol).cast("string"))), 1, 12), 16, 10).cast("double") +
+      lit(0.5)) / lit(281474976710656.0) // 16^12 = 2^48
+    weights
+      .withColumn("_gumbel", -log(-log(u)))
+      .withColumn("_score", col(wCol) + col("_gumbel"))
+      .orderBy(col("_score").desc, col(idCol))
+      .limit(n)
+      .drop("_gumbel", "_score")
+  }
 }

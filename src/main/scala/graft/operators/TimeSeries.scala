@@ -24,6 +24,60 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** EWMA smoothing over a per-key daily series — the alerting
+    * baseline the reference's metrics dashboards imply (ref
+    * `webapps/console/lib/shared/reporting.ts` daily rollups; an EWMA
+    * with deviation flag is the standard next step over them, cf.
+    * Holt/Brown exponential smoothing).
+    *
+    * s_1 = x_1;  s_t = alpha * x_t + (1 - alpha) * s_{t-1}.
+    *
+    * The recursion is inherently sequential per key, so it runs as an
+    * in-row array fold: one shuffle groups each key's series into a
+    * (day, value) array ordered by day (`array_sort` on the struct —
+    * day-first ordering is the struct's natural comparator), one
+    * codegen'd `aggregate` lambda computes every prefix's smoothed
+    * value, and `posexplode` restores row form. Per-key series are
+    * bounded (days × one row — the gapfill argument), so the arrays
+    * stay KB-sized at any corpus scale, and the fold's IEEE mul/add
+    * sequence is bit-identical in any engine that replays the same
+    * order — which is what lets a plain-SQL oracle hash-match the
+    * result (no libm, no pow()).
+    *
+    * `spike = x_t > spikeFactor * s_{t-1}` flags the alerting events
+    * (compared on the ROUNDED smoothed value so the flag decision is
+    * engine-exact; never fires on t=1).
+    *
+    * `points`: (key, d DATE, value LONG). Returns (key, d, value,
+    * ewma, spike). */
+  def ewmaDaily(points: DataFrame, alpha: Double = 0.2,
+                spikeFactor: Double = 2.0): DataFrame = {
+    val series = points
+      .groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("d"), col("value"))))
+        .as("xs"))
+    // fold: acc = (smoothed-so-far array, previous s); emits one s per
+    // prefix. cast(null) seeds the typed empty accumulator.
+    val folded = series.withColumn("sm",
+      expr(s"""aggregate(
+        xs,
+        struct(cast(array() as array<double>) as ss,
+               cast(null as double) as prev),
+        (acc, x) -> struct(
+          acc.ss || array(
+            if(acc.prev is null, cast(x.value as double),
+               ${alpha}D * x.value + ${1 - alpha}D * acc.prev)),
+          if(acc.prev is null, cast(x.value as double),
+             ${alpha}D * x.value + ${1 - alpha}D * acc.prev)),
+        acc -> acc.ss)"""))
+    folded.select(col("key"), posexplode(col("xs")).as(Seq("i", "x")),
+        col("sm"))
+      .select(col("key"), col("x.d").as("d"), col("x.value").as("value"),
+        round(element_at(col("sm"), col("i") + 1), 4).as("ewma"),
+        (col("i") > 0 && col("x.value") > lit(spikeFactor) *
+          round(element_at(col("sm"), col("i")), 4)).as("spike"))
+  }
+
   /** `points`: (key, d DATE, value LONG) — one row per key per
     * OBSERVED day. Returns the dense grid with fill columns. */
   def gapfillDaily(points: DataFrame): DataFrame = {

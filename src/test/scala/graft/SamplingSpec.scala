@@ -164,6 +164,53 @@ class SamplingSpec extends GraftSpec {
     }
   }
 
+  test("importanceResample: high-weight docs dominate; deterministic; " +
+    "n caps the sample") {
+    import org.apache.spark.sql.functions._
+    // weights split by a huge margin (±50): Gumbel noise spans ~[-2, 12]
+    // at 48-bit uniforms, so every +50 doc must beat every -50 doc
+    val w = (0 until 100)
+      .map(i => (i.toLong, if (i < 30) 50.0 else -50.0))
+      .toDF("id", "w")
+    val kept = graft.operators.Sampling
+      .importanceResample(w, "id", "w", n = 30)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (0 until 30).map(_.toLong).toSet)
+    val again = graft.operators.Sampling
+      .importanceResample(w, "id", "w", n = 30)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept)
+    assert(graft.operators.Sampling
+      .importanceResample(w, "id", "w", n = 7).count() == 7)
+    // equal weights: the md5 Gumbel decides — a different seed reshuffles
+    val flat = (0 until 100).map(i => (i.toLong, 0.0)).toDF("id", "w")
+    val s0 = graft.operators.Sampling
+      .importanceResample(flat, "id", "w", n = 50, seed = 0)
+      .select("id").as[Long].collect().toSet
+    val s1 = graft.operators.Sampling
+      .importanceResample(flat, "id", "w", n = 50, seed = 1)
+      .select("id").as[Long].collect().toSet
+    assert(s0 != s1)
+  }
+
+  test("importanceResample: selection boundary has a safe margin over " +
+    "cross-engine float noise (sf0.001 documents)") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val w = graft.operators.Sampling.dsirWeightsFull(
+      d, d.filter(col("lang") === "en"), "doc_id", "text")
+    val n = 20
+    val u = (conv(substring(md5(concat(lit("0:"),
+        col("id").cast("string"))), 1, 12), 16, 10).cast("double") +
+      lit(0.5)) / lit(281474976710656.0)
+    val scores = w.withColumn("_s", col("log_importance") - log(-log(u)))
+      .orderBy(col("_s").desc).select("_s").as[Double].collect()
+    assert(scores.length > n + 1)
+    val gap = scores(n - 1) - scores(n)
+    // oracle-side libm/aggregation noise is ~1e-12; demand 6 orders more
+    assert(gap > 1e-6, s"rank-$n boundary gap $gap too tight to gate")
+  }
+
   test("DSIR weights: hand-computed log ratios; target-like docs rank higher") {
     val raw = Seq((1L, "a b a b"), (2L, "x y x y")).toDF("doc_id", "text")
     val target = Seq((10L, "a b")).toDF("doc_id", "text")

@@ -26,4 +26,55 @@ class TimeSeriesSpec extends GraftSpec {
       ("a", Date.valueOf("2024-01-04"), Some(2L), 2L, 2L, false),
       ("b", Date.valueOf("2024-02-10"), Some(7L), 7L, 7L, false)))
   }
+
+  test("ewmaDaily: hand-computed recursion, seed = first observation") {
+    val pts = Seq(
+      ("a", Date.valueOf("2024-01-01"), 10L),
+      ("a", Date.valueOf("2024-01-02"), 20L),
+      ("a", Date.valueOf("2024-01-03"), 5L),
+      ("b", Date.valueOf("2024-01-01"), 7L)
+    ).toDF("key", "d", "value")
+    val got = TimeSeries.ewmaDaily(pts, alpha = 0.5)
+      .select("key", "d", "ewma")
+      .as[(String, Date, Double)].collect()
+      .map { case (k, d, e) => (k, d.toString) -> e }.toMap
+    // s1=10, s2=.5*20+.5*10=15, s3=.5*5+.5*15=10
+    assert(got == Map(
+      ("a", "2024-01-01") -> 10.0, ("a", "2024-01-02") -> 15.0,
+      ("a", "2024-01-03") -> 10.0, ("b", "2024-01-01") -> 7.0))
+  }
+
+  test("ewmaDaily matches a sequential reference fold at alpha=0.2") {
+    val rnd = new scala.util.Random(7)
+    val pts = for (k <- Seq("x", "y"); i <- 0 until 40)
+      yield (k, Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)), rnd.nextInt(100).toLong)
+    val got = TimeSeries.ewmaDaily(pts.toDF("key", "d", "value"))
+      .select("key", "d", "ewma").as[(String, Date, Double)]
+      .collect().map { case (k, d, e) => (k, d.toString) -> e }.toMap
+    val exp = pts.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(_._2.toString)
+      var s = Double.NaN
+      sorted.map { case (_, d, v) =>
+        s = if (s.isNaN) v.toDouble else 0.2 * v + 0.8 * s
+        (k, d.toString) -> math.rint(s * 10000) / 10000
+      }
+    }
+    assert(got == exp)
+  }
+
+  test("ewmaDaily: spike flags value > factor * previous smoothed, " +
+    "never on the first day") {
+    val pts = Seq(
+      ("a", Date.valueOf("2024-01-01"), 100L), // huge first day: no flag
+      ("a", Date.valueOf("2024-01-02"), 10L),
+      ("a", Date.valueOf("2024-01-03"), 200L)  // > 2 * s_2
+    ).toDF("key", "d", "value")
+    val got = TimeSeries.ewmaDaily(pts)
+      .select("d", "spike").as[(Date, Boolean)].collect().toMap
+    assert(got == Map(
+      Date.valueOf("2024-01-01") -> false,
+      Date.valueOf("2024-01-02") -> false,
+      Date.valueOf("2024-01-03") -> true))
+  }
 }
