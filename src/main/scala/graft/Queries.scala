@@ -44,6 +44,20 @@ object Queries {
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))),
 
+    // G1: fixed-iteration PageRank over the customer–supplier purchase
+    // graph (distinct (custkey, suppkey) pairs via orders ⋈ lineitem,
+    // undirected) — 3 rounds of declarative Pregel; the oracle unrolls
+    // the same 3 rounds as chained CTEs with identical IEEE arithmetic
+    "g1_pagerank" -> ((s, dir) => {
+      val e = tbl(s, dir, "orders")
+        .join(li(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.operators.Graph.pageRank(e, iterations = 3)
+        .select(col("v"), round(col("r"), 6).as("rank"))
+    }),
+
     "q3_join_topk" -> ((s, dir) => {
       val orders = tbl(s, dir, "orders")
       val customer = tbl(s, dir, "customer")
@@ -187,6 +201,29 @@ object Queries {
         |  ROUND(AVG(l_discount), 4) AS avg_disc,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "g1_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src,
+        |    's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |dir AS (
+        |  SELECT src, dst FROM e
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+        |p0 AS (SELECT src AS v, 1.0::DOUBLE AS r FROM deg),
+        |p1 AS (
+        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p0.r / deg.deg) AS r
+        |  FROM dir JOIN p0 ON dir.src = p0.v JOIN deg ON dir.src = deg.src
+        |  GROUP BY dir.dst),
+        |p2 AS (
+        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p1.r / deg.deg) AS r
+        |  FROM dir JOIN p1 ON dir.src = p1.v JOIN deg ON dir.src = deg.src
+        |  GROUP BY dir.dst),
+        |p3 AS (
+        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p2.r / deg.deg) AS r
+        |  FROM dir JOIN p2 ON dir.src = p2.v JOIN deg ON dir.src = deg.src
+        |  GROUP BY dir.dst)
+        |SELECT v, ROUND(r, 6) AS rank FROM p3""".stripMargin,
     "q3_join_topk" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
