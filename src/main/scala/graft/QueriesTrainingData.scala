@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.expressions.SimHash64
-import graft.operators.{Dedup, FilterFunnel, Multimodal, QualityClassifier, Quantization, Sampling, Similarity, TextQuality, Tokenizer, UrlFilter}
+import graft.operators.{Dedup, EvalMetrics, FilterFunnel, Multimodal, QualityClassifier, Quantization, Sampling, Similarity, TextQuality, Tokenizer, UrlFilter}
 
 /** Training-data pipeline queries: dedup family, ANN similarity search,
   * text analysis, multimodal plumbing — over the driver's `documents` and
@@ -730,6 +730,19 @@ object QueriesTrainingData {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // ROUGE-2 eval metrics: each doc's 200-char prefix scored as a
+    // "summary" against the full text — distinct-bigram recall /
+    // precision / F1, map-only per-row set arithmetic the oracle
+    // replays with list functions
+    "td_rouge" -> ((s, dir) =>
+      EvalMetrics.rougeN(
+        docs(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 200).as("cand"),
+          col("text").as("ref")),
+        "cand", "ref", n = 2)
+        .select(col("doc_id"), col("n_cand"), col("n_ref"),
+          col("n_overlap"), col("recall"), col("precision"), col("f1"))),
+
     // DSIR importance RESAMPLING (the paper's actual selection step):
     // Gumbel-top-200 over the full-precision weights with md5-derived
     // deterministic noise — the oracle re-derives the identical noise
@@ -1382,6 +1395,36 @@ object QueriesTrainingData {
       """SELECT doc_id, n_bigrams,
         |  ROUND(li, 4) + 0.0 AS log_importance
         |FROM dw""".stripMargin),
+    "td_rouge" ->
+      """WITH pairs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(cw)),
+        |      i -> cw[i] || ' ' || cw[i + 1])) AS cs,
+        |    list_distinct(list_transform(range(1, len(rw)),
+        |      i -> rw[i] || ' ' || rw[i + 1])) AS rs
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(substr(text, 1, 200)),
+        |        '\s+'), w -> len(w) > 0) AS cw,
+        |      list_filter(string_split_regex(lower(text), '\s+'),
+        |        w -> len(w) > 0) AS rw
+        |    FROM documents)),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(cs) AS BIGINT) AS n_cand,
+        |    CAST(len(rs) AS BIGINT) AS n_ref,
+        |    CAST(len(list_intersect(cs, rs)) AS BIGINT) AS n_overlap
+        |  FROM pairs)
+        |SELECT doc_id, n_cand, n_ref, n_overlap,
+        |  CASE WHEN n_ref = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_overlap AS DOUBLE) / n_ref, 6) END AS recall,
+        |  CASE WHEN n_cand = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_overlap AS DOUBLE) / n_cand, 6)
+        |  END AS precision,
+        |  CASE WHEN n_cand + n_ref = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_overlap * 2 AS DOUBLE) / (n_cand + n_ref), 6)
+        |  END AS f1
+        |FROM m""".stripMargin,
     // selection replay: same full-precision weights + the md5-derived
     // Gumbel noise, top-200 by score — membership is what's gated
     "td_dsir_resample" -> (dsirCore +
