@@ -505,6 +505,43 @@ object QueriesSystem {
           countDistinct(col("c_custkey")).as("n_keys"))
     }),
 
+    // K12b: CDC STREAM apply — three micro-batches fold into a
+    // SinkRouter table at O(batch) cost (upserts ride the dedup merge,
+    // deletes ride the MoR deletion vector, re-inserts un-tombstone):
+    // keys %7==0 are deleted in batch 2 and RESURRECTED in batch 3,
+    // %7==1 updated twice (full-row image, last wins), %7==2 deleted
+    // last — the oracle replays the global max-lsn outcome per key
+    "k12b_cdc_stream" -> ((s, dir) => {
+      val wh = tmp("graft-q-cdcs")
+      val router = new SinkRouter(wh,
+        SinkOptions(deduplicate = true, primaryKey = "c_custkey"))
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val m = pmod(col("c_custkey"), lit(7))
+      def mk(rows: org.apache.spark.sql.DataFrame, o: String, lsn: Long,
+             bal: org.apache.spark.sql.Column,
+             seg: org.apache.spark.sql.Column) =
+        rows.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          bal.as("c_acctbal"), seg.as("c_mktsegment"),
+          lit(o).as("op"), lit(lsn).as("lsn"))
+      val b1 = mk(c, "i", 1L, col("c_acctbal"), col("c_mktsegment"))
+      val b2 = mk(c.filter(m === 0), "d", 20L,
+          col("c_acctbal"), col("c_mktsegment"))
+        .unionByName(mk(c.filter(m === 1), "u", 21L,
+          col("c_acctbal") + 100, col("c_mktsegment")))
+      val b3 = mk(c.filter(m === 0), "i", 30L,
+          col("c_acctbal") + 7.0, lit("CDC_BACK"))
+        .unionByName(mk(c.filter(m === 1), "u", 31L,
+          col("c_acctbal") + 200, col("c_mktsegment")))
+        .unionByName(mk(c.filter(m === 2), "d", 32L,
+          col("c_acctbal"), col("c_mktsegment")))
+      Seq(b1, b2, b3).foreach(b => router.applyCdc(s, "cust", b))
+      router.readTable(s, "cust")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"),
+          countDistinct(col("c_custkey")).as("n_keys"))
+    }),
+
     // S7: connector sync — Airbyte-style stream pulls: two sync RUNS
     // over two streams (orders INCREMENTAL on an o_orderdate high-water
     // mark, customer FULL_REFRESH), state threaded between runs. The
@@ -574,6 +611,21 @@ object QueriesSystem {
         |  FROM customer WHERE c_custkey % 7 = 3)
         |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  ROUND(SUM(c_acctbal), 2) AS sum_bal,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+        |FROM final GROUP BY c_mktsegment""".stripMargin,
+    "k12b_cdc_stream" ->
+      """WITH final AS (
+        |  SELECT c_custkey, c_acctbal + 7.0 AS bal,
+        |    'CDC_BACK' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 200, c_mktsegment FROM customer
+        |  WHERE c_custkey % 7 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_custkey % 7 NOT IN (0, 1, 2))
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  ROUND(SUM(bal), 2) AS sum_bal,
         |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
         |FROM final GROUP BY c_mktsegment""".stripMargin,
     "s7_sync_incremental" ->

@@ -718,6 +718,83 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     dropped
   }
 
+  /** CDC micro-batch apply — the streaming form of
+    * [[graft.operators.Cdc.applyBatch]], at O(batch + |delete vector|)
+    * cost instead of O(table): a Debezium-shaped op batch (rows with
+    * `op` in i/u/d and a per-key-monotone `lsn`) folds into `table` as
+    *   - winner per key = max-lsn op (hash agg over the batch);
+    *   - i/u winners upsert through the normal dedup MERGE
+    *     (partition-pruned, O(touched partitions));
+    *   - d winners append to the merge-on-read deletion vector
+    *     (keys-sized sidecar, zero data files touched).
+    * CDC re-inserts must RESURRECT deleted keys, which is the opposite
+    * of the vector's GDPR tombstone semantics — so upserted keys are
+    * first removed from the vector (the vector is keys-sized by
+    * construction, so the rewrite is O(|vector|); `purgeDeletes` folds
+    * it away on maintenance cadence). Requires `deduplicate=true`.
+    * Returns (upserted, newly deleted) counts. */
+  def applyCdc(spark: SparkSession, table: String, ops: DataFrame,
+               lsnCol: String = "lsn", opCol: String = "op"): (Long, Long) = {
+    require(options.deduplicate,
+      "applyCdc needs SinkOptions(deduplicate = true): upserts ride the merge")
+    val pk = options.primaryKey
+    val path = tablePath(table)
+    recover(path)
+    val rest = ops.columns.filterNot(c =>
+      c == pk || c == lsnCol || c == opCol)
+    val winners = ops.groupBy(col(pk))
+      .agg(max_by(struct((rest :+ opCol).map(col): _*), col(lsnCol))
+        .as("_w"))
+      .select(col(pk) +: (rest :+ opCol).map(c => col(s"_w.$c").as(c)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val upserts0 = winners.filter(lower(col(opCol)) =!= "d").drop(opCol)
+      // the merge ranks recency on the timestamp column; a CDC feed
+      // without one still merges (null ts ranks lowest, incoming wins
+      // ties via _src)
+      val upserts =
+        if (upserts0.columns.contains(options.timestampColumn)) upserts0
+        else upserts0.withColumn(options.timestampColumn,
+          lit(null).cast("timestamp"))
+      val delKeys = winners.filter(lower(col(opCol)) === "d").select(col(pk))
+      val nUp = upserts.count()
+      if (nUp > 0) {
+        // un-tombstone before the write: a key that was deleted in an
+        // earlier batch and re-inserted now must come back
+        val dv = dvPath(path)
+        if (new java.io.File(dv).exists()) {
+          val cur = spark.read.parquet(dv)
+          val kept = cur.join(broadcast(upserts.select(col(pk))),
+            Seq(pk), "left_anti").persist()
+          try {
+            if (kept.count() < cur.count()) {
+              val tmp = s"$path/.dv-rewrite"
+              kept.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+              deleteRecursive(new java.io.File(dv))
+              Files.move(Paths.get(tmp), Paths.get(dv),
+                StandardCopyOption.ATOMIC_MOVE)
+              ()
+            }
+          } finally { kept.unpersist(false); () }
+        }
+        write(upserts.withColumn("_table", lit(table)))
+      }
+      val nDel =
+        if (delKeys.isEmpty) 0L
+        else {
+          val dv = dvPath(path)
+          val fresh =
+            if (!new java.io.File(dv).exists()) delKeys
+            else delKeys.join(spark.read.parquet(dv), Seq(pk), "left_anti")
+          val n = fresh.count()
+          if (n > 0)
+            fresh.coalesce(1).write.mode(SaveMode.Append).parquet(dv)
+          n
+        }
+      (nUp, nDel)
+    } finally { winners.unpersist(false); () }
+  }
+
   /** Maintenance compaction (Delta OPTIMIZE analogue): rewrite each date
     * partition that has accumulated more than `maxFilesPerPartition`
     * files into one file, through the same staged-write + manifest swap

@@ -51,6 +51,57 @@ class CdcSpec extends GraftSpec {
     assert(got == Set((1L, "x", 5.0)))
   }
 
+  test("applyCdc micro-batches: sequential warehouse folds equal one " +
+    "applyBatch fold; re-inserted keys resurrect through the tombstone") {
+    import graft.sinks.{SinkOptions, SinkRouter}
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdc")
+      .toFile.getAbsolutePath
+    val router = new SinkRouter(wh,
+      SinkOptions(deduplicate = true, primaryKey = "id"))
+    val batches = Seq(
+      // seed
+      Seq((1L, "a", 10.0, "i", 1L), (2L, "b", 20.0, "i", 2L),
+        (3L, "c", 30.0, "i", 3L), (4L, "d", 40.0, "i", 4L)),
+      // update 1, delete 2
+      Seq((1L, "a1", 11.0, "u", 10L), (2L, "b", 20.0, "d", 11L)),
+      // re-insert 2 (must resurrect), delete 3
+      Seq((2L, "b2", 22.0, "i", 20L), (3L, "c", 30.0, "d", 21L))
+    ).map(_.toDF("id", "name", "bal", "op", "lsn"))
+    batches.foreach(b => router.applyCdc(spark, "t", b))
+    val got = router.readTable(spark, "t")
+      .select("id", "name", "bal")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    // reference: plain batch folds over an empty snapshot
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "name", "bal")
+    val expected = batches.foldLeft(empty)((snap, ops) =>
+      Cdc.applyBatch(snap, ops.select("id", "name", "bal", "op", "lsn"),
+        Seq("id")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(got == expected)
+    assert(got == Map(
+      1L -> ("a1", 11.0), 2L -> ("b2", 22.0), 4L -> ("d", 40.0)))
+  }
+
+  test("applyCdc: delete counts skip already-tombstoned keys; upserts " +
+    "and deletes report separately") {
+    import graft.sinks.{SinkOptions, SinkRouter}
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdc")
+      .toFile.getAbsolutePath
+    val router = new SinkRouter(wh,
+      SinkOptions(deduplicate = true, primaryKey = "id"))
+    val seed = Seq((1L, "a", "i", 1L), (2L, "b", "i", 2L))
+      .toDF("id", "name", "op", "lsn")
+    assert(router.applyCdc(spark, "t", seed) == ((2L, 0L)))
+    val del = Seq((2L, "b", "d", 10L)).toDF("id", "name", "op", "lsn")
+    assert(router.applyCdc(spark, "t", del) == ((0L, 1L)))
+    // deleting the same key again is a no-op on the vector
+    val del2 = Seq((2L, "b", "d", 20L)).toDF("id", "name", "op", "lsn")
+    assert(router.applyCdc(spark, "t", del2) == ((0L, 0L)))
+    assert(router.readTable(spark, "t").count() == 1)
+  }
+
   test("snapshot side is not shuffled (broadcast anti join)") {
     val ops = Seq((1L, "a", 11.0, "u", 10L))
       .toDF("id", "name", "bal", "op", "lsn")
