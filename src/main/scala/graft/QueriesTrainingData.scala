@@ -791,6 +791,25 @@ object QueriesTrainingData {
       Tokenizer.docTokenCounts(docs(s, dir), "doc_id", "text",
         FixedBpeMerges)),
 
+    // SentencePiece unigram-LM ENCODE (Kudo 2018) under the pinned
+    // piece vocab: per-DISTINCT-WORD Viterbi (vocab-sized work, the
+    // BPE-encode tier), best score + piece count gated per word. The
+    // oracle brute-force ENUMERATES every segmentation path with the
+    // same left-to-right additions, so max-score comparison is on
+    // bit-identical doubles — a DP vs exhaustive-search cross-check,
+    // not just a replay
+    "td_unigram_encode" -> ((s, dir) =>
+      Tokenizer.unigramEncodeWords(docs(s, dir), "text",
+        FixedUnigramVocab, UnigramFallback)
+        .select(col("word"), round(col("score"), 4).as("score"),
+          col("n_pieces").cast("long").as("n_pieces"))),
+
+    // the corpus-level rollup of the unigram encode: per-doc word and
+    // piece counts (integer sums — engine-exact at any grouping order)
+    "td_unigram_doc" -> ((s, dir) =>
+      Tokenizer.docUnigramCounts(docs(s, dir), "doc_id", "text",
+        FixedUnigramVocab, UnigramFallback)),
+
     // corpus statistics card: one ROLLUP pass publishes the per-
     // (source, lang), per-source, and grand-total doc/char/token
     // counts a data team reports with every corpus release. ROLLUP is
@@ -869,6 +888,33 @@ object QueriesTrainingData {
     "o" -> "n", "r" -> "e", "er" -> "</w>", "t" -> "</w>")
     .zipWithIndex.map { case ((l, r), i) => Tokenizer.Merge(i, l, r, 0L) }
 
+  /** Pinned unigram-LM piece vocab for the SentencePiece-style encode
+    * (the deploy-time shape, like [[FixedBpeMerges]]): multi-char
+    * pieces chosen to segment the corpus vocabulary non-trivially, log
+    * probs with scattered 4-decimal values so distinct piece MULTISETS
+    * never sum to exact ties (same-multiset reorderings tie harmlessly:
+    * score and piece count — the gated scalars — are equal). */
+  private[graft] val FixedUnigramVocab: Seq[(String, Double)] = Seq(
+    "ta" -> -1.8231, "ble" -> -2.1457, "cus" -> -2.3318,
+    "tom" -> -2.2104, "er" -> -1.2716, "or" -> -1.4105,
+    "der" -> -2.0873, "st" -> -1.5642, "ream" -> -2.4536,
+    "win" -> -2.1987, "dow" -> -2.2659, "spark" -> -2.8714,
+    "val" -> -2.0395, "ue" -> -1.6248, "que" -> -2.1529,
+    "ry" -> -1.5873, "co" -> -1.5218, "lu" -> -2.2483,
+    "mn" -> -2.5361, "data" -> -2.6107, "sc" -> -1.9428,
+    "an" -> -1.3264, "gr" -> -2.0816, "oup" -> -2.3149,
+    "jo" -> -2.1372, "in" -> -1.3581, "ha" -> -1.7293,
+    "sh" -> -1.7864, "li" -> -1.8535, "ne" -> -1.4377,
+    "me" -> -1.7148, "rge" -> -2.4291, "so" -> -1.8609,
+    "rt" -> -1.6425, "fi" -> -1.9037, "lter" -> -2.5874,
+    "ba" -> -1.8164, "tch" -> -2.3725, "sm" -> -2.0542,
+    "all" -> -1.9876, "slo" -> -2.4158, "fa" -> -1.9342,
+    "big" -> -2.5419, "key" -> -2.4783, "row" -> -2.3956,
+    "agg" -> -2.4617, "du" -> -1.9751, "ve" -> -1.8427,
+    "ctor" -> -2.6835, "pa" -> -1.8946, "the" -> -2.1064,
+    "w" -> -3.2145, "p" -> -3.4268, "a" -> -2.9517)
+  private[graft] val UnigramFallback = -4.1037
+
   /** Deterministic URL synthesis tables for `td_urlfilter` (hosts keyed
     * by doc_id % 8, path prefixes by doc_id % 5 — co-prime moduli so
     * every combination occurs). */
@@ -882,6 +928,43 @@ object QueriesTrainingData {
   /** DuckDB list literal from a Scala string seq. */
   private def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Unigram-encode oracle CTE chain: enumerate EVERY segmentation
+    * path of every distinct corpus word under the pinned vocab
+    * (feasible because the synthetic vocabulary is small), with the
+    * same left-to-right log-prob additions the Spark DP performs —
+    * `done` holds every complete path's (score, piece count), `best`
+    * the per-word max score. */
+  private lazy val unigramCte = {
+    val vocabVals = FixedUnigramVocab
+      .map { case (p, lp) => s"('$p', $lp)" }.mkString(", ")
+    s"""WITH RECURSIVE vocab(piece, lp) AS (VALUES $vocabVals),
+       |words AS (
+       |  SELECT DISTINCT unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'),
+       |    x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |pos AS (SELECT word, unnest(range(0, len(word))) AS i FROM words),
+       |ext AS (
+       |  SELECT p.word, p.i, len(v.piece) AS plen, v.lp
+       |  FROM pos p
+       |  JOIN vocab v ON substr(p.word, p.i + 1, len(v.piece)) = v.piece
+       |  UNION ALL
+       |  SELECT p.word, p.i, 1, $UnigramFallback
+       |  FROM pos p WHERE NOT EXISTS (
+       |    SELECT 1 FROM vocab v
+       |    WHERE v.piece = substr(p.word, p.i + 1, 1))),
+       |paths AS (
+       |  SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS score, 0 AS np
+       |  FROM words
+       |  UNION ALL
+       |  SELECT pa.word, pa.pos + e.plen, pa.score + e.lp, pa.np + 1
+       |  FROM paths pa JOIN ext e ON e.word = pa.word AND e.i = pa.pos
+       |  WHERE pa.pos + e.plen <= len(pa.word)),
+       |done AS (SELECT word, score, np FROM paths WHERE pos = len(word)),
+       |best AS (SELECT word, MAX(score) AS s FROM done GROUP BY 1)
+       |""".stripMargin
+  }
 
   /** Shared DuckDB text-prep CTEs. */
   private val wordsOnlyCte =
@@ -1395,6 +1478,24 @@ object QueriesTrainingData {
       """SELECT doc_id, n_bigrams,
         |  ROUND(li, 4) + 0.0 AS log_importance
         |FROM dw""".stripMargin),
+    "td_unigram_encode" -> (unigramCte +
+      """SELECT d.word, ROUND(b.s, 4) AS score,
+        |  CAST(MIN(d.np) AS BIGINT) AS n_pieces
+        |FROM done d JOIN best b ON d.word = b.word AND d.score = b.s
+        |GROUP BY d.word, b.s""".stripMargin),
+    "td_unigram_doc" -> (unigramCte +
+      """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(wn.n_pieces) AS BIGINT) AS n_unigram_tokens
+        |FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS word
+        |  FROM documents) toks
+        |JOIN (
+        |  SELECT d.word, CAST(MIN(d.np) AS BIGINT) AS n_pieces
+        |  FROM done d JOIN best b ON d.word = b.word AND d.score = b.s
+        |  GROUP BY d.word) wn USING (word)
+        |GROUP BY doc_id""".stripMargin),
     "td_rouge" ->
       """WITH pairs AS (
         |  SELECT doc_id,

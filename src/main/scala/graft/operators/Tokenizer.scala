@@ -230,4 +230,83 @@ object Tokenizer {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
   }
+
+  // ---- unigram-LM (SentencePiece) encode ----------------------------------
+
+  /** Viterbi segmentation of one word under a pinned unigram piece
+    * vocab (Kudo 2018, the SentencePiece unigram regime): maximize the
+    * sum of piece log probs; any single character not in the vocab is
+    * available at the `fallback` score, so every word segments. Ties on
+    * score break to FEWER pieces (both objectives are additive, so the
+    * lexicographic (score, -pieces) DP has optimal substructure).
+    * Returns (best score, piece count of the best segmentation) —
+    * scalars on which exact-equality comparisons are engine-portable:
+    * the DP accumulates each path's log probs strictly left-to-right,
+    * so an oracle that enumerates paths with the same left-to-right
+    * additions reproduces bit-identical doubles. */
+  def viterbiScore(word: String, vocab: Map[String, Double],
+                   fallback: Double, maxPieceLen: Int): (Double, Int) = {
+    val n = word.length
+    val score = Array.fill(n + 1)(Double.NegativeInfinity)
+    val np = Array.fill(n + 1)(Int.MaxValue)
+    score(0) = 0.0
+    np(0) = 0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (score(j) != Double.NegativeInfinity) {
+          val piece = word.substring(j, i)
+          val lp = vocab.get(piece) match {
+            case s @ Some(_) => s
+            case None => if (i - j == 1) Some(fallback) else None
+          }
+          lp.foreach { p =>
+            val s = score(j) + p
+            val c = np(j) + 1
+            if (s > score(i) || (s == score(i) && c < np(i))) {
+              score(i) = s
+              np(i) = c
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (score(n), np(n))
+  }
+
+  /** Per-DISTINCT-WORD unigram encode table: (word, score, n_pieces).
+    * Vocab-sized work exactly like the BPE encode path — the iterative
+    * DP runs once per distinct word and the result broadcasts. */
+  def unigramEncodeWords(docs: DataFrame, textCol: String,
+                         vocab: Seq[(String, Double)],
+                         fallback: Double): DataFrame = {
+    val maxLen = vocab.map(_._1.length).max
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab.toMap)
+    val enc = udf { (w: String) =>
+      val (s, c) = viterbiScore(w, bc.value, fallback, maxLen)
+      (s, c)
+    }
+    wordHistogram(docs, textCol).drop("n")
+      .withColumn("_e", enc(col("word")))
+      .select(col("word"), col("_e._1").as("score"),
+        col("_e._2").as("n_pieces"))
+  }
+
+  /** Per-doc unigram token counts under the pinned vocab: the corpus
+    * joins the broadcast word table, integer sums only (engine-exact
+    * at any grouping order). */
+  def docUnigramCounts(docs: DataFrame, idCol: String, textCol: String,
+                       vocab: Seq[(String, Double)],
+                       fallback: Double): DataFrame =
+    docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(unigramEncodeWords(docs, textCol, vocab, fallback)
+        .select(col("word"), col("n_pieces"))), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_unigram_tokens"))
 }

@@ -129,4 +129,63 @@ class TokenizerSpec extends GraftSpec {
       assert(nToks <= words.map(_.length + 1L).sum) // <= chars + marker
     }
   }
+
+  // ---- unigram-LM encode ---------------------------------------------------
+
+  private val uniVocab = Map(
+    "ab" -> -1.1, "bc" -> -1.3, "abc" -> -2.0, "c" -> -1.7, "a" -> -2.5)
+  private val uniFallback = -4.0
+
+  test("viterbiScore: hand-computed DP, fallback for unknown chars") {
+    // "abc": paths ab|c = -1.1-1.7 = -2.8 (2 pieces), abc = -2.0 (1),
+    //        a|bc = -2.5-1.3 = -3.8 → best single piece -2.0
+    assert(Tokenizer.viterbiScore("abc", uniVocab, uniFallback, 3) ==
+      ((-2.0, 1)))
+    // "abz": z only via fallback: ab|z = -1.1-4.0 = -5.1 beats
+    //        a|b|z = -2.5-4.0-4.0
+    assert(Tokenizer.viterbiScore("abz", uniVocab, uniFallback, 3) ==
+      ((-5.1, 2)))
+    // single unknown char
+    assert(Tokenizer.viterbiScore("z", uniVocab, uniFallback, 3) ==
+      ((-4.0, 1)))
+  }
+
+  test("viterbiScore ties break to fewer pieces") {
+    // vocab engineered so "xy" (1 piece) ties x|y (2 pieces) exactly
+    val v = Map("xy" -> -3.0, "x" -> -1.5, "y" -> -1.5)
+    assert(Tokenizer.viterbiScore("xy", v, uniFallback, 2) == ((-3.0, 1)))
+  }
+
+  test("viterbiScore equals brute-force path enumeration") {
+    def enumerate(word: String): Seq[(Double, Int)] = {
+      def go(pos: Int, score: Double, np: Int): Seq[(Double, Int)] =
+        if (pos == word.length) Seq((score, np))
+        else (1 to math.min(3, word.length - pos)).flatMap { l =>
+          val piece = word.substring(pos, pos + l)
+          uniVocab.get(piece)
+            .orElse(if (l == 1) Some(uniFallback) else None)
+            .toSeq.flatMap(lp => go(pos + l, score + lp, np + 1))
+        }
+      go(0, 0.0, 0)
+    }
+    val rnd = new scala.util.Random(11)
+    (1 to 40).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(8)))
+        .map(_ => "abcz" (rnd.nextInt(4))).mkString
+      val all = enumerate(w)
+      val bestScore = all.map(_._1).max
+      val bestNp = all.filter(_._1 == bestScore).map(_._2).min
+      assert(Tokenizer.viterbiScore(w, uniVocab, uniFallback, 3) ==
+        ((bestScore, bestNp)), s"word $w")
+    }
+  }
+
+  test("docUnigramCounts: piece totals from the per-word DP") {
+    val df = Seq((0, "ab abc zz")).toDF("doc_id", "text")
+    val vocab = uniVocab.toSeq
+    val out = Tokenizer.docUnigramCounts(df, "doc_id", "text",
+      vocab, uniFallback).as[(Int, Long, Long)].head()
+    // ab → 1 piece, abc → 1 piece, zz → 2 fallback pieces
+    assert(out == ((0, 3L, 4L)))
+  }
 }
