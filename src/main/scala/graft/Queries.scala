@@ -58,6 +58,24 @@ object Queries {
         .select(col("v"), round(col("r"), 6).as("rank"))
     }),
 
+    // G2: per-node triangle counts over the part co-purchase graph of a
+    // 10% order sample (parts sharing an order = an edge; each order's
+    // item set is a clique, so triangles exist at every SF). Spark side
+    // orients edges by the (deg, id) total order — the skew-proof
+    // m^{3/2} wedge bound; the oracle orients by plain id (a<b<c),
+    // which finds the SAME triangle set, so per-node counts match
+    // exactly while the implementations stay independent.
+    "g2_triangles" -> ((s, dir) => {
+      val items = li(s, dir).filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+        .distinct()
+      graft.operators.Graph.triangleCounts(e)
+    }),
+
     "q3_join_topk" -> ((s, dir) => {
       val orders = tbl(s, dir, "orders")
       val customer = tbl(s, dir, "customer")
@@ -224,6 +242,23 @@ object Queries {
         |  FROM dir JOIN p2 ON dir.src = p2.v JOIN deg ON dir.src = deg.src
         |  GROUP BY dir.dst)
         |SELECT v, ROUND(r, 6) AS rank FROM p3""".stripMargin,
+    "g2_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.p AS src, y.p AS dst
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |t AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.src = e1.dst
+        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT a AS v FROM t
+        |      UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t)
+        |GROUP BY v""".stripMargin,
     "q3_join_topk" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -459,6 +494,32 @@ object Queries {
           col("value").as("events"), col("ewma"), col("spike"))
     }),
 
+    // A2-beyond: audience-overlap matrix — for every pair of event
+    // types, the exact count of shared high-value users and the
+    // Jaccard overlap (the audience/segment intersection question a
+    // CDP warehouse answers constantly). Scale shape: the INVERTED
+    // index — one self-join keyed on the user, so fan-out per key is
+    // bounded by that user's audience membership (≤ #audiences, tiny),
+    // never |audience|×|audience|; sizes ride a broadcast-joined dim.
+    "a18_overlap" -> ((s, dir) => {
+      val a = env(s, dir).filter(col("value") > 15)
+        .select(col("event"), col("anonymous_id")).distinct()
+      val sizes = a.groupBy(col("event")).agg(count(lit(1)).as("n"))
+      a.as("x").join(a.as("y"), Seq("anonymous_id"))
+        .filter(col("x.event") < col("y.event"))
+        .groupBy(col("x.event").as("e1"), col("y.event").as("e2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("event").as("e1"),
+          col("n").as("n1"))), Seq("e1"))
+        .join(broadcast(sizes.select(col("event").as("e2"),
+          col("n").as("n2"))), Seq("e2"))
+        .select(col("e1"), col("e2"), col("n1"), col("n2"),
+          col("n_shared"),
+          round(col("n_shared").cast("double") /
+            (col("n1") + col("n2") - col("n_shared")).cast("double"), 6)
+            .as("jaccard"))
+    }),
+
     // F3/F4/F6/F7/F8/F9/F12 scalar battery over the envelope
     "f_scalars" -> ((s, dir) => {
       import graft.functions.Scalars._
@@ -636,6 +697,22 @@ object Queries {
         |  WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
         |    AND timestamp <= TIMESTAMP '2024-01-20 00:00:00')
         |GROUP BY 1, 2, 3""".stripMargin),
+    "a18_overlap" -> (adapterCte +
+      """, a AS (
+        |  SELECT DISTINCT event, anonymous_id FROM env WHERE value > 15),
+        |sz AS (SELECT event, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM a GROUP BY 1),
+        |p AS (
+        |  SELECT x.event AS e1, y.event AS e2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM a x JOIN a y
+        |    ON x.anonymous_id = y.anonymous_id AND x.event < y.event
+        |  GROUP BY 1, 2)
+        |SELECT e1, e2, s1.n AS n1, s2.n AS n2, n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE) /
+        |    (s1.n + s2.n - n_shared), 6) AS jaccard
+        |FROM p JOIN sz s1 ON s1.event = p.e1
+        |JOIN sz s2 ON s2.event = p.e2""".stripMargin),
     "f_scalars" -> (adapterCte +
       """SELECT message_id,
         |  CASE type WHEN 'identify' THEN 'identifies'

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Scalars
-import graft.operators.{MetricsAgg, Profiles, SaasProjections, UserRecognition}
+import graft.operators.{EntityResolution, MetricsAgg, Profiles, SaasProjections, UserRecognition}
 import graft.sources.DriverEventsAdapter
 
 /** Coverage-widening queries: SaaS projections (K3), geo/UA enrichment
@@ -23,6 +23,27 @@ object QueriesExtra {
       |  WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari' ELSE 'unknown' END""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // Blocked fuzzy entity resolution: every part row as a "dirty"
+    // record (deterministic end-of-name corruption keyed by partkey —
+    // drop last char / append 'x' / double last char / unchanged)
+    // matched back against the distinct clean-name catalog by
+    // Levenshtein distance within first-token blocking buckets. Best
+    // match = lowest (dist, name) — deterministic under ties. The
+    // oracle replays the corruption, the blocking, and the
+    // window-ranked best-match selection.
+    "er_match" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val m = pmod(col("p_partkey"), lit(4))
+      val dirty = p.select(col("p_partkey"),
+        when(m === 0, expr("substring(p_name, 1, length(p_name) - 1)"))
+          .when(m === 1, concat(col("p_name"), lit("x")))
+          .when(m === 2,
+            concat(col("p_name"), substring(col("p_name"), -1, 1)))
+          .otherwise(col("p_name")).as("name"))
+      EntityResolution.bestMatch(dirty, "p_partkey", "name",
+        p.select(col("p_name")), "p_name", maxDist = 2)
+    }),
+
     // K3: mixpanel track projection + CLICK_IDS extraction from the page
     // URL. Click ids are planted deterministically; gclid and fbclid
     // co-occur on event_id%3==0 rows, so substring-matching extraction
@@ -505,6 +526,29 @@ object QueriesExtra {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "er_match" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey,
+        |    CASE (p_partkey % 4)
+        |      WHEN 0 THEN substr(p_name, 1, length(p_name) - 1)
+        |      WHEN 1 THEN p_name || 'x'
+        |      WHEN 2 THEN p_name || substr(p_name, length(p_name), 1)
+        |      ELSE p_name END AS dirty_name
+        |  FROM part),
+        |cat AS (SELECT DISTINCT p_name AS matched_name FROM part),
+        |cand AS (
+        |  SELECT d.p_partkey, d.dirty_name, c.matched_name,
+        |    CAST(levenshtein(d.dirty_name, c.matched_name) AS INT) AS dist
+        |  FROM dirty d JOIN cat c
+        |    ON string_split(d.dirty_name, ' ')[1] =
+        |       string_split(c.matched_name, ' ')[1]
+        |  WHERE levenshtein(d.dirty_name, c.matched_name) <= 2),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+        |    ORDER BY dist, matched_name) AS rn
+        |  FROM cand)
+        |SELECT p_partkey, dirty_name, matched_name, dist
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "a1_hll_sketch" -> (adapterCte +
       """SELECT write_key AS workspace_id,
         |  strftime(timestamp, '%Y-%m-%d') AS period,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 /** Fixed-iteration PageRank over an undirected graph, DataFrame-native —
   * the graph-centrality companion to the identity-graph machinery
@@ -63,5 +64,54 @@ object Graph {
       deg.unpersist(false)
       withDeg.unpersist(false)
     }
+  }
+
+  /** Per-node triangle participation counts over an undirected graph —
+    * the clustering/cohesion metric next to [[pageRank]]'s centrality
+    * (each triangle {x,y,z} increments all three nodes).
+    *
+    * The distributed node-iterator++ shape (Suri & Vassilvitskii 2011):
+    * impose the total order π(v) = (deg(v), v) and orient every edge
+    * from its π-smaller endpoint, so each triangle is discovered exactly
+    * once — at its lowest-degree vertex. Wedges are then pairs of
+    * out-edges of the SAME low vertex, which bounds the shuffled
+    * intermediate by Σ_e min-deg(e) = O(m^{3/2}) instead of the
+    * Σ deg² blow-up a hub vertex causes under naive id-ordering: the
+    * 100 TB skew story, since real co-occurrence graphs are power-law.
+    * Three hash joins + one hash aggregation; edges carry ids only.
+    *
+    * `edges`: distinct undirected (src, dst) pairs, src ≠ dst.
+    * Returns (v, n_triangles) for nodes in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val dir = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("v"), col("deg"))
+    def ord(d: Column, id: Column): Column = struct(d, id)
+    // orient each edge low→high under π = (deg, id); keep the head's
+    // order key so wedge endpoints can be ordered without a re-join
+    val oriented = dir
+      .join(deg.select(col("v").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("ddeg")), "dst")
+      .filter(ord(col("sdeg"), col("src")) < ord(col("ddeg"), col("dst")))
+      .select(col("src").as("a"), col("dst").as("b"),
+        ord(col("ddeg"), col("dst")).as("ob"))
+      // the oriented edge list feeds THREE plan branches (both wedge
+      // sides + the closing probe); eager localCheckpoint materializes
+      // it once and truncates the degree-join lineage, with storage
+      // released by GC instead of caller-side unpersist bookkeeping
+      .localCheckpoint(true)
+    val e1 = oriented.select(col("a"), col("b").as("x"), col("ob").as("ox"))
+    val e2 = oriented.select(col("a"), col("b").as("y"), col("ob").as("oy"))
+    // wedges at the low vertex: unordered out-edge pairs, ordered by π
+    // so the closing edge (x→y) is probed in its oriented direction
+    val wedges = e1.join(e2, Seq("a")).filter(col("ox") < col("oy"))
+      .select(col("a"), col("x"), col("y"))
+    val closing = oriented.select(col("a").as("x"), col("b").as("y"))
+    val tris = wedges.join(closing, Seq("x", "y"))
+      .select(col("a"), col("x"), col("y"))
+    tris.select(explode(array(col("a"), col("x"), col("y"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
   }
 }

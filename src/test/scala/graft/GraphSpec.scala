@@ -44,4 +44,39 @@ class GraphSpec extends GraftSpec {
     assert(leaves.distinct.size == 1)
     assert(r("h") > leaves.head)
   }
+
+  private def tri(edges: Seq[(String, String)]): Map[String, Long] =
+    Graph.triangleCounts(edges.toDF("src", "dst"))
+      .as[(String, Long)].collect().toMap
+
+  test("triangleCounts: K4 — every node in C(3,2)=3 triangles") {
+    val k4 = for {
+      Seq(a, b) <- Seq("a", "b", "c", "d").combinations(2).toSeq
+    } yield (a, b)
+    val r = tri(k4)
+    assert(r == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("triangleCounts: triangle + pendant — pendant node absent") {
+    val r = tri(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
+    assert(r == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangleCounts: 4-cycle has no triangles") {
+    assert(tri(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))).isEmpty)
+  }
+
+  test("triangleCounts: two triangles sharing an edge") {
+    // abc + bcd share edge b-c
+    val r = tri(Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("b", "d"), ("c", "d")))
+    assert(r == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("triangleCounts: orientation invariance — reversed edge list " +
+    "gives identical counts") {
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+      ("b", "d"), ("d", "e"), ("c", "e"))
+    assert(tri(e) == tri(e.map(_.swap)))
+  }
 }
