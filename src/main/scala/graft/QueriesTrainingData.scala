@@ -810,6 +810,34 @@ object QueriesTrainingData {
       Tokenizer.docUnigramCounts(docs(s, dir), "doc_id", "text",
         FixedUnigramVocab, UnigramFallback)),
 
+    // WordPiece (BERT) greedy longest-match-first encode under the
+    // pinned `##`-continuation vocab — the third tokenizer regime next
+    // to BPE merge-ranks and unigram Viterbi, same vocab-sized encode
+    // tier (per-DISTINCT-word work broadcast back onto the corpus).
+    // Greedy is pure string matching (no floats), so the oracle replays
+    // the exact longest-match chain: per-(word, position) best piece
+    // lengths precomputed, then a recursive walk
+    "td_wordpiece_encode" -> ((s, dir) =>
+      Tokenizer.docWordpieceCounts(docs(s, dir), "doc_id", "text",
+        FixedWordpieceVocab)),
+
+    // BLEU-2 eval metrics in log space with CLIPPED (multiset) n-gram
+    // counts — the real BLEU overlap next to td_rouge's distinct-set
+    // recall. Candidate = the doc's own token stream with every 11th
+    // word replaced by 'the' and every 7th dropped (deterministic
+    // corruption both engines replay), reference = the original words;
+    // only ln appears (never exp), so the log-BLEU doubles are
+    // bit-identical before the display round
+    "td_bleu" -> ((s, dir) => {
+      val w = TextFunctions.words(col("text"))
+      val sub = transform(w, (t, i) =>
+        when(pmod(i + 1, lit(11)) === 0, lit("the")).otherwise(t))
+      val cand = filter(sub, (t, i) => pmod(i + 1, lit(7)) =!= 0)
+      EvalMetrics.bleu2Log(
+        docs(s, dir).select(col("doc_id"), cand.as("cand"), w.as("ref")),
+        "doc_id", "cand", "ref")
+    }),
+
     // corpus statistics card: one ROLLUP pass publishes the per-
     // (source, lang), per-source, and grand-total doc/char/token
     // counts a data team reports with every corpus release. ROLLUP is
@@ -914,6 +942,23 @@ object QueriesTrainingData {
     "ctor" -> -2.6835, "pa" -> -1.8946, "the" -> -2.1064,
     "w" -> -3.2145, "p" -> -3.4268, "a" -> -2.9517)
   private[graft] val UnigramFallback = -4.1037
+
+  /** Pinned WordPiece vocab for the greedy longest-match encode: all
+    * 26 letters as both initial and `##`-continuation pieces (so every
+    * alphabetic word segments — [UNK] only for non-alpha tokens), plus
+    * multi-char pieces chosen so the corpus vocabulary splits
+    * non-trivially (full words, 2-piece splits, and greedy
+    * longest-match decisions like `scan` > `sc` all occur). */
+  private[graft] val FixedWordpieceVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++
+      ('a' to 'z').map(c => s"##$c") ++ Seq(
+      "ta", "tab", "cust", "wind", "str", "spark", "qu", "col", "da",
+      "scan", "sc", "sp", "gr", "join", "ha", "li", "mer", "so", "fil",
+      "bat", "sm", "sl", "fa", "big", "key", "row", "ag", "val", "ve",
+      "par", "or", "the",
+      "##le", "##om", "##er", "##ow", "##eam", "##ery", "##umn", "##ta",
+      "##oup", "##sh", "##ne", "##ge", "##rt", "##ter", "##ch", "##all",
+      "##st", "##ue", "##ctor", "##der", "##ark")
 
   /** Deterministic URL synthesis tables for `td_urlfilter` (hosts keyed
     * by doc_id % 8, path prefixes by doc_id % 5 — co-prime moduli so
@@ -1526,6 +1571,103 @@ object QueriesTrainingData {
         |    ELSE ROUND(CAST(n_overlap * 2 AS DOUBLE) / (n_cand + n_ref), 6)
         |  END AS f1
         |FROM m""".stripMargin,
+    // the same pinned vocab rendered once; greedy = per-(word, pos)
+    // longest matching piece precomputed (grouped by continuation
+    // kind), then a recursive walk following exactly one edge per step
+    "td_wordpiece_encode" -> {
+      val vals = duckList(FixedWordpieceVocab)
+      s"""WITH RECURSIVE vocab AS (SELECT unnest($vals) AS p),
+         |vp AS (
+         |  SELECT (p LIKE '##%') AS cont,
+         |    CASE WHEN p LIKE '##%' THEN substr(p, 3) ELSE p END AS raw
+         |  FROM vocab),
+         |words AS (
+         |  SELECT DISTINCT unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0)) AS word
+         |  FROM documents),
+         |pos AS (SELECT word, unnest(range(0, len(word))) AS i FROM words),
+         |best AS (
+         |  SELECT p.word, p.i, v.cont, MAX(len(v.raw)) AS plen
+         |  FROM pos p JOIN vp v
+         |    ON substr(p.word, p.i + 1, len(v.raw)) = v.raw
+         |  GROUP BY 1, 2, 3),
+         |walk AS (
+         |  SELECT word, 0 AS pos, 0 AS np FROM words
+         |  UNION ALL
+         |  SELECT w.word, w.pos + b.plen, w.np + 1
+         |  FROM walk w JOIN best b ON b.word = w.word AND b.i = w.pos
+         |    AND b.cont = (w.pos > 0)
+         |  WHERE w.pos < len(w.word)),
+         |enc AS (SELECT word, np FROM walk WHERE pos = len(word)),
+         |dt AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0)) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(COALESCE(np, 1)) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(CASE WHEN np IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unk_words
+         |FROM dt LEFT JOIN enc USING (word)
+         |GROUP BY doc_id""".stripMargin
+    },
+    // tokens indexed once (1-based i = Spark's 0-based index + 1);
+    // candidate bigrams re-sequence over the FILTERED stream via lead()
+    // — matching the Spark side's post-filter array adjacency. The `+
+    // 0.0` normalizes IEEE -0.0 (the td_dsir precedent).
+    "td_bleu" -> (wordsOnlyCte +
+      """, idx AS (
+        |  SELECT doc_id, w, len(w) AS n_ref,
+        |    unnest(range(1, len(w) + 1)) AS i
+        |  FROM ws),
+        |tok AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i % 11 = 0 THEN 'the' ELSE w[i] END AS t
+        |  FROM idx),
+        |candtok AS (SELECT doc_id, i, t FROM tok WHERE i % 7 <> 0),
+        |cn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        |  FROM candtok GROUP BY 1),
+        |cgrams AS (
+        |  SELECT doc_id, '1:' || t AS g FROM candtok
+        |  UNION ALL
+        |  SELECT doc_id, '2:' || t || ' ' || nxt AS g FROM (
+        |    SELECT doc_id, t,
+        |      LEAD(t) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        |    FROM candtok) WHERE nxt IS NOT NULL),
+        |rgrams AS (
+        |  SELECT doc_id, '1:' || unnest(w) AS g FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, '2:' || unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS g
+        |  FROM ws WHERE len(w) >= 2),
+        |cc AS (SELECT doc_id, g, COUNT(*) AS nc FROM cgrams GROUP BY 1, 2),
+        |rc AS (SELECT doc_id, g, COUNT(*) AS nr FROM rgrams GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN g LIKE '1:%' THEN LEAST(nc, nr) ELSE 0 END)
+        |      AS clip1,
+        |    SUM(CASE WHEN g LIKE '2:%' THEN LEAST(nc, nr) ELSE 0 END)
+        |      AS clip2
+        |  FROM cc JOIN rc USING (doc_id, g) GROUP BY 1)
+        |SELECT ws.doc_id,
+        |  COALESCE(cn.n_cand, 0) AS n_cand,
+        |  CAST(len(ws.w) AS BIGINT) AS n_ref,
+        |  CAST(COALESCE(cl.clip1, 0) AS BIGINT) AS clip1,
+        |  CAST(COALESCE(cl.clip2, 0) AS BIGINT) AS clip2,
+        |  CASE WHEN COALESCE(cn.n_cand, 0) < 2
+        |      OR COALESCE(cl.clip1, 0) = 0 OR COALESCE(cl.clip2, 0) = 0
+        |    THEN NULL
+        |    ELSE ROUND(
+        |      LEAST(0.0, 1.0 - CAST(len(ws.w) AS DOUBLE) /
+        |        CAST(cn.n_cand AS DOUBLE)) +
+        |      0.5 * (LN(CAST(cl.clip1 AS DOUBLE) /
+        |               CAST(cn.n_cand AS DOUBLE)) +
+        |             LN(CAST(cl.clip2 AS DOUBLE) /
+        |               CAST(cn.n_cand - 1 AS DOUBLE))), 4) + 0.0
+        |  END AS log_bleu
+        |FROM ws LEFT JOIN cn USING (doc_id) LEFT JOIN cl USING (doc_id)"""
+        .stripMargin),
     // selection replay: same full-precision weights + the md5-derived
     // Gumbel noise, top-200 by score — membership is what's gated
     "td_dsir_resample" -> (dsirCore +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -41,5 +41,75 @@ object EvalMetrics {
       .withColumn("f1",
         ratio(col("n_overlap") * 2, col("n_cand") + col("n_ref")))
       .drop("_c", "_r")
+  }
+
+  /** Word-bigram array of a token array (adjacent pairs joined by one
+    * space); < 2 tokens ⇒ empty. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => concat(x, lit(" "), y)))
+
+  /** BLEU-2 in log space with CLIPPED (multiset) n-gram counts — the
+    * real BLEU overlap (Papineni 2002), unlike [[rougeN]]'s distinct-set
+    * variant: each candidate n-gram counts at most as often as it
+    * appears in the reference.
+    *
+    *   log_bleu = min(0, 1 − |ref|/|cand|)            (brevity penalty)
+    *            + ½·(ln p₁ + ln p₂),  p_n = clip_n / n-gram count
+    *
+    * Log space on purpose: only `ln` appears (IEEE-identical across
+    * engines on identical inputs — the td_dsir precedent), never `exp`,
+    * so an oracle replaying the same additions reproduces the value
+    * bit-for-bit before the display round. NULL when the candidate has
+    * no bigrams or either clipped count is zero (ln 0).
+    *
+    * Scale shape: unigrams and bigrams of each side ride ONE tagged
+    * explode (two corpus scans total), clipped counts are a hash
+    * aggregation keyed by (pair, gram) with map-side combine, and the
+    * cand↔ref join is on the same key — no all-pairs, no window. The
+    * gram streams are the shuffled unit; at 100 TB that is tokens × 2
+    * rows of (id, short string), the same order as the corpus itself.
+    *
+    * `pairs`: idCol + candidate/reference TOKEN-ARRAY columns. */
+  def bleu2Log(pairs: DataFrame, idCol: String, candCol: String,
+               refCol: String): DataFrame = {
+    val base = pairs.select(col(idCol).as("_id"),
+        col(candCol).as("_c"), col(refCol).as("_r"))
+      .withColumn("n_cand", size(col("_c")).cast("long"))
+      .withColumn("n_ref", size(col("_r")).cast("long"))
+    // one tagged gram stream per side: "1:tok" ∪ "2:tok tok"
+    def gramCounts(arr: Column, out: String): DataFrame =
+      base.select(col("_id"), explode(concat(
+          transform(arr, g => concat(lit("1:"), g)),
+          transform(bigrams(arr), g => concat(lit("2:"), g)))).as("g"))
+        .groupBy(col("_id"), col("g"))
+        .agg(count(lit(1)).as(out))
+    val clips = gramCounts(col("_c"), "nc")
+      .join(gramCounts(col("_r"), "nr"), Seq("_id", "g"))
+      .groupBy(col("_id"))
+      .agg(
+        sum(when(col("g").startsWith("1:"),
+          least(col("nc"), col("nr"))).otherwise(0)).as("clip1"),
+        sum(when(col("g").startsWith("2:"),
+          least(col("nc"), col("nr"))).otherwise(0)).as("clip2"))
+    val p1 = col("clip1").cast("double") / col("n_cand").cast("double")
+    val p2 = col("clip2").cast("double") /
+      (col("n_cand") - 1).cast("double")
+    base.join(clips, Seq("_id"), "left")
+      .withColumn("clip1", coalesce(col("clip1"), lit(0L)))
+      .withColumn("clip2", coalesce(col("clip2"), lit(0L)))
+      .withColumn("log_bleu",
+        when(col("n_cand") < 2 || col("clip1") === 0 || col("clip2") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            least(lit(0.0),
+              lit(1.0) - col("n_ref").cast("double") /
+                col("n_cand").cast("double")) +
+              lit(0.5) * (log(p1) + log(p2)), 4)))
+      .select(col("_id").as(idCol), col("n_cand"), col("n_ref"),
+        col("clip1"), col("clip2"), col("log_bleu"))
   }
 }

@@ -295,6 +295,72 @@ object Tokenizer {
         col("_e._2").as("n_pieces"))
   }
 
+  // ---- WordPiece (BERT) greedy encode -------------------------------------
+
+  /** Greedy longest-match-first WordPiece segmentation of one word
+    * under a pinned piece vocab (Wu 2016 / BERT's tokenizer regime):
+    * at each position take the LONGEST vocab piece that matches —
+    * initial pieces at position 0, `##`-continuation pieces after.
+    * Returns the piece count, or -1 if no piece matches at some
+    * position (the word maps to a single [UNK] token). Deterministic
+    * pure function of (word, vocab) — greedy, no DP, no floats — so an
+    * oracle replaying the same longest-match chain is exact. */
+  def wordpieceEncode(word: String, starts: Set[String],
+                      conts: Set[String], maxPieceLen: Int): Int = {
+    val n = word.length
+    var pos = 0
+    var pieces = 0
+    while (pos < n) {
+      val set = if (pos == 0) starts else conts
+      var l = math.min(maxPieceLen, n - pos)
+      var found = -1
+      while (l >= 1 && found < 0) {
+        if (set.contains(word.substring(pos, pos + l))) found = l
+        l -= 1
+      }
+      if (found < 0) return -1
+      pos += found
+      pieces += 1
+    }
+    pieces
+  }
+
+  /** Per-DISTINCT-WORD WordPiece table: (word, n_pieces nullable —
+    * null = [UNK]). Vocab-sized work exactly like the BPE/unigram
+    * encode paths: the greedy loop runs once per distinct word and the
+    * result broadcasts back onto the corpus. `vocab` entries use the
+    * `##` prefix for continuation pieces. */
+  def wordpieceEncodeWords(docs: DataFrame, textCol: String,
+                           vocab: Seq[String]): DataFrame = {
+    val starts = vocab.filterNot(_.startsWith("##")).toSet
+    val conts = vocab.filter(_.startsWith("##")).map(_.drop(2)).toSet
+    val maxLen = (starts.map(_.length) ++ conts.map(_.length)).max
+    val bcS = docs.sparkSession.sparkContext.broadcast(starts)
+    val bcC = docs.sparkSession.sparkContext.broadcast(conts)
+    val enc = udf { (w: String) =>
+      val r = wordpieceEncode(w, bcS.value, bcC.value, maxLen)
+      if (r < 0) None else Some(r)
+    }
+    wordHistogram(docs, textCol).drop("n")
+      .withColumn("n_pieces", enc(col("word")))
+  }
+
+  /** Per-doc WordPiece stats under the pinned vocab: corpus words join
+    * the broadcast encode table; [UNK] words count 1 piece and bump
+    * n_unk_words. Integer sums only — engine-exact. */
+  def docWordpieceCounts(docs: DataFrame, idCol: String, textCol: String,
+                         vocab: Seq[String]): DataFrame =
+    docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(wordpieceEncodeWords(docs, textCol, vocab)),
+        Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_pieces"), lit(1))).as("n_pieces"),
+        sum(when(col("n_pieces").isNull, 1L).otherwise(0L))
+          .as("n_unk_words"))
+
   /** Per-doc unigram token counts under the pinned vocab: the corpus
     * joins the broadcast word table, integer sums only (engine-exact
     * at any grouping order). */

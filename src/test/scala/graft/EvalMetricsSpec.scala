@@ -35,4 +35,46 @@ class EvalMetricsSpec extends GraftSpec {
     // cand distinct bigrams: {a b, b a}; ref: {a b, b c}; overlap {a b}
     assert(nc == 2 && o == 1 && r == 0.5)
   }
+
+  private def bleu(cand: Seq[String], ref: Seq[String])
+      : (Long, Long, Long, Long, Option[Double]) =
+    EvalMetrics.bleu2Log(
+      Seq((1, cand, ref)).toDF("id", "cand", "ref"), "id", "cand", "ref")
+      .select("n_cand", "n_ref", "clip1", "clip2", "log_bleu")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+
+  test("bleu2Log: hand-computed prefix candidate") {
+    // cand = the cat sat; ref = the cat sat down
+    // clip1 = 3, clip2 = 2 (both bigrams present), p1 = p2 = 1
+    // log_bleu = min(0, 1 - 4/3) + 0 = -1/3 -> -0.3333
+    assert(bleu(Seq("the", "cat", "sat"),
+      Seq("the", "cat", "sat", "down")) ==
+      ((3L, 4L, 3L, 2L, Some(-0.3333))))
+  }
+
+  test("bleu2Log: clipping caps repeated candidate grams at ref counts") {
+    // cand = a a a vs ref = a b: unigram 'a' appears once in ref -> clip1=1
+    // cand bigrams {a a, a a} none in ref -> clip2=0 -> NULL score
+    assert(bleu(Seq("a", "a", "a"), Seq("a", "b")) ==
+      ((3L, 2L, 1L, 0L, None)))
+  }
+
+  test("bleu2Log: identical token streams score exactly 0") {
+    val t = Seq("x", "y", "z", "x")
+    assert(bleu(t, t) == ((4L, 4L, 4L, 3L, Some(0.0))))
+  }
+
+  test("bleu2Log: longer-than-ref candidate pays no brevity penalty") {
+    // cand = a b a b, ref = a b: BP term = min(0, 1 - 2/4) = 0
+    // clip1 = 2 (a:min(2,1) + b:min(2,1)), clip2: 'a b' min(2,1)=1
+    // log_bleu = 0.5*(ln(2/4) + ln(1/3)) = 0.5*(ln .5 + ln .333..)
+    val (nc, nr, c1, c2, lb) = bleu(Seq("a", "b", "a", "b"), Seq("a", "b"))
+    assert((nc, nr, c1, c2) == ((4L, 2L, 2L, 1L)))
+    val expect = math.rint((0.5 * (math.log(0.5) + math.log(1.0 / 3))) * 1e4) / 1e4
+    assert(lb.contains(expect))
+  }
+
+  test("bleu2Log: empty candidate is guarded") {
+    assert(bleu(Seq.empty, Seq("a", "b")) == ((0L, 2L, 0L, 0L, None)))
+  }
 }

@@ -188,4 +188,48 @@ class TokenizerSpec extends GraftSpec {
     // ab → 1 piece, abc → 1 piece, zz → 2 fallback pieces
     assert(out == ((0, 3L, 4L)))
   }
+
+  // ---- WordPiece greedy encode --------------------------------------------
+
+  private val wpStarts = Set("a", "b", "t", "ta", "tab", "un")
+  private val wpConts = Set("a", "b", "t", "le", "l")
+
+  private def wp(w: String): Int =
+    Tokenizer.wordpieceEncode(w, wpStarts, wpConts, 3)
+
+  test("wordpieceEncode: greedy longest-match-first") {
+    assert(wp("table") == 2)  // tab + ##le
+    assert(wp("tab") == 1)    // longest start piece wins over ta+b
+    assert(wp("tat") == 2)    // ta + ##t
+    assert(wp("abba") == 4)   // a + ##b + ##b + ##a (singles)
+  }
+
+  test("wordpieceEncode: greedy is NOT optimal — longest-first can " +
+    "cost more pieces than the best segmentation") {
+    // 'tale': greedy takes 'ta', leaving 'le' -> 2; but 't'+'##a'+... no,
+    // greedy = ta + ##le = 2. Use 'tabl': greedy tab + ##l = 2; ta+##b+##l=3.
+    assert(wp("tabl") == 2)
+    // dead-end UNK: greedy 'tab' consumes, rest 'x' has no cont piece
+    assert(wp("tabx") == -1)
+  }
+
+  test("wordpieceEncode: continuation vocab differs from start vocab") {
+    // 'un' exists only as a start piece; 'le' only as a continuation
+    assert(wp("un") == 1)
+    assert(wp("le") == -1)    // no start piece covers 'l… ' fully? 'l' not a start
+    assert(wp("tun") == -1)   // 'un' cannot continue (only ##t/##a/##b/##le/##l)
+  }
+
+  test("docWordpieceCounts: per-doc sums with [UNK] counted as one piece") {
+    val df = Seq((0, "table tab zz"), (1, "abba")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "t", "ta", "tab", "un",
+      "##a", "##b", "##t", "##le", "##l")
+    val out = Tokenizer.docWordpieceCounts(df, "doc_id", "text", vocab)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 0: table=2 pieces, tab=1, zz=[UNK] (1 piece, 1 unk)
+    assert(out(0) == ((3L, 4L, 1L)))
+    // doc 1: abba = a + ##b + ##b + ##a
+    assert(out(1) == ((1L, 4L, 0L)))
+  }
 }
