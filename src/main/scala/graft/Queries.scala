@@ -76,6 +76,16 @@ object Queries {
       graft.operators.Graph.triangleCounts(e)
     }),
 
+    // G3: item-item co-purchase similarity — Jaccard over order sets
+    // for part pairs with support ≥ 2, via the inverted-index self-join
+    // (pair generation bounded by basket size, support filter before
+    // the dimension joins)
+    "g3_copurchase_sim" -> ((s, dir) =>
+      Cooccurrence.jaccardPairs(
+        li(s, dir).select(col("l_orderkey").as("g"),
+          col("l_partkey").as("i")),
+        "g", "i", minCo = 2L)),
+
     "q3_join_topk" -> ((s, dir) => {
       val orders = tbl(s, dir, "orders")
       val customer = tbl(s, dir, "customer")
@@ -259,6 +269,20 @@ object Queries {
         |      UNION ALL SELECT b FROM t
         |      UNION ALL SELECT c FROM t)
         |GROUP BY v""".stripMargin,
+    "g3_copurchase_sim" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM po GROUP BY 1),
+        |p AS (
+        |  SELECT x.i AS item1, y.i AS item2,
+        |    CAST(COUNT(*) AS BIGINT) AS co
+        |  FROM po x JOIN po y ON x.g = y.g AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT item1, item2, c1.n AS n1, c2.n AS n2, co,
+        |  ROUND(CAST(co AS DOUBLE) / (c1.n + c2.n - co), 6) AS jaccard
+        |FROM p JOIN cnt c1 ON c1.i = item1
+        |JOIN cnt c2 ON c2.i = item2""".stripMargin,
     "q3_join_topk" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -494,6 +518,18 @@ object Queries {
           col("value").as("events"), col("ewma"), col("spike"))
     }),
 
+    // A2-beyond: 7-day sliding distinct actives per day — the windowed
+    // COUNT(DISTINCT) a daily rollup cannot answer (distinct is not
+    // summable). Spark side: constant 7× explode of the dedup'd
+    // (user, day) table + one hash count-distinct per window day; the
+    // oracle cross-checks with the independent range-join formulation.
+    "a19_sliding_active" -> ((s, dir) =>
+      TimeSeries.slidingDistinct(
+        env(s, dir).select(col("anonymous_id").as("key"),
+          to_date(col("timestamp")).as("d")), windowDays = 7)
+        .select(date_format(col("wd"), "yyyy-MM-dd").as("day"),
+          col("active").as("active_7d"))),
+
     // A2-beyond: audience-overlap matrix — for every pair of event
     // types, the exact count of shared high-value users and the
     // Jaccard overlap (the audience/segment intersection question a
@@ -697,6 +733,15 @@ object Queries {
         |  WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
         |    AND timestamp <= TIMESTAMP '2024-01-20 00:00:00')
         |GROUP BY 1, 2, 3""".stripMargin),
+    "a19_sliding_active" -> (adapterCte +
+      """, kd AS (
+        |  SELECT DISTINCT anonymous_id, CAST(timestamp AS DATE) AS d
+        |  FROM env),
+        |days AS (SELECT DISTINCT d AS wd FROM kd)
+        |SELECT strftime(wd, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS active_7d
+        |FROM kd JOIN days ON kd.d BETWEEN wd - 6 AND wd
+        |GROUP BY wd""".stripMargin),
     "a18_overlap" -> (adapterCte +
       """, a AS (
         |  SELECT DISTINCT event, anonymous_id FROM env WHERE value > 15),

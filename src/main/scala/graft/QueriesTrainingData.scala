@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.expressions.SimHash64
-import graft.operators.{Dedup, EvalMetrics, FilterFunnel, Multimodal, QualityClassifier, Quantization, Sampling, Similarity, TextQuality, Tokenizer, UrlFilter}
+import graft.operators.{Collocations, Dedup, EvalMetrics, FilterFunnel, Multimodal, QualityClassifier, Quantization, Sampling, Similarity, TextQuality, Tokenizer, UrlFilter}
 
 /** Training-data pipeline queries: dedup family, ANN similarity search,
   * text analysis, multimodal plumbing — over the driver's `documents` and
@@ -821,6 +821,14 @@ object QueriesTrainingData {
       Tokenizer.docWordpieceCounts(docs(s, dir), "doc_id", "text",
         FixedWordpieceVocab)),
 
+    // PMI collocations over adjacent word bigrams (Church & Hanks):
+    // support-filtered bigram scores against the unigram expectation.
+    // Two hash aggregations + a broadcast totals row; the support
+    // filter cuts the pair set BEFORE the word-count joins. Only ln in
+    // the score — oracle-exact before the display round
+    "td_pmi" -> ((s, dir) =>
+      Collocations.pmiBigrams(docs(s, dir), "text", minCount = 20L)),
+
     // BLEU-2 eval metrics in log space with CLIPPED (multiset) n-gram
     // counts — the real BLEU overlap next to td_rouge's distinct-set
     // recall. Candidate = the doc's own token stream with every 11th
@@ -1612,6 +1620,28 @@ object QueriesTrainingData {
          |FROM dt LEFT JOIN enc USING (word)
          |GROUP BY doc_id""".stripMargin
     },
+    // same count pipeline, same ln association; totals from the raw
+    // streams (pre-support-filter), `+ 0.0` for IEEE -0.0
+    "td_pmi" -> (wordsOnlyCte +
+      """, uni AS (SELECT unnest(w) AS t FROM ws),
+        |uc AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY 1),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS b
+        |  FROM ws WHERE len(w) >= 2),
+        |bc AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY 1
+        |  HAVING COUNT(*) >= 20),
+        |tot AS (SELECT (SELECT COUNT(*) FROM uni) AS nu,
+        |  (SELECT COUNT(*) FROM bg) AS nb)
+        |SELECT b AS bigram, CAST(cb AS BIGINT) AS cb,
+        |  CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+        |  ROUND(LN(
+        |    (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |    ((CAST(u1.c AS DOUBLE) / CAST(nu AS DOUBLE)) *
+        |     (CAST(u2.c AS DOUBLE) / CAST(nu AS DOUBLE)))), 4) + 0.0
+        |    AS pmi
+        |FROM bc JOIN uc u1 ON u1.t = string_split(b, ' ')[1]
+        |JOIN uc u2 ON u2.t = string_split(b, ' ')[2], tot""".stripMargin),
     // tokens indexed once (1-based i = Spark's 0-based index + 1);
     // candidate bigrams re-sequence over the FILTERED stream via lead()
     // — matching the Spark side's post-filter array adjacency. The `+

@@ -94,4 +94,30 @@ object TimeSeries {
       .withColumn("value_locf",
         last(col("value"), ignoreNulls = true).over(w))
   }
+
+  /** Sliding-window distinct counts — "N-day active users per day",
+    * the windowed COUNT(DISTINCT) the daily rollup CANNOT answer
+    * (distinct is not summable across days).
+    *
+    * Scale shape: each distinct (key, day) observation is EXPLODED into
+    * the `windowDays` windows it contributes to (a constant ≤7/28/30×
+    * fan-out of the already-deduplicated observation table), then one
+    * hash count-distinct per window day. That is the distributed
+    * alternative to the O(days × events) per-day range join / window
+    * scan — fan-out × dedup'd observations, not windows × raw events.
+    * Window days are clipped to OBSERVED days (no phantom trailing
+    * windows past the data's end).
+    *
+    * `obs`: (key, d DATE) rows (need not be distinct). Returns
+    * (wd DATE, active) — distinct keys in [wd − windowDays + 1, wd]. */
+  def slidingDistinct(obs: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val kd = obs.select(col("key"), col("d")).distinct()
+    val days = kd.select(col("d").as("wd")).distinct()
+    kd.select(col("key"), explode(sequence(col("d"),
+        date_add(col("d"), windowDays - 1))).as("wd"))
+      .join(days, Seq("wd"), "left_semi")
+      .groupBy(col("wd"))
+      .agg(countDistinct(col("key")).as("active"))
+  }
 }

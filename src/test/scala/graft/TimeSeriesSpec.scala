@@ -77,4 +77,39 @@ class TimeSeriesSpec extends GraftSpec {
       Date.valueOf("2024-01-02") -> false,
       Date.valueOf("2024-01-03") -> true))
   }
+
+  private def sliding(obs: Seq[(String, String)], w: Int)
+      : Map[String, Long] =
+    TimeSeries.slidingDistinct(
+      obs.map { case (k, d) => (k, Date.valueOf(d)) }.toDF("key", "d"), w)
+      .as[(Date, Long)].collect()
+      .map { case (d, n) => d.toString -> n }.toMap
+
+  test("slidingDistinct: hand-computed 2-day windows, clipped to " +
+    "observed days") {
+    val obs = Seq(
+      "u1" -> "2024-01-01", "u2" -> "2024-01-01",
+      "u1" -> "2024-01-03")
+    // window [d-1, d]: Jan1 -> {u1,u2}; Jan3 -> {u1};
+    // Jan2 is not an observed day -> no row despite Jan1 activity
+    assert(sliding(obs, 2) ==
+      Map("2024-01-01" -> 2L, "2024-01-03" -> 1L))
+  }
+
+  test("slidingDistinct: windowDays=1 equals per-day distinct; " +
+    "duplicates collapse") {
+    val obs = Seq("u1" -> "2024-01-01", "u1" -> "2024-01-01",
+      "u2" -> "2024-01-01", "u1" -> "2024-01-02")
+    assert(sliding(obs, 1) ==
+      Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+  }
+
+  test("slidingDistinct: a user active on several window days counts " +
+    "once per window") {
+    val obs = Seq("u1" -> "2024-01-01", "u1" -> "2024-01-02",
+      "u2" -> "2024-01-02")
+    // Jan2's 3-day window sees u1 twice -> still distinct 2
+    assert(sliding(obs, 3) ==
+      Map("2024-01-01" -> 1L, "2024-01-02" -> 2L))
+  }
 }
