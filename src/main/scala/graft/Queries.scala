@@ -530,6 +530,23 @@ object Queries {
         .select(date_format(col("wd"), "yyyy-MM-dd").as("day"),
           col("active").as("active_7d"))),
 
+    // A19 sketch form — the 100 TB shape: one HLL sketch per day, each
+    // window merges its 7 day-sketches (windowing cost independent of
+    // key cardinality). Property gate: estimate within 5% of the exact
+    // sliding distinct per window day.
+    "a19b_sliding_hll" -> ((s, dir) => {
+      val obs = env(s, dir).select(col("anonymous_id").as("key"),
+        to_date(col("timestamp")).as("d"))
+      TimeSeries.slidingDistinct(obs, windowDays = 7)
+        .join(TimeSeries.slidingDistinctApprox(obs, windowDays = 7),
+          Seq("wd"))
+        .select(date_format(col("wd"), "yyyy-MM-dd").as("day"),
+          col("active").as("exact_active"),
+          (abs(col("active_approx").cast("double") -
+            col("active").cast("double")) <=
+            col("active").cast("double") * 0.05).as("hll_ok"))
+    }),
+
     // A2-beyond: audience-overlap matrix — for every pair of event
     // types, the exact count of shared high-value users and the
     // Jaccard overlap (the audience/segment intersection question a
@@ -733,6 +750,16 @@ object Queries {
         |  WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
         |    AND timestamp <= TIMESTAMP '2024-01-20 00:00:00')
         |GROUP BY 1, 2, 3""".stripMargin),
+    "a19b_sliding_hll" -> (adapterCte +
+      """, kd AS (
+        |  SELECT DISTINCT anonymous_id, CAST(timestamp AS DATE) AS d
+        |  FROM env),
+        |days AS (SELECT DISTINCT d AS wd FROM kd)
+        |SELECT strftime(wd, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS exact_active,
+        |  true AS hll_ok
+        |FROM kd JOIN days ON kd.d BETWEEN wd - 6 AND wd
+        |GROUP BY wd""".stripMargin),
     "a19_sliding_active" -> (adapterCte +
       """, kd AS (
         |  SELECT DISTINCT anonymous_id, CAST(timestamp AS DATE) AS d

@@ -44,6 +44,24 @@ object QueriesExtra {
         p.select(col("p_name")), "p_name", maxDist = 2)
     }),
 
+    // Multi-pass blocking: the pk%4==0 corruption drops the FIRST char,
+    // which breaks first-token blocking — the last-token second pass
+    // recovers exactly those records (a corruption must break EVERY
+    // key to escape). Oracle unions both blocked candidate sets.
+    "er_multiblock" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val m = pmod(col("p_partkey"), lit(4))
+      val dirty = p.select(col("p_partkey"),
+        when(m === 0, expr("substring(p_name, 2)"))
+          .when(m === 1, expr("substring(p_name, 1, length(p_name) - 1)"))
+          .when(m === 2, concat(col("p_name"), lit("x")))
+          .otherwise(col("p_name")).as("name"))
+      EntityResolution.bestMatchMultiBlock(dirty, "p_partkey", "name",
+        p.select(col("p_name")), "p_name", maxDist = 2,
+        Seq(n => split(n, " ").getItem(0),
+          n => element_at(split(n, " "), -1)))
+    }),
+
     // K3: mixpanel track projection + CLICK_IDS extraction from the page
     // URL. Click ids are planted deterministically; gclid and fbclid
     // co-occur on event_id%3==0 rows, so substring-matching extraction
@@ -526,6 +544,39 @@ object QueriesExtra {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "er_multiblock" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey,
+        |    CASE (p_partkey % 4)
+        |      WHEN 0 THEN substr(p_name, 2)
+        |      WHEN 1 THEN substr(p_name, 1, length(p_name) - 1)
+        |      WHEN 2 THEN p_name || 'x'
+        |      ELSE p_name END AS dirty_name
+        |  FROM part),
+        |cat AS (SELECT DISTINCT p_name AS matched_name FROM part),
+        |cand AS (
+        |  SELECT DISTINCT p_partkey, dirty_name, matched_name
+        |  FROM (
+        |    SELECT d.p_partkey, d.dirty_name, c.matched_name
+        |    FROM dirty d JOIN cat c
+        |      ON string_split(d.dirty_name, ' ')[1] =
+        |         string_split(c.matched_name, ' ')[1]
+        |    UNION ALL
+        |    SELECT d.p_partkey, d.dirty_name, c.matched_name
+        |    FROM dirty d JOIN cat c
+        |      ON string_split(d.dirty_name, ' ')[-1] =
+        |         string_split(c.matched_name, ' ')[-1])),
+        |scored AS (
+        |  SELECT *, CAST(levenshtein(dirty_name, matched_name) AS INT)
+        |    AS dist
+        |  FROM cand
+        |  WHERE levenshtein(dirty_name, matched_name) <= 2),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+        |    ORDER BY dist, matched_name) AS rn
+        |  FROM scored)
+        |SELECT p_partkey, dirty_name, matched_name, dist
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "er_match" ->
       """WITH dirty AS (
         |  SELECT p_partkey,

@@ -32,16 +32,35 @@ object EntityResolution {
 
   def bestMatch(dirty: DataFrame, idCol: String, nameCol: String,
                 catalog: DataFrame, catNameCol: String,
-                maxDist: Int = 2): DataFrame = {
-    val blocked = dirty.select(col(idCol), col(nameCol).as("dirty_name"),
-      split(col(nameCol), " ").getItem(0).as("_blk"))
-    val cat = catalog
-      .select(col(catNameCol).as("matched_name"),
-        split(col(catNameCol), " ").getItem(0).as("_blk"))
-      .distinct()
+                maxDist: Int = 2): DataFrame =
+    bestMatchMultiBlock(dirty, idCol, nameCol, catalog, catNameCol,
+      maxDist, Seq(n => split(n, " ").getItem(0)))
+
+  /** Multi-pass blocking (the standard recall mitigation named in the
+    * class doc): candidate pairs are the UNION of one blocked join per
+    * blocking-key function — a corruption has to break EVERY key to
+    * make a record unmatchable. Candidates dedup before scoring so the
+    * union costs no double-ranking; each pass is the same
+    * broadcast-bucket join, so cost is additive in the number of keys,
+    * never multiplicative. */
+  def bestMatchMultiBlock(dirty: DataFrame, idCol: String,
+                          nameCol: String, catalog: DataFrame,
+                          catNameCol: String, maxDist: Int,
+                          blockKeys: Seq[org.apache.spark.sql.Column =>
+                            org.apache.spark.sql.Column]): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    val cands = blockKeys.map { bk =>
+      dirty.select(col(idCol), col(nameCol).as("dirty_name"),
+          bk(col(nameCol)).as("_blk"))
+        .join(broadcast(catalog
+          .select(col(catNameCol).as("matched_name"),
+            bk(col(catNameCol)).as("_blk"))
+          .distinct()), Seq("_blk"))
+        .drop("_blk")
+    }.reduce(_ unionByName _).distinct()
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("dist"), col("matched_name"))
-    blocked.join(broadcast(cat), Seq("_blk"))
+    cands
       .withColumn("dist", levenshtein(col("dirty_name"), col("matched_name")))
       .filter(col("dist") <= maxDist)
       .withColumn("_rn", row_number().over(w))

@@ -120,4 +120,25 @@ object TimeSeries {
       .groupBy(col("wd"))
       .agg(countDistinct(col("key")).as("active"))
   }
+
+  /** Mergeable-sketch form of [[slidingDistinct]] — the 100 TB shape:
+    * one HLL sketch per DAY is built from the raw observations (one
+    * pass, map-side partial sketches), and each window merges its
+    * `windowDays` day sketches with `hll_union_agg`. The exploded unit
+    * is a day-sized SKETCH ROW (days × window rows total), never the
+    * observation table — windowing cost becomes independent of key
+    * cardinality, which is precisely why warehouses store `uniqState`
+    * by day and merge at query time. Returns (wd, active_approx). */
+  def slidingDistinctApprox(obs: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val daily = obs.select(col("key"), col("d"))
+      .groupBy(col("d")).agg(hll_sketch_agg(col("key")).as("sk"))
+    val days = daily.select(col("d").as("wd"))
+    daily.select(col("sk"), explode(sequence(col("d"),
+        date_add(col("d"), windowDays - 1))).as("wd"))
+      .join(days, Seq("wd"), "left_semi")
+      .groupBy(col("wd"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("active_approx"))
+  }
 }

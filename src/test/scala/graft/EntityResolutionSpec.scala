@@ -46,4 +46,23 @@ class EntityResolutionSpec extends GraftSpec {
     // 'red widgon' is distance 2 from BOTH 'red widget' and 'red wagon'
     assert(run(Seq(1 -> "red widgon")) == Map(1 -> (("red wagon", 2))))
   }
+
+  test("multi-pass blocking recovers records whose first token is " +
+    "corrupted, without changing already-matched records") {
+    import org.apache.spark.sql.functions.{element_at, split}
+    val r = EntityResolution.bestMatchMultiBlock(
+      Seq(1 -> "ed widget",   // first token broken, last token intact
+        2 -> "blue boltx",    // first-pass match, must stay identical
+        3 -> "ed widgetx")    // BOTH tokens broken -> still unmatched
+        .toDF("id", "name"),
+      "id", "name", catalog, "name", maxDist = 2,
+      Seq(n => split(n, " ").getItem(0),
+        n => element_at(split(n, " "), -1)))
+      .select("id", "matched_name", "dist")
+      .as[(Int, String, Int)].collect()
+      .map { case (i, m, d) => i -> ((m, d)) }.toMap
+    assert(r == Map(
+      1 -> (("red widget", 1)),
+      2 -> (("blue bolt", 1))))
+  }
 }

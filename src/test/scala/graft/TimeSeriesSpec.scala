@@ -112,4 +112,21 @@ class TimeSeriesSpec extends GraftSpec {
     assert(sliding(obs, 3) ==
       Map("2024-01-01" -> 1L, "2024-01-02" -> 2L))
   }
+
+  test("slidingDistinctApprox: merged day-sketches agree with the " +
+    "exact sliding distinct at small cardinalities") {
+    val obs = (1 to 40).flatMap { u =>
+      Seq(s"u$u" -> s"2024-01-${"%02d".format(1 + u % 5)}",
+        s"u$u" -> s"2024-01-${"%02d".format(1 + (u * 7) % 5)}")
+    }
+    val df = obs.map { case (k, d) => (k, Date.valueOf(d)) }
+      .toDF("key", "d")
+    val exact = TimeSeries.slidingDistinct(df, 3)
+      .as[(Date, Long)].collect().toMap
+    val approx = TimeSeries.slidingDistinctApprox(df, 3)
+      .as[(Date, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    // HLL runs exact in sparse mode at these cardinalities
+    exact.foreach { case (d, n) => assert(approx(d) == n, s"day $d") }
+  }
 }
