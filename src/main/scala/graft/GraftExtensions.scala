@@ -128,11 +128,14 @@ object GraftExtensions {
         args => col1("strip_accents", args)(TextFunctions.stripAccents)))
   }
 
-  def registerAll(ext: SparkSessionExtensions): Unit =
+  def registerAll(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, cls, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(cls.getCanonicalName, null, name, usage,
           "", "", "", "", "", "", "built-in"),
         builder))
     }
+    // optimizer rules (operator-optimization fixpoint batch)
+    ext.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
+  }
 }
