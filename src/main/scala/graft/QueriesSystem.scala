@@ -139,6 +139,31 @@ object QueriesSystem {
           sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
     }),
 
+    // K2: the SAME append + UR-re-emit + MERGE flow as k1_sink_dedup on
+    // an ORC warehouse (SinkOptions(format="orc")) — the format is the
+    // only variable, the oracle is identical, so the gate proves the
+    // whole commit/merge/sidecar protocol is format-agnostic.
+    "k2b_orc_sink" -> ((s, dir) => {
+      val wh = tmp("graft-q-orc")
+      val router = new SinkRouter(wh,
+        SinkOptions(deduplicate = true, format = "orc"))
+      val env = DriverEventsAdapter.load(s, dir)
+        .select(col("message_id"), col("timestamp"), col("anonymous_id"),
+          col("user_id"), col("type")).persist()
+      try {
+        router.write(env.withColumn("_table", lit("events")))
+        val recognized = UserRecognition.resolveBatch(env)
+          .filter(col("recognized"))
+          .select(col("message_id"), col("timestamp"), col("anonymous_id"),
+            col("user_id"), col("type"))
+        router.write(recognized.withColumn("_table", lit("events")))
+      } finally { env.unpersist(false); () }
+      router.readTable(s, "events")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("message_id")).as("n_messages"),
+          sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
+    }),
+
     // K2: JDBC warehouse round-trip (embedded Derby standing in for
     // postgres/mysql) — same append-then-merge flow as k1_sink_dedup,
     // through CREATE TABLE / staged bulk load / ANSI MERGE. Scoped to a
@@ -659,6 +684,34 @@ object QueriesSystem {
         |FROM events WHERE event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
     "k1_sink_dedup" ->
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    'a' || user_id AS anonymous_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp
+        |  FROM events),
+        |resolved AS (
+        |  SELECT message_id,
+        |    COALESCE(user_id,
+        |      CASE WHEN next_id_ts IS NOT NULL
+        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
+        |      AS user_id
+        |  FROM (
+        |    SELECT *,
+        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |        AS next_id_ts,
+        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
+        |    FROM env
+        |    WINDOW w AS (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_identified
+        |FROM resolved""".stripMargin,
+    "k2b_orc_sink" ->
       """WITH env AS (
         |  SELECT 'm' || event_id AS message_id,
         |    'a' || user_id AS anonymous_id,

@@ -90,9 +90,26 @@ case class SinkOptions(
     timestampColumn: String = "timestamp",
     deduplicateWindowDays: Int = 31,
     schemaFreeze: Boolean = false,
-    keepOriginalNames: Boolean = false)
+    keepOriginalNames: Boolean = false,
+    // table DATA format: "parquet" (default) or "orc" — the two
+    // columnar formats whose schema evolution, column pruning, and
+    // footer/stripe statistics match the router's read shapes (CSV/JSON
+    // would silently lose types and nested structs; the sidecar makes
+    // schema-on-read exact either way, but stats-pruned probes would
+    // not transfer). Deletion-vector sidecars stay parquet regardless:
+    // they are router-internal metadata, not user table data.
+    format: String = "parquet")
 
 class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
+
+  require(Seq("parquet", "orc").contains(options.format),
+    s"unsupported table format: ${options.format}")
+  private val fmt = options.format
+  private val fmtExt = s".$fmt"
+  /** Schema-first table-data read in the configured format. */
+  private def readData(spark: SparkSession,
+                       schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).format(fmt).load(path)
 
   /** Partition column. Must NOT start with '_' (Spark's file index hides
     * underscore-prefixed dirs, which would hide every partition). */
@@ -184,7 +201,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
 
   private def tableExists(path: String): Boolean = listDir(path).exists(f =>
     f.getName.startsWith(s"$DateCol=") ||
-      (f.isFile && f.getName.endsWith(".parquet")))
+      (f.isFile && f.getName.endsWith(fmtExt)))
 
   /** A table written by a pre-partitioning version of this router has bare
     * parquet files under the table dir. Fold them into the epoch partition
@@ -192,7 +209,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     * rows stay merge-visible) instead of letting SaveMode.Overwrite
     * silently destroy them. */
   private def migrateLegacyLayout(path: String): Unit = {
-    val loose = listDir(path).filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val loose = listDir(path).filter(f => f.isFile && f.getName.endsWith(fmtExt))
     if (loose.nonEmpty) {
       val epochDir = Paths.get(path, s"$DateCol=$EpochDate")
       Files.createDirectories(epochDir)
@@ -247,7 +264,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
         nullable(DataType.fromJson(json).asInstanceOf[StructType])
       } else {
         val s = nullable(
-          spark.read.option("mergeSchema", "true").parquet(path).schema)
+          spark.read.option("mergeSchema", "true").format(fmt).load(path).schema)
         persistSchema(path, s)
         s
       }
@@ -319,7 +336,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
   private def writePartitioned(df: DataFrame, path: String, mode: SaveMode): Unit = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     df.repartition(n, col(DateCol))
-      .write.mode(mode).partitionBy(DateCol).parquet(path)
+      .write.mode(mode).partitionBy(DateCol).format(fmt).save(path)
   }
 
   private def writeTable(spark: SparkSession, table: String, rows: DataFrame,
@@ -402,7 +419,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
       batchDates.map(_.toLocalDate).min.minusDays(w.toLong))
     val hi = java.sql.Date.valueOf(
       batchDates.map(_.toLocalDate).max.plusDays(w.toLong))
-    val existing = spark.read.schema(tableSchema).parquet(path)
+    val existing = readData(spark, tableSchema, path)
     // partition-pruned, column-pruned probe: which dates hold a batch key?
     val windowed = existing.filter(
       col(DateCol).between(lit(lo), lit(hi)) || col(DateCol) === lit(EpochDate))
@@ -562,7 +579,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     val path = tablePath(table)
     recover(path)
     applyDeletes(spark, path,
-      spark.read.schema(loadSchema(spark, path)).parquet(path)).drop(DateCol)
+      readData(spark, loadSchema(spark, path), path)).drop(DateCol)
   }
 
   /** Targeted row erasure (GDPR right-to-be-forgotten / DELETE WHERE —
@@ -585,7 +602,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     recover(path)
     if (!tableExists(path)) return 0L
     val schema = loadSchema(spark, path)
-    val full = spark.read.schema(schema).parquet(path)
+    val full = readData(spark, schema, path)
     val hits = full.filter(predicate)
       .groupBy(col(DateCol)).agg(count(lit(1)).as("_n"))
       .collect()
@@ -625,7 +642,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     if (!tableExists(path)) return 0L
     val schema = loadSchema(spark, path)
     val pk = options.primaryKey
-    val keys = spark.read.schema(schema).parquet(path)
+    val keys = readData(spark, schema, path)
       .filter(predicate).select(col(pk)).distinct()
     val dv = dvPath(path)
     val fresh =
@@ -669,7 +686,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     val pk = options.primaryKey
     val keys = spark.read.parquet(dv)
     val schema = loadSchema(spark, path)
-    val full = spark.read.schema(schema).parquet(path)
+    val full = readData(spark, schema, path)
     val hits = full.join(broadcast(keys), Seq(pk), "left_semi")
       .groupBy(col(DateCol)).agg(count(lit(1)).as("_n"))
       .collect()
@@ -819,12 +836,12 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     val crowded = listDir(path)
       .filter(d => d.isDirectory && d.getName.startsWith(s"$DateCol="))
       .filter(d => Option(d.listFiles()).getOrElse(Array.empty)
-        .count(f => f.isFile && f.getName.endsWith(".parquet")) > maxFilesPerPartition)
+        .count(f => f.isFile && f.getName.endsWith(fmtExt)) > maxFilesPerPartition)
       .map(_.getName)
     if (crowded.isEmpty) return
     val schema = loadSchema(spark, path)
     val dates = crowded.map(_.stripPrefix(s"$DateCol="))
-    val rows = spark.read.schema(schema).parquet(path)
+    val rows = readData(spark, schema, path)
       .filter(col(DateCol).isin(dates: _*))
     val id = java.util.UUID.randomUUID().toString.take(8)
     val stage = s"$path/.stage-$id"

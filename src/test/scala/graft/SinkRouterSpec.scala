@@ -162,6 +162,47 @@ class SinkRouterSpec extends GraftSpec {
       .toDF("message_id", "timestamp", "user_id")
       .withColumn("_table", lit("events"))
 
+  test("ORC format: identical merge/evolution/delete results to parquet, " +
+    "ORC files on disk") {
+    val (whP, whO) = (tmpDir(), tmpDir())
+    val p = new SinkRouter(whP, SinkOptions(deduplicate = true))
+    val o = new SinkRouter(whO, SinkOptions(deduplicate = true, format = "orc"))
+    Seq(p, o).foreach { r =>
+      r.write(batch(("m1", "2024-01-01 10:00:00", null),
+        ("m2", "2024-01-02 10:00:00", "u2")))
+      r.write(batch(("m1", "2024-01-01 10:00:00", "u1")))
+      // evolution: a new column arrives
+      r.write(Seq(("m3", java.sql.Timestamp.valueOf("2024-01-03 10:00:00"),
+          "u3", "x"))
+        .toDF("message_id", "timestamp", "user_id", "extra")
+        .withColumn("_table", lit("events")))
+      assert(r.deleteWhere(spark, "events", col("message_id") === "m2") == 1L)
+    }
+    val rows = Seq(p, o).map(_.readTable(spark, "events")
+      .select("message_id", "user_id", "extra")
+      .as[(String, String, Option[String])].collect().toSet)
+    assert(rows(0) == rows(1))
+    assert(rows(0) == Set(("m1", "u1", None), ("m3", "u3", Some("x"))))
+    // the ORC warehouse holds .orc data files and no parquet ones
+    def dataFiles(wh: String) = {
+      val dir = new java.io.File(s"$wh/events")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_dt="))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .map(_.getName).filter(_.startsWith("part-"))
+    }
+    assert(dataFiles(whO).nonEmpty &&
+      dataFiles(whO).forall(_.endsWith(".orc")))
+    assert(dataFiles(whP).forall(_.endsWith(".parquet")))
+  }
+
+  test("ORC format: rejected formats fail fast") {
+    intercept[IllegalArgumentException] {
+      new SinkRouter(tmpDir(), SinkOptions(format = "csv"))
+    }
+    ()
+  }
+
   test("merge rewrites only partitions holding a batch key") {
     val wh = tmpDir()
     val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
