@@ -530,6 +530,33 @@ object Queries {
         .select(date_format(col("wd"), "yyyy-MM-dd").as("day"),
           col("active").as("active_7d"))),
 
+    // J8: user-journey transition matrix — P(next event | event) over
+    // per-user time-ordered streams (the Markov-chain view of journeys
+    // a CDP reports as "what do users do after X"). One window shuffle
+    // keyed by user (the same partitioning sessionization uses), then
+    // transition counts + row totals as hash aggs over the tiny
+    // (events × events) matrix. (message_id tie-break keeps the order,
+    // and therefore the matrix, engine-deterministic.)
+    "j8_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("anonymous_id"))
+        .orderBy(col("timestamp"), col("message_id"))
+      val pairs = env(s, dir)
+        .select(col("anonymous_id"), col("timestamp"), col("message_id"),
+          col("event"))
+        .withColumn("to_event", lead(col("event"), 1).over(w))
+        .filter(col("to_event").isNotNull)
+      val counts = pairs
+        .groupBy(col("event").as("from_event"), col("to_event"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("from_event"))
+        .agg(sum(col("n")).as("tot"))
+      counts.join(totals, Seq("from_event"))
+        .select(col("from_event"), col("to_event"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("p"))
+    }),
+
     // A19 sketch form — the 100 TB shape: one HLL sketch per day, each
     // window merges its 7 day-sketches (windowing cost independent of
     // key cardinality). Property gate: estimate within 5% of the exact
@@ -750,6 +777,20 @@ object Queries {
         |  WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
         |    AND timestamp <= TIMESTAMP '2024-01-20 00:00:00')
         |GROUP BY 1, 2, 3""".stripMargin),
+    "j8_transitions" -> (adapterCte +
+      """, pairs AS (
+        |  SELECT event AS from_event,
+        |    LEAD(event) OVER (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id) AS to_event
+        |  FROM env),
+        |c AS (
+        |  SELECT from_event, to_event, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pairs WHERE to_event IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (SELECT from_event, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT from_event, to_event, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t USING (from_event)""".stripMargin),
     "a19b_sliding_hll" -> (adapterCte +
       """, kd AS (
         |  SELECT DISTINCT anonymous_id, CAST(timestamp AS DATE) AS d
