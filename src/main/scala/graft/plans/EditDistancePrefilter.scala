@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -57,19 +57,31 @@ object EditDistancePrefilter extends Rule[LogicalPlan] with PredicateHelper {
       Levenshtein(a, b, Some(Literal(k, IntegerType))),
       Literal(0, IntegerType))
 
+  /** Rewritten condition, or None when nothing matched. */
+  private def rewriteCondition(cond: Expression): Option[Expression] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val rewritten = conjuncts.map { c =>
+      boundedLev(c) match {
+        case Some((a, b, k)) if k >= 0 => banded(a, b, k)
+        case _ => c
+      }
+    }
+    val guards = conjuncts.flatMap(boundedLev).collect {
+      case (a, b, k) if k >= 0 => lengthGuard(a, b, k)
+    }.filterNot(g => conjuncts.exists(_.semanticEquals(g)))
+    if (guards.isEmpty && rewritten == conjuncts) None
+    else Some((guards ++ rewritten).reduce(And))
+  }
+
+  // Join conditions too: PushPredicateThroughJoin pulls a post-join
+  // `lev <= k` filter into the join condition (exactly what happens to
+  // the ER blocked-scoring predicate), so a Filter-only rule would
+  // never see the hot path.
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val rewritten = conjuncts.map { c =>
-        boundedLev(c) match {
-          case Some((a, b, k)) if k >= 0 => banded(a, b, k)
-          case _ => c
-        }
-      }
-      val guards = conjuncts.flatMap(boundedLev).collect {
-        case (a, b, k) if k >= 0 => lengthGuard(a, b, k)
-      }.filterNot(g => conjuncts.exists(_.semanticEquals(g)))
-      if (guards.isEmpty && rewritten == conjuncts) f
-      else f.copy(condition = (guards ++ rewritten).reduce(And))
+      rewriteCondition(cond).map(c => f.copy(condition = c)).getOrElse(f)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      rewriteCondition(cond).map(c => j.copy(condition = Some(c)))
+        .getOrElse(j)
   }
 }

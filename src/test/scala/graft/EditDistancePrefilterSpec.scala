@@ -60,6 +60,37 @@ class EditDistancePrefilterSpec extends GraftSpec {
     assert(df.filter(levenshtein(col("a"), col("b")) <= 2).count() == 1)
   }
 
+  test("lev <= k pushed into a JOIN condition is rewritten too (the ER " +
+    "blocked-scoring shape)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val other = stored.select(col("a").as("x"), col("b").as("y"))
+    val joined = stored.join(other,
+      col("a") === col("x") && levenshtein(col("b"), col("y")) <= 2)
+    val conds = joined.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j.condition
+    }.flatten
+    assert(conds.nonEmpty)
+    val levs = conds.flatMap(_.collect { case l: Levenshtein => l })
+    assert(levs.nonEmpty && levs.forall(_.threshold.isDefined),
+      s"expected banded levenshtein in join: $conds")
+    assert(conds.flatMap(_.collect { case a: Abs => a }).size == 1)
+    // and the rewritten join returns what the plain predicate selects
+    val expect = pairs.flatMap { case (a, b) =>
+      pairs.collect { case (x, y) if a == x && lev(b, y) <= 2 => (a, b, x, y) }
+    }.toSet
+    assert(joined.as[(String, String, String, String)].collect().toSet
+      == expect)
+  }
+
+  private def lev(s: String, t: String): Int = {
+    val d = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to s.length; j <- 1 to t.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+    d(s.length)(t.length)
+  }
+
   test("unbounded or non-literal comparisons are left alone") {
     val df = stored.filter(levenshtein(col("a"), col("b")) <= length(col("a")))
     val c = cond(df)
