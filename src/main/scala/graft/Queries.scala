@@ -530,6 +530,53 @@ object Queries {
         .select(date_format(col("wd"), "yyyy-MM-dd").as("day"),
           col("active").as("active_7d"))),
 
+    // A20: RFM segmentation — the CDP audience-building classic: per
+    // user recency/frequency/monetary, split at the EXACT interpolated
+    // median of each dimension (the a5 percentile pattern — computed
+    // once over the user-level table, so banding is a broadcastable
+    // scalar compare, never a global-order window). Monetary is rounded
+    // to 2 dp BEFORE the percentile and the compare (the determinism
+    // rule), so the band decision is engine-exact.
+    "a20_rfm" -> ((s, dir) => {
+      val u = graft.schema.EventSchema.readEvents(s, dir)
+        .groupBy(concat(lit("a"), col("user_id")).as("anonymous_id"))
+        .agg(max(unix_timestamp(col("ts"))).as("rec"),
+          count(lit(1)).as("freq"),
+          round(sum(col("value")), 2).as("mon"))
+      val t = u.agg(
+        expr("percentile(rec, 0.5)").as("rt"),
+        expr("percentile(freq, 0.5)").as("ft"),
+        expr("percentile(mon, 0.5)").as("mt"))
+      u.crossJoin(broadcast(t))
+        .select(
+          when(col("rec") > col("rt"), "recent").otherwise("stale")
+            .as("r_band"),
+          when(col("freq") > col("ft"), "frequent").otherwise("rare")
+            .as("f_band"),
+          when(col("mon") > col("mt"), "big").otherwise("small")
+            .as("m_band"))
+        .groupBy(col("r_band"), col("f_band"), col("m_band"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // J9: top session paths — the first three events of every session
+    // (30-min gap), as an order-deterministic string: events collect
+    // per (user, session_window) — interval-based, so assignment is
+    // order-independent — and sort by (ts, message_id) INSIDE the row
+    // (array_sort of structs), never a global sort. Output = path
+    // histogram (bounded by |event types|³).
+    "j9_top_paths" -> ((s, dir) =>
+      env(s, dir)
+        .groupBy(col("anonymous_id"),
+          session_window(col("timestamp"), "30 minutes"))
+        .agg(concat_ws(">",
+          slice(transform(
+            sort_array(collect_list(struct(col("timestamp"),
+              col("message_id"), col("event")))),
+            e => e.getField("event")), 1, 3)).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))),
+
     // J8: user-journey transition matrix — P(next event | event) over
     // per-user time-ordered streams (the Markov-chain view of journeys
     // a CDP reports as "what do users do after X"). One window shuffle
@@ -777,6 +824,49 @@ object Queries {
         |  WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
         |    AND timestamp <= TIMESTAMP '2024-01-20 00:00:00')
         |GROUP BY 1, 2, 3""".stripMargin),
+    "a20_rfm" ->
+      """WITH u AS (
+        |  SELECT 'a' || user_id AS anonymous_id,
+        |    MAX(CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT)) AS rec,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    ROUND(SUM(value), 2) AS mon
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT quantile_cont(rec, 0.5) AS rt,
+        |  quantile_cont(freq, 0.5) AS ft,
+        |  quantile_cont(mon, 0.5) AS mt FROM u)
+        |SELECT
+        |  CASE WHEN rec > rt THEN 'recent' ELSE 'stale' END AS r_band,
+        |  CASE WHEN freq > ft THEN 'frequent' ELSE 'rare' END AS f_band,
+        |  CASE WHEN mon > mt THEN 'big' ELSE 'small' END AS m_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM u, t GROUP BY 1, 2, 3""".stripMargin,
+    "j9_top_paths" -> (adapterCte +
+      """, tagged AS (
+        |  SELECT anonymous_id, timestamp, message_id, event,
+        |    SUM(new_session) OVER (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN lag(timestamp) OVER (PARTITION BY anonymous_id
+        |          ORDER BY timestamp, message_id) IS NULL
+        |        OR date_diff('second', lag(timestamp) OVER (
+        |          PARTITION BY anonymous_id
+        |          ORDER BY timestamp, message_id), timestamp) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM env)),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anonymous_id,
+        |    session_idx ORDER BY timestamp, message_id) AS rn
+        |  FROM tagged),
+        |paths AS (
+        |  SELECT anonymous_id, session_idx,
+        |    string_agg(event, '>' ORDER BY timestamp, message_id) AS path
+        |  FROM ranked WHERE rn <= 3
+        |  GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM paths GROUP BY 1""".stripMargin),
     "j8_transitions" -> (adapterCte +
       """, pairs AS (
         |  SELECT event AS from_event,
