@@ -238,4 +238,110 @@ class RandomizedInvariantsSpec extends GraftSpec {
     // the mutated copies guarantee some duplicated spans exist
     assert(out.exists(_._3 > 0))
   }
+
+  test("triangleCounts == brute-force enumeration on random graphs") {
+    val rnd = new scala.util.Random(777)
+    (1 to 3).foreach { trial =>
+      val n = 12 + trial * 4
+      val edges = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.25
+      } yield (s"v$a", s"v$b")).toSeq
+      val got = graft.operators.Graph.triangleCounts(
+        edges.toDF("src", "dst")).as[(String, Long)].collect().toMap
+      val eset = edges.toSet
+      def conn(x: String, y: String) =
+        eset.contains((x, y)) || eset.contains((y, x))
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val brute = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for {
+        i <- verts.indices; j <- i + 1 until verts.size
+        k <- j + 1 until verts.size
+        (a, b, c) = (verts(i), verts(j), verts(k))
+        if conn(a, b) && conn(b, c) && conn(a, c)
+      } { brute(a) += 1; brute(b) += 1; brute(c) += 1 }
+      assert(got == brute.toMap, s"trial $trial")
+    }
+  }
+
+  test("multi-block ER matches are a superset of single-block matches " +
+    "with equal-or-better distances") {
+    import org.apache.spark.sql.functions.{element_at, split}
+    val rnd = new scala.util.Random(31)
+    val colors = Vector("red", "blue", "teal", "gray", "pink")
+    val nouns = Vector("bolt", "gear", "ring", "case", "lamp")
+    val catalog = (for (c <- colors; o <- nouns) yield s"$c $o")
+      .toDF("name")
+    // random single-char corruptions anywhere in the string
+    val dirty = (0 until 60).map { i =>
+      val base = s"${colors(rnd.nextInt(5))} ${nouns(rnd.nextInt(5))}"
+      val pos = rnd.nextInt(base.length)
+      val mutated = base.updated(pos,
+        ('a' + rnd.nextInt(26)).toChar)
+      (i, mutated)
+    }.toDF("id", "name")
+    import graft.operators.EntityResolution
+    val single = EntityResolution.bestMatch(
+      dirty, "id", "name", catalog, "name", maxDist = 2)
+      .select("id", "dist").as[(Int, Int)].collect().toMap
+    val multi = EntityResolution.bestMatchMultiBlock(
+      dirty, "id", "name", catalog, "name", maxDist = 2,
+      Seq(n => split(n, " ").getItem(0),
+        n => element_at(split(n, " "), -1)))
+      .select("id", "dist").as[(Int, Int)].collect().toMap
+    assert(single.keySet.subsetOf(multi.keySet))
+    single.foreach { case (id, d) => assert(multi(id) <= d) }
+    // corruptions hitting the first token are exactly what multi recovers
+    assert(multi.size >= single.size)
+  }
+
+  test("slidingDistinct equals a brute-force window count on random " +
+    "observations") {
+    val rnd = new scala.util.Random(99)
+    val obs = (0 until 200).map { _ =>
+      (s"u${rnd.nextInt(25)}",
+        java.sql.Date.valueOf(f"2024-02-${1 + rnd.nextInt(20)}%02d"))
+    }
+    val w = 5
+    val got = graft.operators.TimeSeries.slidingDistinct(
+        obs.toDF("key", "d"), w)
+      .as[(java.sql.Date, Long)].collect().toMap
+    val days = obs.map(_._2.toLocalDate).distinct
+    val brute = days.map { wd =>
+      val lo = wd.minusDays(w - 1L)
+      java.sql.Date.valueOf(wd) -> obs.collect {
+        case (k, d) if !d.toLocalDate.isBefore(lo) &&
+          !d.toLocalDate.isAfter(wd) => k
+      }.distinct.size.toLong
+    }.toMap
+    assert(got == brute)
+  }
+
+  test("bleu2Log clip bounds: clip_n <= min(cand, ref) gram counts; " +
+    "score <= 0") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("a", "b", "c", "d")
+    val pairs = (0 until 50).map { i =>
+      def txt(len: Int) =
+        Seq.fill(len)(vocab(rnd.nextInt(4)))
+      (i, txt(3 + rnd.nextInt(20)), txt(3 + rnd.nextInt(20)))
+    }
+    val out = graft.operators.EvalMetrics.bleu2Log(
+        pairs.toDF("id", "cand", "ref"), "id", "cand", "ref")
+      .as[(Int, Long, Long, Long, Long, Option[Double])].collect()
+    assert(out.length == 50)
+    val byId = pairs.map(p => p._1 -> p).toMap
+    out.foreach { case (id, nc, nr, c1, c2, lb) =>
+      val (_, cand, ref) = byId(id)
+      assert(nc == cand.size && nr == ref.size)
+      assert(c1 <= nc && c1 <= nr)
+      assert(c2 <= math.max(nc - 1, 0) && c2 <= math.max(nr - 1, 0))
+      // exact multiset-clip reference for unigrams
+      val clip1 = cand.groupBy(identity).map { case (t, xs) =>
+        math.min(xs.size, ref.count(_ == t)) }.sum
+      assert(c1 == clip1, s"id $id")
+      lb.foreach(v => assert(v <= 0.0))
+    }
+  }
 }
