@@ -139,6 +139,33 @@ object QueriesSystem {
           sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
     }),
 
+    // GDPR Art. 15 subject-access export — the read counterpart of
+    // k10's right-to-be-forgotten: all rows for one subject across
+    // every keyed warehouse table (tables without the key column are
+    // skipped), reduced to per-table counts + an order-canonical id
+    // hash the oracle replays from the raw events.
+    "k13_sar" -> ((s, dir) => {
+      val wh = tmp("graft-q-sar")
+      val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+      val env = DriverEventsAdapter.load(s, dir)
+        .select(col("message_id"), col("timestamp"), col("anonymous_id"),
+          col("user_id"), col("type")).persist()
+      try {
+        router.write(env.withColumn("_table", lit("events")))
+        router.write(env.filter(col("type") === "identify")
+          .withColumn("_table", lit("identifies")))
+        // an unkeyed table the export must skip
+        router.write(env.select(col("message_id"), col("timestamp"))
+          .withColumn("_table", lit("system_log")))
+      } finally { env.unpersist(false); () }
+      router.exportSubject(s, "anonymous_id", "a42")
+        .groupBy(col("table"))
+        .agg(count(lit(1)).as("n_rows"),
+          md5(concat_ws(",", sort_array(collect_list(
+            get_json_object(col("row_json"), "$.message_id")))))
+            .as("ids_hash"))
+    }),
+
     // K2: the SAME append + UR-re-emit + MERGE flow as k1_sink_dedup on
     // an ORC warehouse (SinkOptions(format="orc")) — the format is the
     // only variable, the oracle is identical, so the gate proves the
@@ -711,6 +738,23 @@ object QueriesSystem {
         |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_identified
         |FROM resolved""".stripMargin,
+    "k13_sar" ->
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    'a' || user_id AS anonymous_id,
+        |    CASE WHEN event_type = 'signup' THEN 'identify'
+        |         WHEN event_type = 'view' THEN 'page'
+        |         ELSE 'track' END AS type
+        |  FROM events)
+        |SELECT 'events' AS "table", CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  md5(string_agg(message_id, ',' ORDER BY message_id)) AS ids_hash
+        |FROM env WHERE anonymous_id = 'a42'
+        |HAVING COUNT(*) > 0
+        |UNION ALL
+        |SELECT 'identifies', CAST(COUNT(*) AS BIGINT),
+        |  md5(string_agg(message_id, ',' ORDER BY message_id))
+        |FROM env WHERE anonymous_id = 'a42' AND type = 'identify'
+        |HAVING COUNT(*) > 0""".stripMargin,
     "k2b_orc_sink" ->
       """WITH env AS (
         |  SELECT 'm' || event_id AS message_id,

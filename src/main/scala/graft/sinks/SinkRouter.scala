@@ -596,6 +596,39 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     *      A partition whose every row matches is a legitimate partition
     *      deletion (no staged dir), which `completeSwap` already encodes.
     * Returns the number of rows deleted. */
+  /** GDPR Art. 15 subject-access export — the READ counterpart of
+    * [[deleteWhere]]'s right-to-be-forgotten: every row belonging to
+    * `keyValue` in every warehouse table whose schema carries `keyCol`,
+    * as (table, row_json) pairs ready for the portability response.
+    * Tables without the key column are skipped (they hold no
+    * subject-keyed data by construction).
+    *
+    * Scale shape: one scan per keyed table, with the equality predicate
+    * pushed to the format's row-group/stripe stats and the read pruned
+    * by the sidecar schema; MoR deletion vectors are applied (an erased
+    * row must NOT come back in an export). Per-table output is the
+    * subject's own rows — human-sized — so the JSON projection cost is
+    * negligible; nothing shuffles. */
+  def exportSubject(spark: SparkSession, keyCol: String,
+                    keyValue: String): DataFrame = {
+    val tables = listDir(warehouseDir)
+      .filter(d => d.isDirectory && !d.getName.startsWith(".") &&
+        !d.getName.startsWith("_") && tableExists(d.getAbsolutePath))
+      .map(_.getName).sorted
+    val frames = tables.toSeq.flatMap { t =>
+      val schema = loadSchema(spark, tablePath(t))
+      if (!schema.fieldNames.contains(keyCol)) None
+      else Some(readTable(spark, t)
+        .filter(col(keyCol) === lit(keyValue))
+        .select(lit(t).as("table"),
+          to_json(struct(col("*"))).as("row_json")))
+    }
+    frames.reduceOption(_ unionByName _).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, String)].toDF("table", "row_json")
+    }
+  }
+
   def deleteWhere(spark: SparkSession, table: String,
                   predicate: org.apache.spark.sql.Column): Long = {
     val path = tablePath(table)

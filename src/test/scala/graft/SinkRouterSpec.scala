@@ -196,6 +196,37 @@ class SinkRouterSpec extends GraftSpec {
     assert(dataFiles(whP).forall(_.endsWith(".parquet")))
   }
 
+  test("exportSubject: all and only the subject's rows, unkeyed tables " +
+    "skipped, MoR-deleted rows excluded") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+    router.write(Seq(
+      ("m1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a1"),
+      ("m2", java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "a1"),
+      ("m3", java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), "a2"))
+      .toDF("message_id", "timestamp", "anonymous_id")
+      .withColumn("_table", lit("events")))
+    router.write(Seq(("p1", "a1"), ("p2", "a2"))
+      .toDF("message_id", "anonymous_id")
+      .withColumn("_table", lit("profiles")))
+    // no anonymous_id column -> must be skipped
+    router.write(Seq(("x1", 7L)).toDF("message_id", "n")
+      .withColumn("_table", lit("system_log")))
+    def ids(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(row => (row.getString(0),
+        "\"message_id\":\"(\\w+)\"".r.findFirstMatchIn(
+          row.getString(1)).get.group(1))).toSet
+    assert(ids(router.exportSubject(spark, "anonymous_id", "a1")) ==
+      Set(("events", "m1"), ("events", "m2"), ("profiles", "p1")))
+    // erase m1 via the deletion vector: the export must not resurrect it
+    router.deleteWhereMor(spark, "events", col("message_id") === "m1")
+    assert(ids(router.exportSubject(spark, "anonymous_id", "a1")) ==
+      Set(("events", "m2"), ("profiles", "p1")))
+    // unknown subject: empty frame with the right shape
+    val none = router.exportSubject(spark, "anonymous_id", "zz")
+    assert(none.columns.toSeq == Seq("table", "row_json") && none.count() == 0)
+  }
+
   test("ORC format: rejected formats fail fast") {
     intercept[IllegalArgumentException] {
       new SinkRouter(tmpDir(), SinkOptions(format = "csv"))
