@@ -139,6 +139,31 @@ object QueriesSystem {
           sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
     }),
 
+    // Partition backfill (INSERT OVERWRITE PARTITION / replaceWhere):
+    // reprocess one broken day — the full stream lands first, then day
+    // 2024-01-05 is atomically replaced by a corrected batch (same
+    // rows, type uppercased as the visible fix) through the manifest
+    // swap; every other partition is untouched. The oracle replays the
+    // day-scoped substitution over the raw events.
+    "k14_backfill" -> ((s, dir) => {
+      val wh = tmp("graft-q-bf")
+      val router = new SinkRouter(wh)
+      val env = DriverEventsAdapter.load(s, dir)
+        .select(col("message_id"), col("timestamp"), col("type")).persist()
+      try {
+        router.write(env.withColumn("_table", lit("events")))
+        val corrected = env
+          .filter(to_date(col("timestamp")) === lit("2024-01-05"))
+          .withColumn("type", upper(col("type")))
+        router.overwriteDates(s, "events", corrected)
+      } finally { env.unpersist(false); () }
+      router.readTable(s, "events")
+        .groupBy(date_format(col("timestamp"), "yyyy-MM-dd").as("day"),
+          col("type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("message_id")).as("uniq"))
+    }),
+
     // GDPR Art. 15 subject-access export — the read counterpart of
     // k10's right-to-be-forgotten: all rows for one subject across
     // every keyed warehouse table (tables without the key column are
@@ -738,6 +763,20 @@ object QueriesSystem {
         |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_identified
         |FROM resolved""".stripMargin,
+    "k14_backfill" ->
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp,
+        |    CASE WHEN event_type = 'signup' THEN 'identify'
+        |         WHEN event_type = 'view' THEN 'page'
+        |         ELSE 'track' END AS type
+        |  FROM events)
+        |SELECT strftime(timestamp, '%Y-%m-%d') AS day,
+        |  CASE WHEN strftime(timestamp, '%Y-%m-%d') = '2024-01-05'
+        |    THEN UPPER(type) ELSE type END AS type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq
+        |FROM env GROUP BY 1, 2""".stripMargin,
     "k13_sar" ->
       """WITH env AS (
         |  SELECT 'm' || event_id AS message_id,

@@ -355,31 +355,83 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
       writePartitioned(incoming, path, SaveMode.Overwrite)
       persistSchema(path, nullable(incoming.schema))
     } else {
-      val existing = loadSchema(spark, path)
-      val evolved = mergeSchemas(existing, nullable(incoming.schema))
-      if (options.schemaFreeze && evolved != existing) {
-        val have = existing.fieldNames.toSet
-        val newCols = incoming.columns.filterNot(have)
-        throw new IllegalStateException(
-          s"schemaFreeze: schema change rejected (new columns: " +
-            s"${newCols.mkString(",")}; or nested field additions)")
-      }
-      // known columns arriving with a drifted type are aligned to the
-      // table's (evolved) type at write time — otherwise one bad batch
-      // poisons every read; struct columns rebuild field-by-field
-      val evolvedTypes = evolved.fields.map(f => f.name -> f.dataType).toMap
-      val aligned = incoming.select(incoming.columns.map { c =>
-        val from = incoming.schema(c).dataType
-        val to = evolvedTypes(c)
-        (if (from == to) col(c) else alignColumn(col(c), from, to)).as(c)
-      }: _*)
-      // evolve the sidecar BEFORE writing: a sidecar column with no data
-      // yet reads back as nulls (harmless), whereas committed data with a
-      // column the sidecar lacks would be invisible to every read after a
-      // crash in between
-      if (evolved != existing) persistSchema(path, evolved)
+      val (aligned, evolved) = alignToTable(spark, path, incoming)
       if (!options.deduplicate) writePartitioned(aligned, path, SaveMode.Append)
       else mergeInto(spark, path, evolved, aligned, batchDates)
+    }
+  }
+
+  /** Evolve the sidecar schema for `incoming` (schemaFreeze-gated) and
+    * align incoming columns to the evolved table types. Known columns
+    * arriving with a drifted type are cast to the table's type at write
+    * time — otherwise one bad batch poisons every read; struct columns
+    * rebuild field-by-field. The sidecar evolves BEFORE any write: a
+    * sidecar column with no data yet reads back as nulls (harmless),
+    * whereas committed data with a column the sidecar lacks would be
+    * invisible to every read after a crash in between. */
+  private def alignToTable(spark: SparkSession, path: String,
+                           incoming: DataFrame): (DataFrame, StructType) = {
+    val existing = loadSchema(spark, path)
+    val evolved = mergeSchemas(existing, nullable(incoming.schema))
+    if (options.schemaFreeze && evolved != existing) {
+      val have = existing.fieldNames.toSet
+      val newCols = incoming.columns.filterNot(have)
+      throw new IllegalStateException(
+        s"schemaFreeze: schema change rejected (new columns: " +
+          s"${newCols.mkString(",")}; or nested field additions)")
+    }
+    val evolvedTypes = evolved.fields.map(f => f.name -> f.dataType).toMap
+    val aligned = incoming.select(incoming.columns.map { c =>
+      val from = incoming.schema(c).dataType
+      val to = evolvedTypes(c)
+      (if (from == to) col(c) else alignColumn(col(c), from, to)).as(c)
+    }: _*)
+    if (evolved != existing) persistSchema(path, evolved)
+    (aligned, evolved)
+  }
+
+  /** Partition backfill — the INSERT OVERWRITE PARTITION / replaceWhere
+    * shape: atomically replace EXACTLY the date partitions the incoming
+    * rows cover with the incoming content, through the same staged-write
+    * + manifest-swap commit as merge/compact/deleteWhere. The
+    * reprocess-a-broken-day operation: untouched partitions are never
+    * read or rewritten (O(backfilled partitions), not O(table)), a
+    * crash at any point rolls back or forward cleanly, and schema
+    * evolution/alignment matches a normal write. Rows pass through the
+    * same snake_case + derived-date normalization as `write`. Returns
+    * the replaced dates. */
+  def overwriteDates(spark: SparkSession, table: String,
+                     rows: DataFrame): Seq[java.sql.Date] = {
+    val path = tablePath(table)
+    recover(path)
+    migrateLegacyLayout(path)
+    val base =
+      if (options.keepOriginalNames) rows
+      else graft.functions.Scalars.snakeCaseSchema(rows)
+    if (base.columns.contains(DateCol))
+      throw new IllegalArgumentException(
+        s"column name '$DateCol' is reserved for the sink's date partition")
+    val incoming = withDate(base)
+    if (!tableExists(path)) {
+      writePartitioned(incoming, path, SaveMode.Overwrite)
+      persistSchema(path, nullable(incoming.schema))
+      incoming.select(col(DateCol)).distinct().collect()
+        .map(_.getDate(0)).toSeq
+    } else {
+      val aligned = alignToTable(spark, path, incoming)._1.persist()
+      try {
+        val dates = aligned.select(col(DateCol)).distinct().collect()
+          .map(_.getDate(0))
+        val dirs = dates.map(d => s"$DateCol=$d").toSeq
+        val id = java.util.UUID.randomUUID().toString.take(8)
+        val stage = s"$path/.stage-$id"
+        writePartitioned(aligned, stage, SaveMode.Overwrite)
+        val stagedNames = listDir(stage)
+          .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
+        writeManifest(path, id, dirs, stagedNames)
+        completeSwap(path, id, dirs, stagedNames)
+        dates.toSeq
+      } finally { aligned.unpersist(false); () }
     }
   }
 

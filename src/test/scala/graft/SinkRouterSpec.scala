@@ -196,6 +196,38 @@ class SinkRouterSpec extends GraftSpec {
     assert(dataFiles(whP).forall(_.endsWith(".parquet")))
   }
 
+  test("overwriteDates: replaces exactly the covered partitions; " +
+    "untouched partitions byte-identical; evolution applies") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh)
+    router.write(batch(
+      ("m1", "2024-01-01 09:00:00", "u1"),
+      ("m2", "2024-01-01 10:00:00", "u2"),
+      ("m3", "2024-01-02 10:00:00", "u3")))
+    def partBytes(day: String): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$wh/events/graft_dt=$day")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).map(f => (f.getName, f.length())).toSeq.sorted
+    }
+    val day2Before = partBytes("2024-01-02")
+    // backfill day 1 with a corrected batch that also evolves the schema
+    val replaced = router.overwriteDates(spark, "events", Seq(
+        ("m1b", java.sql.Timestamp.valueOf("2024-01-01 09:30:00"), "u1", "fixed"))
+      .toDF("message_id", "timestamp", "user_id", "note"))
+    assert(replaced == Seq(java.sql.Date.valueOf("2024-01-01")))
+    val t = router.readTable(spark, "events")
+    assert(t.select("message_id").as[String].collect().toSet ==
+      Set("m1b", "m3"))
+    assert(t.filter(col("message_id") === "m3")
+      .select("note").collect().head.isNullAt(0))
+    assert(partBytes("2024-01-02") == day2Before)
+    // a backfill of a brand-new date is a plain partition add
+    router.overwriteDates(spark, "events", Seq(
+        ("m9", java.sql.Timestamp.valueOf("2024-01-09 10:00:00"), "u9", "new"))
+      .toDF("message_id", "timestamp", "user_id", "note"))
+    assert(router.readTable(spark, "events").count() == 3)
+  }
+
   test("exportSubject: all and only the subject's rows, unkeyed tables " +
     "skipped, MoR-deleted rows excluded") {
     val wh = tmpDir()
