@@ -131,8 +131,20 @@ object TimeSeries {
     * by day and merge at query time. Returns (wd, active_approx). */
   def slidingDistinctApprox(obs: DataFrame, windowDays: Int): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    val daily = obs.select(col("key"), col("d"))
-      .groupBy(col("d")).agg(hll_sketch_agg(col("key")).as("sk"))
+    slidingFromDailySketches(
+      obs.select(col("key"), col("d"))
+        .groupBy(col("d")).agg(hll_sketch_agg(col("key")).as("sk")),
+      windowDays)
+  }
+
+  /** The read half over STORED day sketches — `daily`: (d DATE,
+    * sk BINARY hll sketch), e.g. the table
+    * [[graft.streaming.EventPipeline.startDailySketches]] maintains.
+    * Each window merges its day sketches; the exploded unit is a
+    * day-sized sketch row. */
+  def slidingFromDailySketches(daily: DataFrame,
+                               windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
     val days = daily.select(col("d").as("wd"))
     daily.select(col("sk"), explode(sequence(col("d"),
         date_add(col("d"), windowDays - 1))).as("wd"))

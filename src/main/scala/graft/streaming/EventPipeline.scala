@@ -306,6 +306,32 @@ object EventPipeline {
 
   /** Streaming metrics side-channel: minute-windowed rollup maintained as
     * an append stream (A1/A2 MV-equivalent). */
+  /** Streaming daily uniqueness SKETCHES — the persisted `uniqState`
+    * shape ClickHouse MVs keep and [[startMetrics]]'s
+    * `approx_count_distinct` cannot provide (it emits only estimates,
+    * which do not merge): each closed day window emits its HLL sketch
+    * as binary, so downstream sliding windows merge day sketches at
+    * read time
+    * ([[graft.operators.TimeSeries.slidingFromDailySketches]]) with
+    * cost independent of key cardinality. Append mode: a day's sketch
+    * lands once the watermark passes its end; later-than-watermark
+    * events are dropped (the stated late-data trade of append-mode
+    * aggregation). */
+  def startDailySketches(events: DataFrame, keyCol: String, tsCol: String,
+                         checkpointDir: String,
+                         outDir: String): StreamingQuery =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 day").as("w"))
+      .agg(hll_sketch_agg(col(keyCol)).as("sk"))
+      .select(col("w.start").cast("date").as("d"), col("sk"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   def startMetrics(events: DataFrame, checkpointDir: String,
                    outDir: String): StreamingQuery =
     events

@@ -288,6 +288,41 @@ class StreamingSpec extends GraftSpec {
     assert(got.contains(("10:01", "c1", "page", 1L)))
   }
 
+  test("streaming daily HLL sketches merge into sliding actives that " +
+    "match the exact batch computation") {
+    val cp = tmp("graft-hll-cp"); val out = tmp("graft-hll-out")
+    val in = tmp("graft-hll-in")
+    val rnd = new scala.util.Random(7)
+    val lines = (0 until 120).map { _ =>
+      val u = rnd.nextInt(30); val day = 1 + rnd.nextInt(4)
+      s"""{"anonymous_id":"u$u","timestamp":"2024-03-0${day}T0${rnd.nextInt(9)}:00:00.000Z"}"""
+    } :+ // far-future event advances the watermark past every real day
+      """{"anonymous_id":"zz","timestamp":"2024-03-20T00:00:00.000Z"}"""
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(in)
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "anonymous_id STRING, timestamp TIMESTAMP")).json(in)
+    val q = EventPipeline.startDailySketches(stream, "anonymous_id",
+      "timestamp", cp, out)
+    try q.processAllAvailable() finally q.stop()
+    val daily = spark.read.parquet(out)
+    // the four real days closed (the sentinel's own day stays open)
+    assert(daily.count() == 4)
+    val approx = graft.operators.TimeSeries
+      .slidingFromDailySketches(daily, windowDays = 3)
+      .as[(java.sql.Date, Long)].collect().toMap
+    val exact = graft.operators.TimeSeries.slidingDistinct(
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "anonymous_id STRING, timestamp TIMESTAMP")).json(in)
+          .filter(col("anonymous_id") =!= "zz")
+          .select(col("anonymous_id").as("key"),
+            to_date(col("timestamp")).as("d")), 3)
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    // HLL is exact in sparse mode at 30 keys
+    exact.foreach { case (d, n) => assert(approx(d) == n, s"day $d") }
+  }
+
   test("kafka-wire schema adapts into the pipeline's value frame") {
     val env = DriverEventsAdapter.load(spark, sf)
     val json = env.select(to_json(struct(env.columns.map(col): _*)).as("v"))
