@@ -518,6 +518,53 @@ object Queries {
           col("value").as("events"), col("ewma"), col("spike"))
     }),
 
+    // A21: Holt linear-trend smoothing + 7-day-ahead forecast over the
+    // per-type daily series — level AND trend (a17's EWMA goes flat;
+    // Holt extrapolates drift). Same in-row fold execution as a17, and
+    // the smoothing constants are dyadic (0.25/0.125), so every
+    // engine's IEEE arithmetic is bit-identical and the recursive-CTE
+    // oracle hash-matches level, trend, and forecast.
+    "a21_holt" -> ((s, dir) => {
+      val pts = graft.schema.EventSchema.readEvents(s, dir)
+        .groupBy(col("event_type").as("key"),
+          to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).cast("long").as("value"))
+      graft.operators.TimeSeries.holtDaily(pts,
+          alpha = 0.25, beta = 0.125, horizonDays = 7)
+        .select(col("key"),
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("value").as("events"), col("level"), col("trend"),
+          col("forecast"))
+    }),
+
+    // AB: experiment read-out — deterministic md5-bucket variant
+    // assignment (no rand(), no assignment table: pure map-side
+    // projection), per-variant conversion + value, pooled
+    // two-proportion z. All the z inputs are integer counts, so the
+    // statistic is engine-exact before the display round.
+    "ab_experiment" -> ((s, dir) => {
+      val ev = graft.schema.EventSchema.readEvents(s, dir)
+      graft.operators.Experiment.conversionReport(ev,
+        col("user_id"), "exp1",
+        col("event_type") === "purchase" && col("value") > 90,
+        col("value"))
+    }),
+
+    // J10: ordered sequence matching (ClickHouse sequenceMatch family):
+    // "view, then purchase within 24 h, with NO error in between" —
+    // the negative condition funnels can't express. One window shuffle
+    // per user, running maxima, no self-join; timestamps compare as
+    // epoch microseconds so the match decision is engine-exact.
+    "j10_sequence_match" -> ((s, dir) => {
+      val ev = graft.schema.EventSchema.readEvents(s, dir)
+      graft.operators.SequenceMatch.report(ev,
+        col("user_id"), col("ts"), col("event_id"),
+        col("event_type") === "view",
+        col("event_type") === "purchase",
+        col("event_type") === "error",
+        windowSeconds = 86400L)
+    }),
+
     // A2-beyond: 7-day sliding distinct actives per day — the windowed
     // COUNT(DISTINCT) a daily rollup cannot answer (distinct is not
     // summable). Spark side: constant 7× explode of the dedup'd
@@ -799,6 +846,97 @@ object Queries {
         |       ELSE cur.x > 2.0 * ROUND(prev.s, 4) END AS spike
         |FROM e cur LEFT JOIN e prev
         |  ON cur.key = prev.key AND cur.i = prev.i + 1""".stripMargin,
+    // the recursive CTE replays Holt's level/trend recursion with the
+    // same dyadic smoothing constants (0.25/0.75/0.125/0.875 — exact
+    // binary doubles) and the same op order as the Spark fold
+    "a21_holt" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT key, d, x,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY d) AS i
+        |  FROM pts),
+        |e AS (
+        |  SELECT key, i, d, x, x AS s, CAST(0.0 AS DOUBLE) AS b
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.key, idx.i, idx.d, idx.x,
+        |    0.25 * idx.x + 0.75 * (e.s + e.b),
+        |    0.125 * ((0.25 * idx.x + 0.75 * (e.s + e.b)) - e.s)
+        |      + 0.875 * e.b
+        |  FROM idx JOIN e ON idx.key = e.key AND idx.i = e.i + 1)
+        |SELECT key, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(x AS BIGINT) AS events,
+        |  ROUND(s, 4) AS level, ROUND(b, 4) AS trend,
+        |  ROUND(s + 7.0 * b, 4) AS forecast
+        |FROM e""".stripMargin,
+    "ab_experiment" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 2 AS INT) AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 90
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(conv) AS BIGINT) AS n_converted
+        |  FROM pu GROUP BY 1),
+        |w AS (SELECT
+        |  MAX(CASE WHEN variant = 0 THEN n_units END) AS n_control,
+        |  MAX(CASE WHEN variant = 0 THEN n_converted END) AS conv_control,
+        |  MAX(CASE WHEN variant = 1 THEN n_units END) AS n_treatment,
+        |  MAX(CASE WHEN variant = 1 THEN n_converted END) AS conv_treatment
+        |  FROM v),
+        |m AS (SELECT *,
+        |  CAST(conv_control AS DOUBLE) / n_control AS p0,
+        |  CAST(conv_treatment AS DOUBLE) / n_treatment AS p1,
+        |  CAST(conv_control + conv_treatment AS DOUBLE)
+        |    / (n_control + n_treatment) AS pooled
+        |  FROM w),
+        |m2 AS (SELECT *,
+        |  SQRT(pooled * (1.0 - pooled)
+        |    * (1.0 / n_control + 1.0 / n_treatment)) AS se
+        |  FROM m)
+        |SELECT n_control, conv_control, n_treatment, conv_treatment,
+        |  ROUND(p0, 6) AS rate_control,
+        |  ROUND(p1, 6) AS rate_treatment,
+        |  ROUND(p1 - p0, 6) AS uplift,
+        |  CASE WHEN se = 0 THEN NULL
+        |    ELSE ROUND((p1 - p0) / se, 4) END AS z,
+        |  CASE WHEN se = 0 THEN NULL
+        |    ELSE ABS((p1 - p0) / se) > 1.96 END AS significant
+        |FROM m2""".stripMargin,
+    "j10_sequence_match" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_type,
+        |    MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER w AS last_a,
+        |    MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+        |      OVER w AS last_c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |b AS (
+        |  SELECT user_id,
+        |    (last_a IS NOT NULL AND COALESCE(last_a > last_c, TRUE)
+        |      AND epoch_us(ts) - last_a <= 86400000000) AS matched,
+        |    CASE WHEN last_a IS NOT NULL
+        |        AND COALESCE(last_a > last_c, TRUE)
+        |        AND epoch_us(ts) - last_a <= 86400000000
+        |      THEN epoch_us(ts) - last_a END AS us
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys_with_b,
+        |  CAST(COUNT(DISTINCT CASE WHEN matched THEN user_id END)
+        |    AS BIGINT) AS n_keys_matched,
+        |  CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matches,
+        |  ROUND(CAST(SUM(us) AS DOUBLE)
+        |    / SUM(CASE WHEN matched THEN 1 ELSE 0 END) / 1e6, 4)
+        |    AS avg_secs
+        |FROM b""".stripMargin,
     "a15_anomaly" -> (adapterCte +
       """, d AS (
         |  SELECT connection_id, strftime(timestamp, '%Y-%m-%d') AS period,

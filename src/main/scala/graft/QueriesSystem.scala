@@ -164,6 +164,37 @@ object QueriesSystem {
           countDistinct(col("message_id")).as("uniq"))
     }),
 
+    // Time travel (zero-copy snapshots): v1 is snapshotted BEFORE the
+    // UR re-emission merge rewrites its partitions; afterwards the
+    // snapshot still reads back as the pre-merge table (hard-linked
+    // inodes survive the swap's unlinks) while the live table shows
+    // the merged state. One query gates both timelines against the
+    // SQL replay of each.
+    "k15_snapshot" -> ((s, dir) => {
+      val wh = tmp("graft-q-snap")
+      val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+      val env = DriverEventsAdapter.load(s, dir)
+        .select(col("message_id"), col("timestamp"), col("anonymous_id"),
+          col("user_id"), col("type")).persist()
+      try {
+        router.write(env.withColumn("_table", lit("events")))
+        router.snapshot("events", "v1")
+        val recognized = UserRecognition.resolveBatch(env)
+          .filter(col("recognized"))
+          .select(col("message_id"), col("timestamp"), col("anonymous_id"),
+            col("user_id"), col("type"))
+        router.write(recognized.withColumn("_table", lit("events")))
+      } finally { env.unpersist(false); () }
+      val stat = (df: org.apache.spark.sql.DataFrame, src: String) =>
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("message_id")).as("n_messages"),
+            sum(when(col("user_id").isNotNull, 1).otherwise(0))
+              .as("n_identified"))
+          .withColumn("src", lit(src))
+      stat(router.readSnapshot(s, "events", "v1"), "v1")
+        .unionByName(stat(router.readTable(s, "events"), "live"))
+    }),
+
     // GDPR Art. 15 subject-access export — the read counterpart of
     // k10's right-to-be-forgotten: all rows for one subject across
     // every keyed warehouse table (tables without the key column are
@@ -735,6 +766,42 @@ object QueriesSystem {
         |    AS BIGINT) AS n
         |FROM events WHERE event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
+    "k15_snapshot" ->
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    'a' || user_id AS anonymous_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp
+        |  FROM events),
+        |resolved AS (
+        |  SELECT message_id,
+        |    COALESCE(user_id,
+        |      CASE WHEN next_id_ts IS NOT NULL
+        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
+        |      AS user_id
+        |  FROM (
+        |    SELECT *,
+        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |        AS next_id_ts,
+        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
+        |    FROM env
+        |    WINDOW w AS (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_identified,
+        |  'v1' AS src
+        |FROM env
+        |UNION ALL
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_identified,
+        |  'live' AS src
+        |FROM resolved""".stripMargin,
     "k1_sink_dedup" ->
       """WITH env AS (
         |  SELECT 'm' || event_id AS message_id,

@@ -76,6 +76,16 @@ object QueriesTrainingData {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2)),
 
+    // asymmetric shingle CONTAINMENT (doc subsumption): |A∩B| / |A|
+    // over the same inverted index — catches a short doc embedded in a
+    // long one, which the size-gap drags below any Jaccard threshold
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"), col("containment"))),
+
     // SimHash near-dup detection (custom codegen'd expression), emitted
     // as the planted-twin gate: the corpus is spiked with a byte-mangled
     // copy of every doc (uppercased, whitespace doubled — byte-different,
@@ -1506,6 +1516,27 @@ object QueriesTrainingData {
         |  ROUND(AVG(quality), 4) AS avg_quality
         |FROM curated GROUP BY lang""".stripMargin),
     "dedup_ngram_jaccard" -> jaccardSql,
+    "dedup_containment" -> (wordsCte +
+      """, sized AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        |  FROM sh GROUP BY 1),
+        |freq AS (SELECT sh, COUNT(*) AS f FROM sh GROUP BY 1),
+        |filtered AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq USING (sh)
+        |             WHERE f <= 1000),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM filtered a JOIN filtered b ON a.sh = b.sh
+        |  JOIN sized sa ON sa.doc_id = a.doc_id
+        |  JOIN sized sb ON sb.doc_id = b.doc_id
+        |  WHERE sa.n_sh < sb.n_sh
+        |     OR (sa.n_sh = sb.n_sh AND a.doc_id < b.doc_id)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, n_a, n_b, containment FROM (
+        |  SELECT id_a, id_b, n_a, n_b,
+        |    ROUND(CAST(i AS DOUBLE) / n_a, 4) AS containment
+        |  FROM inter)
+        |WHERE containment >= 0.8""".stripMargin),
     "dedup_minhash_lsh" -> jaccardSql,
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -75,6 +75,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT — the doc-subsumption detector
+    * Jaccard structurally misses: when a short document is wholly
+    * embedded in a much longer one (quote farms, page-with-boilerplate
+    * wrappers, concatenated dumps), J = |A∩B| / |A∪B| is dragged down
+    * by the size gap while C(A→B) = |A∩B| / |A| stays ≈ 1. Emits
+    * directed pairs (id_a = the contained/smaller side) with
+    * containment >= `threshold`; pairs Jaccard would also catch are
+    * still here (C >= J always).
+    *
+    * Same inverted-index shape and cost as [[jaccardPairs]] — one
+    * shingle-keyed self-join carrying (id, n_sh, 8-byte key), freq-cap
+    * on stopword-like shingles — the only change is the normalizer
+    * (min side instead of union), so the 100 TB argument transfers
+    * unchanged. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), n).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+      .filter(col("n_sh") > 0)
+      .select(col("id"), col("n_sh"),
+        explode(col("shingles")).as("sh_raw"))
+      .select(col("id"), col("n_sh"), xxhash64(col("sh_raw")).as("sh"))
+    val filtered = sh
+      .withColumn("freq", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("freq") <= maxShingleFreq)
+      .drop("freq")
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    // direction by (n_sh, id) total order: the smaller shingle set is
+    // always the contained side, ties broken by id so each unordered
+    // pair appears exactly once
+    a.join(b, col("a.sh") === col("b.sh") &&
+        (col("a.n_sh") < col("b.n_sh") ||
+          (col("a.n_sh") === col("b.n_sh") && col("a.id") < col("b.id"))))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("n_a"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("containment"))
+  }
+
   /** MinHash signature: `numHashes` minima over the shingle set — a
     * codegen'd Catalyst expression ([[MinHashSig]]); the equivalent
     * higher-order-function composition runs interpreted and re-hashes

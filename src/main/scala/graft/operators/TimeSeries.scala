@@ -78,6 +78,69 @@ object TimeSeries {
           round(element_at(col("sm"), col("i")), 4)).as("spike"))
   }
 
+  /** Holt's linear-trend smoothing + h-step-ahead forecast over a
+    * per-key daily series — the next rung above [[ewmaDaily]] on the
+    * exponential-smoothing ladder (Holt 1957): a level AND a trend
+    * component, so the forecast extrapolates drift instead of going
+    * flat.
+    *
+    *   s_1 = x_1;  b_1 = 0
+    *   s_t = alpha * x_t + (1 - alpha) * (s_{t-1} + b_{t-1})
+    *   b_t = beta * (s_t - s_{t-1}) + (1 - beta) * b_{t-1}
+    *   forecast_h(t) = s_t + h * b_t
+    *
+    * Same execution shape as [[ewmaDaily]]: the per-key recursion runs
+    * as ONE in-row `aggregate` fold over the day-sorted (day, value)
+    * array (per-key series are days-bounded, so KB-sized at any corpus
+    * scale), and the fold's IEEE op order is written to be replayable
+    * term-for-term by a recursive-CTE oracle — `a*x + (1-a)*(s+b)`,
+    * then `be*(s'-s) + (1-be)*b` — so level/trend/forecast
+    * hash-match across engines before the display round.
+    *
+    * `points`: (key, d DATE, value LONG). Returns (key, d, value,
+    * level, trend, forecast) with forecast = s_t + horizonDays * b_t. */
+  def holtDaily(points: DataFrame, alpha: Double = 0.3,
+                beta: Double = 0.1, horizonDays: Int = 7): DataFrame = {
+    val series = points
+      .groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("d"), col("value"))))
+        .as("xs"))
+    // acc carries (emitted (s,b) pairs, prev s, prev b); the first
+    // element seeds s=x, b=0 exactly as the oracle's anchor row does.
+    val folded = series.withColumn("sb",
+      expr(s"""aggregate(
+        xs,
+        struct(cast(array() as array<struct<s: double, b: double>>) as out,
+               cast(null as double) as ps,
+               cast(null as double) as pb),
+        (acc, x) -> if(acc.ps is null,
+          struct(acc.out || array(struct(cast(x.value as double) as s,
+                                         0.0D as b)),
+                 cast(x.value as double), 0.0D),
+          struct(
+            acc.out || array(struct(
+              ${alpha}D * x.value + ${1 - alpha}D * (acc.ps + acc.pb) as s,
+              ${beta}D * ((${alpha}D * x.value +
+                ${1 - alpha}D * (acc.ps + acc.pb)) - acc.ps) +
+                ${1 - beta}D * acc.pb as b)),
+            ${alpha}D * x.value + ${1 - alpha}D * (acc.ps + acc.pb),
+            ${beta}D * ((${alpha}D * x.value +
+              ${1 - alpha}D * (acc.ps + acc.pb)) - acc.ps) +
+              ${1 - beta}D * acc.pb)),
+        acc -> acc.out)"""))
+    folded.select(col("key"), posexplode(col("xs")).as(Seq("i", "x")),
+        col("sb"))
+      .select(col("key"), col("x.d").as("d"), col("x.value").as("value"),
+        round(element_at(col("sb"), col("i") + 1).getField("s"), 4)
+          .as("level"),
+        round(element_at(col("sb"), col("i") + 1).getField("b"), 4)
+          .as("trend"),
+        round(element_at(col("sb"), col("i") + 1).getField("s") +
+          lit(horizonDays.toDouble) *
+            element_at(col("sb"), col("i") + 1).getField("b"), 4)
+          .as("forecast"))
+  }
+
   /** `points`: (key, d DATE, value LONG) — one row per key per
     * OBSERVED day. Returns the dense grid with fill columns. */
   def gapfillDaily(points: DataFrame): DataFrame = {

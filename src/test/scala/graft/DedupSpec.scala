@@ -33,6 +33,44 @@ class DedupSpec extends GraftSpec {
       .count() == 0)
   }
 
+  test("containmentPairs: embedded doc caught at C~1 where Jaccard fails") {
+    // doc 1 is wholly contained in doc 0 (a long wrapper); the size gap
+    // keeps Jaccard below 0.5 while containment is 1.0
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"),
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "totally unrelated words about nothing shared with others here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc1 has 5 3-shingles, all present in doc0
+    assert(pairs == Seq((1L, 0L, 1.0)))
+    val jac = Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.5).count()
+    assert(jac == 0L) // Jaccard misses the same pair
+  }
+
+  test("containmentPairs: direction is (smaller -> larger), ties by id; " +
+    "freq cap drops stopword shingles") {
+    val d = Seq(
+      (0L, "one two three four five"),
+      (1L, "one two three four five"), // identical: tie, id order
+      (2L, "zz yy xx ww vv")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+        threshold = 0.8)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((0L, 1L, 1.0)))
+    // with the freq cap at 1, the shared shingles are "stopwords" and
+    // no pair survives
+    assert(Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.8, maxShingleFreq = 1).count() == 0L)
+  }
+
   test("exact dedup keeps smallest id per digest") {
     val out = Dedup.exact(docs, "doc_id", Seq("text"))
       .select("doc_id").as[Long].collect().sorted

@@ -196,6 +196,63 @@ class SinkRouterSpec extends GraftSpec {
     assert(dataFiles(whP).forall(_.endsWith(".parquet")))
   }
 
+  test("snapshot: survives merge, compact, deleteWhere and vacuum; " +
+    "schema evolution after the snapshot does not leak back") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+    router.write(batch(("m1", "2024-01-01 10:00:00", null),
+      ("m2", "2024-01-02 10:00:00", "u2"),
+      ("m3", "2024-03-01 10:00:00", "u3")))
+    router.snapshot("events", "v1")
+    assert(router.listSnapshots("events") == Seq("v1"))
+    // mutate the live table every way the router can
+    router.write(batch(("m1", "2024-01-01 10:00:00", "u1"))) // merge
+    router.write(Seq(("m4", java.sql.Timestamp.valueOf("2024-01-02 11:00:00"),
+        "u4", "x")).toDF("message_id", "timestamp", "user_id", "extra")
+      .withColumn("_table", lit("events"))) // evolution
+    router.compact(spark, "events", maxFilesPerPartition = 1)
+    assert(router.deleteWhere(spark, "events",
+      col("message_id") === "m2") == 1L)
+    router.vacuum("events", retainDays = 30,
+      asOf = java.time.LocalDate.of(2024, 3, 2)): Unit
+    // live reflects all of it: m1 identified, m2 deleted, m1/m4 vacuumed?
+    // (2024-01 is older than 30d before asOf, so only m3 survives vacuum)
+    val live = router.readTable(spark, "events")
+    assert(live.select("message_id").as[String].collect().toSet == Set("m3"))
+    // the snapshot still reads the exact pre-mutation state, old schema
+    val snap = router.readSnapshot(spark, "events", "v1")
+    assert(!snap.columns.contains("extra"))
+    assert(snap.select("message_id", "user_id")
+      .as[(String, Option[String])].collect().toSet ==
+      Set(("m1", None), ("m2", Some("u2")), ("m3", Some("u3"))))
+    // drop: snapshot gone, live untouched
+    router.dropSnapshot("events", "v1")
+    assert(router.listSnapshots("events").isEmpty)
+    assert(router.readTable(spark, "events").count() == 1)
+    intercept[IllegalArgumentException] {
+      router.readSnapshot(spark, "events", "v1")
+    }: Unit
+  }
+
+  test("snapshot: captures the MoR deletion vector; duplicate name rejected") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+    router.write(batch(("m1", "2024-01-01 10:00:00", "u1"),
+      ("m2", "2024-01-02 10:00:00", "u2")))
+    assert(router.deleteWhereMor(spark, "events",
+      col("message_id") === "m1") == 1L)
+    router.snapshot("events", "s")
+    // purge folds the vector into the live files; the snapshot's own
+    // vector still hides m1 in time travel
+    router.purgeDeletes(spark, "events"): Unit
+    assert(router.readSnapshot(spark, "events", "s")
+      .select("message_id").as[String].collect().toSeq == Seq("m2"))
+    intercept[IllegalStateException] { router.snapshot("events", "s") }
+    intercept[IllegalArgumentException] {
+      router.snapshot("events", ".bad")
+    }: Unit
+  }
+
   test("overwriteDates: replaces exactly the covered partitions; " +
     "untouched partitions byte-identical; evolution applies") {
     val wh = tmpDir()

@@ -44,6 +44,54 @@ class TimeSeriesSpec extends GraftSpec {
       ("a", "2024-01-03") -> 10.0, ("b", "2024-01-01") -> 7.0))
   }
 
+  test("holtDaily: hand-computed level/trend recursion + forecast") {
+    val pts = Seq(
+      ("a", Date.valueOf("2024-01-01"), 8L),
+      ("a", Date.valueOf("2024-01-02"), 12L),
+      ("a", Date.valueOf("2024-01-03"), 10L),
+      ("b", Date.valueOf("2024-01-01"), 5L)
+    ).toDF("key", "d", "value")
+    val got = TimeSeries.holtDaily(pts, alpha = 0.25, beta = 0.125,
+        horizonDays = 7)
+      .select("key", "d", "level", "trend", "forecast")
+      .as[(String, Date, Double, Double, Double)].collect()
+      .map { case (k, d, s, b, f) => (k, d.toString) -> ((s, b, f)) }.toMap
+    // s1=8 b1=0; s2=.25*12+.75*8=9, b2=.125*1=0.125;
+    // s3=.25*10+.75*9.125=9.34375, b3=.125*.34375+.875*.125=0.15234375
+    assert(got == Map(
+      ("a", "2024-01-01") -> ((8.0, 0.0, 8.0)),
+      ("a", "2024-01-02") -> ((9.0, 0.125, 9.875)),
+      ("a", "2024-01-03") -> ((9.3438, 0.1523, 10.4102)),
+      ("b", "2024-01-01") -> ((5.0, 0.0, 5.0))))
+  }
+
+  test("holtDaily matches a sequential reference fold") {
+    val rnd = new scala.util.Random(11)
+    val pts = for (k <- Seq("x", "y"); i <- 0 until 40)
+      yield (k, Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)), rnd.nextInt(100).toLong)
+    val got = TimeSeries.holtDaily(pts.toDF("key", "d", "value"),
+        alpha = 0.25, beta = 0.125, horizonDays = 7)
+      .select("key", "d", "level", "trend").as[(String, Date, Double, Double)]
+      .collect().map { case (k, d, s, b) => (k, d.toString) -> ((s, b)) }
+      .toMap
+    val exp = pts.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(_._2.toString)
+      var s = Double.NaN; var b = 0.0
+      sorted.map { case (_, d, v) =>
+        if (s.isNaN) { s = v.toDouble }
+        else {
+          val s2 = 0.25 * v + 0.75 * (s + b)
+          b = 0.125 * (s2 - s) + 0.875 * b
+          s = s2
+        }
+        (k, d.toString) ->
+          ((math.rint(s * 10000) / 10000, math.rint(b * 10000) / 10000))
+      }
+    }
+    assert(got == exp)
+  }
+
   test("ewmaDaily matches a sequential reference fold at alpha=0.2") {
     val rnd = new scala.util.Random(7)
     val pts = for (k <- Seq("x", "y"); i <- 0 until 40)
