@@ -14,8 +14,12 @@ run / fork := true
 // Pass the forked JVM's stdout straight through instead of re-logging
 // each line under sbt's "[info] " prefix — Bench prints one bare JSON
 // line on stdout and downstream tooling parses it from the raw output;
-// the prefix is what kept that line from ever parsing.
+// the prefix is what kept that line from ever parsing. Scoped to BOTH
+// run and runMain: they are separate task scopes, and the driver
+// invokes `runMain graft.Bench` — a `run /`-only setting never applied
+// to it (the r06 tail still showed "[info] {" on the JSON line).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -523,6 +523,115 @@ object QueriesExtra {
         DataChecks.expression(liT,
           col("l_discount") >= 0 && col("l_discount") <= 0.1,
           "lineitem_discount_range"))
+    }),
+
+    // Merkle-style cross-warehouse reconciliation: a replica of orders
+    // (o_orderkey is the unique pk — the dq_checks gate proves it) with
+    // three planted drift classes — ~1/997 rows dropped
+    // (missing_in_replica), ~1/997 with a flipped status
+    // (value_mismatch), ~1/997 extra re-keyed rows (missing_in_source).
+    // bucketDiff finds EXACTLY the drifted keys via per-bucket digests +
+    // a key join restricted to the differing buckets; the oracle is the
+    // naive full outer join, so any key the pruning wrongly skipped (or
+    // invented) hash-mismatches.
+    "dq_bucket_diff" -> ((s, dir) => {
+      import graft.operators.DataChecks
+      val src = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      val m = pmod(col("o_orderkey"), lit(997))
+      val rep = src.withColumn("_m", m)
+        .filter(col("_m") =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("_m") === 1, lit("X")).otherwise(col("o_orderstatus")))
+        .drop("_m")
+        .unionByName(src.withColumn("_m", m).filter(col("_m") === 2)
+          .withColumn("o_orderkey", -col("o_orderkey"))
+          .drop("_m"))
+      DataChecks.bucketDiff(src, rep,
+        Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_orderpriority"), nBuckets = 4096)
+    }),
+
+    // k-anonymity audit over the released customer quasi-identifiers
+    // (nation, market segment, account-balance band): every class below
+    // k=5 is a re-identifiable combination. Exact hash aggregation; the
+    // oracle is the same GROUP BY + HAVING.
+    "priv_kanon" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long"))
+      graft.operators.Privacy.kAnonymityViolations(
+        c, Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
+    }),
+
+    // l-diversity: a k-anonymous class is still unsafe when everyone in
+    // it shares the sensitive value — classes over (nation, balance
+    // band) whose market segment takes < 3 distinct values.
+    "priv_ldiv" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long"))
+      graft.operators.Privacy.lDiversityViolations(
+        c, Seq("c_nationkey", "bal_band"), "c_mktsegment", l = 3)
+    }),
+
+    // ε-differentially-private released counts per (event_type, day):
+    // Laplace(1/ε) noise from the deterministic 48-bit md5 uniform —
+    // ln-only inverse CDF, so the oracle re-derives the identical noise
+    // and the integer-rounded release is hash-exact (the Gumbel
+    // resampling precedent applied to private aggregate release).
+    "priv_dp_counts" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Privacy.dpCounts(ev,
+        Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd")),
+        Seq("event_type", "day"), eps = 1.0, seed = 7L)
+    }),
+
+    // billing quota admission (ref cloud free tier "200k events/mo",
+    // README.md:62): per (workspace, month), first 2000 events by
+    // (ts, event_id) order are billable, the rest over-quota — computed
+    // with the two-phase prefix pattern, never a per-workspace-month
+    // global window. Gate pins the admitted SET per group (count + sum +
+    // bit_xor of billable ids) plus the exact cutoff event.
+    "a22_quota" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("workspace_id",
+          concat(lit("wk"), pmod(col("user_id"), lit(3))))
+      graft.operators.MetricsAgg.quotaAdmission(ev,
+          col("workspace_id"), col("ts"), col("event_id"), quota = 2000L)
+        .groupBy(col("workspace_id"),
+          date_format(col("month"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("billable"), 1L).otherwise(0L)).as("n_billable"),
+          sum(when(col("billable"), col("event_id")).otherwise(0L))
+            .as("billable_id_sum"),
+          expr("bit_xor(CASE WHEN billable THEN event_id ELSE 0 END)")
+            .as("billable_id_xor"),
+          min(when(col("seq") === 2001L, col("event_id")))
+            .as("first_over_quota"))
+    }),
+
+    // retrieval-eval battery: per-query precision/recall@10, MRR, and
+    // nDCG@10 of the exact cosine top-10 against same-label relevance —
+    // DCG in pinned integer micro-discounts so both engines sum the
+    // same integers (EvalMetrics.dcgDiscountsMicro literals appear
+    // verbatim in the oracle).
+    "td_retrieval_eval" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val ranking = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("id") < 10).select(col("id").as("qid"), col("vec")),
+        e.select(col("id"), col("vec")), k = 10)
+      val relevant = e.filter(col("id") < 10)
+        .select(col("id").as("qid"), col("label"))
+        .join(e.select(col("id"), col("label")), Seq("label"))
+        .filter(col("qid") =!= col("id"))
+        .select(col("qid"), col("id"))
+      graft.operators.EvalMetrics.retrievalEval(ranking, relevant, k = 10)
+        .withColumn("first_hit_rank",
+          col("first_hit_rank").cast("long"))
     })
   )
 
@@ -980,6 +1089,132 @@ object QueriesExtra {
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM (SELECT event_type, CAST(FLOOR(value / 25) AS INT) AS band, value
         |      FROM events)
-        |GROUP BY CUBE (event_type, band)""".stripMargin
+        |GROUP BY CUBE (event_type, band)""".stripMargin,
+    "dq_bucket_diff" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |    o_orderkey % 997 AS m
+        |  FROM orders),
+        |rep AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN m = 1 THEN 'X' ELSE o_orderstatus
+        |      END AS o_orderstatus,
+        |    o_orderpriority
+        |  FROM src WHERE m <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_orderstatus, o_orderpriority
+        |  FROM src WHERE m = 2)
+        |SELECT COALESCE(s.o_orderkey, r.o_orderkey) AS o_orderkey,
+        |  CASE WHEN r.o_orderkey IS NULL THEN 'missing_in_replica'
+        |       WHEN s.o_orderkey IS NULL THEN 'missing_in_source'
+        |       ELSE 'value_mismatch' END AS status
+        |FROM src s FULL OUTER JOIN rep r
+        |  ON s.o_orderkey = r.o_orderkey
+        |WHERE r.o_orderkey IS NULL OR s.o_orderkey IS NULL
+        |  OR s.o_orderstatus <> r.o_orderstatus
+        |  OR s.o_orderpriority <> r.o_orderpriority""".stripMargin,
+    "priv_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(COUNT(*) AS BIGINT) AS class_size
+        |FROM customer GROUP BY 1, 2, 3
+        |HAVING COUNT(*) < 5""".stripMargin,
+    "priv_ldiv" ->
+      """SELECT c_nationkey,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(COUNT(*) AS BIGINT) AS class_size,
+        |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+        |    AS distinct_sensitive
+        |FROM customer GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT c_mktsegment) < 3""".stripMargin,
+    "priv_dp_counts" ->
+      """WITH g AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |n AS (
+        |  SELECT event_type, day, cnt,
+        |    (CAST(('0x' || substring(md5(
+        |        '7' || chr(1) || event_type || chr(1) || day),
+        |      1, 12)) AS BIGINT) + 0.5) / 281474976710656.0 AS u
+        |  FROM g)
+        |SELECT event_type, day,
+        |  GREATEST(0, CAST(ROUND(cnt
+        |    - 1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))
+        |    AS BIGINT)) AS noisy_count
+        |FROM n""".stripMargin,
+    "a22_quota" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, 'wk' || (user_id % 3) AS workspace_id,
+        |    strftime(date_trunc('month', ts), '%Y-%m') AS month
+        |  FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY workspace_id, month
+        |    ORDER BY ts, event_id) AS seq
+        |  FROM ev)
+        |SELECT workspace_id, month, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN seq <= 2000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_billable,
+        |  CAST(SUM(CASE WHEN seq <= 2000 THEN event_id ELSE 0 END)
+        |    AS BIGINT) AS billable_id_sum,
+        |  CAST(bit_xor(CASE WHEN seq <= 2000 THEN event_id ELSE 0 END)
+        |    AS BIGINT) AS billable_id_xor,
+        |  CAST(MIN(CASE WHEN seq = 2001 THEN event_id END) AS BIGINT)
+        |    AS first_over_quota
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "td_retrieval_eval" -> {
+      val disc = graft.operators.EvalMetrics.dcgDiscountsMicro(10)
+      val discCase = disc.zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+        .mkString("CASE rank ", " ", " ELSE 0 END")
+      val idcgCase = disc.scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+        .mkString("CASE LEAST(COALESCE(nr.n_rel, 0), 10) ",
+          " ", " ELSE 0 END")
+      s"""WITH rk AS (
+         |  SELECT qid, rank, id FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(list_cosine_similarity(
+         |          q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+         |          DESC, c.vec_id) AS rank
+         |    FROM embeddings q, embeddings c
+         |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 10),
+         |rel AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS id
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |    AND q.label = c.label),
+         |nr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |       FROM rel GROUP BY qid),
+         |h AS (SELECT rk.qid, rk.rank FROM rk
+         |      JOIN rel ON rk.qid = rel.qid AND rk.id = rel.id),
+         |pq AS (
+         |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS hits,
+         |    CAST(MIN(rank) AS BIGINT) AS first_hit_rank,
+         |    CAST(SUM($discCase) AS BIGINT) AS dcg_micro
+         |  FROM h GROUP BY qid),
+         |j AS (
+         |  SELECT qs.qid, COALESCE(nr.n_rel, 0) AS n_rel,
+         |    COALESCE(pq.hits, 0) AS hits, pq.first_hit_rank,
+         |    COALESCE(pq.dcg_micro, 0) AS dcg_micro,
+         |    $idcgCase AS idcg_micro
+         |  FROM (SELECT DISTINCT qid FROM rk) qs
+         |  LEFT JOIN nr ON qs.qid = nr.qid
+         |  LEFT JOIN pq ON qs.qid = pq.qid)
+         |SELECT qid, n_rel, hits, first_hit_rank, dcg_micro, idcg_micro,
+         |  ROUND(hits / 10.0, 6) AS precision_k,
+         |  CASE WHEN n_rel = 0 THEN NULL
+         |    ELSE ROUND(CAST(hits AS DOUBLE) / n_rel, 6)
+         |  END AS recall_k,
+         |  CASE WHEN first_hit_rank IS NULL THEN 0.0
+         |    ELSE ROUND(1.0 / first_hit_rank, 6) END AS rr,
+         |  CASE WHEN idcg_micro = 0 THEN NULL
+         |    ELSE ROUND(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6)
+         |  END AS ndcg
+         |FROM j""".stripMargin
+    }
   )
 }

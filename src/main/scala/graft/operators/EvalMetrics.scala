@@ -112,4 +112,71 @@ object EvalMetrics {
       .select(col("_id").as(idCol), col("n_cand"), col("n_ref"),
         col("clip1"), col("clip2"), col("log_bleu"))
   }
+
+  /** Rank-1..k DCG discounts as INTEGER micro-units:
+    * round(10⁶ / log₂(r+1)). Pinned driver-side literals — never a
+    * runtime log₂ — so Spark and any oracle engine sum the SAME exact
+    * integers and the metric never hinges on last-ulp transcendental
+    * agreement (integer sums are order-independent too, so the
+    * aggregation needs no ordering guarantee). */
+  def dcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Retrieval-eval battery — per-query precision@k / recall@k /
+    * reciprocal rank / nDCG@k of a ranked result list against a binary
+    * relevance set (the IR eval a RAG / embedding-training pipeline runs
+    * over every index build; Järvelin & Kekäläinen 2002 for DCG).
+    *
+    * `ranking`: (qid, rank, id) — rank 1-based, ≤ k rows per query (the
+    * shape [[Similarity.bruteForceTopK]] / `ivfTopK` emit).
+    * `relevant`: (qid, id) — the qrels.
+    *
+    * DCG/IDCG are summed in integer micro-units from
+    * [[dcgDiscountsMicro]]; nDCG and the ratio metrics divide exact
+    * integers, so every engine computes the identical IEEE quotient
+    * before the display round.
+    *
+    * Scale shape: `ranking` is queries×k rows — the corpus never enters.
+    * The relevance join is a hash join on (qid, id); everything after is
+    * one hash aggregation per qid. Cost is O(queries·k + |qrels|)
+    * regardless of corpus size. */
+  def retrievalEval(ranking: DataFrame, relevant: DataFrame,
+                    k: Int): DataFrame = {
+    val disc = dcgDiscountsMicro(k)
+    val discCol = element_at(
+      array(disc.map(lit): _*), col("rank").cast("int"))
+    val idcgPrefix = disc.scanLeft(0L)(_ + _).tail // idcg for n_rel=1..k
+    val rel = relevant.select(col("qid"), col("id"), lit(1).as("_hit"))
+    val nRel = relevant.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_rel"))
+    val perQ = ranking
+      .join(rel, Seq("qid", "id"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("_hit").isNotNull, 1L).otherwise(0L)).as("hits"),
+        min(when(col("_hit").isNotNull, col("rank"))).as("first_hit_rank"),
+        sum(when(col("_hit").isNotNull, discCol).otherwise(0L))
+          .as("dcg_micro"))
+    perQ.join(nRel, Seq("qid"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("idcg_micro",
+        when(col("n_rel") === 0, 0L).otherwise(element_at(
+          array(idcgPrefix.map(lit): _*),
+          least(col("n_rel"), lit(k.toLong)).cast("int"))))
+      .withColumn("precision_k",
+        round(col("hits").cast("double") / k, 6))
+      .withColumn("recall_k",
+        when(col("n_rel") === 0, lit(null).cast("double"))
+          .otherwise(round(col("hits").cast("double") / col("n_rel"), 6)))
+      .withColumn("rr",
+        when(col("first_hit_rank").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("first_hit_rank"), 6)))
+      .withColumn("ndcg",
+        when(col("idcg_micro") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("dcg_micro").cast("double") / col("idcg_micro"), 6)))
+      .select(col("qid"), col("n_rel"), col("hits"), col("first_hit_rank"),
+        col("dcg_micro"), col("idcg_micro"), col("precision_k"),
+        col("recall_k"), col("rr"), col("ndcg"))
+  }
 }

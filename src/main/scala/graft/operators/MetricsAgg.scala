@@ -82,4 +82,62 @@ object MetricsAgg {
       .groupBy(date_trunc("day", col("period")).as("period"), col("status"))
       .agg(sum(col("events")).as("events"))
       .orderBy(col("period").desc, col("events").desc)
+
+  /** Billing quota admission — the reference's plan limits (cloud free
+    * tier "200k events/month", ref `README.md:62`; billing counts ride
+    * the A1 active-events pipeline) enforced DETERMINISTICALLY: per
+    * (workspace, month), events are admitted in (timestamp, id) arrival
+    * order until `quota`, the rest are flagged over-quota — so a replay
+    * of the same month bills the same events, and the cutoff event is
+    * reproducible for dispute audits.
+    *
+    * A naive `row_number() over (partition by workspace, month)` puts
+    * each workspace-month — few groups, each potentially billions of
+    * rows — on ONE reducer. Instead the global sequence comes from the
+    * two-phase prefix pattern ([[Sampling.tokenBudget]]): range-shuffle
+    * on (workspace, month, ts, id), per-partition `row_number` windows
+    * bounded by partition size, and partition offsets from a
+    * counts-sized side frame (partitions × groups rows) — the hot-key
+    * window never materializes.
+    *
+    * `localCheckpoint` pins one range layout: RangePartitioner samples
+    * boundaries per execution, and the counts pass and the output pass
+    * must see the same placement.
+    *
+    * Returns (workspace_id, month, event id, ts, seq, billable);
+    * `seq` is the 1-based admission sequence within the month. */
+  def quotaAdmission(events: DataFrame, wsCol: Column, tsCol: Column,
+                     idCol: Column, quota: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = events
+      .select(wsCol.as("workspace_id"), tsCol.as("ts"),
+        idCol.as("event_id"))
+      .withColumn("month", date_trunc("month", col("ts")))
+      .repartitionByRange(n, col("workspace_id"), col("month"),
+        col("ts"), col("event_id"))
+      .withColumn("_part", spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy(col("_part"), col("workspace_id"),
+        col("month"))
+      .orderBy(col("ts"), col("event_id"))
+    val local = ranged.withColumn("_rn", row_number().over(w))
+    // partitions × groups rows — the offset window is over a frame the
+    // size of the partition count, not the data
+    val wOff = Window.partitionBy(col("workspace_id"), col("month"))
+      .orderBy(col("_part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("_part"), col("workspace_id"),
+        col("month"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .drop("_n")
+    local.join(broadcast(offsets),
+        Seq("_part", "workspace_id", "month"))
+      .withColumn("seq", col("_rn") + col("_off"))
+      .withColumn("billable", col("seq") <= quota)
+      .select(col("workspace_id"), col("month"), col("event_id"),
+        col("ts"), col("seq"), col("billable"))
+  }
 }

@@ -65,4 +65,35 @@ class DataChecksSpec extends GraftSpec {
     val e = sig(Seq((1L, "a"), (2L, "b"), (3L, "")).toDF("id", "name"))
     assert(e != a)
   }
+
+  test("bucketDiff: classifies all three drift kinds, exactly") {
+    val src = (1L to 200L).map(i => (i, s"v$i", "ok")).toDF("k", "a", "b")
+    // drop 7, change 13's value, add key 501
+    val rep = (1L to 200L).filterNot(_ == 7L)
+      .map(i => (i, if (i == 13L) "CHANGED" else s"v$i", "ok"))
+      .toDF("k", "a", "b")
+      .unionByName(Seq((501L, "extra", "ok")).toDF("k", "a", "b"))
+    val got = DataChecks.bucketDiff(src, rep, Seq("k"), Seq("a", "b"),
+        nBuckets = 16)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((7L, "missing_in_replica"),
+      (13L, "value_mismatch"), (501L, "missing_in_source")))
+  }
+
+  test("bucketDiff: identical tables produce an empty diff") {
+    val t = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "a")
+    assert(DataChecks.bucketDiff(t, t, Seq("k"), Seq("a")).count() == 0L)
+  }
+
+  test("bucketDiff: null values and composite keys survive the digest") {
+    val src = Seq((1L, 1L, Some("x")), (1L, 2L, None), (2L, 1L, Some("y")))
+      .toDF("k1", "k2", "v")
+    // null -> "" flip must be caught (the U+0000 sentinel rule)
+    val rep = Seq((1L, 1L, Some("x")), (1L, 2L, Some("")),
+      (2L, 1L, Some("y"))).toDF("k1", "k2", "v")
+    val got = DataChecks.bucketDiff(src, rep, Seq("k1", "k2"), Seq("v"),
+        nBuckets = 8)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 2L, "value_mismatch")))
+  }
 }

@@ -77,4 +77,35 @@ class EvalMetricsSpec extends GraftSpec {
   test("bleu2Log: empty candidate is guarded") {
     assert(bleu(Seq.empty, Seq("a", "b")) == ((0L, 2L, 0L, 0L, None)))
   }
+
+  test("retrievalEval: hand-computed nDCG/MRR/recall on a 3-rank list") {
+    import graft.operators.EvalMetrics
+    val ranking = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),
+        (2L, 1, 10L), (2L, 2, 40L))
+      .toDF("qid", "rank", "id")
+    val relevant = Seq((1L, 20L), (1L, 30L), (1L, 99L)).toDF("qid", "id")
+    val disc = EvalMetrics.dcgDiscountsMicro(3)
+    val got = EvalMetrics.retrievalEval(ranking, relevant, k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q1 = got(1L)
+    assert(q1.getLong(1) == 3L) // n_rel
+    assert(q1.getLong(2) == 2L) // hits at ranks 2, 3
+    assert(q1.getInt(3) == 2)   // first hit rank
+    val dcg = disc(1) + disc(2)
+    val idcg = disc.sum // min(n_rel=3, k=3) ranks
+    assert(q1.getLong(4) == dcg && q1.getLong(5) == idcg)
+    assert(q1.getDouble(6) ==
+      math.rint(2.0 / 3 * 1e6) / 1e6) // precision@3
+    assert(q1.getDouble(7) ==
+      math.rint(2.0 / 3 * 1e6) / 1e6) // recall
+    assert(q1.getDouble(8) == 0.5)    // rr
+    assert(q1.getDouble(9) ==
+      math.rint(dcg.toDouble / idcg * 1e6) / 1e6)
+    // q2: no relevance at all -> zero hits, null recall/ndcg, rr 0
+    val q2 = got(2L)
+    assert(q2.getLong(1) == 0L && q2.getLong(2) == 0L)
+    assert(q2.isNullAt(3) && q2.getLong(4) == 0L && q2.getLong(5) == 0L)
+    assert(q2.getDouble(8) == 0.0)
+    assert(q2.isNullAt(7) && q2.isNullAt(9))
+  }
 }
