@@ -137,5 +137,8 @@ object GraftExtensions {
     }
     // optimizer rules (operator-optimization fixpoint batch)
     ext.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
+    // MV aggregate navigation — no-op until an MV is registered in
+    // graft.plans.MvRewrite.MvCatalog
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }

@@ -612,6 +612,28 @@ object QueriesExtra {
             .as("first_over_quota"))
     }),
 
+    // identity-graph stitching: the graph-scale generalization of user
+    // recognition — anonymous ids linked to shared email/device tokens
+    // (deterministic synthetic linkage with breaks so components stay
+    // bounded: ~1-13 identifiers each at sf0.01); every identifier maps
+    // to its component's canonical (minimum) id. The oracle replays the
+    // closure as a recursive CTE (the dedup_clusters pattern).
+    "j11_identity_graph" -> ((s, dir) => {
+      val users = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("uid")).distinct()
+      val email = when(pmod(col("uid"), lit(5)) === 0,
+          concat(lit("e!"), col("uid")))
+        .otherwise(concat(lit("e"), expr("uid div 2")))
+      val device = when(pmod(col("uid"), lit(7)) === 3,
+          concat(lit("d!"), col("uid")))
+        .otherwise(concat(lit("d"), expr("uid div 3")))
+      val edges = users
+        .select(concat(lit("a"), col("uid")).as("id_a"), email.as("id_b"))
+        .unionByName(users.select(
+          concat(lit("a"), col("uid")).as("id_a"), device.as("id_b")))
+      graft.operators.UserRecognition.identityGraph(edges)
+    }),
+
     // retrieval-eval battery: per-query precision/recall@10, MRR, and
     // nDCG@10 of the exact cosine top-10 against same-label relevance —
     // DCG in pinned integer micro-discounts so both engines sum the
@@ -1163,6 +1185,32 @@ object QueriesExtra {
         |  CAST(MIN(CASE WHEN seq = 2001 THEN event_id END) AS BIGINT)
         |    AS first_over_quota
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "j11_identity_graph" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT DISTINCT user_id AS uid FROM events),
+        |edges0 AS (
+        |  SELECT 'a' || uid AS src,
+        |    CASE WHEN uid % 5 = 0 THEN 'e!' || uid
+        |      ELSE 'e' || (uid // 2) END AS dst
+        |  FROM u
+        |  UNION ALL
+        |  SELECT 'a' || uid,
+        |    CASE WHEN uid % 7 = 3 THEN 'd!' || uid
+        |      ELSE 'd' || (uid // 3) END
+        |  FROM u),
+        |edges AS (
+        |  SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS canonical_id
+        |  FROM reach GROUP BY src)
+        |SELECT id, canonical_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+        |    AS n_identifiers
+        |FROM labels""".stripMargin,
     "td_retrieval_eval" -> {
       val disc = graft.operators.EvalMetrics.dcgDiscountsMicro(10)
       val discCase = disc.zipWithIndex

@@ -703,10 +703,78 @@ object QueriesSystem {
         .groupBy(col("type"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("message_id")).as("n_distinct"))
+    }),
+
+    // MV aggregate navigation (plans.MvRewrite): a day-grain rollup of
+    // the events stream is built + registered, then a MONTH-grain report
+    // written against the RAW table is transparently served by it — the
+    // ClickHouse-MV read path (metrics.sql + event-stat.ts) without the
+    // report knowing the MV exists. `used_mv` is read off the OPTIMIZED
+    // plan (MV scan present, raw scan absent) and gated true by the
+    // oracle, so the round fails if the rewrite silently stops firing;
+    // the aggregate values are gated against a straight replay over the
+    // raw table, proving the rewrite changes the plan and nothing else.
+    "mv_rewrite" -> ((s, dir) => {
+      import graft.plans.MvRewrite.{MvCatalog, MvDef}
+      val rawPath = s"$dir/events.parquet"
+      val ev = graft.schema.EventSchema.readEvents(s, dir)
+      val mvPath = s"${tmp("graft-mv")}/daily_rollup.parquet"
+      ev.groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("period"))
+        .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("cnt"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .write.parquet(mvPath)
+      MvCatalog.register(s, ev, rawPath, MvDef(
+        name = "events_daily", mvPath = mvPath,
+        groupKeys = Seq((col("event_type"), "event_type")),
+        timeKey = Some((col("ts"), "period", "day")),
+        sums = Seq((col("value"), "sum_value")),
+        mins = Seq((col("value"), "min_value")),
+        maxs = Seq((col("value"), "max_value")),
+        countCol = Some("cnt")))
+      try {
+        val report = ev.filter(col("event_type") =!= "error")
+          .groupBy(col("event_type"),
+            date_trunc("month", col("ts")).as("m"))
+          .agg(sum(col("value")).as("sv"), count(lit(1)).as("n"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+        val scans = report.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath).mkString(",")
+              case r => r.toString
+            }
+        }.mkString("\n")
+        val usedMv = scans.contains("daily_rollup.parquet") &&
+          !scans.contains("events.parquet")
+        // localCheckpoint is EAGER: the report executes here, while the
+        // MV is still registered — a lazily-returned frame would be
+        // re-planned after the finally-unregister and silently take the
+        // raw path
+        report.select(col("event_type"),
+          date_format(col("m"), "yyyy-MM").as("month"),
+          round(col("sv"), 2).as("sum_value"),
+          col("n").as("n_events"),
+          col("min_value"), col("max_value"),
+          lit(usedMv).as("used_mv"))
+          .localCheckpoint()
+      } finally MvCatalog.unregister(rawPath)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "mv_rewrite" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('month', ts), '%Y-%m') AS month,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(value) AS min_value, MAX(value) AS max_value,
+        |  TRUE AS used_mv
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1, 2""".stripMargin,
     "k12_cdc_apply" ->
       """WITH final AS (
         |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer

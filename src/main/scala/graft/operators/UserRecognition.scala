@@ -405,4 +405,31 @@ object UserRecognition {
         urGenTransition(config.lookbackDays * 86400000L, config.identifierFields))
     resolved.union(keyless)
   }
+
+  /** Identity-graph stitching — the GRAPH-scale generalization of the
+    * pairwise anonymous→identified join above (ref
+    * `user-recognition.ts` merges ONE anonymous id into one identity;
+    * real CDP identity resolution must stitch chains: anon A shares a
+    * device with anon B, B shares an email with identified C ⇒ all
+    * three are one person). `edges`: (id_a, id_b) co-occurring
+    * identifier tokens (namespace-prefix them — 'a:'/'e:'/'d:' — so
+    * value spaces can't collide). Every identifier in a connected
+    * component maps to the component's canonical id (its minimum
+    * member, deterministic), with the component size alongside —
+    * the re-key table a warehouse joins to unify event history.
+    *
+    * Componentization is [[Dedup.connectedComponents]]: driver
+    * union-find under the pair cutover, O(diameter)-round min-label
+    * propagation above it — the 100 TB shape, since identifier graphs
+    * are billions of short chains, not one giant component (and a
+    * too-large component is itself a data-quality signal: a shared
+    * device id gluing unrelated users). */
+  def identityGraph(edges: DataFrame): DataFrame = {
+    val labels = Dedup.connectedComponents(edges)
+      .select(col("id"), col("component").as("canonical_id"))
+    val sizes = labels.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_identifiers"))
+    labels.join(sizes, Seq("canonical_id"))
+      .select(col("id"), col("canonical_id"), col("n_identifiers"))
+  }
 }

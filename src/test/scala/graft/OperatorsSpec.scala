@@ -352,5 +352,19 @@ class OperatorsSpec extends GraftSpec {
     }
   }
 
+  test("identityGraph: chains stitch to one canonical id, islands stay apart") {
+    import spark.implicits._
+    // a1 —e1— a2 —d1— a3 form one person; a9 is alone on its own email
+    val edges = Seq(
+      ("a1", "e1"), ("a2", "e1"), ("a2", "d1"), ("a3", "d1"),
+      ("a9", "e9")).toDF("id_a", "id_b")
+    val got = graft.operators.UserRecognition.identityGraph(edges)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("a1", "a1", 5L), ("a2", "a1", 5L), ("a3", "a1", 5L),
+      ("e1", "a1", 5L), ("d1", "a1", 5L),
+      ("a9", "a9", 2L), ("e9", "a9", 2L)))
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }
