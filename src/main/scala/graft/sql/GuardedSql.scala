@@ -96,6 +96,18 @@ object GuardedSql {
   def query(spark: SparkSession, sql: String, offset: Int = 0,
             apiLimit: Int = DefaultLimit,
             allowedTables: Set[String] = Set.empty): DataFrame = {
+    val (rows, schema, _) = numberedResult(spark, sql, offset, apiLimit,
+      allowedTables)
+    fromRows(spark, rows, schema)
+  }
+
+  /** Shared execute-clamp-number core of [[query]]/[[queryCached]];
+    * returns (numbered rows, schema, analyzed plan of the clamped
+    * query). */
+  private def numberedResult(spark: SparkSession, sql: String, offset: Int,
+                             apiLimit: Int, allowedTables: Set[String])
+      : (List[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType, LogicalPlan) = {
     val userLimit = validate(spark, sql, allowedTables)
     val effective = math.min(userLimit.getOrElse(apiLimit), apiLimit)
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)
@@ -112,10 +124,120 @@ object GuardedSql {
     }.toList
     val schema = df.schema.add("#", org.apache.spark.sql.types.IntegerType,
       nullable = false)
+    (numbered, schema, df.queryExecution.analyzed)
+  }
+
+  private def fromRows(spark: SparkSession,
+                       rows: List[org.apache.spark.sql.Row],
+                       schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(numbered).asJava), schema)
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+
+  private case class CachedResult(fingerprint: String,
+                                  rows: List[org.apache.spark.sql.Row],
+                                  schema: org.apache.spark.sql.types.StructType)
+
+  private val CacheMaxEntries = 128
+  private val resultCache =
+    new java.util.LinkedHashMap[String, CachedResult](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CachedResult]): Boolean =
+        size() > CacheMaxEntries
+    }
+
+  /** (name, length, mtime) digest of every file the plan scans —
+    * the validity stamp for [[queryCached]]. Driver-side directory
+    * listing only (the same metadata a parquet scan plans over);
+    * non-file relations contribute nothing and are treated as
+    * immutable. */
+  private def scanFingerprint(spark: SparkSession,
+                              plan: LogicalPlan): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val parts = plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.flatMap { p =>
+              val fs = p.getFileSystem(conf)
+              if (!fs.exists(p)) Seq(s"$p:absent")
+              else {
+                val it = fs.listFiles(p, true)
+                val b = Seq.newBuilder[String]
+                while (it.hasNext) {
+                  val f = it.next()
+                  b += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+                }
+                b.result()
+              }
+            }.sorted.mkString("|")
+          case r => r.toString
+        }
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
+
+  /** Result-cached [[query]] — the console report pattern: dashboards
+    * re-issue the same SQL every few seconds, and the reference's
+    * ClickHouse absorbs that server-side while its config store uses
+    * If-Modified-Since (`entity-store.ts:32-128`). Same idea here,
+    * driver-side:
+    *
+    *  - '''key''' = the CANONICALIZED analyzed plan of the clamped
+    *    query + offset — formatting, aliasing, and exprId differences
+    *    between textual variants of the same query share one entry;
+    *  - '''validity''' = [[scanFingerprint]] over every scanned file
+    *    (name, length, mtime): any landed micro-batch, compaction, or
+    *    manifest swap changes the fingerprint and the entry recomputes
+    *    — the cache can never serve rows older than the table;
+    *  - '''bound''' = 128-entry LRU of ≤ apiLimit-row results (the
+    *    clamp runs before the cache), so the driver holds at most a few
+    *    thousand rows.
+    *
+    * Returns (result, served-from-cache). */
+  def queryCached(spark: SparkSession, sql: String, offset: Int = 0,
+                  apiLimit: Int = DefaultLimit,
+                  allowedTables: Set[String] = Set.empty)
+      : (DataFrame, Boolean) = {
+    val userLimit = validate(spark, sql, allowedTables)
+    val effective = math.min(userLimit.getOrElse(apiLimit), apiLimit)
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val stripped = parsed match {
+      case GlobalLimit(_, LocalLimit(_, child)) => child
+      case GlobalLimit(_, child) => child
+      case other => other
+    }
+    val df = org.apache.spark.sql.graftshim.ofRows(spark, stripped)
+      .limit(effective + offset)
+    val analyzed = df.queryExecution.analyzed
+    val key = analyzed.canonicalized.toString + s"off=$offset"
+    val fp = scanFingerprint(spark, analyzed)
+    val hit = resultCache.synchronized {
+      Option(resultCache.get(key)).filter(_.fingerprint == fp)
+    }
+    hit match {
+      case Some(c) => (fromRows(spark, c.rows, c.schema), true)
+      case None =>
+        val collected = df.collect()
+        val numbered = collected.iterator.zipWithIndex.drop(offset).map {
+          case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+        }.toList
+        val schema = df.schema.add("#",
+          org.apache.spark.sql.types.IntegerType, nullable = false)
+        resultCache.synchronized {
+          resultCache.put(key, CachedResult(fp, numbered, schema))
+        }
+        (fromRows(spark, numbered, schema), false)
+    }
+  }
+
+  /** Drop every cached result (tests / manual invalidation). */
+  def clearResultCache(): Unit =
+    resultCache.synchronized(resultCache.clear())
 
   /** S8 schema introspection: {table -> [(name, type)]} (ref
     * `sql/schema.ts:38-64`). */

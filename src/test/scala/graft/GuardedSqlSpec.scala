@@ -69,4 +69,43 @@ class GuardedSqlSpec extends GraftSpec {
       "SELECT l_orderkey FROM lineitem_v ORDER BY 1 LIMIT 1",
       allowedTables = Set("lineitem_v")).count() == 1)
   }
+
+  test("queryCached: formatting variants share one entry; rows identical") {
+    init
+    GuardedSql.clearResultCache()
+    val (a, c1) = GuardedSql.queryCached(spark,
+      "SELECT l_orderkey FROM lineitem_v ORDER BY l_orderkey LIMIT 5")
+    assert(!c1)
+    // different whitespace/casing, same canonical plan -> cache hit
+    val (b, c2) = GuardedSql.queryCached(spark,
+      "select   l_orderkey  from lineitem_v order by l_orderkey limit 5")
+    assert(c2)
+    assert(a.collect().toSeq == b.collect().toSeq)
+    // different offset is a different entry
+    val (_, c3) = GuardedSql.queryCached(spark,
+      "SELECT l_orderkey FROM lineitem_v ORDER BY l_orderkey LIMIT 5",
+      offset = 2)
+    assert(!c3)
+  }
+
+  test("queryCached: a write to the scanned table invalidates the entry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sqlcache").toString
+    val p = s"$dir/t.parquet"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("cache_inval_v")
+    GuardedSql.clearResultCache()
+    val sql = "SELECT k, v FROM cache_inval_v ORDER BY k LIMIT 10"
+    val (r1, c1) = GuardedSql.queryCached(spark, sql)
+    val (_, c2) = GuardedSql.queryCached(spark, sql)
+    assert(!c1 && c2 && r1.count() == 2)
+    // land new data (overwrite changes the file set)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("cache_inval_v")
+    val (r3, c3) = GuardedSql.queryCached(spark, sql)
+    assert(!c3, "stale entry must not be served")
+    assert(r3.count() == 3)
+    spark.catalog.dropTempView("cache_inval_v")
+  }
 }
