@@ -657,6 +657,23 @@ object QueriesTrainingData {
           sum(col("padded_tokens")).as("sum_padding"))
     }),
 
+    // embedding-space drift between two corpus snapshots (even vec_ids
+    // = crawl N, odd = crawl N+1): per label, both sides' mean vectors'
+    // cosine + count shift. Label 3's N+1 vectors are NEGATED (float
+    // negation is exact in both engines) so the gate shows a real drift
+    // signal (mean_cos ≈ -1) against the stable labels (≈ +1)
+    "emb_drift" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("embedding").isNotNull)
+      val a = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("label"), col("embedding").as("vec"))
+      val b = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("label"),
+          when(col("label") === 3,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")).as("vec"))
+      Similarity.embeddingDrift(a, b, "label", "vec")
+    }),
+
     // int8 scalar quantization of the embedding column (4x smaller ANN
     // storage): floor-based rounding is engine-exact, so the full code
     // array is md5-gated against the oracle
@@ -2343,6 +2360,43 @@ object QueriesTrainingData {
         |SELECT doc_id, shard,
         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
         |FROM s""".stripMargin,
+    "emb_drift" ->
+      """WITH a AS (
+        |  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings
+        |  WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+        |b AS (
+        |  SELECT label,
+        |    unnest((CASE WHEN label = 3
+        |      THEN list_transform(embedding, x -> -x)
+        |      ELSE embedding END)::DOUBLE[]) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings
+        |  WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+        |sa AS (SELECT label, i, SUM(v) AS s, COUNT(*) AS n
+        |       FROM a GROUP BY 1, 2),
+        |sb AS (SELECT label, i, SUM(v) AS s, COUNT(*) AS n
+        |       FROM b GROUP BY 1, 2),
+        |j AS (
+        |  SELECT sa.label,
+        |    SUM((sa.s / sa.n) * (sb.s / sb.n)) AS dot,
+        |    SUM((sa.s / sa.n) * (sa.s / sa.n)) AS na,
+        |    SUM((sb.s / sb.n) * (sb.s / sb.n)) AS nb
+        |  FROM sa JOIN sb ON sa.label = sb.label AND sa.i = sb.i
+        |  GROUP BY 1),
+        |ca AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_a
+        |       FROM embeddings
+        |       WHERE vec_id % 2 = 0 AND embedding IS NOT NULL GROUP BY 1),
+        |cb AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_b
+        |       FROM embeddings
+        |       WHERE vec_id % 2 = 1 AND embedding IS NOT NULL GROUP BY 1)
+        |SELECT COALESCE(ca.label, cb.label) AS label,
+        |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+        |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |    ELSE ROUND(dot / sqrt(na * nb), 4) END AS mean_cos
+        |FROM ca FULL OUTER JOIN cb ON ca.label = cb.label
+        |LEFT JOIN j ON j.label = COALESCE(ca.label, cb.label)""".stripMargin,
     "emb_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -190,4 +190,49 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("cosine"))
   }
+
+  /** Embedding-space drift between two corpus snapshots (crawl N vs
+    * N+1, or train vs serve traffic): per stratum `keyCol`, both sides'
+    * MEAN vectors and their cosine, plus the count shift — the
+    * model-monitoring signal that a class's representation moved even
+    * when its volume didn't (and vice versa).
+    *
+    * Shape: one `posexplode` pass per side (corpus × dim narrow rows),
+    * hash-aggregated to per-(key, dim) sums — the only thing that ever
+    * shuffles is keys × dim rows of (sum, count), never vectors. The
+    * mean-cosine join then runs on that tiny frame. A 100 TB snapshot
+    * pair costs two scans and bytes of shuffle.
+    *
+    * Arithmetic is oracle-replayable: float→double casts are exact,
+    * means divide exact sums, and the cosine is rounded for display.
+    * Returns (key, n_a, n_b, mean_cos); `mean_cos` null when either
+    * side is absent or has a zero mean vector. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, keyCol: String,
+                     vecCol: String): DataFrame = {
+    def dimSums(df: DataFrame, side: String): DataFrame =
+      df.select(col(keyCol).as("key"),
+          posexplode(col(vecCol)).as(Seq("i", "v")))
+        .withColumn("v", col("v").cast("double"))
+        .groupBy(col("key"), col("i"))
+        .agg(sum(col("v")).as(s"s_$side"),
+          count(lit(1)).as(s"n_$side"))
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as(out))
+    val joined = dimSums(a, "a").join(dimSums(b, "b"), Seq("key", "i"))
+      .withColumn("ma", col("s_a") / col("n_a"))
+      .withColumn("mb", col("s_b") / col("n_b"))
+      .groupBy(col("key"))
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("na"),
+        sum(col("mb") * col("mb")).as("nb"))
+      .withColumn("mean_cos",
+        when(col("na") === 0 || col("nb") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("dot") / sqrt(col("na") * col("nb")), 4)))
+    counts(a, "n_a").join(counts(b, "n_b"), Seq("key"), "full_outer")
+      .join(joined.select(col("key"), col("mean_cos")), Seq("key"), "left")
+      .select(col("key").as(keyCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"), col("mean_cos"))
+  }
 }

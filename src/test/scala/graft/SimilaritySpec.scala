@@ -256,4 +256,28 @@ class SimilaritySpec extends GraftSpec {
       .as[(Long, Boolean)].collect().toSeq
     assert(totalOk == Seq((3L, true)))
   }
+
+  test("embeddingDrift: stable/negated/one-sided strata") {
+    import spark.implicits._
+    def df(rows: (String, Seq[Float])*) =
+      rows.toSeq.toDF("key", "vec")
+    val a = df(
+      ("stable", Seq(1f, 0f)), ("stable", Seq(1f, 2f)),
+      ("flip", Seq(0f, 1f)), ("gone", Seq(3f, 4f)))
+    val b = df(
+      ("stable", Seq(1f, 1f)),
+      ("flip", Seq(0f, -1f)), ("flip", Seq(0f, -3f)),
+      ("new", Seq(5f, 5f)))
+    val got = Similarity.embeddingDrift(a, b, "key", "vec")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // stable: means (1, 1) vs (1, 1) -> cos 1.0
+    assert(got("stable") == ((2L, 1L, Some(1.0))))
+    // flip: mean (0, 1) vs (0, -2) -> cos -1.0
+    assert(got("flip") == ((1L, 2L, Some(-1.0))))
+    // one-sided strata survive the full outer with null cosine
+    assert(got("gone") == ((1L, 0L, None)))
+    assert(got("new") == ((0L, 1L, None)))
+  }
 }
