@@ -612,6 +612,40 @@ object QueriesExtra {
             .as("first_over_quota"))
     }),
 
+    // schema-drift report between two event batches' open props — the
+    // alerting counterpart of schemaFreeze: per property key, inferred
+    // type on each side + added/removed/type_changed/stable, with
+    // per-side presence counts. Types come from the same distributed
+    // spark.read.json inference hoistProperties uses; the spiking rules
+    // make the expected report exact, and the counts are replayed from
+    // the JSON itself (json_object_keys explode both engines).
+    "p13_schema_drift" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val k = get_json_object(col("props"), "$.k")
+      val before = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .withColumn("props2", concat(lit("{\"k\": "), k,
+          lit(", \"ver\": 1, \"legacy\": \"x\"}")))
+      val after = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .withColumn("props2", concat(lit("{\"k\": "), k,
+          lit(", \"ver\": \"1.0\", \"batch\": true}")))
+      val drift = graft.operators.Layouts.schemaDrift(
+        before, after, "props2")
+      val tagged = before.select(col("props2"), lit("a").as("side"))
+        .unionByName(after.select(col("props2"), lit("b").as("side")))
+      val counts = tagged
+        .select(explode(json_object_keys(col("props2"))).as("key"),
+          col("side"))
+        .groupBy(col("key"))
+        .agg(sum(when(col("side") === "a", 1L).otherwise(0L))
+            .as("n_before"),
+          sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_after"))
+      drift.join(counts, Seq("key"), "left")
+        .select(col("key"), col("type_before"), col("type_after"),
+          col("status"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+    }),
+
     // identity-graph stitching: the graph-scale generalization of user
     // recognition — anonymous ids linked to shared email/device tokens
     // (deterministic synthetic linkage with breaks so components stay
@@ -1185,6 +1219,31 @@ object QueriesExtra {
         |  CAST(MIN(CASE WHEN seq = 2001 THEN event_id END) AS BIGINT)
         |    AS first_over_quota
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "p13_schema_drift" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN event_id % 2 = 0
+        |      THEN '{"k": ' || json_extract_string(props, '$.k')
+        |        || ', "ver": 1, "legacy": "x"}'
+        |      ELSE '{"k": ' || json_extract_string(props, '$.k')
+        |        || ', "ver": "1.0", "batch": true}' END AS props2,
+        |    CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+        |  FROM events),
+        |ks AS (SELECT side, unnest(json_keys(props2)) AS key FROM ev),
+        |c AS (SELECT key,
+        |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_before,
+        |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_after
+        |  FROM ks GROUP BY key),
+        |d AS (SELECT * FROM (VALUES
+        |    ('batch', NULL, 'boolean', 'added'),
+        |    ('k', 'bigint', 'bigint', 'stable'),
+        |    ('legacy', 'string', NULL, 'removed'),
+        |    ('ver', 'bigint', 'string', 'type_changed'))
+        |  t(key, type_before, type_after, status))
+        |SELECT d.key, d.type_before, d.type_after, d.status,
+        |  c.n_before, c.n_after
+        |FROM d JOIN c ON d.key = c.key""".stripMargin,
     "j11_identity_graph" ->
       """WITH RECURSIVE u AS (
         |  SELECT DISTINCT user_id AS uid FROM events),

@@ -176,6 +176,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** Choose (bands, rowsPerBand) for [[minhashLshPairs]] at a target
+    * Jaccard threshold — the MMDS S-curve recipe made executable:
+    * a pair of similarity s becomes a candidate with
+    * P(s) = 1 − (1 − s^r)^b, and the best (b, r) among the divisor
+    * pairs of `numHashes` minimizes the false-positive mass below the
+    * threshold plus the false-negative mass above it (uniform prior,
+    * Riemann sum). Pure driver arithmetic: call once at job-config
+    * time instead of hand-picking rowsPerBand; higher thresholds push
+    * toward longer bands (steeper curves further right). */
+  def tuneLsh(numHashes: Int, threshold: Double,
+              steps: Int = 1000): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1)
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+    def cost(b: Int, r: Int): Double = {
+      var c = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        c += (if (s < threshold) p else 1.0 - p) / steps
+        i += 1
+      }
+      c
+    }
+    candidates.minBy { case (b, r) => cost(b, r) }
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.5,
                       numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame = {

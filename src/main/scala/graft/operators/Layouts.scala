@@ -165,6 +165,42 @@ object Layouts {
     }
   }
 
+  /** Schema-drift report between two batches' open-props columns — the
+    * alerting counterpart of `schemaFreeze` (ref `destinations.tsx:144`
+    * rejects new columns silently; a pipeline operator wants to SEE
+    * what changed between yesterday's and today's events before the
+    * sink does): per property key, the inferred type on each side and
+    * a status ∈ added / removed / type_changed / stable.
+    *
+    * Uses the same distributed `spark.read.json` inference as
+    * [[hoistProperties]] (one map pass + treeAggregate schema merge per
+    * side, no event-row shuffle); the report itself is keys-sized and
+    * driver-built. */
+  def schemaDrift(before: DataFrame, after: DataFrame,
+                  propsCol: String = "properties"): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    def infer(df: DataFrame): Map[String, String] = {
+      val js = df.select(col(propsCol).cast("string"))
+        .where(col(propsCol).isNotNull).as[String]
+      spark.read.json(js).schema.fields.toSeq
+        .filterNot(_.name == "_corrupt_record")
+        .map(f => f.name -> f.dataType.simpleString).toMap
+    }
+    val a = infer(before)
+    val b = infer(after)
+    val rows = (a.keySet ++ b.keySet).toSeq.sorted.map { k =>
+      val (ta, tb) = (a.get(k), b.get(k))
+      val status =
+        if (ta.isEmpty) "added"
+        else if (tb.isEmpty) "removed"
+        else if (ta == tb) "stable"
+        else "type_changed"
+      (k, ta.orNull, tb.orNull, status)
+    }
+    rows.toDF("key", "type_before", "type_after", "status")
+  }
+
   /** P7 event-type/name filter — `createFilter` semantics (ref
     * `lib/index.ts:231-242`): "*" everything, "" everything except
     * page/screen, else comma-list matching type OR event name. */

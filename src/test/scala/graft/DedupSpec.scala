@@ -310,4 +310,19 @@ class DedupSpec extends GraftSpec {
       .select("label").as[Int].collect().toSet
     assert(labels == (0 until 6).toSet)
   }
+
+  test("tuneLsh: divisor pairs, S-curve midpoint near threshold, monotone") {
+    def midpoint(b: Int, r: Int): Double = math.pow(1.0 / b, 1.0 / r)
+    for (t <- Seq(0.3, 0.5, 0.8, 0.9)) {
+      val (b, r) = Dedup.tuneLsh(128, t)
+      assert(b * r == 128)
+      // the chosen curve's 50%-candidate point sits near the threshold
+      assert(math.abs(midpoint(b, r) - t) < 0.2,
+        s"t=$t chose (b=$b, r=$r), midpoint ${midpoint(b, r)}")
+    }
+    // higher threshold -> longer bands (steeper, further right)
+    val r05 = Dedup.tuneLsh(128, 0.5)._2
+    val r09 = Dedup.tuneLsh(128, 0.9)._2
+    assert(r09 > r05)
+  }
 }

@@ -352,6 +352,20 @@ class OperatorsSpec extends GraftSpec {
     }
   }
 
+  test("schemaDrift: added/removed/type_changed/stable per props key") {
+    import spark.implicits._
+    val before = Seq("""{"a": 1, "b": "x", "gone": true}""",
+      """{"a": 2, "b": "y", "gone": false}""").toDF("properties")
+    val after = Seq("""{"a": 3, "b": 1.5, "fresh": "hi"}""").toDF("properties")
+    val got = graft.operators.Layouts.schemaDrift(before, after)
+      .as[(String, String, String, String)].collect().toSet
+    assert(got == Set(
+      ("a", "bigint", "bigint", "stable"),
+      ("b", "string", "double", "type_changed"),
+      ("fresh", null, "string", "added"),
+      ("gone", "boolean", null, "removed")))
+  }
+
   test("identityGraph: chains stitch to one canonical id, islands stay apart") {
     import spark.implicits._
     // a1 —e1— a2 —d1— a3 form one person; a9 is alone on its own email
