@@ -106,6 +106,45 @@ object MetricsAgg {
     *
     * Returns (workspace_id, month, event id, ts, seq, billable);
     * `seq` is the 1-based admission sequence within the month. */
+  /** Streaming twin of [[quotaAdmission]]: a running admission counter
+    * per (workspace, month) in keyed state, so the live pipeline can
+    * flag each event billable/over-quota AS IT ARRIVES. Admission order
+    * is arrival order — micro-batch sequence, then (ts, id) within the
+    * batch: a stream cannot re-order history, so this is the
+    * reference's actual runtime billing semantics (counters increment
+    * in processing order), while the batch operator is the
+    * replay/dispute form that re-derives admission from timestamps.
+    * For in-order input the two agree (StreamingSpec proves the fold
+    * parity). State is one Long per live (workspace, month); month
+    * keys go cold on their own — production would add an event-time
+    * timeout at month end + late grace to reap them.
+    *
+    * Input columns are read as (workspace_id, ts, event_id); returns
+    * (workspace_id, month, event_id, seq, billable) per event. */
+  def streamingQuotaFlags(events: DataFrame, quota: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("workspace_id").cast("string"),
+        date_format(date_trunc("month", col("ts")), "yyyy-MM").as("month"),
+        col("ts"), col("event_id").cast("long"))
+      .as[(String, String, java.sql.Timestamp, Long)]
+      .groupByKey { case (ws, month, _, _) => (ws, month) }
+      .flatMapGroupsWithState[Long, (String, String, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((ws, month), rows, state) =>
+          val before = state.getOption.getOrElse(0L)
+          val ordered = rows.toIndexedSeq.sortBy(r => (r._3.getTime, r._4))
+          state.update(before + ordered.size)
+          ordered.iterator.zipWithIndex.map { case (r, i) =>
+            val seq = before + i + 1
+            (ws, month, r._4, seq, seq <= quota)
+          }
+      }
+      .toDF("workspace_id", "month", "event_id", "seq", "billable")
+  }
+
   def quotaAdmission(events: DataFrame, wsCol: Column, tsCol: Column,
                      idCol: Column, quota: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -32,13 +32,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - a grouping expression semantically equal to a registered group
   *    key → the MV's dim column;
-  *  - `date_trunc(g, timeExpr)` with g AT OR COARSER than the MV grain
-  *    → `date_trunc(g, mv.period)` (sound because every servable
-  *    coarser grain's bucket boundaries — week/month/quarter/year —
-  *    fall on sub-day boundaries, so truncating the truncated value
-  *    equals truncating the original; MV grains are limited to
-  *    second/minute/hour/day for exactly this reason: a month-grain MV
-  *    could NOT serve week queries);
+  *  - `date_trunc(g, timeExpr)` with the MV grain REFINING g in the
+  *    grain-alignment DAG → `date_trunc(g, mv.period)` (sound exactly
+  *    when every g-boundary is an mv-grain boundary, so truncating the
+  *    truncated value equals truncating the original; the DAG encodes
+  *    the one subtlety — WEEK is day-aligned but month boundaries are
+  *    not week boundaries, so a month-grain MV cannot serve week
+  *    queries while a day-grain one serves both);
   *  - `sum(x)` → `sum(mv.sum_x)`, `min`/`max` likewise (re-aggregable),
   *    `count(lit)` → `coalesce(sum(mv.cnt), 0)` (the coalesce preserves
   *    count-over-empty = 0 for global aggregates; a bare sum would turn
@@ -81,20 +81,48 @@ object MvRewrite extends Rule[LogicalPlan] {
       rawPath: String,
       scanAttrByName: Map[String, AttributeReference],
       groupKeys: Seq[(Expression, String)],
-      timeKey: Option[(Expression, String, Int)], // grain as rank
+      timeKey: Option[(Expression, String, String)], // grain (canonical)
       aggKeys: Seq[(Expression, String, String)], // (expr, kind, mvCol)
       countCol: Option[String],
       mvRel: LogicalRelation)
 
-  /** date_trunc grain ranks; servable = query rank >= mv rank. All
-    * grains at day or coarser have day-aligned bucket boundaries, and
-    * day/hour/minute nest exactly, so the comparison is sound only
-    * because MV grains are capped at DAY (rank 3). */
-  private val grainRank = Map(
-    "MICROSECOND" -> 0, "MILLISECOND" -> 0, "SECOND" -> 0,
-    "MINUTE" -> 1, "HOUR" -> 2, "DAY" -> 3, "DD" -> 3,
-    "WEEK" -> 4, "MON" -> 5, "MONTH" -> 5, "MM" -> 5,
-    "QUARTER" -> 6, "YEAR" -> 7, "YYYY" -> 7, "YY" -> 7)
+  /** Grain-alignment DAG: `date_trunc(g, date_trunc(g', ts)) ==
+    * date_trunc(g, ts)` iff every g-boundary is a g'-boundary, i.e. g
+    * is reachable from g' along the refinement edges below. This is a
+    * partial order, NOT a total one: WEEK is day-aligned but month
+    * boundaries are not week boundaries, so a week-grain MV serves
+    * only week queries and a month-grain MV cannot serve week. */
+  private val grainSynonyms = Map(
+    "DD" -> "DAY", "MON" -> "MONTH", "MM" -> "MONTH",
+    "YYYY" -> "YEAR", "YY" -> "YEAR")
+  private val grainCoarser: Map[String, Seq[String]] = Map(
+    "MICROSECOND" -> Seq("MILLISECOND"),
+    "MILLISECOND" -> Seq("SECOND"),
+    "SECOND" -> Seq("MINUTE"), "MINUTE" -> Seq("HOUR"),
+    "HOUR" -> Seq("DAY"), "DAY" -> Seq("WEEK", "MONTH"),
+    "WEEK" -> Seq(), "MONTH" -> Seq("QUARTER"),
+    "QUARTER" -> Seq("YEAR"), "YEAR" -> Seq())
+  private def canonicalGrain(g: String): Option[String] = {
+    val u = g.toUpperCase
+    val c = grainSynonyms.getOrElse(u, u)
+    if (grainCoarser.contains(c)) Some(c) else None
+  }
+  /** True when a `mvGrain`-truncated column can serve a `queryGrain`
+    * truncation (mvGrain refines queryGrain in the DAG). */
+  private def grainServable(mvGrain: String, queryGrain: String): Boolean = {
+    if (mvGrain == queryGrain) true
+    else {
+      var frontier = grainCoarser(mvGrain)
+      var seen = Set(mvGrain)
+      while (frontier.nonEmpty) {
+        if (frontier.contains(queryGrain)) return true
+        seen ++= frontier
+        frontier = frontier.flatMap(grainCoarser(_)).distinct
+          .filterNot(seen)
+      }
+      false
+    }
+  }
 
   object MvCatalog {
     // normalized raw path -> registration (one MV per raw table; the
@@ -103,14 +131,8 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     def register(spark: SparkSession, raw: DataFrame, rawPath: String,
                  d: MvDef): Unit = {
-      val grain = d.timeKey.map(_._3.toUpperCase) match {
-        case Some(g) =>
-          val r = grainRank.getOrElse(g, sys.error(s"unknown grain $g"))
-          require(r <= 3,
-            s"MV grain $g coarser than day cannot serve nested grains")
-          Some(r)
-        case None => None
-      }
+      val grain = d.timeKey.map(t => canonicalGrain(t._3)
+        .getOrElse(sys.error(s"unknown grain ${t._3}")))
       // The time key is analyzed UNDER date_trunc, exactly as queries
       // use it, then the inner operand is extracted — the analyzer may
       // wrap the column (cast to timestamp, nanos→micros conversion)
@@ -292,10 +314,11 @@ object MvRewrite extends Rule[LogicalPlan] {
       case e if findGroup(e).isDefined => findGroup(e).get
       case TruncTimestamp(fmt @ Literal(f: UTF8String, StringType),
           inner, tz) =>
-        val qRank = grainRank.getOrElse(f.toString.toUpperCase, -1)
+        val qGrain = canonicalGrain(f.toString)
         reg.timeKey match {
-          case Some((te, c, mvRank))
-              if qRank >= mvRank && toReg(inner).semanticEquals(te) =>
+          case Some((te, c, mvGrain))
+              if qGrain.exists(grainServable(mvGrain, _)) &&
+                toReg(inner).semanticEquals(te) =>
             TruncTimestamp(fmt, mv(c), tz)
           case _ => e.mapChildren(rw)
         }

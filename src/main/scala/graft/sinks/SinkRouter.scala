@@ -98,7 +98,18 @@ case class SinkOptions(
     // schema-on-read exact either way, but stats-pruned probes would
     // not transfer). Deletion-vector sidecars stay parquet regardless:
     // they are router-internal metadata, not user table data.
-    format: String = "parquet")
+    format: String = "parquet",
+    // Write-side bloom filters on these columns (parquet per-column
+    // bloom filters / ORC bloom streams). The router's point-lookup
+    // reads — the MERGE probe, deleteWhere/exportSubject equality
+    // predicates — push `pk = x` into the scan, and the format reader
+    // then skips whole row groups whose bloom filter excludes the key:
+    // min/max stats are useless for high-cardinality ids (every row
+    // group spans the full id range), bloom filters are the stats that
+    // work there. Costs a few bits per row at write time; the read
+    // path is unchanged (parquet.filter.bloom.enabled is on by
+    // default).
+    bloomFilterColumns: Seq[String] = Nil)
 
 class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
 
@@ -335,8 +346,16 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     * exactly one task → one file per date per batch. */
   private def writePartitioned(df: DataFrame, path: String, mode: SaveMode): Unit = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.repartition(n, col(DateCol))
-      .write.mode(mode).partitionBy(DateCol).format(fmt).save(path)
+    val w0 = df.repartition(n, col(DateCol))
+      .write.mode(mode).partitionBy(DateCol).format(fmt)
+    val w =
+      if (options.bloomFilterColumns.isEmpty) w0
+      else if (fmt == "parquet")
+        options.bloomFilterColumns.foldLeft(w0)((w, c) =>
+          w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      else w0.option("orc.bloom.filter.columns",
+        options.bloomFilterColumns.mkString(","))
+    w.save(path)
   }
 
   private def writeTable(spark: SparkSession, table: String, rows: DataFrame,

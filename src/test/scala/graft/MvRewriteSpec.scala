@@ -159,6 +159,46 @@ class MvRewriteSpec extends GraftSpec {
     } finally MvCatalog.unregister(rawPath)
   }
 
+  test("MV chain: a rollup registered over another MV cascades in the fixpoint") {
+    val (rawPath, raw) = makeRaw()
+    val dayMvPath = buildMv(raw, rawPath) // raw -> day MV registered
+    val monthMvPath = s"${tmp("mv")}/month.parquet"
+    val dayMv = spark.read.parquet(dayMvPath)
+    // month rollup OF THE DAY MV, registered with the day MV as its raw
+    dayMv.groupBy(col("etype"),
+        date_trunc("month", col("period")).as("m"))
+      .agg(sum(col("sum_v")).as("msum"), sum(col("cnt")).as("mcnt"))
+      .write.parquet(monthMvPath)
+    MvCatalog.register(spark, dayMv, dayMvPath, MvDef(
+      name = "monthly", mvPath = monthMvPath,
+      groupKeys = Seq((col("etype"), "etype")),
+      timeKey = Some((col("period"), "m", "month")),
+      sums = Seq((col("sum_v"), "msum"), (col("cnt"), "mcnt"))))
+    try {
+      // a YEAR-grain query on the RAW table: first rewrite lands on the
+      // day MV, the fixpoint re-runs the rule, the second rewrite lands
+      // on the month MV
+      def q = raw.groupBy(date_trunc("year", col("ts")).as("y"))
+        .agg(sum(col("v")).as("s"))
+      assert(scansOf(q).contains(monthMvPath),
+        "expected the chain to cascade to the month MV")
+      assert(!scansOf(q).contains(rawPath))
+      val got = rows(q)
+      // WEEK stops at the day MV: week boundaries are day-aligned but
+      // not month-aligned (the grain DAG's one non-total edge)
+      val wk = raw.groupBy(date_trunc("week", col("ts")).as("w"))
+        .agg(sum(col("v")).as("s"))
+      assert(scansOf(wk).contains(dayMvPath) &&
+        !scansOf(wk).contains(monthMvPath))
+      MvCatalog.unregister(rawPath)
+      MvCatalog.unregister(dayMvPath)
+      assert(rows(q) == got)
+    } finally {
+      MvCatalog.unregister(rawPath)
+      MvCatalog.unregister(dayMvPath)
+    }
+  }
+
   test("SQL-surface queries rewrite too") {
     val (rawPath, raw) = makeRaw()
     val mvPath = buildMv(raw, rawPath)

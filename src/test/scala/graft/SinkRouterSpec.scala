@@ -515,4 +515,36 @@ class SinkRouterSpec extends GraftSpec {
     val t = router.readTable(spark, "events")
     assert(t.count() == 2) // m1 restored from trash, m2 appended
   }
+
+  test("bloomFilterColumns lands per-column bloom filters in parquet footers") {
+    import scala.jdk.CollectionConverters._
+    def firstFooterColumn(wh: String) = {
+      val f = new java.io.File(s"$wh/tracks").listFiles()
+        .filter(_.getName.startsWith("graft_dt=")).head.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration()))
+      try reader.getFooter.getBlocks.get(0).getColumns.asScala
+        .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      finally reader.close()
+    }
+    val batch = Seq(
+      ("m1", "2024-01-01 00:00:00", "tracks"),
+      ("m2", "2024-01-01 00:00:00", "tracks")
+    ).toDF("messageId", "ts", "_table")
+    val whOn = tmpDir()
+    new SinkRouter(whOn,
+      SinkOptions(bloomFilterColumns = Seq("message_id"))).write(batch)
+    val on = firstFooterColumn(whOn)
+    assert(on("message_id") >= 0, s"bloom offset missing: $on")
+    assert(on("ts") < 0, "non-listed column must not carry a bloom filter")
+    val whOff = tmpDir()
+    new SinkRouter(whOff).write(batch)
+    assert(firstFooterColumn(whOff)("message_id") < 0)
+    // read path unchanged
+    assert(spark.read.parquet(s"$whOn/tracks")
+      .filter(col("message_id") === "m1").count() == 1)
+  }
 }

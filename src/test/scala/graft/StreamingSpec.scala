@@ -556,4 +556,33 @@ class StreamingSpec extends GraftSpec {
     assert(traits.get("tz").asText() == "UTC")     // own key survives
     assert(traits.get("email").asText() == "e@x.io")
   }
+
+  test("streamingQuotaFlags: running admission counter across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-02-01 10:$m%02d:00")
+    val in = MemoryStream[(String, Timestamp, Long)]
+    val out = graft.operators.MetricsAgg.streamingQuotaFlags(
+      in.toDF().toDF("workspace_id", "ts", "event_id"), quota = 3L)
+    val q = out.writeStream.format("memory").queryName("quota")
+      .outputMode("append").start()
+    try {
+      // batch 1: 2 events for w1 (out of order within the batch), 1 for w2
+      in.addData(("w1", ts(5), 2L), ("w1", ts(1), 1L), ("w2", ts(0), 10L))
+      q.processAllAvailable()
+      // batch 2: two more w1 events — the counter must CONTINUE at 3
+      in.addData(("w1", ts(9), 3L), ("w1", ts(8), 4L))
+      q.processAllAvailable()
+      val got = spark.table("quota")
+        .select("workspace_id", "event_id", "seq", "billable")
+        .as[(String, Long, Long, Boolean)].collect().toSet
+      assert(got == Set(
+        ("w1", 1L, 1L, true), ("w1", 2L, 2L, true), // batch-1, (ts,id) order
+        ("w2", 10L, 1L, true),
+        ("w1", 4L, 3L, true),  // batch-2 continues: seq 3 admitted
+        ("w1", 3L, 4L, false)  // quota 3 exhausted -> over-quota
+      ), s"got $got")
+    } finally q.stop()
+  }
 }
