@@ -588,6 +588,23 @@ object QueriesExtra {
         Seq("event_type", "day"), eps = 1.0, seed = 7L)
     }),
 
+    // consent enforcement at ingest (the preventive GDPR half next to
+    // k10's curative deleteWhere): users ending a deterministic opt-out
+    // rule are dropped map-side before any sink; the gate pins the
+    // surviving per-type counts AND the survivor id checksum, so a
+    // leaked opted-out event or an over-dropped consenting one both
+    // hash-mismatch.
+    "k16_consent_filter" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val optOuts = ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(11)) === 0)
+      graft.operators.Privacy.enforceOptOut(ev, optOuts, "user_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          expr("bit_xor(event_id)").as("id_xor"))
+    }),
+
     // billing quota admission (ref cloud free tier "200k events/mo",
     // README.md:62): per (workspace, month), first 2000 events by
     // (ts, event_id) order are billable, the rest over-quota — computed
@@ -666,6 +683,36 @@ object QueriesExtra {
         .unionByName(users.select(
           concat(lit("a"), col("uid")).as("id_a"), device.as("id_b")))
       graft.operators.UserRecognition.identityGraph(edges)
+    }),
+
+    // cross-device sessions: the identity graph's canonical ids re-key
+    // the event stream, THEN sessionization runs per stitched person —
+    // the composition that turns per-device sessions into per-user
+    // journeys (what a CDP actually reports). Oracle = recursive-CTE
+    // closure + gap-window replay at microsecond precision.
+    "j12_stitched_sessions" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val users = ev.select(col("user_id").as("uid")).distinct()
+      val email = when(pmod(col("uid"), lit(5)) === 0,
+          concat(lit("e!"), col("uid")))
+        .otherwise(concat(lit("e"), expr("uid div 2")))
+      val device = when(pmod(col("uid"), lit(7)) === 3,
+          concat(lit("d!"), col("uid")))
+        .otherwise(concat(lit("d"), expr("uid div 3")))
+      val edges = users
+        .select(concat(lit("a"), col("uid")).as("id_a"), email.as("id_b"))
+        .unionByName(users.select(
+          concat(lit("a"), col("uid")).as("id_a"), device.as("id_b")))
+      val labels = graft.operators.UserRecognition.identityGraph(edges)
+        .select(col("id"), col("canonical_id"))
+      val keyed = ev
+        .withColumn("id", concat(lit("a"), col("user_id")))
+        .join(labels, Seq("id"))
+      graft.operators.Sessionize
+        .sessions(keyed, col("canonical_id"), col("ts"))
+        .groupBy(col("key").as("canonical_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
     }),
 
     // retrieval-eval battery: per-query precision/recall@10, MRR, and
@@ -1270,6 +1317,54 @@ object QueriesExtra {
         |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
         |    AS n_identifiers
         |FROM labels""".stripMargin,
+    "k16_consent_filter" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(bit_xor(event_id) AS BIGINT) AS id_xor
+        |FROM events WHERE user_id % 11 <> 0
+        |GROUP BY event_type""".stripMargin,
+    "j12_stitched_sessions" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT DISTINCT user_id AS uid FROM events),
+        |edges0 AS (
+        |  SELECT 'a' || uid AS src,
+        |    CASE WHEN uid % 5 = 0 THEN 'e!' || uid
+        |      ELSE 'e' || (uid // 2) END AS dst
+        |  FROM u
+        |  UNION ALL
+        |  SELECT 'a' || uid,
+        |    CASE WHEN uid % 7 = 3 THEN 'd!' || uid
+        |      ELSE 'd' || (uid // 3) END
+        |  FROM u),
+        |edges AS (
+        |  SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS canonical_id
+        |  FROM reach GROUP BY src),
+        |ek AS (
+        |  SELECT l.canonical_id, e.ts, e.event_id
+        |  FROM events e JOIN labels l ON l.id = 'a' || e.user_id),
+        |marked AS (
+        |  SELECT canonical_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM ek
+        |  WINDOW w AS (PARTITION BY canonical_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT canonical_id,
+        |    SUM(new_session) OVER (PARTITION BY canonical_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS session_idx
+        |  FROM marked)
+        |SELECT canonical_id,
+        |  CAST(COUNT(DISTINCT session_idx) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY canonical_id""".stripMargin,
     "td_retrieval_eval" -> {
       val disc = graft.operators.EvalMetrics.dcgDiscountsMicro(10)
       val discCase = disc.zipWithIndex

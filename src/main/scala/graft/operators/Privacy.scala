@@ -66,6 +66,19 @@ object Privacy {
           .otherwise(0L)).as("rows_at_risk"),
         min(col("class_size")).as("min_class_size"))
 
+  /** Consent enforcement at INGEST — the preventive half of the GDPR
+    * pair ([[graft.sinks.SinkRouter.deleteWhere]] is the curative
+    * half): events whose subject appears in the opt-out registry never
+    * reach a sink. The registry is broadcast (it is keys-sized — the
+    * set of opted-out subjects, not the event stream), so enforcement
+    * is a map-side anti join: zero shuffle of the stream at any scale.
+    * Returns the surviving events unchanged. */
+  def enforceOptOut(events: DataFrame, optOuts: DataFrame,
+                    keyCol: String): DataFrame =
+    events.join(
+      broadcast(optOuts.select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+
   /** ε-DP noisy counts per `dims` group: exact count + Laplace(1/ε)
     * noise from the deterministic 48-bit md5 uniform of
     * (seed, group key), integer-rounded and floored at 0. Returns the

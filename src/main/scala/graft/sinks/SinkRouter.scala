@@ -109,7 +109,19 @@ case class SinkOptions(
     // work there. Costs a few bits per row at write time; the read
     // path is unchanged (parquet.filter.bloom.enabled is on by
     // default).
-    bloomFilterColumns: Seq[String] = Nil)
+    bloomFilterColumns: Seq[String] = Nil,
+    // Cluster-on-write: sort rows WITHIN each date partition by these
+    // columns before the file writer runs, so row-group min/max stats
+    // on them become tight, disjoint ranges — the format reader then
+    // prunes row groups for range and point predicates (the
+    // OPTIMIZE ... ZORDER/ORDER BY family at the single-table level;
+    // pair with [[graft.operators.ZOrder]] for multi-column curves).
+    // Costs one in-task sort per write, no extra shuffle: the rows are
+    // already date-partitioned, the sort key just prepends the date.
+    sortWithinPartitionsBy: Seq[String] = Nil,
+    // Extra format writer options passed through verbatim (e.g.
+    // parquet.block.size for tests/tuning).
+    writerOptions: Map[String, String] = Map.empty)
 
 class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
 
@@ -346,8 +358,16 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     * exactly one task → one file per date per batch. */
   private def writePartitioned(df: DataFrame, path: String, mode: SaveMode): Unit = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val w0 = df.repartition(n, col(DateCol))
+    val parted = df.repartition(n, col(DateCol))
+    val clustered =
+      if (options.sortWithinPartitionsBy.isEmpty) parted
+      // each date lives in exactly one task; prepending the date keeps
+      // dates contiguous when a task holds several
+      else parted.sortWithinPartitions(
+        (DateCol +: options.sortWithinPartitionsBy).map(col): _*)
+    val w0 = clustered
       .write.mode(mode).partitionBy(DateCol).format(fmt)
+      .options(options.writerOptions)
     val w =
       if (options.bloomFilterColumns.isEmpty) w0
       else if (fmt == "parquet")

@@ -547,4 +547,54 @@ class SinkRouterSpec extends GraftSpec {
     assert(spark.read.parquet(s"$whOn/tracks")
       .filter(col("message_id") === "m1").count() == 1)
   }
+
+  test("sortWithinPartitionsBy tightens row-group stats to disjoint ranges") {
+    import scala.jdk.CollectionConverters._
+    def rowGroupRanges(wh: String): Seq[(String, String)] = {
+      val f = new java.io.File(s"$wh/tracks").listFiles()
+        .filter(_.getName.startsWith("graft_dt=")).head.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration()))
+      try reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val c = b.getColumns.asScala
+          .find(_.getPath.toDotString == "message_id").get
+        val st = c.getStatistics
+        (st.minAsString, st.maxAsString)
+      } finally reader.close()
+    }
+    // ids deliberately shuffled; small block size forces several row
+    // groups even at test scale
+    val rnd = new scala.util.Random(7)
+    val batch = rnd.shuffle((0 until 6000).toList).map(i =>
+      (f"m$i%05d", "2024-01-01 00:00:00", "x" * 32, "tracks"))
+      .toDF("messageId", "ts", "payload", "_table")
+    val small = Map("parquet.block.size" -> "20000")
+    val whSorted = tmpDir()
+    new SinkRouter(whSorted, SinkOptions(
+      sortWithinPartitionsBy = Seq("message_id"),
+      writerOptions = small)).write(batch)
+    val sorted = rowGroupRanges(whSorted)
+    assert(sorted.size > 1, s"expected several row groups, got $sorted")
+    // disjoint, ordered ranges: every group's max < the next group's min
+    sorted.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"$sorted")
+      case _ =>
+    }
+    val whUnsorted = tmpDir()
+    new SinkRouter(whUnsorted, SinkOptions(writerOptions = small))
+      .write(batch)
+    val unsorted = rowGroupRanges(whUnsorted)
+    assert(unsorted.size > 1)
+    // shuffled input: every row group spans nearly the whole id range
+    val overlaps = unsorted.sliding(2).count {
+      case Seq((_, hi), (lo2, _)) => hi > lo2
+      case _ => false
+    }
+    assert(overlaps > 0, s"unsorted groups unexpectedly disjoint: $unsorted")
+    // read parity
+    assert(spark.read.parquet(s"$whSorted/tracks").count() == 6000)
+  }
 }
