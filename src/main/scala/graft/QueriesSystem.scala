@@ -705,6 +705,66 @@ object QueriesSystem {
           countDistinct(col("message_id")).as("n_distinct"))
     }),
 
+    // MV LIFECYCLE: initial full build -> register -> new day lands in
+    // the raw table -> PARTITION-GRAIN incremental refresh (only the
+    // new days' cells recompute and append — the a2b maintenance
+    // contract) -> re-register -> a report served by the MV. The gate
+    // pins used_mv AND the values against a replay over the FULL final
+    // table: had the refresh not run, the served report would be stale
+    // and hash-mismatch — freshness is what this query proves.
+    "mv_lifecycle" -> ((s, dir) => {
+      import graft.plans.MvRewrite.{MvCatalog, MvDef}
+      val wh = tmp("graft-mvlc")
+      val rawPath = s"$wh/events_raw.parquet"
+      val mvPath = s"$wh/daily.parquet"
+      val cut = lit("2024-01-20").cast("timestamp")
+      val ev = graft.schema.EventSchema.readEvents(s, dir)
+      ev.filter(col("ts") < cut).write.parquet(rawPath)
+      def rawDf = s.read.parquet(rawPath)
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("period"))
+          .agg(sum(col("value")).as("sum_value"),
+            count(lit(1)).as("cnt"))
+      rollup(rawDf).write.parquet(mvPath)
+      def register(): Unit =
+        MvCatalog.register(s, rawDf, rawPath, MvDef(
+          name = "events_daily_lc", mvPath = mvPath,
+          groupKeys = Seq((col("event_type"), "event_type")),
+          timeKey = Some((col("ts"), "period", "day")),
+          sums = Seq((col("value"), "sum_value")),
+          countCol = Some("cnt")))
+      register()
+      // new days land; refresh recomputes ONLY their cells (the cut is
+      // day-aligned, so appended cells are disjoint from existing ones)
+      ev.filter(col("ts") >= cut).write.mode("append").parquet(rawPath)
+      rollup(rawDf.filter(col("ts") >= cut))
+        .write.mode("append").parquet(mvPath)
+      register() // re-register after refresh: the freshness contract
+      try {
+        val report = rawDf
+          .groupBy(col("event_type"),
+            date_trunc("month", col("ts")).as("m"))
+          .agg(sum(col("value")).as("sv"), count(lit(1)).as("n"))
+        val scans = report.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath).mkString(",")
+              case r => r.toString
+            }
+        }.mkString("\n")
+        val usedMv = scans.contains("daily.parquet") &&
+          !scans.contains("events_raw.parquet")
+        report.select(col("event_type"),
+            date_format(col("m"), "yyyy-MM").as("month"),
+            round(col("sv"), 2).as("sum_value"),
+            col("n").as("n_events"),
+            lit(usedMv).as("used_mv"))
+          .localCheckpoint()
+      } finally MvCatalog.unregister(rawPath)
+    }),
+
     // guarded-SQL result cache: the same report issued twice — first
     // execution computes and stores under the CANONICALIZED-plan key,
     // the second (a formatting variant on purpose) must be served from
@@ -788,6 +848,13 @@ object QueriesSystem {
   )
 
   val oracles: Map[String, String] = Map(
+    "mv_lifecycle" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('month', ts), '%Y-%m') AS month,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  TRUE AS used_mv
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "l6_sql_cache" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS INT)

@@ -188,11 +188,85 @@ object MvRewrite extends Rule[LogicalPlan] {
           xk.zip(d.maxs).map { case (e, (_, c)) => (e, "max", c) },
         d.countCol, mvRel)
       byPath.put(reg.rawPath, reg)
+      sources.put(reg.rawPath, (rawPath, d))
     }
 
-    def unregister(rawPath: String): Unit = byPath.remove(normalize(rawPath))
-    def clear(): Unit = byPath.clear()
+    def unregister(rawPath: String): Unit = {
+      byPath.remove(normalize(rawPath))
+      sources.remove(normalize(rawPath))
+    }
+    def clear(): Unit = { byPath.clear(); sources.clear() }
     def isEmpty: Boolean = byPath.isEmpty
+
+    // the user-facing registration inputs, kept for [[save]]
+    private val sources = TrieMap.empty[String, (String, MvDef)]
+
+    /** Persist every registration as re-derivable JSON (expressions as
+      * their SQL renderings) — the catalog file a restarted session
+      * [[load]]s so MV serving survives driver restarts, the ClickHouse
+      * analogue being that MVs live in the server catalog. The MV DATA
+      * is already durable (it is a table); only the mapping needs a
+      * file. */
+    def save(file: String): Unit = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.createArrayNode()
+      sources.values.foreach { case (rawPath, d) =>
+        val o = root.addObject()
+        o.put("name", d.name)
+        o.put("rawPath", rawPath)
+        o.put("mvPath", d.mvPath)
+        def pairs(n: String, xs: Seq[(Column, String)]): Unit = {
+          val a = o.putArray(n)
+          xs.foreach { case (c, mc) =>
+            val e = a.addArray()
+            e.add(org.apache.spark.sql.graftshim.expressionTree(c).sql)
+            e.add(mc)
+          }
+        }
+        pairs("groupKeys", d.groupKeys)
+        d.timeKey.foreach { case (c, mc, g) =>
+          val a = o.putArray("timeKey")
+          a.add(org.apache.spark.sql.graftshim.expressionTree(c).sql)
+          a.add(mc); a.add(g)
+        }
+        pairs("sums", d.sums)
+        pairs("mins", d.mins)
+        pairs("maxs", d.maxs)
+        d.countCol.foreach(o.put("countCol", _))
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(file),
+        m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    }
+
+    /** Re-register every definition from a [[save]]d catalog file.
+      * `frameFor` rebuilds the registration frame per raw path —
+      * default a plain parquet read; pass a custom builder when the
+      * registration was over a derived frame (e.g. the events table's
+      * nanos→timestamp conversion). */
+    def load(spark: SparkSession, file: String,
+             frameFor: String => DataFrame = null): Unit = {
+      val frames: String => DataFrame =
+        Option(frameFor).getOrElse(p => spark.read.parquet(p))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(file)))
+      import scala.jdk.CollectionConverters._
+      root.elements().asScala.foreach { o =>
+        def pairs(n: String): Seq[(Column, String)] =
+          Option(o.get(n)).map(_.elements().asScala.map(e =>
+            (org.apache.spark.sql.functions.expr(e.get(0).asText()),
+              e.get(1).asText())).toSeq).getOrElse(Nil)
+        val tk = Option(o.get("timeKey")).map(a =>
+          (org.apache.spark.sql.functions.expr(a.get(0).asText()),
+            a.get(1).asText(), a.get(2).asText()))
+        register(spark, frames(o.get("rawPath").asText()),
+          o.get("rawPath").asText(),
+          MvDef(o.get("name").asText(), o.get("mvPath").asText(),
+            pairs("groupKeys"), tk, pairs("sums"), pairs("mins"),
+            pairs("maxs"),
+            Option(o.get("countCol")).map(_.asText())))
+      }
+    }
   }
 
   private def normalize(p: String): String =

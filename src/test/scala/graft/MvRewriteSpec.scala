@@ -199,6 +199,23 @@ class MvRewriteSpec extends GraftSpec {
     }
   }
 
+  test("catalog save/load round-trips registrations (restart survival)") {
+    val (rawPath, raw) = makeRaw()
+    val mvPath = buildMv(raw, rawPath)
+    val file = s"${tmp("mvcat")}/catalog.json"
+    try {
+      MvCatalog.save(file)
+      MvCatalog.clear()
+      def q = raw.groupBy(col("etype")).agg(sum(col("v")).as("s"))
+      assert(!scansOf(q).contains(mvPath), "cleared catalog must not serve")
+      MvCatalog.load(spark, file)
+      assert(scansOf(q).contains(mvPath), "loaded catalog must serve")
+      val got = rows(q)
+      MvCatalog.unregister(rawPath)
+      assert(rows(q) == got)
+    } finally MvCatalog.unregister(rawPath)
+  }
+
   test("SQL-surface queries rewrite too") {
     val (rawPath, raw) = makeRaw()
     val mvPath = buildMv(raw, rawPath)
