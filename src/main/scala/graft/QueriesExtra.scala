@@ -588,6 +588,35 @@ object QueriesExtra {
         Seq("event_type", "day"), eps = 1.0, seed = 7L)
     }),
 
+    // KMV/theta sketch set operations: per event-type pair, the
+    // INTERSECTION estimate HLL cannot provide (audience overlap at
+    // sketch cost), with the exact overlap alongside and the union
+    // sketch md5'd — every value integer-arithmetic replayable, so the
+    // sketch pipeline is HASH-gated, not just error-bounded (the
+    // a12b_cms_freq precedent for the theta family).
+    "a23_theta_overlap" -> ((s, dir) => {
+      import graft.operators.Frequency
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val k = 64
+      val sk = Frequency.kmvSketches(ev, "event_type", "user_id", k)
+      val d = ev.select(col("event_type"), col("user_id")).distinct()
+      val exact = d.alias("x").join(d.alias("y"), Seq("user_id"))
+        .filter(col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"),
+          col("y.event_type").as("tb"))
+        .agg(countDistinct(col("user_id")).as("exact_overlap"))
+      sk.alias("a").join(sk.alias("b"), col("a.key") < col("b.key"))
+        .select(col("a.key").as("ta"), col("b.key").as("tb"),
+          Frequency.kmvDistinctEstimate(col("a.sketch"), k).as("est_a"),
+          Frequency.kmvDistinctEstimate(col("b.sketch"), k).as("est_b"),
+          Frequency.kmvIntersectEstimate(col("a.sketch"),
+            col("b.sketch"), k).as("est_overlap"),
+          md5(concat_ws(",", transform(
+            Frequency.kmvUnion(col("a.sketch"), col("b.sketch"), k),
+            _.cast("string")))).as("union_md5"))
+        .join(exact, Seq("ta", "tb"))
+    }),
+
     // consent enforcement at ingest (the preventive GDPR half next to
     // k10's curative deleteWhere): users ending a deterministic opt-out
     // rule are dropped map-side before any sink; the gate pins the
@@ -1317,6 +1346,49 @@ object QueriesExtra {
         |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
         |    AS n_identifiers
         |FROM labels""".stripMargin,
+    "a23_theta_overlap" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT event_type AS key,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+        |      1, 12)) AS BIGINT) AS h
+        |  FROM events),
+        |rk AS (SELECT key, h,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) AS rn
+        |  FROM uh),
+        |sk AS (SELECT key, list_sort(list(h)) AS sketch
+        |  FROM rk WHERE rn <= 64 GROUP BY key),
+        |d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |ex AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb,
+        |    CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS exact_overlap
+        |  FROM d x JOIN d y ON x.user_id = y.user_id
+        |  WHERE x.event_type < y.event_type GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT s1.key AS ta, s2.key AS tb,
+        |    s1.sketch AS sa, s2.sketch AS sb,
+        |    CASE WHEN len(s1.sketch) < 64 THEN 281474976710656
+        |      ELSE s1.sketch[64] + 1 END AS tha,
+        |    CASE WHEN len(s2.sketch) < 64 THEN 281474976710656
+        |      ELSE s2.sketch[64] + 1 END AS thb
+        |  FROM sk s1 JOIN sk s2 ON s1.key < s2.key),
+        |est AS (
+        |  SELECT ta, tb,
+        |    CASE WHEN len(sa) < 64 THEN CAST(len(sa) AS DOUBLE)
+        |      ELSE ROUND(63 * 281474976710656.0 / sa[64], 2)
+        |    END AS est_a,
+        |    CASE WHEN len(sb) < 64 THEN CAST(len(sb) AS DOUBLE)
+        |      ELSE ROUND(63 * 281474976710656.0 / sb[64], 2)
+        |    END AS est_b,
+        |    ROUND(len(list_intersect(
+        |        list_filter(sa, x -> x < LEAST(tha, thb)),
+        |        list_filter(sb, x -> x < LEAST(tha, thb))))
+        |      * 281474976710656.0 / LEAST(tha, thb), 2) AS est_overlap,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_concat(sa, sb)))[1:64], ',')) AS union_md5
+        |  FROM pr)
+        |SELECT est.ta, est.tb, est_a, est_b, est_overlap, union_md5,
+        |  exact_overlap
+        |FROM est JOIN ex ON est.ta = ex.ta AND est.tb = ex.tb""".stripMargin,
     "k16_consent_filter" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -163,4 +163,62 @@ object Frequency {
       .join(broadcast(sketch), Seq("r", "c"), "left")
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** KMV ("k minimum values") / theta sketches with SET OPERATIONS —
+    * the mergeable-sketch family member HLL cannot replace: HLL unions,
+    * but only KMV/theta supports INTERSECTION estimates (audience
+    * overlap across segments at sketch cost; DataSketches' theta
+    * family, Beyer 2007 for the KMV estimator). The sketch of a set is
+    * its k smallest distinct 48-bit md5 hash values; union = k smallest
+    * of the concatenation; |A∩B| ≈ ρ·2⁴⁸/θ*, where θ* is the smaller
+    * sketch threshold and ρ counts shared hash values below it.
+    *
+    * Scale shape: one (key, hash) distinct shuffle, then `row_number
+    * <= k` — which compiles to `WindowGroupLimit`, so every partition
+    * forwards at most k rows per key map-side (the distributed min-k;
+    * never a per-key `collect_set` of the full domain). Sketches are
+    * k longs per key; every estimate is integer arithmetic + one
+    * division, so sketch AND estimates replay engine-exactly (the
+    * cms/md5 precedent — gates can hash-match, not just bound error).
+    */
+  def kmvSketches(df: DataFrame, keyCol: String, itemCol: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col(itemCol).cast("string")), 1, 12),
+      16, 10).cast("long")
+    val uniq = df.select(col(keyCol).as("key"), h.as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val w = Window.partitionBy(col("key")).orderBy(col("h"))
+    uniq.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(col("h"))).as("sketch"))
+  }
+
+  private val HashSpace = 281474976710656.0 // 2^48
+
+  /** Sketch threshold θ: one past the kth value when the sketch is
+    * full, else the whole hash space (the set was seen exactly). */
+  def kmvTheta(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, lit(HashSpace.toLong))
+      .otherwise(element_at(sketch, k) + 1L)
+
+  /** Distinct-count estimate: exact when the sketch is not full. */
+  def kmvDistinctEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(round(lit((k - 1) * HashSpace) /
+        element_at(sketch, k), 2))
+
+  /** Intersection estimate of two sketches: ρ·2⁴⁸/θ*. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val thetaStar = least(kmvTheta(a, k), kmvTheta(b, k))
+    val rho = size(array_intersect(
+      filter(a, _ < thetaStar), filter(b, _ < thetaStar)))
+    round(rho * lit(HashSpace) / thetaStar, 2)
+  }
+
+  /** Union sketch: k smallest of the merged value sets (associative +
+    * commutative — shard/window sketches merge freely). */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
 }

@@ -149,4 +149,40 @@ class FrequencySpec extends GraftSpec {
       Frequency.cmsSketch(a, "item"), Frequency.cmsSketch(b, "item")))
     assert(merged == toMap(Frequency.cmsSketch(whole, "item")))
   }
+
+  test("kmv: exact below k, estimate envelope above, shard-merge = whole") {
+    import org.apache.spark.sql.functions._
+    val k = 32
+    def sketchOf(items: Seq[Long]): Seq[Long] = {
+      val df = items.map(i => ("g", i)).toDF("g", "item")
+      Frequency.kmvSketches(df, "g", "item", k)
+        .select(col("sketch")).as[Seq[Long]].collect().head
+    }
+    // below k: the sketch IS the hashed set, estimate exact
+    val small = sketchOf((1L to 10L))
+    assert(small.size == 10 && small == small.sorted)
+    val smallEst = spark.range(1).select(
+      Frequency.kmvDistinctEstimate(
+        typedLit(small), k)).as[Double].collect().head
+    assert(smallEst == 10.0)
+    // above k: sketch capped at k, estimate within a loose envelope
+    val big = sketchOf((1L to 5000L))
+    assert(big.size == k)
+    val bigEst = spark.range(1).select(
+      Frequency.kmvDistinctEstimate(
+        typedLit(big), k)).as[Double].collect().head
+    assert(bigEst > 2500 && bigEst < 10000, s"estimate $bigEst")
+    // shard sketches union-merge to the whole-data sketch
+    val sa = sketchOf((1L to 2500L))
+    val sb = sketchOf((2001L to 5000L))
+    val merged = spark.range(1).select(
+      Frequency.kmvUnion(typedLit(sa), typedLit(sb), k))
+      .as[Seq[Long]].collect().head
+    assert(merged == big)
+    // self-intersection estimates the full set
+    val selfInt = spark.range(1).select(
+      Frequency.kmvIntersectEstimate(typedLit(big), typedLit(big), k))
+      .as[Double].collect().head
+    assert(math.abs(selfInt - bigEst) < bigEst * 0.1)
+  }
 }
