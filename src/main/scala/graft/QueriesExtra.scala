@@ -588,6 +588,76 @@ object QueriesExtra {
         Seq("event_type", "day"), eps = 1.0, seed = 7L)
     }),
 
+    // collaborative filtering (implicit ALS over the customer×part
+    // purchase matrix): the trained-operator property gate — on the
+    // deterministic ~20% holdout, the model must rank each held-out
+    // positive above its deterministic negative counterpart well above
+    // chance. Counts (train/holdout/scored) are SQL-replayable from the
+    // same split rules; the AUC floor carries a wide margin so seed-
+    // stable float jitter cannot flip it (the td_quality_classifier
+    // pattern for learned operators).
+    "g4_als_recs" -> ((s, dir) => {
+      import graft.operators.Recommend
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      // The raw TPC-H purchase matrix is uniformly random — no latent
+      // structure, so CF legitimately cannot beat chance on it
+      // (measured 0.48). Plant recoverable preference structure the
+      // planted-dup way: keep a purchase when the user's and item's
+      // taste cluster (mod 8) agree, plus ~10% hash noise; the model
+      // must REDISCOVER the clusters from interactions alone.
+      val rawPairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").cast("int").as("user"),
+          pmod(col("l_partkey"), lit(100)).cast("int").as("item"))
+      val noise = pmod(conv(substring(md5(concat_ws(":", lit("z"),
+        col("user"), col("item"))), 1, 8), 16, 10).cast("long"), lit(10))
+      val inter = rawPairs
+        .filter(pmod(col("user"), lit(8)) === pmod(col("item"), lit(8)) ||
+          noise === 0)
+        .groupBy("user", "item")
+        .agg(count(lit(1)).cast("float").as("cnt"))
+      // md5 split, NOT a modular rule: (u*31+i) % 5 == 0 holds out an
+      // entire item-residue class per user, and ALS then LEARNS that
+      // structured absence as negative signal (measured: pairwise
+      // accuracy 0.11 — systematically anti-ranked). The hash split has
+      // no residue structure; the same md5 arithmetic replays in SQL.
+      val pairHash = conv(substring(md5(concat_ws(":",
+        col("user"), col("item"))), 1, 8), 16, 10).cast("long")
+      val hold = pmod(pairHash, lit(5)) === 0
+      val train = inter.filter(!hold)
+      val holdout = inter.filter(hold)
+        .select(col("user"), col("item").as("pos_item"),
+          pmod(conv(substring(md5(concat_ws(":", lit("n"),
+            col("user"), col("item"))), 1, 8), 16, 10).cast("long"),
+            lit(100)).cast("int").as("neg_item"))
+      val model = Recommend.trainImplicit(train, rank = 12, maxIter = 10)
+      val posScored = Recommend.scorePairs(model,
+          holdout.select(col("user"), col("pos_item").as("item")))
+        .select(col("user"), col("item").as("pos_item"),
+          col("prediction").as("pos_score"))
+      val negScored = Recommend.scorePairs(model,
+          holdout.select(col("user"), col("pos_item"),
+            col("neg_item").as("item")))
+        .select(col("user"), col("pos_item"),
+          col("prediction").as("neg_score"))
+      val paired = posScored.join(negScored, Seq("user", "pos_item"))
+      // measured 0.650 / 0.686 / 0.683 at sf0.001/0.01/0.1 — the floor
+      // leaves ≥0.07 margin at every SF while staying far above the
+      // ~0.5 chance level
+      val floor = 0.58
+      paired.agg(
+          count(lit(1)).as("n_scored"),
+          sum(when(col("pos_score") > col("neg_score"), 1L)
+            .otherwise(0L)).as("_correct"))
+        .select(col("n_scored"),
+          (col("_correct").cast("double") / col("n_scored") >= floor)
+            .as("auc_ok"))
+        .crossJoin(train.agg(count(lit(1)).as("n_train")))
+        .crossJoin(holdout.agg(count(lit(1)).as("n_holdout")))
+        .select(col("n_train"), col("n_holdout"), col("n_scored"),
+          col("auc_ok"))
+    }),
+
     // KMV/theta sketch set operations: per event-type pair, the
     // INTERSECTION estimate HLL cannot provide (audience overlap at
     // sketch cost), with the exact overlap alongside and the union
@@ -1346,6 +1416,35 @@ object QueriesExtra {
         |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
         |    AS n_identifiers
         |FROM labels""".stripMargin,
+    "g4_als_recs" ->
+      """WITH rawp AS (
+        |  SELECT CAST(o_custkey AS INT) AS u,
+        |    CAST(l_partkey % 100 AS INT) AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |inter AS (
+        |  SELECT u, i FROM rawp
+        |  WHERE u % 8 = i % 8
+        |    OR CAST(('0x' || substring(md5('z:' || u || ':' || i),
+        |      1, 8)) AS BIGINT) % 10 = 0
+        |  GROUP BY u, i),
+        |sp AS (
+        |  SELECT u, i,
+        |    CAST(('0x' || substring(md5(u || ':' || i), 1, 8))
+        |      AS BIGINT) % 5 = 0 AS hold
+        |  FROM inter),
+        |tr AS (SELECT u, i FROM sp WHERE NOT hold),
+        |ho AS (SELECT u, i,
+        |    CAST(CAST(('0x' || substring(md5('n:' || u || ':' || i),
+        |      1, 8)) AS BIGINT) % 100 AS INT) AS neg
+        |  FROM sp WHERE hold),
+        |tu AS (SELECT DISTINCT u FROM tr),
+        |ti AS (SELECT DISTINCT i FROM tr)
+        |SELECT CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_train,
+        |  CAST((SELECT COUNT(*) FROM ho) AS BIGINT) AS n_holdout,
+        |  CAST((SELECT COUNT(*) FROM ho
+        |    WHERE u IN (SELECT u FROM tu) AND i IN (SELECT i FROM ti)
+        |      AND neg IN (SELECT i FROM ti)) AS BIGINT) AS n_scored,
+        |  TRUE AS auc_ok""".stripMargin,
     "a23_theta_overlap" ->
       """WITH uh AS (
         |  SELECT DISTINCT event_type AS key,
