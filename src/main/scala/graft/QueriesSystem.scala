@@ -705,6 +705,34 @@ object QueriesSystem {
           countDistinct(col("message_id")).as("n_distinct"))
     }),
 
+    // warehouse commit history (the DESCRIBE HISTORY analogue): a
+    // scripted create/append/compact/delete/vacuum sequence must leave
+    // exactly five versioned entries whose operation metrics the oracle
+    // recomputes from the raw events — rows written per batch, the
+    // both-batch partitions compact touches, rows the delete erased,
+    // partitions vacuum dropped.
+    "k17_history" -> ((s, dir) => {
+      val wh = tmp("graft-hist")
+      val router = new SinkRouter(wh) // append-mode
+      val env = graft.schema.EventSchema.readEvents(s, dir)
+        .select(concat(lit("m"), col("event_id")).as("message_id"),
+          col("ts").as("timestamp"), col("event_type"))
+      router.write(env.filter(col("event_type") =!= "error")
+        .withColumn("_table", lit("events")))
+      router.write(env.filter(col("event_type") === "error")
+        .withColumn("_table", lit("events")))
+      router.compact(s, "events", maxFilesPerPartition = 1)
+      router.deleteWhere(s, "events", col("event_type") === "click")
+      router.vacuum("events", retainDays = 10,
+        java.time.LocalDate.parse("2024-02-05"))
+      router.history(s).select(col("version"), col("table").as("tbl"),
+        col("operation"),
+        coalesce(element_at(col("metrics"), "rows"),
+          element_at(col("metrics"), "partitions_compacted"),
+          element_at(col("metrics"), "rows_deleted"),
+          element_at(col("metrics"), "partitions_dropped")).as("metric"))
+    }),
+
     // MV LIFECYCLE: initial full build -> register -> new day lands in
     // the raw table -> PARTITION-GRAIN incremental refresh (only the
     // new days' cells recompute and append — the a2b maintenance
@@ -848,6 +876,33 @@ object QueriesSystem {
   )
 
   val oracles: Map[String, String] = Map(
+    "k17_history" ->
+      """WITH e AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS d FROM events)
+        |SELECT CAST(1 AS BIGINT) AS version, 'events' AS tbl,
+        |  'create' AS operation,
+        |  CAST((SELECT COUNT(*) FROM e WHERE event_type <> 'error')
+        |    AS BIGINT) AS metric
+        |UNION ALL
+        |SELECT 2, 'events', 'append',
+        |  CAST((SELECT COUNT(*) FROM e WHERE event_type = 'error')
+        |    AS BIGINT)
+        |UNION ALL
+        |SELECT 3, 'events', 'compact',
+        |  CAST((SELECT COUNT(*) FROM (
+        |    SELECT d FROM e GROUP BY d
+        |    HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+        |        END) > 0
+        |      AND SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0
+        |        END) > 0)) AS BIGINT)
+        |UNION ALL
+        |SELECT 4, 'events', 'delete',
+        |  CAST((SELECT COUNT(*) FROM e WHERE event_type = 'click')
+        |    AS BIGINT)
+        |UNION ALL
+        |SELECT 5, 'events', 'vacuum',
+        |  CAST((SELECT COUNT(DISTINCT d) FROM e
+        |    WHERE d < '2024-01-26') AS BIGINT)""".stripMargin,
     "mv_lifecycle" ->
       """SELECT event_type,
         |  strftime(date_trunc('month', ts), '%Y-%m') AS month,

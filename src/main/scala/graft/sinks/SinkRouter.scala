@@ -206,17 +206,72 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
       val dateExpr = tsSource
         .map(c => coalesce(to_date(col(s"`$c`")), lit(EpochDate)))
         .getOrElse(lit(EpochDate))
+      // the per-table row count rides the same routing aggregation —
+      // the commit-history metric costs no extra job
       val routing = cached
         .groupBy(col("_table"))
-        .agg(collect_set(dateExpr).as("_dates"))
+        .agg(collect_set(dateExpr).as("_dates"),
+          count(lit(1)).as("_n"))
         .collect()
-        .map(r => r.getString(0) ->
-          r.getSeq[java.sql.Date](1).toArray.sortBy(_.toLocalDate.toEpochDay))
-      routing.foreach { case (t, dates) =>
+        .map(r => (r.getString(0),
+          r.getSeq[java.sql.Date](1).toArray.sortBy(_.toLocalDate.toEpochDay),
+          r.getLong(2)))
+      routing.foreach { case (t, dates, n) =>
         val rows = cached.filter(col("_table") === t).drop("_table")
+        val created = !tableExists(tablePath(t))
         writeTable(spark, t, rows, dates)
+        recordCommit(t,
+          if (created) "create"
+          else if (options.deduplicate) "merge" else "append",
+          Map("rows" -> n))
       }
     } finally cached.unpersist(false)
+  }
+
+  // ── commit history — the DESCRIBE HISTORY analogue ──────────────────
+  // Every mutating operation appends one JSON entry under `_history/`
+  // (atomic single-file create, versions monotone per router; a
+  // restarted router resumes after the existing entries). The entry is
+  // an audit/ops record: WHAT changed a table, when, and how much —
+  // the operational counterpart of the manifest-swap commit itself.
+  private val historySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private lazy val historyStart: Long = {
+    val d = new java.io.File(warehouseDir, "_history")
+    Option(d.list()).map(_.length.toLong).getOrElse(0L)
+  }
+
+  private def recordCommit(table: String, operation: String,
+                           metrics: Map[String, Long]): Unit = {
+    val dir = new java.io.File(warehouseDir, "_history")
+    dir.mkdirs()
+    val v = historyStart + historySeq.incrementAndGet()
+    val mjson = metrics.toSeq.sortBy(_._1)
+      .map { case (k, n) => s""""$k": $n""" }.mkString("{", ", ", "}")
+    val json = s"""{"version": $v, "table": "$table", """ +
+      s""""operation": "$operation", """ +
+      s""""ts_ms": ${System.currentTimeMillis()}, "metrics": $mjson}"""
+    val f = new java.io.File(dir, f"$v%012d.json")
+    val tmp = new java.io.File(dir, f".$v%012d.tmp")
+    Files.write(tmp.toPath, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The commit log as a DataFrame, ordered by version. */
+  def history(spark: SparkSession): DataFrame = {
+    val dir = new java.io.File(warehouseDir, "_history")
+    val schema = StructType(Seq(
+      StructField("version", org.apache.spark.sql.types.LongType),
+      StructField("table", org.apache.spark.sql.types.StringType),
+      StructField("operation", org.apache.spark.sql.types.StringType),
+      StructField("ts_ms", org.apache.spark.sql.types.LongType),
+      StructField("metrics", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType))))
+    if (!dir.exists()) return spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    spark.read.schema(schema).json(dir.getAbsolutePath)
+      .orderBy(col("version"))
   }
 
   private def listDir(path: String): Array[java.io.File] =
@@ -469,6 +524,8 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
           .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
         writeManifest(path, id, dirs, stagedNames)
         completeSwap(path, id, dirs, stagedNames)
+        recordCommit(table, "replace_where",
+          Map("partitions_replaced" -> dates.size.toLong))
         dates.toSeq
       } finally { aligned.unpersist(false); () }
     }
@@ -726,7 +783,8 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
       .foreach(d => linkDir(d, tmpDst.resolve(d.getName)))
     val dv = new java.io.File(dvPath(path))
     if (dv.isDirectory) linkDir(dv, tmpDst.resolve("_deletes"))
-    Files.move(tmpDst, dst, StandardCopyOption.ATOMIC_MOVE): Unit
+    Files.move(tmpDst, dst, StandardCopyOption.ATOMIC_MOVE)
+    recordCommit(table, "snapshot", Map.empty)
   }
 
   /** Read a named snapshot exactly as [[readTable]] reads the live
@@ -827,6 +885,8 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     val dirNames = touched.map(d => s"$DateCol=$d").toSeq
     writeManifest(path, id, dirNames, stagedNames)
     completeSwap(path, id, dirNames, stagedNames)
+    recordCommit(table, "delete", Map("rows_deleted" -> deleted,
+      "partitions_rewritten" -> touched.size.toLong))
     deleted
   }
 
@@ -859,6 +919,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     try {
       val n = fresh.count()
       if (n > 0) fresh.coalesce(1).write.mode(SaveMode.Append).parquet(dv)
+      if (n > 0) recordCommit(table, "delete_mor", Map("keys_added" -> n))
       n
     } finally { fresh.unpersist(false); () }
   }
@@ -912,7 +973,9 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
       completeSwap(path, id, dirNames, stagedNames)
     }
     deleteRecursive(new java.io.File(dv))
-    hits.map(_.getLong(1)).sum
+    val purged = hits.map(_.getLong(1)).sum
+    recordCommit(table, "purge_deletes", Map("rows_purged" -> purged))
+    purged
   }
 
   /** Retention vacuum: drop every date partition strictly older than
@@ -939,6 +1002,8 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     val dirNames = dropped.map(d => s"$DateCol=$d")
     writeManifest(path, id, dirNames, Set.empty)
     completeSwap(path, id, dirNames, Set.empty)
+    recordCommit(table, "vacuum",
+      Map("partitions_dropped" -> dropped.size.toLong))
     dropped
   }
 
@@ -1057,5 +1122,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
       .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
     writeManifest(path, id, crowded.toSeq, stagedNames)
     completeSwap(path, id, crowded.toSeq, stagedNames)
+    recordCommit(table, "compact",
+      Map("partitions_compacted" -> crowded.size.toLong))
   }
 }

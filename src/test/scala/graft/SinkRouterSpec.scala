@@ -597,4 +597,29 @@ class SinkRouterSpec extends GraftSpec {
     // read parity
     assert(spark.read.parquet(s"$whSorted/tracks").count() == 6000)
   }
+
+  test("commit history: versioned entries per op, restart resumes numbering") {
+    val wh = tmpDir()
+    def batch(ids: String*) = ids.map(i =>
+      (i, "2024-01-01 10:00:00", "events"))
+      .toDF("messageId", "timestamp", "_table")
+      .withColumn("timestamp", col("timestamp").cast("timestamp"))
+    val r1 = new SinkRouter(wh, SinkOptions(deduplicate = true))
+    r1.write(batch("m1", "m2"))
+    r1.write(batch("m2", "m3"))
+    r1.snapshot("events", "s1")
+    val h1 = r1.history(spark)
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(h1 == Seq((1L, "create"), (2L, "merge"), (3L, "snapshot")))
+    // a NEW router over the same warehouse continues after version 3
+    val r2 = new SinkRouter(wh, SinkOptions(deduplicate = true))
+    r2.deleteWhereMor(spark, "events", col("message_id") === "m1")
+    val h2 = r2.history(spark)
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(h2.last == ((4L, "delete_mor")), s"got $h2")
+    // metrics carried: the merge wrote 2 rows
+    val m = r2.history(spark).filter(col("version") === 2)
+      .select(element_at(col("metrics"), "rows")).as[Long].collect().head
+    assert(m == 2L)
+  }
 }
