@@ -705,6 +705,42 @@ object QueriesSystem {
           countDistinct(col("message_id")).as("n_distinct"))
     }),
 
+    // GDPR parity on the JDBC warehouse: erasure as the database's
+    // native SQL DELETE (vs the file warehouse's partition rewrite) and
+    // Art. 15 subject export across tables — the same rights, pushed
+    // down to the engine that owns the data. Gate: per-type survivor
+    // counts + deleted count + the remaining export rows for a subject.
+    "k2c_jdbc_gdpr" -> ((s, dir) => {
+      val db = tmp("graft-q-jdbcg")
+      val sink = new graft.sinks.JdbcSink(s"jdbc:derby:$db/wh;create=true",
+        SinkOptions())
+      val env = graft.schema.EventSchema.readEvents(s, dir)
+        .select(concat(lit("m"), col("event_id")).as("message_id"),
+          col("ts").as("timestamp"),
+          concat(lit("u"), pmod(col("user_id"), lit(40))).as("user_id"),
+          col("event_type"))
+      sink.write(env.withColumn("_table", lit("events")))
+      sink.write(env.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("message_id"))
+        .withColumn("_table", lit("purchases")))
+      // the subject u7 invokes erasure on events, then an export shows
+      // what remains of them across the warehouse
+      // columns are created quoted (exact case), so the predicate must
+      // quote them too — unquoted identifiers fold to uppercase in ANSI
+      val deleted = sink.deleteWhere("events", "\"user_id\" = 'u7'")
+      val export = sink.exportSubject(s, "user_id", "u7")
+        .groupBy(col("tbl")).agg(count(lit(1)).as("n_rows"))
+      sink.readTable(s, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("events").as("tbl"),
+          col("event_type").as("detail"), col("n_rows"))
+        .unionByName(export.select(col("tbl"),
+          lit("export_u7").as("detail"), col("n_rows")))
+        .unionByName(s.range(1).select(lit("_meta").as("tbl"),
+          lit("deleted_u7").as("detail"), lit(deleted).as("n_rows")))
+    }),
+
     // warehouse commit history (the DESCRIBE HISTORY analogue): a
     // scripted create/append/compact/delete/vacuum sequence must leave
     // exactly five versioned entries whose operation metrics the oracle
@@ -876,6 +912,18 @@ object QueriesSystem {
   )
 
   val oracles: Map[String, String] = Map(
+    "k2c_jdbc_gdpr" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 40 AS m FROM events)
+        |SELECT 'events' AS tbl, event_type AS detail,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM e WHERE m <> 7 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'purchases', 'export_u7', CAST(COUNT(*) AS BIGINT)
+        |FROM e WHERE m = 7 AND event_type = 'purchase'
+        |UNION ALL
+        |SELECT '_meta', 'deleted_u7', CAST(COUNT(*) AS BIGINT)
+        |FROM e WHERE m = 7""".stripMargin,
     "k17_history" ->
       """WITH e AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS d FROM events)

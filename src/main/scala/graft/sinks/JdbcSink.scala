@@ -232,4 +232,54 @@ class JdbcSink(url: String, options: SinkOptions = SinkOptions(),
     * and column pruning reach the database). */
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.read.jdbc(url, storedTableName(table), props)
+
+  /** Every user table in the warehouse (Derby user schema). */
+  def listTables: Seq[String] = withConn { c =>
+    val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      while (rs.next())
+        if (rs.getString("TABLE_SCHEM") != null &&
+            !rs.getString("TABLE_SCHEM").startsWith("SYS"))
+          out += rs.getString("TABLE_NAME")
+    } finally rs.close()
+    out.toSeq.sorted
+  }
+
+  /** GDPR erasure on the JDBC warehouse — the parity point with
+    * [[SinkRouter.deleteWhere]], but pushed down as ONE SQL DELETE: the
+    * database's native O(matching rows) path (its own indexes/log do
+    * the work the file warehouse does with a partition rewrite).
+    * `predicateSql` is a SQL boolean over the table's columns; returns
+    * rows deleted. */
+  def deleteWhere(table: String, predicateSql: String): Long = withConn { c =>
+    if (!tableExists(c, table)) 0L
+    else {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"DELETE FROM ${q(storedTableName(table))} WHERE $predicateSql")
+        .toLong
+      finally st.close()
+    }
+  }
+
+  /** Subject-access export (Art. 15) across the JDBC warehouse — the
+    * [[SinkRouter.exportSubject]] parity: all rows whose `keyCol`
+    * equals `keyValue`, from every table that carries the column, as
+    * (tbl, row_json). The equality predicate pushes into each table's
+    * JDBC scan. */
+  def exportSubject(spark: SparkSession, keyCol: String,
+                    keyValue: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val frames = listTables.flatMap { t =>
+      val cols = withConn(c => tableColumns(c, t))
+      cols.find(_.equalsIgnoreCase(keyCol)).map { kc =>
+        readTable(spark, t)
+          .filter(col(s"`$kc`") === keyValue)
+          .select(lit(t.toLowerCase).as("tbl"),
+            to_json(struct(col("*"))).as("row_json"))
+      }
+    }
+    frames.reduceLeft(_ unionByName _)
+  }
 }

@@ -106,4 +106,26 @@ class JdbcSinkSpec extends GraftSpec {
       .as[(String, Option[String])].collect().toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  test("deleteWhere + exportSubject: GDPR parity on the JDBC warehouse") {
+    import org.apache.spark.sql.functions._
+    val sink = new JdbcSink(freshUrl())
+    val rows = Seq(
+      ("m1", "u1", "click"), ("m2", "u2", "view"), ("m3", "u1", "buy"))
+      .toDF("messageId", "userId", "etype")
+    sink.write(rows.withColumn("_table", lit("ev")))
+    sink.write(rows.filter(col("etype") === "buy")
+      .select(col("userId"), col("messageId"))
+      .withColumn("_table", lit("orders_t")))
+    // export BEFORE erasure sees u1 in both tables
+    val before = sink.exportSubject(spark, "user_id", "u1")
+      .groupBy("tbl").count().as[(String, Long)].collect().toMap
+    assert(before == Map("ev" -> 2L, "orders_t" -> 1L))
+    assert(sink.deleteWhere("ev", "\"user_id\" = 'u1'") == 2L)
+    val after = sink.exportSubject(spark, "user_id", "u1")
+      .groupBy("tbl").count().as[(String, Long)].collect().toMap
+    assert(after == Map("orders_t" -> 1L))
+    assert(sink.deleteWhere("missing", "1 = 1") == 0L)
+    assert(sink.readTable(spark, "ev").count() == 1L)
+  }
 }
