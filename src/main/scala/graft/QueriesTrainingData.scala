@@ -383,6 +383,49 @@ object QueriesTrainingData {
     // copy of every benchmark doc (first word dropped, id+10000) so the
     // gate proves detection, not absence; oracle = exact cross-set
     // Jaccard over the same spiked corpus
+    // decontamination SUITE report — the decision matrix a release
+    // pipeline actually wants: per benchmark doc, which leak kind got
+    // in and which method catches it. Two planted leak classes:
+    // VERBATIM copies (even bench ids) and REWORDED copies (odd ids,
+    // every 7th word substituted — every 8-gram window broken, so the
+    // exact scan is structurally blind to them while 3-gram Jaccard
+    // still clears 0.35). Expected matrix: verbatim → both methods;
+    // reworded → fuzzy only. The oracle replays the substitution and
+    // both detectors, so the matrix itself is hash-gated.
+    "td_decontam_suite" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"), col("text"))
+      val w = TextFunctions.words(col("text"))
+      val reword = concat_ws(" ", transform(w, (x, i) =>
+        when(pmod(i, lit(7)) === 0, concat(lit("xsub"), i)).otherwise(x)))
+      val leaks = bench.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(bench.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            reword.as("text")))
+      val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(leaks)
+      val exactHits = operators.Decontamination.flag(corpus, "doc_id",
+          "text", bench.select(col("text").as("btext")), "btext", n = 8)
+        .select(col("id").as("leak_id"))
+      val fuzzyHits = Dedup.minhashLshCrossPairs(corpus, bench,
+          "doc_id", "text", n = 3, threshold = 0.35)
+        .select(col("id_a").as("leak_id")).distinct()
+      bench.select(col("doc_id").as("bench_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0, "verbatim")
+            .otherwise("reworded").as("leak_kind"),
+          (col("doc_id") + 10000).as("leak_id"))
+        .join(exactHits.withColumn("caught_exact", lit(true)),
+          Seq("leak_id"), "left")
+        .join(fuzzyHits.withColumn("caught_fuzzy", lit(true)),
+          Seq("leak_id"), "left")
+        .select(col("bench_id"), col("leak_kind"),
+          coalesce(col("caught_exact"), lit(false)).as("caught_exact"),
+          coalesce(col("caught_fuzzy"), lit(false)).as("caught_fuzzy"))
+    }),
+
     "td_decontam_fuzzy" -> ((s, dir) => {
       val d = docs(s, dir)
       val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
@@ -1903,6 +1946,69 @@ object QueriesTrainingData {
          |  jaccard
          |FROM ($jaccardSql)
          |WHERE (id_a % 2) <> (id_b % 2)""".stripMargin),
+    "td_decontam_suite" ->
+      """WITH b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |bw AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), w -> len(w) > 0) AS w
+        |  FROM b),
+        |leak AS (
+        |  SELECT doc_id + 10000 AS doc_id, text FROM b
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(list_transform(range(1, len(w) + 1),
+        |      i -> CASE WHEN (i - 1) % 7 = 0 THEN 'xsub' || (i - 1)
+        |        ELSE w[i] END), ' ')
+        |  FROM bw WHERE doc_id % 2 = 1),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL SELECT doc_id, text FROM leak),
+        |cw AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), w -> len(w) > 0) AS w
+        |  FROM corpus),
+        |csh8 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 7, 0)),
+        |    i -> array_to_string(w[i+1:i+8], ' ')))) AS sh
+        |  FROM cw),
+        |bsh8 AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 7, 0)),
+        |    i -> array_to_string(w[i+1:i+8], ' ')))) AS sh
+        |  FROM bw),
+        |ex AS (SELECT DISTINCT c.doc_id FROM csh8 c
+        |       JOIN bsh8 USING (sh)),
+        |shc AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 2, 0)),
+        |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        |  FROM cw),
+        |shb AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 2, 0)),
+        |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        |  FROM bw),
+        |nc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+        |nb AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_id AS ca, bn.doc_id AS cb, COUNT(*) AS i
+        |  FROM shc c JOIN shb bn USING (sh) GROUP BY 1, 2),
+        |fz AS (
+        |  SELECT DISTINCT inter.ca AS doc_id
+        |  FROM inter JOIN nc ON nc.doc_id = inter.ca
+        |  JOIN nb ON nb.doc_id = inter.cb
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (nc.n + nb.n - i), 4) >= 0.35)
+        |SELECT b.doc_id AS bench_id,
+        |  CASE WHEN b.doc_id % 2 = 0 THEN 'verbatim'
+        |    ELSE 'reworded' END AS leak_kind,
+        |  (b.doc_id + 10000) IN (SELECT doc_id FROM ex)
+        |    AS caught_exact,
+        |  (b.doc_id + 10000) IN (SELECT doc_id FROM fz)
+        |    AS caught_fuzzy
+        |FROM b""".stripMargin,
     "td_decontam_fuzzy" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
