@@ -344,4 +344,115 @@ class RandomizedInvariantsSpec extends GraftSpec {
       lb.foreach(v => assert(v <= 0.0))
     }
   }
+
+  test("bucketDiff == naive full diff on random drifted tables") {
+    import graft.operators.DataChecks
+    val rnd = new scala.util.Random(777)
+    val src = (1L to 500L).map(k => (k, s"v${rnd.nextInt(50)}", rnd.nextInt(9)))
+      .toDF("k", "a", "b")
+    // replica: drop ~5%, mutate ~5%, add ~3% new keys; untouched keys
+    // copy the source row verbatim
+    val srcMap = src.as[(Long, String, Int)].collect().map(t => t._1 -> t).toMap
+    val rnd3 = new scala.util.Random(778)
+    val rep = ((1L to 500L).flatMap { k =>
+      val r = rnd3.nextInt(100)
+      if (r < 5) Nil
+      else if (r < 10) Seq((k, "MUT", 0))
+      else Seq(srcMap(k))
+    } ++ (501L to 515L).map(k => (k, "NEW", 1))).toDF("k", "a", "b")
+    val got = DataChecks.bucketDiff(src, rep, Seq("k"), Seq("a", "b"),
+        nBuckets = 32)
+      .as[(Long, String)].collect().toSet
+    // naive reference diff
+    val repMap = rep.as[(Long, String, Int)].collect().map(t => t._1 -> t).toMap
+    val want = ((srcMap.keySet ++ repMap.keySet).flatMap { k =>
+      (srcMap.get(k), repMap.get(k)) match {
+        case (Some(_), None) => Some(k -> "missing_in_replica")
+        case (None, Some(_)) => Some(k -> "missing_in_source")
+        case (Some(a), Some(b)) if a != b => Some(k -> "value_mismatch")
+        case _ => None
+      }
+    }).toSet
+    assert(got == want.map { case (k, st) => (k, st) })
+  }
+
+  test("quotaAdmission == naive global window on random arrival data") {
+    import graft.operators.MetricsAgg
+    val rnd = new scala.util.Random(4242)
+    val rows = (1L to 400L).map { i =>
+      val ws = s"w${rnd.nextInt(3)}"
+      val ts = new java.sql.Timestamp(1704067200000L +
+        rnd.nextInt(90) * 86400000L + rnd.nextInt(1000) * 1000L)
+      (ws, ts, i)
+    }
+    val df = rows.toDF("ws", "ts", "id")
+    val got = MetricsAgg.quotaAdmission(df, col("ws"), col("ts"),
+        col("id"), quota = 25L)
+      .select("workspace_id", "event_id", "seq", "billable")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ws"), date_trunc("month", col("ts")))
+      .orderBy(col("ts"), col("id"))
+    val want = df.withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("ws"), col("id"), col("seq"), (col("seq") <= 25L).as("b"))
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got == want)
+  }
+
+  test("kmv estimates track exact distinct counts on random key sets") {
+    import graft.operators.Frequency
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 4000).map { _ =>
+      val g = s"g${rnd.nextInt(4)}"
+      (g, rnd.nextInt(if (g == "g0") 100 else 1500).toLong)
+    }
+    val df = rows.toDF("g", "item")
+    val exact = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).distinct.size }.toMap
+    val k = 64
+    val est = Frequency.kmvSketches(df, "g", "item", k)
+      .select(col("key"),
+        Frequency.kmvDistinctEstimate(col("sketch"), k).as("est"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (g, n) =>
+      val e = est(g)
+      if (n < k) assert(e == n.toDouble, s"$g exact path")
+      else assert(math.abs(e - n) < n * 0.5, s"$g est $e vs exact $n")
+    }
+  }
+
+  test("retrievalEval agrees with a brute-force metric computation") {
+    import graft.operators.EvalMetrics
+    val rnd = new scala.util.Random(31337)
+    val k = 8
+    val ranking = (1L to 12L).flatMap(q =>
+      rnd.shuffle((1L to 40L).toList).take(k).zipWithIndex
+        .map { case (id, i) => (q, i + 1, id) })
+      .toDF("qid", "rank", "id")
+    val relevant = (1L to 12L).flatMap(q =>
+      rnd.shuffle((1L to 40L).toList).take(rnd.nextInt(15))
+        .map(id => (q, id)))
+    val relevantDf = relevant.toDF("qid", "id")
+    val disc = EvalMetrics.dcgDiscountsMicro(k)
+    val got = EvalMetrics.retrievalEval(ranking.toDF(), relevantDf, k)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val rankRows = ranking.toDF().as[(Long, Int, Long)].collect()
+      .groupBy(_._1)
+    val relSets = relevant.groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    (1L to 12L).foreach { q =>
+      val rel = relSets.getOrElse(q, Set.empty)
+      val hits = rankRows(q).filter(t => rel.contains(t._3))
+        .sortBy(_._2)
+      val r = got(q)
+      assert(r.getLong(1) == rel.size.toLong)
+      assert(r.getLong(2) == hits.length.toLong)
+      val dcg = hits.map(t => disc(t._2 - 1)).sum
+      assert(r.getLong(4) == dcg, s"q$q dcg")
+      val idcg = disc.take(math.min(rel.size, k)).sum
+      assert(r.getLong(5) == idcg, s"q$q idcg")
+      if (hits.nonEmpty)
+        assert(r.getInt(3) == hits.head._2)
+    }
+  }
 }
