@@ -126,6 +126,65 @@ object EventPipeline {
     * foreachBatch — the layout is a narrow projection, but the reroute
     * join needs the envelope's `connection_id` and the CURRENT config
     * snapshot, which only exists per batch. */
+  /** Billing quota enforcement INSIDE the pipeline (ref free tier
+    * "200k events/mo", README.md:62): per (write_key, month), a
+    * running admitted count flags each event `billable` before it
+    * lands. The counter is NOT streaming state — it is a per-batch
+    * delta file under `_quota/<stream>/delta-<batchId>` (idempotent:
+    * a replayed batch overwrites its own delta), and a batch's offset
+    * is the sum of strictly-earlier deltas — so the counter survives
+    * restarts with the checkpoint's batch ids, the same recovery
+    * contract as the runOnce markers. Within a batch, admission order
+    * is (timestamp, message_id); across batches, arrival order — the
+    * [[graft.operators.MetricsAgg.streamingQuotaFlags]] semantics with
+    * a durable counter instead of state-store state. The per-batch
+    * window is bounded by micro-batch size. Returns
+    * (message_id, billable). */
+  private def quotaFlags(env: DataFrame, warehouseDir: String,
+                         streamId: String, batchId: Long,
+                         quota: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = env.sparkSession
+    val scope = java.security.MessageDigest.getInstance("MD5")
+      .digest(streamId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val qdir = new java.io.File(s"$warehouseDir/_quota/$scope")
+    qdir.mkdirs()
+    val priorDirs = Option(qdir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-") &&
+        f.getName.stripPrefix("delta-").toLong < batchId)
+      .map(_.getAbsolutePath)
+    val prior =
+      if (priorDirs.isEmpty)
+        spark.emptyDataFrame
+          .select(lit("").as("_qws"), lit("").as("_qmonth"),
+            lit(0L).as("_qprior")).limit(0)
+      else spark.read.parquet(priorDirs.toIndexedSeq: _*)
+        .groupBy(col("_qws"), col("_qmonth"))
+        .agg(sum(col("_qn")).as("_qprior"))
+    val keyed = env.select(col("message_id"),
+      coalesce(col("write_key"), lit("")).as("_qws"),
+      date_format(date_trunc("month", col("timestamp")), "yyyy-MM")
+        .as("_qmonth"),
+      col("timestamp").as("_qts"))
+    val w = Window.partitionBy(col("_qws"), col("_qmonth"))
+      .orderBy(col("_qts"), col("message_id"))
+    val flagged = keyed.withColumn("_qrn", row_number().over(w))
+      .join(broadcast(prior), Seq("_qws", "_qmonth"), "left")
+      .withColumn("billable",
+        coalesce(col("_qprior"), lit(0L)) + col("_qrn") <= quota)
+      .persist()
+    // this batch's delta — overwrite makes a replayed batch idempotent
+    flagged.groupBy(col("_qws"), col("_qmonth"))
+      .agg(count(lit(1)).as("_qn"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${qdir.getAbsolutePath}/delta-$batchId")
+    val out = flagged.select(col("message_id"), col("billable"))
+      .localCheckpoint()
+    flagged.unpersist(false)
+    out
+  }
+
   private def envelopeStream(raw: DataFrame,
                              dedupWatermark: String): DataFrame = {
     val value = col("value").cast("string")
@@ -225,7 +284,8 @@ object EventPipeline {
             configDir: Option[String] = None,
             maxFilesPerTrigger: Int = 32,
             statePartitions: Int = 0,
-            stateStore: String = "hdfs"): StreamingQuery = {
+            stateStore: String = "hdfs",
+            quotaPerMonth: Option[Long] = None): StreamingQuery = {
     // a cloned session scopes the overrides to THIS query (shared
     // SparkContext, independent SQL conf)
     val session =
@@ -290,7 +350,16 @@ object EventPipeline {
           try {
             val isQ = col("error").isNotNull
             val env = cached.filter(!isQ).drop("raw_event", "error")
-            router.write(applyLayout(reroute(env), layout))
+            val out = applyLayout(reroute(env), layout)
+            router.write(quotaPerMonth match {
+              case None => out
+              case Some(q) =>
+                val flags = quotaFlags(env, warehouseDir, checkpointDir,
+                  batchId, q)
+                // layouts project fixed column sets, so the flag joins
+                // back on message_id after the layout (batch-sized join)
+                out.join(flags, Seq("message_id"), "left")
+            })
             val bad = cached.filter(isQ)
               .select(col("raw_event"), col("error"),
                 lit("quarantine").as("_table"))

@@ -585,4 +585,38 @@ class StreamingSpec extends GraftSpec {
       ), s"got $got")
     } finally q.stop()
   }
+
+  test("pipeline quota: billable flags continue across a stream restart") {
+    val in = tmp("graft-in"); val wh = tmp("graft-wh"); val cp = tmp("graft-cp")
+    val env = DriverEventsAdapter.load(spark, sf)
+      .filter(col("write_key") === "wk0")
+      .orderBy(col("timestamp"), col("message_id"))
+      .limit(12)
+      .persist()
+    val ordered = env.select(col("message_id"))
+      .as[String].collect().toSeq
+    val (first, second) = (ordered.take(7).toSet, ordered.drop(7).toSet)
+    def stage(dir: String, ids: Set[String]): Unit =
+      env.filter(col("message_id").isin(ids.toSeq: _*))
+        .select(to_json(struct(env.columns.map(col): _*)).as("value"))
+        .coalesce(1).write.mode("overwrite").text(dir)
+    stage(in, first)
+    val q1 = EventPipeline.start(spark, in, wh, cp, quotaPerMonth = Some(9L))
+    try q1.processAllAvailable() finally q1.stop()
+    // second tranche arrives after a restart: the durable delta counter
+    // must keep counting from 7, so exactly 2 of these are billable
+    env.filter(col("message_id").isin(second.toSeq: _*))
+      .select(to_json(struct(env.columns.map(col): _*)).as("value"))
+      .coalesce(1).write.mode("append").text(in)
+    val q2 = EventPipeline.start(spark, in, wh, cp, quotaPerMonth = Some(9L))
+    try q2.processAllAvailable() finally q2.stop()
+    val landed = spark.read.parquet(s"$wh/events")
+      .select(col("message_id"), col("billable"))
+      .as[(String, Boolean)].collect().toMap
+    assert(landed.size == 12)
+    assert(first.forall(landed(_)), "first tranche fully billable")
+    assert(landed.count(_._2) == 9,
+      s"quota 9 must admit exactly 9: $landed")
+    env.unpersist(false)
+  }
 }
