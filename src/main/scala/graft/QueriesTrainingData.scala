@@ -383,6 +383,46 @@ object QueriesTrainingData {
     // copy of every benchmark doc (first word dropped, id+10000) so the
     // gate proves detection, not absence; oracle = exact cross-set
     // Jaccard over the same spiked corpus
+    // word-embedding training (skip-gram Word2Vec) with planted
+    // co-occurrence structure: each doc gets a marker-token pair
+    // qqa<k>/qqb<k> (k = doc_id % 8) appended twice — tokens that only
+    // ever co-occur with their partner. After training, each qqa<k>'s
+    // nearest qqb* must be its own partner; the per-anchor decisions
+    // plus the SQL-replayable vocab counts are the gate, with a floor
+    // wide enough that seed-stable training jitter cannot flip it.
+    "td_word2vec" -> ((s, dir) => {
+      import graft.operators.TextEmbeddings
+      val d = docs(s, dir)
+      val k = pmod(col("doc_id"), lit(8))
+      val pair = concat(lit(" qqa"), k, lit(" qqb"), k)
+      val spiked = d.select(col("doc_id"),
+        concat(col("text"), pair, pair).as("text"))
+      val toks = spiked.select(col("doc_id"),
+        TextFunctions.words(col("text")).as("toks"))
+      val model = TextEmbeddings.trainWord2Vec(toks, "toks")
+      val vecs = TextEmbeddings.vectors(model)
+        .filter(col("word").startsWith("qqa") ||
+          col("word").startsWith("qqb"))
+      val a = vecs.filter(col("word").startsWith("qqa"))
+        .select(substring(col("word"), 4, 2).cast("int").as("ka"),
+          col("vector").as("va"))
+      val b = vecs.filter(col("word").startsWith("qqb"))
+        .select(substring(col("word"), 4, 2).cast("int").as("kb"),
+          col("vector").as("vb"))
+      val cos = graft.functions.expressions.VectorKernels.cosine_sim(
+        col("va").cast("array<float>"), col("vb").cast("array<float>"))
+      val scored = a.crossJoin(b).select(col("ka"), col("kb"),
+        cos.as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ka")).orderBy(col("c").desc, col("kb"))
+      val best = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val nCorrect = best.filter(col("ka") === col("kb")).count()
+      s.range(1).select(
+        lit(a.count()).as("n_anchors"),
+        lit(nCorrect >= 6L).as("pairs_recovered_ok"))
+    }),
+
     // decontamination SUITE report — the decision matrix a release
     // pipeline actually wants: per benchmark doc, which leak kind got
     // in and which method catches it. Two planted leak classes:
@@ -1946,6 +1986,10 @@ object QueriesTrainingData {
          |  jaccard
          |FROM ($jaccardSql)
          |WHERE (id_a % 2) <> (id_b % 2)""".stripMargin),
+    "td_word2vec" ->
+      """SELECT CAST(COUNT(DISTINCT doc_id % 8) AS BIGINT) AS n_anchors,
+        |  TRUE AS pairs_recovered_ok
+        |FROM documents""".stripMargin,
     "td_decontam_suite" ->
       """WITH b AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
