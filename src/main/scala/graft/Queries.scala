@@ -65,6 +65,21 @@ object Queries {
     // m^{3/2} wedge bound; the oracle orients by plain id (a<b<c),
     // which finds the SAME triangle set, so per-node counts match
     // exactly while the implementations stay independent.
+    // community detection: synchronous label propagation, 3 fixed
+    // rounds, (count desc, label asc) tie-break — deterministic, so the
+    // oracle replays all three rounds as unrolled SQL (the g1_pagerank
+    // precedent). Communities = dense co-purchase regions, vs
+    // connected components which would merge across bridge edges.
+    "g5_communities" -> ((s, dir) => {
+      val items = li(s, dir).filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+        .distinct()
+      graft.operators.Graph.labelPropagation(e, rounds = 3)
+    }),
     "g2_triangles" -> ((s, dir) => {
       val items = li(s, dir).filter(pmod(col("l_orderkey"), lit(10)) === 0)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -252,6 +267,31 @@ object Queries {
         |  FROM dir JOIN p2 ON dir.src = p2.v JOIN deg ON dir.src = deg.src
         |  GROUP BY dir.dst)
         |SELECT v, ROUND(r, 6) AS rank FROM p3""".stripMargin,
+    "g5_communities" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.p AS src, y.p AS dst
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |ed AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM ed),
+        |c1 AS (SELECT ed.src, l.lbl, COUNT(*) AS n
+        |       FROM ed JOIN l0 l ON l.v = ed.dst GROUP BY 1, 2),
+        |l1 AS (SELECT src AS v, lbl FROM (
+        |  SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+        |    ORDER BY n DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT ed.src, l.lbl, COUNT(*) AS n
+        |       FROM ed JOIN l1 l ON l.v = ed.dst GROUP BY 1, 2),
+        |l2 AS (SELECT src AS v, lbl FROM (
+        |  SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+        |    ORDER BY n DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT ed.src, l.lbl, COUNT(*) AS n
+        |       FROM ed JOIN l2 l ON l.v = ed.dst GROUP BY 1, 2),
+        |l3 AS (SELECT src AS v, lbl FROM (
+        |  SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+        |    ORDER BY n DESC, lbl) AS rn FROM c3) WHERE rn = 1)
+        |SELECT v, lbl AS community FROM l3""".stripMargin,
     "g2_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

@@ -114,4 +114,53 @@ object Graph {
     tris.select(explode(array(col("a"), col("x"), col("y"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan
+    * 2007) with a FIXED round budget and a deterministic tie-break —
+    * the same design bargain as [[pageRank]]: asynchronous LPA with
+    * random tie-breaks converges faster in papers, but a fixed-round
+    * synchronous sweep with (count desc, label asc) ties is
+    * deterministic, replayable by an oracle as unrolled SQL, and the
+    * production shape anyway (community jobs budget rounds).
+    *
+    * Each round, every node adopts the most frequent label among its
+    * NEIGHBORS (ties to the smallest label); labels start as node ids.
+    * Contrast [[graft.operators.Dedup.connectedComponents]]: CC merges
+    * everything reachable, LPA finds dense regions — a bridge edge
+    * joins two components but usually not two communities.
+    *
+    * Scale shape mirrors pageRank: the undirected edge list is
+    * partitioned on src once and persisted; each round shuffles only
+    * the node-sized label table plus per-(node, label) counts; the
+    * per-node argmax compiles to one window over those counts.
+    * Returns (v, community). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var labels = dir.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).persist()
+    labels.count()
+    try {
+      (1 to rounds).foreach { _ =>
+        val counts = dir.join(labels, dir("dst") === labels("v"))
+          .groupBy(dir("src"), col("lbl"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("n").desc, col("lbl"))
+        val next = counts.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("src").as("v"), col("lbl"))
+          .persist()
+        next.count()
+        labels.unpersist(false)
+        labels = next
+      }
+      labels.withColumnRenamed("lbl", "community")
+    } finally { dir.unpersist(false); () }
+  }
 }

@@ -79,4 +79,30 @@ class GraphSpec extends GraftSpec {
       ("b", "d"), ("d", "e"), ("c", "e"))
     assert(tri(e) == tri(e.map(_.swap)))
   }
+
+  test("labelPropagation: two cliques over a bridge stay two communities") {
+    import graft.operators.{Dedup, Graph}
+    // K4 on {1..4}, K4 on {11..14}, one bridge 4-11
+    def clique(vs: Seq[Long]) = for {
+      a <- vs; b <- vs if a < b
+    } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ ((4L, 11L)))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val left = Seq(1L, 2L, 3L, 4L).map(got)
+    val right = Seq(11L, 12L, 13L, 14L).map(got)
+    assert(left.distinct.size == 1, s"left clique split: $got")
+    assert(right.distinct.size == 1, s"right clique split: $got")
+    assert(left.head != right.head,
+      "bridge edge must not merge the communities")
+    // connected components WOULD merge them — the contrast that makes
+    // LPA a different operator
+    val cc = Dedup.connectedComponents(
+        edges.withColumnRenamed("src", "id_a")
+          .withColumnRenamed("dst", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1)
+  }
 }
