@@ -383,6 +383,26 @@ object QueriesTrainingData {
     // copy of every benchmark doc (first word dropped, id+10000) so the
     // gate proves detection, not absence; oracle = exact cross-set
     // Jaccard over the same spiked corpus
+    // C4-style sentence-level filtering: documents re-punctuated
+    // deterministically (a period every 6th word + an appended 1-word
+    // "Hi." sentence + a naturally unterminated tail), then split on
+    // terminal punctuation, short sentences dropped, doc rebuilt from
+    // survivors — the oracle replays the spike, the split, the filter,
+    // and the byte-exact rebuilt text.
+    "td_sentence_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = TextFunctions.words(col("text"))
+      val spiked = concat(
+        concat_ws(" ", transform(w, (x, i) =>
+          concat(x, when(pmod(i + 1, lit(6)) === 0, lit("."))
+            .otherwise(lit(""))))),
+        lit(" Hi."))
+      graft.operators.TextQuality.sentenceFilter(
+          d.select(col("doc_id"), spiked.as("text")), "doc_id", "text")
+        .select(col("doc_id"), col("n_sentences"), col("n_kept"),
+          md5(col("text_clean")).as("clean_md5"))
+    }),
+
     // word-embedding training (skip-gram Word2Vec) with planted
     // co-occurrence structure: each doc gets a marker-token pair
     // qqa<k>/qqb<k> (k = doc_id % 8) appended twice — tokens that only
@@ -1986,6 +2006,31 @@ object QueriesTrainingData {
          |  jaccard
          |FROM ($jaccardSql)
          |WHERE (id_a % 2) <> (id_b % 2)""".stripMargin),
+    "td_sentence_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(1, len(w) + 1),
+        |      i -> w[i] || CASE WHEN i % 6 = 0 THEN '.' ELSE '' END),
+        |      ' ') || ' Hi.' AS t
+        |  FROM w),
+        |sents AS (
+        |  SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]+') AS ss
+        |  FROM sp),
+        |k AS (
+        |  SELECT doc_id, ss,
+        |    list_filter(ss, s -> len(list_filter(
+        |      string_split_regex(trim(s), '\s+'),
+        |      x -> len(x) > 0)) >= 3) AS kept
+        |  FROM sents)
+        |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sentences,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(list_transform(kept, s -> trim(s)), ' '))
+        |    AS clean_md5
+        |FROM k""".stripMargin,
     "td_word2vec" ->
       """SELECT CAST(COUNT(DISTINCT doc_id % 8) AS BIGINT) AS n_anchors,
         |  TRUE AS pairs_recovered_ok

@@ -348,4 +348,29 @@ object TextQuality {
         round(avg(col("nll")), 4).as("avg_nll"),
         round(exp(avg(col("nll"))), 2).as("ppl"))
   }
+
+  /** C4-style SENTENCE-level filtering (Raffel 2020 §2.2 cleans line by
+    * line; the same gates at sentence grain): split on terminal
+    * punctuation, keep sentences with >= minWords words, rebuild the
+    * document from the survivors. Unterminated trailing fragments never
+    * match the sentence pattern and fall away — the "incomplete line"
+    * rule. One codegen'd map pass (regexp_extract_all + higher-order
+    * filter), no shuffle, and every step is RE2-compatible (no
+    * lookbehind), so an oracle replays the rebuild byte-for-byte.
+    * Returns (id, n_sentences, n_kept, text_clean). */
+  def sentenceFilter(docs: DataFrame, idCol: String, textCol: String,
+                     minWords: Int = 3): DataFrame = {
+    val sentences = expr(
+      s"regexp_extract_all($textCol, '[^.!?]+[.!?]+', 0)")
+    val words = (sc: Column) => split(trim(sc), "\\s+")
+    docs.select(col(idCol),
+        sentences.as("_sents"))
+      .withColumn("_kept",
+        filter(col("_sents"), sc => size(words(sc)) >= minWords))
+      .select(col(idCol),
+        size(col("_sents")).cast("long").as("n_sentences"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        concat_ws(" ", transform(col("_kept"), sc => trim(sc)))
+          .as("text_clean"))
+  }
 }

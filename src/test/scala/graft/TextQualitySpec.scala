@@ -232,4 +232,23 @@ class TextQualitySpec extends GraftSpec {
     out.foreach(r => assert(r.getString(2) == r.getString(1),
       s"case ${r.getLong(0)}: got '${r.getString(2)}'"))
   }
+
+  test("sentenceFilter: short/unterminated sentences drop, rebuild exact") {
+    import graft.operators.TextQuality
+    val d = Seq(
+      (1L, "one two three four. short one. five six seven eight! tail frag"),
+      (2L, "no punctuation at all"),
+      (3L, "a! b? solid three words.")).toDF("id", "text")
+    val got = TextQuality.sentenceFilter(d, "id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // doc 1: 3 sentences match; "short one." (2 words) dropped; the
+    // unterminated tail never matches
+    assert(got(1L) == ((3L, 2L,
+      "one two three four. five six seven eight!")))
+    // doc 2: nothing matches the sentence pattern
+    assert(got(2L) == ((0L, 0L, "")))
+    // doc 3: "a!" and "b?" too short, the 3-word sentence survives
+    assert(got(3L) == ((3L, 1L, "solid three words.")))
+  }
 }
