@@ -383,6 +383,46 @@ object QueriesTrainingData {
     // copy of every benchmark doc (first word dropped, id+10000) so the
     // gate proves detection, not absence; oracle = exact cross-set
     // Jaccard over the same spiked corpus
+    // document clustering (hashed bag-of-words + the DataFrame-native
+    // k-means already backing IVF): planted topic markers (doc_id % 4,
+    // repeated so they dominate the TF vector) must be recovered as
+    // cluster structure — per-topic majority-cell purity over a floor
+    // with margin. Counts are SQL-replayable; the purity decision is
+    // the measured property (no SQL engine replays k-means).
+    "td_doc_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t = pmod(col("doc_id"), lit(4))
+      val marker = concat(lit(" tpx"), t, lit("a tpx"), t,
+        lit("b tpx"), t, lit("c"))
+      val rep = (1 to 8).map(_ => marker).reduce(concat(_, _))
+      val spiked = d.select(col("doc_id"),
+        concat(col("text"), rep).as("text"))
+      val toks = spiked.select(col("doc_id"),
+        TextFunctions.words(col("text")).as("toks"))
+      val tf = new org.apache.spark.ml.feature.HashingTF()
+        .setInputCol("toks").setOutputCol("f").setNumFeatures(128)
+      import s.implicits._
+      val feats = tf.transform(toks)
+        .select(col("doc_id"), col("f"))
+        .map(r => (r.getLong(0),
+          r.getAs[org.apache.spark.ml.linalg.Vector](1)
+            .toArray.map(_.toFloat).toSeq))
+        .toDF("id", "vec")
+      val cents = Similarity.trainCentroids(feats, nlist = 4, iters = 3)
+      val assigned = feats.select(col("id"),
+        Similarity.cellOf(col("vec"), cents).as("cell"))
+        .withColumn("topic", pmod(col("id"), lit(4)))
+      val perTopic = assigned.groupBy(col("topic"), col("cell"))
+        .agg(count(lit(1)).as("n"))
+      val majority = perTopic.groupBy(col("topic"))
+        .agg(max(col("n")).as("m"), sum(col("n")).as("tot"))
+      val agg = majority.agg(sum(col("m")).as("maj"),
+        sum(col("tot")).as("tot")).head()
+      val purity = agg.getLong(0).toDouble / agg.getLong(1)
+      s.range(1).select(lit(agg.getLong(1)).as("n_docs"),
+        lit(purity >= 0.9).as("purity_ok"))
+    }),
+
     // C4-style sentence-level filtering: documents re-punctuated
     // deterministically (a period every 6th word + an appended 1-word
     // "Hi." sentence + a naturally unterminated tail), then split on
@@ -2006,6 +2046,10 @@ object QueriesTrainingData {
          |  jaccard
          |FROM ($jaccardSql)
          |WHERE (id_a % 2) <> (id_b % 2)""".stripMargin),
+    "td_doc_clusters" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS purity_ok
+        |FROM documents""".stripMargin,
     "td_sentence_filter" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
