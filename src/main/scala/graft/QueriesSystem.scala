@@ -705,6 +705,36 @@ object QueriesSystem {
           countDistinct(col("message_id")).as("n_distinct"))
     }),
 
+    // zero-copy writable clone (SHALLOW CLONE / dev branch): after the
+    // clone, the LIVE table's error rows are merge-replaced while the
+    // DEV branch gets synthetic experiment rows appended — one oracle
+    // gates both diverged timelines, proving the branches share bytes
+    // at clone time and never bleed writes into each other.
+    "k18_clone" -> ((s, dir) => {
+      val wh = tmp("graft-clone")
+      val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+      val env = graft.schema.EventSchema.readEvents(s, dir)
+        .select(concat(lit("m"), col("event_id")).as("message_id"),
+          col("ts").as("timestamp"), col("event_type"))
+      router.write(env.withColumn("_table", lit("events")))
+      router.cloneTable("events", "events_dev")
+      // live branch: error rows replaced via the dedup MERGE
+      router.write(env.filter(col("event_type") === "error")
+        .withColumn("event_type", lit("fixed"))
+        .withColumn("_table", lit("events")))
+      // dev branch: synthetic experiment rows appended under new ids
+      router.write(env.filter(col("event_type") === "click")
+        .select(concat(lit("dev"), col("message_id")).as("message_id"),
+          col("timestamp"), lit("devtest").as("event_type"))
+        .withColumn("_table", lit("events_dev")))
+      def counts(t: String, branch: String) =
+        router.readTable(s, t)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(branch).as("branch"), col("event_type"), col("n"))
+      counts("events", "live").unionByName(counts("events_dev", "dev"))
+    }),
+
     // GDPR parity on the JDBC warehouse: erasure as the database's
     // native SQL DELETE (vs the file warehouse's partition rewrite) and
     // Art. 15 subject export across tables — the same rights, pushed
@@ -912,6 +942,19 @@ object QueriesSystem {
   )
 
   val oracles: Map[String, String] = Map(
+    "k18_clone" ->
+      """WITH e AS (SELECT event_type FROM events)
+        |SELECT 'live' AS branch,
+        |  CASE WHEN event_type = 'error' THEN 'fixed'
+        |    ELSE event_type END AS event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'dev', event_type, CAST(COUNT(*) AS BIGINT)
+        |FROM e GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'dev', 'devtest', CAST(COUNT(*) AS BIGINT)
+        |FROM e WHERE event_type = 'click'""".stripMargin,
     "k2c_jdbc_gdpr" ->
       """WITH e AS (
         |  SELECT event_type, user_id % 40 AS m FROM events)

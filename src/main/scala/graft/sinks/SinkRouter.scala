@@ -787,6 +787,49 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     recordCommit(table, "snapshot", Map.empty)
   }
 
+  /** Zero-copy WRITABLE clone — the dev/test-branch half of the
+    * snapshot pair (Delta SHALLOW CLONE): a new top-level table whose
+    * data files, schema sidecar, and MoR deletion vector are hard
+    * links into the source's current state. Reads of the clone are
+    * byte-identical to the source at clone time; subsequent writes to
+    * EITHER side diverge safely because the router never mutates a
+    * data file in place — appends create new files, and merge /
+    * compact / delete replace whole partition directories through the
+    * staged-write + manifest swap, unlinking rather than rewriting the
+    * shared inodes. O(files) metadata ops, zero bytes copied; atomic
+    * publish via directory rename. On an object store the link set
+    * becomes a metadata-manifest copy — the same O(metadata) shape. */
+  def cloneTable(srcTable: String, dstTable: String): Unit = {
+    val src = tablePath(srcTable)
+    recover(src)
+    val sidecar = Paths.get(src, SchemaSidecar)
+    if (!Files.exists(sidecar))
+      throw new IllegalStateException(
+        s"table $srcTable has no schema sidecar (write to it first)")
+    val dst = Paths.get(tablePath(dstTable))
+    if (Files.exists(dst))
+      throw new IllegalStateException(s"table already exists: $dstTable")
+    val tmpDst = Paths.get(warehouseDir, s".clone-tmp-$dstTable")
+    deleteRecursive(tmpDst.toFile)
+    Files.createDirectories(tmpDst)
+    Files.createLink(tmpDst.resolve(SchemaSidecar), sidecar): Unit
+    def linkDir(srcDir: java.io.File, to: Path): Unit = {
+      Files.createDirectories(to)
+      Option(srcDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .foreach(f => Files.createLink(to.resolve(f.getName), f.toPath))
+    }
+    listDir(src).filter(d => d.isDirectory &&
+        d.getName.startsWith(s"$DateCol="))
+      .foreach(d => linkDir(d, tmpDst.resolve(d.getName)))
+    val dv = new java.io.File(dvPath(src))
+    if (dv.isDirectory) linkDir(dv, tmpDst.resolve("_deletes"))
+    Files.move(tmpDst, dst, StandardCopyOption.ATOMIC_MOVE)
+    recordCommit(dstTable, "clone",
+      Map.empty) // source untouched; the clone's history starts here
+  }
+
   /** Read a named snapshot exactly as [[readTable]] reads the live
     * table: the snapshot's OWN sidecar schema (schema evolution after
     * the snapshot doesn't leak back in time) and the snapshot's own

@@ -622,4 +622,31 @@ class SinkRouterSpec extends GraftSpec {
       .select(element_at(col("metrics"), "rows")).as[Long].collect().head
     assert(m == 2L)
   }
+
+  test("cloneTable: shared bytes at clone time, branches never bleed") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
+    def batch(rows: (String, String)*) = rows.map { case (m, v) =>
+      (m, "2024-01-01 10:00:00", v, "t") }
+      .toDF("messageId", "timestamp", "v", "_table")
+      .withColumn("timestamp", col("timestamp").cast("timestamp"))
+    router.write(batch(("m1", "a"), ("m2", "b")))
+    // a MoR-erased key must stay hidden in the clone too
+    router.deleteWhereMor(spark, "t", col("message_id") === "m2")
+    router.cloneTable("t", "t_dev")
+    assert(router.readTable(spark, "t_dev")
+      .select("message_id").as[String].collect().toSeq == Seq("m1"))
+    // duplicate clone name rejected
+    intercept[IllegalStateException](router.cloneTable("t", "t_dev"))
+    // diverge both sides
+    router.write(batch(("m1", "LIVE")))   // merge into live
+    router.write(batch(("m9", "DEV")).withColumn("_table", lit("t_dev")))
+    val live = router.readTable(spark, "t")
+      .select("message_id", "v").as[(String, String)].collect().toMap
+    val dev = router.readTable(spark, "t_dev")
+      .select("message_id", "v").as[(String, String)].collect().toMap
+    assert(live == Map("m1" -> "LIVE"))
+    assert(dev == Map("m1" -> "a", "m9" -> "DEV"),
+      s"dev branch must keep the pre-merge value: $dev")
+  }
 }
