@@ -383,6 +383,39 @@ object QueriesTrainingData {
     // copy of every benchmark doc (first word dropped, id+10000) so the
     // gate proves detection, not absence; oracle = exact cross-set
     // Jaccard over the same spiked corpus
+    // the RELEASE CUT — the query a curation pipeline runs to cut a
+    // dataset release, composed end to end: Gopher quality gates →
+    // MinHash near-dup pairs over the survivors → leakage-free
+    // train/val/test split keyed on near-dup components → the per-split
+    // dataset card (docs/words/languages). One oracle replays every
+    // stage: the quality thresholds, the exact-Jaccard pair set, the
+    // recursive component closure, the md5 bucket rule, and the card.
+    "td_release_cut" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = TextQuality.gopherQuality(d, "doc_id", "text")
+      // the battery minus the stopword rule — this synthetic corpus has
+      // no English stopwords, and a gate that keeps zero docs gates
+      // nothing (quality rules are configured per corpus; 394/500 pass
+      // here). Filters compare the ROUNDED emitted metrics, so the
+      // decision is engine-exact.
+      val keptIds = q.filter(col("n_words") >= 30 &&
+        col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") < 0.1 && col("alpha_word_frac") > 0.8)
+      val kept = d.join(keptIds.select(col("doc_id")), Seq("doc_id"))
+      val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text",
+        n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2)
+      val split = Dedup.leakFreeSplit(kept.select(col("doc_id")),
+        "doc_id", pairs, testBp = 1000, valBp = 1000)
+      split.join(kept, Seq("doc_id"))
+        .select(col("split"), col("lang"),
+          size(TextFunctions.words(col("text"))).as("nw"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
     // document clustering (hashed bag-of-words + the DataFrame-native
     // k-means already backing IVF): planted topic markers (doc_id % 4,
     // repeated so they dominate the TF vector) must be recovered as
@@ -2050,6 +2083,71 @@ object QueriesTrainingData {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  TRUE AS purity_ok
         |FROM documents""".stripMargin,
+    "td_release_cut" ->
+      """WITH RECURSIVE ws AS (
+        |  SELECT doc_id, text, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS DOUBLE) AS nw,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g'))
+        |      AS DOUBLE) AS cw,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.'))
+        |      AS DOUBLE) AS sym,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS DOUBLE) AS alpha,
+        |    len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS hits
+        |  FROM ws),
+        |kept AS (
+        |  SELECT ws.doc_id, ws.lang, ws.w FROM ws JOIN m USING (doc_id)
+        |  WHERE m.nw >= 30 AND m.nw <= 100000
+        |    AND ROUND(m.cw / greatest(m.nw, 1.0), 4) >= 3.0
+        |    AND ROUND(m.cw / greatest(m.nw, 1.0), 4) <= 10.0
+        |    AND ROUND(m.sym / greatest(m.nw, 1.0), 4) < 0.1
+        |    AND ROUND(m.alpha / greatest(m.nw, 1.0), 4) > 0.80),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 2, 0)),
+        |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        |  FROM kept),
+        |nsh AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN nsh na ON na.doc_id = id_a
+        |  JOIN nsh nb ON nb.doc_id = id_b
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |keyed AS (
+        |  SELECT k.doc_id, k.lang, CAST(len(k.w) AS BIGINT) AS nw,
+        |    COALESCE(l.component, k.doc_id) AS key
+        |  FROM kept k LEFT JOIN labels l ON l.id = k.doc_id),
+        |sp AS (
+        |  SELECT doc_id, lang, nw,
+        |    CAST(('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10000 AS b
+        |  FROM keyed)
+        |SELECT CASE WHEN b < 1000 THEN 'test'
+        |    WHEN b < 2000 THEN 'val' ELSE 'train' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS n_words,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM sp GROUP BY 1""".stripMargin,
     "td_sentence_filter" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
