@@ -525,6 +525,26 @@ object QueriesExtra {
           "lineitem_discount_range"))
     }),
 
+    // functional-dependency audit: one that HOLDS (nation determines
+    // region — the normalized-dimension contract), one that VIOLATES
+    // (customer does not determine order priority), and a composite
+    // determinant that holds by construction (the orders pk determines
+    // everything). Exact counts, one hash agg per dependency.
+    "dq_fd" -> ((s, dir) => {
+      import graft.operators.DataChecks
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      DataChecks.functionalDependency(nat, Seq("n_nationkey"),
+          "n_regionkey", "nation_determines_region")
+        .unionByName(DataChecks.functionalDependency(ord,
+          Seq("o_custkey"), "o_orderpriority",
+          "custkey_determines_priority"))
+        .unionByName(DataChecks.functionalDependency(ord,
+          Seq("o_orderkey"), "o_orderstatus",
+          "orderkey_determines_status"))
+        .orderBy(col("dependency"))
+    }),
+
     // Merkle-style cross-warehouse reconciliation: a replica of orders
     // (o_orderkey is the unique pk — the dq_checks gate proves it) with
     // three planted drift classes — ~1/997 rows dropped
@@ -1292,6 +1312,33 @@ object QueriesExtra {
         |FROM (SELECT event_type, CAST(FLOOR(value / 25) AS INT) AS band, value
         |      FROM events)
         |GROUP BY CUBE (event_type, band)""".stripMargin,
+    "dq_fd" ->
+      """WITH f AS (
+        |  SELECT 'nation_determines_region' AS dependency,
+        |    COUNT(*) AS g,
+        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS v,
+        |    SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS r
+        |  FROM (SELECT n_nationkey,
+        |      COUNT(DISTINCT n_regionkey) AS nd, COUNT(*) AS n
+        |    FROM nation GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'custkey_determines_priority', COUNT(*),
+        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN nd > 1 THEN n ELSE 0 END)
+        |  FROM (SELECT o_custkey,
+        |      COUNT(DISTINCT o_orderpriority) AS nd, COUNT(*) AS n
+        |    FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'orderkey_determines_status', COUNT(*),
+        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN nd > 1 THEN n ELSE 0 END)
+        |  FROM (SELECT o_orderkey,
+        |      COUNT(DISTINCT o_orderstatus) AS nd, COUNT(*) AS n
+        |    FROM orders GROUP BY 1))
+        |SELECT dependency, CAST(g AS BIGINT) AS n_groups,
+        |  CAST(v AS BIGINT) AS n_violating_groups,
+        |  CAST(r AS BIGINT) AS n_rows_in_violations
+        |FROM f ORDER BY dependency""".stripMargin,
     "dq_bucket_diff" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_orderstatus, o_orderpriority,

@@ -96,4 +96,21 @@ class DataChecksSpec extends GraftSpec {
       .as[(Long, Long, String)].collect().toSet
     assert(got == Set((1L, 2L, "value_mismatch")))
   }
+
+  test("functionalDependency: holding vs violated dependencies count exactly") {
+    val df = Seq((1L, "a", "x"), (1L, "a", "y"), (2L, "b", "z"),
+      (3L, "b", "z")).toDF("k", "d1", "d2")
+    // k -> d1 holds (each k has one d1)
+    val hold = DataChecks.functionalDependency(df, Seq("k"), "d1", "h")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(hold == (("h", 3L, 0L, 0L)))
+    // k -> d2 violated for k=1 (x and y), 2 rows involved
+    val viol = DataChecks.functionalDependency(df, Seq("k"), "d2", "v")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(viol == (("v", 3L, 1L, 2L)))
+    // composite determinant (k, d1) -> d2: still violated for (1, a)
+    val comp = DataChecks.functionalDependency(df, Seq("k", "d1"), "d2", "c")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(comp == (("c", 3L, 1L, 2L)))
+  }
 }
