@@ -89,7 +89,7 @@ object Privacy {
                eps: Double, seed: Long): DataFrame = {
     val named = dims.zip(dimNames).map { case (c, n) => c.as(n) }
     val grouped = df.groupBy(named: _*).agg(count(lit(1)).as("_cnt"))
-    val key = concat_ws("",
+    val key = concat_ws("\u0001",
       lit(seed.toString) +: dimNames.map(n => col(n).cast("string")): _*)
     // u ∈ (0,1) strictly: (h + 0.5) / 2^48 with h ∈ [0, 2^48)
     val u = (conv(substring(md5(key), 1, 12), 16, 10).cast("double") +

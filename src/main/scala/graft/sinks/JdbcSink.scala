@@ -280,6 +280,7 @@ class JdbcSink(url: String, options: SinkOptions = SinkOptions(),
             to_json(struct(col("*"))).as("row_json"))
       }
     }
-    frames.reduceLeft(_ unionByName _)
+    frames.reduceOption(_ unionByName _).getOrElse(
+      spark.range(0).select(lit("").as("tbl"), lit("").as("row_json")))
   }
 }

@@ -245,10 +245,19 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     val dir = new java.io.File(warehouseDir, "_history")
     dir.mkdirs()
     val v = historyStart + historySeq.incrementAndGet()
+    // table names originate from the user-controlled `_table` column —
+    // JSON-escape them (and operation, defensively) so a quote or
+    // backslash cannot corrupt the history entry
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val mjson = metrics.toSeq.sortBy(_._1)
-      .map { case (k, n) => s""""$k": $n""" }.mkString("{", ", ", "}")
-    val json = s"""{"version": $v, "table": "$table", """ +
-      s""""operation": "$operation", """ +
+      .map { case (k, n) => s""""${esc(k)}": $n""" }.mkString("{", ", ", "}")
+    val json = s"""{"version": $v, "table": "${esc(table)}", """ +
+      s""""operation": "${esc(operation)}", """ +
       s""""ts_ms": ${System.currentTimeMillis()}, "metrics": $mjson}"""
     val f = new java.io.File(dir, f"$v%012d.json")
     val tmp = new java.io.File(dir, f".$v%012d.tmp")

@@ -357,8 +357,14 @@ object EventPipeline {
                 val flags = quotaFlags(env, warehouseDir, checkpointDir,
                   batchId, q)
                 // layouts project fixed column sets, so the flag joins
-                // back on message_id after the layout (batch-sized join)
-                out.join(flags, Seq("message_id"), "left")
+                // back on the layout's id column after the layout
+                // (batch-sized join); jitsu-legacy renames the envelope
+                // id, so rename the flag key to match
+                val idCol =
+                  if (layout == "jitsu-legacy") "eventn_ctx_event_id"
+                  else "message_id"
+                out.join(flags.withColumnRenamed("message_id", idCol),
+                  Seq(idCol), "left")
             })
             val bad = cached.filter(isQ)
               .select(col("raw_event"), col("error"),
