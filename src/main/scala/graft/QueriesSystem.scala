@@ -490,6 +490,43 @@ object QueriesSystem {
         countDistinct(col("coupon")).as("uniq_coupons"))
     }),
 
+    // P1c/§1.1: the VARIANT twin of p1b — the same two-batch hoist +
+    // sink evolution, but properties are parse_json'd into Spark 4
+    // VariantType and hoisted via schema_of_variant_agg + variant_get
+    // (pre-shredded binary access instead of per-access JSON re-parse).
+    // The oracle is p1b's oracle verbatim: the two paths must be
+    // hash-identical, which pins the DECIMAL→DOUBLE alignment rule in
+    // hoistPropertiesVariant.
+    "p1c_variant" -> ((s, dir) => {
+      val wh = tmp("graft-q-hoistv")
+      val router = new SinkRouter(wh)
+      val clicks = DriverEventsAdapter.load(s, dir)
+        .filter(col("event") === "click").persist()
+      val eid = expr("CAST(substring(message_id, 2) AS BIGINT)")
+      val k = get_json_object(col("properties"), "$.k")
+      val b1 = clicks.filter(pmod(eid, lit(2)) === 0)
+      val b2 = clicks.filter(pmod(eid, lit(2)) === 1)
+        .withColumn("properties", concat(
+          lit("{\"k\": "), k,
+          lit(", \"coupon\": \"cp"), pmod(eid, lit(7)), lit("\"}")))
+      def hoisted(b: org.apache.spark.sql.DataFrame) =
+        operators.Layouts.hoistPropertiesVariant(
+          operators.Layouts.segmentMultiTable(b)
+            .filter(col("_table") === "click")
+            .withColumn("properties", try_parse_json(col("properties"))))
+      try {
+        router.write(hoisted(b1))
+        router.write(hoisted(b2))
+      } finally { clicks.unpersist(false); () }
+      router.readTable(s, "click").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("value")), 2).as("sum_value"),
+        count(col("value")).as("n_value"),
+        count(col("coupon")).as("n_coupon"),
+        countDistinct(col("coupon")).as("uniq_coupons"))
+    }),
+
     // L1: guarded SQL — user limit clamped to 50, row-numbered
     "l1_sql_guard" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1326,6 +1363,24 @@ object QueriesSystem {
         |    AS BIGINT)
         |FROM events WHERE event_type IN ('view', 'signup', 'purchase')""".stripMargin,
     "p1b_hoist_evolve" ->
+      """WITH c AS (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CAST(printf('%.2f', value) AS DOUBLE) AS value2
+        |  FROM events WHERE event_type = 'click')
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  ROUND(SUM(CASE WHEN event_id % 2 = 0 THEN value2 END), 2)
+        |    AS sum_value,
+        |  CAST(COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_value,
+        |  CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |    AS n_coupon,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 1
+        |    THEN 'cp' || (event_id % 7) END) AS BIGINT) AS uniq_coupons
+        |FROM c""".stripMargin,
+    // the variant path must be value-identical to the JSON-string path
+    "p1c_variant" ->
       """WITH c AS (
         |  SELECT event_id,
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -165,6 +165,60 @@ object Layouts {
     }
   }
 
+  /** VARIANT twin of [[hoistProperties]] — SURVEY §1.1 names Spark 4's
+    * `VariantType` the ideal carrier for the reference's open
+    * `properties`/`traits` JSON maps, and the engine is on 4.1.2:
+    * `parse_json` once into the binary variant encoding, then every
+    * downstream access is `variant_get` on the pre-shredded value — no
+    * per-access re-parse, which is what makes repeated key access cheap
+    * at 100 TB (the JSON-string path re-tokenizes the blob for every
+    * `get_json_object`).
+    *
+    * Schema discovery is ONE aggregation (`schema_of_variant_agg` —
+    * map-side partials + a merge, keys-sized result to the driver)
+    * instead of `spark.read.json`'s separate inference job; hoisted
+    * names/collision rules match [[hoistProperties]] exactly
+    * (snake_case, envelope wins, `_table` reserved). JSON numbers with
+    * fractions surface as DECIMAL under variant inference (vs DOUBLE
+    * under JSON-string inference) — hoisted decimal columns are cast to
+    * DOUBLE here so the two paths stay hash-identical, which the
+    * `p1c_variant` gate pins. */
+  def hoistPropertiesVariant(events: DataFrame,
+                             propsCol: String = "properties"): DataFrame = {
+    val isVariant =
+      events.schema(propsCol).dataType.typeName.contains("variant")
+    val v =
+      if (isVariant) col(propsCol)
+      else try_parse_json(col(propsCol).cast("string"))
+    val ddl = events.select(schema_of_variant_agg(v).as("s"))
+      .head().getString(0)
+      .replace("OBJECT<", "STRUCT<") // variant spells objects OBJECT<>
+    val dt = scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromDDL(ddl)).toOption
+    dt match {
+      case Some(st: org.apache.spark.sql.types.StructType)
+          if st.fields.nonEmpty =>
+        val taken = scala.collection.mutable.Set(
+          events.columns.map(Scalars.snakeCaseName).toIndexedSeq: _*)
+        val hoisted = st.fields.toSeq.flatMap { f =>
+          val name = Scalars.snakeCaseName(f.name)
+          if (taken(name) || name == "_table") None
+          else {
+            taken += name
+            val target = f.dataType match {
+              case _: org.apache.spark.sql.types.DecimalType => "DOUBLE"
+              case other => other.sql
+            }
+            Some(variant_get(v, s"$$.${f.name}", target).as(name))
+          }
+        }
+        events.select(
+          events.columns.filterNot(_ == propsCol).map(col).toSeq ++
+            hoisted: _*)
+      case _ => events.drop(propsCol)
+    }
+  }
+
   /** Schema-drift report between two batches' open-props columns — the
     * alerting counterpart of `schemaFreeze` (ref `destinations.tsx:144`
     * rejects new columns silently; a pipeline operator wants to SEE

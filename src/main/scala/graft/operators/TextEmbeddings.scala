@@ -12,17 +12,33 @@ import org.apache.spark.sql.functions._
   * token stream, broadcast the (vocab × dim) table back for similarity
   * / feature work. Like the other trained operators the gate is a
   * measured property (planted co-occurrence structure must come back
-  * as vector similarity), never a value replay. */
+  * as vector similarity), never a value replay.
+  *
+  * Determinism-vs-throughput trade, stated at the site: skip-gram SGD
+  * is order-dependent, so `numPartitions` picks between
+  *  - 1 — one gradient task, bit-stable under the seed (what the
+  *    `td_word2vec` value gate uses; the training corpus a single
+  *    task can hold is the ceiling), and
+  *  - N — N concurrent gradient partitions whose updates merge per
+  *    iteration (Spark's own Hogwild-style parallelism): the 100-TB
+  *    scale path, seed-stable only as a DISTRIBUTION — exact vectors
+  *    shift run-to-run with scheduling, but planted co-occurrence
+  *    structure still comes back as similarity (the
+  *    RandomizedInvariantsSpec property gate at numPartitions=4).
+  * Production rule: gate model QUALITY with property checks (as here),
+  * never with vector value replays, and crank `numPartitions` with the
+  * corpus. */
 object TextEmbeddings {
 
   def trainWord2Vec(docs: DataFrame, tokensCol: String, dim: Int = 16,
                     minCount: Int = 2, seed: Long = 42L,
-                    maxIter: Int = 4): Word2VecModel =
+                    maxIter: Int = 4,
+                    numPartitions: Int = 1): Word2VecModel =
     new Word2Vec()
       .setInputCol(tokensCol).setOutputCol("_w2v")
       .setVectorSize(dim).setMinCount(minCount)
       .setSeed(seed).setMaxIter(maxIter)
-      .setNumPartitions(1) // deterministic gradient order under the seed
+      .setNumPartitions(numPartitions)
       .fit(docs.select(col(tokensCol)))
 
   /** (word, vector as array<double>) — the broadcastable vocab table. */

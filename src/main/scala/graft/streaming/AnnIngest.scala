@@ -35,8 +35,18 @@ import graft.functions.expressions.VectorKernels
   * Centroids are intentionally NEVER retrained on later batches —
   * re-seeding would silently re-route future appends away from the
   * cells earlier vectors live in; a production recentroid is a separate
-  * offline rebuild of the whole table (the honest caveat, same family
-  * as the sink's append-mode at-least-once note).
+  * offline rebuild of the whole table.
+  *
+  * Appends are IDEMPOTENT under mid-append crash replay (same
+  * batch-scoped-commit layout as [[CorpusIngest]]): vectors land under
+  * `_batch=<id>/cell=<k>` and the outcome log under `_batch=<id>`, a
+  * replay deletes the batch's partitions before re-appending
+  * (assignment is deterministic against the frozen centroids, so the
+  * rewrite is byte-identical), and the centroid seed write is an
+  * overwrite of deterministic content — a replayed seed rewrites the
+  * same bytes. Probe-time pruning on `cell` still prunes: it is the
+  * second partition level, so a p-cell probe lists p directories per
+  * batch partition.
   */
 object AnnIngest {
 
@@ -68,49 +78,60 @@ object AnnIngest {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, indexDir, outDir, nlist)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, indexDir, outDir, nlist, batchId)
       }
       .start()
   }
 
   /** One batch against the stored index; also usable from a batch job
-    * for backfills. */
+    * for backfills (pass the backfill's own monotonic batch id).
+    * Idempotent per (indexDir, batchId): see the class doc. */
   def processBatch(batch: DataFrame, indexDir: String, outDir: String,
-                   nlist: Int): Unit = {
+                   nlist: Int, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
+    // replay: erase any partial output this batch id left behind
+    Seq(s"$indexDir/vectors", outDir)
+      .foreach(CorpusIngest.clearBatch(spark, _, batchId))
     val vecs = batch.na.drop(Seq("embedding"))
     val centDir = s"$indexDir/centroids"
-    val cents: Array[(Int, Array[Float])] =
-      if (Files.exists(Paths.get(centDir)))
-        spark.read.parquet(centDir).collect()
-          .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-          .sortBy(_._1)
-      else {
-        // seed quantizer: the batch's nlist smallest ids, cell = rank.
-        // Only nlist × dim floats ever reach the driver.
-        val seeds = vecs.select(col("vec_id"), col("embedding"))
-          .orderBy(col("vec_id")).limit(nlist).collect()
-          .zipWithIndex
-          .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-        spark.createDataFrame(seeds.toSeq.map { case (c, v) => (c, v.toSeq) })
-          .toDF("cell", "vec")
-          .coalesce(1).write.parquet(centDir)
-        seeds
-      }
+    // a crashed seed write can leave the directory present but without a
+    // committed file set — "exists" is READABLE AND NON-EMPTY, and the
+    // reseed overwrites (deterministic content: a replay rewrites the
+    // same bytes)
+    val stored: Option[Array[(Int, Array[Float])]] =
+      if (!Files.exists(Paths.get(centDir))) None
+      else scala.util.Try(spark.read.parquet(centDir).collect())
+        .toOption.filter(_.nonEmpty)
+        .map(_.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1))
+    val cents: Array[(Int, Array[Float])] = stored.getOrElse {
+      // seed quantizer: the batch's nlist smallest ids, cell = rank.
+      // Only nlist × dim floats ever reach the driver.
+      val seeds = vecs.select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(nlist).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+      spark.createDataFrame(seeds.toSeq.map { case (c, v) => (c, v.toSeq) })
+        .toDF("cell", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(centDir)
+      seeds
+    }
     val assigned = vecs.select(col("vec_id"), col("embedding"),
         bestCell(col("embedding"), cents).as("best"))
       .select(col("vec_id"), col("embedding"),
         col("best.cell").as("cell"), col("best.cos").as("cos"))
     // partitioned append: the stored, searchable index — probe-time
     // partition pruning reads only the probed cells' directories
+    // (second partition level under the batch-commit scope)
     assigned.select(col("vec_id").as("id"), col("embedding").as("vec"),
-        col("cell"))
-      .write.mode("append").partitionBy("cell")
+        col("cell"), lit(batchId).as("_batch"))
+      .write.mode("append").partitionBy("_batch", "cell")
       .parquet(s"$indexDir/vectors")
     // per-vector outcome log (the query surface)
-    assigned.select(col("vec_id"), col("cell"), col("cos"))
-      .write.mode("append").parquet(outDir)
+    assigned.select(col("vec_id"), col("cell"), col("cos"),
+        lit(batchId).as("_batch"))
+      .write.mode("append").partitionBy("_batch").parquet(outDir)
   }
 
   /** struct(cell, cos) of the nearest centroid under the rounded-cosine

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -32,11 +30,17 @@ import graft.operators.Dedup
   * bucket-join side) and `shingles` (id, shingles — the exact-verify
   * side). At 100 TB the bands table is exactly the stored LSH index a
   * pipeline maintains (compact: numBands ints per doc); the shingle
-  * table is the verify column. Appends are per-micro-batch and NOT
-  * idempotent under mid-append crash replay (at-least-once, same
-  * honest caveat as the event sink's append mode — a production
-  * deployment wraps the two appends + outcome write in a table-format
-  * transaction).
+  * table is the verify column.
+  *
+  * Appends are IDEMPOTENT under mid-append crash replay: every append
+  * (bands, shingles, outcome) lands in a `_batch=<id>` partition, a
+  * replay first deletes that batch's partitions and then re-appends
+  * (the batch content is deterministic, so the rewrite is
+  * byte-identical), and all PRIOR-index reads filter `_batch < id` so
+  * a crashed partial append of the current batch is never consulted as
+  * "stored" state. This is the same batch-scoped-commit idea as
+  * [[graft.sinks.SinkRouter.runOnce]]'s marker, expressed in the table
+  * layout itself (a table-format transaction log would subsume it).
   */
 object CorpusIngest {
 
@@ -71,19 +75,56 @@ object CorpusIngest {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, indexDir, outDir, n, threshold,
-          numHashes, rowsPerBand)
+          numHashes, rowsPerBand, batchId)
       }
       .start()
   }
 
+  /** Delete `path/_batch=<id>` if present — the replay-side half of the
+    * batch-scoped commit (Hadoop FS API, so the same code is correct on
+    * HDFS/S3A, not just local disk). */
+  private[graft] def clearBatch(spark: SparkSession, path: String,
+                                    batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_batch=$batchId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Read a batch-partitioned index table restricted to batches STRICTLY
+    * BEFORE `batchId` (None if the table does not exist yet or holds
+    * nothing committed before this batch). The filter is partition
+    * pruning — a crashed partial `_batch=<batchId>` directory is never
+    * even listed as data. */
+  private[graft] def readPrior(spark: SparkSession, path: String,
+                                   batchId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasEarlier = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val nm = st.getPath.getName
+      nm.startsWith("_batch=") &&
+        scala.util.Try(nm.stripPrefix("_batch=").toLong).toOption
+          .exists(_ < batchId)
+    }
+    if (!hasEarlier) None
+    else Some(spark.read.parquet(path)
+      .filter(col("_batch") < batchId).drop("_batch"))
+  }
+
   /** One batch against the stored index; also usable directly from a
-    * batch job for backfills. */
+    * batch job for backfills (pass the backfill's own monotonic batch
+    * id). Idempotent per (indexDir, batchId): see the class doc. */
   def processBatch(batch: DataFrame, indexDir: String, outDir: String,
                    n: Int, threshold: Double,
-                   numHashes: Int, rowsPerBand: Int): Unit = {
+                   numHashes: Int, rowsPerBand: Int,
+                   batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
+    // replay begins by erasing any partial output this batch id left
+    // behind — after this point the batch's partitions are exclusively
+    // this attempt's
+    Seq(s"$indexDir/bands", s"$indexDir/shingles", outDir)
+      .foreach(clearBatch(spark, _, batchId))
     val newSh = Dedup.shingled(batch, "doc_id", "text", n)
       .persist()
     // the band frame is read three times per batch (cross join, within
@@ -99,27 +140,25 @@ object CorpusIngest {
       //    of an already-kept doc drops;
       //  - within: (id_a = larger id, id_b = smaller id) — the
       //    duplicate cluster keeps its minimal representative.
-      val hasPrior = Files.exists(Paths.get(s"$indexDir/bands"))
+      val priorBandsOpt = readPrior(spark, s"$indexDir/bands", batchId)
       val withinCands = newBands.as("a").join(newBands.as("b"),
           col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket") &&
             col("a.id") > col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      val cands =
-        if (hasPrior) {
-          val priorBands = spark.read.parquet(s"$indexDir/bands")
+      val cands = priorBandsOpt match {
+        case Some(priorBands) =>
           withinCands.union(newBands.as("a").join(priorBands.as("b"),
               col("a.band") === col("b.band") &&
                 col("a.bucket") === col("b.bucket"))
             .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
-        } else withinCands
+        case None => withinCands
+      }
       // id_a is always a new doc; id_b can be new OR stored, so the
       // verify side is the union of the batch's shingles and the
       // stored shingle table (ids are disjoint across batches)
-      val verifySide =
-        if (hasPrior)
-          newSh.unionByName(spark.read.parquet(s"$indexDir/shingles"))
-        else newSh
+      val verifySide = readPrior(spark, s"$indexDir/shingles", batchId)
+        .map(newSh.unionByName(_)).getOrElse(newSh)
       // EAGER localCheckpoint, NOT a lazy persist: this plan reads the
       // index parquet the code below appends to, and Spark refreshes
       // path-based caches on write — a lazily-cached frame would be
@@ -136,15 +175,20 @@ object CorpusIngest {
       // of the CACHED band frame against the broadcast dropped-id set
       // (no shuffle, no minhash recompute)
       newBands.join(broadcast(dropped), Seq("id"), "left_anti")
-        .write.mode("append").parquet(s"$indexDir/bands")
-      kept.write.mode("append").parquet(s"$indexDir/shingles")
+        .withColumn("_batch", lit(batchId))
+        .write.mode("append").partitionBy("_batch")
+        .parquet(s"$indexDir/bands")
+      kept.withColumn("_batch", lit(batchId))
+        .write.mode("append").partitionBy("_batch")
+        .parquet(s"$indexDir/shingles")
       // per-doc outcome log — keyed on the BATCH, not the shingle frame:
       // a doc too short to shingle can never match and is kept
       batch.select(col("doc_id"))
         .join(broadcast(dropped.withColumnRenamed("id", "doc_id")
           .withColumn("status", lit("dup"))), Seq("doc_id"), "left")
         .na.fill("kept", Seq("status"))
-        .write.mode("append").parquet(outDir)
+        .withColumn("_batch", lit(batchId))
+        .write.mode("append").partitionBy("_batch").parquet(outDir)
       dropped.unpersist(false)
       () // (unpersist releases the checkpoint's backing cache blocks)
     } finally { newSh.unpersist(false); newBands.unpersist(false); () }

@@ -34,13 +34,15 @@ object S2Profile {
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val idx = tmp("s2p2-idx"); val out = tmp("s2p2-out")
       val schema = streaming.CorpusIngest.DocSchema
-      new java.io.File(in).listFiles().sortBy(_.getName).foreach { f =>
-        timed(s"  batch ${f.getName}") {
-          val batch = s2.read.schema(schema).json(f.toString)
-          streaming.CorpusIngest.processBatch(batch, idx, out,
-            n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2)
+      new java.io.File(in).listFiles().sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) =>
+          timed(s"  batch ${f.getName}") {
+            val batch = s2.read.schema(schema).json(f.toString)
+            streaming.CorpusIngest.processBatch(batch, idx, out,
+              n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2,
+              batchId = i.toLong)
+          }
         }
-      }
     }
     spark.stop()
   }

@@ -64,16 +64,64 @@ class AnnIngestSpec extends GraftSpec {
       6L -> Array(0.8f, 0.2f, 0f, 0f)))
     val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2)
     try q.awaitTermination() finally q.stop()
-    // physical layout: one directory per cell (partition pruning is the
-    // probe-time index lookup)
-    val dirs = new java.io.File(s"$idx/vectors").listFiles()
+    // physical layout: cell directories under each batch-commit scope
+    // (partition pruning on cell is the probe-time index lookup; the
+    // _batch level is the idempotent-replay commit unit)
+    val batchDirs = new java.io.File(s"$idx/vectors").listFiles()
+      .filter(_.isDirectory)
+    assert(batchDirs.map(_.getName).toSet == Set("_batch=0", "_batch=1"))
+    val cellDirs = batchDirs.flatMap(_.listFiles())
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("cell=0", "cell=1"))
+    assert(cellDirs == Set("cell=0", "cell=1"))
     val stored = spark.read.parquet(s"$idx/vectors")
       .select(col("id"), col("cell")).as[(Long, Int)].collect().toMap
     val logged = spark.read.parquet(out)
       .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
     assert(stored == logged)
     assert(stored == Map(0L -> 0, 1L -> 1, 5L -> 1, 6L -> 0))
+  }
+
+  test("crash replay is idempotent: re-run batches (including a partial vector append and a partial centroid seed) leave index + outcome identical to a single run") {
+    import graft.streaming.CorpusIngest
+    val refIdx = tmp("ai-rep-refidx"); val refOut = tmp("ai-rep-refout")
+    val idx = tmp("ai-rep-idx"); val out = tmp("ai-rep-out")
+    val b0 = Seq(0L -> e0, 1L -> e1, 2L -> Array(0.9f, 0.1f, 0f, 0f))
+    val b1 = Seq(10L -> Array(0.1f, 0.9f, 0f, 0f), 23L -> Array(1f, 1f, 0f, 0f))
+    def frame(rows: Seq[(Long, Array[Float])]) =
+      rows.map { case (id, v) => (id, v.toSeq, 0) }
+        .toDF("vec_id", "embedding", "label")
+    def run(rows: Seq[(Long, Array[Float])], b: Long,
+            i: String, o: String): Unit =
+      AnnIngest.processBatch(frame(rows), i, o, nlist = 2, batchId = b)
+    run(b0, 0L, refIdx, refOut); run(b1, 1L, refIdx, refOut)
+
+    // (a) crash mid-SEED: batch 0 wrote vectors+outcome but the
+    //     centroid dir is an empty husk (simulate: run fully, then
+    //     empty the centroid dir) — the replay must reseed
+    //     deterministically and land identical assignments
+    run(b0, 0L, idx, out)
+    val centDir = new java.io.File(s"$idx/centroids")
+    centDir.listFiles().foreach(_.delete())
+    run(b0, 0L, idx, out)
+    // (b) completed-but-unrecorded batch 1 redelivered verbatim
+    run(b1, 1L, idx, out)
+    run(b1, 1L, idx, out)
+    // (c) crash mid-append of batch 1: vectors landed, outcome did not
+    CorpusIngest.clearBatch(spark, out, 1L)
+    run(b1, 1L, idx, out)
+
+    def snap(dir: String, cols: String*): Set[String] =
+      spark.read.parquet(dir).select(cols.map(col): _*)
+        .collect().map(_.toString).toSet
+    assert(snap(s"$idx/vectors", "id", "cell", "_batch") ==
+      snap(s"$refIdx/vectors", "id", "cell", "_batch"))
+    assert(snap(out, "vec_id", "cell", "cos", "_batch") ==
+      snap(refOut, "vec_id", "cell", "cos", "_batch"))
+    assert(snap(s"$idx/centroids", "cell") ==
+      snap(s"$refIdx/centroids", "cell"))
+    assert(spark.read.parquet(s"$idx/vectors").count() ==
+      spark.read.parquet(s"$refIdx/vectors").count())
+    assert(spark.read.parquet(out).count() ==
+      spark.read.parquet(refOut).count())
   }
 }

@@ -47,7 +47,9 @@ class CorpusIngestSpec extends GraftSpec {
     val q = CorpusIngest.start(spark, in, idx, out, cp, n = 3,
       threshold = 0.5)
     try q.awaitTermination() finally q.stop()
-    val got = spark.read.parquet(out).as[(Long, String)].collect().toMap
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("status")).as[(Long, String)]
+      .collect().toMap
     assert(got == Map(
       10L -> "kept", 11L -> "kept", 12L -> "dup",
       20L -> "dup", 21L -> "dup", 22L -> "kept",
@@ -87,10 +89,61 @@ class CorpusIngestSpec extends GraftSpec {
     val q = CorpusIngest.start(spark, in, idx, out, cp, n = 3,
       threshold = 0.5)
     try q.awaitTermination() finally q.stop()
-    val got = spark.read.parquet(out).as[(Long, String)].collect().toMap
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("status")).as[(Long, String)]
+      .collect().toMap
     assert(got(1L) == "kept")
     assert(got(2L) == "dup")
     // 3 is a near-dup of DROPPED 2 only — survivor-index semantics keep it
     assert(got(3L) == "kept")
+  }
+
+  private def snapshot(dir: String, cols: String*): Set[String] =
+    spark.read.parquet(dir)
+      .select(cols.map(col): _*)
+      .collect().map(_.toString).toSet
+
+  test("crash replay is idempotent: a re-run batch (even after a partial append) leaves index + outcome identical to a single run") {
+    // reference: batches 0,1,2 processed exactly once
+    val refIdx = tmp("ci-rep-refidx"); val refOut = tmp("ci-rep-refout")
+    val idx = tmp("ci-rep-idx"); val out = tmp("ci-rep-out")
+    val batches = Seq(
+      Seq((10L, textA), (11L, textB), (12L, textB)),
+      Seq((20L, textA), (21L, textB), (22L, textC)),
+      Seq((30L, textC), (31L, "lone wolf words that match nothing else here")))
+    def frame(b: Int) = batches(b).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    def run(b: Int, i: String, o: String): Unit =
+      CorpusIngest.processBatch(frame(b), i, o, n = 3, threshold = 0.5,
+        numHashes = 128, rowsPerBand = 2, batchId = b.toLong)
+    (0 to 2).foreach(b => run(b, refIdx, refOut))
+
+    // crash scenarios on the replayed run:
+    run(0, idx, out)
+    run(1, idx, out)
+    // (a) crash AFTER batch 1 fully appended but before the engine
+    //     recorded it — straight re-delivery of a completed batch
+    run(1, idx, out)
+    // (b) crash MID-append of batch 2: bands landed, shingles + outcome
+    //     did not — simulate by running batch 2 then deleting its
+    //     shingle and outcome partitions, leaving the bands partition
+    //     as the partial orphan the replay must reconcile
+    run(2, idx, out)
+    CorpusIngest.clearBatch(spark, s"$idx/shingles", 2L)
+    CorpusIngest.clearBatch(spark, out, 2L)
+    run(2, idx, out)
+
+    assert(snapshot(s"$idx/bands", "id", "band", "bucket", "_batch") ==
+      snapshot(s"$refIdx/bands", "id", "band", "bucket", "_batch"))
+    assert(snapshot(s"$idx/shingles", "id", "_batch") ==
+      snapshot(s"$refIdx/shingles", "id", "_batch"))
+    assert(snapshot(out, "doc_id", "status", "_batch") ==
+      snapshot(refOut, "doc_id", "status", "_batch"))
+    // and the row COUNTS match too (set equality alone would hide
+    // duplicated identical rows)
+    assert(spark.read.parquet(s"$idx/bands").count() ==
+      spark.read.parquet(s"$refIdx/bands").count())
+    assert(spark.read.parquet(out).count() ==
+      spark.read.parquet(refOut).count())
   }
 }

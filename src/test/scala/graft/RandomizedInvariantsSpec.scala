@@ -455,4 +455,44 @@ class RandomizedInvariantsSpec extends GraftSpec {
         assert(r.getInt(3) == hits.head._2)
     }
   }
+
+  test("Word2Vec multi-partition training (numPartitions=4) still recovers planted co-occurrence structure") {
+    import graft.operators.TextEmbeddings
+    import graft.functions.expressions.VectorKernels
+    // the scale path: 4 concurrent gradient partitions, merged per
+    // iteration — exact vectors are scheduling-dependent, so the gate
+    // is the same PROPERTY the deterministic td_word2vec gate uses:
+    // marker pairs qqa<k>/qqb<k> that only ever co-occur with each
+    // other must come back as nearest neighbors for >= 6 of 8 anchors
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val docs = (0 until 240).map { i =>
+      val body = Seq.fill(25)(vocab(rnd.nextInt(vocab.size)))
+      val k = i % 8
+      (i.toLong, (body ++ Seq(s"qqa$k", s"qqb$k", s"qqa$k", s"qqb$k"))
+        .mkString(" "))
+    }
+    val toks = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("toks"))
+    val model = TextEmbeddings.trainWord2Vec(toks, "toks",
+      numPartitions = 4)
+    val vecs = TextEmbeddings.vectors(model)
+      .filter(col("word").startsWith("qqa") ||
+        col("word").startsWith("qqb"))
+    val a = vecs.filter(col("word").startsWith("qqa"))
+      .select(substring(col("word"), 4, 2).cast("int").as("ka"),
+        col("vector").as("va"))
+    val b = vecs.filter(col("word").startsWith("qqb"))
+      .select(substring(col("word"), 4, 2).cast("int").as("kb"),
+        col("vector").as("vb"))
+    val cos = VectorKernels.cosine_sim(
+      col("va").cast("array<float>"), col("vb").cast("array<float>"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ka")).orderBy(col("c").desc, col("kb"))
+    val best = a.crossJoin(b).select(col("ka"), col("kb"), cos.as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(a.count() == 8L)
+    val nCorrect = best.filter(col("ka") === col("kb")).count()
+    assert(nCorrect >= 6L, s"only $nCorrect/8 marker pairs recovered")
+  }
 }

@@ -126,6 +126,32 @@ class SinkRouterSpec extends GraftSpec {
     assert(rows("m3").isEmpty)
   }
 
+  test("hoistPropertiesVariant matches hoistProperties column-for-column (incl. decimal→double alignment, collisions, malformed JSON)") {
+    val df = Seq(
+      ("m1", """{"planTier": "pro", "seats": 3, "price": 9.99, "messageId": "SHADOWED", "ok": true}"""),
+      ("m2", """{"planTier": "free", "nested": {"a": 1}}"""),
+      ("m3", "not json at all"),
+      ("m4", null.asInstanceOf[String])
+    ).toDF("message_id", "properties")
+    val viaJson = graft.operators.Layouts.hoistProperties(df)
+    val viaVariant = graft.operators.Layouts.hoistPropertiesVariant(df)
+    assert(viaVariant.columns.toSet == viaJson.columns.toSet)
+    val cols = viaJson.columns.sorted.toSeq
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(cols.map(c => col(c).cast("string").as(c)): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(viaVariant) == canon(viaJson))
+    // price hoisted as DOUBLE on both paths (variant infers DECIMAL,
+    // the twin aligns it)
+    assert(viaVariant.schema("price").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // an already-variant column takes the no-reparse branch
+    val pre = df.withColumn("properties",
+      try_parse_json(col("properties")))
+    assert(canon(graft.operators.Layouts.hoistPropertiesVariant(pre)) ==
+      canon(viaJson))
+  }
+
   test("schemaFreeze rejects a batch whose hoisted properties add a column") {
     val wh = tmpDir()
     val open = new SinkRouter(wh)
