@@ -22,6 +22,28 @@ object QueriesExtra {
     """CASE (raw_event_id % 3)
       |  WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari' ELSE 'unknown' END""".stripMargin
 
+  /** The f2b planted UA corpus — same strings ChainSpec's drift guard
+    * pins; the oracle hand-unrolls every expected field. */
+  private[graft] val taxonomyUas = Seq(
+    "Mozilla/5.0 (Macintosh) AppleWebKit/537.36 Chrome/120.0 Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Safari/604.1",
+    "Googlebot/2.1 (+http://www.google.com/bot.html)",
+    "Mozilla/5.0 (Windows NT 10.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (Linux; Android 14) Chrome/120.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64) Chrome/120.0 Safari/537.36 Edg/120.0.1",
+    "Mozilla/5.0 (X11; Linux x86_64) Chrome/119.0 Safari/537.36 OPR/105.0.0.0",
+    "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) Version/16.6 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Linux; Android 13; SM-X700) Chrome/118.0 Safari/537.36",
+    "Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) Chrome/120.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/64.0 Safari/537.36 Edge/18.18363",
+    "Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko",
+    "Mozilla/5.0 (Linux; Android 14; SM-S928B) AppleWebKit/537.36 Chrome/121.0 Mobile Safari/537.36 SamsungBrowser/24.0",
+    "Mozilla/5.0 (Linux; Android 14; Pixel 8 Pro) AppleWebKit/537.36 Chrome/121.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit/605.1.15",
+    "AppleTV11,1/11.1",
+    "Mozilla/5.0 (Macintosh; ARM64 Mac OS X 14_2) AppleWebKit/605.1.15 Version/17.2 Safari/605.1.15",
+    "Opera/9.80 (Windows NT 6.1) Presto/2.12.388 Version/12.16")
+
   val queries: Map[String, Q] = Map(
     // Blocked fuzzy entity resolution: every part row as a "dirty"
     // record (deterministic end-of-name corruption keyed by partkey —
@@ -95,14 +117,44 @@ object QueriesExtra {
         .select(col("event_name"), col("event_time"), col("em"),
           col("external_id"))),
 
-    // F2: UA parse over the envelope
-    "f2_ua_parse" -> ((s, dir) =>
+    // F2: UA parse over the envelope — full taxonomy columns
+    "f2_ua_parse" -> ((s, dir) => {
+      val u = Scalars.parseUa(col("context.user_agent"))
       env(s, dir).select(
         col("message_id"),
-        Scalars.parseUa(col("context.user_agent")).getField("name").as("browser"),
-        Scalars.parseUa(col("context.user_agent")).getField("os_name").as("os"),
-        Scalars.parseUa(col("context.user_agent")).getField("device_type").as("device"),
-        Scalars.parseUa(col("context.user_agent")).getField("bot").as("is_bot"))),
+        u.getField("name").as("browser"),
+        u.getField("os_name").as("os"),
+        u.getField("device_type").as("device"),
+        u.getField("bot").as("is_bot"),
+        u.getField("engine_name").as("engine"),
+        u.getField("device_vendor").as("device_vendor"),
+        u.getField("device_model").as("device_model"),
+        u.getField("cpu_architecture").as("cpu"))
+    }),
+
+    // F2b: the planted-corpus taxonomy gate — 18 diverse real-world UA
+    // shapes (Chromium skins, legacy EdgeHTML/Trident/Presto engines,
+    // Apple/Samsung/Google devices, console/smarttv, amd64/arm64) with
+    // every parsed field value-pinned in the oracle's VALUES table.
+    "f2b_ua_taxonomy" -> ((s, dir) => {
+      import s.implicits._
+      val df = taxonomyUas.zipWithIndex
+        .map { case (u, i) => (i, u) }.toDF("ua_id", "ua")
+      val u = Scalars.parseUa(col("ua"))
+      df.select(col("ua_id"),
+        u.getField("name").as("browser"),
+        u.getField("version").as("version"),
+        u.getField("major").as("major"),
+        u.getField("engine_name").as("engine"),
+        u.getField("engine_version").as("engine_version"),
+        u.getField("os_name").as("os"),
+        u.getField("os_version").as("os_version"),
+        u.getField("device_type").as("device_type"),
+        u.getField("device_vendor").as("device_vendor"),
+        u.getField("device_model").as("device_model"),
+        u.getField("cpu_architecture").as("cpu"),
+        u.getField("bot").as("is_bot"))
+    }),
 
     // F1: geo enrichment as broadcast lookup join (MaxMind stand-in:
     // a small dimension keyed by ip prefix)
@@ -132,6 +184,30 @@ object QueriesExtra {
           (pmod(col("id"), lit(5)) + 1).cast("int")).as("range_country"),
         concat(lit("AS"), pmod(col("id"), lit(7))).as("range_asn"))
       operators.GeoIp.lookup(env(s, dir), col("context.ip"), ranges)
+        .groupBy(col("range_country"), col("range_asn"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("anonymous_id")).as("n_users"))
+    }),
+
+    // F1c: geo enrichment from a REAL .mmdb binary — the same 200 /16
+    // ranges as f1b, but round-tripped through a spec-conformant
+    // MaxMind DB file (tree + typed data section + metadata) written
+    // and then decoded by graft.sources.Mmdb; the decoded ranges feed
+    // the identical bucketed broadcast range join, so f1b's oracle
+    // replays this query too.
+    "f1c_geo_mmdb" -> ((s, dir) => {
+      val countries = Array("US", "DE", "FR", "GB", "CN")
+      val entries = (0 until 200).map { i =>
+        (10L * 16777216L + i.toLong * 65536L, 16, Map[String, Any](
+          "country" -> Map[String, Any]("iso_code" -> countries(i % 5)),
+          "traits" -> Map[String, Any]("asn" -> s"AS${i % 7}")))
+      }
+      val path = java.nio.file.Files
+        .createTempFile("graft-geo", ".mmdb").toString
+      sources.Mmdb.write(path, entries)
+      val dim = sources.Mmdb.dim(s, path, Seq(
+        "country.iso_code" -> "range_country", "traits.asn" -> "range_asn"))
+      operators.GeoIp.lookup(env(s, dir), col("context.ip"), dim)
         .groupBy(col("range_country"), col("range_asn"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("anonymous_id")).as("n_users"))
@@ -1147,8 +1223,40 @@ object QueriesExtra {
          |    ELSE 'unknown' END AS os,
          |  CASE (raw_event_id % 3) WHEN 1 THEN 'mobile' ELSE 'desktop' END
          |    AS device,
-         |  (raw_event_id % 3) = 2 AS is_bot
+         |  (raw_event_id % 3) = 2 AS is_bot,
+         |  CASE (raw_event_id % 3) WHEN 0 THEN 'Blink' ELSE 'unknown' END
+         |    AS engine,
+         |  CASE (raw_event_id % 3) WHEN 1 THEN 'Apple' ELSE '' END
+         |    AS device_vendor,
+         |  CASE (raw_event_id % 3) WHEN 1 THEN 'iPhone' ELSE '' END
+         |    AS device_model,
+         |  '' AS cpu
          |FROM env""".stripMargin),
+    // every field hand-derived from the public taxonomy rules — NOT a
+    // replay of the implementation
+    "f2b_ua_taxonomy" ->
+      """SELECT * FROM (VALUES
+        |  (0,'Chrome','120.0','120','Blink','120.0','macOS','','desktop','','','',false),
+        |  (1,'Safari','604.1','604','unknown','','iOS','17.0','mobile','Apple','iPhone','',false),
+        |  (2,'unknown','','','unknown','','unknown','','desktop','','','',true),
+        |  (3,'Firefox','121.0','121','Gecko','','Windows','10','desktop','','','',false),
+        |  (4,'Chrome','120.0','120','Blink','120.0','Android','14','mobile','','','',false),
+        |  (5,'Edge','120.0.1','120','Blink','120.0','Windows','10','desktop','','','amd64',false),
+        |  (6,'Opera','105.0.0.0','105','Blink','119.0','Linux','','desktop','','','amd64',false),
+        |  (7,'Safari','16.6','16','unknown','','iOS','16.6','tablet','Apple','iPad','',false),
+        |  (8,'Chrome','118.0','118','Blink','118.0','Android','13','tablet','Samsung','SM-X700','',false),
+        |  (9,'Chrome','120.0','120','Blink','120.0','ChromeOS','14541.0.0','desktop','','','amd64',false),
+        |  (10,'Edge','18.18363','18','EdgeHTML','18.18363','Windows','10','desktop','','','amd64',false),
+        |  (11,'IE','11.0','11','Trident','7.0','Windows','7','desktop','','','amd64',false),
+        |  (12,'Samsung Internet','24.0','24','Blink','121.0','Android','14','mobile','Samsung','SM-S928B','',false),
+        |  (13,'Chrome','121.0','121','Blink','121.0','Android','14','mobile','Google','Pixel 8 Pro','',false),
+        |  (14,'unknown','','','WebKit','605.1.15','unknown','','console','','PlayStation 5','',false),
+        |  (15,'unknown','','','unknown','','unknown','','smarttv','','','',false),
+        |  (16,'Safari','17.2','17','WebKit','605.1.15','macOS','14.2','desktop','','','arm64',false),
+        |  (17,'Opera','12.16','12','Presto','2.12.388','Windows','7','desktop','','','',false)
+        |) t(ua_id, browser, version, major, engine, engine_version,
+        |    os, os_version, device_type, device_vendor, device_model,
+        |    cpu, is_bot)""".stripMargin,
     "f1_geo_join" -> (adapterCte +
       """SELECT 'AS' || ((raw_user_id % 200) % 7) AS asn,
         |  ((raw_user_id % 200) % 2) = 0 AS is_datacenter,
@@ -1169,6 +1277,16 @@ object QueriesExtra {
         |  ON e.connection_id = v.connection_id AND e.timestamp >= v.valid_from
         |GROUP BY 1, 2, 3""".stripMargin),
     "f1b_geo_range" -> (adapterCte +
+      """SELECT
+        |  CASE ((raw_user_id % 200) % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
+        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END
+        |    AS range_country,
+        |  'AS' || ((raw_user_id % 200) % 7) AS range_asn,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS n_users
+        |FROM env GROUP BY 1, 2""".stripMargin),
+    // identical semantics through the .mmdb round-trip
+    "f1c_geo_mmdb" -> (adapterCte +
       """SELECT
         |  CASE ((raw_user_id % 200) % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
         |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END

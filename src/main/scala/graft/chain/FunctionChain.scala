@@ -100,9 +100,13 @@ object FunctionChain {
       }
   }
 
-  /** JVM mirror of Scalars.parseUa (same keyword heuristics, ref
-    * `lib/ua.ts:6,22`) for the chain-side ctx.ua. ChainSpec's drift
-    * guard asserts this and the Column form agree — change BOTH. */
+  /** JVM mirror of Scalars.parseUa — SAME rule table
+    * ([[graft.functions.UaTaxonomy]]) as the Column form, so the twins
+    * cannot drift (ChainSpec still cross-checks them). Shape is the
+    * reference's nested UserAgent protocol type
+    * (`types/protocols/functions.d.ts:102-125`): browser{name, version,
+    * major}, engine{name, version}, os{name, version}, device{model,
+    * type, vendor}, cpu{architecture}, bot. */
   private[graft] def parseUaMemo(mapper: ObjectMapper, ua: String): ObjectNode = {
     val cache = uaCacheTl.get()
     val hit = cache.get(ua)
@@ -115,53 +119,24 @@ object FunctionChain {
   }
 
   private[graft] def parseUaNode(mapper: ObjectMapper, ua: String): ObjectNode = {
-    val l = ua.toLowerCase
+    val r = graft.functions.UaTaxonomy.parse(ua)
     val n = mapper.createObjectNode()
-    def rx(p: String): String =
-      p.r.findFirstMatchIn(ua).map(_.group(1)).getOrElse("")
-    val name =
-      if (l.contains("edg")) "Edge"
-      else if (l.contains("opr/") || l.contains("opera")) "Opera"
-      else if (l.contains("samsungbrowser")) "Samsung Internet"
-      else if (l.contains("chrome") || l.contains("crios")) "Chrome"
-      else if (l.contains("firefox") || l.contains("fxios")) "Firefox"
-      else if (l.contains("safari")) "Safari"
-      else "unknown"
-    n.put("name", name)
-    n.put("version", name match {
-      case "Edge" => rx("[Ee]dge?[A-Za-z]*/([0-9.]+)")
-      case "Opera" => rx("(?:OPR|Opera)[ /]([0-9.]+)")
-      case "Samsung Internet" => rx("(?i)SamsungBrowser/([0-9.]+)")
-      case "Chrome" => rx("(?:Chrome|CriOS)/([0-9.]+)")
-      case "Firefox" => rx("(?:Firefox|FxiOS)/([0-9.]+)")
-      case "Safari" =>
-        val v = rx("Version/([0-9.]+)")
-        if (v.nonEmpty) v else rx("Safari/([0-9.]+)")
-      case _ => ""
-    })
-    val isIDevice = l.contains("iphone") || l.contains("ipad") || l.contains("ipod")
-    val os =
-      if (l.contains("cros")) "ChromeOS"
-      else if (isIDevice || l.contains("ios")) "iOS"
-      else if (l.contains("android")) "Android"
-      else if (l.contains("macintosh") || l.contains("mac os")) "macOS"
-      else if (l.contains("windows")) "Windows"
-      else if (l.contains("linux") || l.contains("x11") || l.contains("ubuntu")) "Linux"
-      else "unknown"
-    n.put("os_name", os)
-    n.put("os_version", os match {
-      case "Windows" => rx("Windows NT ([0-9.]+)")
-      case "iOS" => rx("OS ([0-9_]+)").replace('_', '.')
-      case "macOS" => rx("Mac OS X ([0-9_.]+)").replace('_', '.')
-      case "Android" => rx("Android ([0-9.]+)")
-      case _ => ""
-    })
-    n.put("device_type",
-      if (l.contains("ipad") || (l.contains("android") && !l.contains("mobile")))
-        "tablet"
-      else if (isIDevice || l.contains("android") || l.contains("mobile")) "mobile"
-      else "desktop")
-    n.put("bot", "bot|crawl|spider|slurp|bingpreview".r.findFirstIn(l).isDefined)
+    val browser = n.putObject("browser")
+    browser.put("name", r.name)
+    browser.put("version", r.version)
+    browser.put("major", r.major)
+    val engine = n.putObject("engine")
+    engine.put("name", r.engineName)
+    engine.put("version", r.engineVersion)
+    val os = n.putObject("os")
+    os.put("name", r.osName)
+    os.put("version", r.osVersion)
+    val device = n.putObject("device")
+    device.put("model", r.deviceModel)
+    device.put("type", r.deviceType)
+    device.put("vendor", r.deviceVendor)
+    n.putObject("cpu").put("architecture", r.cpuArchitecture)
+    n.put("bot", r.bot)
     n
   }
 

@@ -83,72 +83,14 @@ object Scalars {
   def screenRes(w: Column, h: Column): Column =
     when(w.isNotNull && h.isNotNull, concat(w, lit("x"), h))
 
-  /** F2 UA parse — minimal deterministic parser (browser/os/bot) over the
-    * raw user-agent string; keyword heuristics per ref `lib/ua.ts:6,22`.
-    * Pure column logic => codegen, no ua-parser dependency. */
-  def parseUa(ua: Column): Column = {
-    val raw = coalesce(ua, lit(""))
-    val lower_ = lower(raw)
-    val bot = lower_.rlike("bot|crawl|spider|slurp|bingpreview")
-    // Detection ORDER is the whole trick (as in any UA parser): Edge /
-    // Opera / Samsung UAs all contain "Chrome", and almost every engine
-    // advertises "Safari" — most-specific token first.
-    val browser =
-      when(lower_.contains("edg"), "Edge")
-        .when(lower_.contains("opr/") || lower_.contains("opera"), "Opera")
-        .when(lower_.contains("samsungbrowser"), "Samsung Internet")
-        .when(lower_.contains("chrome") || lower_.contains("crios"), "Chrome")
-        .when(lower_.contains("firefox") || lower_.contains("fxios"), "Firefox")
-        .when(lower_.contains("safari"), "Safari")
-        .otherwise("unknown")
-    // Version binds to the DETECTED browser's own token (a single global
-    // regex would return Chrome's version for an Edge UA). Safari's real
-    // version lives in "Version/x"; engine-build fallback otherwise.
-    def rx(p: String) = regexp_extract(raw, p, 1)
-    val safariV = rx("Version/([0-9.]+)")
-    val version =
-      when(browser === "Edge", rx("[Ee]dge?[A-Za-z]*/([0-9.]+)"))
-        .when(browser === "Opera", rx("(?:OPR|Opera)[ /]([0-9.]+)"))
-        .when(browser === "Samsung Internet", rx("(?i)SamsungBrowser/([0-9.]+)"))
-        .when(browser === "Chrome", rx("(?:Chrome|CriOS)/([0-9.]+)"))
-        .when(browser === "Firefox", rx("(?:Firefox|FxiOS)/([0-9.]+)"))
-        .when(browser === "Safari",
-          when(length(safariV) > 0, safariV).otherwise(rx("Safari/([0-9.]+)")))
-        .otherwise(lit(""))
-    val isIDevice = lower_.contains("iphone") || lower_.contains("ipad") ||
-      lower_.contains("ipod")
-    val os =
-      when(lower_.contains("cros"), "ChromeOS")
-        .when(isIDevice || lower_.contains("ios"), "iOS")
-        .when(lower_.contains("android"), "Android")
-        .when(lower_.contains("macintosh") || lower_.contains("mac os"), "macOS")
-        .when(lower_.contains("windows"), "Windows")
-        .when(lower_.contains("linux") || lower_.contains("x11") ||
-          lower_.contains("ubuntu"), "Linux")
-        .otherwise("unknown")
-    val osVersion =
-      when(os === "Windows", rx("Windows NT ([0-9.]+)"))
-        .when(os === "iOS", regexp_replace(rx("OS ([0-9_]+)"), "_", "."))
-        .when(os === "macOS",
-          regexp_replace(rx("Mac OS X ([0-9_.]+)"), "_", "."))
-        .when(os === "Android", rx("Android ([0-9.]+)"))
-        .otherwise(lit(""))
-    // iPad / keyboard-less Android (no "Mobile" token) are tablets;
-    // ref defaults device.type to "desktop"
-    val deviceType =
-      when(lower_.contains("ipad") ||
-        (lower_.contains("android") && !lower_.contains("mobile")), "tablet")
-        .when(isIDevice || lower_.contains("android") ||
-          lower_.contains("mobile"), "mobile")
-        .otherwise("desktop")
-    struct(
-      browser.as("name"),
-      version.as("version"),
-      os.as("os_name"),
-      osVersion.as("os_version"),
-      deviceType.as("device_type"),
-      bot.as("bot"))
-  }
+  /** F2 UA parse — full taxonomy (browser/engine/os/device/cpu + bot)
+    * over the raw user-agent string, rule tables + reference shape in
+    * [[UaTaxonomy]] (ref `lib/ua.ts:6,22-25`;
+    * `types/protocols/functions.d.ts:102-125`). Pure column logic =>
+    * codegen, no ua-parser dependency; the chain-side JVM twin
+    * ([[graft.chain.FunctionChain.parseUaNode]]) runs the SAME rule
+    * table, drift-guarded by ChainSpec. */
+  def parseUa(ua: Column): Column = UaTaxonomy.parseColumn(ua)
 
   /** F10/P5 snake_case — `idToSnakeCaseFast` semantics
     * (ref `lib/strings.ts:11-35`): camelCase + spaces/dashes -> snake. */

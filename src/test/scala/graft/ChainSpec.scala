@@ -183,8 +183,8 @@ class ChainSpec extends GraftSpec {
     val probe = EventFunction("f_probe", builtin = false,
       (e: ObjectNode, ctx: graft.chain.ChainContext) => {
         e.put("geo_country", ctx.geo.map(_.get("country").asText()).getOrElse(""))
-        e.put("ua_os", ctx.ua.map(_.get("os_name").asText()).getOrElse(""))
-        e.put("ua_device", ctx.ua.map(_.get("device_type").asText()).getOrElse(""))
+        e.put("ua_os", ctx.ua.map(_.get("os").get("name").asText()).getOrElse(""))
+        e.put("ua_device", ctx.ua.map(_.get("device").get("type").asText()).getOrElse(""))
         Replace(Seq(e))
       })
     val out = FunctionChain.run(Seq(withCtx).toDS(), Seq(probe)).collect().head
@@ -214,7 +214,7 @@ class ChainSpec extends GraftSpec {
     assert(ok.status == "success")
   }
 
-  test("drift guard: JVM UA parser agrees with the Column UA parser") {
+  test("drift guard: JVM UA parser agrees with the Column UA parser on every taxonomy field") {
     import org.apache.spark.sql.functions.{col, lit}
     val uas = Seq(
       "Mozilla/5.0 (Macintosh) AppleWebKit/537.36 Chrome/120.0 Safari/537.36",
@@ -228,37 +228,94 @@ class ChainSpec extends GraftSpec {
       "Mozilla/5.0 (X11; Linux x86_64) Chrome/119.0 Safari/537.36 OPR/105.0.0.0",
       "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) Version/16.6 Mobile/15E148 Safari/604.1",
       "Mozilla/5.0 (Linux; Android 13; SM-X700) Chrome/118.0 Safari/537.36",
-      "Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) Chrome/120.0 Safari/537.36")
+      "Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) Chrome/120.0 Safari/537.36",
+      // engine/device/cpu coverage: old-Edge EdgeHTML, IE Trident,
+      // Samsung phone, Pixel, PlayStation console, Apple TV, ARM mac
+      "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/64.0 Safari/537.36 Edge/18.18363",
+      "Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko",
+      "Mozilla/5.0 (Linux; Android 14; SM-S928B) AppleWebKit/537.36 Chrome/121.0 Mobile Safari/537.36 SamsungBrowser/24.0",
+      "Mozilla/5.0 (Linux; Android 14; Pixel 8 Pro) AppleWebKit/537.36 Chrome/121.0 Mobile Safari/537.36",
+      "Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit/605.1.15",
+      "AppleTV11,1/11.1",
+      "Mozilla/5.0 (Macintosh; ARM64 Mac OS X 14_2) AppleWebKit/605.1.15 Version/17.2 Safari/605.1.15",
+      "Opera/9.80 (Windows NT 6.1) Presto/2.12.388 Version/12.16")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     uas.foreach { ua =>
       val jvm = FunctionChain.parseUaNode(mapper, ua)
       val sql = spark.range(1).select(
         graft.functions.Scalars.parseUa(lit(ua)).as("u"))
         .select(col("u.name"), col("u.os_name"), col("u.device_type"),
-          col("u.bot"), col("u.version"), col("u.os_version"))
+          col("u.bot"), col("u.version"), col("u.os_version"),
+          col("u.major"), col("u.engine_name"), col("u.engine_version"),
+          col("u.device_vendor"), col("u.device_model"),
+          col("u.cpu_architecture"))
         .collect().head
-      assert(jvm.get("name").asText() == sql.getString(0), ua)
-      assert(jvm.get("os_name").asText() == sql.getString(1), ua)
-      assert(jvm.get("device_type").asText() == sql.getString(2), ua)
+      assert(jvm.get("browser").get("name").asText() == sql.getString(0), ua)
+      assert(jvm.get("os").get("name").asText() == sql.getString(1), ua)
+      assert(jvm.get("device").get("type").asText() == sql.getString(2), ua)
       assert(jvm.get("bot").asBoolean() == sql.getBoolean(3), ua)
-      assert(jvm.get("version").asText() == sql.getString(4), ua)
-      assert(jvm.get("os_version").asText() == sql.getString(5), ua)
+      assert(jvm.get("browser").get("version").asText() == sql.getString(4), ua)
+      assert(jvm.get("os").get("version").asText() == sql.getString(5), ua)
+      assert(jvm.get("browser").get("major").asText() == sql.getString(6), ua)
+      assert(jvm.get("engine").get("name").asText() == sql.getString(7), ua)
+      assert(jvm.get("engine").get("version").asText() == sql.getString(8), ua)
+      assert(jvm.get("device").get("vendor").asText() == sql.getString(9), ua)
+      assert(jvm.get("device").get("model").asText() == sql.getString(10), ua)
+      assert(jvm.get("cpu").get("architecture").asText() == sql.getString(11), ua)
     }
     // spot-check detection itself (not just twin agreement)
-    val edge = FunctionChain.parseUaNode(mapper, uas(5))
-    assert(edge.get("name").asText() == "Edge" &&
-      edge.get("version").asText() == "120.0.1" &&
-      edge.get("os_version").asText() == "10.0")
-    val ipad = FunctionChain.parseUaNode(mapper, uas(7))
-    assert(ipad.get("name").asText() == "Safari" &&
-      ipad.get("device_type").asText() == "tablet" &&
-      ipad.get("version").asText() == "16.6" &&
-      ipad.get("os_version").asText() == "16.6")
-    val tab = FunctionChain.parseUaNode(mapper, uas(8))
-    assert(tab.get("device_type").asText() == "tablet" &&
-      tab.get("os_name").asText() == "Android")
-    assert(FunctionChain.parseUaNode(mapper, uas(9))
-      .get("os_name").asText() == "ChromeOS")
+    def p(i: Int) = FunctionChain.parseUaNode(mapper, uas(i))
+    val edge = p(5)
+    assert(edge.get("browser").get("name").asText() == "Edge" &&
+      edge.get("browser").get("version").asText() == "120.0.1" &&
+      edge.get("browser").get("major").asText() == "120" &&
+      edge.get("engine").get("name").asText() == "Blink" &&
+      edge.get("os").get("version").asText() == "10" &&
+      edge.get("cpu").get("architecture").asText() == "amd64")
+    val ipad = p(7)
+    assert(ipad.get("browser").get("name").asText() == "Safari" &&
+      ipad.get("device").get("type").asText() == "tablet" &&
+      ipad.get("device").get("vendor").asText() == "Apple" &&
+      ipad.get("device").get("model").asText() == "iPad" &&
+      ipad.get("browser").get("version").asText() == "16.6" &&
+      ipad.get("os").get("version").asText() == "16.6")
+    val tab = p(8)
+    assert(tab.get("device").get("type").asText() == "tablet" &&
+      tab.get("device").get("vendor").asText() == "Samsung" &&
+      tab.get("device").get("model").asText() == "SM-X700" &&
+      tab.get("os").get("name").asText() == "Android")
+    assert(p(9).get("os").get("name").asText() == "ChromeOS")
+    val oldEdge = p(10)
+    assert(oldEdge.get("engine").get("name").asText() == "EdgeHTML" &&
+      oldEdge.get("engine").get("version").asText() == "18.18363")
+    val ie = p(11)
+    assert(ie.get("browser").get("name").asText() == "IE" &&
+      ie.get("browser").get("version").asText() == "11.0" &&
+      ie.get("engine").get("name").asText() == "Trident" &&
+      ie.get("os").get("version").asText() == "7" &&
+      ie.get("cpu").get("architecture").asText() == "amd64")
+    val sam = p(12)
+    assert(sam.get("browser").get("name").asText() == "Samsung Internet" &&
+      sam.get("browser").get("version").asText() == "24.0" &&
+      sam.get("device").get("vendor").asText() == "Samsung" &&
+      sam.get("device").get("model").asText() == "SM-S928B" &&
+      sam.get("device").get("type").asText() == "mobile" &&
+      sam.get("engine").get("name").asText() == "Blink")
+    val pixel = p(13)
+    assert(pixel.get("device").get("vendor").asText() == "Google" &&
+      pixel.get("device").get("model").asText() == "Pixel 8 Pro" &&
+      pixel.get("device").get("type").asText() == "mobile")
+    assert(p(14).get("device").get("type").asText() == "console")
+    assert(p(15).get("device").get("type").asText() == "smarttv")
+    val armMac = p(16)
+    assert(armMac.get("cpu").get("architecture").asText() == "arm64" &&
+      armMac.get("os").get("name").asText() == "macOS" &&
+      armMac.get("os").get("version").asText() == "14.2")
+    val presto = p(17)
+    assert(presto.get("browser").get("name").asText() == "Opera" &&
+      presto.get("browser").get("version").asText() == "12.16" &&
+      presto.get("engine").get("name").asText() == "Presto" &&
+      presto.get("engine").get("version").asText() == "2.12.388")
   }
 
   test("metrics status derivation (A4)") {
