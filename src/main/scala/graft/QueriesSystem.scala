@@ -114,6 +114,110 @@ object QueriesSystem {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // R1b: the reference's functions-chain scenario TABLE
+    // (functions-chain-data.ts + functions-chain.test.ts expected sets)
+    // replayed through FunctionChain in rotor-parity step mode: eight
+    // connections (simple/error/retry/drop_retry/dst_retry/multi/
+    // multi_middle/multi_retry), each driven for attempt 0 and — where
+    // a retry was queued — redriven for attempt 1. Every delivered
+    // event's fields per (scenario, attempt) are value-pinned in the
+    // oracle.
+    "r1b_chain_scenarios" -> ((s, dir) => {
+      import s.implicits._
+      def props(e: ObjectNode): ObjectNode =
+        if (e.has("properties") && e.get("properties").isObject)
+          e.get("properties").asInstanceOf[ObjectNode]
+        else e.putObject("properties")
+      def bump(p: ObjectNode): Unit = {
+        p.put("counter",
+          (if (p.has("counter")) p.get("counter").asInt else 0) + 1); ()
+      }
+      val f1 = EventFunction("function1", builtin = false,
+        (e: ObjectNode, ctx: graft.chain.ChainContext) => {
+          val p = props(e); p.put("first", "1st")
+          p.put("retries", ctx.retries); bump(p); Replace(Seq(e))
+        }, step = "udf")
+      val f2 = EventFunction("function2", builtin = false,
+        (e: ObjectNode, _: graft.chain.ChainContext) => {
+          val p = props(e); p.put("second", "2nd"); bump(p); Replace(Seq(e))
+        }, step = "udf")
+      val f2error = EventFunction("function2error", builtin = false,
+        (_: ObjectNode, _: graft.chain.ChainContext) =>
+          throw new RuntimeException("Function is not meant to run"),
+        step = "udf")
+      val f2retry = EventFunction("function2retry", builtin = false,
+        (e: ObjectNode, ctx: graft.chain.ChainContext) => {
+          val p = props(e); p.put("second", "2nd"); bump(p)
+          if (ctx.retries < 1)
+            Retry("Function runs successfully only on 2nd attempt")
+          else Replace(Seq(e))
+        }, step = "udf")
+      val f2dropretry = EventFunction("function2dropretry", builtin = false,
+        (e: ObjectNode, ctx: graft.chain.ChainContext) => {
+          val p = props(e); p.put("second", "2nd"); bump(p)
+          if (ctx.retries < 1)
+            DropRetry("Function runs successfully only on 2nd attempt")
+          else Replace(Seq(e))
+        }, step = "udf")
+      val f3 = EventFunction("function3", builtin = false,
+        (e: ObjectNode, _: graft.chain.ChainContext) => {
+          val p = props(e); p.put("third", "3rd"); bump(p); Replace(Seq(e))
+        }, step = "udf")
+      def multiply(e: ObjectNode) = {
+        val a = e.deepCopy[ObjectNode](); a.put("n", 1)
+        val b = e.deepCopy[ObjectNode](); b.put("n", 2)
+        Replace(Seq(a, b))
+      }
+      val fmulti = EventFunction("functionmulti", builtin = false,
+        (e: ObjectNode, _: graft.chain.ChainContext) => multiply(e),
+        step = "udf")
+      val fmultiretry = EventFunction("functionmultiretry", builtin = false,
+        (e: ObjectNode, ctx: graft.chain.ChainContext) =>
+          if (ctx.retries < 1)
+            Retry("Function runs successfully only on 2nd attempt")
+          else multiply(e),
+        step = "udf")
+      val dstOk = EventFunction("dst", builtin = true,
+        (_: ObjectNode, _: graft.chain.ChainContext) => Same, step = "dst")
+      val dstRetry = EventFunction("dst", builtin = true,
+        (_: ObjectNode, ctx: graft.chain.ChainContext) =>
+          if (ctx.retries < 1) Retry("HTTP Error: 444 unknown") else Same,
+        step = "dst")
+      val chains = Seq(
+        "simple" -> Seq(f1, f2, f3, dstOk),
+        "error" -> Seq(f1, f2error, f3, dstOk),
+        "retry" -> Seq(f1, f2retry, f3, dstOk),
+        "drop_retry" -> Seq(f1, f2dropretry, f3, dstOk),
+        "dst_retry" -> Seq(f1, f2, f3, dstRetry),
+        "multi" -> Seq(f1, f2, fmulti, dstOk),
+        "multi_middle" -> Seq(f1, fmulti, f2, dstOk),
+        "multi_retry" -> Seq(f1, f2, fmultiretry, dstOk))
+      val incoming = Seq("""{"type":"track","properties":{}}""").toDS()
+      val opts = ChainOptions(stepRetry = true)
+      val rows = chains.flatMap { case (name, chain) =>
+        val a0 = FunctionChain.run(incoming, chain, options = opts)
+          .collect().toSeq
+        val retries0 = a0.filter(_.status == "retry")
+        val a1 =
+          if (retries0.isEmpty) Seq.empty
+          else FunctionChain.redrive(retries0.toDS(), chain, opts)
+            .collect().toSeq
+        a0.filter(_.status == "success").map(o => (name, 0, o.event)) ++
+          a1.filter(_.status == "success").map(o => (name, 1, o.event))
+      }
+      rows.toDF("scenario", "attempt", "event").select(
+        col("scenario"), col("attempt"),
+        get_json_object(col("event"), "$.n").cast("int").as("n"),
+        get_json_object(col("event"), "$.type").as("event_type"),
+        get_json_object(col("event"), "$.properties.first").as("first"),
+        get_json_object(col("event"), "$.properties.second").as("second"),
+        get_json_object(col("event"), "$.properties.third").as("third"),
+        get_json_object(col("event"), "$.properties.counter")
+          .cast("int").as("counter"),
+        get_json_object(col("event"), "$.properties.retries")
+          .cast("int").as("retries_prop"))
+    }),
+
     // K1: sink router round-trip — append, then UR re-emission overwrite
     // via dedup merge on message_id
     "k1_sink_dedup" -> ((s, dir) => {
@@ -1113,6 +1217,29 @@ object QueriesSystem {
         |    AS BIGINT) AS n
         |FROM events WHERE event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
+    // the reference's expected event sets, hand-copied per (scenario,
+    // attempt) from functions-chain.test.ts expectedEvents — NOT a
+    // replay of the implementation
+    "r1b_chain_scenarios" ->
+      """SELECT scenario, CAST(attempt AS INT) AS attempt,
+        |  CAST(n AS INT) AS n, event_type, first, second, third,
+        |  CAST(counter AS INT) AS counter,
+        |  CAST(retries_prop AS INT) AS retries_prop
+        |FROM (VALUES
+        |  ('simple',      0, NULL, 'track', '1st', '2nd', '3rd', 3, 0),
+        |  ('error',       0, NULL, 'track', '1st', NULL,  '3rd', 2, 0),
+        |  ('retry',       0, NULL, 'track', '1st', NULL,  '3rd', 2, 0),
+        |  ('retry',       1, NULL, 'track', '1st', '2nd', '3rd', 3, 1),
+        |  ('drop_retry',  1, NULL, 'track', '1st', '2nd', '3rd', 3, 1),
+        |  ('dst_retry',   1, NULL, 'track', '1st', '2nd', '3rd', 3, 0),
+        |  ('multi',       0, 1,    'track', '1st', '2nd', NULL,  2, 0),
+        |  ('multi',       0, 2,    'track', '1st', '2nd', NULL,  2, 0),
+        |  ('multi_middle',0, NULL, 'track', '1st', '2nd', NULL,  2, 0),
+        |  ('multi_retry', 0, NULL, 'track', '1st', '2nd', NULL,  2, 0),
+        |  ('multi_retry', 1, 1,    'track', '1st', '2nd', NULL,  2, 1),
+        |  ('multi_retry', 1, 2,    'track', '1st', '2nd', NULL,  2, 1)
+        |) t(scenario, attempt, n, event_type, first, second, third,
+        |    counter, retries_prop)""".stripMargin,
     "k15_snapshot" ->
       """WITH env AS (
         |  SELECT 'm' || event_id AS message_id,

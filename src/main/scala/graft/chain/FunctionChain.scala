@@ -43,23 +43,48 @@ object FunctionChain {
     * receives the event and the [[ChainContext]] (`store`/`props`/`geo`/
     * `ua`/`retries` — ref functions.d.ts:68-73,140-176). */
   case class EventFunction(id: String, builtin: Boolean,
-                           fn: (ObjectNode, ChainContext) => Result)
+                           fn: (ObjectNode, ChainContext) => Result,
+                           step: String = "")
   object EventFunction {
     /** Context-free form, for functions that only look at the event. */
     def apply(id: String, builtin: Boolean,
               fn: ObjectNode => Result): EventFunction =
       EventFunction(id, builtin, (e: ObjectNode, _: ChainContext) => fn(e))
   }
+  /** A function's retry-granularity group: its `step` if set, else its
+    * own id (per-function redrive, the pre-parity default). */
+  private def stepOf(f: EventFunction): String =
+    if (f.step.isEmpty) f.id else f.step
 
   /** Chain-level options: connection identity (store namespace + props,
     * ref FullContext.connection), retry attempt number surfaced as
     * ctx.retries, and the R9 task-level UDF timeout (ref
     * `udf_wrapper.ts:232-291`, UDF_TIMEOUT_MS default 5000). */
+  /** `stepRetry = true` switches Retry/DropRetry to rotor's STEP
+    * semantics (ref `functions-chain.test.ts` scenario matrix, verified
+    * against `functions-chain-data.ts` expected sets):
+    *  - a Retry from a non-final step behaves like a plain error for
+    *    the CURRENT attempt (edits skipped, chain continues, the
+    *    degraded event still delivers) AND additionally queues a retry
+    *    row carrying the event as it entered the failed function's
+    *    step;
+    *  - a Retry from the FINAL step (the destination) delivers nothing
+    *    and queues the step-entry event;
+    *  - DropRetry delivers nothing for the current attempt and queues
+    *    the step-entry event;
+    *  - a mid-chain multiply is IGNORED (the un-multiplied event
+    *    continues) instead of erroring;
+    *  - [[redrive]] re-enters at the failed function's step START (the
+    *    whole udf chain re-runs with ctx.retries bumped; a destination
+    *    retry re-runs only the destination on the saved post-udf
+    *    event).
+    * Default false keeps the repo's per-function redrive. */
   case class ChainOptions(
       connectionId: String = "c0",
       props: Map[String, String] = Map.empty,
       retries: Int = 0,
-      udfTimeoutMs: Long = 5000L)
+      udfTimeoutMs: Long = 5000L,
+      stepRetry: Boolean = false)
 
   case class ChainOutput(event: String, status: String, functionId: String,
                          error: String)
@@ -237,8 +262,22 @@ object FunctionChain {
       }
     var lastError: String = null
     var i = math.max(fromStage, 0)
+    val finalStep = chain.lastOption.map(stepOf).getOrElse("")
+    // step-entry snapshot for rotor-parity retries: the event set as it
+    // entered the CURRENT step (single-event steps snapshot the event;
+    // a post-multiply multi-event step falls back per-event)
+    var stepEntry: String = if (i < chain.length) raw else raw
+    var currentStep: String = chain.lift(i).map(stepOf).getOrElse("")
+    // queued retry rows (stepRetry mode): emitted alongside delivery
+    val queued = scala.collection.mutable.ArrayBuffer[ChainOutput]()
     while (i < chain.length) {
       val f = chain(i)
+      if (options.stepRetry && stepOf(f) != currentStep) {
+        currentStep = stepOf(f)
+        stepEntry =
+          if (current.length == 1) mapper.writeValueAsString(current.head)
+          else null // multi-event step entry: snapshot per-event below
+      }
       val isLast = i == chain.length - 1
       val next = scala.collection.mutable.ArrayBuffer[ObjectNode]()
       var aborted: Option[Seq[ChainOutput]] = None
@@ -258,36 +297,61 @@ object FunctionChain {
               lastError = s"${f.id}: ${e.toString}"
               Same
             }
+          def entrySnapshot: String =
+            if (options.stepRetry && stepEntry != null) stepEntry
+            else mapper.writeValueAsString(ev)
           result match {
             case Same => next += ev
             case Replace(evs) =>
-              // R4: only the final function may return multiple events
-              if (evs.length > 1 && !isLast)
-                aborted = Some(Seq(ChainOutput(mapper.writeValueAsString(ev),
-                  "error", f.id,
-                  "only the last function in a chain can multiply events")))
-              else next ++= evs
+              // R4: only the final function may return multiple events.
+              // Rotor-parity: multiply is legal at the END OF ITS STEP
+              // (the udf chain's last function fans out through the
+              // destination, ref "multi" scenario) and a mid-step
+              // multiply is IGNORED with the un-multiplied event
+              // continuing (ref multi_middle); default keeps the error.
+              val lastOfStep = isLast ||
+                stepOf(chain(i + 1)) != stepOf(f)
+              val allowed = if (options.stepRetry) lastOfStep else isLast
+              if (evs.length > 1 && !allowed) {
+                if (options.stepRetry) {
+                  lastError = s"${f.id}: mid-chain multiply ignored"
+                  next += ev
+                } else
+                  aborted = Some(Seq(ChainOutput(mapper.writeValueAsString(ev),
+                    "error", f.id,
+                    "only the last function in a chain can multiply events")))
+              } else next ++= evs
             case Drop => // dropped silently (P10)
             case DropRetry(reason) =>
-              aborted = Some(Seq(ChainOutput(mapper.writeValueAsString(ev),
-                "dropped", f.id, reason)))
+              // deliver nothing this attempt; queue the step-entry
+              // event (rotor drop:true) / the pre-function event
+              aborted = Some(Seq(ChainOutput(entrySnapshot,
+                if (options.stepRetry) "retry" else "dropped", f.id, reason)))
             case Retry(reason) =>
-              // R1: retryable -> emit with failed stage for re-drive;
-              // R3: the last-good event continues to the output row
-              aborted = Some(Seq(ChainOutput(mapper.writeValueAsString(ev),
-                "retry", f.id, reason)))
+              if (options.stepRetry && stepOf(f) != finalStep) {
+                // rotor: RetryError in a non-final (udf) step — current
+                // attempt continues degraded, retry queued at step entry
+                queued += ChainOutput(entrySnapshot, "retry", f.id, reason)
+                lastError = s"${f.id}: $reason"
+                next += ev
+              } else {
+                // final-step (destination) retry or default mode:
+                // nothing delivers; emit with failed stage for re-drive
+                aborted = Some(Seq(ChainOutput(entrySnapshot,
+                  "retry", f.id, reason)))
+              }
           }
         }
       }
       aborted match {
-        case Some(out) => return out
+        case Some(out) => return queued.toSeq ++ out
         case None =>
-          if (next.isEmpty) return Nil
+          if (next.isEmpty) return queued.toSeq
           current = next.toSeq
           i += 1
       }
     }
-    current.map(ev => ChainOutput(mapper.writeValueAsString(ev),
+    queued.toSeq ++ current.map(ev => ChainOutput(mapper.writeValueAsString(ev),
       "success", chain.lastOption.map(_.id).getOrElse(""), lastError))
   }
 
@@ -340,7 +404,13 @@ object FunctionChain {
   def redrive(retries: Dataset[ChainOutput],
               chain: Seq[EventFunction],
               options: ChainOptions = ChainOptions()): Dataset[ChainOutput] = {
-    val stageById = chain.map(_.id).zipWithIndex.toMap
+    // default: re-enter at the failed function; stepRetry: re-enter at
+    // the failed function's STEP start (rotor re-runs the whole udf
+    // chain; a destination retry re-runs only the destination)
+    val stageById =
+      if (!options.stepRetry) chain.map(_.id).zipWithIndex.toMap
+      else chain.map(f =>
+        f.id -> chain.indexWhere(g => stepOf(g) == stepOf(f))).toMap
     val enc = Encoders.product[ChainOutput]
     // a re-driven event sees ctx.retries bumped (ref function2retry
     // scenario: success only when retries >= 1)

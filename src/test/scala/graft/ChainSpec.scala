@@ -318,6 +318,45 @@ class ChainSpec extends GraftSpec {
       presto.get("engine").get("version").asText() == "2.12.388")
   }
 
+  test("stepRetry mode: retry rows carry STEP-entry events (udf retry saves the original, dst retry saves the post-udf state)") {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val f1 = EventFunction("f1", builtin = false,
+      (e: ObjectNode, _: graft.chain.ChainContext) => {
+        e.put("a", 1); Replace(Seq(e))
+      }, step = "udf")
+    val fRetry = EventFunction("f_retry", builtin = false,
+      (_: ObjectNode, ctx: graft.chain.ChainContext) =>
+        if (ctx.retries < 1) Retry("later") else Same, step = "udf")
+    val dstRetry = EventFunction("dst", builtin = true,
+      (_: ObjectNode, ctx: graft.chain.ChainContext) =>
+        if (ctx.retries < 1) Retry("444") else Same, step = "dst")
+    val dstOk = EventFunction("dst", builtin = true,
+      (_: ObjectNode, _: graft.chain.ChainContext) => Same, step = "dst")
+    val opts = ChainOptions(stepRetry = true)
+    val incoming = Seq("""{"type":"track"}""").toDS()
+    // udf retry: queued event = STEP entry = the ORIGINAL incoming
+    // event (f1's edits NOT in it), and the degraded event still
+    // delivers this attempt
+    val a = FunctionChain.run(incoming, Seq(f1, fRetry, dstOk),
+      options = opts).collect()
+    val aRetry = a.filter(_.status == "retry")
+    val aOk = a.filter(_.status == "success")
+    assert(aRetry.length == 1 && aOk.length == 1)
+    assert(aRetry.head.event == """{"type":"track"}""")
+    assert(aOk.head.event.contains("\"a\":1"))
+    // dst retry: nothing delivered; queued event = post-udf state
+    val b = FunctionChain.run(incoming, Seq(f1, dstRetry),
+      options = opts).collect()
+    assert(b.length == 1 && b.head.status == "retry")
+    assert(b.head.event.contains("\"a\":1"))
+    // redrive re-enters at the step start: dst-only for dst failures
+    val b1 = FunctionChain.redrive(b.filter(_.status == "retry").toSeq.toDS(),
+      Seq(f1, dstRetry), opts).collect()
+    assert(b1.length == 1 && b1.head.status == "success")
+    // f1 did not re-run (a stays 1, no double-put side effects visible)
+    assert(b1.head.event.contains("\"a\":1"))
+  }
+
   test("metrics status derivation (A4)") {
     val out = FunctionChain.run(
       Seq(ev(3, "track")).toDS(), Seq(dropPages, failOnType3))
