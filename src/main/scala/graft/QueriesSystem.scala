@@ -947,36 +947,40 @@ object QueriesSystem {
     // pins used_mv AND the values against a replay over the FULL final
     // table: had the refresh not run, the served report would be stale
     // and hash-mismatch — freshness is what this query proves.
+    // MV lifecycle with COMMIT-LOG staleness: build+register+watch →
+    // serve from MV → a batch lands through the SinkRouter (its
+    // `_history/` commit is the invalidation signal) → the SAME query
+    // silently falls back to raw (fresh values, no MV) → MvCatalog
+    // .refresh rebuilds from the registered definition and re-binds →
+    // the query re-serves from the MV. All three phases value-gated;
+    // used_mv pinned true/false/true.
     "mv_lifecycle" -> ((s, dir) => {
       import graft.plans.MvRewrite.{MvCatalog, MvDef}
       val wh = tmp("graft-mvlc")
-      val rawPath = s"$wh/events_raw.parquet"
+      val router = new SinkRouter(wh)
       val mvPath = s"$wh/daily.parquet"
       val cut = lit("2024-01-20").cast("timestamp")
       val ev = graft.schema.EventSchema.readEvents(s, dir)
-      ev.filter(col("ts") < cut).write.parquet(rawPath)
+        .select(col("event_type"), col("ts"), col("value"))
+      router.write(ev.filter(col("ts") < cut)
+        .withColumn("_table", lit("events_raw")))
+      val rawPath = s"$wh/events_raw"
       def rawDf = s.read.parquet(rawPath)
-      def rollup(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy(col("event_type"),
-            date_trunc("day", col("ts")).as("period"))
-          .agg(sum(col("value")).as("sum_value"),
-            count(lit(1)).as("cnt"))
-      rollup(rawDf).write.parquet(mvPath)
-      def register(): Unit =
+      def register(): Unit = {
         MvCatalog.register(s, rawDf, rawPath, MvDef(
           name = "events_daily_lc", mvPath = mvPath,
           groupKeys = Seq((col("event_type"), "event_type")),
           timeKey = Some((col("ts"), "period", "day")),
           sums = Seq((col("value"), "sum_value")),
           countCol = Some("cnt")))
+        MvCatalog.watchCommits(rawPath, router.historyDir, "events_raw")
+      }
+      rawDf.groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("period"))
+        .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
       register()
-      // new days land; refresh recomputes ONLY their cells (the cut is
-      // day-aligned, so appended cells are disjoint from existing ones)
-      ev.filter(col("ts") >= cut).write.mode("append").parquet(rawPath)
-      rollup(rawDf.filter(col("ts") >= cut))
-        .write.mode("append").parquet(mvPath)
-      register() // re-register after refresh: the freshness contract
-      try {
+      def phase(name: String) = {
         val report = rawDf
           .groupBy(col("event_type"),
             date_trunc("month", col("ts")).as("m"))
@@ -990,13 +994,24 @@ object QueriesSystem {
             }
         }.mkString("\n")
         val usedMv = scans.contains("daily.parquet") &&
-          !scans.contains("events_raw.parquet")
-        report.select(col("event_type"),
+          !scans.contains("events_raw")
+        report.select(lit(name).as("phase"), col("event_type"),
             date_format(col("m"), "yyyy-MM").as("month"),
             round(col("sv"), 2).as("sum_value"),
             col("n").as("n_events"),
             lit(usedMv).as("used_mv"))
           .localCheckpoint()
+      }
+      try {
+        val served = phase("served")
+        // a real batch lands through the sink — recordCommit fires and
+        // the MV becomes stale WITHOUT any explicit invalidation call
+        router.write(ev.filter(col("ts") >= cut)
+          .withColumn("_table", lit("events_raw")))
+        val stale = phase("stale_fallback")
+        MvCatalog.refreshOne(s, rawPath) // the cadence hook
+        val refreshed = phase("refreshed")
+        served.unionByName(stale).unionByName(refreshed)
       } finally MvCatalog.unregister(rawPath)
     }),
 
@@ -1135,13 +1150,28 @@ object QueriesSystem {
         |SELECT 5, 'events', 'vacuum',
         |  CAST((SELECT COUNT(DISTINCT d) FROM e
         |    WHERE d < '2024-01-26') AS BIGINT)""".stripMargin,
+    // phase 1 sees only the pre-cut rows and serves from the MV; the
+    // landed batch flips the SAME query to a raw fallback (fresh
+    // values, used_mv FALSE); refresh re-serves (used_mv TRUE)
     "mv_lifecycle" ->
-      """SELECT event_type,
-        |  strftime(date_trunc('month', ts), '%Y-%m') AS month,
-        |  ROUND(SUM(value), 2) AS sum_value,
-        |  CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  TRUE AS used_mv
-        |FROM events GROUP BY 1, 2""".stripMargin,
+      """WITH agg AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('month', ts), '%Y-%m') AS month,
+        |    ROUND(SUM(value), 2) AS sum_value,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-20'
+        |  GROUP BY 1, 2),
+        |full_agg AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('month', ts), '%Y-%m') AS month,
+        |    ROUND(SUM(value), 2) AS sum_value,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'served' AS phase, *, TRUE AS used_mv FROM agg
+        |UNION ALL
+        |SELECT 'stale_fallback', *, FALSE FROM full_agg
+        |UNION ALL
+        |SELECT 'refreshed', *, TRUE FROM full_agg""".stripMargin,
     "l6_sql_cache" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS INT)

@@ -194,12 +194,73 @@ object MvRewrite extends Rule[LogicalPlan] {
     def unregister(rawPath: String): Unit = {
       byPath.remove(normalize(rawPath))
       sources.remove(normalize(rawPath))
+      watches.remove(normalize(rawPath)): Unit
     }
-    def clear(): Unit = { byPath.clear(); sources.clear() }
+    def clear(): Unit = { byPath.clear(); sources.clear(); watches.clear() }
     def isEmpty: Boolean = byPath.isEmpty
 
     // the user-facing registration inputs, kept for [[save]]
     private val sources = TrieMap.empty[String, (String, MvDef)]
+
+    // ---- commit-history staleness hooks --------------------------------
+    // rawPath -> (historyDir, table, commit version the MV was built
+    // at). The sink's `_history/` log (SinkRouter.recordCommit) is the
+    // invalidation signal: a landed batch on the watched table bumps
+    // the version past the bound one, the rewrite rule stops serving
+    // the MV (queries silently fall back to raw — still correct, just
+    // unaccelerated), and [[refresh]] rebuilds + re-binds. This is the
+    // ClickHouse-MV freshness contract expressed through the commit
+    // log instead of synchronous MV maintenance.
+    private val watches = TrieMap.empty[String, (String, String, Long)]
+
+    /** Bind `rawPath`'s MV freshness to the newest `_history/` commit
+      * naming `table` (call right after building/refreshing the MV). */
+    def watchCommits(rawPath: String, historyDir: String,
+                     table: String): Unit = {
+      watches.put(normalize(rawPath),
+        (historyDir, table, latestCommitFor(historyDir, table))): Unit
+    }
+
+    /** True when a commit for the watched table landed after the MV was
+      * bound. Unwatched registrations are never stale (explicit-refresh
+      * contract, the pre-hook behavior). */
+    private[MvRewrite] def isStale(rawPath: String): Boolean =
+      watches.get(normalize(rawPath)).exists {
+        case (dir, table, bound) => latestCommitFor(dir, table) > bound
+      }
+
+    /** Newest commit version naming `table` (0 when none) — shared
+      * with the result cache via [[graft.sinks.SinkRouter.latestCommit]]. */
+    private def latestCommitFor(historyDir: String, table: String): Long =
+      graft.sinks.SinkRouter.latestCommit(historyDir, table)
+
+    /** Rebuild the MV for `rawPath` from its registered definition
+      * (groupKeys + date_trunc(timeKey) + sums/mins/maxs/count over the
+      * CURRENT raw table), overwrite the MV table, re-register, and
+      * re-bind the freshness watch. Call on a cadence or when
+      * [[isStale]]; queries served in between fall back to raw. */
+    def refresh(spark: SparkSession): Unit =
+      sources.keys.foreach(p => refreshOne(spark, p))
+
+    def refreshOne(spark: SparkSession, rawPath: String): Unit = {
+      import org.apache.spark.sql.functions._
+      val key = normalize(rawPath)
+      val (origPath, d) = sources.getOrElse(key,
+        sys.error(s"no MV registered for $rawPath"))
+      val raw = spark.read.parquet(origPath)
+      val keys = d.groupKeys.map { case (c, n) => c.as(n) } ++
+        d.timeKey.map { case (c, n, g) => date_trunc(g, c).as(n) }.toSeq
+      val aggs = d.sums.map { case (c, n) => sum(c).as(n) } ++
+        d.mins.map { case (c, n) => min(c).as(n) } ++
+        d.maxs.map { case (c, n) => max(c).as(n) } ++
+        d.countCol.map(n => count(lit(1)).as(n)).toSeq
+      raw.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(d.mvPath)
+      register(spark, raw, origPath, d)
+      watches.get(key).foreach { case (dir, table, _) =>
+        watchCommits(origPath, dir, table)
+      }
+    }
 
     /** Persist every registration as re-derivable JSON (expressions as
       * their SQL renderings) — the catalog file a restarted session
@@ -331,6 +392,9 @@ object MvRewrite extends Rule[LogicalPlan] {
       case Seq(r) => r
       case _ => return None
     }
+    // freshness: a commit on the watched raw table after the MV was
+    // bound means the MV is missing rows — serve from raw instead
+    if (MvCatalog.isStale(reg.rawPath)) return None
     // query scan attr -> registration scan attr (by name), so query
     // expressions can be compared semantically against registered ones
     val q2r: Map[ExprId, AttributeReference] = scan.output.flatMap(a =>

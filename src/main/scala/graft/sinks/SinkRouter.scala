@@ -125,6 +125,11 @@ case class SinkOptions(
 
 class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
 
+  /** The commit-log directory — consumed by e.g.
+    * [[graft.plans.MvRewrite.MvCatalog.watchCommits]] as the MV
+    * staleness signal. */
+  def historyDir: String = s"$warehouseDir/_history"
+
   require(Seq("parquet", "orc").contains(options.format),
     s"unsupported table format: ${options.format}")
   private val fmt = options.format
@@ -1176,5 +1181,27 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     completeSwap(path, id, crowded.toSeq, stagedNames)
     recordCommit(table, "compact",
       Map("partitions_compacted" -> crowded.size.toLong))
+  }
+}
+
+object SinkRouter {
+
+  /** Newest `_history/` commit version naming `table` (0 when none) —
+    * the per-table validity stamp consumers
+    * ([[graft.sql.GuardedSql.queryCached]],
+    * [[graft.plans.MvRewrite.MvCatalog]]) compare instead of stat'ing
+    * every data file: one small-directory listing plus reads of only
+    * the newest tiny JSON entries, independent of table size. */
+  def latestCommit(historyDir: String, table: String): Long = {
+    val dir = new java.io.File(historyDir)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith("."))
+      .sortBy(_.getName)(Ordering[String].reverse)
+    val needle = s""""table": "$table""""
+    files.find { f =>
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .contains(needle)
+    }.flatMap(f => scala.util.Try(
+      f.getName.stripSuffix(".json").toLong).toOption).getOrElse(0L)
   }
 }

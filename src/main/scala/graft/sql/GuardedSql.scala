@@ -147,11 +147,15 @@ object GuardedSql {
         size() > CacheMaxEntries
     }
 
-  /** (name, length, mtime) digest of every file the plan scans —
-    * the validity stamp for [[queryCached]]. Driver-side directory
-    * listing only (the same metadata a parquet scan plans over);
-    * non-file relations contribute nothing and are treated as
-    * immutable. */
+  /** Validity stamp for [[queryCached]]. For SinkRouter-managed tables
+    * (a `_history/` commit log sits next to the table directory) the
+    * stamp is the table's NEWEST COMMIT VERSION — O(commit-log), no
+    * recursive data-file listing, so the hit path stays cheap no matter
+    * how many files the table holds; every router mutation records a
+    * commit, so the version moves exactly when the data does. Plain
+    * parquet directories (no commit log) fall back to the (name,
+    * length, mtime) stat digest; non-file relations contribute nothing
+    * and are treated as immutable. */
   private def scanFingerprint(spark: SparkSession,
                               plan: LogicalPlan): String = {
     val conf = spark.sessionState.newHadoopConf()
@@ -161,7 +165,14 @@ object GuardedSql {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             h.location.rootPaths.flatMap { p =>
               val fs = p.getFileSystem(conf)
-              if (!fs.exists(p)) Seq(s"$p:absent")
+              val parent = p.getParent
+              val hist = if (parent == null) null
+                else new org.apache.hadoop.fs.Path(parent, "_history")
+              if (hist != null && fs.exists(hist)) {
+                val v = graft.sinks.SinkRouter.latestCommit(
+                  hist.toUri.getPath, p.getName)
+                Seq(s"$p@v$v")
+              } else if (!fs.exists(p)) Seq(s"$p:absent")
               else {
                 val it = fs.listFiles(p, true)
                 val b = Seq.newBuilder[String]
