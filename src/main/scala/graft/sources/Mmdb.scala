@@ -150,6 +150,13 @@ object Mmdb {
     }
   }
 
+  /** Test hook: decode the value at `off` against a data section
+    * starting at `sectionStart` (pointer targets resolve relative to
+    * it). */
+  private[graft] def decodeValue(buf: Array[Byte], sectionStart: Int,
+                                 off: Int): Any =
+    new Decoder(buf, sectionStart).decode(off)._1
+
   private[graft] def readMeta(buf: Array[Byte]): Meta = {
     val idx = lastIndexOf(buf, Marker)
     require(idx >= 0, "not an mmdb file: metadata marker missing")
@@ -280,12 +287,19 @@ object Mmdb {
     * Double, Boolean, Map[String, Any], Seq[Any]. */
   def write(path: String,
             entries: Seq[(Long, Int, Map[String, Any])]): Unit = {
-    // 1. data section: encode each entry's map once, remember offsets
+    // 1. data section: encode each entry's map once, DEDUPED — ranges
+    // with identical data share one record (the real-world shape: a
+    // country database has millions of ranges over ~250 distinct data
+    // records; tree records point at the same offset)
     val data = new java.io.ByteArrayOutputStream()
+    val seen = scala.collection.mutable.HashMap[Seq[Byte], Int]()
     val offsets = entries.map { case (_, _, m) =>
-      val off = data.size()
-      data.write(encodeValue(m))
-      off
+      val bytes = encodeValue(m)
+      seen.getOrElseUpdate(bytes.toSeq, {
+        val off = data.size()
+        data.write(bytes)
+        off
+      })
     }
     // 2. binary trie over the prefixes
     sealed trait N

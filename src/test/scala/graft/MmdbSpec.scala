@@ -99,6 +99,55 @@ class MmdbSpec extends GraftSpec {
       "10.1.200.9" -> Some("DE"), "11.0.0.1" -> None))
   }
 
+  test("identical data records are DEDUPED in the data section (tree records share one offset)") {
+    val pathA = tmpMmdb(); val pathB = tmpMmdb()
+    val sameData = Map[String, Any]("country" ->
+      Map[String, Any]("iso_code" -> "US"))
+    val otherData = Map[String, Any]("country" ->
+      Map[String, Any]("iso_code" -> "DE"))
+    // A: 8 ranges, all the same data; B: 8 ranges, all distinct data
+    Mmdb.write(pathA, (0 until 8).map(i =>
+      (ip(10, i, 0, 0), 16, sameData)))
+    Mmdb.write(pathB, (0 until 8).map(i =>
+      (ip(10, i, 0, 0), 16, Map[String, Any]("country" ->
+        Map[String, Any]("iso_code" -> f"C$i%02d")))))
+    val a = java.nio.file.Files.size(java.nio.file.Paths.get(pathA))
+    val b = java.nio.file.Files.size(java.nio.file.Paths.get(pathB))
+    assert(a < b, s"dedup file ($a) should be smaller than distinct ($b)")
+    // all 8 ranges still decode with the shared record
+    val got = Mmdb.readRanges(pathA)
+    assert(got.size == 8 &&
+      got.forall(_.attrs("country.iso_code") == "US"))
+    assert(Mmdb.readRanges(pathB).map(_.attrs("country.iso_code")).toSet
+      .size == 8)
+    otherData.size // keep otherData referenced
+  }
+
+  test("pointer decode: a map value referencing an earlier record resolves through the pointer") {
+    // hand-crafted data section:
+    //   offset 0: string "US"          -> 0x42 'U' 'S' (type 2, size 2)
+    //   offset 3: map {c: pointer(0)}  -> 0xE1, key "c", 0x20 0x00
+    // pointer control byte: 001 00 000 = 0x20, next byte 0x00 -> offset 0
+    val buf = Array[Byte](
+      0x42, 'U'.toByte, 'S'.toByte,
+      0xE1.toByte, 0x41, 'c'.toByte, 0x20, 0x00)
+    val v = Mmdb.decodeValue(buf, 0, 3)
+    assert(v == Map("c" -> "US"))
+    // a 19-bit pointer (ss=1): value = ((v3<<16)|next2) + 2048
+    val buf2 = Array[Byte](
+      0x42, 'U'.toByte, 'S'.toByte,
+      0x28, 0x00, 0x00) // ss=1 v3=0 next2=0 -> 0+2048
+    // target 2048 is out of range here; just verify the arithmetic by
+    // placing the string AT sectionStart-2048+... instead: simpler to
+    // verify ss=0 with a 3-bit high part: 0x21 0x00 -> (1<<8)|0 = 256
+    val pad = Array.fill[Byte](256)(0)
+    val buf3 = pad ++ Array[Byte](0x42, 'U'.toByte, 'S'.toByte) ++
+      Array[Byte](0xE1.toByte, 0x41, 'c'.toByte, 0x21, 0x00)
+    val v3 = Mmdb.decodeValue(buf3, 0, 259)
+    assert(v3 == Map("c" -> "US"))
+    buf2.length // keep referenced
+  }
+
   test("metadata parses: node_count, record_size 24, ip_version 4") {
     val path = tmpMmdb()
     Mmdb.write(path, Seq(

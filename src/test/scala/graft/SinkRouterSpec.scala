@@ -152,6 +152,36 @@ class SinkRouterSpec extends GraftSpec {
       canon(viaJson))
   }
 
+  test("a VariantType column round-trips through the sink: sidecar schema, append, read-back values") {
+    val wh = tmpDir()
+    val router = new SinkRouter(wh)
+    val df = Seq(
+      ("m1", """{"plan": "pro", "seats": 3}"""),
+      ("m2", """{"plan": "free", "nested": {"a": true}}"""))
+      .toDF("message_id", "props_json")
+      .select(col("message_id"),
+        try_parse_json(col("props_json")).as("props"))
+      .withColumn("_table", lit("vtab"))
+    router.write(df)
+    val back = router.readTable(spark, "vtab")
+    assert(back.schema("props").dataType.typeName.contains("variant"))
+    val got = back
+      .select(col("message_id"),
+        variant_get(col("props"), "$.plan", "STRING").as("plan"),
+        variant_get(col("props"), "$.seats", "BIGINT").as("seats"),
+        variant_get(col("props"), "$.nested.a", "BOOLEAN").as("a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got("m1") == (("pro", Some(3L), None)))
+    assert(got("m2") == (("free", None, Some(true))))
+    // evolution next to a variant column still works
+    router.write(Seq(("m3", "x"))
+      .toDF("message_id", "extra").withColumn("_table", lit("vtab")))
+    val evolved = router.readTable(spark, "vtab")
+    assert(evolved.count() == 3)
+    assert(evolved.filter(col("extra").isNotNull).count() == 1)
+  }
+
   test("schemaFreeze rejects a batch whose hoisted properties add a column") {
     val wh = tmpDir()
     val open = new SinkRouter(wh)
