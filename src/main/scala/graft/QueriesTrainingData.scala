@@ -907,6 +907,32 @@ object QueriesTrainingData {
         Similarity.bruteForceTopK(q, e, k = 10), q, minTotal = 10)
     }),
 
+    // Offline IVF RECENTROID — the index rebuild AnnIngest defers to:
+    // two Lloyd iterations where assignment is the rounded-cosine/
+    // lower-cell contract and the centroid update is an element-wise
+    // mean over INTEGER-QUANTIZED coordinates (exact long sums — no
+    // float summation-order nondeterminism), so the ENTIRE rebuild is
+    // value-replayed by the oracle: per final cell, member count,
+    // member-id sum, and two integer checksums of the final quantized
+    // centroid.
+    "s3b_ann_recentroid" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir).na.drop(Seq("embedding"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val (assigned, q) = Similarity.recentroidQuantized(
+        e, "id", "vec", nlist = 8, iters = 2)
+      val checks = q.zipWithIndex.map { case (qs, cell) =>
+        (cell, qs.sum,
+          qs.zipWithIndex.map { case (v, p) => v * (p + 1) }.sum)
+      }.toSeq.toDF("cell", "cq_sum", "cq_wsum")
+      assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("id")).as("sum_ids"))
+        .join(checks, Seq("cell"), "right")
+        .na.fill(0L, Seq("n_vecs", "sum_ids"))
+        .select(col("cell"), col("n_vecs"), col("sum_ids"),
+          col("cq_sum"), col("cq_wsum"))
+    }),
+
     // HTML -> text extraction (the WET step of a crawl corpus): the
     // documents are wrapped in a deterministic HTML envelope (tags,
     // comments, script/style, encoded entities), then extracted; the
@@ -1344,6 +1370,79 @@ object QueriesTrainingData {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  true AS recall_floor_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // full value replay of both Lloyd iterations: assignment =
+    // rounded-cosine argmax (ties to lower cell), update = floor(mean)
+    // of round(x*1e4) integer coords, float-cast back — every step
+    // order-free, so the engines agree exactly
+    "s3b_ann_recentroid" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT)
+        |    AS cell, vec
+        |  FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8)),
+        |a1 AS (
+        |  SELECT id, vec, cell FROM (
+        |    SELECT v.id, v.vec, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY v.id
+        |        ORDER BY ROUND(list_cosine_similarity(v.vec, c.vec), 6)
+        |          DESC, c.cell) AS rk
+        |    FROM v CROSS JOIN c0 c) WHERE rk = 1),
+        |q1 AS (
+        |  SELECT cell, gs.i AS pos,
+        |    CAST(FLOOR(CAST(SUM(CAST(ROUND(vec[gs.i] * 10000) AS BIGINT))
+        |      AS DOUBLE) / COUNT(*)) AS BIGINT) AS mq
+        |  FROM a1 CROSS JOIN generate_series(1, 64) gs(i)
+        |  GROUP BY 1, 2),
+        |c1u AS (
+        |  SELECT cell,
+        |    list(CAST(mq / 10000.0 AS FLOAT)::DOUBLE ORDER BY pos) AS vec
+        |  FROM q1 GROUP BY cell),
+        |c1 AS (
+        |  SELECT c0.cell, COALESCE(c1u.vec, c0.vec) AS vec
+        |  FROM c0 LEFT JOIN c1u USING (cell)),
+        |a2 AS (
+        |  SELECT id, vec, cell FROM (
+        |    SELECT v.id, v.vec, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY v.id
+        |        ORDER BY ROUND(list_cosine_similarity(v.vec, c.vec), 6)
+        |          DESC, c.cell) AS rk
+        |    FROM v CROSS JOIN c1 c) WHERE rk = 1),
+        |q2 AS (
+        |  SELECT cell, gs.i AS pos,
+        |    CAST(FLOOR(CAST(SUM(CAST(ROUND(vec[gs.i] * 10000) AS BIGINT))
+        |      AS DOUBLE) / COUNT(*)) AS BIGINT) AS mq
+        |  FROM a2 CROSS JOIN generate_series(1, 64) gs(i)
+        |  GROUP BY 1, 2),
+        |c2u AS (
+        |  SELECT cell,
+        |    list(CAST(mq / 10000.0 AS FLOAT)::DOUBLE ORDER BY pos) AS vec
+        |  FROM q2 GROUP BY cell),
+        |c2 AS (
+        |  SELECT c1.cell, COALESCE(c2u.vec, c1.vec) AS vec
+        |  FROM c1 LEFT JOIN c2u USING (cell)),
+        |alast AS (
+        |  SELECT id, cell FROM (
+        |    SELECT v.id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY v.id
+        |        ORDER BY ROUND(list_cosine_similarity(v.vec, c.vec), 6)
+        |          DESC, c.cell) AS rk
+        |    FROM v CROSS JOIN c2 c) WHERE rk = 1),
+        |agg AS (
+        |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    CAST(SUM(id) AS BIGINT) AS sum_ids
+        |  FROM alast GROUP BY cell),
+        |chk AS (
+        |  SELECT cell,
+        |    CAST(SUM(CAST(ROUND(vec[gs.i] * 10000) AS BIGINT)) AS BIGINT)
+        |      AS cq_sum,
+        |    CAST(SUM(CAST(ROUND(vec[gs.i] * 10000) AS BIGINT) * gs.i)
+        |      AS BIGINT) AS cq_wsum
+        |  FROM c2 CROSS JOIN generate_series(1, 64) gs(i) GROUP BY cell)
+        |SELECT c.cell, COALESCE(a.n_vecs, 0) AS n_vecs,
+        |  COALESCE(a.sum_ids, 0) AS sum_ids, c.cq_sum, c.cq_wsum
+        |FROM chk c LEFT JOIN agg a USING (cell)""".stripMargin,
     "dedup_simhash" ->
       """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
         |  true AS caught, CAST(0 AS INT) AS hamming

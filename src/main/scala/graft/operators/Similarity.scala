@@ -122,6 +122,82 @@ object Similarity {
     centroids
   }
 
+  /** Offline IVF RECENTROID — the periodic index rebuild
+    * [[graft.streaming.AnnIngest]] names as the only legitimate way to
+    * move centroids (live retraining would re-route future appends away
+    * from stored vectors). Lloyd's k-means like [[trainCentroids]], but
+    * every arithmetic step is ORDER-FREE and cross-engine exact, so the
+    * whole rebuild is value-replayable by another engine (the
+    * `s3b_ann_recentroid` oracle replays both iterations in DuckDB):
+    *
+    *  - assignment: argmax of ROUND(cosine, 6), exact ties to the LOWER
+    *    cell — the [[graft.streaming.AnnIngest]] contract;
+    *  - centroid update: element-wise mean over INTEGER-QUANTIZED
+    *    coordinates — `q = round(x·10⁴)` per element, exact long sums
+    *    (commutative: no float summation-order dependence, the trap
+    *    that makes naive float k-means nondeterministic run-to-run),
+    *    `mq = floor(Σq / n)`, new coordinate = `float(mq / 10⁴)`
+    *    (float-cast so stored f32 geometry and the replay agree bit-for
+    *    -bit);
+    *  - init: the `nlist` smallest-id vectors (cell = rank), the same
+    *    deterministic seed rule as the streaming ingest;
+    *  - empty cells keep their previous centroid.
+    *
+    * Distribution shape: per iteration one narrow assignment scan +
+    * one (cell, dim)-keyed aggregation — only nlist × dim longs reach
+    * the driver. Returns (final assignment (id, cell), final quantized
+    * centroids `[cell][dim] = mq`). */
+  def recentroidQuantized(vecs0: DataFrame, idCol: String, vecCol: String,
+                          nlist: Int, iters: Int = 2, scale: Int = 10000)
+      : (DataFrame, Array[Array[Long]]) = {
+    val vecs = vecs0.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .na.drop(Seq("vec")).persist()
+    // HALF_UP away from zero — Spark round()'s and DuckDB ROUND()'s rule
+    def hu(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    var cents: Array[Array[Float]] = vecs.orderBy(col("id"))
+      .limit(nlist).collect().map(_.getSeq[Float](1).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = vecs.select(col("vec"),
+        assignRounded(col("vec"), cents).as("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(round(col("col").cast("double") * scale).cast("long"))
+          .as("sq"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell).map { rows =>
+          val m = old.clone()
+          rows.foreach { r =>
+            val mq = math.floor(
+              r.getLong(2).toDouble / r.getLong(3)).toLong
+            m(r.getInt(1)) = (mq.toDouble / scale).toFloat
+          }
+          m
+        }.getOrElse(old)
+      }
+    }
+    val quantized = cents.map(_.map(f => hu(f.toDouble * scale)))
+    val finalAssign = vecs.select(col("id"),
+      assignRounded(col("vec"), cents).as("cell"))
+    vecs.unpersist(false)
+    (finalAssign, quantized)
+  }
+
+  /** Argmax of ROUND(cosine, 6) with exact ties to the lower cell —
+    * the AnnIngest assignment contract as a codegen'd column. */
+  def assignRounded(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val simIdx = array(centroids.zipWithIndex.map { case (cv, cell) =>
+      struct(
+        round(VectorKernels.cosine_sim(vec, typedLit(cv.toSeq)), 6)
+          .as("cos"),
+        lit(-cell).as("nc"))
+    }: _*)
+    (-array_max(simIdx).getField("nc")).cast("int")
+  }
+
   /** Nearest-centroid cell id: argmax over `nlist` codegen'd cosine
     * kernels against literal centroid vectors. */
   def cellOf(vec: Column, centroids: Array[Array[Float]]): Column = {

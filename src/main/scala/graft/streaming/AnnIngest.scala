@@ -134,6 +134,39 @@ object AnnIngest {
       .write.mode("append").partitionBy("_batch").parquet(outDir)
   }
 
+  /** Offline index REBUILD — the recentroid operation the class doc
+    * defers to (live retraining would re-route future appends away from
+    * stored vectors; a rebuild re-routes EVERYTHING at once): recompute
+    * centroids over all stored vectors with the order-free quantized
+    * k-means ([[graft.operators.Similarity.recentroidQuantized]] — the
+    * same rounded-cosine/lower-cell assignment contract), then rewrite
+    * `centroids` and re-partition `vectors` by the new cells. The
+    * rebuilt table is a fresh epoch: batch-commit scopes collapse (the
+    * rebuild itself is the commit — staged to a sibling dir, then
+    * swapped). Run with the ingest stream stopped. */
+  def rebuild(spark: SparkSession, indexDir: String, nlist: Int,
+              iters: Int = 2): Unit = {
+    import graft.operators.Similarity
+    val stored = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("id"), col("vec"))
+    val (assigned, quantized) = Similarity.recentroidQuantized(
+      stored, "id", "vec", nlist, iters)
+    val cents = quantized.zipWithIndex.map { case (qs, cell) =>
+      (cell, qs.map(q => (q.toDouble / 10000.0).toFloat).toSeq)
+    }
+    val staged = s"$indexDir/.vectors-rebuild"
+    stored.join(assigned.withColumnRenamed("cell", "cell_new"), Seq("id"))
+      .select(col("id"), col("vec"), col("cell_new").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    spark.createDataFrame(cents.toSeq).toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val fs = live.getFileSystem(conf)
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), live): Unit
+  }
+
   /** struct(cell, cos) of the nearest centroid under the rounded-cosine
     * argmax rule: max by (cos, -cell) — exact ties take the lower cell. */
   private def bestCell(vec: Column,

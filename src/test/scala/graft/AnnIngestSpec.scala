@@ -81,6 +81,43 @@ class AnnIngestSpec extends GraftSpec {
     assert(stored == Map(0L -> 0, 1L -> 1, 5L -> 1, 6L -> 0))
   }
 
+  test("rebuild: recentroid re-partitions the stored index, moves centroids to (quantized) cluster means, and later lookups use the new cells") {
+    import org.apache.spark.sql.functions._
+    val in = tmp("ai-rb-in"); val idx = tmp("ai-rb-idx")
+    val out = tmp("ai-rb-out"); val cp = tmp("ai-rb-cp")
+    // seeds 0,1 define cells; the later mass sits BETWEEN the seeds and
+    // a drifted direction, so post-rebuild centroids must move
+    stage(in, 0, Seq(0L -> e0, 1L -> e1))
+    stage(in, 1, Seq(
+      10L -> Array(0.9f, 0.1f, 0f, 0f), 11L -> Array(0.8f, 0.2f, 0f, 0f),
+      12L -> Array(0.1f, 0.9f, 0f, 0f), 13L -> Array(0.2f, 0.8f, 0f, 0f)))
+    val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2)
+    try q.awaitTermination() finally q.stop()
+    AnnIngest.rebuild(spark, idx, nlist = 2, iters = 2)
+    // fresh epoch: single-level cell partitions, no _batch scopes
+    val dirs = new java.io.File(s"$idx/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("cell=0", "cell=1"))
+    val stored = spark.read.parquet(s"$idx/vectors")
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toMap
+    assert(stored == Map(0L -> 0, 10L -> 0, 11L -> 0,
+      1L -> 1, 12L -> 1, 13L -> 1))
+    // centroids are the quantized means of each cluster's members
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .as[(Int, Seq[Float])].collect().toMap
+    def qmean(vs: Seq[Array[Float]]): Seq[Float] = {
+      val n = vs.length
+      vs.head.indices.map { i =>
+        val s = vs.map(v => math.round(v(i).toDouble * 10000)).sum
+        (math.floor(s.toDouble / n).toLong.toDouble / 10000.0).toFloat
+      }
+    }
+    assert(cents(0) == qmean(Seq(e0, Array(0.9f, 0.1f, 0f, 0f),
+      Array(0.8f, 0.2f, 0f, 0f))))
+    assert(cents(1) == qmean(Seq(e1, Array(0.1f, 0.9f, 0f, 0f),
+      Array(0.2f, 0.8f, 0f, 0f))))
+  }
+
   test("crash replay is idempotent: re-run batches (including a partial vector append and a partial centroid seed) leave index + outcome identical to a single run") {
     import graft.streaming.CorpusIngest
     val refIdx = tmp("ai-rep-refidx"); val refOut = tmp("ai-rep-refout")
