@@ -797,6 +797,16 @@ object QueriesTrainingData {
     }),
 
     // deterministic global shuffle + sharding (reproducible training
+    // long-context sliding-window chunking (the pre-packing split):
+    // window 32, stride 16 — overlapping chunks, minimal covering start
+    // set, one short tail chunk; oracle replays starts, lengths, and
+    // the chunk text bytes (md5) exactly
+    "td_chunk" -> ((s, dir) =>
+      Tokenizer.chunkDocs(docs(s, dir), "doc_id", "text",
+          window = 32, stride = 16)
+        .select(col("doc_id"), col("chunk_id"), col("start"),
+          col("chunk_len"), md5(col("chunk_text")).as("chunk_md5"))),
+
     // order): shard and in-shard position are pure functions of
     // (seed, doc_id) — the oracle replays them exactly
     "td_shuffle" -> ((s, dir) =>
@@ -2785,6 +2795,22 @@ object QueriesTrainingData {
         |  CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
         |  CAST(SUM(cap - n_toks) AS BIGINT) AS sum_padding
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "td_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> len(w) > 0) AS t
+        |  FROM documents),
+        |sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |starts AS (
+        |  SELECT doc_id, t, n, gs.s AS start
+        |  FROM sized CROSS JOIN generate_series(0, 4096, 16) gs(s)
+        |  WHERE gs.s < n AND (gs.s = 0 OR gs.s - 16 + 32 < n))
+        |SELECT doc_id, CAST(start / 16 AS INT) AS chunk_id,
+        |  CAST(start AS INT) AS start,
+        |  CAST(LEAST(32, n - start) AS INT) AS chunk_len,
+        |  md5(array_to_string(t[start + 1 : start + 32], ' ')) AS chunk_md5
+        |FROM starts""".stripMargin,
     "td_shuffle" ->
       """WITH k AS (
         |  SELECT doc_id, md5('epoch0:' || doc_id) AS key

@@ -375,4 +375,36 @@ object Tokenizer {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_pieces")).as("n_unigram_tokens"))
+
+  /** Long-context CHUNKING — the sliding-window split a sequence-packing
+    * pipeline runs before [[Sampling]]'s packers: each document's token
+    * stream becomes overlapping windows of `window` tokens advancing by
+    * `stride` (stride < window ⇒ overlap, the standard LM shape so no
+    * boundary context is lost). Coverage rule (deterministic): starts
+    * 0, stride, 2·stride, …, keeping a start only while the PREVIOUS
+    * window has not already reached the document's end — so the doc is
+    * covered with the minimal start set and exactly one (possibly
+    * short) tail chunk. Narrow map + explode: no shuffle, chunk rows
+    * carry (doc, chunk ordinal, start, length, text) — at 100 TB this
+    * is a single scan emitting the training-example table. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.words(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_toks"), col("_n"),
+        explode(sequence(lit(0), col("_n") - 1, lit(stride))).as("start"))
+      .filter(col("start") === 0 ||
+        (col("start") - stride + window) < col("_n"))
+      .select(col(idCol),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        col("start"),
+        least(lit(window), col("_n") - col("start")).as("chunk_len"),
+        array_join(slice(col("_toks"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
 }

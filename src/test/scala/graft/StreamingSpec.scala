@@ -619,4 +619,25 @@ class StreamingSpec extends GraftSpec {
       s"quota 9 must admit exactly 9: $landed")
     env.unpersist(false)
   }
+
+  test("pipeline quota works under jitsu-legacy layout (id column renamed by the layout)") {
+    val in = tmp("graft-in"); val wh = tmp("graft-wh"); val cp = tmp("graft-cp")
+    val env = DriverEventsAdapter.load(spark, sf)
+      .filter(col("write_key") === "wk0")
+      .orderBy(col("timestamp"), col("message_id"))
+      .limit(6)
+    env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+      .coalesce(1).write.mode("overwrite").text(in)
+    // jitsuLegacy renames message_id -> eventn_ctx_event_id; the quota
+    // flag join must follow the rename instead of failing analysis
+    val q = EventPipeline.start(spark, in, wh, cp,
+      layout = "jitsu-legacy", quotaPerMonth = Some(4L))
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(s"$wh/events")
+      .select(col("eventn_ctx_event_id"), col("billable"))
+      .as[(String, Boolean)].collect().toMap
+    assert(landed.size == 6)
+    assert(landed.count(_._2) == 4,
+      s"quota 4 must admit exactly 4: $landed")
+  }
 }

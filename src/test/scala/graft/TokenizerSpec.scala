@@ -232,4 +232,45 @@ class TokenizerSpec extends GraftSpec {
     // doc 1: abba = a + ##b + ##b + ##a
     assert(out(1) == ((1L, 4L, 0L)))
   }
+
+  test("chunkDocs: minimal covering starts, overlap, single tail chunk, short-doc and empty-doc edges") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10
+      (2L, (1 to 8).map(i => s"x$i").mkString(" ")),  // n=8 == window
+      (3L, "a b c"),                                   // n=3 < window
+      (4L, "   "),                                     // empty after split
+      (5L, (1 to 9).map(i => s"y$i").mkString(" "))   // n=9: tail needed
+    ).toDF("doc_id", "text")
+    val out = Tokenizer.chunkDocs(docs, "doc_id", "text",
+        window = 8, stride = 4)
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        col("chunk_len"), col("chunk_text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1 (n=10): start 0 covers 1-8, start 4 covers 5-10 (len 6);
+    // start 8 suppressed (previous window reached the end at 12 >= 10)
+    assert(out.filter(_._1 == 1L).map(t => (t._3, t._4)).toSeq ==
+      Seq((0, 8), (4, 6)))
+    assert(out.find(t => t._1 == 1L && t._2 == 1).get._5 ==
+      "w5 w6 w7 w8 w9 w10")
+    // doc 2 (n=8): exactly one full window
+    assert(out.filter(_._1 == 2L).map(t => (t._3, t._4)).toSeq ==
+      Seq((0, 8)))
+    // doc 3 (n=3): one short chunk
+    assert(out.filter(_._1 == 3L).map(t => (t._3, t._4)).toSeq ==
+      Seq((0, 3)))
+    // doc 4: no tokens -> no chunks
+    assert(!out.exists(_._1 == 4L))
+    // doc 5 (n=9): start 0 reaches 8 < 9, so the tail chunk at 4 is
+    // kept (len 5); start 8 suppressed
+    assert(out.filter(_._1 == 5L).map(t => (t._3, t._4)).toSeq ==
+      Seq((0, 8), (4, 5)))
+    // every token of doc 1 appears in at least one chunk (coverage)
+    val covered = out.filter(_._1 == 1L)
+      .flatMap(t => t._5.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
 }
