@@ -495,4 +495,113 @@ class RandomizedInvariantsSpec extends GraftSpec {
     val nCorrect = best.filter(col("ka") === col("kb")).count()
     assert(nCorrect >= 6L, s"only $nCorrect/8 marker pairs recovered")
   }
+
+  test("UA twins agree on randomized UA-shaped strings (fragments shuffled, mangled, truncated)") {
+    import graft.functions.UaTaxonomy
+    val rnd = new scala.util.Random(4242)
+    val frags = Vector(
+      "Mozilla/5.0", "(Windows NT 10.0; Win64; x64)", "(Macintosh)",
+      "(iPhone; CPU iPhone OS 17_0 like Mac OS X)", "(X11; Linux x86_64)",
+      "(Linux; Android 14; SM-S928B)", "AppleWebKit/537.36",
+      "Chrome/120.0", "Safari/537.36", "Edg/120.0.1", "OPR/105.0",
+      "Firefox/121.0", "Gecko/20100101", "Version/16.6", "Mobile/15E148",
+      "SamsungBrowser/24.0", "Trident/7.0; rv:11.0", "Presto/2.12.388",
+      "(iPad; CPU OS 16_6 like Mac OS X)", "Googlebot/2.1", "aarch64",
+      "(X11; CrOS x86_64 14541.0.0)", "Pixel 8 Pro", "PlayStation 5")
+    val uas = (1 to 300).map { _ =>
+      val n = 1 + rnd.nextInt(6)
+      val parts = Seq.fill(n)(frags(rnd.nextInt(frags.size)))
+      val s = parts.mkString(" ")
+      rnd.nextInt(4) match {
+        case 0 => s.toUpperCase
+        case 1 => s.take(math.max(1, rnd.nextInt(s.length)))
+        case 2 => s.replace(" ", "  ")
+        case _ => s
+      }
+    } ++ Seq("", "??", "a" * 500)
+    val rows = spark.createDataFrame(
+        uas.zipWithIndex.map { case (u, i) => (i, u) })
+      .toDF("i", "ua")
+    val u = graft.functions.Scalars.parseUa(col("ua"))
+    val sqlSide = rows.select(col("i"), col("ua"),
+        u.getField("name"), u.getField("version"), u.getField("major"),
+        u.getField("engine_name"), u.getField("engine_version"),
+        u.getField("os_name"), u.getField("os_version"),
+        u.getField("device_type"), u.getField("device_vendor"),
+        u.getField("device_model"), u.getField("cpu_architecture"),
+        u.getField("bot"))
+      .collect()
+    sqlSide.foreach { r =>
+      val ua = r.getString(1)
+      val jvm = UaTaxonomy.parse(ua)
+      val got = (jvm.name, jvm.version, jvm.major, jvm.engineName,
+        jvm.engineVersion, jvm.osName, jvm.osVersion, jvm.deviceType,
+        jvm.deviceVendor, jvm.deviceModel, jvm.cpuArchitecture, jvm.bot)
+      val want = (r.getString(2), r.getString(3), r.getString(4),
+        r.getString(5), r.getString(6), r.getString(7), r.getString(8),
+        r.getString(9), r.getString(10), r.getString(11),
+        r.getString(12), r.getBoolean(13))
+      assert(got == want, s"twin drift on: $ua")
+    }
+  }
+
+  test("variant hoist matches JSON-string hoist on randomized open-props objects") {
+    val rnd = new scala.util.Random(99)
+    val keys = Vector("alpha", "betaKey", "gamma_k", "deltaVal", "nested")
+    def randJson(): String = {
+      val n = rnd.nextInt(4)
+      val fields = rnd.shuffle(keys).take(n).map { k =>
+        val v = rnd.nextInt(5) match {
+          case 0 => rnd.nextInt(1000).toString
+          case 1 => s""""s${rnd.nextInt(50)}""""
+          case 2 => (rnd.nextInt(10000) / 100.0).toString
+          case 3 => rnd.nextBoolean().toString
+          case _ => s"""{"x": ${rnd.nextInt(9)}}"""
+        }
+        s""""$k": $v"""
+      }
+      fields.mkString("{", ", ", "}")
+    }
+    val rows = (1 to 200).map(i =>
+      (s"m$i", if (i % 19 == 0) "not json" else randJson()))
+    val df = rows.toDF("message_id", "properties")
+    val viaJson = graft.operators.Layouts.hoistProperties(df)
+    val viaVariant = graft.operators.Layouts.hoistPropertiesVariant(df)
+    assert(viaVariant.columns.toSet == viaJson.columns.toSet)
+    val cols = viaJson.columns.sorted.toSeq
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(cols.map(c => col(c).cast("string").as(c)): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(viaVariant) == canon(viaJson))
+  }
+
+  test("mmdb round-trip on randomized disjoint prefix sets: enumerate == per-IP lookups") {
+    import graft.sources.Mmdb
+    val rnd = new scala.util.Random(7)
+    // random disjoint prefixes: pick distinct /16s, then inside some of
+    // them carve /24s instead (still disjoint by construction)
+    val sixteens = rnd.shuffle((1 to 220).toList).take(40)
+    val entries = sixteens.zipWithIndex.flatMap { case (b, i) =>
+      val base = 10L * 16777216L + b.toLong * 65536L
+      if (i % 4 == 0)
+        (0 until 3).map(c => (base + c * 256L, 24,
+          Map[String, Any]("tag" -> s"t$b-$c")))
+      else Seq((base, 16, Map[String, Any]("tag" -> s"t$b")))
+    }
+    val path = java.nio.file.Files
+      .createTempFile("mmdb-rand", ".mmdb").toString
+    Mmdb.write(path, entries)
+    val ranges = Mmdb.readRanges(path)
+    assert(ranges.size == entries.size)
+    // every range's lo/hi/midpoint resolves to its own tag
+    ranges.foreach { r =>
+      val mid = r.ipLo + (r.ipHi - r.ipLo) / 2
+      Seq(r.ipLo, mid, r.ipHi).foreach { ip =>
+        assert(Mmdb.lookupIp(path, ip).map(_("tag")) ==
+          Some(r.attrs("tag")), s"ip $ip in [${r.ipLo},${r.ipHi}]")
+      }
+    }
+    // an IP outside every range misses
+    assert(Mmdb.lookupIp(path, 9L * 16777216L).isEmpty)
+  }
 }
