@@ -218,6 +218,37 @@ object QueriesSystem {
           .cast("int").as("retries_prop"))
     }),
 
+    // §3.2 synchronous multi-connection invocation
+    // (FunctionsHandlerMulti): the SAME event stream through three
+    // connections' chains in one call, retries disabled — the
+    // retry-raising connection's failures surface as error results
+    // (no queue), the dropping connection silently eats errors, the
+    // tagging connection transforms. Per-(connection, status, type)
+    // counts are the response surface the sync endpoint returns.
+    "r3b_sync_multi" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(s"$dir/events.parquet")
+        .select(to_json(struct(col("event_id"), col("event_type")))
+          .as("value")).as[String]
+      val tag = EventFunction("tag", builtin = true, (e: ObjectNode) => {
+        e.put("tagged", true); Replace(Seq(e))
+      })
+      val dropErrors = EventFunction("drop_errors", builtin = true,
+        (e: ObjectNode) =>
+          if (e.get("event_type").asText() == "error") Drop else Same)
+      val flakyClicks = EventFunction("flaky", builtin = false,
+        (e: ObjectNode) =>
+          if (e.get("event_type").asText() == "click")
+            Retry("sync downstream 503") else Same)
+      FunctionChain.runMulti(raw, Map(
+          "c_webhook" -> Seq(tag),
+          "c_filter" -> Seq(dropErrors, tag),
+          "c_flaky" -> Seq(flakyClicks)))
+        .groupBy(col("connection_id"), col("status"),
+          get_json_object(col("event"), "$.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // K1: sink router round-trip — append, then UR re-emission overwrite
     // via dedup merge on message_id
     "k1_sink_dedup" -> ((s, dir) => {
@@ -1247,6 +1278,20 @@ object QueriesSystem {
         |    AS BIGINT) AS n
         |FROM events WHERE event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
+    // sync multi: every (connection, status, type) cell derivable from
+    // the three chains' semantics over the raw event-type distribution
+    "r3b_sync_multi" ->
+      """WITH base AS (SELECT event_type, COUNT(*) AS n FROM events
+        |  GROUP BY event_type)
+        |SELECT 'c_webhook' AS connection_id, 'success' AS status,
+        |  event_type, CAST(n AS BIGINT) AS n FROM base
+        |UNION ALL
+        |SELECT 'c_filter', 'success', event_type, CAST(n AS BIGINT)
+        |FROM base WHERE event_type <> 'error'
+        |UNION ALL
+        |SELECT 'c_flaky',
+        |  CASE WHEN event_type = 'click' THEN 'error' ELSE 'success' END,
+        |  event_type, CAST(n AS BIGINT) FROM base""".stripMargin,
     // the reference's expected event sets, hand-copied per (scenario,
     // attempt) from functions-chain.test.ts expectedEvents — NOT a
     // replay of the implementation

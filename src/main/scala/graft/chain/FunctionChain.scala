@@ -423,6 +423,33 @@ object FunctionChain {
     }(enc)
   }
 
+  /** §3.2 synchronous (edge) invocation — the reference's
+    * `FunctionsHandlerMulti` (`services/rotor/src/http/functions.ts:
+    * 40-83`): ONE event stream processed through SEVERAL connections'
+    * chains in the same call, retries DISABLED (the synchronous caller
+    * gets the failure instead of a queue entry — a Retry surfaces as an
+    * error result), results labeled per connection. Spark shape: a
+    * union of per-connection chain runs — each run carries its own
+    * `connectionId` (so ctx.store/props namespace correctly), and the
+    * whole thing is one lazy plan: N chains over one cached upstream,
+    * not N jobs. */
+  def runMulti(events: Dataset[String],
+               chains: Map[String, Seq[EventFunction]],
+               options: ChainOptions = ChainOptions()): DataFrame = {
+    require(chains.nonEmpty, "need at least one connection chain")
+    chains.toSeq.sortBy(_._1).map { case (cid, chain) =>
+      run(events, chain, options = options.copy(connectionId = cid))
+        .toDF()
+        .withColumn("connection_id", lit(cid))
+        // sync path: no retry queue exists — a retryable failure IS the
+        // response (ref rotorMessageHandler invoked with retries
+        // disabled from the sync endpoint)
+        .withColumn("status",
+          when(col("status") === "retry", "error")
+            .otherwise(col("status")))
+    }.reduce(_ unionByName _)
+  }
+
   /** A4 metrics status derivation for chain outputs. */
   def withMetricsStatus(out: DataFrame, chain: Seq[EventFunction]): DataFrame = {
     val builtinIds = chain.filter(_.builtin).map(_.id)
