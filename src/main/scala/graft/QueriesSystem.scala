@@ -249,6 +249,35 @@ object QueriesSystem {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // P12 diff-minimized sync responses: three connections whose
+    // transforms produce KNOWN merge patches — add a field, rewrite a
+    // field, remove a field — so every per-(connection, patch) count
+    // derives from the event-type distribution. The patch IS the
+    // response payload (unchanged fields omitted, removals explicit
+    // nulls).
+    "r3c_sync_diff" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(s"$dir/events.parquet")
+        .select(to_json(struct(col("event_id"), col("event_type")))
+          .as("value")).as[String]
+      val tag = EventFunction("tag", builtin = true, (e: ObjectNode) => {
+        e.put("tagged", true); Replace(Seq(e))
+      })
+      val upper = EventFunction("upper", builtin = true, (e: ObjectNode) => {
+        e.put("event_type", e.get("event_type").asText().toUpperCase)
+        Replace(Seq(e))
+      })
+      val strip = EventFunction("strip", builtin = true, (e: ObjectNode) => {
+        e.remove("event_id"); Replace(Seq(e))
+      })
+      FunctionChain.runMultiDiff(raw, Map(
+          "c_tag" -> Seq(tag),
+          "c_upper" -> Seq(upper),
+          "c_strip" -> Seq(strip)))
+        .groupBy(col("connection_id"), col("status"), col("patch"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // K1: sink router round-trip — append, then UR re-emission overwrite
     // via dedup merge on message_id
     "k1_sink_dedup" -> ((s, dir) => {
@@ -1278,6 +1307,21 @@ object QueriesSystem {
         |    AS BIGINT) AS n
         |FROM events WHERE event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
+    // diff responses: the three transforms' merge patches are exactly
+    // derivable — add => {"tagged":true}, rewrite => the uppercased
+    // type, remove => explicit null
+    "r3c_sync_diff" ->
+      """WITH base AS (SELECT event_type, COUNT(*) AS n FROM events
+        |  GROUP BY event_type),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM base)
+        |SELECT 'c_tag' AS connection_id, 'success' AS status,
+        |  '{"tagged":true}' AS patch, t AS n FROM tot
+        |UNION ALL
+        |SELECT 'c_strip', 'success', '{"event_id":null}', t FROM tot
+        |UNION ALL
+        |SELECT 'c_upper', 'success',
+        |  '{"event_type":"' || UPPER(event_type) || '"}',
+        |  CAST(n AS BIGINT) FROM base""".stripMargin,
     // sync multi: every (connection, status, type) cell derivable from
     // the three chains' semantics over the raw event-type distribution
     "r3b_sync_multi" ->

@@ -450,6 +450,77 @@ object FunctionChain {
     }.reduce(_ unionByName _)
   }
 
+  /** P12 diff-minimized response — the sync endpoint returns each
+    * connection's result as a MERGE PATCH against the incoming event
+    * (RFC 7386 semantics, the reference's diff-minimized results):
+    * unchanged fields are omitted, added/changed fields carry the new
+    * value, removed fields appear as explicit nulls, nested objects
+    * recurse (an empty nested diff is omitted). Applying the patch to
+    * the original reconstructs the result exactly — ChainSpec proves
+    * the round-trip. */
+  private[graft] def diffEvent(mapper: ObjectMapper, before: ObjectNode,
+                               after: ObjectNode): ObjectNode = {
+    val patch = mapper.createObjectNode()
+    val it = after.fieldNames()
+    while (it.hasNext) {
+      val k = it.next()
+      val av = after.get(k)
+      val bv = before.get(k)
+      // NB: ObjectNode.set's generic return must be pinned — an
+      // inferred-from-Unit type parameter compiles to a BoxedUnit cast
+      // that throws at runtime
+      if (bv == null)
+        patch.set[com.fasterxml.jackson.databind.JsonNode](
+          k, av.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+      else if (bv.isObject && av.isObject) {
+        val sub = diffEvent(mapper, bv.asInstanceOf[ObjectNode],
+          av.asInstanceOf[ObjectNode])
+        if (sub.size() > 0)
+          patch.set[com.fasterxml.jackson.databind.JsonNode](k, sub)
+      } else if (bv != av)
+        patch.set[com.fasterxml.jackson.databind.JsonNode](
+          k, av.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+    }
+    val bit = before.fieldNames()
+    while (bit.hasNext) {
+      val k = bit.next()
+      if (!after.has(k)) { patch.putNull(k); () }
+    }
+    patch
+  }
+
+  /** [[runMulti]] with P12 diff-minimized results: success rows carry
+    * the merge patch of (incoming event → connection result) instead of
+    * the full result event; error/dropped rows carry no patch (the
+    * error string is the response). */
+  def runMultiDiff(events: Dataset[String],
+                   chains: Map[String, Seq[EventFunction]],
+                   options: ChainOptions = ChainOptions()): DataFrame = {
+    require(chains.nonEmpty, "need at least one connection chain")
+    val ordered = chains.toSeq.sortBy(_._1)
+    val enc = Encoders.product[(String, String, String, String, String)]
+    events.mapPartitions { it =>
+      val mapper = mapperTl.get()
+      it.flatMap { raw =>
+        val orig = scala.util.Try(
+          mapper.readTree(raw).asInstanceOf[ObjectNode]).toOption
+        ordered.flatMap { case (cid, chain) =>
+          runOne(mapper, raw, chain, 0,
+            options.copy(connectionId = cid)).map { o =>
+            val status = if (o.status == "retry") "error" else o.status
+            val patch = (status, orig) match {
+              case ("success", Some(b)) =>
+                mapper.writeValueAsString(diffEvent(mapper, b,
+                  mapper.readTree(o.event).asInstanceOf[ObjectNode]))
+              case _ => null
+            }
+            (cid, status, o.functionId, o.error, patch)
+          }
+        }
+      }
+    }(enc).toDF("connection_id", "status", "function_id", "error", "patch")
+  }
+
   /** A4 metrics status derivation for chain outputs. */
   def withMetricsStatus(out: DataFrame, chain: Seq[EventFunction]): DataFrame = {
     val builtinIds = chain.filter(_.builtin).map(_.id)

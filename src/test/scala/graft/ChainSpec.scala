@@ -357,6 +357,35 @@ class ChainSpec extends GraftSpec {
     assert(b1.head.event.contains("\"a\":1"))
   }
 
+  test("P12 merge patch: diff omits unchanged, carries adds/changes, nulls removals, recurses; patch + original reconstructs the result") {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def on(s: String) = mapper.readTree(s).asInstanceOf[ObjectNode]
+    val before = on("""{"a":1,"b":"x","nested":{"k":1,"m":2},"gone":true,"same":{"q":9}}""")
+    val after = on("""{"a":1,"b":"y","nested":{"k":1,"m":3,"new":4},"added":[1,2],"same":{"q":9}}""")
+    val patch = FunctionChain.diffEvent(mapper, before, after)
+    assert(mapper.writeValueAsString(patch) ==
+      """{"b":"y","nested":{"m":3,"new":4},"added":[1,2],"gone":null}""")
+    // RFC 7386 apply: null removes, objects recurse, others replace
+    def apply(target: ObjectNode, p: ObjectNode): ObjectNode = {
+      val it = p.fieldNames()
+      while (it.hasNext) {
+        val k = it.next()
+        val pv = p.get(k)
+        if (pv.isNull) target.remove(k)
+        else if (pv.isObject && target.has(k) && target.get(k).isObject)
+          apply(target.get(k).asInstanceOf[ObjectNode],
+            pv.asInstanceOf[ObjectNode])
+        else target.set[com.fasterxml.jackson.databind.JsonNode](
+          k, pv.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+      }
+      target
+    }
+    assert(apply(before.deepCopy[ObjectNode](), patch) == after)
+    // identical events diff to the empty patch
+    assert(FunctionChain.diffEvent(mapper, after, after).size() == 0)
+  }
+
   test("metrics status derivation (A4)") {
     val out = FunctionChain.run(
       Seq(ev(3, "track")).toDS(), Seq(dropPages, failOnType3))
