@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -59,7 +61,8 @@ object CorpusIngest {
             outDir: String, checkpointDir: String,
             n: Int = 3, threshold: Double = 0.5,
             numHashes: Int = 128, rowsPerBand: Int = 2,
-            shufflePartitions: Int = 0): StreamingQuery = {
+            shufflePartitions: Int = 0,
+            compactEvery: Int = 0): StreamingQuery = {
     val session =
       if (shufflePartitions <= 0) spark
       else {
@@ -78,18 +81,115 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, indexDir, outDir, n, threshold,
           numHashes, rowsPerBand, batchId)
+        // maintenance cadence, between appends (the SinkRouter
+        // compactEvery shape): fold batch partitions so index file
+        // counts stay bounded over long uptimes
+        // fold only batches STRICTLY OLDER than the current one: a
+        // replayed batch deletes its own partition before re-appending,
+        // and that partition must never have become the consolidation
+        // target holding earlier batches' data
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          Seq(s"$indexDir/bands", s"$indexDir/shingles", outDir)
+            .foreach(compactBatches(batch.sparkSession, _,
+              upTo = batchId - 1))
       }
       .start()
   }
 
   /** Delete `path/_batch=<id>` if present — the replay-side half of the
     * batch-scoped commit (Hadoop FS API, so the same code is correct on
-    * HDFS/S3A, not just local disk). */
+    * HDFS/S3A, not just local disk). Also completes any interrupted
+    * [[compactBatches]] first (the manifest roll-forward), so a crash
+    * mid-compaction can never be read as missing data. */
   private[graft] def clearBatch(spark: SparkSession, path: String,
                                     batchId: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_batch=$batchId")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, new org.apache.hadoop.fs.Path(path))
     if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  // ---- batch-partition compaction -------------------------------------
+  // Every micro-batch adds one `_batch=<id>` directory; at 100 TB /
+  // months of uptime that is a file-count problem (listing cost, tiny
+  // files). Compaction folds all committed batch partitions into the
+  // NEWEST one — semantics preserved exactly, because a consolidated
+  // row carries the max batch id, which is <= any future batch's
+  // `_batch < id` prior-read filter. The swap follows the sink's
+  // manifest protocol: stage → manifest → delete olds → rename → drop
+  // manifest; a crash anywhere is rolled FORWARD from the manifest on
+  // the next read (the manifest is the commit point — before it exists
+  // nothing was touched, after it the staged data is complete).
+
+  private val CompactManifest = ".compact-manifest"
+  private val CompactStaged = ".compact-staged"
+
+  /** Fold the `_batch=` partitions of `path` with id <= `upTo` into the
+    * newest of them. Run between batches (e.g. on the streaming
+    * `compactEvery` cadence, which passes `upTo = batchId - 1` so a
+    * replayed batch's self-delete can never hit the consolidation
+    * target) — not concurrently with an in-flight append. No-op for
+    * 0 or 1 eligible partitions. */
+  def compactBatches(spark: SparkSession, path: String,
+                     upTo: Long = Long.MaxValue): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, root)
+    if (!fs.exists(root)) return
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_batch=").toLong).toOption)
+      .filter(_ <= upTo)
+      .sorted
+    if (parts.length <= 1) return
+    val target = parts.last
+    val staged = new org.apache.hadoop.fs.Path(root, CompactStaged)
+    fs.delete(staged, true) // stale partial staging from a pre-manifest crash
+    // 1. stage the consolidated rows (data columns only — the batch id
+    //    comes back from the directory name after the swap)
+    spark.read.parquet(path).filter(col("_batch") <= upTo).drop("_batch")
+      .write.parquet(staged.toString)
+    // 2. commit point: the manifest lists what to delete and the target
+    val manifest = new org.apache.hadoop.fs.Path(root, CompactManifest)
+    val body = s"""{"target": $target, "delete": [${parts.mkString(", ")}]}"""
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$CompactManifest.tmp")
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes(StandardCharsets.UTF_8)); out.close()
+    fs.rename(tmp, manifest)
+    // 3-5. roll forward
+    completeCompaction(fs, root, target, parts.toSeq)
+  }
+
+  /** Finish (or no-op) an interrupted compaction from its manifest. */
+  private[graft] def recoverCompaction(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(root, CompactManifest)
+    if (!fs.exists(manifest)) return
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(manifest)),
+      StandardCharsets.UTF_8)
+    val targetOpt = """"target":\s*(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong)
+    val deletes = """"delete":\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+      .map(_.group(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong)).getOrElse(Seq.empty)
+    targetOpt.foreach(t => completeCompaction(fs, root, t, deletes))
+  }
+
+  private def completeCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path,
+                                 target: Long, deletes: Seq[Long]): Unit = {
+    val staged = new org.apache.hadoop.fs.Path(root, CompactStaged)
+    val targetDir = new org.apache.hadoop.fs.Path(root, s"_batch=$target")
+    deletes.foreach { b =>
+      val d = new org.apache.hadoop.fs.Path(root, s"_batch=$b")
+      // the target dir is only deleted while its replacement is staged
+      if (b != target || fs.exists(staged)) { fs.delete(d, true); () }
+    }
+    if (fs.exists(staged)) { fs.rename(staged, targetDir); () }
+    fs.delete(new org.apache.hadoop.fs.Path(root, CompactManifest), false): Unit
   }
 
   /** Read a batch-partitioned index table restricted to batches STRICTLY

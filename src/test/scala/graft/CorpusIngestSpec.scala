@@ -44,8 +44,10 @@ class CorpusIngestSpec extends GraftSpec {
       dst.setLastModified(1700000000000L + b * 60000L)
       ()
     }
+    // compactEvery=2 exercises the in-stream maintenance cadence: the
+    // fold after batch 1 must not change any outcome
     val q = CorpusIngest.start(spark, in, idx, out, cp, n = 3,
-      threshold = 0.5)
+      threshold = 0.5, compactEvery = 2)
     try q.awaitTermination() finally q.stop()
     val got = spark.read.parquet(out)
       .select(col("doc_id"), col("status")).as[(Long, String)]
@@ -145,5 +147,63 @@ class CorpusIngestSpec extends GraftSpec {
       spark.read.parquet(s"$refIdx/bands").count())
     assert(spark.read.parquet(out).count() ==
       spark.read.parquet(refOut).count())
+  }
+
+  test("compactBatches folds committed batch partitions into the newest; semantics and future batches unchanged; crash mid-compaction rolls forward") {
+    val refIdx = tmp("ci-cp-refidx"); val refOut = tmp("ci-cp-refout")
+    val idx = tmp("ci-cp-idx"); val out = tmp("ci-cp-out")
+    val batches = Seq(
+      Seq((10L, textA), (11L, textB), (12L, textB)),
+      Seq((20L, textA), (21L, textB), (22L, textC)),
+      Seq((30L, textC), (31L, "lone wolf words that match nothing else here")))
+    def frame(b: Int) = batches(b).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    def run(b: Int, i: String, o: String): Unit =
+      CorpusIngest.processBatch(frame(b), i, o, n = 3, threshold = 0.5,
+        numHashes = 128, rowsPerBand = 2, batchId = b.toLong)
+    (0 to 2).foreach(b => run(b, refIdx, refOut))
+
+    // compacted run: compact after batch 1, then process batch 2
+    run(0, idx, out); run(1, idx, out)
+    Seq(s"$idx/bands", s"$idx/shingles", out)
+      .foreach(CorpusIngest.compactBatches(spark, _))
+    def batchDirs(path: String): Set[String] =
+      new java.io.File(path).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("_batch=")).toSet
+    assert(batchDirs(s"$idx/bands") == Set("_batch=1"))
+    assert(batchDirs(out) == Set("_batch=1"))
+    run(2, idx, out)
+    def rows(path: String, cols: String*): Set[String] =
+      spark.read.parquet(path).select(cols.map(col): _*)
+        .collect().map(_.toString).toSet
+    // content identical to the uncompacted reference, batch ids aside
+    assert(rows(s"$idx/shingles", "id") == rows(s"$refIdx/shingles", "id"))
+    assert(rows(s"$idx/bands", "id", "band", "bucket") ==
+      rows(s"$refIdx/bands", "id", "band", "bucket"))
+    assert(rows(out, "doc_id", "status") == rows(refOut, "doc_id", "status"))
+
+    // crash mid-compaction on the outcome table: manifest written, one
+    // old partition deleted, staged present, rename never ran — the
+    // next processBatch must roll the compaction forward, not lose data
+    val idx2 = tmp("ci-cp2-idx"); val out2 = tmp("ci-cp2-out")
+    run(0, idx2, out2); run(1, idx2, out2)
+    val pre = rows(out2, "doc_id", "status")
+    val root = new org.apache.hadoop.fs.Path(out2)
+    val fs = root.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // stage manually (what compact writes before the manifest)
+    spark.read.parquet(out2).drop("_batch")
+      .write.parquet(s"$out2/.compact-staged")
+    val mf = fs.create(new org.apache.hadoop.fs.Path(root, ".compact-manifest"), true)
+    mf.write("""{"target": 1, "delete": [0, 1]}""".getBytes("UTF-8")); mf.close()
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_batch=0"), true)
+    // crash here. batch 2 arrives; clearBatch recovery completes the swap
+    run(2, idx2, out2)
+    assert(batchDirs(out2).contains("_batch=1") &&
+      !batchDirs(out2).contains("_batch=0"))
+    assert(!new java.io.File(s"$out2/.compact-manifest").exists())
+    val post = rows(out2, "doc_id", "status")
+    assert(pre.subsetOf(post), "no outcome rows lost across the crash")
+    assert(post == rows(refOut, "doc_id", "status"))
   }
 }
