@@ -62,7 +62,8 @@ object AnnIngest {
     * volume (same rule as [[CorpusIngest.start]]). */
   def start(spark: SparkSession, inputDir: String, indexDir: String,
             outDir: String, checkpointDir: String,
-            nlist: Int = 8, shufflePartitions: Int = 0): StreamingQuery = {
+            nlist: Int = 8, shufflePartitions: Int = 0,
+            compactEvery: Int = 0): StreamingQuery = {
     val session =
       if (shufflePartitions <= 0) spark
       else {
@@ -80,6 +81,17 @@ object AnnIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, indexDir, outDir, nlist, batchId)
+        // maintenance cadence (see CorpusIngest.compactBatches): fold
+        // committed batch partitions, keeping the cell sub-partitioning
+        // that probe-time pruning depends on; strictly-older bound so a
+        // replay's self-delete never hits the consolidation target
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          CorpusIngest.compactBatches(batch.sparkSession,
+            s"$indexDir/vectors", upTo = batchId - 1,
+            subPartitions = Seq("cell"))
+          CorpusIngest.compactBatches(batch.sparkSession, outDir,
+            upTo = batchId - 1)
+        }
       }
       .start()
   }

@@ -131,7 +131,8 @@ object CorpusIngest {
     * target) — not concurrently with an in-flight append. No-op for
     * 0 or 1 eligible partitions. */
   def compactBatches(spark: SparkSession, path: String,
-                     upTo: Long = Long.MaxValue): Unit = {
+                     upTo: Long = Long.MaxValue,
+                     subPartitions: Seq[String] = Nil): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, root)
@@ -148,8 +149,11 @@ object CorpusIngest {
     fs.delete(staged, true) // stale partial staging from a pre-manifest crash
     // 1. stage the consolidated rows (data columns only — the batch id
     //    comes back from the directory name after the swap)
-    spark.read.parquet(path).filter(col("_batch") <= upTo).drop("_batch")
-      .write.parquet(staged.toString)
+    val consolidated = spark.read.parquet(path)
+      .filter(col("_batch") <= upTo).drop("_batch")
+    val writer = consolidated.write
+    (if (subPartitions.nonEmpty) writer.partitionBy(subPartitions: _*)
+     else writer).parquet(staged.toString)
     // 2. commit point: the manifest lists what to delete and the target
     val manifest = new org.apache.hadoop.fs.Path(root, CompactManifest)
     val body = s"""{"target": $target, "delete": [${parts.mkString(", ")}]}"""

@@ -81,6 +81,30 @@ class AnnIngestSpec extends GraftSpec {
     assert(stored == Map(0L -> 0, 1L -> 1, 5L -> 1, 6L -> 0))
   }
 
+  test("compaction cadence folds vector batch partitions, keeping cell sub-partitions; assignments unchanged") {
+    import org.apache.spark.sql.functions._
+    val in = tmp("ai-cp-in"); val idx = tmp("ai-cp-idx")
+    val out = tmp("ai-cp-out"); val cp = tmp("ai-cp-cp")
+    stage(in, 0, Seq(0L -> e0, 1L -> e1))
+    stage(in, 1, Seq(5L -> Array(0.2f, 0.8f, 0f, 0f)))
+    stage(in, 2, Seq(6L -> Array(0.8f, 0.2f, 0f, 0f)))
+    // compactEvery=3 fires after batch 2 with upTo=1: batches 0,1 fold
+    // into _batch=1; batch 2 keeps its own partition
+    val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2,
+      compactEvery = 3)
+    try q.awaitTermination() finally q.stop()
+    val batchDirs = new java.io.File(s"$idx/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batchDirs == Set("_batch=1", "_batch=2"), s"got $batchDirs")
+    // cell sub-partitions survive the fold (probe pruning intact)
+    val folded = new java.io.File(s"$idx/vectors/_batch=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(folded == Set("cell=0", "cell=1"))
+    val stored = spark.read.parquet(s"$idx/vectors")
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toMap
+    assert(stored == Map(0L -> 0, 1L -> 1, 5L -> 1, 6L -> 0))
+  }
+
   test("rebuild: recentroid re-partitions the stored index, moves centroids to (quantized) cluster means, and later lookups use the new cells") {
     import org.apache.spark.sql.functions._
     val in = tmp("ai-rb-in"); val idx = tmp("ai-rb-idx")
