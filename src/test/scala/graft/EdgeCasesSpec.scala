@@ -91,4 +91,14 @@ class EdgeCasesSpec extends GraftSpec {
     assert(out(0) == Timestamp.valueOf("2024-01-01 10:00:00"))
     assert(out(1) == Timestamp.valueOf("2024-01-01 11:00:00"))
   }
+
+  test("registry integrity: every query has an oracle and every oracle a query (the driver's gate covers the whole surface)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val qOnly = q -- o
+    val oOnly = o -- q
+    assert(qOnly.isEmpty, s"queries without an oracle: $qOnly")
+    assert(oOnly.isEmpty, s"oracles without a query (mis-anchored insert?): $oOnly")
+    assert(q.nonEmpty)
+  }
 }
