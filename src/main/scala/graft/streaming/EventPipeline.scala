@@ -285,7 +285,17 @@ object EventPipeline {
             maxFilesPerTrigger: Int = 32,
             statePartitions: Int = 0,
             stateStore: String = "hdfs",
-            quotaPerMonth: Option[Long] = None): StreamingQuery = {
+            quotaPerMonth: Option[Long] = None,
+            // "json" stores open props as JSON strings (the default,
+            // reference-shaped); "variant" parses them ONCE into Spark 4
+            // VariantType right after the envelope, so every downstream
+            // read (layout projections, warehouse queries) is a
+            // pre-shredded variant_get instead of a per-access JSON
+            // re-parse (2.1x on wide projections — tools/VariantProbe),
+            // and the sink stores the binary variant encoding
+            openProps: String = "json"): StreamingQuery = {
+    require(Seq("json", "variant").contains(openProps),
+      s"unsupported openProps: $openProps")
     // a cloned session scopes the overrides to THIS query (shared
     // SparkContext, independent SQL conf)
     val session =
@@ -349,7 +359,12 @@ object EventPipeline {
           val cached = batch.persist()
           try {
             val isQ = col("error").isNotNull
-            val env = cached.filter(!isQ).drop("raw_event", "error")
+            val env0 = cached.filter(!isQ).drop("raw_event", "error")
+            val env =
+              if (openProps != "variant") env0
+              else env0
+                .withColumn("properties", try_parse_json(col("properties")))
+                .withColumn("traits", try_parse_json(col("traits")))
             val out = applyLayout(reroute(env), layout)
             router.write(quotaPerMonth match {
               case None => out

@@ -37,6 +37,33 @@ class StreamingSpec extends GraftSpec {
     assert(landed.select("message_id").distinct().count() == n)
   }
 
+  test("openProps=variant stores open props as VariantType end-to-end; values match the JSON-string run") {
+    val in = tmp("graft-in")
+    val n = writeJsonEvents(in)
+    def land(openProps: String): org.apache.spark.sql.DataFrame = {
+      val wh = tmp("graft-wh"); val cp = tmp("graft-cp")
+      val q = EventPipeline.start(spark, in, wh, cp,
+        openProps = openProps)
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$wh/events")
+    }
+    val jsonRun = land("json")
+    val varRun = land("variant")
+    assert(jsonRun.schema("properties").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(varRun.schema("properties").dataType.typeName
+      .contains("variant"))
+    assert(varRun.count() == n)
+    // the same key read through both encodings agrees row-for-row
+    val a = jsonRun.select(col("message_id"),
+        get_json_object(col("properties"), "$.k").cast("long").as("k"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    val b = varRun.select(col("message_id"),
+        try_variant_get(col("properties"), "$.k", "BIGINT").as("k"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(a == b)
+  }
+
   test("statePartitions shards the dedup state without changing results") {
     val in = tmp("graft-in"); val wh = tmp("graft-wh"); val cp = tmp("graft-cp")
     val env = DriverEventsAdapter.load(spark, sf)
