@@ -1186,22 +1186,39 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
 
 object SinkRouter {
 
+  // (historyDir, table) -> (dir mtime at scan, version). A new commit
+  // creates a file, which bumps the directory's mtime — so a matching
+  // mtime means the cached answer is still exact and the hit path is
+  // ONE stat, independent of commit-log length.
+  private val commitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+
   /** Newest `_history/` commit version naming `table` (0 when none) —
     * the per-table validity stamp consumers
     * ([[graft.sql.GuardedSql.queryCached]],
     * [[graft.plans.MvRewrite.MvCatalog]]) compare instead of stat'ing
-    * every data file: one small-directory listing plus reads of only
-    * the newest tiny JSON entries, independent of table size. */
+    * every data file. Memoized against the directory mtime: unchanged
+    * log ⇒ one stat; a landed commit ⇒ one listing plus reads of only
+    * the newest tiny JSON entries. */
   def latestCommit(historyDir: String, table: String): Long = {
     val dir = new java.io.File(historyDir)
+    val mtime = dir.lastModified() // 0 when the dir does not exist
+    val key = (historyDir, table)
+    val cached = commitMemo.get(key)
+    // never trust an mtime still inside the current clock tick: a
+    // commit landing in the same millisecond would not move it
+    if (cached != null && cached._1 == mtime &&
+        mtime < System.currentTimeMillis() - 2) return cached._2
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith("."))
       .sortBy(_.getName)(Ordering[String].reverse)
     val needle = s""""table": "$table""""
-    files.find { f =>
+    val v = files.find { f =>
       new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
         .contains(needle)
     }.flatMap(f => scala.util.Try(
       f.getName.stripSuffix(".json").toLong).toOption).getOrElse(0L)
+    commitMemo.put(key, (mtime, v))
+    v
   }
 }
