@@ -1,0 +1,59 @@
+package graft
+
+/** Physical-plan regression guards: the plan SHAPES the scale story
+  * depends on, pinned as tests — a future change that silently turns a
+  * broadcast join into a nested loop, or a narrow map into a shuffle,
+  * fails here instead of in a 100 TB run. Uses sf0.001 (plans, not
+  * data, are under test). */
+class PlanShapeSpec extends GraftSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      .toString()
+
+  test("geo range joins are broadcast HASH joins, never nested loops") {
+    Seq("f1b_geo_range", "f1c_geo_mmdb").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its hash join")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to a nested loop")
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian")
+    }
+  }
+
+  test("q3 join-topk broadcasts its dims and never goes cartesian") {
+    val p = plan("q3_join_topk")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("LSH dedup and blocked ER shuffle band keys, never cartesian") {
+    Seq("dedup_minhash_lsh", "er_match").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to a nested loop")
+    }
+  }
+
+  test("long-context chunking is a narrow map: no shuffle exchange") {
+    val p = plan("td_chunk")
+    assert(!p.contains("Exchange"), "td_chunk grew a shuffle")
+    assert(p.contains("Generate"), "expected the explode Generate")
+  }
+
+  test("UA taxonomy projection stays codegen'd (no UDFs in the plan)") {
+    val p = plan("f2b_ua_taxonomy")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "UA parse fell out of codegen")
+  }
+
+  test("active-events aggregation has a map-side partial (two HashAggregate levels)") {
+    val p = plan("a1_active_events")
+    val n = "HashAggregate".r.findAllIn(p).length
+    assert(n >= 2, s"expected partial+final aggregation, saw $n")
+  }
+}
