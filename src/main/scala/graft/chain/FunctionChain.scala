@@ -431,8 +431,8 @@ object FunctionChain {
     * error result), results labeled per connection. Spark shape: a
     * union of per-connection chain runs — each run carries its own
     * `connectionId` (so ctx.store/props namespace correctly), and the
-    * whole thing is one lazy plan: N chains over one cached upstream,
-    * not N jobs. */
+    * whole thing is one lazy plan (persist the input upstream to scan
+    * it once across the N connection branches). */
   def runMulti(events: Dataset[String],
                chains: Map[String, Seq[EventFunction]],
                options: ChainOptions = ChainOptions()): DataFrame = {
