@@ -94,13 +94,39 @@ object Scalars {
 
   /** F10/P5 snake_case — `idToSnakeCaseFast` semantics
     * (ref `lib/strings.ts:11-35`): camelCase + spaces/dashes -> snake. */
-  def snakeCaseName(s: String): String =
-    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
-      .replaceAll("[\\s\\-]+", "_")
-      .toLowerCase
+  def snakeCaseName(s: String): String = {
+    // reference contract (ref `lib/strings.ts` idToSnakeCaseFast,
+    // pinned by its full strings.test.ts table): `_` before an
+    // uppercase ONLY when the previous char is a latin letter (so
+    // `_Camel` gains nothing, `camelUSCase` → camel_u_s_case, `CCamel`
+    // → c_camel); each SPACE becomes one `_` (not collapsed); every
+    // other char — hyphens, `$`, `#` — passes through untouched
+    // (bulker replaces SQL-unsupported chars later, not here); a
+    // string with no uppercase and no space returns unchanged
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var touched = false
+    var prevIsLetter = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') {
+        if (prevIsLetter) sb.append('_')
+        sb.append((c + 32).toChar)
+        touched = true
+      } else if (c == ' ') {
+        sb.append('_'); touched = true
+      } else sb.append(c)
+      prevIsLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      i += 1
+    }
+    if (!touched) s else sb.toString
+  }
 
+  /** Column twin of [[snakeCaseName]] (same contract; lookbehind keeps
+    * the only-between-letters rule, spaces map 1:1). */
   def snakeCase(c: Column): Column =
-    lower(regexp_replace(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2"), "[\\s\\-]+", "_"))
+    lower(regexp_replace(
+      regexp_replace(c, "(?<=[A-Za-z])([A-Z])", "_$1"), " ", "_"))
 
   /** P5 recursive schema snake_case rename — pure StructType rewrite via
     * cast (struct casts match by position), no data movement, stays in

@@ -41,35 +41,61 @@ class ConfigStore(spark: SparkSession, dir: String) {
   }
 
   @volatile private var loaded: (DataFrame, (Long, Int, Long)) = null
+  @volatile private var lastStatus: String = "initializing"
+
+  /** Refresh health, the reference entity-store contract
+    * (`inmem-store.test.ts`): "initializing" before the first
+    * successful load, "ok" while fresh, "outdated" when the latest
+    * refresh FAILED and the store is serving the previous snapshot. */
+  def status: String = lastStatus
+
+  /** The actual directory read — overridable for failure-injection in
+    * tests. */
+  protected def readDir(fp: (Long, Int, Long)): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (fp._2 == 0) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      // read EXACTLY the files the fingerprint tracks — a stray
+      // non-.json file must neither be ingested nor invisible-until-
+      // an-unrelated-edit
+      .option("pathGlobFilter", "*.json")
+      .json(dir)
+      // one row per connection_id (the reference entity store keys
+      // by id): duplicate definitions resolve to the greatest
+      // (table_name, enabled) tuple — deterministic regardless of
+      // file enumeration order — instead of fanning out the reroute
+      // join and double-writing events
+      .groupBy(col("connection_id"))
+      .agg(max(struct(col("table_name"), col("enabled"))).as("_c"))
+      .select(col("connection_id"), col("_c.table_name").as("table_name"),
+        col("_c.enabled").as("enabled"))
+      .localCheckpoint(true) // materialize: later batches must not re-list
+  }
 
   /** The current connections dim; re-reads the directory only when its
     * fingerprint changed since the last call. Call once per micro-batch
-    * (EventPipeline does) — the common case is one `stat` and no job. */
+    * (EventPipeline does) — the common case is one `stat` and no job.
+    *
+    * A FAILED re-read serves the previous snapshot and flips [[status]]
+    * to "outdated" (the reference's bad-loader contract) — the old
+    * frame is only unpersisted AFTER the replacement materialized, so a
+    * mid-refresh crash can never leave the pipeline with a dropped
+    * broadcast. A first-load failure has nothing stale to serve and
+    * rethrows. */
   def connections(): DataFrame = synchronized {
     val fp = fingerprint()
     if (loaded == null || loaded._2 != fp) {
-      if (loaded != null) loaded._1.unpersist(false)
-      import org.apache.spark.sql.functions._
-      val df =
-        if (fp._2 == 0) spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema)
-          // read EXACTLY the files the fingerprint tracks — a stray
-          // non-.json file must neither be ingested nor invisible-until-
-          // an-unrelated-edit
-          .option("pathGlobFilter", "*.json")
-          .json(dir)
-          // one row per connection_id (the reference entity store keys
-          // by id): duplicate definitions resolve to the greatest
-          // (table_name, enabled) tuple — deterministic regardless of
-          // file enumeration order — instead of fanning out the reroute
-          // join and double-writing events
-          .groupBy(col("connection_id"))
-          .agg(max(struct(col("table_name"), col("enabled"))).as("_c"))
-          .select(col("connection_id"), col("_c.table_name").as("table_name"),
-            col("_c.enabled").as("enabled"))
-          .localCheckpoint(true) // materialize: later batches must not re-list
-      loaded = (df, fp)
+      try {
+        val df = readDir(fp) // localCheckpoint(true): failures surface HERE
+        if (loaded != null) loaded._1.unpersist(false)
+        loaded = (df, fp)
+        lastStatus = "ok"
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (loaded == null) throw e
+          lastStatus = "outdated"
+      }
     }
     loaded._1
   }

@@ -62,11 +62,58 @@ class OperatorsSpec extends GraftSpec {
 
   // ---- scalar functions -------------------------------------------------
 
-  test("snake_case semantics match reference idToSnakeCaseFast") {
-    assert(Scalars.snakeCaseName("camelCaseKey") == "camel_case_key")
-    assert(Scalars.snakeCaseName("With Spaces-and-dash") == "with_spaces_and_dash")
-    assert(Scalars.snakeCaseName("already_snake") == "already_snake")
-    assert(Scalars.snakeCaseName("HTTPCode2xx") == "httpcode2xx")
+  test("snake_case semantics match reference idToSnakeCaseFast (full strings.test.ts table)") {
+    // the reference's own expected table, ported verbatim
+    // (strings.test.ts data + dataExtra)
+    val table = Seq(
+      "plain" -> "plain",
+      "plain_" -> "plain_",
+      "_plain" -> "_plain",
+      "_plain_string" -> "_plain_string",
+      "_plain__string" -> "_plain__string",
+      "camelCase" -> "camel_case",
+      "camelCaseA" -> "camel_case_a",
+      "cCase" -> "c_case",
+      "Camel" -> "camel",
+      "CamelCase" -> "camel_case",
+      "CCamel" -> "c_camel",
+      "CCamelCase" -> "c_camel_case",
+      "camelUSCase" -> "camel_u_s_case",
+      "camelCaseEU" -> "camel_case_e_u",
+      "_CamelCase" -> "_camel_case",
+      "__CamelCase" -> "__camel_case",
+      "Camel_Case" -> "camel_case",
+      "Camel__Case" -> "camel__case",
+      "_camelCase" -> "_camel_case",
+      "camelCase_" -> "camel_case_",
+      "camelCase__" -> "camel_case__",
+      "__camelCase" -> "__camel_case",
+      " CamelCase" -> "_camel_case",
+      "  CamelCase" -> "__camel_case",
+      "Camel Case" -> "camel_case",
+      "Camel case" -> "camel_case",
+      "Camel  Case" -> "camel__case",
+      "Camel Case " -> "camel_case_",
+      "Camel Case  " -> "camel_case__",
+      "Camel _ Case" -> "camel___case",
+      "Camel_ _Case" -> "camel___case",
+      "_ CamelCase _" -> "__camel_case__",
+      " _CamelCase_ " -> "__camel_case__",
+      "Camel-Case" -> "camel-case",
+      "Camel-case" -> "camel-case",
+      "$camel-case" -> "$camel-case",
+      "$Camel-Case" -> "$camel-case",
+      "$camel##case" -> "$camel##case",
+      "$Camel##Case#" -> "$camel##case#")
+    table.foreach { case (in, want) =>
+      assert(Scalars.snakeCaseName(in) == want,
+        s"JVM: '$in' -> '${Scalars.snakeCaseName(in)}', want '$want'")
+    }
+    // Column twin agrees on the whole table
+    val got = table.map(_._1).toDF("s")
+      .select(Scalars.snakeCase(col("s")).as("o"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == table.map(_._2), "Column twin drift")
   }
 
   test("snakeCaseSchema renames nested struct fields") {

@@ -158,6 +158,50 @@ class StreamingSpec extends GraftSpec {
     assert(spark.read.parquet(s"$wh/table_a").count() == 20)
   }
 
+  test("S4 config store serves the STALE snapshot with status=outdated when a refresh fails (entity-store contract)") {
+    val dir = tmp("graft-cfg")
+    def writeCfg(body: String): Unit = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "c.json"), body); ()
+    }
+    writeCfg("""{"connection_id":"c1","table_name":"t1","enabled":true}""")
+    var boom = false
+    val store = new graft.sources.ConfigStore(spark, dir) {
+      override protected def readDir(fp: (Long, Int, Long)) = {
+        if (boom) throw new RuntimeException("transient store outage")
+        super.readDir(fp)
+      }
+    }
+    assert(store.status == "initializing")
+    val d1 = store.connections().collect()
+    assert(store.status == "ok")
+    assert(d1.map(_.getString(1)).toSeq == Seq("t1"))
+    // a config edit lands while the loader is broken: the store keeps
+    // serving the previous snapshot instead of failing the pipeline
+    boom = true
+    writeCfg("""{"connection_id":"c1","table_name":"t2_much_longer","enabled":true}""")
+    val d2 = store.connections().collect()
+    assert(store.status == "outdated")
+    assert(d2.map(_.getString(1)).toSeq == Seq("t1"), "stale served")
+    // recovery: the failed fingerprint was NOT recorded, so the next
+    // call re-reads and catches up
+    boom = false
+    val d3 = store.connections().collect()
+    assert(store.status == "ok")
+    assert(d3.map(_.getString(1)).toSeq == Seq("t2_much_longer"))
+    // a FIRST load failure has nothing stale to serve and rethrows
+    val dir2 = tmp("graft-cfg2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir2, "c.json"),
+      """{"connection_id":"c9","table_name":"t9","enabled":true}""")
+    val broken = new graft.sources.ConfigStore(spark, dir2) {
+      override protected def readDir(fp: (Long, Int, Long)) =
+        throw new RuntimeException("down")
+    }
+    intercept[RuntimeException] { broken.connections() }
+    assert(broken.status == "initializing")
+  }
+
   test("dotted-path identifier merge writes into nested JSON objects") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val merge = UserRecognition.mergeIdentifiers(
