@@ -774,8 +774,79 @@ object Queries {
         col("eventn_ctx_event_id"), col("event_type"), col("api_key"),
         col("anon_ip"), col("doc_host"), col("doc_path"),
         col("location.country").as("geo_country"),
-        col("user.email").as("user_email"),
+        col("user").getItem("email").as("user_email"),
         col("screen_resolution"))),
+
+    // P3b: the reference's OWN golden outputs
+    // (datalayout-jitsu-legacy.test.ts legacyIdentifyExpected /
+    // legacyPageExpected): its exact identify + page events, planted in
+    // the envelope wire dialect, through fromJson → jitsuLegacy; every
+    // field the reference pins is value-pinned in the oracle —
+    // port-stripped doc_host, "" api_key when the write key is absent,
+    // src="jitsu", raw source_ip beside the zeroed anon_ip, and the
+    // user map merging snake_cased traits (case_last_name, user_name).
+    "p3b_jitsu_golden" -> ((s, dir) => {
+      import s.implicits._
+      val identify =
+        """{"message_id":"a6c09b16-c2bc-4193-990f-5e2b694ae610",
+          |"type":"identify","user_id":"userId2",
+          |"anonymous_id":"6638caf0-d2c2-4bc0-aecf-8b290b559a37",
+          |"write_key":"writeKey","timestamp":"2022-11-14T08:56:34.387Z",
+          |"sent_at":"2022-11-14T08:56:34.387Z",
+          |"traits":{"caseName":"basic-identify","CaseLastName":"Doe",
+          |"User_Name":"jj","email":"john.doe2@gmail.com"},
+          |"context":{"ip":"141.136.89.181","locale":"en-US",
+          |"user_agent":"Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36",
+          |"campaign":{"medium":"medium","name":"campaign","source":"source"},
+          |"page":{"host":"localhost:3088","path":"/basic.html",
+          |"referrer":"https://referrer.com",
+          |"search":"?utm_source=source&utm_medium=medium&utm_campaign=campaign",
+          |"title":"Tracking page",
+          |"url":"https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign"},
+          |"screen":{"width":1280,"height":720,"density":1}}}"""
+          .stripMargin.replace("\n", "")
+      val page =
+        """{"message_id":"d0c6abf6-97f7-487a-a197-8f236c728fa8",
+          |"type":"page","user_id":"userId2",
+          |"anonymous_id":"6638caf0-d2c2-4bc0-aecf-8b290b559a37",
+          |"timestamp":"2022-11-14T08:56:34.395Z",
+          |"sent_at":"2022-11-14T08:56:34.395Z",
+          |"context":{"locale":"en-US",
+          |"user_agent":"Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36",
+          |"campaign":{"medium":"medium","name":"campaign","source":"source"},
+          |"traits":{"caseName":"identify-without-user-id",
+          |"CaseLastName":"Doe","User_Name":"jj",
+          |"email":"john.doe3@gmail.com"},
+          |"page":{"host":"localhost:3088","path":"/basic.html",
+          |"referrer":"https://referrer.com",
+          |"search":"?utm_source=source&utm_medium=medium&utm_campaign=campaign",
+          |"title":"Tracking page",
+          |"url":"https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign"},
+          |"screen":{"width":1280,"height":720,"density":1}}}"""
+          .stripMargin.replace("\n", "")
+      val envDf = graft.schema.EventSchema.fromJson(
+        Seq(identify, page).toDS())
+      Layouts.jitsuLegacy(envDf).select(
+        col("event_type"),
+        col("eventn_ctx_event_id"),
+        col("anon_ip"), col("source_ip"), col("api_key"),
+        col("doc_host"), col("doc_path"), col("doc_search"),
+        col("page_title"), col("referer"), col("url"), col("src"),
+        col("user_agent"), col("user_language"),
+        col("screen_resolution"), col("vp_size"),
+        col("utm.name").as("utm_name"),
+        col("utm.source").as("utm_source"),
+        col("utm.medium").as("utm_medium"),
+        col("user").getItem("id").as("user_id"),
+        col("user").getItem("anonymous_id").as("user_anonymous_id"),
+        col("user").getItem("email").as("user_email"),
+        col("user").getItem("case_name").as("user_case_name"),
+        col("user").getItem("case_last_name").as("user_case_last_name"),
+        col("user").getItem("user_name").as("user_user_name"),
+        date_format(col("utc_time"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+          .as("utc_time"),
+        size(col("click_id")).as("n_click_ids"))
+    }),
 
     // P7+P8: event filter + bot filter
     "p7_event_filter" -> ((s, dir) =>
@@ -1153,6 +1224,43 @@ object Queries {
         |  CASE (raw_user_id % 2) WHEN 0 THEN '1280x720'
         |    ELSE '1920x1080' END AS screen_resolution
         |FROM env""".stripMargin),
+    // the reference's legacyIdentifyExpected / legacyPageExpected
+    // objects, hand-copied field by field
+    "p3b_jitsu_golden" ->
+      """SELECT * FROM (VALUES
+        |  ('identify', 'a6c09b16-c2bc-4193-990f-5e2b694ae610',
+        |   '141.136.89.0', '141.136.89.181', 'writeKey', 'localhost',
+        |   '/basic.html',
+        |   '?utm_source=source&utm_medium=medium&utm_campaign=campaign',
+        |   'Tracking page', 'https://referrer.com',
+        |   'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign',
+        |   'jitsu',
+        |   'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36',
+        |   'en-US', '1280x720', '1280x720',
+        |   'campaign', 'source', 'medium',
+        |   'userId2', '6638caf0-d2c2-4bc0-aecf-8b290b559a37',
+        |   'john.doe2@gmail.com', 'basic-identify', 'Doe', 'jj',
+        |   '2022-11-14T08:56:34.387Z', 0),
+        |  ('page', 'd0c6abf6-97f7-487a-a197-8f236c728fa8',
+        |   NULL, NULL, '', 'localhost',
+        |   '/basic.html',
+        |   '?utm_source=source&utm_medium=medium&utm_campaign=campaign',
+        |   'Tracking page', 'https://referrer.com',
+        |   'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign',
+        |   'jitsu',
+        |   'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36',
+        |   'en-US', '1280x720', '1280x720',
+        |   'campaign', 'source', 'medium',
+        |   'userId2', '6638caf0-d2c2-4bc0-aecf-8b290b559a37',
+        |   'john.doe3@gmail.com', 'identify-without-user-id', 'Doe', 'jj',
+        |   '2022-11-14T08:56:34.395Z', 0)
+        |) t(event_type, eventn_ctx_event_id, anon_ip, source_ip,
+        |    api_key, doc_host, doc_path, doc_search, page_title,
+        |    referer, url, src, user_agent, user_language,
+        |    screen_resolution, vp_size, utm_name, utm_source,
+        |    utm_medium, user_id, user_anonymous_id, user_email,
+        |    user_case_name, user_case_last_name, user_user_name,
+        |    utc_time, n_click_ids)""".stripMargin,
     "p7_event_filter" -> (adapterCte +
       """SELECT event, CAST(COUNT(*) AS BIGINT) AS n FROM env
         |WHERE (type IN ('track','signup') OR event IN ('track','signup'))

@@ -76,18 +76,46 @@ object Layouts {
           col("_table")): _*)
   }
 
-  /** P3 jitsuLegacy layout: classic Jitsu column set (ref :57-152). */
-  def jitsuLegacy(events: DataFrame): DataFrame =
+  /** P3 jitsuLegacy layout: classic Jitsu column set (ref :57-152),
+    * field-exact against the reference's own golden outputs
+    * (`datalayout-jitsu-legacy.test.ts` legacyIdentifyExpected /
+    * legacyPageExpected, gated by `p3b_jitsu_golden`): `doc_host`
+    * drops the port, `api_key` is "" when the write key is absent,
+    * `src` is the literal "jitsu", `source_ip` keeps the raw address
+    * next to the zeroed `anon_ip`, and `user` is the id/anonymous_id
+    * pair MERGED with every trait under its snake_cased name (traits
+    * from the event for identify, from the context otherwise — the
+    * coalesce covers both), envelope ids winning on collision. */
+  def jitsuLegacy(events: DataFrame): DataFrame = {
+    val traitsMap = from_json(coalesce(col("traits"), ctx("traits")),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    val userIds = map_filter(map(
+        lit("id"), col("user_id"),
+        lit("anonymous_id"), col("anonymous_id")),
+      (_, v) => v.isNotNull)
+    val userTraits = map_filter(
+      transform_keys(coalesce(traitsMap,
+          map().cast("map<string,string>")),
+        (k, _) => Scalars.snakeCase(k)),
+      (k, _) => !k.isin("id", "anonymous_id"))
     events.select(
       Scalars.anonymizeIp(ctx("ip")).as("anon_ip"),
-      col("write_key").as("api_key"),
-      ctx("page.host").as("doc_host"),
+      ctx("ip").as("source_ip"),
+      coalesce(col("write_key"), lit("")).as("api_key"),
+      regexp_replace(ctx("page.host"), ":[0-9]+$", "").as("doc_host"),
       ctx("page.path").as("doc_path"),
       ctx("page.search").as("doc_search"),
       ctx("page.title").as("page_title"),
       ctx("page.referrer").as("referer"),
+      ctx("page.url").as("url"),
+      lit("jitsu").as("src"),
       col("message_id").as("eventn_ctx_event_id"),
       coalesce(col("event"), col("type")).as("event_type"),
+      // click ids live here when the client captured them; the envelope
+      // carries none, so the column is the reference's empty object
+      map().cast("map<string,string>").as("click_id"),
       struct(
         ctx("geo.city").as("city"),
         ctx("geo.country").as("country"),
@@ -106,11 +134,7 @@ object Layouts {
         .as("screen_resolution"),
       Scalars.screenRes(ctx("screen.width"), ctx("screen.height"))
         .as("vp_size"),
-      struct(
-        col("user_id").as("id"),
-        col("anonymous_id").as("anonymous_id"),
-        get_json_object(col("traits"), "$.email").as("email"),
-        get_json_object(col("traits"), "$.name").as("name")).as("user"),
+      map_concat(userIds, userTraits).as("user"),
       struct(
         ctx("campaign.name").as("name"),
         ctx("campaign.source").as("source"),
@@ -119,6 +143,7 @@ object Layouts {
       col("timestamp").as("_timestamp"),
       col("properties"),
       lit("events").as("_table"))
+  }
 
   /** P4 passthrough layout: event minus control columns, table from
     * `$table`/JITSU_TABLE_NAME or `events` (ref :329). */
