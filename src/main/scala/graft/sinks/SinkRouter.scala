@@ -240,9 +240,58 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
   // an audit/ops record: WHAT changed a table, when, and how much —
   // the operational counterpart of the manifest-swap commit itself.
   private val historySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // resume numbering after the HIGHEST existing version (not the file
+  // count — [[vacuumHistory]] deletes old entries, and a count-based
+  // resume would then reuse live version numbers and corrupt ordering)
   private lazy val historyStart: Long = {
     val d = new java.io.File(warehouseDir, "_history")
-    Option(d.list()).map(_.length.toLong).getOrElse(0L)
+    Option(d.list()).getOrElse(Array.empty[String])
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .maxOption.getOrElse(0L)
+  }
+
+  /** Truncate the commit log to its newest `keepLast` entries, folding
+    * everything older into ONE audit checkpoint entry (table `*`,
+    * operation `vacuum_checkpoint`, `commits_folded` metric) written at
+    * the highest dropped version — the same idea as a table-format
+    * checkpoint: the log stays bounded over months of uptime while
+    * [[history]] keeps a complete, correctly ordered record. Crash-safe:
+    * the checkpoint atomically replaces its version's entry first, then
+    * strictly-older files are deleted — a crash in between leaves a
+    * valid log and a re-run finishes the deletion. Version stamps for
+    * tables whose newest commit was folded regress to 0, which consumers
+    * treat as "recompute once" (safe, never stale). */
+  def vacuumHistory(keepLast: Int): Unit = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val dir = new java.io.File(warehouseDir, "_history")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    if (files.length <= keepLast) return
+    val dropped = files.dropRight(keepLast)
+    val cp = dropped.last
+    val v = scala.util.Try(
+      cp.getName.stripSuffix(".json").toLong).getOrElse(return)
+    // folding over an earlier checkpoint accumulates its count, so the
+    // audit total stays exact across repeated vacuums
+    val priorFolds = dropped.map { f =>
+      val body = new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8)
+      if (body.contains(""""operation": "vacuum_checkpoint""""))
+        """"commits_folded":\s*(\d+)""".r.findFirstMatchIn(body)
+          .map(_.group(1).toLong - 1L).getOrElse(0L)
+      else 0L
+    }.sum
+    val json = s"""{"version": $v, "table": "*", """ +
+      s""""operation": "vacuum_checkpoint", """ +
+      s""""ts_ms": ${System.currentTimeMillis()}, """ +
+      s""""metrics": {"commits_folded": ${dropped.length + priorFolds}}}"""
+    val tmp = new java.io.File(dir, s".${cp.getName}.tmp")
+    Files.write(tmp.toPath, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, cp.toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    dropped.init.foreach(f => Files.deleteIfExists(f.toPath))
   }
 
   private def recordCommit(table: String, operation: String,

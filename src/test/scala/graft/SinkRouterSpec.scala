@@ -679,6 +679,45 @@ class SinkRouterSpec extends GraftSpec {
     assert(m == 2L)
   }
 
+  test("vacuumHistory folds old commits into one checkpoint entry; numbering survives a restart") {
+    val wh = tmpDir()
+    def batch(ids: String*) = ids.map(i =>
+      (i, "2024-01-01 10:00:00", "events"))
+      .toDF("messageId", "timestamp", "_table")
+      .withColumn("timestamp", col("timestamp").cast("timestamp"))
+    val r = new SinkRouter(wh, SinkOptions(deduplicate = true))
+    (1 to 6).foreach(i => r.write(batch(s"m$i")))
+    r.vacuumHistory(keepLast = 2)
+    val files = new java.io.File(wh, "_history").listFiles()
+      .filter(f => f.getName.endsWith(".json")).map(_.getName).sorted
+    assert(files.length == 3, s"checkpoint + 2 survivors, got ${files.toSeq}")
+    val h = r.history(spark)
+      .select("version", "table", "operation").as[(Long, String, String)]
+      .collect().toSeq
+    assert(h == Seq((4L, "*", "vacuum_checkpoint"),
+      (5L, "events", "merge"), (6L, "events", "merge")), s"got $h")
+    val folded = r.history(spark).filter(col("version") === 4)
+      .select(element_at(col("metrics"), "commits_folded"))
+      .as[Long].collect().head
+    assert(folded == 4L)
+    // a restarted router numbers ABOVE the surviving max, never reusing
+    // a vacuumed version
+    val r2 = new SinkRouter(wh, SinkOptions(deduplicate = true))
+    r2.write(batch("m7"))
+    val last = r2.history(spark).select("version")
+      .as[Long].collect().max
+    assert(last == 7L, s"expected version 7, got $last")
+    // re-vacuuming over the checkpoint keeps the audit total exact:
+    // the refolded checkpoint still accounts for all 4 original commits
+    r2.vacuumHistory(keepLast = 3)
+    assert(r2.history(spark).count() == 4)
+    val refolded = r2.history(spark)
+      .filter(col("operation") === "vacuum_checkpoint")
+      .select(element_at(col("metrics"), "commits_folded"))
+      .as[Long].collect().toSeq
+    assert(refolded == Seq(4L), s"got $refolded")
+  }
+
   test("cloneTable: shared bytes at clone time, branches never bleed") {
     val wh = tmpDir()
     val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
