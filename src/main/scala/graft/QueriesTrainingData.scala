@@ -797,10 +797,11 @@ object QueriesTrainingData {
     }),
 
     // deterministic global shuffle + sharding (reproducible training
-    // long-context sliding-window chunking (the pre-packing split):
-    // window 32, stride 16 — overlapping chunks, minimal covering start
-    // set, one short tail chunk; oracle replays starts, lengths, and
-    // the chunk text bytes (md5) exactly
+    // long-context sliding-window chunking over TOKENS (the LM
+    // pre-packing split; td_chunks covers the CHARACTER-window
+    // embedding-prep shape): window 32, stride 16 — overlapping
+    // chunks, minimal covering start set, one short tail chunk; oracle
+    // replays starts, lengths, and the chunk text bytes (md5) exactly
     "td_chunk" -> ((s, dir) =>
       Tokenizer.chunkDocs(docs(s, dir), "doc_id", "text",
           window = 32, stride = 16)
