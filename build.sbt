@@ -33,6 +33,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // JDK 17 takes the platform charset (US-ASCII under this container's
+  // POSIX locale); JDK 18+ (JEP 400) is UTF-8 everywhere. Pin UTF-8 so
+  // string round-trips inside Spark (variant schema DDL, filenames)
+  // behave like any production deployment.
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs 32 concurrent tasks in one JVM; size the heap like a

@@ -123,10 +123,16 @@ object Scalars {
   }
 
   /** Column twin of [[snakeCaseName]] (same contract; lookbehind keeps
-    * the only-between-letters rule, spaces map 1:1). */
+    * the only-between-letters rule, spaces map 1:1). Lowering is
+    * ASCII-ONLY via translate — `lower()` would also fold non-Latin
+    * uppercase (İ, Ä, Д…), drifting from the JVM twin's A-Z-only
+    * contract and producing hoisted column names that disagree with
+    * chain-side names on unicode keys. */
   def snakeCase(c: Column): Column =
-    lower(regexp_replace(
-      regexp_replace(c, "(?<=[A-Za-z])([A-Z])", "_$1"), " ", "_"))
+    translate(
+      regexp_replace(
+        regexp_replace(c, "(?<=[A-Za-z])([A-Z])", "_$1"), " ", "_"),
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
   /** P5 recursive schema snake_case rename — pure StructType rewrite via
     * cast (struct casts match by position), no data movement, stays in

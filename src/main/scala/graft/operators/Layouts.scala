@@ -217,30 +217,80 @@ object Layouts {
       else try_parse_json(col(propsCol).cast("string"))
     val ddl = events.select(schema_of_variant_agg(v).as("s"))
       .head().getString(0)
-      .replace("OBJECT<", "STRUCT<") // variant spells objects OBJECT<>
-    val dt = scala.util.Try(
-      org.apache.spark.sql.types.DataType.fromDDL(ddl)).toOption
-    dt match {
-      case Some(st: org.apache.spark.sql.types.StructType)
-          if st.fields.nonEmpty =>
-        val taken = scala.collection.mutable.Set(
-          events.columns.map(Scalars.snakeCaseName).toIndexedSeq: _*)
-        val hoisted = st.fields.toSeq.flatMap { f =>
-          val name = Scalars.snakeCaseName(f.name)
-          if (taken(name) || name == "_table") None
-          else {
-            taken += name
-            val target = f.dataType match {
-              case _: org.apache.spark.sql.types.DecimalType => "DOUBLE"
-              case other => other.sql
-            }
-            Some(variant_get(v, s"$$.${f.name}", target).as(name))
-          }
+    val dt = scala.util.Try(org.apache.spark.sql.types.DataType.fromDDL(
+      ddl.replace("OBJECT<", "STRUCT<"))).toOption // variant spells objects OBJECT<>
+    // (key name, target cast DDL), alphabetical — the same field order
+    // spark.read.json inference gives the JSON-string twin, so snake_case
+    // COLLISIONS resolve to the same winner on both paths
+    def decimalToDouble(t: org.apache.spark.sql.types.DataType): String =
+      t match {
+        case _: org.apache.spark.sql.types.DecimalType => "DOUBLE"
+        case other => other.sql
+      }
+    // The single-aggregation fast path can fail to round-trip the key
+    // NAMES through DDL — a key containing a backtick breaks the parse,
+    // and a pre-JEP-400 JVM on a POSIX locale folds non-ASCII names to
+    // U+FFFD inside the variant stringification. Rediscover keys WITHOUT
+    // any name→DDL→name round-trip: explode the variant as a map (names
+    // stay real UTF8Strings end to end) and take per-key type partials.
+    // Costs a (key, value) shuffle, so it is only the fallback; the
+    // data-dependent trigger keys are vanishingly rare in practice.
+    def rediscover(): Seq[(String, String)] =
+      events.select(explode(map_entries(v.try_cast(
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.VariantType)))).as("e"))
+        .select(col("e.key").as("k"), col("e.value").as("vv"))
+        .groupBy("k").agg(schema_of_variant_agg(col("vv")).as("t"))
+        .collect()
+        .map { r =>
+          val t = scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromDDL(
+              r.getString(1).replace("OBJECT<", "STRUCT<"))).toOption
+          (r.getString(0),
+            t.map(decimalToDouble).getOrElse("STRING"))
         }
-        events.select(
-          events.columns.filterNot(_ == propsCol).map(col).toSeq ++
-            hoisted: _*)
-      case _ => events.drop(propsCol)
+        .sortBy(_._1).toSeq
+    val fields: Seq[(String, String)] = dt match {
+      case Some(st: org.apache.spark.sql.types.StructType)
+          if !ddl.contains('\uFFFD') =>
+        st.fields.toSeq.map(f => (f.name, decimalToDouble(f.dataType)))
+      case Some(_: org.apache.spark.sql.types.StructType) => rediscover()
+      case Some(_) => Seq.empty // scalar / array / VOID blob: nothing to hoist
+      case None => rediscover() // unparseable names (backticks, …)
+    }
+    if (fields.isEmpty) events.drop(propsCol)
+    else {
+      val taken = scala.collection.mutable.Set(
+        events.columns.map(Scalars.snakeCaseName).toIndexedSeq: _*)
+      val hoisted = fields.flatMap { case (key, target) =>
+        val name = Scalars.snakeCaseName(key)
+        if (taken(name) || name == "_table") None
+        else {
+          taken += name
+          // `$.key` is only valid for identifier-shaped keys — the
+          // variant path parser reads `.` / `[` as path structure, so
+          // a property literally named "a.b" would be looked up as a
+          // NESTED path, diverging from the JSON-string twin (whose
+          // getField takes names literally). Exotic keys go through a
+          // variant→map cast + element_at: a literal map lookup, no
+          // path grammar at all, so every unicode/metachar key the
+          // chain side can produce resolves identically.
+          val extracted =
+            if (key.matches("[A-Za-z_][A-Za-z0-9_]*"))
+              variant_get(v, s"$$.$key", target)
+            else
+              element_at(
+                v.try_cast(org.apache.spark.sql.types.MapType(
+                  org.apache.spark.sql.types.StringType,
+                  org.apache.spark.sql.types.VariantType)),
+                key).cast(target)
+          Some(extracted.as(name))
+        }
+      }
+      events.select(
+        events.columns.filterNot(_ == propsCol).map(col).toSeq ++
+          hoisted: _*)
     }
   }
 

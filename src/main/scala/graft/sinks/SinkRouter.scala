@@ -1254,10 +1254,14 @@ object SinkRouter {
     val mtime = dir.lastModified() // 0 when the dir does not exist
     val key = (historyDir, table)
     val cached = commitMemo.get(key)
-    // never trust an mtime still inside the current clock tick: a
-    // commit landing in the same millisecond would not move it
+    // never trust an mtime still inside the filesystem's timestamp
+    // granularity: ext4 stores nanoseconds but FAT/older NFS/HFS+ round
+    // to a full SECOND, and a commit landing in the same tick would not
+    // move the mtime — so only memo-hit once the mtime is older than the
+    // coarsest plausible granularity (2 s). The re-list inside that
+    // window is one directory listing of a vacuum-bounded log.
     if (cached != null && cached._1 == mtime &&
-        mtime < System.currentTimeMillis() - 2) return cached._2
+        mtime < System.currentTimeMillis() - 2000) return cached._2
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith("."))
       .sortBy(_.getName)(Ordering[String].reverse)

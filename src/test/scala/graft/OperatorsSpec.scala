@@ -114,6 +114,17 @@ class OperatorsSpec extends GraftSpec {
       .select(Scalars.snakeCase(col("s")).as("o"))
       .collect().map(_.getString(0)).toSeq
     assert(got == table.map(_._2), "Column twin drift")
+    // twin parity on NON-LATIN uppercase: the reference lowercases only
+    // A-Z, so İstanbulCity keeps its İ — a Column form using lower()
+    // would fold it and the hoisted column name would disagree with the
+    // chain-side name (the ADVICE r8 drift)
+    val unicode = Seq("İstanbulCity", "ÄrgerLevel", "ДомPage", "naïveScore",
+      "ÜberMode", "日本語Key")
+    val colGot = unicode.toDF("s")
+      .select(Scalars.snakeCase(col("s")).as("o"))
+      .collect().map(_.getString(0)).toSeq
+    assert(colGot == unicode.map(Scalars.snakeCaseName),
+      "Column twin drifts from JVM twin on non-Latin uppercase")
   }
 
   test("snakeCaseSchema renames nested struct fields") {
