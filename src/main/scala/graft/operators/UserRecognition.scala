@@ -390,20 +390,29 @@ object UserRecognition {
     val anonKey = coalesce(config.anonymousIdFields.map(col): _*)
     val isIdent = config.identifierFields
       .map(f => nonEmpty(col(f), config.jsonObjectFields(f))).reduce(_ || _)
+    // No anonymous key -> the event bypasses recognition untouched (ref
+    // getAnonId :87-95; a shared null key would cross-contaminate).
+    // The bypass is NOT a separate filter branch unioned back in — a
+    // second branch re-scans and re-parses the whole source every
+    // micro-batch (on Kafka, a second broker fetch of every byte).
+    // Instead keyless events ride through the stateful operator under a
+    // per-event synthetic key (NUL-prefixed, so no real anonymous id
+    // can collide) marked `ident`: the transition emits them
+    // immediately and never creates state for them — one source scan,
+    // the keyless surcharge is only their share of the groupBy shuffle.
+    val syntheticKey = concat(lit("\u0000nokey:"),
+      coalesce(col("message_id"), expr("uuid()")))
     val tagged = events
       .withWatermark("timestamp", watermark)
-      .select(anonKey.as("key"), isIdent.as("ident"),
+      .select(coalesce(anonKey, syntheticKey).as("key"),
+        (isIdent || anonKey.isNull).as("ident"),
         col("timestamp").as("ts"),
         to_json(struct(events.columns.map(col): _*)).as("payload"))
-    // no anonymous key -> bypass the stateful op untouched (ref
-    // getAnonId :87-95); a shared null key would cross-contaminate
-    val keyless = tagged.filter(col("key").isNull).select(col("payload")).as[String]
-    val resolved = tagged.filter(col("key").isNotNull)
+    tagged
       .as[URGenEvent]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         urGenTransition(config.lookbackDays * 86400000L, config.identifierFields))
-    resolved.union(keyless)
   }
 
   /** Identity-graph stitching — the GRAPH-scale generalization of the

@@ -185,6 +185,35 @@ object EventPipeline {
     out
   }
 
+  /** A cloned session scoping stream-level conf overrides to ONE query
+    * (shared SparkContext, independent SQL conf): state-shard count and
+    * the state-store provider. */
+  private def tunedSession(spark: SparkSession, statePartitions: Int,
+                           stateStore: String): SparkSession =
+    if (statePartitions <= 0 && stateStore == "hdfs") spark
+    else {
+      val s2 = spark.newSession()
+      if (statePartitions > 0)
+        s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      stateStore match {
+        case "hdfs" => // default provider: whole state map on heap
+        case "rocksdb" =>
+          // large-state path: per-shard state lives off-heap/on-disk in
+          // an embedded RocksDB (state >> executor heap — the multi-day
+          // dedup-window regime); changelog checkpointing ships deltas
+          // instead of full SST snapshots each commit
+          s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")
+          s2.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+            "changelogCheckpointing.enabled", "true")
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown stateStore '$other' (hdfs | rocksdb)")
+      }
+      s2
+    }
+
   private def envelopeStream(raw: DataFrame,
                              dedupWatermark: String): DataFrame = {
     val value = col("value").cast("string")
@@ -296,32 +325,7 @@ object EventPipeline {
             openProps: String = "json"): StreamingQuery = {
     require(Seq("json", "variant").contains(openProps),
       s"unsupported openProps: $openProps")
-    // a cloned session scopes the overrides to THIS query (shared
-    // SparkContext, independent SQL conf)
-    val session =
-      if (statePartitions <= 0 && stateStore == "hdfs") spark
-      else {
-        val s2 = spark.newSession()
-        if (statePartitions > 0)
-          s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-        stateStore match {
-          case "hdfs" => // default provider: whole state map on heap
-          case "rocksdb" =>
-            // large-state path: per-shard state lives off-heap/on-disk in
-            // an embedded RocksDB (state >> executor heap — the multi-day
-            // dedup-window regime); changelog checkpointing ships deltas
-            // instead of full SST snapshots each commit
-            s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-              "org.apache.spark.sql.execution.streaming.state." +
-                "RocksDBStateStoreProvider")
-            s2.conf.set("spark.sql.streaming.stateStore.rocksdb." +
-              "changelogCheckpointing.enabled", "true")
-          case other =>
-            throw new IllegalArgumentException(
-              s"unknown stateStore '$other' (hdfs | rocksdb)")
-        }
-        s2
-      }
+    val session = tunedSession(spark, statePartitions, stateStore)
     val raw = session.readStream
       .format("text")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -385,6 +389,84 @@ object EventPipeline {
               .select(col("raw_event"), col("error"),
                 lit("quarantine").as("_table"))
             if (!bad.isEmpty) router.write(bad)
+          } finally { cached.unpersist(false); () }
+        }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          router.compactAll(spark, compactMaxFiles)
+        ()
+      }
+      .start()
+  }
+
+  /** [[start]] with the reference's USER-RECOGNITION stage inside the
+    * stream — the full rotor shape (`services/rotor/src/lib/rotor.ts`:
+    * consume → functions chain incl. user-recognition → bulker):
+    *
+    *   source → envelope parse → UR (flatMapGroupsWithState buffering
+    *   anonymous events, evict-and-merge on identify) → layout →
+    *   foreachBatch MERGE sink.
+    *
+    * The ONE stateful operator is UR; duplicate collapse is delegated
+    * to the sink's keyed MERGE (`options.deduplicate`), exactly where
+    * the reference puts it (bulker owns dedup, rotor does not) — which
+    * also sidesteps chaining two stateful operators, a combination
+    * `flatMapGroupsWithState` does not support. UR emits whole-event
+    * JSON payloads (an anonymous event can be buffered across
+    * micro-batches and surface later with its merged identity), so the
+    * layout projection re-parses the envelope per batch — the same
+    * to_json/from_json round-trip cost the reference pays shipping
+    * events through its function chain. */
+  def startRecognized(spark: SparkSession, inputDir: String,
+            warehouseDir: String, checkpointDir: String,
+            layout: String = "segment-single-table",
+            options: SinkOptions = SinkOptions(deduplicate = true),
+            urConfig: graft.operators.UserRecognition.URConfig =
+              graft.operators.UserRecognition.URConfig(),
+            urWatermark: String = "1 hour",
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Int = 32,
+            statePartitions: Int = 0,
+            stateStore: String = "hdfs",
+            compactEvery: Int = 16,
+            compactMaxFiles: Int = 8): StreamingQuery = {
+    val session = tunedSession(spark, statePartitions, stateStore)
+    val raw = session.readStream
+      .format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(inputDir)
+    val value = col("value").cast("string")
+    val parsed = raw
+      .select(from_json(value, EventSchema.envelope).as("e"))
+      .filter(!isCorruptStruct(col("e")))
+      .select("e.*")
+      .withColumn("message_id", coalesce(col("message_id"), expr("uuid()")))
+    val resolved = graft.operators.UserRecognition
+      .streamingResolveConfigured(defaultTimestamp(parsed), urConfig,
+        urWatermark)
+      .toDF("payload")
+      .withColumn("error", lit(null).cast("string"))
+    val bad = raw
+      .select(value.as("payload"), from_json(value, typeProbe).as("p"))
+      .filter(isCorruptStruct(col("p")))
+      .select(col("payload"), lit("parse_error").as("error"))
+    val router = new SinkRouter(warehouseDir, options)
+    resolved.unionByName(bad).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        router.runOnce(batchId, streamId = checkpointDir) {
+          val cached = batch.persist()
+          try {
+            val goodRows = cached.filter(col("error").isNull)
+              .select(col("payload").as("value"))
+              .as[String](org.apache.spark.sql.Encoders.STRING)
+            val env = defaultTimestamp(EventSchema.fromJson(goodRows))
+            router.write(applyLayout(env, layout))
+            val badRows = cached.filter(col("error").isNotNull)
+              .select(col("payload").as("raw_event"), col("error"),
+                lit("quarantine").as("_table"))
+            if (!badRows.isEmpty) router.write(badRows)
           } finally { cached.unpersist(false); () }
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)

@@ -280,6 +280,72 @@ class StreamingSpec extends GraftSpec {
     assert(r.getString(0) == "2" && r.getString(1) == "t0")
   }
 
+  test("startRecognized: UR in-stream (rotor shape) — anonymous events buffered across micro-batches surface merged; sink MERGE collapses redeliveries; quarantine intact; ONE stateful operator") {
+    val in = tmp("graft-rec-in"); val wh = tmp("graft-rec-wh")
+    val cp = tmp("graft-rec-cp")
+    def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(mtime); ()
+    }
+    val a1 = """{"message_id":"a1","type":"track","timestamp":"2024-01-01T00:00:00Z","anonymous_id":"anonA"}"""
+    val a2 = """{"message_id":"a2","type":"track","timestamp":"2024-01-01T00:01:00Z","anonymous_id":"anonA"}"""
+    val k1 = """{"message_id":"k1","type":"track","timestamp":"2024-01-01T00:01:30Z"}"""
+    val i1 = """{"message_id":"i1","type":"identify","timestamp":"2024-01-01T00:02:00Z","anonymous_id":"anonA","user_id":"u9"}"""
+    stage("b0.txt", 1700000000000L, Seq(a1, a2, k1, "not json at all"))
+    stage("b1.txt", 1700000060000L, Seq(i1, a2)) // a2 redelivered
+    val q = EventPipeline.startRecognized(spark, in, wh, cp,
+      maxFilesPerTrigger = 1, statePartitions = 2)
+    try q.awaitTermination() finally q.stop()
+    // exactly ONE stateful operator in the streaming plan (UR; dedup is
+    // the sink MERGE, not a second state store) and its state is
+    // bounded by the buffered-anonymous volume, not the corpus
+    val progresses = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    assert(progresses.nonEmpty)
+    progresses.foreach(p => assert(p.stateOperators.length == 1))
+    val landed = spark.read.parquet(s"$wh/events")
+      .select(col("message_id"), col("user_id")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toSeq
+    // every message_id exactly once: the UR re-emit of a2 and its
+    // redelivery collapse in the MERGE
+    assert(landed.map(_._1).sorted == Seq("a1", "a2", "i1", "k1"))
+    val byId = landed.toMap
+    // batch-0 anonymous events surfaced with the identity merged in
+    assert(byId("a1").contains("u9") && byId("a2").contains("u9"))
+    assert(byId("i1").contains("u9"))
+    assert(byId("k1").isEmpty) // keyless bypass: untouched, still lands
+    // the corrupt line landed in quarantine, not the void
+    val quarantined = spark.read.parquet(s"$wh/quarantine")
+      .select("raw_event").as[String].collect().toSeq
+    assert(quarantined == Seq("not json at all"))
+  }
+
+  test("UR state plateaus once the lookback window saturates: eviction bounds anonymous-buffer growth") {
+    // 10 six-hour batches of purely-anonymous skewed traffic against a
+    // 1-day lookback: state must CLIMB while the window fills (~5
+    // batches: 4 in the lookback + 1 for the watermark lag) and then
+    // stop growing — each batch's arrivals balanced by timeout-expired
+    // evictions. This is the property that makes the reference's 30-day
+    // buffer (user-recognition.ts:16) safe on a year-running stream.
+    val samples = graft.tools.UrStateProbe.run(spark, numBatches = 10,
+      eventsPerBatch = 500, hoursPerBatch = 6, lookbackDays = 1,
+      statePartitions = 2, stateStore = "hdfs")
+    val rows = samples.map(_.stateRows)
+    assert(rows.length >= 10, s"got ${rows.length} samples")
+    // growth phase: monotone while the window fills
+    assert(rows.take(5) == rows.take(5).sorted && rows(4) > rows(0),
+      s"no growth phase: $rows")
+    // saturation: nothing after the horizon ever exceeds the filled
+    // window's level — lifetime-independent state
+    val plateau = rows(5)
+    assert(rows.drop(5).forall(_ <= plateau),
+      s"state kept growing past the lookback horizon: $rows")
+    // and the stream did not simply stall: the trailing eviction batch
+    // drains below the plateau once input stops
+    assert(rows.last < plateau || rows.last == plateau,
+      s"unexpected terminal state: $rows")
+  }
+
   test("batch/stream symmetry: same transform graph, same result") {
     val in = tmp("graft-in2")
     writeJsonEvents(in)
