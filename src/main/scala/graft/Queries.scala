@@ -853,6 +853,59 @@ object Queries {
       Layouts.botFilter(Layouts.eventFilter(env(s, dir), "track,signup"))
         .groupBy(col("event")).agg(count(lit(1)).as("n"))),
 
+    // P1d: segment layout GOLDEN parity — the reference's own
+    // datalayout-segment.test.ts fixtures (page/identify/track/group)
+    // through the field-exact JVM twin [[Layouts.segmentGolden]], BOTH
+    // modes, every output object flattened to (path, value) rows; the
+    // oracle value-pins all 273 fields of the 9 expected objects
+    // (pageExpected .. groupExpectedSingleTable) from
+    // datalayout-test-data.ts. Pins the contracts the columnar layouts
+    // re-express: recursive snake_casing at every depth, per-type
+    // omit/hoist rules, the track two-row fan-out, identify traits
+    // hoisted (multi) vs nested under context.traits (single), group
+    // traits under context.group (single), and the type keep/drop rule.
+    "p1d_segment_golden" -> ((s, dir) => {
+      import s.implicits._
+      val pageJson =
+        """{"messageId":"d0c6abf6-97f7-487a-a197-8f236c728fa8","anonymousId":"6638caf0-d2c2-4bc0-aecf-8b290b559a37","context":{"groupId":"cl9y5kgth0002ccfn3vtqz64g","campaign":{"medium":"medium","name":"campaign","source":"source"},"library":{"name":"jitsu-js","version":"1.0.0"},"locale":"en-US","page":{"host":"localhost:3088","path":"/basic.html","referrer":"https://referrer.com","referring_domain":"","search":"?utm_source=source&utm_medium=medium&utm_campaign=campaign","title":"Tracking page","url":"https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign"},"screen":{"density":1,"height":720,"innerHeight":720,"innerWidth":1280,"width":1280},"traits":{"caseName":"identify-without-user-id","CaseLastName":"Doe","User_Name":"jj","email":"john.doe3@gmail.com"},"userAgent":"Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36"},"properties":{"caseName":"page-with-name","hash":"","height":720,"name":"test-page","path":"/basic.html","search":"?utm_source=source&utm_medium=medium&utm_campaign=campaign","title":"Tracking page","url":"https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign","width":1280},"sentAt":"2022-11-14T08:56:34.395Z","timestamp":"2022-11-14T08:56:34.395Z","type":"page","userId":"userId2"}"""
+      val identifyJson =
+        """{"writeKey":"writeKey","messageId":"a6c09b16-c2bc-4193-990f-5e2b694ae610","anonymousId":"6638caf0-d2c2-4bc0-aecf-8b290b559a37","context":{"groupId":"cl9y5kgth0002ccfn3vtqz64g","ip":"141.136.89.181","campaign":{"medium":"medium","name":"campaign","source":"source"},"library":{"name":"jitsu-js","version":"1.0.0"},"locale":"en-US","page":{"host":"localhost:3088","path":"/basic.html","referrer":"https://referrer.com","referring_domain":"referrer.com","search":"?utm_source=source&utm_medium=medium&utm_campaign=campaign","title":"Tracking page","url":"https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign"},"screen":{"density":1,"height":720,"innerHeight":720,"innerWidth":1280,"width":1280},"userAgent":"Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36"},"sentAt":"2022-11-14T08:56:34.387Z","timestamp":"2022-11-14T08:56:34.387Z","traits":{"caseName":"basic-identify","CaseLastName":"Doe","User_Name":"jj","email":"john.doe2@gmail.com"},"type":"identify","userId":"userId2"}"""
+      val trackJson =
+        """{"type":"track","event":"testEvent","properties":{"testProp":"test event properties","nestedObj":{"nestedProp":"sad"}},"userId":"user@example.com","anonymousId":"6638caf0-d2c2-4bc0-aecf-8b290b559a37","timestamp":"2022-11-14T08:56:34.395Z","sentAt":"2022-11-14T08:56:34.395Z","messageId":"d0c6abf6-97f7-487a-a197-8f236c728fa8","context":{"groupId":"cl9y5kgth0002ccfn3vtqz64g","library":{"name":"jitsu-js","version":"1.0.0"},"ip":"127.0.0.1","userAgent":"Mozilla/5.0 (Macintosh; Intel Mac OS X 10.15; rv:109.0) Gecko/20100101 Firefox/111.0","locale":"en-US","screen":{"width":2304,"height":1296,"innerWidth":1458,"innerHeight":1186,"density":2},"traits":{"email":"user@example.com"},"page":{"path":"/","referrer":"","referring_domain":"","host":"example.com","search":"","title":"Example page event","url":"https://example.com/","encoding":"UTF-8"},"campaign":{"name":"example","source":"g"}},"requestIp":"127.0.0.1","receivedAt":"2022-11-14T08:56:34.395Z"}"""
+      val groupJson =
+        """{"anonymousId":"fab18d01-fb6a-4845-b9ca-300b9db35527","context":{"campaign":{},"clientIds":{},"library":{"env":"node","name":"@jitsu/js","version":"2.0.0"},"page":{}},"groupId":"cl9y5kgth0002ccfn3vtqz64g","messageId":"17dnlr6evs61jakjuz1xt6","receivedAt":"2024-04-08T10:39:20.766Z","requestIp":"127.0.0.1","sentAt":"2024-04-08T10:39:20.764Z","timestamp":"2024-04-08T10:39:20.764Z","traits":{"name":"Ildar Nurislamov's workspace","workspaceId":"cl9y5kgth0002ccfn3vtqz64g","workspaceName":"Ildar Nurislamov's workspace","workspaceSlug":"ildar"},"type":"group","writeKey":"n6Cp3jwTGDFUZfD568wgve0mdCmPaT77:***"}"""
+      def flatten(n: com.fasterxml.jackson.databind.JsonNode,
+                  prefix: String): Seq[(String, String)] = n match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode
+            if o.isEmpty =>
+          Seq((if (prefix.isEmpty) "." else prefix, "{}"))
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          import scala.jdk.CollectionConverters._
+          o.fields().asScala.toSeq.flatMap { e =>
+            val path = if (prefix.isEmpty) e.getKey
+                       else prefix + "." + e.getKey
+            flatten(e.getValue, path)
+          }
+        case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+          import scala.jdk.CollectionConverters._
+          a.elements().asScala.toSeq.zipWithIndex.flatMap { case (e, i) =>
+            flatten(e, s"$prefix[$i]")
+          }
+        case leaf => Seq((prefix, leaf.asText()))
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rows = for {
+        (caseName, json) <- Seq("page" -> pageJson, "identify" -> identifyJson,
+          "track" -> trackJson, "group" -> groupJson)
+        (mode, single) <- Seq(("multi", false), ("single", true))
+        ((table, out), idx) <-
+          Layouts.segmentGolden(json, single).zipWithIndex
+        (path, value) <- flatten(mapper.readTree(out), "")
+      } yield (caseName, mode, table, idx, path, value)
+      rows.toDF("case_name", "mode", "table_name", "row_idx",
+        "path", "value")
+    }),
+
     // J2: sessionization (30-min gap) — session stats per user
     "j2_sessions" -> ((s, dir) =>
       Sessionize.sessions(env(s, dir), col("anonymous_id"), col("timestamp"))
@@ -1261,6 +1314,283 @@ object Queries {
         |    utm_medium, user_id, user_anonymous_id, user_email,
         |    user_case_name, user_case_last_name, user_user_name,
         |    utc_time, n_click_ids)""".stripMargin,
+    // every field of the reference's 9 expected segment-layout objects
+    "p1d_segment_golden" ->
+      ("""SELECT * FROM (VALUES
+        ('page', 'multi', 'pages', 0, 'message_id', 'd0c6abf6-97f7-487a-a197-8f236c728fa8'),
+        ('page', 'multi', 'pages', 0, 'anonymous_id', '6638caf0-d2c2-4bc0-aecf-8b290b559a37'),
+        ('page', 'multi', 'pages', 0, 'context.group_id', 'cl9y5kgth0002ccfn3vtqz64g'),
+        ('page', 'multi', 'pages', 0, 'context.campaign.medium', 'medium'),
+        ('page', 'multi', 'pages', 0, 'context.campaign.name', 'campaign'),
+        ('page', 'multi', 'pages', 0, 'context.campaign.source', 'source'),
+        ('page', 'multi', 'pages', 0, 'context.library.name', 'jitsu-js'),
+        ('page', 'multi', 'pages', 0, 'context.library.version', '1.0.0'),
+        ('page', 'multi', 'pages', 0, 'context.locale', 'en-US'),
+        ('page', 'multi', 'pages', 0, 'context.page.host', 'localhost:3088'),
+        ('page', 'multi', 'pages', 0, 'context.page.path', '/basic.html'),
+        ('page', 'multi', 'pages', 0, 'context.page.referrer', 'https://referrer.com'),
+        ('page', 'multi', 'pages', 0, 'context.page.referring_domain', ''),
+        ('page', 'multi', 'pages', 0, 'context.page.search', '?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('page', 'multi', 'pages', 0, 'context.page.title', 'Tracking page'),
+        ('page', 'multi', 'pages', 0, 'context.page.url', 'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('page', 'multi', 'pages', 0, 'context.screen.density', '1'),
+        ('page', 'multi', 'pages', 0, 'context.screen.height', '720'),
+        ('page', 'multi', 'pages', 0, 'context.screen.inner_height', '720'),
+        ('page', 'multi', 'pages', 0, 'context.screen.inner_width', '1280'),
+        ('page', 'multi', 'pages', 0, 'context.screen.width', '1280'),
+        ('page', 'multi', 'pages', 0, 'context.traits.case_name', 'identify-without-user-id'),
+        ('page', 'multi', 'pages', 0, 'context.traits.email', 'john.doe3@gmail.com'),
+        ('page', 'multi', 'pages', 0, 'context.traits.case_last_name', 'Doe'),
+        ('page', 'multi', 'pages', 0, 'context.traits.user_name', 'jj'),
+        ('page', 'multi', 'pages', 0, 'context.user_agent', 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36'),
+        ('page', 'multi', 'pages', 0, 'sent_at', '2022-11-14T08:56:34.395Z'),
+        ('page', 'multi', 'pages', 0, 'timestamp', '2022-11-14T08:56:34.395Z'),
+        ('page', 'multi', 'pages', 0, 'type', 'page'),
+        ('page', 'multi', 'pages', 0, 'user_id', 'userId2'),
+        ('page', 'multi', 'pages', 0, 'case_name', 'page-with-name'),
+        ('page', 'multi', 'pages', 0, 'hash', ''),
+        ('page', 'multi', 'pages', 0, 'height', '720'),
+        ('page', 'multi', 'pages', 0, 'name', 'test-page'),
+        ('page', 'multi', 'pages', 0, 'path', '/basic.html'),
+        ('page', 'multi', 'pages', 0, 'search', '?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('page', 'multi', 'pages', 0, 'title', 'Tracking page'),
+        ('page', 'multi', 'pages', 0, 'url', 'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('page', 'multi', 'pages', 0, 'width', '1280'),
+        ('identify', 'multi', 'identifies', 0, 'write_key', 'writeKey'),
+        ('identify', 'multi', 'identifies', 0, 'message_id', 'a6c09b16-c2bc-4193-990f-5e2b694ae610'),
+        ('identify', 'multi', 'identifies', 0, 'anonymous_id', '6638caf0-d2c2-4bc0-aecf-8b290b559a37'),
+        ('identify', 'multi', 'identifies', 0, 'context.ip', '141.136.89.181'),
+        ('identify', 'multi', 'identifies', 0, 'context.group_id', 'cl9y5kgth0002ccfn3vtqz64g'),
+        ('identify', 'multi', 'identifies', 0, 'context.campaign.medium', 'medium'),
+        ('identify', 'multi', 'identifies', 0, 'context.campaign.name', 'campaign'),
+        ('identify', 'multi', 'identifies', 0, 'context.campaign.source', 'source'),
+        ('identify', 'multi', 'identifies', 0, 'context.library.name', 'jitsu-js'),
+        ('identify', 'multi', 'identifies', 0, 'context.library.version', '1.0.0'),
+        ('identify', 'multi', 'identifies', 0, 'context.locale', 'en-US'),
+        ('identify', 'multi', 'identifies', 0, 'context.page.host', 'localhost:3088'),
+        ('identify', 'multi', 'identifies', 0, 'context.page.path', '/basic.html'),
+        ('identify', 'multi', 'identifies', 0, 'context.page.referrer', 'https://referrer.com'),
+        ('identify', 'multi', 'identifies', 0, 'context.page.referring_domain', 'referrer.com'),
+        ('identify', 'multi', 'identifies', 0, 'context.page.search', '?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('identify', 'multi', 'identifies', 0, 'context.page.title', 'Tracking page'),
+        ('identify', 'multi', 'identifies', 0, 'context.page.url', 'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('identify', 'multi', 'identifies', 0, 'context.screen.density', '1'),
+        ('identify', 'multi', 'identifies', 0, 'context.screen.height', '720'),
+        ('identify', 'multi', 'identifies', 0, 'context.screen.inner_height', '720'),
+        ('identify', 'multi', 'identifies', 0, 'context.screen.inner_width', '1280'),
+        ('identify', 'multi', 'identifies', 0, 'context.screen.width', '1280'),
+        ('identify', 'multi', 'identifies', 0, 'context.user_agent', 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36'),
+        ('identify', 'multi', 'identifies', 0, 'sent_at', '2022-11-14T08:56:34.387Z'),
+        ('identify', 'multi', 'identifies', 0, 'timestamp', '2022-11-14T08:56:34.387Z'),
+        ('identify', 'multi', 'identifies', 0, 'case_name', 'basic-identify'),
+        ('identify', 'multi', 'identifies', 0, 'case_last_name', 'Doe'),
+        ('identify', 'multi', 'identifies', 0, 'user_name', 'jj'),
+        ('identify', 'multi', 'identifies', 0, 'email', 'john.doe2@gmail.com'),
+        ('identify', 'multi', 'identifies', 0, 'user_id', 'userId2'),
+        ('track', 'multi', 'tracks', 0, 'event', 'testEvent'),
+        ('track', 'multi', 'tracks', 0, 'user_id', 'user@example.com'),
+        ('track', 'multi', 'tracks', 0, 'anonymous_id', '6638caf0-d2c2-4bc0-aecf-8b290b559a37'),
+        ('track', 'multi', 'tracks', 0, 'timestamp', '2022-11-14T08:56:34.395Z'),
+        ('track', 'multi', 'tracks', 0, 'sent_at', '2022-11-14T08:56:34.395Z'),
+        ('track', 'multi', 'tracks', 0, 'message_id', 'd0c6abf6-97f7-487a-a197-8f236c728fa8'),
+        ('track', 'multi', 'tracks', 0, 'context.group_id', 'cl9y5kgth0002ccfn3vtqz64g'),
+        ('track', 'multi', 'tracks', 0, 'context.library.name', 'jitsu-js'),
+        ('track', 'multi', 'tracks', 0, 'context.library.version', '1.0.0'),
+        ('track', 'multi', 'tracks', 0, 'context.ip', '127.0.0.1'),
+        ('track', 'multi', 'tracks', 0, 'context.user_agent', 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10.15; rv:109.0) Gecko/20100101 Firefox/111.0'),
+        ('track', 'multi', 'tracks', 0, 'context.locale', 'en-US'),
+        ('track', 'multi', 'tracks', 0, 'context.screen.width', '2304'),
+        ('track', 'multi', 'tracks', 0, 'context.screen.height', '1296'),
+        ('track', 'multi', 'tracks', 0, 'context.screen.inner_width', '1458'),
+        ('track', 'multi', 'tracks', 0, 'context.screen.inner_height', '1186'),
+        ('track', 'multi', 'tracks', 0, 'context.screen.density', '2'),
+        ('track', 'multi', 'tracks', 0, 'context.traits.email', 'user@example.com'),
+        ('track', 'multi', 'tracks', 0, 'context.page.path', '/'),
+        ('track', 'multi', 'tracks', 0, 'context.page.referrer', ''),
+        ('track', 'multi', 'tracks', 0, 'context.page.referring_domain', ''),
+        ('track', 'multi', 'tracks', 0, 'context.page.host', 'example.com'),
+        ('track', 'multi', 'tracks', 0, 'context.page.search', ''),
+        ('track', 'multi', 'tracks', 0, 'context.page.title', 'Example page event'),
+        ('track', 'multi', 'tracks', 0, 'context.page.url', 'https://example.com/'),
+        ('track', 'multi', 'tracks', 0, 'context.page.encoding', 'UTF-8'),
+        ('track', 'multi', 'tracks', 0, 'context.campaign.name', 'example'),
+        ('track', 'multi', 'tracks', 0, 'context.campaign.source', 'g'),
+        ('track', 'multi', 'tracks', 0, 'request_ip', '127.0.0.1'),
+        ('track', 'multi', 'tracks', 0, 'received_at', '2022-11-14T08:56:34.395Z'),
+        ('track', 'multi', 'testEvent', 1, 'event', 'testEvent'),
+        ('track', 'multi', 'testEvent', 1, 'test_prop', 'test event properties'),
+        ('track', 'multi', 'testEvent', 1, 'nested_obj.nested_prop', 'sad'),
+        ('track', 'multi', 'testEvent', 1, 'user_id', 'user@example.com'),
+        ('track', 'multi', 'testEvent', 1, 'anonymous_id', '6638caf0-d2c2-4bc0-aecf-8b290b559a37'),
+        ('track', 'multi', 'testEvent', 1, 'timestamp', '2022-11-14T08:56:34.395Z'),
+        ('track', 'multi', 'testEvent', 1, 'sent_at', '2022-11-14T08:56:34.395Z'),
+        ('track', 'multi', 'testEvent', 1, 'message_id', 'd0c6abf6-97f7-487a-a197-8f236c728fa8'),
+        ('track', 'multi', 'testEvent', 1, 'context.group_id', 'cl9y5kgth0002ccfn3vtqz64g'),
+        ('track', 'multi', 'testEvent', 1, 'context.library.name', 'jitsu-js'),
+        ('track', 'multi', 'testEvent', 1, 'context.library.version', '1.0.0'),
+        ('track', 'multi', 'testEvent', 1, 'context.ip', '127.0.0.1'),
+        ('track', 'multi', 'testEvent', 1, 'context.user_agent', 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10.15; rv:109.0) Gecko/20100101 Firefox/111.0'),
+        ('track', 'multi', 'testEvent', 1, 'context.locale', 'en-US'),
+        ('track', 'multi', 'testEvent', 1, 'context.screen.width', '2304'),
+        ('track', 'multi', 'testEvent', 1, 'context.screen.height', '1296'),
+        ('track', 'multi', 'testEvent', 1, 'context.screen.inner_width', '1458'),
+        ('track', 'multi', 'testEvent', 1, 'context.screen.inner_height', '1186'),
+        ('track', 'multi', 'testEvent', 1, 'context.screen.density', '2'),
+        ('track', 'multi', 'testEvent', 1, 'context.traits.email', 'user@example.com'),
+        ('track', 'multi', 'testEvent', 1, 'context.page.path', '/'),
+        ('track', 'multi', 'testEvent', 1, 'context.page.referrer', ''),
+        ('track', 'multi', 'testEvent', 1, 'context.page.referring_domain', ''),
+        ('track', 'multi', 'testEvent', 1, 'context.page.host', 'example.com'),
+        ('track', 'multi', 'testEvent', 1, 'context.page.search', ''),
+        ('track', 'multi', 'testEvent', 1, 'context.page.title', 'Example page event'),
+        ('track', 'multi', 'testEvent', 1, 'context.page.url', 'https://example.com/'),
+        ('track', 'multi', 'testEvent', 1, 'context.page.encoding', 'UTF-8'),
+        ('track', 'multi', 'testEvent', 1, 'context.campaign.name', 'example'),
+        ('track', 'multi', 'testEvent', 1, 'context.campaign.source', 'g'),
+        ('track', 'multi', 'testEvent', 1, 'request_ip', '127.0.0.1'),
+        ('track', 'multi', 'testEvent', 1, 'received_at', '2022-11-14T08:56:34.395Z'),
+        ('group', 'multi', 'groups', 0, 'anonymous_id', 'fab18d01-fb6a-4845-b9ca-300b9db35527'),
+        ('group', 'multi', 'groups', 0, 'context.campaign', '{}'),
+        ('group', 'multi', 'groups', 0, 'context.client_ids', '{}'),
+        ('group', 'multi', 'groups', 0, 'context.library.env', 'node'),
+        ('group', 'multi', 'groups', 0, 'context.library.name', '@jitsu/js'),
+        ('group', 'multi', 'groups', 0, 'context.library.version', '2.0.0'),
+        ('group', 'multi', 'groups', 0, 'context.page', '{}'),
+        ('group', 'multi', 'groups', 0, 'group_id', 'cl9y5kgth0002ccfn3vtqz64g'),
+        ('group', 'multi', 'groups', 0, 'message_id', '17dnlr6evs61jakjuz1xt6'),
+        ('group', 'multi', 'groups', 0, 'received_at', '2024-04-08T10:39:20.766Z'),
+        ('group', 'multi', 'groups', 0, 'request_ip', '127.0.0.1'),
+        ('group', 'multi', 'groups', 0, 'sent_at', '2024-04-08T10:39:20.764Z'),
+        ('group', 'multi', 'groups', 0, 'timestamp', '2024-04-08T10:39:20.764Z'),
+        ('group', 'multi', 'groups', 0, 'name', 'Ildar Nurislamov''s workspace'),
+        ('group', 'multi', 'groups', 0, 'workspace_id', 'cl9y5kgth0002ccfn3vtqz64g'),
+        ('group', 'multi', 'groups', 0, 'workspace_name', 'Ildar Nurislamov''s workspace'),
+        ('group', 'multi', 'groups', 0, 'workspace_slug', 'ildar'),
+        ('group', 'multi', 'groups', 0, 'write_key', 'n6Cp3jwTGDFUZfD568wgve0mdCmPaT77:***'),
+        ('page', 'single', 'events', 0, 'message_id', 'd0c6abf6-97f7-487a-a197-8f236c728fa8'),
+        ('page', 'single', 'events', 0, 'anonymous_id', '6638caf0-d2c2-4bc0-aecf-8b290b559a37'),
+        ('page', 'single', 'events', 0, 'context.group_id', 'cl9y5kgth0002ccfn3vtqz64g'),
+        ('page', 'single', 'events', 0, 'context.campaign.medium', 'medium'),
+        ('page', 'single', 'events', 0, 'context.campaign.name', 'campaign'),
+        ('page', 'single', 'events', 0, 'context.campaign.source', 'source'),
+        ('page', 'single', 'events', 0, 'context.library.name', 'jitsu-js'),
+        ('page', 'single', 'events', 0, 'context.library.version', '1.0.0'),
+        ('page', 'single', 'events', 0, 'context.locale', 'en-US'),
+        ('page', 'single', 'events', 0, 'context.page.host', 'localhost:3088'),
+        ('page', 'single', 'events', 0, 'context.page.path', '/basic.html'),
+        ('page', 'single', 'events', 0, 'context.page.referrer', 'https://referrer.com'),
+        ('page', 'single', 'events', 0, 'context.page.referring_domain', ''),
+        ('page', 'single', 'events', 0, 'context.page.search', '?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('page', 'single', 'events', 0, 'context.page.title', 'Tracking page'),
+        ('page', 'single', 'events', 0, 'context.page.url', 'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('page', 'single', 'events', 0, 'context.screen.density', '1'),
+        ('page', 'single', 'events', 0, 'context.screen.height', '720'),
+        ('page', 'single', 'events', 0, 'context.screen.inner_height', '720'),
+        ('page', 'single', 'events', 0, 'context.screen.inner_width', '1280'),
+        ('page', 'single', 'events', 0, 'context.screen.width', '1280'),
+        ('page', 'single', 'events', 0, 'context.traits.case_name', 'identify-without-user-id'),
+        ('page', 'single', 'events', 0, 'context.traits.email', 'john.doe3@gmail.com'),
+        ('page', 'single', 'events', 0, 'context.traits.case_last_name', 'Doe'),
+        ('page', 'single', 'events', 0, 'context.traits.user_name', 'jj'),
+        ('page', 'single', 'events', 0, 'context.user_agent', 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36'),
+        ('page', 'single', 'events', 0, 'sent_at', '2022-11-14T08:56:34.395Z'),
+        ('page', 'single', 'events', 0, 'timestamp', '2022-11-14T08:56:34.395Z'),
+        ('page', 'single', 'events', 0, 'type', 'page'),
+        ('page', 'single', 'events', 0, 'user_id', 'userId2'),
+        ('page', 'single', 'events', 0, 'case_name', 'page-with-name'),
+        ('page', 'single', 'events', 0, 'hash', ''),
+        ('page', 'single', 'events', 0, 'height', '720'),
+        ('page', 'single', 'events', 0, 'name', 'test-page'),
+        ('page', 'single', 'events', 0, 'path', '/basic.html'),
+        ('page', 'single', 'events', 0, 'search', '?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('page', 'single', 'events', 0, 'title', 'Tracking page'),
+        ('page', 'single', 'events', 0, 'url', 'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('page', 'single', 'events', 0, 'width', '1280'),
+        ('identify', 'single', 'events', 0, 'write_key', 'writeKey'),
+        ('identify', 'single', 'events', 0, 'message_id', 'a6c09b16-c2bc-4193-990f-5e2b694ae610'),
+        ('identify', 'single', 'events', 0, 'anonymous_id', '6638caf0-d2c2-4bc0-aecf-8b290b559a37'),
+        ('identify', 'single', 'events', 0, 'context.ip', '141.136.89.181'),
+        ('identify', 'single', 'events', 0, 'context.group_id', 'cl9y5kgth0002ccfn3vtqz64g'),
+        ('identify', 'single', 'events', 0, 'context.campaign.medium', 'medium'),
+        ('identify', 'single', 'events', 0, 'context.campaign.name', 'campaign'),
+        ('identify', 'single', 'events', 0, 'context.campaign.source', 'source'),
+        ('identify', 'single', 'events', 0, 'context.library.name', 'jitsu-js'),
+        ('identify', 'single', 'events', 0, 'context.library.version', '1.0.0'),
+        ('identify', 'single', 'events', 0, 'context.locale', 'en-US'),
+        ('identify', 'single', 'events', 0, 'context.page.host', 'localhost:3088'),
+        ('identify', 'single', 'events', 0, 'context.page.path', '/basic.html'),
+        ('identify', 'single', 'events', 0, 'context.page.referrer', 'https://referrer.com'),
+        ('identify', 'single', 'events', 0, 'context.page.referring_domain', 'referrer.com'),
+        ('identify', 'single', 'events', 0, 'context.page.search', '?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('identify', 'single', 'events', 0, 'context.page.title', 'Tracking page'),
+        ('identify', 'single', 'events', 0, 'context.page.url', 'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign'),
+        ('identify', 'single', 'events', 0, 'context.screen.density', '1'),
+        ('identify', 'single', 'events', 0, 'context.screen.height', '720'),
+        ('identify', 'single', 'events', 0, 'context.screen.inner_height', '720'),
+        ('identify', 'single', 'events', 0, 'context.screen.inner_width', '1280'),
+        ('identify', 'single', 'events', 0, 'context.screen.width', '1280'),
+        ('identify', 'single', 'events', 0, 'context.traits.case_name', 'basic-identify'),
+        ('identify', 'single', 'events', 0, 'context.traits.case_last_name', 'Doe'),
+        ('identify', 'single', 'events', 0, 'context.traits.user_name', 'jj'),
+        ('identify', 'single', 'events', 0, 'context.traits.email', 'john.doe2@gmail.com'),
+        ('identify', 'single', 'events', 0, 'context.user_agent', 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36'),
+        ('identify', 'single', 'events', 0, 'sent_at', '2022-11-14T08:56:34.387Z'),
+        ('identify', 'single', 'events', 0, 'timestamp', '2022-11-14T08:56:34.387Z'),
+        ('identify', 'single', 'events', 0, 'type', 'identify'),
+        ('identify', 'single', 'events', 0, 'user_id', 'userId2'),
+        ('track', 'single', 'events', 0, 'event', 'testEvent'),
+        ('track', 'single', 'events', 0, 'test_prop', 'test event properties'),
+        ('track', 'single', 'events', 0, 'nested_obj.nested_prop', 'sad'),
+        ('track', 'single', 'events', 0, 'user_id', 'user@example.com'),
+        ('track', 'single', 'events', 0, 'anonymous_id', '6638caf0-d2c2-4bc0-aecf-8b290b559a37'),
+        ('track', 'single', 'events', 0, 'timestamp', '2022-11-14T08:56:34.395Z'),
+        ('track', 'single', 'events', 0, 'sent_at', '2022-11-14T08:56:34.395Z'),
+        ('track', 'single', 'events', 0, 'message_id', 'd0c6abf6-97f7-487a-a197-8f236c728fa8'),
+        ('track', 'single', 'events', 0, 'context.group_id', 'cl9y5kgth0002ccfn3vtqz64g'),
+        ('track', 'single', 'events', 0, 'context.library.name', 'jitsu-js'),
+        ('track', 'single', 'events', 0, 'context.library.version', '1.0.0'),
+        ('track', 'single', 'events', 0, 'context.ip', '127.0.0.1'),
+        ('track', 'single', 'events', 0, 'context.user_agent', 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10.15; rv:109.0) Gecko/20100101 Firefox/111.0'),
+        ('track', 'single', 'events', 0, 'context.locale', 'en-US'),
+        ('track', 'single', 'events', 0, 'context.screen.width', '2304'),
+        ('track', 'single', 'events', 0, 'context.screen.height', '1296'),
+        ('track', 'single', 'events', 0, 'context.screen.inner_width', '1458'),
+        ('track', 'single', 'events', 0, 'context.screen.inner_height', '1186'),
+        ('track', 'single', 'events', 0, 'context.screen.density', '2'),
+        ('track', 'single', 'events', 0, 'context.traits.email', 'user@example.com'),
+        ('track', 'single', 'events', 0, 'context.page.path', '/'),
+        ('track', 'single', 'events', 0, 'context.page.referrer', ''),
+        ('track', 'single', 'events', 0, 'context.page.referring_domain', ''),
+        ('track', 'single', 'events', 0, 'context.page.host', 'example.com'),
+        ('track', 'single', 'events', 0, 'context.page.search', ''),
+        ('track', 'single', 'events', 0, 'context.page.title', 'Example page event'),
+        ('track', 'single', 'events', 0, 'context.page.url', 'https://example.com/'),
+        ('track', 'single', 'events', 0, 'context.page.encoding', 'UTF-8'),
+        ('track', 'single', 'events', 0, 'context.campaign.name', 'example'),
+        ('track', 'single', 'events', 0, 'context.campaign.source', 'g'),
+        ('track', 'single', 'events', 0, 'type', 'track'),
+        ('track', 'single', 'events', 0, 'request_ip', '127.0.0.1'),
+        ('track', 'single', 'events', 0, 'received_at', '2022-11-14T08:56:34.395Z'),
+        ('group', 'single', 'events', 0, 'anonymous_id', 'fab18d01-fb6a-4845-b9ca-300b9db35527'),
+        ('group', 'single', 'events', 0, 'context.campaign', '{}'),
+        ('group', 'single', 'events', 0, 'context.client_ids', '{}'),
+        ('group', 'single', 'events', 0, 'context.group.name', 'Ildar Nurislamov''s workspace'),
+        ('group', 'single', 'events', 0, 'context.group.workspace_id', 'cl9y5kgth0002ccfn3vtqz64g'),
+        ('group', 'single', 'events', 0, 'context.group.workspace_name', 'Ildar Nurislamov''s workspace'),
+        ('group', 'single', 'events', 0, 'context.group.workspace_slug', 'ildar'),
+        ('group', 'single', 'events', 0, 'context.group_id', 'cl9y5kgth0002ccfn3vtqz64g'),
+        ('group', 'single', 'events', 0, 'context.library.env', 'node'),
+        ('group', 'single', 'events', 0, 'context.library.name', '@jitsu/js'),
+        ('group', 'single', 'events', 0, 'context.library.version', '2.0.0'),
+        ('group', 'single', 'events', 0, 'context.page', '{}'),
+        ('group', 'single', 'events', 0, 'message_id', '17dnlr6evs61jakjuz1xt6'),
+        ('group', 'single', 'events', 0, 'received_at', '2024-04-08T10:39:20.766Z'),
+        ('group', 'single', 'events', 0, 'request_ip', '127.0.0.1'),
+        ('group', 'single', 'events', 0, 'type', 'group'),
+        ('group', 'single', 'events', 0, 'sent_at', '2024-04-08T10:39:20.764Z'),
+        ('group', 'single', 'events', 0, 'timestamp', '2024-04-08T10:39:20.764Z'),
+        ('group', 'single', 'events', 0, 'write_key', 'n6Cp3jwTGDFUZfD568wgve0mdCmPaT77:***')
+        ) t(case_name, mode, table_name, row_idx, path, value)"""),
     "p7_event_filter" -> (adapterCte +
       """SELECT event, CAST(COUNT(*) AS BIGINT) AS n FROM env
         |WHERE (type IN ('track','signup') OR event IN ('track','signup'))

@@ -79,6 +79,17 @@ object Scalars {
       .when(t.isin("page", "track", "group", "screen"), concat(t, lit("s")))
       .otherwise(t)
 
+  /** JVM twin of the reference's exact `plural` switch (ref
+    * `bulker-destination.ts:310-323`): ONLY the four segment types map;
+    * anything else (incl. "screen") passes through unchanged. */
+  def pluralName(t: String): String = t match {
+    case "identify" => "identifies"
+    case "page" => "pages"
+    case "track" => "tracks"
+    case "group" => "groups"
+    case other => other
+  }
+
   /** Screen resolution "WxH" string (ref `bulker-destination.ts:127-139`). */
   def screenRes(w: Column, h: Column): Column =
     when(w.isNotNull && h.isNotNull, concat(w, lit("x"), h))

@@ -145,6 +145,173 @@ object Layouts {
       lit("events").as("_table"))
   }
 
+  // ---- segment layout, GOLDEN JVM twin --------------------------------
+  // The reference's segmentLayout is a JSON-tree transformation run in
+  // its function chain (`bulker-destination.ts:154-272`); the Column
+  // layouts above are its warehouse-columnar re-expression. This twin
+  // reproduces the reference field-for-field on arbitrary open JSON —
+  // gated by `p1d_segment_golden` against the reference's own expected
+  // outputs (datalayout-segment.test.ts / datalayout-test-data.ts).
+
+  private val TableNameParameter = "JITSU_TABLE_NAME"
+
+  private def snakeNode(
+      n: com.fasterxml.jackson.databind.JsonNode,
+      m: com.fasterxml.jackson.databind.ObjectMapper): com.fasterxml.jackson.databind.JsonNode =
+    n match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        val out = m.createArrayNode()
+        a.forEach(e => { out.add(snakeNode(e, m)); () })
+        out
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        val out = m.createObjectNode()
+        o.fields().forEachRemaining { e =>
+          out.set[com.fasterxml.jackson.databind.JsonNode](
+            Scalars.snakeCaseName(e.getKey), snakeNode(e.getValue, m)); ()
+        }
+        out
+      case other => other
+    }
+
+  /** `transferAsSnakeCase` (ref :274-283): copy `source`'s entries into
+    * `target`, keys snake_cased at every depth, `omit` matched on the
+    * ORIGINAL keys. Non-objects (incl. absent) transfer nothing. */
+  private def transferSnake(
+      target: com.fasterxml.jackson.databind.node.ObjectNode,
+      source: com.fasterxml.jackson.databind.JsonNode,
+      m: com.fasterxml.jackson.databind.ObjectMapper,
+      omit: Set[String] = Set.empty): Unit =
+    source match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        o.fields().forEachRemaining { e =>
+          if (!omit(e.getKey)) {
+            target.set[com.fasterxml.jackson.databind.JsonNode](
+              Scalars.snakeCaseName(e.getKey), snakeNode(e.getValue, m))
+            ()
+          }
+        }
+      case _ => ()
+    }
+
+  /** JS truthiness for the reference's `a || b || c` fallbacks. */
+  private def jsTruthy(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    n != null && !n.isNull && !n.isMissingNode &&
+      !(n.isTextual && n.asText().isEmpty) &&
+      !(n.isBoolean && !n.asBoolean()) &&
+      !(n.isNumber && n.asDouble() == 0.0)
+
+  /** P1/P2 segmentLayout, field-exact (ref :154-272). Input: the RAW
+    * AnalyticsServerEvent JSON (camelCase client keys). Returns
+    * (table, transformed event JSON) rows — two for a multi-table
+    * track with an event name, one otherwise. */
+  def segmentGolden(eventJson: String,
+                    singleTable: Boolean): Seq[(String, String)] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val event = m.readTree(eventJson)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    def at(path: String*): com.fasterxml.jackson.databind.JsonNode =
+      path.foldLeft(event: com.fasterxml.jackson.databind.JsonNode) {
+        (cur, p) => if (cur == null) null else cur.get(p)
+      }
+    def firstTruthy(vals: com.fasterxml.jackson.databind.JsonNode*) =
+      vals.find(jsTruthy).orNull
+    def setValue(t: com.fasterxml.jackson.databind.node.ObjectNode,
+                 prop: String,
+                 v: com.fasterxml.jackson.databind.JsonNode): Unit =
+      // transferValueAsSnakeCase: only `undefined` (absent) is skipped
+      if (v != null) { t.set[com.fasterxml.jackson.databind.JsonNode](
+        prop, snakeNode(v, m)); () }
+    val eventType =
+      Option(event.get("type")).map(_.asText()).getOrElse("")
+    var transformed = m.createObjectNode()
+    var baseTrackFlat: com.fasterxml.jackson.databind.node.ObjectNode = null
+    eventType match {
+      case "identify" if singleTable =>
+        val ctx = transformed.putObject("context")
+        val traits = ctx.putObject("traits")
+        transferSnake(ctx, at("context"), m, Set("groupId", "traits"))
+        transferSnake(traits, at("context", "traits"), m, Set("groupId"))
+        transferSnake(traits, at("traits"), m, Set("groupId"))
+        setValue(ctx, "group_id", firstTruthy(at("context", "groupId"),
+          at("traits", "groupId"), at("context", "traits", "groupId")))
+        transferSnake(transformed, at("properties"), m)
+        transferSnake(transformed, event, m,
+          Set("context", "properties", "traits", "type", TableNameParameter))
+      case "identify" =>
+        val ctx = transformed.putObject("context")
+        transferSnake(ctx, at("context"), m, Set("traits"))
+        transferSnake(transformed, at("properties"), m)
+        transferSnake(transformed, at("context", "traits"), m)
+        transferSnake(transformed, at("traits"), m)
+        transferSnake(transformed, event, m,
+          Set("context", "properties", "traits", "type", TableNameParameter))
+      case "group" if singleTable =>
+        val ctx = transformed.putObject("context")
+        val grp = ctx.putObject("group")
+        transferSnake(ctx, at("context"), m)
+        transferSnake(grp, at("traits"), m)
+        setValue(ctx, "group_id", at("groupId"))
+        transferSnake(transformed, at("properties"), m)
+        transferSnake(transformed, event, m, Set("context", "properties",
+          "traits", "type", "groupId", TableNameParameter))
+      case "group" =>
+        val ctx = transformed.putObject("context")
+        transferSnake(ctx, at("context"), m, Set("traits"))
+        transferSnake(transformed, at("properties"), m)
+        transferSnake(transformed, at("traits"), m)
+        transferSnake(transformed, event, m,
+          Set("context", "properties", "traits", "type", TableNameParameter))
+      case "track" if singleTable =>
+        val ctx = transformed.putObject("context")
+        val traits = ctx.putObject("traits")
+        transferSnake(ctx, at("context"), m, Set("groupId", "traits"))
+        transferSnake(traits, at("context", "traits"), m, Set("groupId"))
+        transferSnake(traits, at("properties", "traits"), m, Set("groupId"))
+        setValue(ctx, "group_id", firstTruthy(at("context", "groupId"),
+          at("context", "traits", "groupId")))
+        transferSnake(transformed, at("properties"), m, Set("traits"))
+        transferSnake(transformed, event, m,
+          Set("context", "properties", "type", TableNameParameter))
+      case "track" =>
+        baseTrackFlat = m.createObjectNode()
+        transferSnake(baseTrackFlat, event, m,
+          Set("properties", "type", TableNameParameter))
+        transformed = m.createObjectNode()
+        transferSnake(transformed, at("properties"), m)
+        transferSnake(transformed, event, m,
+          Set("properties", "type", TableNameParameter))
+      case _ if singleTable =>
+        val ctx = transformed.putObject("context")
+        val traits = ctx.putObject("traits")
+        transferSnake(ctx, at("context"), m, Set("groupId", "traits"))
+        transferSnake(traits, at("context", "traits"), m, Set("groupId"))
+        setValue(ctx, "group_id", firstTruthy(at("context", "groupId"),
+          at("context", "traits", "groupId")))
+        transferSnake(transformed, at("properties"), m)
+        transferSnake(transformed, event, m,
+          Set("context", "properties", TableNameParameter))
+      case _ =>
+        transferSnake(transformed, at("properties"), m)
+        transferSnake(transformed, event, m,
+          Set("properties", TableNameParameter))
+    }
+    val tableOverride = Option(event.get(TableNameParameter))
+      .filter(jsTruthy).map(_.asText())
+    tableOverride match {
+      case Some(t) =>
+        transformed.put("type", eventType)
+        Seq((t, m.writeValueAsString(transformed)))
+      case None if singleTable =>
+        transformed.put("type", eventType)
+        Seq(("events", m.writeValueAsString(transformed)))
+      case None if eventType == "track" && jsTruthy(event.get("event")) =>
+        Seq(("tracks", m.writeValueAsString(baseTrackFlat)),
+          (event.get("event").asText(), m.writeValueAsString(transformed)))
+      case None =>
+        Seq((Scalars.pluralName(eventType), m.writeValueAsString(transformed)))
+    }
+  }
+
   /** P4 passthrough layout: event minus control columns, table from
     * `$table`/JITSU_TABLE_NAME or `events` (ref :329). */
   def passthrough(events: DataFrame): DataFrame =

@@ -57,9 +57,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType,
   *    `deduplicateWindowDays`, then narrowed to dates actually holding a
   *    matching primary key via a column-pruned semi-join). The merged
   *    output is written to a hidden `.stage-*` dir by a normal Spark job;
-  *    then a swap manifest (`.swap-*`: touched dates + which have staged
-  *    output) is persisted, and ONLY the touched `graft_dt=` directories
-  *    are swapped in: old → `.trash-*`, staged → live, trash deleted.
+  *    then a swap manifest (`.commit-swap-*`, the shared [[CommitLog]]
+  *    protocol: touched dates as deletes/renames) is persisted, and ONLY
+  *    the touched `graft_dt=` directories are swapped in.
   *    The manifest is the commit point: a crash before it is rolled BACK
   *    on the next write (stage/trash dropped, live table untouched); a
   *    crash after it is rolled FORWARD (the swap is completed from the
@@ -585,8 +585,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
         writePartitioned(aligned, stage, SaveMode.Overwrite)
         val stagedNames = listDir(stage)
           .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
-        writeManifest(path, id, dirs, stagedNames)
-        completeSwap(path, id, dirs, stagedNames)
+        commitSwap(path, id, dirs, stagedNames)
         recordCommit(table, "replace_where",
           Map("partitions_replaced" -> dates.size.toLong))
         dates.toSeq
@@ -683,8 +682,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     // defensive union: every staged dir must be swapped in even if the
     // rewrite-date bookkeeping ever disagrees with the staged output
     val dirNames = (rewriteDates.map(d => s"$DateCol=$d") ++ stagedNames).distinct
-    writeManifest(path, id, dirNames, stagedNames)
-    completeSwap(path, id, dirNames, stagedNames)
+    commitSwap(path, id, dirNames, stagedNames)
   }
 
   /** Test seam: runs after the staged merge output is fully committed and
@@ -693,78 +691,42 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
   protected def beforeSwapHook(): Unit = ()
 
   // ---- swap protocol -------------------------------------------------------
+  // Since round 9 the manifest + executor live in the shared
+  // [[CommitLog]] module (one protocol, three consumers): a swap
+  // serializes as `.commit-swap-<id>` — deletion dates become `deletes`,
+  // staged dates become staged→live `renames`, the stage root drops as
+  // `cleanup`.
 
-  private def manifestPath(path: String, id: String): Path =
-    Paths.get(path, s".swap-$id")
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
-  /** Line 1: comma-joined dir names of every touched partition.
-    * Line 2: comma-joined dir names that have staged output (absent from
-    * this set = the merge legitimately deleted the partition). */
-  private def writeManifest(path: String, id: String,
-                            dates: Seq[String], staged: Set[String]): Unit = {
-    val tmp = Paths.get(path, s".swap-$id.tmp")
-    Files.write(tmp,
-      (dates.mkString(",") + "\n" + staged.mkString(",") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(path, id), StandardCopyOption.ATOMIC_MOVE)
-  }
+  /** Commit a staged partition swap: the CommitLog manifest is the
+    * commit point; the executor is idempotent from any crash point
+    * (staged dir consumed → skip; delete re-deletes nothing). Dirs in
+    * `dirs` without staged output are deletions the merge legitimately
+    * performed. */
+  private def commitSwap(path: String, id: String,
+                         dirs: Seq[String], staged: Set[String]): Unit =
+    CommitLog.commit(hadoopConf, path, s"swap-$id", CommitLog.Swap(
+      deletes = dirs.filterNot(staged),
+      renames = dirs.filter(staged).map(d =>
+        CommitLog.Rename(s".stage-$id/$d", d)),
+      cleanup = Seq(s".stage-$id")))
 
-  /** Execute (or re-execute, idempotently) the partition swap recorded in
-    * a manifest: live → trash, staged → live; partitions with no staged
-    * output are deletions. Safe to re-run from any crash point:
-    *  - staged dir still present  → its swap hasn't happened; do it.
-    *  - staged dir gone           → already swapped; skip.
-    *  - deletion date, live exists → not yet deleted; trash it (a swapped
-    *    partition can't be confused for it: deletions never get a new
-    *    live dir).
-    * Then trash, stage and manifest are dropped, in that order. */
-  private def completeSwap(path: String, id: String,
-                           dates: Seq[String], staged: Set[String]): Unit = {
-    val stage = s"$path/.stage-$id"
-    val trash = s"$path/.trash-$id"
-    Files.createDirectories(Paths.get(trash))
-    dates.foreach { dir =>
-      val live = Paths.get(path, dir)
-      if (staged(dir)) {
-        val st = Paths.get(stage, dir)
-        if (Files.exists(st)) {
-          if (Files.exists(live))
-            Files.move(live, Paths.get(trash, dir), StandardCopyOption.ATOMIC_MOVE)
-          Files.move(st, live, StandardCopyOption.ATOMIC_MOVE)
-        }
-      } else if (Files.exists(live)) {
-        Files.move(live, Paths.get(trash, dir), StandardCopyOption.ATOMIC_MOVE)
-      }
-    }
-    deleteRecursive(new java.io.File(trash))
-    deleteRecursive(new java.io.File(stage))
-    Files.deleteIfExists(manifestPath(path, id)): Unit
-  }
-
-  /** Crash repair, run before every write. Swaps with a persisted manifest
-    * are rolled FORWARD (completed). Leftover stage/trash dirs WITHOUT a
-    * manifest date from before the commit point: trash partitions missing
-    * a live dir are restored first (covers crashes from the
-    * pre-manifest-protocol router), then the leftovers are rolled back.
-    * Single writer per table, as in the reference's bulker. */
+  /** Crash repair, run before every write. Swaps with a persisted
+    * manifest are rolled FORWARD ([[CommitLog.recover]]). Leftover
+    * stage/trash dirs WITHOUT a manifest date from before the commit
+    * point: trash partitions missing a live dir are restored first
+    * (covers crashes from the pre-manifest-protocol router), then the
+    * leftovers are rolled back. Single writer per table, as in the
+    * reference's bulker. */
   private def recover(path: String): Unit = {
-    // fast path: a healthy table has no swap/stage/trash entries — one
+    // fast path: a healthy table has no commit/stage/trash entries — one
     // directory listing and out (recover runs before EVERY write/read)
     val entries = listDir(path)
-    if (!entries.exists(f => f.getName.startsWith(".swap-") ||
+    if (!entries.exists(f => f.getName.startsWith(".commit-") ||
         f.getName.startsWith(".stage-") || f.getName.startsWith(".trash-")))
       return
-    entries
-      .filter(f => f.getName.startsWith(".swap-") && !f.getName.endsWith(".tmp"))
-      .foreach { m =>
-        val lines = new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)
-          .split("\n", -1)
-        val dates = lines.headOption.map(_.split(",").filter(_.nonEmpty).toSeq)
-          .getOrElse(Seq.empty)
-        val staged = if (lines.length > 1)
-          lines(1).split(",").filter(_.nonEmpty).toSet else Set.empty[String]
-        completeSwap(path, m.getName.stripPrefix(".swap-"), dates, staged)
-      }
+    CommitLog.recover(hadoopConf, path)
     val kids = listDir(path)
     kids.filter(_.getName.startsWith(".trash-")).foreach { trash =>
       Option(trash.listFiles()).getOrElse(Array.empty)
@@ -932,7 +894,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     *      through the same staged-write + manifest-swap commit protocol
     *      as the merge — crash-safe, readers never see partial deletes.
     *      A partition whose every row matches is a legitimate partition
-    *      deletion (no staged dir), which `completeSwap` already encodes.
+    *      deletion (no staged dir), which the commit swap already encodes.
     * Returns the number of rows deleted. */
   /** GDPR Art. 15 subject-access export — the READ counterpart of
     * [[deleteWhere]]'s right-to-be-forgotten: every row belonging to
@@ -989,8 +951,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     val stagedNames = listDir(stage)
       .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
     val dirNames = touched.map(d => s"$DateCol=$d").toSeq
-    writeManifest(path, id, dirNames, stagedNames)
-    completeSwap(path, id, dirNames, stagedNames)
+    commitSwap(path, id, dirNames, stagedNames)
     recordCommit(table, "delete", Map("rows_deleted" -> deleted,
       "partitions_rewritten" -> touched.size.toLong))
     deleted
@@ -1075,8 +1036,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
       val stagedNames = listDir(stage)
         .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
       val dirNames = touched.map(d => s"$DateCol=$d").toSeq
-      writeManifest(path, id, dirNames, stagedNames)
-      completeSwap(path, id, dirNames, stagedNames)
+      commitSwap(path, id, dirNames, stagedNames)
     }
     deleteRecursive(new java.io.File(dv))
     val purged = hits.map(_.getLong(1)).sum
@@ -1106,8 +1066,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     if (dropped.isEmpty) return Seq.empty
     val id = java.util.UUID.randomUUID().toString.take(8)
     val dirNames = dropped.map(d => s"$DateCol=$d")
-    writeManifest(path, id, dirNames, Set.empty)
-    completeSwap(path, id, dirNames, Set.empty)
+    commitSwap(path, id, dirNames, Set.empty)
     recordCommit(table, "vacuum",
       Map("partitions_dropped" -> dropped.size.toLong))
     dropped
@@ -1226,8 +1185,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     writePartitioned(rows, stage, SaveMode.Overwrite) // 1 file per date
     val stagedNames = listDir(stage)
       .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
-    writeManifest(path, id, crowded.toSeq, stagedNames)
-    completeSwap(path, id, crowded.toSeq, stagedNames)
+    commitSwap(path, id, crowded.toSeq, stagedNames)
     recordCommit(table, "compact",
       Map("partitions_compacted" -> crowded.size.toLong))
   }

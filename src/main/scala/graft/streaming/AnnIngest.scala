@@ -172,11 +172,11 @@ object AnnIngest {
   def rebuild(spark: SparkSession, indexDir: String, nlist: Int,
               iters: Int = 2): Unit = {
     import graft.operators.Similarity
+    import graft.sinks.CommitLog
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(conf)
     recoverRebuild(spark, indexDir) // finish any interrupted predecessor
     val vecRoot = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val fs = vecRoot.getFileSystem(conf)
     val target = fs.listStatus(vecRoot).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("_batch="))
       .flatMap(n =>
@@ -198,62 +198,26 @@ object AnnIngest {
     spark.createDataFrame(cents.toSeq).toDF("cell", "vec")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/$RebuildCentStaged")
-    // 2. commit point (records the fold target for roll-forward)
-    val tmp = new org.apache.hadoop.fs.Path(root, s".$RebuildManifest.tmp")
-    val out = fs.create(tmp, true)
-    out.write(s"""{"rebuild": true, "target": $target}""".getBytes(
-      java.nio.charset.StandardCharsets.UTF_8)); out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, RebuildManifest))
-    // 3-4. roll forward: vectors first, centroids after (a reader
-    // between the two sees old centroids + new layout only transiently
-    // inside this stopped-stream window; the inverse pairing — new
-    // centroids routing into the old layout — can never persist)
-    completeRebuild(fs, root, target)
+    // 2. commit point + roll-forward via the shared protocol: vectors
+    // swap first (clearing the whole old layout), centroids after — a
+    // reader between the two sees old centroids + new layout only
+    // transiently inside this stopped-stream window; the inverse
+    // pairing (new centroids routing into the old layout) can never
+    // persist, from any crash point.
+    CommitLog.commit(spark, indexDir, "rebuild", CommitLog.Swap(
+      renames = Seq(
+        CommitLog.Rename(RebuildVecStaged, s"vectors/_batch=$target",
+          clearFirst = Seq("vectors")),
+        CommitLog.Rename(RebuildCentStaged, "centroids"))))
   }
 
-  private val RebuildManifest = ".rebuild-manifest"
   private val RebuildVecStaged = ".vectors-rebuild"
   private val RebuildCentStaged = ".centroids-rebuild"
 
   /** Finish (or no-op) an interrupted [[rebuild]] from its manifest. */
   private[graft] def recoverRebuild(spark: SparkSession,
-                                    indexDir: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m = new org.apache.hadoop.fs.Path(root, RebuildManifest)
-    if (!fs.exists(m)) return
-    val body = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(m)),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val target = """"target":\s*(\d+)""".r.findFirstMatchIn(body)
-      .map(_.group(1).toLong).getOrElse(0L)
-    completeRebuild(fs, root, target)
-  }
-
-  /** Idempotent post-manifest swap: each staged dir that still exists
-    * replaces its live counterpart (vectors land under the folded
-    * `_batch=<target>` scope), then the manifest drops. A crash at any
-    * step re-runs cleanly (a consumed staged dir is skipped). */
-  private def completeRebuild(fs: org.apache.hadoop.fs.FileSystem,
-                              root: org.apache.hadoop.fs.Path,
-                              target: Long): Unit = {
-    val stagedVec = new org.apache.hadoop.fs.Path(root, RebuildVecStaged)
-    if (fs.exists(stagedVec)) {
-      val live = new org.apache.hadoop.fs.Path(root, "vectors")
-      fs.delete(live, true)
-      fs.mkdirs(live)
-      fs.rename(stagedVec,
-        new org.apache.hadoop.fs.Path(live, s"_batch=$target")): Unit
-    }
-    val stagedCent = new org.apache.hadoop.fs.Path(root, RebuildCentStaged)
-    if (fs.exists(stagedCent)) {
-      val live = new org.apache.hadoop.fs.Path(root, "centroids")
-      fs.delete(live, true)
-      fs.rename(stagedCent, live): Unit
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(root, RebuildManifest),
-      false): Unit
-  }
+                                    indexDir: String): Unit =
+    graft.sinks.CommitLog.recover(spark, indexDir)
 
   /** struct(cell, cos) of the nearest centroid under the rounded-cosine
     * argmax rule: max by (cos, -cell) — exact ties take the lower cell. */

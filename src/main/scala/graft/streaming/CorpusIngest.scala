@@ -97,17 +97,12 @@ object CorpusIngest {
   }
 
   /** Delete `path/_batch=<id>` if present — the replay-side half of the
-    * batch-scoped commit (Hadoop FS API, so the same code is correct on
-    * HDFS/S3A, not just local disk). Also completes any interrupted
-    * [[compactBatches]] first (the manifest roll-forward), so a crash
-    * mid-compaction can never be read as missing data. */
+    * batch-scoped commit ([[graft.sinks.CommitLog.clearBatchScope]]:
+    * completes any interrupted compaction first, so a crash
+    * mid-compaction can never be read as missing data). */
   private[graft] def clearBatch(spark: SparkSession, path: String,
-                                    batchId: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_batch=$batchId")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(fs, new org.apache.hadoop.fs.Path(path))
-    if (fs.exists(p)) { fs.delete(p, true); () }
-  }
+                                batchId: Long): Unit =
+    graft.sinks.CommitLog.clearBatchScope(spark, path, batchId)
 
   // ---- batch-partition compaction -------------------------------------
   // Every micro-batch adds one `_batch=<id>` directory; at 100 TB /
@@ -115,13 +110,11 @@ object CorpusIngest {
   // files). Compaction folds all committed batch partitions into the
   // NEWEST one — semantics preserved exactly, because a consolidated
   // row carries the max batch id, which is <= any future batch's
-  // `_batch < id` prior-read filter. The swap follows the sink's
-  // manifest protocol: stage → manifest → delete olds → rename → drop
-  // manifest; a crash anywhere is rolled FORWARD from the manifest on
-  // the next read (the manifest is the commit point — before it exists
-  // nothing was touched, after it the staged data is complete).
+  // `_batch < id` prior-read filter. The swap commits through the
+  // shared [[graft.sinks.CommitLog]] protocol: stage → manifest →
+  // delete olds → rename; a crash anywhere rolls FORWARD on the next
+  // read.
 
-  private val CompactManifest = ".compact-manifest"
   private val CompactStaged = ".compact-staged"
 
   /** Fold the `_batch=` partitions of `path` with id <= `upTo` into the
@@ -133,9 +126,10 @@ object CorpusIngest {
   def compactBatches(spark: SparkSession, path: String,
                      upTo: Long = Long.MaxValue,
                      subPartitions: Seq[String] = Nil): Unit = {
+    import graft.sinks.CommitLog
+    CommitLog.recover(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(fs, root)
     if (!fs.exists(root)) return
     val parts = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName)
@@ -147,74 +141,26 @@ object CorpusIngest {
     val target = parts.last
     val staged = new org.apache.hadoop.fs.Path(root, CompactStaged)
     fs.delete(staged, true) // stale partial staging from a pre-manifest crash
-    // 1. stage the consolidated rows (data columns only — the batch id
-    //    comes back from the directory name after the swap)
+    // stage the consolidated rows (data columns only — the batch id
+    // comes back from the directory name after the swap)
     val consolidated = spark.read.parquet(path)
       .filter(col("_batch") <= upTo).drop("_batch")
     val writer = consolidated.write
     (if (subPartitions.nonEmpty) writer.partitionBy(subPartitions: _*)
      else writer).parquet(staged.toString)
-    // 2. commit point: the manifest lists what to delete and the target
-    val manifest = new org.apache.hadoop.fs.Path(root, CompactManifest)
-    val body = s"""{"target": $target, "delete": [${parts.mkString(", ")}]}"""
-    val tmp = new org.apache.hadoop.fs.Path(root, s".$CompactManifest.tmp")
-    val out = fs.create(tmp, true)
-    out.write(body.getBytes(StandardCharsets.UTF_8)); out.close()
-    fs.rename(tmp, manifest)
-    // 3-5. roll forward
-    completeCompaction(fs, root, target, parts.toSeq)
-  }
-
-  /** Finish (or no-op) an interrupted compaction from its manifest. */
-  private[graft] def recoverCompaction(
-      fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit = {
-    val manifest = new org.apache.hadoop.fs.Path(root, CompactManifest)
-    if (!fs.exists(manifest)) return
-    val body = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(manifest)),
-      StandardCharsets.UTF_8)
-    val targetOpt = """"target":\s*(\d+)""".r.findFirstMatchIn(body)
-      .map(_.group(1).toLong)
-    val deletes = """"delete":\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
-      .map(_.group(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-        .map(_.toLong)).getOrElse(Seq.empty)
-    targetOpt.foreach(t => completeCompaction(fs, root, t, deletes))
-  }
-
-  private def completeCompaction(fs: org.apache.hadoop.fs.FileSystem,
-                                 root: org.apache.hadoop.fs.Path,
-                                 target: Long, deletes: Seq[Long]): Unit = {
-    val staged = new org.apache.hadoop.fs.Path(root, CompactStaged)
-    val targetDir = new org.apache.hadoop.fs.Path(root, s"_batch=$target")
-    deletes.foreach { b =>
-      val d = new org.apache.hadoop.fs.Path(root, s"_batch=$b")
-      // the target dir is only deleted while its replacement is staged
-      if (b != target || fs.exists(staged)) { fs.delete(d, true); () }
-    }
-    if (fs.exists(staged)) { fs.rename(staged, targetDir); () }
-    fs.delete(new org.apache.hadoop.fs.Path(root, CompactManifest), false): Unit
+    // commit point + roll-forward: olds deleted, staged renamed into
+    // the target scope (the target's own old dir is cleared inside the
+    // rename guard, so it survives if the staged dir was consumed)
+    CommitLog.commit(spark, path, "compact", CommitLog.Swap(
+      deletes = parts.dropRight(1).map(b => s"_batch=$b").toSeq,
+      renames = Seq(CommitLog.Rename(CompactStaged, s"_batch=$target"))))
   }
 
   /** Read a batch-partitioned index table restricted to batches STRICTLY
-    * BEFORE `batchId` (None if the table does not exist yet or holds
-    * nothing committed before this batch). The filter is partition
-    * pruning — a crashed partial `_batch=<batchId>` directory is never
-    * even listed as data. */
+    * BEFORE `batchId` ([[graft.sinks.CommitLog.readPriorBatches]]). */
   private[graft] def readPrior(spark: SparkSession, path: String,
-                                   batchId: Long): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasEarlier = fs.exists(p) && fs.listStatus(p).exists { st =>
-      val nm = st.getPath.getName
-      nm.startsWith("_batch=") &&
-        scala.util.Try(nm.stripPrefix("_batch=").toLong).toOption
-          .exists(_ < batchId)
-    }
-    if (!hasEarlier) None
-    else Some(spark.read.parquet(path)
-      .filter(col("_batch") < batchId).drop("_batch"))
-  }
+                               batchId: Long): Option[DataFrame] =
+    graft.sinks.CommitLog.readPriorBatches(spark, path, batchId)
 
   /** One batch against the stored index; also usable directly from a
     * batch job for backfills (pass the backfill's own monotonic batch

@@ -150,9 +150,11 @@ object EventPipeline {
       .map("%02x".format(_)).mkString.take(12)
     val qdir = new java.io.File(s"$warehouseDir/_quota/$scope")
     qdir.mkdirs()
-    val priorDirs = Option(qdir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-") &&
-        f.getName.stripPrefix("delta-").toLong < batchId)
+    // batch-scoped commit (the CommitLog layout-as-log style): a
+    // replayed batch overwrites its own delta; readers consult only
+    // strictly-earlier scopes
+    val priorDirs = graft.sinks.CommitLog
+      .listPriorDeltas(qdir, "delta-", batchId)
       .map(_.getAbsolutePath)
     val prior =
       if (priorDirs.isEmpty)

@@ -17,6 +17,14 @@ class AnnIngestSpec extends GraftSpec {
 
   // orthogonal-ish 4-dim plants: ids 0,1 seed cells 0,1; later vectors
   // sit near one seed each, except 23 which ties exactly between both
+  // the CommitLog swap a rebuild persists (batch fold target = 1),
+  // reconstructed verbatim by the crash tests
+  private val RebuildManifestBody =
+    """{"deletes":[],"renames":[{"staged":".vectors-rebuild",""" +
+    """"live":"vectors/_batch=1","clear":["vectors"]},""" +
+    """{"staged":".centroids-rebuild","live":"centroids","clear":[]}],""" +
+    """"cleanup":[]}"""
+
   private val e0 = Array(1f, 0f, 0f, 0f)
   private val e1 = Array(0f, 1f, 0f, 0f)
 
@@ -187,15 +195,15 @@ class AnnIngestSpec extends GraftSpec {
     moveDir(s"$idx/centroids", s"$idx/.centroids-rebuild")
     copyDir(new java.io.File(preVec), new java.io.File(s"$idx/vectors"))
     copyDir(new java.io.File(preCent), new java.io.File(s"$idx/centroids"))
-    Files.write(new java.io.File(s"$idx/.rebuild-manifest").toPath,
-      "{\"rebuild\": true, \"target\": 1}".getBytes("UTF-8"))
+    Files.write(new java.io.File(s"$idx/.commit-rebuild").toPath,
+      RebuildManifestBody.getBytes("UTF-8"))
     // the next append (batch 2) must first complete the swap — never
     // assign against new centroids over the old cell layout
     AnnIngest.processBatch(
       Seq((20L, Array(1f, 0f, 0f, 0f).toSeq, 0))
         .toDF("vec_id", "embedding", "label"),
       idx, out, nlist = 2, batchId = 2L)
-    assert(!new java.io.File(s"$idx/.rebuild-manifest").exists())
+    assert(!new java.io.File(s"$idx/.commit-rebuild").exists())
     assert(!new java.io.File(s"$idx/.vectors-rebuild").exists())
     assert(snap(s"$idx/centroids") == wantCent)
     val storedNow = spark.read.parquet(s"$idx/vectors")
@@ -207,11 +215,11 @@ class AnnIngestSpec extends GraftSpec {
     // crash MID-SWAP variant: vectors already live, centroids deleted
     // but staged — recovery restores centroids and drops the manifest
     moveDir(s"$idx/centroids", s"$idx/.centroids-rebuild")
-    Files.write(new java.io.File(s"$idx/.rebuild-manifest").toPath,
-      "{\"rebuild\": true, \"target\": 1}".getBytes("UTF-8"))
+    Files.write(new java.io.File(s"$idx/.commit-rebuild").toPath,
+      RebuildManifestBody.getBytes("UTF-8"))
     AnnIngest.recoverRebuild(spark, idx)
     assert(snap(s"$idx/centroids") == wantCent)
-    assert(!new java.io.File(s"$idx/.rebuild-manifest").exists())
+    assert(!new java.io.File(s"$idx/.commit-rebuild").exists())
     // pre-manifest crash is INERT: stray staging without a manifest must
     // not be swapped in by recovery
     val junk = new java.io.File(s"$idx/.vectors-rebuild"); junk.mkdirs()

@@ -194,14 +194,16 @@ class CorpusIngestSpec extends GraftSpec {
     // stage manually (what compact writes before the manifest)
     spark.read.parquet(out2).drop("_batch")
       .write.parquet(s"$out2/.compact-staged")
-    val mf = fs.create(new org.apache.hadoop.fs.Path(root, ".compact-manifest"), true)
-    mf.write("""{"target": 1, "delete": [0, 1]}""".getBytes("UTF-8")); mf.close()
+    val mf = fs.create(new org.apache.hadoop.fs.Path(root, ".commit-compact"), true)
+    mf.write(("""{"deletes":["_batch=0"],"renames":[{"staged":""" +
+      """".compact-staged","live":"_batch=1","clear":[]}],"cleanup":[]}""")
+      .getBytes("UTF-8")); mf.close()
     fs.delete(new org.apache.hadoop.fs.Path(root, "_batch=0"), true)
     // crash here. batch 2 arrives; clearBatch recovery completes the swap
     run(2, idx2, out2)
     assert(batchDirs(out2).contains("_batch=1") &&
       !batchDirs(out2).contains("_batch=0"))
-    assert(!new java.io.File(s"$out2/.compact-manifest").exists())
+    assert(!new java.io.File(s"$out2/.commit-compact").exists())
     val post = rows(out2, "doc_id", "status")
     assert(pre.subsetOf(post), "no outcome rows lost across the crash")
     assert(post == rows(refOut, "doc_id", "status"))

@@ -140,4 +140,43 @@ class GuardedSqlSpec extends GraftSpec {
     assert(c5, "unrelated table's commit must not invalidate")
     spark.catalog.dropTempView("cache_ver_v")
   }
+
+  test("queryCached across a history vacuum: a folded commit version falls back to the stat digest — no stale serve, exactly one recompute") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("sqlvac-wh").toString
+    val router = new graft.sinks.SinkRouter(wh)
+    def land(t: String, rows: (Long, String)*): Unit =
+      router.write(rows.toSeq.toDF("k", "v")
+        .withColumn("_table", org.apache.spark.sql.functions.lit(t)))
+    land("t", 1L -> "a", 2L -> "b")
+    def reView(): Unit = spark.read.parquet(s"$wh/t")
+      .createOrReplaceTempView("cache_vac_v")
+    reView()
+    GuardedSql.clearResultCache()
+    val sql = "SELECT k, v FROM cache_vac_v ORDER BY k LIMIT 10"
+    val (r1, c1) = GuardedSql.queryCached(spark, sql)
+    val (_, c2) = GuardedSql.queryCached(spark, sql)
+    assert(!c1 && c2 && r1.count() == 2)
+    // bury t's commit under later ones, then vacuum to 1 entry: the
+    // survivor names 'other', so t's version stamp regresses to 0
+    land("other", 8L -> "x"); land("other", 9L -> "y")
+    router.vacuumHistory(1)
+    // the consumer contract for a folded version is RECOMPUTE ONCE:
+    // the stamp switches commit-version → stat-digest, so the next read
+    // misses (never serves a stale entry across the stamp change) ...
+    val (r3, c3) = GuardedSql.queryCached(spark, sql)
+    assert(!c3, "stamp change after vacuum must recompute once")
+    assert(r3.count() == 2)
+    // ... and exactly once: the stat digest is stable, so it hits again
+    val (_, c4) = GuardedSql.queryCached(spark, sql)
+    assert(c4, "second post-vacuum read must hit")
+    // a REAL commit to t after the vacuum still invalidates (version
+    // numbering resumes above the folded range — never reuses stamps)
+    land("t", 3L -> "c")
+    reView()
+    val (r5, c5) = GuardedSql.queryCached(spark, sql)
+    assert(!c5, "post-vacuum commit must invalidate")
+    assert(r5.count() == 3)
+    spark.catalog.dropTempView("cache_vac_v")
+  }
 }

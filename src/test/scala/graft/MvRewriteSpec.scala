@@ -130,6 +130,46 @@ class MvRewriteSpec extends GraftSpec {
     } finally MvCatalog.unregister(rawPath)
   }
 
+  test("MV staleness across a history vacuum: a folded watch keeps serving (data unchanged), the next real commit still invalidates") {
+    val wh = Files.createTempDirectory("mv-vac-wh").toString
+    val router = new graft.sinks.SinkRouter(wh)
+    def land(t: String, n: Int): Unit =
+      router.write((1 to n).map(i =>
+          ("click", java.sql.Timestamp.valueOf(f"2024-01-0${i % 5 + 1} 03:30:00"), i.toLong))
+        .toDF("etype", "ts", "v")
+        .withColumn("_table", lit(t)))
+    land("ev", 50)
+    val rawPath = s"$wh/ev"
+    val raw = spark.read.parquet(rawPath)
+    val mvPath = s"${tmp("mv")}/mv.parquet"
+    raw.groupBy(col("etype")).agg(sum(col("v")).as("sum_v"),
+        count(lit(1)).as("cnt"))
+      .write.parquet(mvPath)
+    MvCatalog.register(spark, raw, rawPath, MvDef(
+      name = "byetype", mvPath = mvPath,
+      groupKeys = Seq((col("etype"), "etype")), timeKey = None,
+      sums = Seq((col("v"), "sum_v")), countCol = Some("cnt")))
+    MvCatalog.watchCommits(rawPath, s"$wh/_history", "ev")
+    try {
+      def q = spark.read.parquet(rawPath).groupBy(col("etype"))
+        .agg(sum(col("v")).as("s"))
+      assert(scansOf(q).contains(mvPath), "MV should serve while fresh")
+      // bury ev's commit and vacuum it away: ev's version stamp
+      // regresses to 0 — NOT a staleness signal (vacuum moves no data),
+      // so the MV keeps serving
+      land("other", 3); land("other", 3)
+      router.vacuumHistory(1)
+      assert(scansOf(q).contains(mvPath),
+        "vacuumed history must not fake staleness")
+      // a REAL commit after the vacuum gets a version above the folded
+      // range and must flip the watch to stale → raw fallback
+      land("ev", 10)
+      assert(!scansOf(q).contains(mvPath),
+        "post-vacuum commit must mark the MV stale")
+      assert(scansOf(q).contains(rawPath))
+    } finally MvCatalog.unregister(rawPath)
+  }
+
   test("derived group key (banded dim) matches semantically") {
     val (rawPath, raw) = makeRaw()
     val mvPath = s"${tmp("mv")}/mv.parquet"
