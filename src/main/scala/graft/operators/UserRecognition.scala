@@ -408,6 +408,47 @@ object UserRecognition {
         (isIdent || anonKey.isNull).as("ident"),
         col("timestamp").as("ts"),
         to_json(struct(events.columns.map(col): _*)).as("payload"))
+    resolveTagged(tagged, config)
+  }
+
+  /** Tag a raw-line stream for [[resolveTagged]]: input columns
+    * `payload` (the ORIGINAL JSON line) and `e` (a NARROW parse of it —
+    * only the config's key/identifier fields plus
+    * type/message_id/timestamp/received_at). The raw line rides through
+    * recognition as the payload, so neither a full-envelope from_json
+    * nor a to_json re-serialization is paid in-stream; the one full
+    * parse happens downstream, after recognition. */
+  def tagRawLines(df: DataFrame, config: URConfig = URConfig(),
+                  watermark: String = "1 hour"): DataFrame = {
+    val anonKey = coalesce(config.anonymousIdFields.map(f => col(s"e.$f")): _*)
+    val isIdent = config.identifierFields
+      .map(f => nonEmpty(col(s"e.$f"), config.jsonObjectFields(f)))
+      .reduce(_ || _)
+    val syntheticKey = concat(lit("\u0000nokey:"),
+      coalesce(col("e.message_id"), expr("uuid()")))
+    df.withColumn("ts", coalesce(col("e.timestamp"),
+        col("e.received_at"), current_timestamp()))
+      .withWatermark("ts", watermark)
+      .select(coalesce(anonKey, syntheticKey).as("key"),
+        (isIdent || anonKey.isNull).as("ident"),
+        col("ts"), col("payload"))
+  }
+
+  /** The top-level envelope fields a [[tagRawLines]] narrow parse needs
+    * under `config` (the corrupt probe's `type` included). */
+  def tagFields(config: URConfig): Seq[String] =
+    (Seq("type", "message_id", "timestamp", "received_at") ++
+      config.anonymousIdFields.map(_.takeWhile(_ != '.')) ++
+      config.identifierFields.map(_.takeWhile(_ != '.'))).distinct
+
+  /** The stateful half of [[streamingResolveConfigured]], on an already
+    * (key, ident, ts, payload)-tagged stream ([[tagRawLines]] builds
+    * one from raw lines;
+    * [[graft.streaming.EventPipeline.startRecognized]] wires both). */
+  def resolveTagged(tagged: DataFrame,
+                    config: URConfig = URConfig()): Dataset[String] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
     tagged
       .as[URGenEvent]
       .groupByKey(_.key)

@@ -437,14 +437,22 @@ object EventPipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(inputDir)
     val value = col("value").cast("string")
-    val parsed = raw
-      .select(from_json(value, EventSchema.envelope).as("e"))
-      .filter(!isCorruptStruct(col("e")))
-      .select("e.*")
-      .withColumn("message_id", coalesce(col("message_id"), expr("uuid()")))
+    // the in-stream parse is NARROW: only the UR key/identifier fields
+    // plus the corrupt probe — the raw line itself rides through
+    // recognition as the payload, and the one FULL envelope parse runs
+    // in foreachBatch after recognition. Tokenizing a 5-field
+    // projection is a fraction of materializing the deep envelope
+    // struct, and the to_json re-serialization disappears entirely.
+    val tagNames = graft.operators.UserRecognition.tagFields(urConfig)
+    val tagSchema = org.apache.spark.sql.types.StructType(
+      EventSchema.envelope.fields.filter(f => tagNames.contains(f.name)))
+    val parsed = raw.select(value.as("payload"),
+      from_json(value, tagSchema).as("e"))
     val resolved = graft.operators.UserRecognition
-      .streamingResolveConfigured(defaultTimestamp(parsed), urConfig,
-        urWatermark)
+      .resolveTagged(
+        graft.operators.UserRecognition.tagRawLines(
+          parsed.filter(!isCorruptStruct(col("e"))), urConfig, urWatermark),
+        urConfig)
       .toDF("payload")
       .withColumn("error", lit(null).cast("string"))
     val bad = raw
@@ -464,6 +472,8 @@ object EventPipeline {
               .select(col("payload").as("value"))
               .as[String](org.apache.spark.sql.Encoders.STRING)
             val env = defaultTimestamp(EventSchema.fromJson(goodRows))
+              .withColumn("message_id",
+                coalesce(col("message_id"), expr("uuid()")))
             router.write(applyLayout(env, layout))
             val badRows = cached.filter(col("error").isNotNull)
               .select(col("payload").as("raw_event"), col("error"),
