@@ -32,8 +32,15 @@ object Queries {
 
   // ---- relational / bench block (SURVEY §2.6/§2.7 "free via Spark SQL") --
 
-  val relational: Map[String, Q] = Map(
-    "q1_agg" -> ((s, dir) => li(s, dir)
+  // (relational is derived from relationalGated, declared after the oracle helper CTEs below)
+
+  /** One row per gate: (name, query, oracle SQL) — a gate reads as
+    * ONE unit (the twin-map layout, query here / oracle hundreds of
+    * lines below, was a recurring editing hazard). Helper CTE vals
+    * stay declared above so object-init order is safe. */
+  val relationalGated: Seq[(String, Q, String)] = Seq(
+    ("q1_agg",
+      ((s, dir) => li(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -43,12 +50,20 @@ object Queries {
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))),
-
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
     // G1: fixed-iteration PageRank over the customer–supplier purchase
     // graph (distinct (custkey, suppkey) pairs via orders ⋈ lineitem,
     // undirected) — 3 rounds of declarative Pregel; the oracle unrolls
     // the same 3 rounds as chained CTEs with identical IEEE arithmetic
-    "g1_pagerank" -> ((s, dir) => {
+    ("g1_pagerank",
+      ((s, dir) => {
       val e = tbl(s, dir, "orders")
         .join(li(s, dir), col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
@@ -57,7 +72,28 @@ object Queries {
       graft.operators.Graph.pageRank(e, iterations = 3)
         .select(col("v"), round(col("r"), 6).as("rank"))
     }),
-
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src,
+        |    's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |dir AS (
+        |  SELECT src, dst FROM e
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+        |p0 AS (SELECT src AS v, 1.0::DOUBLE AS r FROM deg),
+        |p1 AS (
+        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p0.r / deg.deg) AS r
+        |  FROM dir JOIN p0 ON dir.src = p0.v JOIN deg ON dir.src = deg.src
+        |  GROUP BY dir.dst),
+        |p2 AS (
+        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p1.r / deg.deg) AS r
+        |  FROM dir JOIN p1 ON dir.src = p1.v JOIN deg ON dir.src = deg.src
+        |  GROUP BY dir.dst),
+        |p3 AS (
+        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p2.r / deg.deg) AS r
+        |  FROM dir JOIN p2 ON dir.src = p2.v JOIN deg ON dir.src = deg.src
+        |  GROUP BY dir.dst)
+        |SELECT v, ROUND(r, 6) AS rank FROM p3""".stripMargin),
     // G2: per-node triangle counts over the part co-purchase graph of a
     // 10% order sample (parts sharing an order = an edge; each order's
     // item set is a clique, so triangles exist at every SF). Spark side
@@ -70,7 +106,8 @@ object Queries {
     // oracle replays all three rounds as unrolled SQL (the g1_pagerank
     // precedent). Communities = dense co-purchase regions, vs
     // connected components which would merge across bridge edges.
-    "g5_communities" -> ((s, dir) => {
+    ("g5_communities",
+      ((s, dir) => {
       val items = li(s, dir).filter(pmod(col("l_orderkey"), lit(10)) === 0)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
         .distinct()
@@ -80,7 +117,32 @@ object Queries {
         .distinct()
       graft.operators.Graph.labelPropagation(e, rounds = 3)
     }),
-    "g2_triangles" -> ((s, dir) => {
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.p AS src, y.p AS dst
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |ed AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM ed),
+        |c1 AS (SELECT ed.src, l.lbl, COUNT(*) AS n
+        |       FROM ed JOIN l0 l ON l.v = ed.dst GROUP BY 1, 2),
+        |l1 AS (SELECT src AS v, lbl FROM (
+        |  SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+        |    ORDER BY n DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT ed.src, l.lbl, COUNT(*) AS n
+        |       FROM ed JOIN l1 l ON l.v = ed.dst GROUP BY 1, 2),
+        |l2 AS (SELECT src AS v, lbl FROM (
+        |  SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+        |    ORDER BY n DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT ed.src, l.lbl, COUNT(*) AS n
+        |       FROM ed JOIN l2 l ON l.v = ed.dst GROUP BY 1, 2),
+        |l3 AS (SELECT src AS v, lbl FROM (
+        |  SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+        |    ORDER BY n DESC, lbl) AS rn FROM c3) WHERE rn = 1)
+        |SELECT v, lbl AS community FROM l3""".stripMargin),
+    ("g2_triangles",
+      ((s, dir) => {
       val items = li(s, dir).filter(pmod(col("l_orderkey"), lit(10)) === 0)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
         .distinct()
@@ -90,18 +152,47 @@ object Queries {
         .distinct()
       graft.operators.Graph.triangleCounts(e)
     }),
-
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.p AS src, y.p AS dst
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |t AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.src = e1.dst
+        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT a AS v FROM t
+        |      UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t)
+        |GROUP BY v""".stripMargin),
     // G3: item-item co-purchase similarity — Jaccard over order sets
     // for part pairs with support ≥ 2, via the inverted-index self-join
     // (pair generation bounded by basket size, support filter before
     // the dimension joins)
-    "g3_copurchase_sim" -> ((s, dir) =>
+    ("g3_copurchase_sim",
+      ((s, dir) =>
       Cooccurrence.jaccardPairs(
         li(s, dir).select(col("l_orderkey").as("g"),
           col("l_partkey").as("i")),
         "g", "i", minCo = 2L)),
-
-    "q3_join_topk" -> ((s, dir) => {
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM po GROUP BY 1),
+        |p AS (
+        |  SELECT x.i AS item1, y.i AS item2,
+        |    CAST(COUNT(*) AS BIGINT) AS co
+        |  FROM po x JOIN po y ON x.g = y.g AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT item1, item2, c1.n AS n1, c2.n AS n2, co,
+        |  ROUND(CAST(co AS DOUBLE) / (c1.n + c2.n - co), 6) AS jaccard
+        |FROM p JOIN cnt c1 ON c1.i = item1
+        |JOIN cnt c2 ON c2.i = item2""".stripMargin),
+    ("q3_join_topk",
+      ((s, dir) => {
       val orders = tbl(s, dir, "orders")
       val customer = tbl(s, dir, "customer")
       li(s, dir)
@@ -115,8 +206,15 @@ object Queries {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
-
-    "q5_multi_join" -> ((s, dir) => {
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+    ("q5_multi_join",
+      ((s, dir) => {
       val orders = tbl(s, dir, "orders")
       val customer = tbl(s, dir, "customer")
       val supplier = tbl(s, dir, "supplier")
@@ -133,8 +231,17 @@ object Queries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
     }),
-
-    "window_rank" -> ((s, dir) => {
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin),
+    ("window_rank",
+      ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey")).orderBy(
         col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
@@ -144,11 +251,17 @@ object Queries {
         .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
           col("l_linenumber"), round(col("l_extendedprice"), 2).as("price"))
     }),
-
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, price FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    ROUND(l_extendedprice, 2) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t WHERE rn <= 3""".stripMargin),
     // navigation window battery — lead/lag/ntile/cume_dist over one
     // per-supplier sort (all four ride the same Window spec = one
     // shuffle + sort; the plan-shape floor for ordered-neighbor logic)
-    "window_nav" -> ((s, dir) => {
+    ("window_nav",
+      ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey")).orderBy(
         col("l_orderkey"), col("l_linenumber"))
@@ -160,11 +273,21 @@ object Queries {
           round(cume_dist().over(w), 6).as("cume"))
         .filter(col("l_suppkey") % 10 === 0)
     }),
-
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    LAG(l_orderkey, 1) OVER w AS prev_order,
+        |    LEAD(l_orderkey, 1) OVER w AS next_order,
+        |    CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |    ROUND(CUME_DIST() OVER w, 6) AS cume
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber)) t
+        |WHERE l_suppkey % 10 = 0""".stripMargin),
     // Z-order curve key (OPTIMIZE ZORDER family): all-engine-exact
     // floor-normalized bit interleave, so the layout decision itself
     // is oracle-checkable; clusterBy's physical rewrite rides this key
-    "zorder_key" -> ((s, dir) => {
+    ("zorder_key",
+      ((s, dir) => {
       import graft.operators.ZOrder
       val l = li(s, dir)
       val r = l.agg(min(col("l_orderkey")), max(col("l_orderkey")),
@@ -174,14 +297,33 @@ object Queries {
           ZOrder.zValue16(col("l_orderkey"), r.getLong(0), r.getLong(1),
             col("l_suppkey"), r.getLong(2), r.getLong(3)).as("z"))
     }),
-
+      {
+      val terms = (0 until 16).map { i =>
+        s"((((na >> $i) & 1) << ${2 * i}) | (((nb >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT MIN(l_orderkey) AS mno, MAX(l_orderkey) AS mxo,
+         |    MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs
+         |  FROM lineitem),
+         |n AS (
+         |  SELECT l_orderkey, l_linenumber, l_suppkey,
+         |    CAST(FLOOR((l_orderkey - mno) * 65535.0 / (mxo - mno))
+         |      AS BIGINT) AS na,
+         |    CAST(FLOOR((l_suppkey - mns) * 65535.0 / (mxs - mns))
+         |      AS BIGINT) AS nb
+         |  FROM lineitem, b WHERE l_orderkey % 100 = 0)
+         |SELECT l_orderkey, l_linenumber, l_suppkey,
+         |  ($terms) AS z
+         |FROM n""".stripMargin
+    }),
     // stats-based data skipping over the z-order layout (the ANALYZE +
     // min/max file-pruning pair): per-bucket stats collected in one
     // pass, the candidate-bucket decision for a 2-column box predicate,
     // and the pruned scan — which the oracle proves row-identical to
     // the PLAIN filter (pruning exactness), alongside the bucket
     // counts (pruning effectiveness, engine-exact).
-    "l5_stats_skipping" -> ((s, dir) => {
+    ("l5_stats_skipping",
+      ((s, dir) => {
       import graft.operators.{StatsSkipping, ZOrder}
       val l = li(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
@@ -211,167 +353,7 @@ object Queries {
           round(sum(col("l_extendedprice")), 2).as("sum_price"))
       tot.crossJoin(cand).crossJoin(matched)
     }),
-
-    // explicit bloom runtime filter: non-matching lineitem rows die
-    // map-side against a driver-built bloom before the exchange; the
-    // follow-up exact semi join makes the result identical to a plain
-    // semi join (the oracle), so the bloom is pure pruning.
-    "q6_bloom_semi" -> ((s, dir) => {
-      val hot = tbl(s, dir, "orders").filter(col("o_totalprice") > 400000)
-      graft.operators.BloomPrune.semiJoin(
-          li(s, dir), "l_orderkey", hot, "o_orderkey",
-          expectedItems = 100000L, numBits = 1L << 20)
-        .groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
-    }),
-
-    "semi_anti_join" -> ((s, dir) => {
-      val orders = tbl(s, dir, "orders").filter(col("o_totalprice") > 100000)
-      tbl(s, dir, "customer")
-        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_mktsegment"))
-    })
-  )
-
-  val relationalOracles: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |  ROUND(AVG(l_discount), 4) AS avg_disc,
-        |  CAST(COUNT(*) AS BIGINT) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "g1_pagerank" ->
-      """WITH e AS (
-        |  SELECT DISTINCT 'c' || o_custkey AS src,
-        |    's' || l_suppkey AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |dir AS (
-        |  SELECT src, dst FROM e
-        |  UNION ALL SELECT dst AS src, src AS dst FROM e),
-        |deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
-        |p0 AS (SELECT src AS v, 1.0::DOUBLE AS r FROM deg),
-        |p1 AS (
-        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p0.r / deg.deg) AS r
-        |  FROM dir JOIN p0 ON dir.src = p0.v JOIN deg ON dir.src = deg.src
-        |  GROUP BY dir.dst),
-        |p2 AS (
-        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p1.r / deg.deg) AS r
-        |  FROM dir JOIN p1 ON dir.src = p1.v JOIN deg ON dir.src = deg.src
-        |  GROUP BY dir.dst),
-        |p3 AS (
-        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p2.r / deg.deg) AS r
-        |  FROM dir JOIN p2 ON dir.src = p2.v JOIN deg ON dir.src = deg.src
-        |  GROUP BY dir.dst)
-        |SELECT v, ROUND(r, 6) AS rank FROM p3""".stripMargin,
-    "g5_communities" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-        |  FROM lineitem WHERE l_orderkey % 10 = 0),
-        |e AS (
-        |  SELECT DISTINCT x.p AS src, y.p AS dst
-        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
-        |ed AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM ed),
-        |c1 AS (SELECT ed.src, l.lbl, COUNT(*) AS n
-        |       FROM ed JOIN l0 l ON l.v = ed.dst GROUP BY 1, 2),
-        |l1 AS (SELECT src AS v, lbl FROM (
-        |  SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
-        |    ORDER BY n DESC, lbl) AS rn FROM c1) WHERE rn = 1),
-        |c2 AS (SELECT ed.src, l.lbl, COUNT(*) AS n
-        |       FROM ed JOIN l1 l ON l.v = ed.dst GROUP BY 1, 2),
-        |l2 AS (SELECT src AS v, lbl FROM (
-        |  SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
-        |    ORDER BY n DESC, lbl) AS rn FROM c2) WHERE rn = 1),
-        |c3 AS (SELECT ed.src, l.lbl, COUNT(*) AS n
-        |       FROM ed JOIN l2 l ON l.v = ed.dst GROUP BY 1, 2),
-        |l3 AS (SELECT src AS v, lbl FROM (
-        |  SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
-        |    ORDER BY n DESC, lbl) AS rn FROM c3) WHERE rn = 1)
-        |SELECT v, lbl AS community FROM l3""".stripMargin,
-    "g2_triangles" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-        |  FROM lineitem WHERE l_orderkey % 10 = 0),
-        |e AS (
-        |  SELECT DISTINCT x.p AS src, y.p AS dst
-        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
-        |t AS (
-        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-        |  FROM e e1
-        |  JOIN e e2 ON e2.src = e1.dst
-        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
-        |SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
-        |FROM (SELECT a AS v FROM t
-        |      UNION ALL SELECT b FROM t
-        |      UNION ALL SELECT c FROM t)
-        |GROUP BY v""".stripMargin,
-    "g3_copurchase_sim" ->
-      """WITH po AS (
-        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
-        |cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM po GROUP BY 1),
-        |p AS (
-        |  SELECT x.i AS item1, y.i AS item2,
-        |    CAST(COUNT(*) AS BIGINT) AS co
-        |  FROM po x JOIN po y ON x.g = y.g AND x.i < y.i
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
-        |SELECT item1, item2, c1.n AS n1, c2.n AS n2, co,
-        |  ROUND(CAST(co AS DOUBLE) / (c1.n + c2.n - co), 6) AS jaccard
-        |FROM p JOIN cnt c1 ON c1.i = item1
-        |JOIN cnt c2 ON c2.i = item2""".stripMargin,
-    "q3_join_topk" ->
-      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-    "q5_multi_join" ->
-      """SELECT n_name,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY n_name""".stripMargin,
-    "window_nav" ->
-      """SELECT * FROM (
-        |  SELECT l_suppkey, l_orderkey, l_linenumber,
-        |    LAG(l_orderkey, 1) OVER w AS prev_order,
-        |    LEAD(l_orderkey, 1) OVER w AS next_order,
-        |    CAST(NTILE(4) OVER w AS INT) AS quartile,
-        |    ROUND(CUME_DIST() OVER w, 6) AS cume
-        |  FROM lineitem
-        |  WINDOW w AS (PARTITION BY l_suppkey
-        |    ORDER BY l_orderkey, l_linenumber)) t
-        |WHERE l_suppkey % 10 = 0""".stripMargin,
-    "zorder_key" -> {
-      val terms = (0 until 16).map { i =>
-        s"((((na >> $i) & 1) << ${2 * i}) | (((nb >> $i) & 1) << ${2 * i + 1}))"
-      }.mkString(" | ")
-      s"""WITH b AS (
-         |  SELECT MIN(l_orderkey) AS mno, MAX(l_orderkey) AS mxo,
-         |    MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs
-         |  FROM lineitem),
-         |n AS (
-         |  SELECT l_orderkey, l_linenumber, l_suppkey,
-         |    CAST(FLOOR((l_orderkey - mno) * 65535.0 / (mxo - mno))
-         |      AS BIGINT) AS na,
-         |    CAST(FLOOR((l_suppkey - mns) * 65535.0 / (mxs - mns))
-         |      AS BIGINT) AS nb
-         |  FROM lineitem, b WHERE l_orderkey % 100 = 0)
-         |SELECT l_orderkey, l_linenumber, l_suppkey,
-         |  ($terms) AS z
-         |FROM n""".stripMargin
-    },
-    "l5_stats_skipping" -> {
+      {
       val terms = (0 until 16).map { i =>
         s"((((na >> $i) & 1) << ${2 * i}) | (((nb >> $i) & 1) << ${2 * i + 1}))"
       }.mkString(" | ")
@@ -416,26 +398,43 @@ object Queries {
          |  CAST(nm AS BIGINT) AS n_rows_matched,
          |  sp AS sum_price
          |FROM m""".stripMargin
-    },
-    "q6_bloom_semi" ->
+    }),
+    // explicit bloom runtime filter: non-matching lineitem rows die
+    // map-side against a driver-built bloom before the exchange; the
+    // follow-up exact semi join makes the result identical to a plain
+    // semi join (the oracle), so the bloom is pure pruning.
+    ("q6_bloom_semi",
+      ((s, dir) => {
+      val hot = tbl(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      graft.operators.BloomPrune.semiJoin(
+          li(s, dir), "l_orderkey", hot, "o_orderkey",
+          expectedItems = 100000L, numBits = 1L << 20)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
       """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
         |  ROUND(SUM(l_extendedprice), 2) AS sum_price
         |FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
-        |GROUP BY 1""".stripMargin,
-    "window_rank" ->
-      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, price FROM (
-        |  SELECT l_suppkey, l_orderkey, l_linenumber,
-        |    ROUND(l_extendedprice, 2) AS price,
-        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
-        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
-        |  FROM lineitem) t WHERE rn <= 3""".stripMargin,
-    "semi_anti_join" ->
+        |GROUP BY 1""".stripMargin),
+    ("semi_anti_join",
+      ((s, dir) => {
+      val orders = tbl(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      tbl(s, dir, "customer")
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (
-        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""".stripMargin
-  )
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""".stripMargin))
+
+  val relational: Map[String, Q] =
+    relationalGated.map(g => (g._1, g._2)).toMap
+
+  val relationalOracles: Map[String, String] =
+    relationalGated.map(g => (g._1, g._3)).toMap
 
   // ---- event-pipeline block (SURVEY §2.3/§2.4/§2.5/§2.6) ----------------
 
@@ -460,23 +459,40 @@ object Queries {
       |  FROM events)
       |""".stripMargin
 
-  val pipeline: Map[String, Q] = Map(
+  // (pipeline is derived from pipelineGated, declared after the oracle helper CTEs below)
+
+  /** One row per gate: (name, query, oracle SQL) — a gate reads as
+    * ONE unit (the twin-map layout, query here / oracle hundreds of
+    * lines below, was a recurring editing hazard). Helper CTE vals
+    * stay declared above so object-init order is safe. */
+  val pipelineGated: Seq[(String, Q, String)] = Seq(
     // A1/A5: billing active events, exact count-distinct, day grain
-    "a1_active_events" -> ((s, dir) =>
+    ("a1_active_events",
+      ((s, dir) =>
       MetricsAgg.activeEventsExact(
         env(s, dir).withColumnRenamed("write_key", "workspace_id"))
         .withColumn("period", date_format(col("period"), "yyyy-MM-dd"))
         .withColumnRenamed("workspace_id", "write_key")
         .withColumnRenamed("count", "n_active")),
-
+      (adapterCte +
+      """SELECT write_key,
+        |  strftime(timestamp, '%Y-%m-%d') AS period,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_active
+        |FROM env GROUP BY write_key, 2""".stripMargin)),
     // A2-shaped rollup on the event stream (sum + exact uniq by day/type)
-    "a2_metrics_rollup" -> ((s, dir) =>
+    ("a2_metrics_rollup",
+      ((s, dir) =>
       env(s, dir)
         .groupBy(date_format(col("timestamp"), "yyyy-MM-dd").as("period"),
           col("connection_id"), col("type"))
         .agg(count(lit(1)).as("events"),
           countDistinct(col("message_id")).as("uniq_events"))),
-
+      (adapterCte +
+      """SELECT strftime(timestamp, '%Y-%m-%d') AS period,
+        |  connection_id, type,
+        |  CAST(COUNT(*) AS BIGINT) AS events,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq_events
+        |FROM env GROUP BY 1, 2, 3""".stripMargin)),
     // A2-incremental: PARTITION-grain MV maintenance of the metrics
     // rollup — a changed event invalidates its period partition, and
     // only those partitions are recomputed (from ALL their events).
@@ -485,7 +501,8 @@ object Queries {
     // restricted to the touched periods. countDistinct makes the
     // rollup non-subtractable, so partition recompute (not delta
     // arithmetic) is the honest maintenance strategy.
-    "a2b_incremental_rollup" -> ((s, dir) => {
+    ("a2b_incremental_rollup",
+      ((s, dir) => {
       val e = env(s, dir)
         .withColumn("period",
           date_format(col("timestamp"), "yyyy-MM-dd"))
@@ -498,14 +515,25 @@ object Queries {
         .agg(count(lit(1)).as("events"),
           countDistinct(col("message_id")).as("uniq_events"))
     }),
-
+      (adapterCte +
+      """SELECT strftime(timestamp, '%Y-%m-%d') AS period,
+        |  connection_id, type,
+        |  CAST(COUNT(*) AS BIGINT) AS events,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq_events
+        |FROM env
+        |WHERE strftime(timestamp, '%Y-%m-%d') IN (
+        |  SELECT DISTINCT strftime(timestamp, '%Y-%m-%d') FROM env
+        |  WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
+        |    AND timestamp <= TIMESTAMP '2024-01-20 00:00:00')
+        |GROUP BY 1, 2, 3""".stripMargin)),
     // A2-beyond: z-score anomaly flags over the per-connection daily
     // event series (the alerting pass a metrics MV feeds). Both the
     // threshold comparison and the reported z use 4-dp-ROUNDED values
     // so the flag decision is engine-exact, not a float knife-edge;
     // the series stats are one window over the (tiny) rollup, not the
     // event stream.
-    "a15_anomaly" -> ((s, dir) => {
+    ("a15_anomaly",
+      ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = env(s, dir)
         .groupBy(col("connection_id"),
@@ -520,12 +548,26 @@ object Queries {
         .select(col("connection_id"), col("period"), col("events"),
           round((col("events") - col("mu")) / col("sd"), 4).as("z"))
     }),
-
+      (adapterCte +
+      """, d AS (
+        |  SELECT connection_id, strftime(timestamp, '%Y-%m-%d') AS period,
+        |    CAST(COUNT(*) AS BIGINT) AS events
+        |  FROM env GROUP BY 1, 2),
+        |st AS (
+        |  SELECT *, AVG(events) OVER (PARTITION BY connection_id) AS mu,
+        |    STDDEV_SAMP(events) OVER (PARTITION BY connection_id) AS sd
+        |  FROM d)
+        |SELECT connection_id, period, events,
+        |  ROUND((events - mu) / sd, 4) AS z
+        |FROM st
+        |WHERE sd > 0 AND ROUND(ABS(events - mu), 4) > ROUND(2 * sd, 4)"""
+        .stripMargin)),
     // A2-beyond: gap-filled daily resample of per-user event counts
     // (the time_bucket_gapfill family) — zero-fill for the count,
     // LOCF for the gauge reading, is_gap marking manufactured rows.
     // Operates on the rollup; the dense grid is keys × days sized.
-    "a16_gapfill" -> ((s, dir) => {
+    ("a16_gapfill",
+      ((s, dir) => {
       val pts = env(s, dir)
         .filter(col("user_id").isNotNull &&
           pmod(substring(col("user_id"), 2, 19).cast("long"),
@@ -541,13 +583,35 @@ object Queries {
           col("value_locf").as("events_locf"),
           col("is_gap"))
     }),
-
+      (adapterCte +
+      """, pts AS (
+        |  SELECT user_id AS key, CAST(timestamp AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM env
+        |  WHERE user_id IS NOT NULL AND raw_user_id % 10 = 0
+        |  GROUP BY 1, 2),
+        |spans AS (SELECT key, MIN(d) AS d0, MAX(d) AS d1
+        |  FROM pts GROUP BY 1),
+        |grid AS (SELECT key,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS d
+        |  FROM spans),
+        |j AS (SELECT g.key, g.d, p.v
+        |  FROM grid g LEFT JOIN pts p ON g.key = p.key AND g.d = p.d)
+        |SELECT key, strftime(d, '%Y-%m-%d') AS day, v AS events,
+        |  COALESCE(v, 0) AS events_zero,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS events_locf,
+        |  v IS NULL AS is_gap
+        |FROM j""".stripMargin)),
     // A2-smoothing: EWMA baseline + spike flag over the per-type daily
     // series — the recursion runs as an in-row array fold (one shuffle
     // to group each key's bounded series), and because the fold's IEEE
     // op order is replayed exactly by the oracle's recursive CTE, the
     // smoothed values hash-match
-    "a17_ewma" -> ((s, dir) => {
+    ("a17_ewma",
+      ((s, dir) => {
       val pts = graft.schema.EventSchema.readEvents(s, dir)
         .groupBy(col("event_type").as("key"),
           to_date(col("ts")).as("d"))
@@ -557,14 +621,37 @@ object Queries {
           date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("value").as("events"), col("ewma"), col("spike"))
     }),
-
+      // the recursive CTE replays the EWMA fold in the same per-key day
+          // order with the same IEEE double ops, so the smoothed values are
+          // bit-identical before the display round
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT key, d, x,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY d) AS i
+        |  FROM pts),
+        |e AS (
+        |  SELECT key, i, d, x, x AS s FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.key, idx.i, idx.d, idx.x,
+        |    0.2 * idx.x + 0.8 * e.s
+        |  FROM idx JOIN e ON idx.key = e.key AND idx.i = e.i + 1)
+        |SELECT cur.key, strftime(cur.d, '%Y-%m-%d') AS day,
+        |  CAST(cur.x AS BIGINT) AS events, ROUND(cur.s, 4) AS ewma,
+        |  CASE WHEN prev.s IS NULL THEN FALSE
+        |       ELSE cur.x > 2.0 * ROUND(prev.s, 4) END AS spike
+        |FROM e cur LEFT JOIN e prev
+        |  ON cur.key = prev.key AND cur.i = prev.i + 1""".stripMargin),
     // A21: Holt linear-trend smoothing + 7-day-ahead forecast over the
     // per-type daily series — level AND trend (a17's EWMA goes flat;
     // Holt extrapolates drift). Same in-row fold execution as a17, and
     // the smoothing constants are dyadic (0.25/0.125), so every
     // engine's IEEE arithmetic is bit-identical and the recursive-CTE
     // oracle hash-matches level, trend, and forecast.
-    "a21_holt" -> ((s, dir) => {
+    ("a21_holt",
+      ((s, dir) => {
       val pts = graft.schema.EventSchema.readEvents(s, dir)
         .groupBy(col("event_type").as("key"),
           to_date(col("ts")).as("d"))
@@ -576,26 +663,87 @@ object Queries {
           col("value").as("events"), col("level"), col("trend"),
           col("forecast"))
     }),
-
+      // the recursive CTE replays Holt's level/trend recursion with the
+          // same dyadic smoothing constants (0.25/0.75/0.125/0.875 — exact
+          // binary doubles) and the same op order as the Spark fold
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT key, d, x,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY d) AS i
+        |  FROM pts),
+        |e AS (
+        |  SELECT key, i, d, x, x AS s, CAST(0.0 AS DOUBLE) AS b
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.key, idx.i, idx.d, idx.x,
+        |    0.25 * idx.x + 0.75 * (e.s + e.b),
+        |    0.125 * ((0.25 * idx.x + 0.75 * (e.s + e.b)) - e.s)
+        |      + 0.875 * e.b
+        |  FROM idx JOIN e ON idx.key = e.key AND idx.i = e.i + 1)
+        |SELECT key, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(x AS BIGINT) AS events,
+        |  ROUND(s, 4) AS level, ROUND(b, 4) AS trend,
+        |  ROUND(s + 7.0 * b, 4) AS forecast
+        |FROM e""".stripMargin),
     // AB: experiment read-out — deterministic md5-bucket variant
     // assignment (no rand(), no assignment table: pure map-side
     // projection), per-variant conversion + value, pooled
     // two-proportion z. All the z inputs are integer counts, so the
     // statistic is engine-exact before the display round.
-    "ab_experiment" -> ((s, dir) => {
+    ("ab_experiment",
+      ((s, dir) => {
       val ev = graft.schema.EventSchema.readEvents(s, dir)
       graft.operators.Experiment.conversionReport(ev,
         col("user_id"), "exp1",
         col("event_type") === "purchase" && col("value") > 90,
         col("value"))
     }),
-
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 2 AS INT) AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 90
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(conv) AS BIGINT) AS n_converted
+        |  FROM pu GROUP BY 1),
+        |w AS (SELECT
+        |  MAX(CASE WHEN variant = 0 THEN n_units END) AS n_control,
+        |  MAX(CASE WHEN variant = 0 THEN n_converted END) AS conv_control,
+        |  MAX(CASE WHEN variant = 1 THEN n_units END) AS n_treatment,
+        |  MAX(CASE WHEN variant = 1 THEN n_converted END) AS conv_treatment
+        |  FROM v),
+        |m AS (SELECT *,
+        |  CAST(conv_control AS DOUBLE) / n_control AS p0,
+        |  CAST(conv_treatment AS DOUBLE) / n_treatment AS p1,
+        |  CAST(conv_control + conv_treatment AS DOUBLE)
+        |    / (n_control + n_treatment) AS pooled
+        |  FROM w),
+        |m2 AS (SELECT *,
+        |  SQRT(pooled * (1.0 - pooled)
+        |    * (1.0 / n_control + 1.0 / n_treatment)) AS se
+        |  FROM m)
+        |SELECT n_control, conv_control, n_treatment, conv_treatment,
+        |  ROUND(p0, 6) AS rate_control,
+        |  ROUND(p1, 6) AS rate_treatment,
+        |  ROUND(p1 - p0, 6) AS uplift,
+        |  CASE WHEN se = 0 THEN NULL
+        |    ELSE ROUND((p1 - p0) / se, 4) END AS z,
+        |  CASE WHEN se = 0 THEN NULL
+        |    ELSE ABS((p1 - p0) / se) > 1.96 END AS significant
+        |FROM m2""".stripMargin),
     // J10: ordered sequence matching (ClickHouse sequenceMatch family):
     // "view, then purchase within 24 h, with NO error in between" —
     // the negative condition funnels can't express. One window shuffle
     // per user, running maxima, no self-join; timestamps compare as
     // epoch microseconds so the match decision is engine-exact.
-    "j10_sequence_match" -> ((s, dir) => {
+    ("j10_sequence_match",
+      ((s, dir) => {
       val ev = graft.schema.EventSchema.readEvents(s, dir)
       graft.operators.SequenceMatch.report(ev,
         col("user_id"), col("ts"), col("event_id"),
@@ -604,19 +752,54 @@ object Queries {
         col("event_type") === "error",
         windowSeconds = 86400L)
     }),
-
+      """WITH t AS (
+        |  SELECT user_id, ts, event_type,
+        |    MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER w AS last_a,
+        |    MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+        |      OVER w AS last_c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |b AS (
+        |  SELECT user_id,
+        |    (last_a IS NOT NULL AND COALESCE(last_a > last_c, TRUE)
+        |      AND epoch_us(ts) - last_a <= 86400000000) AS matched,
+        |    CASE WHEN last_a IS NOT NULL
+        |        AND COALESCE(last_a > last_c, TRUE)
+        |        AND epoch_us(ts) - last_a <= 86400000000
+        |      THEN epoch_us(ts) - last_a END AS us
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys_with_b,
+        |  CAST(COUNT(DISTINCT CASE WHEN matched THEN user_id END)
+        |    AS BIGINT) AS n_keys_matched,
+        |  CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matches,
+        |  ROUND(CAST(SUM(us) AS DOUBLE)
+        |    / SUM(CASE WHEN matched THEN 1 ELSE 0 END) / 1e6, 4)
+        |    AS avg_secs
+        |FROM b""".stripMargin),
     // A2-beyond: 7-day sliding distinct actives per day — the windowed
     // COUNT(DISTINCT) a daily rollup cannot answer (distinct is not
     // summable). Spark side: constant 7× explode of the dedup'd
     // (user, day) table + one hash count-distinct per window day; the
     // oracle cross-checks with the independent range-join formulation.
-    "a19_sliding_active" -> ((s, dir) =>
+    ("a19_sliding_active",
+      ((s, dir) =>
       TimeSeries.slidingDistinct(
         env(s, dir).select(col("anonymous_id").as("key"),
           to_date(col("timestamp")).as("d")), windowDays = 7)
         .select(date_format(col("wd"), "yyyy-MM-dd").as("day"),
           col("active").as("active_7d"))),
-
+      (adapterCte +
+      """, kd AS (
+        |  SELECT DISTINCT anonymous_id, CAST(timestamp AS DATE) AS d
+        |  FROM env),
+        |days AS (SELECT DISTINCT d AS wd FROM kd)
+        |SELECT strftime(wd, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS active_7d
+        |FROM kd JOIN days ON kd.d BETWEEN wd - 6 AND wd
+        |GROUP BY wd""".stripMargin)),
     // A20: RFM segmentation — the CDP audience-building classic: per
     // user recency/frequency/monetary, split at the EXACT interpolated
     // median of each dimension (the a5 percentile pattern — computed
@@ -624,7 +807,8 @@ object Queries {
     // scalar compare, never a global-order window). Monetary is rounded
     // to 2 dp BEFORE the percentile and the compare (the determinism
     // rule), so the band decision is engine-exact.
-    "a20_rfm" -> ((s, dir) => {
+    ("a20_rfm",
+      ((s, dir) => {
       val u = graft.schema.EventSchema.readEvents(s, dir)
         .groupBy(concat(lit("a"), col("user_id")).as("anonymous_id"))
         .agg(max(unix_timestamp(col("ts"))).as("rec"),
@@ -645,14 +829,30 @@ object Queries {
         .groupBy(col("r_band"), col("f_band"), col("m_band"))
         .agg(count(lit(1)).as("n_users"))
     }),
-
+      """WITH u AS (
+        |  SELECT 'a' || user_id AS anonymous_id,
+        |    MAX(CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT)) AS rec,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    ROUND(SUM(value), 2) AS mon
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT quantile_cont(rec, 0.5) AS rt,
+        |  quantile_cont(freq, 0.5) AS ft,
+        |  quantile_cont(mon, 0.5) AS mt FROM u)
+        |SELECT
+        |  CASE WHEN rec > rt THEN 'recent' ELSE 'stale' END AS r_band,
+        |  CASE WHEN freq > ft THEN 'frequent' ELSE 'rare' END AS f_band,
+        |  CASE WHEN mon > mt THEN 'big' ELSE 'small' END AS m_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM u, t GROUP BY 1, 2, 3""".stripMargin),
     // J9: top session paths — the first three events of every session
     // (30-min gap), as an order-deterministic string: events collect
     // per (user, session_window) — interval-based, so assignment is
     // order-independent — and sort by (ts, message_id) INSIDE the row
     // (array_sort of structs), never a global sort. Output = path
     // histogram (bounded by |event types|³).
-    "j9_top_paths" -> ((s, dir) =>
+    ("j9_top_paths",
+      ((s, dir) =>
       env(s, dir)
         .groupBy(col("anonymous_id"),
           session_window(col("timestamp"), "30 minutes"))
@@ -663,7 +863,32 @@ object Queries {
             e => e.getField("event")), 1, 3)).as("path"))
         .groupBy(col("path"))
         .agg(count(lit(1)).as("n_sessions"))),
-
+      (adapterCte +
+      """, tagged AS (
+        |  SELECT anonymous_id, timestamp, message_id, event,
+        |    SUM(new_session) OVER (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN lag(timestamp) OVER (PARTITION BY anonymous_id
+        |          ORDER BY timestamp, message_id) IS NULL
+        |        OR date_diff('second', lag(timestamp) OVER (
+        |          PARTITION BY anonymous_id
+        |          ORDER BY timestamp, message_id), timestamp) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM env)),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anonymous_id,
+        |    session_idx ORDER BY timestamp, message_id) AS rn
+        |  FROM tagged),
+        |paths AS (
+        |  SELECT anonymous_id, session_idx,
+        |    string_agg(event, '>' ORDER BY timestamp, message_id) AS path
+        |  FROM ranked WHERE rn <= 3
+        |  GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM paths GROUP BY 1""".stripMargin)),
     // J8: user-journey transition matrix — P(next event | event) over
     // per-user time-ordered streams (the Markov-chain view of journeys
     // a CDP reports as "what do users do after X"). One window shuffle
@@ -671,7 +896,8 @@ object Queries {
     // transition counts + row totals as hash aggs over the tiny
     // (events × events) matrix. (message_id tie-break keeps the order,
     // and therefore the matrix, engine-deterministic.)
-    "j8_transitions" -> ((s, dir) => {
+    ("j8_transitions",
+      ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("anonymous_id"))
         .orderBy(col("timestamp"), col("message_id"))
@@ -690,12 +916,26 @@ object Queries {
           round(col("n").cast("double") / col("tot").cast("double"), 6)
             .as("p"))
     }),
-
+      (adapterCte +
+      """, pairs AS (
+        |  SELECT event AS from_event,
+        |    LEAD(event) OVER (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id) AS to_event
+        |  FROM env),
+        |c AS (
+        |  SELECT from_event, to_event, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pairs WHERE to_event IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (SELECT from_event, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT from_event, to_event, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t USING (from_event)""".stripMargin)),
     // A19 sketch form — the 100 TB shape: one HLL sketch per day, each
     // window merges its 7 day-sketches (windowing cost independent of
     // key cardinality). Property gate: estimate within 5% of the exact
     // sliding distinct per window day.
-    "a19b_sliding_hll" -> ((s, dir) => {
+    ("a19b_sliding_hll",
+      ((s, dir) => {
       val obs = env(s, dir).select(col("anonymous_id").as("key"),
         to_date(col("timestamp")).as("d"))
       TimeSeries.slidingDistinct(obs, windowDays = 7)
@@ -707,7 +947,16 @@ object Queries {
             col("active").cast("double")) <=
             col("active").cast("double") * 0.05).as("hll_ok"))
     }),
-
+      (adapterCte +
+      """, kd AS (
+        |  SELECT DISTINCT anonymous_id, CAST(timestamp AS DATE) AS d
+        |  FROM env),
+        |days AS (SELECT DISTINCT d AS wd FROM kd)
+        |SELECT strftime(wd, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS exact_active,
+        |  true AS hll_ok
+        |FROM kd JOIN days ON kd.d BETWEEN wd - 6 AND wd
+        |GROUP BY wd""".stripMargin)),
     // A2-beyond: audience-overlap matrix — for every pair of event
     // types, the exact count of shared high-value users and the
     // Jaccard overlap (the audience/segment intersection question a
@@ -715,7 +964,8 @@ object Queries {
     // index — one self-join keyed on the user, so fan-out per key is
     // bounded by that user's audience membership (≤ #audiences, tiny),
     // never |audience|×|audience|; sizes ride a broadcast-joined dim.
-    "a18_overlap" -> ((s, dir) => {
+    ("a18_overlap",
+      ((s, dir) => {
       val a = env(s, dir).filter(col("value") > 15)
         .select(col("event"), col("anonymous_id")).distinct()
       val sizes = a.groupBy(col("event")).agg(count(lit(1)).as("n"))
@@ -733,9 +983,25 @@ object Queries {
             (col("n1") + col("n2") - col("n_shared")).cast("double"), 6)
             .as("jaccard"))
     }),
-
+      (adapterCte +
+      """, a AS (
+        |  SELECT DISTINCT event, anonymous_id FROM env WHERE value > 15),
+        |sz AS (SELECT event, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM a GROUP BY 1),
+        |p AS (
+        |  SELECT x.event AS e1, y.event AS e2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM a x JOIN a y
+        |    ON x.anonymous_id = y.anonymous_id AND x.event < y.event
+        |  GROUP BY 1, 2)
+        |SELECT e1, e2, s1.n AS n1, s2.n AS n2, n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE) /
+        |    (s1.n + s2.n - n_shared), 6) AS jaccard
+        |FROM p JOIN sz s1 ON s1.event = p.e1
+        |JOIN sz s2 ON s2.event = p.e2""".stripMargin)),
     // F3/F4/F6/F7/F8/F9/F12 scalar battery over the envelope
-    "f_scalars" -> ((s, dir) => {
+    ("f_scalars",
+      ((s, dir) => {
       import graft.functions.Scalars._
       env(s, dir).select(
         col("message_id"),
@@ -751,32 +1017,90 @@ object Queries {
         unix_timestamp(eventTimeSafe(col("timestamp"), col("received_at")))
           .as("event_time_s"))
     }),
-
+      (adapterCte +
+      """SELECT message_id,
+        |  CASE type WHEN 'identify' THEN 'identifies'
+        |            WHEN 'alias' THEN 'aliases'
+        |            ELSE type || 's' END AS table_name,
+        |  '10.' || (raw_user_id % 200) || '.' || (raw_event_id % 250) || '.0'
+        |    AS anon_ip,
+        |  'shop.example.com' AS url_host,
+        |  '/p/' || event AS url_path,
+        |  'src' || (raw_user_id % 5) AS utm_source,
+        |  'ref' || (raw_event_id % 4) || '.example.org' AS ref_domain,
+        |  md5(message_id || ':' || anonymous_id) AS insert_id,
+        |  CASE WHEN type = 'identify' THEN sha256(lower(trim(
+        |    'user' || raw_user_id || '@example.com'))) END AS email_hash,
+        |  ('0x' || substr(sha256(anonymous_id), 1, 8))::BIGINT % 240
+        |    AS partition_id,
+        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) AS event_time_s
+        |FROM env""".stripMargin)),
     // P2: segment single-table layout (stable column subset)
-    "p2_segment_single" -> ((s, dir) =>
+    ("p2_segment_single",
+      ((s, dir) =>
       Layouts.segmentSingleTable(env(s, dir)).select(
         col("message_id"), col("type"), col("event"),
         col("anonymous_id"), col("user_id"),
         col("context_page_path"), col("context_campaign_source"),
         col("context_geo_country"), col("properties"), col("traits"),
         col("_table"))),
-
+      (adapterCte +
+      """SELECT message_id, type, event, anonymous_id, user_id,
+        |  '/p/' || event AS context_page_path,
+        |  'src' || (raw_user_id % 5) AS context_campaign_source,
+        |  CASE (raw_user_id % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
+        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END
+        |    AS context_geo_country,
+        |  '{"k": ' || json_extract_string(props, '$.k') || ', "value": '
+        |    || printf('%.2f', value) || '}' AS properties,
+        |  CASE WHEN type = 'identify' THEN '{"email": "user' || raw_user_id
+        |    || '@example.com", "name": "User ' || raw_user_id || '"}' END
+        |    AS traits,
+        |  'events' AS _table
+        |FROM env""".stripMargin)),
     // P1: multi-table layout — row fan-out + table routing counts
-    "p1_segment_multi" -> ((s, dir) =>
+    ("p1_segment_multi",
+      ((s, dir) =>
       Layouts.segmentMultiTable(env(s, dir))
         .groupBy(col("_table"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("message_id")).as("uniq_messages"))),
-
+      (adapterCte +
+      """SELECT _table, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq_messages
+        |FROM (
+        |  SELECT message_id,
+        |    CASE type WHEN 'identify' THEN 'identifies'
+        |              WHEN 'page' THEN 'pages' END AS _table
+        |  FROM env WHERE type <> 'track'
+        |  UNION ALL
+        |  SELECT message_id, 'tracks' FROM env WHERE type = 'track'
+        |  UNION ALL
+        |  SELECT message_id, event FROM env WHERE type = 'track'
+        |) GROUP BY _table""".stripMargin)),
     // P3: jitsu legacy layout (stable scalar subset)
-    "p3_jitsu_legacy" -> ((s, dir) =>
+    ("p3_jitsu_legacy",
+      ((s, dir) =>
       Layouts.jitsuLegacy(env(s, dir)).select(
         col("eventn_ctx_event_id"), col("event_type"), col("api_key"),
         col("anon_ip"), col("doc_host"), col("doc_path"),
         col("location.country").as("geo_country"),
         col("user").getItem("email").as("user_email"),
         col("screen_resolution"))),
-
+      (adapterCte +
+      """SELECT message_id AS eventn_ctx_event_id, event AS event_type,
+        |  write_key AS api_key,
+        |  '10.' || (raw_user_id % 200) || '.' || (raw_event_id % 250) || '.0'
+        |    AS anon_ip,
+        |  'shop.example.com' AS doc_host,
+        |  '/p/' || event AS doc_path,
+        |  CASE (raw_user_id % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
+        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END AS geo_country,
+        |  CASE WHEN type = 'identify'
+        |    THEN 'user' || raw_user_id || '@example.com' END AS user_email,
+        |  CASE (raw_user_id % 2) WHEN 0 THEN '1280x720'
+        |    ELSE '1920x1080' END AS screen_resolution
+        |FROM env""".stripMargin)),
     // P3b: the reference's OWN golden outputs
     // (datalayout-jitsu-legacy.test.ts legacyIdentifyExpected /
     // legacyPageExpected): its exact identify + page events, planted in
@@ -785,7 +1109,8 @@ object Queries {
     // port-stripped doc_host, "" api_key when the write key is absent,
     // src="jitsu", raw source_ip beside the zeroed anon_ip, and the
     // user map merging snake_cased traits (case_last_name, user_name).
-    "p3b_jitsu_golden" -> ((s, dir) => {
+    ("p3b_jitsu_golden",
+      ((s, dir) => {
       import s.implicits._
       val identify =
         """{"message_id":"a6c09b16-c2bc-4193-990f-5e2b694ae610",
@@ -847,12 +1172,52 @@ object Queries {
           .as("utc_time"),
         size(col("click_id")).as("n_click_ids"))
     }),
-
+      // the reference's legacyIdentifyExpected / legacyPageExpected
+          // objects, hand-copied field by field
+      """SELECT * FROM (VALUES
+        |  ('identify', 'a6c09b16-c2bc-4193-990f-5e2b694ae610',
+        |   '141.136.89.0', '141.136.89.181', 'writeKey', 'localhost',
+        |   '/basic.html',
+        |   '?utm_source=source&utm_medium=medium&utm_campaign=campaign',
+        |   'Tracking page', 'https://referrer.com',
+        |   'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign',
+        |   'jitsu',
+        |   'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36',
+        |   'en-US', '1280x720', '1280x720',
+        |   'campaign', 'source', 'medium',
+        |   'userId2', '6638caf0-d2c2-4bc0-aecf-8b290b559a37',
+        |   'john.doe2@gmail.com', 'basic-identify', 'Doe', 'jj',
+        |   '2022-11-14T08:56:34.387Z', 0),
+        |  ('page', 'd0c6abf6-97f7-487a-a197-8f236c728fa8',
+        |   NULL, NULL, '', 'localhost',
+        |   '/basic.html',
+        |   '?utm_source=source&utm_medium=medium&utm_campaign=campaign',
+        |   'Tracking page', 'https://referrer.com',
+        |   'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign',
+        |   'jitsu',
+        |   'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36',
+        |   'en-US', '1280x720', '1280x720',
+        |   'campaign', 'source', 'medium',
+        |   'userId2', '6638caf0-d2c2-4bc0-aecf-8b290b559a37',
+        |   'john.doe3@gmail.com', 'identify-without-user-id', 'Doe', 'jj',
+        |   '2022-11-14T08:56:34.395Z', 0)
+        |) t(event_type, eventn_ctx_event_id, anon_ip, source_ip,
+        |    api_key, doc_host, doc_path, doc_search, page_title,
+        |    referer, url, src, user_agent, user_language,
+        |    screen_resolution, vp_size, utm_name, utm_source,
+        |    utm_medium, user_id, user_anonymous_id, user_email,
+        |    user_case_name, user_case_last_name, user_user_name,
+        |    utc_time, n_click_ids)""".stripMargin),
     // P7+P8: event filter + bot filter
-    "p7_event_filter" -> ((s, dir) =>
+    ("p7_event_filter",
+      ((s, dir) =>
       Layouts.botFilter(Layouts.eventFilter(env(s, dir), "track,signup"))
         .groupBy(col("event")).agg(count(lit(1)).as("n"))),
-
+      (adapterCte +
+      """SELECT event, CAST(COUNT(*) AS BIGINT) AS n FROM env
+        |WHERE (type IN ('track','signup') OR event IN ('track','signup'))
+        |  AND (raw_event_id % 3) <> 2
+        |GROUP BY event""".stripMargin)),
     // P1d: segment layout GOLDEN parity — the reference's own
     // datalayout-segment.test.ts fixtures (page/identify/track/group)
     // through the field-exact JVM twin [[Layouts.segmentGolden]], BOTH
@@ -864,7 +1229,8 @@ object Queries {
     // omit/hoist rules, the track two-row fan-out, identify traits
     // hoisted (multi) vs nested under context.traits (single), group
     // traits under context.group (single), and the type keep/drop rule.
-    "p1d_segment_golden" -> ((s, dir) => {
+    ("p1d_segment_golden",
+      ((s, dir) => {
       import s.implicits._
       val pageJson =
         """{"messageId":"d0c6abf6-97f7-487a-a197-8f236c728fa8","anonymousId":"6638caf0-d2c2-4bc0-aecf-8b290b559a37","context":{"groupId":"cl9y5kgth0002ccfn3vtqz64g","campaign":{"medium":"medium","name":"campaign","source":"source"},"library":{"name":"jitsu-js","version":"1.0.0"},"locale":"en-US","page":{"host":"localhost:3088","path":"/basic.html","referrer":"https://referrer.com","referring_domain":"","search":"?utm_source=source&utm_medium=medium&utm_campaign=campaign","title":"Tracking page","url":"https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign"},"screen":{"density":1,"height":720,"innerHeight":720,"innerWidth":1280,"width":1280},"traits":{"caseName":"identify-without-user-id","CaseLastName":"Doe","User_Name":"jj","email":"john.doe3@gmail.com"},"userAgent":"Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36"},"properties":{"caseName":"page-with-name","hash":"","height":720,"name":"test-page","path":"/basic.html","search":"?utm_source=source&utm_medium=medium&utm_campaign=campaign","title":"Tracking page","url":"https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign","width":1280},"sentAt":"2022-11-14T08:56:34.395Z","timestamp":"2022-11-14T08:56:34.395Z","type":"page","userId":"userId2"}"""
@@ -905,417 +1271,7 @@ object Queries {
       rows.toDF("case_name", "mode", "table_name", "row_idx",
         "path", "value")
     }),
-
-    // J2: sessionization (30-min gap) — session stats per user
-    "j2_sessions" -> ((s, dir) =>
-      Sessionize.sessions(env(s, dir), col("anonymous_id"), col("timestamp"))
-        .groupBy(col("key").as("anonymous_id"))
-        .agg(count(lit(1)).as("n_sessions"),
-          sum(col("n_events")).as("n_events"))),
-
-    // J1: user recognition, batch form — recovered identities
-    "j1_user_recognition" -> ((s, dir) =>
-      UserRecognition.resolveBatch(env(s, dir))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("recognized"), 1).otherwise(0)).as("n_recognized"))),
-
-    // J5/A6/A7: built-in profile build
-    "j5_profiles" -> ((s, dir) =>
-      Profiles.buildProfiles(UserRecognition.resolveBatch(env(s, dir)))
-        .select(col("user_id"), col("email"), col("name"),
-          col("last_anonymous_id"), col("n_events"),
-          unix_timestamp(col("first_seen")).as("first_seen_s"),
-          unix_timestamp(col("last_seen")).as("last_seen_s"),
-          col("n_tracks"), col("n_pages"))),
-
-    // J5c: INCREMENTAL profile maintenance — the reference's profile
-    // builder loop (S6 changed-users scan feeding S5 per-user history
-    // rebuilds, builder.ts:305-342): only users with events in the
-    // changed window are rebuilt, each over their FULL history. The
-    // oracle is the full j5 profile SQL restricted to the changed-user
-    // set — i.e. the gate asserts the incremental path produces
-    // byte-identical profiles to a full rebuild for every touched user
-    // (the materialized-view maintenance contract).
-    "j5c_incremental_profiles" -> ((s, dir) => {
-      val resolved = UserRecognition.resolveBatch(env(s, dir))
-      val changed = Profiles.changedUsers(resolved,
-        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
-        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
-      Profiles.buildProfiles(
-          resolved.join(changed, Seq("user_id"), "left_semi"))
-        .select(col("user_id"), col("email"), col("name"),
-          col("last_anonymous_id"), col("n_events"),
-          unix_timestamp(col("first_seen")).as("first_seen_s"),
-          unix_timestamp(col("last_seen")).as("last_seen_s"),
-          col("n_tracks"), col("n_pages"))
-    })
-  )
-
-  val pipelineOracles: Map[String, String] = Map(
-    "a1_active_events" -> (adapterCte +
-      """SELECT write_key,
-        |  strftime(timestamp, '%Y-%m-%d') AS period,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_active
-        |FROM env GROUP BY write_key, 2""".stripMargin),
-    "a2_metrics_rollup" -> (adapterCte +
-      """SELECT strftime(timestamp, '%Y-%m-%d') AS period,
-        |  connection_id, type,
-        |  CAST(COUNT(*) AS BIGINT) AS events,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq_events
-        |FROM env GROUP BY 1, 2, 3""".stripMargin),
-    "a16_gapfill" -> (adapterCte +
-      """, pts AS (
-        |  SELECT user_id AS key, CAST(timestamp AS DATE) AS d,
-        |    CAST(COUNT(*) AS BIGINT) AS v
-        |  FROM env
-        |  WHERE user_id IS NOT NULL AND raw_user_id % 10 = 0
-        |  GROUP BY 1, 2),
-        |spans AS (SELECT key, MIN(d) AS d0, MAX(d) AS d1
-        |  FROM pts GROUP BY 1),
-        |grid AS (SELECT key,
-        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
-        |      AS d
-        |  FROM spans),
-        |j AS (SELECT g.key, g.d, p.v
-        |  FROM grid g LEFT JOIN pts p ON g.key = p.key AND g.d = p.d)
-        |SELECT key, strftime(d, '%Y-%m-%d') AS day, v AS events,
-        |  COALESCE(v, 0) AS events_zero,
-        |  last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY d
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS events_locf,
-        |  v IS NULL AS is_gap
-        |FROM j""".stripMargin),
-    // the recursive CTE replays the EWMA fold in the same per-key day
-    // order with the same IEEE double ops, so the smoothed values are
-    // bit-identical before the display round
-    "a17_ewma" ->
-      """WITH RECURSIVE pts AS (
-        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
-        |    CAST(COUNT(*) AS DOUBLE) AS x
-        |  FROM events GROUP BY 1, 2),
-        |idx AS (
-        |  SELECT key, d, x,
-        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY d) AS i
-        |  FROM pts),
-        |e AS (
-        |  SELECT key, i, d, x, x AS s FROM idx WHERE i = 1
-        |  UNION ALL
-        |  SELECT idx.key, idx.i, idx.d, idx.x,
-        |    0.2 * idx.x + 0.8 * e.s
-        |  FROM idx JOIN e ON idx.key = e.key AND idx.i = e.i + 1)
-        |SELECT cur.key, strftime(cur.d, '%Y-%m-%d') AS day,
-        |  CAST(cur.x AS BIGINT) AS events, ROUND(cur.s, 4) AS ewma,
-        |  CASE WHEN prev.s IS NULL THEN FALSE
-        |       ELSE cur.x > 2.0 * ROUND(prev.s, 4) END AS spike
-        |FROM e cur LEFT JOIN e prev
-        |  ON cur.key = prev.key AND cur.i = prev.i + 1""".stripMargin,
-    // the recursive CTE replays Holt's level/trend recursion with the
-    // same dyadic smoothing constants (0.25/0.75/0.125/0.875 — exact
-    // binary doubles) and the same op order as the Spark fold
-    "a21_holt" ->
-      """WITH RECURSIVE pts AS (
-        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
-        |    CAST(COUNT(*) AS DOUBLE) AS x
-        |  FROM events GROUP BY 1, 2),
-        |idx AS (
-        |  SELECT key, d, x,
-        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY d) AS i
-        |  FROM pts),
-        |e AS (
-        |  SELECT key, i, d, x, x AS s, CAST(0.0 AS DOUBLE) AS b
-        |  FROM idx WHERE i = 1
-        |  UNION ALL
-        |  SELECT idx.key, idx.i, idx.d, idx.x,
-        |    0.25 * idx.x + 0.75 * (e.s + e.b),
-        |    0.125 * ((0.25 * idx.x + 0.75 * (e.s + e.b)) - e.s)
-        |      + 0.875 * e.b
-        |  FROM idx JOIN e ON idx.key = e.key AND idx.i = e.i + 1)
-        |SELECT key, strftime(d, '%Y-%m-%d') AS day,
-        |  CAST(x AS BIGINT) AS events,
-        |  ROUND(s, 4) AS level, ROUND(b, 4) AS trend,
-        |  ROUND(s + 7.0 * b, 4) AS forecast
-        |FROM e""".stripMargin,
-    "ab_experiment" ->
-      """WITH pu AS (
-        |  SELECT user_id,
-        |    CAST(('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
-        |      1, 8))::BIGINT % 2 AS INT) AS variant,
-        |    MAX(CASE WHEN event_type = 'purchase' AND value > 90
-        |      THEN 1 ELSE 0 END) AS conv
-        |  FROM events GROUP BY 1, 2),
-        |v AS (
-        |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_units,
-        |    CAST(SUM(conv) AS BIGINT) AS n_converted
-        |  FROM pu GROUP BY 1),
-        |w AS (SELECT
-        |  MAX(CASE WHEN variant = 0 THEN n_units END) AS n_control,
-        |  MAX(CASE WHEN variant = 0 THEN n_converted END) AS conv_control,
-        |  MAX(CASE WHEN variant = 1 THEN n_units END) AS n_treatment,
-        |  MAX(CASE WHEN variant = 1 THEN n_converted END) AS conv_treatment
-        |  FROM v),
-        |m AS (SELECT *,
-        |  CAST(conv_control AS DOUBLE) / n_control AS p0,
-        |  CAST(conv_treatment AS DOUBLE) / n_treatment AS p1,
-        |  CAST(conv_control + conv_treatment AS DOUBLE)
-        |    / (n_control + n_treatment) AS pooled
-        |  FROM w),
-        |m2 AS (SELECT *,
-        |  SQRT(pooled * (1.0 - pooled)
-        |    * (1.0 / n_control + 1.0 / n_treatment)) AS se
-        |  FROM m)
-        |SELECT n_control, conv_control, n_treatment, conv_treatment,
-        |  ROUND(p0, 6) AS rate_control,
-        |  ROUND(p1, 6) AS rate_treatment,
-        |  ROUND(p1 - p0, 6) AS uplift,
-        |  CASE WHEN se = 0 THEN NULL
-        |    ELSE ROUND((p1 - p0) / se, 4) END AS z,
-        |  CASE WHEN se = 0 THEN NULL
-        |    ELSE ABS((p1 - p0) / se) > 1.96 END AS significant
-        |FROM m2""".stripMargin,
-    "j10_sequence_match" ->
-      """WITH t AS (
-        |  SELECT user_id, ts, event_type,
-        |    MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
-        |      OVER w AS last_a,
-        |    MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
-        |      OVER w AS last_c
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |b AS (
-        |  SELECT user_id,
-        |    (last_a IS NOT NULL AND COALESCE(last_a > last_c, TRUE)
-        |      AND epoch_us(ts) - last_a <= 86400000000) AS matched,
-        |    CASE WHEN last_a IS NOT NULL
-        |        AND COALESCE(last_a > last_c, TRUE)
-        |        AND epoch_us(ts) - last_a <= 86400000000
-        |      THEN epoch_us(ts) - last_a END AS us
-        |  FROM t WHERE event_type = 'purchase')
-        |SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys_with_b,
-        |  CAST(COUNT(DISTINCT CASE WHEN matched THEN user_id END)
-        |    AS BIGINT) AS n_keys_matched,
-        |  CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_matches,
-        |  ROUND(CAST(SUM(us) AS DOUBLE)
-        |    / SUM(CASE WHEN matched THEN 1 ELSE 0 END) / 1e6, 4)
-        |    AS avg_secs
-        |FROM b""".stripMargin,
-    "a15_anomaly" -> (adapterCte +
-      """, d AS (
-        |  SELECT connection_id, strftime(timestamp, '%Y-%m-%d') AS period,
-        |    CAST(COUNT(*) AS BIGINT) AS events
-        |  FROM env GROUP BY 1, 2),
-        |st AS (
-        |  SELECT *, AVG(events) OVER (PARTITION BY connection_id) AS mu,
-        |    STDDEV_SAMP(events) OVER (PARTITION BY connection_id) AS sd
-        |  FROM d)
-        |SELECT connection_id, period, events,
-        |  ROUND((events - mu) / sd, 4) AS z
-        |FROM st
-        |WHERE sd > 0 AND ROUND(ABS(events - mu), 4) > ROUND(2 * sd, 4)"""
-        .stripMargin),
-    "a2b_incremental_rollup" -> (adapterCte +
-      """SELECT strftime(timestamp, '%Y-%m-%d') AS period,
-        |  connection_id, type,
-        |  CAST(COUNT(*) AS BIGINT) AS events,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq_events
-        |FROM env
-        |WHERE strftime(timestamp, '%Y-%m-%d') IN (
-        |  SELECT DISTINCT strftime(timestamp, '%Y-%m-%d') FROM env
-        |  WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
-        |    AND timestamp <= TIMESTAMP '2024-01-20 00:00:00')
-        |GROUP BY 1, 2, 3""".stripMargin),
-    "a20_rfm" ->
-      """WITH u AS (
-        |  SELECT 'a' || user_id AS anonymous_id,
-        |    MAX(CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
-        |      AS BIGINT)) AS rec,
-        |    CAST(COUNT(*) AS BIGINT) AS freq,
-        |    ROUND(SUM(value), 2) AS mon
-        |  FROM events GROUP BY 1),
-        |t AS (SELECT quantile_cont(rec, 0.5) AS rt,
-        |  quantile_cont(freq, 0.5) AS ft,
-        |  quantile_cont(mon, 0.5) AS mt FROM u)
-        |SELECT
-        |  CASE WHEN rec > rt THEN 'recent' ELSE 'stale' END AS r_band,
-        |  CASE WHEN freq > ft THEN 'frequent' ELSE 'rare' END AS f_band,
-        |  CASE WHEN mon > mt THEN 'big' ELSE 'small' END AS m_band,
-        |  CAST(COUNT(*) AS BIGINT) AS n_users
-        |FROM u, t GROUP BY 1, 2, 3""".stripMargin,
-    "j9_top_paths" -> (adapterCte +
-      """, tagged AS (
-        |  SELECT anonymous_id, timestamp, message_id, event,
-        |    SUM(new_session) OVER (PARTITION BY anonymous_id
-        |      ORDER BY timestamp, message_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_idx
-        |  FROM (
-        |    SELECT *,
-        |      CASE WHEN lag(timestamp) OVER (PARTITION BY anonymous_id
-        |          ORDER BY timestamp, message_id) IS NULL
-        |        OR date_diff('second', lag(timestamp) OVER (
-        |          PARTITION BY anonymous_id
-        |          ORDER BY timestamp, message_id), timestamp) > 1800
-        |      THEN 1 ELSE 0 END AS new_session
-        |    FROM env)),
-        |ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anonymous_id,
-        |    session_idx ORDER BY timestamp, message_id) AS rn
-        |  FROM tagged),
-        |paths AS (
-        |  SELECT anonymous_id, session_idx,
-        |    string_agg(event, '>' ORDER BY timestamp, message_id) AS path
-        |  FROM ranked WHERE rn <= 3
-        |  GROUP BY 1, 2)
-        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
-        |FROM paths GROUP BY 1""".stripMargin),
-    "j8_transitions" -> (adapterCte +
-      """, pairs AS (
-        |  SELECT event AS from_event,
-        |    LEAD(event) OVER (PARTITION BY anonymous_id
-        |      ORDER BY timestamp, message_id) AS to_event
-        |  FROM env),
-        |c AS (
-        |  SELECT from_event, to_event, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM pairs WHERE to_event IS NOT NULL
-        |  GROUP BY 1, 2),
-        |t AS (SELECT from_event, SUM(n) AS tot FROM c GROUP BY 1)
-        |SELECT from_event, to_event, n,
-        |  ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
-        |FROM c JOIN t USING (from_event)""".stripMargin),
-    "a19b_sliding_hll" -> (adapterCte +
-      """, kd AS (
-        |  SELECT DISTINCT anonymous_id, CAST(timestamp AS DATE) AS d
-        |  FROM env),
-        |days AS (SELECT DISTINCT d AS wd FROM kd)
-        |SELECT strftime(wd, '%Y-%m-%d') AS day,
-        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS exact_active,
-        |  true AS hll_ok
-        |FROM kd JOIN days ON kd.d BETWEEN wd - 6 AND wd
-        |GROUP BY wd""".stripMargin),
-    "a19_sliding_active" -> (adapterCte +
-      """, kd AS (
-        |  SELECT DISTINCT anonymous_id, CAST(timestamp AS DATE) AS d
-        |  FROM env),
-        |days AS (SELECT DISTINCT d AS wd FROM kd)
-        |SELECT strftime(wd, '%Y-%m-%d') AS day,
-        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS active_7d
-        |FROM kd JOIN days ON kd.d BETWEEN wd - 6 AND wd
-        |GROUP BY wd""".stripMargin),
-    "a18_overlap" -> (adapterCte +
-      """, a AS (
-        |  SELECT DISTINCT event, anonymous_id FROM env WHERE value > 15),
-        |sz AS (SELECT event, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM a GROUP BY 1),
-        |p AS (
-        |  SELECT x.event AS e1, y.event AS e2,
-        |    CAST(COUNT(*) AS BIGINT) AS n_shared
-        |  FROM a x JOIN a y
-        |    ON x.anonymous_id = y.anonymous_id AND x.event < y.event
-        |  GROUP BY 1, 2)
-        |SELECT e1, e2, s1.n AS n1, s2.n AS n2, n_shared,
-        |  ROUND(CAST(n_shared AS DOUBLE) /
-        |    (s1.n + s2.n - n_shared), 6) AS jaccard
-        |FROM p JOIN sz s1 ON s1.event = p.e1
-        |JOIN sz s2 ON s2.event = p.e2""".stripMargin),
-    "f_scalars" -> (adapterCte +
-      """SELECT message_id,
-        |  CASE type WHEN 'identify' THEN 'identifies'
-        |            WHEN 'alias' THEN 'aliases'
-        |            ELSE type || 's' END AS table_name,
-        |  '10.' || (raw_user_id % 200) || '.' || (raw_event_id % 250) || '.0'
-        |    AS anon_ip,
-        |  'shop.example.com' AS url_host,
-        |  '/p/' || event AS url_path,
-        |  'src' || (raw_user_id % 5) AS utm_source,
-        |  'ref' || (raw_event_id % 4) || '.example.org' AS ref_domain,
-        |  md5(message_id || ':' || anonymous_id) AS insert_id,
-        |  CASE WHEN type = 'identify' THEN sha256(lower(trim(
-        |    'user' || raw_user_id || '@example.com'))) END AS email_hash,
-        |  ('0x' || substr(sha256(anonymous_id), 1, 8))::BIGINT % 240
-        |    AS partition_id,
-        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) AS event_time_s
-        |FROM env""".stripMargin),
-    "p2_segment_single" -> (adapterCte +
-      """SELECT message_id, type, event, anonymous_id, user_id,
-        |  '/p/' || event AS context_page_path,
-        |  'src' || (raw_user_id % 5) AS context_campaign_source,
-        |  CASE (raw_user_id % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
-        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END
-        |    AS context_geo_country,
-        |  '{"k": ' || json_extract_string(props, '$.k') || ', "value": '
-        |    || printf('%.2f', value) || '}' AS properties,
-        |  CASE WHEN type = 'identify' THEN '{"email": "user' || raw_user_id
-        |    || '@example.com", "name": "User ' || raw_user_id || '"}' END
-        |    AS traits,
-        |  'events' AS _table
-        |FROM env""".stripMargin),
-    "p1_segment_multi" -> (adapterCte +
-      """SELECT _table, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq_messages
-        |FROM (
-        |  SELECT message_id,
-        |    CASE type WHEN 'identify' THEN 'identifies'
-        |              WHEN 'page' THEN 'pages' END AS _table
-        |  FROM env WHERE type <> 'track'
-        |  UNION ALL
-        |  SELECT message_id, 'tracks' FROM env WHERE type = 'track'
-        |  UNION ALL
-        |  SELECT message_id, event FROM env WHERE type = 'track'
-        |) GROUP BY _table""".stripMargin),
-    "p3_jitsu_legacy" -> (adapterCte +
-      """SELECT message_id AS eventn_ctx_event_id, event AS event_type,
-        |  write_key AS api_key,
-        |  '10.' || (raw_user_id % 200) || '.' || (raw_event_id % 250) || '.0'
-        |    AS anon_ip,
-        |  'shop.example.com' AS doc_host,
-        |  '/p/' || event AS doc_path,
-        |  CASE (raw_user_id % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
-        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END AS geo_country,
-        |  CASE WHEN type = 'identify'
-        |    THEN 'user' || raw_user_id || '@example.com' END AS user_email,
-        |  CASE (raw_user_id % 2) WHEN 0 THEN '1280x720'
-        |    ELSE '1920x1080' END AS screen_resolution
-        |FROM env""".stripMargin),
-    // the reference's legacyIdentifyExpected / legacyPageExpected
-    // objects, hand-copied field by field
-    "p3b_jitsu_golden" ->
-      """SELECT * FROM (VALUES
-        |  ('identify', 'a6c09b16-c2bc-4193-990f-5e2b694ae610',
-        |   '141.136.89.0', '141.136.89.181', 'writeKey', 'localhost',
-        |   '/basic.html',
-        |   '?utm_source=source&utm_medium=medium&utm_campaign=campaign',
-        |   'Tracking page', 'https://referrer.com',
-        |   'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign',
-        |   'jitsu',
-        |   'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36',
-        |   'en-US', '1280x720', '1280x720',
-        |   'campaign', 'source', 'medium',
-        |   'userId2', '6638caf0-d2c2-4bc0-aecf-8b290b559a37',
-        |   'john.doe2@gmail.com', 'basic-identify', 'Doe', 'jj',
-        |   '2022-11-14T08:56:34.387Z', 0),
-        |  ('page', 'd0c6abf6-97f7-487a-a197-8f236c728fa8',
-        |   NULL, NULL, '', 'localhost',
-        |   '/basic.html',
-        |   '?utm_source=source&utm_medium=medium&utm_campaign=campaign',
-        |   'Tracking page', 'https://referrer.com',
-        |   'https://localhost:3088/basic.html?utm_source=source&utm_medium=medium&utm_campaign=campaign',
-        |   'jitsu',
-        |   'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/107.0.5304.18 Safari/537.36',
-        |   'en-US', '1280x720', '1280x720',
-        |   'campaign', 'source', 'medium',
-        |   'userId2', '6638caf0-d2c2-4bc0-aecf-8b290b559a37',
-        |   'john.doe3@gmail.com', 'identify-without-user-id', 'Doe', 'jj',
-        |   '2022-11-14T08:56:34.395Z', 0)
-        |) t(event_type, eventn_ctx_event_id, anon_ip, source_ip,
-        |    api_key, doc_host, doc_path, doc_search, page_title,
-        |    referer, url, src, user_agent, user_language,
-        |    screen_resolution, vp_size, utm_name, utm_source,
-        |    utm_medium, user_id, user_anonymous_id, user_email,
-        |    user_case_name, user_case_last_name, user_user_name,
-        |    utc_time, n_click_ids)""".stripMargin,
-    // every field of the reference's 9 expected segment-layout objects
-    "p1d_segment_golden" ->
+      // every field of the reference's 9 expected segment-layout objects
       ("""SELECT * FROM (VALUES
         ('page', 'multi', 'pages', 0, 'message_id', 'd0c6abf6-97f7-487a-a197-8f236c728fa8'),
         ('page', 'multi', 'pages', 0, 'anonymous_id', '6638caf0-d2c2-4bc0-aecf-8b290b559a37'),
@@ -1590,13 +1546,15 @@ object Queries {
         ('group', 'single', 'events', 0, 'sent_at', '2024-04-08T10:39:20.764Z'),
         ('group', 'single', 'events', 0, 'timestamp', '2024-04-08T10:39:20.764Z'),
         ('group', 'single', 'events', 0, 'write_key', 'n6Cp3jwTGDFUZfD568wgve0mdCmPaT77:***')
-        ) t(case_name, mode, table_name, row_idx, path, value)"""),
-    "p7_event_filter" -> (adapterCte +
-      """SELECT event, CAST(COUNT(*) AS BIGINT) AS n FROM env
-        |WHERE (type IN ('track','signup') OR event IN ('track','signup'))
-        |  AND (raw_event_id % 3) <> 2
-        |GROUP BY event""".stripMargin),
-    "j2_sessions" -> (adapterCte +
+        ) t(case_name, mode, table_name, row_idx, path, value)""")),
+    // J2: sessionization (30-min gap) — session stats per user
+    ("j2_sessions",
+      ((s, dir) =>
+      Sessionize.sessions(env(s, dir), col("anonymous_id"), col("timestamp"))
+        .groupBy(col("key").as("anonymous_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))),
+      (adapterCte +
       """SELECT anonymous_id,
         |  CAST(COUNT(DISTINCT session_idx) AS BIGINT) AS n_sessions,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
@@ -1614,8 +1572,15 @@ object Queries {
         |          timestamp) > 1800
         |      THEN 1 ELSE 0 END AS new_session
         |    FROM env))
-        |GROUP BY anonymous_id""".stripMargin),
-    "j1_user_recognition" -> (adapterCte +
+        |GROUP BY anonymous_id""".stripMargin)),
+    // J1: user recognition, batch form — recovered identities
+    ("j1_user_recognition",
+      ((s, dir) =>
+      UserRecognition.resolveBatch(env(s, dir))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("recognized"), 1).otherwise(0)).as("n_recognized"))),
+      (adapterCte +
       """, resolved AS (
         |  SELECT
         |    COALESCE(user_id,
@@ -1636,8 +1601,17 @@ object Queries {
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(recognized) AS BIGINT) AS n_recognized
-        |FROM resolved GROUP BY user_id""".stripMargin),
-    "j5_profiles" -> (adapterCte +
+        |FROM resolved GROUP BY user_id""".stripMargin)),
+    // J5/A6/A7: built-in profile build
+    ("j5_profiles",
+      ((s, dir) =>
+      Profiles.buildProfiles(UserRecognition.resolveBatch(env(s, dir)))
+        .select(col("user_id"), col("email"), col("name"),
+          col("last_anonymous_id"), col("n_events"),
+          unix_timestamp(col("first_seen")).as("first_seen_s"),
+          unix_timestamp(col("last_seen")).as("last_seen_s"),
+          col("n_tracks"), col("n_pages"))),
+      (adapterCte +
       """, resolved AS (
         |  SELECT *,
         |    COALESCE(user_id, FIRST_VALUE(user_id IGNORE NULLS) OVER (
@@ -1660,8 +1634,30 @@ object Queries {
         |  CAST(SUM(CASE WHEN type = 'page' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_pages
         |FROM resolved WHERE r_user_id IS NOT NULL
-        |GROUP BY r_user_id""".stripMargin),
-    "j5c_incremental_profiles" -> (adapterCte +
+        |GROUP BY r_user_id""".stripMargin)),
+    // J5c: INCREMENTAL profile maintenance — the reference's profile
+    // builder loop (S6 changed-users scan feeding S5 per-user history
+    // rebuilds, builder.ts:305-342): only users with events in the
+    // changed window are rebuilt, each over their FULL history. The
+    // oracle is the full j5 profile SQL restricted to the changed-user
+    // set — i.e. the gate asserts the incremental path produces
+    // byte-identical profiles to a full rebuild for every touched user
+    // (the materialized-view maintenance contract).
+    ("j5c_incremental_profiles",
+      ((s, dir) => {
+      val resolved = UserRecognition.resolveBatch(env(s, dir))
+      val changed = Profiles.changedUsers(resolved,
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+      Profiles.buildProfiles(
+          resolved.join(changed, Seq("user_id"), "left_semi"))
+        .select(col("user_id"), col("email"), col("name"),
+          col("last_anonymous_id"), col("n_events"),
+          unix_timestamp(col("first_seen")).as("first_seen_s"),
+          unix_timestamp(col("last_seen")).as("last_seen_s"),
+          col("n_tracks"), col("n_pages"))
+    }),
+      (adapterCte +
       """, resolved AS (
         |  SELECT *,
         |    COALESCE(user_id, FIRST_VALUE(user_id IGNORE NULLS) OVER (
@@ -1690,8 +1686,13 @@ object Queries {
         |    AS n_pages
         |FROM resolved
         |WHERE r_user_id IN (SELECT r_user_id FROM changed)
-        |GROUP BY r_user_id""".stripMargin)
-  )
+        |GROUP BY r_user_id""".stripMargin)))
+
+  val pipeline: Map[String, Q] =
+    pipelineGated.map(g => (g._1, g._2)).toMap
+
+  val pipelineOracles: Map[String, String] =
+    pipelineGated.map(g => (g._1, g._3)).toMap
 
   def all: Map[String, Q] =
     relational ++ pipeline ++ QueriesTrainingData.queries ++

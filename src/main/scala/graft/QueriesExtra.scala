@@ -44,7 +44,30 @@ object QueriesExtra {
     "Mozilla/5.0 (Macintosh; ARM64 Mac OS X 14_2) AppleWebKit/605.1.15 Version/17.2 Safari/605.1.15",
     "Opera/9.80 (Windows NT 6.1) Presto/2.12.388 Version/12.16")
 
-  val queries: Map[String, Q] = Map(
+  // (queries is derived from gated, declared after the oracle helper CTEs below)
+
+  private val adapterCte =
+    """WITH env AS (
+      |  SELECT 'm' || event_id AS message_id,
+      |    CASE WHEN event_type = 'signup' THEN 'identify'
+      |         WHEN event_type = 'view' THEN 'page'
+      |         ELSE 'track' END AS type,
+      |    event_type AS event,
+      |    CAST(ts AS TIMESTAMP) AS timestamp,
+      |    'a' || user_id AS anonymous_id,
+      |    CASE WHEN event_type IN ('signup','purchase')
+      |         THEN 'u' || user_id END AS user_id,
+      |    'wk' || (user_id % 3) AS write_key,
+      |    'c' || (event_id % 4) AS connection_id,
+      |    user_id AS raw_user_id, event_id AS raw_event_id
+      |  FROM events)
+      |""".stripMargin
+
+  /** One row per gate: (name, query, oracle SQL) — a gate reads as
+    * ONE unit (the twin-map layout, query here / oracle hundreds of
+    * lines below, was a recurring editing hazard). Helper CTE vals
+    * stay declared above so object-init order is safe. */
+  val gated: Seq[(String, Q, String)] = Seq(
     // Blocked fuzzy entity resolution: every part row as a "dirty"
     // record (deterministic end-of-name corruption keyed by partkey —
     // drop last char / append 'x' / double last char / unchanged)
@@ -53,7 +76,8 @@ object QueriesExtra {
     // match = lowest (dist, name) — deterministic under ties. The
     // oracle replays the corruption, the blocking, and the
     // window-ranked best-match selection.
-    "er_match" -> ((s, dir) => {
+    ("er_match",
+      ((s, dir) => {
       val p = s.read.parquet(s"$dir/part.parquet")
       val m = pmod(col("p_partkey"), lit(4))
       val dirty = p.select(col("p_partkey"),
@@ -65,12 +89,34 @@ object QueriesExtra {
       EntityResolution.bestMatch(dirty, "p_partkey", "name",
         p.select(col("p_name")), "p_name", maxDist = 2)
     }),
-
+      """WITH dirty AS (
+        |  SELECT p_partkey,
+        |    CASE (p_partkey % 4)
+        |      WHEN 0 THEN substr(p_name, 1, length(p_name) - 1)
+        |      WHEN 1 THEN p_name || 'x'
+        |      WHEN 2 THEN p_name || substr(p_name, length(p_name), 1)
+        |      ELSE p_name END AS dirty_name
+        |  FROM part),
+        |cat AS (SELECT DISTINCT p_name AS matched_name FROM part),
+        |cand AS (
+        |  SELECT d.p_partkey, d.dirty_name, c.matched_name,
+        |    CAST(levenshtein(d.dirty_name, c.matched_name) AS INT) AS dist
+        |  FROM dirty d JOIN cat c
+        |    ON string_split(d.dirty_name, ' ')[1] =
+        |       string_split(c.matched_name, ' ')[1]
+        |  WHERE levenshtein(d.dirty_name, c.matched_name) <= 2),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+        |    ORDER BY dist, matched_name) AS rn
+        |  FROM cand)
+        |SELECT p_partkey, dirty_name, matched_name, dist
+        |FROM ranked WHERE rn = 1""".stripMargin),
     // Multi-pass blocking: the pk%4==0 corruption drops the FIRST char,
     // which breaks first-token blocking — the last-token second pass
     // recovers exactly those records (a corruption must break EVERY
     // key to escape). Oracle unions both blocked candidate sets.
-    "er_multiblock" -> ((s, dir) => {
+    ("er_multiblock",
+      ((s, dir) => {
       val p = s.read.parquet(s"$dir/part.parquet")
       val m = pmod(col("p_partkey"), lit(4))
       val dirty = p.select(col("p_partkey"),
@@ -83,12 +129,44 @@ object QueriesExtra {
         Seq(n => split(n, " ").getItem(0),
           n => element_at(split(n, " "), -1)))
     }),
-
+      """WITH dirty AS (
+        |  SELECT p_partkey,
+        |    CASE (p_partkey % 4)
+        |      WHEN 0 THEN substr(p_name, 2)
+        |      WHEN 1 THEN substr(p_name, 1, length(p_name) - 1)
+        |      WHEN 2 THEN p_name || 'x'
+        |      ELSE p_name END AS dirty_name
+        |  FROM part),
+        |cat AS (SELECT DISTINCT p_name AS matched_name FROM part),
+        |cand AS (
+        |  SELECT DISTINCT p_partkey, dirty_name, matched_name
+        |  FROM (
+        |    SELECT d.p_partkey, d.dirty_name, c.matched_name
+        |    FROM dirty d JOIN cat c
+        |      ON string_split(d.dirty_name, ' ')[1] =
+        |         string_split(c.matched_name, ' ')[1]
+        |    UNION ALL
+        |    SELECT d.p_partkey, d.dirty_name, c.matched_name
+        |    FROM dirty d JOIN cat c
+        |      ON string_split(d.dirty_name, ' ')[-1] =
+        |         string_split(c.matched_name, ' ')[-1])),
+        |scored AS (
+        |  SELECT *, CAST(levenshtein(dirty_name, matched_name) AS INT)
+        |    AS dist
+        |  FROM cand
+        |  WHERE levenshtein(dirty_name, matched_name) <= 2),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+        |    ORDER BY dist, matched_name) AS rn
+        |  FROM scored)
+        |SELECT p_partkey, dirty_name, matched_name, dist
+        |FROM ranked WHERE rn = 1""".stripMargin),
     // K3: mixpanel track projection + CLICK_IDS extraction from the page
     // URL. Click ids are planted deterministically; gclid and fbclid
     // co-occur on event_id%3==0 rows, so substring-matching extraction
     // (gclid reading "...fbclid=...") would hash-mismatch.
-    "k3_mixpanel" -> ((s, dir) => {
+    ("k3_mixpanel",
+      ((s, dir) => {
       val eid = expr("CAST(substring(message_id, 2) AS BIGINT)")
       val url2 = concat(col("context.page.url"),
         when(pmod(eid, lit(3)) === 0, concat(lit("&gclid=g"), eid))
@@ -104,21 +182,53 @@ object QueriesExtra {
           col("insert_id"), col("utm_source"), col("city"),
           col("gclid"), col("fbclid"), col("ttclid"), col("msclkid"))
     }),
-
+      (adapterCte +
+      """SELECT COALESCE(user_id, anonymous_id) AS distinct_id, event,
+        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) * 1000
+        |    AS time,
+        |  md5(message_id) AS insert_id,
+        |  'src' || (raw_user_id % 5) AS utm_source,
+        |  CASE (raw_user_id % 5) WHEN 0 THEN 'New York' WHEN 1 THEN 'Berlin'
+        |    WHEN 2 THEN 'Paris' WHEN 3 THEN 'London' ELSE 'Beijing' END
+        |    AS city,
+        |  CASE WHEN raw_event_id % 3 = 0 THEN 'g' || raw_event_id END
+        |    AS gclid,
+        |  CASE WHEN raw_event_id % 3 < 2 THEN 'fb' || raw_event_id END
+        |    AS fbclid,
+        |  CASE WHEN raw_event_id % 5 = 0 THEN 'tt' || raw_event_id END
+        |    AS ttclid,
+        |  CAST(NULL AS VARCHAR) AS msclkid
+        |FROM env WHERE type = 'track'""".stripMargin)),
     // K3: ga4 projection (client_id fallback + name mapping)
-    "k3_ga4" -> ((s, dir) =>
+    ("k3_ga4",
+      ((s, dir) =>
       SaasProjections.ga4Events(env(s, dir))
         .select(col("client_id"), col("user_id"), col("event_name"),
           col("timestamp_micros"))),
-
+      (adapterCte +
+      """SELECT 'ga-' || raw_user_id AS client_id, user_id,
+        |  CASE WHEN type = 'page' THEN 'page_view' ELSE event END
+        |    AS event_name,
+        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) * 1000000
+        |    AS timestamp_micros
+        |FROM env WHERE type IN ('track', 'page')""".stripMargin)),
     // K3: facebook conversions (hashed PII)
-    "k3_facebook" -> ((s, dir) =>
+    ("k3_facebook",
+      ((s, dir) =>
       SaasProjections.facebookConversions(env(s, dir))
         .select(col("event_name"), col("event_time"), col("em"),
           col("external_id"))),
-
+      (adapterCte +
+      """SELECT event AS event_name,
+        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT)
+        |    AS event_time,
+        |  CASE WHEN type = 'identify' THEN sha256(
+        |    'user' || raw_user_id || '@example.com') END AS em,
+        |  sha256(COALESCE(user_id, anonymous_id)) AS external_id
+        |FROM env WHERE type = 'track'""".stripMargin)),
     // F2: UA parse over the envelope — full taxonomy columns
-    "f2_ua_parse" -> ((s, dir) => {
+    ("f2_ua_parse",
+      ((s, dir) => {
       val u = Scalars.parseUa(col("context.user_agent"))
       env(s, dir).select(
         col("message_id"),
@@ -131,12 +241,28 @@ object QueriesExtra {
         u.getField("device_model").as("device_model"),
         u.getField("cpu_architecture").as("cpu"))
     }),
-
+      (adapterCte +
+      s"""SELECT message_id,
+         |  $uaCase AS browser,
+         |  CASE (raw_event_id % 3) WHEN 0 THEN 'macOS' WHEN 1 THEN 'iOS'
+         |    ELSE 'unknown' END AS os,
+         |  CASE (raw_event_id % 3) WHEN 1 THEN 'mobile' ELSE 'desktop' END
+         |    AS device,
+         |  (raw_event_id % 3) = 2 AS is_bot,
+         |  CASE (raw_event_id % 3) WHEN 0 THEN 'Blink' ELSE 'unknown' END
+         |    AS engine,
+         |  CASE (raw_event_id % 3) WHEN 1 THEN 'Apple' ELSE '' END
+         |    AS device_vendor,
+         |  CASE (raw_event_id % 3) WHEN 1 THEN 'iPhone' ELSE '' END
+         |    AS device_model,
+         |  '' AS cpu
+         |FROM env""".stripMargin)),
     // F2b: the planted-corpus taxonomy gate — 18 diverse real-world UA
     // shapes (Chromium skins, legacy EdgeHTML/Trident/Presto engines,
     // Apple/Samsung/Google devices, console/smarttv, amd64/arm64) with
     // every parsed field value-pinned in the oracle's VALUES table.
-    "f2b_ua_taxonomy" -> ((s, dir) => {
+    ("f2b_ua_taxonomy",
+      ((s, dir) => {
       import s.implicits._
       val df = taxonomyUas.zipWithIndex
         .map { case (u, i) => (i, u) }.toDF("ua_id", "ua")
@@ -155,10 +281,34 @@ object QueriesExtra {
         u.getField("cpu_architecture").as("cpu"),
         u.getField("bot").as("is_bot"))
     }),
-
+      // every field hand-derived from the public taxonomy rules — NOT a
+          // replay of the implementation
+      """SELECT * FROM (VALUES
+        |  (0,'Chrome','120.0','120','Blink','120.0','macOS','','desktop','','','',false),
+        |  (1,'Safari','604.1','604','unknown','','iOS','17.0','mobile','Apple','iPhone','',false),
+        |  (2,'unknown','','','unknown','','unknown','','desktop','','','',true),
+        |  (3,'Firefox','121.0','121','Gecko','','Windows','10','desktop','','','',false),
+        |  (4,'Chrome','120.0','120','Blink','120.0','Android','14','mobile','','','',false),
+        |  (5,'Edge','120.0.1','120','Blink','120.0','Windows','10','desktop','','','amd64',false),
+        |  (6,'Opera','105.0.0.0','105','Blink','119.0','Linux','','desktop','','','amd64',false),
+        |  (7,'Safari','16.6','16','unknown','','iOS','16.6','tablet','Apple','iPad','',false),
+        |  (8,'Chrome','118.0','118','Blink','118.0','Android','13','tablet','Samsung','SM-X700','',false),
+        |  (9,'Chrome','120.0','120','Blink','120.0','ChromeOS','14541.0.0','desktop','','','amd64',false),
+        |  (10,'Edge','18.18363','18','EdgeHTML','18.18363','Windows','10','desktop','','','amd64',false),
+        |  (11,'IE','11.0','11','Trident','7.0','Windows','7','desktop','','','amd64',false),
+        |  (12,'Samsung Internet','24.0','24','Blink','121.0','Android','14','mobile','Samsung','SM-S928B','',false),
+        |  (13,'Chrome','121.0','121','Blink','121.0','Android','14','mobile','Google','Pixel 8 Pro','',false),
+        |  (14,'unknown','','','WebKit','605.1.15','unknown','','console','','PlayStation 5','',false),
+        |  (15,'unknown','','','unknown','','unknown','','smarttv','','','',false),
+        |  (16,'Safari','17.2','17','WebKit','605.1.15','macOS','14.2','desktop','','','arm64',false),
+        |  (17,'Opera','12.16','12','Presto','2.12.388','Windows','7','desktop','','','',false)
+        |) t(ua_id, browser, version, major, engine, engine_version,
+        |    os, os_version, device_type, device_vendor, device_model,
+        |    cpu, is_bot)""".stripMargin),
     // F1: geo enrichment as broadcast lookup join (MaxMind stand-in:
     // a small dimension keyed by ip prefix)
-    "f1_geo_join" -> ((s, dir) => {
+    ("f1_geo_join",
+      ((s, dir) => {
       val events = env(s, dir)
       val geoDim = s.range(0, 200)
         .select(col("id").cast("int").as("ip_prefix"),
@@ -172,11 +322,17 @@ object QueriesExtra {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("anonymous_id")).as("n_users"))
     }),
-
+      (adapterCte +
+      """SELECT 'AS' || ((raw_user_id % 200) % 7) AS asn,
+        |  ((raw_user_id % 200) % 2) = 0 AS is_datacenter,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS n_users
+        |FROM env GROUP BY 1, 2""".stripMargin)),
     // F1b: geo enrichment as a bucketed RANGE join (MaxMind shape: a dim
     // of (ip_lo, ip_hi] ranges; equi-join on /16 bucket + range residual,
     // not a nested loop)
-    "f1b_geo_range" -> ((s, dir) => {
+    ("f1b_geo_range",
+      ((s, dir) => {
       val ranges = s.range(0, 200).select(
         (lit(10L) * 16777216L + col("id") * 65536L).as("ip_lo"),
         (lit(10L) * 16777216L + col("id") * 65536L + 65535L).as("ip_hi"),
@@ -188,14 +344,23 @@ object QueriesExtra {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("anonymous_id")).as("n_users"))
     }),
-
+      (adapterCte +
+      """SELECT
+        |  CASE ((raw_user_id % 200) % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
+        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END
+        |    AS range_country,
+        |  'AS' || ((raw_user_id % 200) % 7) AS range_asn,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS n_users
+        |FROM env GROUP BY 1, 2""".stripMargin)),
     // F1c: geo enrichment from a REAL .mmdb binary — the same 200 /16
     // ranges as f1b, but round-tripped through a spec-conformant
     // MaxMind DB file (tree + typed data section + metadata) written
     // and then decoded by graft.sources.Mmdb; the decoded ranges feed
     // the identical bucketed broadcast range join, so f1b's oracle
     // replays this query too.
-    "f1c_geo_mmdb" -> ((s, dir) => {
+    ("f1c_geo_mmdb",
+      ((s, dir) => {
       val countries = Array("US", "DE", "FR", "GB", "CN")
       val entries = (0 until 200).map { i =>
         (10L * 16777216L + i.toLong * 65536L, 16, Map[String, Any](
@@ -212,11 +377,21 @@ object QueriesExtra {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("anonymous_id")).as("n_users"))
     }),
-
+      // identical semantics through the .mmdb round-trip
+      (adapterCte +
+      """SELECT
+        |  CASE ((raw_user_id % 200) % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
+        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END
+        |    AS range_country,
+        |  'AS' || ((raw_user_id % 200) % 7) AS range_asn,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS n_users
+        |FROM env GROUP BY 1, 2""".stripMargin)),
     // J3b: temporal config lookup — AS-OF join events to versioned
     // connection configs (latest version at-or-before event time);
     // oracle = DuckDB's native ASOF JOIN
-    "j3b_asof_config" -> ((s, dir) => {
+    ("j3b_asof_config",
+      ((s, dir) => {
       val versions = s.createDataFrame(
         (for (c <- 0 to 3; v <- 0 to 2) yield (
           s"c$c",
@@ -230,9 +405,22 @@ object QueriesExtra {
         .groupBy(col("connection_id"), col("config_version"), col("budget"))
         .agg(count(lit(1)).as("n_events"))
     }),
-
+      (adapterCte +
+      """, versions AS (
+        |  SELECT 'c' || c AS connection_id,
+        |    CAST(('2024-0' || (v + 1) || '-0' || (c * 2 + 1) || ' 00:00:00')
+        |      AS TIMESTAMP) AS valid_from,
+        |    'v' || v || '-c' || c AS config_version,
+        |    (v + 1) * 100 + c AS budget
+        |  FROM range(0, 4) t1(c), range(0, 3) t2(v))
+        |SELECT e.connection_id, v.config_version, CAST(v.budget AS INT) AS budget,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM env e ASOF LEFT JOIN versions v
+        |  ON e.connection_id = v.connection_id AND e.timestamp >= v.valid_from
+        |GROUP BY 1, 2, 3""".stripMargin)),
     // J3+J4: config lookup join + connection fan-out (explode)
-    "j4_fanout" -> ((s, dir) => {
+    ("j4_fanout",
+      ((s, dir) => {
       val events = env(s, dir)
       // connections config: each event's connection_id fans out to that
       // connection plus the catch-all c_all (J4); J3 = broadcast lookup
@@ -247,9 +435,22 @@ object QueriesExtra {
         .groupBy(col("connection_id"), col("destination"), col("uses_bulker"))
         .agg(count(lit(1)).as("n_events"))
     }),
-
+      (adapterCte +
+      """, fanned AS (
+        |  SELECT connection_id FROM env
+        |  UNION ALL SELECT 'c_all' FROM env),
+        |conns AS (
+        |  SELECT * FROM (VALUES
+        |    ('c0', 'clickhouse', true), ('c1', 'postgres', true),
+        |    ('c2', 'mixpanel', false), ('c3', 'webhook', false),
+        |    ('c_all', 's3', true)) t(connection_id, destination, uses_bulker))
+        |SELECT f.connection_id, c.destination, c.uses_bulker,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM fanned f JOIN conns c USING (connection_id)
+        |GROUP BY 1, 2, 3""".stripMargin)),
     // A3: event-stat report over the A2-shaped pre-agg (sumMerge analog)
-    "a3_event_stat" -> ((s, dir) => {
+    ("a3_event_stat",
+      ((s, dir) => {
       val preAgg = env(s, dir)
         .withColumn("workspace_id", col("write_key"))
         .groupBy(date_trunc("minute", col("timestamp")).as("period"),
@@ -258,31 +459,73 @@ object QueriesExtra {
       MetricsAgg.eventStatReport(preAgg, "wk0")
         .withColumn("period", date_format(col("period"), "yyyy-MM-dd"))
     }),
-
+      (adapterCte +
+      """SELECT strftime(date_trunc('day', timestamp), '%Y-%m-%d') AS period,
+        |  type AS status, CAST(COUNT(*) AS BIGINT) AS events
+        |FROM env WHERE write_key = 'wk0'
+        |GROUP BY date_trunc('day', timestamp), type
+        |ORDER BY 1 DESC, 3 DESC""".stripMargin)),
     // S6: changed-users scan (time-bounded distinct)
-    "s6_changed_users" -> ((s, dir) =>
+    ("s6_changed_users",
+      ((s, dir) =>
       Profiles.changedUsers(env(s, dir),
         java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
         java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
         .orderBy(col("user_id"))),
-
+      (adapterCte +
+      """SELECT DISTINCT user_id FROM env
+        |WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
+        |  AND timestamp <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND user_id IS NOT NULL
+        |ORDER BY user_id""".stripMargin)),
     // J1b: UR with configurable identifier fields — user_id AND the traits
     // JSON object are merged from the first identifying event onto
     // recovered anonymous events (email lands on page/click rows)
-    "j1b_identity_merge" -> ((s, dir) =>
+    ("j1b_identity_merge",
+      ((s, dir) =>
       UserRecognition.resolveConfigured(env(s, dir),
         UserRecognition.URConfig(identifierFields = Seq("user_id", "traits")))
         .select(col("message_id"), col("user_id"),
           get_json_object(col("traits"), "$.email").as("email"),
           col("recognized"))),
-
+      (adapterCte +
+      """, marked AS (
+        |  SELECT *,
+        |    MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |      AS ident_ts,
+        |    FIRST_VALUE(CASE WHEN user_id IS NOT NULL THEN message_id END
+        |      IGNORE NULLS) OVER w AS ident_mid
+        |  FROM env
+        |  WINDOW w AS (PARTITION BY anonymous_id
+        |    ORDER BY timestamp, message_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |j AS (
+        |  SELECT m.*, e.user_id AS ident_uid,
+        |    CASE WHEN e.type = 'identify'
+        |      THEN 'user' || e.raw_user_id || '@example.com' END AS ident_email
+        |  FROM marked m LEFT JOIN env e ON e.message_id = m.ident_mid)
+        |SELECT message_id,
+        |  CASE WHEN user_id IS NOT NULL THEN user_id
+        |       WHEN ident_ts IS NOT NULL
+        |         AND ident_ts <= timestamp + INTERVAL 30 DAY
+        |         THEN ident_uid END AS user_id,
+        |  CASE WHEN user_id IS NOT NULL THEN
+        |         (CASE WHEN type = 'identify'
+        |            THEN 'user' || raw_user_id || '@example.com' END)
+        |       WHEN ident_ts IS NOT NULL
+        |         AND ident_ts <= timestamp + INTERVAL 30 DAY
+        |         THEN ident_email END AS email,
+        |  user_id IS NULL AND ident_ts IS NOT NULL
+        |    AND ident_ts <= timestamp + INTERVAL 30 DAY AS recognized
+        |FROM j""".stripMargin)),
     // J1c: dotted-path write-back (ref user-recognition.ts:66 `set(res,
     // path, f)`) — identity traits merged INTO the nested context struct,
     // which the operator rebuilds with withField. identify events carry
     // context.traits; click events carry an empty object (not an
     // identifier, but exercises the object-merge path); purchase events
     // identify via user_id only (their context.traits stays null).
-    "j1c_nested_writeback" -> ((s, dir) => {
+    ("j1c_nested_writeback",
+      ((s, dir) => {
       val uid = expr("substring(anonymous_id, 2)")
       val ctxTraits = when(col("type") === "identify",
           concat(lit("{\"email\": \"user"), uid,
@@ -298,11 +541,38 @@ object QueriesExtra {
           get_json_object(col("context.traits"), "$.email").as("email"),
           col("recognized"))
     }),
-
+      (adapterCte +
+      """, marked AS (
+        |  SELECT *,
+        |    MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |      AS ident_ts,
+        |    FIRST_VALUE(CASE WHEN user_id IS NOT NULL THEN message_id END
+        |      IGNORE NULLS) OVER w AS ident_mid
+        |  FROM env
+        |  WINDOW w AS (PARTITION BY anonymous_id
+        |    ORDER BY timestamp, message_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |j AS (
+        |  SELECT m.*, e.user_id AS ident_uid,
+        |    CASE WHEN e.type = 'identify'
+        |      THEN 'user' || e.raw_user_id || '@example.com' END AS ident_email,
+        |    m.ident_ts IS NOT NULL
+        |      AND m.ident_ts <= m.timestamp + INTERVAL 30 DAY AS in_window
+        |  FROM marked m LEFT JOIN env e ON e.message_id = m.ident_mid)
+        |SELECT message_id,
+        |  CASE WHEN user_id IS NOT NULL THEN user_id
+        |       WHEN in_window THEN ident_uid END AS user_id,
+        |  CASE WHEN user_id IS NOT NULL THEN
+        |         (CASE WHEN type = 'identify'
+        |            THEN 'user' || raw_user_id || '@example.com' END)
+        |       WHEN in_window THEN ident_email END AS email,
+        |  user_id IS NULL AND in_window AS recognized
+        |FROM j""".stripMargin)),
     // J5b/A7/S5: the pluggable profile-UDF surface (per-user history scan
     // + arbitrary reduce), with a SQL-expressible reduce so the whole
     // groupByKey/mapGroups path is oracle-gated (not just spec'd)
-    "j5b_profile_fn" -> ((s, dir) => {
+    ("j5b_profile_fn",
+      ((s, dir) => {
       val fn: Profiles.ProfileFunction = (_, events) => Map(
         "n_purchases" -> events.count(_.event == "purchase").toString,
         // (ts, type) tie-break — events.head would be order-unstable on
@@ -316,7 +586,22 @@ object QueriesExtra {
           element_at(col("properties"), "first_type").as("first_type"),
           unix_timestamp(col("updated_at")).as("updated_at_s"))
     }),
-
+      (adapterCte +
+      """, firsts AS (
+        |  SELECT user_id, type AS first_type FROM (
+        |    SELECT user_id, type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY timestamp, type) AS rn
+        |    FROM env WHERE user_id IS NOT NULL) WHERE rn = 1)
+        |SELECT e.user_id,
+        |  CAST(SUM(CASE WHEN e.event = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  f.first_type,
+        |  CAST(epoch(date_trunc('second', MAX(e.timestamp))) AS BIGINT)
+        |    AS updated_at_s
+        |FROM env e JOIN firsts f USING (user_id)
+        |WHERE e.user_id IS NOT NULL
+        |GROUP BY e.user_id, f.first_type""".stripMargin)),
     // A1 mergeable-sketch form (uniqState/uniqMerge analogue), emitted
     // as the oracle-gateable error-bound property: the merged-sketch
     // estimate must land within 5% of the exact distinct count for
@@ -324,7 +609,8 @@ object QueriesExtra {
     // 1.9% at sf0.1, 0 below; DataSketches HLL is deterministic for a
     // fixed input so the bound check is hash-stable). The sketch
     // build + merge is still the timed work.
-    "a1_hll_sketch" -> ((s, dir) => {
+    ("a1_hll_sketch",
+      ((s, dir) => {
       val e = env(s, dir).withColumn("workspace_id", col("write_key"))
       val approx = MetricsAgg.mergeActiveEvents(MetricsAgg.activeEventsSketch(e))
       val exact = MetricsAgg.activeEventsExact(e)
@@ -335,11 +621,17 @@ object QueriesExtra {
           (abs(col("active_events").cast("double") - col("count").cast("double"))
             <= col("count").cast("double") * 0.05).as("hll_ok"))
     }),
-
+      (adapterCte +
+      """SELECT write_key AS workspace_id,
+        |  strftime(timestamp, '%Y-%m-%d') AS period,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS exact_uniques,
+        |  true AS hll_ok
+        |FROM env GROUP BY 1, 2""".stripMargin)),
     // beyond-reference: exact interpolated percentiles per event type
     // (report-style latency/value distribution; approx_percentile is the
     // sketch form at scale, exact keeps the oracle hash-checkable)
-    "a5_value_percentiles" -> ((s, dir) =>
+    ("a5_value_percentiles",
+      ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(col("event_type"))
         .agg(
@@ -347,7 +639,12 @@ object QueriesExtra {
           round(expr("percentile(value, 0.95)"), 4).as("p95"),
           round(expr("percentile(value, 0.99)"), 4).as("p99"),
           count(lit(1)).as("n"))),
-
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        |  ROUND(quantile_cont(value, 0.99), 4) AS p99,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin),
     // A5 sketch form — approx_percentile is the mergeable-quantile path
     // at 100 TB (KLL-style: micro-batches append partial sketches,
     // readers merge, exactly like the HLL story for distincts). Gated
@@ -358,7 +655,8 @@ object QueriesExtra {
     // n): each approximate percentile must lie between the exact
     // interpolated percentiles at q +/- 1%. Both sides deterministic
     // -> hash-stable.
-    "a5b_percentile_sketch" -> ((s, dir) => {
+    ("a5b_percentile_sketch",
+      ((s, dir) => {
       val e = graft.schema.EventSchema.readEvents(s, dir)
       def within(a: org.apache.spark.sql.Column,
                  lo: org.apache.spark.sql.Column,
@@ -382,9 +680,15 @@ object QueriesExtra {
               element_at(col("eb"), 5), element_at(col("eb"), 6)))
             .as("sketch_ok"))
     }),
-
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        |  ROUND(quantile_cont(value, 0.99), 4) AS p99,
+        |  true AS sketch_ok
+        |FROM events GROUP BY event_type""".stripMargin),
     // beyond-reference: ROLLUP exposed through the Spark SQL surface
-    "a9_rollup" -> ((s, dir) =>
+    ("a9_rollup",
+      ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -392,24 +696,37 @@ object QueriesExtra {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("n"))),
-
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
     // beyond-reference: PIVOT report (daily event counts, one column per
     // event type — the classic dashboard crosstab). The type list is
     // pinned so the plan is a single partial-aggregable groupBy (no
     // distinct-scan to discover columns); the oracle replays it as
     // conditional aggregation, which is exactly what Spark lowers
     // pivot-with-values to
-    "a13_pivot" -> ((s, dir) =>
+    ("a13_pivot",
+      ((s, dir) =>
       graft.schema.EventSchema.readEvents(s, dir)
         .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
           .as("period"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))),
-
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin),
     // beyond-reference: CUBE over (event_type, value band) — all four
     // grouping levels in one shuffle, every level map-side combinable
-    "a14_cube" -> ((s, dir) =>
+    ("a14_cube",
+      ((s, dir) =>
       graft.schema.EventSchema.readEvents(s, dir)
         .withColumn("value_band", floor(col("value") / 25).cast("int"))
         .cube(col("event_type"), col("value_band"))
@@ -417,13 +734,20 @@ object QueriesExtra {
         .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
           coalesce(col("value_band").cast("string"), lit("ALL")).as("value_band"),
           col("n"), col("sum_value"))),
-
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(CAST(band AS VARCHAR), 'ALL') AS value_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM (SELECT event_type, CAST(FLOOR(value / 25) AS INT) AS band, value
+        |      FROM events)
+        |GROUP BY CUBE (event_type, band)""".stripMargin),
     // beyond-reference: ordered multi-step funnel (view -> signup ->
     // purchase, each step strictly after the previous) — all three step
     // times are windows over the SAME user partitioning, so the whole
     // funnel costs ONE shuffle; at 100 TB that is the floor for a
     // per-user ordered computation
-    "a10_funnel" -> ((s, dir) => {
+    ("a10_funnel",
+      ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = graft.schema.EventSchema.readEvents(s, dir)
       val w = Window.partitionBy(col("user_id"))
@@ -441,11 +765,28 @@ object QueriesExtra {
         countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_signup"),
         countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase"))
     }),
-
+      """WITH s1 AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'signup' AND ts > t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM s1 WHERE t1 IS NOT NULL) AS BIGINT)
+        |    AS n_view,
+        |  CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_signup,
+        |  CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase""".stripMargin),
     // beyond-reference: weekly cohort retention matrix (cohort = week of
     // first event; cell = distinct users from that cohort active in week
     // offset k) — two keyed aggregations + one equi-join on user_id
-    "a11_retention" -> ((s, dir) => {
+    ("a11_retention",
+      ((s, dir) => {
       val e = graft.schema.EventSchema.readEvents(s, dir)
       val firsts = e.groupBy(col("user_id"))
         .agg(date_trunc("week", min(col("ts"))).as("cohort"))
@@ -456,22 +797,38 @@ object QueriesExtra {
           (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
-
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |      FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin),
     // beyond-reference: EXACT heavy hitters (count >= n/k) in two passes
     // — per-partition Misra-Gries candidates (guaranteed superset), then
     // an exact count of candidates only. The oracle is the naive full
     // groupBy; at 100 TB only the candidates shuffle.
-    "a12_heavy_hitters" -> ((s, dir) =>
+    ("a12_heavy_hitters",
+      ((s, dir) =>
       graft.operators.Frequency.heavyHitters(
         graft.schema.EventSchema.readEvents(s, dir), "user_id", k = 150)),
-
+      """SELECT CAST(user_id AS VARCHAR) AS item,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1
+        |HAVING COUNT(*) * 150 >= (
+        |  SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)""".stripMargin),
     // A12-beyond: count-min sketch — the MERGEABLE frequency sketch
     // (heavyHitters' exact-two-pass complement for shard/window merge).
     // md5-derived buckets make the sketch AND every min-estimate
     // engine-replayable, so the gate is hash-exact, not a bound check;
     // the output carries the exact count alongside so est >= cnt is
     // visible in the gated rows. CmsSpec holds mergeability + bounds.
-    "a12b_cms_freq" -> ((s, dir) => {
+    ("a12b_cms_freq",
+      ((s, dir) => {
       val ev = graft.schema.EventSchema.readEvents(s, dir)
       val sk = graft.operators.Frequency.cmsSketch(ev, "user_id")
       graft.operators.Frequency.cmsEstimate(sk, ev, "user_id")
@@ -480,13 +837,38 @@ object QueriesExtra {
           .agg(count(lit(1)).as("cnt")), Seq("item"))
         .select(col("item"), col("est"), col("cnt"))
     }),
-
+      """WITH it AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS item FROM events
+        |  WHERE user_id IS NOT NULL),
+        |rs AS (SELECT unnest(range(4)) AS r),
+        |bk AS (
+        |  SELECT item, r,
+        |    CAST(('0x' || substr(md5(item || '|' || CAST(r AS VARCHAR)),
+        |      1, 8))::BIGINT % 512 AS INT) AS c
+        |  FROM it CROSS JOIN rs),
+        |sk AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM bk GROUP BY r, c),
+        |di AS (SELECT DISTINCT item FROM it),
+        |db AS (
+        |  SELECT item, r,
+        |    CAST(('0x' || substr(md5(item || '|' || CAST(r AS VARCHAR)),
+        |      1, 8))::BIGINT % 512 AS INT) AS c
+        |  FROM di CROSS JOIN rs),
+        |est AS (
+        |  SELECT d.item, MIN(COALESCE(s.cnt, 0)) AS est
+        |  FROM db d LEFT JOIN sk s ON d.r = s.r AND d.c = s.c
+        |  GROUP BY d.item),
+        |ex AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM it GROUP BY item)
+        |SELECT e.item, e.est, x.cnt
+        |FROM est e JOIN ex x ON e.item = x.item""".stripMargin),
     // J6-beyond: time-windowed attribution (view -> purchase within 10
     // min). Same Attribution.attribute code path the stream-stream join
     // runs (watermarks are analyzer-eliminated in batch), so the oracle
     // gates the join's time-bound semantics; StreamingSpec covers the
     // streaming state/append behavior.
-    "j6_attribution" -> ((s, dir) => {
+    ("j6_attribution",
+      ((s, dir) => {
       val ev = graft.schema.EventSchema.readEvents(s, dir)
         .filter(col("user_id").isNotNull)
       val imps = ev.filter(col("event_type") === "view")
@@ -501,7 +883,22 @@ object QueriesExtra {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("lag_seconds")).as("sum_lag"))
     }),
-
+      """WITH i AS (
+        |  SELECT user_id, ts, CAST(event_id AS VARCHAR) AS imp_id
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, ts, CAST(event_id AS VARCHAR) AS conv_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type = 'purchase'),
+        |p AS (
+        |  SELECT i.user_id,
+        |    (epoch_ns(c.ts) // 1000000000)
+        |      - (epoch_ns(i.ts) // 1000000000) AS lag
+        |  FROM i JOIN c ON i.user_id = c.user_id
+        |    AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 600 SECONDS)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(lag) AS BIGINT) AS sum_lag
+        |FROM p GROUP BY 1""".stripMargin),
     // beyond-reference: SCD Type-2 dimension maintenance. A per-user
     // "tier" attribute (value band of the day's latest event) is folded
     // into a versioned dim in TWO incremental merges (initial load up to
@@ -509,7 +906,8 @@ object QueriesExtra {
     // window pass, so the gate proves incremental folding == full
     // rebuild (Scd2.merge's associativity contract), plus the
     // valid_from/valid_to/is_current chain arithmetic itself.
-    "j7_scd2" -> ((s, dir) => {
+    ("j7_scd2",
+      ((s, dir) => {
       import graft.operators.Scd2
       val ev = graft.schema.EventSchema.readEvents(s, dir)
       val tier = when(col("value") >= 200, "high")
@@ -526,12 +924,31 @@ object QueriesExtra {
       Scd2.merge(d1, updates.filter(col("ts") >= split),
         "user_id", "ts", Seq("tier"))
     }),
-
+      """WITH up AS (
+        |  SELECT user_id, ts, tier FROM (
+        |    SELECT user_id, ts,
+        |      CASE WHEN value >= 200 THEN 'high'
+        |           WHEN value >= 50 THEN 'mid' ELSE 'low' END AS tier,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |chg AS (
+        |  SELECT user_id, ts, tier FROM (
+        |    SELECT user_id, ts, tier,
+        |      LAG(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |    FROM up)
+        |  WHERE prev IS NULL OR tier <> prev)
+        |SELECT user_id, tier, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    AS is_current
+        |FROM chg""".stripMargin),
     // skew remedies: both must be ROW-IDENTICAL to the plain inner join
     // (the oracle is the plain join + aggregate). saltedJoin fans each
     // partkey over 8 reducers; hotColdJoin broadcast-joins the heavy-
     // hitter keys and shuffle-joins the cold tail.
-    "skew_salted_join" -> ((s, dir) => {
+    ("skew_salted_join",
+      ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_partkey"), col("l_quantity"))
       val part = s.read.parquet(s"$dir/part.parquet")
@@ -542,7 +959,12 @@ object QueriesExtra {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
-    "skew_hotcold_join" -> ((s, dir) => {
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin),
+    ("skew_hotcold_join",
+      ((s, dir) => {
       val ev = graft.schema.EventSchema.readEvents(s, dir)
         .filter(col("user_id").isNotNull)
         .select(col("user_id"), col("event_type"))
@@ -556,7 +978,15 @@ object QueriesExtra {
         .agg(count(lit(1)).as("n"),
           sum(col("n_events")).as("sum_user_events"))
     }),
-
+      """WITH ev AS (
+        |  SELECT user_id, event_type FROM events WHERE user_id IS NOT NULL),
+        |u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_events) AS BIGINT) AS sum_user_events
+        |FROM ev JOIN u USING (user_id)
+        |GROUP BY 1""".stripMargin),
     // beyond-reference: declarative data-quality battery (dbt-test /
     // Great-Expectations family) — each check reduces to one violation
     // count, the union is the promotion gate. Includes checks that
@@ -567,7 +997,8 @@ object QueriesExtra {
     // so no sort; the oracle recomputes the identical checksum in
     // DuckDB, which is the actual production use (warehouse-side SQL
     // checksum vs pipeline-side checksum)
-    "dq_checksum" -> ((s, dir) => {
+    ("dq_checksum",
+      ((s, dir) => {
       import graft.operators.DataChecks
       val liT = s.read.parquet(s"$dir/lineitem.parquet")
       val ordT = s.read.parquet(s"$dir/orders.parquet")
@@ -579,8 +1010,31 @@ object QueriesExtra {
             "o_orderpriority"), "orders"))
         .withColumn("sum_sig", col("sum_sig").cast("string"))
     }),
-
-    "dq_checks" -> ((s, dir) => {
+      """WITH lv AS (
+        |  SELECT CAST(('0x' || substring(md5(
+        |    COALESCE(CAST(l_orderkey AS VARCHAR), chr(0)) || chr(1) ||
+        |    COALESCE(CAST(l_linenumber AS VARCHAR), chr(0)) || chr(1) ||
+        |    COALESCE(l_returnflag, chr(0)) || chr(1) ||
+        |    COALESCE(l_linestatus, chr(0))), 1, 15)) AS BIGINT) AS v
+        |  FROM lineitem),
+        |ov AS (
+        |  SELECT CAST(('0x' || substring(md5(
+        |    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(1) ||
+        |    COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(1) ||
+        |    COALESCE(o_orderstatus, chr(0)) || chr(1) ||
+        |    COALESCE(o_orderpriority, chr(0))), 1, 15)) AS BIGINT) AS v
+        |  FROM orders)
+        |SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(v) AS BIGINT) AS xor_sig,
+        |  CAST(CAST(SUM(v) AS HUGEINT) AS VARCHAR) AS sum_sig
+        |FROM lv
+        |UNION ALL
+        |SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+        |  CAST(bit_xor(v) AS BIGINT),
+        |  CAST(CAST(SUM(v) AS HUGEINT) AS VARCHAR)
+        |FROM ov""".stripMargin),
+    ("dq_checks",
+      ((s, dir) => {
       import graft.operators.DataChecks
       val liT = s.read.parquet(s"$dir/lineitem.parquet")
       val ordT = s.read.parquet(s"$dir/orders.parquet")
@@ -600,13 +1054,45 @@ object QueriesExtra {
           col("l_discount") >= 0 && col("l_discount") <= 0.1,
           "lineitem_discount_range"))
     }),
-
+      """SELECT * FROM (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |    CAST((SELECT COALESCE(SUM(n - 1), 0) FROM (
+        |        SELECT COUNT(*) AS n FROM orders
+        |        WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey) t)
+        |      + (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+        |      AS BIGINT) AS violations
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_ref',
+        |    CAST((SELECT COUNT(*) FROM lineitem l
+        |      WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+        |        SELECT 1 FROM orders o
+        |        WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders_custkey_ref',
+        |    CAST((SELECT COUNT(*) FROM orders o
+        |      WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+        |        SELECT 1 FROM customer c
+        |        WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem_keys_notnull',
+        |    CAST((SELECT COUNT(*) FROM lineitem
+        |      WHERE l_orderkey IS NULL OR l_linenumber IS NULL) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_le30',
+        |    CAST((SELECT COUNT(*) FROM lineitem WHERE NOT COALESCE(
+        |      l_quantity >= 1 AND l_quantity <= 30, FALSE)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |    CAST((SELECT COUNT(*) FROM lineitem WHERE NOT COALESCE(
+        |      l_discount >= 0 AND l_discount <= 0.1, FALSE)) AS BIGINT)
+        |) ORDER BY check_name""".stripMargin),
     // functional-dependency audit: one that HOLDS (nation determines
     // region — the normalized-dimension contract), one that VIOLATES
     // (customer does not determine order priority), and a composite
     // determinant that holds by construction (the orders pk determines
     // everything). Exact counts, one hash agg per dependency.
-    "dq_fd" -> ((s, dir) => {
+    ("dq_fd",
+      ((s, dir) => {
       import graft.operators.DataChecks
       val nat = s.read.parquet(s"$dir/nation.parquet")
       val ord = s.read.parquet(s"$dir/orders.parquet")
@@ -620,7 +1106,32 @@ object QueriesExtra {
           "orderkey_determines_status"))
         .orderBy(col("dependency"))
     }),
-
+      """WITH f AS (
+        |  SELECT 'nation_determines_region' AS dependency,
+        |    COUNT(*) AS g,
+        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS v,
+        |    SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS r
+        |  FROM (SELECT n_nationkey,
+        |      COUNT(DISTINCT n_regionkey) AS nd, COUNT(*) AS n
+        |    FROM nation GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'custkey_determines_priority', COUNT(*),
+        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN nd > 1 THEN n ELSE 0 END)
+        |  FROM (SELECT o_custkey,
+        |      COUNT(DISTINCT o_orderpriority) AS nd, COUNT(*) AS n
+        |    FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'orderkey_determines_status', COUNT(*),
+        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN nd > 1 THEN n ELSE 0 END)
+        |  FROM (SELECT o_orderkey,
+        |      COUNT(DISTINCT o_orderstatus) AS nd, COUNT(*) AS n
+        |    FROM orders GROUP BY 1))
+        |SELECT dependency, CAST(g AS BIGINT) AS n_groups,
+        |  CAST(v AS BIGINT) AS n_violating_groups,
+        |  CAST(r AS BIGINT) AS n_rows_in_violations
+        |FROM f ORDER BY dependency""".stripMargin),
     // Merkle-style cross-warehouse reconciliation: a replica of orders
     // (o_orderkey is the unique pk — the dq_checks gate proves it) with
     // three planted drift classes — ~1/997 rows dropped
@@ -630,7 +1141,8 @@ object QueriesExtra {
     // a key join restricted to the differing buckets; the oracle is the
     // naive full outer join, so any key the pruning wrongly skipped (or
     // invented) hash-mismatches.
-    "dq_bucket_diff" -> ((s, dir) => {
+    ("dq_bucket_diff",
+      ((s, dir) => {
       import graft.operators.DataChecks
       val src = s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_orderstatus"),
@@ -648,42 +1160,90 @@ object QueriesExtra {
         Seq("o_orderkey"),
         Seq("o_orderstatus", "o_orderpriority"), nBuckets = 4096)
     }),
-
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |    o_orderkey % 997 AS m
+        |  FROM orders),
+        |rep AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN m = 1 THEN 'X' ELSE o_orderstatus
+        |      END AS o_orderstatus,
+        |    o_orderpriority
+        |  FROM src WHERE m <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_orderstatus, o_orderpriority
+        |  FROM src WHERE m = 2)
+        |SELECT COALESCE(s.o_orderkey, r.o_orderkey) AS o_orderkey,
+        |  CASE WHEN r.o_orderkey IS NULL THEN 'missing_in_replica'
+        |       WHEN s.o_orderkey IS NULL THEN 'missing_in_source'
+        |       ELSE 'value_mismatch' END AS status
+        |FROM src s FULL OUTER JOIN rep r
+        |  ON s.o_orderkey = r.o_orderkey
+        |WHERE r.o_orderkey IS NULL OR s.o_orderkey IS NULL
+        |  OR s.o_orderstatus <> r.o_orderstatus
+        |  OR s.o_orderpriority <> r.o_orderpriority""".stripMargin),
     // k-anonymity audit over the released customer quasi-identifiers
     // (nation, market segment, account-balance band): every class below
     // k=5 is a re-identifiable combination. Exact hash aggregation; the
     // oracle is the same GROUP BY + HAVING.
-    "priv_kanon" -> ((s, dir) => {
+    ("priv_kanon",
+      ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
         .withColumn("bal_band",
           floor(col("c_acctbal") / 1000).cast("long"))
       graft.operators.Privacy.kAnonymityViolations(
         c, Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
     }),
-
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(COUNT(*) AS BIGINT) AS class_size
+        |FROM customer GROUP BY 1, 2, 3
+        |HAVING COUNT(*) < 5""".stripMargin),
     // l-diversity: a k-anonymous class is still unsafe when everyone in
     // it shares the sensitive value — classes over (nation, balance
     // band) whose market segment takes < 3 distinct values.
-    "priv_ldiv" -> ((s, dir) => {
+    ("priv_ldiv",
+      ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
         .withColumn("bal_band",
           floor(col("c_acctbal") / 1000).cast("long"))
       graft.operators.Privacy.lDiversityViolations(
         c, Seq("c_nationkey", "bal_band"), "c_mktsegment", l = 3)
     }),
-
+      """SELECT c_nationkey,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(COUNT(*) AS BIGINT) AS class_size,
+        |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+        |    AS distinct_sensitive
+        |FROM customer GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT c_mktsegment) < 3""".stripMargin),
     // ε-differentially-private released counts per (event_type, day):
     // Laplace(1/ε) noise from the deterministic 48-bit md5 uniform —
     // ln-only inverse CDF, so the oracle re-derives the identical noise
     // and the integer-rounded release is hash-exact (the Gumbel
     // resampling precedent applied to private aggregate release).
-    "priv_dp_counts" -> ((s, dir) => {
+    ("priv_dp_counts",
+      ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
       graft.operators.Privacy.dpCounts(ev,
         Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd")),
         Seq("event_type", "day"), eps = 1.0, seed = 7L)
     }),
-
+      """WITH g AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |n AS (
+        |  SELECT event_type, day, cnt,
+        |    (CAST(('0x' || substring(md5(
+        |        '7' || chr(1) || event_type || chr(1) || day),
+        |      1, 12)) AS BIGINT) + 0.5) / 281474976710656.0 AS u
+        |  FROM g)
+        |SELECT event_type, day,
+        |  GREATEST(0, CAST(ROUND(cnt
+        |    - 1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))
+        |    AS BIGINT)) AS noisy_count
+        |FROM n""".stripMargin),
     // collaborative filtering (implicit ALS over the customer×part
     // purchase matrix): the trained-operator property gate — on the
     // deterministic ~20% holdout, the model must rank each held-out
@@ -692,7 +1252,8 @@ object QueriesExtra {
     // same split rules; the AUC floor carries a wide margin so seed-
     // stable float jitter cannot flip it (the td_quality_classifier
     // pattern for learned operators).
-    "g4_als_recs" -> ((s, dir) => {
+    ("g4_als_recs",
+      ((s, dir) => {
       import graft.operators.Recommend
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val ord = s.read.parquet(s"$dir/orders.parquet")
@@ -753,835 +1314,6 @@ object QueriesExtra {
         .select(col("n_train"), col("n_holdout"), col("n_scored"),
           col("auc_ok"))
     }),
-
-    // KMV/theta sketch set operations: per event-type pair, the
-    // INTERSECTION estimate HLL cannot provide (audience overlap at
-    // sketch cost), with the exact overlap alongside and the union
-    // sketch md5'd — every value integer-arithmetic replayable, so the
-    // sketch pipeline is HASH-gated, not just error-bounded (the
-    // a12b_cms_freq precedent for the theta family).
-    "a23_theta_overlap" -> ((s, dir) => {
-      import graft.operators.Frequency
-      val ev = s.read.parquet(s"$dir/events.parquet")
-      val k = 64
-      val sk = Frequency.kmvSketches(ev, "event_type", "user_id", k)
-      val d = ev.select(col("event_type"), col("user_id")).distinct()
-      val exact = d.alias("x").join(d.alias("y"), Seq("user_id"))
-        .filter(col("x.event_type") < col("y.event_type"))
-        .groupBy(col("x.event_type").as("ta"),
-          col("y.event_type").as("tb"))
-        .agg(countDistinct(col("user_id")).as("exact_overlap"))
-      sk.alias("a").join(sk.alias("b"), col("a.key") < col("b.key"))
-        .select(col("a.key").as("ta"), col("b.key").as("tb"),
-          Frequency.kmvDistinctEstimate(col("a.sketch"), k).as("est_a"),
-          Frequency.kmvDistinctEstimate(col("b.sketch"), k).as("est_b"),
-          Frequency.kmvIntersectEstimate(col("a.sketch"),
-            col("b.sketch"), k).as("est_overlap"),
-          md5(concat_ws(",", transform(
-            Frequency.kmvUnion(col("a.sketch"), col("b.sketch"), k),
-            _.cast("string")))).as("union_md5"))
-        .join(exact, Seq("ta", "tb"))
-    }),
-
-    // consent enforcement at ingest (the preventive GDPR half next to
-    // k10's curative deleteWhere): users ending a deterministic opt-out
-    // rule are dropped map-side before any sink; the gate pins the
-    // surviving per-type counts AND the survivor id checksum, so a
-    // leaked opted-out event or an over-dropped consenting one both
-    // hash-mismatch.
-    "k16_consent_filter" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
-      val optOuts = ev.select(col("user_id")).distinct()
-        .filter(pmod(col("user_id"), lit(11)) === 0)
-      graft.operators.Privacy.enforceOptOut(ev, optOuts, "user_id")
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          expr("bit_xor(event_id)").as("id_xor"))
-    }),
-
-    // billing quota admission (ref cloud free tier "200k events/mo",
-    // README.md:62): per (workspace, month), first 2000 events by
-    // (ts, event_id) order are billable, the rest over-quota — computed
-    // with the two-phase prefix pattern, never a per-workspace-month
-    // global window. Gate pins the admitted SET per group (count + sum +
-    // bit_xor of billable ids) plus the exact cutoff event.
-    "a22_quota" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("workspace_id",
-          concat(lit("wk"), pmod(col("user_id"), lit(3))))
-      graft.operators.MetricsAgg.quotaAdmission(ev,
-          col("workspace_id"), col("ts"), col("event_id"), quota = 2000L)
-        .groupBy(col("workspace_id"),
-          date_format(col("month"), "yyyy-MM").as("month"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("billable"), 1L).otherwise(0L)).as("n_billable"),
-          sum(when(col("billable"), col("event_id")).otherwise(0L))
-            .as("billable_id_sum"),
-          expr("bit_xor(CASE WHEN billable THEN event_id ELSE 0 END)")
-            .as("billable_id_xor"),
-          min(when(col("seq") === 2001L, col("event_id")))
-            .as("first_over_quota"))
-    }),
-
-    // schema-drift report between two event batches' open props — the
-    // alerting counterpart of schemaFreeze: per property key, inferred
-    // type on each side + added/removed/type_changed/stable, with
-    // per-side presence counts. Types come from the same distributed
-    // spark.read.json inference hoistProperties uses; the spiking rules
-    // make the expected report exact, and the counts are replayed from
-    // the JSON itself (json_object_keys explode both engines).
-    "p13_schema_drift" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
-      val k = get_json_object(col("props"), "$.k")
-      val before = ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .withColumn("props2", concat(lit("{\"k\": "), k,
-          lit(", \"ver\": 1, \"legacy\": \"x\"}")))
-      val after = ev.filter(pmod(col("event_id"), lit(2)) === 1)
-        .withColumn("props2", concat(lit("{\"k\": "), k,
-          lit(", \"ver\": \"1.0\", \"batch\": true}")))
-      val drift = graft.operators.Layouts.schemaDrift(
-        before, after, "props2")
-      val tagged = before.select(col("props2"), lit("a").as("side"))
-        .unionByName(after.select(col("props2"), lit("b").as("side")))
-      val counts = tagged
-        .select(explode(json_object_keys(col("props2"))).as("key"),
-          col("side"))
-        .groupBy(col("key"))
-        .agg(sum(when(col("side") === "a", 1L).otherwise(0L))
-            .as("n_before"),
-          sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_after"))
-      drift.join(counts, Seq("key"), "left")
-        .select(col("key"), col("type_before"), col("type_after"),
-          col("status"),
-          coalesce(col("n_before"), lit(0L)).as("n_before"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"))
-    }),
-
-    // identity-graph stitching: the graph-scale generalization of user
-    // recognition — anonymous ids linked to shared email/device tokens
-    // (deterministic synthetic linkage with breaks so components stay
-    // bounded: ~1-13 identifiers each at sf0.01); every identifier maps
-    // to its component's canonical (minimum) id. The oracle replays the
-    // closure as a recursive CTE (the dedup_clusters pattern).
-    "j11_identity_graph" -> ((s, dir) => {
-      val users = s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id").as("uid")).distinct()
-      val email = when(pmod(col("uid"), lit(5)) === 0,
-          concat(lit("e!"), col("uid")))
-        .otherwise(concat(lit("e"), expr("uid div 2")))
-      val device = when(pmod(col("uid"), lit(7)) === 3,
-          concat(lit("d!"), col("uid")))
-        .otherwise(concat(lit("d"), expr("uid div 3")))
-      val edges = users
-        .select(concat(lit("a"), col("uid")).as("id_a"), email.as("id_b"))
-        .unionByName(users.select(
-          concat(lit("a"), col("uid")).as("id_a"), device.as("id_b")))
-      graft.operators.UserRecognition.identityGraph(edges)
-    }),
-
-    // cross-device sessions: the identity graph's canonical ids re-key
-    // the event stream, THEN sessionization runs per stitched person —
-    // the composition that turns per-device sessions into per-user
-    // journeys (what a CDP actually reports). Oracle = recursive-CTE
-    // closure + gap-window replay at microsecond precision.
-    "j12_stitched_sessions" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
-      val users = ev.select(col("user_id").as("uid")).distinct()
-      val email = when(pmod(col("uid"), lit(5)) === 0,
-          concat(lit("e!"), col("uid")))
-        .otherwise(concat(lit("e"), expr("uid div 2")))
-      val device = when(pmod(col("uid"), lit(7)) === 3,
-          concat(lit("d!"), col("uid")))
-        .otherwise(concat(lit("d"), expr("uid div 3")))
-      val edges = users
-        .select(concat(lit("a"), col("uid")).as("id_a"), email.as("id_b"))
-        .unionByName(users.select(
-          concat(lit("a"), col("uid")).as("id_a"), device.as("id_b")))
-      val labels = graft.operators.UserRecognition.identityGraph(edges)
-        .select(col("id"), col("canonical_id"))
-      val keyed = ev
-        .withColumn("id", concat(lit("a"), col("user_id")))
-        .join(labels, Seq("id"))
-      graft.operators.Sessionize
-        .sessions(keyed, col("canonical_id"), col("ts"))
-        .groupBy(col("key").as("canonical_id"))
-        .agg(count(lit(1)).as("n_sessions"),
-          sum(col("n_events")).as("n_events"))
-    }),
-
-    // retrieval-eval battery: per-query precision/recall@10, MRR, and
-    // nDCG@10 of the exact cosine top-10 against same-label relevance —
-    // DCG in pinned integer micro-discounts so both engines sum the
-    // same integers (EvalMetrics.dcgDiscountsMicro literals appear
-    // verbatim in the oracle).
-    "td_retrieval_eval" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"),
-          col("label"))
-      val ranking = graft.operators.Similarity.bruteForceTopK(
-        e.filter(col("id") < 10).select(col("id").as("qid"), col("vec")),
-        e.select(col("id"), col("vec")), k = 10)
-      val relevant = e.filter(col("id") < 10)
-        .select(col("id").as("qid"), col("label"))
-        .join(e.select(col("id"), col("label")), Seq("label"))
-        .filter(col("qid") =!= col("id"))
-        .select(col("qid"), col("id"))
-      graft.operators.EvalMetrics.retrievalEval(ranking, relevant, k = 10)
-        .withColumn("first_hit_rank",
-          col("first_hit_rank").cast("long"))
-    })
-  )
-
-  private val adapterCte =
-    """WITH env AS (
-      |  SELECT 'm' || event_id AS message_id,
-      |    CASE WHEN event_type = 'signup' THEN 'identify'
-      |         WHEN event_type = 'view' THEN 'page'
-      |         ELSE 'track' END AS type,
-      |    event_type AS event,
-      |    CAST(ts AS TIMESTAMP) AS timestamp,
-      |    'a' || user_id AS anonymous_id,
-      |    CASE WHEN event_type IN ('signup','purchase')
-      |         THEN 'u' || user_id END AS user_id,
-      |    'wk' || (user_id % 3) AS write_key,
-      |    'c' || (event_id % 4) AS connection_id,
-      |    user_id AS raw_user_id, event_id AS raw_event_id
-      |  FROM events)
-      |""".stripMargin
-
-  val oracles: Map[String, String] = Map(
-    "er_multiblock" ->
-      """WITH dirty AS (
-        |  SELECT p_partkey,
-        |    CASE (p_partkey % 4)
-        |      WHEN 0 THEN substr(p_name, 2)
-        |      WHEN 1 THEN substr(p_name, 1, length(p_name) - 1)
-        |      WHEN 2 THEN p_name || 'x'
-        |      ELSE p_name END AS dirty_name
-        |  FROM part),
-        |cat AS (SELECT DISTINCT p_name AS matched_name FROM part),
-        |cand AS (
-        |  SELECT DISTINCT p_partkey, dirty_name, matched_name
-        |  FROM (
-        |    SELECT d.p_partkey, d.dirty_name, c.matched_name
-        |    FROM dirty d JOIN cat c
-        |      ON string_split(d.dirty_name, ' ')[1] =
-        |         string_split(c.matched_name, ' ')[1]
-        |    UNION ALL
-        |    SELECT d.p_partkey, d.dirty_name, c.matched_name
-        |    FROM dirty d JOIN cat c
-        |      ON string_split(d.dirty_name, ' ')[-1] =
-        |         string_split(c.matched_name, ' ')[-1])),
-        |scored AS (
-        |  SELECT *, CAST(levenshtein(dirty_name, matched_name) AS INT)
-        |    AS dist
-        |  FROM cand
-        |  WHERE levenshtein(dirty_name, matched_name) <= 2),
-        |ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
-        |    ORDER BY dist, matched_name) AS rn
-        |  FROM scored)
-        |SELECT p_partkey, dirty_name, matched_name, dist
-        |FROM ranked WHERE rn = 1""".stripMargin,
-    "er_match" ->
-      """WITH dirty AS (
-        |  SELECT p_partkey,
-        |    CASE (p_partkey % 4)
-        |      WHEN 0 THEN substr(p_name, 1, length(p_name) - 1)
-        |      WHEN 1 THEN p_name || 'x'
-        |      WHEN 2 THEN p_name || substr(p_name, length(p_name), 1)
-        |      ELSE p_name END AS dirty_name
-        |  FROM part),
-        |cat AS (SELECT DISTINCT p_name AS matched_name FROM part),
-        |cand AS (
-        |  SELECT d.p_partkey, d.dirty_name, c.matched_name,
-        |    CAST(levenshtein(d.dirty_name, c.matched_name) AS INT) AS dist
-        |  FROM dirty d JOIN cat c
-        |    ON string_split(d.dirty_name, ' ')[1] =
-        |       string_split(c.matched_name, ' ')[1]
-        |  WHERE levenshtein(d.dirty_name, c.matched_name) <= 2),
-        |ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
-        |    ORDER BY dist, matched_name) AS rn
-        |  FROM cand)
-        |SELECT p_partkey, dirty_name, matched_name, dist
-        |FROM ranked WHERE rn = 1""".stripMargin,
-    "a1_hll_sketch" -> (adapterCte +
-      """SELECT write_key AS workspace_id,
-        |  strftime(timestamp, '%Y-%m-%d') AS period,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS exact_uniques,
-        |  true AS hll_ok
-        |FROM env GROUP BY 1, 2""".stripMargin),
-    "dq_checksum" ->
-      """WITH lv AS (
-        |  SELECT CAST(('0x' || substring(md5(
-        |    COALESCE(CAST(l_orderkey AS VARCHAR), chr(0)) || chr(1) ||
-        |    COALESCE(CAST(l_linenumber AS VARCHAR), chr(0)) || chr(1) ||
-        |    COALESCE(l_returnflag, chr(0)) || chr(1) ||
-        |    COALESCE(l_linestatus, chr(0))), 1, 15)) AS BIGINT) AS v
-        |  FROM lineitem),
-        |ov AS (
-        |  SELECT CAST(('0x' || substring(md5(
-        |    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(1) ||
-        |    COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(1) ||
-        |    COALESCE(o_orderstatus, chr(0)) || chr(1) ||
-        |    COALESCE(o_orderpriority, chr(0))), 1, 15)) AS BIGINT) AS v
-        |  FROM orders)
-        |SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(bit_xor(v) AS BIGINT) AS xor_sig,
-        |  CAST(CAST(SUM(v) AS HUGEINT) AS VARCHAR) AS sum_sig
-        |FROM lv
-        |UNION ALL
-        |SELECT 'orders', CAST(COUNT(*) AS BIGINT),
-        |  CAST(bit_xor(v) AS BIGINT),
-        |  CAST(CAST(SUM(v) AS HUGEINT) AS VARCHAR)
-        |FROM ov""".stripMargin,
-    "dq_checks" ->
-      """SELECT * FROM (
-        |  SELECT 'orders_pk_unique' AS check_name,
-        |    CAST((SELECT COALESCE(SUM(n - 1), 0) FROM (
-        |        SELECT COUNT(*) AS n FROM orders
-        |        WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey) t)
-        |      + (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
-        |      AS BIGINT) AS violations
-        |  UNION ALL
-        |  SELECT 'lineitem_orderkey_ref',
-        |    CAST((SELECT COUNT(*) FROM lineitem l
-        |      WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
-        |        SELECT 1 FROM orders o
-        |        WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
-        |  UNION ALL
-        |  SELECT 'orders_custkey_ref',
-        |    CAST((SELECT COUNT(*) FROM orders o
-        |      WHERE o_custkey IS NOT NULL AND NOT EXISTS (
-        |        SELECT 1 FROM customer c
-        |        WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
-        |  UNION ALL
-        |  SELECT 'lineitem_keys_notnull',
-        |    CAST((SELECT COUNT(*) FROM lineitem
-        |      WHERE l_orderkey IS NULL OR l_linenumber IS NULL) AS BIGINT)
-        |  UNION ALL
-        |  SELECT 'lineitem_qty_le30',
-        |    CAST((SELECT COUNT(*) FROM lineitem WHERE NOT COALESCE(
-        |      l_quantity >= 1 AND l_quantity <= 30, FALSE)) AS BIGINT)
-        |  UNION ALL
-        |  SELECT 'lineitem_discount_range',
-        |    CAST((SELECT COUNT(*) FROM lineitem WHERE NOT COALESCE(
-        |      l_discount >= 0 AND l_discount <= 0.1, FALSE)) AS BIGINT)
-        |) ORDER BY check_name""".stripMargin,
-    "a12b_cms_freq" ->
-      """WITH it AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS item FROM events
-        |  WHERE user_id IS NOT NULL),
-        |rs AS (SELECT unnest(range(4)) AS r),
-        |bk AS (
-        |  SELECT item, r,
-        |    CAST(('0x' || substr(md5(item || '|' || CAST(r AS VARCHAR)),
-        |      1, 8))::BIGINT % 512 AS INT) AS c
-        |  FROM it CROSS JOIN rs),
-        |sk AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt
-        |       FROM bk GROUP BY r, c),
-        |di AS (SELECT DISTINCT item FROM it),
-        |db AS (
-        |  SELECT item, r,
-        |    CAST(('0x' || substr(md5(item || '|' || CAST(r AS VARCHAR)),
-        |      1, 8))::BIGINT % 512 AS INT) AS c
-        |  FROM di CROSS JOIN rs),
-        |est AS (
-        |  SELECT d.item, MIN(COALESCE(s.cnt, 0)) AS est
-        |  FROM db d LEFT JOIN sk s ON d.r = s.r AND d.c = s.c
-        |  GROUP BY d.item),
-        |ex AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
-        |       FROM it GROUP BY item)
-        |SELECT e.item, e.est, x.cnt
-        |FROM est e JOIN ex x ON e.item = x.item""".stripMargin,
-    "a12_heavy_hitters" ->
-      """SELECT CAST(user_id AS VARCHAR) AS item,
-        |  CAST(COUNT(*) AS BIGINT) AS cnt
-        |FROM events WHERE user_id IS NOT NULL
-        |GROUP BY 1
-        |HAVING COUNT(*) * 150 >= (
-        |  SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)""".stripMargin,
-    "j7_scd2" ->
-      """WITH up AS (
-        |  SELECT user_id, ts, tier FROM (
-        |    SELECT user_id, ts,
-        |      CASE WHEN value >= 200 THEN 'high'
-        |           WHEN value >= 50 THEN 'mid' ELSE 'low' END AS tier,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-        |                         ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events) WHERE rn = 1),
-        |chg AS (
-        |  SELECT user_id, ts, tier FROM (
-        |    SELECT user_id, ts, tier,
-        |      LAG(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        |    FROM up)
-        |  WHERE prev IS NULL OR tier <> prev)
-        |SELECT user_id, tier, ts AS valid_from,
-        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |    AS is_current
-        |FROM chg""".stripMargin,
-    "j6_attribution" ->
-      """WITH i AS (
-        |  SELECT user_id, ts, CAST(event_id AS VARCHAR) AS imp_id
-        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'view'),
-        |c AS (
-        |  SELECT user_id, ts, CAST(event_id AS VARCHAR) AS conv_id
-        |  FROM events WHERE user_id IS NOT NULL
-        |    AND event_type = 'purchase'),
-        |p AS (
-        |  SELECT i.user_id,
-        |    (epoch_ns(c.ts) // 1000000000)
-        |      - (epoch_ns(i.ts) // 1000000000) AS lag
-        |  FROM i JOIN c ON i.user_id = c.user_id
-        |    AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 600 SECONDS)
-        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |  CAST(SUM(lag) AS BIGINT) AS sum_lag
-        |FROM p GROUP BY 1""".stripMargin,
-    "skew_salted_join" ->
-      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY 1""".stripMargin,
-    "skew_hotcold_join" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type FROM events WHERE user_id IS NOT NULL),
-        |u AS (
-        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
-        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(n_events) AS BIGINT) AS sum_user_events
-        |FROM ev JOIN u USING (user_id)
-        |GROUP BY 1""".stripMargin,
-    "a10_funnel" ->
-      """WITH s1 AS (
-        |  SELECT user_id,
-        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
-        |  FROM events GROUP BY 1),
-        |s2 AS (
-        |  SELECT e.user_id, MIN(ts) AS t2
-        |  FROM events e JOIN s1 USING (user_id)
-        |  WHERE event_type = 'signup' AND ts > t1 GROUP BY 1),
-        |s3 AS (
-        |  SELECT e.user_id, MIN(ts) AS t3
-        |  FROM events e JOIN s2 USING (user_id)
-        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
-        |SELECT
-        |  CAST((SELECT COUNT(*) FROM s1 WHERE t1 IS NOT NULL) AS BIGINT)
-        |    AS n_view,
-        |  CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_signup,
-        |  CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase""".stripMargin,
-    "a11_retention" ->
-      """WITH f AS (
-        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
-        |  FROM events GROUP BY 1),
-        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
-        |      FROM events)
-        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
-        |  CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
-        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM a JOIN f USING (user_id)
-        |GROUP BY 1, 2""".stripMargin,
-    "k3_mixpanel" -> (adapterCte +
-      """SELECT COALESCE(user_id, anonymous_id) AS distinct_id, event,
-        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) * 1000
-        |    AS time,
-        |  md5(message_id) AS insert_id,
-        |  'src' || (raw_user_id % 5) AS utm_source,
-        |  CASE (raw_user_id % 5) WHEN 0 THEN 'New York' WHEN 1 THEN 'Berlin'
-        |    WHEN 2 THEN 'Paris' WHEN 3 THEN 'London' ELSE 'Beijing' END
-        |    AS city,
-        |  CASE WHEN raw_event_id % 3 = 0 THEN 'g' || raw_event_id END
-        |    AS gclid,
-        |  CASE WHEN raw_event_id % 3 < 2 THEN 'fb' || raw_event_id END
-        |    AS fbclid,
-        |  CASE WHEN raw_event_id % 5 = 0 THEN 'tt' || raw_event_id END
-        |    AS ttclid,
-        |  CAST(NULL AS VARCHAR) AS msclkid
-        |FROM env WHERE type = 'track'""".stripMargin),
-    "k3_ga4" -> (adapterCte +
-      """SELECT 'ga-' || raw_user_id AS client_id, user_id,
-        |  CASE WHEN type = 'page' THEN 'page_view' ELSE event END
-        |    AS event_name,
-        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) * 1000000
-        |    AS timestamp_micros
-        |FROM env WHERE type IN ('track', 'page')""".stripMargin),
-    "k3_facebook" -> (adapterCte +
-      """SELECT event AS event_name,
-        |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT)
-        |    AS event_time,
-        |  CASE WHEN type = 'identify' THEN sha256(
-        |    'user' || raw_user_id || '@example.com') END AS em,
-        |  sha256(COALESCE(user_id, anonymous_id)) AS external_id
-        |FROM env WHERE type = 'track'""".stripMargin),
-    "f2_ua_parse" -> (adapterCte +
-      s"""SELECT message_id,
-         |  $uaCase AS browser,
-         |  CASE (raw_event_id % 3) WHEN 0 THEN 'macOS' WHEN 1 THEN 'iOS'
-         |    ELSE 'unknown' END AS os,
-         |  CASE (raw_event_id % 3) WHEN 1 THEN 'mobile' ELSE 'desktop' END
-         |    AS device,
-         |  (raw_event_id % 3) = 2 AS is_bot,
-         |  CASE (raw_event_id % 3) WHEN 0 THEN 'Blink' ELSE 'unknown' END
-         |    AS engine,
-         |  CASE (raw_event_id % 3) WHEN 1 THEN 'Apple' ELSE '' END
-         |    AS device_vendor,
-         |  CASE (raw_event_id % 3) WHEN 1 THEN 'iPhone' ELSE '' END
-         |    AS device_model,
-         |  '' AS cpu
-         |FROM env""".stripMargin),
-    // every field hand-derived from the public taxonomy rules — NOT a
-    // replay of the implementation
-    "f2b_ua_taxonomy" ->
-      """SELECT * FROM (VALUES
-        |  (0,'Chrome','120.0','120','Blink','120.0','macOS','','desktop','','','',false),
-        |  (1,'Safari','604.1','604','unknown','','iOS','17.0','mobile','Apple','iPhone','',false),
-        |  (2,'unknown','','','unknown','','unknown','','desktop','','','',true),
-        |  (3,'Firefox','121.0','121','Gecko','','Windows','10','desktop','','','',false),
-        |  (4,'Chrome','120.0','120','Blink','120.0','Android','14','mobile','','','',false),
-        |  (5,'Edge','120.0.1','120','Blink','120.0','Windows','10','desktop','','','amd64',false),
-        |  (6,'Opera','105.0.0.0','105','Blink','119.0','Linux','','desktop','','','amd64',false),
-        |  (7,'Safari','16.6','16','unknown','','iOS','16.6','tablet','Apple','iPad','',false),
-        |  (8,'Chrome','118.0','118','Blink','118.0','Android','13','tablet','Samsung','SM-X700','',false),
-        |  (9,'Chrome','120.0','120','Blink','120.0','ChromeOS','14541.0.0','desktop','','','amd64',false),
-        |  (10,'Edge','18.18363','18','EdgeHTML','18.18363','Windows','10','desktop','','','amd64',false),
-        |  (11,'IE','11.0','11','Trident','7.0','Windows','7','desktop','','','amd64',false),
-        |  (12,'Samsung Internet','24.0','24','Blink','121.0','Android','14','mobile','Samsung','SM-S928B','',false),
-        |  (13,'Chrome','121.0','121','Blink','121.0','Android','14','mobile','Google','Pixel 8 Pro','',false),
-        |  (14,'unknown','','','WebKit','605.1.15','unknown','','console','','PlayStation 5','',false),
-        |  (15,'unknown','','','unknown','','unknown','','smarttv','','','',false),
-        |  (16,'Safari','17.2','17','WebKit','605.1.15','macOS','14.2','desktop','','','arm64',false),
-        |  (17,'Opera','12.16','12','Presto','2.12.388','Windows','7','desktop','','','',false)
-        |) t(ua_id, browser, version, major, engine, engine_version,
-        |    os, os_version, device_type, device_vendor, device_model,
-        |    cpu, is_bot)""".stripMargin,
-    "f1_geo_join" -> (adapterCte +
-      """SELECT 'AS' || ((raw_user_id % 200) % 7) AS asn,
-        |  ((raw_user_id % 200) % 2) = 0 AS is_datacenter,
-        |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS n_users
-        |FROM env GROUP BY 1, 2""".stripMargin),
-    "j3b_asof_config" -> (adapterCte +
-      """, versions AS (
-        |  SELECT 'c' || c AS connection_id,
-        |    CAST(('2024-0' || (v + 1) || '-0' || (c * 2 + 1) || ' 00:00:00')
-        |      AS TIMESTAMP) AS valid_from,
-        |    'v' || v || '-c' || c AS config_version,
-        |    (v + 1) * 100 + c AS budget
-        |  FROM range(0, 4) t1(c), range(0, 3) t2(v))
-        |SELECT e.connection_id, v.config_version, CAST(v.budget AS INT) AS budget,
-        |  CAST(COUNT(*) AS BIGINT) AS n_events
-        |FROM env e ASOF LEFT JOIN versions v
-        |  ON e.connection_id = v.connection_id AND e.timestamp >= v.valid_from
-        |GROUP BY 1, 2, 3""".stripMargin),
-    "f1b_geo_range" -> (adapterCte +
-      """SELECT
-        |  CASE ((raw_user_id % 200) % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
-        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END
-        |    AS range_country,
-        |  'AS' || ((raw_user_id % 200) % 7) AS range_asn,
-        |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS n_users
-        |FROM env GROUP BY 1, 2""".stripMargin),
-    // identical semantics through the .mmdb round-trip
-    "f1c_geo_mmdb" -> (adapterCte +
-      """SELECT
-        |  CASE ((raw_user_id % 200) % 5) WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
-        |    WHEN 2 THEN 'FR' WHEN 3 THEN 'GB' ELSE 'CN' END
-        |    AS range_country,
-        |  'AS' || ((raw_user_id % 200) % 7) AS range_asn,
-        |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(COUNT(DISTINCT anonymous_id) AS BIGINT) AS n_users
-        |FROM env GROUP BY 1, 2""".stripMargin),
-    "j4_fanout" -> (adapterCte +
-      """, fanned AS (
-        |  SELECT connection_id FROM env
-        |  UNION ALL SELECT 'c_all' FROM env),
-        |conns AS (
-        |  SELECT * FROM (VALUES
-        |    ('c0', 'clickhouse', true), ('c1', 'postgres', true),
-        |    ('c2', 'mixpanel', false), ('c3', 'webhook', false),
-        |    ('c_all', 's3', true)) t(connection_id, destination, uses_bulker))
-        |SELECT f.connection_id, c.destination, c.uses_bulker,
-        |  CAST(COUNT(*) AS BIGINT) AS n_events
-        |FROM fanned f JOIN conns c USING (connection_id)
-        |GROUP BY 1, 2, 3""".stripMargin),
-    "a3_event_stat" -> (adapterCte +
-      """SELECT strftime(date_trunc('day', timestamp), '%Y-%m-%d') AS period,
-        |  type AS status, CAST(COUNT(*) AS BIGINT) AS events
-        |FROM env WHERE write_key = 'wk0'
-        |GROUP BY date_trunc('day', timestamp), type
-        |ORDER BY 1 DESC, 3 DESC""".stripMargin),
-    "s6_changed_users" -> (adapterCte +
-      """SELECT DISTINCT user_id FROM env
-        |WHERE timestamp > TIMESTAMP '2024-01-05 00:00:00'
-        |  AND timestamp <= TIMESTAMP '2024-01-20 00:00:00'
-        |  AND user_id IS NOT NULL
-        |ORDER BY user_id""".stripMargin),
-    "j5b_profile_fn" -> (adapterCte +
-      """, firsts AS (
-        |  SELECT user_id, type AS first_type FROM (
-        |    SELECT user_id, type,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY timestamp, type) AS rn
-        |    FROM env WHERE user_id IS NOT NULL) WHERE rn = 1)
-        |SELECT e.user_id,
-        |  CAST(SUM(CASE WHEN e.event = 'purchase' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_purchases,
-        |  f.first_type,
-        |  CAST(epoch(date_trunc('second', MAX(e.timestamp))) AS BIGINT)
-        |    AS updated_at_s
-        |FROM env e JOIN firsts f USING (user_id)
-        |WHERE e.user_id IS NOT NULL
-        |GROUP BY e.user_id, f.first_type""".stripMargin),
-    "j1b_identity_merge" -> (adapterCte +
-      """, marked AS (
-        |  SELECT *,
-        |    MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
-        |      AS ident_ts,
-        |    FIRST_VALUE(CASE WHEN user_id IS NOT NULL THEN message_id END
-        |      IGNORE NULLS) OVER w AS ident_mid
-        |  FROM env
-        |  WINDOW w AS (PARTITION BY anonymous_id
-        |    ORDER BY timestamp, message_id
-        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |j AS (
-        |  SELECT m.*, e.user_id AS ident_uid,
-        |    CASE WHEN e.type = 'identify'
-        |      THEN 'user' || e.raw_user_id || '@example.com' END AS ident_email
-        |  FROM marked m LEFT JOIN env e ON e.message_id = m.ident_mid)
-        |SELECT message_id,
-        |  CASE WHEN user_id IS NOT NULL THEN user_id
-        |       WHEN ident_ts IS NOT NULL
-        |         AND ident_ts <= timestamp + INTERVAL 30 DAY
-        |         THEN ident_uid END AS user_id,
-        |  CASE WHEN user_id IS NOT NULL THEN
-        |         (CASE WHEN type = 'identify'
-        |            THEN 'user' || raw_user_id || '@example.com' END)
-        |       WHEN ident_ts IS NOT NULL
-        |         AND ident_ts <= timestamp + INTERVAL 30 DAY
-        |         THEN ident_email END AS email,
-        |  user_id IS NULL AND ident_ts IS NOT NULL
-        |    AND ident_ts <= timestamp + INTERVAL 30 DAY AS recognized
-        |FROM j""".stripMargin),
-    "j1c_nested_writeback" -> (adapterCte +
-      """, marked AS (
-        |  SELECT *,
-        |    MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
-        |      AS ident_ts,
-        |    FIRST_VALUE(CASE WHEN user_id IS NOT NULL THEN message_id END
-        |      IGNORE NULLS) OVER w AS ident_mid
-        |  FROM env
-        |  WINDOW w AS (PARTITION BY anonymous_id
-        |    ORDER BY timestamp, message_id
-        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |j AS (
-        |  SELECT m.*, e.user_id AS ident_uid,
-        |    CASE WHEN e.type = 'identify'
-        |      THEN 'user' || e.raw_user_id || '@example.com' END AS ident_email,
-        |    m.ident_ts IS NOT NULL
-        |      AND m.ident_ts <= m.timestamp + INTERVAL 30 DAY AS in_window
-        |  FROM marked m LEFT JOIN env e ON e.message_id = m.ident_mid)
-        |SELECT message_id,
-        |  CASE WHEN user_id IS NOT NULL THEN user_id
-        |       WHEN in_window THEN ident_uid END AS user_id,
-        |  CASE WHEN user_id IS NOT NULL THEN
-        |         (CASE WHEN type = 'identify'
-        |            THEN 'user' || raw_user_id || '@example.com' END)
-        |       WHEN in_window THEN ident_email END AS email,
-        |  user_id IS NULL AND in_window AS recognized
-        |FROM j""".stripMargin),
-    "a5_value_percentiles" ->
-      """SELECT event_type,
-        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
-        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
-        |  ROUND(quantile_cont(value, 0.99), 4) AS p99,
-        |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM events GROUP BY event_type""".stripMargin,
-    "a5b_percentile_sketch" ->
-      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
-        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
-        |  ROUND(quantile_cont(value, 0.99), 4) AS p99,
-        |  true AS sketch_ok
-        |FROM events GROUP BY event_type""".stripMargin,
-    "a9_rollup" ->
-      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
-        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
-    "a13_pivot" ->
-      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
-        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
-        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
-        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
-        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
-        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
-        |FROM events GROUP BY 1""".stripMargin,
-    "a14_cube" ->
-      """SELECT COALESCE(event_type, 'ALL') AS event_type,
-        |  COALESCE(CAST(band AS VARCHAR), 'ALL') AS value_band,
-        |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  ROUND(SUM(value), 2) AS sum_value
-        |FROM (SELECT event_type, CAST(FLOOR(value / 25) AS INT) AS band, value
-        |      FROM events)
-        |GROUP BY CUBE (event_type, band)""".stripMargin,
-    "dq_fd" ->
-      """WITH f AS (
-        |  SELECT 'nation_determines_region' AS dependency,
-        |    COUNT(*) AS g,
-        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS v,
-        |    SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS r
-        |  FROM (SELECT n_nationkey,
-        |      COUNT(DISTINCT n_regionkey) AS nd, COUNT(*) AS n
-        |    FROM nation GROUP BY 1)
-        |  UNION ALL
-        |  SELECT 'custkey_determines_priority', COUNT(*),
-        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
-        |    SUM(CASE WHEN nd > 1 THEN n ELSE 0 END)
-        |  FROM (SELECT o_custkey,
-        |      COUNT(DISTINCT o_orderpriority) AS nd, COUNT(*) AS n
-        |    FROM orders GROUP BY 1)
-        |  UNION ALL
-        |  SELECT 'orderkey_determines_status', COUNT(*),
-        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
-        |    SUM(CASE WHEN nd > 1 THEN n ELSE 0 END)
-        |  FROM (SELECT o_orderkey,
-        |      COUNT(DISTINCT o_orderstatus) AS nd, COUNT(*) AS n
-        |    FROM orders GROUP BY 1))
-        |SELECT dependency, CAST(g AS BIGINT) AS n_groups,
-        |  CAST(v AS BIGINT) AS n_violating_groups,
-        |  CAST(r AS BIGINT) AS n_rows_in_violations
-        |FROM f ORDER BY dependency""".stripMargin,
-    "dq_bucket_diff" ->
-      """WITH src AS (
-        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
-        |    o_orderkey % 997 AS m
-        |  FROM orders),
-        |rep AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN m = 1 THEN 'X' ELSE o_orderstatus
-        |      END AS o_orderstatus,
-        |    o_orderpriority
-        |  FROM src WHERE m <> 0
-        |  UNION ALL
-        |  SELECT -o_orderkey, o_orderstatus, o_orderpriority
-        |  FROM src WHERE m = 2)
-        |SELECT COALESCE(s.o_orderkey, r.o_orderkey) AS o_orderkey,
-        |  CASE WHEN r.o_orderkey IS NULL THEN 'missing_in_replica'
-        |       WHEN s.o_orderkey IS NULL THEN 'missing_in_source'
-        |       ELSE 'value_mismatch' END AS status
-        |FROM src s FULL OUTER JOIN rep r
-        |  ON s.o_orderkey = r.o_orderkey
-        |WHERE r.o_orderkey IS NULL OR s.o_orderkey IS NULL
-        |  OR s.o_orderstatus <> r.o_orderstatus
-        |  OR s.o_orderpriority <> r.o_orderpriority""".stripMargin,
-    "priv_kanon" ->
-      """SELECT c_nationkey, c_mktsegment,
-        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
-        |  CAST(COUNT(*) AS BIGINT) AS class_size
-        |FROM customer GROUP BY 1, 2, 3
-        |HAVING COUNT(*) < 5""".stripMargin,
-    "priv_ldiv" ->
-      """SELECT c_nationkey,
-        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
-        |  CAST(COUNT(*) AS BIGINT) AS class_size,
-        |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
-        |    AS distinct_sensitive
-        |FROM customer GROUP BY 1, 2
-        |HAVING COUNT(DISTINCT c_mktsegment) < 3""".stripMargin,
-    "priv_dp_counts" ->
-      """WITH g AS (
-        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-        |    COUNT(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |n AS (
-        |  SELECT event_type, day, cnt,
-        |    (CAST(('0x' || substring(md5(
-        |        '7' || chr(1) || event_type || chr(1) || day),
-        |      1, 12)) AS BIGINT) + 0.5) / 281474976710656.0 AS u
-        |  FROM g)
-        |SELECT event_type, day,
-        |  GREATEST(0, CAST(ROUND(cnt
-        |    - 1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))
-        |    AS BIGINT)) AS noisy_count
-        |FROM n""".stripMargin,
-    "a22_quota" ->
-      """WITH ev AS (
-        |  SELECT event_id, ts, 'wk' || (user_id % 3) AS workspace_id,
-        |    strftime(date_trunc('month', ts), '%Y-%m') AS month
-        |  FROM events),
-        |r AS (
-        |  SELECT *, ROW_NUMBER() OVER (
-        |    PARTITION BY workspace_id, month
-        |    ORDER BY ts, event_id) AS seq
-        |  FROM ev)
-        |SELECT workspace_id, month, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(CASE WHEN seq <= 2000 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_billable,
-        |  CAST(SUM(CASE WHEN seq <= 2000 THEN event_id ELSE 0 END)
-        |    AS BIGINT) AS billable_id_sum,
-        |  CAST(bit_xor(CASE WHEN seq <= 2000 THEN event_id ELSE 0 END)
-        |    AS BIGINT) AS billable_id_xor,
-        |  CAST(MIN(CASE WHEN seq = 2001 THEN event_id END) AS BIGINT)
-        |    AS first_over_quota
-        |FROM r GROUP BY 1, 2""".stripMargin,
-    "p13_schema_drift" ->
-      """WITH ev AS (
-        |  SELECT CASE WHEN event_id % 2 = 0
-        |      THEN '{"k": ' || json_extract_string(props, '$.k')
-        |        || ', "ver": 1, "legacy": "x"}'
-        |      ELSE '{"k": ' || json_extract_string(props, '$.k')
-        |        || ', "ver": "1.0", "batch": true}' END AS props2,
-        |    CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
-        |  FROM events),
-        |ks AS (SELECT side, unnest(json_keys(props2)) AS key FROM ev),
-        |c AS (SELECT key,
-        |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_before,
-        |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_after
-        |  FROM ks GROUP BY key),
-        |d AS (SELECT * FROM (VALUES
-        |    ('batch', NULL, 'boolean', 'added'),
-        |    ('k', 'bigint', 'bigint', 'stable'),
-        |    ('legacy', 'string', NULL, 'removed'),
-        |    ('ver', 'bigint', 'string', 'type_changed'))
-        |  t(key, type_before, type_after, status))
-        |SELECT d.key, d.type_before, d.type_after, d.status,
-        |  c.n_before, c.n_after
-        |FROM d JOIN c ON d.key = c.key""".stripMargin,
-    "j11_identity_graph" ->
-      """WITH RECURSIVE u AS (
-        |  SELECT DISTINCT user_id AS uid FROM events),
-        |edges0 AS (
-        |  SELECT 'a' || uid AS src,
-        |    CASE WHEN uid % 5 = 0 THEN 'e!' || uid
-        |      ELSE 'e' || (uid // 2) END AS dst
-        |  FROM u
-        |  UNION ALL
-        |  SELECT 'a' || uid,
-        |    CASE WHEN uid % 7 = 3 THEN 'd!' || uid
-        |      ELSE 'd' || (uid // 3) END
-        |  FROM u),
-        |edges AS (
-        |  SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
-        |reach AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |labels AS (
-        |  SELECT src AS id, LEAST(src, MIN(dst)) AS canonical_id
-        |  FROM reach GROUP BY src)
-        |SELECT id, canonical_id,
-        |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
-        |    AS n_identifiers
-        |FROM labels""".stripMargin,
-    "g4_als_recs" ->
       """WITH rawp AS (
         |  SELECT CAST(o_custkey AS INT) AS u,
         |    CAST(l_partkey % 100 AS INT) AS i
@@ -1609,8 +1341,36 @@ object QueriesExtra {
         |  CAST((SELECT COUNT(*) FROM ho
         |    WHERE u IN (SELECT u FROM tu) AND i IN (SELECT i FROM ti)
         |      AND neg IN (SELECT i FROM ti)) AS BIGINT) AS n_scored,
-        |  TRUE AS auc_ok""".stripMargin,
-    "a23_theta_overlap" ->
+        |  TRUE AS auc_ok""".stripMargin),
+    // KMV/theta sketch set operations: per event-type pair, the
+    // INTERSECTION estimate HLL cannot provide (audience overlap at
+    // sketch cost), with the exact overlap alongside and the union
+    // sketch md5'd — every value integer-arithmetic replayable, so the
+    // sketch pipeline is HASH-gated, not just error-bounded (the
+    // a12b_cms_freq precedent for the theta family).
+    ("a23_theta_overlap",
+      ((s, dir) => {
+      import graft.operators.Frequency
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val k = 64
+      val sk = Frequency.kmvSketches(ev, "event_type", "user_id", k)
+      val d = ev.select(col("event_type"), col("user_id")).distinct()
+      val exact = d.alias("x").join(d.alias("y"), Seq("user_id"))
+        .filter(col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"),
+          col("y.event_type").as("tb"))
+        .agg(countDistinct(col("user_id")).as("exact_overlap"))
+      sk.alias("a").join(sk.alias("b"), col("a.key") < col("b.key"))
+        .select(col("a.key").as("ta"), col("b.key").as("tb"),
+          Frequency.kmvDistinctEstimate(col("a.sketch"), k).as("est_a"),
+          Frequency.kmvDistinctEstimate(col("b.sketch"), k).as("est_b"),
+          Frequency.kmvIntersectEstimate(col("a.sketch"),
+            col("b.sketch"), k).as("est_overlap"),
+          md5(concat_ws(",", transform(
+            Frequency.kmvUnion(col("a.sketch"), col("b.sketch"), k),
+            _.cast("string")))).as("union_md5"))
+        .join(exact, Seq("ta", "tb"))
+    }),
       """WITH uh AS (
         |  SELECT DISTINCT event_type AS key,
         |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
@@ -1652,14 +1412,207 @@ object QueriesExtra {
         |  FROM pr)
         |SELECT est.ta, est.tb, est_a, est_b, est_overlap, union_md5,
         |  exact_overlap
-        |FROM est JOIN ex ON est.ta = ex.ta AND est.tb = ex.tb""".stripMargin,
-    "k16_consent_filter" ->
+        |FROM est JOIN ex ON est.ta = ex.ta AND est.tb = ex.tb""".stripMargin),
+    // consent enforcement at ingest (the preventive GDPR half next to
+    // k10's curative deleteWhere): users ending a deterministic opt-out
+    // rule are dropped map-side before any sink; the gate pins the
+    // surviving per-type counts AND the survivor id checksum, so a
+    // leaked opted-out event or an over-dropped consenting one both
+    // hash-mismatch.
+    ("k16_consent_filter",
+      ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val optOuts = ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(11)) === 0)
+      graft.operators.Privacy.enforceOptOut(ev, optOuts, "user_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          expr("bit_xor(event_id)").as("id_xor"))
+    }),
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(bit_xor(event_id) AS BIGINT) AS id_xor
         |FROM events WHERE user_id % 11 <> 0
-        |GROUP BY event_type""".stripMargin,
-    "j12_stitched_sessions" ->
+        |GROUP BY event_type""".stripMargin),
+    // billing quota admission (ref cloud free tier "200k events/mo",
+    // README.md:62): per (workspace, month), first 2000 events by
+    // (ts, event_id) order are billable, the rest over-quota — computed
+    // with the two-phase prefix pattern, never a per-workspace-month
+    // global window. Gate pins the admitted SET per group (count + sum +
+    // bit_xor of billable ids) plus the exact cutoff event.
+    ("a22_quota",
+      ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("workspace_id",
+          concat(lit("wk"), pmod(col("user_id"), lit(3))))
+      graft.operators.MetricsAgg.quotaAdmission(ev,
+          col("workspace_id"), col("ts"), col("event_id"), quota = 2000L)
+        .groupBy(col("workspace_id"),
+          date_format(col("month"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("billable"), 1L).otherwise(0L)).as("n_billable"),
+          sum(when(col("billable"), col("event_id")).otherwise(0L))
+            .as("billable_id_sum"),
+          expr("bit_xor(CASE WHEN billable THEN event_id ELSE 0 END)")
+            .as("billable_id_xor"),
+          min(when(col("seq") === 2001L, col("event_id")))
+            .as("first_over_quota"))
+    }),
+      """WITH ev AS (
+        |  SELECT event_id, ts, 'wk' || (user_id % 3) AS workspace_id,
+        |    strftime(date_trunc('month', ts), '%Y-%m') AS month
+        |  FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY workspace_id, month
+        |    ORDER BY ts, event_id) AS seq
+        |  FROM ev)
+        |SELECT workspace_id, month, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN seq <= 2000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_billable,
+        |  CAST(SUM(CASE WHEN seq <= 2000 THEN event_id ELSE 0 END)
+        |    AS BIGINT) AS billable_id_sum,
+        |  CAST(bit_xor(CASE WHEN seq <= 2000 THEN event_id ELSE 0 END)
+        |    AS BIGINT) AS billable_id_xor,
+        |  CAST(MIN(CASE WHEN seq = 2001 THEN event_id END) AS BIGINT)
+        |    AS first_over_quota
+        |FROM r GROUP BY 1, 2""".stripMargin),
+    // schema-drift report between two event batches' open props — the
+    // alerting counterpart of schemaFreeze: per property key, inferred
+    // type on each side + added/removed/type_changed/stable, with
+    // per-side presence counts. Types come from the same distributed
+    // spark.read.json inference hoistProperties uses; the spiking rules
+    // make the expected report exact, and the counts are replayed from
+    // the JSON itself (json_object_keys explode both engines).
+    ("p13_schema_drift",
+      ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val k = get_json_object(col("props"), "$.k")
+      val before = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .withColumn("props2", concat(lit("{\"k\": "), k,
+          lit(", \"ver\": 1, \"legacy\": \"x\"}")))
+      val after = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .withColumn("props2", concat(lit("{\"k\": "), k,
+          lit(", \"ver\": \"1.0\", \"batch\": true}")))
+      val drift = graft.operators.Layouts.schemaDrift(
+        before, after, "props2")
+      val tagged = before.select(col("props2"), lit("a").as("side"))
+        .unionByName(after.select(col("props2"), lit("b").as("side")))
+      val counts = tagged
+        .select(explode(json_object_keys(col("props2"))).as("key"),
+          col("side"))
+        .groupBy(col("key"))
+        .agg(sum(when(col("side") === "a", 1L).otherwise(0L))
+            .as("n_before"),
+          sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_after"))
+      drift.join(counts, Seq("key"), "left")
+        .select(col("key"), col("type_before"), col("type_after"),
+          col("status"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+    }),
+      """WITH ev AS (
+        |  SELECT CASE WHEN event_id % 2 = 0
+        |      THEN '{"k": ' || json_extract_string(props, '$.k')
+        |        || ', "ver": 1, "legacy": "x"}'
+        |      ELSE '{"k": ' || json_extract_string(props, '$.k')
+        |        || ', "ver": "1.0", "batch": true}' END AS props2,
+        |    CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+        |  FROM events),
+        |ks AS (SELECT side, unnest(json_keys(props2)) AS key FROM ev),
+        |c AS (SELECT key,
+        |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_before,
+        |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_after
+        |  FROM ks GROUP BY key),
+        |d AS (SELECT * FROM (VALUES
+        |    ('batch', NULL, 'boolean', 'added'),
+        |    ('k', 'bigint', 'bigint', 'stable'),
+        |    ('legacy', 'string', NULL, 'removed'),
+        |    ('ver', 'bigint', 'string', 'type_changed'))
+        |  t(key, type_before, type_after, status))
+        |SELECT d.key, d.type_before, d.type_after, d.status,
+        |  c.n_before, c.n_after
+        |FROM d JOIN c ON d.key = c.key""".stripMargin),
+    // identity-graph stitching: the graph-scale generalization of user
+    // recognition — anonymous ids linked to shared email/device tokens
+    // (deterministic synthetic linkage with breaks so components stay
+    // bounded: ~1-13 identifiers each at sf0.01); every identifier maps
+    // to its component's canonical (minimum) id. The oracle replays the
+    // closure as a recursive CTE (the dedup_clusters pattern).
+    ("j11_identity_graph",
+      ((s, dir) => {
+      val users = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("uid")).distinct()
+      val email = when(pmod(col("uid"), lit(5)) === 0,
+          concat(lit("e!"), col("uid")))
+        .otherwise(concat(lit("e"), expr("uid div 2")))
+      val device = when(pmod(col("uid"), lit(7)) === 3,
+          concat(lit("d!"), col("uid")))
+        .otherwise(concat(lit("d"), expr("uid div 3")))
+      val edges = users
+        .select(concat(lit("a"), col("uid")).as("id_a"), email.as("id_b"))
+        .unionByName(users.select(
+          concat(lit("a"), col("uid")).as("id_a"), device.as("id_b")))
+      graft.operators.UserRecognition.identityGraph(edges)
+    }),
+      """WITH RECURSIVE u AS (
+        |  SELECT DISTINCT user_id AS uid FROM events),
+        |edges0 AS (
+        |  SELECT 'a' || uid AS src,
+        |    CASE WHEN uid % 5 = 0 THEN 'e!' || uid
+        |      ELSE 'e' || (uid // 2) END AS dst
+        |  FROM u
+        |  UNION ALL
+        |  SELECT 'a' || uid,
+        |    CASE WHEN uid % 7 = 3 THEN 'd!' || uid
+        |      ELSE 'd' || (uid // 3) END
+        |  FROM u),
+        |edges AS (
+        |  SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS canonical_id
+        |  FROM reach GROUP BY src)
+        |SELECT id, canonical_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+        |    AS n_identifiers
+        |FROM labels""".stripMargin),
+    // cross-device sessions: the identity graph's canonical ids re-key
+    // the event stream, THEN sessionization runs per stitched person —
+    // the composition that turns per-device sessions into per-user
+    // journeys (what a CDP actually reports). Oracle = recursive-CTE
+    // closure + gap-window replay at microsecond precision.
+    ("j12_stitched_sessions",
+      ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val users = ev.select(col("user_id").as("uid")).distinct()
+      val email = when(pmod(col("uid"), lit(5)) === 0,
+          concat(lit("e!"), col("uid")))
+        .otherwise(concat(lit("e"), expr("uid div 2")))
+      val device = when(pmod(col("uid"), lit(7)) === 3,
+          concat(lit("d!"), col("uid")))
+        .otherwise(concat(lit("d"), expr("uid div 3")))
+      val edges = users
+        .select(concat(lit("a"), col("uid")).as("id_a"), email.as("id_b"))
+        .unionByName(users.select(
+          concat(lit("a"), col("uid")).as("id_a"), device.as("id_b")))
+      val labels = graft.operators.UserRecognition.identityGraph(edges)
+        .select(col("id"), col("canonical_id"))
+      val keyed = ev
+        .withColumn("id", concat(lit("a"), col("user_id")))
+        .join(labels, Seq("id"))
+      graft.operators.Sessionize
+        .sessions(keyed, col("canonical_id"), col("ts"))
+        .groupBy(col("key").as("canonical_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
+    }),
       """WITH RECURSIVE u AS (
         |  SELECT DISTINCT user_id AS uid FROM events),
         |edges0 AS (
@@ -1700,8 +1653,30 @@ object QueriesExtra {
         |SELECT canonical_id,
         |  CAST(COUNT(DISTINCT session_idx) AS BIGINT) AS n_sessions,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
-        |FROM sess GROUP BY canonical_id""".stripMargin,
-    "td_retrieval_eval" -> {
+        |FROM sess GROUP BY canonical_id""".stripMargin),
+    // retrieval-eval battery: per-query precision/recall@10, MRR, and
+    // nDCG@10 of the exact cosine top-10 against same-label relevance —
+    // DCG in pinned integer micro-discounts so both engines sum the
+    // same integers (EvalMetrics.dcgDiscountsMicro literals appear
+    // verbatim in the oracle).
+    ("td_retrieval_eval",
+      ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val ranking = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("id") < 10).select(col("id").as("qid"), col("vec")),
+        e.select(col("id"), col("vec")), k = 10)
+      val relevant = e.filter(col("id") < 10)
+        .select(col("id").as("qid"), col("label"))
+        .join(e.select(col("id"), col("label")), Seq("label"))
+        .filter(col("qid") =!= col("id"))
+        .select(col("qid"), col("id"))
+      graft.operators.EvalMetrics.retrievalEval(ranking, relevant, k = 10)
+        .withColumn("first_hit_rank",
+          col("first_hit_rank").cast("long"))
+    }),
+      {
       val disc = graft.operators.EvalMetrics.dcgDiscountsMicro(10)
       val discCase = disc.zipWithIndex
         .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
@@ -1753,6 +1728,11 @@ object QueriesExtra {
          |    ELSE ROUND(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6)
          |  END AS ndcg
          |FROM j""".stripMargin
-    }
-  )
+    }))
+
+  val queries: Map[String, Q] =
+    gated.map(g => (g._1, g._2)).toMap
+
+  val oracles: Map[String, String] =
+    gated.map(g => (g._1, g._3)).toMap
 }

@@ -17,36 +17,7 @@ object QueriesSaas {
   private def env(s: org.apache.spark.sql.SparkSession, dir: String) =
     DriverEventsAdapter.load(s, dir)
 
-  val queries: Map[String, Q] = Map(
-    "k3_posthog" -> ((s, dir) => SaasProjections.posthogCapture(env(s, dir))),
-    "k3_amplitude" -> ((s, dir) => SaasProjections.amplitudeEvents(env(s, dir))),
-    "k3_intercom" -> ((s, dir) => SaasProjections.intercomRows(env(s, dir))),
-    "k3_mixpanel_people" -> ((s, dir) => SaasProjections.mixpanelPeople(env(s, dir))),
-    "k3_hubspot" -> ((s, dir) => SaasProjections.hubspotContacts(env(s, dir))),
-    "k3_braze" -> ((s, dir) => SaasProjections.brazeTrack(env(s, dir))),
-    "k3_june" -> ((s, dir) => SaasProjections.juneTrack(env(s, dir))),
-    "k3_segment" -> ((s, dir) => SaasProjections.segmentProxy(env(s, dir))),
-
-    // GA4 e-commerce items: the driver's purchase events carry no products
-    // array, so (adapter-style) a deterministic one is synthesized from
-    // (props.k, value) and pushed through the REAL parse→transform→explode
-    // path of ga4PurchaseItems.
-    "k3_ga4_items" -> ((s, dir) => {
-      val k = get_json_object(col("properties"), "$.k").cast("int")
-      val price = get_json_object(col("properties"), "$.value")
-      def prod(i: Int) = format_string(
-        "{\"product_id\":\"p%s-%s\",\"name\":\"Product %s-%s\",\"price\":%s," +
-          "\"quantity\":%s,\"category\":\"cat%s\",\"position\":%s}",
-        k, lit(i), k, lit(i), price,
-        lit(1) + pmod(k + lit(i), lit(3)), pmod(k, lit(4)), lit(i))
-      val productsJson = concat(lit("["), prod(1),
-        when(pmod(k, lit(2)) === 1, concat(lit(","), prod(2)))
-          .otherwise(lit("")), lit("]"))
-      SaasProjections.ga4PurchaseItems(
-        env(s, dir).filter(col("event") === "purchase"), productsJson)
-    }),
-    "k3_webhook" -> ((s, dir) => SaasProjections.webhookRequests(env(s, dir)))
-  )
+  // (queries is derived from gated, declared after the oracle helper CTEs below)
 
   /** Adapter rebuild with the context fields these projections read. */
   private val cte =
@@ -101,8 +72,14 @@ object QueriesSaas {
       |  FROM events)
       |""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "k3_posthog" -> (cte +
+  /** One row per gate: (name, query, oracle SQL) — a gate reads as
+    * ONE unit (the twin-map layout, query here / oracle hundreds of
+    * lines below, was a recurring editing hazard). Helper CTE vals
+    * stay declared above so object-init order is safe. */
+  val gated: Seq[(String, Q, String)] = Seq(
+    ("k3_posthog",
+      ((s, dir) => SaasProjections.posthogCapture(env(s, dir))),
+      (cte +
       """SELECT COALESCE(user_id, anonymous_id) AS distinct_id,
         |  CASE WHEN type = 'page' THEN '$pageview' ELSE event END AS event,
         |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) * 1000
@@ -113,8 +90,10 @@ object QueriesSaas {
         |  geo_city AS geoip_city_name, geo_country AS geoip_country_code,
         |  screen_w AS screen_width, screen_h AS screen_height,
         |  screen_dpi AS screen_dpi
-        |FROM env WHERE type IN ('track', 'page')""".stripMargin),
-    "k3_amplitude" -> (cte +
+        |FROM env WHERE type IN ('track', 'page')""".stripMargin)),
+    ("k3_amplitude",
+      ((s, dir) => SaasProjections.amplitudeEvents(env(s, dir))),
+      (cte +
       """, sess AS (
         |  SELECT message_id,
         |    anonymous_id || '-' || CAST(
@@ -162,8 +141,10 @@ object QueriesSaas {
         |  CAST(NULL AS DOUBLE) AS location_lat,
         |  CAST(NULL AS DOUBLE) AS location_lng,
         |  traits_email AS user_email, traits_name AS user_name
-        |FROM env WHERE type = 'identify' AND user_id IS NOT NULL""".stripMargin),
-    "k3_intercom" -> (cte +
+        |FROM env WHERE type = 'identify' AND user_id IS NOT NULL""".stripMargin)),
+    ("k3_intercom",
+      ((s, dir) => SaasProjections.intercomRows(env(s, dir))),
+      (cte +
       """SELECT 'contact' AS kind, 'user' AS role, user_id AS external_id,
         |  traits_email AS email, traits_name AS name,
         |  strftime(timestamp, '%Y-%m-%dT%H:%M:%SZ') AS last_seen_at,
@@ -180,21 +161,27 @@ object QueriesSaas {
         |       WHEN type = 'page' THEN 'page-view' ELSE type END AS event_name,
         |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT) AS created_at,
         |  page_url AS url, ip, 'UTC' AS timezone
-        |FROM env WHERE type NOT IN ('identify', 'group')""".stripMargin),
-    "k3_mixpanel_people" -> (cte +
+        |FROM env WHERE type NOT IN ('identify', 'group')""".stripMargin)),
+    ("k3_mixpanel_people",
+      ((s, dir) => SaasProjections.mixpanelPeople(env(s, dir))),
+      (cte +
       """SELECT COALESCE(user_id, anonymous_id) AS distinct_id,
         |  '{"$email":"' || traits_email || '","$name":"' || traits_name
         |    || '"}' AS set_payload
-        |FROM env WHERE type = 'identify' AND traits_email IS NOT NULL""".stripMargin),
-    "k3_hubspot" -> (cte +
+        |FROM env WHERE type = 'identify' AND traits_email IS NOT NULL""".stripMargin)),
+    ("k3_hubspot",
+      ((s, dir) => SaasProjections.hubspotContacts(env(s, dir))),
+      (cte +
       """SELECT traits_email AS email,
         |  'User' AS firstname,
         |  CAST(uid AS VARCHAR) AS lastname,
         |  user_id AS jitsu_user_id
         |FROM env
         |WHERE type = 'identify' AND user_id IS NOT NULL
-        |  AND traits_email IS NOT NULL""".stripMargin),
-    "k3_braze" -> (cte +
+        |  AND traits_email IS NOT NULL""".stripMargin)),
+    ("k3_braze",
+      ((s, dir) => SaasProjections.brazeTrack(env(s, dir))),
+      (cte +
       """SELECT user_id AS external_id,
         |  CASE WHEN user_id IS NULL THEN anonymous_id END AS alias_name,
         |  CASE WHEN user_id IS NULL THEN 'anonymous_id' END AS alias_label,
@@ -202,8 +189,10 @@ object QueriesSaas {
         |  strftime(timestamp, '%Y-%m-%dT%H:%M:%SZ') AS time,
         |  '{"k": ' || json_extract_string(props, '$.k') || ', "value": '
         |    || printf('%.2f', value) || '}' AS properties
-        |FROM env WHERE type = 'track'""".stripMargin),
-    "k3_june" -> (cte +
+        |FROM env WHERE type = 'track'""".stripMargin)),
+    ("k3_june",
+      ((s, dir) => SaasProjections.juneTrack(env(s, dir))),
+      (cte +
       """SELECT 'track' AS type,
         |  CASE WHEN type = 'page' THEN 'Page View' ELSE event END AS event,
         |  CAST(epoch(date_trunc('second', timestamp)) AS BIGINT)
@@ -213,8 +202,37 @@ object QueriesSaas {
         |  campaign_source, 'cpc' AS campaign_medium,
         |  screen_w AS screen_width, screen_h AS screen_height,
         |  ip, ua AS userAgent, locale
-        |FROM env WHERE type IN ('track', 'page')""".stripMargin),
-    "k3_ga4_items" -> (cte +
+        |FROM env WHERE type IN ('track', 'page')""".stripMargin)),
+    ("k3_segment",
+      ((s, dir) => SaasProjections.segmentProxy(env(s, dir))),
+      (cte +
+      """SELECT 'https://api.segment.io/v1/' || type AS url,
+        |  'POST' AS method,
+        |  to_base64(encode(write_key || ':')) AS authorization,
+        |  '{"message_id":"' || message_id || '","type":"' || type
+        |    || '","event":"' || event || '","anonymous_id":"'
+        |    || anonymous_id || '"}' AS payload
+        |FROM env""".stripMargin)),
+    // GA4 e-commerce items: the driver's purchase events carry no products
+    // array, so (adapter-style) a deterministic one is synthesized from
+    // (props.k, value) and pushed through the REAL parse→transform→explode
+    // path of ga4PurchaseItems.
+    ("k3_ga4_items",
+      ((s, dir) => {
+      val k = get_json_object(col("properties"), "$.k").cast("int")
+      val price = get_json_object(col("properties"), "$.value")
+      def prod(i: Int) = format_string(
+        "{\"product_id\":\"p%s-%s\",\"name\":\"Product %s-%s\",\"price\":%s," +
+          "\"quantity\":%s,\"category\":\"cat%s\",\"position\":%s}",
+        k, lit(i), k, lit(i), price,
+        lit(1) + pmod(k + lit(i), lit(3)), pmod(k, lit(4)), lit(i))
+      val productsJson = concat(lit("["), prod(1),
+        when(pmod(k, lit(2)) === 1, concat(lit(","), prod(2)))
+          .otherwise(lit("")), lit("]"))
+      SaasProjections.ga4PurchaseItems(
+        env(s, dir).filter(col("event") === "purchase"), productsJson)
+    }),
+      (cte +
       """, p AS (
         |  SELECT *, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |  FROM env WHERE event = 'purchase')
@@ -226,16 +244,10 @@ object QueriesSaas {
         |  CAST(1 + ((k + i) % 3) AS INTEGER) AS item_quantity,
         |  'cat' || (k % 4) AS item_category
         |FROM p CROSS JOIN (VALUES (1), (2)) t(i)
-        |WHERE i <= 1 + (k % 2)""".stripMargin),
-    "k3_segment" -> (cte +
-      """SELECT 'https://api.segment.io/v1/' || type AS url,
-        |  'POST' AS method,
-        |  to_base64(encode(write_key || ':')) AS authorization,
-        |  '{"message_id":"' || message_id || '","type":"' || type
-        |    || '","event":"' || event || '","anonymous_id":"'
-        |    || anonymous_id || '"}' AS payload
-        |FROM env""".stripMargin),
-    "k3_webhook" -> (cte +
+        |WHERE i <= 1 + (k % 2)""".stripMargin)),
+    ("k3_webhook",
+      ((s, dir) => SaasProjections.webhookRequests(env(s, dir))),
+      (cte +
       """SELECT 'https://hooks.example.com/jitsu' AS url, 'POST' AS method,
         |  'application/json' AS content_type,
         |  '{"message_id":"' || message_id || '","type":"' || type
@@ -244,6 +256,11 @@ object QueriesSaas {
         |    || CASE WHEN user_id IS NOT NULL
         |         THEN ',"user_id":"' || user_id || '"' ELSE '' END
         |    || '}' AS body
-        |FROM env""".stripMargin)
-  )
+        |FROM env""".stripMargin)))
+
+  val queries: Map[String, Q] =
+    gated.map(g => (g._1, g._2)).toMap
+
+  val oracles: Map[String, String] =
+    gated.map(g => (g._1, g._3)).toMap
 }

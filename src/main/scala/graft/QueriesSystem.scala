@@ -88,10 +88,17 @@ object QueriesSystem {
       in
     })
 
-  val queries: Map[String, Q] = Map(
+  // (queries is derived from gated, declared after the oracle helper CTEs below)
+
+  /** One row per gate: (name, query, oracle SQL) — a gate reads as
+    * ONE unit (the twin-map layout, query here / oracle hundreds of
+    * lines below, was a recurring editing hazard). Helper CTE vals
+    * stay declared above so object-init order is safe. */
+  val gated: Seq[(String, Q, String)] = Seq(
     // R1-R5: chain with SQL-mirrorable semantics — drop errors, enrich,
     // fan out purchases (only-last-multiplies)
-    "r1_chain" -> ((s, dir) => {
+    ("r1_chain",
+      ((s, dir) => {
       import s.implicits._
       val raw = s.read.parquet(s"$dir/events.parquet")
         .select(to_json(struct(col("event_id"), col("event_type"))).as("value"))
@@ -113,7 +120,11 @@ object QueriesSystem {
           col("status"))
         .agg(count(lit(1)).as("n"))
     }),
-
+      """SELECT event_type, 'success' AS status,
+        |  CAST(COUNT(*) * CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type""".stripMargin),
     // R1b: the reference's functions-chain scenario TABLE
     // (functions-chain-data.ts + functions-chain.test.ts expected sets)
     // replayed through FunctionChain in rotor-parity step mode: eight
@@ -122,7 +133,8 @@ object QueriesSystem {
     // a retry was queued — redriven for attempt 1. Every delivered
     // event's fields per (scenario, attempt) are value-pinned in the
     // oracle.
-    "r1b_chain_scenarios" -> ((s, dir) => {
+    ("r1b_chain_scenarios",
+      ((s, dir) => {
       import s.implicits._
       def props(e: ObjectNode): ObjectNode =
         if (e.has("properties") && e.get("properties").isObject)
@@ -217,7 +229,28 @@ object QueriesSystem {
         get_json_object(col("event"), "$.properties.retries")
           .cast("int").as("retries_prop"))
     }),
-
+      // the reference's expected event sets, hand-copied per (scenario,
+          // attempt) from functions-chain.test.ts expectedEvents — NOT a
+          // replay of the implementation
+      """SELECT scenario, CAST(attempt AS INT) AS attempt,
+        |  CAST(n AS INT) AS n, event_type, first, second, third,
+        |  CAST(counter AS INT) AS counter,
+        |  CAST(retries_prop AS INT) AS retries_prop
+        |FROM (VALUES
+        |  ('simple',      0, NULL, 'track', '1st', '2nd', '3rd', 3, 0),
+        |  ('error',       0, NULL, 'track', '1st', NULL,  '3rd', 2, 0),
+        |  ('retry',       0, NULL, 'track', '1st', NULL,  '3rd', 2, 0),
+        |  ('retry',       1, NULL, 'track', '1st', '2nd', '3rd', 3, 1),
+        |  ('drop_retry',  1, NULL, 'track', '1st', '2nd', '3rd', 3, 1),
+        |  ('dst_retry',   1, NULL, 'track', '1st', '2nd', '3rd', 3, 0),
+        |  ('multi',       0, 1,    'track', '1st', '2nd', NULL,  2, 0),
+        |  ('multi',       0, 2,    'track', '1st', '2nd', NULL,  2, 0),
+        |  ('multi_middle',0, NULL, 'track', '1st', '2nd', NULL,  2, 0),
+        |  ('multi_retry', 0, NULL, 'track', '1st', '2nd', NULL,  2, 0),
+        |  ('multi_retry', 1, 1,    'track', '1st', '2nd', NULL,  2, 1),
+        |  ('multi_retry', 1, 2,    'track', '1st', '2nd', NULL,  2, 1)
+        |) t(scenario, attempt, n, event_type, first, second, third,
+        |    counter, retries_prop)""".stripMargin),
     // §3.2 synchronous multi-connection invocation
     // (FunctionsHandlerMulti): the SAME event stream through three
     // connections' chains in one call, retries disabled — the
@@ -225,7 +258,8 @@ object QueriesSystem {
     // (no queue), the dropping connection silently eats errors, the
     // tagging connection transforms. Per-(connection, status, type)
     // counts are the response surface the sync endpoint returns.
-    "r3b_sync_multi" -> ((s, dir) => {
+    ("r3b_sync_multi",
+      ((s, dir) => {
       import s.implicits._
       val raw = s.read.parquet(s"$dir/events.parquet")
         .select(to_json(struct(col("event_id"), col("event_type")))
@@ -248,14 +282,27 @@ object QueriesSystem {
           get_json_object(col("event"), "$.event_type").as("event_type"))
         .agg(count(lit(1)).as("n"))
     }),
-
+      // sync multi: every (connection, status, type) cell derivable from
+          // the three chains' semantics over the raw event-type distribution
+      """WITH base AS (SELECT event_type, COUNT(*) AS n FROM events
+        |  GROUP BY event_type)
+        |SELECT 'c_webhook' AS connection_id, 'success' AS status,
+        |  event_type, CAST(n AS BIGINT) AS n FROM base
+        |UNION ALL
+        |SELECT 'c_filter', 'success', event_type, CAST(n AS BIGINT)
+        |FROM base WHERE event_type <> 'error'
+        |UNION ALL
+        |SELECT 'c_flaky',
+        |  CASE WHEN event_type = 'click' THEN 'error' ELSE 'success' END,
+        |  event_type, CAST(n AS BIGINT) FROM base""".stripMargin),
     // P12 diff-minimized sync responses: three connections whose
     // transforms produce KNOWN merge patches — add a field, rewrite a
     // field, remove a field — so every per-(connection, patch) count
     // derives from the event-type distribution. The patch IS the
     // response payload (unchanged fields omitted, removals explicit
     // nulls).
-    "r3c_sync_diff" -> ((s, dir) => {
+    ("r3c_sync_diff",
+      ((s, dir) => {
       import s.implicits._
       val raw = s.read.parquet(s"$dir/events.parquet")
         .select(to_json(struct(col("event_id"), col("event_type")))
@@ -277,10 +324,24 @@ object QueriesSystem {
         .groupBy(col("connection_id"), col("status"), col("patch"))
         .agg(count(lit(1)).as("n"))
     }),
-
+      // diff responses: the three transforms' merge patches are exactly
+          // derivable — add => {"tagged":true}, rewrite => the uppercased
+          // type, remove => explicit null
+      """WITH base AS (SELECT event_type, COUNT(*) AS n FROM events
+        |  GROUP BY event_type),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM base)
+        |SELECT 'c_tag' AS connection_id, 'success' AS status,
+        |  '{"tagged":true}' AS patch, t AS n FROM tot
+        |UNION ALL
+        |SELECT 'c_strip', 'success', '{"event_id":null}', t FROM tot
+        |UNION ALL
+        |SELECT 'c_upper', 'success',
+        |  '{"event_type":"' || UPPER(event_type) || '"}',
+        |  CAST(n AS BIGINT) FROM base""".stripMargin),
     // K1: sink router round-trip — append, then UR re-emission overwrite
     // via dedup merge on message_id
-    "k1_sink_dedup" -> ((s, dir) => {
+    ("k1_sink_dedup",
+      ((s, dir) => {
       val wh = tmp("graft-q-sink")
       val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
       // env is consumed by BOTH write passes (append, then the UR
@@ -302,14 +363,41 @@ object QueriesSystem {
           countDistinct(col("message_id")).as("n_messages"),
           sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
     }),
-
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    'a' || user_id AS anonymous_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp
+        |  FROM events),
+        |resolved AS (
+        |  SELECT message_id,
+        |    COALESCE(user_id,
+        |      CASE WHEN next_id_ts IS NOT NULL
+        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
+        |      AS user_id
+        |  FROM (
+        |    SELECT *,
+        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |        AS next_id_ts,
+        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
+        |    FROM env
+        |    WINDOW w AS (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_identified
+        |FROM resolved""".stripMargin),
     // Partition backfill (INSERT OVERWRITE PARTITION / replaceWhere):
     // reprocess one broken day — the full stream lands first, then day
     // 2024-01-05 is atomically replaced by a corrected batch (same
     // rows, type uppercased as the visible fix) through the manifest
     // swap; every other partition is untouched. The oracle replays the
     // day-scoped substitution over the raw events.
-    "k14_backfill" -> ((s, dir) => {
+    ("k14_backfill",
+      ((s, dir) => {
       val wh = tmp("graft-q-bf")
       val router = new SinkRouter(wh)
       val env = DriverEventsAdapter.load(s, dir)
@@ -327,14 +415,27 @@ object QueriesSystem {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("message_id")).as("uniq"))
     }),
-
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp,
+        |    CASE WHEN event_type = 'signup' THEN 'identify'
+        |         WHEN event_type = 'view' THEN 'page'
+        |         ELSE 'track' END AS type
+        |  FROM events)
+        |SELECT strftime(timestamp, '%Y-%m-%d') AS day,
+        |  CASE WHEN strftime(timestamp, '%Y-%m-%d') = '2024-01-05'
+        |    THEN UPPER(type) ELSE type END AS type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq
+        |FROM env GROUP BY 1, 2""".stripMargin),
     // Time travel (zero-copy snapshots): v1 is snapshotted BEFORE the
     // UR re-emission merge rewrites its partitions; afterwards the
     // snapshot still reads back as the pre-merge table (hard-linked
     // inodes survive the swap's unlinks) while the live table shows
     // the merged state. One query gates both timelines against the
     // SQL replay of each.
-    "k15_snapshot" -> ((s, dir) => {
+    ("k15_snapshot",
+      ((s, dir) => {
       val wh = tmp("graft-q-snap")
       val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
       val env = DriverEventsAdapter.load(s, dir)
@@ -358,13 +459,48 @@ object QueriesSystem {
       stat(router.readSnapshot(s, "events", "v1"), "v1")
         .unionByName(stat(router.readTable(s, "events"), "live"))
     }),
-
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    'a' || user_id AS anonymous_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp
+        |  FROM events),
+        |resolved AS (
+        |  SELECT message_id,
+        |    COALESCE(user_id,
+        |      CASE WHEN next_id_ts IS NOT NULL
+        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
+        |      AS user_id
+        |  FROM (
+        |    SELECT *,
+        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |        AS next_id_ts,
+        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
+        |    FROM env
+        |    WINDOW w AS (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_identified,
+        |  'v1' AS src
+        |FROM env
+        |UNION ALL
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_identified,
+        |  'live' AS src
+        |FROM resolved""".stripMargin),
     // GDPR Art. 15 subject-access export — the read counterpart of
     // k10's right-to-be-forgotten: all rows for one subject across
     // every keyed warehouse table (tables without the key column are
     // skipped), reduced to per-table counts + an order-canonical id
     // hash the oracle replays from the raw events.
-    "k13_sar" -> ((s, dir) => {
+    ("k13_sar",
+      ((s, dir) => {
       val wh = tmp("graft-q-sar")
       val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
       val env = DriverEventsAdapter.load(s, dir)
@@ -385,12 +521,28 @@ object QueriesSystem {
             get_json_object(col("row_json"), "$.message_id")))))
             .as("ids_hash"))
     }),
-
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    'a' || user_id AS anonymous_id,
+        |    CASE WHEN event_type = 'signup' THEN 'identify'
+        |         WHEN event_type = 'view' THEN 'page'
+        |         ELSE 'track' END AS type
+        |  FROM events)
+        |SELECT 'events' AS "table", CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  md5(string_agg(message_id, ',' ORDER BY message_id)) AS ids_hash
+        |FROM env WHERE anonymous_id = 'a42'
+        |HAVING COUNT(*) > 0
+        |UNION ALL
+        |SELECT 'identifies', CAST(COUNT(*) AS BIGINT),
+        |  md5(string_agg(message_id, ',' ORDER BY message_id))
+        |FROM env WHERE anonymous_id = 'a42' AND type = 'identify'
+        |HAVING COUNT(*) > 0""".stripMargin),
     // K2: the SAME append + UR-re-emit + MERGE flow as k1_sink_dedup on
     // an ORC warehouse (SinkOptions(format="orc")) — the format is the
     // only variable, the oracle is identical, so the gate proves the
     // whole commit/merge/sidecar protocol is format-agnostic.
-    "k2b_orc_sink" -> ((s, dir) => {
+    ("k2b_orc_sink",
+      ((s, dir) => {
       val wh = tmp("graft-q-orc")
       val router = new SinkRouter(wh,
         SinkOptions(deduplicate = true, format = "orc"))
@@ -410,14 +562,41 @@ object QueriesSystem {
           countDistinct(col("message_id")).as("n_messages"),
           sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
     }),
-
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    'a' || user_id AS anonymous_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp
+        |  FROM events),
+        |resolved AS (
+        |  SELECT message_id,
+        |    COALESCE(user_id,
+        |      CASE WHEN next_id_ts IS NOT NULL
+        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
+        |      AS user_id
+        |  FROM (
+        |    SELECT *,
+        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |        AS next_id_ts,
+        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
+        |    FROM env
+        |    WINDOW w AS (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_identified
+        |FROM resolved""".stripMargin),
     // K2: JDBC warehouse round-trip (embedded Derby standing in for
     // postgres/mysql) — same append-then-merge flow as k1_sink_dedup,
     // through CREATE TABLE / staged bulk load / ANSI MERGE. Scoped to a
     // deterministic third of the stream (one connection's share — the
     // realistic load for a row-store destination; a row store ingesting
     // the full firehose is a misconfiguration, not a benchmark).
-    "k2_jdbc" -> ((s, dir) => {
+    ("k2_jdbc",
+      ((s, dir) => {
       val db = tmp("graft-q-jdbc")
       val sink = new graft.sinks.JdbcSink(s"jdbc:derby:$db/wh;create=true",
         SinkOptions(deduplicate = true))
@@ -439,7 +618,33 @@ object QueriesSystem {
           countDistinct(col("message_id")).as("n_messages"),
           sum(when(col("user_id").isNotNull, 1).otherwise(0)).as("n_identified"))
     }),
-
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    'a' || user_id AS anonymous_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp
+        |  FROM events WHERE event_id % 3 = 0),
+        |resolved AS (
+        |  SELECT message_id,
+        |    COALESCE(user_id,
+        |      CASE WHEN next_id_ts IS NOT NULL
+        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
+        |      AS user_id
+        |  FROM (
+        |    SELECT *,
+        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
+        |        AS next_id_ts,
+        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
+        |    FROM env
+        |    WINDOW w AS (PARTITION BY anonymous_id
+        |      ORDER BY timestamp, message_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_identified
+        |FROM resolved""".stripMargin),
     // K4: document-store destination (ref mongodb-destination.ts:41-61 —
     // upsert the WHOLE event document keyed by its id). The observable
     // contract is id-keyed whole-doc upsert of a serialized document
@@ -448,7 +653,8 @@ object QueriesSystem {
     // by concat so the oracle reproduces it byte-for-byte; identify
     // events are re-written as v2 (the $set re-upsert) and must replace
     // their v1 rows.
-    "k4_docstore" -> ((s, dir) => {
+    ("k4_docstore",
+      ((s, dir) => {
       val db = tmp("graft-q-doc")
       val sink = new graft.sinks.JdbcSink(s"jdbc:derby:$db/wh;create=true",
         SinkOptions(deduplicate = true, primaryKey = "_id",
@@ -476,14 +682,32 @@ object QueriesSystem {
           sum(get_json_object(col("doc"), "$.v").cast("long")).as("sum_v"),
           sum(length(col("doc"))).as("doc_bytes"))
     }),
-
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    CASE WHEN event_type = 'signup' THEN 'identify'
+        |         WHEN event_type = 'view' THEN 'page'
+        |         ELSE 'track' END AS type
+        |  FROM events WHERE event_id % 10 = 0),
+        |docs AS (
+        |  SELECT message_id,
+        |    CASE WHEN type = 'identify' THEN 2 ELSE 1 END AS v,
+        |    '{"message_id":"' || message_id || '","type":"' || type ||
+        |      '","v":' || (CASE WHEN type = 'identify' THEN 2 ELSE 1 END)
+        |      || '}' AS doc
+        |  FROM env)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_ids,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v,
+        |  CAST(SUM(length(doc)) AS BIGINT) AS doc_bytes
+        |FROM docs""".stripMargin),
     // K10: GDPR right-to-be-forgotten — DELETE WHERE over the file
     // warehouse. Write the events table, erase every row attributable to
     // a deterministic 10% of identified users (partition-pruned rewrite
     // through the manifest-swap protocol), read back. The gate checks
     // both the survivors (grouped counts) and the deleted row count the
     // driver-side API returned.
-    "k10_gdpr_delete" -> ((s, dir) => {
+    ("k10_gdpr_delete",
+      ((s, dir) => {
       val wh = tmp("graft-q-gdpr")
       val router = new SinkRouter(wh, SinkOptions())
       val env = DriverEventsAdapter.load(s, dir)
@@ -501,7 +725,27 @@ object QueriesSystem {
             .as("n_identified"))
         .withColumn("n_deleted", lit(nDeleted))
     }),
-
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CASE WHEN event_type = 'signup' THEN 'identify'
+        |         WHEN event_type = 'view' THEN 'page'
+        |         ELSE 'track' END AS type
+        |  FROM events),
+        |del AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted FROM env
+        |  WHERE user_id IS NOT NULL
+        |    AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 3)
+        |SELECT type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_identified,
+        |  n_deleted
+        |FROM env CROSS JOIN del
+        |WHERE NOT (user_id IS NOT NULL
+        |           AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 3)
+        |GROUP BY type, n_deleted""".stripMargin),
     // K10b: merge-on-read erasure — deletion vectors instead of the
     // partition rewrite (delete = keys-sized sidecar write, applied as
     // a broadcast anti join at read; purge folds them in later). The
@@ -509,7 +753,8 @@ object QueriesSystem {
     // vectors ('mor', collected before the purge mutates files), once
     // after purgeDeletes ('purged') — so the oracle gates that both
     // mechanisms erase identically, plus the key/row counts.
-    "k10b_delete_mor" -> ((s, dir) => {
+    ("k10b_delete_mor",
+      ((s, dir) => {
       val wh = tmp("graft-q-mor")
       val router = new SinkRouter(wh, SinkOptions())
       val env = DriverEventsAdapter.load(s, dir)
@@ -533,12 +778,36 @@ object QueriesSystem {
         .withColumn("n_deleted_keys", lit(nKeys))
         .withColumn("n_purged_rows", lit(nPurged))
     }),
-
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    CASE WHEN event_type IN ('signup','purchase')
+        |         THEN 'u' || user_id END AS user_id,
+        |    CASE WHEN event_type = 'signup' THEN 'identify'
+        |         WHEN event_type = 'view' THEN 'page'
+        |         ELSE 'track' END AS type
+        |  FROM events),
+        |del AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM env
+        |  WHERE user_id IS NOT NULL
+        |    AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 7),
+        |sel AS (
+        |  SELECT type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages
+        |  FROM env
+        |  WHERE NOT (user_id IS NOT NULL
+        |             AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 7)
+        |  GROUP BY type)
+        |SELECT type, n, n_messages, stage,
+        |  nd AS n_deleted_keys, nd AS n_purged_rows
+        |FROM (SELECT sel.*, 'mor' AS stage FROM sel
+        |      UNION ALL
+        |      SELECT sel.*, 'purged' AS stage FROM sel), del""".stripMargin),
     // K11: retention vacuum — drop partitions older than the retention
     // window (here 14 days back from the newest event date). Pure
     // directory-rename maintenance, zero data read; the gate checks the
     // surviving day range plus the dropped-partition count.
-    "k11_vacuum" -> ((s, dir) => {
+    ("k11_vacuum",
+      ((s, dir) => {
       val wh = tmp("graft-q-vac")
       val router = new SinkRouter(wh, SinkOptions())
       val env = DriverEventsAdapter.load(s, dir)
@@ -556,11 +825,28 @@ object QueriesSystem {
             .as("max_day"))
         .withColumn("n_dropped_partitions", lit(dropped.size))
     }),
-
+      """WITH env AS (
+        |  SELECT 'm' || event_id AS message_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp
+        |  FROM events),
+        |mx AS (SELECT MAX(CAST(timestamp AS DATE)) AS max_day FROM env),
+        |drp AS (
+        |  SELECT CAST(COUNT(DISTINCT CAST(e.timestamp AS DATE)) AS INT)
+        |    AS n_dropped_partitions
+        |  FROM env e, mx
+        |  WHERE CAST(e.timestamp AS DATE) < mx.max_day - 14)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT CAST(timestamp AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(MIN(CAST(timestamp AS DATE)) AS VARCHAR) AS min_day,
+        |  CAST(MAX(CAST(timestamp AS DATE)) AS VARCHAR) AS max_day,
+        |  (SELECT n_dropped_partitions FROM drp) AS n_dropped_partitions
+        |FROM env, mx
+        |WHERE CAST(timestamp AS DATE) >= mx.max_day - 14""".stripMargin),
     // K9/R1: dead-letter flow — a permanently failing destination is
     // retried MaxRetries times with exponential backoff, then every event
     // lands in the DLQ split; backoff schedule oracle-checked
-    "k9_dlq" -> ((s, dir) => {
+    ("k9_dlq",
+      ((s, dir) => {
       import s.implicits._
       val raw = s.read.parquet(s"$dir/events.parquet")
         .select(to_json(struct(col("event_id"), col("event_type"))).as("value"))
@@ -588,11 +874,15 @@ object QueriesSystem {
         round(max(chain.RetryPolicy.backoffMinutes(lit(3))), 1).as("b3"),
         round(max(chain.RetryPolicy.backoffMinutes(lit(4))), 1).as("b4"))
     }),
-
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_dead,
+        |  4 AS final_attempt,
+        |  10.0 AS b1, 100.0 AS b2, 1000.0 AS b3, 1440.0 AS b4
+        |FROM events""".stripMargin),
     // K7: events-log sink persisted as a real warehouse table — chain
     // outputs (success/retry with levels) land via the sink router and
     // aggregate back out
-    "k7_events_log" -> ((s, dir) => {
+    ("k7_events_log",
+      ((s, dir) => {
       import s.implicits._
       val wh = tmp("graft-q-log")
       val router = new SinkRouter(wh)
@@ -616,13 +906,21 @@ object QueriesSystem {
         .groupBy(col("level"), col("status"), col("function_id"))
         .agg(count(lit(1)).as("n"))
     }),
-
+      """SELECT 'warn' AS level, 'retry' AS status, 'dst' AS function_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'info', 'success', 'dst',
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END)
+        |    AS BIGINT)
+        |FROM events WHERE event_type IN ('view', 'signup', 'purchase')""".stripMargin),
     // P1b/§7.5: dynamic property hoisting + sink schema evolution — two
     // batches whose properties carry DIFFERENT key sets are hoisted to
     // real columns and land in ONE event-named table; the second batch
     // evolves the table schema (coupon), the first batch's rows read the
     // new column back as null (and vice versa for value).
-    "p1b_hoist_evolve" -> ((s, dir) => {
+    ("p1b_hoist_evolve",
+      ((s, dir) => {
       val wh = tmp("graft-q-hoist")
       val router = new SinkRouter(wh)
       // each batch's hoist runs a distributed inference pass AND a write
@@ -653,7 +951,22 @@ object QueriesSystem {
         count(col("coupon")).as("n_coupon"),
         countDistinct(col("coupon")).as("uniq_coupons"))
     }),
-
+      """WITH c AS (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CAST(printf('%.2f', value) AS DOUBLE) AS value2
+        |  FROM events WHERE event_type = 'click')
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  ROUND(SUM(CASE WHEN event_id % 2 = 0 THEN value2 END), 2)
+        |    AS sum_value,
+        |  CAST(COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_value,
+        |  CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |    AS n_coupon,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 1
+        |    THEN 'cp' || (event_id % 7) END) AS BIGINT) AS uniq_coupons
+        |FROM c""".stripMargin),
     // P1c/§1.1: the VARIANT twin of p1b — the same two-batch hoist +
     // sink evolution, but properties are parse_json'd into Spark 4
     // VariantType and hoisted via schema_of_variant_agg + variant_get
@@ -661,7 +974,8 @@ object QueriesSystem {
     // The oracle is p1b's oracle verbatim: the two paths must be
     // hash-identical, which pins the DECIMAL→DOUBLE alignment rule in
     // hoistPropertiesVariant.
-    "p1c_variant" -> ((s, dir) => {
+    ("p1c_variant",
+      ((s, dir) => {
       val wh = tmp("graft-q-hoistv")
       val router = new SinkRouter(wh)
       val clicks = DriverEventsAdapter.load(s, dir)
@@ -690,9 +1004,26 @@ object QueriesSystem {
         count(col("coupon")).as("n_coupon"),
         countDistinct(col("coupon")).as("uniq_coupons"))
     }),
-
+      // the variant path must be value-identical to the JSON-string path
+      """WITH c AS (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CAST(printf('%.2f', value) AS DOUBLE) AS value2
+        |  FROM events WHERE event_type = 'click')
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  ROUND(SUM(CASE WHEN event_id % 2 = 0 THEN value2 END), 2)
+        |    AS sum_value,
+        |  CAST(COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_value,
+        |  CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |    AS n_coupon,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 1
+        |    THEN 'cp' || (event_id % 7) END) AS BIGINT) AS uniq_coupons
+        |FROM c""".stripMargin),
     // L1: guarded SQL — user limit clamped to 50, row-numbered
-    "l1_sql_guard" -> ((s, dir) => {
+    ("l1_sql_guard",
+      ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .createOrReplaceTempView("lineitem_guard")
       GuardedSql.query(s,
@@ -700,14 +1031,18 @@ object QueriesSystem {
           |ORDER BY l_orderkey, l_linenumber LIMIT 9999""".stripMargin)
         .withColumnRenamed("#", "row_num")
     }),
-
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INT)
+        |    AS row_num
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin),
     // streaming incremental corpus construction: three document batches
     // (doc_id % 3, one file per micro-batch in mtime order) flow through
     // CorpusIngest — each checked against the accumulated signature
     // index, survivors extend it, every doc's outcome logged. Oracle:
     // the batch-sequential drop rule unrolled over the exact-Jaccard
     // pair list in SQL
-    "s2_corpus_ingest" -> ((s, dir) => {
+    ("s2_corpus_ingest",
+      ((s, dir) => {
       val in = stageCorpusBatches(s, dir)
       val idx = tmp("graft-ci-idx")
       val out = tmp("graft-ci-out"); val cp = tmp("graft-ci-cp")
@@ -720,14 +1055,54 @@ object QueriesSystem {
         .withColumn("batch", pmod(col("doc_id"), lit(3)).cast("int"))
         .select(col("doc_id"), col("batch"), col("status"))
     }),
-
+      """WITH ws0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS w
+        |  FROM documents),
+        |ws AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS b,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM ws0 WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, b, len(sh) AS n_sh, unnest(sh) AS s FROM ws),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+        |    b.n_sh AS n_b, a.b AS ba, b.b AS bb, COUNT(*) AS i
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |jp AS (SELECT id_a, id_b, ba, bb FROM inter
+        |       WHERE ROUND(i * 1.0 / (n_a + n_b - i), 4) >= 0.5),
+        |d0 AS (SELECT id_b AS id FROM jp WHERE ba = 0 AND bb = 0),
+        |k0 AS (SELECT doc_id FROM ws WHERE b = 0
+        |       AND doc_id NOT IN (SELECT id FROM d0)),
+        |d1 AS (SELECT id_b AS id FROM jp WHERE ba = 1 AND bb = 1
+        |       UNION SELECT id_b FROM jp WHERE ba = 0 AND bb = 1
+        |         AND id_a IN (SELECT doc_id FROM k0)
+        |       UNION SELECT id_a FROM jp WHERE ba = 1 AND bb = 0
+        |         AND id_b IN (SELECT doc_id FROM k0)),
+        |k01 AS (SELECT doc_id FROM ws WHERE b = 1
+        |          AND doc_id NOT IN (SELECT id FROM d1)
+        |        UNION ALL SELECT doc_id FROM k0),
+        |d2 AS (SELECT id_b AS id FROM jp WHERE ba = 2 AND bb = 2
+        |       UNION SELECT id_b FROM jp WHERE bb = 2 AND ba < 2
+        |         AND id_a IN (SELECT doc_id FROM k01)
+        |       UNION SELECT id_a FROM jp WHERE ba = 2 AND bb < 2
+        |         AND id_b IN (SELECT doc_id FROM k01)),
+        |dropped AS (SELECT DISTINCT id FROM
+        |  (SELECT id FROM d0 UNION ALL SELECT id FROM d1
+        |   UNION ALL SELECT id FROM d2))
+        |SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS batch,
+        |  CASE WHEN dr.id IS NOT NULL THEN 'dup' ELSE 'kept' END AS status
+        |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.id""".stripMargin),
     // streaming embedding-index ingest: three embedding batches flow
     // through AnnIngest — the FIRST seeds the IVF quantizer (its 8
     // smallest-id vectors become the cells), every batch is assigned
     // against the STORED centroids and appended to the cell-partitioned
     // vector table. Oracle: the seed rule + the rounded-cosine argmax
     // (ties to the lower cell) replayed exactly in SQL
-    "s3_ann_ingest" -> ((s, dir) => {
+    ("s3_ann_ingest",
+      ((s, dir) => {
       val in = stageVecBatches(s, dir)
       val idx = tmp("graft-ai-idx")
       val out = tmp("graft-ai-out"); val cp = tmp("graft-ai-cp")
@@ -738,12 +1113,28 @@ object QueriesSystem {
         .withColumn("batch", pmod(col("vec_id"), lit(3)).cast("int"))
         .select(col("vec_id"), col("batch"), col("cell"), col("cos"))
     }),
-
+      """WITH cents AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cell, embedding AS cvec
+        |  FROM embeddings
+        |  WHERE vec_id % 3 = 0 AND embedding IS NOT NULL
+        |  ORDER BY vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT e.vec_id, CAST(e.vec_id % 3 AS INT) AS batch, c.cell,
+        |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      c.cvec::DOUBLE[]), 6) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+        |        c.cvec::DOUBLE[]), 6) DESC, c.cell) AS rk
+        |  FROM embeddings e CROSS JOIN cents c
+        |  WHERE e.embedding IS NOT NULL)
+        |SELECT vec_id, batch, cell, cos FROM scored WHERE rk = 1""".stripMargin),
     // L1 + extensions: a native graft expression (word_shingles,
     // registered by GraftExtensions) called straight from the guarded
     // SQL surface — the "switch engines, keep your SQL" contract; the
     // oracle replays the shingle definition in DuckDB list ops
-    "l2_sql_functions" -> ((s, dir) => {
+    ("l2_sql_functions",
+      ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
         .createOrReplaceTempView("documents_guard")
       GuardedSql.query(s,
@@ -751,14 +1142,28 @@ object QueriesSystem {
           |FROM documents_guard ORDER BY doc_id LIMIT 9999""".stripMargin)
         .withColumnRenamed("#", "row_num")
     }),
-
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(CASE WHEN len(w) < 3 THEN 0
+        |    ELSE len(list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) END AS INT)
+        |    AS n_shingles
+        |  FROM ws)
+        |SELECT doc_id, n_shingles,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INT) AS row_num
+        |FROM sh ORDER BY doc_id LIMIT 50""".stripMargin),
     // S8/L4: schema introspection through the guarded-SQL catalog
     // surface (ref sql/schema.ts:38-64) — the table/column/type listing
     // a query console shows. Engine-specific type names are mapped to a
     // neutral vocabulary on BOTH sides (Spark catalog types here,
     // DuckDB information_schema in the oracle), so the gate asserts the
     // two engines agree on the actual parquet schema
-    "l4_sql_describe" -> ((s, dir) => {
+    ("l4_sql_describe",
+      ((s, dir) => {
       for (t <- Seq("lineitem", "region", "documents", "embeddings"))
         s.read.parquet(s"$dir/$t.parquet")
           .createOrReplaceTempView(s"${t}_cat")
@@ -778,13 +1183,23 @@ object QueriesSystem {
         }
         .toDF("table_name", "column_name", "data_type")
     }),
-
+      """SELECT table_name, column_name,
+        |  CASE lower(data_type)
+        |    WHEN 'bigint' THEN 'int64' WHEN 'integer' THEN 'int32'
+        |    WHEN 'double' THEN 'float64' WHEN 'varchar' THEN 'string'
+        |    WHEN 'timestamp' THEN 'timestamp'
+        |    WHEN 'float[]' THEN 'list<float32>'
+        |    ELSE lower(data_type) END AS data_type
+        |FROM information_schema.columns
+        |WHERE table_name IN
+        |  ('lineitem', 'region', 'documents', 'embeddings')""".stripMargin),
     // K12: CDC apply — a Debezium-shaped op batch (i/u/d + lsn) folded
     // into the customer snapshot: per key the max-lsn op decides
     // (u-then-u last-wins, u-then-d delete-wins), inserts add new keys,
     // untouched rows pass through. Gate = per-segment rollup of the
     // post-batch table (CDC_NEW segment isolates the inserts)
-    "k12_cdc_apply" -> ((s, dir) => {
+    ("k12_cdc_apply",
+      ((s, dir) => {
       import graft.operators.Cdc
       val c = s.read.parquet(s"$dir/customer.parquet")
       val m = pmod(col("c_custkey"), lit(7))
@@ -813,14 +1228,27 @@ object QueriesSystem {
           round(sum(col("c_acctbal")), 2).as("sum_bal"),
           countDistinct(col("c_custkey")).as("n_keys"))
     }),
-
+      """WITH final AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_custkey % 7 NOT IN (0, 1, 2)
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 200, c_mktsegment FROM customer
+        |  WHERE c_custkey % 7 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal + 50.0, 'CDC_NEW'
+        |  FROM customer WHERE c_custkey % 7 = 3)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  ROUND(SUM(c_acctbal), 2) AS sum_bal,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+        |FROM final GROUP BY c_mktsegment""".stripMargin),
     // K12b: CDC STREAM apply — three micro-batches fold into a
     // SinkRouter table at O(batch) cost (upserts ride the dedup merge,
     // deletes ride the MoR deletion vector, re-inserts un-tombstone):
     // keys %7==0 are deleted in batch 2 and RESURRECTED in batch 3,
     // %7==1 updated twice (full-row image, last wins), %7==2 deleted
     // last — the oracle replays the global max-lsn outcome per key
-    "k12b_cdc_stream" -> ((s, dir) => {
+    ("k12b_cdc_stream",
+      ((s, dir) => {
       val wh = tmp("graft-q-cdcs")
       val router = new SinkRouter(wh,
         SinkOptions(deduplicate = true, primaryKey = "c_custkey"))
@@ -850,7 +1278,20 @@ object QueriesSystem {
           round(sum(col("c_acctbal")), 2).as("sum_bal"),
           countDistinct(col("c_custkey")).as("n_keys"))
     }),
-
+      """WITH final AS (
+        |  SELECT c_custkey, c_acctbal + 7.0 AS bal,
+        |    'CDC_BACK' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 200, c_mktsegment FROM customer
+        |  WHERE c_custkey % 7 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_custkey % 7 NOT IN (0, 1, 2))
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  ROUND(SUM(bal), 2) AS sum_bal,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+        |FROM final GROUP BY c_mktsegment""".stripMargin),
     // S7: connector sync — Airbyte-style stream pulls: two sync RUNS
     // over two streams (orders INCREMENTAL on an o_orderdate high-water
     // mark, customer FULL_REFRESH), state threaded between runs. The
@@ -858,7 +1299,8 @@ object QueriesSystem {
     // warehouse dedup-merge absorbs them, so run 2 leaves the table
     // unchanged — the oracle gates rows-read, the emitted cursor state,
     // AND the post-run table cardinality for every (stream, run)
-    "s7_sync_incremental" -> ((s, dir) => {
+    ("s7_sync_incremental",
+      ((s, dir) => {
       import graft.sources.ConnectorSync
       import ConnectorSync.{StreamConfig, StreamState}
       val wh = tmp("graft-q-sync")
@@ -887,10 +1329,33 @@ object QueriesSystem {
       (rows1 ++ rows2).toDF(
         "stream", "run", "mode", "rows_read", "cursor_out", "table_rows")
     }),
-
+      """WITH p AS (
+        |  SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+        |mx AS (SELECT MAX(o_orderdate) AS m FROM p),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
+        |SELECT 'orders' AS stream, 1 AS run, 'incremental' AS mode,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS rows_read,
+        |  (SELECT strftime(m, '%Y-%m-%d %H:%M:%S') FROM mx) AS cursor_out,
+        |  (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM p)
+        |    AS table_rows
+        |UNION ALL
+        |SELECT 'orders', 2, 'incremental',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p, mx
+        |   WHERE o_orderdate >= m),
+        |  (SELECT strftime(m, '%Y-%m-%d %H:%M:%S') FROM mx),
+        |  (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM p)
+        |UNION ALL
+        |SELECT 'customer', 1, 'full_refresh',
+        |  (SELECT n FROM c), CAST(NULL AS VARCHAR), (SELECT n FROM c)
+        |UNION ALL
+        |SELECT 'customer', 2, 'full_refresh',
+        |  (SELECT n FROM c), CAST(NULL AS VARCHAR), (SELECT n FROM c)
+        |""".stripMargin),
     // §3.1: streaming pipeline round-trip — JSON file source ->
     // envelope -> dedup-in-watermark -> layout -> sink router
-    "s1_streaming" -> ((s, dir) => {
+    ("s1_streaming",
+      ((s, dir) => {
       val in = stageStreamingInput(s, dir)
       val wh = tmp("graft-q-wh"); val cp = tmp("graft-q-cp")
       // state shards sized to the workload (~100k live dedup keys at
@@ -905,13 +1370,19 @@ object QueriesSystem {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("message_id")).as("n_distinct"))
     }),
-
+      """SELECT CASE WHEN event_type = 'signup' THEN 'identify'
+        |            WHEN event_type = 'view' THEN 'page'
+        |            ELSE 'track' END AS type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin),
     // zero-copy writable clone (SHALLOW CLONE / dev branch): after the
     // clone, the LIVE table's error rows are merge-replaced while the
     // DEV branch gets synthetic experiment rows appended — one oracle
     // gates both diverged timelines, proving the branches share bytes
     // at clone time and never bleed writes into each other.
-    "k18_clone" -> ((s, dir) => {
+    ("k18_clone",
+      ((s, dir) => {
       val wh = tmp("graft-clone")
       val router = new SinkRouter(wh, SinkOptions(deduplicate = true))
       val env = graft.schema.EventSchema.readEvents(s, dir)
@@ -935,13 +1406,25 @@ object QueriesSystem {
           .select(lit(branch).as("branch"), col("event_type"), col("n"))
       counts("events", "live").unionByName(counts("events_dev", "dev"))
     }),
-
+      """WITH e AS (SELECT event_type FROM events)
+        |SELECT 'live' AS branch,
+        |  CASE WHEN event_type = 'error' THEN 'fixed'
+        |    ELSE event_type END AS event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'dev', event_type, CAST(COUNT(*) AS BIGINT)
+        |FROM e GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'dev', 'devtest', CAST(COUNT(*) AS BIGINT)
+        |FROM e WHERE event_type = 'click'""".stripMargin),
     // GDPR parity on the JDBC warehouse: erasure as the database's
     // native SQL DELETE (vs the file warehouse's partition rewrite) and
     // Art. 15 subject export across tables — the same rights, pushed
     // down to the engine that owns the data. Gate: per-type survivor
     // counts + deleted count + the remaining export rows for a subject.
-    "k2c_jdbc_gdpr" -> ((s, dir) => {
+    ("k2c_jdbc_gdpr",
+      ((s, dir) => {
       val db = tmp("graft-q-jdbcg")
       val sink = new graft.sinks.JdbcSink(s"jdbc:derby:$db/wh;create=true",
         SinkOptions())
@@ -971,14 +1454,25 @@ object QueriesSystem {
         .unionByName(s.range(1).select(lit("_meta").as("tbl"),
           lit("deleted_u7").as("detail"), lit(deleted).as("n_rows")))
     }),
-
+      """WITH e AS (
+        |  SELECT event_type, user_id % 40 AS m FROM events)
+        |SELECT 'events' AS tbl, event_type AS detail,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM e WHERE m <> 7 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'purchases', 'export_u7', CAST(COUNT(*) AS BIGINT)
+        |FROM e WHERE m = 7 AND event_type = 'purchase'
+        |UNION ALL
+        |SELECT '_meta', 'deleted_u7', CAST(COUNT(*) AS BIGINT)
+        |FROM e WHERE m = 7""".stripMargin),
     // warehouse commit history (the DESCRIBE HISTORY analogue): a
     // scripted create/append/compact/delete/vacuum sequence must leave
     // exactly five versioned entries whose operation metrics the oracle
     // recomputes from the raw events — rows written per batch, the
     // both-batch partitions compact touches, rows the delete erased,
     // partitions vacuum dropped.
-    "k17_history" -> ((s, dir) => {
+    ("k17_history",
+      ((s, dir) => {
       val wh = tmp("graft-hist")
       val router = new SinkRouter(wh) // append-mode
       val env = graft.schema.EventSchema.readEvents(s, dir)
@@ -999,7 +1493,32 @@ object QueriesSystem {
           element_at(col("metrics"), "rows_deleted"),
           element_at(col("metrics"), "partitions_dropped")).as("metric"))
     }),
-
+      """WITH e AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS d FROM events)
+        |SELECT CAST(1 AS BIGINT) AS version, 'events' AS tbl,
+        |  'create' AS operation,
+        |  CAST((SELECT COUNT(*) FROM e WHERE event_type <> 'error')
+        |    AS BIGINT) AS metric
+        |UNION ALL
+        |SELECT 2, 'events', 'append',
+        |  CAST((SELECT COUNT(*) FROM e WHERE event_type = 'error')
+        |    AS BIGINT)
+        |UNION ALL
+        |SELECT 3, 'events', 'compact',
+        |  CAST((SELECT COUNT(*) FROM (
+        |    SELECT d FROM e GROUP BY d
+        |    HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+        |        END) > 0
+        |      AND SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0
+        |        END) > 0)) AS BIGINT)
+        |UNION ALL
+        |SELECT 4, 'events', 'delete',
+        |  CAST((SELECT COUNT(*) FROM e WHERE event_type = 'click')
+        |    AS BIGINT)
+        |UNION ALL
+        |SELECT 5, 'events', 'vacuum',
+        |  CAST((SELECT COUNT(DISTINCT d) FROM e
+        |    WHERE d < '2024-01-26') AS BIGINT)""".stripMargin),
     // MV LIFECYCLE: initial full build -> register -> new day lands in
     // the raw table -> PARTITION-GRAIN incremental refresh (only the
     // new days' cells recompute and append — the a2b maintenance
@@ -1014,7 +1533,8 @@ object QueriesSystem {
     // .refresh rebuilds from the registered definition and re-binds →
     // the query re-serves from the MV. All three phases value-gated;
     // used_mv pinned true/false/true.
-    "mv_lifecycle" -> ((s, dir) => {
+    ("mv_lifecycle",
+      ((s, dir) => {
       import graft.plans.MvRewrite.{MvCatalog, MvDef}
       val wh = tmp("graft-mvlc")
       val router = new SinkRouter(wh)
@@ -1074,7 +1594,27 @@ object QueriesSystem {
         served.unionByName(stale).unionByName(refreshed)
       } finally MvCatalog.unregister(rawPath)
     }),
-
+      // phase 1 sees only the pre-cut rows and serves from the MV; the
+          // landed batch flips the SAME query to a raw fallback (fresh
+          // values, used_mv FALSE); refresh re-serves (used_mv TRUE)
+      """WITH agg AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('month', ts), '%Y-%m') AS month,
+        |    ROUND(SUM(value), 2) AS sum_value,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-20'
+        |  GROUP BY 1, 2),
+        |full_agg AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('month', ts), '%Y-%m') AS month,
+        |    ROUND(SUM(value), 2) AS sum_value,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'served' AS phase, *, TRUE AS used_mv FROM agg
+        |UNION ALL
+        |SELECT 'stale_fallback', *, FALSE FROM full_agg
+        |UNION ALL
+        |SELECT 'refreshed', *, TRUE FROM full_agg""".stripMargin),
     // guarded-SQL result cache: the same report issued twice — first
     // execution computes and stores under the CANONICALIZED-plan key,
     // the second (a formatting variant on purpose) must be served from
@@ -1082,7 +1622,8 @@ object QueriesSystem {
     // fingerprint holds. Both cached flags are pinned by the oracle, and
     // the rows of the CACHED result are the ones hash-checked — a cache
     // returning anything but the live result fails the gate.
-    "l6_sql_cache" -> ((s, dir) => {
+    ("l6_sql_cache",
+      ((s, dir) => {
       s.read.parquet(s"$dir/orders.parquet")
         .createOrReplaceTempView("orders_cache_v")
       GuardedSql.clearResultCache() // per-run isolation in a shared session
@@ -1096,7 +1637,12 @@ object QueriesSystem {
         .withColumn("first_cached", lit(c1))
         .withColumn("second_cached", lit(c2))
     }),
-
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS INT)
+        |    AS row_num,
+        |  FALSE AS first_cached, TRUE AS second_cached
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
     // MV aggregate navigation (plans.MvRewrite): a day-grain rollup of
     // the events stream is built + registered, then a MONTH-grain report
     // written against the RAW table is transparently served by it — the
@@ -1106,7 +1652,8 @@ object QueriesSystem {
     // oracle, so the round fails if the rewrite silently stops firing;
     // the aggregate values are gated against a straight replay over the
     // raw table, proving the rewrite changes the plan and nothing else.
-    "mv_rewrite" -> ((s, dir) => {
+    ("mv_rewrite",
+      ((s, dir) => {
       import graft.plans.MvRewrite.{MvCatalog, MvDef}
       val rawPath = s"$dir/events.parquet"
       val ev = graft.schema.EventSchema.readEvents(s, dir)
@@ -1154,92 +1701,7 @@ object QueriesSystem {
           lit(usedMv).as("used_mv"))
           .localCheckpoint()
       } finally MvCatalog.unregister(rawPath)
-    })
-  )
-
-  val oracles: Map[String, String] = Map(
-    "k18_clone" ->
-      """WITH e AS (SELECT event_type FROM events)
-        |SELECT 'live' AS branch,
-        |  CASE WHEN event_type = 'error' THEN 'fixed'
-        |    ELSE event_type END AS event_type,
-        |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM e GROUP BY 1, 2
-        |UNION ALL
-        |SELECT 'dev', event_type, CAST(COUNT(*) AS BIGINT)
-        |FROM e GROUP BY 1, 2
-        |UNION ALL
-        |SELECT 'dev', 'devtest', CAST(COUNT(*) AS BIGINT)
-        |FROM e WHERE event_type = 'click'""".stripMargin,
-    "k2c_jdbc_gdpr" ->
-      """WITH e AS (
-        |  SELECT event_type, user_id % 40 AS m FROM events)
-        |SELECT 'events' AS tbl, event_type AS detail,
-        |  CAST(COUNT(*) AS BIGINT) AS n_rows
-        |FROM e WHERE m <> 7 GROUP BY event_type
-        |UNION ALL
-        |SELECT 'purchases', 'export_u7', CAST(COUNT(*) AS BIGINT)
-        |FROM e WHERE m = 7 AND event_type = 'purchase'
-        |UNION ALL
-        |SELECT '_meta', 'deleted_u7', CAST(COUNT(*) AS BIGINT)
-        |FROM e WHERE m = 7""".stripMargin,
-    "k17_history" ->
-      """WITH e AS (
-        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS d FROM events)
-        |SELECT CAST(1 AS BIGINT) AS version, 'events' AS tbl,
-        |  'create' AS operation,
-        |  CAST((SELECT COUNT(*) FROM e WHERE event_type <> 'error')
-        |    AS BIGINT) AS metric
-        |UNION ALL
-        |SELECT 2, 'events', 'append',
-        |  CAST((SELECT COUNT(*) FROM e WHERE event_type = 'error')
-        |    AS BIGINT)
-        |UNION ALL
-        |SELECT 3, 'events', 'compact',
-        |  CAST((SELECT COUNT(*) FROM (
-        |    SELECT d FROM e GROUP BY d
-        |    HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
-        |        END) > 0
-        |      AND SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0
-        |        END) > 0)) AS BIGINT)
-        |UNION ALL
-        |SELECT 4, 'events', 'delete',
-        |  CAST((SELECT COUNT(*) FROM e WHERE event_type = 'click')
-        |    AS BIGINT)
-        |UNION ALL
-        |SELECT 5, 'events', 'vacuum',
-        |  CAST((SELECT COUNT(DISTINCT d) FROM e
-        |    WHERE d < '2024-01-26') AS BIGINT)""".stripMargin,
-    // phase 1 sees only the pre-cut rows and serves from the MV; the
-    // landed batch flips the SAME query to a raw fallback (fresh
-    // values, used_mv FALSE); refresh re-serves (used_mv TRUE)
-    "mv_lifecycle" ->
-      """WITH agg AS (
-        |  SELECT event_type,
-        |    strftime(date_trunc('month', ts), '%Y-%m') AS month,
-        |    ROUND(SUM(value), 2) AS sum_value,
-        |    CAST(COUNT(*) AS BIGINT) AS n_events
-        |  FROM events WHERE ts < TIMESTAMP '2024-01-20'
-        |  GROUP BY 1, 2),
-        |full_agg AS (
-        |  SELECT event_type,
-        |    strftime(date_trunc('month', ts), '%Y-%m') AS month,
-        |    ROUND(SUM(value), 2) AS sum_value,
-        |    CAST(COUNT(*) AS BIGINT) AS n_events
-        |  FROM events GROUP BY 1, 2)
-        |SELECT 'served' AS phase, *, TRUE AS used_mv FROM agg
-        |UNION ALL
-        |SELECT 'stale_fallback', *, FALSE FROM full_agg
-        |UNION ALL
-        |SELECT 'refreshed', *, TRUE FROM full_agg""".stripMargin,
-    "l6_sql_cache" ->
-      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS INT)
-        |    AS row_num,
-        |  FALSE AS first_cached, TRUE AS second_cached
-        |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-    "mv_rewrite" ->
+    }),
       """SELECT event_type,
         |  strftime(date_trunc('month', ts), '%Y-%m') AS month,
         |  ROUND(SUM(value), 2) AS sum_value,
@@ -1247,497 +1709,11 @@ object QueriesSystem {
         |  MIN(value) AS min_value, MAX(value) AS max_value,
         |  TRUE AS used_mv
         |FROM events WHERE event_type <> 'error'
-        |GROUP BY 1, 2""".stripMargin,
-    "k12_cdc_apply" ->
-      """WITH final AS (
-        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
-        |  WHERE c_custkey % 7 NOT IN (0, 1, 2)
-        |  UNION ALL
-        |  SELECT c_custkey, c_acctbal + 200, c_mktsegment FROM customer
-        |  WHERE c_custkey % 7 = 1
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_acctbal + 50.0, 'CDC_NEW'
-        |  FROM customer WHERE c_custkey % 7 = 3)
-        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  ROUND(SUM(c_acctbal), 2) AS sum_bal,
-        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
-        |FROM final GROUP BY c_mktsegment""".stripMargin,
-    "k12b_cdc_stream" ->
-      """WITH final AS (
-        |  SELECT c_custkey, c_acctbal + 7.0 AS bal,
-        |    'CDC_BACK' AS c_mktsegment
-        |  FROM customer WHERE c_custkey % 7 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_acctbal + 200, c_mktsegment FROM customer
-        |  WHERE c_custkey % 7 = 1
-        |  UNION ALL
-        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
-        |  WHERE c_custkey % 7 NOT IN (0, 1, 2))
-        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  ROUND(SUM(bal), 2) AS sum_bal,
-        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
-        |FROM final GROUP BY c_mktsegment""".stripMargin,
-    "s7_sync_incremental" ->
-      """WITH p AS (
-        |  SELECT o_orderkey, o_orderdate FROM orders
-        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
-        |mx AS (SELECT MAX(o_orderdate) AS m FROM p),
-        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
-        |SELECT 'orders' AS stream, 1 AS run, 'incremental' AS mode,
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS rows_read,
-        |  (SELECT strftime(m, '%Y-%m-%d %H:%M:%S') FROM mx) AS cursor_out,
-        |  (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM p)
-        |    AS table_rows
-        |UNION ALL
-        |SELECT 'orders', 2, 'incremental',
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p, mx
-        |   WHERE o_orderdate >= m),
-        |  (SELECT strftime(m, '%Y-%m-%d %H:%M:%S') FROM mx),
-        |  (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM p)
-        |UNION ALL
-        |SELECT 'customer', 1, 'full_refresh',
-        |  (SELECT n FROM c), CAST(NULL AS VARCHAR), (SELECT n FROM c)
-        |UNION ALL
-        |SELECT 'customer', 2, 'full_refresh',
-        |  (SELECT n FROM c), CAST(NULL AS VARCHAR), (SELECT n FROM c)
-        |""".stripMargin,
-    "r1_chain" ->
-      """SELECT event_type, 'success' AS status,
-        |  CAST(COUNT(*) * CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END
-        |    AS BIGINT) AS n
-        |FROM events WHERE event_type <> 'error'
-        |GROUP BY event_type""".stripMargin,
-    // diff responses: the three transforms' merge patches are exactly
-    // derivable — add => {"tagged":true}, rewrite => the uppercased
-    // type, remove => explicit null
-    "r3c_sync_diff" ->
-      """WITH base AS (SELECT event_type, COUNT(*) AS n FROM events
-        |  GROUP BY event_type),
-        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM base)
-        |SELECT 'c_tag' AS connection_id, 'success' AS status,
-        |  '{"tagged":true}' AS patch, t AS n FROM tot
-        |UNION ALL
-        |SELECT 'c_strip', 'success', '{"event_id":null}', t FROM tot
-        |UNION ALL
-        |SELECT 'c_upper', 'success',
-        |  '{"event_type":"' || UPPER(event_type) || '"}',
-        |  CAST(n AS BIGINT) FROM base""".stripMargin,
-    // sync multi: every (connection, status, type) cell derivable from
-    // the three chains' semantics over the raw event-type distribution
-    "r3b_sync_multi" ->
-      """WITH base AS (SELECT event_type, COUNT(*) AS n FROM events
-        |  GROUP BY event_type)
-        |SELECT 'c_webhook' AS connection_id, 'success' AS status,
-        |  event_type, CAST(n AS BIGINT) AS n FROM base
-        |UNION ALL
-        |SELECT 'c_filter', 'success', event_type, CAST(n AS BIGINT)
-        |FROM base WHERE event_type <> 'error'
-        |UNION ALL
-        |SELECT 'c_flaky',
-        |  CASE WHEN event_type = 'click' THEN 'error' ELSE 'success' END,
-        |  event_type, CAST(n AS BIGINT) FROM base""".stripMargin,
-    // the reference's expected event sets, hand-copied per (scenario,
-    // attempt) from functions-chain.test.ts expectedEvents — NOT a
-    // replay of the implementation
-    "r1b_chain_scenarios" ->
-      """SELECT scenario, CAST(attempt AS INT) AS attempt,
-        |  CAST(n AS INT) AS n, event_type, first, second, third,
-        |  CAST(counter AS INT) AS counter,
-        |  CAST(retries_prop AS INT) AS retries_prop
-        |FROM (VALUES
-        |  ('simple',      0, NULL, 'track', '1st', '2nd', '3rd', 3, 0),
-        |  ('error',       0, NULL, 'track', '1st', NULL,  '3rd', 2, 0),
-        |  ('retry',       0, NULL, 'track', '1st', NULL,  '3rd', 2, 0),
-        |  ('retry',       1, NULL, 'track', '1st', '2nd', '3rd', 3, 1),
-        |  ('drop_retry',  1, NULL, 'track', '1st', '2nd', '3rd', 3, 1),
-        |  ('dst_retry',   1, NULL, 'track', '1st', '2nd', '3rd', 3, 0),
-        |  ('multi',       0, 1,    'track', '1st', '2nd', NULL,  2, 0),
-        |  ('multi',       0, 2,    'track', '1st', '2nd', NULL,  2, 0),
-        |  ('multi_middle',0, NULL, 'track', '1st', '2nd', NULL,  2, 0),
-        |  ('multi_retry', 0, NULL, 'track', '1st', '2nd', NULL,  2, 0),
-        |  ('multi_retry', 1, 1,    'track', '1st', '2nd', NULL,  2, 1),
-        |  ('multi_retry', 1, 2,    'track', '1st', '2nd', NULL,  2, 1)
-        |) t(scenario, attempt, n, event_type, first, second, third,
-        |    counter, retries_prop)""".stripMargin,
-    "k15_snapshot" ->
-      """WITH env AS (
-        |  SELECT 'm' || event_id AS message_id,
-        |    'a' || user_id AS anonymous_id,
-        |    CASE WHEN event_type IN ('signup','purchase')
-        |         THEN 'u' || user_id END AS user_id,
-        |    CAST(ts AS TIMESTAMP) AS timestamp
-        |  FROM events),
-        |resolved AS (
-        |  SELECT message_id,
-        |    COALESCE(user_id,
-        |      CASE WHEN next_id_ts IS NOT NULL
-        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
-        |      AS user_id
-        |  FROM (
-        |    SELECT *,
-        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
-        |        AS next_id_ts,
-        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
-        |    FROM env
-        |    WINDOW w AS (PARTITION BY anonymous_id
-        |      ORDER BY timestamp, message_id
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
-        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_identified,
-        |  'v1' AS src
-        |FROM env
-        |UNION ALL
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
-        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_identified,
-        |  'live' AS src
-        |FROM resolved""".stripMargin,
-    "k1_sink_dedup" ->
-      """WITH env AS (
-        |  SELECT 'm' || event_id AS message_id,
-        |    'a' || user_id AS anonymous_id,
-        |    CASE WHEN event_type IN ('signup','purchase')
-        |         THEN 'u' || user_id END AS user_id,
-        |    CAST(ts AS TIMESTAMP) AS timestamp
-        |  FROM events),
-        |resolved AS (
-        |  SELECT message_id,
-        |    COALESCE(user_id,
-        |      CASE WHEN next_id_ts IS NOT NULL
-        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
-        |      AS user_id
-        |  FROM (
-        |    SELECT *,
-        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
-        |        AS next_id_ts,
-        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
-        |    FROM env
-        |    WINDOW w AS (PARTITION BY anonymous_id
-        |      ORDER BY timestamp, message_id
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
-        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_identified
-        |FROM resolved""".stripMargin,
-    "k14_backfill" ->
-      """WITH env AS (
-        |  SELECT 'm' || event_id AS message_id,
-        |    CAST(ts AS TIMESTAMP) AS timestamp,
-        |    CASE WHEN event_type = 'signup' THEN 'identify'
-        |         WHEN event_type = 'view' THEN 'page'
-        |         ELSE 'track' END AS type
-        |  FROM events)
-        |SELECT strftime(timestamp, '%Y-%m-%d') AS day,
-        |  CASE WHEN strftime(timestamp, '%Y-%m-%d') = '2024-01-05'
-        |    THEN UPPER(type) ELSE type END AS type,
-        |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS uniq
-        |FROM env GROUP BY 1, 2""".stripMargin,
-    "k13_sar" ->
-      """WITH env AS (
-        |  SELECT 'm' || event_id AS message_id,
-        |    'a' || user_id AS anonymous_id,
-        |    CASE WHEN event_type = 'signup' THEN 'identify'
-        |         WHEN event_type = 'view' THEN 'page'
-        |         ELSE 'track' END AS type
-        |  FROM events)
-        |SELECT 'events' AS "table", CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  md5(string_agg(message_id, ',' ORDER BY message_id)) AS ids_hash
-        |FROM env WHERE anonymous_id = 'a42'
-        |HAVING COUNT(*) > 0
-        |UNION ALL
-        |SELECT 'identifies', CAST(COUNT(*) AS BIGINT),
-        |  md5(string_agg(message_id, ',' ORDER BY message_id))
-        |FROM env WHERE anonymous_id = 'a42' AND type = 'identify'
-        |HAVING COUNT(*) > 0""".stripMargin,
-    "k2b_orc_sink" ->
-      """WITH env AS (
-        |  SELECT 'm' || event_id AS message_id,
-        |    'a' || user_id AS anonymous_id,
-        |    CASE WHEN event_type IN ('signup','purchase')
-        |         THEN 'u' || user_id END AS user_id,
-        |    CAST(ts AS TIMESTAMP) AS timestamp
-        |  FROM events),
-        |resolved AS (
-        |  SELECT message_id,
-        |    COALESCE(user_id,
-        |      CASE WHEN next_id_ts IS NOT NULL
-        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
-        |      AS user_id
-        |  FROM (
-        |    SELECT *,
-        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
-        |        AS next_id_ts,
-        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
-        |    FROM env
-        |    WINDOW w AS (PARTITION BY anonymous_id
-        |      ORDER BY timestamp, message_id
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
-        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_identified
-        |FROM resolved""".stripMargin,
-    "k2_jdbc" ->
-      """WITH env AS (
-        |  SELECT 'm' || event_id AS message_id,
-        |    'a' || user_id AS anonymous_id,
-        |    CASE WHEN event_type IN ('signup','purchase')
-        |         THEN 'u' || user_id END AS user_id,
-        |    CAST(ts AS TIMESTAMP) AS timestamp
-        |  FROM events WHERE event_id % 3 = 0),
-        |resolved AS (
-        |  SELECT message_id,
-        |    COALESCE(user_id,
-        |      CASE WHEN next_id_ts IS NOT NULL
-        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY THEN next_id END)
-        |      AS user_id
-        |  FROM (
-        |    SELECT *,
-        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END) OVER w
-        |        AS next_id_ts,
-        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
-        |    FROM env
-        |    WINDOW w AS (PARTITION BY anonymous_id
-        |      ORDER BY timestamp, message_id
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
-        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_identified
-        |FROM resolved""".stripMargin,
-    "k10_gdpr_delete" ->
-      """WITH env AS (
-        |  SELECT 'm' || event_id AS message_id,
-        |    CASE WHEN event_type IN ('signup','purchase')
-        |         THEN 'u' || user_id END AS user_id,
-        |    CASE WHEN event_type = 'signup' THEN 'identify'
-        |         WHEN event_type = 'view' THEN 'page'
-        |         ELSE 'track' END AS type
-        |  FROM events),
-        |del AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted FROM env
-        |  WHERE user_id IS NOT NULL
-        |    AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 3)
-        |SELECT type, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages,
-        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_identified,
-        |  n_deleted
-        |FROM env CROSS JOIN del
-        |WHERE NOT (user_id IS NOT NULL
-        |           AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 3)
-        |GROUP BY type, n_deleted""".stripMargin,
-    "k10b_delete_mor" ->
-      """WITH env AS (
-        |  SELECT 'm' || event_id AS message_id,
-        |    CASE WHEN event_type IN ('signup','purchase')
-        |         THEN 'u' || user_id END AS user_id,
-        |    CASE WHEN event_type = 'signup' THEN 'identify'
-        |         WHEN event_type = 'view' THEN 'page'
-        |         ELSE 'track' END AS type
-        |  FROM events),
-        |del AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM env
-        |  WHERE user_id IS NOT NULL
-        |    AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 7),
-        |sel AS (
-        |  SELECT type, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_messages
-        |  FROM env
-        |  WHERE NOT (user_id IS NOT NULL
-        |             AND CAST(substring(user_id, 2) AS BIGINT) % 10 = 7)
-        |  GROUP BY type)
-        |SELECT type, n, n_messages, stage,
-        |  nd AS n_deleted_keys, nd AS n_purged_rows
-        |FROM (SELECT sel.*, 'mor' AS stage FROM sel
-        |      UNION ALL
-        |      SELECT sel.*, 'purged' AS stage FROM sel), del""".stripMargin,
-    "k11_vacuum" ->
-      """WITH env AS (
-        |  SELECT 'm' || event_id AS message_id,
-        |    CAST(ts AS TIMESTAMP) AS timestamp
-        |  FROM events),
-        |mx AS (SELECT MAX(CAST(timestamp AS DATE)) AS max_day FROM env),
-        |drp AS (
-        |  SELECT CAST(COUNT(DISTINCT CAST(e.timestamp AS DATE)) AS INT)
-        |    AS n_dropped_partitions
-        |  FROM env e, mx
-        |  WHERE CAST(e.timestamp AS DATE) < mx.max_day - 14)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(COUNT(DISTINCT CAST(timestamp AS DATE)) AS BIGINT) AS n_days,
-        |  CAST(MIN(CAST(timestamp AS DATE)) AS VARCHAR) AS min_day,
-        |  CAST(MAX(CAST(timestamp AS DATE)) AS VARCHAR) AS max_day,
-        |  (SELECT n_dropped_partitions FROM drp) AS n_dropped_partitions
-        |FROM env, mx
-        |WHERE CAST(timestamp AS DATE) >= mx.max_day - 14""".stripMargin,
-    "k4_docstore" ->
-      """WITH env AS (
-        |  SELECT 'm' || event_id AS message_id,
-        |    CASE WHEN event_type = 'signup' THEN 'identify'
-        |         WHEN event_type = 'view' THEN 'page'
-        |         ELSE 'track' END AS type
-        |  FROM events WHERE event_id % 10 = 0),
-        |docs AS (
-        |  SELECT message_id,
-        |    CASE WHEN type = 'identify' THEN 2 ELSE 1 END AS v,
-        |    '{"message_id":"' || message_id || '","type":"' || type ||
-        |      '","v":' || (CASE WHEN type = 'identify' THEN 2 ELSE 1 END)
-        |      || '}' AS doc
-        |  FROM env)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(COUNT(DISTINCT message_id) AS BIGINT) AS n_ids,
-        |  CAST(SUM(v) AS BIGINT) AS sum_v,
-        |  CAST(SUM(length(doc)) AS BIGINT) AS doc_bytes
-        |FROM docs""".stripMargin,
-    "k9_dlq" ->
-      """SELECT CAST(COUNT(*) AS BIGINT) AS n_dead,
-        |  4 AS final_attempt,
-        |  10.0 AS b1, 100.0 AS b2, 1000.0 AS b3, 1440.0 AS b4
-        |FROM events""".stripMargin,
-    "k7_events_log" ->
-      """SELECT 'warn' AS level, 'retry' AS status, 'dst' AS function_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM events WHERE event_type = 'click'
-        |UNION ALL
-        |SELECT 'info', 'success', 'dst',
-        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END)
-        |    AS BIGINT)
-        |FROM events WHERE event_type IN ('view', 'signup', 'purchase')""".stripMargin,
-    "p1b_hoist_evolve" ->
-      """WITH c AS (
-        |  SELECT event_id,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |    CAST(printf('%.2f', value) AS DOUBLE) AS value2
-        |  FROM events WHERE event_type = 'click')
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(k) AS BIGINT) AS sum_k,
-        |  ROUND(SUM(CASE WHEN event_id % 2 = 0 THEN value2 END), 2)
-        |    AS sum_value,
-        |  CAST(COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
-        |    AS n_value,
-        |  CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
-        |    AS n_coupon,
-        |  CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 1
-        |    THEN 'cp' || (event_id % 7) END) AS BIGINT) AS uniq_coupons
-        |FROM c""".stripMargin,
-    // the variant path must be value-identical to the JSON-string path
-    "p1c_variant" ->
-      """WITH c AS (
-        |  SELECT event_id,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |    CAST(printf('%.2f', value) AS DOUBLE) AS value2
-        |  FROM events WHERE event_type = 'click')
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(k) AS BIGINT) AS sum_k,
-        |  ROUND(SUM(CASE WHEN event_id % 2 = 0 THEN value2 END), 2)
-        |    AS sum_value,
-        |  CAST(COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
-        |    AS n_value,
-        |  CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
-        |    AS n_coupon,
-        |  CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 1
-        |    THEN 'cp' || (event_id % 7) END) AS BIGINT) AS uniq_coupons
-        |FROM c""".stripMargin,
-    "l1_sql_guard" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INT)
-        |    AS row_num
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
-    "s3_ann_ingest" ->
-      """WITH cents AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
-        |    AS cell, embedding AS cvec
-        |  FROM embeddings
-        |  WHERE vec_id % 3 = 0 AND embedding IS NOT NULL
-        |  ORDER BY vec_id LIMIT 8),
-        |scored AS (
-        |  SELECT e.vec_id, CAST(e.vec_id % 3 AS INT) AS batch, c.cell,
-        |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
-        |      c.cvec::DOUBLE[]), 6) AS cos,
-        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
-        |        c.cvec::DOUBLE[]), 6) DESC, c.cell) AS rk
-        |  FROM embeddings e CROSS JOIN cents c
-        |  WHERE e.embedding IS NOT NULL)
-        |SELECT vec_id, batch, cell, cos FROM scored WHERE rk = 1""".stripMargin,
-    "s2_corpus_ingest" ->
-      """WITH ws0 AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'),
-        |                w -> len(w) > 0) AS w
-        |  FROM documents),
-        |ws AS (
-        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS b,
-        |    list_distinct(list_transform(range(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM ws0 WHERE len(w) >= 3),
-        |ex AS (SELECT doc_id, b, len(sh) AS n_sh, unnest(sh) AS s FROM ws),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
-        |    b.n_sh AS n_b, a.b AS ba, b.b AS bb, COUNT(*) AS i
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4, 5, 6),
-        |jp AS (SELECT id_a, id_b, ba, bb FROM inter
-        |       WHERE ROUND(i * 1.0 / (n_a + n_b - i), 4) >= 0.5),
-        |d0 AS (SELECT id_b AS id FROM jp WHERE ba = 0 AND bb = 0),
-        |k0 AS (SELECT doc_id FROM ws WHERE b = 0
-        |       AND doc_id NOT IN (SELECT id FROM d0)),
-        |d1 AS (SELECT id_b AS id FROM jp WHERE ba = 1 AND bb = 1
-        |       UNION SELECT id_b FROM jp WHERE ba = 0 AND bb = 1
-        |         AND id_a IN (SELECT doc_id FROM k0)
-        |       UNION SELECT id_a FROM jp WHERE ba = 1 AND bb = 0
-        |         AND id_b IN (SELECT doc_id FROM k0)),
-        |k01 AS (SELECT doc_id FROM ws WHERE b = 1
-        |          AND doc_id NOT IN (SELECT id FROM d1)
-        |        UNION ALL SELECT doc_id FROM k0),
-        |d2 AS (SELECT id_b AS id FROM jp WHERE ba = 2 AND bb = 2
-        |       UNION SELECT id_b FROM jp WHERE bb = 2 AND ba < 2
-        |         AND id_a IN (SELECT doc_id FROM k01)
-        |       UNION SELECT id_a FROM jp WHERE ba = 2 AND bb < 2
-        |         AND id_b IN (SELECT doc_id FROM k01)),
-        |dropped AS (SELECT DISTINCT id FROM
-        |  (SELECT id FROM d0 UNION ALL SELECT id FROM d1
-        |   UNION ALL SELECT id FROM d2))
-        |SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS batch,
-        |  CASE WHEN dr.id IS NOT NULL THEN 'dup' ELSE 'kept' END AS status
-        |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.id""".stripMargin,
-    "l4_sql_describe" ->
-      """SELECT table_name, column_name,
-        |  CASE lower(data_type)
-        |    WHEN 'bigint' THEN 'int64' WHEN 'integer' THEN 'int32'
-        |    WHEN 'double' THEN 'float64' WHEN 'varchar' THEN 'string'
-        |    WHEN 'timestamp' THEN 'timestamp'
-        |    WHEN 'float[]' THEN 'list<float32>'
-        |    ELSE lower(data_type) END AS data_type
-        |FROM information_schema.columns
-        |WHERE table_name IN
-        |  ('lineitem', 'region', 'documents', 'embeddings')""".stripMargin,
-    "l2_sql_functions" ->
-      """WITH ws AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'),
-        |                w -> len(w) > 0) AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, CAST(CASE WHEN len(w) < 3 THEN 0
-        |    ELSE len(list_distinct(list_transform(range(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) END AS INT)
-        |    AS n_shingles
-        |  FROM ws)
-        |SELECT doc_id, n_shingles,
-        |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INT) AS row_num
-        |FROM sh ORDER BY doc_id LIMIT 50""".stripMargin,
-    "s1_streaming" ->
-      """SELECT CASE WHEN event_type = 'signup' THEN 'identify'
-        |            WHEN event_type = 'view' THEN 'page'
-        |            ELSE 'track' END AS type,
-        |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(COUNT(*) AS BIGINT) AS n_distinct
-        |FROM events GROUP BY 1""".stripMargin
-  )
+        |GROUP BY 1, 2""".stripMargin))
+
+  val queries: Map[String, Q] =
+    gated.map(g => (g._1, g._2)).toMap
+
+  val oracles: Map[String, String] =
+    gated.map(g => (g._1, g._3)).toMap
 }
