@@ -158,16 +158,17 @@ object ThroughputBench {
 
   /** Standalone probe: stages the input, runs BOTH pipeline shapes, and
     * prints one JSON line per mode plus a per-batch table (the SCALE.md
-    * evidence). `args`: [sfDir] [numBatches]. */
+    * evidence). `args`: [sfDir] [numBatches] [statePartitions]. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val numBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    val stateParts = args.lift(2).map(_.toInt).getOrElse(8)
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val in = stageBatches(spark, sfDir, numBatches)
     Seq("recognized", "dedup").foreach { mode =>
-      val rep = run(spark, in, mode)
+      val rep = run(spark, in, mode, statePartitions = stateParts)
       println(s"THROUGHPUT ${rep.json}")
       println(f"# ${"batch"}%6s ${"rows"}%8s ${"ms"}%8s " +
         f"${"stateRows"}%10s ${"stateMB"}%8s")
