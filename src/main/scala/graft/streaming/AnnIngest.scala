@@ -175,6 +175,10 @@ object AnnIngest {
     import graft.sinks.CommitLog
     val conf = spark.sparkContext.hadoopConfiguration
     recoverRebuild(spark, indexDir) // finish any interrupted predecessor
+    // a compaction that crashed POST-manifest leaves the vectors table
+    // with old scopes deleted and the fold still staged — complete it
+    // before reading, or the rebuild would recentroid a partial corpus
+    CommitLog.recover(spark, s"$indexDir/vectors")
     val vecRoot = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
     val fs = vecRoot.getFileSystem(conf)
     val target = fs.listStatus(vecRoot).filter(_.isDirectory)

@@ -229,6 +229,37 @@ class AnnIngestSpec extends GraftSpec {
     assert(wantNow.nonEmpty) // (silence unused warning; wantVec asserted above via counts)
   }
 
+  test("rebuild completes a post-manifest-crashed COMPACTION on the vectors table before reading it (no partial-corpus recentroid)") {
+    import org.apache.spark.sql.functions._
+    val in = tmp("ai-cc-in"); val idx = tmp("ai-cc-idx")
+    val out = tmp("ai-cc-out"); val cp = tmp("ai-cc-cp")
+    stage(in, 0, Seq(0L -> e0, 1L -> e1))
+    stage(in, 1, Seq(10L -> Array(0.9f, 0.1f, 0f, 0f),
+      12L -> Array(0.1f, 0.9f, 0f, 0f)))
+    val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2)
+    try q.awaitTermination() finally q.stop()
+    val vec = s"$idx/vectors"
+    // reconstruct "compaction crashed right after its manifest": the
+    // fold of batches 0+1 is staged (cell-partitioned), olds deleted
+    spark.read.parquet(vec).drop("_batch")
+      .write.partitionBy("cell").parquet(s"$vec/.compact-staged")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$vec/_batch=0"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$vec/_batch=1"))
+    Files.write(new java.io.File(s"$vec/.commit-compact").toPath,
+      ("""{"deletes":["_batch=0"],"renames":[{"staged":""" +
+       """".compact-staged","live":"_batch=1","clear":[]}],"cleanup":[]}""")
+        .getBytes("UTF-8"))
+    // rebuild must roll the compaction forward FIRST — all 4 vectors
+    // participate in the recentroid, none lost
+    AnnIngest.rebuild(spark, idx, nlist = 2, iters = 1)
+    val ids = spark.read.parquet(vec).select("id")
+      .as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 10L, 12L), s"lost vectors: $ids")
+    assert(!new java.io.File(s"$vec/.commit-compact").exists())
+  }
+
   test("crash replay is idempotent: re-run batches (including a partial vector append and a partial centroid seed) leave index + outcome identical to a single run") {
     import graft.streaming.CorpusIngest
     val refIdx = tmp("ai-rep-refidx"); val refOut = tmp("ai-rep-refout")
