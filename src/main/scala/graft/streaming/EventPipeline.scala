@@ -216,22 +216,40 @@ object EventPipeline {
       s2
     }
 
+  /** The streaming half of the pipeline, kept NARROW on purpose: only
+    * the four fields the dedup stage and corrupt probe need are parsed
+    * in-stream (type/message_id/timestamp/received_at); the raw line
+    * rides along as `payload` and the ONE full envelope parse runs in
+    * foreachBatch, after dedup — the same shape as the recognized
+    * pipeline's tag parse. The stream's defaulted `message_id` (uuid
+    * when absent) and event time are carried out so the post-dedup
+    * parse can never disagree with the dedup key.
+    * Output columns: (payload, message_id, timestamp, error). */
   private def envelopeStream(raw: DataFrame,
                              dedupWatermark: String): DataFrame = {
     val value = col("value").cast("string")
-    val parsed = raw
-      .select(from_json(value, EventSchema.envelope).as("e"))
+    val narrowSchema = org.apache.spark.sql.types.StructType(
+      EventSchema.envelope.fields.filter(f =>
+        Set("type", "message_id", "timestamp", "received_at")
+          .contains(f.name)))
+    val parsed = raw.select(value.as("payload"),
+      from_json(value, narrowSchema).as("e"))
+    val good = parsed
       .filter(!isCorruptStruct(col("e")))
-      .select("e.*")
-      .withColumn("message_id", coalesce(col("message_id"), expr("uuid()")))
-    val good = defaultTimestamp(parsed)
+      .select(col("payload"),
+        coalesce(col("e.message_id"), expr("uuid()")).as("message_id"),
+        coalesce(col("e.timestamp"), col("e.received_at"),
+          current_timestamp()).as("timestamp"))
       .withWatermark("timestamp", dedupWatermark)
       .dropDuplicatesWithinWatermark("message_id")
+      .withColumn("error", lit(null).cast("string"))
     val bad = raw
-      .select(value.as("raw_event"), from_json(value, typeProbe).as("p"))
+      .select(value.as("payload"), from_json(value, typeProbe).as("p"))
       .filter(isCorruptStruct(col("p")))
-      .select(col("raw_event"), lit("parse_error").as("error"))
-    good.unionByName(bad, allowMissingColumns = true)
+      .select(col("payload"), lit(null).cast("string").as("message_id"),
+        lit(null).cast("timestamp").as("timestamp"),
+        lit("parse_error").as("error"))
+    good.unionByName(bad)
   }
 
   /** Adapt a Kafka-wire DataFrame (the connector's fixed output schema:
@@ -365,7 +383,18 @@ object EventPipeline {
           val cached = batch.persist()
           try {
             val isQ = col("error").isNotNull
-            val env0 = cached.filter(!isQ).drop("raw_event", "error")
+            // the ONE full envelope parse — after the stateful stage;
+            // the stream's dedup key + defaulted event time override
+            // the re-parsed fields so dedup and storage cannot disagree
+            // (uuid-defaulted ids are nondeterministic per parse)
+            val env0 = cached.filter(!isQ)
+              .select(col("message_id").as("_mid"),
+                col("timestamp").as("_ts"),
+                from_json(col("payload"), EventSchema.envelope).as("e"))
+              .select(col("_mid"), col("_ts"), col("e.*"))
+              .withColumn("message_id", col("_mid"))
+              .withColumn("timestamp", col("_ts"))
+              .drop("_mid", "_ts")
             val env =
               if (openProps != "variant") env0
               else env0
@@ -388,7 +417,7 @@ object EventPipeline {
                   Seq(idCol), "left")
             })
             val bad = cached.filter(isQ)
-              .select(col("raw_event"), col("error"),
+              .select(col("payload").as("raw_event"), col("error"),
                 lit("quarantine").as("_table"))
             if (!bad.isEmpty) router.write(bad)
           } finally { cached.unpersist(false); () }
