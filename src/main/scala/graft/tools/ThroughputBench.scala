@@ -102,20 +102,21 @@ object ThroughputBench {
     * (the [[EventPipeline.start]] shape: watermark dedup in-stream). */
   def run(spark: SparkSession, input: StagedInput, mode: String,
           statePartitions: Int = 8,
-          stateStore: String = "rocksdb"): Report = {
+          stateStore: String = "rocksdb",
+          compactEvery: Int = 0): Report = {
     val wh = tmp("graft-tp-wh"); val cp = tmp("graft-tp-cp")
     val q = mode match {
       case "recognized" =>
         EventPipeline.startRecognized(spark, input.dir, wh, cp,
           maxFilesPerTrigger = 1, statePartitions = statePartitions,
           stateStore = stateStore, urWatermark = "10 minutes",
-          compactEvery = 0)
+          compactEvery = compactEvery)
       case "dedup" =>
         EventPipeline.start(spark, input.dir, wh, cp,
           options = graft.sinks.SinkOptions(deduplicate = true),
           maxFilesPerTrigger = 1, statePartitions = statePartitions,
           stateStore = stateStore, dedupWatermark = "10 minutes",
-          compactEvery = 0)
+          compactEvery = compactEvery)
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (recognized | dedup)")
     }
@@ -164,11 +165,13 @@ object ThroughputBench {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val numBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val stateParts = args.lift(2).map(_.toInt).getOrElse(8)
+    val compactEvery = args.lift(3).map(_.toInt).getOrElse(0)
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val in = stageBatches(spark, sfDir, numBatches)
     Seq("recognized", "dedup").foreach { mode =>
-      val rep = run(spark, in, mode, statePartitions = stateParts)
+      val rep = run(spark, in, mode, statePartitions = stateParts,
+        compactEvery = compactEvery)
       println(s"THROUGHPUT ${rep.json}")
       println(f"# ${"batch"}%6s ${"rows"}%8s ${"ms"}%8s " +
         f"${"stateRows"}%10s ${"stateMB"}%8s")
