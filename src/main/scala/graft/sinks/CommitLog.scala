@@ -61,7 +61,7 @@ object CommitLog {
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private[sinks] def serialize(swap: Swap): String = {
+  private[graft] def serialize(swap: Swap): String = {
     val m = mapper
     val root = m.createObjectNode()
     val del = root.putArray("deletes")
@@ -79,7 +79,7 @@ object CommitLog {
     m.writeValueAsString(root)
   }
 
-  private[sinks] def deserialize(body: String): Swap = {
+  private[graft] def deserialize(body: String): Swap = {
     val n = mapper.readTree(body)
     def strs(a: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
       if (a == null) Nil

@@ -109,6 +109,82 @@ class CommitLogSpec extends GraftSpec {
     assert(!new java.io.File(root, ".commit-b").exists())
   }
 
+  test("randomized swaps converge from EVERY interruption point to the same end state") {
+    // property: for a persisted swap, recover(partial-execution at any
+    // atomic step k) == recover(nothing executed). The test re-derives
+    // the executor's atomic-op sequence (deletes; per-rename clears +
+    // live delete + rename; cleanups) and replays each prefix.
+    val rnd = new scala.util.Random(4242)
+    def walk(root: java.io.File, prefix: String = ""): Map[String, String] = {
+      Option(root.listFiles()).getOrElse(Array.empty).flatMap { f =>
+        val p = if (prefix.isEmpty) f.getName else s"$prefix/${f.getName}"
+        if (f.isDirectory) walk(f, p)
+        else Seq(p -> new String(Files.readAllBytes(f.toPath), "UTF-8"))
+      }.toMap
+    }
+    (1 to 8).foreach { trial =>
+      // random layout: live dirs d0..d4, staged dirs s0..s2 renaming
+      // onto random targets (some colliding with live dirs), a random
+      // delete set and a cleanup dir
+      val liveNames = (0 until 5).map(i => s"d$i")
+      val stagedNames = (0 until 3).map(i => s".s$i")
+      val renames = stagedNames.zipWithIndex.map { case (st, i) =>
+        val target = if (rnd.nextBoolean()) s"d${rnd.nextInt(5)}"
+                     else s"fresh$i"
+        CommitLog.Rename(st, target,
+          clearFirst = if (rnd.nextBoolean()) Seq(s"d${rnd.nextInt(5)}")
+                       else Nil)
+      }
+      val renameTargets = renames.map(_.live).toSet
+      val deletes = liveNames.filter(_ => rnd.nextBoolean())
+        .filterNot(renameTargets) // executor order: deletes run first,
+                                  // a later rename would resurrect
+      val swap = CommitLog.Swap(deletes, renames, cleanup = Seq(".scr"))
+      val body = CommitLog.serialize(swap)
+      def fresh(): String = {
+        val root = tmp()
+        liveNames.foreach(n => mkDir(root, n, s"live-$n"))
+        stagedNames.foreach(n => mkDir(root, n, s"staged-$n"))
+        mkDir(root, ".scr", "scratch")
+        Files.write(new java.io.File(root, ".commit-r").toPath,
+          body.getBytes("UTF-8"))
+        root
+      }
+      // the executor's atomic ops, re-derived for partial replay
+      def ops(root: String): Seq[() => Unit] = {
+        def del(n: String) = () => {
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(root, n)); ()
+        }
+        def ren(r: CommitLog.Rename): Seq[() => Unit] =
+          if (!new java.io.File(root, r.staged).exists()) Nil
+          else r.clearFirst.map(del) ++ Seq(del(r.live), () => {
+            val live = new java.io.File(root, r.live)
+            Option(live.getParentFile).foreach(_.mkdirs())
+            Files.move(new java.io.File(root, r.staged).toPath,
+              live.toPath); ()
+          })
+        swap.deletes.map(del) ++ renames.flatMap(ren) ++
+          swap.cleanup.map(del) :+ del(".commit-r")
+      }
+      // reference: recover from the untouched state
+      val ref = fresh()
+      CommitLog.recover(spark, ref)
+      val want = walk(new java.io.File(ref))
+      val nOps = ops(fresh()).length // op count on a fresh layout
+      (0 until nOps).foreach { k =>
+        val root = fresh()
+        // derive once on the fresh layout (all staged dirs present =>
+        // the op list is exactly the executor's) and apply the first k
+        ops(root).take(k).foreach(_.apply())
+        CommitLog.recover(spark, root)
+        val got = walk(new java.io.File(root))
+        assert(got == want,
+          s"trial $trial step $k diverged:\n got $got\nwant $want")
+      }
+    }
+  }
+
   test("a .tmp manifest (crash mid-manifest-write) is ignored") {
     val root = tmp()
     mkDir(root, "live", "prior"); mkDir(root, ".st", "new")
