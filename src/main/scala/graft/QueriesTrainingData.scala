@@ -2780,6 +2780,49 @@ object QueriesTrainingData {
         |      FROM documents)
         |GROUP BY ROLLUP(source, lang)""".stripMargin),
     // multimodal: metadata extraction over binary media column
+    // multimodal: MP4 SAMPLE TABLES — real ISO-BMFF container parsing
+    // (stsd codec+dims, stts timestamps, stsc/stco/stsz byte ranges)
+    // over muxer-built single-track videos; every sample's offset, size,
+    // timestamp, and the FIRST BYTE READ THROUGH THE PARSED OFFSET are
+    // replayed by the oracle from the deterministic generation formulas
+    // (mdat payload starts at 527 + 4n — the muxer's documented layout
+    // constant). This is the container half of video frame-sampling; the
+    // codec decode of a located sample stays the declared stub.
+    ("mm_mp4_samples",
+      ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 1 + (id % 5).toInt
+          val sizes = (0 until n).map(k => 1 + ((id + k) % 9).toInt)
+          val bytes = sizes.zipWithIndex.flatMap { case (sz, k) =>
+            Array.fill(sz)(((id * 7 + k * 13) % 256).toByte) }.toArray
+          (id, Multimodal.MediaFixtures.mp4TrackBytes(
+            id % 100 + 1, 16 + (id % 64).toInt, 16 + ((id * 3) % 64).toInt,
+            600L, 30 + (id % 60), sizes, bytes))
+        }.toDF("media_id", "media")
+      Multimodal.Mp4Tracks.sampleTable(media)
+    }),
+      """WITH m AS (
+        |  SELECT doc_id, 1 + (doc_id % 5) AS n, 30 + (doc_id % 60) AS delta
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (
+        |  SELECT doc_id, n, delta, k
+        |  FROM m, (SELECT UNNEST(range(0, 5)) AS k) r WHERE k < n)
+        |SELECT doc_id AS media_id,
+        |  CAST(doc_id % 100 + 1 AS BIGINT) AS track_id,
+        |  'avc1' AS codec,
+        |  CAST(16 + (doc_id % 64) AS INT) AS width,
+        |  CAST(16 + ((doc_id * 3) % 64) AS INT) AS height,
+        |  CAST(k AS INT) AS sample_idx,
+        |  CAST(527 + 4 * n + COALESCE(list_sum(list_transform(range(0, k),
+        |    j -> 1 + ((doc_id + j) % 9))), 0) AS BIGINT) AS "offset",
+        |  CAST(1 + ((doc_id + k) % 9) AS BIGINT) AS size,
+        |  CAST((k * delta * 1000) // 600 AS BIGINT) AS pts_ms,
+        |  CAST((doc_id * 7 + k * 13) % 256 AS INT) AS first_byte
+        |FROM s""".stripMargin),
+
     ("mm_meta",
       ((s, dir) =>
       Multimodal.extractMeta(Multimodal.synthesize(docs(s, dir)))

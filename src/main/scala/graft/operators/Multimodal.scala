@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   * struct. Format sniffing and header metadata are REAL, pure-JVM
   * parsers over magic bytes and container headers ([[MediaSniffer]]:
   * JPEG SOF scan, PNG IHDR, GIF logical screen, WAV RIFF/fmt/data,
-  * MP4 ftyp/moov/mvhd). Only pixel/sample DECODE remains a
-  * clearly-marked stub ([[FakeCodec.frame]]/[[FakeCodec.resize]]) — the
-  * container has no codec libraries; the swap-in point is those two
-  * functions (JNI/javacv), and the `mapPartitions` batching pattern
-  * (init once per partition, emit typed rows) is exactly what a real
-  * decoder needs.
+  * MP4 ftyp/moov/mvhd), and [[Mp4Tracks]] parses full ISO-BMFF sample
+  * tables (stsd/stts/stsc/stsz/stco) into real per-sample byte ranges
+  * and timestamps — the container half of video frame-sampling. Only
+  * the codec DECODE of a located sample remains a clearly-marked stub
+  * ([[FakeCodec.frame]]/[[FakeCodec.resize]]) — the container has no
+  * codec libraries; the swap-in point is those two functions
+  * (JNI/javacv), and the `mapPartitions` batching pattern (init once
+  * per partition, emit typed rows) is exactly what a real decoder
+  * needs.
   */
 object Multimodal {
 
@@ -191,6 +194,91 @@ object Multimodal {
       out.putInt(byteRate).putShort((channels * 2).toShort).putShort(16)
       out.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataSize.toInt)
       out.put(payload)
+      out.array()
+    }
+
+    /** A minimal but structurally conformant single-video-track mp4:
+      * ftyp + moov[mvhd, trak[tkhd, mdia[mdhd, hdlr('vide'),
+      * minf[stbl[stsd('avc1' visual entry), stts(uniform delta),
+      * stsc(one chunk), stsz(explicit sizes), stco]]]]] + mdat holding
+      * the concatenated samples. Codec-config boxes (avcC) are omitted
+      * — the sample-table parser reads container structure, not codec
+      * config; like the .mmdb fixture encoder, muxer and parser are
+      * independent spec derivations. Layout is deterministic: the mdat
+      * payload (= sample 0) begins at byte 527 + 4·n for n samples
+      * (only stsz varies with n), which the `mm_mp4_samples` oracle
+      * replays. */
+    def mp4TrackBytes(trackId: Long, width: Int, height: Int,
+                      timescale: Long, sampleDelta: Long,
+                      sampleSizes: Seq[Int],
+                      samples: Array[Byte]): Array[Byte] = {
+      val n = sampleSizes.length
+      require(sampleSizes.sum == samples.length, "sizes must cover samples")
+      val stszSize = 20 + 4 * n
+      val stblSize = 8 + 102 + 24 + 28 + stszSize + 20
+      val minfSize = 8 + stblSize
+      val mdiaSize = 8 + 32 + 33 + minfSize
+      val trakSize = 8 + 92 + mdiaSize
+      val moovSize = 8 + 108 + trakSize
+      val mdatStart = 20 + moovSize          // == 519 + 4n
+      val out = ByteBuffer.allocate(mdatStart + 8 + samples.length)
+      def fourcc(s: String) = out.put(s.getBytes(StandardCharsets.US_ASCII))
+      // ftyp
+      out.putInt(20); fourcc("ftyp"); fourcc("isom"); out.putInt(0); fourcc("isom")
+      // moov / mvhd (v0; duration = n * delta in movie timescale)
+      out.putInt(moovSize); fourcc("moov")
+      out.putInt(108); fourcc("mvhd"); out.putInt(0)
+      out.putInt(0).putInt(0) // ctime mtime
+      out.putInt(timescale.toInt).putInt((n * sampleDelta).toInt)
+      out.put(new Array[Byte](108 - 8 - 4 - 16))
+      // trak / tkhd (v0): track_id at body+12, dims (16.16) at the tail
+      out.putInt(trakSize); fourcc("trak")
+      out.putInt(92); fourcc("tkhd"); out.putInt(7) // flags: enabled
+      out.putInt(0).putInt(0)                  // ctime mtime
+      out.putInt(trackId.toInt).putInt(0)      // track_id, reserved
+      out.putInt((n * sampleDelta).toInt)      // duration
+      out.put(new Array[Byte](8))              // reserved
+      out.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/volume/reserved
+      out.put(new Array[Byte](36))             // identity matrix zeroed (not parsed)
+      out.putInt(width << 16).putInt(height << 16)
+      // mdia / mdhd (v0): timescale at body+12
+      out.putInt(mdiaSize); fourcc("mdia")
+      out.putInt(32); fourcc("mdhd"); out.putInt(0)
+      out.putInt(0).putInt(0)
+      out.putInt(timescale.toInt).putInt((n * sampleDelta).toInt)
+      out.putShort(0x55c4.toShort).putShort(0) // lang 'und', predefined
+      // hdlr('vide')
+      out.putInt(33); fourcc("hdlr"); out.putInt(0); out.putInt(0)
+      fourcc("vide"); out.put(new Array[Byte](12)); out.put(0.toByte)
+      // minf / stbl
+      out.putInt(minfSize); fourcc("minf")
+      out.putInt(stblSize); fourcc("stbl")
+      // stsd with one avc1 VisualSampleEntry (dims at entry+32/34)
+      out.putInt(102); fourcc("stsd"); out.putInt(0); out.putInt(1)
+      out.putInt(86); fourcc("avc1")
+      out.put(new Array[Byte](6)).putShort(1)  // reserved, dref index
+      out.putShort(0).putShort(0)              // pre_defined, reserved
+      out.put(new Array[Byte](12))             // pre_defined[3]
+      out.putShort(width.toShort).putShort(height.toShort)
+      out.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+      out.putInt(0).putShort(1)                // reserved, frame_count
+      out.put(new Array[Byte](32))             // compressorname
+      out.putShort(24).putShort(-1)            // depth, pre_defined
+      // stts: one uniform run
+      out.putInt(24); fourcc("stts"); out.putInt(0); out.putInt(1)
+      out.putInt(n).putInt(sampleDelta.toInt)
+      // stsc: all samples in one chunk
+      out.putInt(28); fourcc("stsc"); out.putInt(0); out.putInt(1)
+      out.putInt(1).putInt(n).putInt(1)
+      // stsz: explicit per-sample sizes
+      out.putInt(stszSize); fourcc("stsz"); out.putInt(0); out.putInt(0)
+      out.putInt(n)
+      sampleSizes.foreach(out.putInt)
+      // stco: the one chunk starts right after the mdat header
+      out.putInt(20); fourcc("stco"); out.putInt(0); out.putInt(1)
+      out.putInt(mdatStart + 8)
+      // mdat
+      out.putInt(8 + samples.length); fourcc("mdat"); out.put(samples)
       out.array()
     }
 
@@ -596,5 +684,172 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  // ---- MP4 sample tables (ISO/IEC 14496-12 container structure) ------
+  // Container-level video plumbing WITHOUT a codec: the sample tables
+  // inside `moov` are what locate every frame's bytes in `mdat` —
+  // stsd (codec fourcc + dims), stts (decode deltas), stsc
+  // (samples-per-chunk runs), stsz (per-sample byte sizes), stco (chunk
+  // offsets). Parsing them yields REAL per-sample byte ranges and
+  // timestamps, which is everything a distributed frame-sampling
+  // pipeline needs to route work (select every Nth sample, slice its
+  // bytes, ship to a decoder); only the codec DECODE of a selected
+  // sample's bytes stays out of scope (no JVM-builtin H.264).
+
+  case class Mp4Sample(trackId: Long, codec: String, width: Int,
+                       height: Int, sampleIdx: Int, offset: Long,
+                       size: Long, ptsMs: Long)
+
+  object Mp4Tracks {
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def u64(b: Array[Byte], i: Int): Long =
+      (u32(b, i) << 32) | u32(b, i + 4)
+    private def ascii(b: Array[Byte], i: Int, n: Int): String =
+      new String(b, i, n, StandardCharsets.US_ASCII)
+
+    /** All (start, end) ranges of top-level boxes named `name` inside
+      * [from, until) — handles 64-bit `largesize` (size==1) and
+      * to-end-of-file (size==0) boxes. */
+    private def boxes(b: Array[Byte], name: String, from: Int,
+                      until: Int): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
+      var i = from
+      while (i + 8 <= until) {
+        val size32 = u32(b, i)
+        val id = ascii(b, i + 4, 4)
+        val (bodyStart, size) =
+          if (size32 == 1L && i + 16 <= until) (i + 16, u64(b, i + 8))
+          else if (size32 == 0L) (i + 8, (until - i).toLong)
+          else (i + 8, size32)
+        if (size < 8 || i + size > until) return out.result() // corrupt: stop
+        if (id == name) out += ((bodyStart, i + size.toInt))
+        i += size.toInt
+      }
+      out.result()
+    }
+    private def box(b: Array[Byte], name: String, from: Int,
+                    until: Int): Option[(Int, Int)] =
+      boxes(b, name, from, until).headOption
+
+    /** Parse every track's sample table. Tolerant: tracks with missing
+      * mandatory boxes are skipped, never thrown on. */
+    def parse(b: Array[Byte]): Seq[Mp4Sample] = {
+      if (b == null || b.length < 12 || ascii(b, 4, 4) != "ftyp")
+        return Seq.empty
+      val moov = box(b, "moov", 0, b.length).toSeq
+      moov.flatMap { case (ms, me) =>
+        boxes(b, "trak", ms, me).flatMap { case (ts, te) =>
+          parseTrack(b, ts, te)
+        }
+      }
+    }
+
+    private def parseTrack(b: Array[Byte], ts: Int, te: Int): Seq[Mp4Sample] = {
+      val trackId = box(b, "tkhd", ts, te).map { case (s, _) =>
+        u32(b, s + 12) // v0: fullbox(4) ctime(4) mtime(4) -> track_id
+      }.getOrElse(0L)
+      (for {
+        (mds, mde) <- box(b, "mdia", ts, te)
+        (mhs, _) <- box(b, "mdhd", mds, mde)
+        timescale = u32(b, mhs + 12) // v0: fullbox ctime mtime -> timescale
+        (mis, mie) <- box(b, "minf", mds, mde)
+        (sts, ste) <- box(b, "stbl", mis, mie)
+        (sds, _) <- box(b, "stsd", sts, ste)
+      } yield {
+        // first sample entry: 4 fullbox + 4 entry_count, then a sample
+        // entry box; video entries carry dims at +24/+26 past fourcc
+        val entry = sds + 8
+        val codec = ascii(b, entry + 4, 4)
+        val w = u16(b, entry + 32)
+        val h = u16(b, entry + 34)
+        // stsz: per-sample sizes (or one fixed size)
+        val sizes: IndexedSeq[Long] = box(b, "stsz", sts, ste).map {
+          case (s, _) =>
+            val fixed = u32(b, s + 4)
+            val n = u32(b, s + 8).toInt
+            if (fixed != 0) IndexedSeq.fill(n)(fixed)
+            else (0 until n).map(k => u32(b, s + 12 + 4 * k))
+        }.getOrElse(IndexedSeq.empty)
+        // stts: (count, delta) runs -> per-sample decode timestamps
+        val deltas: IndexedSeq[Long] = box(b, "stts", sts, ste).map {
+          case (s, _) =>
+            val n = u32(b, s + 4).toInt
+            (0 until n).flatMap { k =>
+              val cnt = u32(b, s + 8 + 8 * k).toInt
+              val d = u32(b, s + 12 + 8 * k)
+              IndexedSeq.fill(cnt)(d)
+            }.toIndexedSeq
+        }.getOrElse(IndexedSeq.empty)
+        // stsc runs + stco offsets -> per-sample absolute offsets
+        val stscRuns: IndexedSeq[(Int, Int)] = box(b, "stsc", sts, ste).map {
+          case (s, _) =>
+            val n = u32(b, s + 4).toInt
+            (0 until n).map(k =>
+              (u32(b, s + 8 + 12 * k).toInt,        // first_chunk (1-based)
+               u32(b, s + 12 + 12 * k).toInt))      // samples_per_chunk
+        }.getOrElse(IndexedSeq.empty)
+        val chunkOffsets: IndexedSeq[Long] = box(b, "stco", sts, ste).map {
+          case (s, _) =>
+            val n = u32(b, s + 4).toInt
+            (0 until n).map(k => u32(b, s + 8 + 4 * k))
+        }.getOrElse(IndexedSeq.empty)
+        if (sizes.isEmpty || chunkOffsets.isEmpty || stscRuns.isEmpty ||
+            timescale == 0L) Seq.empty
+        else {
+          // expand stsc runs into per-chunk sample counts
+          val perChunk = chunkOffsets.indices.map { ci =>
+            val run = stscRuns.reverse.find(_._1 <= ci + 1)
+              .getOrElse(stscRuns.head)
+            run._2
+          }
+          val out = Seq.newBuilder[Mp4Sample]
+          var sidx = 0
+          var pts = 0L
+          chunkOffsets.indices.foreach { ci =>
+            var off = chunkOffsets(ci)
+            (0 until perChunk(ci)).foreach { _ =>
+              if (sidx < sizes.length) {
+                val dur = if (sidx < deltas.length) deltas(sidx) else 0L
+                out += Mp4Sample(trackId, codec, w, h, sidx, off,
+                  sizes(sidx), pts * 1000L / timescale)
+                off += sizes(sidx)
+                pts += dur
+                sidx += 1
+              }
+            }
+          }
+          out.result()
+        }
+      }).getOrElse(Seq.empty)
+    }
+
+    /** Per-sample rows over a media table: (media_id, track_id, codec,
+      * width, height, sample_idx, offset, size, pts_ms, first_byte) —
+      * `first_byte` is read THROUGH the parsed offset, proving the byte
+      * ranges really locate the samples in mdat. Opaque byte parsing =>
+      * mapPartitions (the stated pattern for non-columnar surfaces). */
+    def sampleTable(media: DataFrame, idCol: String = "media_id",
+                    bytesCol: String = "media"): DataFrame = {
+      val spark = media.sparkSession
+      import spark.implicits._
+      media.select(col(idCol).cast("long"), col(bytesCol))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          parse(bytes).map { sm =>
+            (id, sm.trackId, sm.codec, sm.width, sm.height, sm.sampleIdx,
+              sm.offset, sm.size,
+              sm.ptsMs,
+              if (sm.offset < bytes.length) bytes(sm.offset.toInt) & 0xff
+              else -1)
+          }
+        })
+        .toDF("media_id", "track_id", "codec", "width", "height",
+          "sample_idx", "offset", "size", "pts_ms", "first_byte")
+    }
   }
 }

@@ -285,6 +285,39 @@ class OperatorsSpec extends GraftSpec {
     assert(MediaSniffer.sniff(gif).height.contains(200))
   }
 
+  test("mp4 sample tables: muxer/parser round-trip — codec+dims, per-sample offsets locate the REAL bytes, timestamps from stts, corrupt inputs inert") {
+    import Multimodal.{MediaFixtures, Mp4Tracks}
+    val sizes = Seq(3, 5, 2, 7)
+    val samples = Array.tabulate(sizes.sum)(i => (i * 11 + 1).toByte)
+    val bytes = MediaFixtures.mp4TrackBytes(trackId = 9, width = 320,
+      height = 180, timescale = 600, sampleDelta = 60,
+      sampleSizes = sizes, samples = samples)
+    val parsed = Mp4Tracks.parse(bytes)
+    assert(parsed.length == 4)
+    assert(parsed.forall(s => s.trackId == 9 && s.codec == "avc1" &&
+      s.width == 320 && s.height == 180))
+    // the documented layout constant: mdat payload at 527 + 4n
+    val base = 527 + 4 * sizes.length
+    assert(parsed.map(_.offset) == Seq(base, base + 3, base + 8, base + 10)
+      .map(_.toLong))
+    assert(parsed.map(_.size) == sizes.map(_.toLong))
+    // stts: uniform 60/600 s per sample -> 0/100/200/300 ms
+    assert(parsed.map(_.ptsMs) == Seq(0L, 100L, 200L, 300L))
+    // offsets really locate the sample bytes inside mdat
+    parsed.zipWithIndex.foreach { case (s, k) =>
+      val expectFirst = samples(sizes.take(k).sum)
+      assert(bytes(s.offset.toInt) == expectFirst, s"sample $k bytes")
+    }
+    // robustness: truncation and garbage parse to empty, never throw
+    assert(Mp4Tracks.parse(bytes.take(200)).isEmpty ||
+      Mp4Tracks.parse(bytes.take(200)).forall(_.size >= 0))
+    assert(Mp4Tracks.parse("nonsense".getBytes("UTF-8")).isEmpty)
+    assert(Mp4Tracks.parse(Array.emptyByteArray).isEmpty)
+    // the legacy ftyp+mvhd-only fixture has no sample tables -> empty
+    assert(Mp4Tracks.parse(
+      MediaFixtures.mp4Bytes(600L, 1800L, Array.emptyByteArray)).isEmpty)
+  }
+
   test("multimodal meta + frames: real headers round-trip, deterministic frames") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
     val media = Multimodal.synthesize(docs)
