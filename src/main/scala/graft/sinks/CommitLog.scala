@@ -116,6 +116,11 @@ object CommitLog {
     val out = fs.create(tmp, true)
     out.write(serialize(swap).getBytes(StandardCharsets.UTF_8))
     out.close()
+    // callers recover() before staging, so a same-tag manifest cannot
+    // normally exist — but local-FS rename-onto-existing fails silently
+    // (returns false), which would execute THIS swap while the OLD
+    // manifest stayed behind to re-execute later; clear it first
+    fs.delete(new Path(rootP, s"$Prefix$tag"), false)
     fs.rename(tmp, new Path(rootP, s"$Prefix$tag"))
     execute(fs, rootP, s"$Prefix$tag", swap)
   }
