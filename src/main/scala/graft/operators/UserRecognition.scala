@@ -135,11 +135,24 @@ object UserRecognition {
                      user_id: Option[String], timestamp: Timestamp)
   case class URState(buffered: List[UREvent])
 
+  /** Grouping key for events WITHOUT an anonymous id: a second
+    * filter+union branch would re-scan and re-parse the whole source
+    * every micro-batch, so keyless events ride through the stateful
+    * operator under a NUL-prefixed key instead and the transitions pass
+    * them straight through (no buffering, no state). Collisions on the
+    * synthetic key are benign — the bypass branch emits every row
+    * unconditionally. */
+  private val NoKeyPrefix = "\u0000nokey:"
+  private def urKey(e: UREvent): String =
+    if (e.anonymous_id != null) e.anonymous_id
+    else NoKeyPrefix + e.message_id + ":" + String.valueOf(e.timestamp)
+
   /** flatMapGroupsWithState transition: buffer anonymous events; on an
     * identified event, evict + merge + emit buffered∪current; TTL via
     * event-time timeout = lookback window. */
   def urTransition(lookbackMs: Long)(
       key: String, rows: Iterator[UREvent], state: GroupState[URState]): Iterator[UREvent] = {
+    if (key.startsWith(NoKeyPrefix)) return rows // keyless bypass, stateless
     if (state.hasTimedOut) {
       val out = state.getOption.map(_.buffered).getOrElse(Nil)
       state.remove()
@@ -197,6 +210,7 @@ object UserRecognition {
 
     override def handleInputRows(key: String, rows: Iterator[UREvent],
         timerValues: TimerValues): Iterator[UREvent] = {
+      if (key.startsWith(NoKeyPrefix)) return rows // keyless bypass
       val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
       var buf = buffered.get().toList
       val out = scala.collection.mutable.ArrayBuffer[UREvent]()
@@ -243,18 +257,15 @@ object UserRecognition {
     import org.apache.spark.sql.streaming.TimeMode
     val spark = events.sparkSession
     import spark.implicits._
-    val base = events
+    events
       .select(col("message_id"), col("anonymous_id"), col("user_id"),
         col("timestamp"))
       .withWatermark("timestamp", watermark)
-    val keyless = base.filter(col("anonymous_id").isNull).as[UREvent]
-    base.filter(col("anonymous_id").isNotNull)
       .as[UREvent]
-      .groupByKey(_.anonymous_id)
+      .groupByKey(urKey) // ONE source scan; keyless bypass inside
       .transformWithState(new URProcessor(lookbackDays * 86400000L),
         TimeMode.EventTime(), OutputMode.Append(),
         org.apache.spark.sql.Encoders.product[UREvent])
-      .union(keyless)
   }
 
   /** Streaming user recognition over an envelope-shaped stream
@@ -263,18 +274,14 @@ object UserRecognition {
                        watermark: String = "1 hour"): Dataset[UREvent] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val base = events
+    events
       .select(col("message_id"), col("anonymous_id"), col("user_id"),
         col("timestamp"))
       .withWatermark("timestamp", watermark)
-    // null-key events bypass recognition (see streamingResolveConfigured)
-    val keyless = base.filter(col("anonymous_id").isNull).as[UREvent]
-    base.filter(col("anonymous_id").isNotNull)
       .as[UREvent]
-      .groupByKey(_.anonymous_id)
+      .groupByKey(urKey) // ONE source scan; keyless bypass inside
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         urTransition(lookbackDays * 86400000L))
-      .union(keyless)
   }
 
   // ---- configurable streaming form (full-event payloads) -------------
