@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1574,6 +1576,76 @@ object Queries {
         |    FROM env))
         |GROUP BY anonymous_id""".stripMargin)),
     // J1: user recognition, batch form — recovered identities
+    // J1d: the reference's OWN user-recognition test replayed end-to-end
+    // (user-recognition.test.ts): three anonymous page events arrive in
+    // batch 0 and must EMIT UNCHANGED immediately (the reference's
+    // `return event` after addEvent); the identify in batch 1 re-emits
+    // all three with BOTH identifier fields merged (userId + the
+    // context.traits object — lodash merge via dotted setPath); a
+    // second identify in batch 2 finds an empty buffer and emits only
+    // itself. All nine expected emissions are value-pinned, including
+    // the traits deep-merged into events that had none.
+    ("j1d_ur_golden",
+      ((s, dir) => {
+      import s.implicits._
+      val in = Files.createTempDirectory("ur-gold-in").toString
+      val traits = """{\"email\":\"test@example.com\",\"name\":\"Test User\"}"""
+      def page(id: String, ts: String, ident: Boolean) =
+        s"""{"message_id":"$id","type":"page","anonymous_id":"anon1",""" +
+          (if (ident) s""""user_id":"user1","context":{"traits":"$traits"},"""
+           else "") +
+          s""""timestamp":"$ts"}"""
+      def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
+        val f = new java.io.File(in, name)
+        Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+        f.setLastModified(mtime); ()
+      }
+      stage("b0.txt", 1700000000000L, Seq(
+        page("1", "2024-01-01T10:00:00Z", ident = false),
+        page("2", "2024-01-01T10:01:00Z", ident = false),
+        page("3", "2024-01-01T10:02:00Z", ident = false)))
+      stage("b1.txt", 1700000060000L,
+        Seq(page("4", "2024-01-01T10:03:00Z", ident = true)))
+      stage("b2.txt", 1700000120000L,
+        Seq(page("5", "2024-01-01T10:04:00Z", ident = true)))
+      val raw = s.readStream.format("text")
+        .option("maxFilesPerTrigger", "1").load(in)
+      val envStream = raw
+        .select(from_json(col("value").cast("string"),
+          graft.schema.EventSchema.envelope).as("e"))
+        .select("e.*")
+      val resolved = UserRecognition.streamingResolveConfigured(envStream,
+        UserRecognition.URConfig(
+          identifierFields = Seq("user_id", "context.traits"),
+          jsonObjectFields = Set("context.traits")))
+      val out = Files.createTempDirectory("ur-gold-out").toString
+      val cp = Files.createTempDirectory("ur-gold-cp").toString
+      val q = resolved.toDF("payload").writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(out).select(
+        get_json_object(col("payload"), "$.message_id").as("message_id"),
+        get_json_object(col("payload"), "$.user_id").as("user_id"),
+        get_json_object(get_json_object(col("payload"), "$.context.traits"),
+          "$.email").as("email"),
+        get_json_object(get_json_object(col("payload"), "$.context.traits"),
+          "$.name").as("name"))
+    }),
+      """SELECT * FROM (VALUES
+        |  ('1', NULL, NULL, NULL),
+        |  ('2', NULL, NULL, NULL),
+        |  ('3', NULL, NULL, NULL),
+        |  ('1', 'user1', 'test@example.com', 'Test User'),
+        |  ('2', 'user1', 'test@example.com', 'Test User'),
+        |  ('3', 'user1', 'test@example.com', 'Test User'),
+        |  ('4', 'user1', 'test@example.com', 'Test User'),
+        |  ('5', 'user1', 'test@example.com', 'Test User')
+        |) t(message_id, user_id, email, name)""".stripMargin),
+
     ("j1_user_recognition",
       ((s, dir) =>
       UserRecognition.resolveBatch(env(s, dir))

@@ -147,16 +147,20 @@ object UserRecognition {
     if (e.anonymous_id != null) e.anonymous_id
     else NoKeyPrefix + e.message_id + ":" + String.valueOf(e.timestamp)
 
-  /** flatMapGroupsWithState transition: buffer anonymous events; on an
-    * identified event, evict + merge + emit buffered∪current; TTL via
-    * event-time timeout = lookback window. */
+  /** flatMapGroupsWithState transition, the reference's exact contract
+    * (user-recognition.ts:48-84, pinned by its own test's expected
+    * sets, gated by `j1d_ur_golden`): an anonymous event is EMITTED
+    * UNCHANGED immediately AND buffered (`return event` after
+    * addEvent); an identified event evicts the buffer and re-emits
+    * every buffered event with the identity merged (the sink's keyed
+    * MERGE then overwrites the originals); TTL expiry just drops state
+    * — nothing to flush, the events already flowed. */
   def urTransition(lookbackMs: Long)(
       key: String, rows: Iterator[UREvent], state: GroupState[URState]): Iterator[UREvent] = {
     if (key.startsWith(NoKeyPrefix)) return rows // keyless bypass, stateless
     if (state.hasTimedOut) {
-      val out = state.getOption.map(_.buffered).getOrElse(Nil)
       state.remove()
-      return out.iterator // flush unrecognized on expiry
+      return Iterator.empty // originals were emitted on arrival
     }
     val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
     var buffered = state.getOption.map(_.buffered).getOrElse(Nil)
@@ -168,6 +172,7 @@ object UserRecognition {
           buffered = Nil
           out += e
         case None =>
+          out += e // pass through unchanged (ref: return event)
           buffered = buffered :+ e
       }
     }
@@ -221,6 +226,7 @@ object UserRecognition {
             buf = Nil
             out += e
           case None =>
+            out += e // pass through unchanged (ref: return event)
             buf = buf :+ e
         }
       }
@@ -243,9 +249,8 @@ object UserRecognition {
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[UREvent] = {
-      val out = buffered.get().toList // flush unrecognized on expiry
       buffered.clear(); timerTs.clear()
-      out.iterator
+      Iterator.empty // originals were emitted on arrival
     }
   }
 
@@ -362,9 +367,8 @@ object UserRecognition {
     val mapper = new ObjectMapper()
     val merge = mergeIdentifiers(mapper, identifierFields) _
     if (state.hasTimedOut) {
-      val out = state.getOption.map(_.buffered).getOrElse(Nil)
       state.remove()
-      return out.iterator
+      return Iterator.empty // originals were emitted on arrival
     }
     val sorted = rows.toSeq.sortBy(_.ts.getTime)
     var buffered = state.getOption.map(_.buffered).getOrElse(Nil)
@@ -375,7 +379,10 @@ object UserRecognition {
         out ++= buffered.map(b => merge(b, e.payload))
         buffered = Nil
         out += e.payload
-      } else buffered = buffered :+ e.payload
+      } else {
+        out += e.payload // pass through unchanged (ref: return event)
+        buffered = buffered :+ e.payload
+      }
       lastTs = e.ts.getTime
     }
     if (buffered.nonEmpty) {

@@ -335,10 +335,13 @@ class StreamingSpec extends GraftSpec {
     val q1 = EventPipeline.startRecognized(spark, in, wh, cp,
       maxFilesPerTrigger = 1, statePartitions = 2)
     try q1.awaitTermination() finally q1.stop()
-    assert(!new java.io.File(s"$wh/events").exists() ||
-      spark.read.parquet(s"$wh/events")
-        .filter(col("message_id") === "a1").count() == 0,
-      "buffered event must not have landed yet")
+    // reference semantics: the anonymous event lands IMMEDIATELY,
+    // unidentified — the later identify must OVERWRITE it via MERGE
+    val landed1 = spark.read.parquet(s"$wh/events")
+      .select(col("message_id"), col("user_id")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(landed1.get("a1").contains(None),
+      s"anonymous event must land unidentified first: $landed1")
     // run 2: a NEW query instance on the same checkpoint; the identify
     // arrives and must evict the RESTORED buffer with the identity merged
     stage("b1.txt", 1700000060000L, Seq(i1))
@@ -578,12 +581,16 @@ class StreamingSpec extends GraftSpec {
     try q.processAllAvailable() finally q.stop()
     val got = spark.table("ur_out")
       .select("message_id", "user_id").as[(String, Option[String])]
-      .collect().toMap
-    // m1,m2 recovered with u42; m3 identified; m4 still buffered in state
-    assert(got.get("m1").flatten.contains("u42"))
-    assert(got.get("m2").flatten.contains("u42"))
-    assert(got.get("m3").flatten.contains("u42"))
-    assert(!got.contains("m4"))
+      .collect().toSeq.map { case (m, u) => (m, u.getOrElse("")) }.sorted
+    // reference semantics (user-recognition.ts, pinned by its test):
+    // anonymous events EMIT IMMEDIATELY unchanged and buffer; the
+    // identify re-emits them merged (downstream MERGE overwrites the
+    // originals); m4 emits unidentified and stays buffered in state
+    assert(got == Seq(
+      ("m1", ""), ("m1", "u42"),
+      ("m2", ""), ("m2", "u42"),
+      ("m3", "u42"),
+      ("m4", "")).sorted, s"got $got")
   }
 
   test("transformWithState UR emits exactly what flatMapGroupsWithState does") {
@@ -603,7 +610,7 @@ class StreamingSpec extends GraftSpec {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    def run(name: String, tws: Boolean): Map[String, Option[String]] = {
+    def run(name: String, tws: Boolean): Seq[(String, String)] = {
       val sess = if (tws) s2 else spark
       val stream = sess.readStream.schema(
         org.apache.spark.sql.types.StructType.fromDDL(schema)).json(in)
@@ -616,16 +623,19 @@ class StreamingSpec extends GraftSpec {
       sess.table(name).select("message_id", "user_id")
         .as[(String, Option[String])](
           org.apache.spark.sql.Encoders.product[(String, Option[String])])
-        .collect().toMap
+        .collect().toSeq.map { case (m, u) => (m, u.getOrElse("")) }.sorted
     }
     val classic = run("ur_classic", tws = false)
     val modern = run("ur_tws", tws = true)
     assert(modern == classic)
-    // the re-identification chain resolved: m1/m2 -> u42, m6 -> u43
-    assert(modern.get("m1").flatten.contains("u42"))
-    assert(modern.get("m6").flatten.contains("u43"))
-    assert(modern.get("m5").flatten.contains("u7")) // keyless passthrough
-    assert(!modern.contains("m4"))                  // still buffered
+    // pass-through emissions + the re-identification chain: m1/m2
+    // re-emit under u42, m6 under u43; m5 is the keyless passthrough;
+    // m4 emits unidentified and stays buffered in state
+    assert(modern.count(_ == ("m1", "u42")) == 1)
+    assert(modern.count(_ == ("m6", "u43")) == 1)
+    assert(modern.count(_ == ("m5", "u7")) == 1)
+    assert(modern.count(_ == ("m4", "")) == 1)
+    assert(modern.count(_._1 == "m4") == 1) // never re-identified
   }
 
   test("configurable streaming UR merges identifier fields (traits email)") {
