@@ -1608,7 +1608,11 @@ object Queries {
         Seq(page("4", "2024-01-01T10:03:00Z", ident = true)))
       stage("b2.txt", 1700000120000L,
         Seq(page("5", "2024-01-01T10:04:00Z", ident = true)))
-      val raw = s.readStream.format("text")
+      // tiny fixture stream: shard state to the workload, not the
+      // session width (the statePartitions rule)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      val raw = s2.readStream.format("text")
         .option("maxFilesPerTrigger", "1").load(in)
       val envStream = raw
         .select(from_json(col("value").cast("string"),
