@@ -165,13 +165,28 @@ object UserRecognition {
     val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
     var buffered = state.getOption.map(_.buffered).getOrElse(Nil)
     val out = scala.collection.mutable.ArrayBuffer[UREvent]()
+    // anonymous emissions of THIS invocation, by slot: a same-batch
+    // identify REPLACES them in place instead of adding a second row —
+    // one micro-batch must never hand the sink both the original and
+    // the merged version of a message (the MERGE tie-break on equal
+    // (timestamp, batch) would pick arbitrarily); across batches the
+    // original landed earlier and the merged re-emission overwrites it.
+    val emittedIdx = scala.collection.mutable.Map.empty[String, Int]
     sorted.foreach { e =>
       e.user_id match {
         case Some(uid) =>
-          out ++= buffered.map(b => b.copy(user_id = Some(uid)))
+          buffered.foreach { b =>
+            val merged = b.copy(user_id = Some(uid))
+            emittedIdx.get(b.message_id) match {
+              case Some(i) => out(i) = merged
+              case None => out += merged
+            }
+          }
+          emittedIdx.clear()
           buffered = Nil
           out += e
         case None =>
+          emittedIdx(e.message_id) = out.length
           out += e // pass through unchanged (ref: return event)
           buffered = buffered :+ e
       }
@@ -219,13 +234,23 @@ object UserRecognition {
       val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
       var buf = buffered.get().toList
       val out = scala.collection.mutable.ArrayBuffer[UREvent]()
+      // same-invocation replacement: see urTransition
+      val emittedIdx = scala.collection.mutable.Map.empty[String, Int]
       sorted.foreach { e =>
         e.user_id match {
           case Some(uid) =>
-            out ++= buf.map(b => b.copy(user_id = Some(uid)))
+            buf.foreach { b =>
+              val merged = b.copy(user_id = Some(uid))
+              emittedIdx.get(b.message_id) match {
+                case Some(i) => out(i) = merged
+                case None => out += merged
+              }
+            }
+            emittedIdx.clear()
             buf = Nil
             out += e
           case None =>
+            emittedIdx(e.message_id) = out.length
             out += e // pass through unchanged (ref: return event)
             buf = buf :+ e
         }
@@ -374,12 +399,24 @@ object UserRecognition {
     var buffered = state.getOption.map(_.buffered).getOrElse(Nil)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var lastTs = 0L
+    // same-invocation replacement as urTransition: an identify replaces
+    // this batch's just-emitted originals in place (keyed by the payload
+    // string, which the buffer holds verbatim)
+    val emittedIdx = scala.collection.mutable.Map.empty[String, Int]
     sorted.foreach { e =>
       if (e.ident) {
-        out ++= buffered.map(b => merge(b, e.payload))
+        buffered.foreach { b =>
+          val m = merge(b, e.payload)
+          emittedIdx.get(b) match {
+            case Some(i) => out(i) = m
+            case None => out += m
+          }
+        }
+        emittedIdx.clear()
         buffered = Nil
         out += e.payload
       } else {
+        emittedIdx(e.payload) = out.length
         out += e.payload // pass through unchanged (ref: return event)
         buffered = buffered :+ e.payload
       }

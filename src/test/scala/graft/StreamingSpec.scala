@@ -583,13 +583,13 @@ class StreamingSpec extends GraftSpec {
       .select("message_id", "user_id").as[(String, Option[String])]
       .collect().toSeq.map { case (m, u) => (m, u.getOrElse("")) }.sorted
     // reference semantics (user-recognition.ts, pinned by its test):
-    // anonymous events EMIT IMMEDIATELY unchanged and buffer; the
-    // identify re-emits them merged (downstream MERGE overwrites the
-    // originals); m4 emits unidentified and stays buffered in state
+    // anonymous events EMIT IMMEDIATELY unchanged and buffer; an
+    // identify re-emits them merged. All four events here share ONE
+    // micro-batch, so the merged versions REPLACE the just-emitted
+    // originals in place (a batch must never hand the sink both
+    // versions of a message); m4 emits unidentified and stays buffered
     assert(got == Seq(
-      ("m1", ""), ("m1", "u42"),
-      ("m2", ""), ("m2", "u42"),
-      ("m3", "u42"),
+      ("m1", "u42"), ("m2", "u42"), ("m3", "u42"),
       ("m4", "")).sorted, s"got $got")
   }
 
