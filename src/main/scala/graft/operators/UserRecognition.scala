@@ -140,8 +140,21 @@ object UserRecognition {
     * every micro-batch, so keyless events ride through the stateful
     * operator under a NUL-prefixed key instead and the transitions pass
     * them straight through (no buffering, no state). Collisions on the
-    * synthetic key are benign — the bypass branch emits every row
-    * unconditionally. */
+    * synthetic key are benign — the bypass branch emits every row it
+    * receives unconditionally.
+    *
+    * DOCUMENTED DEVIATION (late keyless rows): riding through the
+    * stateful operator subjects keyless events to its late-row filter —
+    * a keyless event older than the watermark is dropped, where the
+    * reference's `return event` for no-anon-id events
+    * (user-recognition.ts:48) always delivers and the replaced
+    * filter+union bypass did too. Accepted: one watermark now governs
+    * EVERY row at the recognition boundary (keyed rows were already
+    * subject to it), which is the uniform late-data contract the rest
+    * of the pipeline assumes, and it buys back a full second source
+    * scan + parse per micro-batch. Operators needing straggler-keyless
+    * parity can widen the watermark — it bounds state for KEYED rows
+    * only, keyless rows create none. */
   private val NoKeyPrefix = "\u0000nokey:"
   private def urKey(e: UREvent): String =
     if (e.anonymous_id != null) e.anonymous_id
@@ -165,29 +178,32 @@ object UserRecognition {
     val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
     var buffered = state.getOption.map(_.buffered).getOrElse(Nil)
     val out = scala.collection.mutable.ArrayBuffer[UREvent]()
-    // anonymous emissions of THIS invocation, by slot: a same-batch
-    // identify REPLACES them in place instead of adding a second row —
-    // one micro-batch must never hand the sink both the original and
-    // the merged version of a message (the MERGE tie-break on equal
-    // (timestamp, batch) would pick arbitrarily); across batches the
-    // original landed earlier and the merged re-emission overwrites it.
+    // emissions of THIS WHOLE invocation, by slot: a same-batch identify
+    // REPLACES this batch's just-emitted originals in place instead of
+    // adding a second row — one micro-batch must never hand the sink
+    // both the original and the merged version of a message (the MERGE
+    // tie-break on equal (timestamp, batch) would pick arbitrarily);
+    // across batches the original landed earlier and the merged
+    // re-emission overwrites it. The map spans the whole invocation (it
+    // is never cleared): a redelivered original arriving AFTER the
+    // identify that merged it lands in the same slot and must not
+    // downgrade the merged row — emit() keeps the richer version.
     val emittedIdx = scala.collection.mutable.Map.empty[String, Int]
+    def emit(e: UREvent): Unit = emittedIdx.get(e.message_id) match {
+      case Some(i) =>
+        if (out(i).user_id.isEmpty || e.user_id.isDefined) out(i) = e
+      case None =>
+        emittedIdx(e.message_id) = out.length
+        out += e
+    }
     sorted.foreach { e =>
       e.user_id match {
         case Some(uid) =>
-          buffered.foreach { b =>
-            val merged = b.copy(user_id = Some(uid))
-            emittedIdx.get(b.message_id) match {
-              case Some(i) => out(i) = merged
-              case None => out += merged
-            }
-          }
-          emittedIdx.clear()
+          buffered.foreach(b => emit(b.copy(user_id = Some(uid))))
           buffered = Nil
-          out += e
+          emit(e)
         case None =>
-          emittedIdx(e.message_id) = out.length
-          out += e // pass through unchanged (ref: return event)
+          emit(e) // pass through unchanged (ref: return event)
           buffered = buffered :+ e
       }
     }
@@ -234,24 +250,25 @@ object UserRecognition {
       val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
       var buf = buffered.get().toList
       val out = scala.collection.mutable.ArrayBuffer[UREvent]()
-      // same-invocation replacement: see urTransition
+      // whole-invocation replacement map: see urTransition (a
+      // redelivered already-merged original must not append or
+      // downgrade — emit() keeps the richer version in its slot)
       val emittedIdx = scala.collection.mutable.Map.empty[String, Int]
+      def emit(e: UREvent): Unit = emittedIdx.get(e.message_id) match {
+        case Some(i) =>
+          if (out(i).user_id.isEmpty || e.user_id.isDefined) out(i) = e
+        case None =>
+          emittedIdx(e.message_id) = out.length
+          out += e
+      }
       sorted.foreach { e =>
         e.user_id match {
           case Some(uid) =>
-            buf.foreach { b =>
-              val merged = b.copy(user_id = Some(uid))
-              emittedIdx.get(b.message_id) match {
-                case Some(i) => out(i) = merged
-                case None => out += merged
-              }
-            }
-            emittedIdx.clear()
+            buf.foreach(b => emit(b.copy(user_id = Some(uid))))
             buf = Nil
-            out += e
+            emit(e)
           case None =>
-            emittedIdx(e.message_id) = out.length
-            out += e // pass through unchanged (ref: return event)
+            emit(e) // pass through unchanged (ref: return event)
             buf = buf :+ e
         }
       }
@@ -399,25 +416,33 @@ object UserRecognition {
     var buffered = state.getOption.map(_.buffered).getOrElse(Nil)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var lastTs = 0L
-    // same-invocation replacement as urTransition: an identify replaces
-    // this batch's just-emitted originals in place (keyed by the payload
-    // string, which the buffer holds verbatim)
-    val emittedIdx = scala.collection.mutable.Map.empty[String, Int]
+    // whole-invocation replacement as urTransition: an identify replaces
+    // this batch's just-emitted originals in place (keyed by the ORIGINAL
+    // payload string, which the buffer holds verbatim). `upgraded` marks
+    // slots holding a merged version, which a redelivered original
+    // arriving after the identify must not downgrade or duplicate.
+    val slotOf = scala.collection.mutable.Map.empty[String, Int]
+    val upgraded = scala.collection.mutable.Set.empty[Int]
+    def emit(orig: String, value: String, isMerged: Boolean): Unit =
+      slotOf.get(orig) match {
+        case Some(i) =>
+          if (isMerged || !upgraded(i)) {
+            out(i) = value
+            if (isMerged) { upgraded += i; () }
+          }
+        case None =>
+          slotOf(orig) = out.length
+          if (isMerged) { upgraded += out.length; () }
+          out += value
+      }
     sorted.foreach { e =>
       if (e.ident) {
-        buffered.foreach { b =>
-          val m = merge(b, e.payload)
-          emittedIdx.get(b) match {
-            case Some(i) => out(i) = m
-            case None => out += m
-          }
-        }
-        emittedIdx.clear()
+        buffered.foreach(b => emit(b, merge(b, e.payload), isMerged = true))
         buffered = Nil
-        out += e.payload
+        emit(e.payload, e.payload, isMerged = false)
       } else {
-        emittedIdx(e.payload) = out.length
-        out += e.payload // pass through unchanged (ref: return event)
+        // pass through unchanged (ref: return event)
+        emit(e.payload, e.payload, isMerged = false)
         buffered = buffered :+ e.payload
       }
       lastTs = e.ts.getTime
@@ -441,16 +466,19 @@ object UserRecognition {
     val anonKey = coalesce(config.anonymousIdFields.map(col): _*)
     val isIdent = config.identifierFields
       .map(f => nonEmpty(col(f), config.jsonObjectFields(f))).reduce(_ || _)
-    // No anonymous key -> the event bypasses recognition untouched (ref
-    // getAnonId :87-95; a shared null key would cross-contaminate).
-    // The bypass is NOT a separate filter branch unioned back in — a
-    // second branch re-scans and re-parses the whole source every
-    // micro-batch (on Kafka, a second broker fetch of every byte).
-    // Instead keyless events ride through the stateful operator under a
-    // per-event synthetic key (NUL-prefixed, so no real anonymous id
-    // can collide) marked `ident`: the transition emits them
-    // immediately and never creates state for them — one source scan,
-    // the keyless surcharge is only their share of the groupBy shuffle.
+    // No anonymous key -> the event bypasses recognition with its
+    // CONTENT untouched (ref getAnonId :87-95; a shared null key would
+    // cross-contaminate). The bypass is NOT a separate filter branch
+    // unioned back in — a second branch re-scans and re-parses the
+    // whole source every micro-batch (on Kafka, a second broker fetch
+    // of every byte). Instead keyless events ride through the stateful
+    // operator under a per-event synthetic key (NUL-prefixed, so no
+    // real anonymous id can collide) marked `ident`: the transition
+    // emits them immediately and never creates state for them — one
+    // source scan, the keyless surcharge is only their share of the
+    // groupBy shuffle. Late-data caveat: this places keyless rows
+    // under the operator's watermark late-row filter, a documented
+    // deviation from the reference's always-deliver — see [[urKey]].
     val syntheticKey = concat(lit("\u0000nokey:"),
       coalesce(col("message_id"), expr("uuid()")))
     val tagged = events
@@ -475,14 +503,31 @@ object UserRecognition {
     val isIdent = config.identifierFields
       .map(f => nonEmpty(col(s"e.$f"), config.jsonObjectFields(f)))
       .reduce(_ || _)
+    // A line lacking message_id gets one defaulted DETERMINISTICALLY --
+    // a hash of the raw bytes -- and injected INTO THE PAYLOAD ITSELF
+    // here in the tag stage, so every later parse of this event (its
+    // immediate emission, the UR merged re-emission after an identify,
+    // a foreachBatch replay after a crash between the sink write and
+    // the runOnce marker) lands under the SAME id and the sink's keyed
+    // MERGE collapses them. A per-parse uuid() default downstream would
+    // mint a fresh identity each time and the duplicates would persist.
+    // (Byte-identical id-less lines hash alike and collapse to one row:
+    // with no id they are indistinguishable duplicates by definition.)
+    val defaultMid = md5(col("payload"))
+    val afterBrace = expr("substring(payload, instr(payload, '{') + 1)")
+    val injected = concat(lit("{\"message_id\":\""), defaultMid, lit("\""),
+      when(afterBrace.rlike("^\\s*\\}"), lit("")).otherwise(lit(",")),
+      afterBrace)
+    val payload = when(col("e.message_id").isNull, injected)
+      .otherwise(col("payload"))
     val syntheticKey = concat(lit("\u0000nokey:"),
-      coalesce(col("e.message_id"), expr("uuid()")))
+      coalesce(col("e.message_id"), defaultMid))
     df.withColumn("ts", coalesce(col("e.timestamp"),
         col("e.received_at"), current_timestamp()))
       .withWatermark("ts", watermark)
       .select(coalesce(anonKey, syntheticKey).as("key"),
         (isIdent || anonKey.isNull).as("ident"),
-        col("ts"), col("payload"))
+        col("ts"), payload.as("payload"))
   }
 
   /** The top-level envelope fields a [[tagRawLines]] narrow parse needs

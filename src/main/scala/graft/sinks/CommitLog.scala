@@ -120,8 +120,16 @@ object CommitLog {
     // normally exist — but local-FS rename-onto-existing fails silently
     // (returns false), which would execute THIS swap while the OLD
     // manifest stayed behind to re-execute later; clear it first
-    fs.delete(new Path(rootP, s"$Prefix$tag"), false)
-    fs.rename(tmp, new Path(rootP, s"$Prefix$tag"))
+    val manifest = new Path(rootP, s"$Prefix$tag")
+    fs.delete(manifest, false)
+    // Hadoop FileSystem.rename reports several failure modes by
+    // returning false rather than throwing; a swap executed without a
+    // durable commit record could not be rolled forward after a crash,
+    // so abort here — staging is inert and the caller simply retries.
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(
+        s"CommitLog: commit-point rename $tmp -> $manifest returned " +
+          "false; commit aborted (nothing live was touched)")
     execute(fs, rootP, s"$Prefix$tag", swap)
   }
 
@@ -158,7 +166,14 @@ object CommitLog {
         fs.delete(live, true)
         val parent = live.getParent
         if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
-        fs.rename(staged, live): Unit
+        // rename returning false here (the live dir is already gone)
+        // MUST NOT fall through to the manifest delete below — the
+        // staged dir still holds the only copy of the data, and only
+        // the surviving manifest lets recover() retry this swap.
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(
+            s"CommitLog: rename $staged -> $live returned false; " +
+              "manifest left in place for recover()")
       }
     }
     swap.cleanup.foreach(c => fs.delete(new Path(root, c), true))

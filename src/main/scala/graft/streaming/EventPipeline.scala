@@ -500,9 +500,13 @@ object EventPipeline {
             val goodRows = cached.filter(col("error").isNull)
               .select(col("payload").as("value"))
               .as[String](org.apache.spark.sql.Encoders.STRING)
+            // no per-parse uuid() default here: the tag stage already
+            // injected a deterministic message_id (hash of the raw
+            // line) into any id-less payload BEFORE recognition, so a
+            // UR merged re-emission or a post-crash replay of this
+            // batch re-parses to the SAME id and the sink MERGE
+            // collapses it (fromJson's uuid() fallback never fires)
             val env = defaultTimestamp(EventSchema.fromJson(goodRows))
-              .withColumn("message_id",
-                coalesce(col("message_id"), expr("uuid()")))
             router.write(applyLayout(env, layout))
             val badRows = cached.filter(col("error").isNotNull)
               .select(col("payload").as("raw_event"), col("error"),

@@ -193,4 +193,84 @@ class CommitLogSpec extends GraftSpec {
     CommitLog.recover(spark, root)
     assert(readMarker(root, "live").contains("prior"))
   }
+
+  // ---- rename-failure semantics (ADVICE r9) --------------------------
+  // Hadoop FileSystem.rename reports several failure modes by returning
+  // FALSE rather than throwing. A false staged->live rename must leave
+  // the manifest in place (the staged dir holds the only copy once the
+  // live dir is cleared); a false commit-point rename must abort the
+  // commit before anything live is touched.
+
+  private def flakyConf: org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    c.setClass("fs.flaky.impl", classOf[FlakyRenameFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    c
+  }
+
+  test("a false staged->live rename aborts, keeps the manifest, and recover rolls forward") {
+    val root = tmp()
+    mkDir(root, "live", "prior")
+    mkDir(root, ".st", "new")
+    FlakyRenameFs.failOnceWhenDstNamed.set("live")
+    val ex = intercept[java.io.IOException] {
+      CommitLog.commit(flakyConf, "flaky:" + root, "t",
+        CommitLog.Swap(renames = Seq(CommitLog.Rename(".st", "live"))))
+    }
+    assert(ex.getMessage.contains("manifest left in place"))
+    // the live dir was already cleared -- the staged dir now holds the
+    // ONLY copy, and the surviving manifest is what lets recover retry
+    assert(new java.io.File(root, ".commit-t").exists(), "manifest dropped")
+    assert(readMarker(root, ".st").contains("new"), "staged data lost")
+    CommitLog.recover(flakyConf, "flaky:" + root) // rename works again
+    assert(readMarker(root, "live").contains("new"))
+    assert(!new java.io.File(root, ".commit-t").exists())
+    assert(!new java.io.File(root, ".st").exists())
+  }
+
+  test("a false commit-point rename aborts the commit with nothing live touched") {
+    val root = tmp()
+    mkDir(root, "old", "old")
+    mkDir(root, ".st", "new")
+    val swap = CommitLog.Swap(deletes = Seq("old"),
+      renames = Seq(CommitLog.Rename(".st", "live")))
+    FlakyRenameFs.failOnceWhenDstNamed.set(".commit-t2")
+    val ex = intercept[java.io.IOException] {
+      CommitLog.commit(flakyConf, "flaky:" + root, "t2", swap)
+    }
+    assert(ex.getMessage.contains("commit aborted"))
+    // no durable commit record => nothing executed: deletes did not
+    // run, staging is intact and inert
+    assert(readMarker(root, "old").contains("old"))
+    assert(readMarker(root, ".st").contains("new"))
+    assert(!new java.io.File(root, ".commit-t2").exists())
+    CommitLog.recover(flakyConf, "flaky:" + root) // no-op: no manifest
+    assert(readMarker(root, "old").contains("old"))
+    // the retry (rename healthy again) completes the swap
+    CommitLog.commit(flakyConf, "flaky:" + root, "t2", swap)
+    assert(readMarker(root, "old").isEmpty)
+    assert(readMarker(root, "live").contains("new"))
+    assert(!new java.io.File(root, ".commit-t2").exists())
+  }
+}
+
+/** A local FS whose rename returns FALSE (once) when the destination's
+  * name matches [[FlakyRenameFs.failOnceWhenDstNamed]] -- the Hadoop
+  * soft-failure mode CommitLog must treat as an abort, not a success. */
+class FlakyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val want = FlakyRenameFs.failOnceWhenDstNamed.get()
+    if (want != null && dst.getName == want) {
+      FlakyRenameFs.failOnceWhenDstNamed.set(null)
+      false
+    } else super.rename(src, dst)
+  }
+}
+
+object FlakyRenameFs {
+  val failOnceWhenDstNamed =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 }

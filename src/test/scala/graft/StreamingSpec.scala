@@ -320,6 +320,38 @@ class StreamingSpec extends GraftSpec {
     assert(quarantined == Seq("not json at all"))
   }
 
+  test("startRecognized: an id-less event lands exactly once — its UR merged re-emission collapses onto the deterministic default id") {
+    // ADVICE r9: with a per-parse uuid() default, an event lacking
+    // message_id was re-parsed under a FRESH id when UR re-emitted it
+    // merged in a later batch, so the sink MERGE kept BOTH rows. The
+    // tag stage now injects md5(raw line) into the payload before
+    // recognition; original and merged re-emission share that id.
+    val in = tmp("graft-nomid-in"); val wh = tmp("graft-nomid-wh")
+    val cp = tmp("graft-nomid-cp")
+    def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(mtime); ()
+    }
+    val a1 = """{"type":"track","timestamp":"2024-01-01T00:00:00Z","anonymous_id":"anonD"}""" // NO message_id
+    val i1 = """{"message_id":"i1","type":"identify","timestamp":"2024-01-01T00:02:00Z","anonymous_id":"anonD","user_id":"u5"}"""
+    stage("b0.txt", 1700000000000L, Seq(a1))
+    stage("b1.txt", 1700000060000L, Seq(i1))
+    val q = EventPipeline.startRecognized(spark, in, wh, cp,
+      maxFilesPerTrigger = 1, statePartitions = 2)
+    try q.awaitTermination() finally q.stop()
+    val landed = spark.read.parquet(s"$wh/events")
+      .select(col("message_id"), col("user_id")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val defaultMid = java.security.MessageDigest.getInstance("MD5")
+      .digest(a1.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // exactly two rows: the re-emission overwrote the original in the
+    // MERGE instead of landing under a second minted id
+    assert(landed.keySet == Set(defaultMid, "i1"), s"got $landed")
+    assert(landed(defaultMid).contains("u5"),
+      s"merged re-emission failed to collapse onto the original: $landed")
+  }
+
   test("startRecognized survives a stream RESTART: buffered anonymous state restores from the checkpoint and later identify still evicts it") {
     val in = tmp("graft-rst-in"); val wh = tmp("graft-rst-wh")
     val cp = tmp("graft-rst-cp")
@@ -822,5 +854,98 @@ class StreamingSpec extends GraftSpec {
     assert(landed.size == 6)
     assert(landed.count(_._2) == 4,
       s"quota 4 must admit exactly 4: $landed")
+  }
+
+  test("UR transition: intra-batch redelivery of an already-merged original never emits two versions") {
+    // ADVICE r9: anon a1 -> identify -> a1 REDELIVERED in one batch.
+    // Equal timestamps make the stable sort preserve arrival order, so
+    // the redelivered original is processed AFTER the identify that
+    // merged it; it must land in the merged row's slot (kept richer),
+    // never as a second unmerged row for the same message_id -- one
+    // micro-batch must never hand the sink both versions of a message.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import graft.operators.UserRecognition.{UREvent, URState}
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val anon = UREvent("m1", "a1", None, t0)
+    val ident = UREvent("m3", "a1", Some("u42"), t0)
+    val state = TestGroupState.create[URState](Optional.empty(),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L),
+      hasTimedOut = false)
+    val out = UserRecognition.urTransition(86400000L)(
+      "a1", Iterator(anon, ident, anon), state).toList
+    assert(out.map(_.message_id) == List("m1", "m3"), s"got $out")
+    assert(out.head.user_id.contains("u42"),
+      s"redelivery downgraded the merged row: $out")
+    // the redelivered original re-buffers (ref addEvent always buffers)
+    assert(state.get.buffered.map(_.message_id) == List("m1"))
+  }
+
+  test("UR gen transition: redelivered payload after identify keeps the merged row") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import graft.operators.UserRecognition.{URGenEvent, URGenState}
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val anonP = """{"message_id":"m1","anonymous_id":"a1"}"""
+    val identP = """{"message_id":"m3","anonymous_id":"a1","user_id":"u42"}"""
+    val state = TestGroupState.create[URGenState](Optional.empty(),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L),
+      hasTimedOut = false)
+    val out = UserRecognition.urGenTransition(86400000L, Seq("user_id"))(
+      "a1", Iterator(URGenEvent("a1", ident = false, t0, anonP),
+        URGenEvent("a1", ident = true, t0, identP),
+        URGenEvent("a1", ident = false, t0, anonP)), state).toList
+    assert(out.size == 2, s"got $out")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val first = mapper.readTree(out.head)
+    assert(first.get("message_id").asText() == "m1")
+    assert(first.get("user_id") != null &&
+      first.get("user_id").asText() == "u42",
+      s"redelivery downgraded the merged payload: ${out.head}")
+    assert(out(1) == identP)
+  }
+
+  test("tagRawLines defaults a missing message_id deterministically, injected into the payload") {
+    // ADVICE r9: a per-parse uuid() default meant a UR merged
+    // re-emission (or a post-crash foreachBatch replay) re-parsed an
+    // id-less line under a FRESH id, so the sink MERGE could never
+    // collapse it. The tag stage now injects md5(raw line) into the
+    // payload itself, so every re-parse sees the same id.
+    import graft.operators.UserRecognition
+    val cfg = UserRecognition.URConfig()
+    val tagNames = UserRecognition.tagFields(cfg)
+    val tagSchema = org.apache.spark.sql.types.StructType(
+      graft.schema.EventSchema.envelope.fields.filter(f =>
+        tagNames.contains(f.name)))
+    val lines = Seq(
+      """{"anonymous_id":"a1","timestamp":"2024-01-01T10:00:00.000Z"}""",
+      """{}""",
+      """{"message_id":"mX","anonymous_id":"a1","timestamp":"2024-01-01T10:01:00.000Z"}""")
+    def tag(): Seq[String] = {
+      val df = lines.toDF("payload")
+        .withColumn("e", from_json(col("payload"), tagSchema))
+      UserRecognition.tagRawLines(df, cfg).collect()
+        .map(_.getAs[String]("payload")).toSeq
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def mid(payload: String): String =
+      mapper.readTree(payload).get("message_id").asText()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = tag()
+    got.foreach { p =>
+      // every tagged payload parses as a JSON object WITH a message_id
+      assert(mapper.readTree(p).isObject, p)
+      assert(mid(p).nonEmpty, p)
+    }
+    // id-less lines (incl. the empty object) got md5(raw line); the
+    // line that already had an id is byte-identical to its input
+    val byMid = got.map(p => mid(p) -> p).toMap
+    assert(byMid.contains(md5hex(lines.head)), s"got $got")
+    assert(byMid.contains(md5hex("{}")), s"got $got")
+    assert(byMid("mX") == lines(2))
+    // deterministic: a second tagging pass produces the same payloads
+    assert(tag() == got)
   }
 }
