@@ -467,6 +467,86 @@ object Queries {
     * ONE unit (the twin-map layout, query here / oracle hundreds of
     * lines below, was a recurring editing hazard). Helper CTE vals
     * stay declared above so object-init order is safe. */
+  /** J1d/J1e shared fixture: the reference's OWN user-recognition test
+    * (user-recognition.test.ts) replayed end-to-end — three anonymous
+    * page events arrive in batch 0 and must EMIT UNCHANGED immediately
+    * (the reference's `return event` after addEvent); the identify in
+    * batch 1 re-emits all three with BOTH identifier fields merged
+    * (userId + the context.traits object — lodash merge via dotted
+    * setPath); a second identify in batch 2 finds an empty buffer and
+    * emits only itself. All nine expected emissions are value-pinned.
+    * `engine`: "classic" (flatMapGroupsWithState) or "tws"
+    * (transformWithState / ListState — the O(1)-append scale twin). */
+  private def urGoldenRun(s: SparkSession, engine: String): DataFrame = {
+    val in = Files.createTempDirectory("ur-gold-in").toString
+    val traits = """{\"email\":\"test@example.com\",\"name\":\"Test User\"}"""
+    def page(id: String, ts: String, ident: Boolean) =
+      s"""{"message_id":"$id","type":"page","anonymous_id":"anon1",""" +
+        (if (ident) s""""user_id":"user1","context":{"traits":"$traits"},"""
+         else "") +
+        s""""timestamp":"$ts"}"""
+    def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(mtime); ()
+    }
+    stage("b0.txt", 1700000000000L, Seq(
+      page("1", "2024-01-01T10:00:00Z", ident = false),
+      page("2", "2024-01-01T10:01:00Z", ident = false),
+      page("3", "2024-01-01T10:02:00Z", ident = false)))
+    stage("b1.txt", 1700000060000L,
+      Seq(page("4", "2024-01-01T10:03:00Z", ident = true)))
+    stage("b2.txt", 1700000120000L,
+      Seq(page("5", "2024-01-01T10:04:00Z", ident = true)))
+    // tiny fixture stream: shard state to the workload, not the
+    // session width (the statePartitions rule)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    if (engine == "tws")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    val raw = s2.readStream.format("text")
+      .option("maxFilesPerTrigger", "1").load(in)
+    val envStream = raw
+      .select(from_json(col("value").cast("string"),
+        graft.schema.EventSchema.envelope).as("e"))
+      .select("e.*")
+    val resolved = UserRecognition.streamingResolveConfigured(envStream,
+      UserRecognition.URConfig(
+        identifierFields = Seq("user_id", "context.traits"),
+        jsonObjectFields = Set("context.traits")),
+      engine = engine)
+    val out = Files.createTempDirectory("ur-gold-out").toString
+    val cp = Files.createTempDirectory("ur-gold-cp").toString
+    val q = resolved.toDF("payload").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(out).select(
+      get_json_object(col("payload"), "$.message_id").as("message_id"),
+      get_json_object(col("payload"), "$.user_id").as("user_id"),
+      get_json_object(get_json_object(col("payload"), "$.context.traits"),
+        "$.email").as("email"),
+      get_json_object(get_json_object(col("payload"), "$.context.traits"),
+        "$.name").as("name"))
+  }
+
+  private val urGoldenOracle =
+    """SELECT * FROM (VALUES
+      |  ('1', NULL, NULL, NULL),
+      |  ('2', NULL, NULL, NULL),
+      |  ('3', NULL, NULL, NULL),
+      |  ('1', 'user1', 'test@example.com', 'Test User'),
+      |  ('2', 'user1', 'test@example.com', 'Test User'),
+      |  ('3', 'user1', 'test@example.com', 'Test User'),
+      |  ('4', 'user1', 'test@example.com', 'Test User'),
+      |  ('5', 'user1', 'test@example.com', 'Test User')
+      |) t(message_id, user_id, email, name)""".stripMargin
+
   val pipelineGated: Seq[(String, Q, String)] = Seq(
     // A1/A5: billing active events, exact count-distinct, day grain
     ("a1_active_events",
@@ -1586,69 +1666,16 @@ object Queries {
     // itself. All nine expected emissions are value-pinned, including
     // the traits deep-merged into events that had none.
     ("j1d_ur_golden",
-      ((s, dir) => {
-      import s.implicits._
-      val in = Files.createTempDirectory("ur-gold-in").toString
-      val traits = """{\"email\":\"test@example.com\",\"name\":\"Test User\"}"""
-      def page(id: String, ts: String, ident: Boolean) =
-        s"""{"message_id":"$id","type":"page","anonymous_id":"anon1",""" +
-          (if (ident) s""""user_id":"user1","context":{"traits":"$traits"},"""
-           else "") +
-          s""""timestamp":"$ts"}"""
-      def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
-        val f = new java.io.File(in, name)
-        Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
-        f.setLastModified(mtime); ()
-      }
-      stage("b0.txt", 1700000000000L, Seq(
-        page("1", "2024-01-01T10:00:00Z", ident = false),
-        page("2", "2024-01-01T10:01:00Z", ident = false),
-        page("3", "2024-01-01T10:02:00Z", ident = false)))
-      stage("b1.txt", 1700000060000L,
-        Seq(page("4", "2024-01-01T10:03:00Z", ident = true)))
-      stage("b2.txt", 1700000120000L,
-        Seq(page("5", "2024-01-01T10:04:00Z", ident = true)))
-      // tiny fixture stream: shard state to the workload, not the
-      // session width (the statePartitions rule)
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "2")
-      val raw = s2.readStream.format("text")
-        .option("maxFilesPerTrigger", "1").load(in)
-      val envStream = raw
-        .select(from_json(col("value").cast("string"),
-          graft.schema.EventSchema.envelope).as("e"))
-        .select("e.*")
-      val resolved = UserRecognition.streamingResolveConfigured(envStream,
-        UserRecognition.URConfig(
-          identifierFields = Seq("user_id", "context.traits"),
-          jsonObjectFields = Set("context.traits")))
-      val out = Files.createTempDirectory("ur-gold-out").toString
-      val cp = Files.createTempDirectory("ur-gold-cp").toString
-      val q = resolved.toDF("payload").writeStream
-        .outputMode("append")
-        .option("checkpointLocation", cp)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet").option("path", out)
-        .start()
-      try q.awaitTermination() finally q.stop()
-      s.read.parquet(out).select(
-        get_json_object(col("payload"), "$.message_id").as("message_id"),
-        get_json_object(col("payload"), "$.user_id").as("user_id"),
-        get_json_object(get_json_object(col("payload"), "$.context.traits"),
-          "$.email").as("email"),
-        get_json_object(get_json_object(col("payload"), "$.context.traits"),
-          "$.name").as("name"))
-    }),
-      """SELECT * FROM (VALUES
-        |  ('1', NULL, NULL, NULL),
-        |  ('2', NULL, NULL, NULL),
-        |  ('3', NULL, NULL, NULL),
-        |  ('1', 'user1', 'test@example.com', 'Test User'),
-        |  ('2', 'user1', 'test@example.com', 'Test User'),
-        |  ('3', 'user1', 'test@example.com', 'Test User'),
-        |  ('4', 'user1', 'test@example.com', 'Test User'),
-        |  ('5', 'user1', 'test@example.com', 'Test User')
-        |) t(message_id, user_id, email, name)""".stripMargin),
+      ((s, dir) => urGoldenRun(s, "classic")),
+      urGoldenOracle),
+    // J1e: the SAME golden replay through the transformWithState twin
+    // (URGenProcessor: ListState buffer, O(1) appends — the engine the
+    // 100 TB deployment runs) — proves the scale path emits the
+    // reference's exact pinned sets, not just output-equality vs the
+    // classic operator on synthetic streams.
+    ("j1e_ur_golden_tws",
+      ((s, dir) => urGoldenRun(s, "tws")),
+      urGoldenOracle),
 
     ("j1_user_recognition",
       ((s, dir) =>

@@ -175,7 +175,10 @@ object UserRecognition {
       state.remove()
       return Iterator.empty // originals were emitted on arrival
     }
-    val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+    // (timestamp, message_id) — the batch twin's total order (:68); a
+    // timestamp-only sort would leave tied events in partition order and
+    // make the identify-vs-anonymous interleave nondeterministic
+    val sorted = rows.toSeq.sortBy(e => (e.timestamp.getTime, e.message_id))
     var buffered = state.getOption.map(_.buffered).getOrElse(Nil)
     val out = scala.collection.mutable.ArrayBuffer[UREvent]()
     // emissions of THIS WHOLE invocation, by slot: a same-batch identify
@@ -247,7 +250,9 @@ object UserRecognition {
     override def handleInputRows(key: String, rows: Iterator[UREvent],
         timerValues: TimerValues): Iterator[UREvent] = {
       if (key.startsWith(NoKeyPrefix)) return rows // keyless bypass
-      val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+      // (timestamp, message_id): the batch twin's total order — see
+      // urTransition
+      val sorted = rows.toSeq.sortBy(e => (e.timestamp.getTime, e.message_id))
       var buf = buffered.get().toList
       val out = scala.collection.mutable.ArrayBuffer[UREvent]()
       // whole-invocation replacement map: see urTransition (a
@@ -334,10 +339,16 @@ object UserRecognition {
   // ---- configurable streaming form (full-event payloads) -------------
 
   /** Streaming event: anonymous key + identified flag pre-computed as
-    * columns, payload = the full event as JSON (the Mongo collection in
-    * the reference stores whole events the same way). */
-  case class URGenEvent(key: String, ident: Boolean, ts: Timestamp, payload: String)
-  case class URGenState(buffered: List[String])
+    * columns, `mid` = the event's message_id (deterministically defaulted
+    * upstream when absent — the same id the payload itself carries),
+    * payload = the full event as JSON (the Mongo collection in the
+    * reference stores whole events the same way). */
+  case class URGenEvent(key: String, ident: Boolean, ts: Timestamp,
+                        mid: String, payload: String)
+  /** One buffered anonymous event: its id (the same-batch replacement
+    * key — a redelivery may differ in bytes but never in id) + payload. */
+  case class URBufEntry(mid: String, payload: String)
+  case class URGenState(buffered: List[URBufEntry])
 
   /** A JSON-object value, whether it arrives as a real object node or as
     * a string column holding serialized JSON (the envelope keeps open
@@ -412,38 +423,42 @@ object UserRecognition {
       state.remove()
       return Iterator.empty // originals were emitted on arrival
     }
-    val sorted = rows.toSeq.sortBy(_.ts.getTime)
+    // (ts, mid): the batch twin's total order — see urTransition
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.mid))
     var buffered = state.getOption.map(_.buffered).getOrElse(Nil)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var lastTs = 0L
     // whole-invocation replacement as urTransition: an identify replaces
-    // this batch's just-emitted originals in place (keyed by the ORIGINAL
-    // payload string, which the buffer holds verbatim). `upgraded` marks
-    // slots holding a merged version, which a redelivered original
-    // arriving after the identify must not downgrade or duplicate.
+    // this batch's just-emitted originals in place, keyed by MESSAGE ID
+    // (a redelivered original may differ in bytes — a mutated field, a
+    // re-serialization — but never in id, and the sink's MERGE key is
+    // the id). `upgraded` marks slots holding a merged version, which a
+    // redelivered original arriving after the identify must not
+    // downgrade or duplicate.
     val slotOf = scala.collection.mutable.Map.empty[String, Int]
     val upgraded = scala.collection.mutable.Set.empty[Int]
-    def emit(orig: String, value: String, isMerged: Boolean): Unit =
-      slotOf.get(orig) match {
+    def emit(mid: String, value: String, isMerged: Boolean): Unit =
+      slotOf.get(mid) match {
         case Some(i) =>
           if (isMerged || !upgraded(i)) {
             out(i) = value
             if (isMerged) { upgraded += i; () }
           }
         case None =>
-          slotOf(orig) = out.length
+          slotOf(mid) = out.length
           if (isMerged) { upgraded += out.length; () }
           out += value
       }
     sorted.foreach { e =>
       if (e.ident) {
-        buffered.foreach(b => emit(b, merge(b, e.payload), isMerged = true))
+        buffered.foreach(b =>
+          emit(b.mid, merge(b.payload, e.payload), isMerged = true))
         buffered = Nil
-        emit(e.payload, e.payload, isMerged = false)
+        emit(e.mid, e.payload, isMerged = false)
       } else {
         // pass through unchanged (ref: return event)
-        emit(e.payload, e.payload, isMerged = false)
-        buffered = buffered :+ e.payload
+        emit(e.mid, e.payload, isMerged = false)
+        buffered = buffered :+ URBufEntry(e.mid, e.payload)
       }
       lastTs = e.ts.getTime
     }
@@ -455,14 +470,115 @@ object UserRecognition {
     out.iterator
   }
 
+  /** [[urGenTransition]] re-expressed on `transformWithState` — the
+    * O(1)-append twin for the CONFIGURABLE path (the one
+    * [[graft.streaming.EventPipeline.startRecognized]] runs in
+    * production). Under `flatMapGroupsWithState` every anonymous event
+    * on a hot key pays a full deserialize/reserialize of the whole
+    * buffered-payload blob (`URGenState(List[...])` — O(buffer) per
+    * event, the cost that dominates hot anonymous keys at scale); here
+    * the buffer is a `ListState[URBufEntry]`, so an anonymous-only
+    * invocation is ONE `appendList` of just this batch's events and
+    * never reads the buffer at all. The buffer is read only when an
+    * identify drains it. Semantics are identical to [[urGenTransition]]
+    * (StreamingSpec proves output-equality on the same stream;
+    * `j1e_ur_golden_tws` replays the reference's own test through this
+    * operator). Requires the RocksDB state store provider. */
+  class URGenProcessor(lookbackMs: Long, identifierFields: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, URGenEvent, String] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var buffered:
+      org.apache.spark.sql.streaming.ListState[URBufEntry] = _
+    @transient private var timerTs:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var mapper: ObjectMapper = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buffered = getHandle.getListState[URBufEntry](
+        "buffered", E.product[URBufEntry], TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long](
+        "timerTs", E.scalaLong, TTLConfig.NONE)
+      mapper = new ObjectMapper()
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[URGenEvent],
+        timerValues: TimerValues): Iterator[String] = {
+      val merge = mergeIdentifiers(mapper, identifierFields) _
+      // (ts, mid): the batch twin's total order — see urTransition
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.mid))
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      // this batch's not-yet-persisted anonymous events: flushed as ONE
+      // appendList at the end (never a whole-buffer rewrite), or drained
+      // in place if an identify lands later in the same batch
+      val pending = scala.collection.mutable.ArrayBuffer[URBufEntry]()
+      var drained = false
+      var lastTs = 0L
+      // whole-invocation replacement map, keyed by message id — see
+      // urGenTransition
+      val slotOf = scala.collection.mutable.Map.empty[String, Int]
+      val upgraded = scala.collection.mutable.Set.empty[Int]
+      def emit(mid: String, value: String, isMerged: Boolean): Unit =
+        slotOf.get(mid) match {
+          case Some(i) =>
+            if (isMerged || !upgraded(i)) {
+              out(i) = value
+              if (isMerged) { upgraded += i; () }
+            }
+          case None =>
+            slotOf(mid) = out.length
+            if (isMerged) { upgraded += out.length; () }
+            out += value
+        }
+      sorted.foreach { e =>
+        if (e.ident) {
+          // drain: persisted buffer first (strictly older than this
+          // batch's pending appends), then pending — chronological, the
+          // order urGenTransition's single list preserves
+          if (!drained)
+            buffered.get().foreach(b =>
+              emit(b.mid, merge(b.payload, e.payload), isMerged = true))
+          pending.foreach(b =>
+            emit(b.mid, merge(b.payload, e.payload), isMerged = true))
+          pending.clear()
+          if (!drained) { buffered.clear(); drained = true }
+          emit(e.mid, e.payload, isMerged = false)
+        } else {
+          emit(e.mid, e.payload, isMerged = false) // ref: return event
+          pending += URBufEntry(e.mid, e.payload)
+        }
+        lastTs = e.ts.getTime
+      }
+      if (pending.nonEmpty) {
+        buffered.appendList(pending.toArray) // O(batch), not O(buffer)
+        val due = lastTs + lookbackMs
+        if (timerValues.getCurrentWatermarkInMs() < due) {
+          if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+          getHandle.registerTimer(due)
+          timerTs.update(due)
+        }
+      } else if (drained && timerTs.exists()) {
+        // buffer emptied and nothing re-buffered: drop the TTL timer
+        getHandle.deleteTimer(timerTs.get()); timerTs.clear()
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[String] = {
+      buffered.clear(); timerTs.clear()
+      Iterator.empty // originals were emitted on arrival
+    }
+  }
+
   /** Configurable streaming user recognition: buffers whole events (as
     * JSON payloads) per anonymous key and deep-merges the identifying
     * event's `identifierFields` into evicted events — the streaming twin
     * of [[resolveConfigured]]. Returns merged event JSON strings. */
   def streamingResolveConfigured(events: DataFrame, config: URConfig = URConfig(),
-                                 watermark: String = "1 hour"): Dataset[String] = {
-    val spark = events.sparkSession
-    import spark.implicits._
+                                 watermark: String = "1 hour",
+                                 engine: String = "classic"): Dataset[String] = {
     val anonKey = coalesce(config.anonymousIdFields.map(col): _*)
     val isIdent = config.identifierFields
       .map(f => nonEmpty(col(f), config.jsonObjectFields(f))).reduce(_ || _)
@@ -479,15 +595,25 @@ object UserRecognition {
     // groupBy shuffle. Late-data caveat: this places keyless rows
     // under the operator's watermark late-row filter, a documented
     // deviation from the reference's always-deliver — see [[urKey]].
+    val payload = to_json(struct(events.columns.map(col): _*))
+    // deterministic id default (md5 of the serialized event) so a
+    // redelivery of an id-less event lands in the same slot/MERGE key
+    val mid = coalesce(col("message_id"), md5(payload))
     val syntheticKey = concat(lit("\u0000nokey:"),
-      coalesce(col("message_id"), expr("uuid()")))
+      mid)
     val tagged = events
       .withWatermark("timestamp", watermark)
       .select(coalesce(anonKey, syntheticKey).as("key"),
         (isIdent || anonKey.isNull).as("ident"),
         col("timestamp").as("ts"),
-        to_json(struct(events.columns.map(col): _*)).as("payload"))
-    resolveTagged(tagged, config)
+        mid.as("mid"),
+        payload.as("payload"))
+    engine match {
+      case "classic" => resolveTagged(tagged, config)
+      case "tws" => resolveTaggedTws(tagged, config)
+      case other => throw new IllegalArgumentException(
+        s"unknown UR engine '$other' (classic | tws)")
+    }
   }
 
   /** Tag a raw-line stream for [[resolveTagged]]: input columns
@@ -511,23 +637,49 @@ object UserRecognition {
     // the runOnce marker) lands under the SAME id and the sink's keyed
     // MERGE collapses them. A per-parse uuid() default downstream would
     // mint a fresh identity each time and the duplicates would persist.
-    // (Byte-identical id-less lines hash alike and collapse to one row:
-    // with no id they are indistinguishable duplicates by definition.)
+    // DOCUMENTED DEVIATION (id-less duplicates): byte-identical id-less
+    // lines hash alike and collapse to one row where the reference
+    // mints a fresh uuid per event (analytics-plugin.ts:464) and keeps
+    // both. Deliberate trade: with no id and identical bytes they are
+    // indistinguishable duplicates, and determinism across re-parses is
+    // what makes crash replays exactly-once. A deployment that must
+    // keep them distinct can mix a source offset into the hash.
     val defaultMid = md5(col("payload"))
-    val afterBrace = expr("substring(payload, instr(payload, '{') + 1)")
+    // An EXPLICIT "message_id": null in the payload is STRIPPED before
+    // the id is prepended — JSON parsers keep the LAST duplicate key,
+    // so a surviving explicit null would override the injected id and
+    // resurrect the per-parse-fallback duplicate-rows bug. The
+    // alternation consumes a leading comma when one exists, else a
+    // trailing one, so the field drops cleanly from any position. (The
+    // envelope keys ids at the top level only; a byte-identical
+    // "message_id":null inside a nested object of an id-less event
+    // would also be stripped — stated trade of staying regex-cheap.)
+    val stripNullMid =
+      ",\\s*\"message_id\"\\s*:\\s*null|\"message_id\"\\s*:\\s*null\\s*,?"
+    val afterBrace = expr("substring(_stripped, instr(_stripped, '{') + 1)")
     val injected = concat(lit("{\"message_id\":\""), defaultMid, lit("\""),
       when(afterBrace.rlike("^\\s*\\}"), lit("")).otherwise(lit(",")),
       afterBrace)
-    val payload = when(col("e.message_id").isNull, injected)
+    // brace guard: tagRawLines is public API — on a line with no '{'
+    // the injection would produce a malformed hybrid, so such lines
+    // pass through unchanged ([[graft.streaming.EventPipeline
+    // .startRecognized]]'s corrupt probe routes them to quarantine
+    // before this stage; other callers get their payload back intact)
+    val payload = when(col("e.message_id").isNull &&
+        instr(col("payload"), "{") > 0, injected)
       .otherwise(col("payload"))
     val syntheticKey = concat(lit("\u0000nokey:"),
       coalesce(col("e.message_id"), defaultMid))
     df.withColumn("ts", coalesce(col("e.timestamp"),
         col("e.received_at"), current_timestamp()))
       .withWatermark("ts", watermark)
+      .withColumn("_stripped",
+        regexp_replace(col("payload"), stripNullMid, ""))
       .select(coalesce(anonKey, syntheticKey).as("key"),
         (isIdent || anonKey.isNull).as("ident"),
-        col("ts"), payload.as("payload"))
+        col("ts"),
+        coalesce(col("e.message_id"), defaultMid).as("mid"),
+        payload.as("payload"))
   }
 
   /** The top-level envelope fields a [[tagRawLines]] narrow parse needs
@@ -550,6 +702,26 @@ object UserRecognition {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         urGenTransition(config.lookbackDays * 86400000L, config.identifierFields))
+  }
+
+  /** [[resolveTagged]] on the `transformWithState` operator
+    * ([[URGenProcessor]]: `ListState` buffer, O(1) appends on hot
+    * anonymous keys). Output-identical to [[resolveTagged]]; requires
+    * the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def resolveTaggedTws(tagged: DataFrame,
+                       config: URConfig = URConfig()): Dataset[String] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged
+      .as[URGenEvent]
+      .groupByKey(_.key)
+      .transformWithState(
+        new URGenProcessor(config.lookbackDays * 86400000L,
+          config.identifierFields),
+        TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.STRING)
   }
 
   /** Identity-graph stitching — the GRAPH-scale generalization of the

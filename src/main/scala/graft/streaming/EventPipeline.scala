@@ -459,7 +459,24 @@ object EventPipeline {
             statePartitions: Int = 0,
             stateStore: String = "hdfs",
             compactEvery: Int = 16,
-            compactMaxFiles: Int = 8): StreamingQuery = {
+            compactMaxFiles: Int = 8,
+            // "classic" = flatMapGroupsWithState (whole-buffer blob per
+            // state write); "tws" = transformWithState with a ListState
+            // buffer — O(batch) appends instead of O(buffer) rewrites on
+            // hot anonymous keys, the 100 TB shape. Requires
+            // stateStore = "rocksdb".
+            urEngine: String = "classic",
+            // as [[start]]: "variant" parses open props into Spark 4
+            // VariantType once, after recognition, before the layout
+            openProps: String = "json",
+            // maintenance hook, called AFTER each batch's idempotent
+            // commit (outside the runOnce marker, like compaction) —
+            // the soak harness drives vacuum/MV-refresh/snapshot here
+            onBatch: Long => Unit = _ => ()): StreamingQuery = {
+    require(Seq("json", "variant").contains(openProps),
+      s"unsupported openProps: $openProps")
+    require(urEngine == "classic" || stateStore == "rocksdb",
+      s"urEngine=$urEngine requires stateStore=rocksdb")
     val session = tunedSession(spark, statePartitions, stateStore)
     val raw = session.readStream
       .format("text")
@@ -477,11 +494,16 @@ object EventPipeline {
       EventSchema.envelope.fields.filter(f => tagNames.contains(f.name)))
     val parsed = raw.select(value.as("payload"),
       from_json(value, tagSchema).as("e"))
-    val resolved = graft.operators.UserRecognition
-      .resolveTagged(
-        graft.operators.UserRecognition.tagRawLines(
-          parsed.filter(!isCorruptStruct(col("e"))), urConfig, urWatermark),
-        urConfig)
+    val tagged = graft.operators.UserRecognition.tagRawLines(
+      parsed.filter(!isCorruptStruct(col("e"))), urConfig, urWatermark)
+    val resolved = (urEngine match {
+        case "classic" =>
+          graft.operators.UserRecognition.resolveTagged(tagged, urConfig)
+        case "tws" =>
+          graft.operators.UserRecognition.resolveTaggedTws(tagged, urConfig)
+        case other => throw new IllegalArgumentException(
+          s"unknown urEngine '$other' (classic | tws)")
+      })
       .toDF("payload")
       .withColumn("error", lit(null).cast("string"))
     val bad = raw
@@ -506,7 +528,12 @@ object EventPipeline {
             // UR merged re-emission or a post-crash replay of this
             // batch re-parses to the SAME id and the sink MERGE
             // collapses it (fromJson's uuid() fallback never fires)
-            val env = defaultTimestamp(EventSchema.fromJson(goodRows))
+            val env0 = defaultTimestamp(EventSchema.fromJson(goodRows))
+            val env =
+              if (openProps != "variant") env0
+              else env0
+                .withColumn("properties", try_parse_json(col("properties")))
+                .withColumn("traits", try_parse_json(col("traits")))
             router.write(applyLayout(env, layout))
             val badRows = cached.filter(col("error").isNotNull)
               .select(col("payload").as("raw_event"), col("error"),
@@ -516,6 +543,7 @@ object EventPipeline {
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
           router.compactAll(spark, compactMaxFiles)
+        onBatch(batchId)
         ()
       }
       .start()

@@ -858,22 +858,24 @@ class StreamingSpec extends GraftSpec {
 
   test("UR transition: intra-batch redelivery of an already-merged original never emits two versions") {
     // ADVICE r9: anon a1 -> identify -> a1 REDELIVERED in one batch.
-    // Equal timestamps make the stable sort preserve arrival order, so
-    // the redelivered original is processed AFTER the identify that
-    // merged it; it must land in the merged row's slot (kept richer),
-    // never as a second unmerged row for the same message_id -- one
-    // micro-batch must never hand the sink both versions of a message.
+    // The deterministic (timestamp, message_id) sort places the
+    // re-stamped redelivery AFTER the identify that merged it; it must
+    // land in the merged row's slot (kept richer), never as a second
+    // unmerged row for the same message_id -- one micro-batch must
+    // never hand the sink both versions of a message.
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
     import graft.operators.UserRecognition.{UREvent, URState}
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:01:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:02:00")
     val anon = UREvent("m1", "a1", None, t0)
-    val ident = UREvent("m3", "a1", Some("u42"), t0)
+    val ident = UREvent("m3", "a1", Some("u42"), t1)
     val state = TestGroupState.create[URState](Optional.empty(),
       GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L),
       hasTimedOut = false)
     val out = UserRecognition.urTransition(86400000L)(
-      "a1", Iterator(anon, ident, anon), state).toList
+      "a1", Iterator(anon, ident, anon.copy(timestamp = t2)), state).toList
     assert(out.map(_.message_id) == List("m1", "m3"), s"got $out")
     assert(out.head.user_id.contains("u42"),
       s"redelivery downgraded the merged row: $out")
@@ -882,19 +884,27 @@ class StreamingSpec extends GraftSpec {
   }
 
   test("UR gen transition: redelivered payload after identify keeps the merged row") {
+    // ADVICE r10: the replacement slot is keyed by MESSAGE ID, not
+    // payload bytes — the redelivery here is byte-DIFFERENT (re-stamped
+    // ts, extra whitespace) but same-id, and must still land in the
+    // merged row's slot instead of emitting a second unmerged row.
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
     import graft.operators.UserRecognition.{URGenEvent, URGenState}
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:01:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:02:00")
     val anonP = """{"message_id":"m1","anonymous_id":"a1"}"""
+    val anonRedeliveredP = """{"message_id":"m1", "anonymous_id":"a1"}"""
     val identP = """{"message_id":"m3","anonymous_id":"a1","user_id":"u42"}"""
     val state = TestGroupState.create[URGenState](Optional.empty(),
       GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L),
       hasTimedOut = false)
     val out = UserRecognition.urGenTransition(86400000L, Seq("user_id"))(
-      "a1", Iterator(URGenEvent("a1", ident = false, t0, anonP),
-        URGenEvent("a1", ident = true, t0, identP),
-        URGenEvent("a1", ident = false, t0, anonP)), state).toList
+      "a1", Iterator(URGenEvent("a1", ident = false, t0, "m1", anonP),
+        URGenEvent("a1", ident = true, t1, "m3", identP),
+        URGenEvent("a1", ident = false, t2, "m1", anonRedeliveredP)),
+      state).toList
     assert(out.size == 2, s"got $out")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val first = mapper.readTree(out.head)
@@ -903,6 +913,8 @@ class StreamingSpec extends GraftSpec {
       first.get("user_id").asText() == "u42",
       s"redelivery downgraded the merged payload: ${out.head}")
     assert(out(1) == identP)
+    // the redelivered original re-buffers (ref addEvent always buffers)
+    assert(state.get.buffered.map(_.mid) == List("m1"))
   }
 
   test("tagRawLines defaults a missing message_id deterministically, injected into the payload") {
@@ -947,5 +959,138 @@ class StreamingSpec extends GraftSpec {
     assert(byMid("mX") == lines(2))
     // deterministic: a second tagging pass produces the same payloads
     assert(tag() == got)
+  }
+
+  test("tagRawLines strips an explicit message_id:null before injecting") {
+    // ADVICE r10 (medium): a payload carrying "message_id": null parses
+    // to a null id, so injection fires — but JSON parsers keep the LAST
+    // duplicate key, so the explicit null would override the injected
+    // id unless it is stripped. Every position of the null field must
+    // drop cleanly (no trailing-comma mangling).
+    import graft.operators.UserRecognition
+    val cfg = UserRecognition.URConfig()
+    val tagNames = UserRecognition.tagFields(cfg)
+    val tagSchema = org.apache.spark.sql.types.StructType(
+      graft.schema.EventSchema.envelope.fields.filter(f =>
+        tagNames.contains(f.name)))
+    val lines = Seq(
+      """{"message_id":null,"anonymous_id":"a1"}""", // first field
+      """{"anonymous_id":"a1","message_id":null,"type":"page"}""", // mid
+      """{"anonymous_id":"a1","message_id":null}""", // last field
+      """{"message_id":null}""", // only field
+      """{"anonymous_id":"a1", "message_id" : null , "type":"page"}""") // spaced
+    val df = lines.toDF("payload")
+      .withColumn("e", from_json(col("payload"), tagSchema))
+    val got = UserRecognition.tagRawLines(df, cfg).collect()
+      .map(_.getAs[String]("payload")).toSeq
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got.zip(lines).foreach { case (p, raw) =>
+      // exactly ONE message_id key survives, and it is the injected id
+      assert("\"message_id\"".r.findAllIn(p).length == 1, p)
+      val n = mapper.readTree(p)
+      assert(n.isObject, p)
+      assert(n.get("message_id").asText() == md5hex(raw),
+        s"explicit null overrode the injected id: $p")
+      // the original non-id fields survive the strip
+      if (raw.contains("anonymous_id"))
+        assert(n.get("anonymous_id").asText() == "a1", p)
+      if (raw.contains("\"type\""))
+        assert(n.get("type").asText() == "page", p)
+    }
+  }
+
+  test("tagRawLines passes a braceless line through unchanged") {
+    // ADVICE r10 (low): tagRawLines is public API — a line with no '{'
+    // must not be mangled into a malformed hybrid by the id injection.
+    import graft.operators.UserRecognition
+    val cfg = UserRecognition.URConfig()
+    val tagNames = UserRecognition.tagFields(cfg)
+    val tagSchema = org.apache.spark.sql.types.StructType(
+      graft.schema.EventSchema.envelope.fields.filter(f =>
+        tagNames.contains(f.name)))
+    val lines = Seq("not json at all", "", "12345")
+    val df = lines.toDF("payload")
+      .withColumn("e", from_json(col("payload"), tagSchema))
+    val got = UserRecognition.tagRawLines(df, cfg).collect()
+      .map(_.getAs[String]("payload")).toSeq
+    assert(got.sorted == lines.sorted, s"got $got")
+  }
+
+  test("generic transformWithState UR emits exactly what flatMapGroupsWithState does") {
+    // the CONFIGURABLE twin pair (the path startRecognized runs):
+    // resolveTagged (fMGWS, whole-blob state) vs resolveTaggedTws
+    // (ListState, O(1) appends) over the SAME tagRawLines stream —
+    // covering buffering across batches, a cross-batch identify with a
+    // traits deep-merge, an id-less line, a keyless line, and a
+    // never-identified key left in state.
+    import graft.operators.UserRecognition
+    val in = tmp("graft-gtws-in")
+    val traits = """{\"email\":\"t@x.io\"}"""
+    def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      java.nio.file.Files.write(f.toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(mtime); ()
+    }
+    stage("b0.txt", 1700000000000L, Seq(
+      """{"message_id":"m1","type":"page","anonymous_id":"a1","timestamp":"2024-01-01T10:00:00Z"}""",
+      """{"type":"page","anonymous_id":"a1","timestamp":"2024-01-01T10:01:00Z"}""", // id-less
+      """{"message_id":"m2","type":"page","anonymous_id":"a2","timestamp":"2024-01-01T10:02:00Z"}""",
+      """{"message_id":"m3","type":"track","timestamp":"2024-01-01T10:03:00Z"}""")) // keyless
+    stage("b1.txt", 1700000060000L, Seq(
+      s"""{"message_id":"m4","type":"identify","anonymous_id":"a1","user_id":"u1","context":{"traits":"$traits"},"timestamp":"2024-01-01T10:04:00Z"}"""))
+    stage("b2.txt", 1700000120000L, Seq(
+      """{"message_id":"m5","type":"page","anonymous_id":"a1","timestamp":"2024-01-01T10:05:00Z"}"""))
+    val cfg = UserRecognition.URConfig(
+      identifierFields = Seq("user_id", "context.traits"),
+      jsonObjectFields = Set("context.traits"))
+    val tagNames = UserRecognition.tagFields(cfg)
+    val tagSchema = org.apache.spark.sql.types.StructType(
+      graft.schema.EventSchema.envelope.fields.filter(f =>
+        tagNames.contains(f.name)))
+    // tws requires the RocksDB provider; run BOTH engines under it so
+    // the only variable is the stateful operator
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(name: String, tws: Boolean): Seq[String] = {
+      val raw = s2.readStream.format("text")
+        .option("maxFilesPerTrigger", "1").load(in)
+      val tagged = UserRecognition.tagRawLines(
+        raw.select(col("value").cast("string").as("payload"))
+          .withColumn("e", from_json(col("payload"), tagSchema)),
+        cfg)
+      val resolved =
+        if (tws) UserRecognition.resolveTaggedTws(tagged, cfg)
+        else UserRecognition.resolveTagged(tagged, cfg)
+      val q = resolved.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      s2.table(name).as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSeq.sorted
+    }
+    val classic = run("gur_classic", tws = false)
+    val modern = run("gur_tws", tws = true)
+    assert(modern == classic,
+      s"tws diverged from classic:\n tws=$modern\n classic=$classic")
+    // sanity on content: m1 and the id-less a1 event re-emit merged
+    // (user_id + traits), m5 arrives after the identify and stays
+    // unmerged, keyless m3 passes through once
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = modern.map(mapper.readTree)
+    def byId(id: String) = parsed.filter(p =>
+      p.get("message_id") != null && p.get("message_id").asText() == id)
+    assert(byId("m1").exists(p => p.get("user_id") != null &&
+      p.get("user_id").asText() == "u1"))
+    assert(byId("m1").size == 2) // original emission + merged re-emission
+    assert(byId("m3").size == 1)
+    assert(byId("m5").size == 1 &&
+      byId("m5").head.get("user_id") == null) // after identify: stays anon
+    assert(byId("m2").size == 1 &&
+      byId("m2").head.get("user_id") == null) // a2 never identified
   }
 }
