@@ -188,9 +188,12 @@ object Bench {
     val streamingJson = if (only.nonEmpty) "{}" else {
       val staged = graft.tools.ThroughputBench.stageBatches(
         spark, sfDir, numBatches = 10)
-      Seq("recognized", "dedup").map { mode =>
-        s"""\"$mode\":${graft.tools.ThroughputBench.run(spark, staged, mode).json}"""
-      }.mkString("{", ",", "}")
+      // recognized_tws = the transformWithState/ListState UR engine;
+      // recognized_variant = open props stored as Spark 4 VariantType
+      Seq("recognized", "recognized_tws", "recognized_variant", "dedup")
+        .map { mode =>
+          s"""\"$mode\":${graft.tools.ThroughputBench.run(spark, staged, mode).json}"""
+        }.mkString("{", ",", "}")
     }
     val loadEnd = loadAvg()
     val total = results.map(_._2).sum

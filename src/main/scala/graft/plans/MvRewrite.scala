@@ -242,6 +242,18 @@ object MvRewrite extends Rule[LogicalPlan] {
     def refresh(spark: SparkSession): Unit =
       sources.keys.foreach(p => refreshOne(spark, p))
 
+    /** Refresh exactly the registrations whose watched table has a
+      * commit newer than the one the MV was built at — the cadence
+      * hook a maintenance loop calls (the soak harness drives it per
+      * micro-batch). Unwatched registrations are untouched (their
+      * contract is explicit refresh). Returns the refreshed raw
+      * paths. */
+    def refreshStale(spark: SparkSession): Seq[String] = {
+      val stale = sources.keys.filter(isStale).toSeq
+      stale.foreach(p => refreshOne(spark, p))
+      stale
+    }
+
     def refreshOne(spark: SparkSession, rawPath: String): Unit = {
       import org.apache.spark.sql.functions._
       val key = normalize(rawPath)

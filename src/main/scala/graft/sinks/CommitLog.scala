@@ -104,7 +104,18 @@ object CommitLog {
   /** Persist the manifest (the COMMIT POINT) and execute the swap.
     * Staging must be complete before calling. `tag` names the manifest
     * so independent protocols on one root (a compaction, a rebuild)
-    * never collide. */
+    * never collide.
+    *
+    * INVARIANT (tag disjointness): concurrent pending manifests on one
+    * root must touch DISJOINT path sets — [[recover]] executes pending
+    * manifests in listing order, and only disjointness makes that order
+    * irrelevant (spec-pinned: reversed tag order converges to the same
+    * tree). Every tag in this engine owns its own staged/live namespace
+    * by construction (different protocols: the partition swap's
+    * `.staged-*`, a compaction's batch scope, a rebuild's index dirs),
+    * so the invariant holds without coordination; a NEW consumer
+    * sharing a root must keep it that way or serialize its commits
+    * behind the existing tag. */
   def commit(spark: SparkSession, root: String, tag: String,
              swap: Swap): Unit =
     commit(spark.sparkContext.hadoopConfiguration, root, tag, swap)

@@ -111,6 +111,21 @@ object ThroughputBench {
           maxFilesPerTrigger = 1, statePartitions = statePartitions,
           stateStore = stateStore, urWatermark = "10 minutes",
           compactEvery = compactEvery)
+      case "recognized_tws" =>
+        // the transformWithState engine (URGenProcessor: ListState
+        // buffer, O(1) appends) — the scale path's streaming number
+        EventPipeline.startRecognized(spark, input.dir, wh, cp,
+          maxFilesPerTrigger = 1, statePartitions = statePartitions,
+          stateStore = "rocksdb", urWatermark = "10 minutes",
+          compactEvery = compactEvery, urEngine = "tws")
+      case "recognized_variant" =>
+        // open props parsed ONCE into Spark 4 VariantType after
+        // recognition — the storage-path streaming number (VariantProbe
+        // measured the batch side)
+        EventPipeline.startRecognized(spark, input.dir, wh, cp,
+          maxFilesPerTrigger = 1, statePartitions = statePartitions,
+          stateStore = stateStore, urWatermark = "10 minutes",
+          compactEvery = compactEvery, openProps = "variant")
       case "dedup" =>
         EventPipeline.start(spark, input.dir, wh, cp,
           options = graft.sinks.SinkOptions(deduplicate = true),
@@ -118,7 +133,8 @@ object ThroughputBench {
           stateStore = stateStore, dedupWatermark = "10 minutes",
           compactEvery = compactEvery)
       case other => throw new IllegalArgumentException(
-        s"unknown mode '$other' (recognized | dedup)")
+        s"unknown mode '$other' (recognized | recognized_tws | " +
+          "recognized_variant | dedup)")
     }
     try q.awaitTermination() finally q.stop()
     // progress numInputRows double-counts a source referenced by more
@@ -139,6 +155,88 @@ object ThroughputBench {
       }
       .sortBy(_.batchId)
     report(mode, stats)
+  }
+
+  /** The "month of ops in twenty minutes" composite: the recognized
+    * pipeline with EVERY maintenance path live on its natural cadence —
+    * compaction every 3rd batch, a registered daily-rollup MV on the
+    * streamed table auto-refreshing whenever the commit watch flags it
+    * stale ([[graft.plans.MvRewrite.MvCatalog.watchCommits]] /
+    * `refreshStale`), history vacuum every 4th batch, and a zero-copy
+    * snapshot at the midpoint. The proof is the per-batch latency
+    * table: maintenance-carrying batches must stay inside the idle
+    * run's variance band (no latency cliff when the cadences
+    * compose). All maintenance runs in the [[EventPipeline
+    * .startRecognized]] `onBatch` hook — AFTER the batch's idempotent
+    * commit, exactly where a production deployment schedules it. */
+  def runSoak(spark: SparkSession, input: StagedInput,
+              statePartitions: Int = 8): Report = {
+    import org.apache.spark.sql.functions._
+    import graft.plans.MvRewrite.{MvCatalog, MvDef}
+    val wh = tmp("graft-soak-wh"); val cp = tmp("graft-soak-cp")
+    val mvPath = tmp("graft-soak-mv") + "/daily.parquet"
+    val n = input.batchRows.length
+    val router = new graft.sinks.SinkRouter(wh,
+      graft.sinks.SinkOptions(deduplicate = true))
+    var rawPath: String = null
+    def mainTable(): Option[String] =
+      Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .sortBy(_.getName).headOption.map(_.getName)
+    val hook: Long => Unit = { batchId =>
+      mainTable().foreach { t =>
+        val tp = s"$wh/$t"
+        if (rawPath == null) {
+          // first landed batch: build + register the daily rollup MV,
+          // bound to the table's commit log for staleness
+          spark.read.parquet(tp)
+            .groupBy(col("type"),
+              date_trunc("day", col("timestamp")).as("period"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(mvPath)
+          MvCatalog.register(spark, spark.read.parquet(tp), tp, MvDef(
+            name = "soak_daily", mvPath = mvPath,
+            groupKeys = Seq((col("type"), "type")),
+            timeKey = Some((col("timestamp"), "period", "day")),
+            countCol = Some("cnt")))
+          MvCatalog.watchCommits(tp, router.historyDir, t)
+          rawPath = tp
+        } else if (batchId % 3 == 1) {
+          val refreshed = MvCatalog.refreshStale(spark)
+          println(s"# soak b$batchId mv_refreshed=${refreshed.size}")
+        }
+        if (batchId % 4 == 3) {
+          router.vacuumHistory(keepLast = 20)
+          println(s"# soak b$batchId vacuumed")
+        }
+        if (batchId == n / 2) {
+          router.snapshot(t, s"soak-mid-$batchId")
+          println(s"# soak b$batchId snapshot")
+        }
+      }
+    }
+    try {
+      val q = EventPipeline.startRecognized(spark, input.dir, wh, cp,
+        options = graft.sinks.SinkOptions(deduplicate = true),
+        maxFilesPerTrigger = 1, statePartitions = statePartitions,
+        stateStore = "rocksdb", urWatermark = "10 minutes",
+        compactEvery = 3, compactMaxFiles = 4, onBatch = hook)
+      try q.awaitTermination() finally q.stop()
+      val stats = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map { p =>
+          val so = p.stateOperators.headOption
+          BatchStat(p.batchId,
+            input.batchRows.lift(p.batchId.toInt).getOrElse(p.numInputRows),
+            Option(p.durationMs.get("triggerExecution")).map(_.toLong)
+              .getOrElse(0L),
+            so.map(_.numRowsTotal).getOrElse(0L),
+            so.map(_.memoryUsedBytes).getOrElse(0L))
+        }
+        .sortBy(_.batchId)
+      report("recognized_soak", stats)
+    } finally if (rawPath != null) MvCatalog.unregister(rawPath)
   }
 
   private def report(mode: String, stats: Seq[BatchStat]): Report = {
@@ -166,12 +264,19 @@ object ThroughputBench {
     val numBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val stateParts = args.lift(2).map(_.toInt).getOrElse(8)
     val compactEvery = args.lift(3).map(_.toInt).getOrElse(0)
+    // arg 5: comma-separated modes (default the two pipeline shapes);
+    // "recognized_soak" runs the maintenance composite
+    val modes = args.lift(4).map(_.split(',').toSeq)
+      .getOrElse(Seq("recognized", "dedup"))
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val in = stageBatches(spark, sfDir, numBatches)
-    Seq("recognized", "dedup").foreach { mode =>
-      val rep = run(spark, in, mode, statePartitions = stateParts,
-        compactEvery = compactEvery)
+    modes.foreach { mode =>
+      val rep =
+        if (mode == "recognized_soak")
+          runSoak(spark, in, statePartitions = stateParts)
+        else run(spark, in, mode, statePartitions = stateParts,
+          compactEvery = compactEvery)
       println(s"THROUGHPUT ${rep.json}")
       println(f"# ${"batch"}%6s ${"rows"}%8s ${"ms"}%8s " +
         f"${"stateRows"}%10s ${"stateMB"}%8s")

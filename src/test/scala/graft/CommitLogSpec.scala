@@ -109,6 +109,43 @@ class CommitLogSpec extends GraftSpec {
     assert(!new java.io.File(root, ".commit-b").exists())
   }
 
+  test("multi-manifest recovery is order-independent for disjoint path sets") {
+    // recover() executes pending manifests in listing order; the
+    // commit() invariant (tags touch DISJOINT path sets) is what makes
+    // that order irrelevant. Build two roots with the SAME two pending
+    // swaps, but swap which TAG carries which manifest so the listing
+    // order processes them in opposite orders — the resulting trees
+    // must be identical.
+    def build(tagFor: Map[String, String]): String = {
+      val root = tmp()
+      mkDir(root, ".sa", "a"); mkDir(root, ".sb", "b")
+      mkDir(root, "obsolete-a", "oa"); mkDir(root, "obsolete-b", "ob")
+      val swapA = // protocol A: lands la, drops obsolete-a
+        """{"deletes":["obsolete-a"],"renames":[{"staged":".sa","live":"la","clear":[]}],"cleanup":[]}"""
+      val swapB = // protocol B: lands lb, drops obsolete-b
+        """{"deletes":["obsolete-b"],"renames":[{"staged":".sb","live":"lb","clear":[]}],"cleanup":[]}"""
+      Files.write(new java.io.File(root, s".commit-${tagFor("A")}").toPath,
+        swapA.getBytes("UTF-8"))
+      Files.write(new java.io.File(root, s".commit-${tagFor("B")}").toPath,
+        swapB.getBytes("UTF-8"))
+      CommitLog.recover(spark, root)
+      root
+    }
+    def snapshot(root: String): Map[String, Option[String]] = {
+      val names = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet
+      names.map(n => n -> readMarker(root, n)).toMap
+    }
+    // tag "0..." sorts before tag "z..." in a listing; flipping the
+    // assignment flips the execution order of the same two swaps
+    val forward = snapshot(build(Map("A" -> "0first", "B" -> "zsecond")))
+    val reversed = snapshot(build(Map("A" -> "zsecond", "B" -> "0first")))
+    assert(forward == reversed, s"$forward != $reversed")
+    assert(forward.get("la").flatten.contains("a"))
+    assert(forward.get("lb").flatten.contains("b"))
+    assert(!forward.contains("obsolete-a") && !forward.contains("obsolete-b"))
+  }
+
   test("randomized swaps converge from EVERY interruption point to the same end state") {
     // property: for a persisted swap, recover(partial-execution at any
     // atomic step k) == recover(nothing executed). The test re-derives

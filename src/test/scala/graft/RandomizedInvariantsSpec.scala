@@ -639,4 +639,48 @@ class RandomizedInvariantsSpec extends GraftSpec {
     // an IP outside every range misses
     assert(Mmdb.lookupIp(path, 9L * 16777216L).isEmpty)
   }
+
+  test("streaming UR transition == batch resolution under tied timestamps, any arrival order") {
+    // The streaming transition sorts its invocation on (timestamp,
+    // message_id) — the batch twin's window order. With HEAVY timestamp
+    // ties (5 distinct timestamps across 200 events) and a shuffled
+    // arrival order, per-message resolution must (a) equal the batch
+    // twin's and (b) not depend on arrival order at all. A
+    // timestamp-only sort fails both: tied anonymous/identify events
+    // would resolve by partition arrival order.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import graft.operators.UserRecognition
+    import graft.operators.UserRecognition.{UREvent, URState}
+    val rnd = new scala.util.Random(4242)
+    val ts = (0 until 5).map(m =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:0$m%d:00"))
+    val events = (0 until 200).map { i =>
+      UREvent(f"m$i%03d", s"a${rnd.nextInt(3)}",
+        if (rnd.nextInt(100) < 15) Some(s"u${rnd.nextInt(4)}") else None,
+        ts(rnd.nextInt(ts.size)))
+    }
+    def streamed(order: Seq[UREvent]): Map[String, Option[String]] =
+      order.groupBy(_.anonymous_id).flatMap { case (key, evs) =>
+        val state = TestGroupState.create[URState](Optional.empty(),
+          GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L),
+          hasTimedOut = false)
+        UserRecognition.urTransition(30L * 86400000L)(
+          key, evs.iterator, state).map(e => e.message_id -> e.user_id)
+      }
+    val arrivalA = rnd.shuffle(events)
+    val arrivalB = rnd.shuffle(events)
+    val gotA = streamed(arrivalA)
+    val gotB = streamed(arrivalB)
+    assert(gotA == gotB, "resolution depends on arrival order")
+    // batch twin on the same events (single batch, same lookback)
+    val df = events.toDF()
+    val batch = UserRecognition.resolveBatch(df, lookbackDays = 30)
+      .select("message_id", "user_id")
+      .as[(String, Option[String])].collect()
+      .map { case (m, u) => m -> u }.toMap
+    assert(gotA == batch,
+      s"streaming != batch on ${gotA.toSet.diff(batch.toSet)} / ${
+        batch.toSet.diff(gotA.toSet)}")
+  }
 }
