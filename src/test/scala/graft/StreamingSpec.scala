@@ -1093,4 +1093,73 @@ class StreamingSpec extends GraftSpec {
     assert(byId("m2").size == 1 &&
       byId("m2").head.get("user_id") == null) // a2 never identified
   }
+
+  test("generic TWS timer expiry drops state exactly like the classic TTL") {
+    // lookback 0 days: the buffer's TTL is due immediately, so once the
+    // watermark advances past the anonymous event (driven by an
+    // unrelated key in batch 1), the classic engine's hasTimedOut and
+    // the TWS engine's handleExpiredTimer must both drop the buffer
+    // SILENTLY — the batch-2 identify then finds nothing to merge and
+    // emits only itself. Pins the one URGenProcessor path the
+    // output-equality test's 30-day lookback never reaches.
+    import graft.operators.UserRecognition
+    val in = tmp("graft-gexp-in")
+    def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      java.nio.file.Files.write(f.toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(mtime); ()
+    }
+    stage("b0.txt", 1700000000000L, Seq(
+      """{"message_id":"m1","type":"page","anonymous_id":"a1","timestamp":"2024-01-01T10:00:00Z"}"""))
+    // b1 advances the watermark past the buffer's due time; b2 (another
+    // unrelated key, with a1 receiving NO input) is the batch where the
+    // expiry actually fires — in both engines a group with input takes
+    // input processing over timeout, so the identify must come AFTER a
+    // batch that let the timer fire
+    stage("b1.txt", 1700000060000L, Seq(
+      """{"message_id":"m2","type":"page","anonymous_id":"a9","timestamp":"2024-01-01T12:00:00Z"}"""))
+    stage("b2.txt", 1700000120000L, Seq(
+      """{"message_id":"m2b","type":"page","anonymous_id":"a9","timestamp":"2024-01-01T12:10:00Z"}"""))
+    stage("b3.txt", 1700000180000L, Seq(
+      """{"message_id":"m3","type":"identify","anonymous_id":"a1","user_id":"u1","timestamp":"2024-01-01T12:30:00Z"}"""))
+    val cfg = UserRecognition.URConfig(lookbackDays = 0)
+    val tagNames = UserRecognition.tagFields(cfg)
+    val tagSchema = org.apache.spark.sql.types.StructType(
+      graft.schema.EventSchema.envelope.fields.filter(f =>
+        tagNames.contains(f.name)))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(name: String, tws: Boolean): Seq[(String, String)] = {
+      val raw = s2.readStream.format("text")
+        .option("maxFilesPerTrigger", "1").load(in)
+      val tagged = UserRecognition.tagRawLines(
+        raw.select(col("value").cast("string").as("payload"))
+          .withColumn("e", from_json(col("payload"), tagSchema)),
+        cfg, watermark = "1 second")
+      val resolved =
+        if (tws) UserRecognition.resolveTaggedTws(tagged, cfg)
+        else UserRecognition.resolveTagged(tagged, cfg)
+      val q = resolved.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      s2.table(name).as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSeq.map { j =>
+          val n = mapper.readTree(j)
+          n.get("message_id").asText() ->
+            Option(n.get("user_id")).filterNot(_.isNull)
+              .map(_.asText()).getOrElse("")
+        }.sorted
+    }
+    val classic = run("gexp_classic", tws = false)
+    val modern = run("gexp_tws", tws = true)
+    assert(modern == classic, s"tws=$modern classic=$classic")
+    // m1 emitted once (never merged — its buffer expired before the
+    // identify), the identify emitted alone
+    assert(modern == Seq(
+      ("m1", ""), ("m2", ""), ("m2b", ""), ("m3", "u1")), modern)
+  }
 }
