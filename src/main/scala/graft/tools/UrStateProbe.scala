@@ -35,7 +35,8 @@ object UrStateProbe {
   def run(spark: SparkSession, numBatches: Int, eventsPerBatch: Int,
           hoursPerBatch: Int, lookbackDays: Int,
           statePartitions: Int = 4,
-          stateStore: String = "rocksdb"): Seq[Sample] = {
+          stateStore: String = "rocksdb",
+          engine: String = "classic"): Seq[Sample] = {
     val in = Files.createTempDirectory("ur-probe-in").toString
     val base = 1700000000000L
     // skewed anonymous keys: 20% of keys take 80% of events (hot keys
@@ -74,7 +75,8 @@ object UrStateProbe {
     val cp = Files.createTempDirectory("ur-probe-cp").toString
     val q = UserRecognition
       .streamingResolveConfigured(env,
-        URConfig(lookbackDays = lookbackDays), watermark = "1 hour")
+        URConfig(lookbackDays = lookbackDays), watermark = "1 hour",
+        engine = engine)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", cp)
@@ -169,9 +171,11 @@ object UrStateProbe {
     val perBatch = args.lift(1).map(_.toInt).getOrElse(20000)
     val hours = args.lift(2).map(_.toInt).getOrElse(6)
     val lookback = args.lift(3).map(_.toInt).getOrElse(1)
+    val engine = args.lift(4).getOrElse("classic")
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val samples = run(spark, numBatches, perBatch, hours, lookback)
+    val samples = run(spark, numBatches, perBatch, hours, lookback,
+      engine = engine)
     println(f"# ${"batch"}%6s ${"stateRows"}%10s ${"stateMB"}%8s ${"input"}%8s")
     samples.foreach { s =>
       println(f"# ${s.batchId}%6d ${s.stateRows}%10d " +

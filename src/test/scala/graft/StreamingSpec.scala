@@ -1044,6 +1044,11 @@ class StreamingSpec extends GraftSpec {
       s"""{"message_id":"m4","type":"identify","anonymous_id":"a1","user_id":"u1","context":{"traits":"$traits"},"timestamp":"2024-01-01T10:04:00Z"}"""))
     stage("b2.txt", 1700000120000L, Seq(
       """{"message_id":"m5","type":"page","anonymous_id":"a1","timestamp":"2024-01-01T10:05:00Z"}"""))
+    // re-identification chain: a SECOND identify under a different
+    // user drains the re-buffered m5 — the drain→rebuffer→drain cycle
+    // across batches (the ListState engine must clear and re-append)
+    stage("b3.txt", 1700000180000L, Seq(
+      """{"message_id":"m6","type":"identify","anonymous_id":"a1","user_id":"u2","timestamp":"2024-01-01T10:06:00Z"}"""))
     val cfg = UserRecognition.URConfig(
       identifierFields = Seq("user_id", "context.traits"),
       jsonObjectFields = Set("context.traits"))
@@ -1078,8 +1083,9 @@ class StreamingSpec extends GraftSpec {
     assert(modern == classic,
       s"tws diverged from classic:\n tws=$modern\n classic=$classic")
     // sanity on content: m1 and the id-less a1 event re-emit merged
-    // (user_id + traits), m5 arrives after the identify and stays
-    // unmerged, keyless m3 passes through once
+    // (user_id + traits), m5 re-buffers after the FIRST identify and is
+    // drained by the second under u2 (the chain), keyless m3 passes
+    // through once
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val parsed = modern.map(mapper.readTree)
     def byId(id: String) = parsed.filter(p =>
@@ -1088,8 +1094,9 @@ class StreamingSpec extends GraftSpec {
       p.get("user_id").asText() == "u1"))
     assert(byId("m1").size == 2) // original emission + merged re-emission
     assert(byId("m3").size == 1)
-    assert(byId("m5").size == 1 &&
-      byId("m5").head.get("user_id") == null) // after identify: stays anon
+    assert(byId("m5").size == 2 && byId("m5").exists(p =>
+      p.get("user_id") != null && p.get("user_id").asText() == "u2"),
+      "m5 must re-emit under the SECOND identify's user") // the chain
     assert(byId("m2").size == 1 &&
       byId("m2").head.get("user_id") == null) // a2 never identified
   }
