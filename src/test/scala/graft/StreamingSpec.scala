@@ -353,40 +353,49 @@ class StreamingSpec extends GraftSpec {
   }
 
   test("startRecognized survives a stream RESTART: buffered anonymous state restores from the checkpoint and later identify still evicts it") {
-    val in = tmp("graft-rst-in"); val wh = tmp("graft-rst-wh")
-    val cp = tmp("graft-rst-cp")
-    def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
-      val f = new java.io.File(in, name)
-      Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
-      f.setLastModified(mtime); ()
+    // both engines: the classic fMGWS blob AND the TWS ListState must
+    // restore from their checkpoints across a process restart
+    Seq(("classic", "hdfs"), ("tws", "rocksdb")).foreach {
+      case (engine, store) =>
+        val in = tmp(s"graft-rst-$engine-in")
+        val wh = tmp(s"graft-rst-$engine-wh")
+        val cp = tmp(s"graft-rst-$engine-cp")
+        def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
+          val f = new java.io.File(in, name)
+          Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+          f.setLastModified(mtime); ()
+        }
+        val a1 = """{"message_id":"a1","type":"track","timestamp":"2024-01-01T00:00:00Z","anonymous_id":"anonR"}"""
+        val i1 = """{"message_id":"i1","type":"identify","timestamp":"2024-01-01T00:05:00Z","anonymous_id":"anonR","user_id":"u7"}"""
+        // run 1: only the anonymous event arrives, buffered, stream stops
+        stage("b0.txt", 1700000000000L, Seq(a1))
+        val q1 = EventPipeline.startRecognized(spark, in, wh, cp,
+          maxFilesPerTrigger = 1, statePartitions = 2,
+          stateStore = store, urEngine = engine)
+        try q1.awaitTermination() finally q1.stop()
+        // reference semantics: the anonymous event lands IMMEDIATELY,
+        // unidentified — the later identify must OVERWRITE it via MERGE
+        val landed1 = spark.read.parquet(s"$wh/events")
+          .select(col("message_id"), col("user_id")).collect()
+          .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+        assert(landed1.get("a1").contains(None),
+          s"[$engine] anonymous event must land unidentified first: $landed1")
+        // run 2: a NEW query instance on the same checkpoint; the
+        // identify arrives and must evict the RESTORED buffer merged
+        stage("b1.txt", 1700000060000L, Seq(i1))
+        val q2 = EventPipeline.startRecognized(spark, in, wh, cp,
+          maxFilesPerTrigger = 1, statePartitions = 2,
+          stateStore = store, urEngine = engine)
+        try q2.awaitTermination() finally q2.stop()
+        val landed = spark.read.parquet(s"$wh/events")
+          .select(col("message_id"), col("user_id")).collect()
+          .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+        assert(landed.keySet == Set("a1", "i1"), s"[$engine] $landed")
+        assert(landed("a1").contains("u7"),
+          s"[$engine] state lost across restart: buffered event " +
+            "missing its merged identity")
+        assert(landed("i1").contains("u7"), s"[$engine] $landed")
     }
-    val a1 = """{"message_id":"a1","type":"track","timestamp":"2024-01-01T00:00:00Z","anonymous_id":"anonR"}"""
-    val i1 = """{"message_id":"i1","type":"identify","timestamp":"2024-01-01T00:05:00Z","anonymous_id":"anonR","user_id":"u7"}"""
-    // run 1: only the anonymous event arrives, gets buffered, stream stops
-    stage("b0.txt", 1700000000000L, Seq(a1))
-    val q1 = EventPipeline.startRecognized(spark, in, wh, cp,
-      maxFilesPerTrigger = 1, statePartitions = 2)
-    try q1.awaitTermination() finally q1.stop()
-    // reference semantics: the anonymous event lands IMMEDIATELY,
-    // unidentified — the later identify must OVERWRITE it via MERGE
-    val landed1 = spark.read.parquet(s"$wh/events")
-      .select(col("message_id"), col("user_id")).collect()
-      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
-    assert(landed1.get("a1").contains(None),
-      s"anonymous event must land unidentified first: $landed1")
-    // run 2: a NEW query instance on the same checkpoint; the identify
-    // arrives and must evict the RESTORED buffer with the identity merged
-    stage("b1.txt", 1700000060000L, Seq(i1))
-    val q2 = EventPipeline.startRecognized(spark, in, wh, cp,
-      maxFilesPerTrigger = 1, statePartitions = 2)
-    try q2.awaitTermination() finally q2.stop()
-    val landed = spark.read.parquet(s"$wh/events")
-      .select(col("message_id"), col("user_id")).collect()
-      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
-    assert(landed.keySet == Set("a1", "i1"))
-    assert(landed("a1").contains("u7"),
-      "state lost across restart: buffered event missing its merged identity")
-    assert(landed("i1").contains("u7"))
   }
 
   test("UR state plateaus once the lookback window saturates: eviction bounds anonymous-buffer growth") {
