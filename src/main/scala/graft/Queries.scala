@@ -1676,6 +1676,61 @@ object Queries {
     ("j1e_ur_golden_tws",
       ((s, dir) => urGoldenRun(s, "tws")),
       urGoldenOracle),
+    // J1f (beyond-ref operational guard): maxBufferPerKey — a hot
+    // anonymous key's buffer stops growing at the cap; capped events
+    // still DELIVER unchanged but can never be back-filled with an
+    // identity (drop-newest, O(1) in both engines — see
+    // URConfig.maxBufferPerKey). Cap 3 spans two batches (2 buffered,
+    // then 1 more, then two over the cap), so the persisted counter —
+    // not an in-batch length — is what the oracle pins.
+    ("j1f_ur_buffer_cap",
+      ((s, dir) => {
+      val in = Files.createTempDirectory("ur-cap-in").toString
+      def page(id: Int, ident: Boolean) =
+        s"""{"message_id":"m$id","type":"${if (ident) "identify" else "page"}",""" +
+          s""""anonymous_id":"capA",""" +
+          (if (ident) s""""user_id":"u1",""" else "") +
+          s""""timestamp":"2024-01-01T10:0$id:00Z"}"""
+      def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
+        val f = new java.io.File(in, name)
+        Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+        f.setLastModified(mtime); ()
+      }
+      stage("b0.txt", 1700000000000L,
+        Seq(page(1, ident = false), page(2, ident = false)))
+      stage("b1.txt", 1700000060000L,
+        Seq(page(3, ident = false), page(4, ident = false),
+          page(5, ident = false)))
+      stage("b2.txt", 1700000120000L, Seq(page(6, ident = true)))
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      val raw = s2.readStream.format("text")
+        .option("maxFilesPerTrigger", "1").load(in)
+      val envStream = raw
+        .select(from_json(col("value").cast("string"),
+          graft.schema.EventSchema.envelope).as("e"))
+        .select("e.*")
+      val resolved = UserRecognition.streamingResolveConfigured(envStream,
+        UserRecognition.URConfig(maxBufferPerKey = 3))
+      val out = Files.createTempDirectory("ur-cap-out").toString
+      val cp = Files.createTempDirectory("ur-cap-cp").toString
+      val q = resolved.toDF("payload").writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(out).select(
+        get_json_object(col("payload"), "$.message_id").as("message_id"),
+        get_json_object(col("payload"), "$.user_id").as("user_id"))
+    }),
+      """SELECT * FROM (VALUES
+        |  ('m1', NULL), ('m2', NULL), ('m3', NULL),
+        |  ('m4', NULL), ('m5', NULL),
+        |  ('m1', 'u1'), ('m2', 'u1'), ('m3', 'u1'),
+        |  ('m6', 'u1')
+        |) t(message_id, user_id)""".stripMargin),
 
     ("j1_user_recognition",
       ((s, dir) =>

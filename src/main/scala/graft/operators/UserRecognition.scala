@@ -44,12 +44,26 @@ object UserRecognition {
 
   /** ref `UserRecognitionConfig` zod schema :8-19. `jsonObjectFields`:
     * identifier columns holding a JSON object string (deep-merged at key
-    * level instead of overwritten). */
+    * level instead of overwritten).
+    *
+    * `maxBufferPerKey` (beyond-ref operational guard, 0 = unbounded =
+    * reference parity): caps the anonymous buffer per key. The
+    * reference's Mongo store is TTL-bounded only (`mongodb.ts:40-84`),
+    * so one bot anonymous_id emitting millions of events inside the
+    * lookback grows an unbounded buffer — and at an eventual identify,
+    * an unbounded eviction. With a cap, events past it still EMIT
+    * unchanged (delivery is never affected) but are not buffered, so
+    * they can never be back-filled with an identity — drop-NEWEST,
+    * chosen because it keeps the cap O(1) in BOTH engines (drop-oldest
+    * would need an O(buffer) list rewrite per event in the ListState
+    * engine, the exact cost that engine exists to avoid) and because
+    * capped keys are overwhelmingly never-identified bot traffic. */
   case class URConfig(
       anonymousIdFields: Seq[String] = Seq("anonymous_id"),
       identifierFields: Seq[String] = Seq("user_id"),
       lookbackDays: Int = 30,
-      jsonObjectFields: Set[String] = Set("traits"))
+      jsonObjectFields: Set[String] = Set("traits"),
+      maxBufferPerKey: Int = 0)
 
   private def fieldAlias(path: String) = path.replace('.', '_')
 
@@ -414,7 +428,8 @@ object UserRecognition {
     mapper.writeValueAsString(t)
   }
 
-  def urGenTransition(lookbackMs: Long, identifierFields: Seq[String])(
+  def urGenTransition(lookbackMs: Long, identifierFields: Seq[String],
+      maxBufferPerKey: Int = 0)(
       key: String, rows: Iterator[URGenEvent],
       state: GroupState[URGenState]): Iterator[String] = {
     val mapper = new ObjectMapper()
@@ -426,6 +441,9 @@ object UserRecognition {
     // (ts, mid): the batch twin's total order — see urTransition
     val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.mid))
     var buffered = state.getOption.map(_.buffered).getOrElse(Nil)
+    // counted once per invocation (the list was just deserialized
+    // anyway); per-event List.length would be quadratic
+    var bufCount = if (maxBufferPerKey > 0) buffered.length else 0
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var lastTs = 0L
     // whole-invocation replacement as urTransition: an identify replaces
@@ -454,11 +472,17 @@ object UserRecognition {
         buffered.foreach(b =>
           emit(b.mid, merge(b.payload, e.payload), isMerged = true))
         buffered = Nil
+        bufCount = 0
         emit(e.mid, e.payload, isMerged = false)
       } else {
         // pass through unchanged (ref: return event)
         emit(e.mid, e.payload, isMerged = false)
-        buffered = buffered :+ URBufEntry(e.mid, e.payload)
+        // cap guard (see URConfig.maxBufferPerKey): past the cap the
+        // event still emitted above but is not buffered (drop-newest)
+        if (maxBufferPerKey <= 0 || bufCount < maxBufferPerKey) {
+          buffered = buffered :+ URBufEntry(e.mid, e.payload)
+          bufCount += 1
+        }
       }
       lastTs = e.ts.getTime
     }
@@ -484,7 +508,8 @@ object UserRecognition {
     * (StreamingSpec proves output-equality on the same stream;
     * `j1e_ur_golden_tws` replays the reference's own test through this
     * operator). Requires the RocksDB state store provider. */
-  class URGenProcessor(lookbackMs: Long, identifierFields: Seq[String])
+  class URGenProcessor(lookbackMs: Long, identifierFields: Seq[String],
+                       maxBufferPerKey: Int = 0)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, URGenEvent, String] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues}
@@ -493,6 +518,11 @@ object UserRecognition {
       org.apache.spark.sql.streaming.ListState[URBufEntry] = _
     @transient private var timerTs:
       org.apache.spark.sql.streaming.ValueState[Long] = _
+    // buffer length, maintained ONLY when the cap is enabled (the
+    // ListState itself has no O(1) length; an uncapped run never
+    // touches this variable)
+    @transient private var bufN:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
     @transient private var mapper: ObjectMapper = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -500,6 +530,8 @@ object UserRecognition {
         "buffered", E.product[URBufEntry], TTLConfig.NONE)
       timerTs = getHandle.getValueState[Long](
         "timerTs", E.scalaLong, TTLConfig.NONE)
+      bufN = getHandle.getValueState[Long](
+        "bufN", E.scalaLong, TTLConfig.NONE)
       mapper = new ObjectMapper()
     }
 
@@ -531,6 +563,13 @@ object UserRecognition {
             if (isMerged) { upgraded += out.length; () }
             out += value
         }
+      // lazy persisted-buffer count, consulted only when the cap is on:
+      // one O(1) point read per invocation, reset by a drain
+      var count = -1L
+      def curCount: Long = {
+        if (count < 0) count = if (bufN.exists()) bufN.get() else 0L
+        count
+      }
       sorted.foreach { e =>
         if (e.ident) {
           // drain: persisted buffer first (strictly older than this
@@ -543,24 +582,32 @@ object UserRecognition {
             emit(b.mid, merge(b.payload, e.payload), isMerged = true))
           pending.clear()
           if (!drained) { buffered.clear(); drained = true }
+          count = 0
           emit(e.mid, e.payload, isMerged = false)
         } else {
           emit(e.mid, e.payload, isMerged = false) // ref: return event
-          pending += URBufEntry(e.mid, e.payload)
+          // cap guard (URConfig.maxBufferPerKey): emitted, not buffered
+          if (maxBufferPerKey <= 0 ||
+              curCount + pending.length < maxBufferPerKey)
+            pending += URBufEntry(e.mid, e.payload)
         }
         lastTs = e.ts.getTime
       }
       if (pending.nonEmpty) {
         buffered.appendList(pending.toArray) // O(batch), not O(buffer)
+        if (maxBufferPerKey > 0) bufN.update(curCount + pending.length)
         val due = lastTs + lookbackMs
         if (timerValues.getCurrentWatermarkInMs() < due) {
           if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
           getHandle.registerTimer(due)
           timerTs.update(due)
         }
-      } else if (drained && timerTs.exists()) {
-        // buffer emptied and nothing re-buffered: drop the TTL timer
-        getHandle.deleteTimer(timerTs.get()); timerTs.clear()
+      } else if (drained) {
+        if (timerTs.exists()) {
+          // buffer emptied and nothing re-buffered: drop the TTL timer
+          getHandle.deleteTimer(timerTs.get()); timerTs.clear()
+        }
+        if (maxBufferPerKey > 0 && bufN.exists()) bufN.clear()
       }
       out.iterator
     }
@@ -568,6 +615,7 @@ object UserRecognition {
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[String] = {
       buffered.clear(); timerTs.clear()
+      if (maxBufferPerKey > 0) bufN.clear()
       Iterator.empty // originals were emitted on arrival
     }
   }
@@ -701,7 +749,8 @@ object UserRecognition {
       .as[URGenEvent]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        urGenTransition(config.lookbackDays * 86400000L, config.identifierFields))
+        urGenTransition(config.lookbackDays * 86400000L,
+          config.identifierFields, config.maxBufferPerKey))
   }
 
   /** [[resolveTagged]] on the `transformWithState` operator
@@ -719,7 +768,7 @@ object UserRecognition {
       .groupByKey(_.key)
       .transformWithState(
         new URGenProcessor(config.lookbackDays * 86400000L,
-          config.identifierFields),
+          config.identifierFields, config.maxBufferPerKey),
         TimeMode.EventTime(), OutputMode.Append(),
         org.apache.spark.sql.Encoders.STRING)
   }

@@ -1110,6 +1110,67 @@ class StreamingSpec extends GraftSpec {
       byId("m2").head.get("user_id") == null) // a2 never identified
   }
 
+  test("maxBufferPerKey caps the anonymous buffer identically in both engines") {
+    // beyond-ref guard (URConfig.maxBufferPerKey): a hot key's buffer
+    // stops growing at the cap — capped events still EMIT unchanged but
+    // never merge. Cap 3 spans TWO batches (2 buffered + 1 more, then
+    // m4/m5 over the cap), so the TWS engine's persisted bufN counter —
+    // not just the in-batch pending length — is what enforces it.
+    import graft.operators.UserRecognition
+    val in = tmp("graft-cap-in")
+    def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      java.nio.file.Files.write(f.toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(mtime); ()
+    }
+    def page(id: Int) =
+      s"""{"message_id":"m$id","type":"page","anonymous_id":"a1","timestamp":"2024-01-01T10:0$id:00Z"}"""
+    stage("b0.txt", 1700000000000L, Seq(page(1), page(2)))
+    stage("b1.txt", 1700000060000L, Seq(page(3), page(4), page(5)))
+    stage("b2.txt", 1700000120000L, Seq(
+      """{"message_id":"m6","type":"identify","anonymous_id":"a1","user_id":"u1","timestamp":"2024-01-01T10:06:00Z"}"""))
+    val cfg = UserRecognition.URConfig(maxBufferPerKey = 3)
+    val tagNames = UserRecognition.tagFields(cfg)
+    val tagSchema = org.apache.spark.sql.types.StructType(
+      graft.schema.EventSchema.envelope.fields.filter(f =>
+        tagNames.contains(f.name)))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(name: String, tws: Boolean): Seq[(String, String)] = {
+      val raw = s2.readStream.format("text")
+        .option("maxFilesPerTrigger", "1").load(in)
+      val tagged = UserRecognition.tagRawLines(
+        raw.select(col("value").cast("string").as("payload"))
+          .withColumn("e", from_json(col("payload"), tagSchema)),
+        cfg)
+      val resolved =
+        if (tws) UserRecognition.resolveTaggedTws(tagged, cfg)
+        else UserRecognition.resolveTagged(tagged, cfg)
+      val q = resolved.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      s2.table(name).as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSeq.map { j =>
+          val n = mapper.readTree(j)
+          n.get("message_id").asText() ->
+            Option(n.get("user_id")).filterNot(_.isNull)
+              .map(_.asText()).getOrElse("")
+        }.sorted
+    }
+    val classic = run("cap_classic", tws = false)
+    val modern = run("cap_tws", tws = true)
+    assert(modern == classic, s"tws=$modern classic=$classic")
+    // m1-m3 buffered (under the cap) -> re-emit merged; m4/m5 over the
+    // cap: emitted once, never merged; the identify emits itself
+    assert(modern == Seq(("m1", ""), ("m1", "u1"), ("m2", ""),
+      ("m2", "u1"), ("m3", ""), ("m3", "u1"), ("m4", ""), ("m5", ""),
+      ("m6", "u1")), modern)
+  }
+
   test("generic TWS timer expiry drops state exactly like the classic TTL") {
     // lookback 0 days: the buffer's TTL is due immediately, so once the
     // watermark advances past the anonymous event (driven by an
