@@ -125,6 +125,80 @@ object QueriesSystem {
         |    AS BIGINT) AS n
         |FROM events WHERE event_type <> 'error'
         |GROUP BY event_type""".stripMargin),
+    // R4b: the reference's OWN UDF-wrapper test (udf.test.ts:5-91)
+    // replayed through FunctionChain.testRun — same seeded store and
+    // props, same local HTTP stand-in (the test spins an express server
+    // answering "FETCH RESPONSE"; here a JDK HttpServer), same
+    // mutations: log, event edits from props/store/fetch, store
+    // set/set/del. The RESULT event, the store's final state, and the
+    // run status are all value-pinned, field for field, against the
+    // test's own expect() objects.
+    ("r4b_udf_golden",
+      ((s, dir) => {
+      import s.implicits._
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val resp = "FETCH RESPONSE".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, resp.length.toLong)
+          ex.getResponseBody.write(resp)
+          ex.close()
+        })
+      server.start()
+      try {
+        val port = server.getAddress.getPort
+        val nodes = new com.fasterxml.jackson.databind.ObjectMapper()
+          .getNodeFactory
+        val udf = EventFunction("udf", builtin = false,
+          (e: ObjectNode, ctx: graft.chain.ChainContext) => {
+            ctx.logInfo("udf")
+            ctx.logError("just for the test error. ignore it")
+            e.put("test", "test123")
+            val result = ctx.fetch(s"http://127.0.0.1:$port/")
+            e.put("prop1", ctx.props("prop1"))
+            e.put("store1", ctx.store.get("store1").get.asText())
+            e.put("fetch_result", result)
+            ctx.store.set("test", nodes.textNode(result))
+            ctx.store.set("test2", nodes.textNode(result))
+            ctx.store.del("test2")
+            // the reference's `return event`: functions get a deep copy
+            // (R5), so returning the mutated copy IS the edit
+            Replace(Seq(e))
+          })
+        val res = FunctionChain.testRun(Seq(udf),
+          """{"messageId":"test","type":"page","context":{}}""",
+          options = ChainOptions(connectionId = "udf-golden",
+            props = Map("prop1" -> "test_prop1")),
+          storeSeed = Map("store1" -> "\"test_store1\""))
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val ev = mapper.readTree(res.events.head)
+        import scala.jdk.CollectionConverters._
+        val evRows = ev.properties().asScala.toSeq.map { en =>
+          ("event", en.getKey,
+            if (en.getValue.isTextual) en.getValue.asText()
+            else mapper.writeValueAsString(en.getValue))
+        }
+        val storeRows = res.store.toSeq.map { case (k, v) =>
+          val n = mapper.readTree(v)
+          ("store", k, if (n.isTextual) n.asText() else v)
+        }
+        (evRows ++ storeRows ++ Seq(("status", "status", res.status)))
+          .toDF("kind", "key", "value")
+      } finally server.stop(0)
+    }),
+      """SELECT * FROM (VALUES
+        |  ('event', 'messageId', 'test'),
+        |  ('event', 'type', 'page'),
+        |  ('event', 'context', '{}'),
+        |  ('event', 'test', 'test123'),
+        |  ('event', 'prop1', 'test_prop1'),
+        |  ('event', 'store1', 'test_store1'),
+        |  ('event', 'fetch_result', 'FETCH RESPONSE'),
+        |  ('store', 'store1', 'test_store1'),
+        |  ('store', 'test', 'FETCH RESPONSE'),
+        |  ('status', 'status', 'success')
+        |) t(kind, key, value)""".stripMargin),
     // R1b: the reference's functions-chain scenario TABLE
     // (functions-chain-data.ts + functions-chain.test.ts expected sets)
     // replayed through FunctionChain in rotor-parity step mode: eight

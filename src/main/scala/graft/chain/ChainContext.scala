@@ -32,6 +32,46 @@ case class ChainContext(
     case Some(buf) => buf += (("error", msg)): Unit
     case None => System.err.println(s"[chain:$connectionId] ERROR $msg")
   }
+
+  /** FetchType surface (ref `functions.d.ts:24-30`: fetch-with-logging
+    * handed to every function). Minimal blocking HTTP returning the
+    * response body; a non-2xx status throws (the reference's
+    * destinations treat those as function errors, which the chain's
+    * error/Retry handling then classifies). In this engine the SaaS
+    * destinations are warehouse PROJECTIONS (K3), so fetch is the
+    * escape hatch for custom user functions — egress policy is
+    * deployment-specific, exactly as the reference's rotor relies on
+    * its network. */
+  def fetch(url: String, method: String = "GET",
+            body: Option[String] = None,
+            headers: Map[String, String] = Map.empty,
+            timeoutMs: Int = 5000): String = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        try os.write(b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+      }
+      val code = conn.getResponseCode
+      val is = if (code >= 200 && code < 300) conn.getInputStream
+               else conn.getErrorStream
+      val text =
+        if (is == null) ""
+        else try new String(is.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally is.close()
+      if (code < 200 || code >= 300)
+        throw new RuntimeException(s"fetch $method $url -> $code: $text")
+      text
+    } finally conn.disconnect()
+  }
 }
 
 /** TTL key-value store exposed to functions (ref `functions.d.ts:9-22,

@@ -440,4 +440,43 @@ class ChainSpec extends GraftSpec {
     val rr = FunctionChain.testRun(Seq(retrier), """{"type":"page"}""")
     assert(rr.status == "retry" && rr.error.contains("upstream 503"))
   }
+
+  test("ctx.fetch: returns 2xx bodies; a non-2xx throws and the chain treats it as a plain function error") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def answer(path: String, code: Int, body: String): Unit = {
+      server.createContext(path,
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val b = body.getBytes("UTF-8")
+          ex.sendResponseHeaders(code, b.length.toLong)
+          ex.getResponseBody.write(b)
+          ex.close()
+        }): Unit
+    }
+    answer("/ok", 200, "hello")
+    answer("/bad", 500, "boom")
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val fetcher = EventFunction("fetcher", builtin = false,
+        (e: ObjectNode, ctx: ChainContext) => {
+          e.put("got", ctx.fetch(s"http://127.0.0.1:$port/ok"))
+          Replace(Seq(e))
+        })
+      val ok = FunctionChain.testRun(Seq(fetcher), """{"type":"page"}""")
+      assert(ok.status == "success")
+      assert(ok.events.head.contains("\"got\":\"hello\""))
+      // non-2xx throws inside the function -> R3 plain-error semantics:
+      // edits skipped, event continues, error recorded
+      val failing = EventFunction("failing_fetch", builtin = false,
+        (e: ObjectNode, ctx: ChainContext) => {
+          e.put("got", ctx.fetch(s"http://127.0.0.1:$port/bad"))
+          Replace(Seq(e))
+        })
+      val bad = FunctionChain.testRun(Seq(failing), """{"type":"page"}""")
+      assert(bad.status == "success" && bad.events.size == 1)
+      assert(!bad.events.head.contains("got"))
+      assert(bad.error != null && bad.error.contains("500"))
+    } finally server.stop(0)
+  }
 }
