@@ -1717,6 +1717,34 @@ object QueriesSystem {
         |  FALSE AS first_cached, TRUE AS second_cached
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
+    // L7: the reference console's NAMED-PARAMETER surface
+    // (juava sql-params.ts, its own test replayed verbatim in
+    // GuardedSqlSpec): :name placeholders — one repeated, one numeric,
+    // one string — bind through SqlParams and run through the guarded
+    // runner; the oracle is the same query with the literals inlined.
+    ("l7_sql_params",
+      ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("orders_params_v")
+      GuardedSql.query(s,
+        """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CASE WHEN o_totalprice > :minprice
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+          |FROM orders_params_v
+          |WHERE o_orderstatus = :status OR o_totalprice < :minprice / 100
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map[String, Any]("status" -> "O", "minprice" -> 150000))
+        .withColumnRenamed("#", "row_num")
+    }),
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN o_totalprice > 150000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS INT)
+        |    AS row_num
+        |FROM orders
+        |WHERE o_orderstatus = 'O' OR o_totalprice < 150000 / 100
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
     // MV aggregate navigation (plans.MvRewrite): a day-grain rollup of
     // the events stream is built + registered, then a MONTH-grain report
     // written against the RAW table is transparently served by it — the

@@ -93,6 +93,13 @@ object GuardedSql {
     * numbering, and the scale-correct shape: a global row_number window
     * would pull every row into one partition, while here only the
     * already-limited result crosses to the driver. */
+  /** Parameterized form: `:name` placeholders bound via [[SqlParams]]
+    * (the reference console's named-parameter surface), then guarded
+    * and run like any other query. */
+  def query(spark: SparkSession, sql: String,
+            params: Map[String, Any]): DataFrame =
+    query(spark, SqlParams.bind(sql, params))
+
   def query(spark: SparkSession, sql: String, offset: Int = 0,
             apiLimit: Int = DefaultLimit,
             allowedTables: Set[String] = Set.empty): DataFrame = {

@@ -179,4 +179,48 @@ class GuardedSqlSpec extends GraftSpec {
     assert(r5.count() == 3)
     spark.catalog.dropTempView("cache_vac_v")
   }
+
+  test("SqlParams replays the reference's sql-params test verbatim") {
+    // ref libs/juava/__tests__/sql-params.test.ts — the exact pinned
+    // strings: first-occurrence numbering, repeated :id shares $1,
+    // unroll quotes strings and leaves numbers bare
+    import graft.sql.SqlParams
+    val sql = "SELECT * FROM users WHERE id = :id AND secondId = :id " +
+      "AND name = :name AND age = :age AND thirdId=:id " +
+      "OR otherParam=:ne ORDER BY id"
+    val params = Map[String, Any](
+      "ne" -> "ne", "id" -> 1, "name" -> "John", "age" -> 30)
+    val (q, vs) = SqlParams.namedParameters(sql, params)
+    assert(q == "SELECT * FROM users WHERE id = $1 AND secondId = $1 " +
+      "AND name = $2 AND age = $3 AND thirdId=$1 " +
+      "OR otherParam=$4 ORDER BY id", q)
+    assert(vs == Seq(1, "John", 30, "ne"), vs)
+    assert(SqlParams.unrollParams(q, vs) ==
+      "SELECT * FROM users WHERE id = 1 AND secondId = 1 " +
+      "AND name = 'John' AND age = 30 AND thirdId=1 " +
+      "OR otherParam='ne' ORDER BY id")
+  }
+
+  test("SqlParams hardenings: identifier boundaries, casts, falsy values, quote escaping") {
+    import graft.sql.SqlParams
+    // :id must not claim the prefix of :idx; ::int is a cast, not :int
+    val (q, vs) = SqlParams.namedParameters(
+      "SELECT :id, :idx, x::int FROM t",
+      Map[String, Any]("id" -> 1, "idx" -> 2, "int" -> 9))
+    assert(q == "SELECT $1, $2, x::int FROM t", q)
+    assert(vs == Seq(1, 2), vs)
+    // divergence from the reference's `params[p] || null`: 0 and ''
+    // stay themselves; embedded quotes escape; null/missing -> NULL
+    assert(SqlParams.unrollParams("$1 $2 $3 $4 $9",
+      Seq(0, "", "O'Brien", null)) == "0 '' 'O''Brien' NULL NULL")
+    // end-to-end through the guarded runner
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    df.createOrReplaceTempView("sqlparams_v")
+    val out = graft.sql.GuardedSql.query(spark,
+      "SELECT name FROM sqlparams_v WHERE id = :id",
+      Map[String, Any]("id" -> 2))
+    assert(out.select("name").collect().map(_.getString(0)).toSeq == Seq("b"))
+    spark.catalog.dropTempView("sqlparams_v")
+  }
 }
