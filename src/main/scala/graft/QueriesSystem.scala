@@ -1426,6 +1426,70 @@ object QueriesSystem {
         |SELECT 'customer', 2, 'full_refresh',
         |  (SELECT n FROM c), CAST(NULL AS VARCHAR), (SELECT n FROM c)
         |""".stripMargin),
+    // S9 (ingest boundary): write-key authentication — the reference's
+    // keyId:secret bearer check against a stored-credential dimension
+    // (salted sha512 under a rotating seed list, or a raw token), run
+    // as a broadcast join + codegen'd sha2 over the event stream
+    // (WriteKeyAuth.authorize; hash math pinned by the security.test.ts
+    // replay in WriteKeyAuthSpec). Fixture: per-user key ids with
+    // deterministic secrets; every 13th event presents a colon-less
+    // token, every 11th an unknown key id, every 7th a wrong secret —
+    // the oracle recomputes the expected verdict from those rules and
+    // pins the routed sets (count + id-xor + distinct loggable hints).
+    ("s9_writekey_auth",
+      ((s, dir) => {
+      import graft.sources.WriteKeyAuth
+      import s.implicits._
+      val seeds = Seq("gate-seed-2", "gate-seed-1")
+      val keys = Seq(
+        ("wk0", WriteKeyAuth.createHash("gate-secret-0",
+          Seq("gate-seed-2"), Some("salt0"))),
+        ("wk1", WriteKeyAuth.createHash("gate-secret-1",
+          Seq("gate-seed-1"), Some("salt1"))), // minted under the OLD seed
+        ("wk2", "raw-gate-token-2")
+      ).toDF("id", "credential")
+      val keyId = concat(lit("wk"), pmod(col("user_id"), lit(3)))
+      val secret = element_at(map(
+        lit("wk0"), lit("gate-secret-0"), lit("wk1"), lit("gate-secret-1"),
+        lit("wk2"), lit("raw-gate-token-2")), keyId)
+      val token = when(pmod(col("event_id"), lit(13)) === 0, keyId)
+        .when(pmod(col("event_id"), lit(11)) === 0,
+          concat(lit("wk9:"), secret))
+        .when(pmod(col("event_id"), lit(7)) === 0,
+          concat(keyId, lit(":wrong")))
+        .otherwise(concat(keyId, lit(":"), secret))
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("write_key", token)
+      WriteKeyAuth.authorize(ev, keys, col("write_key"), seeds)
+        .groupBy(col("event_type"), col("auth_ok"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("bit_xor(event_id)").as("id_xor"),
+          countDistinct(col("key_hint")).as("n_hints"))
+    }),
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    'wk' || (user_id % 3) AS key_id,
+        |    CASE user_id % 3 WHEN 0 THEN 'gate-secret-0'
+        |      WHEN 1 THEN 'gate-secret-1'
+        |      ELSE 'raw-gate-token-2' END AS secret
+        |  FROM events),
+        |tok AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN key_id
+        |      WHEN event_id % 11 = 0 THEN 'wk9:' || secret
+        |      WHEN event_id % 7 = 0 THEN key_id || ':wrong'
+        |      ELSE key_id || ':' || secret END AS write_key,
+        |    (event_id % 13 <> 0 AND event_id % 11 <> 0
+        |      AND event_id % 7 <> 0) AS auth_ok
+        |  FROM ev)
+        |SELECT event_type, auth_ok,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(bit_xor(event_id) AS BIGINT) AS id_xor,
+        |  CAST(COUNT(DISTINCT CASE WHEN length(write_key) >= 6
+        |    THEN substr(write_key, 1, 3) || '*' ||
+        |      substr(write_key, length(write_key) - 2, 3) END)
+        |    AS BIGINT) AS n_hints
+        |FROM tok GROUP BY event_type, auth_ok""".stripMargin),
     // §3.1: streaming pipeline round-trip — JSON file source ->
     // envelope -> dedup-in-watermark -> layout -> sink router
     ("s1_streaming",
