@@ -342,7 +342,18 @@ object EventPipeline {
             // pre-shredded variant_get instead of a per-access JSON
             // re-parse (2.1x on wide projections — tools/VariantProbe),
             // and the sink stores the binary variant encoding
-            openProps: String = "json"): StreamingQuery = {
+            openProps: String = "json",
+            // S9 ingest auth: a key-store dimension (id, credential) —
+            // each event's `write_key` ("keyId:secret" bearer form) is
+            // checked per WriteKeyAuth.authorize (broadcast join +
+            // codegen'd sha2); rejects route to quarantine with the
+            // LOGGABLE key hint, never the secret (rotor 401s echo the
+            // raw token — `index.ts:172` — a practice its own `hint`
+            // helper exists to avoid). None = open ingest, the
+            // reference's no-tokens-configured warning path.
+            authKeys: Option[DataFrame] = None,
+            authSeeds: Seq[String] =
+              Seq(graft.sources.WriteKeyAuth.DefaultSeed)): StreamingQuery = {
     require(Seq("json", "variant").contains(openProps),
       s"unsupported openProps: $openProps")
     val session = tunedSession(spark, statePartitions, stateStore)
@@ -383,11 +394,31 @@ object EventPipeline {
           val cached = batch.persist()
           try {
             val isQ = col("error").isNotNull
+            // S9: write-key check BEFORE the full envelope parse — a
+            // narrow one-field probe of the raw line, so rejected
+            // events never pay the envelope parse (the reference 401s
+            // before the body is processed). Rejects join the
+            // quarantine branch below with the loggable hint.
+            val (good, authBad) = authKeys match {
+              case None => (cached.filter(!isQ), None)
+              case Some(keys) =>
+                val a = graft.sources.WriteKeyAuth.authorize(
+                  cached.filter(!isQ).withColumn("_wk",
+                    get_json_object(col("payload"), "$.write_key")),
+                  keys, col("_wk"), authSeeds)
+                (a.filter(col("auth_ok"))
+                   .drop("_wk", "auth_ok", "key_hint"),
+                 Some(a.filter(!col("auth_ok")).select(
+                   col("payload").as("raw_event"),
+                   concat(lit("invalid_write_key:"),
+                     coalesce(col("key_hint"), lit("missing"))).as("error"),
+                   lit("quarantine").as("_table"))))
+            }
             // the ONE full envelope parse — after the stateful stage;
             // the stream's dedup key + defaulted event time override
             // the re-parsed fields so dedup and storage cannot disagree
             // (uuid-defaulted ids are nondeterministic per parse)
-            val env0 = cached.filter(!isQ)
+            val env0 = good
               .select(col("message_id").as("_mid"),
                 col("timestamp").as("_ts"),
                 from_json(col("payload"), EventSchema.envelope).as("e"))
@@ -416,9 +447,10 @@ object EventPipeline {
                 out.join(flags.withColumnRenamed("message_id", idCol),
                   Seq(idCol), "left")
             })
-            val bad = cached.filter(isQ)
+            val parseBad = cached.filter(isQ)
               .select(col("payload").as("raw_event"), col("error"),
                 lit("quarantine").as("_table"))
+            val bad = authBad.map(parseBad.unionByName(_)).getOrElse(parseBad)
             if (!bad.isEmpty) router.write(bad)
           } finally { cached.unpersist(false); () }
         }

@@ -127,6 +127,19 @@ class OperatorsSpec extends GraftSpec {
       "Column twin drifts from JVM twin on non-Latin uppercase")
   }
 
+  test("sha256Pii matches the reference's pinned facebookHash vectors") {
+    // ref facebook-conversions.test.ts 'hashConsistency' — FB's own
+    // published customer-information examples, exact hex
+    import spark.implicits._
+    val got = Seq("john_smith@gmail.com", "16505551212").toDF("v")
+      .select(graft.functions.Scalars.sha256Pii(org.apache.spark.sql
+        .functions.col("v")).as("h"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "62a14e44f765419d10fea99367361a727c12365e2520f32218d505ed9aa0f62f",
+      "e323ec626319ca94ee8bff2e4c87cf613be6ea19919ed1364124e16807ab3176"))
+  }
+
   test("snakeCaseSchema renames nested struct fields") {
     val df = Seq((1, ("a", 2))).toDF("topLevel", "nestedStruct")
       .withColumn("nestedStruct", struct(lit("a").as("innerField"),

@@ -461,6 +461,35 @@ class StreamingSpec extends GraftSpec {
     assert(quarantined.filter(col("raw_event").contains("not json")).count() == 1)
   }
 
+  test("S9: write-key auth routes rejects to quarantine with the hint, never the secret") {
+    val in = tmp("graft-a-in"); val wh = tmp("graft-a-wh"); val cp = tmp("graft-a-cp")
+    val env0 = DriverEventsAdapter.load(spark, sf).limit(60)
+    // bearer-form tokens keyed off the adapter's own wk0/wk1/wk2 split:
+    // wk0 good secret, wk1 wrong secret, wk2 a bare key id (no ':')
+    val env = env0.withColumn("write_key",
+      when(col("write_key") === "wk0", lit("wk0:spec-secret-0"))
+        .when(col("write_key") === "wk1", lit("wk0:wrong"))
+        .otherwise(lit("wk0")))
+    env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+      .coalesce(1).write.mode("overwrite").text(in)
+    val keys = Seq(("wk0", graft.sources.WriteKeyAuth.createHash(
+      "spec-secret-0", salt = Some("specsalt")))).toDF("id", "credential")
+    val q = EventPipeline.start(spark, in, wh, cp, authKeys = Some(keys))
+    try q.awaitTermination() finally q.stop()
+    val nGood = env.filter(col("write_key") === "wk0:spec-secret-0").count()
+    val nWrong = env.filter(col("write_key") === "wk0:wrong").count()
+    val events = spark.read.parquet(s"$wh/events")
+    assert(events.count() == nGood)
+    val quarantined = spark.read.parquet(s"$wh/quarantine")
+    assert(quarantined.count() == 60 - nGood)
+    // the 401 records the loggable hint; the secret never lands
+    assert(quarantined.filter(
+      col("error").startsWith("invalid_write_key:")).count() == 60 - nGood)
+    assert(quarantined.filter(col("error").contains("wrong")).count() == 0)
+    assert(quarantined.filter(col("error") === "invalid_write_key:wk0*ong")
+      .count() == nWrong)
+  }
+
   test("AvailableNow drains a multi-file source in bounded micro-batches") {
     val in = tmp("graft-mb-in"); val wh = tmp("graft-mb-wh"); val cp = tmp("graft-mb-cp")
     val env = DriverEventsAdapter.load(spark, sf)
