@@ -147,6 +147,23 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
 
   private def tablePath(table: String) = s"$warehouseDir/$table"
 
+  /** Table names become DIRECTORY names under the warehouse root, and
+    * they originate from user-controlled event data (the `$table` /
+    * `table_name` override every layout honors) — so they must be
+    * validated as identifiers, not paths. The reference is shielded by
+    * construction (bulker emits table names as QUOTED DDL identifiers,
+    * so a hostile name fails at the warehouse); an FS-backed sink must
+    * do its own check or `events/../_history` escapes the root and
+    * `_history`/`_quota` (the leading-underscore internal namespace)
+    * get clobbered. Identifier = alphanumeric first char, then
+    * `[A-Za-z0-9_.-]`, ≤ 255 bytes — no separators, no leading `_`/`.`.
+    * Rows carrying an invalid name are NOT dropped: [[write]] reroutes
+    * them to the quarantine table (delivery is never silently lost,
+    * the corrupt-row contract). */
+  private[sinks] def validTableName(t: String): Boolean =
+    t != null && t.length <= 255 &&
+      t.matches("[A-Za-z0-9][A-Za-z0-9_.\\-]*")
+
   /** Per-router schema cache: table path -> full table schema (data
     * columns + DateCol, all nullable). Single writer per table (as in the
     * reference's bulker), so the cache only goes stale if another process
@@ -221,7 +238,8 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
         .map(r => (r.getString(0),
           r.getSeq[java.sql.Date](1).toArray.sortBy(_.toLocalDate.toEpochDay),
           r.getLong(2)))
-      routing.foreach { case (t, dates, n) =>
+      val (good, bad) = routing.partition(r => validTableName(r._1))
+      good.foreach { case (t, dates, n) =>
         val rows = cached.filter(col("_table") === t).drop("_table")
         val created = !tableExists(tablePath(t))
         writeTable(spark, t, rows, dates)
@@ -229,6 +247,22 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
           if (created) "create"
           else if (options.deduplicate) "merge" else "append",
           Map("rows" -> n))
+      }
+      if (bad.nonEmpty) {
+        // invalid table name = a routing error, not a data loss: the
+        // offending rows land in quarantine with the name in the error
+        // (one recursion level — "quarantine" itself is a valid name)
+        val badNames = bad.map(_._1)
+        val isBadName = badNames.foldLeft(lit(false))((acc, t) =>
+          acc || (if (t == null) col("_table").isNull
+                  else col("_table") === t))
+        val rows = cached.filter(isBadName)
+        write(rows
+          .select(to_json(struct(rows.columns.filter(_ != "_table")
+            .map(c => col(s"`$c`")): _*)).as("raw_event"),
+            concat(lit("invalid_table_name:"),
+              coalesce(col("_table"), lit("null"))).as("error"),
+            lit("quarantine").as("_table")))
       }
     } finally cached.unpersist(false)
   }

@@ -26,6 +26,34 @@ class SinkRouterSpec extends GraftSpec {
     assert(spark.read.parquet(s"$wh/pages").count() == 1)
   }
 
+  test("hostile _table names quarantine instead of escaping the warehouse root") {
+    val wh = tmpDir()
+    val batch = Seq(
+      ("m1", "ok_table"),
+      ("m2", "../escape"),          // path traversal
+      ("m3", "_history"),           // internal namespace
+      ("m4", "a/b"),                // separator
+      ("m5", ".hidden"),            // leading dot
+      ("m6", null)                  // no route at all
+    ).toDF("messageId", "_table")
+    new SinkRouter(wh).write(batch)
+    assert(spark.read.parquet(s"$wh/ok_table").count() == 1)
+    // nothing escaped: the parent of the warehouse root has no 'escape'
+    assert(!new java.io.File(new java.io.File(wh).getParent, "escape").exists())
+    assert(!new java.io.File(wh, "a").exists())
+    // _history holds only commit entries (json), never a parquet table
+    assert(new java.io.File(wh, "_history").listFiles()
+      .forall(_.getName.endsWith(".json")))
+    val quarantined = spark.read.parquet(s"$wh/quarantine")
+    assert(quarantined.count() == 5)
+    assert(quarantined.filter(col("error") === "invalid_table_name:../escape")
+      .count() == 1)
+    assert(quarantined.filter(col("error") === "invalid_table_name:null")
+      .count() == 1)
+    // the offending rows' payloads are preserved in raw_event
+    assert(quarantined.filter(col("raw_event").contains("\"m2\"")).count() == 1)
+  }
+
   test("schema evolution: new column appears as null on old rows") {
     val wh = tmpDir()
     val router = new SinkRouter(wh)
