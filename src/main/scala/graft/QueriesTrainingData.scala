@@ -2944,7 +2944,91 @@ object QueriesTrainingData {
         |      (CASE WHEN ns > 128 THEN 2 * least(16, ns - 128) ELSE 0 END)
         |    ELSE least(16, L) + least(16, L - (28 % L)) + least(16, L - (56 % L))
         |    END AS BIGINT) AS frame_bytes
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin),
+    // SFT conversation assembly: gap-sessionize each user's events,
+    // render every event as a templated turn, keep the prefix of turns
+    // that fits the token budget, drop sub-2-turn conversations, and
+    // emit the transcript — the record a chat-template tokenizer
+    // consumes. Whole pipeline (sessionize, per-conv running token sum,
+    // ordered render) replays in SQL; the epoch-second gap test is
+    // floor-exact in both engines.
+    ("td_sft_assemble",
+      ((s, dir) => graft.operators.Conversations.assemble(
+        s.read.parquet(s"$dir/events.parquet"), gapMinutes = 1440)),
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    event_type || ' value=' ||
+        |      CAST(ROUND(value * 100) AS BIGINT) || ' k=' ||
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      AS turn_text
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(epoch(ts) AS BIGINT)
+        |        - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 86400
+        |    THEN 1 ELSE 0 END AS new_conv
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT *, SUM(new_conv) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS conv,
+        |    len(string_split(turn_text, ' ')) AS turn_tokens
+        |  FROM s),
+        |x AS (
+        |  SELECT *, SUM(turn_tokens) OVER (PARTITION BY user_id, conv
+        |      ORDER BY ts, event_id) AS cum,
+        |    COUNT(*) OVER (PARTITION BY user_id, conv) AS all_turns
+        |  FROM c)
+        |SELECT CAST(user_id AS VARCHAR) || '-' || CAST(conv AS VARCHAR)
+        |    AS conv_id,
+        |  user_id, COUNT(*) AS n_turns, MAX(all_turns) AS all_turns,
+        |  SUM(turn_tokens) AS total_tokens,
+        |  MAX(all_turns) > COUNT(*) AS truncated,
+        |  string_agg(turn_text, chr(10) ORDER BY ts, event_id) AS text
+        |FROM x WHERE cum <= 30
+        |GROUP BY user_id, conv HAVING COUNT(*) >= 2""".stripMargin),
+    // margin-based pair mining (the LASER/CCMatrix bitext recipe): the
+    // label-parity halves of the embeddings table play the two
+    // "languages"; a pair's score is its cosine over the mean of both
+    // endpoints' top-4 neighborhoods, which discounts hubs. Integer-sum
+    // neighborhood averages + rounded margins make the mining replay
+    // exactly in SQL.
+    ("emb_margin_mining",
+      ((s, dir) => {
+        val e = embs(s, dir)
+        Similarity.marginMining(
+          e.filter(col("label") % 2 === 0)
+            .select(col("vec_id").as("xid"), col("embedding").as("vec")),
+          e.filter(col("label") % 2 === 1)
+            .select(col("vec_id").as("yid"), col("embedding").as("vec")),
+          k = 4, minMargin = 1.02)
+      }),
+      """WITH s AS (
+        |  SELECT x.vec_id AS xid, y.vec_id AS yid,
+        |    ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+        |      y.embedding::DOUBLE[]), 6) AS cosine,
+        |    CAST(ROUND(ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+        |      y.embedding::DOUBLE[]), 6) * 1e6) AS BIGINT) AS c6
+        |  FROM embeddings x, embeddings y
+        |  WHERE x.label % 2 = 0 AND y.label % 2 = 1),
+        |ax AS (
+        |  SELECT xid, CAST(SUM(c6) AS DOUBLE) / 4000000.0 AS avg_x
+        |  FROM (SELECT xid, c6, ROW_NUMBER() OVER (PARTITION BY xid
+        |      ORDER BY cosine DESC, yid) AS r FROM s)
+        |  WHERE r <= 4 GROUP BY xid),
+        |ay AS (
+        |  SELECT yid, CAST(SUM(c6) AS DOUBLE) / 4000000.0 AS avg_y
+        |  FROM (SELECT yid, c6, ROW_NUMBER() OVER (PARTITION BY yid
+        |      ORDER BY cosine DESC, xid) AS r FROM s)
+        |  WHERE r <= 4 GROUP BY yid),
+        |m AS (
+        |  SELECT s.xid, s.yid, s.cosine,
+        |    ROUND(s.cosine / ((avg_x + avg_y) / 2), 4) AS margin
+        |  FROM s JOIN ax USING (xid) JOIN ay USING (yid))
+        |SELECT xid, yid, cosine, margin FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY xid
+        |      ORDER BY margin DESC, yid) AS r
+        |  FROM m WHERE margin >= 1.02)
+        |WHERE r = 1""".stripMargin))
 
   val queries: Map[String, Q] =
     gated.map(g => (g._1, g._2)).toMap

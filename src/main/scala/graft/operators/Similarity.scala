@@ -85,6 +85,64 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long"), col("id"), col("cosine"))
   }
 
+  /** Margin-based pair mining (the LASER/CCMatrix bitext recipe,
+    * Artetxe & Schwenk 2019): a candidate pair (x, y) scores
+    * `cos(x,y) / ((avgK(x) + avgK(y)) / 2)` where avgK is the mean
+    * cosine of the vector's k nearest neighbors on the OTHER side —
+    * the margin discounts hubs that are close to everything, which is
+    * what makes this beat a raw cosine threshold for parallel-pair
+    * mining. Keeps the single best y per x with margin ≥ `minMargin`.
+    *
+    * `xs`: (xid, vec); `ys`: (yid, vec). Output (xid, yid, cosine,
+    * margin), one row per matched x.
+    *
+    * Engine-exact determinism: cosines are 6-dp-rounded; each avgK is
+    * a sum of `round(cos·1e6)` LONGS (order-free exact integer sum)
+    * divided back out, and the margin compares/ranks on its 4-dp
+    * rounding with a yid tiebreak — so another engine replays the
+    * mining bit-for-bit.
+    *
+    * Scale shape: the gate form scores all pairs with ONE cross join
+    * (the smaller side broadcast) and reuses that one scored frame for
+    * both k-NN stats and the final pick — no second scoring pass. At
+    * 100 TB substitute `ivfTopK` candidates for the cross join (margin
+    * only ever needs each side's top-k neighborhood, which IVF
+    * already produces) — the margin/pick stages are unchanged, keyed
+    * on ids, and never move vectors. */
+  def marginMining(xs: DataFrame, ys: DataFrame, k: Int = 4,
+                   minMargin: Double = 1.0): DataFrame = {
+    val scored = ys.select(col("yid"), col("vec"))
+      .crossJoin(broadcast(xs.select(col("xid"), col("vec").as("xvec"))))
+      .withColumn("cosine",
+        round(VectorKernels.cosine_sim(col("xvec"), col("vec")), 6))
+      .select(col("xid"), col("yid"), col("cosine"),
+        round(col("cosine") * 1e6).cast("long").as("c6"))
+      .localCheckpoint()
+
+    def avgK(side: String): DataFrame = {
+      val other = if (side == "xid") "yid" else "xid"
+      val w = Window.partitionBy(col(side))
+        .orderBy(col("cosine").desc, col(other))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .groupBy(col(side))
+        .agg((sum(col("c6")).cast("double") / (k * 1e6))
+          .as(s"avg_$side"))
+    }
+
+    val w = Window.partitionBy(col("xid"))
+      .orderBy(col("margin").desc, col("yid"))
+    scored
+      .join(avgK("xid"), "xid")
+      .join(avgK("yid"), "yid")
+      .withColumn("margin", round(
+        col("cosine") / ((col("avg_xid") + col("avg_yid")) / 2d), 4))
+      .filter(col("margin") >= minMargin)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("xid"), col("yid"), col("cosine"), col("margin"))
+  }
+
   // ---- IVF (inverted-file) ANN ---------------------------------------
 
   /** Lloyd's k-means over the corpus embeddings, entirely as DataFrame

