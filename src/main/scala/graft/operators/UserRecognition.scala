@@ -721,8 +721,12 @@ object UserRecognition {
     df.withColumn("ts", coalesce(col("e.timestamp"),
         col("e.received_at"), current_timestamp()))
       .withWatermark("ts", watermark)
+      // evaluated ONLY for id-less rows (the sole consumers — `injected`
+      // sits under the same guard): an unconditional withColumn would
+      // charge every event a full-line regex scan it never reads
       .withColumn("_stripped",
-        regexp_replace(col("payload"), stripNullMid, ""))
+        when(col("e.message_id").isNull,
+          regexp_replace(col("payload"), stripNullMid, "")))
       .select(coalesce(anonKey, syntheticKey).as("key"),
         (isIdent || anonKey.isNull).as("ident"),
         col("ts"),
