@@ -14,15 +14,16 @@ import org.apache.spark.sql.functions._
   * kept turns. The output is one row per conversation with the rendered
   * transcript — the record a chat-template tokenizer consumes.
   *
-  * Scale shape: two shuffles of the event stream, both keyed — one on
-  * `user_id` for the gap window, one on (user_id, conv) for the
-  * per-conversation running token sum — then ONE aggregation on the
-  * same (user_id, conv) key that the second window already partitioned
-  * by, so the final groupBy is exchange-free (Catalyst reuses the
-  * window's hash partitioning). Transcript ordering inside the
-  * aggregation is made shuffle-order-proof by sorting the collected
-  * (ts, event_id, text) structs, never by trusting collect_list order.
-  * Nothing wider than one user's conversation ever sits in one task.
+  * Scale shape: ONE exchange of the event stream, total (plan-audited).
+  * The gap window hash-partitions on `user_id`, and hash(user_id)
+  * already clusters (user_id, conv), so the per-conversation
+  * running-token window AND the final per-conversation aggregation
+  * both reuse that partitioning — the plan is `Exchange → windows →
+  * ObjectHashAggregate` with no further exchange. Transcript ordering
+  * inside the aggregation is made shuffle-order-proof by sorting the
+  * collected (ts, event_id, text) structs, never by trusting
+  * collect_list order. Nothing wider than one user's conversation ever
+  * sits in one task.
   */
 object Conversations {
 
