@@ -2986,6 +2986,38 @@ object QueriesTrainingData {
         |  string_agg(turn_text, chr(10) ORDER BY ts, event_id) AS text
         |FROM x WHERE cum <= 30
         |GROUP BY user_id, conv HAVING COUNT(*) >= 2""".stripMargin),
+    // preference-pair assembly (the DPO/RLHF reward-pair shape): per
+    // (user, day) candidate group the highest- and lowest-scored events
+    // become (chosen, rejected); tied extremes are skipped (no
+    // preference signal); exact integer-cent margins
+    ("td_pref_pairs",
+      ((s, dir) => graft.operators.Conversations.preferencePairs(
+        s.read.parquet(s"$dir/events.parquet"))),
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY cents DESC, event_id) AS rn_hi,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY cents ASC, event_id) AS rn_lo,
+        |    COUNT(*) OVER (PARTITION BY user_id, day) AS n
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, day,
+        |    MAX(CASE WHEN rn_hi = 1 THEN event_id END) AS chosen_id,
+        |    MAX(CASE WHEN rn_hi = 1 THEN cents END) AS chosen_cents,
+        |    MAX(CASE WHEN rn_lo = 1 THEN event_id END) AS rejected_id,
+        |    MAX(CASE WHEN rn_lo = 1 THEN cents END) AS rejected_cents,
+        |    MAX(n) AS n_candidates
+        |  FROM r WHERE rn_hi = 1 OR rn_lo = 1
+        |  GROUP BY user_id, day)
+        |SELECT CAST(user_id AS VARCHAR) || '-' || day AS pair_id,
+        |  user_id, day, chosen_id, rejected_id,
+        |  chosen_cents - rejected_cents AS margin_cents, n_candidates
+        |FROM g WHERE chosen_cents > rejected_cents""".stripMargin),
     // margin-based pair mining (the LASER/CCMatrix bitext recipe): the
     // label-parity halves of the embeddings table play the two
     // "languages"; a pair's score is its cosine over the mean of both

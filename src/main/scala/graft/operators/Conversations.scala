@@ -85,4 +85,45 @@ object Conversations {
           transform(col("sorted"), t => t.getField("turn_text")))
           .as("text"))
   }
+
+  /** Preference-pair assembly (the DPO/RLHF reward-pair shape): within
+    * each candidate group — here a user's events on one day — pick the
+    * highest- and lowest-scored members as (chosen, rejected), skip
+    * groups whose extremes tie (an equal-score pair carries no
+    * preference signal). Scores are compared in exact integer cents so
+    * the pick and the margin replay engine-exact; ties inside a rank
+    * break to the lower event_id.
+    *
+    * Scale shape: ONE exchange — both rank windows and the trailing
+    * aggregation share the (user_id, day) clustering, and only the two
+    * extreme rows per group survive the rank filter into the
+    * aggregation. No group ever needs more than its own rows in one
+    * task. */
+  def preferencePairs(events: DataFrame): DataFrame = {
+    val e = events
+      .withColumn("day",
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val part = Window.partitionBy(col("user_id"), col("day"))
+    val byDesc = part.orderBy(col("cents").desc, col("event_id"))
+    val byAsc = part.orderBy(col("cents").asc, col("event_id"))
+    e.withColumn("rn_hi", row_number().over(byDesc))
+      .withColumn("rn_lo", row_number().over(byAsc))
+      .withColumn("n_candidates", count(lit(1)).over(part))
+      .filter(col("rn_hi") === 1 || col("rn_lo") === 1)
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        max(when(col("rn_hi") === 1, col("event_id"))).as("chosen_id"),
+        max(when(col("rn_hi") === 1, col("cents"))).as("chosen_cents"),
+        max(when(col("rn_lo") === 1, col("event_id"))).as("rejected_id"),
+        max(when(col("rn_lo") === 1, col("cents"))).as("rejected_cents"),
+        max(col("n_candidates")).as("n_candidates"))
+      .filter(col("chosen_cents") > col("rejected_cents"))
+      .select(
+        concat(col("user_id"), lit("-"), col("day")).as("pair_id"),
+        col("user_id"), col("day"),
+        col("chosen_id"), col("rejected_id"),
+        (col("chosen_cents") - col("rejected_cents")).as("margin_cents"),
+        col("n_candidates"))
+  }
 }

@@ -46,6 +46,31 @@ class ConversationsSpec extends GraftSpec {
     assert(c2.getAs[Boolean]("truncated"))
   }
 
+  test("preference pairs: extremes picked with deterministic ties, uninformative groups dropped") {
+    val evs = Seq(
+      // user 1 day 1: clear extremes among 3 candidates
+      ev(0, 10, 1, "a", value = 5.0), ev(1, 20, 1, "a", value = 9.0),
+      ev(2, 30, 1, "a", value = 1.0),
+      // user 2: all tied — chosen == rejected, dropped
+      ev(10, 10, 2, "a", value = 3.0), ev(11, 20, 2, "a", value = 3.0),
+      // user 3: singleton — dropped
+      ev(20, 10, 3, "a", value = 7.0),
+      // user 4: tied maximum — lower event_id wins chosen
+      ev(30, 10, 4, "a", value = 8.0), ev(31, 20, 4, "a", value = 8.0),
+      ev(32, 30, 4, "a", value = 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Conversations.preferencePairs(
+      evs.repartition(3)).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.keySet == Set(1L, 4L))
+    assert(out(1L).getAs[Long]("chosen_id") == 1 &&
+      out(1L).getAs[Long]("rejected_id") == 2 &&
+      out(1L).getAs[Long]("margin_cents") == 800 &&
+      out(1L).getAs[Long]("n_candidates") == 3)
+    assert(out(4L).getAs[Long]("chosen_id") == 30 &&
+      out(4L).getAs[Long]("rejected_id") == 32)
+  }
+
   test("margin mining: hub discount beats raw cosine and picks one best pair per x") {
     // y0 is a planted twin of x0 (cosine ~1); y9 is a "hub" mid-cosine
     // to every x. Raw cosine would still rank the twin first here, so
