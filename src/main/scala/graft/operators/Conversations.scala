@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object Conversations {
 
+  /** Turn rendering shared by the batch and streaming forms: the
+    * templated turn text (`<event_type> value=<cents> k=<k>`) and its
+    * whitespace token count. Pure projection — rides the scan. */
+  private def withTurns(events: DataFrame): DataFrame = events
+    .withColumn("cents", round(col("value") * 100).cast("long"))
+    .withColumn("k",
+      get_json_object(col("props"), "$.k").cast("long"))
+    .withColumn("turn_text", concat_ws(" ",
+      col("event_type"),
+      concat(lit("value="), col("cents")),
+      concat(lit("k="), col("k"))))
+    .withColumn("turn_tokens", size(split(col("turn_text"), " ")))
+
   /** Assemble conversations from `events` (event_id, ts, user_id,
     * event_type, value, props). Returns one row per kept conversation:
     * (conv_id, user_id, n_turns, all_turns, total_tokens, truncated,
@@ -38,15 +51,7 @@ object Conversations {
                minTurns: Int = 2): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val turns = events
-      .withColumn("cents", round(col("value") * 100).cast("long"))
-      .withColumn("k",
-        get_json_object(col("props"), "$.k").cast("long"))
-      .withColumn("turn_text", concat_ws(" ",
-        col("event_type"),
-        concat(lit("value="), col("cents")),
-        concat(lit("k="), col("k"))))
-      .withColumn("turn_tokens", size(split(col("turn_text"), " ")))
+    val turns = withTurns(events)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_conv",
         // the events table stores TIMESTAMP_NTZ; route the epoch cast
@@ -84,6 +89,70 @@ object Conversations {
         concat_ws("\n",
           transform(col("sorted"), t => t.getField("turn_text")))
           .as("text"))
+  }
+
+  /** Streaming twin of [[assemble]] on `session_window` — conversations
+    * finalize and emit when the event-time watermark passes their gap
+    * (Append mode), which is exactly when a gap-sessionized
+    * conversation is KNOWN complete. One stateful aggregation: Spark's
+    * session-window state merges events into open sessions per user and
+    * evicts closed ones; the token-budget cut and the transcript render
+    * run on the collected (small, per-conversation) turn array AFTER
+    * the window closes, as one fold — no second stateful stage.
+    *
+    * Gap parity: the batch rule starts a new conversation when the gap
+    * is STRICTLY GREATER than `gapMinutes`; `session_window` splits at
+    * gap >= duration, so the stream uses `gapMinutes*60 + 1` seconds —
+    * the two forms produce identical groupings on second-granularity
+    * data (ConversationsSpec proves output equality on the same
+    * events). `conv_id` is `user-<session start epoch>` (a stream has
+    * no global per-user session index); all other columns match
+    * [[assemble]]. */
+  def assembleStream(events: DataFrame,
+                     gapMinutes: Int = 30,
+                     tokenBudget: Int = 30,
+                     minTurns: Int = 2,
+                     watermark: String = "1 hour"): DataFrame = {
+    val turns = withTurns(events)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+    val sess = turns
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapMinutes * 60 + 1} seconds"))
+      .agg(array_sort(collect_list(struct(
+        col("ts"), col("event_id"),
+        col("turn_text"), col("turn_tokens")))).as("sorted"))
+    // prefix token-budget fold over the closed conversation's turns:
+    // cum always advances (the budget rule is on the running total),
+    // kept turns append to the transcript while it still fits
+    val acc0 = struct(lit(0L).as("cum"),
+      array().cast("array<string>").as("texts"),
+      lit(0L).as("tok"), lit(0L).as("n"))
+    val folded = aggregate(col("sorted"), acc0, (acc, t) => {
+      val cum2 = acc.getField("cum") + t.getField("turn_tokens")
+      val keep = cum2 <= tokenBudget
+      struct(cum2.as("cum"),
+        when(keep, concat(acc.getField("texts"),
+            array(t.getField("turn_text"))))
+          .otherwise(acc.getField("texts")).as("texts"),
+        when(keep, acc.getField("tok") + t.getField("turn_tokens"))
+          .otherwise(acc.getField("tok")).as("tok"),
+        when(keep, acc.getField("n") + 1)
+          .otherwise(acc.getField("n")).as("n"))
+    })
+    sess
+      .withColumn("_f", folded)
+      .select(
+        concat(col("user_id"), lit("-"),
+          unix_timestamp(col("session_window.start"))).as("conv_id"),
+        col("user_id"),
+        col("_f").getField("n").as("n_turns"),
+        size(col("sorted")).cast("long").as("all_turns"),
+        col("_f").getField("tok").as("total_tokens"),
+        (size(col("sorted")).cast("long") >
+          col("_f").getField("n")).as("truncated"),
+        concat_ws("\n", col("_f").getField("texts")).as("text"))
+      .filter(col("n_turns") >= minTurns)
   }
 
   /** Preference-pair assembly (the DPO/RLHF reward-pair shape): within

@@ -16,7 +16,7 @@ class ConversationsSpec extends GraftSpec {
                  value: Double = 1.0, k: Long = 7) =
     (id, ts(minute), user, typ, value, s"""{"k": $k}""")
 
-  private lazy val frame = (Seq(
+  private lazy val rawRows = Seq(
     // user 1, conversation 1: three turns inside the 30-min gap
     ev(0, 0, 1, "view"), ev(1, 10, 1, "click"), ev(2, 25, 1, "purchase"),
     // user 1, conversation 2: 31-min gap starts a new one; single turn
@@ -24,7 +24,9 @@ class ConversationsSpec extends GraftSpec {
     ev(3, 56, 1, "error")) ++
     // user 2: 12 turns of 3 tokens each — budget 30 keeps first 10
     (0 until 12).map(i => ev(10 + i, i, 2, "view"))
-  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private lazy val frame = rawRows
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
   test("conversation assembly: gaps split, budget truncates, order is input-order-proof") {
     val out = Conversations.assemble(
@@ -44,6 +46,39 @@ class ConversationsSpec extends GraftSpec {
     assert(c2.getAs[Long]("n_turns") == 10)
     assert(c2.getAs[Long]("total_tokens") == 30)
     assert(c2.getAs[Boolean]("truncated"))
+  }
+
+  test("streaming conversation assembly == batch on the same events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val out = Conversations.assembleStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props"),
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("conv_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rawRows: _*)
+      q.processAllAvailable()
+      // a far-future sentinel advances the watermark so every real
+      // conversation's session window closes and emits
+      mem.addData(ev(9999, 10000, 99, "view"))
+      q.processAllAvailable()
+      val cols = Seq("user_id", "n_turns", "all_turns", "total_tokens",
+        "truncated", "text")
+      val got = spark.table("conv_stream")
+        .filter(col("user_id") =!= 99)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val want = Conversations.assemble(frame)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(got == want, s"stream $got != batch $want")
+      // streaming conv ids carry the session start epoch instead of a
+      // per-user index — assert the shape, not equality
+      assert(spark.table("conv_stream").filter(col("user_id") =!= 99)
+        .select("conv_id").as[String].collect()
+        .forall(_.matches("\\d+-\\d+")))
+    } finally q.stop()
   }
 
   test("preference pairs: extremes picked with deterministic ties, uninformative groups dropped") {

@@ -56,4 +56,15 @@ class PlanShapeSpec extends GraftSpec {
     val n = "HashAggregate".r.findAllIn(p).length
     assert(n >= 2, s"expected partial+final aggregation, saw $n")
   }
+
+  test("conversation assembly and preference pairs shuffle the event stream exactly once") {
+    // hash(user_id) / hash(user_id, day) from the first window already
+    // clusters every later window and the final aggregation — a second
+    // Exchange here would double the event-stream shuffle at any scale
+    Seq("td_sft_assemble", "td_pref_pairs").foreach { q =>
+      val p = plan(q)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n == 1, s"$q expected exactly one shuffle exchange, saw $n")
+    }
+  }
 }
