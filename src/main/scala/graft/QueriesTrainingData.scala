@@ -267,6 +267,38 @@ object QueriesTrainingData {
     * ONE unit (the twin-map layout, query here / oracle hundreds of
     * lines below, was a recurring editing hazard). Helper CTE vals
     * stay declared above so object-init order is safe. */
+  /** Shared by `emb_margin_mining` (brute) and `emb_margin_mining_ivf`
+    * (cell-routed at nprobe=nlist — lossless, so the same all-pairs SQL
+    * is the exact oracle for both). */
+  private val marginMiningOracle: String =
+      """WITH s AS (
+        |  SELECT x.vec_id AS xid, y.vec_id AS yid,
+        |    ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+        |      y.embedding::DOUBLE[]), 6) AS cosine,
+        |    CAST(ROUND(ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+        |      y.embedding::DOUBLE[]), 6) * 1e6) AS BIGINT) AS c6
+        |  FROM embeddings x, embeddings y
+        |  WHERE x.label % 2 = 0 AND y.label % 2 = 1),
+        |ax AS (
+        |  SELECT xid, CAST(SUM(c6) AS DOUBLE) / 4000000.0 AS avg_x
+        |  FROM (SELECT xid, c6, ROW_NUMBER() OVER (PARTITION BY xid
+        |      ORDER BY cosine DESC, yid) AS r FROM s)
+        |  WHERE r <= 4 GROUP BY xid),
+        |ay AS (
+        |  SELECT yid, CAST(SUM(c6) AS DOUBLE) / 4000000.0 AS avg_y
+        |  FROM (SELECT yid, c6, ROW_NUMBER() OVER (PARTITION BY yid
+        |      ORDER BY cosine DESC, xid) AS r FROM s)
+        |  WHERE r <= 4 GROUP BY yid),
+        |m AS (
+        |  SELECT s.xid, s.yid, s.cosine,
+        |    ROUND(s.cosine / ((avg_x + avg_y) / 2), 4) AS margin
+        |  FROM s JOIN ax USING (xid) JOIN ay USING (yid))
+        |SELECT xid, yid, cosine, margin FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY xid
+        |      ORDER BY margin DESC, yid) AS r
+        |  FROM m WHERE margin >= 1.02)
+        |WHERE r = 1""".stripMargin
+
   val gated: Seq[(String, Q, String)] = Seq(
     // exact dedup on text digest — survivors
     ("dedup_exact",
@@ -3034,33 +3066,24 @@ object QueriesTrainingData {
             .select(col("vec_id").as("yid"), col("embedding").as("vec")),
           k = 4, minMargin = 1.02)
       }),
-      """WITH s AS (
-        |  SELECT x.vec_id AS xid, y.vec_id AS yid,
-        |    ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
-        |      y.embedding::DOUBLE[]), 6) AS cosine,
-        |    CAST(ROUND(ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
-        |      y.embedding::DOUBLE[]), 6) * 1e6) AS BIGINT) AS c6
-        |  FROM embeddings x, embeddings y
-        |  WHERE x.label % 2 = 0 AND y.label % 2 = 1),
-        |ax AS (
-        |  SELECT xid, CAST(SUM(c6) AS DOUBLE) / 4000000.0 AS avg_x
-        |  FROM (SELECT xid, c6, ROW_NUMBER() OVER (PARTITION BY xid
-        |      ORDER BY cosine DESC, yid) AS r FROM s)
-        |  WHERE r <= 4 GROUP BY xid),
-        |ay AS (
-        |  SELECT yid, CAST(SUM(c6) AS DOUBLE) / 4000000.0 AS avg_y
-        |  FROM (SELECT yid, c6, ROW_NUMBER() OVER (PARTITION BY yid
-        |      ORDER BY cosine DESC, xid) AS r FROM s)
-        |  WHERE r <= 4 GROUP BY yid),
-        |m AS (
-        |  SELECT s.xid, s.yid, s.cosine,
-        |    ROUND(s.cosine / ((avg_x + avg_y) / 2), 4) AS margin
-        |  FROM s JOIN ax USING (xid) JOIN ay USING (yid))
-        |SELECT xid, yid, cosine, margin FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY xid
-        |      ORDER BY margin DESC, yid) AS r
-        |  FROM m WHERE margin >= 1.02)
-        |WHERE r = 1""".stripMargin))
+      marginMiningOracle),
+    // the IVF-celled margin-mining scale path, driven at nprobe=nlist
+    // where the cell routing is PROVABLY lossless (every pair is a
+    // candidate) — so the oracle is the very same all-pairs SQL, and
+    // the gate proves the cell-assign/probe/join machinery changes
+    // nothing. The pruned form's recall is spec-gated on planted
+    // clusters (ConversationsSpec).
+    ("emb_margin_mining_ivf",
+      ((s, dir) => {
+        val e = embs(s, dir)
+        Similarity.marginMiningIvf(
+          e.filter(col("label") % 2 === 0)
+            .select(col("vec_id").as("xid"), col("embedding").as("vec")),
+          e.filter(col("label") % 2 === 1)
+            .select(col("vec_id").as("yid"), col("embedding").as("vec")),
+          k = 4, minMargin = 1.02, nlist = 8, nprobe = 8)
+      }),
+      marginMiningOracle))
 
   val queries: Map[String, Q] =
     gated.map(g => (g._1, g._2)).toMap

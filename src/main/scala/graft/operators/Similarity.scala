@@ -118,7 +118,44 @@ object Similarity {
       .select(col("xid"), col("yid"), col("cosine"),
         round(col("cosine") * 1e6).cast("long").as("c6"))
       .localCheckpoint()
+    marginPick(scored, k, minMargin)
+  }
 
+  /** [[marginMining]] with IVF-celled candidate generation — the scale
+    * path the brute form's doc promises. `ys` are assigned to their
+    * nearest-centroid cell once (at scale: a partition column of the
+    * stored table, the [[graft.streaming.AnnIngest]] layout); each x
+    * scores only its `nprobe` nearest cells' ys, so candidate
+    * generation reads p cells instead of the corpus. `nprobe == nlist`
+    * degenerates to every pair — PROVABLY the brute operator
+    * (ConversationsSpec asserts bit-equality; the gate's oracle is the
+    * same all-pairs SQL) — while `nprobe < nlist` prunes with the
+    * planted-cluster recall the spec measures. The margin/pick stages
+    * are shared code operating on whatever candidate frame arrives. */
+  def marginMiningIvf(xs: DataFrame, ys: DataFrame, k: Int = 4,
+                      minMargin: Double = 1.0, nlist: Int = 8,
+                      nprobe: Int = 8): DataFrame = {
+    val cents = trainCentroids(
+      ys.select(col("yid").as("id"), col("vec")), nlist)
+    val c = ys.select(col("yid"), col("vec"))
+      .withColumn("cell", cellOf(col("vec"), cents))
+    val q = xs.select(col("xid"), col("vec").as("xvec"))
+      .withColumn("cell", explode(probeCells(col("xvec"), cents, nprobe)))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .withColumn("cosine",
+        round(VectorKernels.cosine_sim(col("xvec"), col("vec")), 6))
+      .select(col("xid"), col("yid"), col("cosine"),
+        round(col("cosine") * 1e6).cast("long").as("c6"))
+      .localCheckpoint()
+    marginPick(scored, k, minMargin)
+  }
+
+  /** Margin scoring + best-match pick over a candidate frame
+    * (xid, yid, cosine, c6): each side's top-`k` neighborhood average
+    * as exact integer sums, ratio margin, one best y per x at
+    * `minMargin`+. Shared by [[marginMining]] / [[marginMiningIvf]]. */
+  private def marginPick(scored: DataFrame, k: Int,
+                         minMargin: Double): DataFrame = {
     def avgK(side: String): DataFrame = {
       val other = if (side == "xid") "yid" else "xid"
       val w = Window.partitionBy(col(side))

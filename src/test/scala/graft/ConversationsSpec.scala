@@ -106,6 +106,35 @@ class ConversationsSpec extends GraftSpec {
       out(4L).getAs[Long]("rejected_id") == 32)
   }
 
+  test("IVF margin mining at nprobe=nlist is bit-equal to brute; pruned probes keep planted twins") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val xs = e.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("vec"))
+    val ys = e.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("embedding").as("vec"))
+    val brute = Similarity.marginMining(xs, ys, k = 4, minMargin = 1.02)
+      .collect().map(_.toSeq).toSet
+    val full = Similarity.marginMiningIvf(xs, ys, k = 4,
+      minMargin = 1.02, nlist = 8, nprobe = 8).collect().map(_.toSeq).toSet
+    assert(full == brute, "lossless routing (nprobe=nlist) diverged")
+
+    // pruned probing earns recall on CLUSTERED sides (the IVF premise):
+    // plant y-twins of each x and require every twin pair to survive a
+    // 2-of-4-cell probe
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(24)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val xs2 = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("xid", "vec")
+    val ys2 = base.zipWithIndex.map { case (v, i) =>
+      ((100 + i).toLong, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }.toSeq.toDF("yid", "vec")
+    val pruned = Similarity.marginMiningIvf(xs2, ys2, k = 3,
+      minMargin = 1.0, nlist = 4, nprobe = 2).collect()
+    assert(pruned.length == 24)
+    assert(pruned.forall(r =>
+      r.getAs[Long]("yid") == 100 + r.getAs[Long]("xid")))
+  }
+
   test("margin mining: hub discount beats raw cosine and picks one best pair per x") {
     // y0 is a planted twin of x0 (cosine ~1); y9 is a "hub" mid-cosine
     // to every x. Raw cosine would still rank the twin first here, so
