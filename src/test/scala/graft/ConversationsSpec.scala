@@ -106,6 +106,38 @@ class ConversationsSpec extends GraftSpec {
       out(4L).getAs[Long]("rejected_id") == 32)
   }
 
+  test("streaming preference pairs == batch on the same events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      ev(0, 10, 1, "a", value = 5.0), ev(1, 20, 1, "a", value = 9.0),
+      ev(2, 30, 1, "a", value = 1.0),
+      // user 1, next day: a second independent group
+      ev(3, 1450, 1, "a", value = 4.0), ev(4, 1460, 1, "a", value = 2.0),
+      // tied extremes -> dropped in both forms
+      ev(10, 10, 2, "a", value = 3.0), ev(11, 20, 2, "a", value = 3.0))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val out = graft.operators.Conversations.preferencePairsStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props"),
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("pref_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData(ev(9999, 100000, 99, "a")) // watermark sentinel
+      q.processAllAvailable()
+      val got = spark.table("pref_stream")
+        .filter(col("user_id") =!= 99).collect().map(_.toSeq).toSet
+      val want = graft.operators.Conversations.preferencePairs(
+        rows.toDF("event_id", "ts", "user_id", "event_type",
+          "value", "props")).collect().map(_.toSeq).toSet
+      assert(got == want, s"stream $got != batch $want")
+      assert(got.size == 2)
+    } finally q.stop()
+  }
+
   test("IVF margin mining at nprobe=nlist is bit-equal to brute; pruned probes keep planted twins") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val xs = e.filter(col("label") % 2 === 0)
