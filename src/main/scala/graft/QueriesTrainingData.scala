@@ -2547,6 +2547,76 @@ object QueriesTrainingData {
     // tokenizer is trained once and shipped — is also what makes the
     // oracle exact: DuckDB replays the same greedy loop per distinct
     // word as a recursive CTE over the same literal merge list
+    // tokenizer fertility eval: per-language tokens/word and
+    // chars/token under the pinned BPE merge table — the standard
+    // multilingual tokenizer-choice metric (a language whose fertility
+    // runs high is under-served by the vocab). Pure composition:
+    // docTokenCounts (vocab-sized greedy-encode work, broadcast back)
+    // + a keys-sized per-language rollup; the oracle reuses the
+    // recursive-CTE greedy replay and re-derives the ratios.
+    ("td_tokenizer_fertility",
+      ((s, dir) => {
+        val d = docs(s, dir)
+        d.select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("chars"))
+          .join(Tokenizer.docTokenCounts(d, "doc_id", "text",
+            FixedBpeMerges), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+            sum(col("chars")).as("n_chars"),
+            round(sum(col("n_bpe_tokens")) / sum(col("n_words")), 4)
+              .as("fertility"),
+            round(sum(col("chars")) / sum(col("n_bpe_tokens")), 4)
+              .as("chars_per_token"))
+      }),
+      {
+      val ms = FixedBpeMerges.map(m => s"'${m.left}|${m.right}'")
+        .mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+        |                       w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |words AS (SELECT DISTINCT word FROM toks),
+        |enc AS (
+        |  SELECT word, list_append(string_split(word, ''), '</w>') AS syms
+        |  FROM words
+        |  UNION ALL
+        |  SELECT word,
+        |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+        |  FROM (
+        |    SELECT word, syms,
+        |      list_sort(list_filter(
+        |        list_transform(range(1, len(syms)),
+        |          i -> {'r': list_position($ms,
+        |                  syms[i] || '|' || syms[i+1]), 'i': i}),
+        |        x -> x.r > 0))[1].i AS bi
+        |    FROM enc
+        |  ) WHERE bi IS NOT NULL),
+        |fixed AS (
+        |  SELECT word, len(syms) AS n_bpe FROM enc
+        |  WHERE len(list_filter(list_transform(range(1, len(syms)),
+        |      i -> list_position($ms, syms[i] || '|' || syms[i+1])),
+        |    r -> r > 0)) = 0),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+        |  FROM toks JOIN fixed USING (word)
+        |  GROUP BY doc_id)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  ROUND(CAST(SUM(n_bpe_tokens) AS DOUBLE)
+        |    / CAST(SUM(n_words) AS DOUBLE), 4) AS fertility,
+        |  ROUND(CAST(SUM(length(text)) AS DOUBLE)
+        |    / CAST(SUM(n_bpe_tokens) AS DOUBLE), 4) AS chars_per_token
+        |FROM perdoc JOIN documents USING (doc_id)
+        |GROUP BY lang""".stripMargin
+    }),
     ("td_bpe_encode",
       ((s, dir) =>
       Tokenizer.docTokenCounts(docs(s, dir), "doc_id", "text",
