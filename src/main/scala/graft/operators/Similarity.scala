@@ -100,7 +100,11 @@ object Similarity {
     * a sum of `round(cos·1e6)` LONGS (order-free exact integer sum)
     * divided back out, and the margin compares/ranks on its 4-dp
     * rounding with a yid tiebreak — so another engine replays the
-    * mining bit-for-bit.
+    * mining bit-for-bit. The divisor is k by definition (the standard
+    * margin), so a side with FEWER than k candidates gets a
+    * deflated average and inflated margins — deterministically, and
+    * identically in the oracle — but callers should feed sides with
+    * at least k members for the scores to mean what the paper's do.
     *
     * Scale shape: the gate form scores all pairs with ONE cross join
     * (the smaller side broadcast) and reuses that one scored frame for

@@ -167,6 +167,17 @@ class ConversationsSpec extends GraftSpec {
       r.getAs[Long]("yid") == 100 + r.getAs[Long]("xid")))
   }
 
+  test("empty inputs yield empty outputs, never errors") {
+    val noEvents = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Conversations.assemble(noEvents).count() == 0)
+    assert(Conversations.preferencePairs(noEvents).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("xid", "vec")
+    val someVecs = Seq((1L, Array.fill(8)(0.5f))).toDF("yid", "vec")
+    assert(Similarity.marginMining(noVecs,
+      someVecs.toDF("yid", "vec")).count() == 0)
+  }
+
   test("margin mining: hub discount beats raw cosine and picks one best pair per x") {
     // y0 is a planted twin of x0 (cosine ~1); y9 is a "hub" mid-cosine
     // to every x. Raw cosine would still rank the twin first here, so
