@@ -683,4 +683,66 @@ class RandomizedInvariantsSpec extends GraftSpec {
       s"streaming != batch on ${gotA.toSet.diff(batch.toSet)} / ${
         batch.toSet.diff(gotA.toSet)}")
   }
+
+  test("streaming conversation assembly and preference pairs == batch on random event streams") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(4242)
+    // 300 events over 12 users across ~4 days: random minute offsets so
+    // gap splits, day boundaries, ties, and group sizes are all chance
+    val rows = (0 until 300).map { i =>
+      val minute = rnd.nextInt(4 * 1440)
+      (i.toLong,
+        Timestamp.valueOf(f"2024-03-0${1 + minute / 1440}%d " +
+          f"${(minute % 1440) / 60}%02d:${minute % 60}%02d:00"),
+        (1 + rnd.nextInt(12)).toLong,
+        Seq("view", "click", "purchase")(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 1000) / 100.0,
+        s"""{"k": ${rnd.nextInt(90)}}""")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val cols = Seq("user_id", "n_turns", "all_turns", "total_tokens",
+      "truncated", "text")
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val conv = graft.operators.Conversations.assembleStream(
+      mem.toDF().toDF(df.columns: _*), watermark = "0 seconds")
+    val q1 = conv.writeStream.format("memory").queryName("rand_conv")
+      .outputMode("append").start()
+    val mem2 = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val pref = graft.operators.Conversations.preferencePairsStream(
+      mem2.toDF().toDF(df.columns: _*), watermark = "0 seconds")
+    val q2 = pref.writeStream.format("memory").queryName("rand_pref")
+      .outputMode("append").start()
+    try {
+      // two arrival slices in time order (watermark must not drop data
+      // the batch form sees); sentinel closes everything
+      val (a, b) = rows.sortBy(r => (r._2.getTime, r._1)).splitAt(150)
+      val sentinel = (9999L, Timestamp.valueOf("2024-03-20 00:00:00"),
+        99L, "view", 1.0, """{"k": 1}""")
+      Seq(q1 -> mem, q2 -> mem2).foreach { case (q, m) =>
+        m.addData(a: _*); q.processAllAvailable()
+        m.addData(b: _*); q.processAllAvailable()
+        m.addData(sentinel); q.processAllAvailable()
+      }
+      val gotConv = spark.table("rand_conv")
+        .filter(col("user_id") =!= 99)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val wantConv = graft.operators.Conversations.assemble(df)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(gotConv == wantConv,
+        s"conv stream/batch diverge: ${gotConv.diff(wantConv)} / ${
+          wantConv.diff(gotConv)}")
+      val gotPref = spark.table("rand_pref")
+        .filter(col("user_id") =!= 99).collect().map(_.toSeq).toSet
+      val wantPref = graft.operators.Conversations.preferencePairs(df)
+        .collect().map(_.toSeq).toSet
+      assert(gotPref == wantPref,
+        s"pref stream/batch diverge: ${gotPref.diff(wantPref)} / ${
+          wantPref.diff(gotPref)}")
+      assert(wantConv.nonEmpty && wantPref.nonEmpty)
+    } finally { q1.stop(); q2.stop() }
+  }
 }
