@@ -770,6 +770,48 @@ object QueriesTrainingData {
         |  FROM reach GROUP BY src)
         |SELECT component AS survivor_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM labels GROUP BY component""".stripMargin)),
+    // dedup-AWARE soft sampling (keep everything, weight clusters down):
+    // each doc weighs 1/cluster-size so a near-dup cluster contributes
+    // ~one expected pick; Gumbel-top-200 selection with the md5 noise.
+    // Oracle replays the exact-Jaccard closure, the sizes, the
+    // singleton default, the noise, and the ranking — membership exact.
+    ("td_cluster_weighted_sample",
+      ((s, dir) => {
+        val d = docs(s, dir)
+        Sampling.clusterWeightedSample(d,
+          Dedup.minhashLshPairs(d, "doc_id", "text",
+            n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2),
+          "doc_id", n = 200)
+      }),
+      (jaccardSql
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+      .replace("SELECT id_a, id_b, jaccard FROM (",
+        ", pairs AS (SELECT id_a, id_b, jaccard FROM (")
+      .replace("WHERE jaccard >= 0.5", "WHERE jaccard >= 0.5)") +
+      """, edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |sizes AS (
+        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |  FROM labels GROUP BY component),
+        |docw AS (
+        |  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS cluster,
+        |    COALESCE(z.cluster_size, 1) AS cluster_size
+        |  FROM documents d
+        |  LEFT JOIN labels l ON d.doc_id = l.id
+        |  LEFT JOIN sizes z ON l.component = z.component)
+        |SELECT doc_id, cluster, cluster_size FROM docw
+        |ORDER BY -ln(CAST(cluster_size AS DOUBLE)) + (-ln(-ln(
+        |  (('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |     ::BIGINT + 0.5) / 281474976710656.0))) DESC, doc_id
+        |LIMIT 200""".stripMargin)),
     // quality-aware survivor selection: keep the LONGEST member of each
     // near-dup cluster (ties -> smallest id) — the keep-the-best-copy
     // policy, vs dedup_clusters' arbitrary min-id rule

@@ -450,4 +450,39 @@ object Sampling {
       .limit(n)
       .drop("_gumbel", "_score")
   }
+
+  /** Dedup-AWARE soft sampling — the alternative to hard near-dup
+    * removal (the D4 / SemDeDup-follow-up recipe): every document stays
+    * eligible, but a doc in a near-dup cluster of m members carries
+    * weight 1/m (log-weight −ln m), so each CLUSTER contributes ~one
+    * expected pick and over-copied content stops dominating the sample
+    * without being censored outright. Selection is the same
+    * Gumbel-top-n deterministic ranking as [[importanceResample]]
+    * (md5-derived noise — retry-stable, exactly replayable in SQL).
+    *
+    * `pairs` is a near-dup pair list (id_a, id_b) from any dedup
+    * detector; docs absent from it are singletons (weight 1). Returns
+    * the n kept rows as (idCol, cluster, cluster_size).
+    *
+    * Scale shape: components ride the duplicates-only pair frame
+    * (orders of magnitude under corpus size); the corpus pays one
+    * keys-sized left join and a TakeOrderedAndProject (per-partition
+    * local top-n, no global sort). */
+  def clusterWeightedSample(docs: DataFrame, pairs: DataFrame,
+                            idCol: String, n: Int,
+                            seed: Long = 0L): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val sized = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("_m"))
+    val weighted = docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .join(sized, Seq("component"), "left")
+      .withColumn("cluster_size", coalesce(col("_m"), lit(1L)))
+      .withColumn("_logw", -log(col("cluster_size").cast("double")))
+    importanceResample(weighted, idCol, "_logw", n, seed)
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"),
+        col("cluster_size"))
+  }
 }
