@@ -135,7 +135,12 @@ object Similarity {
     * (ConversationsSpec asserts bit-equality; the gate's oracle is the
     * same all-pairs SQL) — while `nprobe < nlist` prunes with the
     * planted-cluster recall the spec measures. The margin/pick stages
-    * are shared code operating on whatever candidate frame arrives. */
+    * are shared code operating on whatever candidate frame arrives.
+    * The probed x side broadcasts (the `ivfTopK` convention — queries
+    * are the bounded side); when BOTH sides are corpus-scale, store ys
+    * cell-PARTITIONED (the AnnIngest layout), route xs by probed cell,
+    * and the candidate join becomes partition-local reads instead of a
+    * broadcast — the margin/pick stages are unchanged either way. */
   def marginMiningIvf(xs: DataFrame, ys: DataFrame, k: Int = 4,
                       minMargin: Double = 1.0, nlist: Int = 8,
                       nprobe: Int = 8): DataFrame = {
