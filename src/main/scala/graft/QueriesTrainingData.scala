@@ -1530,6 +1530,37 @@ object QueriesTrainingData {
         |  AS n_matched
         |FROM sh s JOIN bench USING (sh)
         |GROUP BY 1""".stripMargin),
+    // corpus-scale n-gram novelty (memorization audit): per doc, the
+    // fraction of its distinct 8-grams found nowhere in the reference
+    // split — the engine joins on xxhash64 gram keys, the oracle on
+    // literal strings (a hash collision fails the gate, never hides)
+    ("td_ngram_novelty",
+      ((s, dir) => {
+        val d = docs(s, dir)
+        operators.Decontamination.novelty(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(3)) =!= 0), "text", n = 8)
+          .withColumnRenamed("id", "doc_id")
+      }),
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(0, greatest(len(w) - 7, 0)),
+        |      i -> array_to_string(w[i+1:i+8], ' ')))) AS sh
+        |  FROM ws),
+        |ref AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 3 <> 0),
+        |cand AS (SELECT doc_id, sh FROM sh WHERE doc_id % 3 = 0)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_grams,
+        |  ROUND(CAST(SUM(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 4) AS novelty
+        |FROM cand c LEFT JOIN ref r USING (sh)
+        |GROUP BY c.doc_id""".stripMargin),
     // vocabulary/token-frequency table (tokenizer-training input):
     // global word counts, min-count floor, deterministic top-100
     ("td_vocab",

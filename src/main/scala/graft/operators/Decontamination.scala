@@ -48,4 +48,34 @@ object Decontamination {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+
+  /** Corpus-scale n-gram NOVELTY (memorization auditing) — the inverse
+    * question [[flag]] asks: per document, the fraction of its DISTINCT
+    * word n-grams found NOWHERE in `reference`. The standard audit for
+    * "is this (generated / newly-scraped) text new, or is it replaying
+    * the training corpus". Unlike [[flag]], whose benchmark side is
+    * bounded by construction and broadcasts, the reference here is
+    * corpus-scale — membership is a SHUFFLE join on `xxhash64` gram
+    * keys (8-byte keys per the repo's hashed-shuffle rule; the oracle
+    * rejoins on literal gram strings, so a 2^-64 hash collision would
+    * surface as a gate mismatch, never pass silently). One explode
+    * pass per side; per-doc output rows only.
+    * Docs with fewer than `n` words have no n-grams and emit no row. */
+  def novelty(corpus: DataFrame, idCol: String, textCol: String,
+              reference: DataFrame, refTextCol: String,
+              n: Int = 8): DataFrame = {
+    val grams = corpus.select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val ref = reference.select(
+        explode(TextFunctions.shingles(col(refTextCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    grams
+      .join(ref.withColumn("_hit", lit(1L)), Seq("gh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty",
+        round(col("novel_grams").cast("double") / col("n_grams"), 4))
+  }
 }
