@@ -81,6 +81,52 @@ class ConversationsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming conversation assembly survives a RESTART: open-session state restores from the checkpoint") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("conv-rst-in").toFile
+    val outd = Files.createTempDirectory("conv-rst-out").toFile
+    val cp = Files.createTempDirectory("conv-rst-cp").toFile
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    def write(name: String, lines: Seq[String]): Unit = {
+      Files.write(new java.io.File(in, name).toPath,
+        lines.mkString("\n").getBytes("UTF-8")); ()
+    }
+    def line(id: Int, minute: Int, u: Int) =
+      s"""{"event_id":$id,"ts":"2024-01-${
+        "%02d".format(1 + minute / 1440)}T${
+        "%02d".format((minute % 1440) / 60)}:${
+        "%02d".format(minute % 60)}:00.000Z","user_id":$u,""" +
+        """"event_type":"view","value":1.0,"props":"{\"k\": 7}"}"""
+    def start() = spark.readStream.schema(schema).json(in.getAbsolutePath)
+      .transform(df => Conversations.assembleStream(df,
+        watermark = "0 seconds"))
+      .writeStream.format("parquet")
+      .option("path", outd.getAbsolutePath)
+      .option("checkpointLocation", cp.getAbsolutePath)
+      .outputMode("append").start()
+
+    // run 1: two turns arrive, the session stays OPEN, process stops
+    write("b0.json", Seq(line(0, 0, 1), line(1, 10, 1)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2 (fresh query, same checkpoint): a third same-session turn
+    // plus a far-future sentinel that closes every session
+    write("b1.json", Seq(line(2, 20, 1), line(9, 10000, 99)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.parquet(outd.getAbsolutePath)
+      .filter(col("user_id") === 1).collect()
+    assert(rows.length == 1)
+    // all three turns in one conversation proves the open-session state
+    // (incl. run 1's two turns) restored across the restart
+    assert(rows.head.getAs[Long]("n_turns") == 3,
+      s"open-session state lost across restart: ${rows.head}")
+    assert(rows.head.getAs[String]("text") ==
+      Seq.fill(3)("view value=100 k=7").mkString("\n"))
+  }
+
   test("preference pairs: extremes picked with deterministic ties, uninformative groups dropped") {
     val evs = Seq(
       // user 1 day 1: clear extremes among 3 candidates
