@@ -3158,7 +3158,7 @@ object QueriesTrainingData {
         |  user_id, COUNT(*) AS n_turns, MAX(all_turns) AS all_turns,
         |  SUM(turn_tokens) AS total_tokens,
         |  MAX(all_turns) > COUNT(*) AS truncated,
-        |  string_agg(turn_text, chr(10) ORDER BY ts, event_id) AS text
+        |  string_agg(turn_text, ' | ' ORDER BY ts, event_id) AS text
         |FROM x WHERE cum <= 30
         |GROUP BY user_id, conv HAVING COUNT(*) >= 2""".stripMargin),
     // preference-pair assembly (the DPO/RLHF reward-pair shape): per

@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Conversations {
 
+  /** Transcript turn delimiter. Printable on purpose: gate outputs are
+    * row-canonicalized line-by-line by external checkers, so a raw
+    * `\n` inside a value is the one encoding that breaks them (it did,
+    * round 11). A chat-template tokenizer treats the delimiter as an
+    * opaque token either way. */
+  val TurnSep = " | "
+
   /** Turn rendering shared by the batch and streaming forms: the
     * templated turn text (`<event_type> value=<cents> k=<k>`) and its
     * whitespace token count. Pure projection — rides the scan. */
@@ -86,7 +93,7 @@ object Conversations {
         col("all_turns"),
         col("total_tokens"),
         (col("all_turns") > col("n_turns")).as("truncated"),
-        concat_ws("\n",
+        concat_ws(TurnSep,
           transform(col("sorted"), t => t.getField("turn_text")))
           .as("text"))
   }
@@ -151,7 +158,7 @@ object Conversations {
         col("_f").getField("tok").as("total_tokens"),
         (size(col("sorted")).cast("long") >
           col("_f").getField("n")).as("truncated"),
-        concat_ws("\n", col("_f").getField("texts")).as("text"))
+        concat_ws(TurnSep, col("_f").getField("texts")).as("text"))
       .filter(col("n_turns") >= minTurns)
   }
 

@@ -39,7 +39,8 @@ class ConversationsSpec extends GraftSpec {
     assert(c1.getAs[Long]("n_turns") == 3)
     assert(!c1.getAs[Boolean]("truncated"))
     assert(c1.getAs[String]("text") ==
-      "view value=100 k=7\nclick value=100 k=7\npurchase value=100 k=7")
+      Seq("view value=100 k=7", "click value=100 k=7",
+        "purchase value=100 k=7").mkString(Conversations.TurnSep))
 
     val c2 = rows("2-1")
     assert(c2.getAs[Long]("all_turns") == 12)
@@ -124,7 +125,7 @@ class ConversationsSpec extends GraftSpec {
     assert(rows.head.getAs[Long]("n_turns") == 3,
       s"open-session state lost across restart: ${rows.head}")
     assert(rows.head.getAs[String]("text") ==
-      Seq.fill(3)("view value=100 k=7").mkString("\n"))
+      Seq.fill(3)("view value=100 k=7").mkString(Conversations.TurnSep))
   }
 
   test("preference pairs: extremes picked with deterministic ties, uninformative groups dropped") {
