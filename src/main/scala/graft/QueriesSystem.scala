@@ -1485,9 +1485,13 @@ object QueriesSystem {
         |SELECT event_type, auth_ok,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(bit_xor(event_id) AS BIGINT) AS id_xor,
-        |  CAST(COUNT(DISTINCT CASE WHEN length(write_key) >= 6
-        |    THEN substr(write_key, 1, 3) || '*' ||
-        |      substr(write_key, length(write_key) - 2, 3) END)
+        |  CAST(COUNT(DISTINCT CASE
+        |    WHEN length(split_part(write_key, ':', 1)) >= 6
+        |    THEN substr(split_part(write_key, ':', 1), 1, 3) || '*' ||
+        |      substr(split_part(write_key, ':', 1),
+        |        length(split_part(write_key, ':', 1)) - 2, 3)
+        |    WHEN length(split_part(write_key, ':', 1)) > 0
+        |    THEN split_part(write_key, ':', 1) END)
         |    AS BIGINT) AS n_hints
         |FROM tok GROUP BY event_type, auth_ok""".stripMargin),
     // §3.1: streaming pipeline round-trip — JSON file source ->

@@ -608,6 +608,20 @@ object UserRecognition {
           getHandle.deleteTimer(timerTs.get()); timerTs.clear()
         }
         if (maxBufferPerKey > 0 && bufN.exists()) bufN.clear()
+      } else if (maxBufferPerKey > 0 && lastTs > 0 && curCount > 0) {
+        // every anonymous event this batch was over the cap (emitted,
+        // never buffered) — but the PERSISTED buffer is live, and the
+        // classic engine extends its timeout to lastTs+lookback
+        // whenever the buffer is non-empty after a batch. Mirror that
+        // refresh here, or the engines diverge on buffer expiry: an
+        // identify arriving in the extended window would back-fill
+        // under classic but find expired state under tws.
+        val due = lastTs + lookbackMs
+        if (timerValues.getCurrentWatermarkInMs() < due) {
+          if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+          getHandle.registerTimer(due)
+          timerTs.update(due)
+        }
       }
       out.iterator
     }

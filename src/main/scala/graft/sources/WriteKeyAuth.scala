@@ -112,7 +112,8 @@ object WriteKeyAuth {
     * split. Adds `auth_ok` (boolean; false for unknown ids, malformed
     * tokens, and wrong secrets — the reference 401s all three
     * identically, `rotor/src/index.ts:170-177`) and `key_hint` (the
-    * loggable abbreviation; null when the token is too short to hint).
+    * loggable abbreviation of the keyId SEGMENT only — the secret never
+    * reaches the hint; null when the token has no id segment).
     *
     * Scale shape: `keys` broadcasts (key stores are thousands of rows);
     * the digest is the codegen'd built-in `sha2`, computed once per
@@ -151,10 +152,19 @@ object WriteKeyAuth {
         col("credential"))), Seq("_key_id"), "left")
       .withColumn("auth_ok",
         coalesce(col("credential").isNotNull && ok, lit(false)))
-      .withColumn("key_hint",
-        when(length(tokenCol) >= 6,
-          concat(substring(tokenCol, 1, 3), lit("*"),
-            substring(tokenCol, -3, 3))))
+      .withColumn("key_hint", {
+        // hint ONLY the keyId segment (everything before the first
+        // ':'): the hint lands in quarantine/log tables, and a hint
+        // over the full token would persist the SECRET's tail. Key ids
+        // are public identifiers, so short ids log as-is; long ids
+        // abbreviate; an empty segment (`:secret`, empty token) hints
+        // null.
+        val hintSrc = substring_index(tokenCol, ":", 1)
+        when(length(hintSrc) >= 6,
+          concat(substring(hintSrc, 1, 3), lit("*"),
+            substring(hintSrc, -3, 3)))
+          .otherwise(when(length(hintSrc) > 0, hintSrc))
+      })
       .drop("_key_id", "_secret", "credential")
   }
 }

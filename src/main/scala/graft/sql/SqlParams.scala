@@ -14,10 +14,13 @@ package graft.sql
   *    follow another `:` (a Postgres-style `x::int` cast is not the
   *    parameter `int`);
   *  - `unrollParams` keeps falsy-but-present values (`0`, `''`) and
-  *    escapes embedded quotes, where the reference's `params[p] || null`
-  *    JS truthiness silently turns `0`/`''` into `null` and its quoting
-  *    never escapes — footguns, not contract (the test pins only truthy
-  *    quote-free values).
+  *    escapes embedded quotes AND backslashes (Spark's default parser
+  *    processes backslash escapes inside literals, so quote-doubling
+  *    alone still lets a value ending in `\` escape the closing quote
+  *    and inject into the query), where the reference's
+  *    `params[p] || null` JS truthiness silently turns `0`/`''` into
+  *    `null` and its quoting never escapes — footguns, not contract
+  *    (the test pins only truthy quote-free backslash-free values).
   */
 object SqlParams {
 
@@ -61,7 +64,14 @@ object SqlParams {
     case n: Float => n.toString
     case n: BigDecimal => n.toString
     case n: java.math.BigDecimal => n.toString
-    case s => "'" + s.toString.replace("'", "''") + "'"
+    // Backslashes double BEFORE quote doubling: Spark's default parser
+    // (escapedStringLiterals=false) processes backslash escapes inside
+    // string literals, so an unescaped 'C:\temp' would parse with a tab
+    // and a value ending in '\' would escape the closing quote — turning
+    // the next param's content into live SQL. With both doublings the
+    // literal round-trips byte-exact through the Spark parser.
+    case s => "'" + s.toString.replace("\\", "\\\\")
+      .replace("'", "''") + "'"
   }
 
   /** One-step bind: `:name` placeholders inlined as literals — the SQL

@@ -224,9 +224,24 @@ object EventPipeline {
     * pipeline's tag parse. The stream's defaulted `message_id` (uuid
     * when absent) and event time are carried out so the post-dedup
     * parse can never disagree with the dedup key.
+    *
+    * S9 auth runs HERE, before the dedup stateful stage: an
+    * auth-rejected event must not claim its `message_id` in dedup
+    * state, or a client that fixes a misconfigured write key and
+    * retries the same events (same ids, inside the watermark) has them
+    * silently dropped as duplicates — never delivered, never
+    * quarantined. The reference 401s before any processing, so a
+    * reject has no side effects; here rejects route AROUND the
+    * stateful op straight to the quarantine branch (every rejected
+    * delivery logs, duplicates included — the 401-per-request shape).
+    * The probe stays narrow: one `get_json_object` field plus a
+    * broadcast key join, both codegen'd, paid before the envelope
+    * parse either way.
     * Output columns: (payload, message_id, timestamp, error). */
   private def envelopeStream(raw: DataFrame,
-                             dedupWatermark: String): DataFrame = {
+                             dedupWatermark: String,
+                             authKeys: Option[DataFrame] = None,
+                             authSeeds: Seq[String] = Nil): DataFrame = {
     val value = col("value").cast("string")
     val narrowSchema = org.apache.spark.sql.types.StructType(
       EventSchema.envelope.fields.filter(f =>
@@ -234,12 +249,28 @@ object EventPipeline {
           .contains(f.name)))
     val parsed = raw.select(value.as("payload"),
       from_json(value, narrowSchema).as("e"))
-    val good = parsed
+    val wellFormed = parsed
       .filter(!isCorruptStruct(col("e")))
       .select(col("payload"),
         coalesce(col("e.message_id"), expr("uuid()")).as("message_id"),
         coalesce(col("e.timestamp"), col("e.received_at"),
           current_timestamp()).as("timestamp"))
+    val (authGood, authBad) = authKeys match {
+      case None => (wellFormed, None)
+      case Some(keys) =>
+        val a = graft.sources.WriteKeyAuth.authorize(
+          wellFormed.withColumn("_wk",
+            get_json_object(col("payload"), "$.write_key")),
+          keys, col("_wk"), authSeeds)
+        (a.filter(col("auth_ok")).drop("_wk", "auth_ok", "key_hint"),
+         Some(a.filter(!col("auth_ok")).select(
+           col("payload"),
+           lit(null).cast("string").as("message_id"),
+           lit(null).cast("timestamp").as("timestamp"),
+           concat(lit("invalid_write_key:"),
+             coalesce(col("key_hint"), lit("missing"))).as("error"))))
+    }
+    val good = authGood
       .withWatermark("timestamp", dedupWatermark)
       .dropDuplicatesWithinWatermark("message_id")
       .withColumn("error", lit(null).cast("string"))
@@ -249,7 +280,7 @@ object EventPipeline {
       .select(col("payload"), lit(null).cast("string").as("message_id"),
         lit(null).cast("timestamp").as("timestamp"),
         lit("parse_error").as("error"))
-    good.unionByName(bad)
+    (Seq(good) ++ authBad ++ Seq(bad)).reduce(_ unionByName _)
   }
 
   /** Adapt a Kafka-wire DataFrame (the connector's fixed output schema:
@@ -381,7 +412,7 @@ object EventPipeline {
             coalesce(col("_cfg_table"), col("table_name")))
           .drop("_cfg_table", "_cfg_enabled")
     }
-    envelopeStream(raw, dedupWatermark).writeStream
+    envelopeStream(raw, dedupWatermark, authKeys, authSeeds).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -393,27 +424,11 @@ object EventPipeline {
         router.runOnce(batchId, streamId = checkpointDir) {
           val cached = batch.persist()
           try {
+            // S9 auth already ran in envelopeStream, BEFORE the dedup
+            // stateful stage (see there) — rejects arrive as error rows
+            // and fall into the quarantine branch with the others
             val isQ = col("error").isNotNull
-            // S9: write-key check BEFORE the full envelope parse — a
-            // narrow one-field probe of the raw line, so rejected
-            // events never pay the envelope parse (the reference 401s
-            // before the body is processed). Rejects join the
-            // quarantine branch below with the loggable hint.
-            val (good, authBad) = authKeys match {
-              case None => (cached.filter(!isQ), None)
-              case Some(keys) =>
-                val a = graft.sources.WriteKeyAuth.authorize(
-                  cached.filter(!isQ).withColumn("_wk",
-                    get_json_object(col("payload"), "$.write_key")),
-                  keys, col("_wk"), authSeeds)
-                (a.filter(col("auth_ok"))
-                   .drop("_wk", "auth_ok", "key_hint"),
-                 Some(a.filter(!col("auth_ok")).select(
-                   col("payload").as("raw_event"),
-                   concat(lit("invalid_write_key:"),
-                     coalesce(col("key_hint"), lit("missing"))).as("error"),
-                   lit("quarantine").as("_table"))))
-            }
+            val good = cached.filter(!isQ)
             // the ONE full envelope parse — after the stateful stage;
             // the stream's dedup key + defaulted event time override
             // the re-parsed fields so dedup and storage cannot disagree
@@ -447,10 +462,9 @@ object EventPipeline {
                 out.join(flags.withColumnRenamed("message_id", idCol),
                   Seq(idCol), "left")
             })
-            val parseBad = cached.filter(isQ)
+            val bad = cached.filter(isQ)
               .select(col("payload").as("raw_event"), col("error"),
                 lit("quarantine").as("_table"))
-            val bad = authBad.map(parseBad.unionByName(_)).getOrElse(parseBad)
             if (!bad.isEmpty) router.write(bad)
           } finally { cached.unpersist(false); () }
         }

@@ -223,4 +223,34 @@ class GuardedSqlSpec extends GraftSpec {
     assert(out.select("name").collect().map(_.getString(0)).toSeq == Seq("b"))
     spark.catalog.dropTempView("sqlparams_v")
   }
+
+  test("SqlParams: backslashes in string params round-trip exactly and cannot inject") {
+    import graft.sql.SqlParams
+    // literal forms: backslash doubled before quote doubling
+    assert(SqlParams.unrollParams("$1", Seq("C:\\temp")) == "'C:\\\\temp'")
+    assert(SqlParams.unrollParams("$1 $2", Seq("x\\", "y")) ==
+      "'x\\\\' 'y'")
+    assert(SqlParams.unrollParams("$1", Seq("a\\'b")) == "'a\\\\''b'")
+    // round-trip through the Spark parser: the VALUE comes back
+    // byte-exact (no '\t' from 'C:\temp', no quote escape from a
+    // trailing backslash)
+    import spark.implicits._
+    val df = Seq((1, "C:\\temp"), (2, "x\\"), (3, "plain")).toDF("id", "s")
+    df.createOrReplaceTempView("sqlparams_bs")
+    def got(p: String): Seq[Int] = graft.sql.GuardedSql.query(spark,
+      "SELECT id FROM sqlparams_bs WHERE s = :p",
+      Map[String, Any]("p" -> p))
+      .select("id").collect().map(_.getInt(0)).toSeq
+    assert(got("C:\\temp") == Seq(1))
+    assert(got("x\\") == Seq(2))
+    // the classic two-param injection: a trailing-backslash first param
+    // must NOT swallow its closing quote and turn the second param's
+    // content into live SQL — the attack value stays an inert string
+    val inj = graft.sql.GuardedSql.query(spark,
+      "SELECT id FROM sqlparams_bs WHERE s = :a OR s = :b",
+      Map[String, Any]("a" -> "x\\", "b" -> "' OR 1=1 --"))
+      .select("id").collect().map(_.getInt(0)).toSeq
+    assert(inj == Seq(2), s"injection changed the filter: $inj")
+    spark.catalog.dropTempView("sqlparams_bs")
+  }
 }

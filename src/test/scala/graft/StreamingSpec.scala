@@ -486,8 +486,41 @@ class StreamingSpec extends GraftSpec {
     assert(quarantined.filter(
       col("error").startsWith("invalid_write_key:")).count() == 60 - nGood)
     assert(quarantined.filter(col("error").contains("wrong")).count() == 0)
-    assert(quarantined.filter(col("error") === "invalid_write_key:wk0*ong")
-      .count() == nWrong)
+    // the hint abbreviates the keyId SEGMENT only — the secret's tail
+    // ('ong' from ':wrong') must never appear in the persisted error
+    assert(quarantined.filter(col("error") === "invalid_write_key:wk0")
+      .count() == 60 - nGood)
+    assert(nWrong > 0)
+  }
+
+  test("S9: an auth-rejected event does not poison dedup state — a retry under a fixed key lands") {
+    val in = tmp("graft-ar-in"); val wh = tmp("graft-ar-wh"); val cp = tmp("graft-ar-cp")
+    val env = DriverEventsAdapter.load(spark, sf).limit(20)
+    val keys = Seq(("wk0", graft.sources.WriteKeyAuth.createHash(
+      "spec-secret-0", salt = Some("specsalt")))).toDF("id", "credential")
+    def run(secret: String, tag: String): Unit = {
+      // identical events (same message_ids) both runs; only the key
+      // secret differs — the misconfigured-client-then-fix scenario
+      val withKey = env.withColumn("write_key", lit(s"wk0:$secret"))
+      withKey.select(to_json(struct(withKey.columns.map(col): _*)).as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$in/$tag")
+      // wide watermark: both runs replay the SAME event times, so the
+      // retry must not be droppable as late data either
+      val q = EventPipeline.start(spark, s"$in/$tag", wh,
+        s"$cp/$tag", authKeys = Some(keys), dedupWatermark = "2400 hours")
+      try q.awaitTermination() finally q.stop()
+    }
+    run("wrong", "r1")
+    assert(!new java.io.File(s"$wh/events").exists() ||
+      spark.read.parquet(s"$wh/events").isEmpty)
+    assert(spark.read.parquet(s"$wh/quarantine").count() == 20)
+    // the retry: same message_ids, fixed secret. If the rejected run
+    // had claimed the ids in dedup state these would silently vanish;
+    // the reference's 401 has no side effects, so they must all land.
+    run("spec-secret-0", "r1") // SAME checkpoint: same stream, new files
+    val events = spark.read.parquet(s"$wh/events")
+    assert(events.count() == 20,
+      s"retry after key fix delivered ${events.count()} of 20")
   }
 
   test("AvailableNow drains a multi-file source in bounded micro-batches") {

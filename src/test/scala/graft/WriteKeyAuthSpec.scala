@@ -99,11 +99,21 @@ class WriteKeyAuthSpec extends GraftSpec {
         else checkRawToken(c, secret))
       assert(got == expected, tok)
     }
-    // hint shape on a present token
+    // hint carries ONLY the keyId segment — never the secret's tail
+    // (the hint is persisted into quarantine/log tables)
     val hints = authorize(events, keys, col("write_key"), seeds)
-      .filter(col("event_id") === 1L).select("key_hint")
-      .as[String].collect()
-    assert(hints.toSeq == Seq("wk0*wk0"))
+      .select("event_id", "key_hint").as[(Long, Option[String])]
+      .collect().toMap
+    assert(hints(1L).contains("wk0"))
+    assert(hints(7L).isEmpty) // null token -> no hint
+    // a long key id abbreviates 3+*+3 over the ID alone
+    val longKeys = Seq(("jitsu-like-long-id", "raw")).toDF("id", "credential")
+    val longEv = Seq((1L, "jitsu-like-long-id:super-secret"))
+      .toDF("event_id", "write_key")
+    val h2 = authorize(longEv, longKeys, col("write_key"), seeds)
+      .select("key_hint").as[String].collect()
+    assert(h2.toSeq == Seq("jit*-id"), h2.toSeq)
+    assert(!h2.head.contains("ret"), "hint leaked the secret tail")
   }
 
   test("authorize stays codegen'd and broadcasts the key store") {
