@@ -267,9 +267,11 @@ object QueriesTrainingData {
     * ONE unit (the twin-map layout, query here / oracle hundreds of
     * lines below, was a recurring editing hazard). Helper CTE vals
     * stay declared above so object-init order is safe. */
-  /** Shared by `emb_margin_mining` (brute) and `emb_margin_mining_ivf`
-    * (cell-routed at nprobe=nlist — lossless, so the same all-pairs SQL
-    * is the exact oracle for both). */
+  /** Shared by `emb_margin_mining` (brute), `emb_margin_mining_ivf`
+    * (cell-routed, broadcast x) and `emb_margin_mining_cells`
+    * (cell-routed, shuffled) — the celled forms run at nprobe=nlist,
+    * which is lossless, so the same all-pairs SQL is the exact oracle
+    * for all three. */
   private val marginMiningOracle: String =
       """WITH s AS (
         |  SELECT x.vec_id AS xid, y.vec_id AS yid,
@@ -3220,6 +3222,23 @@ object QueriesTrainingData {
       ((s, dir) => {
         val e = embs(s, dir)
         Similarity.marginMiningIvf(
+          e.filter(col("label") % 2 === 0)
+            .select(col("vec_id").as("xid"), col("embedding").as("vec")),
+          e.filter(col("label") % 2 === 1)
+            .select(col("vec_id").as("yid"), col("embedding").as("vec")),
+          k = 4, minMargin = 1.02, nlist = 8, nprobe = 8)
+      }),
+      marginMiningOracle),
+    // the BOTH-SIDES-HUGE margin-mining form: same cell routing, but
+    // the candidate join shuffles on the cell key instead of
+    // broadcasting the probed side — no vector set need fit anywhere.
+    // Driven at nprobe=nlist (lossless), so the same all-pairs SQL is
+    // again the exact oracle; PlanShapeSpec pins the no-broadcast
+    // plan shape.
+    ("emb_margin_mining_cells",
+      ((s, dir) => {
+        val e = embs(s, dir)
+        Similarity.marginMiningCells(
           e.filter(col("label") % 2 === 0)
             .select(col("vec_id").as("xid"), col("embedding").as("vec")),
           e.filter(col("label") % 2 === 1)

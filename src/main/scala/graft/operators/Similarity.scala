@@ -137,10 +137,8 @@ object Similarity {
     * planted-cluster recall the spec measures. The margin/pick stages
     * are shared code operating on whatever candidate frame arrives.
     * The probed x side broadcasts (the `ivfTopK` convention — queries
-    * are the bounded side); when BOTH sides are corpus-scale, store ys
-    * cell-PARTITIONED (the AnnIngest layout), route xs by probed cell,
-    * and the candidate join becomes partition-local reads instead of a
-    * broadcast — the margin/pick stages are unchanged either way. */
+    * are the bounded side); when BOTH sides are corpus-scale, use
+    * [[marginMiningCells]], which shuffles on the cell key instead. */
   def marginMiningIvf(xs: DataFrame, ys: DataFrame, k: Int = 4,
                       minMargin: Double = 1.0, nlist: Int = 8,
                       nprobe: Int = 8): DataFrame = {
@@ -159,10 +157,55 @@ object Similarity {
     marginPick(scored, k, minMargin)
   }
 
+  /** [[marginMiningIvf]] for the BOTH-SIDES-HUGE case (the LASER/
+    * CCMatrix shape: two corpus-scale "languages", neither
+    * broadcastable). Identical candidate semantics — ys cell-assigned
+    * once, xs routed to their `nprobe` nearest cells — but the
+    * candidate join is a cell EQUI-JOIN with both sides SHUFFLED on
+    * the cell key (shuffle_hash hint, pinned so AQE can't
+    * "helpfully" broadcast a side that only looks small at test SF):
+    * each task reads one cell's ys plus the xs that probe it, and no
+    * vector set ever has to fit in one executor or on the driver.
+    *
+    * At warehouse scale ys are STORED cell-partitioned (the
+    * [[graft.streaming.AnnIngest]] layout), so their side of the
+    * shuffle collapses to partition-local reads; only the x routing
+    * moves. Parallelism is bounded by `nlist` — at corpus scale pick
+    * nlist >> cores (the FAISS sqrt(N) convention: 10^4-10^5 cells at
+    * 10^9 vectors), which simultaneously bounds per-cell candidate
+    * quadratics; a residual hot cell is a data-skew problem AQE's
+    * skew-join split handles, since the join is a plain shuffle join.
+    * `nprobe == nlist` again degenerates to every pair, so the same
+    * all-pairs oracle gates this form lossless, and PlanShapeSpec
+    * pins the no-broadcast claim. */
+  def marginMiningCells(xs: DataFrame, ys: DataFrame, k: Int = 4,
+                        minMargin: Double = 1.0, nlist: Int = 8,
+                        nprobe: Int = 8): DataFrame =
+    marginPick(cellCandidates(xs, ys, nlist, nprobe).localCheckpoint(),
+      k, minMargin)
+
+  /** [[marginMiningCells]]'s candidate frame, exposed pre-checkpoint so
+    * PlanShapeSpec can pin the shuffled (never broadcast) join shape. */
+  private[graft] def cellCandidates(xs: DataFrame, ys: DataFrame,
+                                    nlist: Int, nprobe: Int): DataFrame = {
+    val cents = trainCentroids(
+      ys.select(col("yid").as("id"), col("vec")), nlist)
+    val c = ys.select(col("yid"), col("vec"))
+      .withColumn("cell", cellOf(col("vec"), cents))
+    val q = xs.select(col("xid"), col("vec").as("xvec"))
+      .withColumn("cell", explode(probeCells(col("xvec"), cents, nprobe)))
+    c.hint("shuffle_hash").join(q, Seq("cell"))
+      .withColumn("cosine",
+        round(VectorKernels.cosine_sim(col("xvec"), col("vec")), 6))
+      .select(col("xid"), col("yid"), col("cosine"),
+        round(col("cosine") * 1e6).cast("long").as("c6"))
+  }
+
   /** Margin scoring + best-match pick over a candidate frame
     * (xid, yid, cosine, c6): each side's top-`k` neighborhood average
     * as exact integer sums, ratio margin, one best y per x at
-    * `minMargin`+. Shared by [[marginMining]] / [[marginMiningIvf]]. */
+    * `minMargin`+. Shared by [[marginMining]] / [[marginMiningIvf]] /
+    * [[marginMiningCells]]. */
   private def marginPick(scored: DataFrame, k: Int,
                          minMargin: Double): DataFrame = {
     def avgK(side: String): DataFrame = {

@@ -196,6 +196,11 @@ class ConversationsSpec extends GraftSpec {
     val full = Similarity.marginMiningIvf(xs, ys, k = 4,
       minMargin = 1.02, nlist = 8, nprobe = 8).collect().map(_.toSeq).toSet
     assert(full == brute, "lossless routing (nprobe=nlist) diverged")
+    // the both-sides-huge (shuffled, never broadcast) form: same
+    // candidates, same pick — bit-equal too
+    val cells = Similarity.marginMiningCells(xs, ys, k = 4,
+      minMargin = 1.02, nlist = 8, nprobe = 8).collect().map(_.toSeq).toSet
+    assert(cells == brute, "shuffled cell join diverged from brute")
 
     // pruned probing earns recall on CLUSTERED sides (the IVF premise):
     // plant y-twins of each x and require every twin pair to survive a

@@ -45,6 +45,22 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("Generate"), "expected the explode Generate")
   }
 
+  test("both-sides-huge margin mining SHUFFLES the cell join — no broadcast of either vector side") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val xs = e.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("vec"))
+    val ys = e.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("embedding").as("vec"))
+    val p = graft.operators.Similarity.cellCandidates(xs, ys,
+      nlist = 8, nprobe = 8).queryExecution.executedPlan.toString()
+    assert(p.contains("ShuffledHashJoin"),
+      s"cell candidate join is not a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastExchange") &&
+      !p.contains("BroadcastHashJoin"),
+      s"a vector side got broadcast — the both-huge contract broke:\n$p")
+  }
+
   test("UA taxonomy projection stays codegen'd (no UDFs in the plan)") {
     val p = plan("f2b_ua_taxonomy")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
