@@ -189,8 +189,11 @@ object Bench {
       val staged = graft.tools.ThroughputBench.stageBatches(
         spark, sfDir, numBatches = 10)
       // recognized_tws = the transformWithState/ListState UR engine;
-      // recognized_variant = open props stored as Spark 4 VariantType
-      Seq("recognized", "recognized_tws", "recognized_variant", "dedup")
+      // recognized_variant = open props stored as Spark 4 VariantType;
+      // conversations = the alignment-data mode (session-window SFT
+      // assembly in-stream)
+      Seq("recognized", "recognized_tws", "recognized_variant", "dedup",
+          "conversations")
         .map { mode =>
           s"""\"$mode\":${graft.tools.ThroughputBench.run(spark, staged, mode).json}"""
         }.mkString("{", ",", "}")

@@ -207,10 +207,13 @@ object Conversations {
     * window replaces the day column, and the extremes come from
     * single-pass `max/min(struct(...))` aggregates — the rank windows
     * the batch form uses are not streamable, but picking extremes
-    * never needed ranks: `max(struct(cents, -event_id))` IS
+    * never needed ranks: `min(struct(-cents, event_id))` IS
     * "highest cents, ties to the lower event_id" (and `min(struct(
     * cents, event_id))` its mirror), so state per open group is two
-    * structs and a count regardless of group size. Pairs finalize and
+    * structs and a count regardless of group size — negating the
+    * CENTS (always numeric) rather than the id keeps the pick
+    * type-agnostic, so pipeline streams with string message ids rank
+    * exactly like the batch gate's long ids. Pairs finalize and
     * emit when the watermark closes their day (Append mode). Output
     * columns are identical to the batch form, pair_id included
     * (ConversationsSpec proves set equality on the same events). */
@@ -222,16 +225,16 @@ object Conversations {
       .withColumn("cents", round(col("value") * 100).cast("long"))
     e.groupBy(col("user_id"), window(col("ts"), "1 day"))
       .agg(
-        max(struct(col("cents"), (-col("event_id")).as("neg_id"))).as("hi"),
+        min(struct((-col("cents")).as("neg_c"), col("event_id"))).as("hi"),
         min(struct(col("cents"), col("event_id"))).as("lo"),
         count(lit(1)).as("n_candidates"))
       .withColumn("day", date_format(col("window.start"), "yyyy-MM-dd"))
       .select(
         concat(col("user_id"), lit("-"), col("day")).as("pair_id"),
         col("user_id"), col("day"),
-        (-col("hi.neg_id")).as("chosen_id"),
+        col("hi.event_id").as("chosen_id"),
         col("lo.event_id").as("rejected_id"),
-        (col("hi.cents") - col("lo.cents")).as("margin_cents"),
+        ((-col("hi.neg_c")) - col("lo.cents")).as("margin_cents"),
         col("n_candidates"))
       .filter(col("margin_cents") > 0)
   }

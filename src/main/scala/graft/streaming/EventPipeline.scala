@@ -595,6 +595,90 @@ object EventPipeline {
       .start()
   }
 
+  /** Alignment-data pipeline mode: the ingest stream feeds the
+    * streaming SFT/DPO assemblers as a first-class pipeline, not just a
+    * spec — source json-lines → narrow envelope parse → event frame →
+    * [[graft.operators.Conversations.assembleStream]] (mode
+    * `"conversations"`, sink table `conversations`) or
+    * [[graft.operators.Conversations.preferencePairsStream]] (mode
+    * `"preference_pairs"`, sink table `preference_pairs`) → the shared
+    * [[SinkRouter]] idempotent-batch sink. One stateful operator per
+    * stream (the session/tumbling window aggregation); records finalize
+    * and land when the event-time watermark closes their group, so the
+    * warehouse table is append-only training data a tokenizer job can
+    * tail.
+    *
+    * The parse stays NARROW like every other pipeline mode: only the
+    * five fields the assemblers consume (message_id, timestamp,
+    * user/anonymous id, event name, properties) — the raw line is not
+    * re-carried because nothing downstream re-parses it. `event_id` is
+    * the envelope `message_id` (the stream's deterministic tiebreak
+    * key); `value`/`k` read from the open `properties` JSON exactly as
+    * the batch gate defines the turn template. Duplicate deliveries are
+    * the md5-default-id / sink-MERGE story of the other modes; a
+    * duplicate inside one open window double-counts, the documented
+    * append-mode trade (the reference's rotor likewise processes per
+    * delivery). */
+  def startConversations(spark: SparkSession, inputDir: String,
+            warehouseDir: String, checkpointDir: String,
+            mode: String = "conversations",
+            gapMinutes: Int = 30,
+            tokenBudget: Int = 30,
+            minTurns: Int = 2,
+            watermark: String = "1 hour",
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Int = 32,
+            statePartitions: Int = 0,
+            stateStore: String = "hdfs",
+            compactEvery: Int = 16,
+            compactMaxFiles: Int = 8): StreamingQuery = {
+    require(Seq("conversations", "preference_pairs").contains(mode),
+      s"unsupported mode: $mode")
+    val session = tunedSession(spark, statePartitions, stateStore)
+    val raw = session.readStream
+      .format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(inputDir)
+    val narrowSchema = org.apache.spark.sql.types.StructType(
+      EventSchema.envelope.fields.filter(f =>
+        Set("message_id", "timestamp", "received_at", "user_id",
+          "anonymous_id", "event", "type", "properties")
+          .contains(f.name)))
+    val events = raw
+      .select(from_json(col("value").cast("string"), narrowSchema).as("e"))
+      .filter(!isCorruptStruct(col("e")))
+      .select(
+        coalesce(col("e.message_id"), expr("uuid()")).as("event_id"),
+        coalesce(col("e.timestamp"), col("e.received_at"),
+          current_timestamp()).as("ts"),
+        coalesce(col("e.user_id"), col("e.anonymous_id")).as("user_id"),
+        coalesce(col("e.event"), col("e.type")).as("event_type"),
+        get_json_object(col("e.properties"), "$.value")
+          .cast("double").as("value"),
+        col("e.properties").as("props"))
+      .filter(col("user_id").isNotNull)
+    val out = mode match {
+      case "conversations" => graft.operators.Conversations
+        .assembleStream(events, gapMinutes, tokenBudget, minTurns, watermark)
+      case _ => graft.operators.Conversations
+        .preferencePairsStream(events, watermark)
+    }
+    val router = new SinkRouter(warehouseDir, SinkOptions())
+    out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        router.runOnce(batchId, streamId = checkpointDir) {
+          router.write(batch.withColumn("_table", lit(mode)))
+        }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          router.compactAll(spark, compactMaxFiles)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming metrics side-channel: minute-windowed rollup maintained as
     * an append stream (A1/A2 MV-equivalent). */
   /** Streaming daily uniqueness SKETCHES — the persisted `uniqState`

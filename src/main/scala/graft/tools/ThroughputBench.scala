@@ -132,9 +132,16 @@ object ThroughputBench {
           maxFilesPerTrigger = 1, statePartitions = statePartitions,
           stateStore = stateStore, dedupWatermark = "10 minutes",
           compactEvery = compactEvery)
+      case "conversations" =>
+        // the alignment-data pipeline mode: session-window SFT
+        // assembly in-stream, transcripts landing via the router sink
+        EventPipeline.startConversations(spark, input.dir, wh, cp,
+          maxFilesPerTrigger = 1, statePartitions = statePartitions,
+          stateStore = stateStore, watermark = "10 minutes",
+          compactEvery = compactEvery)
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (recognized | recognized_tws | " +
-          "recognized_variant | dedup)")
+          "recognized_variant | dedup | conversations)")
     }
     try q.awaitTermination() finally q.stop()
     // progress numInputRows double-counts a source referenced by more

@@ -426,6 +426,58 @@ class StreamingSpec extends GraftSpec {
       s"plateau $plateau not bounded near the 6-batch window: $rows")
   }
 
+  test("startConversations: ingest stream -> SFT conversations + DPO pairs land in the warehouse, matching batch assembly") {
+    import spark.implicits._
+    val in = tmp("graft-cv-in"); val wh = tmp("graft-cv-wh")
+    // second-floored event times: the documented stream/batch gap
+    // parity contract holds on second granularity (session_window
+    // splits at >= gap+1s vs the batch rule's strict >)
+    val env = DriverEventsAdapter.load(spark, sf)
+      .withColumn("timestamp", date_trunc("second", col("timestamp")))
+      .withColumn("received_at", date_trunc("second", col("received_at")))
+    val sentinel = """{"message_id":"zz-sent","type":"track","event":"view",""" +
+      """"timestamp":"2090-01-01T00:00:00.000Z","user_id":"zz"}"""
+    env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+      .unionAll(Seq(sentinel).toDF("value"))
+      .coalesce(1).write.mode("overwrite").text(in)
+    // one batch holds everything; the trailing no-data micro-batch sees
+    // the sentinel-advanced watermark and closes every real window
+    val qc = EventPipeline.startConversations(spark, in, wh,
+      tmp("graft-cv-cp1"), mode = "conversations", gapMinutes = 1440)
+    try qc.awaitTermination() finally qc.stop()
+    val qp = EventPipeline.startConversations(spark, in, wh,
+      tmp("graft-cv-cp2"), mode = "preference_pairs")
+    try qp.awaitTermination() finally qp.stop()
+    // batch expectation: the SAME event frame the pipeline derives
+    val evts = env.select(
+      col("message_id").as("event_id"),
+      col("timestamp").as("ts"),
+      coalesce(col("user_id"), col("anonymous_id")).as("user_id"),
+      coalesce(col("event"), col("type")).as("event_type"),
+      get_json_object(col("properties"), "$.value")
+        .cast("double").as("value"),
+      col("properties").as("props"))
+    val convCols = Seq("user_id", "n_turns", "all_turns",
+      "total_tokens", "truncated", "text")
+    val gotConv = spark.read.parquet(s"$wh/conversations")
+      .filter(col("user_id") =!= "zz")
+      .select(convCols.map(col): _*).collect().map(_.toSeq).toSet
+    val wantConv = graft.operators.Conversations
+      .assemble(evts, gapMinutes = 1440)
+      .select(convCols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(gotConv == wantConv && gotConv.nonEmpty,
+      s"conversations: stream ${gotConv.size} != batch ${wantConv.size}")
+    val pairCols = Seq("pair_id", "user_id", "day", "chosen_id",
+      "rejected_id", "margin_cents", "n_candidates")
+    val gotPairs = spark.read.parquet(s"$wh/preference_pairs")
+      .filter(col("user_id") =!= "zz")
+      .select(pairCols.map(col): _*).collect().map(_.toSeq).toSet
+    val wantPairs = graft.operators.Conversations.preferencePairs(evts)
+      .select(pairCols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(gotPairs == wantPairs && gotPairs.nonEmpty,
+      s"pairs: stream ${gotPairs.size} != batch ${wantPairs.size}")
+  }
+
   test("batch/stream symmetry: same transform graph, same result") {
     val in = tmp("graft-in2")
     writeJsonEvents(in)
