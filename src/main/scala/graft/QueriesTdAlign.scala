@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.SimHash64
+import graft.operators.{Collocations, Dedup, EvalMetrics, FilterFunnel, Multimodal, QualityClassifier, Quantization, Sampling, Similarity, TextQuality, Tokenizer, UrlFilter}
+
+/** Alignment-data + multimodal gates: SFT conversation assembly,
+  * DPO preference pairs, image/audio/mp4 plumbing.
+  *
+  * Split from [[QueriesTrainingData]] (round 12) along the COVERAGE.md
+  * family boundaries; the folded `gated` registry shape is unchanged and
+  * [[QueriesTrainingData.gated]] concatenates the families. Shared
+  * helpers/oracle CTEs live in [[QueriesTdShared]].
+  */
+private[graft] object QueriesTdAlign {
+  import Queries.Q
+  import QueriesTdShared._
+
+  val gated: Seq[(String, Q, String)] = Seq(
+    // multimodal: metadata extraction over binary media column
+    // multimodal: MP4 SAMPLE TABLES — real ISO-BMFF container parsing
+    // (stsd codec+dims, stts timestamps, stsc/stco/stsz byte ranges)
+    // over muxer-built single-track videos; every sample's offset, size,
+    // timestamp, and the FIRST BYTE READ THROUGH THE PARSED OFFSET are
+    // replayed by the oracle from the deterministic generation formulas
+    // (mdat payload starts at 527 + 4n — the muxer's documented layout
+    // constant). This is the container half of video frame-sampling; the
+    // codec decode of a located sample stays the declared stub.
+    ("mm_mp4_samples",
+      ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 1 + (id % 5).toInt
+          val sizes = (0 until n).map(k => 1 + ((id + k) % 9).toInt)
+          val bytes = sizes.zipWithIndex.flatMap { case (sz, k) =>
+            Array.fill(sz)(((id * 7 + k * 13) % 256).toByte) }.toArray
+          (id, Multimodal.MediaFixtures.mp4TrackBytes(
+            id % 100 + 1, 16 + (id % 64).toInt, 16 + ((id * 3) % 64).toInt,
+            600L, 30 + (id % 60), sizes, bytes))
+        }.toDF("media_id", "media")
+      Multimodal.Mp4Tracks.sampleTable(media)
+    }),
+      """WITH m AS (
+        |  SELECT doc_id, 1 + (doc_id % 5) AS n, 30 + (doc_id % 60) AS delta
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (
+        |  SELECT doc_id, n, delta, k
+        |  FROM m, (SELECT UNNEST(range(0, 5)) AS k) r WHERE k < n)
+        |SELECT doc_id AS media_id,
+        |  CAST(doc_id % 100 + 1 AS BIGINT) AS track_id,
+        |  'avc1' AS codec,
+        |  CAST(16 + (doc_id % 64) AS INT) AS width,
+        |  CAST(16 + ((doc_id * 3) % 64) AS INT) AS height,
+        |  CAST(k AS INT) AS sample_idx,
+        |  CAST(527 + 4 * n + COALESCE(list_sum(list_transform(range(0, k),
+        |    j -> 1 + ((doc_id + j) % 9))), 0) AS BIGINT) AS "offset",
+        |  CAST(1 + ((doc_id + k) % 9) AS BIGINT) AS size,
+        |  CAST((k * delta * 1000) // 600 AS BIGINT) AS pts_ms,
+        |  CAST((doc_id * 7 + k * 13) % 256 AS INT) AS first_byte
+        |FROM s""".stripMargin),
+    ("mm_meta",
+      ((s, dir) =>
+      Multimodal.extractMeta(Multimodal.synthesize(docs(s, dir)))
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.size_bytes").as("size_bytes"))),
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+        |  CASE WHEN doc_id % 4 IN (0, 1)
+        |    THEN CAST(64 + doc_id % 1024 AS INT) END AS width,
+        |  CASE WHEN doc_id % 4 IN (0, 1)
+        |    THEN CAST(64 + (doc_id * 7) % 1024 AS INT) END AS height,
+        |  CASE
+        |    WHEN doc_id % 4 = 2 THEN
+        |      (CAST(strlen(text) AS BIGINT) * 100 * 1000)
+        |        // ((8000 + (doc_id % 5) * 8000) * (1 + doc_id % 2) * 2)
+        |    WHEN doc_id % 4 = 3 THEN CAST(strlen(text) AS BIGINT) * 50
+        |  END AS duration_ms,
+        |  CAST(strlen(text) AS BIGINT) +
+        |    CASE doc_id % 4 WHEN 0 THEN 41 WHEN 1 THEN 45
+        |      WHEN 2 THEN 44 ELSE 136 END AS size_bytes
+        |FROM documents""".stripMargin),
+    // multimodal: REAL WAV/PCM audio decode (JDK javax.sound.sampled) —
+    // per-file sample stats (the silence/clipping/length gates an audio
+    // corpus filters on); the oracle recomputes every int16 sample from
+    // the payload bytes (hex-string byte extraction) and replays
+    // rms/peak exactly
+    ("mm_audio",
+      ((s, dir) =>
+      Multimodal.audioStats(Multimodal.synthesize(docs(s, dir)))),
+      // the oracle recomputes what the REAL header parsers must read back
+          // from the deterministic fixture headers (doc_id-derived dims/rates,
+          // UTF-8 payload bytes appended after a fixed-size header)
+      """WITH wav AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) AS sample_rate
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |s AS (
+        |  SELECT doc_id, channels, sample_rate,
+        |    ((len(hx) // 2) // (2 * channels)) * channels AS nsamples, hx
+        |  FROM wav),
+        |sam AS (
+        |  SELECT doc_id, channels, sample_rate, nsamples,
+        |    list_transform(range(0, nsamples), k ->
+        |      CASE WHEN CAST(('0x' || substr(hx, 4*k+3, 2)
+        |                        || substr(hx, 4*k+1, 2)) AS INT) >= 32768
+        |        THEN CAST(('0x' || substr(hx, 4*k+3, 2)
+        |                     || substr(hx, 4*k+1, 2)) AS INT) - 65536
+        |        ELSE CAST(('0x' || substr(hx, 4*k+3, 2)
+        |                     || substr(hx, 4*k+1, 2)) AS INT) END) AS ss
+        |  FROM s)
+        |SELECT doc_id AS media_id, sample_rate, channels,
+        |  CAST(nsamples AS BIGINT) AS n_samples,
+        |  ROUND(CASE WHEN nsamples = 0 THEN 0.0
+        |    ELSE sqrt(list_sum(list_transform(ss,
+        |           x -> CAST(x AS DOUBLE) * x)) / nsamples) END, 2) AS rms,
+        |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0)
+        |    AS INTEGER) AS peak
+        |FROM sam""".stripMargin),
+    // multimodal: frame sampling with REAL image decode (JDK ImageIO) —
+    // image rows yield the full packed-RGB raster + a 16x16 thumbnail
+    // (so frame_bytes = w*h*3 + 768, oracle-recomputable from doc_id);
+    // wav/mp4 rows keep the declared FakeCodec slices (lengths are a
+    // pure function of the payload size, also oracle-recomputable)
+    ("mm_frames",
+      ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.synthesizeDecodable(docs(s, dir)))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("frame_bytes"))),
+      // image rows: ImageIO-decoded raster (w*h*3) + 16x16 thumbnail (768);
+          // av rows: 3 FakeCodec slices, each min(16, L - (idx*7 % L)) bytes
+          // of an L-byte file (payload + fixed header)
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 32 AS w,
+        |    8 + (doc_id * 7) % 32 AS h,
+        |    CAST(strlen(text) AS BIGINT) +
+        |      CASE WHEN doc_id % 4 = 2 THEN 44 ELSE 136 END AS L,
+        |    ((CAST(strlen(text) AS BIGINT) // (2 * (1 + doc_id % 2)))
+        |      * (1 + doc_id % 2)) AS ns
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 2
+        |    WHEN doc_id % 4 = 2 THEN
+        |      (CASE WHEN ns > 0 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN ns > 64 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN ns > 128 THEN 1 ELSE 0 END)
+        |    ELSE 3 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN w * h * 3 + 768
+        |    WHEN doc_id % 4 = 2 THEN
+        |      2 * least(16, ns) +
+        |      (CASE WHEN ns > 64 THEN 2 * least(16, ns - 64) ELSE 0 END) +
+        |      (CASE WHEN ns > 128 THEN 2 * least(16, ns - 128) ELSE 0 END)
+        |    ELSE least(16, L) + least(16, L - (28 % L)) + least(16, L - (56 % L))
+        |    END AS BIGINT) AS frame_bytes
+        |FROM m""".stripMargin),
+    // SFT conversation assembly: gap-sessionize each user's events,
+    // render every event as a templated turn, keep the prefix of turns
+    // that fits the token budget, drop sub-2-turn conversations, and
+    // emit the transcript — the record a chat-template tokenizer
+    // consumes. Whole pipeline (sessionize, per-conv running token sum,
+    // ordered render) replays in SQL; the epoch-second gap test is
+    // floor-exact in both engines.
+    ("td_sft_assemble",
+      ((s, dir) => graft.operators.Conversations.assemble(
+        s.read.parquet(s"$dir/events.parquet"), gapMinutes = 1440)),
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    event_type || ' value=' ||
+        |      CAST(ROUND(value * 100) AS BIGINT) || ' k=' ||
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      AS turn_text
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(epoch(ts) AS BIGINT)
+        |        - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 86400
+        |    THEN 1 ELSE 0 END AS new_conv
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT *, SUM(new_conv) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS conv,
+        |    len(string_split(turn_text, ' ')) AS turn_tokens
+        |  FROM s),
+        |x AS (
+        |  SELECT *, SUM(turn_tokens) OVER (PARTITION BY user_id, conv
+        |      ORDER BY ts, event_id) AS cum,
+        |    COUNT(*) OVER (PARTITION BY user_id, conv) AS all_turns
+        |  FROM c)
+        |SELECT CAST(user_id AS VARCHAR) || '-' || CAST(conv AS VARCHAR)
+        |    AS conv_id,
+        |  user_id, COUNT(*) AS n_turns, MAX(all_turns) AS all_turns,
+        |  SUM(turn_tokens) AS total_tokens,
+        |  MAX(all_turns) > COUNT(*) AS truncated,
+        |  string_agg(turn_text, ' | ' ORDER BY ts, event_id) AS text
+        |FROM x WHERE cum <= 30
+        |GROUP BY user_id, conv HAVING COUNT(*) >= 2""".stripMargin),
+    // preference-pair assembly (the DPO/RLHF reward-pair shape): per
+    // (user, day) candidate group the highest- and lowest-scored events
+    // become (chosen, rejected); tied extremes are skipped (no
+    // preference signal); exact integer-cent margins
+    ("td_pref_pairs",
+      ((s, dir) => graft.operators.Conversations.preferencePairs(
+        s.read.parquet(s"$dir/events.parquet"))),
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY cents DESC, event_id) AS rn_hi,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY cents ASC, event_id) AS rn_lo,
+        |    COUNT(*) OVER (PARTITION BY user_id, day) AS n
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, day,
+        |    MAX(CASE WHEN rn_hi = 1 THEN event_id END) AS chosen_id,
+        |    MAX(CASE WHEN rn_hi = 1 THEN cents END) AS chosen_cents,
+        |    MAX(CASE WHEN rn_lo = 1 THEN event_id END) AS rejected_id,
+        |    MAX(CASE WHEN rn_lo = 1 THEN cents END) AS rejected_cents,
+        |    MAX(n) AS n_candidates
+        |  FROM r WHERE rn_hi = 1 OR rn_lo = 1
+        |  GROUP BY user_id, day)
+        |SELECT CAST(user_id AS VARCHAR) || '-' || day AS pair_id,
+        |  user_id, day, chosen_id, rejected_id,
+        |  chosen_cents - rejected_cents AS margin_cents, n_candidates
+        |FROM g WHERE chosen_cents > rejected_cents""".stripMargin))
+}

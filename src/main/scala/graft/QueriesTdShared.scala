@@ -1,0 +1,304 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.SimHash64
+import graft.operators.{Collocations, Dedup, EvalMetrics, FilterFunnel, Multimodal, QualityClassifier, Quantization, Sampling, Similarity, TextQuality, Tokenizer, UrlFilter}
+
+/** Shared helpers + DuckDB oracle CTE fragments for the QueriesTd*
+  * family registries (split from [[QueriesTrainingData]], round 12):
+  * table readers, recall gates, pinned tokenizer vocabularies, and the
+  * text-prep/DSIR/jaccard/margin oracle SQL chains used by gates in
+  * more than one family.
+  */
+private[graft] object QueriesTdShared {
+  import Queries.Q
+
+  private[graft] def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private[graft] def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Recall gate for the approximate ANN variants, per query: join the
+    * approximate top-k against the exact brute-force top-k and assert a
+    * minimum hit count per qid. Both sides are deterministic (seeded
+    * kmeans/hyperplanes, deterministic tiebreaks), so the boolean is
+    * hash-stable and a SQL oracle can replay the expected all-true rows
+    * from the query-id list alone. */
+  private[graft] def perQidRecallGate(approx: org.apache.spark.sql.DataFrame,
+                               exact: org.apache.spark.sql.DataFrame,
+                               queries: org.apache.spark.sql.DataFrame,
+                               minHits: Int): org.apache.spark.sql.DataFrame = {
+    val hits = approx.select(col("qid"), col("id"))
+      .join(exact.select(col("qid"), col("id")), Seq("qid", "id"))
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    queries.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("h"), lit(0L)) >= minHits).as("recall_ok"))
+  }
+
+  /** Aggregate recall FLOOR across all queries (for the coarser
+    * approximations where per-query recall legitimately bottoms out at
+    * zero): total exact-top-k hits summed over every query must clear
+    * `minTotal`. Single-row output, oracle-replayable from the query
+    * count alone. */
+  private[graft] def totalRecallGate(approx: org.apache.spark.sql.DataFrame,
+                              exact: org.apache.spark.sql.DataFrame,
+                              queries: org.apache.spark.sql.DataFrame,
+                              minTotal: Int): org.apache.spark.sql.DataFrame = {
+    val hits = approx.select(col("qid"), col("id"))
+      .join(exact.select(col("qid"), col("id")), Seq("qid", "id"))
+    queries.select(col("qid")).agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hits.agg(count(lit(1)).as("total")))
+      .select(col("n_queries"),
+        (col("total") >= minTotal).as("recall_floor_ok"))
+  }
+
+
+  /** Pinned BPE merge table for `td_bpe_encode`: rank-ordered, chained
+    * so multi-level merges exercise the loop (e.g. `th`+`e</w>` only
+    * fires after both constituents). Counts are irrelevant to encode. */
+  private[graft] val FixedBpeMerges: Seq[Tokenizer.Merge] = Seq(
+    "e" -> "</w>", "t" -> "h", "th" -> "e</w>", "s" -> "</w>",
+    "i" -> "n", "a" -> "n", "an" -> "d", "and" -> "</w>",
+    "o" -> "</w>", "e" -> "r", "in" -> "g", "ing" -> "</w>",
+    "o" -> "n", "r" -> "e", "er" -> "</w>", "t" -> "</w>")
+    .zipWithIndex.map { case ((l, r), i) => Tokenizer.Merge(i, l, r, 0L) }
+
+  /** Pinned unigram-LM piece vocab for the SentencePiece-style encode
+    * (the deploy-time shape, like [[FixedBpeMerges]]): multi-char
+    * pieces chosen to segment the corpus vocabulary non-trivially, log
+    * probs with scattered 4-decimal values so distinct piece MULTISETS
+    * never sum to exact ties (same-multiset reorderings tie harmlessly:
+    * score and piece count — the gated scalars — are equal). */
+  private[graft] val FixedUnigramVocab: Seq[(String, Double)] = Seq(
+    "ta" -> -1.8231, "ble" -> -2.1457, "cus" -> -2.3318,
+    "tom" -> -2.2104, "er" -> -1.2716, "or" -> -1.4105,
+    "der" -> -2.0873, "st" -> -1.5642, "ream" -> -2.4536,
+    "win" -> -2.1987, "dow" -> -2.2659, "spark" -> -2.8714,
+    "val" -> -2.0395, "ue" -> -1.6248, "que" -> -2.1529,
+    "ry" -> -1.5873, "co" -> -1.5218, "lu" -> -2.2483,
+    "mn" -> -2.5361, "data" -> -2.6107, "sc" -> -1.9428,
+    "an" -> -1.3264, "gr" -> -2.0816, "oup" -> -2.3149,
+    "jo" -> -2.1372, "in" -> -1.3581, "ha" -> -1.7293,
+    "sh" -> -1.7864, "li" -> -1.8535, "ne" -> -1.4377,
+    "me" -> -1.7148, "rge" -> -2.4291, "so" -> -1.8609,
+    "rt" -> -1.6425, "fi" -> -1.9037, "lter" -> -2.5874,
+    "ba" -> -1.8164, "tch" -> -2.3725, "sm" -> -2.0542,
+    "all" -> -1.9876, "slo" -> -2.4158, "fa" -> -1.9342,
+    "big" -> -2.5419, "key" -> -2.4783, "row" -> -2.3956,
+    "agg" -> -2.4617, "du" -> -1.9751, "ve" -> -1.8427,
+    "ctor" -> -2.6835, "pa" -> -1.8946, "the" -> -2.1064,
+    "w" -> -3.2145, "p" -> -3.4268, "a" -> -2.9517)
+  private[graft] val UnigramFallback = -4.1037
+
+  /** Pinned WordPiece vocab for the greedy longest-match encode: all
+    * 26 letters as both initial and `##`-continuation pieces (so every
+    * alphabetic word segments — [UNK] only for non-alpha tokens), plus
+    * multi-char pieces chosen so the corpus vocabulary splits
+    * non-trivially (full words, 2-piece splits, and greedy
+    * longest-match decisions like `scan` > `sc` all occur). */
+  private[graft] val FixedWordpieceVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++
+      ('a' to 'z').map(c => s"##$c") ++ Seq(
+      "ta", "tab", "cust", "wind", "str", "spark", "qu", "col", "da",
+      "scan", "sc", "sp", "gr", "join", "ha", "li", "mer", "so", "fil",
+      "bat", "sm", "sl", "fa", "big", "key", "row", "ag", "val", "ve",
+      "par", "or", "the",
+      "##le", "##om", "##er", "##ow", "##eam", "##ery", "##umn", "##ta",
+      "##oup", "##sh", "##ne", "##ge", "##rt", "##ter", "##ch", "##all",
+      "##st", "##ue", "##ctor", "##der", "##ark")
+
+  /** Deterministic URL synthesis tables for `td_urlfilter` (hosts keyed
+    * by doc_id % 8, path prefixes by doc_id % 5 — co-prime moduli so
+    * every combination occurs). */
+  private[graft] val UrlHosts = Seq(
+    "news.example.com", "blog.sample.org", "spam.bad-site.com",
+    "tracker.ads-network.net", "docs.example.com", "shop.example.co.uk",
+    "mirror.bad-site.com", "wiki.opencorpus.org")
+  private[graft] val UrlPaths = Seq(
+    "/articles/", "/ads/banner/", "/posts/", "/guide/", "/click/")
+
+  /** DuckDB list literal from a Scala string seq. */
+  private[graft] def duckList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Unigram-encode oracle CTE chain: enumerate EVERY segmentation
+    * path of every distinct corpus word under the pinned vocab
+    * (feasible because the synthetic vocabulary is small), with the
+    * same left-to-right log-prob additions the Spark DP performs —
+    * `done` holds every complete path's (score, piece count), `best`
+    * the per-word max score. */
+  private[graft] lazy val unigramCte = {
+    val vocabVals = FixedUnigramVocab
+      .map { case (p, lp) => s"('$p', $lp)" }.mkString(", ")
+    s"""WITH RECURSIVE vocab(piece, lp) AS (VALUES $vocabVals),
+       |words AS (
+       |  SELECT DISTINCT unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'),
+       |    x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |pos AS (SELECT word, unnest(range(0, len(word))) AS i FROM words),
+       |ext AS (
+       |  SELECT p.word, p.i, len(v.piece) AS plen, v.lp
+       |  FROM pos p
+       |  JOIN vocab v ON substr(p.word, p.i + 1, len(v.piece)) = v.piece
+       |  UNION ALL
+       |  SELECT p.word, p.i, 1, $UnigramFallback
+       |  FROM pos p WHERE NOT EXISTS (
+       |    SELECT 1 FROM vocab v
+       |    WHERE v.piece = substr(p.word, p.i + 1, 1))),
+       |paths AS (
+       |  SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS score, 0 AS np
+       |  FROM words
+       |  UNION ALL
+       |  SELECT pa.word, pa.pos + e.plen, pa.score + e.lp, pa.np + 1
+       |  FROM paths pa JOIN ext e ON e.word = pa.word AND e.i = pa.pos
+       |  WHERE pa.pos + e.plen <= len(pa.word)),
+       |done AS (SELECT word, score, np FROM paths WHERE pos = len(word)),
+       |best AS (SELECT word, MAX(score) AS s FROM done GROUP BY 1)
+       |""".stripMargin
+  }
+
+  /** Shared DuckDB text-prep CTEs. */
+  private[graft] val wordsOnlyCte =
+    """WITH ws AS (
+      |  SELECT doc_id, lang, source, n_chars, text,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |                w -> len(w) > 0) AS w
+      |  FROM documents)
+      |""".stripMargin
+
+  /** Shared DSIR CTE chain: full-precision per-doc bigram
+    * log-likelihood-ratio weights as `dw(doc_id, n_bigrams, li)`. */
+  private[graft] val dsirCore = wordsOnlyCte +
+    """, rb AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i + 1])) AS b
+      |  FROM ws WHERE len(w) >= 2),
+      |craw AS (SELECT b, COUNT(*) AS n_raw FROM rb GROUP BY 1),
+      |ctgt AS (SELECT b, COUNT(*) AS n_tgt FROM rb
+      |         WHERE lang = 'en' GROUP BY 1),
+      |consts AS (SELECT
+      |  (SELECT COUNT(*) FROM craw) AS v,
+      |  (SELECT COUNT(*) FROM rb) AS nr,
+      |  (SELECT COUNT(*) FROM rb WHERE lang = 'en') AS nt),
+      |dw AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    AVG(
+      |      ln((COALESCE(n_tgt, 0) + 0.1) / (nt + 0.1 * v)) -
+      |      ln((n_raw + 0.1) / (nr + 0.1 * v))) AS li
+      |  FROM rb JOIN craw USING (b) LEFT JOIN ctgt USING (b), consts
+      |  GROUP BY doc_id)
+      |""".stripMargin
+
+  private[graft] val wordsCte =
+    wordsOnlyCte.stripSuffix("\n").stripSuffix(")") +
+      """),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(0, greatest(len(w) - 2, 0)),
+        |      i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        |  FROM ws)
+        |""".stripMargin
+
+  private[graft] val jaccardSql =
+    wordsCte +
+      """, sized AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+        |freq AS (SELECT sh, COUNT(*) AS f FROM sh GROUP BY 1),
+        |filtered AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq USING (sh)
+        |             WHERE f <= 1000),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM filtered a JOIN filtered b
+        |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sized sa ON sa.doc_id = id_a
+        |  JOIN sized sb ON sb.doc_id = id_b)
+        |WHERE jaccard >= 0.5""".stripMargin
+
+  private[graft] def langHits(lang: String, stops: Seq[String]): String = {
+    val lst = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"len(list_filter(list_distinct(w), x -> list_contains($lst, x))) AS $lang"
+  }
+
+  /** Mirrors [[TextFunctions.htmlToText]] rule-for-rule: same synthetic
+    * wrap as the Spark query, then the identical strip/decode/collapse
+    * chain (the patterns are from the Java/RE2 common subset, so the two
+    * engines must rewrite identically). */
+  private[graft] val htmlExtractSql: String = {
+    val strip = Seq(
+      "(?is)<script[^>]*>.*?</script>",
+      "(?is)<style[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "(?s)</?[A-Za-z!][^>]*>")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val stripped = strip.foldLeft("html")(
+      (acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')")
+    val decoded = entities.foldLeft(stripped) { case (acc, (e, r)) =>
+      val rep = if (r == "'") "''" else r
+      s"regexp_replace($acc, '$e', '$rep', 'g')"
+    }
+    """WITH wrapped AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>T</title><style>p{color:red}</style>'
+      |    || '</head><body><h1>' || source || '</h1><!-- hidden --><p>'
+      |    || substr(text, 1, 200)
+      |    || ' &quot;A&#39;s&quot; &lt;tag&gt; B&amp;C</p>'
+      |    || '<script>var x = 1 < 2;</script></body></html>' AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |""".stripMargin +
+      s"  trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS text_clean\n" +
+      "FROM wrapped"
+  }
+
+  /** One row per gate: (name, query, oracle SQL) — a gate reads as
+    * ONE unit (the twin-map layout, query here / oracle hundreds of
+    * lines below, was a recurring editing hazard). Helper CTE vals
+    * stay declared above so object-init order is safe. */
+  /** Shared by `emb_margin_mining` (brute), `emb_margin_mining_ivf`
+    * (cell-routed, broadcast x) and `emb_margin_mining_cells`
+    * (cell-routed, shuffled) — the celled forms run at nprobe=nlist,
+    * which is lossless, so the same all-pairs SQL is the exact oracle
+    * for all three. */
+  private[graft] val marginMiningOracle: String =
+      """WITH s AS (
+        |  SELECT x.vec_id AS xid, y.vec_id AS yid,
+        |    ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+        |      y.embedding::DOUBLE[]), 6) AS cosine,
+        |    CAST(ROUND(ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+        |      y.embedding::DOUBLE[]), 6) * 1e6) AS BIGINT) AS c6
+        |  FROM embeddings x, embeddings y
+        |  WHERE x.label % 2 = 0 AND y.label % 2 = 1),
+        |ax AS (
+        |  SELECT xid, CAST(SUM(c6) AS DOUBLE) / 4000000.0 AS avg_x
+        |  FROM (SELECT xid, c6, ROW_NUMBER() OVER (PARTITION BY xid
+        |      ORDER BY cosine DESC, yid) AS r FROM s)
+        |  WHERE r <= 4 GROUP BY xid),
+        |ay AS (
+        |  SELECT yid, CAST(SUM(c6) AS DOUBLE) / 4000000.0 AS avg_y
+        |  FROM (SELECT yid, c6, ROW_NUMBER() OVER (PARTITION BY yid
+        |      ORDER BY cosine DESC, xid) AS r FROM s)
+        |  WHERE r <= 4 GROUP BY yid),
+        |m AS (
+        |  SELECT s.xid, s.yid, s.cosine,
+        |    ROUND(s.cosine / ((avg_x + avg_y) / 2), 4) AS margin
+        |  FROM s JOIN ax USING (xid) JOIN ay USING (yid))
+        |SELECT xid, yid, cosine, margin FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY xid
+        |      ORDER BY margin DESC, yid) AS r
+        |  FROM m WHERE margin >= 1.02)
+        |WHERE r = 1""".stripMargin
+}

@@ -1,0 +1,1102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.SimHash64
+import graft.operators.{Collocations, Dedup, EvalMetrics, FilterFunnel, Multimodal, QualityClassifier, Quantization, Sampling, Similarity, TextQuality, Tokenizer, UrlFilter}
+
+/** Text-analysis gates: stats, language id, quality scores, PII,
+  * tokenizers (BPE/unigram/WordPiece), IR metrics, html extraction.
+  *
+  * Split from [[QueriesTrainingData]] (round 12) along the COVERAGE.md
+  * family boundaries; the folded `gated` registry shape is unchanged and
+  * [[QueriesTrainingData.gated]] concatenates the families. Shared
+  * helpers/oracle CTEs live in [[QueriesTdShared]].
+  */
+private[graft] object QueriesTdText {
+  import Queries.Q
+  import QueriesTdShared._
+
+  val gated: Seq[(String, Q, String)] = Seq(
+    // token counting + quality scoring + fingerprint
+    ("text_stats",
+      ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).as("n_words"),
+        TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+        TextFunctions.stopwordCount(col("text")).as("n_stopwords"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))),
+      (wordsOnlyCte +
+      """SELECT doc_id,
+        |  CAST(len(w) AS INT) AS n_words,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_tokens_bpe,
+        |  CAST(len(list_filter(w, x -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it','for',
+        |     'on','with','as','at','by','this','that'], x))) AS INT)
+        |    AS n_stopwords,
+        |  ROUND((
+        |    least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) +
+        |    least(CAST(len(list_filter(w, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','for',
+        |       'on','with','as','at','by','this','that'], x))) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), 1.0) * 4.0, 1.0) +
+        |    CAST(len(list_distinct(w)) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), 1.0) +
+        |    (1.0 - least(CAST(len(regexp_extract_all(text,
+        |      '[^a-zA-Z0-9\s]')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+        |  ) / 4.0, 4) AS quality,
+        |  md5(array_to_string(list_sort(list_distinct(w)), ' '))
+        |    AS fingerprint
+        |FROM ws""".stripMargin)),
+    // language id (stopword-profile heuristic)
+    ("text_langid",
+      ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+      (s"""WITH ws AS (
+         |  SELECT doc_id, list_distinct(list_filter(
+         |    string_split_regex(lower(text), '\\s+'),
+         |    w -> len(w) > 0)) AS w
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id,
+         |    ${langHits("de", Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))},
+         |    ${langHits("en", Seq("the", "and", "is", "of", "to", "in", "that", "it"))},
+         |    ${langHits("es", Seq("el", "la", "de", "que", "y", "los", "es", "un"))},
+         |    ${langHits("fr", Seq("le", "la", "les", "de", "et", "est", "un", "une"))},
+         |    ${langHits("zh", Seq("的", "是", "不", "了", "在", "人", "有", "我"))}
+         |  FROM ws)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+         |       WHEN zh >= greatest(de, en, es, fr) THEN 'zh'
+         |       WHEN fr >= greatest(de, en, es) THEN 'fr'
+         |       WHEN es >= greatest(de, en) THEN 'es'
+         |       WHEN en >= de THEN 'en'
+         |       ELSE 'de' END AS lang_pred
+         |FROM hits""".stripMargin)),
+    // Unicode normalization: deterministic spikes with DECOMPOSED
+    // sequences, combining marks, ß/ø (no decomposition) — NFC and
+    // accent-strip must agree byte-for-byte with DuckDB's
+    // nfc_normalize/strip_accents (different Unicode implementations,
+    // same standard)
+    ("td_unicode_norm",
+      ((s, dir) => {
+      val spikes = Seq("Café au lait", "münchen straße",
+        "ñoño øre", "plain ascii only")
+      val sp = element_at(array(spikes.map(lit): _*),
+        pmod(col("doc_id"), lit(4)).cast("int") + 1)
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.nfc(sp).as("nfc"),
+        TextFunctions.stripAccents(sp).as("plain"))
+    }),
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'Cafe' || chr(769) || ' au lait'
+        |      WHEN 1 THEN 'mu' || chr(776) || 'nchen stra' || chr(223) || 'e'
+        |      WHEN 2 THEN 'n' || chr(771) || 'on' || chr(771) || 'o '
+        |                    || chr(248) || 're'
+        |      ELSE 'plain ascii only' END AS s
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(s) AS nfc, strip_accents(s) AS plain
+        |FROM sp""".stripMargin),
+    // PII scrubbing: deterministic PII is injected (the corpus has none)
+    // and the redaction chain must strip it — the oracle replays the
+    // exact regex rewrite, so engine-for-engine behavior is hash-checked
+    ("td_pii_scrub",
+      ((s, dir) => {
+      val spiked = docs(s, dir).withColumn("s", concat(
+        col("text"),
+        lit(" Contact: user"), col("doc_id"), lit("@mail.example.com"),
+        lit(", tel +1 (202) 555-01"), pmod(col("doc_id"), lit(100)),
+        lit(", ip 192.168."), pmod(col("doc_id"), lit(255)), lit(".7")))
+      spiked.select(col("doc_id"),
+        TextFunctions.redactPii(col("s"))
+          .substr(length(col("text")) + 1, lit(200)).as("tail"))
+    }),
+      """WITH spiked AS (
+        |  SELECT doc_id, text,
+        |    text || ' Contact: user' || doc_id || '@mail.example.com'
+        |      || ', tel +1 (202) 555-01' || (doc_id % 100)
+        |      || ', ip 192.168.' || (doc_id % 255) || '.7' AS s
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+        |      '\+?[0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g')
+        |      AS r
+        |  FROM spiked)
+        |SELECT doc_id, substr(r, length(text) + 1, 200) AS tail
+        |FROM red""".stripMargin),
+    // PII: Luhn-validated card redaction + SSN. Five spiked candidates
+    // per doc_id%5 — three Luhn-valid (Visa 16, MC dashed 16, Amex 15),
+    // two invalid that must fall through to the [PHONE] recall rule —
+    // plus an SSN on even ids. The oracle replays the whole chain
+    // including the Luhn fold (list_reduce + nested lambdas).
+    ("td_pii_cards",
+      ((s, dir) => {
+      val cards = Seq("4111 1111 1111 1111", "5500-0000-0000-0004",
+        "378282246310005", "1234 5678 9012 3456", "4111111111111112")
+      val card = element_at(array(cards.map(lit): _*),
+        pmod(col("doc_id"), lit(5)).cast("int") + 1)
+      val spiked = docs(s, dir).withColumn("s", concat(col("text"),
+        lit(" card "), card,
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit(" ssn 123-45-6789")).otherwise(lit("")),
+        lit(" end")))
+      spiked.select(col("doc_id"),
+        TextFunctions.redactPiiAll(col("s"))
+          .substr(length(col("text")) + 1, lit(200)).as("tail"))
+    }),
+      """WITH spiked AS (
+        |  SELECT doc_id, text,
+        |    text || ' card ' ||
+        |    (CASE doc_id % 5
+        |       WHEN 0 THEN '4111 1111 1111 1111'
+        |       WHEN 1 THEN '5500-0000-0000-0004'
+        |       WHEN 2 THEN '378282246310005'
+        |       WHEN 3 THEN '1234 5678 9012 3456'
+        |       ELSE '4111111111111112' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ' ssn 123-45-6789' ELSE '' END)
+        |    || ' end' AS s
+        |  FROM documents),
+        |em AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+        |      'g') AS s
+        |  FROM spiked),
+        |carded AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_prepend(s, list_filter(
+        |      regexp_extract_all(s, '\b[0-9](?:[ -]?[0-9]){12,18}\b'),
+        |      c -> (len(regexp_replace(c, '[^0-9]', '', 'g'))
+        |              BETWEEN 13 AND 19
+        |        AND list_sum(list_transform(
+        |          range(0, len(regexp_replace(c, '[^0-9]', '', 'g'))), i ->
+        |          CASE WHEN i % 2 = 1 THEN
+        |            CASE WHEN 2*CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'),
+        |                   len(regexp_replace(c, '[^0-9]', '', 'g')) - i, 1)
+        |                   AS INT) > 9
+        |              THEN 2*CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'),
+        |                   len(regexp_replace(c, '[^0-9]', '', 'g')) - i, 1)
+        |                   AS INT) - 9
+        |              ELSE 2*CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'),
+        |                   len(regexp_replace(c, '[^0-9]', '', 'g')) - i, 1)
+        |                   AS INT) END
+        |          ELSE CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'),
+        |                 len(regexp_replace(c, '[^0-9]', '', 'g')) - i, 1)
+        |                 AS INT) END)) % 10 = 0))),
+        |      (acc, c) -> replace(acc, c, '[CARD]')) AS s
+        |  FROM em),
+        |red AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(s,
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+        |      '\+?[0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g') AS r
+        |  FROM carded)
+        |SELECT doc_id, substr(r, length(text) + 1, 200) AS tail
+        |FROM red""".stripMargin),
+    // C4-style sentence-level filtering: documents re-punctuated
+    // deterministically (a period every 6th word + an appended 1-word
+    // "Hi." sentence + a naturally unterminated tail), then split on
+    // terminal punctuation, short sentences dropped, doc rebuilt from
+    // survivors — the oracle replays the spike, the split, the filter,
+    // and the byte-exact rebuilt text.
+    ("td_sentence_filter",
+      ((s, dir) => {
+      val d = docs(s, dir)
+      val w = TextFunctions.words(col("text"))
+      val spiked = concat(
+        concat_ws(" ", transform(w, (x, i) =>
+          concat(x, when(pmod(i + 1, lit(6)) === 0, lit("."))
+            .otherwise(lit(""))))),
+        lit(" Hi."))
+      graft.operators.TextQuality.sentenceFilter(
+          d.select(col("doc_id"), spiked.as("text")), "doc_id", "text")
+        .select(col("doc_id"), col("n_sentences"), col("n_kept"),
+          md5(col("text_clean")).as("clean_md5"))
+    }),
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(1, len(w) + 1),
+        |      i -> w[i] || CASE WHEN i % 6 = 0 THEN '.' ELSE '' END),
+        |      ' ') || ' Hi.' AS t
+        |  FROM w),
+        |sents AS (
+        |  SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]+') AS ss
+        |  FROM sp),
+        |k AS (
+        |  SELECT doc_id, ss,
+        |    list_filter(ss, s -> len(list_filter(
+        |      string_split_regex(trim(s), '\s+'),
+        |      x -> len(x) > 0)) >= 3) AS kept
+        |  FROM sents)
+        |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sentences,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(list_transform(kept, s -> trim(s)), ' '))
+        |    AS clean_md5
+        |FROM k""".stripMargin),
+    // vocabulary/token-frequency table (tokenizer-training input):
+    // global word counts, min-count floor, deterministic top-100
+    ("td_vocab",
+      ((s, dir) =>
+      operators.Decontamination.vocab(docs(s, dir), "text", minCount = 50)
+        .orderBy(desc("n"), asc("word")).limit(100)),
+      """WITH ws AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                     w -> len(w) > 0) AS w
+        |  FROM documents),
+        |words AS (SELECT unnest(w) AS word FROM ws)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM words GROUP BY word HAVING COUNT(*) >= 50
+        |ORDER BY n DESC, word LIMIT 100""".stripMargin),
+    // BM25 keyword retrieval — the lexical half of the retrieval
+    // surface (ANN is the semantic half). Terms span the df spectrum
+    // ("dup" is rare → high idf; the others near-ubiquitous) so the
+    // scores exercise both idf regimes. Rounded-score + doc_id
+    // ordering makes the top-50 cut engine-stable.
+    ("td_bm25",
+      ((s, dir) =>
+      operators.KeywordSearch.bm25(docs(s, dir), "doc_id", "text",
+        Seq("dup", "vector", "key"), topK = 50)),
+      """WITH dld AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS INT) AS dl, w FROM dld),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |m AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(w) AS term FROM dl)
+        |  WHERE term IN ('dup', 'vector', 'key')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(*) AS df FROM m GROUP BY 1),
+        |s AS (
+        |  SELECT m.doc_id, m.dl, m.tf,
+        |    ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |      (m.tf * 2.2) /
+        |      (m.tf + 1.2 * (0.25 + 0.75 * m.dl / stats.avgdl)) AS s
+        |  FROM m, df, stats WHERE m.term = df.term)
+        |SELECT doc_id, dl, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(tf) AS BIGINT) AS sum_tf, ROUND(SUM(s), 4) AS score
+        |FROM s GROUP BY 1, 2
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin),
+    // TF-IDF top-3 keywords per doc (keyword-extraction dual of BM25);
+    // per-doc cut compiles to WindowGroupLimit. Bounded to a
+    // deterministic doc subset to keep the gate output small.
+    ("td_tfidf_terms",
+      ((s, dir) =>
+      operators.KeywordSearch.tfIdfTopTerms(
+        docs(s, dir).filter(pmod(col("doc_id"), lit(29)) === 0),
+        "doc_id", "text", topN = 3)),
+      """WITH dld AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS w
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |dl AS (SELECT doc_id, CAST(len(w) AS INT) AS dl, w FROM dld),
+        |n AS (SELECT COUNT(*) AS n_docs FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(w) AS term FROM dl)
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    ROUND((CAST(tf.tf AS DOUBLE) / tf.dl) *
+        |      ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+        |  FROM tf, df, n WHERE tf.term = df.term),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+        |  CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin),
+    // Gopher-style quality rule suite: per-doc metrics + composite pass
+    // flag — a single codegen'd map pass, no shuffle (the per-doc gate
+    // every web-scale curation pipeline runs first)
+    ("td_gopher_quality",
+      ((s, dir) =>
+      TextQuality.gopherQuality(docs(s, dir), "doc_id", "text")),
+      (wordsOnlyCte +
+      """, m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS DOUBLE) AS nw,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS cw,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) AS sym,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS DOUBLE) AS alpha,
+        |    len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS hits
+        |  FROM ws),
+        |r AS (
+        |  SELECT doc_id, nw, hits,
+        |    ROUND(cw / greatest(nw, 1.0), 4) AS mwl,
+        |    ROUND(sym / greatest(nw, 1.0), 4) AS symr,
+        |    ROUND(alpha / greatest(nw, 1.0), 4) AS alphaf
+        |  FROM m)
+        |SELECT doc_id, CAST(nw AS INT) AS n_words, mwl AS mean_word_len,
+        |  symr AS symbol_ratio, alphaf AS alpha_word_frac,
+        |  CAST(hits AS INT) AS stopword_hits,
+        |  (nw >= 30 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |    AND symr < 0.1 AND alphaf > 0.80 AND hits >= 2) AS pass
+        |FROM r""".stripMargin)),
+    // within-doc repetition metrics (Gopher repetition family): most
+    // frequent 2-gram char coverage + duplicate-chunk char fraction
+    ("td_repetition",
+      ((s, dir) =>
+      TextQuality.repetition(docs(s, dir), "doc_id", "text")),
+      (wordsOnlyCte +
+      """, grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+        |    list_transform(range(0, len(w) - 1),
+        |      i -> array_to_string(w[i+1:i+2], ' '))
+        |    ELSE [] END) AS g
+        |  FROM ws),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, cnt AS top_cnt, g AS top_g FROM (
+        |    SELECT doc_id, cnt, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt DESC, g DESC) AS rn
+        |    FROM gc) WHERE rn = 1),
+        |chunks AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) > 0 THEN
+        |    list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+        |      i -> array_to_string(w[i*10+1:i*10+10], ' '))
+        |    ELSE [] END) AS c
+        |  FROM ws),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM chunks GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT doc_id, SUM(len(c) * cnt) AS total_chars,
+        |    SUM(CASE WHEN cnt > 1 THEN len(c) * cnt ELSE 0 END) AS dup_chars
+        |  FROM cc GROUP BY 1),
+        |dc AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      AS word_chars
+        |  FROM ws)
+        |SELECT dc.doc_id AS id,
+        |  CAST(COALESCE(top_cnt, 0) AS BIGINT) AS top_gram_count,
+        |  ROUND(CAST(COALESCE(top_cnt * (length(top_g) - 1), 0) AS DOUBLE)
+        |    / greatest(word_chars, 1.0), 4) AS top_gram_frac,
+        |  ROUND(CAST(COALESCE(dup_chars, 0) AS DOUBLE)
+        |    / greatest(CAST(COALESCE(total_chars, 0) AS DOUBLE), 1.0), 4)
+        |    AS dup_chunk_frac
+        |FROM dc
+        |LEFT JOIN top ON top.doc_id = dc.doc_id
+        |LEFT JOIN cs ON cs.doc_id = dc.doc_id""".stripMargin)),
+    // cross-doc boilerplate scrub (CCNet/RefinedWeb line dedup): chunks
+    // seen in >= 2 distinct docs are boilerplate; per-doc survival stats
+    ("td_boilerplate",
+      ((s, dir) =>
+      TextQuality.boilerplateScrub(docs(s, dir), "doc_id", "text")),
+      (wordsOnlyCte +
+      """, chunks AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) > 0 THEN
+        |    list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+        |      i -> array_to_string(w[i*10+1:i*10+10], ' '))
+        |    ELSE [] END) AS c
+        |  FROM ws),
+        |freq AS (SELECT c, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
+        |SELECT doc_id AS id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(SUM(CASE WHEN df < 2 THEN len(c) ELSE 0 END) AS BIGINT)
+        |    AS kept_chars
+        |FROM chunks JOIN freq USING (c)
+        |GROUP BY 1""".stripMargin)),
+    // the scalar text library through the SQL surface: same GuardedSql
+    // path as l2 but over the registered COLUMN-composition functions
+    // (lang_id/token_count/doc_fingerprint) — proves the SQL registry
+    // produces the same codegen'd semantics the Column API does
+    ("l3_sql_text",
+      ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView("documents_guard")
+      graft.sql.GuardedSql.query(s,
+        """SELECT doc_id, lang_id(text) AS lang_pred,
+          |  token_count(text) AS n_toks, doc_fingerprint(text) AS fp
+          |FROM documents_guard ORDER BY doc_id LIMIT 9999""".stripMargin)
+        .withColumnRenamed("#", "row_num")
+    }),
+      (s"""WITH ws0 AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'),
+         |    w -> len(w) > 0) AS wall
+         |  FROM documents),
+         |ws AS (SELECT doc_id, list_distinct(wall) AS w, wall FROM ws0),
+         |hits AS (
+         |  SELECT doc_id, wall,
+         |    ${langHits("de", Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))},
+         |    ${langHits("en", Seq("the", "and", "is", "of", "to", "in", "that", "it"))},
+         |    ${langHits("es", Seq("el", "la", "de", "que", "y", "los", "es", "un"))},
+         |    ${langHits("fr", Seq("le", "la", "les", "de", "et", "est", "un", "une"))},
+         |    ${langHits("zh", Seq("的", "是", "不", "了", "在", "人", "有", "我"))}
+         |  FROM ws),
+         |out AS (
+         |  SELECT doc_id,
+         |    CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+         |         WHEN zh >= greatest(de, en, es, fr) THEN 'zh'
+         |         WHEN fr >= greatest(de, en, es) THEN 'fr'
+         |         WHEN es >= greatest(de, en) THEN 'es'
+         |         WHEN en >= de THEN 'en'
+         |         ELSE 'de' END AS lang_pred,
+         |    CAST(len(wall) AS INT) AS n_toks,
+         |    md5(array_to_string(list_sort(list_distinct(wall)), ' ')) AS fp
+         |  FROM hits)
+         |SELECT doc_id, lang_pred, n_toks, fp,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INT) AS row_num
+         |FROM out ORDER BY doc_id LIMIT 50""".stripMargin)),
+    // zlib-compressibility signal (RefinedWeb/FineWeb gate), emitted as
+    // the oracle-replayable codec properties: deflate+inflate round-trip
+    // byte-identity and the zlib size envelope per doc (the ratio values
+    // themselves stay spec-pinned on compressionRatio — no SQL engine
+    // replays deflate, but every SQL engine can assert the round-trip
+    // contract the signal depends on)
+    ("td_compress",
+      ((s, dir) =>
+      TextQuality.compressionRoundTrip(docs(s, dir), "doc_id", "text")),
+      """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+        |  true AS roundtrip_ok, true AS bounds_ok
+        |FROM documents""".stripMargin),
+    // perplexity-style quality scoring (CCNet shape): add-alpha bigram
+    // LM trained on the corpus itself, per-doc mean negative
+    // log-likelihood + perplexity
+    ("td_perplexity",
+      ((s, dir) =>
+      TextQuality.perplexity(docs(s, dir), "doc_id", "text", alpha = 0.1)),
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+        |v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS vsz FROM tok),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+        |      i -> {'w1': w[i+1], 'w2': w[i+2]})) AS b
+        |  FROM ws),
+        |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n
+        |       FROM bb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(n) AS DOUBLE) AS n_head
+        |       FROM c2 GROUP BY 1),
+        |sc AS (
+        |  SELECT bb.doc_id,
+        |    -ln((c2.n + 0.1) / (c1.n_head + 0.1 * v.vsz)) AS nll
+        |  FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(nll), 4) AS avg_nll, ROUND(EXP(AVG(nll)), 2) AS ppl
+        |FROM sc GROUP BY 1""".stripMargin),
+    // model-based quality filter (the GPT-3/CCNet classifier stage):
+    // seed labels from the heuristic quality score (top vs bottom half
+    // at the corpus median) on half the corpus, train the hashed-ngram
+    // logistic classifier, score the held-out half from TEXT alone.
+    // Emitted as the held-out generalization gate: predictions on the
+    // unseen half must agree with the heuristic labels on >= 60% of
+    // docs (measured 0.68-0.78 across SFs; training is deterministic —
+    // fixed partitioning, seeded init — so the aggregate is
+    // hash-stable). The float optimization itself stays spec-pinned
+    // (QualityClassifierSpec proves separation on planted data).
+    ("td_quality_classifier",
+      ((s, dir) => {
+      val d = docs(s, dir)
+      val stats = d.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"), col("text"))
+      val med = stats.stat.approxQuantile("q", Array(0.5), 0.001).head
+      val labeled = stats.select(col("doc_id"),
+        (col("q") >= med).cast("int").as("label"), col("text"))
+      // thousands of seed docs: a handful of partitions and a 2^16
+      // hash width carry them; 25 L-BFGS iterations converge the
+      // probabilities (see the train() doc on per-iteration cost)
+      val model = QualityClassifier.train(
+        labeled.filter(col("doc_id") % 2 === 0).coalesce(8),
+        "text", "label", numFeatures = 1 << 16, maxIter = 15)
+      QualityClassifier.score(
+          model, d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(labeled.select(col("doc_id").as("id"), col("label")), "id")
+        .agg(count(lit(1)).as("n_scored"),
+          (avg((col("quality_pred") === col("label")).cast("double"))
+            >= 0.6).as("acc_ok"))
+    }),
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_scored, true AS acc_ok
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin),
+    // URL/domain filtering (UT1-blocklist stage): deterministic URLs are
+    // synthesized from doc_id (the corpus has none), then the blocklist
+    // verdict — subdomain-suffix domain match, eTLD+1 extraction with a
+    // public-suffix excerpt, path-substring rules — is hash-checked
+    // against an oracle replaying the exact rules
+    ("td_urlfilter",
+      ((s, dir) => {
+      val d = docs(s, dir).withColumn("url", concat(lit("https://"),
+        element_at(typedLit(UrlHosts), (pmod(col("doc_id"), lit(8)) + 1).cast("int")),
+        element_at(typedLit(UrlPaths), (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+        col("doc_id")))
+      UrlFilter.flag(d, "url",
+          blockedDomains = Seq("bad-site.com", "ads-network.net"),
+          blockedPathParts = Seq("/ads/"))
+        .select(col("doc_id"), col("host"), col("registered_domain"),
+          col("reason"), col("blocked"))
+    }),
+      {
+      val hostList = UrlHosts.map(h => s"'$h'").mkString("[", ", ", "]")
+      val pathList = UrlPaths.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    $hostList[CAST(doc_id % 8 AS INT) + 1] AS host,
+         |    $pathList[CAST(doc_id % 5 AS INT) + 1] || doc_id AS path
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, host, path,
+         |    string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+         |  FROM u),
+         |e AS (
+         |  SELECT doc_id, host, path, ls, n,
+         |    array_to_string(ls[n-1:], '.') AS last2
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, host,
+         |    CASE WHEN last2 IN ('co.uk','org.uk','ac.uk','com.au','co.jp','com.br')
+         |        AND n >= 3
+         |      THEN array_to_string(ls[n-2:], '.') ELSE last2
+         |    END AS registered_domain,
+         |    CASE WHEN host = 'bad-site.com' OR host LIKE '%.bad-site.com'
+         |        OR host = 'ads-network.net' OR host LIKE '%.ads-network.net'
+         |      THEN 'domain'
+         |    WHEN path LIKE '%/ads/%' THEN 'path'
+         |    ELSE 'ok' END AS reason
+         |  FROM e)
+         |SELECT doc_id, host, registered_domain, reason,
+         |  reason <> 'ok' AS blocked
+         |FROM r""".stripMargin
+    }),
+    // URL canonicalization before url-dedup: messy deterministic URLs
+    // (mixed-case scheme, default ports, tracking params, fragments,
+    // trailing slashes) collapse to canonical form; the oracle replays
+    // the group-free rewrite byte-for-byte
+    ("td_url_canon",
+      ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        element_at(array(lit("https://"), lit("HTTPS://"), lit("http://")),
+          pmod(id, lit(3)).cast("int") + 1),
+        element_at(typedLit(UrlHosts), (pmod(id, lit(8)) + 1).cast("int")),
+        element_at(array(lit(""), lit(":443"), lit(":80")),
+          pmod(id, lit(3)).cast("int") + 1),
+        element_at(typedLit(UrlPaths), (pmod(id, lit(5)) + 1).cast("int")),
+        id,
+        element_at(array(lit("/"), lit("")),
+          pmod(id, lit(2)).cast("int") + 1),
+        element_at(array(lit("?utm_source=x&q=1"),
+          lit("?q=2&utm_campaign=y&gclid=g1"),
+          lit("?fbclid=f&utm_medium=z"), lit("")),
+          pmod(id, lit(4)).cast("int") + 1),
+        element_at(array(lit("#frag"), lit("")),
+          pmod(id, lit(2)).cast("int") + 1))
+      docs(s, dir).select(col("doc_id"), url.as("url"),
+        UrlFilter.canonicalUrl(url).as("canon"))
+    }),
+      (s"""WITH u AS (
+         |  SELECT doc_id,
+         |    (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTPS://'
+         |       ELSE 'http://' END)
+         |    || ${duckList(UrlHosts)}[CAST(doc_id % 8 AS INT) + 1]
+         |    || (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN ':443'
+         |          ELSE ':80' END)
+         |    || ${duckList(UrlPaths)}[CAST(doc_id % 5 AS INT) + 1]
+         |    || doc_id
+         |    || (CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END)
+         |    || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&q=1'
+         |          WHEN 1 THEN '?q=2&utm_campaign=y&gclid=g1'
+         |          WHEN 2 THEN '?fbclid=f&utm_medium=z' ELSE '' END)
+         |    || (CASE doc_id % 2 WHEN 0 THEN '#frag' ELSE '' END) AS url
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag
+         |  FROM u),
+         |sh0 AS (
+         |  SELECT doc_id, url, nofrag,
+         |    regexp_extract(nofrag,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS sh
+         |  FROM st),
+         |parts AS (
+         |  SELECT doc_id, url,
+         |    CASE WHEN lower(sh) LIKE 'http://%' AND lower(sh) LIKE '%:80'
+         |           THEN substr(lower(sh), 1, length(sh) - 3)
+         |         WHEN lower(sh) LIKE 'https://%' AND lower(sh) LIKE '%:443'
+         |           THEN substr(lower(sh), 1, length(sh) - 4)
+         |         ELSE lower(sh) END AS shp,
+         |    substr(nofrag, length(sh) + 1) AS tail
+         |  FROM sh0),
+         |pq AS (
+         |  SELECT doc_id, url, shp,
+         |    CASE WHEN strpos(tail, '?') = 0 THEN tail
+         |         ELSE substr(tail, 1, strpos(tail, '?') - 1) END AS p,
+         |    CASE WHEN strpos(tail, '?') = 0 THEN ''
+         |         ELSE substr(tail, strpos(tail, '?') + 1) END AS qs
+         |  FROM parts),
+         |canon AS (
+         |  SELECT doc_id, url, shp,
+         |    CASE WHEN p LIKE '%/' AND length(p) > 1
+         |         THEN substr(p, 1, length(p) - 1) ELSE p END AS p2,
+         |    list_filter(string_split(qs, '&'), x -> len(x) > 0
+         |      AND NOT regexp_matches(x,
+         |        '^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|ttclid|mc_eid)='))
+         |      AS ps
+         |  FROM pq)
+         |SELECT doc_id, url,
+         |  shp || p2 || (CASE WHEN len(ps) > 0
+         |    THEN '?' || array_to_string(ps, '&') ELSE '' END) AS canon
+         |FROM canon""".stripMargin)),
+    // HTML -> text extraction (the WET step of a crawl corpus): the
+    // documents are wrapped in a deterministic HTML envelope (tags,
+    // comments, script/style, encoded entities), then extracted; the
+    // oracle replays both the wrap and the strip
+    ("td_html_extract",
+      ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        concat(
+          lit("<html><head><title>T</title><style>p{color:red}</style>" +
+            "</head><body><h1>"),
+          col("source"),
+          lit("</h1><!-- hidden --><p>"), substring(col("text"), 1, 200),
+          lit(" &quot;A&#39;s&quot; &lt;tag&gt; B&amp;C</p>" +
+            "<script>var x = 1 < 2;</script></body></html>")).as("html"))
+        .select(col("doc_id"),
+          TextFunctions.htmlToText(col("html")).as("text_clean"))),
+      htmlExtractSql),
+    // ROUGE-2 eval metrics: each doc's 200-char prefix scored as a
+    // "summary" against the full text — distinct-bigram recall /
+    // precision / F1, map-only per-row set arithmetic the oracle
+    // replays with list functions
+    ("td_rouge",
+      ((s, dir) =>
+      EvalMetrics.rougeN(
+        docs(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 200).as("cand"),
+          col("text").as("ref")),
+        "cand", "ref", n = 2)
+        .select(col("doc_id"), col("n_cand"), col("n_ref"),
+          col("n_overlap"), col("recall"), col("precision"), col("f1"))),
+      """WITH pairs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(cw)),
+        |      i -> cw[i] || ' ' || cw[i + 1])) AS cs,
+        |    list_distinct(list_transform(range(1, len(rw)),
+        |      i -> rw[i] || ' ' || rw[i + 1])) AS rs
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(substr(text, 1, 200)),
+        |        '\s+'), w -> len(w) > 0) AS cw,
+        |      list_filter(string_split_regex(lower(text), '\s+'),
+        |        w -> len(w) > 0) AS rw
+        |    FROM documents)),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(cs) AS BIGINT) AS n_cand,
+        |    CAST(len(rs) AS BIGINT) AS n_ref,
+        |    CAST(len(list_intersect(cs, rs)) AS BIGINT) AS n_overlap
+        |  FROM pairs)
+        |SELECT doc_id, n_cand, n_ref, n_overlap,
+        |  CASE WHEN n_ref = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_overlap AS DOUBLE) / n_ref, 6) END AS recall,
+        |  CASE WHEN n_cand = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_overlap AS DOUBLE) / n_cand, 6)
+        |  END AS precision,
+        |  CASE WHEN n_cand + n_ref = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_overlap * 2 AS DOUBLE) / (n_cand + n_ref), 6)
+        |  END AS f1
+        |FROM m""".stripMargin),
+    // BLEU-2 eval metrics in log space with CLIPPED (multiset) n-gram
+    // counts — the real BLEU overlap next to td_rouge's distinct-set
+    // recall. Candidate = the doc's own token stream with every 11th
+    // word replaced by 'the' and every 7th dropped (deterministic
+    // corruption both engines replay), reference = the original words;
+    // only ln appears (never exp), so the log-BLEU doubles are
+    // bit-identical before the display round
+    ("td_bleu",
+      ((s, dir) => {
+      val w = TextFunctions.words(col("text"))
+      val sub = transform(w, (t, i) =>
+        when(pmod(i + 1, lit(11)) === 0, lit("the")).otherwise(t))
+      val cand = filter(sub, (t, i) => pmod(i + 1, lit(7)) =!= 0)
+      EvalMetrics.bleu2Log(
+        docs(s, dir).select(col("doc_id"), cand.as("cand"), w.as("ref")),
+        "doc_id", "cand", "ref")
+    }),
+      // tokens indexed once (1-based i = Spark's 0-based index + 1);
+          // candidate bigrams re-sequence over the FILTERED stream via lead()
+          // — matching the Spark side's post-filter array adjacency. The `+
+          // 0.0` normalizes IEEE -0.0 (the td_dsir precedent).
+      (wordsOnlyCte +
+      """, idx AS (
+        |  SELECT doc_id, w, len(w) AS n_ref,
+        |    unnest(range(1, len(w) + 1)) AS i
+        |  FROM ws),
+        |tok AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i % 11 = 0 THEN 'the' ELSE w[i] END AS t
+        |  FROM idx),
+        |candtok AS (SELECT doc_id, i, t FROM tok WHERE i % 7 <> 0),
+        |cn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        |  FROM candtok GROUP BY 1),
+        |cgrams AS (
+        |  SELECT doc_id, '1:' || t AS g FROM candtok
+        |  UNION ALL
+        |  SELECT doc_id, '2:' || t || ' ' || nxt AS g FROM (
+        |    SELECT doc_id, t,
+        |      LEAD(t) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        |    FROM candtok) WHERE nxt IS NOT NULL),
+        |rgrams AS (
+        |  SELECT doc_id, '1:' || unnest(w) AS g FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, '2:' || unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS g
+        |  FROM ws WHERE len(w) >= 2),
+        |cc AS (SELECT doc_id, g, COUNT(*) AS nc FROM cgrams GROUP BY 1, 2),
+        |rc AS (SELECT doc_id, g, COUNT(*) AS nr FROM rgrams GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN g LIKE '1:%' THEN LEAST(nc, nr) ELSE 0 END)
+        |      AS clip1,
+        |    SUM(CASE WHEN g LIKE '2:%' THEN LEAST(nc, nr) ELSE 0 END)
+        |      AS clip2
+        |  FROM cc JOIN rc USING (doc_id, g) GROUP BY 1)
+        |SELECT ws.doc_id,
+        |  COALESCE(cn.n_cand, 0) AS n_cand,
+        |  CAST(len(ws.w) AS BIGINT) AS n_ref,
+        |  CAST(COALESCE(cl.clip1, 0) AS BIGINT) AS clip1,
+        |  CAST(COALESCE(cl.clip2, 0) AS BIGINT) AS clip2,
+        |  CASE WHEN COALESCE(cn.n_cand, 0) < 2
+        |      OR COALESCE(cl.clip1, 0) = 0 OR COALESCE(cl.clip2, 0) = 0
+        |    THEN NULL
+        |    ELSE ROUND(
+        |      LEAST(0.0, 1.0 - CAST(len(ws.w) AS DOUBLE) /
+        |        CAST(cn.n_cand AS DOUBLE)) +
+        |      0.5 * (LN(CAST(cl.clip1 AS DOUBLE) /
+        |               CAST(cn.n_cand AS DOUBLE)) +
+        |             LN(CAST(cl.clip2 AS DOUBLE) /
+        |               CAST(cn.n_cand - 1 AS DOUBLE))), 4) + 0.0
+        |  END AS log_bleu
+        |FROM ws LEFT JOIN cn USING (doc_id) LEFT JOIN cl USING (doc_id)"""
+        .stripMargin)),
+    // PMI collocations over adjacent word bigrams (Church & Hanks):
+    // support-filtered bigram scores against the unigram expectation.
+    // Two hash aggregations + a broadcast totals row; the support
+    // filter cuts the pair set BEFORE the word-count joins. Only ln in
+    // the score — oracle-exact before the display round
+    ("td_pmi",
+      ((s, dir) =>
+      Collocations.pmiBigrams(docs(s, dir), "text", minCount = 20L)),
+      // same count pipeline, same ln association; totals from the raw
+          // streams (pre-support-filter), `+ 0.0` for IEEE -0.0
+      (wordsOnlyCte +
+      """, uni AS (SELECT unnest(w) AS t FROM ws),
+        |uc AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY 1),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS b
+        |  FROM ws WHERE len(w) >= 2),
+        |bc AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY 1
+        |  HAVING COUNT(*) >= 20),
+        |tot AS (SELECT (SELECT COUNT(*) FROM uni) AS nu,
+        |  (SELECT COUNT(*) FROM bg) AS nb)
+        |SELECT b AS bigram, CAST(cb AS BIGINT) AS cb,
+        |  CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+        |  ROUND(LN(
+        |    (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |    ((CAST(u1.c AS DOUBLE) / CAST(nu AS DOUBLE)) *
+        |     (CAST(u2.c AS DOUBLE) / CAST(nu AS DOUBLE)))), 4) + 0.0
+        |    AS pmi
+        |FROM bc JOIN uc u1 ON u1.t = string_split(b, ' ')[1]
+        |JOIN uc u2 ON u2.t = string_split(b, ' ')[2], tot""".stripMargin)),
+    // corpus statistics card: one ROLLUP pass publishes the per-
+    // (source, lang), per-source, and grand-total doc/char/token
+    // counts a data team reports with every corpus release. ROLLUP is
+    // partial-aggregation-friendly (each level is a re-aggregation of
+    // the finer one, all map-side combinable) — one shuffle keyed on
+    // the grouping tuple regardless of corpus size
+    ("td_corpus_stats",
+      ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextFunctions.tokenCountWs(col("text")).as("n_words"))
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_words").cast("long")).as("total_words"),
+          round(avg(col("n_words")), 2).as("avg_words"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("n_docs"), col("total_chars"), col("total_words"),
+          col("avg_words"))),
+      """SELECT COALESCE(source, '(all)') AS source,
+        |  COALESCE(lang, '(all)') AS lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  ROUND(AVG(n_words), 2) AS avg_words
+        |FROM (SELECT source, lang, n_chars,
+        |        len(list_filter(string_split_regex(lower(text), '\s+'),
+        |            w -> len(w) > 0)) AS n_words
+        |      FROM documents)
+        |GROUP BY ROLLUP(source, lang)""".stripMargin),
+    // BPE tokenizer training (Sennrich 2016): 20 merges learned over
+    // the corpus-reduced word histogram (driver loop under the vocab
+    // cutover, distributed merge iterations above it — bit-identical
+    // paths), emitted as the oracle-checkable slice of the training
+    // contract: the FIRST merge must be the exact most-frequent
+    // adjacent symbol pair with the lexicographic tie-break (DuckDB
+    // replays chars+'</w>' pair counting from the raw text), all 20
+    // requested merges must be learned, and every learned frequency
+    // must clear minPairCount. Later merges depend on iterative argmax
+    // state no SQL engine expresses — those stay spec-pinned
+    // (TokenizerSpec proves merge-for-merge parity with an independent
+    // single-node reference implementation and cross-path equality).
+    ("td_bpe_train",
+      ((s, dir) => {
+      val merges = Tokenizer.trainBpe(docs(s, dir), "text", numMerges = 20)
+      val first = merges.head
+      import s.implicits._
+      Seq((merges.size.toLong, first.left, first.right, first.count,
+          merges.forall(_.count >= 2)))
+        .toDF("n_merges", "first_left", "first_right", "first_freq",
+          "freqs_ok")
+    }),
+      """WITH w AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE len(word) > 0 GROUP BY 1),
+        |s AS (SELECT list_append(string_split(word, ''), '</w>') AS sy, n
+        |      FROM w),
+        |p AS (SELECT sy[i] AS l, sy[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+        |      FROM s, UNNEST(range(1, len(sy))) AS t(i)
+        |      GROUP BY 1, 2)
+        |SELECT CAST(20 AS BIGINT) AS n_merges, l AS first_left,
+        |  r AS first_right, cnt AS first_freq, true AS freqs_ok
+        |FROM p ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin),
+    // BPE ENCODE under a pinned merge table (the tokenize-the-corpus
+    // step a training pipeline runs far more often than training): each
+    // DISTINCT word is encoded once with the greedy lowest-rank-first
+    // loop (vocab-sized work) and broadcast-joined back onto the token
+    // stream. Pinning the merges as config — the deploy-time shape: a
+    // tokenizer is trained once and shipped — is also what makes the
+    // oracle exact: DuckDB replays the same greedy loop per distinct
+    // word as a recursive CTE over the same literal merge list
+    // tokenizer fertility eval: per-language tokens/word and
+    // chars/token under the pinned BPE merge table — the standard
+    // multilingual tokenizer-choice metric (a language whose fertility
+    // runs high is under-served by the vocab). Pure composition:
+    // docTokenCounts (vocab-sized greedy-encode work, broadcast back)
+    // + a keys-sized per-language rollup; the oracle reuses the
+    // recursive-CTE greedy replay and re-derives the ratios.
+    ("td_tokenizer_fertility",
+      ((s, dir) => {
+        val d = docs(s, dir)
+        d.select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("chars"))
+          .join(Tokenizer.docTokenCounts(d, "doc_id", "text",
+            FixedBpeMerges), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+            sum(col("chars")).as("n_chars"),
+            round(sum(col("n_bpe_tokens")) / sum(col("n_words")), 4)
+              .as("fertility"),
+            round(sum(col("chars")) / sum(col("n_bpe_tokens")), 4)
+              .as("chars_per_token"))
+      }),
+      {
+      val ms = FixedBpeMerges.map(m => s"'${m.left}|${m.right}'")
+        .mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+        |                       w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |words AS (SELECT DISTINCT word FROM toks),
+        |enc AS (
+        |  SELECT word, list_append(string_split(word, ''), '</w>') AS syms
+        |  FROM words
+        |  UNION ALL
+        |  SELECT word,
+        |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+        |  FROM (
+        |    SELECT word, syms,
+        |      list_sort(list_filter(
+        |        list_transform(range(1, len(syms)),
+        |          i -> {'r': list_position($ms,
+        |                  syms[i] || '|' || syms[i+1]), 'i': i}),
+        |        x -> x.r > 0))[1].i AS bi
+        |    FROM enc
+        |  ) WHERE bi IS NOT NULL),
+        |fixed AS (
+        |  SELECT word, len(syms) AS n_bpe FROM enc
+        |  WHERE len(list_filter(list_transform(range(1, len(syms)),
+        |      i -> list_position($ms, syms[i] || '|' || syms[i+1])),
+        |    r -> r > 0)) = 0),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+        |  FROM toks JOIN fixed USING (word)
+        |  GROUP BY doc_id)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  ROUND(CAST(SUM(n_bpe_tokens) AS DOUBLE)
+        |    / CAST(SUM(n_words) AS DOUBLE), 4) AS fertility,
+        |  ROUND(CAST(SUM(length(text)) AS DOUBLE)
+        |    / CAST(SUM(n_bpe_tokens) AS DOUBLE), 4) AS chars_per_token
+        |FROM perdoc JOIN documents USING (doc_id)
+        |GROUP BY lang""".stripMargin
+    }),
+    ("td_bpe_encode",
+      ((s, dir) =>
+      Tokenizer.docTokenCounts(docs(s, dir), "doc_id", "text",
+        FixedBpeMerges)),
+      {
+      // same pinned merge table as the Spark side, rendered once — the
+      // two sides cannot drift
+      val ms = FixedBpeMerges.map(m => s"'${m.left}|${m.right}'")
+        .mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+        |                       w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |words AS (SELECT DISTINCT word FROM toks),
+        |enc AS (
+        |  SELECT word, list_append(string_split(word, ''), '</w>') AS syms
+        |  FROM words
+        |  UNION ALL
+        |  SELECT word,
+        |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+        |  FROM (
+        |    SELECT word, syms,
+        |      list_sort(list_filter(
+        |        list_transform(range(1, len(syms)),
+        |          i -> {'r': list_position($ms,
+        |                  syms[i] || '|' || syms[i+1]), 'i': i}),
+        |        x -> x.r > 0))[1].i AS bi
+        |    FROM enc
+        |  ) WHERE bi IS NOT NULL),
+        |fixed AS (
+        |  SELECT word, len(syms) AS n_bpe FROM enc
+        |  WHERE len(list_filter(list_transform(range(1, len(syms)),
+        |      i -> list_position($ms, syms[i] || '|' || syms[i+1])),
+        |    r -> r > 0)) = 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+        |FROM toks JOIN fixed USING (word)
+        |GROUP BY doc_id""".stripMargin
+    }),
+    // SentencePiece unigram-LM ENCODE (Kudo 2018) under the pinned
+    // piece vocab: per-DISTINCT-WORD Viterbi (vocab-sized work, the
+    // BPE-encode tier), best score + piece count gated per word. The
+    // oracle brute-force ENUMERATES every segmentation path with the
+    // same left-to-right additions, so max-score comparison is on
+    // bit-identical doubles — a DP vs exhaustive-search cross-check,
+    // not just a replay
+    ("td_unigram_encode",
+      ((s, dir) =>
+      Tokenizer.unigramEncodeWords(docs(s, dir), "text",
+        FixedUnigramVocab, UnigramFallback)
+        .select(col("word"), round(col("score"), 4).as("score"),
+          col("n_pieces").cast("long").as("n_pieces"))),
+      (unigramCte +
+      """SELECT d.word, ROUND(b.s, 4) AS score,
+        |  CAST(MIN(d.np) AS BIGINT) AS n_pieces
+        |FROM done d JOIN best b ON d.word = b.word AND d.score = b.s
+        |GROUP BY d.word, b.s""".stripMargin)),
+    // the corpus-level rollup of the unigram encode: per-doc word and
+    // piece counts (integer sums — engine-exact at any grouping order)
+    ("td_unigram_doc",
+      ((s, dir) =>
+      Tokenizer.docUnigramCounts(docs(s, dir), "doc_id", "text",
+        FixedUnigramVocab, UnigramFallback)),
+      (unigramCte +
+      """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(wn.n_pieces) AS BIGINT) AS n_unigram_tokens
+        |FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS word
+        |  FROM documents) toks
+        |JOIN (
+        |  SELECT d.word, CAST(MIN(d.np) AS BIGINT) AS n_pieces
+        |  FROM done d JOIN best b ON d.word = b.word AND d.score = b.s
+        |  GROUP BY d.word) wn USING (word)
+        |GROUP BY doc_id""".stripMargin)),
+    // WordPiece (BERT) greedy longest-match-first encode under the
+    // pinned `##`-continuation vocab — the third tokenizer regime next
+    // to BPE merge-ranks and unigram Viterbi, same vocab-sized encode
+    // tier (per-DISTINCT-word work broadcast back onto the corpus).
+    // Greedy is pure string matching (no floats), so the oracle replays
+    // the exact longest-match chain: per-(word, position) best piece
+    // lengths precomputed, then a recursive walk
+    ("td_wordpiece_encode",
+      ((s, dir) =>
+      Tokenizer.docWordpieceCounts(docs(s, dir), "doc_id", "text",
+        FixedWordpieceVocab)),
+      // the same pinned vocab rendered once; greedy = per-(word, pos)
+          // longest matching piece precomputed (grouped by continuation
+          // kind), then a recursive walk following exactly one edge per step
+      {
+      val vals = duckList(FixedWordpieceVocab)
+      s"""WITH RECURSIVE vocab AS (SELECT unnest($vals) AS p),
+         |vp AS (
+         |  SELECT (p LIKE '##%') AS cont,
+         |    CASE WHEN p LIKE '##%' THEN substr(p, 3) ELSE p END AS raw
+         |  FROM vocab),
+         |words AS (
+         |  SELECT DISTINCT unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0)) AS word
+         |  FROM documents),
+         |pos AS (SELECT word, unnest(range(0, len(word))) AS i FROM words),
+         |best AS (
+         |  SELECT p.word, p.i, v.cont, MAX(len(v.raw)) AS plen
+         |  FROM pos p JOIN vp v
+         |    ON substr(p.word, p.i + 1, len(v.raw)) = v.raw
+         |  GROUP BY 1, 2, 3),
+         |walk AS (
+         |  SELECT word, 0 AS pos, 0 AS np FROM words
+         |  UNION ALL
+         |  SELECT w.word, w.pos + b.plen, w.np + 1
+         |  FROM walk w JOIN best b ON b.word = w.word AND b.i = w.pos
+         |    AND b.cont = (w.pos > 0)
+         |  WHERE w.pos < len(w.word)),
+         |enc AS (SELECT word, np FROM walk WHERE pos = len(word)),
+         |dt AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0)) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(COALESCE(np, 1)) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(CASE WHEN np IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unk_words
+         |FROM dt LEFT JOIN enc USING (word)
+         |GROUP BY doc_id""".stripMargin
+    }))
+}

@@ -114,7 +114,7 @@ class RandomizedInvariantsSpec extends GraftSpec {
     val words = Seq.fill(300)(
       (1 to (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(6)).toChar)
         .mkString)
-    val pinned = QueriesTrainingData.FixedBpeMerges
+    val pinned = QueriesTdShared.FixedBpeMerges
       .map(m => (m.left, m.right) -> m.rank).toMap
     val trained = Tokenizer.trainBpe(
         corpus.toDF("doc_id", "text"), "text", numMerges = 10)

@@ -243,15 +243,15 @@ class SimilaritySpec extends GraftSpec {
       (3L, 30L)).toDF("qid", "id")
     val approx = Seq((1L, 10L), (1L, 11L), (2L, 90L), (2L, 91L))
       .toDF("qid", "id")
-    val perQid = QueriesTrainingData
+    val perQid = QueriesTdShared
       .perQidRecallGate(approx, exact, queries.select(col("qid")), minHits = 1)
       .as[(Long, Boolean)].collect().toMap
     assert(perQid == Map(1L -> true, 2L -> false, 3L -> false))
-    val total = QueriesTrainingData
+    val total = QueriesTdShared
       .totalRecallGate(approx, exact, queries.select(col("qid")), minTotal = 3)
       .as[(Long, Boolean)].collect().toSeq
     assert(total == Seq((3L, false))) // only 2 true hits < 3
-    val totalOk = QueriesTrainingData
+    val totalOk = QueriesTdShared
       .totalRecallGate(approx, exact, queries.select(col("qid")), minTotal = 2)
       .as[(Long, Boolean)].collect().toSeq
     assert(totalOk == Seq((3L, true)))

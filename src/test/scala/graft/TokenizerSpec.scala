@@ -100,7 +100,7 @@ class TokenizerSpec extends GraftSpec {
   }
 
   test("pinned merge table: hand-computed greedy encodes") {
-    val ranks = QueriesTrainingData.FixedBpeMerges
+    val ranks = QueriesTdShared.FixedBpeMerges
       .map(m => (m.left, m.right) -> m.rank).toMap
     // 'the': e|</w> (rank 0) fires before t|h (rank 1), then th+e</w>
     // (rank 2) collapses the word to a single token
