@@ -234,5 +234,111 @@ private[graft] object QueriesTdAlign {
         |SELECT CAST(user_id AS VARCHAR) || '-' || day AS pair_id,
         |  user_id, day, chosen_id, rejected_id,
         |  chosen_cents - rejected_cents AS margin_cents, n_candidates
-        |FROM g WHERE chosen_cents > rejected_cents""".stripMargin))
+        |FROM g WHERE chosen_cents > rejected_cents""".stripMargin),
+    // SFT quality filter over assembled conversations: exact-duplicate
+    // transcripts (keep first by conv_id), degenerate short convs,
+    // over-budget transcripts — every conversation emitted with its
+    // verdict and first failing reason (severity-ordered)
+    ("td_sft_filter",
+      ((s, dir) => graft.operators.Conversations.sftFilter(
+        graft.operators.Conversations.assemble(
+          s.read.parquet(s"$dir/events.parquet"), gapMinutes = 1440),
+        minTurns = 3, maxTokens = 25)),
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    event_type || ' value=' ||
+        |      CAST(ROUND(value * 100) AS BIGINT) || ' k=' ||
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      AS turn_text
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(epoch(ts) AS BIGINT)
+        |        - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 86400
+        |    THEN 1 ELSE 0 END AS new_conv
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT *, SUM(new_conv) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS conv,
+        |    len(string_split(turn_text, ' ')) AS turn_tokens
+        |  FROM s),
+        |x AS (
+        |  SELECT *, SUM(turn_tokens) OVER (PARTITION BY user_id, conv
+        |      ORDER BY ts, event_id) AS cum
+        |  FROM c),
+        |a AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '-' || CAST(conv AS VARCHAR)
+        |      AS conv_id,
+        |    user_id, COUNT(*) AS n_turns, SUM(turn_tokens) AS total_tokens,
+        |    string_agg(turn_text, ' | ' ORDER BY ts, event_id) AS text
+        |  FROM x WHERE cum <= 30
+        |  GROUP BY user_id, conv HAVING COUNT(*) >= 2),
+        |f AS (
+        |  SELECT conv_id, user_id, n_turns, total_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |      ORDER BY conv_id) > 1 AS dup_text,
+        |    n_turns < 3 AS too_short,
+        |    total_tokens > 25 AS over_budget
+        |  FROM a)
+        |SELECT conv_id, user_id, n_turns, total_tokens,
+        |  dup_text, too_short, over_budget,
+        |  NOT (dup_text OR too_short OR over_budget) AS keep,
+        |  CASE WHEN dup_text THEN 'dup_text'
+        |    WHEN too_short THEN 'too_short'
+        |    WHEN over_budget THEN 'over_budget' END AS reason
+        |FROM f""".stripMargin),
+    // FIM (fill-in-the-middle) transform: md5-bucketed doc selection,
+    // deterministic char cut points, PSM reorder — the oracle replays
+    // selection, cuts, and the three-piece render byte-for-byte
+    ("td_fim_transform",
+      ((s, dir) => graft.operators.SpanTasks.fimTransform(
+        docs(s, dir), "doc_id", "text")),
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-fim'),
+        |      1, 8))::BIGINT % 10000 < 5000 AS sel,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-fim-a'),
+        |      1, 8))::BIGINT % (length(text) + 1) AS a,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-fim-b'),
+        |      1, 8))::BIGINT % (length(text) + 1) AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n, sel,
+        |    LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        |  FROM d)
+        |SELECT doc_id, sel AS fim,
+        |  CASE WHEN sel THEN CAST(lo AS INT) END AS cut_lo,
+        |  CASE WHEN sel THEN CAST(hi AS INT) END AS cut_hi,
+        |  CASE WHEN sel THEN
+        |      '<fim_prefix>' || substr(text, 1, lo)
+        |      || '<fim_suffix>' || substr(text, CAST(hi + 1 AS INT), n - hi)
+        |      || '<fim_middle>' || substr(text, CAST(lo + 1 AS INT), hi - lo)
+        |    ELSE text END AS text_out
+        |FROM c""".stripMargin),
+    // MLM token masking: per-(doc, position) md5 draw, [MASK]
+    // substitution + reconstruction targets — one transform/filter HOF
+    // pair, no explode; the oracle replays every draw from range()
+    ("td_mlm_mask",
+      ((s, dir) => graft.operators.SpanTasks.mlmMask(
+        docs(s, dir), "doc_id", "text")),
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(toks)), k ->
+        |      CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |          || ':mlm:' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+        |          % 10000 < 1500
+        |        THEN '[MASK]' ELSE toks[CAST(k + 1 AS INT)] END) AS masked,
+        |    list_filter(list_transform(range(0, len(toks)), k ->
+        |      CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |          || ':mlm:' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+        |          % 10000 < 1500
+        |        THEN CAST(k AS VARCHAR) || ':' || toks[CAST(k + 1 AS INT)]
+        |      END), x -> x IS NOT NULL) AS tgt
+        |  FROM d)
+        |SELECT doc_id, array_to_string(masked, ' ') AS masked_text,
+        |  CAST(len(tgt) AS INT) AS n_masked,
+        |  COALESCE(array_to_string(tgt, ' | '), '') AS targets
+        |FROM m""".stripMargin))
 }

@@ -527,5 +527,37 @@ private[graft] object QueriesTdSample {
         |ORDER BY li + (-ln(-ln(
         |  (('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 12))
         |     ::BIGINT + 0.5) / 281474976710656.0))) DESC, doc_id
-        |LIMIT 200""".stripMargin)))
+        |LIMIT 200""".stripMargin)),
+    // curriculum ordering (easy-to-hard training order): global rank by
+    // (score, id) via the two-phase prefix sum, floor-split into 4
+    // stages, seeded shuffle WITHIN each stage sharded so no window
+    // partitions on a stage — the oracle replays rank, stage cut, md5
+    // shuffle key, shard, and within-shard position exactly
+    ("td_curriculum",
+      ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).as("score"))
+      Sampling.curriculumOrder(d, "doc_id", "score", stages = 4)
+    }),
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, score,
+        |    ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rk,
+        |    COUNT(*) OVER () AS total
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, score,
+        |    CAST((rk - 1) * 4 // total AS INT) AS stage,
+        |    md5('curriculum:' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM r),
+        |h AS (
+        |  SELECT *, CAST(('0x' || substr(key, 1, 8))::BIGINT % 8 AS INT)
+        |    AS shard
+        |  FROM s)
+        |SELECT doc_id, CAST(score AS INT) AS score, stage, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY stage, shard
+        |    ORDER BY key, doc_id) AS pos
+        |FROM h""".stripMargin))
 }

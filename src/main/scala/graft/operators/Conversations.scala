@@ -238,4 +238,38 @@ object Conversations {
         col("n_candidates"))
       .filter(col("margin_cents") > 0)
   }
+
+  /** Instruction-data quality audit over [[assemble]]'s output — the
+    * filter battery an SFT corpus runs before training: exact-duplicate
+    * transcripts (keep the first by conv_id; duplicated responses
+    * overweight a behavior), degenerate short conversations, and
+    * over-budget transcripts. Emits EVERY conversation with its
+    * verdict (`keep`) and the FIRST failing reason in a fixed severity
+    * order (`dup_text` > `too_short` > `over_budget`) — the audit
+    * frame; training keeps `filter($"keep")`.
+    *
+    * Scale shape: one hash exchange on the transcript fingerprint
+    * (md5(text), never the transcript itself as a join key) for the
+    * dup window; everything else is a projection. Flags are
+    * independent, so a kept row's reason is null and a dropped row
+    * reports the highest-severity cause deterministically. */
+  def sftFilter(convs: DataFrame, minTurns: Long = 3,
+                maxTokens: Long = 25): DataFrame = {
+    val byText = Window.partitionBy(md5(col("text")))
+      .orderBy(col("conv_id"))
+    val flagged = convs
+      .withColumn("dup_text", row_number().over(byText) > 1)
+      .withColumn("too_short", col("n_turns") < minTurns)
+      .withColumn("over_budget", col("total_tokens") > maxTokens)
+    flagged.select(
+      col("conv_id"), col("user_id"), col("n_turns"),
+      col("total_tokens"),
+      col("dup_text"), col("too_short"), col("over_budget"),
+      (!col("dup_text") && !col("too_short") && !col("over_budget"))
+        .as("keep"),
+      when(col("dup_text"), "dup_text")
+        .when(col("too_short"), "too_short")
+        .when(col("over_budget"), "over_budget")
+        .as("reason"))
+  }
 }

@@ -24,6 +24,7 @@ object Sampling {
   private var lastDsirCache: Option[DataFrame] = None
   private var lastDsirRawCache: Option[DataFrame] = None
   private var lastPackCache: Option[DataFrame] = None
+  private var lastCurriculumCache: Option[DataFrame] = None
 
   /** Stable per-row bucket in [0, 10000): first 8 hex chars of
     * md5(id-as-string), mod 10⁴. */
@@ -212,6 +213,71 @@ object Sampling {
         expr(s"(cum_before + greatest(n_tokens, 1L) - 1) div $seqLen"))
       .select(col("id"), col("n_tokens"), col("cum_before"),
         col("seq_first"), col("seq_last"))
+  }
+
+  /** Curriculum ordering — emit the easy-to-hard training order a
+    * curriculum-learning run reads: documents are ranked globally by
+    * (`scoreCol` asc, id asc), the rank is cut into `stages` equal
+    * slices (stage s covers ranks with `(rank-1)*stages div total = s`
+    * — floor-split, replayable in SQL without NTILE's remainder
+    * convention), and WITHIN each stage the order is the seeded
+    * [[shuffleKey]] shuffle, sharded like [[deterministicShuffle]] so
+    * no window ever partitions on the (few, huge) stages themselves.
+    * Readers consume stages in order, shards within a stage in any
+    * interleave, positions within a shard in order.
+    *
+    * The global rank is the [[packSequences]] two-phase prefix sum
+    * specialised to counting: range-repartition on (score, id)
+    * (order-preserving splits), per-partition `row_number` (parallel),
+    * per-partition COUNTS cumulated driver-side (one row per
+    * partition) and folded back as a broadcast offset — never a
+    * single-partition global window. The persist is load-bearing for
+    * the same reason as in [[packSequences]]: RangePartitioner samples
+    * its boundaries per execution, and the counts collect + the output
+    * pass must see the SAME layout. */
+  def curriculumOrder(docs: DataFrame, idCol: String, scoreCol: String,
+                      stages: Int, seed: String = "curriculum",
+                      numShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stages > 0, "stages must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .select(col(idCol).as("id"), col(scoreCol).as("score"))
+      .repartitionByRange(n, col("score"), col("id"))
+      .withColumn("_part", spark_partition_id())
+    val w = Window.partitionBy(col("_part")).orderBy(col("score"), col("id"))
+    val local = ranged.withColumn("_rk", row_number().over(w).cast("long"))
+      .persist()
+    lastCurriculumCache.foreach(_.unpersist())
+    lastCurriculumCache = Some(local)
+    // one (partition, count) row per partition reaches the driver
+    val counts = local.groupBy(col("_part"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) =>
+      (p, acc + c)
+    }.init.map { case (_, off) => off }
+    val offsetByPart = counts.map(_._1).zip(offsets).toMap
+    val offCol = offsetByPart.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("_part") === p, lit(off)).otherwise(acc)
+    }
+    val key = shuffleKey(col("id"), seed)
+    val shard = (conv(substring(key, 1, 8), 16, 10).cast("long")
+      % numShards).cast("int")
+    val wPos = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("_key"), col("id"))
+    local
+      .withColumn("rank", col("_rk") + offCol)
+      .withColumn("stage",
+        expr(s"(rank - 1L) * ${stages}L div ${math.max(total, 1L)}L")
+          .cast("int"))
+      .withColumn("_key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .select(col("id").as(idCol), col("score"), col("stage"),
+        col("shard"), col("pos"))
   }
 
   /** Token-budget sampling — "take this many TOKENS from each source",

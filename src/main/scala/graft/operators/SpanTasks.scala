@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Self-supervised training-objective construction over a text corpus:
+  * fill-in-the-middle (FIM) reordering and masked-language-model (MLM)
+  * token masking. Both are the record-level transforms a pretraining
+  * pipeline applies AFTER curation (dedup/filter/sample) and BEFORE
+  * tokenization — they must be deterministic (reproducible runs,
+  * replayable sample audits) and embarrassingly parallel (a narrow map
+  * over the corpus, no shuffle).
+  *
+  * Determinism: every random decision (document selection, cut points,
+  * per-token mask draws) derives from md5 of (seed, id[, position]) —
+  * the same convention as [[Sampling.bucket]] — so another engine
+  * replays the transform bit-for-bit and a re-run of the pipeline
+  * produces byte-identical training data.
+  *
+  * Scale shape: both operators are pure projections (codegen'd string /
+  * array HOFs, zero exchanges, zero UDFs). At 100 TB they pipeline into
+  * whatever scan feeds them; the only cost is CPU inside whole-stage
+  * codegen.
+  */
+object SpanTasks {
+
+  /** First 8 md5 hex chars of `s` as a long in [0, 2^32). */
+  private def h32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** FIM (fill-in-the-middle) transform — Bavarian et al. 2022: pick a
+    * deterministic fraction (`rateBp`/10000) of documents; for each,
+    * draw two cut points and reorder the three pieces so the model
+    * learns to infill. `spm = false` emits PSM
+    * (`<fim_prefix>P<fim_suffix>S<fim_middle>M`), `spm = true` emits
+    * SPM (`<fim_suffix>S<fim_prefix>P<fim_middle>M`). Unselected
+    * documents pass through unchanged (`fim = false`, cuts null).
+    *
+    * Cut points: lo/hi = min/max of two independent draws in
+    * [0, len] — the paper's "split uniformly into three spans",
+    * char-level. Empty spans are legal (a cut at 0 or len), matching
+    * the reference implementation's behavior.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   rateBp: Int = 5000, seed: String = "fim",
+                   spm: Boolean = false): DataFrame = {
+    require(rateBp >= 0 && rateBp <= 10000, "rateBp in [0, 10000]")
+    val id = col(idCol).cast("string")
+    val n = length(col(textCol))
+    val sel = (h32(concat(id, lit(s"-$seed"))) % 10000) < rateBp
+    val a = h32(concat(id, lit(s"-$seed-a"))) % (n + 1).cast("long")
+    val b = h32(concat(id, lit(s"-$seed-b"))) % (n + 1).cast("long")
+    val lo = least(a, b).cast("int")
+    val hi = greatest(a, b).cast("int")
+    val prefix = col(textCol).substr(lit(1), lo)
+    val middle = col(textCol).substr(lo + 1, hi - lo)
+    val suffix = col(textCol).substr(hi + 1, n - hi)
+    val rendered =
+      if (spm)
+        concat(lit("<fim_suffix>"), suffix, lit("<fim_prefix>"), prefix,
+          lit("<fim_middle>"), middle)
+      else
+        concat(lit("<fim_prefix>"), prefix, lit("<fim_suffix>"), suffix,
+          lit("<fim_middle>"), middle)
+    docs.select(
+      col(idCol),
+      sel.as("fim"),
+      when(sel, lo).as("cut_lo"),
+      when(sel, hi).as("cut_hi"),
+      when(sel, rendered).otherwise(col(textCol)).as("text_out"))
+  }
+
+  /** MLM (BERT-style) token masking: each whitespace token is replaced
+    * by `[MASK]` when its per-(doc, position) md5 bucket clears
+    * `rateBp`/10000. Emits the masked text, the mask count, and the
+    * reconstruction targets (`pos:token`, position 0-based, joined by
+    * `' | '`) — the label side of the denoising objective.
+    *
+    * Token positions key the draw (not token content), so repeated
+    * words mask independently and the mask pattern is stable under
+    * corpus-wide text dedup. One `transform` + `filter` HOF pair over
+    * the split array — codegen'd, no explode, no shuffle.
+    */
+  def mlmMask(docs: DataFrame, idCol: String, textCol: String,
+              rateBp: Int = 1500, seed: String = "mlm"): DataFrame = {
+    require(rateBp >= 0 && rateBp <= 10000, "rateBp in [0, 10000]")
+    val id = col(idCol).cast("string")
+    val toks = split(col(textCol), " ")
+    def drawn(i: Column): Column =
+      (h32(concat(id, lit(s":$seed:"), i.cast("string"))) % 10000) < rateBp
+    val masked = transform(toks, (tok, i) =>
+      when(drawn(i), lit("[MASK]")).otherwise(tok))
+    val targets = filter(
+      transform(toks, (tok, i) =>
+        when(drawn(i), concat(i.cast("string"), lit(":"), tok))),
+      x => x.isNotNull)
+    docs.select(
+      col(idCol),
+      array_join(masked, " ").as("masked_text"),
+      size(targets).as("n_masked"),
+      array_join(targets, " | ").as("targets"))
+  }
+}

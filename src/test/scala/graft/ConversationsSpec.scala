@@ -254,4 +254,51 @@ class ConversationsSpec extends GraftSpec {
     assert(out.forall(_.getAs[Double]("margin") >= 1.0))
     assert(out.forall(_.getAs[Double]("cosine") > 0.99))
   }
+
+  test("sftFilter: dup/short/budget flags, severity-ordered reason, first-by-conv_id survivor") {
+    // user 3 mirrors user 1's conversation-1 transcript exactly (same
+    // types/values/ks at the same relative times) -> exact dup; the
+    // first conv_id ("1-1") survives, "3-1" flags dup_text
+    val dupRows = Seq(
+      ev(30, 0, 3, "view"), ev(31, 10, 3, "click"),
+      ev(32, 25, 3, "purchase"))
+    val convs = Conversations.assemble(
+      (rawRows ++ dupRows)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = Conversations.sftFilter(convs, minTurns = 3, maxTokens = 25)
+      .collect().map(r => r.getAs[String]("conv_id") -> r).toMap
+
+    assert(out.keySet == Set("1-1", "2-1", "3-1"))
+    val kept = out("1-1")
+    assert(kept.getAs[Boolean]("keep"))
+    assert(kept.getAs[String]("reason") == null)
+    val dup = out("3-1")
+    assert(!dup.getAs[Boolean]("keep"))
+    assert(dup.getAs[Boolean]("dup_text"))
+    assert(dup.getAs[String]("reason") == "dup_text")
+    // user 2's truncated conversation: 10 turns at 30 tokens — not a
+    // dup, not short, but over the 25-token bar
+    val over = out("2-1")
+    assert(!over.getAs[Boolean]("keep"))
+    assert(!over.getAs[Boolean]("dup_text"))
+    assert(over.getAs[Boolean]("over_budget"))
+    assert(over.getAs[String]("reason") == "over_budget")
+  }
+
+  test("sftFilter: too_short outranks over_budget in the reason order") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("user_id", LongType),
+      StructField("n_turns", LongType), StructField("total_tokens", LongType),
+      StructField("text", StringType)))
+    val convs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("a-1", 1L, 2L, 99L, "t1"),
+        org.apache.spark.sql.Row("b-1", 2L, 5L, 10L, "t2")),
+      schema)
+    val out = Conversations.sftFilter(convs, minTurns = 3, maxTokens = 25)
+      .collect().map(r => r.getAs[String]("conv_id") -> r).toMap
+    assert(out("a-1").getAs[String]("reason") == "too_short")
+    assert(out("b-1").getAs[Boolean]("keep"))
+  }
 }

@@ -83,4 +83,25 @@ class PlanShapeSpec extends GraftSpec {
       assert(n == 1, s"$q expected exactly one shuffle exchange, saw $n")
     }
   }
+
+  test("FIM and MLM objective transforms are pure projections: zero exchanges, no UDFs") {
+    Seq("td_fim_transform", "td_mlm_mask").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q grew a shuffle:\n$p")
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$q fell out of codegen")
+    }
+  }
+
+  test("curriculum ordering never windows over a whole stage: no single-partition exchange") {
+    // the global rank is the two-phase prefix sum (range exchange +
+    // per-partition windows); the within-stage order windows on
+    // (stage, shard). A `Exchange SinglePartition` would mean a global
+    // window snuck back in — the one reducer that dies at corpus scale.
+    val p = plan("td_curriculum")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"td_curriculum has a single-partition exchange:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      "expected the order-preserving range repartition")
+  }
 }

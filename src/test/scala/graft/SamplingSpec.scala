@@ -229,4 +229,42 @@ class SamplingSpec extends GraftSpec {
     assert(got(0)._3 == d1 && got(1)._3 == d2)
     assert(d1 > d2, "target-like doc must outscore the unrelated doc")
   }
+
+  test("curriculumOrder: stages follow the global score rank, floor-split") {
+    // more rows than shuffle partitions, shuffled input, tied scores
+    val rows = (0L until 97L).map(i => (i, (i * 13) % 10))
+    val df = rows.reverse.toDF("doc_id", "score").repartition(5)
+    val out = Sampling.curriculumOrder(df, "doc_id", "score", stages = 4)
+      .select("doc_id", "stage").as[(Long, Int)].collect().toMap
+    val ranked = rows.sortBy { case (id, s) => (s, id) }.zipWithIndex
+    ranked.foreach { case ((id, _), rk) =>
+      assert(out(id) == rk * 4 / 97, s"doc $id stage")
+    }
+  }
+
+  test("curriculumOrder: within-stage order is the seeded shuffle; positions dense per (stage, shard)") {
+    val df = (0L until 60L).map(i => (i, i % 3)).toDF("doc_id", "score")
+    val out = Sampling.curriculumOrder(df, "doc_id", "score", stages = 3,
+      seed = "s1", numShards = 4)
+      .as[(Long, Long, Int, Int, Long)].collect()
+    // dense 1..n positions within each (stage, shard)
+    out.groupBy(t => (t._3, t._4)).foreach { case (_, g) =>
+      assert(g.map(_._5).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // position order within a shard follows the md5 shuffle key
+    def key(id: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s1:$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    out.groupBy(t => (t._3, t._4)).foreach { case (_, g) =>
+      val byPos = g.sortBy(_._5).map(_._1)
+      assert(byPos.map(key).toSeq == byPos.map(key).sorted.toSeq)
+    }
+    // score-identical reruns reproduce the exact same frame
+    val again = Sampling.curriculumOrder(df, "doc_id", "score", stages = 3,
+      seed = "s1", numShards = 4)
+      .as[(Long, Long, Int, Int, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

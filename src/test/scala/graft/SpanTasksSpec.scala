@@ -1,0 +1,106 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SpanTasks
+
+class SpanTasksSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def md5hex8(s: String): Long =
+    java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+
+  test("fimTransform: selected docs render PSM from the md5-derived cuts") {
+    val df = Seq((1L, "abcdefghij"), (2L, "0123456789"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val out = SpanTasks.fimTransform(df, "doc_id", "text", rateBp = 10000)
+      .as[(Long, Boolean, Option[Int], Option[Int], String)]
+      .collect().sortBy(_._1)
+    out.foreach { case (id, fim, lo, hi, rendered) =>
+      assert(fim, s"doc $id selected at 10000 bp")
+      val text = df.filter(col("doc_id") === id)
+        .select("text").as[String].head()
+      val n = text.length
+      val a = md5hex8(s"$id-fim-a") % (n + 1)
+      val b = md5hex8(s"$id-fim-b") % (n + 1)
+      val (l, h) = (math.min(a, b).toInt, math.max(a, b).toInt)
+      assert(lo.contains(l) && hi.contains(h), s"doc $id cuts")
+      val expected = s"<fim_prefix>${text.substring(0, l)}" +
+        s"<fim_suffix>${text.substring(h)}" +
+        s"<fim_middle>${text.substring(l, h)}"
+      assert(rendered == expected, s"doc $id render")
+    }
+  }
+
+  test("fimTransform: SPM reorders the same pieces; rate 0 passes through") {
+    val df = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val psm = SpanTasks.fimTransform(df, "doc_id", "text", rateBp = 10000)
+      .select("text_out").as[String].head()
+    val spm = SpanTasks.fimTransform(df, "doc_id", "text", rateBp = 10000,
+      spm = true).select("text_out").as[String].head()
+    val p = psm.stripPrefix("<fim_prefix>")
+      .split("<fim_suffix>|<fim_middle>", -1)
+    assert(spm == s"<fim_suffix>${p(1)}<fim_prefix>${p(0)}<fim_middle>${p(2)}")
+    val off = SpanTasks.fimTransform(df, "doc_id", "text", rateBp = 0)
+      .as[(Long, Boolean, Option[Int], Option[Int], String)].head()
+    assert(!off._2 && off._3.isEmpty && off._5 == "hello world")
+  }
+
+  test("fimTransform: the three pieces always reassemble the original") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bad = SpanTasks.fimTransform(docs, "doc_id", "text", rateBp = 10000)
+      .join(docs, "doc_id")
+      .withColumn("p", regexp_extract(col("text_out"),
+        "^<fim_prefix>(.*)<fim_suffix>", 1))
+      .withColumn("sfx", regexp_extract(col("text_out"),
+        "<fim_suffix>(.*)<fim_middle>", 1))
+      .withColumn("m", regexp_extract(col("text_out"),
+        "<fim_middle>(.*)$", 1))
+      .filter(concat(col("p"), col("m"), col("sfx")) =!= col("text"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("mlmMask: masked positions match the per-(doc,pos) md5 draw") {
+    val df = Seq((5L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val (masked, nMasked, targets) =
+      SpanTasks.mlmMask(df, "doc_id", "text", rateBp = 4000)
+        .as[(Long, String, Int, String)].head() match {
+        case (_, m, n, t) => (m, n, t)
+      }
+    val toks = "a b c d e f g h i j".split(" ")
+    val drawn = toks.indices.filter(i =>
+      md5hex8(s"5:mlm:$i") % 10000 < 4000)
+    val expMasked = toks.indices
+      .map(i => if (drawn.contains(i)) "[MASK]" else toks(i)).mkString(" ")
+    val expTargets = drawn.map(i => s"$i:${toks(i)}").mkString(" | ")
+    assert(masked == expMasked)
+    assert(nMasked == drawn.size)
+    assert(targets == expTargets)
+  }
+
+  test("mlmMask: rate 0 masks nothing; rate 10000 masks everything") {
+    val df = Seq((9L, "x y z")).toDF("doc_id", "text")
+    val none = SpanTasks.mlmMask(df, "doc_id", "text", rateBp = 0)
+      .as[(Long, String, Int, String)].head()
+    assert(none._2 == "x y z" && none._3 == 0 && none._4 == "")
+    val all = SpanTasks.mlmMask(df, "doc_id", "text", rateBp = 10000)
+      .as[(Long, String, Int, String)].head()
+    assert(all._2 == "[MASK] [MASK] [MASK]" && all._3 == 3)
+    assert(all._4 == "0:x | 1:y | 2:z")
+  }
+
+  test("mlmMask: mask pattern is position-keyed, stable under repeats") {
+    // the same token at different positions draws independently
+    val df = Seq((11L, Seq.fill(40)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val masked = SpanTasks.mlmMask(df, "doc_id", "text", rateBp = 5000)
+      .select("masked_text").as[String].head().split(" ")
+    assert(masked.distinct.sorted.toSeq == Seq("[MASK]", "tok"),
+      "a 50% draw over 40 positions should mask some and keep some")
+  }
+}
