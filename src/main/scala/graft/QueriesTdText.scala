@@ -1098,5 +1098,33 @@ private[graft] object QueriesTdText {
          |    AS n_unk_words
          |FROM dt LEFT JOIN enc USING (word)
          |GROUP BY doc_id""".stripMargin
-    }))
+    }),
+    // vocabulary coverage / OOV audit: corpus top-50 word vocab
+    // (count desc, word asc — deterministic), per-doc OOV occurrence
+    // counts with the rate in exact integer basis points; the oracle
+    // rebuilds the same vocab and replays the membership test
+    ("td_vocab_coverage",
+      ((s, dir) => Tokenizer.vocabCoverage(
+        docs(s, dir), "doc_id", "text", "lang")),
+      """WITH w AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |v AS (
+        |  SELECT word FROM (
+        |    SELECT word, COUNT(*) AS n FROM w
+        |    GROUP BY word ORDER BY n DESC, word LIMIT 50)),
+        |vl AS (SELECT LIST(word) AS vs FROM v),
+        |t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_words,
+        |  CAST(len(list_filter(toks, x -> NOT list_contains(vs, x)))
+        |    AS INT) AS n_oov,
+        |  CAST(len(list_filter(toks, x -> NOT list_contains(vs, x)))
+        |      * 10000 // greatest(len(toks), 1) AS BIGINT) AS oov_bp
+        |FROM t, vl""".stripMargin))
 }

@@ -387,6 +387,38 @@ object Tokenizer {
     * short) tail chunk. Narrow map + explode: no shuffle, chunk rows
     * carry (doc, chunk ordinal, start, length, text) — at 100 TB this
     * is a single scan emitting the training-example table. */
+  /** Vocabulary coverage / OOV audit — the companion metric to
+    * fertility when choosing or validating a tokenizer vocab: per doc,
+    * how many word occurrences fall outside the corpus's top-`vocabSize`
+    * words. Emits (id, lang, n_words, n_oov, oov_bp) with the rate in
+    * exact integer basis points (no FP in the gate).
+    *
+    * Scale shape: ONE corpus-sized shuffle ([[wordHistogram]]) +
+    * TakeOrdered for the vocab (vocabSize rows to the driver — the
+    * bounded-collect pattern, same as centroid seeds), then a narrow
+    * projection over the docs with the vocab inlined as an array
+    * literal (broadcast by the plan, membership via `array_contains`
+    * inside a codegen'd HOF). No join, no explode on the scoring
+    * side. Tokenization matches [[wordHistogram]]: lowercase,
+    * whitespace split, empties dropped. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    langCol: String, vocabSize: Int = 50): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val vocab = wordHistogram(docs, textCol)
+      .orderBy(col("n").desc, col("word"))
+      .limit(vocabSize)
+      .collect().map(_.getString(0))
+    val vlit = array(vocab.toIndexedSeq.map(lit): _*)
+    val toks = filter(split(lower(col(textCol)), "\\s+"),
+      w => length(w) > 0)
+    docs.select(col(idCol), col(langCol),
+        size(toks).as("n_words"),
+        size(filter(toks, w => !array_contains(vlit, w))).as("n_oov"))
+      .withColumn("oov_bp",
+        expr("(CAST(n_oov AS BIGINT) * 10000) div " +
+          "greatest(CAST(n_words AS BIGINT), 1)"))
+  }
+
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
                 window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,

@@ -745,4 +745,53 @@ class RandomizedInvariantsSpec extends GraftSpec {
       assert(wantConv.nonEmpty && wantPref.nonEmpty)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("FIM pieces reassemble the original on random unicode texts (multibyte-safe cuts)") {
+    // mixed-script texts (ASCII, accents, CJK, Thai — all BMP) so a
+    // byte-vs-character substring bug in either engine's semantics
+    // would surface as a reassembly mismatch
+    val rnd = new scala.util.Random(777)
+    val alphabets = Seq("abc def ghi ", "àéîõü ", "汉字文本 ", "ไทย ")
+    val docs = (0L until 60L).map { i =>
+      val len = 1 + rnd.nextInt(8)
+      (i, Seq.fill(len)(alphabets(rnd.nextInt(alphabets.size)))
+        .mkString.trim)
+    }.toDF("doc_id", "text")
+    val out = graft.operators.SpanTasks
+      .fimTransform(docs, "doc_id", "text", rateBp = 10000)
+      .join(docs, "doc_id")
+      .select("doc_id", "text", "text_out", "cut_lo", "cut_hi")
+      .as[(Long, String, String, Int, Int)].collect()
+    assert(out.length == 60)
+    out.foreach { case (id, text, rendered, lo, hi) =>
+      assert(0 <= lo && lo <= hi && hi <= text.length, s"doc $id cuts")
+      val expected = s"<fim_prefix>${text.substring(0, lo)}" +
+        s"<fim_suffix>${text.substring(hi)}" +
+        s"<fim_middle>${text.substring(lo, hi)}"
+      assert(rendered == expected, s"doc $id reassembly")
+    }
+  }
+
+  test("MLM targets exactly reconstruct the original from the masked text on random docs") {
+    val docsDf = corpus.toDF("doc_id", "text")
+    val out = graft.operators.SpanTasks
+      .mlmMask(docsDf, "doc_id", "text", rateBp = 3000)
+      .join(docsDf, "doc_id")
+      .select("doc_id", "text", "masked_text", "n_masked", "targets")
+      .as[(Long, String, String, Int, String)].collect()
+    assert(out.length == corpus.size)
+    assert(out.map(_._4).sum > 0, "a 30% draw should mask something")
+    out.foreach { case (id, text, masked, nMasked, targets) =>
+      val toks = masked.split(" ", -1)
+      if (nMasked == 0) assert(targets.isEmpty, s"doc $id empty targets")
+      else targets.split(" \\| ", -1).foreach { t =>
+        val Array(pos, tok) = t.split(":", 2)
+        assert(toks(pos.toInt) == "[MASK]", s"doc $id target pos $pos")
+        toks(pos.toInt) = tok
+      }
+      assert(toks.mkString(" ") == text, s"doc $id reconstruction")
+      assert(masked.split(" ", -1).count(_ == "[MASK]") == nMasked,
+        s"doc $id mask count")
+    }
+  }
 }

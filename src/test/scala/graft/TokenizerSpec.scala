@@ -273,4 +273,32 @@ class TokenizerSpec extends GraftSpec {
       .flatMap(t => t._5.split(" ")).toSet
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
+
+  test("vocabCoverage: top-V vocab by (count desc, word asc); exact OOV counts in basis points") {
+    import spark.implicits._
+    // counts: the=3, cat=2, dog=2, rare=1, unique=1 -> V=3 keeps
+    // {the, cat, dog} (tie at 2 broken alphabetically is moot; tie at
+    // 1 would cut rare/unique both out)
+    val df = Seq(
+      (1L, "en", "The cat the DOG the"),
+      (2L, "en", "cat dog rare"),
+      (3L, "de", "unique")).toDF("doc_id", "lang", "text")
+    val out = Tokenizer.vocabCoverage(df, "doc_id", "text", "lang",
+      vocabSize = 3)
+      .as[(Long, String, Int, Int, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "en", 5, 0, 0L)))
+    assert(out(1) == ((2L, "en", 3, 1, 3333L)))
+    assert(out(2) == ((3L, "de", 1, 1, 10000L)))
+  }
+
+  test("vocabCoverage: empty text yields zero words, zero OOV, zero bp") {
+    import spark.implicits._
+    val df = Seq((1L, "en", ""), (2L, "en", "a b"))
+      .toDF("doc_id", "lang", "text")
+    val out = Tokenizer.vocabCoverage(df, "doc_id", "text", "lang",
+      vocabSize = 1)
+      .as[(Long, String, Int, Int, Long)].collect().sortBy(_._1)
+    assert(out(0)._3 == 0 && out(0)._4 == 0 && out(0)._5 == 0L)
+    assert(out(1)._3 == 2 && out(1)._4 == 1 && out(1)._5 == 5000L)
+  }
 }
