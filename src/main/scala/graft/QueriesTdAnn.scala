@@ -430,6 +430,24 @@ private[graft] object QueriesTdAnn {
           k = 4, minMargin = 1.02, nlist = 8, nprobe = 8)
       }),
       marginMiningOracle),
+    // redundant (multi-cell) assignment — the recall remedy for weak
+    // clusters: each y indexed in its 2 nearest cells, so a pair can
+    // meet in SEVERAL cells and the exact pair collapse must hold for
+    // the mining to stay correct. Driven at nprobe=nlist where the
+    // result must STILL equal all-pairs — the same oracle therefore
+    // gates precisely the dedup-exactness of the redundant path.
+    ("emb_margin_mining_redundant",
+      ((s, dir) => {
+        val e = embs(s, dir)
+        Similarity.marginMiningIvf(
+          e.filter(col("label") % 2 === 0)
+            .select(col("vec_id").as("xid"), col("embedding").as("vec")),
+          e.filter(col("label") % 2 === 1)
+            .select(col("vec_id").as("yid"), col("embedding").as("vec")),
+          k = 4, minMargin = 1.02, nlist = 8, nprobe = 8,
+          redundancy = 2)
+      }),
+      marginMiningOracle),
     // word-embedding training (skip-gram Word2Vec) with planted
     // co-occurrence structure: each doc gets a marker-token pair
     // qqa<k>/qqb<k> (k = doc_id % 8) appended twice — tokens that only

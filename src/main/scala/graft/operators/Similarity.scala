@@ -138,24 +138,47 @@ object Similarity {
     * are shared code operating on whatever candidate frame arrives.
     * The probed x side broadcasts (the `ivfTopK` convention — queries
     * are the bounded side); when BOTH sides are corpus-scale, use
-    * [[marginMiningCells]], which shuffles on the cell key instead. */
+    * [[marginMiningCells]], which shuffles on the cell key instead.
+    *
+    * `redundancy` > 1 indexes each y in its `redundancy` nearest cells
+    * (multi-assignment — the standard recall remedy when clusters are
+    * weak and nearest neighbors straddle cell boundaries; FAISS/SPANN
+    * boundary replication). Index size scales by the factor; candidate
+    * duplicates (a pair meeting in several cells) are collapsed
+    * exactly before the margin stats so the k-NN neighborhoods never
+    * double-count a neighbor — at `nprobe == nlist` any redundancy is
+    * STILL the brute operator (same all-pairs oracle gates it). */
   def marginMiningIvf(xs: DataFrame, ys: DataFrame, k: Int = 4,
                       minMargin: Double = 1.0, nlist: Int = 8,
-                      nprobe: Int = 8): DataFrame = {
+                      nprobe: Int = 8, redundancy: Int = 1): DataFrame = {
     val cents = trainCentroids(
       ys.select(col("yid").as("id"), col("vec")), nlist)
     val c = ys.select(col("yid"), col("vec"))
-      .withColumn("cell", cellOf(col("vec"), cents))
+      .withColumn("cell", assignCells(cents, redundancy))
     val q = xs.select(col("xid"), col("vec").as("xvec"))
       .withColumn("cell", explode(probeCells(col("xvec"), cents, nprobe)))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored0 = c.join(broadcast(q), Seq("cell"))
       .withColumn("cosine",
         round(VectorKernels.cosine_sim(col("xvec"), col("vec")), 6))
       .select(col("xid"), col("yid"), col("cosine"),
         round(col("cosine") * 1e6).cast("long").as("c6"))
-      .localCheckpoint()
+    val scored = dedupPairs(scored0, redundancy).localCheckpoint()
     marginPick(scored, k, minMargin)
   }
+
+  /** Cell column for the stored side: nearest cell at `redundancy` 1,
+    * else the row explodes into its `redundancy` nearest cells. */
+  private def assignCells(cents: Array[Array[Float]],
+                          redundancy: Int): Column =
+    if (redundancy <= 1) cellOf(col("vec"), cents)
+    else explode(probeCells(col("vec"), cents, redundancy))
+
+  /** Multi-assignment lets one (x, y) pair meet in several cells;
+    * collapse exactly (duplicate rows are bit-identical — same
+    * rounded cosine) so neighborhood stats never double-count. The
+    * exchange only exists when redundancy demands it. */
+  private def dedupPairs(scored: DataFrame, redundancy: Int): DataFrame =
+    if (redundancy <= 1) scored else scored.dropDuplicates("xid", "yid")
 
   /** [[marginMiningIvf]] for the BOTH-SIDES-HUGE case (the LASER/
     * CCMatrix shape: two corpus-scale "languages", neither
@@ -177,21 +200,26 @@ object Similarity {
     * skew-join split handles, since the join is a plain shuffle join.
     * `nprobe == nlist` again degenerates to every pair, so the same
     * all-pairs oracle gates this form lossless, and PlanShapeSpec
-    * pins the no-broadcast claim. */
+    * pins the no-broadcast claim. `redundancy` as in
+    * [[marginMiningIvf]] (multi-assignment recall remedy; the exact
+    * pair collapse rides the same shuffled plan). */
   def marginMiningCells(xs: DataFrame, ys: DataFrame, k: Int = 4,
                         minMargin: Double = 1.0, nlist: Int = 8,
-                        nprobe: Int = 8): DataFrame =
-    marginPick(cellCandidates(xs, ys, nlist, nprobe).localCheckpoint(),
+                        nprobe: Int = 8, redundancy: Int = 1): DataFrame =
+    marginPick(
+      dedupPairs(cellCandidates(xs, ys, nlist, nprobe, redundancy),
+        redundancy).localCheckpoint(),
       k, minMargin)
 
   /** [[marginMiningCells]]'s candidate frame, exposed pre-checkpoint so
     * PlanShapeSpec can pin the shuffled (never broadcast) join shape. */
   private[graft] def cellCandidates(xs: DataFrame, ys: DataFrame,
-                                    nlist: Int, nprobe: Int): DataFrame = {
+                                    nlist: Int, nprobe: Int,
+                                    redundancy: Int = 1): DataFrame = {
     val cents = trainCentroids(
       ys.select(col("yid").as("id"), col("vec")), nlist)
     val c = ys.select(col("yid"), col("vec"))
-      .withColumn("cell", cellOf(col("vec"), cents))
+      .withColumn("cell", assignCells(cents, redundancy))
     val q = xs.select(col("xid"), col("vec").as("xvec"))
       .withColumn("cell", explode(probeCells(col("xvec"), cents, nprobe)))
     c.hint("shuffle_hash").join(q, Seq("cell"))

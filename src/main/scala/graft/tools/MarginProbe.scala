@@ -32,19 +32,25 @@ object MarginProbe {
     val celled = ys.withColumn("cell", Similarity.cellOf(col("vec"), cents))
     println(s"# xs=$nx ys=$ny allPairs=$allPairs nlist=$nlist " +
       s"bruteMatches=${brute.size}")
-    println("# nprobe candidates frac matchedPairs recallVsBrute")
-    Seq(1, 2, 4, nlist).distinct.foreach { np =>
-      val cand = celled.join(
-        xs.select(col("xid"), explode(
-          Similarity.probeCells(col("vec"), cents, np)).as("cell")),
-        "cell").count()
-      val mined = Similarity.marginMiningIvf(xs, ys, k = 4,
-        minMargin = 1.02, nlist = nlist, nprobe = np)
-        .select("xid", "yid").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val hit = mined.intersect(brute).size
-      println(f"$np%7d $cand%10d ${cand.toDouble / allPairs}%5.3f " +
-        f"${mined.size}%12d ${hit.toDouble / brute.size}%7.3f")
+    println("# redundancy nprobe candidates frac matchedPairs recallVsBrute")
+    Seq(1, 2).foreach { red =>
+      val stored =
+        if (red <= 1) celled
+        else ys.withColumn("cell", explode(
+          Similarity.probeCells(col("vec"), cents, red)))
+      Seq(1, 2, 4, nlist).distinct.foreach { np =>
+        val cand = stored.join(
+          xs.select(col("xid"), explode(
+            Similarity.probeCells(col("vec"), cents, np)).as("cell")),
+          "cell").select("xid", "yid").distinct().count()
+        val mined = Similarity.marginMiningIvf(xs, ys, k = 4,
+          minMargin = 1.02, nlist = nlist, nprobe = np, redundancy = red)
+          .select("xid", "yid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hit = mined.intersect(brute).size
+        println(f"$red%11d $np%6d $cand%10d ${cand.toDouble / allPairs}%5.3f " +
+          f"${mined.size}%12d ${hit.toDouble / brute.size}%7.3f")
+      }
     }
     spark.stop()
   }

@@ -219,6 +219,39 @@ class ConversationsSpec extends GraftSpec {
       r.getAs[Long]("yid") == 100 + r.getAs[Long]("xid")))
   }
 
+  test("redundant cell assignment: exact pair collapse at nprobe=nlist; recall never below single-assignment") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val xs = e.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("vec"))
+    val ys = e.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("embedding").as("vec"))
+    val brute = Similarity.marginMining(xs, ys, k = 4, minMargin = 1.02)
+      .collect().map(_.toSeq).toSet
+    // at nprobe=nlist every pair is a candidate SEVERAL times over —
+    // the result must still be exactly brute, in both join shapes
+    // (this is what gates the duplicate-collapse correctness)
+    val r2 = Similarity.marginMiningIvf(xs, ys, k = 4, minMargin = 1.02,
+      nlist = 8, nprobe = 8, redundancy = 2).collect().map(_.toSeq).toSet
+    assert(r2 == brute, "redundant broadcast form diverged from brute")
+    val r2c = Similarity.marginMiningCells(xs, ys, k = 4,
+      minMargin = 1.02, nlist = 8, nprobe = 8, redundancy = 2)
+      .collect().map(_.toSeq).toSet
+    assert(r2c == brute, "redundant shuffled form diverged from brute")
+    // pruned probing on the ISOTROPIC sides (the documented worst
+    // case): matched brute pairs recovered at nprobe=2 must not drop
+    // when each y is additionally indexed in its second cell
+    def recall(red: Int): Double = {
+      val mined = Similarity.marginMiningIvf(xs, ys, k = 4,
+        minMargin = 1.02, nlist = 8, nprobe = 2, redundancy = red)
+        .select("xid", "yid").collect().map(_.toSeq).toSet
+      val bruteP = brute.map(s => Seq(s(0), s(1)))
+      mined.intersect(bruteP).size.toDouble / bruteP.size
+    }
+    val (r1rec, r2rec) = (recall(1), recall(2))
+    assert(r2rec >= r1rec,
+      s"redundancy=2 recall $r2rec fell below single-assignment $r1rec")
+  }
+
   test("empty inputs yield empty outputs, never errors") {
     val noEvents = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
