@@ -169,7 +169,14 @@ object Bench {
     // query was running, and the worst queries are exactly the ones
     // compared across rounds — both samples go into the artifact
     val retimeN = 5
-    val worst = firstPass.sortBy(-_._2).take(retimeN).map(_._1).toSet
+    // adaptive retime set: the worst five PLUS any query whose first
+    // pass exceeds a stall threshold — a transient host I/O stall can
+    // land on a CLUSTER of adjacent queries (round 12 saw the sink
+    // family at 3-9x while the run's median ratio vs r11 was 0.9), and
+    // a fixed top-5 rescues only the five unluckiest of them
+    val stallSec = 8.0
+    val worst = (firstPass.sortBy(-_._2).take(retimeN).map(_._1) ++
+      firstPass.filter(_._2 > stallSec).map(_._1)).toSet
     val byName = selected.toMap
     val second = firstPass.filter(p => worst(p._1))
       .map { case (name, _) => name -> timeOne(name, byName(name)) }.toMap

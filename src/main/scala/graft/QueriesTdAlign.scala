@@ -287,6 +287,49 @@ private[graft] object QueriesTdAlign {
         |    WHEN too_short THEN 'too_short'
         |    WHEN over_budget THEN 'over_budget' END AS reason
         |FROM f""".stripMargin),
+    // template-leakage audit over assembled SFT transcripts: group by
+    // the k-token opener, report shared prefixes with their frequency
+    // and DISTINCT-transcript counts (1 variant = plain dup, many = a
+    // live template) — the boilerplate-opener check exact-dup misses
+    ("td_sft_templates",
+      ((s, dir) => graft.operators.Conversations.templatePrefixes(
+        graft.operators.Conversations.assemble(
+          s.read.parquet(s"$dir/events.parquet"), gapMinutes = 1440),
+        prefixTokens = 1, minConvs = 2)),
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    event_type || ' value=' ||
+        |      CAST(ROUND(value * 100) AS BIGINT) || ' k=' ||
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      AS turn_text
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(epoch(ts) AS BIGINT)
+        |        - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 86400
+        |    THEN 1 ELSE 0 END AS new_conv
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT *, SUM(new_conv) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS conv,
+        |    len(string_split(turn_text, ' ')) AS turn_tokens
+        |  FROM s),
+        |x AS (
+        |  SELECT *, SUM(turn_tokens) OVER (PARTITION BY user_id, conv
+        |      ORDER BY ts, event_id) AS cum
+        |  FROM c),
+        |a AS (
+        |  SELECT COUNT(*) AS n_turns,
+        |    string_agg(turn_text, ' | ' ORDER BY ts, event_id) AS text
+        |  FROM x WHERE cum <= 30
+        |  GROUP BY user_id, conv HAVING COUNT(*) >= 2),
+        |p AS (
+        |  SELECT array_to_string(string_split(text, ' ')[1:1], ' ')
+        |    AS prefix, text
+        |  FROM a)
+        |SELECT prefix, COUNT(*) AS n_convs,
+        |  COUNT(DISTINCT text) AS n_variants
+        |FROM p GROUP BY prefix HAVING COUNT(*) >= 2""".stripMargin),
     // FIM (fill-in-the-middle) transform: md5-bucketed doc selection,
     // deterministic char cut points, PSM reorder — the oracle replays
     // selection, cuts, and the three-piece render byte-for-byte

@@ -272,4 +272,30 @@ object Conversations {
         .when(col("over_budget"), "over_budget")
         .as("reason"))
   }
+
+  /** Template-leakage audit over [[assemble]]'s output — the check
+    * exact-dup filtering misses: transcripts that OPEN identically for
+    * `prefixTokens` tokens are one template stamped onto different
+    * tails (boilerplate openers, copy-pasted instruction frames), and
+    * a model trained on them overfits the opener. Groups conversations
+    * by their k-token prefix and reports every prefix shared by at
+    * least `minConvs` conversations, with its frequency and how many
+    * DISTINCT full transcripts hide behind it (`n_variants` — 1 means
+    * plain duplication, high means a live template).
+    *
+    * Scale shape: one hash exchange on the prefix (the k-token slice,
+    * bounded bytes — never the transcript); the distinct-transcript
+    * count travels as md5 fingerprints inside the same aggregation. */
+  def templatePrefixes(convs: DataFrame, prefixTokens: Int = 3,
+                       minConvs: Long = 2): DataFrame = {
+    require(prefixTokens > 0, "prefixTokens must be positive")
+    val prefix = array_join(
+      slice(split(col("text"), " "), 1, prefixTokens), " ")
+    convs
+      .select(prefix.as("prefix"), md5(col("text")).as("fp"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_convs"),
+        countDistinct(col("fp")).as("n_variants"))
+      .filter(col("n_convs") >= minConvs)
+  }
 }

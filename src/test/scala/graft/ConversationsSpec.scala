@@ -318,6 +318,28 @@ class ConversationsSpec extends GraftSpec {
     assert(over.getAs[String]("reason") == "over_budget")
   }
 
+  test("templatePrefixes: shared openers group; variants counted distinct; singletons dropped") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("text", StringType)))
+    val convs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        // template "greet user now" stamped onto three tails, one of
+        // which is an exact duplicate -> n_convs 3, n_variants 2
+        org.apache.spark.sql.Row("a", "greet user now | tail one"),
+        org.apache.spark.sql.Row("b", "greet user now | tail two"),
+        org.apache.spark.sql.Row("c", "greet user now | tail one"),
+        // a singleton opener -> dropped at minConvs=2
+        org.apache.spark.sql.Row("d", "other opener here | x")),
+      schema)
+    val out = Conversations.templatePrefixes(convs, prefixTokens = 3,
+      minConvs = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("prefix") == "greet user now")
+    assert(out.head.getAs[Long]("n_convs") == 3)
+    assert(out.head.getAs[Long]("n_variants") == 2)
+  }
+
   test("sftFilter: too_short outranks over_budget in the reason order") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
