@@ -503,6 +503,55 @@ private[graft] object QueriesTdText {
         |SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  ROUND(AVG(nll), 4) AS avg_nll, ROUND(EXP(AVG(nll)), 2) AS ppl
         |FROM sc GROUP BY 1""".stripMargin),
+    // CCNet's head/middle/tail partition: per-LANGUAGE perplexity rank
+    // cut into 3 buckets (0 = head = lowest ppl) via the distributed
+    // per-stratum two-phase rank — never one reducer per language; the
+    // oracle replays the LM, the 2-dp ppl, the per-lang rank, and the
+    // floor-split cut exactly
+    ("td_ppl_buckets",
+      ((s, dir) => {
+      val d = docs(s, dir)
+      val ppl = TextQuality.perplexity(d, "doc_id", "text", alpha = 0.1)
+        .select(col("id").as("doc_id"), col("ppl"))
+      Sampling.stratifiedRankBuckets(
+        ppl.join(d.select(col("doc_id"), col("lang")), "doc_id"),
+        "doc_id", "ppl", "lang", buckets = 3)
+    }),
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+        |v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS vsz FROM tok),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+        |      i -> {'w1': w[i+1], 'w2': w[i+2]})) AS b
+        |  FROM ws),
+        |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n
+        |       FROM bb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(n) AS DOUBLE) AS n_head
+        |       FROM c2 GROUP BY 1),
+        |sc AS (
+        |  SELECT bb.doc_id,
+        |    -ln((c2.n + 0.1) / (c1.n_head + 0.1 * v.vsz)) AS nll
+        |  FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |p AS (
+        |  SELECT doc_id, ROUND(EXP(AVG(nll)), 2) AS score
+        |  FROM sc GROUP BY 1),
+        |j AS (
+        |  SELECT p.doc_id, d.lang AS stratum, p.score
+        |  FROM p JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT doc_id, stratum, score,
+        |    ROW_NUMBER() OVER (PARTITION BY stratum
+        |      ORDER BY score, doc_id) AS rank,
+        |    COUNT(*) OVER (PARTITION BY stratum) AS total
+        |  FROM j)
+        |SELECT doc_id, stratum, score, rank,
+        |  CAST((rank - 1) * 3 // total AS INT) AS bucket
+        |FROM r""".stripMargin),
     // model-based quality filter (the GPT-3/CCNet classifier stage):
     // seed labels from the heuristic quality score (top vs bottom half
     // at the corpus median) on half the corpus, train the hashed-ngram

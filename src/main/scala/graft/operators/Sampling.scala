@@ -341,6 +341,64 @@ object Sampling {
   }
 
   private var lastBudgetCache: Option[DataFrame] = None
+  private var lastStrataCache: Option[DataFrame] = None
+
+  /** Per-stratum rank bucketing — the CCNet head/middle/tail partition:
+    * within each stratum (language, source), rank rows by score and cut
+    * the rank into `buckets` equal slices (bucket 0 = lowest scores; for
+    * CCNet feed perplexity, so 0 = head). The floor-split
+    * `(rank-1)*buckets div total` replays in SQL without NTILE's
+    * remainder convention, same rule as [[curriculumOrder]].
+    *
+    * The per-stratum global rank must never become one reducer per
+    * stratum (strata are languages: few and huge), so this is the
+    * [[tokenBudget]] two-phase pass specialised to counting:
+    * range-repartition on (stratum, score, id) — order-preserving
+    * splits WITHIN each stratum — a per-(physical partition, stratum)
+    * `row_number` (parallel), and #partitions × #strata count rows
+    * folded driver-side into per-(partition, stratum) offsets and
+    * per-stratum totals, joined back as broadcasts. The persist is
+    * load-bearing (RangePartitioner samples boundaries per execution;
+    * the counts collect and the output pass must see ONE layout). */
+  def stratifiedRankBuckets(df: DataFrame, idCol: String, scoreCol: String,
+                            stratumCol: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0, "buckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .select(col(idCol).as("id"), col(stratumCol).as("stratum"),
+        col(scoreCol).as("score"))
+      .repartitionByRange(n, col("stratum"), col("score"), col("id"))
+      .withColumn("_part", spark_partition_id())
+    val w = Window.partitionBy(col("_part"), col("stratum"))
+      .orderBy(col("score"), col("id"))
+    val local = ranged.withColumn("_rk", row_number().over(w).cast("long"))
+      .persist()
+    lastStrataCache.foreach(_.unpersist())
+    lastStrataCache = Some(local)
+    val counts = local.groupBy(col("_part"), col("stratum"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = counts.groupBy(_._2).toSeq.flatMap { case (st, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1)
+        .zip(sorted.scanLeft(0L)((acc, r) => acc + r._3).init)
+        .map { case (p, off) => (p, st, off) }
+    }
+    val totals = counts.groupBy(_._2).toSeq
+      .map { case (st, rows) => (st, rows.map(_._3).sum) }
+    val offDf = offsets.toDF("_part", "stratum", "_off")
+    val totDf = totals.toDF("stratum", "_total")
+    local.join(broadcast(offDf), Seq("_part", "stratum"))
+      .join(broadcast(totDf), Seq("stratum"))
+      .withColumn("rank", col("_rk") + col("_off"))
+      .withColumn("bucket",
+        expr(s"(rank - 1L) * ${buckets}L div _total").cast("int"))
+      .select(col("id").as(idCol), col("stratum"), col("score"),
+        col("rank"), col("bucket"))
+  }
 
   /** Length-bucketed batch assembly — the padding-aware batching step of
     * a training / batch-inference pipeline: each doc lands in the

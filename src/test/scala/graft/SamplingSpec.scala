@@ -267,4 +267,27 @@ class SamplingSpec extends GraftSpec {
       .as[(Long, Long, Int, Int, Long)].collect()
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("stratifiedRankBuckets: per-stratum ranks are dense and score-ordered; floor-split buckets") {
+    // two uneven strata, shuffled input, more rows than partitions,
+    // tied scores broken by id
+    val rows = (0L until 70L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", (i * 7) % 11))
+    val df = rows.reverse.toDF("doc_id", "lang", "s").repartition(5)
+    val out = Sampling.stratifiedRankBuckets(df, "doc_id", "s", "lang",
+      buckets = 3).as[(Long, String, Long, Long, Int)].collect()
+    val byStratum = rows.groupBy(_._2)
+    byStratum.foreach { case (st, g) =>
+      val want = g.sortBy { case (id, _, s) => (s, id) }.map(_._1)
+      val got = out.filter(_._2 == st).sortBy(_._4)
+      assert(got.map(_._4).toSeq == (1L to want.size).toSeq,
+        s"stratum $st ranks not dense")
+      assert(got.map(_._1).toSeq == want.toSeq, s"stratum $st order")
+      val total = want.size
+      got.foreach { case (_, _, _, rank, bucket) =>
+        assert(bucket == ((rank - 1) * 3 / total).toInt,
+          s"stratum $st rank $rank bucket")
+      }
+    }
+  }
 }
