@@ -104,4 +104,14 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("Exchange rangepartitioning"),
       "expected the order-preserving range repartition")
   }
+
+  test("per-stratum perplexity bucketing never windows over a whole language") {
+    // strata are languages (few, huge): the rank must be the two-phase
+    // range pass, not a PARTITION BY lang global window
+    val p = plan("td_ppl_buckets")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"td_ppl_buckets has a single-partition exchange:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      "expected the order-preserving range repartition")
+  }
 }
