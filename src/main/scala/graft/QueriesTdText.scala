@@ -53,6 +53,42 @@ private[graft] object QueriesTdText {
         |  md5(array_to_string(list_sort(list_distinct(w)), ' '))
         |    AS fingerprint
         |FROM ws""".stripMargin)),
+    // readability counts (Flesch-Kincaid inputs): exact integer word /
+    // sentence-run / vowel-group-syllable counts, ratios in integer
+    // basis points — the grade is one downstream expression, kept out
+    // of the gate so no float multiply sits inside the hash. The
+    // corpus carries no terminal punctuation, so the gate PLANTS
+    // deterministic sentence breaks (a period after every 5-word run)
+    // with the same non-overlapping left-to-right rewrite in both
+    // engines; unterminated tails exercise the floor
+    ("text_readability",
+      ((s, dir) =>
+      TextQuality.readability(
+        docs(s, dir).select(col("doc_id"),
+          regexp_replace(col("text"),
+            "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("text")),
+        "doc_id", "text")),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text,
+        |      '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS INT) AS n_words,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |    AS INT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    AS INT) AS n_syllables,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0)) * 10000
+        |    // greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |    AS BIGINT) AS wps_bp,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) * 10000
+        |    // greatest(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0)), 1)
+        |    AS BIGINT) AS spw_bp
+        |FROM d""".stripMargin),
     // language id (stopword-profile heuristic)
     ("text_langid",
       ((s, dir) =>

@@ -373,4 +373,31 @@ object TextQuality {
         concat_ws(" ", transform(col("_kept"), sc => trim(sc)))
           .as("text_clean"))
   }
+
+  /** Readability counts — the Flesch–Kincaid inputs as EXACT integers,
+    * with the two ratios in integer basis points so the gate carries
+    * no FP: words (whitespace tokens), sentences (runs of terminal
+    * punctuation, floored at 1 for unterminated fragments), and
+    * syllables (vowel-group runs over the lowercased text — the
+    * standard heuristic; spaces break runs, so the text-wide count
+    * equals the per-word sum). The grade itself is one downstream
+    * expression over the emitted ratios — kept out of the gate because
+    * its two float multiplies would put a rounding boundary inside the
+    * hash. One codegen'd projection, no shuffle. */
+  def readability(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val nWords = size(filter(split(col(textCol), "\\s+"),
+      w => length(w) > 0))
+    val nSents = greatest(lit(1),
+      size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")))
+    val nSylls = size(expr(
+      s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)"))
+    docs.select(col(idCol),
+        nWords.as("n_words"), nSents.as("n_sentences"),
+        nSylls.as("n_syllables"))
+      .withColumn("wps_bp", expr(
+        "CAST(n_words AS BIGINT) * 10000 div n_sentences"))
+      .withColumn("spw_bp", expr(
+        "CAST(n_syllables AS BIGINT) * 10000 div greatest(n_words, 1)"))
+  }
 }

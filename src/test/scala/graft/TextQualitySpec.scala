@@ -251,4 +251,30 @@ class TextQualitySpec extends GraftSpec {
     // doc 3: "a!" and "b?" too short, the 3-word sentence survives
     assert(got(3L) == ((3L, 1L, "solid three words.")))
   }
+
+  test("readability: hand-counted words/sentences/syllables; floor on unterminated text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hi there. All good?! Everything fine."),
+      (2L, "no terminal punctuation here"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextQuality.readability(df, "doc_id", "text")
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // doc 1: words = 6; sentence runs = ".", "?!", "." = 3;
+    // syllables (vowel-group runs, lowercased, y counts):
+    //   "hi there. all good?! everything fine."
+    //   i, e+e (there->th[e]r[e]=2), a, oo, e+y+i (everything:
+    //   [e]v[e]r[y]th[i]ng = 4), i+e (fine = 2)  -> 1+2+1+1+4+2 = 11
+    val d1 = got(1L)
+    assert(d1._2 == 6 && d1._3 == 3 && d1._4 == 11)
+    assert(d1._5 == 6L * 10000 / 3 && d1._6 == 11L * 10000 / 6)
+    // doc 2: no terminal punctuation -> sentence floor 1
+    val d2 = got(2L)
+    assert(d2._2 == 4 && d2._3 == 1)
+    assert(d2._5 == 40000L)
+    // doc 3: empty text -> all zeros, no division blowups
+    val d3 = got(3L)
+    assert(d3._2 == 0 && d3._3 == 1 && d3._4 == 0 && d3._6 == 0L)
+  }
 }
