@@ -283,9 +283,11 @@ object Conversations {
     * DISTINCT full transcripts hide behind it (`n_variants` — 1 means
     * plain duplication, high means a live template).
     *
-    * Scale shape: one hash exchange on the prefix (the k-token slice,
-    * bounded bytes — never the transcript); the distinct-transcript
-    * count travels as md5 fingerprints inside the same aggregation. */
+    * Scale shape: transcripts are projected down to (prefix,
+    * fingerprint) BEFORE any exchange, so the audit's aggregation
+    * shuffles (two, from the distinct count: partial by (prefix, fp),
+    * final by prefix) carry bounded bytes per row — never the
+    * transcript. */
   def templatePrefixes(convs: DataFrame, prefixTokens: Int = 3,
                        minConvs: Long = 2): DataFrame = {
     require(prefixTokens > 0, "prefixTokens must be positive")

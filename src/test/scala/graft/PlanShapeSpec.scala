@@ -114,4 +114,26 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("Exchange rangepartitioning"),
       "expected the order-preserving range repartition")
   }
+
+  test("vocab-coverage scoring is scan-shaped: vocab inlined, no join/explode/exchange") {
+    // the word histogram is collected at BUILD time (vocabSize rows);
+    // the returned frame must be a bare scan + projection
+    val p = plan("td_vocab_coverage")
+    assert(!p.contains("Exchange"), s"td_vocab_coverage grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"td_vocab_coverage grew a join:\n$p")
+    assert(!p.contains("Generate"), s"td_vocab_coverage grew an explode:\n$p")
+  }
+
+  test("template audit never partitions an exchange on the raw transcript") {
+    // the dedup decision travels as md5 fingerprints: if a future edit
+    // grouped on `text` directly, the aggregation exchange would key on
+    // the transcript — unbounded shuffle keys at corpus scale
+    val p = plan("td_sft_templates")
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, "expected aggregation exchanges")
+    val textKeyed = exchanges.filter(_.contains("text"))
+    assert(textKeyed.isEmpty,
+      s"an exchange is keyed on the transcript: $textKeyed")
+  }
 }
