@@ -174,9 +174,14 @@ object Bench {
     // land on a CLUSTER of adjacent queries (round 12 saw the sink
     // family at 3-9x while the run's median ratio vs r11 was 0.9), and
     // a fixed top-5 rescues only the five unluckiest of them
+    // bounded: a run where MANY queries legitimately clear the
+    // threshold (bigger SF, loaded host) must not double its wall time
+    // or turn the total into a variable-size min-of-2 mix — cap the
+    // over-threshold extras at 10 beyond the fixed five
     val stallSec = 8.0
     val worst = (firstPass.sortBy(-_._2).take(retimeN).map(_._1) ++
-      firstPass.filter(_._2 > stallSec).map(_._1)).toSet
+      firstPass.filter(_._2 > stallSec).sortBy(-_._2).take(10)
+        .map(_._1)).toSet
     val byName = selected.toMap
     val second = firstPass.filter(p => worst(p._1))
       .map { case (name, _) => name -> timeOne(name, byName(name)) }.toMap

@@ -172,37 +172,19 @@ private[graft] object QueriesTdAlign {
     ("td_sft_assemble",
       ((s, dir) => graft.operators.Conversations.assemble(
         s.read.parquet(s"$dir/events.parquet"), gapMinutes = 1440)),
-      """WITH t AS (
-        |  SELECT user_id, ts, event_id,
-        |    event_type || ' value=' ||
-        |      CAST(ROUND(value * 100) AS BIGINT) || ' k=' ||
-        |      CAST(json_extract_string(props, '$.k') AS BIGINT)
-        |      AS turn_text
-        |  FROM events),
-        |s AS (
-        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-        |      OR CAST(epoch(ts) AS BIGINT)
-        |        - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 86400
-        |    THEN 1 ELSE 0 END AS new_conv
-        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |c AS (
-        |  SELECT *, SUM(new_conv) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS conv,
-        |    len(string_split(turn_text, ' ')) AS turn_tokens
-        |  FROM s),
-        |x AS (
-        |  SELECT *, SUM(turn_tokens) OVER (PARTITION BY user_id, conv
-        |      ORDER BY ts, event_id) AS cum,
-        |    COUNT(*) OVER (PARTITION BY user_id, conv) AS all_turns
-        |  FROM c)
+      (assembleCte +
+      """,x2 AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY user_id, conv)
+        |    AS all_turns
+        |  FROM x)
         |SELECT CAST(user_id AS VARCHAR) || '-' || CAST(conv AS VARCHAR)
         |    AS conv_id,
         |  user_id, COUNT(*) AS n_turns, MAX(all_turns) AS all_turns,
         |  SUM(turn_tokens) AS total_tokens,
         |  MAX(all_turns) > COUNT(*) AS truncated,
         |  string_agg(turn_text, ' | ' ORDER BY ts, event_id) AS text
-        |FROM x WHERE cum <= 30
-        |GROUP BY user_id, conv HAVING COUNT(*) >= 2""".stripMargin),
+        |FROM x2 WHERE cum <= 30
+        |GROUP BY user_id, conv HAVING COUNT(*) >= 2""".stripMargin)),
     // preference-pair assembly (the DPO/RLHF reward-pair shape): per
     // (user, day) candidate group the highest- and lowest-scored events
     // become (chosen, rejected); tied extremes are skipped (no
@@ -244,29 +226,8 @@ private[graft] object QueriesTdAlign {
         graft.operators.Conversations.assemble(
           s.read.parquet(s"$dir/events.parquet"), gapMinutes = 1440),
         minTurns = 3, maxTokens = 25)),
-      """WITH t AS (
-        |  SELECT user_id, ts, event_id,
-        |    event_type || ' value=' ||
-        |      CAST(ROUND(value * 100) AS BIGINT) || ' k=' ||
-        |      CAST(json_extract_string(props, '$.k') AS BIGINT)
-        |      AS turn_text
-        |  FROM events),
-        |s AS (
-        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-        |      OR CAST(epoch(ts) AS BIGINT)
-        |        - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 86400
-        |    THEN 1 ELSE 0 END AS new_conv
-        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |c AS (
-        |  SELECT *, SUM(new_conv) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS conv,
-        |    len(string_split(turn_text, ' ')) AS turn_tokens
-        |  FROM s),
-        |x AS (
-        |  SELECT *, SUM(turn_tokens) OVER (PARTITION BY user_id, conv
-        |      ORDER BY ts, event_id) AS cum
-        |  FROM c),
-        |a AS (
+      (assembleCte +
+      """,a AS (
         |  SELECT CAST(user_id AS VARCHAR) || '-' || CAST(conv AS VARCHAR)
         |      AS conv_id,
         |    user_id, COUNT(*) AS n_turns, SUM(turn_tokens) AS total_tokens,
@@ -286,7 +247,7 @@ private[graft] object QueriesTdAlign {
         |  CASE WHEN dup_text THEN 'dup_text'
         |    WHEN too_short THEN 'too_short'
         |    WHEN over_budget THEN 'over_budget' END AS reason
-        |FROM f""".stripMargin),
+        |FROM f""".stripMargin)),
     // template-leakage audit over assembled SFT transcripts: group by
     // the k-token opener, report shared prefixes with their frequency
     // and DISTINCT-transcript counts (1 variant = plain dup, many = a
@@ -296,29 +257,8 @@ private[graft] object QueriesTdAlign {
         graft.operators.Conversations.assemble(
           s.read.parquet(s"$dir/events.parquet"), gapMinutes = 1440),
         prefixTokens = 1, minConvs = 2)),
-      """WITH t AS (
-        |  SELECT user_id, ts, event_id,
-        |    event_type || ' value=' ||
-        |      CAST(ROUND(value * 100) AS BIGINT) || ' k=' ||
-        |      CAST(json_extract_string(props, '$.k') AS BIGINT)
-        |      AS turn_text
-        |  FROM events),
-        |s AS (
-        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-        |      OR CAST(epoch(ts) AS BIGINT)
-        |        - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 86400
-        |    THEN 1 ELSE 0 END AS new_conv
-        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |c AS (
-        |  SELECT *, SUM(new_conv) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS conv,
-        |    len(string_split(turn_text, ' ')) AS turn_tokens
-        |  FROM s),
-        |x AS (
-        |  SELECT *, SUM(turn_tokens) OVER (PARTITION BY user_id, conv
-        |      ORDER BY ts, event_id) AS cum
-        |  FROM c),
-        |a AS (
+      (assembleCte +
+      """,a AS (
         |  SELECT COUNT(*) AS n_turns,
         |    string_agg(turn_text, ' | ' ORDER BY ts, event_id) AS text
         |  FROM x WHERE cum <= 30
@@ -329,7 +269,7 @@ private[graft] object QueriesTdAlign {
         |  FROM a)
         |SELECT prefix, COUNT(*) AS n_convs,
         |  COUNT(DISTINCT text) AS n_variants
-        |FROM p GROUP BY prefix HAVING COUNT(*) >= 2""".stripMargin),
+        |FROM p GROUP BY prefix HAVING COUNT(*) >= 2""".stripMargin)),
     // FIM (fill-in-the-middle) transform: md5-bucketed doc selection,
     // deterministic char cut points, PSM reorder — the oracle replays
     // selection, cuts, and the three-piece render byte-for-byte

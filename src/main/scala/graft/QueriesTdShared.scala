@@ -301,4 +301,36 @@ private[graft] object QueriesTdShared {
         |      ORDER BY margin DESC, yid) AS r
         |  FROM m WHERE margin >= 1.02)
         |WHERE r = 1""".stripMargin
+
+  /** Conversation-assembly CTE chain (events → templated turns →
+    * gap-sessionized conversations → running token sums), shared by
+    * the three SFT oracles (`td_sft_assemble`, `td_sft_filter`,
+    * `td_sft_templates`) so a semantics change cannot silently drift
+    * between them. Ends with CTE `x` carrying (user_id, ts, event_id,
+    * turn_text, conv, turn_tokens, cum); each gate appends its own
+    * final stage. */
+  private[graft] val assembleCte: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id,
+      |    event_type || ' value=' ||
+      |      CAST(ROUND(value * 100) AS BIGINT) || ' k=' ||
+      |      CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |      AS turn_text
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR CAST(epoch(ts) AS BIGINT)
+      |        - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 86400
+      |    THEN 1 ELSE 0 END AS new_conv
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (
+      |  SELECT *, SUM(new_conv) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS conv,
+      |    len(string_split(turn_text, ' ')) AS turn_tokens
+      |  FROM s),
+      |x AS (
+      |  SELECT *, SUM(turn_tokens) OVER (PARTITION BY user_id, conv
+      |      ORDER BY ts, event_id) AS cum
+      |  FROM c)
+      |""".stripMargin
 }

@@ -24,7 +24,7 @@ object Sampling {
   private var lastDsirCache: Option[DataFrame] = None
   private var lastDsirRawCache: Option[DataFrame] = None
   private var lastPackCache: Option[DataFrame] = None
-  private var lastCurriculumCache: Option[DataFrame] = None
+  private var lastRankCache: Option[DataFrame] = None
 
   /** Stable per-row bucket in [0, 10000): first 8 hex chars of
     * md5(id-as-string), mod 10⁴. */
@@ -226,52 +226,26 @@ object Sampling {
     * Readers consume stages in order, shards within a stage in any
     * interleave, positions within a shard in order.
     *
-    * The global rank is the [[packSequences]] two-phase prefix sum
-    * specialised to counting: range-repartition on (score, id)
-    * (order-preserving splits), per-partition `row_number` (parallel),
-    * per-partition COUNTS cumulated driver-side (one row per
-    * partition) and folded back as a broadcast offset — never a
-    * single-partition global window. The persist is load-bearing for
-    * the same reason as in [[packSequences]]: RangePartitioner samples
-    * its boundaries per execution, and the counts collect + the output
-    * pass must see the SAME layout. */
+    * The global rank is the shared two-phase pass ([[stratumRank]]
+    * with one constant stratum) — never a single-partition global
+    * window; see the helper's single-slot cache contract (materialize
+    * the returned frame before the next curriculum/bucket call). */
   def curriculumOrder(docs: DataFrame, idCol: String, scoreCol: String,
                       stages: Int, seed: String = "curriculum",
                       numShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(stages > 0, "stages must be positive")
     require(numShards > 0, "numShards must be positive")
-    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = docs
-      .select(col(idCol).as("id"), col(scoreCol).as("score"))
-      .repartitionByRange(n, col("score"), col("id"))
-      .withColumn("_part", spark_partition_id())
-    val w = Window.partitionBy(col("_part")).orderBy(col("score"), col("id"))
-    val local = ranged.withColumn("_rk", row_number().over(w).cast("long"))
-      .persist()
-    lastCurriculumCache.foreach(_.unpersist())
-    lastCurriculumCache = Some(local)
-    // one (partition, count) row per partition reaches the driver
-    val counts = local.groupBy(col("_part"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val total = counts.map(_._2).sum
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) =>
-      (p, acc + c)
-    }.init.map { case (_, off) => off }
-    val offsetByPart = counts.map(_._1).zip(offsets).toMap
-    val offCol = offsetByPart.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-      when(col("_part") === p, lit(off)).otherwise(acc)
-    }
     val key = shuffleKey(col("id"), seed)
     val shard = (conv(substring(key, 1, 8), 16, 10).cast("long")
       % numShards).cast("int")
     val wPos = Window.partitionBy(col("stage"), col("shard"))
       .orderBy(col("_key"), col("id"))
-    local
-      .withColumn("rank", col("_rk") + offCol)
+    // global rank = the shared per-stratum rank with ONE constant
+    // stratum (a leading constant range key changes nothing)
+    stratumRank(docs, idCol, scoreCol, lit(""))
       .withColumn("stage",
-        expr(s"(rank - 1L) * ${stages}L div ${math.max(total, 1L)}L")
+        expr(s"(rank - 1L) * ${stages}L div greatest(_total, 1L)")
           .cast("int"))
       .withColumn("_key", key)
       .withColumn("shard", shard)
@@ -341,7 +315,6 @@ object Sampling {
   }
 
   private var lastBudgetCache: Option[DataFrame] = None
-  private var lastStrataCache: Option[DataFrame] = None
 
   /** Per-stratum rank bucketing — the CCNet head/middle/tail partition:
     * within each stratum (language, source), rank rows by score and cut
@@ -351,53 +324,81 @@ object Sampling {
     * remainder convention, same rule as [[curriculumOrder]].
     *
     * The per-stratum global rank must never become one reducer per
-    * stratum (strata are languages: few and huge), so this is the
-    * [[tokenBudget]] two-phase pass specialised to counting:
-    * range-repartition on (stratum, score, id) — order-preserving
-    * splits WITHIN each stratum — a per-(physical partition, stratum)
-    * `row_number` (parallel), and #partitions × #strata count rows
-    * folded driver-side into per-(partition, stratum) offsets and
-    * per-stratum totals, joined back as broadcasts. The persist is
-    * load-bearing (RangePartitioner samples boundaries per execution;
-    * the counts collect and the output pass must see ONE layout). */
+    * stratum (strata are languages: few and huge) — it is the shared
+    * [[stratumRank]] two-phase pass; the emitted `stratum` column is
+    * the key's string form (any input type works, NULL strata rank as
+    * their own group), and the helper's single-slot cache contract
+    * applies (materialize before the next curriculum/bucket call). */
   def stratifiedRankBuckets(df: DataFrame, idCol: String, scoreCol: String,
                             stratumCol: String, buckets: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(buckets > 0, "buckets must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val n = spark.sessionState.conf.numShufflePartitions
-    val ranged = df
-      .select(col(idCol).as("id"), col(stratumCol).as("stratum"),
-        col(scoreCol).as("score"))
-      .repartitionByRange(n, col("stratum"), col("score"), col("id"))
-      .withColumn("_part", spark_partition_id())
-    val w = Window.partitionBy(col("_part"), col("stratum"))
-      .orderBy(col("score"), col("id"))
-    val local = ranged.withColumn("_rk", row_number().over(w).cast("long"))
-      .persist()
-    lastStrataCache.foreach(_.unpersist())
-    lastStrataCache = Some(local)
-    val counts = local.groupBy(col("_part"), col("stratum"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    val offsets = counts.groupBy(_._2).toSeq.flatMap { case (st, rows) =>
-      val sorted = rows.sortBy(_._1)
-      sorted.map(_._1)
-        .zip(sorted.scanLeft(0L)((acc, r) => acc + r._3).init)
-        .map { case (p, off) => (p, st, off) }
-    }
-    val totals = counts.groupBy(_._2).toSeq
-      .map { case (st, rows) => (st, rows.map(_._3).sum) }
-    val offDf = offsets.toDF("_part", "stratum", "_off")
-    val totDf = totals.toDF("stratum", "_total")
-    local.join(broadcast(offDf), Seq("_part", "stratum"))
-      .join(broadcast(totDf), Seq("stratum"))
-      .withColumn("rank", col("_rk") + col("_off"))
+    stratumRank(df, idCol, scoreCol, col(stratumCol))
       .withColumn("bucket",
         expr(s"(rank - 1L) * ${buckets}L div _total").cast("int"))
       .select(col("id").as(idCol), col("stratum"), col("score"),
         col("rank"), col("bucket"))
+  }
+
+  /** The shared two-phase per-stratum rank behind [[curriculumOrder]]
+    * and [[stratifiedRankBuckets]]: range-repartition on
+    * (stratum, score, id), per-(physical partition, stratum)
+    * `row_number`, and #partitions × #strata count rows folded
+    * driver-side into per-(partition, stratum) offsets plus
+    * per-stratum totals, joined back as broadcasts. Returns
+    * (id, stratum, score, rank, _total).
+    *
+    * The stratum is keyed as its STRING form (any column type works);
+    * NULL strata rank as their own group — like SQL's PARTITION BY —
+    * via an explicit (key, isnull) join pair, because a using-column
+    * equi-join would silently drop null-stratum rows.
+    *
+    * SINGLE-SLOT CACHE CONTRACT: the persist is load-bearing
+    * (RangePartitioner samples boundaries per execution; the counts
+    * collect and the output pass must see ONE layout), and the
+    * previous call's frame is unpersisted on the NEXT call to either
+    * public function — materialize a returned frame before calling
+    * again, or its recompute would pair rows with offsets from a
+    * different sampled layout. */
+  private def stratumRank(df: DataFrame, idCol: String, scoreCol: String,
+                          stratum: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .select(col(idCol).as("id"), stratum.cast("string").as("stratum"),
+        col(scoreCol).as("score"))
+      .withColumn("_skey", coalesce(col("stratum"), lit("")))
+      .withColumn("_snull", col("stratum").isNull)
+      .repartitionByRange(n, col("_skey"), col("_snull"), col("score"),
+        col("id"))
+      .withColumn("_part", spark_partition_id())
+    val w = Window.partitionBy(col("_part"), col("_skey"), col("_snull"))
+      .orderBy(col("score"), col("id"))
+    val local = ranged.withColumn("_rk", row_number().over(w).cast("long"))
+      .persist()
+    lastRankCache.foreach(_.unpersist())
+    lastRankCache = Some(local)
+    val counts = local.groupBy(col("_part"), col("_skey"), col("_snull"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getString(1), r.getBoolean(2)),
+        r.getLong(3)))
+    val offsets = counts.groupBy(_._2).toSeq.flatMap { case (st, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1)
+        .zip(sorted.scanLeft(0L)((acc, r) => acc + r._3).init)
+        .map { case (p, off) => (p, st._1, st._2, off) }
+    }
+    val totals = counts.groupBy(_._2).toSeq
+      .map { case (st, rows) => (st._1, st._2, rows.map(_._3).sum) }
+    val offDf = offsets.toDF("_part", "_skey", "_snull", "_off")
+    val totDf = totals.toDF("_skey", "_snull", "_total")
+    local.join(broadcast(offDf), Seq("_part", "_skey", "_snull"))
+      .join(broadcast(totDf), Seq("_skey", "_snull"))
+      .withColumn("rank", col("_rk") + col("_off"))
+      .select(col("id"), col("stratum"), col("score"), col("rank"),
+        col("_total"))
   }
 
   /** Length-bucketed batch assembly — the padding-aware batching step of

@@ -388,10 +388,10 @@ object TextQuality {
                   textCol: String): DataFrame = {
     val nWords = size(filter(split(col(textCol), "\\s+"),
       w => length(w) > 0))
-    val nSents = greatest(lit(1),
-      size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")))
-    val nSylls = size(expr(
-      s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)"))
+    val nSents = greatest(lit(1), size(
+      regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))))
+    val nSylls = size(
+      regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
     docs.select(col(idCol),
         nWords.as("n_words"), nSents.as("n_sentences"),
         nSylls.as("n_syllables"))
