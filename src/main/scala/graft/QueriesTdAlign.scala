@@ -180,7 +180,7 @@ private[graft] object QueriesTdAlign {
         |SELECT CAST(user_id AS VARCHAR) || '-' || CAST(conv AS VARCHAR)
         |    AS conv_id,
         |  user_id, COUNT(*) AS n_turns, MAX(all_turns) AS all_turns,
-        |  SUM(turn_tokens) AS total_tokens,
+        |  CAST(SUM(turn_tokens) AS BIGINT) AS total_tokens,
         |  MAX(all_turns) > COUNT(*) AS truncated,
         |  string_agg(turn_text, ' | ' ORDER BY ts, event_id) AS text
         |FROM x2 WHERE cum <= 30
@@ -230,7 +230,8 @@ private[graft] object QueriesTdAlign {
       """,a AS (
         |  SELECT CAST(user_id AS VARCHAR) || '-' || CAST(conv AS VARCHAR)
         |      AS conv_id,
-        |    user_id, COUNT(*) AS n_turns, SUM(turn_tokens) AS total_tokens,
+        |    user_id, COUNT(*) AS n_turns,
+        |    CAST(SUM(turn_tokens) AS BIGINT) AS total_tokens,
         |    string_agg(turn_text, ' | ' ORDER BY ts, event_id) AS text
         |  FROM x WHERE cum <= 30
         |  GROUP BY user_id, conv HAVING COUNT(*) >= 2),

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.types._
+
+/** Oracle-side type hygiene: every oracle SQL's OUTPUT types, as DuckDB
+  * will actually produce them, must canonicalize identically to the
+  * Spark gate's types under the driver's row-hash comparison.
+  *
+  * Why this exists: DuckDB promotes `SUM` over integer columns to
+  * HUGEINT (int128), which the driver canonicalizes as `12.0` while
+  * Spark's int64 prints `12` — every row hash differs even when every
+  * value is equal. Exactly this (one bare `SUM(turn_tokens)`) kept
+  * `td_sft_assemble` red for two rounds while the Spark output was
+  * value-correct. A pure string lint over the SQL can't see column
+  * types (a bare `SUM(double_col)` is safe, `ROUND(SUM(int_col))` is
+  * not obviously so), so this spec asks DuckDB itself: it `DESCRIBE`s
+  * every entry of [[SparkEntry.oracleSql]] against the sf0.001 views
+  * (type inference only — no query is executed) and fails on
+  *   - any HUGEINT / UHUGEINT output column (canonicalizes with a
+  *     fractional rendering that can never match Spark's integer
+  *     types; DECIMAL(p,s>0) is float-class — `ROUND(x, 1)` gates are
+  *     green against Spark doubles — and is checked as such),
+  *   - any numeric column whose integer/float render class differs
+  *     from the Spark gate's column of the same name (`12` vs `12.0`),
+  *   - any column name present on one side only (the driver sorts
+  *     columns by name before hashing, so a name drift is a guaranteed
+  *     mismatch),
+  *   - any oracle SQL DuckDB cannot analyze at all.
+  *
+  * The probe shells the sandbox `python3` + `duckdb` (the same engine
+  * the driver's correctness gate runs); if either is unavailable the
+  * suite cancels rather than fails, so `sbt test` stays portable.
+  */
+class OracleTypeHygieneSpec extends GraftSpec {
+
+  private val tables = Seq("events", "documents", "embeddings",
+    "lineitem", "orders", "customer", "supplier", "part", "nation",
+    "region")
+
+  private def duckAvailable: Boolean =
+    try {
+      val p = new ProcessBuilder("python3", "-c", "import duckdb")
+        .redirectErrorStream(true).start()
+      p.waitFor() == 0
+    } catch { case _: Throwable => false }
+
+  /** name -> (colName -> duckType), or name -> error marker. */
+  private def describeAll(sqlDir: Path): Map[String, Either[String, Map[String, String]]] = {
+    val script = Files.createTempFile("oracle_describe", ".py")
+    Files.writeString(script,
+      s"""import duckdb, os, sys
+         |sf, d = sys.argv[1], sys.argv[2]
+         |con = duckdb.connect()
+         |for t in ${tables.map("'" + _ + "'").mkString("[", ",", "]")}:
+         |    con.execute("CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')" % (t, sf, t))
+         |for f in sorted(os.listdir(d)):
+         |    if not f.endswith('.sql'): continue
+         |    name = f[:-4]
+         |    sql = open(os.path.join(d, f)).read()
+         |    try:
+         |        for col, typ, *_ in con.execute('DESCRIBE ' + sql).fetchall():
+         |            print('%s\\t%s\\t%s' % (name, col, typ))
+         |    except Exception as e:
+         |        print('%s\\tERROR\\t%s' % (name, str(e).replace('\\n', ' ')[:200]))
+         |""".stripMargin)
+    val pb = new ProcessBuilder("python3", script.toString, sf,
+      sqlDir.toString).redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val code = proc.waitFor()
+    assert(code == 0, s"duckdb describe probe exited $code:\n$out")
+    out.linesIterator.toSeq
+      .map(_.split("\t", 3)).collect { case Array(n, c, t) => (n, c, t) }
+      .groupBy(_._1).map { case (n, rows) =>
+        rows.find(_._2 == "ERROR") match {
+          case Some((_, _, msg)) => n -> Left(msg)
+          case None => n -> Right(rows.map(r => r._2 -> r._3).toMap)
+        }
+      }
+  }
+
+  private val duckInt =
+    Set("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+  private val duckFloat = Set("FLOAT", "DOUBLE")
+  private def duckHazard(t: String): Boolean =
+    t == "HUGEINT" || t == "UHUGEINT" ||
+      t.startsWith("DECIMAL") && t.endsWith(",0)") // int-rendering decimal
+
+  private def sparkClass(dt: DataType): Option[String] = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+      Some("int")
+    case _: FloatType | _: DoubleType => Some("float")
+    case _ => None // non-numeric: rendering matches across engines today
+  }
+  private def duckClass(t: String): Option[String] =
+    if (duckInt(t)) Some("int")
+    else if (duckFloat(t) || t.startsWith("DECIMAL")) Some("float")
+    else None
+
+  test("oracle DuckDB output types carry no canonicalization hazard") {
+    assume(duckAvailable, "python3+duckdb not on this host; probe skipped")
+    val sqlDir = Files.createTempDirectory("oracle_sql")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      Files.writeString(sqlDir.resolve(s"$name.sql"), sql)
+    }
+    val described = describeAll(sqlDir)
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.oracleSql.keys.toSeq.sorted.foreach { name =>
+      described.get(name) match {
+        case None | Some(Left(_)) =>
+          problems += s"$name: DuckDB cannot analyze oracle SQL: " +
+            described.get(name).flatMap(_.left.toOption).getOrElse("missing")
+        case Some(Right(duckCols)) =>
+          duckCols.foreach { case (c, t) =>
+            if (duckHazard(t))
+              problems += s"$name.$c: oracle yields $t (canonicalizes " +
+                "fractionally; wrap in CAST(... AS BIGINT/DOUBLE))"
+          }
+          val sparkSchema = SparkEntry.queries(name)(spark, sf).schema
+          val sparkCols = sparkSchema.fields.map(f => f.name -> f.dataType)
+          val sparkNames = sparkCols.map(_._1).toSet
+          (duckCols.keySet -- sparkNames).foreach(c =>
+            problems += s"$name.$c: oracle-only column (name drift)")
+          (sparkNames -- duckCols.keySet).foreach(c =>
+            problems += s"$name.$c: spark-only column (name drift)")
+          sparkCols.foreach { case (c, dt) =>
+            for {
+              t <- duckCols.get(c) if !duckHazard(t)
+              sc <- sparkClass(dt); dc <- duckClass(t) if sc != dc
+            } problems += s"$name.$c: spark $dt renders as $sc but " +
+              s"oracle $t renders as $dc (12 vs 12.0 hash mismatch)"
+          }
+      }
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} oracle type hazards:\n" + problems.mkString("\n"))
+  }
+}
