@@ -179,9 +179,10 @@ object Bench {
     // or turn the total into a variable-size min-of-2 mix — cap the
     // over-threshold extras at 10 beyond the fixed five
     val stallSec = 8.0
-    val worst = (firstPass.sortBy(-_._2).take(retimeN).map(_._1) ++
-      firstPass.filter(_._2 > stallSec).sortBy(-_._2).take(10)
-        .map(_._1)).toSet
+    val top5 = firstPass.sortBy(-_._2).take(retimeN).map(_._1).toSet
+    val worst = top5 ++
+      firstPass.filterNot(p => top5(p._1)).filter(_._2 > stallSec)
+        .sortBy(-_._2).take(10).map(_._1)
     val byName = selected.toMap
     val second = firstPass.filter(p => worst(p._1))
       .map { case (name, _) => name -> timeOne(name, byName(name)) }.toMap
@@ -203,9 +204,10 @@ object Bench {
       // recognized_tws = the transformWithState/ListState UR engine;
       // recognized_variant = open props stored as Spark 4 VariantType;
       // conversations = the alignment-data mode (session-window SFT
-      // assembly in-stream)
+      // assembly in-stream); preference_pairs = its DPO twin
+      // (tumbling-day extremes in-stream)
       Seq("recognized", "recognized_tws", "recognized_variant", "dedup",
-          "conversations")
+          "conversations", "preference_pairs")
         .map { mode =>
           s"""\"$mode\":${graft.tools.ThroughputBench.run(spark, staged, mode).json}"""
         }.mkString("{", ",", "}")

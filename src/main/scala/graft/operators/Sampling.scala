@@ -20,11 +20,30 @@ object Sampling {
   // deferred cache release (same pattern as Dedup.lastSimhashCache):
   // the frame returned by dsirWeights is lazy and still reads the
   // persisted bigram stream, so the cache can only be dropped on the
-  // NEXT call — bounding a repeated caller to one live cache.
+  // NEXT call — bounding a repeated caller to one live cache. (The
+  // DSIR frames are DETERMINISTIC — dropping one merely recomputes —
+  // unlike the range-layout frames below, which use localCheckpoint.)
   private var lastDsirCache: Option[DataFrame] = None
   private var lastDsirRawCache: Option[DataFrame] = None
-  private var lastPackCache: Option[DataFrame] = None
-  private var lastRankCache: Option[DataFrame] = None
+
+  /** Pin a range-partitioned frame's layout: RangePartitioner SAMPLES
+    * its boundaries per execution, so two executions of the same plan
+    * can place a boundary row in different partitions — and every
+    * two-phase prefix-sum operator here collects per-partition totals
+    * and joins them back, so the output pass MUST see the exact layout
+    * the totals were collected from. An eager localCheckpoint
+    * materializes the frame once and TRUNCATES lineage, making a
+    * recompute under a fresh sampled layout impossible (a persist-based
+    * pin silently recomputes if blocks are evicted or unpersisted —
+    * the old single-slot cache made sequential-call ordering
+    * load-bearing and was a silent-wrong-ranks hazard for any caller
+    * holding two lazy result frames; round-12 ADVICE). Blocks live at
+    * MEMORY_AND_DISK and are released when the frame is GC'd. The
+    * availability trade is documented Spark: on executor loss the job
+    * FAILS instead of silently recomputing — the correct failure mode
+    * for a layout-dependent rank. */
+  private def pinLayout(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
 
   /** Stable per-row bucket in [0, 10000): first 8 hex chars of
     * md5(id-as-string), mod 10⁴. */
@@ -180,19 +199,14 @@ object Sampling {
       .select(col(idCol).as("id"), col(tokensCol).cast("long").as("n_tokens"))
       .repartitionByRange(n, col("id"))
       .withColumn("_part", spark_partition_id())
-    // MUST persist: the totals collect and the output pass both consume
-    // this frame, and RangePartitioner SAMPLES its boundaries per
-    // execution — two independent executions can put a boundary row in
-    // different partitions, pairing rows with offsets from the other
-    // run's layout (caught by the sf0.1 gate; invisible at sf0.01 where
-    // the sample is exhaustive). The cache is 4 longs/row; released on
-    // the next call (same bounded-cache pattern as the DSIR scorer).
+    // MUST pin: the totals collect and the output pass both consume
+    // this frame under ONE sampled range layout (caught by the sf0.1
+    // gate; invisible at sf0.01 where the sample is exhaustive) — see
+    // [[pinLayout]]. The checkpoint is 4 longs/row.
     val w = Window.partitionBy(col("_part")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("_cum_in_part", sum(col("n_tokens")).over(w))
-      .persist()
-    lastPackCache.foreach(_.unpersist())
-    lastPackCache = Some(local)
+    val local = pinLayout(
+      ranged.withColumn("_cum_in_part", sum(col("n_tokens")).over(w)))
     // one row per partition reaches the driver; offsets are exact longs
     val totals = local.groupBy(col("_part"))
       .agg(max(col("_cum_in_part")).as("t"))
@@ -228,8 +242,8 @@ object Sampling {
     *
     * The global rank is the shared two-phase pass ([[stratumRank]]
     * with one constant stratum) — never a single-partition global
-    * window; see the helper's single-slot cache contract (materialize
-    * the returned frame before the next curriculum/bucket call). */
+    * window; its layout is checkpoint-pinned, so the returned frame is
+    * safe to hold lazily across further Sampling calls. */
   def curriculumOrder(docs: DataFrame, idCol: String, scoreCol: String,
                       stages: Int, seed: String = "curriculum",
                       numShards: Int = 8): DataFrame = {
@@ -288,13 +302,10 @@ object Sampling {
     val w = Window.partitionBy(col("_part"), col("stratum"))
       .orderBy(col("_key"), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // persist for the same reason as packSequences: RangePartitioner
-    // samples boundaries per execution, and the totals collect and the
-    // output pass must see ONE layout
-    val local = ranged.withColumn("_cum", sum(col("n_tokens")).over(w))
-      .persist()
-    lastBudgetCache.foreach(_.unpersist())
-    lastBudgetCache = Some(local)
+    // pin for the same reason as packSequences: the totals collect and
+    // the output pass must see ONE sampled range layout ([[pinLayout]])
+    val local = pinLayout(
+      ranged.withColumn("_cum", sum(col("n_tokens")).over(w)))
     val totals = local.groupBy(col("_part"), col("stratum"))
       .agg(max(col("_cum")).as("t"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
@@ -314,7 +325,6 @@ object Sampling {
       .select(col("id"), col("stratum"), col("n_tokens"), col("cum_before"))
   }
 
-  private var lastBudgetCache: Option[DataFrame] = None
 
   /** Per-stratum rank bucketing — the CCNet head/middle/tail partition:
     * within each stratum (language, source), rank rows by score and cut
@@ -327,14 +337,17 @@ object Sampling {
     * stratum (strata are languages: few and huge) — it is the shared
     * [[stratumRank]] two-phase pass; the emitted `stratum` column is
     * the key's string form (any input type works, NULL strata rank as
-    * their own group), and the helper's single-slot cache contract
-    * applies (materialize before the next curriculum/bucket call). */
+    * their own group). */
   def stratifiedRankBuckets(df: DataFrame, idCol: String, scoreCol: String,
                             stratumCol: String, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     stratumRank(df, idCol, scoreCol, col(stratumCol))
       .withColumn("bucket",
-        expr(s"(rank - 1L) * ${buckets}L div _total").cast("int"))
+        // same greatest() guard as curriculumOrder: _total >= 1 for
+        // every emitted row today, but the two floor-splits must not
+        // drift apart on a div-by-zero hazard
+        expr(s"(rank - 1L) * ${buckets}L div greatest(_total, 1L)")
+          .cast("int"))
       .select(col("id").as(idCol), col("stratum"), col("score"),
         col("rank"), col("bucket"))
   }
@@ -352,13 +365,10 @@ object Sampling {
     * via an explicit (key, isnull) join pair, because a using-column
     * equi-join would silently drop null-stratum rows.
     *
-    * SINGLE-SLOT CACHE CONTRACT: the persist is load-bearing
-    * (RangePartitioner samples boundaries per execution; the counts
-    * collect and the output pass must see ONE layout), and the
-    * previous call's frame is unpersisted on the NEXT call to either
-    * public function — materialize a returned frame before calling
-    * again, or its recompute would pair rows with offsets from a
-    * different sampled layout. */
+    * The ranged frame is layout-pinned via [[pinLayout]] (the counts
+    * collect and the output pass must see ONE sampled range layout);
+    * returned frames are safe to hold lazily across further calls and
+    * across threads — there is no cross-call cache state. */
   private def stratumRank(df: DataFrame, idCol: String, scoreCol: String,
                           stratum: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -375,10 +385,8 @@ object Sampling {
       .withColumn("_part", spark_partition_id())
     val w = Window.partitionBy(col("_part"), col("_skey"), col("_snull"))
       .orderBy(col("score"), col("id"))
-    val local = ranged.withColumn("_rk", row_number().over(w).cast("long"))
-      .persist()
-    lastRankCache.foreach(_.unpersist())
-    lastRankCache = Some(local)
+    val local = pinLayout(
+      ranged.withColumn("_rk", row_number().over(w).cast("long")))
     val counts = local.groupBy(col("_part"), col("_skey"), col("_snull"))
       .agg(count(lit(1)).as("c"))
       .collect()
@@ -439,11 +447,9 @@ object Sampling {
     val w = Window.partitionBy(col("_part"), col("bucket_cap"))
       .orderBy(col("_key"), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // persist: RangePartitioner samples boundaries per execution; the
-    // totals collect and the output pass must see ONE layout
-    val local = ranged.withColumn("_cnt", count(lit(1)).over(w)).persist()
-    lastBucketCache.foreach(_.unpersist())
-    lastBucketCache = Some(local)
+    // pin: the totals collect and the output pass must see ONE sampled
+    // range layout ([[pinLayout]])
+    val local = pinLayout(ranged.withColumn("_cnt", count(lit(1)).over(w)))
     val totals = local.groupBy(col("_part"), col("bucket_cap"))
       .agg(max(col("_cnt")).as("t"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
@@ -463,7 +469,6 @@ object Sampling {
         (col("bucket_cap") - col("n_tokens")).as("padded_tokens"))
   }
 
-  private var lastBucketCache: Option[DataFrame] = None
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw

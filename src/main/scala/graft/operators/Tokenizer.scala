@@ -408,7 +408,12 @@ object Tokenizer {
       .orderBy(col("n").desc, col("word"))
       .limit(vocabSize)
       .collect().map(_.getString(0))
-    val vlit = array(vocab.toIndexedSeq.map(lit): _*)
+    // empty corpus ⇒ empty vocab: a bare array() is ArrayType(NullType)
+    // and array_contains(_, string) then FAILS ANALYSIS — type the empty
+    // literal so an empty input yields empty output, never an error
+    val vlit =
+      if (vocab.isEmpty) array().cast("array<string>")
+      else array(vocab.toIndexedSeq.map(lit): _*)
     val toks = filter(split(lower(col(textCol)), "\\s+"),
       w => length(w) > 0)
     docs.select(col(idCol), col(langCol),

@@ -139,9 +139,18 @@ object ThroughputBench {
           maxFilesPerTrigger = 1, statePartitions = statePartitions,
           stateStore = stateStore, watermark = "10 minutes",
           compactEvery = compactEvery)
+      case "preference_pairs" =>
+        // the DPO/RLHF pair-mining mode: tumbling-day extremes
+        // in-stream, (chosen, rejected) pairs landing via the router
+        EventPipeline.startConversations(spark, input.dir, wh, cp,
+          mode = "preference_pairs",
+          maxFilesPerTrigger = 1, statePartitions = statePartitions,
+          stateStore = stateStore, watermark = "10 minutes",
+          compactEvery = compactEvery)
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (recognized | recognized_tws | " +
-          "recognized_variant | dedup | conversations)")
+          "recognized_variant | dedup | conversations | " +
+          "preference_pairs)")
     }
     try q.awaitTermination() finally q.stop()
     // progress numInputRows double-counts a source referenced by more

@@ -290,4 +290,39 @@ class SamplingSpec extends GraftSpec {
       }
     }
   }
+
+  test("interleaved rank calls: a lazy frame held across another call " +
+    "still yields correct ranks (layout pinned, no cache hazard)") {
+    // round-12 ADVICE: the old single-slot persist cache unpersisted
+    // call A's frame when call B arrived; materializing A afterwards
+    // recomputed under a freshly-SAMPLED range layout and could pair
+    // rows with offsets from the old layout. localCheckpoint pinning
+    // makes A's layout immutable — this interleave must stay exact.
+    val a = (0L until 97L).map(i => (i, (i * 13) % 10))
+      .reverse.toDF("doc_id", "score").repartition(5)
+    val b = (0L until 70L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", (i * 7) % 11))
+      .reverse.toDF("doc_id", "lang", "s").repartition(5)
+    // build BOTH lazily before materializing EITHER
+    val outA = Sampling.curriculumOrder(a, "doc_id", "score", stages = 4)
+    val outB = Sampling.stratifiedRankBuckets(b, "doc_id", "s", "lang",
+      buckets = 3)
+    val gotB = outB.select("doc_id", "rank").as[(Long, Long)]
+      .collect().toMap
+    val gotA = outA.select("doc_id", "stage").as[(Long, Int)]
+      .collect().toMap // materialized AFTER the second call ran
+    (0L until 97L).map(i => (i, (i * 13) % 10))
+      .sortBy { case (id, s) => (s, id) }.zipWithIndex
+      .foreach { case ((id, _), rk) =>
+        assert(gotA(id) == rk * 4 / 97, s"doc $id stage after interleave")
+      }
+    (0L until 70L).map(i =>
+        (i, if (i % 3 == 0) "a" else "b", (i * 7) % 11))
+      .groupBy(_._2).foreach { case (_, g) =>
+        g.sortBy { case (id, _, s) => (s, id) }.zipWithIndex.foreach {
+          case ((id, _, _), rk) =>
+            assert(gotB(id) == rk + 1, s"doc $id rank after interleave")
+        }
+      }
+  }
 }

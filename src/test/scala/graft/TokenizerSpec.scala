@@ -301,4 +301,22 @@ class TokenizerSpec extends GraftSpec {
     assert(out(0)._3 == 0 && out(0)._4 == 0 && out(0)._5 == 0L)
     assert(out(1)._3 == 2 && out(1)._4 == 1 && out(1)._5 == 5000L)
   }
+
+  test("vocabCoverage: empty CORPUS yields empty output, not an " +
+    "analysis error (typed empty vocab literal)") {
+    import spark.implicits._
+    // an empty corpus builds an empty vocab; the untyped array() literal
+    // was ArrayType(NullType) and array_contains(_, string) failed
+    // analysis — the repo invariant is empty in ⇒ empty out, never error
+    val df = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    val out = Tokenizer.vocabCoverage(df, "doc_id", "text", "lang",
+      vocabSize = 3)
+    assert(out.count() == 0L)
+    // whitespace-only corpus: vocab is also empty, rows still flow
+    val ws = Seq((1L, "en", "   ")).toDF("doc_id", "lang", "text")
+    val out2 = Tokenizer.vocabCoverage(ws, "doc_id", "text", "lang",
+      vocabSize = 3).as[(Long, String, Int, Int, Long)].collect()
+    assert(out2.toSeq == Seq((1L, "en", 0, 0, 0L)))
+  }
 }
