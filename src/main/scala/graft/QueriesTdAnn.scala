@@ -456,38 +456,19 @@ private[graft] object QueriesTdAnn {
     // plus the SQL-replayable vocab counts are the gate, with a floor
     // wide enough that seed-stable training jitter cannot flip it.
     ("td_word2vec",
-      ((s, dir) => {
-      import graft.operators.TextEmbeddings
-      val d = docs(s, dir)
-      val k = pmod(col("doc_id"), lit(8))
-      val pair = concat(lit(" qqa"), k, lit(" qqb"), k)
-      val spiked = d.select(col("doc_id"),
-        concat(col("text"), pair, pair).as("text"))
-      val toks = spiked.select(col("doc_id"),
-        TextFunctions.words(col("text")).as("toks"))
-      val model = TextEmbeddings.trainWord2Vec(toks, "toks")
-      val vecs = TextEmbeddings.vectors(model)
-        .filter(col("word").startsWith("qqa") ||
-          col("word").startsWith("qqb"))
-      val a = vecs.filter(col("word").startsWith("qqa"))
-        .select(substring(col("word"), 4, 2).cast("int").as("ka"),
-          col("vector").as("va"))
-      val b = vecs.filter(col("word").startsWith("qqb"))
-        .select(substring(col("word"), 4, 2).cast("int").as("kb"),
-          col("vector").as("vb"))
-      val cos = graft.functions.expressions.VectorKernels.cosine_sim(
-        col("va").cast("array<float>"), col("vb").cast("array<float>"))
-      val scored = a.crossJoin(b).select(col("ka"), col("kb"),
-        cos.as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("ka")).orderBy(col("c").desc, col("kb"))
-      val best = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-      val nCorrect = best.filter(col("ka") === col("kb")).count()
-      s.range(1).select(
-        lit(a.count()).as("n_anchors"),
-        lit(nCorrect >= 6L).as("pairs_recovered_ok"))
-    }),
+      ((s, dir) => w2vPairGate(s, dir, numPartitions = 1)),
+      """SELECT CAST(COUNT(DISTINCT doc_id % 8) AS BIGINT) AS n_anchors,
+        |  TRUE AS pairs_recovered_ok
+        |FROM documents""".stripMargin),
+    // the SCALE form of the same gate: numPartitions=4 concurrent
+    // gradient partitions merged per iteration (Spark's Hogwild-style
+    // parallelism) — exact vectors are scheduling-dependent, so the
+    // output is the same PROPERTY decision, whose >=6-of-8 floor
+    // carries a 2-pair margin that training jitter has never
+    // approached (15/15 probe runs at sf0.001/0.01/0.1 recovered 8/8;
+    // tools/W2vProbe.scala)
+    ("td_word2vec_dist",
+      ((s, dir) => w2vPairGate(s, dir, numPartitions = 4)),
       """SELECT CAST(COUNT(DISTINCT doc_id % 8) AS BIGINT) AS n_anchors,
         |  TRUE AS pairs_recovered_ok
         |FROM documents""".stripMargin),
@@ -534,4 +515,43 @@ private[graft] object QueriesTdAnn {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  TRUE AS purity_ok
         |FROM documents""".stripMargin))
+
+  /** Shared body of the two word2vec gates: plant qqa<k>/qqb<k> marker
+    * pairs (k = doc_id % 8) that only ever co-occur with each other,
+    * train skip-gram at the given parallelism, and decide whether each
+    * anchor's nearest partner is its own pair (>= 6 of 8 floor). */
+  private def w2vPairGate(s: org.apache.spark.sql.SparkSession,
+                          dir: String, numPartitions: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.TextEmbeddings
+    val d = docs(s, dir)
+    val k = pmod(col("doc_id"), lit(8))
+    val pair = concat(lit(" qqa"), k, lit(" qqb"), k)
+    val spiked = d.select(col("doc_id"),
+      concat(col("text"), pair, pair).as("text"))
+    val toks = spiked.select(col("doc_id"),
+      TextFunctions.words(col("text")).as("toks"))
+    val model = TextEmbeddings.trainWord2Vec(toks, "toks",
+      numPartitions = numPartitions)
+    val vecs = TextEmbeddings.vectors(model)
+      .filter(col("word").startsWith("qqa") ||
+        col("word").startsWith("qqb"))
+    val a = vecs.filter(col("word").startsWith("qqa"))
+      .select(substring(col("word"), 4, 2).cast("int").as("ka"),
+        col("vector").as("va"))
+    val b = vecs.filter(col("word").startsWith("qqb"))
+      .select(substring(col("word"), 4, 2).cast("int").as("kb"),
+        col("vector").as("vb"))
+    val cos = graft.functions.expressions.VectorKernels.cosine_sim(
+      col("va").cast("array<float>"), col("vb").cast("array<float>"))
+    val scored = a.crossJoin(b).select(col("ka"), col("kb"), cos.as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ka")).orderBy(col("c").desc, col("kb"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val nCorrect = best.filter(col("ka") === col("kb")).count()
+    s.range(1).select(
+      lit(a.count()).as("n_anchors"),
+      lit(nCorrect >= 6L).as("pairs_recovered_ok"))
+  }
 }

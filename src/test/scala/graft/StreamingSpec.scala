@@ -37,6 +37,51 @@ class StreamingSpec extends GraftSpec {
     assert(landed.select("message_id").distinct().count() == n)
   }
 
+  test("openProps=variant survives a stream RESTART: the variant parse " +
+    "stage resumes from the checkpoint and pre-restart values read back") {
+    // recognized_variant is a bench headline mode; unlike recognized /
+    // conversations it had no restart coverage for the variant parse
+    // stage (round-12 verdict item 6). Same two-run shape as the UR
+    // restart test, with open props flowing through parse_json.
+    val in = tmp("graft-vrst-in")
+    val wh = tmp("graft-vrst-wh")
+    val cp = tmp("graft-vrst-cp")
+    def stage(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(mtime); ()
+    }
+    val a1 = """{"message_id":"va1","type":"track","timestamp":"2024-01-01T00:00:00Z","anonymous_id":"anonV","properties":{"k":7,"tag":"pre"}}"""
+    val i1 = """{"message_id":"vi1","type":"identify","timestamp":"2024-01-01T00:05:00Z","anonymous_id":"anonV","user_id":"u9","properties":{"k":8,"tag":"post"}}"""
+    stage("b0.txt", 1700000000000L, Seq(a1))
+    val q1 = EventPipeline.startRecognized(spark, in, wh, cp,
+      maxFilesPerTrigger = 1, statePartitions = 2,
+      openProps = "variant")
+    try q1.awaitTermination() finally q1.stop()
+    // run 2: a NEW query on the same checkpoint parses more variants
+    // and the restored UR buffer still evicts merged
+    stage("b1.txt", 1700000060000L, Seq(i1))
+    val q2 = EventPipeline.startRecognized(spark, in, wh, cp,
+      maxFilesPerTrigger = 1, statePartitions = 2,
+      openProps = "variant")
+    try q2.awaitTermination() finally q2.stop()
+    val landed = spark.read.parquet(s"$wh/events")
+    assert(landed.schema("properties").dataType.typeName
+      .contains("variant"), "variant storage type lost across restart")
+    val got = landed.select(col("message_id"),
+        col("user_id"),
+        try_variant_get(col("properties"), "$.k", "BIGINT").as("k"),
+        try_variant_get(col("properties"), "$.tag", "STRING").as("tag"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)), r.getString(3))))
+      .toMap
+    assert(got.keySet == Set("va1", "vi1"), s"$got")
+    // pre-restart variant values read back; UR merged the identity in
+    assert(got("va1") == ((Some("u9"), Some(7L), "pre")), s"$got")
+    assert(got("vi1") == ((Some("u9"), Some(8L), "post")), s"$got")
+  }
+
   test("openProps=variant stores open props as VariantType end-to-end; values match the JSON-string run") {
     val in = tmp("graft-in")
     val n = writeJsonEvents(in)
