@@ -249,6 +249,81 @@ private[graft] object QueriesTdAlign {
         |    WHEN too_short THEN 'too_short'
         |    WHEN over_budget THEN 'over_budget' END AS reason
         |FROM f""".stripMargin)),
+    // SFT loss-mask spans over assembled transcripts: per turn, its
+    // exact [start_char, end_char) span inside the rendered transcript
+    // plus the trainable flag (odd turn indices — the prompt/response
+    // alternation convention). Offsets are computed array-side with
+    // ZERO exchanges beyond assemble's one; the oracle replays every
+    // span from the same string algebra.
+    ("td_sft_loss_mask",
+      ((s, dir) => graft.operators.Conversations.lossMaskSpans(
+        graft.operators.Conversations.assemble(
+          s.read.parquet(s"$dir/events.parquet"), gapMinutes = 1440))),
+      (assembleCte + assembleTextCte +
+      """,u AS (
+        |  SELECT conv_id, user_id,
+        |    UNNEST(string_split(text, ' | ')) AS turn_text,
+        |    UNNEST(range(0, len(string_split(text, ' | ')))) AS turn_idx
+        |  FROM a),
+        |o AS (
+        |  SELECT *, CAST(SUM(len(turn_text) + 3) OVER (
+        |      PARTITION BY conv_id ORDER BY turn_idx)
+        |    - len(turn_text) - 3 AS BIGINT) AS start_char
+        |  FROM u)
+        |SELECT conv_id, user_id, CAST(turn_idx AS INT) AS turn_idx,
+        |  turn_text, start_char,
+        |  CAST(start_char + len(turn_text) AS BIGINT) AS end_char,
+        |  (turn_idx % 2 = 1) AS trainable
+        |FROM o""".stripMargin)),
+    // chat-structure role audit over assembled transcripts: a turn's
+    // role is its leading token (the rendered event type); healthy
+    // prompt/response data alternates roles, so consecutive same-role
+    // pairs are the turn-merging signal. Zero exchanges beyond
+    // assemble's one — roles fold array-side.
+    ("td_sft_roles",
+      ((s, dir) => graft.operators.Conversations.roleAlternationAudit(
+        graft.operators.Conversations.assemble(
+          s.read.parquet(s"$dir/events.parquet"), gapMinutes = 1440))),
+      (assembleCte + assembleTextCte +
+      """,t2 AS (
+        |  SELECT conv_id, user_id,
+        |    list_transform(string_split(text, ' | '),
+        |      s -> string_split(s, ' ')[1]) AS roles
+        |  FROM a)
+        |SELECT conv_id, user_id,
+        |  CAST(len(roles) AS INT) AS n_turns,
+        |  CAST(len(list_distinct(roles)) AS INT) AS n_roles,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, len(roles)),
+        |    i -> CASE WHEN roles[i] = roles[i+1] THEN 1 ELSE 0 END)), 0)
+        |    AS BIGINT) AS n_role_repeats,
+        |  roles[1] AS first_role,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, len(roles)),
+        |    i -> CASE WHEN roles[i] = roles[i+1] THEN 1 ELSE 0 END)), 0)
+        |    AS BIGINT) = 0 AS alternating
+        |FROM t2""".stripMargin)),
+    // k-wise preference rankings (the listwise reward-model shape —
+    // several candidates per group in strict preference order, each
+    // with its margin to the next): top-4 by exact cents per (user,
+    // day), ties to the lower event_id, groups of >= 2 only
+    ("td_pref_rankings",
+      ((s, dir) => graft.operators.Conversations.preferenceRankings(
+        s.read.parquet(s"$dir/events.parquet"), k = 4)),
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY cents DESC, event_id) AS rnk,
+        |    LEAD(cents, 1) OVER (PARTITION BY user_id, day
+        |      ORDER BY cents DESC, event_id) AS next_cents,
+        |    COUNT(*) OVER (PARTITION BY user_id, day) AS n_candidates
+        |  FROM e)
+        |SELECT CAST(user_id AS VARCHAR) || '-' || day AS group_id,
+        |  user_id, day, CAST(rnk AS INT) AS rank, event_id, cents,
+        |  cents - next_cents AS margin_next, n_candidates
+        |FROM r WHERE rnk <= 4 AND n_candidates >= 2""".stripMargin),
     // template-leakage audit over assembled SFT transcripts: group by
     // the k-token opener, report shared prefixes with their frequency
     // and DISTINCT-transcript counts (1 variant = plain dup, many = a

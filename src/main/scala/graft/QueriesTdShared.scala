@@ -333,4 +333,19 @@ private[graft] object QueriesTdShared {
       |      ORDER BY ts, event_id) AS cum
       |  FROM c)
       |""".stripMargin
+
+  /** The kept-conversation projection shared by the transcript-consuming
+    * oracles (`td_sft_loss_mask`, `td_sft_roles`): [[assembleCte]]'s `x`
+    * reduced to (conv_id, user_id, text) under the gate's budget/minTurns
+    * — the same final stage `td_sft_assemble` renders, minus the audit
+    * columns those gates don't read. */
+  private[graft] val assembleTextCte: String =
+    """,a AS (
+      |  SELECT CAST(user_id AS VARCHAR) || '-' || CAST(conv AS VARCHAR)
+      |      AS conv_id,
+      |    user_id,
+      |    string_agg(turn_text, ' | ' ORDER BY ts, event_id) AS text
+      |  FROM x WHERE cum <= 30
+      |  GROUP BY user_id, conv HAVING COUNT(*) >= 2)
+      |""".stripMargin
 }

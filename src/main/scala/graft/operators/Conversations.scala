@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -299,5 +299,112 @@ object Conversations {
       .agg(count(lit(1)).as("n_convs"),
         countDistinct(col("fp")).as("n_variants"))
       .filter(col("n_convs") >= minConvs)
+  }
+
+  /** SFT loss-mask spans over [[assemble]]'s output — the step between
+    * transcript assembly and the trainer: SFT computes loss only on
+    * the response turns, so the tokenizer job needs, per turn, its
+    * exact character span `[start_char, end_char)` inside the rendered
+    * transcript plus a `trainable` flag. One row per (conversation,
+    * turn); `trainable` is a predicate over `turn_idx` / `turn_text`
+    * (default: the prompt/response alternation convention — odd turn
+    * indices train).
+    *
+    * Scale shape: ZERO exchanges — the transcript is split and the
+    * per-turn offsets computed array-side (`transform` with index +
+    * `aggregate` over the preceding slice; conversations are
+    * token-budgeted so the O(turns²) length fold is a few dozen adds),
+    * then one explode. Never a window over the corpus: offsets need
+    * only the turns already inside the row. */
+  def lossMaskSpans(convs: DataFrame,
+                    sep: String = TurnSep,
+                    trainable: Column =
+                      pmod(col("turn_idx"), lit(2)) === 1): DataFrame = {
+    val sepLen = sep.length.toLong
+    val turns = split(col("text"), java.util.regex.Pattern.quote(sep))
+    val spans = transform(turns, (t, i) => struct(
+      i.cast("int").as("turn_idx"),
+      t.as("turn_text"),
+      (aggregate(slice(turns, lit(1), i), lit(0L),
+        (acc, x) => acc + length(x)) + i.cast("long") * sepLen)
+        .as("start_char")))
+    convs
+      .select(col("conv_id"), col("user_id"), explode(spans).as("s"))
+      .select(col("conv_id"), col("user_id"),
+        col("s.turn_idx").as("turn_idx"),
+        col("s.turn_text").as("turn_text"),
+        col("s.start_char").as("start_char"),
+        (col("s.start_char") + length(col("s.turn_text")).cast("long"))
+          .as("end_char"))
+      .withColumn("trainable", trainable)
+  }
+
+  /** K-wise preference rankings — the listwise generalization of
+    * [[preferencePairs]] (the InstructGPT-style reward-model shape:
+    * per prompt, several candidate completions in strict preference
+    * order, not just a (chosen, rejected) extreme pair). Within each
+    * candidate group (a user's events on one day) the top `k` members
+    * by exact integer cents (ties to the lower event_id) are emitted
+    * as one row per rank, each carrying its margin to the NEXT ranked
+    * candidate (the listwise training signal; null when no candidate
+    * follows). Groups need at least two candidates — a ranking of one
+    * carries no preference.
+    *
+    * Scale shape: ONE exchange — the rank window, the lead window and
+    * the group count all share the (user_id, day) clustering, and the
+    * `rank <= k` filter drops every non-ranked row before anything
+    * downstream. No group ever needs more than its own rows in one
+    * task. */
+  def preferenceRankings(events: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 2, "a ranking needs k >= 2 slots")
+    val e = events
+      .withColumn("day",
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val part = Window.partitionBy(col("user_id"), col("day"))
+    val order = part.orderBy(col("cents").desc, col("event_id"))
+    e.withColumn("rank", row_number().over(order))
+      .withColumn("next_cents", lead(col("cents"), 1).over(order))
+      .withColumn("n_candidates", count(lit(1)).over(part))
+      .filter(col("rank") <= k && col("n_candidates") >= 2)
+      .select(
+        concat(col("user_id"), lit("-"), col("day")).as("group_id"),
+        col("user_id"), col("day"),
+        col("rank"), col("event_id"), col("cents"),
+        (col("cents") - col("next_cents")).as("margin_next"),
+        col("n_candidates"))
+  }
+
+  /** Chat-structure audit over [[assemble]]'s output — the role
+    * validation an SFT corpus runs before templating: in this data a
+    * turn's role is its leading token (the event type the turn was
+    * rendered from), and a healthy prompt/response transcript
+    * alternates roles. Emits one row per conversation with the turn
+    * count, distinct-role count, the number of CONSECUTIVE same-role
+    * turn pairs (the signal a template stamped the same side twice —
+    * those conversations need turn-merging before training), the
+    * opening role, and `alternating` (no consecutive repeat).
+    *
+    * Scale shape: zero exchanges — roles are derived array-side from
+    * the transcript already in the row and folded with `aggregate`;
+    * no explode, no window. */
+  def roleAlternationAudit(convs: DataFrame,
+                           sep: String = TurnSep): DataFrame = {
+    val roles = transform(
+      split(col("text"), java.util.regex.Pattern.quote(sep)),
+      t => split(t, " ").getItem(0))
+    convs
+      .withColumn("_roles", roles)
+      .select(col("conv_id"), col("user_id"),
+        size(col("_roles")).as("n_turns"),
+        size(array_distinct(col("_roles"))).as("n_roles"),
+        aggregate(
+          zip_with(
+            slice(col("_roles"), lit(1), size(col("_roles")) - 1),
+            slice(col("_roles"), lit(2), size(col("_roles")) - 1),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_role_repeats"),
+        col("_roles").getItem(0).as("first_role"))
+      .withColumn("alternating", col("n_role_repeats") === 0L)
   }
 }

@@ -42,8 +42,18 @@ object Sampling {
     * availability trade is documented Spark: on executor loss the job
     * FAILS instead of silently recomputing — the correct failure mode
     * for a layout-dependent rank. */
-  private def pinLayout(df: DataFrame): DataFrame =
+  private def pinLayout(df: DataFrame): DataFrame = {
+    // test introspection only: checkpointing truncates lineage, so the
+    // range exchange the scale story depends on is invisible in the
+    // returned frame's plan — PlanShapeSpec audits the plan that was
+    // actually materialized through this stash (no correctness bearing)
+    lastPinnedPlan = df.queryExecution.executedPlan.toString()
     df.localCheckpoint(true)
+  }
+
+  /** The physical plan most recently materialized by [[pinLayout]];
+    * see the note there. */
+  @volatile private[graft] var lastPinnedPlan: String = ""
 
   /** Stable per-row bucket in [0, 10000): first 8 hex chars of
     * md5(id-as-string), mod 10⁴. */

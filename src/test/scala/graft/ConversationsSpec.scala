@@ -356,4 +356,105 @@ class ConversationsSpec extends GraftSpec {
     assert(out("a-1").getAs[String]("reason") == "too_short")
     assert(out("b-1").getAs[Boolean]("keep"))
   }
+
+  test("lossMaskSpans: every span extracts its own turn from the " +
+    "transcript; odd turns train") {
+    val convs = Conversations.assemble(frame)
+    val texts = convs.collect()
+      .map(r => r.getAs[String]("conv_id") -> r.getAs[String]("text"))
+      .toMap
+    val spans = Conversations.lossMaskSpans(convs).collect()
+    assert(spans.nonEmpty)
+    // spans per conversation are exhaustive, contiguous up to the
+    // delimiter, and substring-exact
+    spans.groupBy(_.getAs[String]("conv_id")).foreach { case (cid, g) =>
+      val text = texts(cid)
+      val sorted = g.sortBy(_.getAs[Int]("turn_idx"))
+      assert(sorted.map(_.getAs[Int]("turn_idx")).toSeq ==
+        sorted.indices.toSeq, s"$cid turn_idx not dense")
+      sorted.foreach { r =>
+        val (s, e) = (r.getAs[Long]("start_char").toInt,
+          r.getAs[Long]("end_char").toInt)
+        assert(text.substring(s, e) == r.getAs[String]("turn_text"),
+          s"$cid span [$s,$e) does not extract its turn")
+        assert(r.getAs[Boolean]("trainable") ==
+          (r.getAs[Int]("turn_idx") % 2 == 1))
+      }
+      // reassembling the spans in order reproduces the transcript
+      assert(sorted.map(_.getAs[String]("turn_text"))
+        .mkString(Conversations.TurnSep) == text, s"$cid reassembly")
+    }
+  }
+
+  test("preferenceRankings: strict order, margins to next, k cap, " +
+    "singleton groups dropped; rank-1 row matches preferencePairs' chosen") {
+    val evs = Seq(
+      // user 1: five candidates — k=3 keeps the top three
+      ev(0, 10, 1, "a", value = 5.0), ev(1, 20, 1, "a", value = 9.0),
+      ev(2, 30, 1, "a", value = 1.0), ev(3, 40, 1, "a", value = 7.0),
+      ev(4, 50, 1, "a", value = 3.0),
+      // user 2: tied pair — ties break to the lower event_id, margin 0
+      ev(10, 10, 2, "a", value = 3.0), ev(11, 20, 2, "a", value = 3.0),
+      // user 3: singleton — no ranking
+      ev(20, 10, 3, "a", value = 7.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Conversations.preferenceRankings(evs.repartition(3), k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("rank")) -> r)
+      .toMap
+    assert(out.keySet.map(_._1) == Set(1L, 2L))
+    // user 1: 9.0 > 7.0 > 5.0 kept; 3.0 and 1.0 cut by k
+    assert(out((1L, 1)).getAs[Long]("event_id") == 1L &&
+      out((1L, 1)).getAs[Long]("margin_next") == 200L)
+    assert(out((1L, 2)).getAs[Long]("event_id") == 3L &&
+      out((1L, 2)).getAs[Long]("margin_next") == 200L)
+    assert(out((1L, 3)).getAs[Long]("event_id") == 0L &&
+      out((1L, 3)).getAs[Long]("margin_next") == 200L)
+    assert(out((1L, 1)).getAs[Long]("n_candidates") == 5L)
+    assert(!out.contains((1L, 4)))
+    // user 2: tie — lower id first, zero margin; last row's margin null
+    assert(out((2L, 1)).getAs[Long]("event_id") == 10L &&
+      out((2L, 1)).getAs[Long]("margin_next") == 0L)
+    assert(out((2L, 2)).isNullAt(
+      out((2L, 2)).fieldIndex("margin_next")))
+    // the rank-1 rows agree with preferencePairs' chosen side
+    val pairs = Conversations.preferencePairs(evs).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("chosen_id")).toMap
+    pairs.foreach { case (u, chosen) =>
+      assert(out((u, 1)).getAs[Long]("event_id") == chosen,
+        s"user $u rank-1 != pairs chosen")
+    }
+  }
+
+  test("roleAlternationAudit: repeats counted, roles distinct, " +
+    "alternating flag") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("user_id", LongType),
+      StructField("text", StringType)))
+    val convs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        // view/click alternate cleanly
+        org.apache.spark.sql.Row("a-1", 1L,
+          "view v=1 | click v=2 | view v=3"),
+        // two consecutive error turns then a view: one repeat
+        org.apache.spark.sql.Row("b-1", 2L,
+          "error v=1 | error v=2 | view v=3"),
+        // all same role: two repeats
+        org.apache.spark.sql.Row("c-1", 3L,
+          "view a | view b | view c")),
+      schema)
+    val out = Conversations.roleAlternationAudit(convs).collect()
+      .map(r => r.getAs[String]("conv_id") -> r).toMap
+    assert(out("a-1").getAs[Int]("n_turns") == 3 &&
+      out("a-1").getAs[Int]("n_roles") == 2 &&
+      out("a-1").getAs[Long]("n_role_repeats") == 0L &&
+      out("a-1").getAs[Boolean]("alternating") &&
+      out("a-1").getAs[String]("first_role") == "view")
+    assert(out("b-1").getAs[Long]("n_role_repeats") == 1L &&
+      !out("b-1").getAs[Boolean]("alternating"))
+    assert(out("c-1").getAs[Int]("n_roles") == 1 &&
+      out("c-1").getAs[Long]("n_role_repeats") == 2L)
+  }
 }

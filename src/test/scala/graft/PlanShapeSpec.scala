@@ -77,7 +77,13 @@ class PlanShapeSpec extends GraftSpec {
     // hash(user_id) / hash(user_id, day) from the first window already
     // clusters every later window and the final aggregation — a second
     // Exchange here would double the event-stream shuffle at any scale
-    Seq("td_sft_assemble", "td_pref_pairs").foreach { q =>
+    // loss-mask spans and the role audit compute per-turn offsets /
+    // roles ARRAY-SIDE over assemble's output, so they must not add a
+    // shuffle on top of assemble's one; preference RANKINGS share the
+    // (user, day) clustering across both windows and the count like
+    // the pairs form
+    Seq("td_sft_assemble", "td_pref_pairs", "td_sft_loss_mask",
+        "td_sft_roles", "td_pref_rankings").foreach { q =>
       val p = plan(q)
       val n = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(n == 1, s"$q expected exactly one shuffle exchange, saw $n")
@@ -98,21 +104,31 @@ class PlanShapeSpec extends GraftSpec {
     // per-partition windows); the within-stage order windows on
     // (stage, shard). A `Exchange SinglePartition` would mean a global
     // window snuck back in — the one reducer that dies at corpus scale.
+    // The ranked frame is layout-pinned (localCheckpoint truncates its
+    // lineage out of the returned plan), so the range pass is audited
+    // through the pin's plan stash.
     val p = plan("td_curriculum")
     assert(!p.contains("Exchange SinglePartition"),
       s"td_curriculum has a single-partition exchange:\n$p")
-    assert(p.contains("Exchange rangepartitioning"),
-      "expected the order-preserving range repartition")
+    val pinned = graft.operators.Sampling.lastPinnedPlan
+    assert(pinned.contains("Exchange rangepartitioning"),
+      s"expected the order-preserving range repartition:\n$pinned")
+    assert(!pinned.contains("Exchange SinglePartition"),
+      s"pinned rank pass has a single-partition exchange:\n$pinned")
   }
 
   test("per-stratum perplexity bucketing never windows over a whole language") {
     // strata are languages (few, huge): the rank must be the two-phase
-    // range pass, not a PARTITION BY lang global window
+    // range pass, not a PARTITION BY lang global window — audited via
+    // the layout pin's plan stash (see the curriculum test)
     val p = plan("td_ppl_buckets")
     assert(!p.contains("Exchange SinglePartition"),
       s"td_ppl_buckets has a single-partition exchange:\n$p")
-    assert(p.contains("Exchange rangepartitioning"),
-      "expected the order-preserving range repartition")
+    val pinned = graft.operators.Sampling.lastPinnedPlan
+    assert(pinned.contains("Exchange rangepartitioning"),
+      s"expected the order-preserving range repartition:\n$pinned")
+    assert(!pinned.contains("Exchange SinglePartition"),
+      s"pinned rank pass has a single-partition exchange:\n$pinned")
   }
 
   test("vocab-coverage scoring is scan-shaped: vocab inlined, no join/explode/exchange") {
