@@ -155,6 +155,35 @@ private[graft] object QueriesTdSample {
         |  cum_before // 512 AS seq_first,
         |  (cum_before + greatest(n_tokens, 1) - 1) // 512 AS seq_last
         |FROM c""".stripMargin),
+    // packed-sequence segment boundaries (the block-diagonal attention
+    // mask table): per packed document, its token offsets inside the
+    // sequence it starts in and whether it spans into the next — pure
+    // arithmetic over the pack offsets, no exchange beyond the pack's
+    ("td_pack_boundaries",
+      ((s, dir) =>
+      Sampling.packBoundaries(
+        Sampling.packSequences(
+          docs(s, dir).select(col("doc_id"),
+            TextFunctions.tokenCountWs(col("text")).as("n_toks")),
+          "doc_id", "n_toks", seqLen = 512),
+        seqLen = 512)),
+      """WITH ws AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'), w -> len(w) > 0))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+        |  FROM ws)
+        |SELECT doc_id AS id,
+        |  cum_before // 512 AS seq_id,
+        |  cum_before % 512 AS start_off,
+        |  least(512, cum_before % 512 + n_tokens) AS end_off,
+        |  ((cum_before + greatest(n_tokens, 1) - 1) // 512)
+        |    > (cum_before // 512) AS continues
+        |FROM c""".stripMargin),
     // overlapping chunking for embedding/retrieval prep: 64-word chunks
     // every 48 words (16-word overlap), one codegen'd projection +
     // explode — chunk text hashed so the gate stays compact

@@ -239,6 +239,32 @@ object Sampling {
         col("seq_first"), col("seq_last"))
   }
 
+  /** Segment-boundary table over [[packSequences]]' output — what a
+    * block-diagonal attention mask consumes: packed training sequences
+    * concatenate unrelated documents, so the trainer needs, per
+    * document, WHERE inside its first sequence the document begins and
+    * (token-)ends, and whether it continues into the next sequence.
+    * One row per packed document: (id, seq_id = the sequence the doc
+    * STARTS in, start_off / end_off = token offsets within that
+    * sequence, end clamped to the sequence length, continues = spans
+    * past it). Grouping by seq_id yields each sequence's boundary
+    * list; offset 0 absent means the sequence opens mid-document.
+    *
+    * Scale shape: a pure projection over the packed frame — offsets
+    * are arithmetic on cum_before, so no exchange is added to
+    * packSequences' single range pass. */
+  def packBoundaries(packed: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    packed.select(
+      col("id"),
+      col("seq_first").as("seq_id"),
+      (col("cum_before") - col("seq_first") * seqLen).as("start_off"),
+      least(lit(seqLen.toLong),
+        col("cum_before") - col("seq_first") * seqLen + col("n_tokens"))
+        .as("end_off"),
+      (col("seq_last") > col("seq_first")).as("continues"))
+  }
+
   /** Curriculum ordering — emit the easy-to-hard training order a
     * curriculum-learning run reads: documents are ranked globally by
     * (`scoreCol` asc, id asc), the rank is cut into `stages` equal

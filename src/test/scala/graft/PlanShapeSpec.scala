@@ -131,6 +131,18 @@ class PlanShapeSpec extends GraftSpec {
       s"pinned rank pass has a single-partition exchange:\n$pinned")
   }
 
+  test("pack boundaries add no exchange beyond the pack's pinned range pass") {
+    // the boundary table is arithmetic over the checkpointed pack frame
+    // — any Exchange in its plan means the projection started
+    // re-shuffling offsets the row already carries
+    val p = plan("td_pack_boundaries")
+    assert(!p.contains("Exchange"),
+      s"td_pack_boundaries grew a shuffle:\n$p")
+    val pinned = graft.operators.Sampling.lastPinnedPlan
+    assert(pinned.contains("Exchange rangepartitioning"),
+      s"expected the pack's range pass in the pin stash:\n$pinned")
+  }
+
   test("vocab-coverage scoring is scan-shaped: vocab inlined, no join/explode/exchange") {
     // the word histogram is collected at BUILD time (vocabSize rows);
     // the returned frame must be a bare scan + projection

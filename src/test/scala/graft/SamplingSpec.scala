@@ -24,6 +24,37 @@ class SamplingSpec extends GraftSpec {
     }
   }
 
+  test("packBoundaries: offsets tile each sequence exactly; continues " +
+    "flags spanning docs; mid-doc sequences open without a boundary") {
+    val rows = (0L until 200L).map(i => (i, 1L + (i * 37) % 97))
+    val df = rows.reverse.toDF("doc_id", "n_toks").repartition(7)
+    val out = Sampling.packBoundaries(
+      Sampling.packSequences(df, "doc_id", "n_toks", seqLen = 64), 64)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    var cum = 0L
+    rows.foreach { case (id, n) =>
+      val (oid, seq, s, e, cont) = out(id.toInt)
+      assert(oid == id && seq == cum / 64, s"doc $id seq")
+      assert(s == cum % 64, s"doc $id start_off")
+      assert(e == math.min(64L, cum % 64 + n), s"doc $id end_off")
+      assert(cont == ((cum + n - 1) / 64 > cum / 64), s"doc $id continues")
+      cum += n
+    }
+    // within a sequence, segments tile without overlap: each boundary's
+    // start is the previous doc's end (when the previous doc ends
+    // inside this sequence)
+    out.groupBy(_._2).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // a ends at its clamped end_off; b starts there unless a
+          // filled the sequence (then b is in a later group anyway)
+          assert(b._3 == a._4, s"seq ${a._2}: gap between segments")
+        case _ =>
+      }
+    }
+  }
+
   test("packSequences: zero-token docs pin to their boundary position") {
     val df = Seq((1L, 64L), (2L, 0L), (3L, 5L)).toDF("doc_id", "n_toks")
     val out = Sampling.packSequences(df, "doc_id", "n_toks", seqLen = 64)
