@@ -257,6 +257,15 @@ class ConversationsSpec extends GraftSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     assert(Conversations.assemble(noEvents).count() == 0)
     assert(Conversations.preferencePairs(noEvents).count() == 0)
+    assert(Conversations.preferenceRankings(noEvents).count() == 0)
+    val noConvs = Conversations.assemble(noEvents)
+    assert(Conversations.lossMaskSpans(noConvs).count() == 0)
+    assert(Conversations.roleAlternationAudit(noConvs).count() == 0)
+    val noPacked = graft.operators.Sampling.packSequences(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_toks"),
+      "doc_id", "n_toks", seqLen = 64)
+    assert(graft.operators.Sampling.packBoundaries(noPacked, 64)
+      .count() == 0)
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("xid", "vec")
     val someVecs = Seq((1L, Array.fill(8)(0.5f))).toDF("yid", "vec")
     assert(Similarity.marginMining(noVecs,
