@@ -322,6 +322,49 @@ class SamplingSpec extends GraftSpec {
     }
   }
 
+  test("interleaved prefix-sum calls: lazy pack and budget frames held " +
+    "across each other still yield exact offsets (layout pinned)") {
+    // same hazard class as the rank interleave below, for the other two
+    // pinned operators: build both lazily, materialize in reverse order
+    val packRows = (0L until 150L).map(i => (i, 1L + (i * 31) % 83))
+    val packDf = packRows.reverse.toDF("doc_id", "n_toks").repartition(5)
+    val budRows = (0L until 120L).map(i =>
+      (i, if (i % 2 == 0) "web" else "code", 1L + (i * 17) % 29))
+    val budDf = budRows.reverse.toDF("doc_id", "src", "n_toks")
+      .repartition(5)
+    val packed = Sampling.packSequences(packDf, "doc_id", "n_toks", 64)
+    val budgeted = Sampling.tokenBudget(budDf, "doc_id", "n_toks", "src",
+      Map("web" -> 300L, "code" -> 200L), defaultBudget = 0L)
+    // budget first, pack second — reverse of construction order
+    val gotBud = budgeted.select("id", "cum_before")
+      .as[(Long, Long)].collect().toMap
+    val gotPack = packed.select("id", "cum_before")
+      .as[(Long, Long)].collect().toMap
+    var cum = 0L
+    packRows.foreach { case (id, n) =>
+      assert(gotPack(id) == cum, s"pack doc $id offset after interleave")
+      cum += n
+    }
+    // sequential greedy fill per stratum in the seeded shuffle order
+    val byKey = budRows.groupBy(_._2)
+    byKey.foreach { case (src, g) =>
+      def key(id: Long) = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"tb:$id".getBytes("UTF-8"))
+        d.map("%02x".format(_)).mkString
+      }
+      var acc = 0L
+      val budget = if (src == "web") 300L else 200L
+      g.sortBy(r => (key(r._1), r._1)).foreach { case (id, _, n) =>
+        if (acc < budget)
+          assert(gotBud.get(id).contains(acc),
+            s"budget doc $id offset after interleave")
+        else assert(!gotBud.contains(id), s"budget doc $id over budget")
+        acc += n
+      }
+    }
+  }
+
   test("interleaved rank calls: a lazy frame held across another call " +
     "still yields correct ranks (layout pinned, no cache hazard)") {
     // round-12 ADVICE: the old single-slot persist cache unpersisted
