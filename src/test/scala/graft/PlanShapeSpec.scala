@@ -143,6 +143,43 @@ class PlanShapeSpec extends GraftSpec {
       s"expected the pack's range pass in the pin stash:\n$pinned")
   }
 
+  test("registry-wide sweep: no gate plan contains a cartesian product " +
+    "or a ScalaUDF; nested-loop joins only where the broadcast side is " +
+    "bounded by construction") {
+    // the global anti-pattern guard: a CartesianProduct is corpus² work
+    // at any scale, and a ScalaUDF punches a hole in whole-stage
+    // codegen. BroadcastNestedLoopJoin is legitimate ONLY when the
+    // broadcast side is bounded by construction (a handful of queries,
+    // thresholds, or centroids — never a corpus); every such gate is
+    // whitelisted here so a NEW nested-loop join is a conscious
+    // decision, not an accident.
+    val bnlBounded = Set(
+      // ANN top-k: the query set is a fixed handful, broadcast against
+      // the corpus scan (brute baseline + the pruned variants' rerank)
+      "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+      "ann_ivfpq_topk",
+      // retrieval eval / mining: bounded query/label sides
+      "td_bm25", "td_tfidf_terms", "td_pmi", "td_hybrid_rrf",
+      "td_retrieval_eval", "emb_hard_negatives",
+      // threshold/range frames of a few rows against aggregates
+      "a12_heavy_hitters", "a20_rfm", "a23_theta_overlap", "dq_checks",
+      "l5_stats_skipping", "skew_hotcold_join",
+      // ALS factor scoring: rank-sized factor tables
+      "g4_als_recs")
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString()
+      if (p.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (p.contains("ScalaUDF"))
+        offenders += s"$name: ScalaUDF"
+      if (p.contains("BroadcastNestedLoopJoin") && !bnlBounded(name))
+        offenders += s"$name: unwhitelisted BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      s"scale anti-patterns in gate plans:\n${offenders.mkString("\n")}")
+  }
+
   test("vocab-coverage scoring is scan-shaped: vocab inlined, no join/explode/exchange") {
     // the word histogram is collected at BUILD time (vocabSize rows);
     // the returned frame must be a bare scan + projection
