@@ -399,5 +399,34 @@ private[graft] object QueriesTdAlign {
         |SELECT doc_id, array_to_string(masked, ' ') AS masked_text,
         |  CAST(len(tgt) AS INT) AS n_masked,
         |  COALESCE(array_to_string(tgt, ' | '), '') AS targets
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin),
+    // needle-in-a-haystack insertion (long-context eval construction):
+    // a templated needle planted at a controlled per-doc depth of the
+    // word stream; the gate carries the placement + the md5 of the
+    // rewritten doc (bounded audit row), and the oracle replays the
+    // splice with the same integer floor arithmetic
+    ("td_needle_insert",
+      ((s, dir) => graft.operators.SpanTasks.needleInsert(
+        docs(s, dir), "doc_id", "text",
+        needle = concat(lit("NEEDLE-"), col("doc_id"),
+          lit(": magic="), pmod(col("doc_id") * 7, lit(100))),
+        depthBp = pmod(col("doc_id"), lit(11)) * 1000)),
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws,
+        |    CAST(doc_id % 11 * 1000 AS BIGINT) AS depth_bp,
+        |    'NEEDLE-' || doc_id || ': magic=' || (doc_id * 7 % 100)
+        |      AS needle
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, ws, depth_bp, needle,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    (len(ws) * depth_bp) // 10000 AS pos
+        |  FROM w)
+        |SELECT doc_id, n_words, depth_bp,
+        |  CAST(pos AS BIGINT) AS insert_pos, needle,
+        |  md5(array_to_string(list_concat(list_concat(
+        |    ws[1:pos], [needle]), ws[pos+1:]), ' ')) AS new_md5
+        |FROM p""".stripMargin))
 }

@@ -100,4 +100,45 @@ object SpanTasks {
       size(targets).as("n_masked"),
       array_join(targets, " | ").as("targets"))
   }
+
+  /** Needle-in-a-haystack insertion — long-context eval-data
+    * construction (Kamradt's NIAH protocol, generalized): plant a
+    * templated needle sentence at a CONTROLLED depth of each document's
+    * word stream, and emit where it went plus the fingerprint of the
+    * rewritten document, so the eval harness knows both the expected
+    * answer and the retrieval depth it is probing. `depthBp` is the
+    * insertion depth in basis points of the word count (0 = front,
+    * 10000 = end) and `needle` the planted sentence — both Columns, so
+    * a caller sweeps depths/needles per document deterministically.
+    *
+    * Emits (id, n_words, depth_bp, insert_pos, needle, new_md5) — the
+    * rewritten text itself is fingerprinted, not carried, keeping the
+    * audit row bounded; regenerating the text is the same one-line
+    * splice. Word positions are exact integer floor arithmetic
+    * (`n * depthBp div 10000`), so the placement replays engine-exact.
+    *
+    * Scale shape: a pure projection (split / slice / concat inside
+    * codegen'd HOFs), zero exchanges — pipelines into the scan like
+    * [[fimTransform]] / [[mlmMask]]. */
+  def needleInsert(docs: DataFrame, idCol: String, textCol: String,
+                   needle: Column, depthBp: Column): DataFrame = {
+    val ws = graft.functions.TextFunctions.words(col(textCol))
+    val n = size(ws).cast("long")
+    val posI = expr("n_words * depth_bp div 10000").cast("int")
+    docs
+      .withColumn("n_words", n)
+      .withColumn("depth_bp", depthBp.cast("long"))
+      .withColumn("needle", needle)
+      .withColumn("insert_pos", posI)
+      .withColumn("new_md5", md5(array_join(
+        concat(
+          slice(ws, lit(1), col("insert_pos")),
+          array(col("needle")),
+          slice(ws, col("insert_pos") + 1,
+            greatest(size(ws) - col("insert_pos"), lit(0)))),
+        " ")))
+      .select(col(idCol), col("n_words"), col("depth_bp"),
+        col("insert_pos").cast("long").as("insert_pos"),
+        col("needle"), col("new_md5"))
+  }
 }

@@ -94,6 +94,42 @@ class SpanTasksSpec extends GraftSpec {
     assert(all._4 == "0:x | 1:y | 2:z")
   }
 
+  test("needleInsert: exact floor placement at front/middle/end; md5 " +
+    "matches the hand splice; empty doc takes the needle alone") {
+    def fullMd5(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val df = Seq(
+      (0L, "A b c d e f g h i j"),  // depth 0 -> front
+      (5L, "a b c d e f g h i j"),  // depth 5000 -> pos 5
+      (10L, "a b c d e f g h i j"), // depth 10000 -> end
+      (11L, "   "))                 // empty after split -> needle alone
+      .toDF("doc_id", "text")
+    val out = SpanTasks.needleInsert(df, "doc_id", "text",
+        needle = concat(lit("N"), col("doc_id")),
+        depthBp = pmod(col("doc_id"), lit(11)) * 1000)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def splice(id: Long, text: String): (Long, String) = {
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val pos = (ws.size * ((id % 11) * 1000) / 10000).toInt
+      (pos.toLong,
+        (ws.take(pos) ++ Seq(s"N$id") ++ ws.drop(pos)).mkString(" "))
+    }
+    Seq(0L -> "A b c d e f g h i j", 5L -> "a b c d e f g h i j",
+        10L -> "a b c d e f g h i j", 11L -> "   ").foreach {
+      case (id, text) =>
+        val (pos, expect) = splice(id, text)
+        val r = out(id)
+        assert(r.getAs[Long]("insert_pos") == pos, s"doc $id pos")
+        assert(r.getAs[String]("new_md5") == fullMd5(expect),
+          s"doc $id splice: expected '$expect'")
+    }
+    assert(out(0L).getAs[Long]("insert_pos") == 0L)
+    assert(out(10L).getAs[Long]("insert_pos") == 10L)
+    assert(out(11L).getAs[Long]("n_words") == 0L &&
+      out(11L).getAs[String]("new_md5") == fullMd5("N11"))
+  }
+
   test("mlmMask: mask pattern is position-keyed, stable under repeats") {
     // the same token at different positions draws independently
     val df = Seq((11L, Seq.fill(40)("tok").mkString(" ")))
