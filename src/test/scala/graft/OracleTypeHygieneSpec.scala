@@ -87,7 +87,11 @@ class OracleTypeHygieneSpec extends GraftSpec {
   private val duckFloat = Set("FLOAT", "DOUBLE")
   private def duckHazard(t: String): Boolean =
     t == "HUGEINT" || t == "UHUGEINT" ||
-      t.startsWith("DECIMAL") && t.endsWith(",0)") // int-rendering decimal
+      t.startsWith("DECIMAL") && t.endsWith(",0)") || // int-rendering decimal
+      // container outputs canonicalize engine-specifically ('[1, 2]' vs
+      // '[1 2]' etc.) — no gate emits one today; keep it that way
+      t.endsWith("[]") || t.startsWith("STRUCT") || t.startsWith("MAP") ||
+      t.startsWith("UNION")
 
   private def sparkClass(dt: DataType): Option[String] = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
