@@ -400,6 +400,71 @@ private[graft] object QueriesTdAlign {
         |  CAST(len(tgt) AS INT) AS n_masked,
         |  COALESCE(array_to_string(tgt, ' | '), '') AS targets
         |FROM m""".stripMargin),
+    // T5 span corruption (the third objective transform next to FIM /
+    // MLM): block-aligned spans replaced by numbered sentinels, target
+    // = sentinel-prefixed removed spans; every decision an md5 draw on
+    // (doc, block), replayed exactly by the oracle
+    ("td_span_corrupt",
+      ((s, dir) => graft.operators.SpanTasks.spanCorrupt(
+        docs(s, dir), "doc_id", "text", rateBp = 4000, spanLen = 3)),
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |    CAST(ceil(len(toks) / 3.0) AS BIGINT) AS nblocks
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, toks, nblocks,
+        |    list_filter(range(0, nblocks), k ->
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sc:'
+        |        || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 10000 < 4000)
+        |      AS corr
+        |  FROM b)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(corr) AS INT) AS n_spans,
+        |  COALESCE(array_to_string(flatten(list_transform(
+        |    range(0, nblocks), k ->
+        |    CASE WHEN list_contains(corr, k)
+        |      THEN ['<extra_id_' ||
+        |        CAST(list_position(corr, k) - 1 AS VARCHAR) || '>']
+        |      ELSE toks[CAST(k*3+1 AS INT):CAST(k*3+3 AS INT)]
+        |    END)), ' '), '') AS input_text,
+        |  COALESCE(array_to_string(flatten(list_transform(corr, k ->
+        |    list_concat(['<extra_id_' ||
+        |        CAST(list_position(corr, k) - 1 AS VARCHAR) || '>'],
+        |      toks[CAST(k*3+1 AS INT):CAST(k*3+3 AS INT)]))), ' '), '')
+        |    AS target_text
+        |FROM c""".stripMargin),
+    // Bradley-Terry pairwise expansion of the k-wise rankings: every
+    // strictly-ordered (better, worse) combination with rank gap and
+    // exact margin — what a reward model actually trains on
+    ("td_pref_pairs_expanded",
+      ((s, dir) => graft.operators.Conversations.rankingsToPairs(
+        graft.operators.Conversations.preferenceRankings(
+          s.read.parquet(s"$dir/events.parquet"), k = 4))),
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY cents DESC, event_id) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY user_id, day) AS n_candidates
+        |  FROM e),
+        |k AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '-' || day AS group_id,
+        |    user_id, day, CAST(rnk AS INT) AS rnk, event_id, cents
+        |  FROM r WHERE rnk <= 4 AND n_candidates >= 2)
+        |SELECT a.group_id, a.user_id, a.day,
+        |  a.rnk AS rank_hi, b.rnk AS rank_lo,
+        |  a.event_id AS chosen_id, b.event_id AS rejected_id,
+        |  a.cents - b.cents AS margin_cents
+        |FROM k a JOIN k b ON a.group_id = b.group_id
+        |WHERE a.rnk < b.rnk AND a.cents > b.cents""".stripMargin),
     // needle-in-a-haystack insertion (long-context eval construction):
     // a templated needle planted at a controlled per-doc depth of the
     // word stream; the gate carries the placement + the md5 of the

@@ -375,6 +375,33 @@ object Conversations {
         col("n_candidates"))
   }
 
+  /** Pairwise expansion of [[preferenceRankings]] — the Bradley-Terry
+    * training frame: a reward model trains on PAIRS, so a k-ranking
+    * expands into every (better, worse) combination, each carrying its
+    * rank gap and exact margin; tied pairs are dropped (no preference
+    * signal), strictly-ordered ones survive. k is small (≤ a few
+    * candidate generations per prompt), so the expansion is ≤ k(k−1)/2
+    * rows per group by construction.
+    *
+    * Scale shape: one self-join hash-clustered on `group_id` — both
+    * sides are the (already k-bounded) ranking frame, so the join
+    * never touches more than k rows per key per side. */
+  def rankingsToPairs(rankings: DataFrame): DataFrame = {
+    val hi = rankings.select(col("group_id"), col("user_id"), col("day"),
+      col("rank").as("rank_hi"), col("event_id").as("chosen_id"),
+      col("cents").as("chosen_cents"))
+    val lo = rankings.select(col("group_id"),
+      col("rank").as("rank_lo"), col("event_id").as("rejected_id"),
+      col("cents").as("rejected_cents"))
+    hi.join(lo, Seq("group_id"))
+      .filter(col("rank_hi") < col("rank_lo") &&
+        col("chosen_cents") > col("rejected_cents"))
+      .select(col("group_id"), col("user_id"), col("day"),
+        col("rank_hi"), col("rank_lo"),
+        col("chosen_id"), col("rejected_id"),
+        (col("chosen_cents") - col("rejected_cents")).as("margin_cents"))
+  }
+
   /** Chat-structure audit over [[assemble]]'s output — the role
     * validation an SFT corpus runs before templating: in this data a
     * turn's role is its leading token (the event type the turn was

@@ -101,6 +101,58 @@ object SpanTasks {
       array_join(targets, " | ").as("targets"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020) — the third
+    * pretraining objective next to [[fimTransform]] and [[mlmMask]]:
+    * contiguous token SPANS are replaced by numbered sentinel tokens
+    * in the input, and the target is the sentinel-prefixed
+    * concatenation of the removed spans. Span boundaries here are
+    * BLOCK-ALIGNED (`spanLen` tokens per block, each block corrupted
+    * independently with probability `rateBp`/10000 from an md5 draw) —
+    * a documented simplification of the paper's Poisson span lengths
+    * that keeps every decision a pure function of (id, block), so
+    * another engine replays the corruption bit-for-bit and re-runs are
+    * byte-identical. Sentinels number left-to-right (`<extra_id_0>`,
+    * `<extra_id_1>`, ...) exactly as T5 expects.
+    *
+    * Emits (id, n_tokens, n_spans, input_text, target_text); empty
+    * documents pass through as empty strings. Pure projection over
+    * array HOFs — zero exchanges, rides the scan. */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  rateBp: Int = 1500, spanLen: Int = 3,
+                  seed: String = "sc"): DataFrame = {
+    require(rateBp >= 0 && rateBp <= 10000, "rateBp in [0, 10000]")
+    require(spanLen > 0, "spanLen must be positive")
+    val id = col(idCol).cast("string")
+    val toks = graft.functions.TextFunctions.words(col(textCol))
+    val n = size(toks).cast("long")
+    val nblocks = (n + (spanLen - 1)).divide(lit(spanLen)).cast("long")
+    def drawn(k: Column): Column =
+      (h32(concat(id, lit(s":$seed:"), k.cast("string"))) % 10000) < rateBp
+    // sequence(0, -1) would generate a DESCENDING range on an empty
+    // doc — build [0, max(nblocks-1, 0)] and filter to real blocks
+    val blocks = filter(
+      sequence(lit(0L), greatest(nblocks - 1, lit(0L))),
+      k => k * spanLen < n)
+    val corr = filter(blocks, k => drawn(k))
+    // sentinel number = how many corrupted blocks precede this one —
+    // an order-stable index with no positional lookup needed
+    def sentinel(k: Column): Column = concat(lit("<extra_id_"),
+      size(filter(corr, j => j < k)).cast("string"), lit(">"))
+    def blockToks(k: Column): Column =
+      slice(toks, (k * spanLen + 1).cast("int"), lit(spanLen))
+    val input = array_join(flatten(transform(blocks, k =>
+      when(array_contains(corr, k), array(sentinel(k)))
+        .otherwise(blockToks(k)))), " ")
+    val target = array_join(flatten(transform(corr, k =>
+      concat(array(sentinel(k)), blockToks(k)))), " ")
+    docs.select(
+      col(idCol),
+      n.as("n_tokens"),
+      size(corr).as("n_spans"),
+      input.as("input_text"),
+      target.as("target_text"))
+  }
+
   /** Needle-in-a-haystack insertion — long-context eval-data
     * construction (Kamradt's NIAH protocol, generalized): plant a
     * templated needle sentence at a CONTROLLED depth of each document's

@@ -436,6 +436,28 @@ class ConversationsSpec extends GraftSpec {
     }
   }
 
+  test("rankingsToPairs: every strict (better, worse) combination with " +
+    "exact margins; tied pairs dropped") {
+    val evs = Seq(
+      // user 1: 9 > 7 > 5 — three strict pairs
+      ev(0, 10, 1, "a", value = 5.0), ev(1, 20, 1, "a", value = 9.0),
+      ev(3, 40, 1, "a", value = 7.0),
+      // user 2: 3 = 3 — one ranking pair but tied, expands to nothing
+      ev(10, 10, 2, "a", value = 3.0), ev(11, 20, 2, "a", value = 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val pairs = Conversations.rankingsToPairs(
+      Conversations.preferenceRankings(evs, k = 3)).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("rank_hi"),
+        r.getAs[Int]("rank_lo")) ->
+        (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Long]("margin_cents"))).toMap
+    assert(pairs.size == 3, s"$pairs")
+    assert(pairs((1L, 1, 2)) == ((1L, 3L, 200L)))
+    assert(pairs((1L, 1, 3)) == ((1L, 0L, 400L)))
+    assert(pairs((1L, 2, 3)) == ((3L, 0L, 200L)))
+    assert(!pairs.keySet.exists(_._1 == 2L), "tied pair must not expand")
+  }
+
   test("roleAlternationAudit: repeats counted, roles distinct, " +
     "alternating flag") {
     import org.apache.spark.sql.types._

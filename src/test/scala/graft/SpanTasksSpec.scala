@@ -94,6 +94,52 @@ class SpanTasksSpec extends GraftSpec {
     assert(all._4 == "0:x | 1:y | 2:z")
   }
 
+  test("spanCorrupt: input and target reassemble the original; " +
+    "sentinels number left-to-right; empty doc passes through") {
+    val df = Seq(
+      (7L, "a b c d e f g h i j k"),
+      (8L, "x y"),
+      (9L, ""))
+      .toDF("doc_id", "text")
+    val out = SpanTasks.spanCorrupt(df, "doc_id", "text",
+        rateBp = 4000, spanLen = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // hand replay of the md5 block draws
+    def drawn(id: Long, k: Long): Boolean =
+      md5hex8(s"$id:sc:$k") % 10000 < 4000
+    Seq(7L -> "a b c d e f g h i j k", 8L -> "x y").foreach {
+      case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val nb = (toks.size + 2) / 3
+        val corr = (0L until nb.toLong).filter(drawn(id, _))
+        val inp = (0L until nb.toLong).flatMap { k =>
+          if (corr.contains(k))
+            Seq(s"<extra_id_${corr.indexOf(k)}>")
+          else toks.slice(k.toInt * 3, k.toInt * 3 + 3)
+        }.mkString(" ")
+        val tgt = corr.flatMap { k =>
+          Seq(s"<extra_id_${corr.indexOf(k)}>") ++
+            toks.slice(k.toInt * 3, k.toInt * 3 + 3)
+        }.mkString(" ")
+        val r = out(id)
+        assert(r.getAs[String]("input_text") == inp, s"doc $id input")
+        assert(r.getAs[String]("target_text") == tgt, s"doc $id target")
+        assert(r.getAs[Int]("n_spans") == corr.size, s"doc $id spans")
+        // reassembly: substituting each sentinel in the input with its
+        // target span reproduces the original token stream
+        var re = r.getAs[String]("input_text")
+        val spans = r.getAs[String]("target_text")
+          .split("<extra_id_\\d+> ?").filter(_.nonEmpty).map(_.trim)
+        corr.indices.foreach { i =>
+          re = re.replace(s"<extra_id_$i>", spans(i))
+        }
+        assert(re == text, s"doc $id reassembly: '$re'")
+    }
+    assert(out(9L).getAs[String]("input_text") == "" &&
+      out(9L).getAs[String]("target_text") == "" &&
+      out(9L).getAs[Int]("n_spans") == 0)
+  }
+
   test("needleInsert: exact floor placement at front/middle/end; md5 " +
     "matches the hand splice; empty doc takes the needle alone") {
     def fullMd5(s: String): String =
