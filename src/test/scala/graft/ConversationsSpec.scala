@@ -266,6 +266,14 @@ class ConversationsSpec extends GraftSpec {
       "doc_id", "n_toks", seqLen = 64)
     assert(graft.operators.Sampling.packBoundaries(noPacked, 64)
       .count() == 0)
+    assert(Conversations.rankingsToPairs(
+      Conversations.preferenceRankings(noEvents)).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.SpanTasks.spanCorrupt(
+      noDocs, "doc_id", "text").count() == 0)
+    assert(graft.operators.SpanTasks.needleInsert(
+      noDocs, "doc_id", "text", needle = lit("N"),
+      depthBp = lit(5000L)).count() == 0)
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("xid", "vec")
     val someVecs = Seq((1L, Array.fill(8)(0.5f))).toDF("yid", "vec")
     assert(Similarity.marginMining(noVecs,
