@@ -205,9 +205,10 @@ object Bench {
       // recognized_variant = open props stored as Spark 4 VariantType;
       // conversations = the alignment-data mode (session-window SFT
       // assembly in-stream); preference_pairs = its DPO twin
-      // (tumbling-day extremes in-stream)
+      // (tumbling-day extremes in-stream); best_of_n = the
+      // rejection-sampling twin (single-struct argmax state)
       Seq("recognized", "recognized_tws", "recognized_variant", "dedup",
-          "conversations", "preference_pairs")
+          "conversations", "preference_pairs", "best_of_n")
         .map { mode =>
           s"""\"$mode\":${graft.tools.ThroughputBench.run(spark, staged, mode).json}"""
         }.mkString("{", ",", "}")

@@ -217,6 +217,28 @@ private[graft] object QueriesTdAlign {
         |  user_id, day, chosen_id, rejected_id,
         |  chosen_cents - rejected_cents AS margin_cents, n_candidates
         |FROM g WHERE chosen_cents > rejected_cents""".stripMargin),
+    // best-of-N rejection sampling (the synthetic-data selection step):
+    // per candidate group keep ONLY the argmax-cents candidate, accept
+    // the group iff its best clears the floor — one min(struct) fold,
+    // O(1) state per group; the oracle replays the argmax, the tie rule,
+    // and the accept verdict (150-cent floor so both verdicts appear)
+    ("td_best_of_n",
+      ((s, dir) => graft.operators.Conversations.bestOfN(
+        s.read.parquet(s"$dir/events.parquet"), minCents = 150L)),
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY cents DESC, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, day) AS n
+        |  FROM e)
+        |SELECT CAST(user_id AS VARCHAR) || '-' || day AS group_id,
+        |  user_id, day, event_id AS chosen_id, cents AS best_cents,
+        |  n AS n_candidates, cents >= 150 AS accepted
+        |FROM r WHERE rn = 1""".stripMargin),
     // SFT quality filter over assembled conversations: exact-duplicate
     // transcripts (keep first by conv_id), degenerate short convs,
     // over-budget transcripts — every conversation emitted with its

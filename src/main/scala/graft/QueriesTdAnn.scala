@@ -379,6 +379,120 @@ private[graft] object QueriesTdAnn {
         |SELECT c.cell, COALESCE(a.n_vecs, 0) AS n_vecs,
         |  COALESCE(a.sum_ids, 0) AS sum_ids, c.cq_sum, c.cq_wsum
         |FROM chk c LEFT JOIN agg a USING (cell)""".stripMargin),
+    // prototypicality pruning (SSL-prototypes, Sorscher 2022): one
+    // exact-integer Lloyd iteration fixes the prototypes, every vector
+    // scores its rounded cosine to its OWN centroid, ranks within its
+    // cell (two-phase range pass, never a per-cell hot window), and the
+    // most-prototypical 2500 bp per cell are pruned — the oracle
+    // replays the Lloyd iteration, the scoring, the rank, and the
+    // floor-split verdict for every vector
+    ("emb_prototypicality",
+      ((s, dir) =>
+      Similarity.prototypicality(
+        embs(s, dir).na.drop(Seq("embedding"))
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", nlist = 8, pruneBp = 2500)),
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT)
+        |    AS cell, vec
+        |  FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8)),
+        |a1 AS (
+        |  SELECT id, vec, cell FROM (
+        |    SELECT v.id, v.vec, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY v.id
+        |        ORDER BY ROUND(list_cosine_similarity(v.vec, c.vec), 6)
+        |          DESC, c.cell) AS rk
+        |    FROM v CROSS JOIN c0 c) WHERE rk = 1),
+        |q1 AS (
+        |  SELECT cell, gs.i AS pos,
+        |    CAST(FLOOR(CAST(SUM(CAST(ROUND(vec[gs.i] * 10000) AS BIGINT))
+        |      AS DOUBLE) / COUNT(*)) AS BIGINT) AS mq
+        |  FROM a1 CROSS JOIN generate_series(1, 64) gs(i)
+        |  GROUP BY 1, 2),
+        |c1u AS (
+        |  SELECT cell,
+        |    list(CAST(mq / 10000.0 AS FLOAT)::DOUBLE ORDER BY pos) AS vec
+        |  FROM q1 GROUP BY cell),
+        |c1 AS (
+        |  SELECT c0.cell, COALESCE(c1u.vec, c0.vec) AS vec
+        |  FROM c0 LEFT JOIN c1u USING (cell)),
+        |af AS (
+        |  SELECT id, vec, cell FROM (
+        |    SELECT v.id, v.vec, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY v.id
+        |        ORDER BY ROUND(list_cosine_similarity(v.vec, c.vec), 6)
+        |          DESC, c.cell) AS rk
+        |    FROM v CROSS JOIN c1 c) WHERE rk = 1),
+        |sc AS (
+        |  SELECT af.id, af.cell,
+        |    CAST(ROUND(ROUND(list_cosine_similarity(af.vec, c.vec), 6)
+        |      * 1000000) AS BIGINT) AS micro
+        |  FROM af JOIN c1 c ON af.cell = c.cell),
+        |r AS (
+        |  SELECT id, cell, micro,
+        |    ROW_NUMBER() OVER (PARTITION BY cell
+        |      ORDER BY micro DESC, id) AS rank,
+        |    COUNT(*) OVER (PARTITION BY cell) AS total
+        |  FROM sc)
+        |SELECT id, cell, micro AS proto_cos_micro, rank,
+        |  (rank - 1) * 10000 // total >= 2500 AS kept
+        |FROM r""".stripMargin),
+    // k-NN label-noise audit (Confident-Learning-lite): rows whose
+    // nearest neighbors mostly carry a different label are suspected
+    // mislabels; ranking-agnostic operator fed by the exact top-k here
+    // (the celled ivfTopK is the 100 TB path) — the oracle replays the
+    // ranking, both label joins, the plurality pick, and the verdict
+    ("emb_label_noise",
+      ((s, dir) => {
+      val e = embs(s, dir).na.drop(Seq("embedding"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label").cast("long").as("label"))
+      val ranking = Similarity.bruteForceTopK(
+        e.filter(col("id") < 10).select(col("id").as("qid"), col("vec")),
+        e.select(col("id"), col("vec")), k = 10)
+      Similarity.labelNoise(ranking, e.select(col("id"), col("label")),
+        "id", "label", suspectBp = 5000)
+    }),
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+        |    CAST(label AS BIGINT) AS label
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |rk AS (
+        |  SELECT qid, id FROM (
+        |    SELECT q.id AS qid, c.id AS id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.id
+        |        ORDER BY ROUND(list_cosine_similarity(q.vec, c.vec), 6)
+        |          DESC, c.id) AS rank
+        |    FROM v q, v c
+        |    WHERE q.id < 10 AND q.id <> c.id)
+        |  WHERE rank <= 10),
+        |j AS (
+        |  SELECT rk.qid, ql.label AS own_label, cl.label AS nb_label
+        |  FROM rk JOIN v ql ON rk.qid = ql.id JOIN v cl ON rk.id = cl.id),
+        |pl AS (
+        |  SELECT qid, own_label, nb_label, COUNT(*) AS n_lab
+        |  FROM j GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY n_lab DESC, nb_label) AS rk2
+        |  FROM pl),
+        |g AS (
+        |  SELECT qid, own_label,
+        |    CAST(SUM(n_lab) AS BIGINT) AS n_neighbors,
+        |    CAST(SUM(CASE WHEN nb_label <> own_label THEN n_lab
+        |      ELSE 0 END) AS BIGINT) AS n_disagree,
+        |    MAX(CASE WHEN rk2 = 1 THEN nb_label END) AS plurality_label
+        |  FROM r GROUP BY 1, 2)
+        |SELECT qid, own_label, n_neighbors, n_disagree,
+        |  CAST(n_disagree * 10000 // GREATEST(n_neighbors, 1) AS BIGINT)
+        |    AS disagree_bp,
+        |  plurality_label,
+        |  (n_disagree * 10000 // GREATEST(n_neighbors, 1)) >= 5000
+        |    AND plurality_label <> own_label AS suspect
+        |FROM g""".stripMargin),
     // margin-based pair mining (the LASER/CCMatrix bitext recipe): the
     // label-parity halves of the embeddings table play the two
     // "languages"; a pair's score is its cosine over the mean of both

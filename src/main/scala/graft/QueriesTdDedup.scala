@@ -625,6 +625,77 @@ private[graft] object QueriesTdDedup {
         |  FROM keyed)
         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM sp GROUP BY split""".stripMargin)),
+    // split-leakage AUDIT (the verification step after any split): per
+    // unordered split combination, how many near-dup pairs land there —
+    // leakFreeSplit must show ZERO crossing rows while the naive
+    // doc_id-bucket split (audited side by side) shows real leakage;
+    // the oracle replays pairs, components, both split rules, and the
+    // audit table
+    ("td_split_audit",
+      ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2)
+      val leak = Dedup.leakFreeSplit(d.select(col("doc_id")), "doc_id",
+        pairs, testBp = 1000, valBp = 1000)
+      val naive = d.select(col("doc_id"),
+        when(Sampling.bucket(col("doc_id")) < 1000, lit("test"))
+          .when(Sampling.bucket(col("doc_id")) < 2000, lit("val"))
+          .otherwise(lit("train")).as("split"))
+      Dedup.splitAudit(leak, "doc_id", "split", pairs)
+        .withColumn("scheme", lit("leakfree"))
+        .unionByName(Dedup.splitAudit(naive, "doc_id", "split", pairs)
+          .withColumn("scheme", lit("naive")))
+    }),
+      (jaccardSql
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+      .replace("SELECT id_a, id_b, jaccard FROM (",
+        ", pairs AS (SELECT id_a, id_b, jaccard FROM (")
+      .replace("WHERE jaccard >= 0.5", "WHERE jaccard >= 0.5)") +
+      """, edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |keyed AS (
+        |  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS key
+        |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))
+        |             ::BIGINT % 10000 < 1000 THEN 'test'
+        |         WHEN ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))
+        |             ::BIGINT % 10000 < 2000 THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM keyed),
+        |spn AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             ::BIGINT % 10000 < 1000 THEN 'test'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             ::BIGINT % 10000 < 2000 THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM documents),
+        |audit AS (
+        |  SELECT 'leakfree' AS scheme,
+        |    LEAST(a.split, b.split) AS split_a,
+        |    GREATEST(a.split, b.split) AS split_b
+        |  FROM pairs p JOIN sp a ON p.id_a = a.doc_id
+        |  JOIN sp b ON p.id_b = b.doc_id
+        |  UNION ALL
+        |  SELECT 'naive' AS scheme,
+        |    LEAST(a.split, b.split) AS split_a,
+        |    GREATEST(a.split, b.split) AS split_b
+        |  FROM pairs p JOIN spn a ON p.id_a = a.doc_id
+        |  JOIN spn b ON p.id_b = b.doc_id)
+        |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  split_a <> split_b AS crossing, scheme
+        |FROM audit GROUP BY scheme, split_a, split_b""".stripMargin)),
     // corpus snapshot diff (crawl-N vs crawl-N+1 versioning): old drops
     // doc_id%7==0, new drops %5==0 and rewords %11==0 — per-id status
     // from the fingerprint full-outer join, replayed exactly

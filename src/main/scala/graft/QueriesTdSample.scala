@@ -184,6 +184,104 @@ private[graft] object QueriesTdSample {
         |  ((cum_before + greatest(n_tokens, 1) - 1) // 512)
         |    > (cum_before // 512) AS continues
         |FROM c""".stripMargin),
+    // packing-efficiency audit (the pre-commit report over the packed
+    // dataset): sequence count, token utilization in bp, split docs,
+    // boundary crossings — one aggregate row of exact integers
+    ("td_pack_stats",
+      ((s, dir) =>
+      Sampling.packingStats(
+        Sampling.packSequences(
+          docs(s, dir).select(col("doc_id"),
+            TextFunctions.tokenCountWs(col("text")).as("n_toks")),
+          "doc_id", "n_toks", seqLen = 512),
+        seqLen = 512)),
+      """WITH ws AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'), w -> len(w) > 0))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+        |  FROM ws),
+        |p AS (
+        |  SELECT n_tokens, cum_before // 512 AS seq_first,
+        |    (cum_before + greatest(n_tokens, 1) - 1) // 512 AS seq_last
+        |  FROM c),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens,
+        |    CAST(COALESCE(SUM(CASE WHEN seq_last > seq_first
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_split,
+        |    CAST(COALESCE(SUM(seq_last - seq_first), 0) AS BIGINT)
+        |      AS boundary_crossings
+        |  FROM p),
+        |b AS (
+        |  SELECT *, (total_tokens + 511) // 512 AS n_seqs FROM a)
+        |SELECT n_docs, total_tokens, CAST(n_seqs AS BIGINT) AS n_seqs,
+        |  CAST(total_tokens * 10000 // GREATEST(n_seqs * 512, 1)
+        |    AS BIGINT) AS utilization_bp,
+        |  docs_split, boundary_crossings
+        |FROM b""".stripMargin),
+    // DoReMi-style domain reweighting (linearized multiplicative
+    // weights): per-language mean loss proxy (mean word length in
+    // micros — exact integer division), clipped excess over the global
+    // mean normalized to bp of the worst domain, then 3 integer
+    // MW rounds from the uniform start — the oracle replays the
+    // aggregation and every renormalized round exactly
+    ("td_domain_reweight",
+      ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("_nchars", length(col("text")).cast("long") * 1000000L)
+        .withColumn("_nw",
+          greatest(size(TextFunctions.words(col("text"))).cast("long"),
+            lit(1L)))
+        .withColumn("loss_micro", expr("_nchars div _nw"))
+      Sampling.domainReweight(d, "lang", "loss_micro",
+        iters = 3, etaBp = 2000)
+    }),
+      (wordsOnlyCte +
+      """, l AS (
+        |  SELECT lang,
+        |    CAST(length(text) AS BIGINT) * 1000000
+        |      // GREATEST(CAST(len(w) AS BIGINT), 1) AS loss
+        |  FROM ws),
+        |m AS (
+        |  SELECT lang AS domain, COUNT(*) AS n_docs,
+        |    CAST(SUM(loss) AS BIGINT) AS sl
+        |  FROM l GROUP BY 1),
+        |e0 AS (
+        |  SELECT domain, n_docs, sl // n_docs AS mean_loss,
+        |    CAST(SUM(sl) OVER () AS BIGINT)
+        |      // CAST(SUM(n_docs) OVER () AS BIGINT) AS gmean,
+        |    COUNT(*) OVER () AS nd
+        |  FROM m),
+        |e1 AS (SELECT *, GREATEST(mean_loss - gmean, 0) AS excess FROM e0),
+        |e2 AS (
+        |  SELECT *, CASE WHEN MAX(excess) OVER () > 0
+        |      THEN excess * 10000 // MAX(excess) OVER () ELSE 0 END
+        |      AS excess_bp,
+        |    10000 // nd AS w0
+        |  FROM e1),
+        |i1 AS (SELECT *, w0 * (10000 + 2000 * excess_bp // 10000) AS r1
+        |       FROM e2),
+        |n1 AS (SELECT *, r1 * 10000
+        |    // GREATEST(CAST(SUM(r1) OVER () AS BIGINT), 1) AS w1 FROM i1),
+        |i2 AS (SELECT *, w1 * (10000 + 2000 * excess_bp // 10000) AS r2
+        |       FROM n1),
+        |n2 AS (SELECT *, r2 * 10000
+        |    // GREATEST(CAST(SUM(r2) OVER () AS BIGINT), 1) AS w2 FROM i2),
+        |i3 AS (SELECT *, w2 * (10000 + 2000 * excess_bp // 10000) AS r3
+        |       FROM n2),
+        |n3 AS (SELECT *, r3 * 10000
+        |    // GREATEST(CAST(SUM(r3) OVER () AS BIGINT), 1) AS w3 FROM i3)
+        |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(mean_loss AS BIGINT) AS mean_loss,
+        |  CAST(excess_bp AS BIGINT) AS excess_bp,
+        |  CAST(w0 AS BIGINT) AS w0, CAST(w1 AS BIGINT) AS w1,
+        |  CAST(w2 AS BIGINT) AS w2, CAST(w3 AS BIGINT) AS w3
+        |FROM n3""".stripMargin)),
     // overlapping chunking for embedding/retrieval prep: 64-word chunks
     // every 48 words (16-word overlap), one codegen'd projection +
     // explode — chunk text hashed so the gate stays compact
@@ -515,6 +613,33 @@ private[graft] object QueriesTdSample {
         |  CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
         |  CAST(SUM(cap - n_toks) AS BIGINT) AS sum_padding
         |FROM r GROUP BY 1, 2""".stripMargin),
+    // EXACT per-language sequence-length quantiles (nearest-rank P50/
+    // P90/P99) via the shared two-phase range pass — no global sort, no
+    // approx_percentile; the oracle replays rank, stratum size, and the
+    // target-rank pick exactly
+    ("td_length_quantiles",
+      ((s, dir) =>
+      Sampling.exactQuantiles(
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).cast("long")
+            .as("n_toks"),
+          col("lang")),
+        "doc_id", "n_toks", "lang",
+        quantilesBp = Seq(5000, 9000, 9900))),
+      (wordsOnlyCte +
+      """, t AS (
+        |  SELECT lang, doc_id, CAST(len(w) AS BIGINT) AS v FROM ws),
+        |r AS (
+        |  SELECT lang, doc_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v, doc_id)
+        |      AS rank,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM t),
+        |q(q_bp) AS (VALUES (5000), (9000), (9900))
+        |SELECT lang AS stratum, CAST(q_bp AS INT) AS q_bp, v AS value,
+        |  rank, n
+        |FROM r JOIN q ON rank = (n - 1) * q_bp // 10000 + 1"""
+        .stripMargin)),
     // DSIR importance weights (Xie 2023): every doc scored by target-vs-
     // raw bigram log-likelihood ratio; target = the corpus' own English
     // slice, so high scores mark en-like text

@@ -90,6 +90,43 @@ private[graft] object QueriesTdText {
         |    AS BIGINT) AS spw_bp
         |FROM d""".stripMargin),
     // language id (stopword-profile heuristic)
+    // lexical-diversity audit (the distinct-n mode-collapse signal a
+    // synthetic-data pipeline watches): per language, total/distinct
+    // unigram and bigram counts with exact-bp ratios; Spark counts
+    // distinct over xxhash64 gram keys (8-byte shuffle rule), the
+    // oracle over literal gram strings — a hash collision FAILS loudly
+    ("td_diversity",
+      ((s, dir) => TextQuality.diversity(docs(s, dir), "text", "lang")),
+      (wordsOnlyCte +
+      """, uni AS (SELECT lang, unnest(w) AS g FROM ws),
+        |bi AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM ws WHERE len(w) >= 2),
+        |u AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS total_1,
+        |    CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_1
+        |  FROM uni GROUP BY 1),
+        |b2 AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS total_2,
+        |    CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_2
+        |  FROM bi GROUP BY 1),
+        |d AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1)
+        |SELECT d.lang, d.n_docs,
+        |  COALESCE(total_1, 0) AS total_1,
+        |  COALESCE(distinct_1, 0) AS distinct_1,
+        |  CAST(COALESCE(distinct_1, 0) * 10000
+        |    // GREATEST(COALESCE(total_1, 0), 1) AS BIGINT)
+        |    AS distinct_1_bp,
+        |  COALESCE(total_2, 0) AS total_2,
+        |  COALESCE(distinct_2, 0) AS distinct_2,
+        |  CAST(COALESCE(distinct_2, 0) * 10000
+        |    // GREATEST(COALESCE(total_2, 0), 1) AS BIGINT)
+        |    AS distinct_2_bp
+        |FROM d LEFT JOIN u ON d.lang = u.lang
+        |LEFT JOIN b2 ON d.lang = b2.lang""".stripMargin)),
     ("text_langid",
       ((s, dir) =>
       docs(s, dir).select(col("doc_id"),

@@ -239,6 +239,65 @@ object Conversations {
       .filter(col("margin_cents") > 0)
   }
 
+  /** Best-of-N rejection sampling — the synthetic-data selection step
+    * (Lightman-style rejection sampling / best-of-n distillation):
+    * within each candidate group (a user's events on one day, the
+    * [[preferencePairs]] group shape) keep ONLY the highest-scored
+    * candidate, and accept the group iff that best score clears
+    * `minCents` — groups whose best candidate is still poor are
+    * rejected outright rather than letting a weak example into the
+    * distillation set. Scores compare in exact integer cents, ties
+    * break to the lower event_id (same contract as the pair ops).
+    *
+    * Scale shape: ONE exchange and O(1) state per group — the argmax
+    * is a single `min(struct(-cents, event_id))` aggregate (no rank
+    * window at all), so the partial aggregation combines map-side and
+    * a group's size never matters. Emits every group with its verdict
+    * (`accepted`); the training cut is `filter($"accepted")`. */
+  def bestOfN(events: DataFrame, minCents: Long = 0L): DataFrame = {
+    val e = events
+      .withColumn("day",
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    e.groupBy(col("user_id"), col("day"))
+      .agg(
+        min(struct((-col("cents")).as("neg_c"), col("event_id"))).as("hi"),
+        count(lit(1)).as("n_candidates"))
+      .select(
+        concat(col("user_id"), lit("-"), col("day")).as("group_id"),
+        col("user_id"), col("day"),
+        col("hi.event_id").as("chosen_id"),
+        (-col("hi.neg_c")).as("best_cents"),
+        col("n_candidates"),
+        (-col("hi.neg_c") >= minCents).as("accepted"))
+  }
+
+  /** Streaming twin of [[bestOfN]]: the day column becomes a tumbling
+    * daily event-time window and the argmax is the same single-pass
+    * `min(struct(-cents, event_id))` fold, so state per open group is
+    * one struct and a count regardless of group size. Groups finalize
+    * when the watermark closes their day (Append mode); output columns
+    * are identical to the batch form. */
+  def bestOfNStream(events: DataFrame, minCents: Long = 0L,
+                    watermark: String = "1 hour"): DataFrame = {
+    val e = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    e.groupBy(col("user_id"), window(col("ts"), "1 day"))
+      .agg(
+        min(struct((-col("cents")).as("neg_c"), col("event_id"))).as("hi"),
+        count(lit(1)).as("n_candidates"))
+      .withColumn("day", date_format(col("window.start"), "yyyy-MM-dd"))
+      .select(
+        concat(col("user_id"), lit("-"), col("day")).as("group_id"),
+        col("user_id"), col("day"),
+        col("hi.event_id").as("chosen_id"),
+        (-col("hi.neg_c")).as("best_cents"),
+        col("n_candidates"),
+        (-col("hi.neg_c") >= minCents).as("accepted"))
+  }
+
   /** Instruction-data quality audit over [[assemble]]'s output — the
     * filter battery an SFT corpus runs before training: exact-duplicate
     * transcripts (keep the first by conv_id; duplicated responses

@@ -513,6 +513,32 @@ object Dedup {
       .drop("_key", "component")
   }
 
+  /** Split-leakage audit — the verification step a release runs AFTER
+    * any train/val/test split (its own [[leakFreeSplit]] or an
+    * inherited upstream one): for every near-dup pair, which splits do
+    * its endpoints land in? A nonzero `crossing` row is test-set
+    * leakage. Emits one row per unordered split combination
+    * (`split_a <= split_b`) with its pair count and the crossing flag
+    * — the ≤ 6-row table a release gate asserts on.
+    *
+    * Scale shape: two hashed key joins of the (id_a, id_b) pair frame
+    * onto the (id, split) labels — ids only, never text — then one
+    * aggregation to at most |splits|² rows. */
+  def splitAudit(split: DataFrame, idCol: String, splitCol: String,
+                 pairs: DataFrame): DataFrame = {
+    val lab = split.select(col(idCol), col(splitCol).as("_split"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(lab.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("_split", "sa"), Seq("id_a"))
+      .join(lab.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("_split", "sb"), Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("crossing", col("split_a") =!= col("split_b"))
+  }
+
   /** Incremental MEMBERSHIP scan with a bloom prefilter: batch docs whose
     * word-set fingerprint ([[TextFunctions.fingerprint]] — exact-content
     * and permutation-robust) already exists in the prior corpus.

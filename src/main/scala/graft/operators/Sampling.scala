@@ -265,6 +265,103 @@ object Sampling {
       (col("seq_last") > col("seq_first")).as("continues"))
   }
 
+  /** Packing-efficiency audit over [[packSequences]]' output — the
+    * one-row report a training-prep run checks before committing a
+    * packed dataset: sequence count, token utilization (the GPT-style
+    * concat-and-split regime wastes only the final sequence's tail, so
+    * utilization should sit near 10000 bp), how many documents were
+    * split across a sequence boundary, and the total number of
+    * boundary crossings (each crossing is a document fragment whose
+    * attention the trainer must mask or accept). All exact integer
+    * arithmetic — the audit replays engine-for-engine.
+    *
+    * Scale shape: one partial-aggregating scan of the packed frame to
+    * a single row; no shuffle beyond the final 1-row combine. */
+  def packingStats(packed: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    packed.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"),
+        coalesce(sum(when(col("seq_last") > col("seq_first"), 1L)
+          .otherwise(0L)), lit(0L)).as("docs_split"),
+        coalesce(sum(col("seq_last") - col("seq_first")), lit(0L))
+          .as("boundary_crossings"))
+      .withColumn("n_seqs",
+        expr(s"(total_tokens + ${seqLen}L - 1) div ${seqLen}L"))
+      .withColumn("utilization_bp",
+        expr(s"total_tokens * 10000L div greatest(n_seqs * ${seqLen}L, 1L)"))
+      .select(col("n_docs"), col("total_tokens"), col("n_seqs"),
+        col("utilization_bp"), col("docs_split"),
+        col("boundary_crossings"))
+  }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023), the linearized
+    * multiplicative-weights form: domains whose mean loss EXCEEDS the
+    * corpus mean are upweighted — the next mixture round feeds the
+    * hardest domains more. The full algorithm interleaves proxy-model
+    * training with exponentiated-gradient updates; this operator is the
+    * data-side step given any per-doc loss proxy (`lossCol`, an
+    * integer in caller-chosen fixed-point units — perplexity micros,
+    * mean-word-length micros, a reward-model score):
+    *
+    *  1. per-domain mean loss `m_d = floor(Σloss / n)` and the global
+    *     mean `B` (floor) — exact integer division;
+    *  2. clipped excess `e_d = max(m_d − B, 0)`, normalized to basis
+    *     points of the worst domain's excess;
+    *  3. `iters` multiplicative-weight rounds from the uniform start
+    *     `w0 = 10000/D`: `w ← w·(10000 + η·e_bp/10⁴)`, renormalized
+    *     by `floor(w·10⁴/Σw)` — the first-order Taylor form of the
+    *     exponentiated-gradient step, chosen over `exp()` so every
+    *     round is INTEGER arithmetic and replays engine-exact.
+    *
+    * Output: one row per domain with (n_docs, mean_loss, excess_bp,
+    * w0..w{iters}) — the mixture table the next sampling round feeds
+    * to [[stratifiedMix]] as per-domain rates.
+    *
+    * Scale shape: the corpus pays ONE partial-aggregating scan to D
+    * rows (D = #domains, dozens in the DoReMi setting); every window
+    * after that runs on the D-row frame, so the deliberate
+    * whole-frame window is bytes, not data. Overflow-safe by
+    * construction: weights stay ≤ 10⁴, multipliers ≤ 2·10⁴, so the
+    * largest intermediate is ≤ 1.2·10¹² — far inside long range. */
+  def domainReweight(df: DataFrame, domainCol: String, lossCol: String,
+                     iters: Int = 3, etaBp: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1 && iters <= 8, "iters must be in [1, 8]")
+    require(etaBp >= 0 && etaBp <= 10000, "etaBp must be in [0, 10000]")
+    val all = Window.partitionBy()
+    val base = df
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(lossCol).cast("long")).as("_sum_loss"))
+      .withColumn("mean_loss", expr("_sum_loss div n_docs"))
+      .withColumn("_gsum", sum(col("_sum_loss")).over(all))
+      .withColumn("_gn", sum(col("n_docs")).over(all))
+      .withColumn("_gmean", expr("_gsum div _gn"))
+      .withColumn("excess",
+        greatest(col("mean_loss") - col("_gmean"), lit(0L)))
+      .withColumn("_maxe", max(col("excess")).over(all))
+      .withColumn("excess_bp", when(col("_maxe") > 0,
+        expr("excess * 10000L div _maxe")).otherwise(lit(0L)))
+      .withColumn("_ndom", count(lit(1)).over(all))
+      .withColumn("w0", expr("10000L div _ndom"))
+    val iterated = (1 to iters).foldLeft(base) { case (acc, t) =>
+      val raw = s"_raw$t"
+      acc
+        .withColumn(raw,
+          expr(s"w${t - 1} * (10000L + ${etaBp}L * excess_bp div 10000L)"))
+        // greatest(Σ,1): unreachable today (multipliers ≥ 10⁴, w0 ≥ 1
+        // for D ≤ 10⁴) but the renorm must never be a div-by-zero away
+        // from a pathological D. Integer `div`, never `/` — the renorm
+        // must floor exactly like the oracle's `//`.
+        .withColumn(s"_rsum$t", greatest(sum(col(raw)).over(all), lit(1L)))
+        .withColumn(s"w$t", expr(s"$raw * 10000L div _rsum$t"))
+    }
+    iterated.select(
+      col("domain") +: col("n_docs") +: col("mean_loss") +:
+        col("excess_bp") +: (0 to iters).map(t => col(s"w$t")): _*)
+  }
+
   /** Curriculum ordering — emit the easy-to-hard training order a
     * curriculum-learning run reads: documents are ranked globally by
     * (`scoreCol` asc, id asc), the rank is cut into `stages` equal
@@ -386,6 +483,39 @@ object Sampling {
           .cast("int"))
       .select(col("id").as(idCol), col("stratum"), col("score"),
         col("rank"), col("bucket"))
+  }
+
+  /** EXACT per-stratum quantiles without a global sort — the
+    * distribution report a curation run reads (sequence-length P50/P90/
+    * P99 per language before picking a packing seqLen, score quantiles
+    * before cutting thresholds). `approx_percentile` trades exactness
+    * for one pass; this keeps exactness by the nearest-rank rule over
+    * the shared two-phase range pass: value at rank
+    * `(n−1)·q div 10⁴ + 1` per stratum (ties in value are harmless —
+    * any holder of the target rank carries the right value).
+    *
+    * Output: one row per (stratum, q_bp): the value, its rank, and the
+    * stratum size. Scale shape: the [[stratumRank]] range shuffle +
+    * narrow window; the target-rank filter keeps ≤ |quantiles| rows
+    * per stratum BEFORE the explode, so the fan-out never touches the
+    * corpus-sized frame. */
+  def exactQuantiles(df: DataFrame, idCol: String, valueCol: String,
+                     stratumCol: String,
+                     quantilesBp: Seq[Int] = Seq(5000, 9000, 9900))
+      : DataFrame = {
+    require(quantilesBp.nonEmpty &&
+      quantilesBp.forall(q => q >= 0 && q <= 10000),
+      "quantilesBp must be non-empty, each in [0, 10000]")
+    val targets = quantilesBp.map(q =>
+      expr(s"(_total - 1L) * ${q}L div 10000L + 1L"))
+    stratumRank(df, idCol, valueCol, col(stratumCol))
+      // narrow prune first: only rows HOLDING some target rank survive
+      // into the |quantiles|-way explode
+      .filter(targets.map(col("rank") === _).reduce(_ || _))
+      .withColumn("q_bp", explode(array(quantilesBp.map(lit): _*)))
+      .filter(col("rank") === expr("(_total - 1L) * q_bp div 10000L + 1L"))
+      .select(col("stratum"), col("q_bp"), col("score").as("value"),
+        col("rank"), col("_total").as("n"))
   }
 
   /** The shared two-phase per-stratum rank behind [[curriculumOrder]]

@@ -325,6 +325,20 @@ object Similarity {
   def recentroidQuantized(vecs0: DataFrame, idCol: String, vecCol: String,
                           nlist: Int, iters: Int = 2, scale: Int = 10000)
       : (DataFrame, Array[Array[Long]]) = {
+    val (assigned, quantized, _) =
+      recentroidFull(vecs0, idCol, vecCol, nlist, iters, scale)
+    (assigned, quantized)
+  }
+
+  /** [[recentroidQuantized]] plus the FINAL FLOAT centroids the last
+    * assignment actually used — updated cells carry the quantized
+    * `(mq/scale).toFloat` grid point, empty cells keep their RAW seed
+    * floats (which the quantized longs alone cannot reconstruct).
+    * [[prototypicality]] scores against these. */
+  private[graft] def recentroidFull(
+      vecs0: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2, scale: Int = 10000)
+      : (DataFrame, Array[Array[Long]], Array[Array[Float]]) = {
     val vecs = vecs0.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .na.drop(Seq("vec")).persist()
     // HALF_UP away from zero — Spark round()'s and DuckDB ROUND()'s rule
@@ -332,6 +346,16 @@ object Similarity {
       (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
     var cents: Array[Array[Float]] = vecs.orderBy(col("id"))
       .limit(nlist).collect().map(_.getSeq[Float](1).toArray)
+    // empty corpus ⇒ no seeds: an assignRounded over ZERO centroid
+    // literals is an analysis error, not an empty frame — honor the
+    // empty-inputs-yield-empty-outputs invariant explicitly
+    if (cents.isEmpty) {
+      val emptyAssign = vecs
+        .select(col("id"), lit(0).cast("int").as("cell"))
+        .filter(lit(false))
+      vecs.unpersist(false)
+      return (emptyAssign, Array.empty, Array.empty)
+    }
     for (_ <- 1 to iters) {
       val assigned = vecs.select(col("vec"),
         assignRounded(col("vec"), cents).as("cell"))
@@ -358,7 +382,7 @@ object Similarity {
     val finalAssign = vecs.select(col("id"),
       assignRounded(col("vec"), cents).as("cell"))
     vecs.unpersist(false)
-    (finalAssign, quantized)
+    (finalAssign, quantized, cents)
   }
 
   /** Argmax of ROUND(cosine, 6) with exact ties to the lower cell —
@@ -371,6 +395,117 @@ object Similarity {
         lit(-cell).as("nc"))
     }: _*)
     (-array_max(simIdx).getField("nc")).cast("int")
+  }
+
+  /** Prototypicality pruning (the SSL-prototypes rule of Sorscher et
+    * al. 2022, "Beyond neural scaling laws"): when data is abundant,
+    * the examples CLOSEST to their cluster's prototype are the most
+    * redundant — prune the most prototypical fraction and keep the
+    * hard, informative tail. Concretely: one exact-integer Lloyd
+    * iteration ([[recentroidQuantized]]) fixes the prototypes, every
+    * vector scores `round(round(cos(vec, own_centroid), 6)·10⁶)` (the
+    * repo's engine-exact cosine contract, then an integer), and within
+    * each cell vectors rank by (cos desc, id asc). The prune is a
+    * FLOOR-SPLIT in basis points — rank r is pruned iff
+    * `(r−1)·10⁴ div n_cell < pruneBp` — the same replayable cut rule
+    * as [[Sampling.stratifiedRankBuckets]], which also supplies the
+    * rank itself: cells are few and huge (exactly the one-reducer-per-
+    * stratum shape a naive per-cell window would hot-key), so the rank
+    * is the shared two-phase range pass.
+    *
+    * Output: (id, cell, proto_cos_micro, rank, kept). Training keeps
+    * `filter($"kept")`; the audit frame keeps everything.
+    *
+    * Scale shape: centroid fit = one narrow scan + an (nlist × dim)
+    * aggregation; scoring = a codegen'd projection against literal
+    * centroids; rank = the two-phase pass (range shuffle + driver-
+    * folded offsets). No all-pairs anything. */
+  def prototypicality(vecs0: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int = 8, pruneBp: Int = 2500): DataFrame = {
+    require(nlist > 0, "nlist must be positive")
+    require(pruneBp >= 0 && pruneBp <= 10000, "pruneBp must be in [0, 10000]")
+    val vecs = vecs0.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .na.drop(Seq("vec"))
+    // the FLOAT centroids the final assignment used — updated cells on
+    // the quantized grid, empty cells still their raw seed floats
+    val (_, _, cents) = recentroidFull(vecs, "id", "vec", nlist, iters = 1)
+    // empty corpus ⇒ empty audit, never an analysis error
+    if (cents.isEmpty) {
+      return vecs.filter(lit(false)).select(col("id"),
+        lit(0).cast("int").as("cell"), lit(0L).as("proto_cos_micro"),
+        lit(0L).as("rank"), lit(true).as("kept"))
+    }
+    val cosOwn = cents.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (cv, i)) =>
+        when(col("cell") === i,
+          VectorKernels.cosine_sim(col("vec"), typedLit(cv.toSeq)))
+          .otherwise(acc)
+    }
+    val scored = vecs
+      .withColumn("cell", assignRounded(col("vec"), cents))
+      // round at 6dp FIRST (the cross-engine cosine contract), then
+      // scale to an exact integer — the second round removes the
+      // float-representation residue of `0.123456 * 10⁶`
+      .withColumn("_negcos",
+        -round(round(cosOwn, 6) * 1000000).cast("long"))
+    Sampling.stratifiedRankBuckets(scored, "id", "_negcos", "cell",
+        buckets = 10000)
+      .select(col("id"), col("stratum").cast("int").as("cell"),
+        (-col("score")).as("proto_cos_micro"), col("rank"),
+        (col("bucket") >= pruneBp).as("kept"))
+  }
+
+  /** k-NN label-noise audit (the Confident-Learning-style mislabel
+    * detector a classifier-training pipeline runs before fitting):
+    * a row whose nearest neighbors mostly carry a DIFFERENT label is a
+    * suspected labeling error. Takes a neighbor ranking
+    * `(qid, id, rank)` — [[bruteForceTopK]] for the exact form,
+    * [[ivfTopK]] for the celled 100 TB path; the audit is
+    * ranking-agnostic by design — plus the `(id, label)` table, and
+    * emits per query: its own label, neighbor count, disagreeing
+    * count, disagreement in basis points, the PLURALITY neighbor label
+    * (the suggested relabel; ties break count-desc then label-asc),
+    * and the `suspect` verdict (disagreement ≥ `suspectBp` AND the
+    * plurality label differs).
+    *
+    * Scale shape: two hashed equi-joins onto the k-bounded ranking
+    * frame (labels join on id/qid keys, never vectors), then one
+    * (qid, nb_label) aggregation and a qid-keyed window over ≤ k rows
+    * per query — qids are many and small, the safe window shape. */
+  def labelNoise(ranking: DataFrame, labels: DataFrame,
+                 idCol: String, labelCol: String,
+                 suspectBp: Int = 5000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(suspectBp >= 0 && suspectBp <= 10000,
+      "suspectBp must be in [0, 10000]")
+    val lab = labels.select(col(idCol).as("_lid"),
+      col(labelCol).as("_llabel"))
+    val joined = ranking
+      .join(lab.withColumnRenamed("_lid", "qid")
+        .withColumnRenamed("_llabel", "own_label"), Seq("qid"))
+      .join(lab.withColumnRenamed("_lid", "id")
+        .withColumnRenamed("_llabel", "nb_label"), Seq("id"))
+    val perLabel = joined
+      .groupBy(col("qid"), col("own_label"), col("nb_label"))
+      .agg(count(lit(1)).as("n_lab"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("n_lab").desc, col("nb_label"))
+    perLabel
+      .withColumn("_rk", row_number().over(w))
+      .groupBy(col("qid"), col("own_label"))
+      .agg(
+        sum(col("n_lab")).as("n_neighbors"),
+        sum(when(col("nb_label") =!= col("own_label"), col("n_lab"))
+          .otherwise(0L)).as("n_disagree"),
+        max(when(col("_rk") === 1, col("nb_label"))).as("plurality_label"))
+      .withColumn("disagree_bp",
+        expr("n_disagree * 10000L div greatest(n_neighbors, 1L)"))
+      .withColumn("suspect",
+        col("disagree_bp") >= suspectBp &&
+          col("plurality_label") =!= col("own_label"))
+      .select(col("qid"), col("own_label"), col("n_neighbors"),
+        col("n_disagree"), col("disagree_bp"), col("plurality_label"),
+        col("suspect"))
   }
 
   /** Nearest-centroid cell id: argmax over `nlist` codegen'd cosine

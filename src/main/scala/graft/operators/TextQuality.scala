@@ -288,6 +288,46 @@ object TextQuality {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Lexical-diversity audit per corpus slice (the distinct-n metric a
+    * synthetic-data pipeline watches for mode collapse: a generator
+    * that repeats itself shows a falling distinct-gram ratio long
+    * before eval loss moves). Per `groupCol`: document count, total
+    * and distinct unigram/bigram counts, and the ratios in exact basis
+    * points — `distinct_1_bp = distinct·10⁴ div total`.
+    *
+    * Scale shape: distinct counting shuffles `xxhash64` gram keys (the
+    * repo's 8-byte hashed-shuffle rule — raw grams never ride an
+    * exchange; a 2⁻⁶⁴ collision would FAIL the string-keyed oracle
+    * loudly rather than hide). Two aggregations per order, both with
+    * map-side partials; totals are one count per (group, order). */
+  def diversity(docs: DataFrame, textCol: String,
+                groupCol: String): DataFrame = {
+    val w = TextFunctions.words(col(textCol))
+    val uni = docs.select(col(groupCol).as("grp"), explode(w).as("g"))
+      .select(col("grp"), xxhash64(col("g")).as("gh"))
+    val bi = docs.select(col(groupCol).as("grp"),
+        explode(bigrams(w)).as("b"))
+      .select(col("grp"),
+      // space-joined: words are whitespace-split so ' ' cannot occur
+      // inside a token - ("ab","c") and ("a","bc") must not collide
+        xxhash64(concat_ws(" ", col("b.w1"), col("b.w2"))).as("gh"))
+    def stats(grams: DataFrame, order: Int): DataFrame = grams
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as(s"total_$order"),
+        countDistinct(col("gh")).as(s"distinct_$order"))
+      .withColumn(s"distinct_${order}_bp",
+        expr(s"distinct_$order * 10000L div greatest(total_$order, 1L)"))
+    docs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(stats(uni, 1), Seq("grp"), "left")
+      .join(stats(bi, 2), Seq("grp"), "left")
+      .na.fill(0L, Seq("total_1", "distinct_1", "distinct_1_bp",
+        "total_2", "distinct_2", "distinct_2_bp"))
+      .select(col("grp").as(groupCol), col("n_docs"),
+        col("total_1"), col("distinct_1"), col("distinct_1_bp"),
+        col("total_2"), col("distinct_2"), col("distinct_2_bp"))
+  }
+
   /** (w1, w2) struct pairs of adjacent tokens; empty below 2 tokens. */
   private def bigrams(w: Column): Column =
     when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))

@@ -632,8 +632,8 @@ object EventPipeline {
             stateStore: String = "hdfs",
             compactEvery: Int = 16,
             compactMaxFiles: Int = 8): StreamingQuery = {
-    require(Seq("conversations", "preference_pairs").contains(mode),
-      s"unsupported mode: $mode")
+    require(Seq("conversations", "preference_pairs", "best_of_n")
+      .contains(mode), s"unsupported mode: $mode")
     val session = tunedSession(spark, statePartitions, stateStore)
     val raw = session.readStream
       .format("text")
@@ -660,6 +660,8 @@ object EventPipeline {
     val out = mode match {
       case "conversations" => graft.operators.Conversations
         .assembleStream(events, gapMinutes, tokenBudget, minTurns, watermark)
+      case "best_of_n" => graft.operators.Conversations
+        .bestOfNStream(events, minCents = 150L, watermark = watermark)
       case _ => graft.operators.Conversations
         .preferencePairsStream(events, watermark)
     }

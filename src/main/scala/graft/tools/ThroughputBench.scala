@@ -147,10 +147,18 @@ object ThroughputBench {
           maxFilesPerTrigger = 1, statePartitions = statePartitions,
           stateStore = stateStore, watermark = "10 minutes",
           compactEvery = compactEvery)
+      case "best_of_n" =>
+        // the rejection-sampling mode: one struct + a count of state
+        // per open group, accepted/rejected verdicts via the router
+        EventPipeline.startConversations(spark, input.dir, wh, cp,
+          mode = "best_of_n",
+          maxFilesPerTrigger = 1, statePartitions = statePartitions,
+          stateStore = stateStore, watermark = "10 minutes",
+          compactEvery = compactEvery)
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (recognized | recognized_tws | " +
           "recognized_variant | dedup | conversations | " +
-          "preference_pairs)")
+          "preference_pairs | best_of_n)")
     }
     try q.awaitTermination() finally q.stop()
     // progress numInputRows double-counts a source referenced by more

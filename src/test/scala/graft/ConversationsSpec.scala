@@ -185,6 +185,60 @@ class ConversationsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("best-of-N rejection sampling: argmax, tie to lower id, accept floor; stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      // user 1, day 1: best = id 1 at 900 cents → accepted
+      ev(0, 10, 1, "a", value = 0.5), ev(1, 20, 1, "a", value = 9.0),
+      ev(2, 30, 1, "a", value = 1.0),
+      // user 1, day 2: best 100 cents < 150 floor → rejected
+      ev(3, 1450, 1, "a", value = 1.0),
+      // user 2: tied best → lower event_id wins
+      ev(10, 10, 2, "a", value = 3.0), ev(11, 20, 2, "a", value = 3.0))
+    val batch = Conversations.bestOfN(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props"), minCents = 150L)
+      .collect().map(r => r.getAs[String]("group_id") -> r).toMap
+    assert(batch.keySet ==
+      Set("1-2024-01-01", "1-2024-01-02", "2-2024-01-01"))
+    val g1 = batch("1-2024-01-01")
+    assert(g1.getAs[Long]("chosen_id") == 1)
+    assert(g1.getAs[Long]("best_cents") == 900)
+    assert(g1.getAs[Long]("n_candidates") == 3)
+    assert(g1.getAs[Boolean]("accepted"))
+    val g2 = batch("1-2024-01-02")
+    assert(g2.getAs[Long]("chosen_id") == 3)
+    assert(!g2.getAs[Boolean]("accepted"))
+    val g3 = batch("2-2024-01-01")
+    assert(g3.getAs[Long]("chosen_id") == 10)
+    assert(g3.getAs[Boolean]("accepted"))
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val out = Conversations.bestOfNStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props"),
+      minCents = 150L, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("bofn_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData(ev(9999, 100000, 99, "a")) // watermark sentinel
+      q.processAllAvailable()
+      val got = spark.table("bofn_stream")
+        .filter(col("user_id") =!= 99).collect().map(_.toSeq).toSet
+      val want = batch.values.map(_.toSeq).toSet
+      assert(got == want, s"stream $got != batch $want")
+    } finally q.stop()
+  }
+
+  test("best-of-N on empty events is empty, not an error") {
+    val empty = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Conversations.bestOfN(empty).count() == 0)
+  }
+
   test("IVF margin mining at nprobe=nlist is bit-equal to brute; pruned probes keep planted twins") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val xs = e.filter(col("label") % 2 === 0)

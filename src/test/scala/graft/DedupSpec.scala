@@ -152,6 +152,29 @@ class DedupSpec extends GraftSpec {
     assert(again == split)
   }
 
+  test("splitAudit: leakFreeSplit shows zero crossing rows; a planted bad split is caught") {
+    import spark.implicits._
+    val d = (0L until 60L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("id_a", "id_b")
+    val leak = Dedup.leakFreeSplit(d, "doc_id", pairs,
+      testBp = 3000, valBp = 3000)
+    val clean = Dedup.splitAudit(leak, "doc_id", "split", pairs).collect()
+    assert(clean.map(r => r.getAs[Long]("n_pairs")).sum == 6)
+    assert(clean.forall(!_.getAs[Boolean]("crossing")),
+      "leak-free split produced a crossing pair")
+
+    // a split that deliberately separates pair (0, 1)
+    val bad = d.withColumn("split",
+      when(col("doc_id") === 0L, lit("test")).otherwise(lit("train")))
+    val audit = Dedup.splitAudit(bad, "doc_id", "split", pairs)
+      .collect().map(r => (r.getAs[String]("split_a"),
+        r.getAs[String]("split_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Boolean]("crossing"))).toMap
+    assert(audit(("test", "train")) == ((1L, true)))
+    assert(audit(("train", "train")) == ((5L, false)))
+  }
+
   test("minhash LSH pairs == exact jaccard pairs") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.4)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet

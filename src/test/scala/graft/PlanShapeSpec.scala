@@ -90,6 +90,29 @@ class PlanShapeSpec extends GraftSpec {
     }
   }
 
+  test("best-of-N is one exchange and one aggregation — no rank window at all") {
+    // the argmax is a min(struct) fold: partials combine map-side, so
+    // the plan must be Exchange → HashAggregate levels with NO Window
+    // (a rank window here would mean a group's rows serialize through
+    // one task at any group size)
+    val p = plan("td_best_of_n")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"td_best_of_n expected exactly one shuffle, saw $n")
+    assert(!p.contains("Window"), s"td_best_of_n grew a rank window:\n$p")
+  }
+
+  test("domain reweighting pays the corpus exactly one aggregation pass") {
+    // the corpus-sized work is ONE partial-aggregating scan down to D
+    // domain rows; the deliberate whole-frame windows after that run
+    // on the D-row frame behind a single-partition exchange of bytes.
+    // Two corpus-keyed hash exchanges here would mean the scan leaked
+    // into the iteration.
+    val p = plan("td_domain_reweight")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 1,
+      s"td_domain_reweight shuffled the corpus more than once:\n$p")
+  }
+
   test("FIM and MLM objective transforms are pure projections: zero exchanges, no UDFs") {
     Seq("td_fim_transform", "td_mlm_mask").foreach { q =>
       val p = plan(q)
@@ -158,9 +181,11 @@ class PlanShapeSpec extends GraftSpec {
       // the corpus scan (brute baseline + the pruned variants' rerank)
       "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
       "ann_ivfpq_topk",
-      // retrieval eval / mining: bounded query/label sides
+      // retrieval eval / mining / audits: bounded query/label sides
+      // (emb_label_noise drives the exact bruteForceTopK form on 10
+      // query vectors; the celled ivfTopK form is the corpus path)
       "td_bm25", "td_tfidf_terms", "td_pmi", "td_hybrid_rrf",
-      "td_retrieval_eval", "emb_hard_negatives",
+      "td_retrieval_eval", "emb_hard_negatives", "emb_label_noise",
       // threshold/range frames of a few rows against aggregates
       "a12_heavy_hitters", "a20_rfm", "a23_theta_overlap", "dq_checks",
       "l5_stats_skipping", "skew_hotcold_join",

@@ -65,6 +65,92 @@ class SamplingSpec extends GraftSpec {
     assert(out(2) == ((3L, 1L, 1L)))
   }
 
+  test("packingStats: hand-computed audit; empty input reports zeros") {
+    // tokens (3, 5, 0, 4) at seqLen 4: cum_before (0, 3, 8, 8);
+    // doc 1 spans seqs 0→1 (one crossing); total 12 → 3 full seqs
+    val df = Seq((0L, 3L), (1L, 5L), (2L, 0L), (3L, 4L))
+      .toDF("doc_id", "n_toks")
+    val packed = Sampling.packSequences(df, "doc_id", "n_toks", seqLen = 4)
+    val r = Sampling.packingStats(packed, seqLen = 4).collect().head
+    assert(r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Long]("total_tokens") == 12)
+    assert(r.getAs[Long]("n_seqs") == 3)
+    assert(r.getAs[Long]("utilization_bp") == 10000)
+    assert(r.getAs[Long]("docs_split") == 1)
+    assert(r.getAs[Long]("boundary_crossings") == 1)
+
+    // a partially-filled tail: tokens (3,) at seqLen 4 → util 7500 bp
+    val tail = Sampling.packingStats(
+      Sampling.packSequences(Seq((0L, 3L)).toDF("doc_id", "n_toks"),
+        "doc_id", "n_toks", seqLen = 4), seqLen = 4).collect().head
+    assert(tail.getAs[Long]("utilization_bp") == 7500)
+
+    val empty = Sampling.packingStats(
+      Sampling.packSequences(
+        Seq.empty[(Long, Long)].toDF("doc_id", "n_toks"),
+        "doc_id", "n_toks", seqLen = 4), seqLen = 4).collect().head
+    assert(empty.getAs[Long]("n_docs") == 0)
+    assert(empty.getAs[Long]("total_tokens") == 0)
+    assert(empty.getAs[Long]("n_seqs") == 0)
+    assert(empty.getAs[Long]("utilization_bp") == 0)
+  }
+
+  test("domainReweight: hand-computed MW rounds; zero-excess stays put; empty input is empty") {
+    // A mean 10, B mean 30 → gmean 20, excess (0, 10), e_bp (0, 10000),
+    // w0 = 5000 each; three η=2000 rounds hand-derived:
+    //   t1: raw (5e7, 6e7)           → w (4545, 5454)
+    //   t2: raw (45450000, 65448000) → w (4098, 5901)
+    //   t3: raw (40980000, 70812000) → w (3665, 6334)
+    val df = Seq(("A", 10L), ("B", 30L)).toDF("dom", "loss")
+    val out = Sampling.domainReweight(df, "dom", "loss",
+        iters = 3, etaBp = 2000)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("mean_loss") == 10)
+    assert(a.getAs[Long]("excess_bp") == 0)
+    assert(Seq("w0", "w1", "w2", "w3").map(a.getAs[Long](_)) ==
+      Seq(5000L, 4545L, 4098L, 3665L))
+    val b = out("B")
+    assert(b.getAs[Long]("excess_bp") == 10000)
+    assert(Seq("w0", "w1", "w2", "w3").map(b.getAs[Long](_)) ==
+      Seq(5000L, 5454L, 5901L, 6334L))
+
+    // all domains at the global mean: excess 0 everywhere, weights
+    // never move off uniform
+    val flat = Sampling.domainReweight(
+      Seq(("A", 7L), ("B", 7L)).toDF("dom", "loss"), "dom", "loss")
+      .collect()
+    assert(flat.forall(r => r.getAs[Long]("w3") == 5000))
+
+    assert(Sampling.domainReweight(
+      Seq.empty[(String, Long)].toDF("dom", "loss"), "dom", "loss")
+      .count() == 0)
+  }
+
+  test("exactQuantiles: nearest-rank picks per stratum; extremes; singleton stratum; empty input") {
+    // stratum X: values 1..10 → P50 rank (9·5000 div 10⁴)+1 = 5,
+    // P90 rank 9, P0 rank 1, P100 rank 10; stratum Y: one row → always it
+    val df = ((1L to 10L).map(i => (i, i, "X")) :+ ((99L, 42L, "Y")))
+      .toDF("id", "v", "s")
+    val out = Sampling.exactQuantiles(df, "id", "v", "s",
+        quantilesBp = Seq(0, 5000, 9000, 10000))
+      .collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Int]("q_bp")) ->
+        (r.getAs[Long]("value"), r.getAs[Long]("rank"),
+          r.getAs[Long]("n"))).toMap
+    assert(out.size == 8)
+    assert(out(("X", 0)) == ((1L, 1L, 10L)))
+    assert(out(("X", 5000)) == ((5L, 5L, 10L)))
+    assert(out(("X", 9000)) == ((9L, 9L, 10L)))
+    assert(out(("X", 10000)) == ((10L, 10L, 10L)))
+    Seq(0, 5000, 9000, 10000).foreach(q =>
+      assert(out(("Y", q)) == ((42L, 1L, 1L))))
+
+    assert(Sampling.exactQuantiles(
+      Seq.empty[(Long, Long, String)].toDF("id", "v", "s"),
+      "id", "v", "s").count() == 0)
+  }
+
   test("temperatureRates: T=1 proportional identity, T<1 flattens the head") {
     val df = (Seq.fill(800)("big") ++ Seq.fill(50)("small"))
       .zipWithIndex.map(_.swap).toDF("id", "src")

@@ -257,6 +257,85 @@ class SimilaritySpec extends GraftSpec {
     assert(totalOk == Seq((3L, true)))
   }
 
+  test("prototypicality: cells follow planted clusters; floor-split prune keeps the hard tail; empty input is empty") {
+    // two tight clusters of 6, dim 8; ids 0 and 1 are the seeds (one
+    // per cluster) so cells align with the planted structure
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val a = Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val rows = Seq((0L, a), (1L, b)) ++
+      (0 until 5).map(i => ((2 + 2 * i).toLong, jitter(a))) ++
+      (0 until 5).map(i => ((3 + 2 * i).toLong, jitter(b)))
+    val df = rows.toDF("id", "vec")
+    val out = Similarity.prototypicality(df, "id", "vec",
+      nlist = 2, pruneBp = 5000).collect()
+    assert(out.length == 12)
+    // cluster membership = cell membership (seed 0 ↔ cell 0, 1 ↔ cell 1)
+    out.foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Int]("cell") == (id % 2).toInt,
+        s"id $id landed in cell ${r.getAs[Int]("cell")}")
+    }
+    // per cell of 6: ranks dense 1..6; pruned = ranks 1..3 (floor rule:
+    // (r-1)*10⁴ div 6 < 5000 ⇔ r ≤ 3), kept = the far half
+    out.groupBy(_.getAs[Int]("cell")).values.foreach { cell =>
+      val byRank = cell.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to 6L))
+      // rank order is proto-cosine descending
+      val cos = byRank.map(_.getAs[Long]("proto_cos_micro"))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+      assert(byRank.map(_.getAs[Boolean]("kept")).toSeq ==
+        Seq(false, false, false, true, true, true))
+    }
+
+    assert(Similarity.prototypicality(
+      Seq.empty[(Long, Array[Float])].toDF("id", "vec"),
+      "id", "vec", nlist = 2).count() == 0)
+  }
+
+  test("labelNoise: disagreement counts, plurality with deterministic ties, suspect needs BOTH conditions") {
+    // qid 100 (own 0): neighbors 3×label-1 + 1×label-0 → suspect
+    // qid 101 (own 0): 3×0 + 1×1 → clean
+    // qid 102 (own 2): 2×1 + 2×3 → plurality tie breaks to label 1 → suspect
+    // qid 103 (own 5): 2×5 + 2×7 → bp 5000 BUT plurality ties to own 5 → clean
+    val ranking = Seq(
+      (100L, 1L, 1), (100L, 2L, 2), (100L, 3L, 3), (100L, 4L, 4),
+      (101L, 5L, 1), (101L, 6L, 2), (101L, 7L, 3), (101L, 8L, 4),
+      (102L, 9L, 1), (102L, 10L, 2), (102L, 11L, 3), (102L, 12L, 4),
+      (103L, 13L, 1), (103L, 14L, 2), (103L, 15L, 3), (103L, 16L, 4))
+      .toDF("qid", "id", "rank")
+    val labels = (Seq((100L, 0L), (101L, 0L), (102L, 2L), (103L, 5L)) ++
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+        5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 1L,
+        9L -> 1L, 10L -> 1L, 11L -> 3L, 12L -> 3L,
+        13L -> 5L, 14L -> 5L, 15L -> 7L, 16L -> 7L))
+      .toDF("id", "label")
+    val out = Similarity.labelNoise(ranking, labels, "id", "label")
+      .collect().map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(out.size == 4)
+    val a = out(100L)
+    assert(a.getAs[Long]("n_neighbors") == 4 &&
+      a.getAs[Long]("n_disagree") == 3 &&
+      a.getAs[Long]("disagree_bp") == 7500 &&
+      a.getAs[Long]("plurality_label") == 1 &&
+      a.getAs[Boolean]("suspect"))
+    assert(!out(101L).getAs[Boolean]("suspect"))
+    val c = out(102L)
+    assert(c.getAs[Long]("plurality_label") == 1 &&
+      c.getAs[Long]("disagree_bp") == 10000 &&
+      c.getAs[Boolean]("suspect"))
+    val d = out(103L)
+    assert(d.getAs[Long]("disagree_bp") == 5000 &&
+      d.getAs[Long]("plurality_label") == 5 &&
+      !d.getAs[Boolean]("suspect"))
+
+    assert(Similarity.labelNoise(
+      Seq.empty[(Long, Long, Int)].toDF("qid", "id", "rank"),
+      labels, "id", "label").count() == 0)
+  }
+
   test("embeddingDrift: stable/negated/one-sided strata") {
     import spark.implicits._
     def df(rows: (String, Seq[Float])*) =

@@ -252,6 +252,33 @@ class TextQualitySpec extends GraftSpec {
     assert(got(3L) == ((3L, 1L, "solid three words.")))
   }
 
+  test("diversity: hand-counted distinct-n ratios; collapsed text scores low; empty text yields zero totals") {
+    val docs = Seq(
+      ("A", "a b a"), ("A", "b c"),   // uni 5/3 → 6000 bp; bi 3/3 → 10000
+      ("B", "x x x x"),               // uni 4/1 → 2500 bp; bi 3/1 → 3333
+      ("C", ""))                      // no grams at all
+      .toDF("grp_col", "text")
+    val out = TextQuality.diversity(docs, "text", "grp_col")
+      .collect().map(r => r.getAs[String]("grp_col") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_docs") == 2)
+    assert(a.getAs[Long]("total_1") == 5 && a.getAs[Long]("distinct_1") == 3)
+    assert(a.getAs[Long]("distinct_1_bp") == 6000)
+    assert(a.getAs[Long]("total_2") == 3 && a.getAs[Long]("distinct_2") == 3)
+    assert(a.getAs[Long]("distinct_2_bp") == 10000)
+    val b = out("B")
+    assert(b.getAs[Long]("distinct_1_bp") == 2500)
+    assert(b.getAs[Long]("total_2") == 3 && b.getAs[Long]("distinct_2") == 1)
+    assert(b.getAs[Long]("distinct_2_bp") == 3333)
+    val c = out("C")
+    assert(c.getAs[Long]("n_docs") == 1 && c.getAs[Long]("total_1") == 0 &&
+      c.getAs[Long]("distinct_1_bp") == 0)
+
+    assert(TextQuality.diversity(
+      Seq.empty[(String, String)].toDF("grp_col", "text"),
+      "text", "grp_col").count() == 0)
+  }
+
   test("readability: hand-counted words/sentences/syllables; floor on unterminated text") {
     import spark.implicits._
     val df = Seq(
