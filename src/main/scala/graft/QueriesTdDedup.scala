@@ -634,8 +634,12 @@ private[graft] object QueriesTdDedup {
     ("td_split_audit",
       ((s, dir) => {
       val d = docs(s, dir)
+      // three consumers read the pair frame (the component collect and
+      // both audits) — eager-pin it once instead of re-running the LSH
+      // pipeline per consumer (pairs are id pairs: bytes, not text)
       val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
         n = 3, threshold = 0.5, numHashes = 128, rowsPerBand = 2)
+        .localCheckpoint(true)
       val leak = Dedup.leakFreeSplit(d.select(col("doc_id")), "doc_id",
         pairs, testBp = 1000, valBp = 1000)
       val naive = d.select(col("doc_id"),

@@ -241,42 +241,8 @@ private[graft] object QueriesTdSample {
       Sampling.domainReweight(d, "lang", "loss_micro",
         iters = 3, etaBp = 2000)
     }),
-      (wordsOnlyCte +
-      """, l AS (
-        |  SELECT lang,
-        |    CAST(length(text) AS BIGINT) * 1000000
-        |      // GREATEST(CAST(len(w) AS BIGINT), 1) AS loss
-        |  FROM ws),
-        |m AS (
-        |  SELECT lang AS domain, COUNT(*) AS n_docs,
-        |    CAST(SUM(loss) AS BIGINT) AS sl
-        |  FROM l GROUP BY 1),
-        |e0 AS (
-        |  SELECT domain, n_docs, sl // n_docs AS mean_loss,
-        |    CAST(SUM(sl) OVER () AS BIGINT)
-        |      // CAST(SUM(n_docs) OVER () AS BIGINT) AS gmean,
-        |    COUNT(*) OVER () AS nd
-        |  FROM m),
-        |e1 AS (SELECT *, GREATEST(mean_loss - gmean, 0) AS excess FROM e0),
-        |e2 AS (
-        |  SELECT *, CASE WHEN MAX(excess) OVER () > 0
-        |      THEN excess * 10000 // MAX(excess) OVER () ELSE 0 END
-        |      AS excess_bp,
-        |    10000 // nd AS w0
-        |  FROM e1),
-        |i1 AS (SELECT *, w0 * (10000 + 2000 * excess_bp // 10000) AS r1
-        |       FROM e2),
-        |n1 AS (SELECT *, r1 * 10000
-        |    // GREATEST(CAST(SUM(r1) OVER () AS BIGINT), 1) AS w1 FROM i1),
-        |i2 AS (SELECT *, w1 * (10000 + 2000 * excess_bp // 10000) AS r2
-        |       FROM n1),
-        |n2 AS (SELECT *, r2 * 10000
-        |    // GREATEST(CAST(SUM(r2) OVER () AS BIGINT), 1) AS w2 FROM i2),
-        |i3 AS (SELECT *, w2 * (10000 + 2000 * excess_bp // 10000) AS r3
-        |       FROM n2),
-        |n3 AS (SELECT *, r3 * 10000
-        |    // GREATEST(CAST(SUM(r3) OVER () AS BIGINT), 1) AS w3 FROM i3)
-        |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+      (doremiCore +
+      """SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
         |  CAST(mean_loss AS BIGINT) AS mean_loss,
         |  CAST(excess_bp AS BIGINT) AS excess_bp,
         |  CAST(w0 AS BIGINT) AS w0, CAST(w1 AS BIGINT) AS w1,
@@ -613,6 +579,67 @@ private[graft] object QueriesTdSample {
         |  CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
         |  CAST(SUM(cap - n_toks) AS BIGINT) AS sum_padding
         |FROM r GROUP BY 1, 2""".stripMargin),
+    // epoch schedule (the executable form of the DoReMi mixture): the
+    // reweighted w3 table joined to per-language token availability →
+    // per-domain allocation, downsample rate or upsample repeat factor;
+    // oracle replays the whole chain (weights + counts + schedule)
+    ("td_epoch_schedule",
+      ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("_nchars", length(col("text")).cast("long") * 1000000L)
+        .withColumn("_nw",
+          greatest(size(TextFunctions.words(col("text"))).cast("long"),
+            lit(1L)))
+        .withColumn("loss_micro", expr("_nchars div _nw"))
+      val w = Sampling.domainReweight(d, "lang", "loss_micro",
+        iters = 3, etaBp = 2000)
+      val avail = d.groupBy(col("lang").as("domain"))
+        .agg(sum(size(TextFunctions.words(col("text"))).cast("long"))
+          .as("avail_tokens"))
+      Sampling.epochSchedule(w, avail, "domain", "w3", "avail_tokens",
+        tokensPerEpoch = 20000L)
+    }),
+      (doremiCore +
+      """, av AS (
+        |  SELECT lang AS domain,
+        |    CAST(SUM(CAST(len(w) AS BIGINT)) AS BIGINT) AS avail_tokens
+        |  FROM ws GROUP BY 1),
+        |sch AS (
+        |  SELECT n3.domain, CAST(w3 AS BIGINT) AS w_bp, av.avail_tokens,
+        |    CAST(20000 * CAST(w3 AS BIGINT) // 10000 AS BIGINT)
+        |      AS alloc_tokens
+        |  FROM n3 JOIN av ON n3.domain = av.domain)
+        |SELECT domain, w_bp, avail_tokens, alloc_tokens,
+        |  CAST(LEAST(alloc_tokens * 10000 // GREATEST(avail_tokens, 1),
+        |    10000) AS BIGINT) AS rate_bp,
+        |  CAST(GREATEST(alloc_tokens * 1000 // GREATEST(avail_tokens, 1),
+        |    1000) AS BIGINT) AS repeat_milli,
+        |  alloc_tokens > avail_tokens AS upsampled
+        |FROM sch""".stripMargin)),
+    // quality-vs-quantity attrition curve: per candidate threshold, the
+    // surviving doc/token counts and token share — ONE corpus scan
+    // (conditional sums inside a single aggregation, unpivoted after)
+    ("td_threshold_curve",
+      ((s, dir) => {
+      val d = docs(s, dir).select(
+        size(TextFunctions.words(col("text"))).cast("long").as("nw"))
+        .withColumn("score", col("nw"))
+      Sampling.thresholdCurve(d, "score", "nw",
+        thresholds = Seq(10L, 30L, 60L, 100L))
+    }),
+      (wordsOnlyCte +
+      """, t AS (SELECT CAST(len(w) AS BIGINT) AS nw FROM ws),
+        |tot AS (SELECT CAST(COALESCE(SUM(nw), 0) AS BIGINT) AS tt FROM t),
+        |th(threshold) AS (VALUES (10), (30), (60), (100))
+        |SELECT CAST(threshold AS BIGINT) AS threshold,
+        |  CAST(COALESCE(SUM(CASE WHEN nw >= threshold THEN 1 END), 0)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN nw >= threshold THEN nw END), 0)
+        |    AS BIGINT) AS tokens_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN nw >= threshold THEN nw END), 0)
+        |    * 10000 // GREATEST(tt, 1) AS BIGINT) AS token_share_bp
+        |FROM th CROSS JOIN t CROSS JOIN tot
+        |GROUP BY threshold, tt""".stripMargin)),
     // EXACT per-language sequence-length quantiles (nearest-rank P50/
     // P90/P99) via the shared two-phase range pass — no global sort, no
     // approx_percentile; the oracle replays rank, stratum size, and the

@@ -171,6 +171,48 @@ private[graft] object QueriesTdShared {
       |  FROM documents)
       |""".stripMargin
 
+  /** Shared DoReMi CTE chain (td_domain_reweight + td_epoch_schedule):
+    * per-language mean-word-length-micro losses, clipped excess over
+    * the global mean in bp of the worst domain, and three integer
+    * multiplicative-weight rounds — ends in `n3(domain, n_docs,
+    * mean_loss, excess_bp, w0..w3, ...)`. */
+  private[graft] val doremiCore = wordsOnlyCte +
+    """, l AS (
+      |  SELECT lang,
+      |    CAST(length(text) AS BIGINT) * 1000000
+      |      // GREATEST(CAST(len(w) AS BIGINT), 1) AS loss
+      |  FROM ws),
+      |m AS (
+      |  SELECT lang AS domain, COUNT(*) AS n_docs,
+      |    CAST(SUM(loss) AS BIGINT) AS sl
+      |  FROM l GROUP BY 1),
+      |e0 AS (
+      |  SELECT domain, n_docs, sl // n_docs AS mean_loss,
+      |    CAST(SUM(sl) OVER () AS BIGINT)
+      |      // CAST(SUM(n_docs) OVER () AS BIGINT) AS gmean,
+      |    COUNT(*) OVER () AS nd
+      |  FROM m),
+      |e1 AS (SELECT *, GREATEST(mean_loss - gmean, 0) AS excess FROM e0),
+      |e2 AS (
+      |  SELECT *, CASE WHEN MAX(excess) OVER () > 0
+      |      THEN excess * 10000 // MAX(excess) OVER () ELSE 0 END
+      |      AS excess_bp,
+      |    10000 // nd AS w0
+      |  FROM e1),
+      |i1 AS (SELECT *, w0 * (10000 + 2000 * excess_bp // 10000) AS r1
+      |       FROM e2),
+      |n1 AS (SELECT *, r1 * 10000
+      |    // GREATEST(CAST(SUM(r1) OVER () AS BIGINT), 1) AS w1 FROM i1),
+      |i2 AS (SELECT *, w1 * (10000 + 2000 * excess_bp // 10000) AS r2
+      |       FROM n1),
+      |n2 AS (SELECT *, r2 * 10000
+      |    // GREATEST(CAST(SUM(r2) OVER () AS BIGINT), 1) AS w2 FROM i2),
+      |i3 AS (SELECT *, w2 * (10000 + 2000 * excess_bp // 10000) AS r3
+      |       FROM n2),
+      |n3 AS (SELECT *, r3 * 10000
+      |    // GREATEST(CAST(SUM(r3) OVER () AS BIGINT), 1) AS w3 FROM i3)
+      |""".stripMargin
+
   /** Shared DSIR CTE chain: full-precision per-doc bigram
     * log-likelihood-ratio weights as `dw(doc_id, n_bigrams, li)`. */
   private[graft] val dsirCore = wordsOnlyCte +

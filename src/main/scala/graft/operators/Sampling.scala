@@ -485,6 +485,68 @@ object Sampling {
         col("rank"), col("bucket"))
   }
 
+  /** Epoch schedule — the step that turns [[domainReweight]]'s mixture
+    * table into something a sampler can execute: given per-domain
+    * weights (bp) and the tokens AVAILABLE per domain, allocate the
+    * epoch's token budget and derive, per domain, either a downsample
+    * rate (`rate_bp`, for [[stratifiedMix]]) or an upsample repeat
+    * factor in milli-epochs (`repeat_milli`, for [[epochRepeat]]) —
+    * whichever side of its availability the allocation lands on. All
+    * integer arithmetic, engine-exact.
+    *
+    * Scale shape: a projection over the joined D-row weights/avail
+    * frames — corpus-sized work happened upstream (the weight fit and
+    * the token count); this is the bytes-sized plan step. */
+  def epochSchedule(weights: DataFrame, avail: DataFrame,
+                    domainCol: String, weightCol: String,
+                    availCol: String, tokensPerEpoch: Long): DataFrame = {
+    require(tokensPerEpoch > 0, "tokensPerEpoch must be positive")
+    weights.select(col(domainCol).as("domain"),
+        col(weightCol).cast("long").as("w_bp"))
+      .join(avail.select(col(domainCol).as("domain"),
+        col(availCol).cast("long").as("avail_tokens")), Seq("domain"))
+      .withColumn("alloc_tokens",
+        expr(s"${tokensPerEpoch}L * w_bp div 10000L"))
+      .withColumn("rate_bp",
+        least(expr("alloc_tokens * 10000L div greatest(avail_tokens, 1L)"),
+          lit(10000L)))
+      .withColumn("repeat_milli",
+        greatest(expr("alloc_tokens * 1000L div greatest(avail_tokens, 1L)"),
+          lit(1000L)))
+      .select(col("domain"), col("w_bp"), col("avail_tokens"),
+        col("alloc_tokens"), col("rate_bp"), col("repeat_milli"),
+        (col("alloc_tokens") > col("avail_tokens")).as("upsampled"))
+  }
+
+  /** Quality-vs-quantity attrition curve — what a threshold sweep reads
+    * before cutting a corpus: for each candidate threshold, how many
+    * documents and tokens survive `score >= t`, and the surviving token
+    * share in bp. ONE corpus scan: every threshold is a conditional
+    * pair inside a single aggregation (never |T| passes, never an
+    * explode of the corpus), then the 1-row aggregate unpivots to one
+    * row per threshold. */
+  def thresholdCurve(docs: DataFrame, scoreCol: String, tokensCol: String,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val aggs =
+      coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("_tot") +:
+        thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+          coalesce(sum(when(col(scoreCol) >= t, 1L).otherwise(0L)), lit(0L))
+            .as(s"_n$i"),
+          coalesce(sum(when(col(scoreCol) >= t,
+            col(tokensCol).cast("long")).otherwise(0L)), lit(0L))
+            .as(s"_t$i"))
+        }
+    val stacked = thresholds.indices
+      .map(i => s"${thresholds(i)}L, _n$i, _t$i").mkString(", ")
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(col("_tot"), expr(
+        s"stack(${thresholds.size}, $stacked) AS (threshold, n_kept, tokens_kept)"))
+      .select(col("threshold"), col("n_kept"), col("tokens_kept"),
+        expr("tokens_kept * 10000L div greatest(_tot, 1L)")
+          .as("token_share_bp"))
+  }
+
   /** EXACT per-stratum quantiles without a global sort — the
     * distribution report a curation run reads (sequence-length P50/P90/
     * P99 per language before picking a packing seqLen, score quantiles

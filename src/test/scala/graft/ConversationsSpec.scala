@@ -233,6 +233,53 @@ class ConversationsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming best-of-N survives a RESTART: the open group's argmax state restores from the checkpoint") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("bofn-rst-in").toFile
+    val outd = Files.createTempDirectory("bofn-rst-out").toFile
+    val cp = Files.createTempDirectory("bofn-rst-cp").toFile
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    def write(name: String, lines: Seq[String]): Unit = {
+      Files.write(new java.io.File(in, name).toPath,
+        lines.mkString("\n").getBytes("UTF-8")); ()
+    }
+    def line(id: Int, minute: Int, u: Int, v: Double) =
+      s"""{"event_id":$id,"ts":"2024-01-${
+        "%02d".format(1 + minute / 1440)}T${
+        "%02d".format((minute % 1440) / 60)}:${
+        "%02d".format(minute % 60)}:00.000Z","user_id":$u,""" +
+        s""""event_type":"view","value":$v,"props":"{}"}"""
+    def start() = spark.readStream.schema(schema).json(in.getAbsolutePath)
+      .transform(df => Conversations.bestOfNStream(df,
+        minCents = 150L, watermark = "0 seconds"))
+      .writeStream.format("parquet")
+      .option("path", outd.getAbsolutePath)
+      .option("checkpointLocation", cp.getAbsolutePath)
+      .outputMode("append").start()
+
+    // run 1: the day's current best is 9.0 (id 1); group stays open
+    write("b0.json", Seq(line(0, 0, 1, 0.5), line(1, 10, 1, 9.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2 (fresh query, same checkpoint): a LOWER-scored late event
+    // must not displace the restored argmax; sentinel closes the day
+    write("b1.json", Seq(line(2, 20, 1, 3.0), line(9, 10000, 99, 1.0)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.parquet(outd.getAbsolutePath)
+      .filter(col("user_id") === 1).collect()
+    assert(rows.length == 1)
+    // the chosen id is run 1's argmax and the count spans both runs —
+    // the open group's state (best struct + count) survived the restart
+    assert(rows.head.getAs[Long]("chosen_id") == 1,
+      s"argmax state lost across restart: ${rows.head}")
+    assert(rows.head.getAs[Long]("best_cents") == 900)
+    assert(rows.head.getAs[Long]("n_candidates") == 3)
+    assert(rows.head.getAs[Boolean]("accepted"))
+  }
+
   test("best-of-N on empty events is empty, not an error") {
     val empty = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")

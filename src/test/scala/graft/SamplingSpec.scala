@@ -127,6 +127,48 @@ class SamplingSpec extends GraftSpec {
       .count() == 0)
   }
 
+  test("epochSchedule: downsample and upsample branches, exact integer arithmetic") {
+    // budget 10000; A: w 6000 → alloc 6000 vs avail 20000 → rate 3000 bp
+    // B: w 4000 → alloc 4000 vs avail 1000 → repeat 4000 milli-epochs
+    val w = Seq(("A", 6000L), ("B", 4000L)).toDF("domain", "w_bp")
+    val avail = Seq(("A", 20000L), ("B", 1000L))
+      .toDF("domain", "avail_tokens")
+    val out = Sampling.epochSchedule(w, avail, "domain", "w_bp",
+        "avail_tokens", tokensPerEpoch = 10000L)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("alloc_tokens") == 6000)
+    assert(a.getAs[Long]("rate_bp") == 3000)
+    assert(a.getAs[Long]("repeat_milli") == 1000) // floor at one epoch
+    assert(!a.getAs[Boolean]("upsampled"))
+    val b = out("B")
+    assert(b.getAs[Long]("alloc_tokens") == 4000)
+    assert(b.getAs[Long]("rate_bp") == 10000)     // capped: keep all
+    assert(b.getAs[Long]("repeat_milli") == 4000) // 4 epochs of B
+    assert(b.getAs[Boolean]("upsampled"))
+  }
+
+  test("thresholdCurve: one-scan conditional sums match a per-threshold filter; empty corpus") {
+    // docs with (score=tokens): 5, 15, 25, 40 → total 85
+    val d = Seq(5L, 15L, 25L, 40L).map(v => (v, v)).toDF("score", "nw")
+    val out = Sampling.thresholdCurve(d, "score", "nw",
+        thresholds = Seq(10L, 20L, 30L))
+      .collect().map(r => r.getAs[Long]("threshold") -> r).toMap
+    assert(out(10L).getAs[Long]("n_kept") == 3 &&
+      out(10L).getAs[Long]("tokens_kept") == 80 &&
+      out(10L).getAs[Long]("token_share_bp") == 80L * 10000 / 85)
+    assert(out(20L).getAs[Long]("n_kept") == 2 &&
+      out(20L).getAs[Long]("tokens_kept") == 65)
+    assert(out(30L).getAs[Long]("n_kept") == 1 &&
+      out(30L).getAs[Long]("tokens_kept") == 40)
+
+    val empty = Sampling.thresholdCurve(
+      Seq.empty[(Long, Long)].toDF("score", "nw"), "score", "nw",
+      thresholds = Seq(10L)).collect()
+    assert(empty.length == 1 && empty.head.getAs[Long]("n_kept") == 0 &&
+      empty.head.getAs[Long]("token_share_bp") == 0)
+  }
+
   test("exactQuantiles: nearest-rank picks per stratum; extremes; singleton stratum; empty input") {
     // stratum X: values 1..10 → P50 rank (9·5000 div 10⁴)+1 = 5,
     // P90 rank 9, P0 rank 1, P100 rank 10; stratum Y: one row → always it
