@@ -44,6 +44,86 @@ class RandomizedInvariantsSpec extends GraftSpec {
     assert(lsh == exact)
   }
 
+  test("exactQuantiles == a sort-based reference on random multi-stratum data") {
+    val rnd = new scala.util.Random(777)
+    val rows = (0L until 500L).map(i =>
+      (i, rnd.nextInt(1000).toLong, s"s${rnd.nextInt(4)}"))
+    val df = rows.toDF("id", "v", "s").repartition(7)
+    val qs = Seq(0, 2500, 5000, 7500, 9900, 10000)
+    val got = graft.operators.Sampling.exactQuantiles(df, "id", "v", "s",
+        quantilesBp = qs)
+      .collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Int]("q_bp")) ->
+        (r.getAs[Long]("value"), r.getAs[Long]("rank"),
+          r.getAs[Long]("n"))).toMap
+    val byStratum = rows.groupBy(_._3)
+    assert(got.size == byStratum.size * qs.size)
+    byStratum.foreach { case (s, members) =>
+      val sorted = members.sortBy(m => (m._2, m._1))
+      qs.foreach { q =>
+        val target = ((sorted.size - 1).toLong * q / 10000 + 1).toInt
+        val (want, wantRank) = (sorted(target - 1)._2, target.toLong)
+        assert(got((s, q)) == ((want, wantRank, sorted.size.toLong)),
+          s"stratum $s q=$q: got ${got((s, q))}, want ($want, $wantRank)")
+      }
+    }
+  }
+
+  test("domainReweight invariants on random losses: normalized, monotone in excess, uniform fixpoint at eta=0") {
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 400).map(i =>
+      (s"d${i % 7}", (rnd.nextInt(5000) + (i % 7) * 300).toLong))
+    val df = rows.toDF("dom", "loss").repartition(5)
+    val out = graft.operators.Sampling.domainReweight(df, "dom", "loss",
+      iters = 3, etaBp = 2000).collect()
+    assert(out.length == 7)
+    // every round's weights stay on (or under, by flooring) the simplex
+    Seq("w0", "w1", "w2", "w3").foreach { w =>
+      val s = out.map(_.getAs[Long](w)).sum
+      assert(s <= 10000 && s >= 10000 - out.length,
+        s"$w sums to $s — off the floored simplex")
+    }
+    // final weight is monotone in excess: more excess never means less
+    // weight (strictly ordered pairs)
+    val byExcess = out.sortBy(_.getAs[Long]("excess_bp"))
+    byExcess.sliding(2).foreach { case Array(lo, hi) =>
+      if (lo.getAs[Long]("excess_bp") < hi.getAs[Long]("excess_bp"))
+        assert(lo.getAs[Long]("w3") <= hi.getAs[Long]("w3"),
+          s"weight not monotone in excess: $lo vs $hi")
+      case _ => ()
+    }
+    // eta = 0: weights never move off uniform
+    val flat = graft.operators.Sampling.domainReweight(df, "dom", "loss",
+      iters = 3, etaBp = 0).collect()
+    assert(flat.forall(r =>
+      r.getAs[Long]("w3") == r.getAs[Long]("w0")))
+  }
+
+  test("bestOfN == a driver-side argmax scan on random event streams") {
+    val rnd = new scala.util.Random(2024)
+    val rows = (0L until 300L).map { i =>
+      (i, java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + rnd.nextInt(3)}%02d ${rnd.nextInt(24)}%02d:00:00"),
+        (rnd.nextInt(20) + 1).toLong, "e", rnd.nextInt(400) / 100.0, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props").repartition(9)
+    val got = graft.operators.Conversations.bestOfN(df, minCents = 150L)
+      .collect()
+      .map(r => r.getAs[String]("group_id") ->
+        (r.getAs[Long]("chosen_id"), r.getAs[Long]("best_cents"),
+          r.getAs[Long]("n_candidates"), r.getAs[Boolean]("accepted")))
+      .toMap
+    val want = rows.groupBy(r =>
+      (r._3, new java.text.SimpleDateFormat("yyyy-MM-dd").format(r._2)))
+      .map { case ((u, day), evs) =>
+        val cents = evs.map(e => (math.rint(e._5 * 100).toLong, e._1))
+        val best = cents.minBy { case (c, id) => (-c, id) }
+        s"$u-$day" -> (best._2, best._1, evs.size.toLong, best._1 >= 150L)
+      }
+    assert(got == want)
+  }
+
   test("simhash bucketing recall is EXACT for hamming <= numChunks-1 (vs brute force)") {
     val df = corpus.toDF("doc_id", "text")
     val fps = df.select(col("doc_id"),
