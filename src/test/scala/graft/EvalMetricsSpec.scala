@@ -78,6 +78,49 @@ class EvalMetricsSpec extends GraftSpec {
     assert(bleu(Seq.empty, Seq("a", "b")) == ((0L, 2L, 0L, 0L, None)))
   }
 
+  test("bradleyTerry: two-player MM fixpoint equals the exact odds ratio") {
+    // A beats B 3:1 over 4 matches — the two-player BT MLE is
+    // p_A = 3/4, and the integer MM rounds hit it exactly (and stay):
+    // every round re-derives den = 4·10⁹/10⁶ = 4000 for both, so
+    // raw_A = 3·10⁹/4000 = 750000 — a fixpoint in micro units
+    val c = (Seq.fill(3)(("A", "B")) :+ (("B", "A")))
+      .toDF("winner", "loser")
+    val out = EvalMetrics.bradleyTerry(c, "winner", "loser", iters = 3)
+      .collect().map(r => r.getAs[String]("player") -> r).toMap
+    assert(out("A").getAs[Long]("strength_micro") == 750000)
+    assert(out("B").getAs[Long]("strength_micro") == 250000)
+    assert(out("A").getAs[Long]("n_wins") == 3 &&
+      out("A").getAs[Long]("n_matches") == 4)
+    assert(out("A").getAs[Long]("rank") == 1 &&
+      out("B").getAs[Long]("rank") == 2)
+  }
+
+  test("bradleyTerry: dominance chain orders strengths; zero-win player lands at zero; empty input empty") {
+    // A > B > C by direct wins only (no A-C matches): transitivity must
+    // come out of the fit, not the counts
+    val c = (Seq.fill(4)(("A", "B")) ++ Seq.fill(1)(("B", "A")) ++
+      Seq.fill(4)(("B", "C")) ++ Seq.fill(1)(("C", "B")))
+      .toDF("winner", "loser")
+    val out = EvalMetrics.bradleyTerry(c, "winner", "loser")
+      .collect().map(r => r.getAs[String]("player") -> r).toMap
+    val (sa, sb, sc) = (out("A").getAs[Long]("strength_micro"),
+      out("B").getAs[Long]("strength_micro"),
+      out("C").getAs[Long]("strength_micro"))
+    assert(sa > sb && sb > sc, s"chain not ordered: $sa, $sb, $sc")
+    assert(sa + sb + sc <= 1000000)
+
+    val z = EvalMetrics.bradleyTerry(
+      Seq(("A", "B"), ("A", "B")).toDF("winner", "loser"),
+      "winner", "loser").collect()
+      .map(r => r.getAs[String]("player") -> r).toMap
+    assert(z("B").getAs[Long]("strength_micro") == 0)
+    assert(z("B").getAs[Long]("rank") == 2)
+
+    assert(EvalMetrics.bradleyTerry(
+      Seq.empty[(String, String)].toDF("winner", "loser"),
+      "winner", "loser").count() == 0)
+  }
+
   test("retrievalEval: hand-computed nDCG/MRR/recall on a 3-rank list") {
     import graft.operators.EvalMetrics
     val ranking = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),

@@ -336,6 +336,25 @@ class SimilaritySpec extends GraftSpec {
       labels, "id", "label").count() == 0)
   }
 
+  test("labelNoise is ranking-agnostic: IVF at nprobe=nlist reproduces the brute-force audit end to end") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .na.drop(Seq("embedding"))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").cast("long").as("label"))
+    val q = e.filter(col("id") < 10).select(col("id").as("qid"),
+      col("vec"))
+    val labels = e.select(col("id"), col("label"))
+    val brute = Similarity.labelNoise(
+      Similarity.bruteForceTopK(q, e.select(col("id"), col("vec")), 10),
+      labels, "id", "label").collect().map(_.toSeq).toSet
+    val ivf = Similarity.labelNoise(
+      Similarity.ivfTopK(q, e.select(col("id"), col("vec")), k = 10,
+        nlist = 8, nprobe = 8),
+      labels, "id", "label").collect().map(_.toSeq).toSet
+    assert(brute.nonEmpty && ivf == brute,
+      "celled ranking diverged from the brute audit at lossless probe")
+  }
+
   test("embeddingDrift: stable/negated/one-sided strata") {
     import spark.implicits._
     def df(rows: (String, Seq[Float])*) =
