@@ -208,7 +208,8 @@ object Bench {
       // (tumbling-day extremes in-stream); best_of_n = the
       // rejection-sampling twin (single-struct argmax state)
       Seq("recognized", "recognized_tws", "recognized_variant", "dedup",
-          "conversations", "preference_pairs", "best_of_n")
+          "conversations", "preference_pairs", "best_of_n",
+          "leaderboard")
         .map { mode =>
           s"""\"$mode\":${graft.tools.ThroughputBench.run(spark, staged, mode).json}"""
         }.mkString("{", ",", "}")

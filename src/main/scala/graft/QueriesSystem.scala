@@ -40,6 +40,27 @@ object QueriesSystem {
       in
     })
 
+  /** Staged input for `s4_leaderboard`: the envelope JSON plus a far-
+    * future sentinel event, so every REAL day closes under the
+    * watermark in the trailing no-data micro-batch (the sentinel's own
+    * day stays open and, as a singleton, could never emit a judgment
+    * anyway). Memoized per sf dir. */
+  private val stagedLeaderboard = scala.collection.concurrent.TrieMap.empty[String, String]
+  def stageLeaderboardInput(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String =
+    stagedLeaderboard.getOrElseUpdate(dir, {
+      import s.implicits._
+      val in = tmp("graft-lb-in")
+      val env = DriverEventsAdapter.load(s, dir)
+      val sentinel =
+        """{"message_id":"zz-sent","type":"track","event":"view",""" +
+          """"timestamp":"2090-01-01T00:00:00.000Z","user_id":"zz"}"""
+      env.select(to_json(struct(env.columns.map(col): _*)).as("value"))
+        .unionAll(Seq(sentinel).toDF("value"))
+        .coalesce(1).write.mode("overwrite").text(in)
+      in
+    })
+
   /** Staged 3-file corpus input for `s2_corpus_ingest`, memoized per sf
     * dir (Bench pre-stages it in warmup, same as the s1 input). */
   private val stagedCorpus = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1496,6 +1517,48 @@ object QueriesSystem {
         |FROM tok GROUP BY event_type, auth_ok""".stripMargin),
     // §3.1: streaming pipeline round-trip — JSON file source ->
     // envelope -> dedup-in-watermark -> layout -> sink router
+    // live Bradley-Terry leaderboard over the ingest stream: closed
+    // candidate days emit (winner, loser) TYPE judgments, each micro-
+    // batch lands its count deltas in a _batch partition (crash-replay
+    // idempotent) and refits the exact-integer MM ranking; the oracle
+    // replays the envelope identity rule (signup/purchase → user id,
+    // else anonymous), the extremes with the message-id STRING tie
+    // order, and all three MM rounds via the shared btFitSql chain
+    ("s4_leaderboard",
+      ((s, dir) => {
+      val in = stageLeaderboardInput(s, dir)
+      val wh = tmp("graft-lb-wh"); val cp = tmp("graft-lb-cp")
+      val q = graft.streaming.Leaderboard.start(s, in, wh, cp)
+      try q.awaitTermination() finally q.stop()
+      graft.streaming.Leaderboard.current(s, wh)
+        .select(col("player"), col("n_wins"), col("n_matches"),
+          col("strength_micro"), col("rank"))
+    }),
+      ("""WITH e AS (
+        |  SELECT CASE WHEN event_type IN ('signup', 'purchase')
+        |      THEN 'u' || CAST(user_id AS VARCHAR)
+        |      ELSE 'a' || CAST(user_id AS VARCHAR) END AS uid,
+        |    'm' || CAST(event_id AS VARCHAR) AS mid,
+        |    event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |x AS (
+        |  SELECT uid, day,
+        |    MAX(CASE WHEN rk_hi = 1 THEN event_type END) AS winner,
+        |    MAX(CASE WHEN rk_hi = 1 THEN cents END) AS hi_c,
+        |    MAX(CASE WHEN rk_lo = 1 THEN event_type END) AS loser,
+        |    MAX(CASE WHEN rk_lo = 1 THEN cents END) AS lo_c
+        |  FROM (SELECT *,
+        |      ROW_NUMBER() OVER (PARTITION BY uid, day
+        |        ORDER BY cents DESC, mid) AS rk_hi,
+        |      ROW_NUMBER() OVER (PARTITION BY uid, day
+        |        ORDER BY cents ASC, mid) AS rk_lo
+        |    FROM e) WHERE rk_hi = 1 OR rk_lo = 1
+        |  GROUP BY 1, 2),
+        |c AS (SELECT winner, loser FROM x
+        |      WHERE hi_c > lo_c AND winner <> loser),
+        |""".stripMargin + QueriesTdShared.btFitSql)),
     ("s1_streaming",
       ((s, dir) => {
       val in = stageStreamingInput(s, dir)

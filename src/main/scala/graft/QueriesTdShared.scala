@@ -213,6 +213,66 @@ private[graft] object QueriesTdShared {
       |    // GREATEST(CAST(SUM(r3) OVER () AS BIGINT), 1) AS w3 FROM i3)
       |""".stripMargin
 
+
+  /** Shared Bradley-Terry MM-fit SQL tail: assumes a prior CTE
+    * `c(winner, loser)` of judgments (the WITH chain must end with a
+    * trailing newline before this fragment); replays three
+    * renormalized integer MM rounds and emits (player, n_wins,
+    * n_matches, strength_micro, rank). */
+  private[graft] val btFitSql: String =
+    ("""|players AS (SELECT winner AS player FROM c
+        |            UNION SELECT loser FROM c),
+        |w AS (SELECT winner AS player, CAST(COUNT(*) AS BIGINT) AS wins
+        |      FROM c GROUP BY 1),
+        |wp AS (SELECT p.player, COALESCE(w.wins, 0) AS wins
+        |       FROM players p LEFT JOIN w ON p.player = w.player),
+        |mm AS (
+        |  SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+        |    SELECT winner AS i, loser AS j, 1 AS n FROM c
+        |    UNION ALL SELECT loser, winner, 1 FROM c) GROUP BY 1, 2),
+        |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM players),
+        |p0 AS (SELECT player, 1000000 // k AS p FROM wp, nk),
+        |d1 AS (
+        |  SELECT mm.i AS player, CAST(SUM(mm.n * 1000000000
+        |    // GREATEST(pi.p + pj.p, 1)) AS BIGINT) AS den
+        |  FROM mm JOIN p0 pi ON mm.i = pi.player
+        |  JOIN p0 pj ON mm.j = pj.player GROUP BY 1),
+        |r1 AS (SELECT wp.player,
+        |    wp.wins * 1000000000 // GREATEST(d1.den, 1) AS raw
+        |  FROM wp JOIN d1 ON wp.player = d1.player),
+        |s1 AS (SELECT CAST(SUM(raw) AS BIGINT) AS s FROM r1),
+        |p1 AS (SELECT player, raw * 1000000 // GREATEST(s, 1) AS p
+        |       FROM r1, s1),
+        |d2 AS (
+        |  SELECT mm.i AS player, CAST(SUM(mm.n * 1000000000
+        |    // GREATEST(pi.p + pj.p, 1)) AS BIGINT) AS den
+        |  FROM mm JOIN p1 pi ON mm.i = pi.player
+        |  JOIN p1 pj ON mm.j = pj.player GROUP BY 1),
+        |r2 AS (SELECT wp.player,
+        |    wp.wins * 1000000000 // GREATEST(d2.den, 1) AS raw
+        |  FROM wp JOIN d2 ON wp.player = d2.player),
+        |s2 AS (SELECT CAST(SUM(raw) AS BIGINT) AS s FROM r2),
+        |p2 AS (SELECT player, raw * 1000000 // GREATEST(s, 1) AS p
+        |       FROM r2, s2),
+        |d3 AS (
+        |  SELECT mm.i AS player, CAST(SUM(mm.n * 1000000000
+        |    // GREATEST(pi.p + pj.p, 1)) AS BIGINT) AS den
+        |  FROM mm JOIN p2 pi ON mm.i = pi.player
+        |  JOIN p2 pj ON mm.j = pj.player GROUP BY 1),
+        |r3 AS (SELECT wp.player,
+        |    wp.wins * 1000000000 // GREATEST(d3.den, 1) AS raw
+        |  FROM wp JOIN d3 ON wp.player = d3.player),
+        |s3 AS (SELECT CAST(SUM(raw) AS BIGINT) AS s FROM r3),
+        |p3 AS (SELECT player, raw * 1000000 // GREATEST(s, 1) AS p
+        |       FROM r3, s3),
+        |tm AS (SELECT i AS player, CAST(SUM(n) AS BIGINT) AS n_matches
+        |       FROM mm GROUP BY 1)
+        |SELECT wp.player, wp.wins AS n_wins, tm.n_matches,
+        |  CAST(p3.p AS BIGINT) AS strength_micro,
+        |  ROW_NUMBER() OVER (ORDER BY p3.p DESC, wp.player) AS rank
+        |FROM wp JOIN tm ON wp.player = tm.player
+        |JOIN p3 ON wp.player = p3.player""").stripMargin
+
   /** Shared DSIR CTE chain: full-precision per-doc bigram
     * log-likelihood-ratio weights as `dw(doc_id, n_bigrams, li)`. */
   private[graft] val dsirCore = wordsOnlyCte +

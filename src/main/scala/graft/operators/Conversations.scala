@@ -298,6 +298,53 @@ object Conversations {
         (-col("hi.neg_c") >= minCents).as("accepted"))
   }
 
+  /** Pairwise TYPE comparisons from the candidate-group extremes — the
+    * judgment stream a live leaderboard consumes: per (user, day), the
+    * highest- and lowest-scored events' TYPES become one
+    * (winner, loser) comparison. Tied extremes carry no signal and
+    * same-type comparisons say nothing about relative strength — both
+    * drop. Same one-exchange min/max-struct shape as
+    * [[preferencePairs]] (the structs just carry the type along). */
+  def comparisons(events: DataFrame): DataFrame = {
+    val e = events
+      .withColumn("day",
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    e.groupBy(col("user_id"), col("day"))
+      .agg(
+        min(struct((-col("cents")).as("neg_c"), col("event_id"),
+          col("event_type"))).as("hi"),
+        min(struct(col("cents"), col("event_id"),
+          col("event_type"))).as("lo"))
+      .select(col("user_id"), col("day"),
+        col("hi.event_type").as("winner"),
+        col("lo.event_type").as("loser"),
+        ((-col("hi.neg_c")) - col("lo.cents")).as("margin_cents"))
+      .filter(col("margin_cents") > 0 && col("winner") =!= col("loser"))
+  }
+
+  /** Streaming twin of [[comparisons]]: tumbling daily window, Append
+    * on watermark close — a closed day emits its one judgment. */
+  def comparisonsStream(events: DataFrame,
+                        watermark: String = "1 hour"): DataFrame = {
+    val e = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    e.groupBy(col("user_id"), window(col("ts"), "1 day"))
+      .agg(
+        min(struct((-col("cents")).as("neg_c"), col("event_id"),
+          col("event_type"))).as("hi"),
+        min(struct(col("cents"), col("event_id"),
+          col("event_type"))).as("lo"))
+      .withColumn("day", date_format(col("window.start"), "yyyy-MM-dd"))
+      .select(col("user_id"), col("day"),
+        col("hi.event_type").as("winner"),
+        col("lo.event_type").as("loser"),
+        ((-col("hi.neg_c")) - col("lo.cents")).as("margin_cents"))
+      .filter(col("margin_cents") > 0 && col("winner") =!= col("loser"))
+  }
+
   /** Instruction-data quality audit over [[assemble]]'s output — the
     * filter battery an SFT corpus runs before training: exact-duplicate
     * transcripts (keep the first by conv_id; duplicated responses

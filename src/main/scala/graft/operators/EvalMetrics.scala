@@ -42,15 +42,30 @@ object EvalMetrics {
     * player asc). Zero-win players converge to strength 0. */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String,
                    loserCol: String, iters: Int = 3,
-                   maxPlayers: Int = 10000): DataFrame = {
+                   maxPlayers: Int = 10000): DataFrame =
+    bradleyTerryFromCounts(
+      comparisons.select(col(winnerCol), col(loserCol),
+        lit(1L).as("_n")),
+      winnerCol, loserCol, "_n", iters, maxPlayers)
+
+  /** [[bradleyTerry]] over PRE-AGGREGATED (winner, loser, n) counts —
+    * the refit entry point for an incremental consumer (the streaming
+    * leaderboard stores per-batch count deltas and refits from their
+    * sum; the fit itself is identical). Unaggregated delta rows are
+    * fine: they are summed per ordered pair here. */
+  def bradleyTerryFromCounts(countsDf: DataFrame, winnerCol: String,
+                             loserCol: String, nCol: String,
+                             iters: Int = 3,
+                             maxPlayers: Int = 10000): DataFrame = {
     require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
-    val spark = comparisons.sparkSession
+    val spark = countsDf.sparkSession
     import spark.implicits._
-    val counts = comparisons
+    val counts = countsDf
       .select(col(winnerCol).cast("string").as("w"),
-        col(loserCol).cast("string").as("l"))
+        col(loserCol).cast("string").as("l"),
+        col(nCol).cast("long").as("n"))
       .groupBy(col("w"), col("l"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val players = counts.flatMap(c => Seq(c._1, c._2)).distinct.sorted
     require(players.length <= maxPlayers,

@@ -619,6 +619,38 @@ object EventPipeline {
     * duplicate inside one open window double-counts, the documented
     * append-mode trade (the reference's rotor likewise processes per
     * delivery). */
+  /** The shared wire→event projection of the alignment-data modes
+    * (conversations / preference_pairs / best_of_n and the live
+    * leaderboard): JSON lines in, the narrow (event_id, ts, user_id,
+    * event_type, value, props) frame out; corrupt rows dropped,
+    * anonymous users keyed by their anonymous id. */
+  private[graft] def alignmentEvents(session: SparkSession,
+      inputDir: String, maxFilesPerTrigger: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val raw = session.readStream
+      .format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(inputDir)
+    val narrowSchema = org.apache.spark.sql.types.StructType(
+      EventSchema.envelope.fields.filter(f =>
+        Set("message_id", "timestamp", "received_at", "user_id",
+          "anonymous_id", "event", "type", "properties")
+          .contains(f.name)))
+    raw
+      .select(from_json(col("value").cast("string"), narrowSchema).as("e"))
+      .filter(!isCorruptStruct(col("e")))
+      .select(
+        coalesce(col("e.message_id"), expr("uuid()")).as("event_id"),
+        coalesce(col("e.timestamp"), col("e.received_at"),
+          current_timestamp()).as("ts"),
+        coalesce(col("e.user_id"), col("e.anonymous_id")).as("user_id"),
+        coalesce(col("e.event"), col("e.type")).as("event_type"),
+        get_json_object(col("e.properties"), "$.value")
+          .cast("double").as("value"),
+        col("e.properties").as("props"))
+      .filter(col("user_id").isNotNull)
+  }
+
   def startConversations(spark: SparkSession, inputDir: String,
             warehouseDir: String, checkpointDir: String,
             mode: String = "conversations",
@@ -635,28 +667,7 @@ object EventPipeline {
     require(Seq("conversations", "preference_pairs", "best_of_n")
       .contains(mode), s"unsupported mode: $mode")
     val session = tunedSession(spark, statePartitions, stateStore)
-    val raw = session.readStream
-      .format("text")
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .load(inputDir)
-    val narrowSchema = org.apache.spark.sql.types.StructType(
-      EventSchema.envelope.fields.filter(f =>
-        Set("message_id", "timestamp", "received_at", "user_id",
-          "anonymous_id", "event", "type", "properties")
-          .contains(f.name)))
-    val events = raw
-      .select(from_json(col("value").cast("string"), narrowSchema).as("e"))
-      .filter(!isCorruptStruct(col("e")))
-      .select(
-        coalesce(col("e.message_id"), expr("uuid()")).as("event_id"),
-        coalesce(col("e.timestamp"), col("e.received_at"),
-          current_timestamp()).as("ts"),
-        coalesce(col("e.user_id"), col("e.anonymous_id")).as("user_id"),
-        coalesce(col("e.event"), col("e.type")).as("event_type"),
-        get_json_object(col("e.properties"), "$.value")
-          .cast("double").as("value"),
-        col("e.properties").as("props"))
-      .filter(col("user_id").isNotNull)
+    val events = alignmentEvents(session, inputDir, maxFilesPerTrigger)
     val out = mode match {
       case "conversations" => graft.operators.Conversations
         .assembleStream(events, gapMinutes, tokenBudget, minTurns, watermark)

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Conversations, EvalMetrics}
+
+/** Live preference leaderboard — the streaming form of the Bradley-
+  * Terry loop: closed candidate days emit (winner, loser) judgments
+  * ([[Conversations.comparisonsStream]]), every micro-batch lands its
+  * judgment-count DELTAS in a `_batch=<id>` partition (crash-replay
+  * idempotent: replay deletes-then-rewrites its own partition — the
+  * [[CorpusIngest]] commit shape), and the exact integer MM fit
+  * ([[EvalMetrics.bradleyTerryFromCounts]]) re-runs over the summed
+  * counts, writing a ranked snapshot per batch.
+  *
+  * Scale shape: per batch the stream pays the one-exchange extremes
+  * aggregation (state per open group = two structs) plus a K²-sized
+  * counts write and a K-sized refit — the leaderboard itself never
+  * grows with the event volume, only with the number of players.
+  * Snapshot history is the audit trail (`batch_id` stamped); readers
+  * take the max batch.
+  */
+object Leaderboard {
+
+  def countsDir(warehouseDir: String) = s"$warehouseDir/bt_counts"
+  def snapshotsDir(warehouseDir: String) = s"$warehouseDir/leaderboard"
+
+  def start(spark: SparkSession, inputDir: String, warehouseDir: String,
+            checkpointDir: String,
+            watermark: String = "1 hour",
+            iters: Int = 3,
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Int = 32): StreamingQuery = {
+    val events = EventPipeline.alignmentEvents(spark, inputDir,
+      maxFilesPerTrigger)
+    val judgments = Conversations.comparisonsStream(events, watermark)
+    judgments.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, warehouseDir, batch, batchId, iters)
+      }
+      .start()
+  }
+
+  /** One micro-batch: land this batch's count deltas idempotently,
+    * refit from every committed delta, snapshot the ranking. */
+  private[graft] def ingestBatch(spark: SparkSession, warehouseDir: String,
+                                 batch: DataFrame, batchId: Long,
+                                 iters: Int): Unit = {
+    val cDir = countsDir(warehouseDir)
+    val sDir = snapshotsDir(warehouseDir)
+    // replay-side half of the batch-scoped commit: a re-delivered
+    // batch id deletes its own partitions before rewriting them
+    graft.sinks.CommitLog.clearBatchScope(spark, cDir, batchId)
+    graft.sinks.CommitLog.clearBatchScope(spark, sDir, batchId)
+    batch
+      .groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_batch", lit(batchId))
+      .write.mode("append").partitionBy("_batch").parquet(cDir)
+    // no day has closed yet (an empty batch writes no partition):
+    // there is nothing to rank — the first snapshot waits for the
+    // first judgment
+    val hasCounts = Option(new java.io.File(cDir).listFiles())
+      .exists(_.exists(_.getName.startsWith("_batch=")))
+    if (!hasCounts) return
+    val fit = EvalMetrics.bradleyTerryFromCounts(
+      spark.read.parquet(cDir).select("winner", "loser", "n"),
+      "winner", "loser", "n", iters)
+    fit.withColumn("batch_id", lit(batchId))
+      .withColumn("_batch", lit(batchId))
+      .coalesce(1)
+      .write.mode("append").partitionBy("_batch").parquet(sDir)
+    ()
+  }
+
+  /** The current ranking: the newest committed snapshot. */
+  def current(spark: SparkSession, warehouseDir: String): DataFrame = {
+    val snaps = spark.read.parquet(snapshotsDir(warehouseDir))
+    snaps.join(
+      snaps.agg(max(col("batch_id")).as("batch_id")), Seq("batch_id"))
+  }
+}

@@ -155,10 +155,15 @@ object ThroughputBench {
           maxFilesPerTrigger = 1, statePartitions = statePartitions,
           stateStore = stateStore, watermark = "10 minutes",
           compactEvery = compactEvery)
+      case "leaderboard" =>
+        // the live Bradley-Terry mode: extremes state per open group
+        // plus a per-batch count-delta landing and K-sized exact refit
+        graft.streaming.Leaderboard.start(spark, input.dir, wh, cp,
+          watermark = "10 minutes", maxFilesPerTrigger = 1)
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (recognized | recognized_tws | " +
           "recognized_variant | dedup | conversations | " +
-          "preference_pairs | best_of_n)")
+          "preference_pairs | best_of_n | leaderboard)")
     }
     try q.awaitTermination() finally q.stop()
     // progress numInputRows double-counts a source referenced by more

@@ -280,6 +280,67 @@ class ConversationsSpec extends GraftSpec {
     assert(rows.head.getAs[Boolean]("accepted"))
   }
 
+  test("live leaderboard: per-batch count deltas + exact refit converge to the batch Bradley-Terry fit") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("lb-in").toFile
+    val wh = Files.createTempDirectory("lb-wh").toFile
+    val cp = Files.createTempDirectory("lb-cp").toFile
+    // envelope wire format: the leaderboard reads the SAME wire as the
+    // pipeline modes (event type from `event`, value from properties)
+    def line(id: Int, minute: Int, u: Int, typ: String, v: Double) =
+      s"""{"message_id":"m$id","type":"track","timestamp":"2024-01-${
+        "%02d".format(1 + minute / 1440)}T${
+        "%02d".format((minute % 1440) / 60)}:${
+        "%02d".format(minute % 60)}:00.000Z","user_id":"u$u",""" +
+        s""""event":"$typ","properties":"{\\"value\\": $v}"}"""
+    def write(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(mtime); ()
+    }
+    // day 1: model A beats B (two users), B beats C (one user);
+    // day 2: A beats C, B beats A — judged when each day closes
+    write("b0.json", 1000000L, Seq(
+      line(0, 10, 1, "A", 9.0), line(1, 20, 1, "B", 1.0),
+      line(2, 10, 2, "A", 8.0), line(3, 20, 2, "B", 2.0),
+      line(4, 10, 3, "B", 7.0), line(5, 20, 3, "C", 3.0)))
+    write("b1.json", 2000000L, Seq(
+      line(10, 1450, 1, "A", 6.0), line(11, 1460, 1, "C", 2.0),
+      line(12, 1450, 2, "B", 9.0), line(13, 1460, 2, "A", 4.0),
+      // sentinel: far-future single event advances the watermark
+      line(99, 100000, 99, "Z", 1.0)))
+    // second sentinel batch: the days close in THIS batch (emission
+    // happens one batch after the watermark-advancing event arrives)
+    write("b2.json", 3000000L, Seq(line(100, 200000, 99, "Z", 1.0)))
+    val q = graft.streaming.Leaderboard.start(spark,
+      in.getAbsolutePath, wh.getAbsolutePath, cp.getAbsolutePath,
+      watermark = "0 seconds", maxFilesPerTrigger = 1)
+    try q.awaitTermination() finally q.stop()
+
+    val events = Seq(
+      (0L, ts(10), 1L, "A", 9.0, "{}"), (1L, ts(20), 1L, "B", 1.0, "{}"),
+      (2L, ts(10), 2L, "A", 8.0, "{}"), (3L, ts(20), 2L, "B", 2.0, "{}"),
+      (4L, ts(10), 3L, "B", 7.0, "{}"), (5L, ts(20), 3L, "C", 3.0, "{}"),
+      (10L, ts(1450), 1L, "A", 6.0, "{}"),
+      (11L, ts(1460), 1L, "C", 2.0, "{}"),
+      (12L, ts(1450), 2L, "B", 9.0, "{}"),
+      (13L, ts(1460), 2L, "A", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val want = graft.operators.EvalMetrics.bradleyTerry(
+      Conversations.comparisons(events), "winner", "loser")
+      .collect().map(_.toSeq).toSet
+    val got = graft.streaming.Leaderboard.current(spark,
+        wh.getAbsolutePath)
+      .select("player", "n_wins", "n_matches", "strength_micro", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"live $got != batch $want")
+    // the snapshot history is the audit trail: more than one batch
+    // committed a ranking, so the fit really ran incrementally
+    val snaps = spark.read.parquet(
+      graft.streaming.Leaderboard.snapshotsDir(wh.getAbsolutePath))
+    assert(snaps.select("batch_id").distinct().count() >= 2)
+  }
+
   test("best-of-N on empty events is empty, not an error") {
     val empty = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
