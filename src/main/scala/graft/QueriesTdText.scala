@@ -127,6 +127,62 @@ private[graft] object QueriesTdText {
         |    AS distinct_2_bp
         |FROM d LEFT JOIN u ON d.lang = u.lang
         |LEFT JOIN b2 ON d.lang = b2.lang""".stripMargin)),
+    // calibration audit (reliability-diagram bins + ECE) over the
+    // quality score vs the is-English label — every bin stat and the
+    // n-weighted ECE in exact floor-integer basis points
+    ("td_calibration",
+      ((s, dir) => {
+      import graft.operators.Experiment
+      val d = docs(s, dir).select(
+        round(TextFunctions.qualityScore(col("text")) * 1000000)
+          .cast("long").as("score_micro"),
+        (col("lang") === "en").as("label"))
+      Experiment.calibration(d, "score_micro", "label", bins = 10)
+    }),
+      (wordsOnlyCte +
+      """, scored AS (
+        |  SELECT lang,
+        |    ROUND((
+        |      least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) +
+        |      least(CAST(len(list_filter(w, x -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it','for',
+        |         'on','with','as','at','by','this','that'], x))) AS DOUBLE)
+        |        / greatest(CAST(len(w) AS DOUBLE), 1.0) * 4.0, 1.0) +
+        |      CAST(len(list_distinct(w)) AS DOUBLE)
+        |        / greatest(CAST(len(w) AS DOUBLE), 1.0) +
+        |      (1.0 - least(CAST(len(regexp_extract_all(text,
+        |        '[^a-zA-Z0-9\s]')) AS DOUBLE)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+        |    ) / 4.0, 4) AS quality
+        |  FROM ws),
+        |b AS (
+        |  SELECT LEAST(CAST(ROUND(quality * 1000000) AS BIGINT) * 10
+        |      // 1000000, 9) AS bin,
+        |    CAST(ROUND(quality * 1000000) AS BIGINT) AS sm,
+        |    (lang = 'en') AS label
+        |  FROM scored),
+        |g AS (
+        |  SELECT CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(SUM(sm) AS BIGINT) AS ss
+        |  FROM b GROUP BY 1),
+        |rws AS (
+        |  SELECT bin, n, n_pos,
+        |    CAST(n_pos * 10000 // n AS BIGINT) AS pos_rate_bp,
+        |    CAST(ss // n // 100 AS BIGINT) AS mean_score_bp,
+        |    CAST(ABS(n_pos * 10000 // n - ss // n // 100) AS BIGINT)
+        |      AS gap_bp
+        |  FROM g)
+        |SELECT bin, n, n_pos, pos_rate_bp, mean_score_bp, gap_bp FROM rws
+        |UNION ALL
+        |SELECT -1 AS bin, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(NULL AS BIGINT) AS pos_rate_bp,
+        |  CAST(NULL AS BIGINT) AS mean_score_bp,
+        |  CAST(SUM(gap_bp * n) AS BIGINT)
+        |    // GREATEST(CAST(SUM(n) AS BIGINT), 1) AS gap_bp
+        |FROM rws""".stripMargin)),
     ("text_langid",
       ((s, dir) =>
       docs(s, dir).select(col("doc_id"),

@@ -66,6 +66,46 @@ object Experiment {
     * z-statistic (display-rounded; significance at |z| > 1.96 ≈ p<.05).
     * The z arithmetic runs on the 2-row [[variantStats]] result via a
     * self-pivot, so the distributed cost is variantStats' alone. */
+  /** Calibration audit (the reliability-diagram table + expected
+    * calibration error) for any scorer whose output is an exact
+    * integer in micro units on [0, 10⁶] — is a score of 0.8 actually
+    * right 80% of the time? Bins by score decile (floor split), and
+    * per bin emits count, positives, the observed positive rate and
+    * the mean score (both exact bp), and the bin's |gap|. The summary
+    * `ece_bp` is the n-weighted mean absolute gap — every step floor
+    * integer arithmetic, so the whole audit hash-replays.
+    *
+    * Output: one row per NON-EMPTY bin plus a `bin = -1` summary row.
+    * Scale shape: one partial-aggregating scan to ≤ bins rows; the
+    * summary folds those rows in a second bytes-sized pass. */
+  def calibration(df: DataFrame, scoreMicroCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val binned = df
+      .withColumn("bin",
+        least(expr(s"$scoreMicroCol * ${bins}L div 1000000L"),
+          lit(bins - 1L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(col(scoreMicroCol).cast("long")).as("_score_sum"))
+      .withColumn("pos_rate_bp", expr("n_pos * 10000L div n"))
+      .withColumn("mean_score_bp", expr("_score_sum div n div 100L"))
+      .withColumn("gap_bp",
+        abs(col("pos_rate_bp") - col("mean_score_bp")))
+    val summary = binned.agg(
+        coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("n_pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("gap_bp") * col("n")), lit(0L)).as("_wgap"))
+      .select(lit(-1).as("bin"), col("n"), col("n_pos"),
+        lit(null).cast("long").as("pos_rate_bp"),
+        lit(null).cast("long").as("mean_score_bp"),
+        expr("_wgap div greatest(n, 1L)").as("gap_bp"))
+    binned.select(col("bin"), col("n"), col("n_pos"),
+        col("pos_rate_bp"), col("mean_score_bp"), col("gap_bp"))
+      .unionByName(summary)
+  }
+
   def conversionReport(events: DataFrame, unit: Column, experiment: String,
                        converted: Column, value: Column): DataFrame = {
     val stats = variantStats(events, unit, experiment, converted, value)

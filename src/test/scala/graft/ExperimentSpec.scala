@@ -58,6 +58,44 @@ class ExperimentSpec extends GraftSpec {
     assert(r.getAs[Boolean]("significant"))
   }
 
+  test("calibration: hand-computed bins, exact ECE, empty input summary") {
+    import spark.implicits._
+    // bin 9: two well-calibrated highs (950000 micro, both positive)
+    //   -> pos_rate 10000 bp, mean 9500 bp, gap 500
+    // bin 0: two lows, one positive -> pos 5000, mean 500, gap 4500
+    // ECE = (500*2 + 4500*2) / 4 = 2500
+    val d = Seq((950000L, true), (950000L, true),
+      (50000L, false), (50000L, true)).toDF("sm", "label")
+    val out = Experiment.calibration(d, "sm", "label", bins = 10)
+      .collect().map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(out.keySet == Set(9, 0, -1))
+    val hi = out(9)
+    assert(hi.getAs[Long]("n") == 2 && hi.getAs[Long]("n_pos") == 2)
+    assert(hi.getAs[Long]("pos_rate_bp") == 10000 &&
+      hi.getAs[Long]("mean_score_bp") == 9500 &&
+      hi.getAs[Long]("gap_bp") == 500)
+    val lo = out(0)
+    assert(lo.getAs[Long]("pos_rate_bp") == 5000 &&
+      lo.getAs[Long]("mean_score_bp") == 500 &&
+      lo.getAs[Long]("gap_bp") == 4500)
+    val ece = out(-1)
+    assert(ece.getAs[Long]("n") == 4 && ece.getAs[Long]("gap_bp") == 2500)
+    assert(ece.isNullAt(ece.fieldIndex("pos_rate_bp")))
+
+    // a perfect score of exactly 1.0 (1e6 micro) clamps into bin 9
+    val top = Experiment.calibration(
+      Seq((1000000L, true)).toDF("sm", "label"), "sm", "label")
+      .collect().map(r => r.getAs[Int]("bin")).toSet
+    assert(top == Set(9, -1))
+
+    val empty = Experiment.calibration(
+      Seq.empty[(Long, Boolean)].toDF("sm", "label"), "sm", "label")
+      .collect()
+    assert(empty.length == 1 && empty.head.getAs[Int]("bin") == -1 &&
+      empty.head.getAs[Long]("n") == 0 &&
+      empty.head.getAs[Long]("gap_bp") == 0)
+  }
+
   test("conversionReport: null-value rows count as zero value") {
     val df = Seq((1L, "buy", Option.empty[Double]),
       (2L, "view", Some(3.0))).toDF("unit", "etype", "value")
