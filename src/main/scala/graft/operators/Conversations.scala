@@ -162,6 +162,46 @@ object Conversations {
       .filter(col("n_turns") >= minTurns)
   }
 
+  /** Shared prep of the preference/judgment family (pairs, rankings,
+    * best-of-N, comparisons): the calendar day, the exact integer
+    * cents, and the exclusion of UNSCORED events — a null score
+    * carries no preference signal, and concretely a null `cents`
+    * field would sort FIRST inside the `min(struct(-cents, ...))`
+    * extremes fold (Spark orders null struct fields before every
+    * value) and steal the argmax from a real candidate, where the
+    * batch rank windows would have put it last. One rule, applied in
+    * one place. */
+  private def dayCents(events: DataFrame): DataFrame =
+    events
+      .withColumn("day",
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .filter(col("cents").isNotNull)
+
+  /** Streaming twin of [[dayCents]]: the watermark replaces the day
+    * column (the tumbling window derives it at emission). Unscored
+    * rows are NOT row-filtered here — a deterministic filter gets
+    * pushed below the EventTimeWatermark node, so dropping them would
+    * also drop their event TIMES and a value-less heartbeat/sentinel
+    * could no longer advance the watermark (exactly the bug a
+    * sentinel-closed last window exposes). The stream aggregations
+    * null-guard the cents inside their min(struct)/count folds
+    * instead ([[scoredStruct]]), which excludes unscored rows from
+    * the extremes and the candidate count while their timestamps
+    * still feed the watermark. */
+  private def watermarkCents(events: DataFrame,
+                             watermark: String): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+
+  /** The null-guarded extremes input: NULL for unscored rows, so a
+    * min(...) fold skips them (aggregate functions ignore NULL inputs)
+    * while the row itself still reaches the watermark operator. */
+  private def scoredStruct(fields: Column*): Column =
+    when(col("cents").isNotNull, struct(fields: _*))
+
   /** Preference-pair assembly (the DPO/RLHF reward-pair shape): within
     * each candidate group — here a user's events on one day — pick the
     * highest- and lowest-scored members as (chosen, rejected), skip
@@ -176,10 +216,7 @@ object Conversations {
     * aggregation. No group ever needs more than its own rows in one
     * task. */
   def preferencePairs(events: DataFrame): DataFrame = {
-    val e = events
-      .withColumn("day",
-        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val e = dayCents(events)
     val part = Window.partitionBy(col("user_id"), col("day"))
     val byDesc = part.orderBy(col("cents").desc, col("event_id"))
     val byAsc = part.orderBy(col("cents").asc, col("event_id"))
@@ -219,15 +256,13 @@ object Conversations {
     * (ConversationsSpec proves set equality on the same events). */
   def preferencePairsStream(events: DataFrame,
                             watermark: String = "1 hour"): DataFrame = {
-    val e = events
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", watermark)
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val e = watermarkCents(events, watermark)
     e.groupBy(col("user_id"), window(col("ts"), "1 day"))
       .agg(
-        min(struct((-col("cents")).as("neg_c"), col("event_id"))).as("hi"),
-        min(struct(col("cents"), col("event_id"))).as("lo"),
-        count(lit(1)).as("n_candidates"))
+        min(scoredStruct((-col("cents")).as("neg_c"), col("event_id")))
+          .as("hi"),
+        min(scoredStruct(col("cents"), col("event_id"))).as("lo"),
+        count(col("cents")).as("n_candidates"))
       .withColumn("day", date_format(col("window.start"), "yyyy-MM-dd"))
       .select(
         concat(col("user_id"), lit("-"), col("day")).as("pair_id"),
@@ -255,10 +290,7 @@ object Conversations {
     * a group's size never matters. Emits every group with its verdict
     * (`accepted`); the training cut is `filter($"accepted")`. */
   def bestOfN(events: DataFrame, minCents: Long = 0L): DataFrame = {
-    val e = events
-      .withColumn("day",
-        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val e = dayCents(events)
     e.groupBy(col("user_id"), col("day"))
       .agg(
         min(struct((-col("cents")).as("neg_c"), col("event_id"))).as("hi"),
@@ -280,14 +312,13 @@ object Conversations {
     * are identical to the batch form. */
   def bestOfNStream(events: DataFrame, minCents: Long = 0L,
                     watermark: String = "1 hour"): DataFrame = {
-    val e = events
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", watermark)
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val e = watermarkCents(events, watermark)
     e.groupBy(col("user_id"), window(col("ts"), "1 day"))
       .agg(
-        min(struct((-col("cents")).as("neg_c"), col("event_id"))).as("hi"),
-        count(lit(1)).as("n_candidates"))
+        min(scoredStruct((-col("cents")).as("neg_c"), col("event_id")))
+          .as("hi"),
+        count(col("cents")).as("n_candidates"))
+      .filter(col("hi").isNotNull) // all-unscored group: no candidate
       .withColumn("day", date_format(col("window.start"), "yyyy-MM-dd"))
       .select(
         concat(col("user_id"), lit("-"), col("day")).as("group_id"),
@@ -306,10 +337,7 @@ object Conversations {
     * drop. Same one-exchange min/max-struct shape as
     * [[preferencePairs]] (the structs just carry the type along). */
   def comparisons(events: DataFrame): DataFrame = {
-    val e = events
-      .withColumn("day",
-        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val e = dayCents(events)
     e.groupBy(col("user_id"), col("day"))
       .agg(
         min(struct((-col("cents")).as("neg_c"), col("event_id"),
@@ -327,16 +355,14 @@ object Conversations {
     * on watermark close — a closed day emits its one judgment. */
   def comparisonsStream(events: DataFrame,
                         watermark: String = "1 hour"): DataFrame = {
-    val e = events
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", watermark)
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val e = watermarkCents(events, watermark)
     e.groupBy(col("user_id"), window(col("ts"), "1 day"))
       .agg(
-        min(struct((-col("cents")).as("neg_c"), col("event_id"),
+        min(scoredStruct((-col("cents")).as("neg_c"), col("event_id"),
           col("event_type"))).as("hi"),
-        min(struct(col("cents"), col("event_id"),
+        min(scoredStruct(col("cents"), col("event_id"),
           col("event_type"))).as("lo"))
+      .filter(col("hi").isNotNull) // all-unscored group: no judgment
       .withColumn("day", date_format(col("window.start"), "yyyy-MM-dd"))
       .select(col("user_id"), col("day"),
         col("hi.event_type").as("winner"),
@@ -463,10 +489,7 @@ object Conversations {
     * task. */
   def preferenceRankings(events: DataFrame, k: Int = 4): DataFrame = {
     require(k >= 2, "a ranking needs k >= 2 slots")
-    val e = events
-      .withColumn("day",
-        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val e = dayCents(events)
     val part = Window.partitionBy(col("user_id"), col("day"))
     val order = part.orderBy(col("cents").desc, col("event_id"))
     e.withColumn("rank", row_number().over(order))

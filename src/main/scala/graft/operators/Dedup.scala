@@ -527,11 +527,17 @@ object Dedup {
   def splitAudit(split: DataFrame, idCol: String, splitCol: String,
                  pairs: DataFrame): DataFrame = {
     val lab = split.select(col(idCol), col(splitCol).as("_split"))
+    // LEFT joins + an explicit 'unlabeled' bucket: a pair endpoint
+    // missing from the split table is the audit's loudest finding, not
+    // a silently dropped row — an inner join would under-report
+    // leakage exactly when split coverage is broken
     pairs.select(col("id_a"), col("id_b"))
       .join(lab.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("_split", "sa"), Seq("id_a"))
+        .withColumnRenamed("_split", "sa"), Seq("id_a"), "left")
       .join(lab.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("_split", "sb"), Seq("id_b"))
+        .withColumnRenamed("_split", "sb"), Seq("id_b"), "left")
+      .withColumn("sa", coalesce(col("sa"), lit("unlabeled")))
+      .withColumn("sb", coalesce(col("sb"), lit("unlabeled")))
       .select(least(col("sa"), col("sb")).as("split_a"),
         greatest(col("sa"), col("sb")).as("split_b"))
       .groupBy(col("split_a"), col("split_b"))

@@ -60,13 +60,22 @@ object EvalMetrics {
     require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
     val spark = countsDf.sparkSession
     import spark.implicits._
+    // bound the collect BEFORE it happens: limit(maxPairs+1) keeps the
+    // driver safe even when a caller mistakenly keys players by a
+    // high-cardinality column — the old players-count require() only
+    // ran after a potentially-OOMing collect
+    val maxPairs = 1000000
     val counts = countsDf
       .select(col(winnerCol).cast("string").as("w"),
         col(loserCol).cast("string").as("l"),
         col(nCol).cast("long").as("n"))
       .groupBy(col("w"), col("l"))
       .agg(sum(col("n")).as("n"))
+      .limit(maxPairs + 1)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(counts.length <= maxPairs,
+      s"pair-count matrix exceeds $maxPairs ordered pairs — players " +
+        "must be model identities, not a per-row key")
     val players = counts.flatMap(c => Seq(c._1, c._2)).distinct.sorted
     require(players.length <= maxPlayers,
       s"${players.length} players exceed maxPlayers=$maxPlayers")

@@ -61,11 +61,6 @@ object Experiment {
           .as("value_per_unit"))
   }
 
-  /** Two-proportion z-test read-out for a 2-variant experiment: one row
-    * with both arms' counts, the absolute uplift, and the pooled
-    * z-statistic (display-rounded; significance at |z| > 1.96 ≈ p<.05).
-    * The z arithmetic runs on the 2-row [[variantStats]] result via a
-    * self-pivot, so the distributed cost is variantStats' alone. */
   /** Calibration audit (the reliability-diagram table + expected
     * calibration error) for any scorer whose output is an exact
     * integer in micro units on [0, 10⁶] — is a score of 0.8 actually
@@ -106,6 +101,11 @@ object Experiment {
       .unionByName(summary)
   }
 
+  /** Two-proportion z-test read-out for a 2-variant experiment: one row
+    * with both arms' counts, the absolute uplift, and the pooled
+    * z-statistic (display-rounded; significance at |z| > 1.96 ≈ p<.05).
+    * The z arithmetic runs on the 2-row [[variantStats]] result via a
+    * self-pivot, so the distributed cost is variantStats' alone. */
   def conversionReport(events: DataFrame, unit: Column, experiment: String,
                        converted: Column, value: Column): DataFrame = {
     val stats = variantStats(events, unit, experiment, converted, value)

@@ -190,7 +190,7 @@ object EventPipeline {
   /** A cloned session scoping stream-level conf overrides to ONE query
     * (shared SparkContext, independent SQL conf): state-shard count and
     * the state-store provider. */
-  private def tunedSession(spark: SparkSession, statePartitions: Int,
+  private[streaming] def tunedSession(spark: SparkSession, statePartitions: Int,
                            stateStore: String): SparkSession =
     if (statePartitions <= 0 && stateStore == "hdfs") spark
     else {

@@ -32,8 +32,12 @@ object Leaderboard {
             watermark: String = "1 hour",
             iters: Int = 3,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Int = 32): StreamingQuery = {
-    val events = EventPipeline.alignmentEvents(spark, inputDir,
+            maxFilesPerTrigger: Int = 32,
+            statePartitions: Int = 0,
+            stateStore: String = "hdfs"): StreamingQuery = {
+    val session = EventPipeline.tunedSession(spark, statePartitions,
+      stateStore)
+    val events = EventPipeline.alignmentEvents(session, inputDir,
       maxFilesPerTrigger)
     val judgments = Conversations.comparisonsStream(events, watermark)
     judgments.writeStream
@@ -64,10 +68,10 @@ object Leaderboard {
       .write.mode("append").partitionBy("_batch").parquet(cDir)
     // no day has closed yet (an empty batch writes no partition):
     // there is nothing to rank — the first snapshot waits for the
-    // first judgment
-    val hasCounts = Option(new java.io.File(cDir).listFiles())
-      .exists(_.exists(_.getName.startsWith("_batch=")))
-    if (!hasCounts) return
+    // first judgment. Hadoop FS, not java.io.File: the warehouse may
+    // be an hdfs:// or file:// URI where a local listing silently
+    // returns nothing and would skip the refit forever.
+    if (!hasBatchPartitions(spark, cDir)) return
     val fit = EvalMetrics.bradleyTerryFromCounts(
       spark.read.parquet(cDir).select("winner", "loser", "n"),
       "winner", "loser", "n", iters)
@@ -78,9 +82,35 @@ object Leaderboard {
     ()
   }
 
-  /** The current ranking: the newest committed snapshot. */
+  /** `path` has at least one committed `_batch=` partition — through
+    * Hadoop FS, so hdfs:// and file:// warehouses behave like plain
+    * local paths. */
+  private def hasBatchPartitions(spark: SparkSession,
+                                 path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("_batch="))
+  }
+
+  /** The current ranking: the newest committed snapshot — or an EMPTY
+    * frame (same schema) when no judgment has ever closed, never a
+    * path error (the empty-inputs invariant). */
   def current(spark: SparkSession, warehouseDir: String): DataFrame = {
+    if (!hasBatchPartitions(spark, snapshotsDir(warehouseDir))) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("player", StringType),
+          StructField("n_wins", LongType),
+          StructField("n_matches", LongType),
+          StructField("strength_micro", LongType),
+          StructField("rank", LongType),
+          StructField("batch_id", LongType))))
+    }
     val snaps = spark.read.parquet(snapshotsDir(warehouseDir))
+      .drop("_batch")
     snaps.join(
       snaps.agg(max(col("batch_id")).as("batch_id")), Seq("batch_id"))
   }

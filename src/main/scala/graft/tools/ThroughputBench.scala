@@ -159,7 +159,8 @@ object ThroughputBench {
         // the live Bradley-Terry mode: extremes state per open group
         // plus a per-batch count-delta landing and K-sized exact refit
         graft.streaming.Leaderboard.start(spark, input.dir, wh, cp,
-          watermark = "10 minutes", maxFilesPerTrigger = 1)
+          watermark = "10 minutes", maxFilesPerTrigger = 1,
+          statePartitions = statePartitions, stateStore = stateStore)
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (recognized | recognized_tws | " +
           "recognized_variant | dedup | conversations | " +

@@ -345,6 +345,70 @@ class ConversationsSpec extends GraftSpec {
     val empty = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     assert(Conversations.bestOfN(empty).count() == 0)
+    // leaderboard over a warehouse with no committed snapshot: empty
+    // frame with the ranking schema, never a path error
+    val emptyWh = java.nio.file.Files
+      .createTempDirectory("lb-empty").toString
+    val cur = graft.streaming.Leaderboard.current(spark, emptyWh)
+    assert(cur.count() == 0 &&
+      cur.columns.contains("strength_micro"))
+  }
+
+  test("unscored (null-value) events carry no preference signal: excluded from argmax, pairs, and judgments") {
+    // user 1: a real 900-cent candidate plus a null-value event — the
+    // null must NOT win the min(struct) argmax (null struct fields
+    // sort first in Spark) nor null out the group's margin
+    val rows = Seq[(Long, Timestamp, Long, String, java.lang.Double, String)](
+      (0L, ts(10), 1L, "A", 9.0, "{}"),
+      (1L, ts(20), 1L, "B", 1.0, "{}"),
+      (2L, ts(30), 1L, "C", null, "{}"),
+      // user 2: ONLY an unscored event — no group at all
+      (10L, ts(10), 2L, "A", null, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val bofn = Conversations.bestOfN(rows, minCents = 150L).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(bofn.keySet == Set(1L))
+    assert(bofn(1L).getAs[Long]("chosen_id") == 0 &&
+      bofn(1L).getAs[Long]("best_cents") == 900 &&
+      bofn(1L).getAs[Long]("n_candidates") == 2)
+    val pairs = Conversations.preferencePairs(rows).collect()
+    assert(pairs.length == 1 &&
+      pairs.head.getAs[Long]("chosen_id") == 0 &&
+      pairs.head.getAs[Long]("margin_cents") == 800)
+    val comps = Conversations.comparisons(rows).collect()
+    assert(comps.length == 1 &&
+      comps.head.getAs[String]("winner") == "A" &&
+      comps.head.getAs[String]("loser") == "B")
+
+    // STREAM form: an unscored event must still ADVANCE THE WATERMARK
+    // (a row filter would be pushed below the watermark node and a
+    // value-less sentinel could never close a window) while staying
+    // out of the argmax and the candidate count
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String,
+      java.lang.Double, String)]
+    val out = Conversations.bestOfNStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props"),
+      minCents = 150L, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("bofn_null")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (0L, ts(10), 1L, "A", 9.0, "{}"),
+        (1L, ts(20), 1L, "B", 1.0, "{}"))
+      q.processAllAvailable()
+      // the ONLY watermark-advancing late event is unscored
+      mem.addData((9999L, ts(100000), 99L,
+        "Z", null.asInstanceOf[java.lang.Double], "{}"))
+      q.processAllAvailable()
+      val got = spark.table("bofn_null")
+        .filter(col("user_id") =!= 99).collect()
+      assert(got.length == 1, "unscored sentinel failed to close the day")
+      assert(got.head.getAs[Long]("chosen_id") == 0 &&
+        got.head.getAs[Long]("n_candidates") == 2)
+    } finally q.stop()
   }
 
   test("IVF margin mining at nprobe=nlist is bit-equal to brute; pruned probes keep planted twins") {

@@ -173,6 +173,17 @@ class DedupSpec extends GraftSpec {
         (r.getAs[Long]("n_pairs"), r.getAs[Boolean]("crossing"))).toMap
     assert(audit(("test", "train")) == ((1L, true)))
     assert(audit(("train", "train")) == ((5L, false)))
+
+    // broken coverage surfaces as an 'unlabeled' bucket, never a
+    // silently dropped pair: doc 23 missing from the split table
+    val partial = Dedup.splitAudit(
+      bad.filter(col("doc_id") =!= 23L), "doc_id", "split", pairs)
+      .collect().map(r => (r.getAs[String]("split_a"),
+        r.getAs[String]("split_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Boolean]("crossing"))).toMap
+    assert(partial(("train", "unlabeled")) == ((1L, true)),
+      "missing split label must surface, not vanish")
+    assert(partial.values.map(_._1).sum == 6, "every pair accounted for")
   }
 
   test("minhash LSH pairs == exact jaccard pairs") {
