@@ -196,7 +196,10 @@ private[graft] object QueriesTdAlign {
         |  SELECT user_id, event_id,
         |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
         |    strftime(ts, '%Y-%m-%d') AS day
-        |  FROM events),
+        |  -- unscored rows carry no preference signal: replay dayCents'
+        |  -- cents-IS-NOT-NULL exclusion so the oracle diverges loudly
+        |  -- (not silently) if the operator ever changes that rule
+        |  FROM events WHERE value IS NOT NULL),
         |r AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
         |      ORDER BY cents DESC, event_id) AS rn_hi,
@@ -229,7 +232,10 @@ private[graft] object QueriesTdAlign {
         |  SELECT user_id, event_id,
         |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
         |    strftime(ts, '%Y-%m-%d') AS day
-        |  FROM events),
+        |  -- unscored rows carry no preference signal: replay dayCents'
+        |  -- cents-IS-NOT-NULL exclusion so the oracle diverges loudly
+        |  -- (not silently) if the operator ever changes that rule
+        |  FROM events WHERE value IS NOT NULL),
         |r AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
         |      ORDER BY cents DESC, event_id) AS rn,
@@ -382,7 +388,10 @@ private[graft] object QueriesTdAlign {
         |  SELECT user_id, event_id,
         |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
         |    strftime(ts, '%Y-%m-%d') AS day
-        |  FROM events),
+        |  -- unscored rows carry no preference signal: replay dayCents'
+        |  -- cents-IS-NOT-NULL exclusion so the oracle diverges loudly
+        |  -- (not silently) if the operator ever changes that rule
+        |  FROM events WHERE value IS NOT NULL),
         |r AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
         |      ORDER BY cents DESC, event_id) AS rnk,
@@ -519,7 +528,10 @@ private[graft] object QueriesTdAlign {
         |  SELECT user_id, event_id,
         |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
         |    strftime(ts, '%Y-%m-%d') AS day
-        |  FROM events),
+        |  -- unscored rows carry no preference signal: replay dayCents'
+        |  -- cents-IS-NOT-NULL exclusion so the oracle diverges loudly
+        |  -- (not silently) if the operator ever changes that rule
+        |  FROM events WHERE value IS NOT NULL),
         |r AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
         |      ORDER BY cents DESC, event_id) AS rnk,

@@ -215,10 +215,11 @@ private[graft] object QueriesTdSample {
         |    CAST(COALESCE(SUM(CASE WHEN seq_last > seq_first
         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_split,
         |    CAST(COALESCE(SUM(seq_last - seq_first), 0) AS BIGINT)
-        |      AS boundary_crossings
+        |      AS boundary_crossings,
+        |    MAX(seq_last) AS max_last
         |  FROM p),
         |b AS (
-        |  SELECT *, (total_tokens + 511) // 512 AS n_seqs FROM a)
+        |  SELECT *, COALESCE(max_last + 1, 0) AS n_seqs FROM a)
         |SELECT n_docs, total_tokens, CAST(n_seqs AS BIGINT) AS n_seqs,
         |  CAST(total_tokens * 10000 // GREATEST(n_seqs * 512, 1)
         |    AS BIGINT) AS utilization_bp,
@@ -605,16 +606,22 @@ private[graft] object QueriesTdSample {
         |    CAST(SUM(CAST(len(w) AS BIGINT)) AS BIGINT) AS avail_tokens
         |  FROM ws GROUP BY 1),
         |sch AS (
-        |  SELECT n3.domain, CAST(w3 AS BIGINT) AS w_bp, av.avail_tokens,
-        |    CAST(20000 * CAST(w3 AS BIGINT) // 10000 AS BIGINT)
-        |      AS alloc_tokens
-        |  FROM n3 JOIN av ON n3.domain = av.domain)
+        |  SELECT COALESCE(n3.domain, av.domain) AS domain,
+        |    CAST(w3 AS BIGINT) AS w_bp, av.avail_tokens,
+        |    (w3 IS NOT NULL AND av.avail_tokens IS NOT NULL) AS matched,
+        |    CASE WHEN w3 IS NOT NULL AND av.avail_tokens IS NOT NULL
+        |      THEN CAST(20000 * CAST(w3 AS BIGINT) // 10000 AS BIGINT)
+        |      END AS alloc_tokens
+        |  FROM n3 FULL JOIN av ON n3.domain = av.domain)
         |SELECT domain, w_bp, avail_tokens, alloc_tokens,
-        |  CAST(LEAST(alloc_tokens * 10000 // GREATEST(avail_tokens, 1),
-        |    10000) AS BIGINT) AS rate_bp,
-        |  CAST(GREATEST(alloc_tokens * 1000 // GREATEST(avail_tokens, 1),
-        |    1000) AS BIGINT) AS repeat_milli,
-        |  alloc_tokens > avail_tokens AS upsampled
+        |  CASE WHEN matched THEN CAST(LEAST(alloc_tokens * 10000
+        |    // GREATEST(avail_tokens, 1), 10000) AS BIGINT) END AS rate_bp,
+        |  CASE WHEN matched THEN CAST(GREATEST(alloc_tokens * 1000
+        |    // GREATEST(avail_tokens, 1), 1000) AS BIGINT)
+        |    END AS repeat_milli,
+        |  CASE WHEN matched THEN alloc_tokens > avail_tokens
+        |    END AS upsampled,
+        |  matched
         |FROM sch""".stripMargin)),
     // quality-vs-quantity attrition curve: per candidate threshold, the
     // surviving doc/token counts and token share — ONE corpus scan

@@ -216,20 +216,23 @@ private[graft] object QueriesTdShared {
 
   /** Shared Bradley-Terry MM-fit SQL tail: assumes a prior CTE
     * `c(winner, loser)` of judgments (the WITH chain must end with a
-    * trailing newline before this fragment); replays three
+    * trailing newline before this fragment); self-pairs (winner =
+    * loser, a meaningless judgment) are excluded up front, mirroring
+    * bradleyTerryFromCounts' filter; replays three
     * renormalized integer MM rounds and emits (player, n_wins,
     * n_matches, strength_micro, rank). */
   private[graft] val btFitSql: String =
-    ("""|players AS (SELECT winner AS player FROM c
-        |            UNION SELECT loser FROM c),
+    ("""|cpairs AS (SELECT winner, loser FROM c WHERE winner <> loser),
+        |players AS (SELECT winner AS player FROM cpairs
+        |            UNION SELECT loser FROM cpairs),
         |w AS (SELECT winner AS player, CAST(COUNT(*) AS BIGINT) AS wins
-        |      FROM c GROUP BY 1),
+        |      FROM cpairs GROUP BY 1),
         |wp AS (SELECT p.player, COALESCE(w.wins, 0) AS wins
         |       FROM players p LEFT JOIN w ON p.player = w.player),
         |mm AS (
         |  SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
-        |    SELECT winner AS i, loser AS j, 1 AS n FROM c
-        |    UNION ALL SELECT loser, winner, 1 FROM c) GROUP BY 1, 2),
+        |    SELECT winner AS i, loser AS j, 1 AS n FROM cpairs
+        |    UNION ALL SELECT loser, winner, 1 FROM cpairs) GROUP BY 1, 2),
         |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM players),
         |p0 AS (SELECT player, 1000000 // k AS p FROM wp, nk),
         |d1 AS (

@@ -69,6 +69,12 @@ object EvalMetrics {
       .select(col(winnerCol).cast("string").as("w"),
         col(loserCol).cast("string").as("l"),
         col(nCol).cast("long").as("n"))
+      // a self-pair (winner == loser) is meaningless input — it would
+      // inflate the player's wins AND double-count in the symmetric
+      // match fold (both directions land on the same key), silently
+      // biasing the MM fit; drop it (and null players) here so the fit
+      // only ever sees real judgments. btFitSql applies the same rule.
+      .filter(col("w") =!= col("l"))
       .groupBy(col("w"), col("l"))
       .agg(sum(col("n")).as("n"))
       .limit(maxPairs + 1)

@@ -285,9 +285,14 @@ object Sampling {
         coalesce(sum(when(col("seq_last") > col("seq_first"), 1L)
           .otherwise(0L)), lit(0L)).as("docs_split"),
         coalesce(sum(col("seq_last") - col("seq_first")), lit(0L))
-          .as("boundary_crossings"))
-      .withColumn("n_seqs",
-        expr(s"(total_tokens + ${seqLen}L - 1) div ${seqLen}L"))
+          .as("boundary_crossings"),
+        max(col("seq_last")).as("_max_last"))
+      // n_seqs from the packed frame's ACTUAL indices (max seq_last
+      // + 1), not ceil(total_tokens/seqLen): packSequences places a
+      // zero-token doc via greatest(n_tokens, 1), so one landing
+      // exactly on a seqLen boundary occupies a sequence the ceil form
+      // doesn't count — the report must agree with the frame it audits
+      .withColumn("n_seqs", coalesce(col("_max_last") + 1L, lit(0L)))
       .withColumn("utilization_bp",
         expr(s"total_tokens * 10000L div greatest(n_seqs * ${seqLen}L, 1L)"))
       .select(col("n_docs"), col("total_tokens"), col("n_seqs"),
@@ -496,7 +501,13 @@ object Sampling {
     *
     * Scale shape: a projection over the joined D-row weights/avail
     * frames — corpus-sized work happened upstream (the weight fit and
-    * the token count); this is the bytes-sized plan step. */
+    * the token count); this is the bytes-sized plan step.
+    *
+    * Domain-set mismatches are LOUD, not silent: the join is full
+    * outer, so a domain present in only one input survives as a row
+    * with `matched = false` and null schedule columns (its share of
+    * tokensPerEpoch is visibly unallocated) instead of vanishing — the
+    * same missing-key-must-be-loud stance as [[Dedup.splitAudit]]. */
   def epochSchedule(weights: DataFrame, avail: DataFrame,
                     domainCol: String, weightCol: String,
                     availCol: String, tokensPerEpoch: Long): DataFrame = {
@@ -504,18 +515,28 @@ object Sampling {
     weights.select(col(domainCol).as("domain"),
         col(weightCol).cast("long").as("w_bp"))
       .join(avail.select(col(domainCol).as("domain"),
-        col(availCol).cast("long").as("avail_tokens")), Seq("domain"))
+        col(availCol).cast("long").as("avail_tokens")),
+        Seq("domain"), "full_outer")
+      .withColumn("matched",
+        col("w_bp").isNotNull && col("avail_tokens").isNotNull)
+      // every schedule column is null-guarded on `matched`: Spark's
+      // least/greatest SKIP nulls, so an unguarded least(null, 10000)
+      // would fabricate a rate for a domain with no weight fit
       .withColumn("alloc_tokens",
-        expr(s"${tokensPerEpoch}L * w_bp div 10000L"))
+        when(col("matched"), expr(s"${tokensPerEpoch}L * w_bp div 10000L")))
       .withColumn("rate_bp",
-        least(expr("alloc_tokens * 10000L div greatest(avail_tokens, 1L)"),
-          lit(10000L)))
+        when(col("matched"), least(
+          expr("alloc_tokens * 10000L div greatest(avail_tokens, 1L)"),
+          lit(10000L))))
       .withColumn("repeat_milli",
-        greatest(expr("alloc_tokens * 1000L div greatest(avail_tokens, 1L)"),
-          lit(1000L)))
+        when(col("matched"), greatest(
+          expr("alloc_tokens * 1000L div greatest(avail_tokens, 1L)"),
+          lit(1000L))))
       .select(col("domain"), col("w_bp"), col("avail_tokens"),
         col("alloc_tokens"), col("rate_bp"), col("repeat_milli"),
-        (col("alloc_tokens") > col("avail_tokens")).as("upsampled"))
+        when(col("matched"),
+          col("alloc_tokens") > col("avail_tokens")).as("upsampled"),
+        col("matched"))
   }
 
   /** Quality-vs-quantity attrition curve — what a threshold sweep reads

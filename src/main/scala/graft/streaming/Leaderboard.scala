@@ -20,7 +20,10 @@ import graft.operators.{Conversations, EvalMetrics}
   * counts write and a K-sized refit — the leaderboard itself never
   * grows with the event volume, only with the number of players.
   * Snapshot history is the audit trail (`batch_id` stamped); readers
-  * take the max batch.
+  * take the max batch. The audit trail holds under crash-replay too:
+  * each refit reads only `_batch <= batchId` partitions, so a
+  * replayed batch N rewrites snapshot N from the counts as of batch N
+  * even when later batches have already committed.
   */
 object Leaderboard {
 
@@ -51,7 +54,8 @@ object Leaderboard {
   }
 
   /** One micro-batch: land this batch's count deltas idempotently,
-    * refit from every committed delta, snapshot the ranking. */
+    * refit from every delta committed at or before this batch,
+    * snapshot the ranking. */
   private[graft] def ingestBatch(spark: SparkSession, warehouseDir: String,
                                  batch: DataFrame, batchId: Long,
                                  iters: Int): Unit = {
@@ -72,8 +76,15 @@ object Leaderboard {
     // be an hdfs:// or file:// URI where a local listing silently
     // returns nothing and would skip the refit forever.
     if (!hasBatchPartitions(spark, cDir)) return
+    // refit ONLY from counts committed at or before THIS batch id
+    // (partition-pruned on `_batch`): a crash-replayed batch N — after
+    // N+1..M already committed — must rewrite snapshot batch_id=N from
+    // the counts that existed as of batch N, or the per-batch snapshot
+    // history stops being an audit trail. In normal (monotonic)
+    // operation the filter includes every partition, so this is free.
     val fit = EvalMetrics.bradleyTerryFromCounts(
-      spark.read.parquet(cDir).select("winner", "loser", "n"),
+      spark.read.parquet(cDir).filter(col("_batch") <= batchId)
+        .select("winner", "loser", "n"),
       "winner", "loser", "n", iters)
     fit.withColumn("batch_id", lit(batchId))
       .withColumn("_batch", lit(batchId))

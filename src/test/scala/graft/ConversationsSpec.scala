@@ -341,6 +341,42 @@ class ConversationsSpec extends GraftSpec {
     assert(snaps.select("batch_id").distinct().count() >= 2)
   }
 
+  test("leaderboard crash-replay: a replayed batch rewrites its snapshot from counts as of that batch only") {
+    import graft.streaming.Leaderboard
+    val wh = java.nio.file.Files.createTempDirectory("lb-replay").toString
+    // batch 0: A beats B 3:1; batch 1: a B landslide flips the ranking
+    val b0 = (Seq.fill(3)(("A", "B")) :+ (("B", "A")))
+      .toDF("winner", "loser")
+    val b1 = Seq.fill(8)(("B", "A")).toDF("winner", "loser")
+    Leaderboard.ingestBatch(spark, wh, b0, 0L, iters = 3)
+    Leaderboard.ingestBatch(spark, wh, b1, 1L, iters = 3)
+    val sDir = Leaderboard.snapshotsDir(wh)
+    val snap0 = spark.read.parquet(sDir)
+      .filter(col("batch_id") === 0L).collect().map(_.toSeq).toSet
+    // crash-replay batch 0 AFTER batch 1 committed: the rewritten
+    // snapshot must be identical — i.e. fit from batch-0 counts only,
+    // not from everything on disk (which would leak batch 1's wins
+    // back into history and break the per-batch audit trail)
+    Leaderboard.ingestBatch(spark, wh, b0, 0L, iters = 3)
+    val replayed = spark.read.parquet(sDir)
+      .filter(col("batch_id") === 0L).collect().map(_.toSeq).toSet
+    assert(replayed == snap0,
+      s"replayed snapshot 0 drifted:\n$replayed\nvs\n$snap0")
+    val want = graft.operators.EvalMetrics
+      .bradleyTerry(b0, "winner", "loser")
+      .collect().map(_.toSeq).toSet
+    val core = spark.read.parquet(sDir).filter(col("batch_id") === 0L)
+      .select("player", "n_wins", "n_matches", "strength_micro", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(core == want, s"snapshot 0 is not the batch-0-only fit")
+    // current() is unaffected: still the max-batch ranking
+    val cur = Leaderboard.current(spark, wh)
+    assert(cur.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(cur.filter(col("rank") === 1L)
+      .select("player").collect().head.getString(0) == "B")
+  }
+
   test("best-of-N on empty events is empty, not an error") {
     val empty = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -121,6 +121,25 @@ class EvalMetricsSpec extends GraftSpec {
       "winner", "loser").count() == 0)
   }
 
+  test("bradleyTerry: self-pairs are meaningless judgments and never bias the fit") {
+    // a (winner == loser) row would inflate the player's wins AND
+    // double-count in the symmetric match fold — the fit must be
+    // byte-identical with and without them
+    val clean = (Seq.fill(3)(("A", "B")) :+ (("B", "A")))
+      .toDF("winner", "loser")
+    val dirty = clean.union(
+      Seq(("A", "A"), ("B", "B"), ("B", "B")).toDF("winner", "loser"))
+    val want = EvalMetrics.bradleyTerry(clean, "winner", "loser")
+      .collect().map(_.toSeq).toSet
+    val got = EvalMetrics.bradleyTerry(dirty, "winner", "loser")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"self-pairs biased the fit: $got != $want")
+    // all-self-pair input: no real judgment anywhere → empty ranking
+    assert(EvalMetrics.bradleyTerry(
+      Seq(("A", "A")).toDF("winner", "loser"),
+      "winner", "loser").count() == 0)
+  }
+
   test("retrievalEval: hand-computed nDCG/MRR/recall on a 3-rank list") {
     import graft.operators.EvalMetrics
     val ranking = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),

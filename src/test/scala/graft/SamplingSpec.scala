@@ -95,6 +95,55 @@ class SamplingSpec extends GraftSpec {
     assert(empty.getAs[Long]("utilization_bp") == 0)
   }
 
+  test("packingStats: a zero-token doc on a seqLen boundary counts the sequence it actually occupies") {
+    // tokens (4, 0) at seqLen 4: the empty doc lands at cum_before 4 —
+    // packSequences places it in sequence 1 via greatest(n_tokens, 1),
+    // so the audit must report n_seqs = 2, not ceil(total/seqLen) = 1:
+    // the report has to agree with the frame's actual indices
+    val packed = Sampling.packSequences(
+      Seq((0L, 4L), (1L, 0L)).toDF("doc_id", "n_toks"),
+      "doc_id", "n_toks", seqLen = 4)
+    val r = Sampling.packingStats(packed, seqLen = 4).collect().head
+    assert(r.getAs[Long]("n_seqs") == 2)
+    assert(r.getAs[Long]("utilization_bp") == 5000)
+    // invariant the old ceil form broke: every packed seq index lies
+    // inside [0, n_seqs)
+    val maxIdx = packed.agg(max(col("seq_last")))
+      .collect().head.getLong(0)
+    assert(maxIdx < r.getAs[Long]("n_seqs"))
+  }
+
+  test("epochSchedule: a domain missing from either side survives loudly as matched=false") {
+    // A has a weight but no availability; C has availability but no
+    // weight — both must surface as unmatched rows with null schedule
+    // columns, never vanish (the silent inner-join drop would leave
+    // part of tokensPerEpoch unallocated with no trace)
+    val w = Seq(("A", 6000L), ("B", 4000L)).toDF("domain", "w_bp")
+    val avail = Seq(("B", 1000L), ("C", 500L))
+      .toDF("domain", "avail_tokens")
+    val out = Sampling.epochSchedule(w, avail, "domain", "w_bp",
+        "avail_tokens", tokensPerEpoch = 10000L)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    assert(out.keySet == Set("A", "B", "C"))
+    val a = out("A")
+    assert(!a.getAs[Boolean]("matched"))
+    assert(a.isNullAt(a.fieldIndex("avail_tokens")))
+    // Spark's least/greatest skip nulls — the null guard must hold or
+    // an unmatched domain fabricates rate_bp=10000/repeat_milli=1000
+    Seq("alloc_tokens", "rate_bp", "repeat_milli", "upsampled")
+      .foreach(c => assert(a.isNullAt(a.fieldIndex(c)), s"A.$c not null"))
+    val c = out("C")
+    assert(!c.getAs[Boolean]("matched") &&
+      c.isNullAt(c.fieldIndex("w_bp")) &&
+      c.isNullAt(c.fieldIndex("rate_bp")))
+    val b = out("B")
+    assert(b.getAs[Boolean]("matched") &&
+      b.getAs[Long]("alloc_tokens") == 4000 &&
+      b.getAs[Long]("rate_bp") == 10000 &&
+      b.getAs[Long]("repeat_milli") == 4000 &&
+      b.getAs[Boolean]("upsampled"))
+  }
+
   test("domainReweight: hand-computed MW rounds; zero-excess stays put; empty input is empty") {
     // A mean 10, B mean 30 → gmean 20, excess (0, 10), e_bp (0, 10000),
     // w0 = 5000 each; three η=2000 rounds hand-derived:
