@@ -179,8 +179,31 @@ object Bench {
     // or turn the total into a variable-size min-of-2 mix — cap the
     // over-threshold extras at 10 beyond the fixed five
     val stallSec = 8.0
+    // PLUS every gate that regressed >2x against the previous committed
+    // artifact (the r13 verdict's ask: 11 shared gates were >2x under a
+    // load-9 host and only 5 landed in retimed_worst, so round-over-
+    // round tracking couldn't separate load noise from a real
+    // regression). The prior per-query map is parsed from the artifact
+    // this run is about to overwrite; capped so a globally-hot run
+    // can't double its own wall time.
+    val priorTimes: Map[String, Double] = {
+      val path = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      if (!java.nio.file.Files.exists(path)) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        val qs = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qs)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
     val top5 = firstPass.sortBy(-_._2).take(retimeN).map(_._1).toSet
-    val worst = top5 ++
+    val regressed = firstPass
+      .filter { case (n, t) =>
+        priorTimes.get(n).exists(prev => prev > 0 && t > 2.0 * prev) }
+      .sortBy(-_._2).take(60).map(_._1)
+    val worst = top5 ++ regressed ++
       firstPass.filterNot(p => top5(p._1)).filter(_._2 > stallSec)
         .sortBy(-_._2).take(10).map(_._1)
     val byName = selected.toMap

@@ -245,6 +245,46 @@ private[graft] object QueriesTdAlign {
         |  user_id, day, event_id AS chosen_id, cents AS best_cents,
         |  n AS n_candidates, cents >= 150 AS accepted
         |FROM r WHERE rn = 1""".stripMargin),
+    // GRPO group-relative advantage (Shao et al. 2024): per candidate
+    // group, reward minus group mean over group std — all integer
+    // milli-cents with sign-split divisions (Spark div truncates,
+    // DuckDB // floors; abs() makes them agree) and
+    // floor(sqrt(integer variance)) for the std, replayed exactly
+    ("td_group_advantage",
+      ((s, dir) => graft.operators.Conversations.groupAdvantage(
+        s.read.parquet(s"$dir/events.parquet"))),
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT *, COUNT(*) OVER w AS n_candidates,
+        |    CAST(SUM(cents) OVER w AS BIGINT) AS s
+        |  FROM e WINDOW w AS (PARTITION BY user_id, day)),
+        |h AS (
+        |  SELECT *, CASE WHEN s >= 0 THEN (s * 1000) // n_candidates
+        |    ELSE -((-s * 1000) // n_candidates) END AS mean_milli
+        |  FROM g WHERE n_candidates >= 2),
+        |i AS (SELECT *, cents * 1000 - mean_milli AS dev_milli FROM h),
+        |j AS (
+        |  SELECT *, CAST(SUM(dev_milli * dev_milli)
+        |      OVER (PARTITION BY user_id, day) // n_candidates
+        |    AS BIGINT) AS var_m
+        |  FROM i),
+        |k AS (SELECT *, CAST(FLOOR(SQRT(var_m)) AS BIGINT) AS std_milli
+        |      FROM j)
+        |SELECT user_id, day, event_id, cents,
+        |  CAST(n_candidates AS BIGINT) AS n_candidates,
+        |  CAST(mean_milli AS BIGINT) AS mean_milli,
+        |  CAST(dev_milli AS BIGINT) AS dev_milli, std_milli,
+        |  CASE WHEN std_milli > 0 THEN
+        |    CASE WHEN dev_milli >= 0
+        |      THEN CAST((dev_milli * 10000) // std_milli AS BIGINT)
+        |      ELSE -CAST(((-dev_milli) * 10000) // std_milli AS BIGINT)
+        |      END
+        |  ELSE 0 END AS adv_bp
+        |FROM k""".stripMargin),
     // Bradley-Terry strength fitting (the Arena-style leaderboard that
     // closes the preference loop): comparisons = top-4-ranked event
     // TYPES per (user, day) expanded into strict (winner, loser) pairs,

@@ -623,6 +623,53 @@ private[graft] object QueriesTdSample {
         |    END AS upsampled,
         |  matched
         |FROM sch""".stripMargin)),
+    // UniMax fair budget allocation (Chung et al. 2023): equal shares
+    // with per-language epoch caps, ascending-cap greedy over the
+    // D-row availability table — the oracle replays the exact integer
+    // recursion with WITH RECURSIVE (shares and caps all integer
+    // division, bit-for-bit)
+    ("td_unimax",
+      ((s, dir) => {
+      val av = docs(s, dir).groupBy(col("lang").as("domain"))
+        .agg(sum(size(TextFunctions.words(col("text"))).cast("long"))
+          .as("avail_tokens"))
+      Sampling.unimaxAllocation(av, "domain", "avail_tokens",
+        budgetTokens = 30000L, maxEpochsMilli = 2000L)
+    }),
+      """WITH RECURSIVE ws AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS w
+        |  FROM documents),
+        |av AS (
+        |  SELECT lang AS domain,
+        |    CAST(SUM(CAST(len(w) AS BIGINT)) AS BIGINT) AS avail
+        |  FROM ws GROUP BY 1),
+        |caps AS (
+        |  SELECT domain, avail, avail * 2000 // 1000 AS cap FROM av),
+        |ord AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY cap, domain) AS pos,
+        |    (SELECT COUNT(*) FROM caps) AS n
+        |  FROM caps),
+        |g AS (
+        |  SELECT CAST(0 AS BIGINT) AS pos,
+        |    CAST(30000 AS BIGINT) AS remaining,
+        |    CAST(NULL AS VARCHAR) AS domain,
+        |    CAST(NULL AS BIGINT) AS avail, CAST(NULL AS BIGINT) AS cap,
+        |    CAST(NULL AS BIGINT) AS alloc, CAST(NULL AS BIGINT) AS share
+        |  UNION ALL
+        |  SELECT CAST(o.pos AS BIGINT),
+        |    g.remaining - LEAST(o.cap, g.remaining // (o.n - o.pos + 1)),
+        |    o.domain, o.avail, o.cap,
+        |    LEAST(o.cap, g.remaining // (o.n - o.pos + 1)),
+        |    g.remaining // (o.n - o.pos + 1)
+        |  FROM g JOIN ord o ON o.pos = g.pos + 1)
+        |SELECT domain, avail AS avail_tokens, cap AS cap_tokens,
+        |  alloc AS alloc_tokens,
+        |  CASE WHEN avail > 0 THEN alloc * 1000 // avail
+        |       ELSE 0 END AS epochs_milli,
+        |  cap <= share AS cap_bound
+        |FROM g WHERE domain IS NOT NULL""".stripMargin),
     // quality-vs-quantity attrition curve: per candidate threshold, the
     // surviving doc/token counts and token share — ONE corpus scan
     // (conditional sums inside a single aggregation, unpivoted after)

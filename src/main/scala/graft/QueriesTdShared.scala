@@ -276,6 +276,29 @@ private[graft] object QueriesTdShared {
         |FROM wp JOIN tm ON wp.player = tm.player
         |JOIN p3 ON wp.player = p3.player""").stripMargin
 
+  /** Shared Kneser–Ney CTE chain (td_kn_bigram + td_kn_doc): the
+    * per-doc bigram stream as `bg(doc_id, w1, w2)` and the trained
+    * model as `m(w1, w2, c12, c1, n1p_left, n1p_right, cont_micro)` —
+    * every count, marginal, and integer division replayed exactly. */
+  private[graft] val knModelCte = wordsOnlyCte +
+    """, pb AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w))) AS i
+      |  FROM ws WHERE len(w) >= 2),
+      |bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM pb),
+      |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |       FROM bg GROUP BY 1, 2),
+      |lt AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+      |         CAST(COUNT(*) AS BIGINT) AS n1p_left
+      |       FROM pc GROUP BY 1),
+      |rt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_right
+      |       FROM pc GROUP BY 1),
+      |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pc),
+      |m AS (
+      |  SELECT pc.w1, pc.w2, pc.c12, lt.c1, lt.n1p_left, rt.n1p_right,
+      |    rt.n1p_right * 1000000 // t AS cont_micro
+      |  FROM pc JOIN lt USING (w1) JOIN rt USING (w2) CROSS JOIN tt)
+      |""".stripMargin
+
   /** Shared DSIR CTE chain: full-precision per-doc bigram
     * log-likelihood-ratio weights as `dw(doc_id, n_bigrams, li)`. */
   private[graft] val dsirCore = wordsOnlyCte +

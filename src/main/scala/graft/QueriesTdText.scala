@@ -1304,5 +1304,43 @@ private[graft] object QueriesTdText {
         |    AS INT) AS n_oov,
         |  CAST(len(list_filter(toks, x -> NOT list_contains(vs, x)))
         |      * 10000 // greatest(len(toks), 1) AS BIGINT) AS oov_bp
-        |FROM t, vl""".stripMargin))
+        |FROM t, vl""".stripMargin),
+    // interpolated Kneser-Ney bigram LM (the CCNet-style perplexity
+    // filter's count side): discounted bigram probability + continuation
+    // backoff in exact integer micro units (d = 3/4 cleared by scaling
+    // numerators by 4) — the oracle replays every count, marginal, and
+    // division; c12 >= 2 bounds the gated slice of the model table
+    ("td_kn_bigram",
+      ((s, dir) =>
+      graft.operators.NgramLm.train(docs(s, dir), "doc_id", "text")
+        .filter(col("c12") >= 2)),
+      (knModelCte +
+      """SELECT w1, w2, c12, c1, n1p_left, n1p_right,
+        |  CAST(cont_micro AS BIGINT) AS cont_micro,
+        |  CAST(GREATEST(4 * c12 - 3, 0) * 1000000 // (4 * c1)
+        |    + 3 * n1p_left * cont_micro // (4 * c1) AS BIGINT) AS p_micro
+        |FROM m WHERE c12 >= 2""".stripMargin)),
+    // per-doc KN LM statistics — what a perplexity-threshold filter
+    // reads: bigram count, model hits, and the exact integer sum/min
+    // of the per-transition probabilities (trained on the same corpus,
+    // so every bigram hits; the OOV backoff ladder is spec'd in
+    // NgramLmSpec)
+    ("td_kn_doc",
+      ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.NgramLm.scoreDocs(d, "doc_id", "text",
+        graft.operators.NgramLm.train(d, "doc_id", "text"))
+    }),
+      (knModelCte +
+      """, mp AS (
+        |  SELECT w1, w2,
+        |    CAST(GREATEST(4 * c12 - 3, 0) * 1000000 // (4 * c1)
+        |      + 3 * n1p_left * cont_micro // (4 * c1) AS BIGINT) AS p
+        |  FROM m)
+        |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(SUM(mp.p) AS BIGINT) AS sum_p_micro,
+        |  CAST(MIN(mp.p) AS BIGINT) AS min_p_micro
+        |FROM bg JOIN mp ON bg.w1 = mp.w1 AND bg.w2 = mp.w2
+        |GROUP BY 1""".stripMargin)))
 }

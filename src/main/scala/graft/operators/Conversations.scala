@@ -304,6 +304,51 @@ object Conversations {
         (-col("hi.neg_c") >= minCents).as("accepted"))
   }
 
+  /** Group-relative advantage — the GRPO reward-normalization step
+    * (Shao et al. 2024, "DeepSeekMath"): within each candidate group
+    * (a prompt's N sampled completions; here a user's scored events on
+    * one day), each sample's advantage is its reward minus the group
+    * mean, normalized by the group standard deviation — no value model,
+    * the group IS the baseline. All integer arithmetic in milli-cents
+    * so the oracle replays it: mean = sign-split integer division,
+    * variance accumulates deviation squares in decimal(38,0) (a
+    * corpus-scale group would overflow a long), and
+    * std = floor(sqrt(variance)) — exact cross-engine for variance
+    * < 2^52 since both engines take an IEEE double sqrt of an exactly-
+    * representable integer. A zero-std group (all rewards equal) has
+    * no relative signal: adv_bp = 0. Groups need n >= 2.
+    *
+    * Scale shape: ONE exchange — both window passes (mean, then
+    * deviation-square sum) and everything after share the
+    * (user_id, day) clustering; state per group is O(1) aggregates,
+    * never a sort. */
+  def groupAdvantage(events: DataFrame): DataFrame = {
+    val e = dayCents(events)
+    val part = Window.partitionBy(col("user_id"), col("day"))
+    e.withColumn("n_candidates", count(lit(1)).over(part))
+      .filter(col("n_candidates") >= 2)
+      .withColumn("_sum", sum(col("cents")).over(part))
+      // sign-split integer division: Spark's div truncates toward
+      // zero while DuckDB's // floors — they only agree on
+      // non-negative dividends, so every division here runs on abs()
+      .withColumn("mean_milli", expr(
+        "CASE WHEN _sum >= 0 THEN (_sum * 1000L) div n_candidates " +
+          "ELSE -((-_sum * 1000L) div n_candidates) END"))
+      .withColumn("dev_milli", col("cents") * 1000L - col("mean_milli"))
+      .withColumn("_var", expr(
+        "CAST((sum(CAST(dev_milli AS DECIMAL(38,0)) * dev_milli) OVER " +
+          "(PARTITION BY user_id, day)) div n_candidates AS LONG)"))
+      .withColumn("std_milli", floor(sqrt(col("_var"))).cast("long"))
+      .withColumn("adv_bp", when(col("std_milli") > 0, expr(
+        "CASE WHEN dev_milli >= 0 " +
+          "THEN (dev_milli * 10000L) div std_milli " +
+          "ELSE -((-dev_milli * 10000L) div std_milli) END"))
+        .otherwise(0L))
+      .select(col("user_id"), col("day"), col("event_id"), col("cents"),
+        col("n_candidates"), col("mean_milli"), col("dev_milli"),
+        col("std_milli"), col("adv_bp"))
+  }
+
   /** Streaming twin of [[bestOfN]]: the day column becomes a tumbling
     * daily event-time window and the argmax is the same single-pass
     * `min(struct(-cents, event_id))` fold, so state per open group is

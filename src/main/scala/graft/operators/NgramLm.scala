@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Interpolated Kneser–Ney bigram language model — the count side of a
+  * CCNet-style LM quality filter (Wenzek et al. 2020 rank web text by
+  * LM score before keeping it; Kneser & Ney 1995 / Chen & Goodman 1998
+  * give the discounted continuation-backoff estimate). Trained and
+  * scored distributively, and held in EXACT integer micro-probabilities
+  * so an independent engine replays every division bit-for-bit — the
+  * same FP-free discipline as [[Sampling]]'s basis points.
+  *
+  * With the fixed discount d = 3/4 kept as a rational (no float ever
+  * enters):
+  *
+  * {{{
+  *   P(w2|w1) = max(c(w1w2) - d, 0)/c(w1·) + d·N1+(w1·)/c(w1·) · Pc(w2)
+  *   Pc(w2)   = N1+(·w2) / T          (T = number of distinct bigrams)
+  * }}}
+  *
+  * in micro units with integer division (numerators scaled by 4 to
+  * clear the 3/4):
+  *
+  * {{{
+  *   cont_micro(w2) = N1+(·w2) · 10^6 div T
+  *   p_micro(w1,w2) = max(4·c12 − 3, 0) · 10^6 div (4·c1)
+  *                  + 3 · N1+(w1·) · cont_micro(w2) div (4·c1)
+  * }}}
+  *
+  * Scale shape: training is one (w1,w2)-keyed hash aggregation over
+  * the exploded bigram stream (map-side partial combine does the heavy
+  * lifting; the distinct-bigram table it produces is vocab²-bounded,
+  * far below corpus size) and two marginal aggregations OVER THAT
+  * TABLE — the corpus is scanned once. The table persists for the
+  * marginal passes (single-slot deferred release, the
+  * [[Sampling.dsirWeightsFull]] precedent — the frames are
+  * deterministic, so eviction merely recomputes). Scoring joins the
+  * corpus bigram stream to the model by (w1, w2): a shuffled equi-join
+  * at vocabulary scale, a broadcast when the planner sees a small
+  * model — either survives 100 TB because neither side is ever
+  * collected. */
+object NgramLm {
+
+  private var lastModelCache: Option[DataFrame] = None
+
+  /** (doc_id, w1, w2) per adjacent lowercase word pair. */
+  private def bigramStream(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val w = TextFunctions.words(col(textCol))
+    val bi = when(size(w) < 2,
+      array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(arrays_zip(
+        slice(w, lit(1), size(w) - 1).as("w1"),
+        slice(w, lit(2), size(w) - 1).as("w2"))
+        .cast("array<struct<w1:string,w2:string>>"))
+    docs.select(col(idCol).as("doc_id"), explode(bi).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  /** Trained model table, one row per distinct bigram:
+    * (w1, w2, c12, c1, n1p_left, n1p_right, cont_micro, p_micro).
+    * `c1` = Σ_w c(w1 w), `n1p_left` = N1+(w1·), `n1p_right` = N1+(·w2).
+    * Runs ONE bounded driver action (the 1-row T count over the
+    * persisted pair table) — train is eager in the same way
+    * [[Sampling.dsirWeightsFull]] is. */
+  def train(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairCounts = bigramStream(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .persist()
+    NgramLm.synchronized {
+      lastModelCache.foreach(_.unpersist(false))
+      lastModelCache = Some(pairCounts)
+    }
+    val left = pairCounts.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_left"))
+    val right = pairCounts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_right"))
+    // T collects as a driver scalar (ONE bounded 1-row action over the
+    // persisted pair table — the dsirWeightsFull precedent) and inlines
+    // as a literal: a broadcast 1-row frame would put a nested-loop
+    // join in the plan of every downstream consumer of the model
+    val t = pairCounts.agg(count(lit(1))).head.getLong(0)
+    pairCounts
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .withColumn("cont_micro",
+        expr(s"n1p_right * 1000000L div greatest(${t}L, 1L)"))
+      .withColumn("p_micro", expr(
+        "greatest(4L * c12 - 3L, 0L) * 1000000L div (4L * c1) + " +
+          "3L * n1p_left * cont_micro div (4L * c1)"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1p_left"), col("n1p_right"), col("cont_micro"),
+        col("p_micro"))
+  }
+
+  /** Per-document LM statistics under a trained `model` — the exact
+    * integer core a perplexity-style filter thresholds on:
+    * (doc_id, n_bigrams, n_hits, sum_p_micro, min_p_micro).
+    *
+    * OOV fallbacks follow KN's backoff ladder, all integer-exact:
+    * an unseen (w1,w2) whose w1 IS in the model scores the backoff
+    * term alone (c12 = 0 kills the discounted term); an unseen w1
+    * falls back to the bare continuation probability cont_micro(w2);
+    * a w2 never seen as a continuation scores 0. Docs with no bigram
+    * (single-word/empty text) are absent from the output — the caller
+    * left-joins if it needs them. */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                model: DataFrame): DataFrame = {
+    val bi = bigramStream(docs, idCol, textCol)
+    val exact = model.select(col("w1"), col("w2"),
+      col("p_micro").as("_p_exact"))
+    val left = model.groupBy(col("w1"))
+      .agg(first(col("c1")).as("_c1"),
+        first(col("n1p_left")).as("_n1l"))
+    val right = model.groupBy(col("w2"))
+      .agg(first(col("cont_micro")).as("_cont"))
+    bi.join(exact, Seq("w1", "w2"), "left")
+      .join(left, Seq("w1"), "left")
+      .join(right, Seq("w2"), "left")
+      .withColumn("_p", coalesce(
+        col("_p_exact"),
+        expr("3L * _n1l * coalesce(_cont, 0L) div (4L * _c1)"),
+        col("_cont"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("_p_exact").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"),
+        sum(col("_p")).as("sum_p_micro"),
+        min(col("_p")).as("min_p_micro"))
+  }
+}

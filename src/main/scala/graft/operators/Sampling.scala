@@ -539,6 +539,62 @@ object Sampling {
         col("matched"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute an epoch's token budget across domains
+    * so every domain receives an EQUAL share except where its epoch
+    * cap (available tokens × maxEpochs) binds — low-resource languages
+    * are never oversampled past the cap, and the budget a capped
+    * domain can't absorb redistributes to the rest. The greedy form is
+    * exact and order-canonical: visit domains in ascending cap order
+    * (domain name as tiebreak); each takes
+    * `min(cap, remaining div domainsLeft)` — all integer division, so
+    * a DuckDB WITH RECURSIVE replays the recursion bit-for-bit.
+    *
+    * Complements [[domainReweight]]/[[epochSchedule]]: DoReMi fits
+    * weights from losses; UniMax needs only availability and a fairness
+    * policy.
+    *
+    * Scale shape: corpus-sized work happened upstream (the per-domain
+    * availability counts); this collects the D-row availability table
+    * (D = number of domains/languages — dozens, `maxDomains`-bounded
+    * BEFORE the collect, the [[EvalMetrics.bradleyTerry]] precedent)
+    * and runs the D-step greedy on the driver. Output per domain:
+    * availability, the cap, the allocation, milli-epochs of its corpus
+    * consumed, and whether the cap bound. */
+  def unimaxAllocation(avail: DataFrame, domainCol: String,
+                       availCol: String, budgetTokens: Long,
+                       maxEpochsMilli: Long,
+                       maxDomains: Int = 100000): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochsMilli > 0, "maxEpochsMilli must be positive")
+    val spark = avail.sparkSession
+    import spark.implicits._
+    val rows = avail.select(col(domainCol).cast("string").as("d"),
+        col(availCol).cast("long").as("a"))
+      .limit(maxDomains + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(rows.length <= maxDomains,
+      s"more than $maxDomains domains — domains must be languages/" +
+        "sources, not a per-row key")
+    val ordered = rows
+      .map { case (d, a) => (d, a, a * maxEpochsMilli / 1000L) }
+      .sortBy { case (d, _, cap) => (cap, d) }
+    var remaining = budgetTokens
+    var leftCount = ordered.length
+    val out = ordered.map { case (d, a, cap) =>
+      val share = remaining / leftCount
+      val alloc = math.min(cap, share)
+      remaining -= alloc
+      leftCount -= 1
+      (d, a, cap, alloc,
+        if (a > 0) alloc * 1000L / a else 0L,
+        cap <= share)
+    }
+    out.toSeq.toDF("domain", "avail_tokens", "cap_tokens",
+      "alloc_tokens", "epochs_milli", "cap_bound")
+  }
+
   /** Quality-vs-quantity attrition curve — what a threshold sweep reads
     * before cutting a corpus: for each candidate threshold, how many
     * documents and tokens survive `score >= t`, and the surviving token

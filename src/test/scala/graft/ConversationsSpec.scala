@@ -341,6 +341,41 @@ class ConversationsSpec extends GraftSpec {
     assert(snaps.select("batch_id").distinct().count() >= 2)
   }
 
+  test("groupAdvantage: hand-computed GRPO normalization; zero-std and singleton groups; negative rewards") {
+    def ev(id: Long, day: Int, u: Long, v: java.lang.Double) =
+      (id, ts(day * 1440), u, "view", v, "{}")
+    val events = Seq(
+      // user 1: cents 100 and 300 → mean 200000 milli, std 100000,
+      // adv ±10000 bp
+      ev(0, 1, 1L, 1.0), ev(1, 1, 1L, 3.0),
+      // user 2: all equal → std 0 → adv 0
+      ev(2, 1, 2L, 5.0), ev(3, 1, 2L, 5.0),
+      // user 3: singleton → filtered (no relative signal)
+      ev(4, 1, 3L, 9.0),
+      // user 4: negative rewards — the sign-split divisions must agree
+      ev(5, 1, 4L, -1.0), ev(6, 1, 4L, -3.0),
+      // user 5: one unscored event → excluded, leaving a singleton
+      ev(7, 1, 5L, 2.0), ev(8, 1, 5L, null))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Conversations.groupAdvantage(events)
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 5L, 6L))
+    assert(out(0L).getAs[Long]("mean_milli") == 200000 &&
+      out(0L).getAs[Long]("std_milli") == 100000 &&
+      out(0L).getAs[Long]("adv_bp") == -10000)
+    assert(out(1L).getAs[Long]("adv_bp") == 10000)
+    assert(out(2L).getAs[Long]("std_milli") == 0 &&
+      out(2L).getAs[Long]("adv_bp") == 0)
+    // negatives: mean -200000 milli, devs ±100000 → adv ±10000
+    assert(out(5L).getAs[Long]("mean_milli") == -200000 &&
+      out(5L).getAs[Long]("adv_bp") == 10000)
+    assert(out(6L).getAs[Long]("adv_bp") == -10000)
+    // a group's advantages always sum near zero (integer truncation
+    // leaves at most n_candidates milli of drift)
+    assert(out(0L).getAs[Long]("dev_milli") +
+      out(1L).getAs[Long]("dev_milli") == 0)
+  }
+
   test("leaderboard crash-replay: a replayed batch rewrites its snapshot from counts as of that batch only") {
     import graft.streaming.Leaderboard
     val wh = java.nio.file.Files.createTempDirectory("lb-replay").toString

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.NgramLm
+
+/** Kneser–Ney bigram LM: hand-computed counts, marginals, and integer
+  * micro-probabilities, plus the OOV backoff ladder scoreDocs applies
+  * to bigrams the model never saw. */
+class NgramLmSpec extends GraftSpec {
+  import spark.implicits._
+
+  // corpus: "a b a b c" + "b a" →
+  //   pair counts: (a,b)=2, (b,a)=2, (b,c)=1; T = 3 distinct bigrams
+  //   left marginals: a → c1=2, N1+(a·)=1;  b → c1=3, N1+(b·)=2
+  //   right marginals: N1+(·a)=N1+(·b)=N1+(·c)=1 → cont_micro=333333
+  //   p_micro(a,b) = 5000000//8  + 999999//8  = 625000 + 124999 = 749999
+  //   p_micro(b,a) = 5000000//12 + 1999998//12 = 416666 + 166666 = 583332
+  //   p_micro(b,c) = 1000000//12 + 1999998//12 =  83333 + 166666 = 249999
+  private def corpus = Seq(
+    (1L, "a b a b c"), (2L, "b a")).toDF("doc_id", "text")
+
+  test("train: hand-computed KN counts and micro-probabilities") {
+    val m = NgramLm.train(corpus, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r)
+      .toMap
+    assert(m.keySet == Set(("a", "b"), ("b", "a"), ("b", "c")))
+    val ab = m(("a", "b"))
+    assert(ab.getAs[Long]("c12") == 2 && ab.getAs[Long]("c1") == 2 &&
+      ab.getAs[Long]("n1p_left") == 1 &&
+      ab.getAs[Long]("n1p_right") == 1 &&
+      ab.getAs[Long]("cont_micro") == 333333 &&
+      ab.getAs[Long]("p_micro") == 749999)
+    assert(m(("b", "a")).getAs[Long]("p_micro") == 583332)
+    assert(m(("b", "c")).getAs[Long]("p_micro") == 249999)
+    // probabilities stay inside (0, 1e6]
+    assert(m.values.forall { r =>
+      val p = r.getAs[Long]("p_micro"); p > 0 && p <= 1000000 })
+  }
+
+  test("scoreDocs: same-corpus scoring hits every bigram with exact integer sums") {
+    val model = NgramLm.train(corpus, "doc_id", "text")
+    val s = NgramLm.scoreDocs(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = s(1L)
+    assert(d1.getAs[Long]("n_bigrams") == 4 &&
+      d1.getAs[Long]("n_hits") == 4 &&
+      d1.getAs[Long]("sum_p_micro") == 749999L * 2 + 583332 + 249999 &&
+      d1.getAs[Long]("min_p_micro") == 249999)
+    val d2 = s(2L)
+    assert(d2.getAs[Long]("n_bigrams") == 1 &&
+      d2.getAs[Long]("sum_p_micro") == 583332)
+  }
+
+  test("scoreDocs: the OOV backoff ladder — unseen pair, unseen context, unseen continuation") {
+    val model = NgramLm.train(corpus, "doc_id", "text")
+    val oov = Seq(
+      (10L, "a c"),  // unseen pair, seen context a: 3·1·333333//8
+      (11L, "z a"),  // unseen context z: bare cont_micro(a)
+      (12L, "z q"))  // nothing seen: 0
+      .toDF("doc_id", "text")
+    val s = NgramLm.scoreDocs(oov, "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(s(10L).getAs[Long]("n_hits") == 0 &&
+      s(10L).getAs[Long]("sum_p_micro") == 124999)
+    assert(s(11L).getAs[Long]("sum_p_micro") == 333333)
+    assert(s(12L).getAs[Long]("sum_p_micro") == 0)
+  }
+
+  test("empty and single-word docs produce no bigrams, not errors") {
+    val model = NgramLm.train(corpus, "doc_id", "text")
+    val d = Seq((20L, ""), (21L, "a")).toDF("doc_id", "text")
+    assert(NgramLm.scoreDocs(d, "doc_id", "text", model).count() == 0)
+    assert(NgramLm.train(d, "doc_id", "text").count() == 0)
+  }
+}

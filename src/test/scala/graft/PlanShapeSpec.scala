@@ -272,6 +272,34 @@ class PlanShapeSpec extends GraftSpec {
       s"stale ScalaUDF whitelist entries (gate is UDF-free now): $stale")
   }
 
+  test("group advantage shares ONE (user, day) clustering across both window passes") {
+    // mean and deviation-square windows both key on (user_id, day) —
+    // a second hash exchange would double the event-stream shuffle
+    val p = plan("td_group_advantage")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"td_group_advantage expected exactly one shuffle, saw $n:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"td_group_advantage grew a single-partition exchange:\n$p")
+  }
+
+  test("KN LM training and scoring never broadcast or loop over the corpus") {
+    // the bigram/marginal aggregations and the scoring join shuffle on
+    // word keys (vocabulary-scale); the only broadcastable piece is
+    // the 1-row T count — a corpus-side broadcast or a nested loop
+    // would die at 100 TB
+    Seq("td_kn_bigram", "td_kn_doc").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      // T is a driver scalar, NOT a broadcast 1-row frame — a nested
+      // loop here would mean the cross join crept back and every model
+      // consumer pays it
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a nested loop:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).nonEmpty,
+        s"$q lost its word-keyed shuffles:\n$p")
+    }
+  }
+
   test("vocab-coverage scoring is scan-shaped: vocab inlined, no join/explode/exchange") {
     // the word histogram is collected at BUILD time (vocabSize rows);
     // the returned frame must be a bare scan + projection

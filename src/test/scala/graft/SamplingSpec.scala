@@ -197,6 +197,41 @@ class SamplingSpec extends GraftSpec {
     assert(b.getAs[Boolean]("upsampled"))
   }
 
+  test("unimaxAllocation: caps bind ascending, freed budget redistributes, all integer") {
+    // budget 100, 1-epoch caps = availability: A(10) capped at its 33
+    // share, B(50) takes the grown 45 share, C(1000) takes the rest
+    val av = Seq(("C", 1000L), ("A", 10L), ("B", 50L))
+      .toDF("domain", "avail")
+    val out = Sampling.unimaxAllocation(av, "domain", "avail",
+        budgetTokens = 100L, maxEpochsMilli = 1000L)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("cap_tokens") == 10 &&
+      a.getAs[Long]("alloc_tokens") == 10 &&
+      a.getAs[Long]("epochs_milli") == 1000 &&
+      a.getAs[Boolean]("cap_bound"))
+    val b = out("B")
+    assert(b.getAs[Long]("alloc_tokens") == 45 &&
+      b.getAs[Long]("epochs_milli") == 900 &&
+      !b.getAs[Boolean]("cap_bound"))
+    val c = out("C")
+    assert(c.getAs[Long]("alloc_tokens") == 45 &&
+      c.getAs[Long]("epochs_milli") == 45 &&
+      !c.getAs[Boolean]("cap_bound"))
+    // never over budget, never over any cap
+    assert(out.values.map(_.getAs[Long]("alloc_tokens")).sum <= 100)
+
+    // uncapped regime (huge epoch cap): plain integer fair share
+    val even = Sampling.unimaxAllocation(av, "domain", "avail",
+        budgetTokens = 10L, maxEpochsMilli = 100000L)
+      .collect().map(r => r.getAs[Long]("alloc_tokens"))
+    assert(even.sorted.toSeq == Seq(3L, 3L, 4L))
+
+    assert(Sampling.unimaxAllocation(
+      Seq.empty[(String, Long)].toDF("domain", "avail"),
+      "domain", "avail", 100L, 1000L).count() == 0)
+  }
+
   test("thresholdCurve: one-scan conditional sums match a per-threshold filter; empty corpus") {
     // docs with (score=tokens): 5, 15, 25, 40 → total 85
     val d = Seq(5L, 15L, 25L, 40L).map(v => (v, v)).toDF("score", "nw")
