@@ -1182,6 +1182,57 @@ object QueriesExtra {
         |WHERE r.o_orderkey IS NULL OR s.o_orderkey IS NULL
         |  OR s.o_orderstatus <> r.o_orderstatus
         |  OR s.o_orderpriority <> r.o_orderpriority""".stripMargin),
+    // Population Stability Index between two corpus snapshots (even vs
+    // odd doc ids) over token-length buckets — the distribution-drift
+    // audit before accepting a refreshed dataset; shares in exact
+    // integer micros, the only float is the final per-bucket ln
+    // (rounded 6 dp on both sides, the PMI precedent)
+    ("dq_psi_drift",
+      ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(TextFunctions.words(col("text"))).cast("long").as("n"))
+      graft.operators.DataChecks.psi(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "n", edges = Seq(10L, 30L, 60L, 100L))
+    }),
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    w -> len(w) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |ab AS (
+        |  SELECT CASE WHEN n <= 10 THEN 0 WHEN n <= 30 THEN 1
+        |    WHEN n <= 60 THEN 2 WHEN n <= 100 THEN 3 ELSE 4
+        |    END AS bucket,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS isa
+        |  FROM t),
+        |bk(bucket) AS (VALUES (0), (1), (2), (3), (4)),
+        |c AS (
+        |  SELECT bk.bucket,
+        |    CAST(COALESCE(SUM(CASE WHEN isa = 1 THEN 1 END), 0)
+        |      AS BIGINT) AS n_a,
+        |    CAST(COALESCE(SUM(CASE WHEN isa = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS n_b
+        |  FROM bk LEFT JOIN ab ON ab.bucket = bk.bucket GROUP BY 1),
+        |tt AS (SELECT GREATEST(SUM(n_a), 1) AS ta,
+        |              GREATEST(SUM(n_b), 1) AS tb FROM c),
+        |p AS (
+        |  SELECT c.bucket, c.n_a, c.n_b,
+        |    CAST(GREATEST(c.n_a, 1) * 1000000 // tt.ta AS BIGINT)
+        |      AS pa_micro,
+        |    CAST(GREATEST(c.n_b, 1) * 1000000 // tt.tb AS BIGINT)
+        |      AS pb_micro
+        |  FROM c, tt)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(CASE bucket WHEN 0 THEN 10 WHEN 1 THEN 30 WHEN 2 THEN 60
+        |    WHEN 3 THEN 100 END AS BIGINT) AS edge,
+        |  n_a, n_b, pa_micro, pb_micro,
+        |  ROUND((pa_micro - pb_micro) / 1e6
+        |    * LN(CAST(pa_micro AS DOUBLE) / pb_micro), 6) AS psi_term
+        |FROM p""".stripMargin),
     // k-anonymity audit over the released customer quasi-identifiers
     // (nation, market segment, account-balance band): every class below
     // k=5 is a re-identifiable combination. Exact hash aggregation; the

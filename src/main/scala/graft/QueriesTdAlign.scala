@@ -285,6 +285,47 @@ private[graft] object QueriesTdAlign {
         |      END
         |  ELSE 0 END AS adv_bp
         |FROM k""".stripMargin),
+    // Fleiss' kappa inter-annotator agreement (the labeling-QA gate of
+    // an annotation pipeline): items = days, raters' labels = event
+    // types; per-item agreement, label marginals, and the chance-
+    // corrected kappa all in exact integer micros with a sign-split
+    // final division
+    ("td_fleiss_kappa",
+      ((s, dir) => graft.operators.EvalMetrics.fleissKappa(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("day",
+            date_format(col("ts").cast("timestamp"), "yyyy-MM-dd")),
+        "day", "event_type")),
+      """WITH r AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS item, event_type AS label
+        |  FROM events),
+        |nij AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS nij
+        |        FROM r GROUP BY 1, 2),
+        |it AS (SELECT item, CAST(SUM(nij) AS BIGINT) AS ni,
+        |         CAST(SUM(nij * nij) AS BIGINT) AS sq
+        |       FROM nij GROUP BY 1),
+        |ke AS (SELECT *,
+        |         (sq - ni) * 1000000 // (ni * (ni - 1)) AS agree_micro
+        |       FROM it WHERE ni >= 2),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(COALESCE(SUM(ni), 0) AS BIGINT) AS n_ratings,
+        |    CAST(COALESCE(SUM(agree_micro), 0) AS BIGINT) AS agree_sum
+        |  FROM ke),
+        |mar AS (SELECT n.label, CAST(SUM(n.nij) AS BIGINT) AS lt
+        |        FROM nij n JOIN ke ON n.item = ke.item GROUP BY 1),
+        |pe AS (SELECT CAST(COALESCE(SUM(
+        |    (lt * 1000000 // t.n_ratings) * (lt * 1000000 // t.n_ratings)
+        |  ), 0) // 1000000 AS BIGINT) AS pe_micro FROM mar, tot t)
+        |SELECT t.n_items, t.n_ratings,
+        |  CAST(t.agree_sum // t.n_items AS BIGINT) AS pbar_micro,
+        |  pe.pe_micro,
+        |  CASE WHEN t.agree_sum // t.n_items >= pe.pe_micro
+        |    THEN CAST((t.agree_sum // t.n_items - pe.pe_micro) * 1000000
+        |      // GREATEST(1000000 - pe.pe_micro, 1) AS BIGINT)
+        |    ELSE -CAST((pe.pe_micro - t.agree_sum // t.n_items) * 1000000
+        |      // GREATEST(1000000 - pe.pe_micro, 1) AS BIGINT)
+        |    END AS kappa_micro
+        |FROM tot t, pe""".stripMargin),
     // Bradley-Terry strength fitting (the Arena-style leaderboard that
     // closes the preference loop): comparisons = top-4-ranked event
     // TYPES per (user, day) expanded into strict (winner, loser) pairs,

@@ -670,6 +670,27 @@ private[graft] object QueriesTdSample {
         |       ELSE 0 END AS epochs_milli,
         |  cap <= share AS cap_bound
         |FROM g WHERE domain IS NOT NULL""".stripMargin),
+    // token-balanced output sharding: snake assignment over the token-
+    // descending two-phase rank (no global window) — per-shard token
+    // mass lands within one max-document of even; the oracle replays
+    // rank and snake exactly
+    ("td_shard_balance",
+      ((s, dir) =>
+      Sampling.shardBalance(
+        docs(s, dir).select(col("doc_id"),
+          size(TextFunctions.words(col("text"))).cast("long")
+            .as("n_toks")),
+        "doc_id", "n_toks", numShards = 8)),
+      (wordsOnlyCte +
+      """, t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM ws),
+        |r AS (
+        |  SELECT doc_id, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) AS rank
+        |  FROM t)
+        |SELECT doc_id AS id, n AS n_tokens, CAST(rank AS BIGINT) AS rank,
+        |  CAST(CASE WHEN (rank - 1) % 16 < 8 THEN (rank - 1) % 16
+        |    ELSE 15 - ((rank - 1) % 16) END AS INT) AS shard
+        |FROM r""".stripMargin)),
     // quality-vs-quantity attrition curve: per candidate threshold, the
     // surviving doc/token counts and token share — ONE corpus scan
     // (conditional sums inside a single aggregation, unpivoted after)

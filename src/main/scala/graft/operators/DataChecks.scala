@@ -162,6 +162,64 @@ object DataChecks {
       .select(keyExprs :+ col("status"): _*)
   }
 
+  /** Population Stability Index between two corpus snapshots — the
+    * standard distribution-drift audit a pipeline runs before accepting
+    * a refreshed dataset (credit-scoring lineage; PSI > 0.2 is the
+    * conventional "significant shift" flag). `edges` define ascending
+    * value buckets (value <= edge; one overflow bucket above the last);
+    * each side's bucket share is held in exact integer micro units
+    * (zero-count buckets floor to 1 row, the standard epsilon) and the
+    * per-bucket term
+    *
+    *   (p_a − p_b) · ln(p_a / p_b)
+    *
+    * is emitted PER BUCKET, rounded to 6 dp — the only float is the
+    * final ln (the [[graft.operators.Collocations]] ln-only precedent),
+    * and no cross-bucket float sum happens inside the gated frame
+    * (callers total the handful of buckets). Output: (bucket, edge,
+    * n_a, n_b, pa_micro, pb_micro, psi_term).
+    *
+    * Scale shape: one partial-aggregating scan per side down to
+    * |edges|+1 rows, then arithmetic on the bucket frame. */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+          edges: Seq[Long]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      "edges must be non-empty, ascending, distinct")
+    def bucketCol = edges.zipWithIndex.sortBy(-_._2)
+      .foldLeft(lit(edges.length).cast("int")) { case (acc, (e, i)) =>
+        when(col(valueCol) <= e, lit(i)).otherwise(acc)
+      }
+    def side(df: DataFrame, n: String) = df
+      .select(bucketCol.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    val edgeCol = edges.zipWithIndex.sortBy(-_._2)
+      .foldLeft(lit(null).cast("long")) { case (acc, (e, i)) =>
+        when(col("bucket") === i, lit(e)).otherwise(acc)
+      }
+    // every bucket appears even when both sides are empty there: the
+    // report's shape is the edge list, not the data
+    val spark = a.sparkSession
+    import spark.implicits._
+    val all = (0 to edges.length).map(_.toLong).toDF("bucket")
+    all.join(side(a, "_na"), Seq("bucket"), "left")
+      .join(side(b, "_nb"), Seq("bucket"), "left")
+      .withColumn("n_a", coalesce(col("_na"), lit(0L)))
+      .withColumn("n_b", coalesce(col("_nb"), lit(0L)))
+      .withColumn("_ta", expr("greatest(sum(n_a) over (), 1L)"))
+      .withColumn("_tb", expr("greatest(sum(n_b) over (), 1L)"))
+      .withColumn("pa_micro",
+        expr("greatest(n_a, 1L) * 1000000L div _ta"))
+      .withColumn("pb_micro",
+        expr("greatest(n_b, 1L) * 1000000L div _tb"))
+      .withColumn("psi_term", round(
+        (col("pa_micro") - col("pb_micro")).cast("double") / lit(1e6) *
+          log(col("pa_micro").cast("double") /
+            col("pb_micro").cast("double")), 6))
+      .select(col("bucket").cast("int").as("bucket"), edgeCol.as("edge"),
+        col("n_a"), col("n_b"), col("pa_micro"), col("pb_micro"),
+        col("psi_term"))
+  }
+
   /** Union the per-check scalar frames into one (check_name, violations)
     * report, ordered by check name. ("check" is an ANSI reserved word —
     * the column name keeps the report portable across SQL engines.) */

@@ -282,4 +282,63 @@ object EvalMetrics {
         col("dcg_micro"), col("idcg_micro"), col("precision_k"),
         col("recall_k"), col("rr"), col("ndcg"))
   }
+
+  /** Fleiss' kappa (Fleiss 1971) — inter-annotator agreement for a
+    * labeling pipeline's QA gate: how much the raters agree beyond
+    * chance, over items each rated by 2+ raters (the variable-n
+    * generalization; items with a single rating carry no agreement
+    * signal and are excluded — from the marginals too). All integer
+    * micro units with a sign-split final division (kappa is negative
+    * when observed agreement falls below chance), so the fit replays
+    * engine-exact:
+    *
+    *   P_i  = (Σ_j n_ij² − n_i) · 10⁶ div (n_i·(n_i−1))
+    *   P̄   = Σ P_i div I          p_j = (Σ_i n_ij) · 10⁶ div N
+    *   P̄_e = Σ p_j² div 10⁶       κ = (P̄ − P̄_e) · 10⁶ div (10⁶ − P̄_e)
+    *
+    * Scale shape: one (item, label)-keyed aggregation over the ratings
+    * stream down to the n_ij table (persisted — it feeds the per-item
+    * pass, the label marginals, and two bounded 1-row driver reads,
+    * the [[graft.operators.Sampling.dsirWeightsFull]] precedent), then
+    * label-count-sized arithmetic. Per-item rating counts must stay
+    * ≤ ~3·10⁹ (n_ij² in a long) — raters per item, far below at any
+    * real annotation scale. Output: ONE row
+    * (n_items, n_ratings, pbar_micro, pe_micro, kappa_micro). */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+                  labelCol: String): DataFrame = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val nij = ratings
+      .groupBy(col(itemCol).as("item"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nij"))
+      .persist()
+    try {
+      val items = nij.groupBy(col("item"))
+        .agg(sum(col("nij")).as("ni"),
+          sum(col("nij") * col("nij")).as("sq"))
+        .filter(col("ni") >= 2)
+        .withColumn("agree_micro",
+          expr("(sq - ni) * 1000000L div (ni * (ni - 1L))"))
+      val tot = items.agg(count(lit(1)), coalesce(sum("ni"), lit(0L)),
+        coalesce(sum("agree_micro"), lit(0L))).head
+      val (nItems, nRatings, agreeSum) =
+        (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+      if (nItems == 0) {
+        return Seq.empty[(Long, Long, Long, Long, Long)].toDF(
+          "n_items", "n_ratings", "pbar_micro", "pe_micro", "kappa_micro")
+      }
+      val peRow = nij.join(items.select(col("item")), Seq("item"))
+        .groupBy(col("label")).agg(sum(col("nij")).as("lt"))
+        .withColumn("pj", expr(s"lt * 1000000L div ${nRatings}L"))
+        .agg(coalesce(expr("sum(pj * pj) div 1000000L"), lit(0L))).head
+      val pe = peRow.getLong(0)
+      val pbar = agreeSum / nItems
+      val den = math.max(1000000L - pe, 1L)
+      val kappa =
+        if (pbar >= pe) (pbar - pe) * 1000000L / den
+        else -((pe - pbar) * 1000000L / den)
+      Seq((nItems, nRatings, pbar, pe, kappa)).toDF(
+        "n_items", "n_ratings", "pbar_micro", "pe_micro", "kappa_micro")
+    } finally nij.unpersist(false)
+  }
 }

@@ -774,6 +774,35 @@ object Sampling {
         (col("bucket_cap") - col("n_tokens")).as("padded_tokens"))
   }
 
+  /** Token-balanced output sharding — the write-side step a webdataset/
+    * TFRecord-style export needs: assign every document to one of
+    * `numShards` shards so per-shard TOKEN mass is near-equal (greedy
+    * bin packing is sequential and engine-hostile; the deterministic
+    * snake over the token-descending rank gets within one max-document
+    * of the LPT bound and replays exactly). Docs rank by
+    * (n_tokens desc, id asc) via the shared two-phase range pass — no
+    * global window, no single reducer — and rank r lands in shard
+    *
+    *   pos = r mod 2S;  shard = pos        (pos < S)
+    *                          = 2S − 1 − pos (otherwise)
+    *
+    * so consecutive heavy documents spread across shards in
+    * alternating direction (the boustrophedon that keeps the first
+    * shard from hoarding every heavyweight). Output: one row per doc
+    * (id, n_tokens, rank, shard). */
+  def shardBalance(docs: DataFrame, idCol: String, tokensCol: String,
+                   numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be positive")
+    val prep = docs.select(col(idCol).as("_id"),
+      (-col(tokensCol).cast("long")).as("_neg"))
+    val s2 = numShards * 2L
+    stratumRank(prep, "_id", "_neg", lit("all"))
+      .withColumn("_pos", pmod(col("rank") - 1L, lit(s2)))
+      .select(col("id"), (-col("score")).as("n_tokens"),
+        col("rank"),
+        when(col("_pos") < numShards, col("_pos"))
+          .otherwise(lit(s2 - 1L) - col("_pos")).cast("int").as("shard"))
+  }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw

@@ -113,4 +113,30 @@ class DataChecksSpec extends GraftSpec {
       .as[(String, Long, Long, Long)].collect().head
     assert(comp == (("c", 3L, 1L, 2L)))
   }
+
+  test("psi: identical distributions score zero per bucket; a shift yields the hand-computed terms") {
+    val a = Seq(5L, 5L, 25L, 25L).toDF("v")
+    // identical snapshots: every term is exactly 0 (ln(1) = 0)
+    val same = DataChecks.psi(a, a, "v", edges = Seq(10L, 30L))
+      .collect().map(r => r.getAs[Int]("bucket") -> r).toMap
+    assert(same.keySet == Set(0, 1, 2))
+    assert(same.values.forall(_.getAs[Double]("psi_term") == 0.0))
+    // empty buckets floor to 1 row before the share, never div-by-zero
+    assert(same(2).getAs[Long]("n_a") == 0 &&
+      same(2).getAs[Long]("pa_micro") == 250000)
+    // shifted: A = (2 low, 2 high), B = (4 low); hand-computed micros
+    //   pa = (500000, 500000, floor-1 250000)
+    //   pb = (1000000, floor-1 250000, floor-1 250000)
+    val b = Seq(5L, 6L, 7L, 8L).toDF("v")
+    val shift = DataChecks.psi(a, b, "v", edges = Seq(10L, 30L))
+      .collect().map(r => r.getAs[Int]("bucket") -> r).toMap
+    assert(shift(0).getAs[Long]("pa_micro") == 500000 &&
+      shift(0).getAs[Long]("pb_micro") == 1000000)
+    val t0 = shift(0).getAs[Double]("psi_term")
+    assert(math.abs(t0 - (-0.5 * math.log(0.5))) < 1e-5, s"t0=$t0")
+    assert(shift(1).getAs[Long]("pb_micro") == 250000)
+    // bucket edges surface in the report (overflow bucket has none)
+    assert(shift(0).getAs[Long]("edge") == 10 &&
+      shift(2).isNullAt(shift(2).fieldIndex("edge")))
+  }
 }

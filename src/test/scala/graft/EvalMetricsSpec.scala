@@ -140,6 +140,37 @@ class EvalMetricsSpec extends GraftSpec {
       "winner", "loser").count() == 0)
   }
 
+  test("fleissKappa: hand-computed agreement, negative kappa, singleton items excluded everywhere") {
+    // item A rated (x, x): P_A = 1; item B rated (x, y): P_B = 0
+    // marginals over kept items: x=3/4, y=1/4 → pe = 625000 micro
+    // pbar = 500000 → kappa = -125000·10⁶ // 375000 = -333333 (< chance)
+    val r = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"))
+      .toDF("item", "label")
+    val out = EvalMetrics.fleissKappa(r, "item", "label").collect().head
+    assert(out.getAs[Long]("n_items") == 2 &&
+      out.getAs[Long]("n_ratings") == 4 &&
+      out.getAs[Long]("pbar_micro") == 500000 &&
+      out.getAs[Long]("pe_micro") == 625000 &&
+      out.getAs[Long]("kappa_micro") == -333333)
+    // a singleton item changes NOTHING — not the counts, not the
+    // marginals (its label would otherwise shift pe)
+    val withSingleton = r.union(Seq(("C", "z")).toDF("item", "label"))
+    val out2 = EvalMetrics.fleissKappa(withSingleton, "item", "label")
+      .collect().head
+    assert(out2.getAs[Long]("n_items") == 2 &&
+      out2.getAs[Long]("pe_micro") == 625000 &&
+      out2.getAs[Long]("kappa_micro") == -333333)
+    // perfect two-label agreement: kappa = 1 exactly
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("item", "label")
+    assert(EvalMetrics.fleissKappa(perfect, "item", "label")
+      .collect().head.getAs[Long]("kappa_micro") == 1000000)
+    // no item with 2+ ratings: empty report, not a div-by-zero
+    assert(EvalMetrics.fleissKappa(
+      Seq(("A", "x"), ("B", "y")).toDF("item", "label"),
+      "item", "label").count() == 0)
+  }
+
   test("retrievalEval: hand-computed nDCG/MRR/recall on a 3-rank list") {
     import graft.operators.EvalMetrics
     val ranking = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),

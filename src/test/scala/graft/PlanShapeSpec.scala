@@ -300,6 +300,17 @@ class PlanShapeSpec extends GraftSpec {
     }
   }
 
+  test("shard balance ranks through the two-phase range pass: no single-partition exchange") {
+    // the token-descending rank must be the range exchange + per-
+    // partition windows, never a global window on one reducer
+    val p = plan("td_shard_balance")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"td_shard_balance has a single-partition exchange:\n$p")
+    val pinned = graft.operators.Sampling.lastPinnedPlan
+    assert(pinned.contains("Exchange rangepartitioning"),
+      s"expected the rank's range repartition in the pin stash:\n$pinned")
+  }
+
   test("vocab-coverage scoring is scan-shaped: vocab inlined, no join/explode/exchange") {
     // the word histogram is collected at BUILD time (vocabSize rows);
     // the returned frame must be a bare scan + projection

@@ -197,6 +197,36 @@ class SamplingSpec extends GraftSpec {
     assert(b.getAs[Boolean]("upsampled"))
   }
 
+  test("shardBalance: snake assignment balances token mass within one max-document") {
+    // tokens 100..50 desc over 2 shards: snake positions 0,1,1,0,0,1 →
+    // shard 0 = {100, 70, 60} = 230, shard 1 = {90, 80, 50} = 220
+    val d = Seq((1L, 100L), (2L, 90L), (3L, 80L), (4L, 70L),
+      (5L, 60L), (6L, 50L)).toDF("doc_id", "n_toks")
+    val out = Sampling.shardBalance(d, "doc_id", "n_toks", numShards = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Int]("shard") == 0 &&
+      out(2L).getAs[Int]("shard") == 1 &&
+      out(3L).getAs[Int]("shard") == 1 &&
+      out(4L).getAs[Int]("shard") == 0 &&
+      out(5L).getAs[Int]("shard") == 0 &&
+      out(6L).getAs[Int]("shard") == 1)
+    val sums = out.values.groupBy(_.getAs[Int]("shard"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_tokens")).sum }
+    assert(sums(0) == 230 && sums(1) == 220)
+
+    // larger randomized-ish check: imbalance never exceeds the largest
+    // single document (the snake bound), across a shuffled input
+    val big = (0L until 200L).map(i => (i, 1L + (i * 37) % 97))
+    val bigDf = big.reverse.toDF("doc_id", "n_toks").repartition(7)
+    val shards = Sampling.shardBalance(bigDf, "doc_id", "n_toks", 8)
+      .groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(_.getAs[Long]("t"))
+    assert(shards.length == 8)
+    assert(shards.max - shards.min <= big.map(_._2).max,
+      s"imbalance ${shards.max - shards.min} exceeds max doc")
+  }
+
   test("unimaxAllocation: caps bind ascending, freed budget redistributes, all integer") {
     // budget 100, 1-epoch caps = availability: A(10) capped at its 33
     // share, B(50) takes the grown 45 share, C(1000) takes the rest
