@@ -285,6 +285,75 @@ private[graft] object QueriesTdAlign {
         |      END
         |  ELSE 0 END AS adv_bp
         |FROM k""".stripMargin),
+    // pairwise Cohen's kappa (which raters disagree): canonical rating
+    // per (user, day) = the argmax-cents event type; a bounded rater
+    // panel (user_id < 40 — annotator panels are small) pairs on
+    // common days; strict per-pair marginals, all integer micros
+    ("td_cohen_kappa",
+      ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("user_id") < 40)
+        .withColumn("day",
+          date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .filter(col("cents").isNotNull)
+      val canon = e.groupBy(col("user_id"), col("day"))
+        .agg(min(struct((-col("cents")).as("nc"), col("event_id"),
+          col("event_type").as("et"))).as("hi"))
+        .select(col("day").as("item"), col("user_id").as("rater"),
+          col("hi.et").as("lab"))
+      graft.operators.EvalMetrics.cohenKappaPairs(
+        canon, "item", "rater", "lab", minCommon = 3)
+    }),
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events WHERE value IS NOT NULL AND user_id < 40),
+        |c AS (
+        |  SELECT day, user_id, event_type FROM (
+        |    SELECT day, user_id, event_type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |        ORDER BY cents DESC, event_id) AS rn
+        |    FROM e) WHERE rn = 1),
+        |p AS (
+        |  SELECT CAST(a.user_id AS VARCHAR) AS ra,
+        |    CAST(b.user_id AS VARCHAR) AS rb,
+        |    a.event_type AS la, b.event_type AS lb
+        |  FROM c a JOIN c b ON a.day = b.day
+        |  WHERE CAST(a.user_id AS VARCHAR) < CAST(b.user_id AS VARCHAR)),
+        |po AS (
+        |  SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |    CAST(COALESCE(SUM(CASE WHEN la = lb THEN 1 END), 0)
+        |      AS BIGINT) AS n_agree
+        |  FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |ma AS (SELECT ra, rb, la AS lab, CAST(COUNT(*) AS BIGINT) AS ca
+        |       FROM p GROUP BY 1, 2, 3),
+        |mb AS (SELECT ra, rb, lb AS lab, CAST(COUNT(*) AS BIGINT) AS cb
+        |       FROM p GROUP BY 1, 2, 3),
+        |pe AS (
+        |  SELECT COALESCE(ma.ra, mb.ra) AS ra,
+        |    COALESCE(ma.rb, mb.rb) AS rb,
+        |    CAST(COALESCE(SUM(COALESCE(ca, 0) * COALESCE(cb, 0)), 0)
+        |      AS BIGINT) AS crossv
+        |  FROM ma FULL JOIN mb ON ma.ra = mb.ra AND ma.rb = mb.rb
+        |    AND ma.lab = mb.lab
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT po.ra, po.rb, n_common, n_agree,
+        |    CAST(n_agree * 1000000 // n_common AS BIGINT) AS po_micro,
+        |    CAST(crossv * 1000000 // (n_common * n_common) AS BIGINT)
+        |      AS pe_micro
+        |  FROM po JOIN pe ON po.ra = pe.ra AND po.rb = pe.rb)
+        |SELECT ra AS rater_a, rb AS rater_b, n_common, n_agree,
+        |  po_micro, pe_micro,
+        |  CASE WHEN po_micro >= pe_micro
+        |    THEN CAST((po_micro - pe_micro) * 1000000
+        |      // GREATEST(1000000 - pe_micro, 1) AS BIGINT)
+        |    ELSE -CAST((pe_micro - po_micro) * 1000000
+        |      // GREATEST(1000000 - pe_micro, 1) AS BIGINT)
+        |    END AS kappa_micro
+        |FROM f""".stripMargin),
     // Fleiss' kappa inter-annotator agreement (the labeling-QA gate of
     // an annotation pipeline): items = days, raters' labels = event
     // types; per-item agreement, label marginals, and the chance-

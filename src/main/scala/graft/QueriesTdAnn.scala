@@ -39,6 +39,49 @@ private[graft] object QueriesTdAnn {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 10""".stripMargin),
+    // Matryoshka truncation audit (Kusupati 2022): exact top-10 with
+    // full vectors vs the first-8-dims prefix, per-query recall in
+    // exact integer bp — both rankings and the intersection replay
+    ("emb_matryoshka",
+      ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.matryoshkaRecall(
+        e.filter(col("id") < 10).select(col("id").as("qid"), col("vec")),
+        e, k = 10, dims = 8)
+    }),
+      """WITH fullr AS (
+        |  SELECT qid, id FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ROUND(list_cosine_similarity(
+        |          q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+        |          DESC, c.vec_id) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 10),
+        |cheap AS (
+        |  SELECT qid, id FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ROUND(list_cosine_similarity(
+        |          (q.embedding::DOUBLE[])[1:8],
+        |          (c.embedding::DOUBLE[])[1:8]), 6) DESC, c.vec_id)
+        |        AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 10),
+        |h AS (SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |      FROM fullr f JOIN cheap ch
+        |        ON f.qid = ch.qid AND f.id = ch.id
+        |      GROUP BY 1),
+        |n AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_full
+        |      FROM fullr GROUP BY 1)
+        |SELECT n.qid, n.n_full,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) * 10000 // n.n_full AS BIGINT)
+        |    AS recall_bp
+        |FROM n LEFT JOIN h ON n.qid = h.qid""".stripMargin),
     // hard-negative mining for contrastive training: per anchor, the
     // top-5 highest-cosine candidates with a DIFFERENT label (positives
     // excluded) below the near-duplicate threshold — the FAISS/SBERT

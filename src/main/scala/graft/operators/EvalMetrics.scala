@@ -283,6 +283,61 @@ object EvalMetrics {
         col("recall_k"), col("rr"), col("ndcg"))
   }
 
+  /** Pairwise Cohen's kappa (Cohen 1960) — the companion to
+    * [[fleissKappa]] that says WHICH raters disagree: for every rater
+    * pair sharing at least `minCommon` items, observed agreement and
+    * the chance-corrected kappa over their COMMON items, marginals per
+    * pair (the strict Cohen form). One rating per (item, rater) is the
+    * caller's contract (pick a canonical rating upstream — e.g. the
+    * argmax-score label per item). All integer micros, sign-split
+    * final division.
+    *
+    * Scale shape: an item-keyed self-join (per-item fan-out = raters
+    * on that item, squared — annotation-scale, never corpus-scale),
+    * then (rater_a, rater_b[, label])-keyed aggregations; the label
+    * marginal join keys on (pair, label). Output per pair:
+    * (rater_a, rater_b, n_common, n_agree, po_micro, pe_micro,
+    * kappa_micro). */
+  def cohenKappaPairs(ratings: DataFrame, itemCol: String,
+                      raterCol: String, labelCol: String,
+                      minCommon: Long = 2L): DataFrame = {
+    val r = ratings.select(col(itemCol).as("item"),
+      col(raterCol).cast("string").as("rater"),
+      col(labelCol).cast("string").as("lab"))
+    val pairs = r.as("a").join(r.as("b"), col("a.item") === col("b.item"))
+      .filter(col("a.rater") < col("b.rater"))
+      .select(col("a.rater").as("ra"), col("b.rater").as("rb"),
+        col("a.lab").as("la"), col("b.lab").as("lb"))
+    val po = pairs.groupBy(col("ra"), col("rb"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .filter(col("n_common") >= minCommon)
+    val ma = pairs.groupBy(col("ra"), col("rb"), col("la").as("lab"))
+      .agg(count(lit(1)).as("ca"))
+    val mb = pairs.groupBy(col("ra"), col("rb"), col("lb").as("lab"))
+      .agg(count(lit(1)).as("cb"))
+    val pe = ma.join(mb, Seq("ra", "rb", "lab"), "full_outer")
+      .groupBy(col("ra"), col("rb"))
+      .agg(coalesce(sum(
+        expr("coalesce(ca, 0L) * coalesce(cb, 0L)")), lit(0L))
+        .as("_cross"))
+    po.join(pe, Seq("ra", "rb"))
+      .withColumn("po_micro", expr("n_agree * 1000000L div n_common"))
+      // Σ_l (ca_l/n)(cb_l/n) in micro = Σ ca·cb · 10⁶ div n² — ONE
+      // division, so no per-label truncation stacks up
+      .withColumn("pe_micro",
+        expr("_cross * 1000000L div (n_common * n_common)"))
+      .withColumn("kappa_micro", expr(
+        "CASE WHEN po_micro >= pe_micro THEN (po_micro - pe_micro) " +
+          "* 1000000L div greatest(1000000L - pe_micro, 1L) " +
+          "ELSE -((pe_micro - po_micro) * 1000000L " +
+          "div greatest(1000000L - pe_micro, 1L)) END"))
+      .select(col("ra").as("rater_a"), col("rb").as("rater_b"),
+        col("n_common"), col("n_agree"), col("po_micro"),
+        col("pe_micro"), col("kappa_micro"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — inter-annotator agreement for a
     * labeling pipeline's QA gate: how much the raters agree beyond
     * chance, over items each rated by 2+ raters (the variable-n

@@ -57,6 +57,38 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("cosine"))
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): how much exact top-k retrieval quality
+    * survives truncating every embedding to its first `dims`
+    * dimensions — the question an MRL deployment answers before
+    * serving the cheap prefix instead of the full vector. Runs the
+    * SAME exact scorer ([[bruteForceTopK]]: 6-dp-rounded cosine, id
+    * tiebreak) at full and truncated width and reports, per query, the
+    * top-k overlap as recall in exact integer basis points — engine-
+    * replayable because both rankings and the intersection count are.
+    *
+    * Scale shape: two brute passes (corpus scanned twice, never
+    * shuffled — queries broadcast) plus a (qid, id)-keyed join of two
+    * k-row-per-query frames. At 100 TB feed [[ivfTopK]] candidates as
+    * the corpus the same way bruteForceTopK's doc says. */
+  def matryoshkaRecall(queries: DataFrame, corpus: DataFrame,
+                       k: Int, dims: Int): DataFrame = {
+    require(k >= 1 && dims >= 1, "k and dims must be positive")
+    def trunc(df: DataFrame, idc: String) = df
+      .select(col(idc), slice(col("vec"), 1, dims).as("vec"))
+    val full = bruteForceTopK(queries, corpus, k)
+      .select(col("qid"), col("id"))
+    val cheap = bruteForceTopK(trunc(queries, "qid"), trunc(corpus, "id"), k)
+      .select(col("qid"), col("id"))
+    val hits = full.join(cheap, Seq("qid", "id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    full.groupBy(col("qid")).agg(count(lit(1)).as("n_full"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_bp", expr("n_hits * 10000L div n_full"))
+      .select(col("qid"), col("n_full"), col("n_hits"), col("recall_bp"))
+  }
+
   /** Hard-negative mining for embedding/contrastive training: for each
     * anchor, the top-k highest-cosine candidates that are NOT positives
     * (different `label`) and not near-duplicate twins (rounded cosine

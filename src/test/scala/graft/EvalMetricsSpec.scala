@@ -140,6 +140,34 @@ class EvalMetricsSpec extends GraftSpec {
       "winner", "loser").count() == 0)
   }
 
+  test("cohenKappaPairs: hand-computed per-pair kappa — chance, perfect disagreement, minCommon floor") {
+    // raters over items 1..4: A = (x,x,y,y), B = (x,y,y,x),
+    // C = (y,y,x,x). A-B agree on 2/4 with balanced marginals → κ = 0;
+    // A-C never agree, balanced marginals → κ = −1 exactly; B-C → 0.
+    val r = Seq(
+      (1L, "A", "x"), (2L, "A", "x"), (3L, "A", "y"), (4L, "A", "y"),
+      (1L, "B", "x"), (2L, "B", "y"), (3L, "B", "y"), (4L, "B", "x"),
+      (1L, "C", "y"), (2L, "C", "y"), (3L, "C", "x"), (4L, "C", "x"))
+      .toDF("item", "rater", "label")
+    val out = EvalMetrics.cohenKappaPairs(r, "item", "rater", "label")
+      .collect()
+      .map(x => (x.getAs[String]("rater_a"), x.getAs[String]("rater_b"))
+        -> x).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("n_common") == 4 &&
+      ab.getAs[Long]("n_agree") == 2 &&
+      ab.getAs[Long]("po_micro") == 500000 &&
+      ab.getAs[Long]("pe_micro") == 500000 &&
+      ab.getAs[Long]("kappa_micro") == 0)
+    val ac = out(("A", "C"))
+    assert(ac.getAs[Long]("n_agree") == 0 &&
+      ac.getAs[Long]("kappa_micro") == -1000000)
+    // pairs below the common-item floor vanish
+    assert(EvalMetrics.cohenKappaPairs(r, "item", "rater", "label",
+      minCommon = 5).count() == 0)
+  }
+
   test("fleissKappa: hand-computed agreement, negative kappa, singleton items excluded everywhere") {
     // item A rated (x, x): P_A = 1; item B rated (x, y): P_B = 0
     // marginals over kept items: x=3/4, y=1/4 → pe = 625000 micro

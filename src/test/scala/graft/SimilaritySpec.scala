@@ -11,6 +11,24 @@ class SimilaritySpec extends GraftSpec {
     spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
 
+  test("matryoshkaRecall: truncation that reorders the top-k is caught; full width is a perfect 10000 bp") {
+    // query (1, 0): full cosines — a = 0.8, b ≈ 0.9 → full top-1 = b;
+    // first-dim-only cosines are both 1.0 → id tiebreak picks a, so
+    // recall@1 at dims=1 is 0, and at dims=2 (no truncation) 10000
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "vec")
+    val c = Seq((1L, Array(0.8f, 0.6f)), (2L, Array(0.9f, -0.436f)))
+      .toDF("id", "vec")
+    val r1 = Similarity.matryoshkaRecall(q, c, k = 1, dims = 1)
+      .collect().head
+    assert(r1.getAs[Long]("n_full") == 1 &&
+      r1.getAs[Long]("n_hits") == 0 &&
+      r1.getAs[Long]("recall_bp") == 0)
+    val r2 = Similarity.matryoshkaRecall(q, c, k = 1, dims = 2)
+      .collect().head
+    assert(r2.getAs[Long]("n_hits") == 1 &&
+      r2.getAs[Long]("recall_bp") == 10000)
+  }
+
   private def schemaFix(df: org.apache.spark.sql.DataFrame) = df
 
   test("brute-force topk: self-similarity excluded, k rows per query, ranked") {
