@@ -1295,6 +1295,34 @@ object QueriesExtra {
         |    - 1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))
         |    AS BIGINT)) AS noisy_count
         |FROM n""".stripMargin),
+    // hierarchy path flattening (the OASST conversation-tree /
+    // taxonomy shape): heap-rule parents over doc ids make a real
+    // multi-level tree; pointer doubling collapses every chain in
+    // O(log depth) joins; the oracle walks the same tree with WITH
+    // RECURSIVE — ids, roots, depths, and path strings replay exactly
+    ("g6_hierarchy",
+      ((s, dir) => {
+      val n = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"),
+          when(col("doc_id") > 0, expr("(doc_id - 1) div 2")).as("par"))
+      graft.operators.Hierarchy.flattenPaths(n, "id", "par",
+        maxDepth = 64)
+    }),
+      """WITH RECURSIVE n AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id > 0 THEN (doc_id - 1) // 2 END AS par
+        |  FROM documents),
+        |walk AS (
+        |  SELECT id AS sid, id AS cur, par, CAST(0 AS BIGINT) AS depth,
+        |    CAST(id AS VARCHAR) AS path
+        |  FROM n
+        |  UNION ALL
+        |  SELECT w.sid, p.id, p.par, w.depth + 1,
+        |    w.path || '>' || CAST(p.id AS VARCHAR)
+        |  FROM walk w JOIN n p ON w.par = p.id WHERE w.depth < 64)
+        |SELECT sid AS id, CAST(cur AS BIGINT) AS root, depth, path,
+        |  TRUE AS resolved
+        |FROM walk WHERE par IS NULL""".stripMargin),
     // collaborative filtering (implicit ALS over the customer×part
     // purchase matrix): the trained-operator property gate — on the
     // deterministic ~20% holdout, the model must rank each held-out
