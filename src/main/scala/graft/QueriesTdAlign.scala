@@ -285,6 +285,50 @@ private[graft] object QueriesTdAlign {
         |      END
         |  ELSE 0 END AS adv_bp
         |FROM k""".stripMargin),
+    // tree-shaped conversations flattened to root-to-leaf SFT
+    // transcripts (the OASST pipeline): heap-rule message tree over
+    // docs, pointer-doubled paths, leaf anti-join, ordered text
+    // assembly — the oracle re-walks the tree recursively and
+    // string_aggs along each path in position order
+    ("td_tree_sft",
+      ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val n = d.select(col("doc_id").as("id"),
+        when(col("doc_id") > 0, expr("(doc_id - 1) div 2")).as("par"))
+      graft.operators.Hierarchy.treeTranscripts(n, "id", "par",
+        d, "doc_id", "text")
+    }),
+      """WITH RECURSIVE n AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id > 0 THEN (doc_id - 1) // 2 END AS par,
+        |    text
+        |  FROM documents),
+        |walk AS (
+        |  SELECT id AS sid, id AS cur, par, CAST(0 AS BIGINT) AS depth,
+        |    CAST(id AS VARCHAR) AS path
+        |  FROM n
+        |  UNION ALL
+        |  SELECT w.sid, p.id, p.par, w.depth + 1,
+        |    w.path || '>' || CAST(p.id AS VARCHAR)
+        |  FROM walk w JOIN n p ON w.par = p.id WHERE w.depth < 64),
+        |done AS (SELECT sid, cur AS root, depth, path FROM walk
+        |         WHERE par IS NULL),
+        |lv AS (SELECT d.* FROM done d
+        |  WHERE d.sid NOT IN (SELECT par FROM n WHERE par IS NOT NULL)),
+        |ex AS (
+        |  SELECT sid, root, depth,
+        |    unnest(range(1, len(l) + 1)) AS pos, l
+        |  FROM (SELECT sid, root, depth,
+        |          list_reverse(string_split(path, '>')) AS l
+        |        FROM lv)),
+        |ex2 AS (SELECT sid, root, depth, pos,
+        |          CAST(l[pos] AS BIGINT) AS node
+        |        FROM ex)
+        |SELECT e.sid AS leaf_id, CAST(e.root AS BIGINT) AS root,
+        |  e.depth, CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |  string_agg(n.text, ' | ' ORDER BY e.pos) AS transcript
+        |FROM ex2 e JOIN n ON e.node = n.id
+        |GROUP BY 1, 2, 3""".stripMargin),
     // pairwise Cohen's kappa (which raters disagree): canonical rating
     // per (user, day) = the argmax-cents event type; a bounded rater
     // panel (user_id < 40 — annotator panels are small) pairs on

@@ -76,4 +76,42 @@ object Hierarchy {
       .withColumn("depth", when(col("resolved"), col("depth")))
       .withColumn("path", when(col("resolved"), col("path")))
   }
+
+  /** Root-to-leaf transcripts from a message tree — the OASST-style
+    * flattening an SFT pipeline runs over tree-shaped conversations:
+    * every LEAF's path ([[flattenPaths]]) joins each node id to its
+    * text and renders the root→leaf turn sequence as one transcript.
+    * Unresolved leaves (cycle/dangling/over-depth) are excluded — their
+    * loud row already exists in flattenPaths' output.
+    *
+    * Scale shape: leaves = one anti-join against the distinct-parent
+    * set; the path explodes to (leaf, pos, node) — Σ path lengths
+    * rows, the same order as the tree itself — and joins texts by node
+    * id (a plain equi-join); the transcript reassembles with
+    * sort_array(collect_list(struct(pos, text))) inside one leaf-keyed
+    * aggregation, so order needs no window and no second shuffle.
+    * Output: (leaf_id, root, depth, n_turns, transcript). */
+  def treeTranscripts(nodes: DataFrame, idCol: String, parentCol: String,
+                      texts: DataFrame, textIdCol: String,
+                      textCol: String, sep: String = " | ",
+                      maxDepth: Int = 64): DataFrame = {
+    val flat = flattenPaths(nodes, idCol, parentCol, maxDepth)
+      .filter(col("resolved"))
+    val parents = nodes.select(col(parentCol).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+    val leaves = flat.join(parents, Seq("id"), "left_anti")
+    val exploded = leaves
+      .select(col("id").as("leaf_id"), col("root"), col("depth"),
+        posexplode(reverse(split(col("path"), ">"))))
+      .select(col("leaf_id"), col("root"), col("depth"),
+        col("pos"), col("col").cast("long").as("node"))
+    exploded
+      .join(texts.select(col(textIdCol).cast("long").as("node"),
+        col(textCol).as("_t")), Seq("node"))
+      .groupBy(col("leaf_id"), col("root"), col("depth"))
+      .agg(count(lit(1)).as("n_turns"),
+        concat_ws(sep, expr("transform(" +
+          "sort_array(collect_list(struct(pos, _t))), x -> x._t)"))
+          .as("transcript"))
+  }
 }

@@ -67,6 +67,25 @@ class HierarchySpec extends GraftSpec {
       assert(!out(i).getAs[Boolean]("resolved"), s"node $i resolved"))
   }
 
+  test("treeTranscripts: root-to-leaf texts in order, internal nodes excluded, unresolved leaves dropped") {
+    //  1("hi") ← 2("how") ← 4("are")
+    //          ← 3("bye")
+    // plus a cycle pair 5↔6 whose texts must never surface
+    val n = nodes((1L, null), (2L, 1L), (3L, 1L), (4L, 2L),
+      (5L, 6L), (6L, 5L))
+    val texts = Seq((1L, "hi"), (2L, "how"), (3L, "bye"), (4L, "are"),
+      (5L, "X"), (6L, "Y")).toDF("id", "text")
+    val out = Hierarchy.treeTranscripts(n, "id", "par",
+        texts, "id", "text")
+      .collect().map(r => r.getAs[Long]("leaf_id") -> r).toMap
+    // leaves are 3 and 4 (1 and 2 are parents; 5/6 unresolved)
+    assert(out.keySet == Set(3L, 4L))
+    assert(out(4L).getAs[String]("transcript") == "hi | how | are" &&
+      out(4L).getAs[Long]("n_turns") == 3 &&
+      out(4L).getAs[Long]("root") == 1)
+    assert(out(3L).getAs[String]("transcript") == "hi | bye")
+  }
+
   test("flattenPaths: heap-rule tree matches a locally computed walk (the gate's shape)") {
     val n = (0L until 100L)
       .map(i => (i, if (i == 0) null else java.lang.Long.valueOf((i - 1) / 2)))

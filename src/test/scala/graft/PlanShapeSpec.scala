@@ -213,9 +213,10 @@ class PlanShapeSpec extends GraftSpec {
     // decision, not an accident.
     val bnlBounded = Set(
       // ANN top-k: the query set is a fixed handful, broadcast against
-      // the corpus scan (brute baseline + the pruned variants' rerank)
+      // the corpus scan (brute baseline + the pruned variants' rerank;
+      // emb_matryoshka runs the same brute scorer at two widths)
       "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-      "ann_ivfpq_topk",
+      "ann_ivfpq_topk", "emb_matryoshka",
       // retrieval eval / mining / audits: bounded query/label sides
       // (emb_label_noise drives the exact bruteForceTopK form on 10
       // query vectors; the celled ivfTopK form is the corpus path)
