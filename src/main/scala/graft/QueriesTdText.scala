@@ -1325,6 +1325,27 @@ private[graft] object QueriesTdText {
     // of the per-transition probabilities (trained on the same corpus,
     // so every bigram hits; the OOV backoff ladder is spec'd in
     // NgramLmSpec)
+    // incremental KN refit: per-slice count DELTAS (even/odd doc ids)
+    // union and re-sum to the whole corpus' pair table, marginals and
+    // continuation re-derive from it — the refit never re-scans old
+    // batches, and the oracle is the FULL-corpus model, proving
+    // merge(counts(A), counts(B)) == train(A ∪ B) engine-exact
+    ("td_kn_merge",
+      ((s, dir) => {
+      val d = docs(s, dir)
+      val even = graft.operators.NgramLm.pairCounts(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val odd = graft.operators.NgramLm.pairCounts(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      graft.operators.NgramLm.trainFromCounts(even.unionByName(odd))
+        .filter(col("c12") >= 2)
+    }),
+      (knModelCte +
+      """SELECT w1, w2, c12, c1, n1p_left, n1p_right,
+        |  CAST(cont_micro AS BIGINT) AS cont_micro,
+        |  CAST(GREATEST(4 * c12 - 3, 0) * 1000000 // (4 * c1)
+        |    + 3 * n1p_left * cont_micro // (4 * c1) AS BIGINT) AS p_micro
+        |FROM m WHERE c12 >= 2""".stripMargin)),
     ("td_kn_doc",
       ((s, dir) => {
       val d = docs(s, dir)

@@ -60,16 +60,38 @@ object NgramLm {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
   }
 
+  /** Raw (w1, w2, c12) bigram counts of a corpus slice — the additive
+    * half of the model: counts from disjoint slices UNION and re-sum
+    * to exactly the whole corpus' counts, so an incrementally-growing
+    * corpus keeps per-batch count deltas and refits via
+    * [[trainFromCounts]] without ever re-scanning old batches (the
+    * [[graft.streaming.Leaderboard]] count-delta idea applied to LM
+    * training). */
+  def pairCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramStream(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+
   /** Trained model table, one row per distinct bigram:
     * (w1, w2, c12, c1, n1p_left, n1p_right, cont_micro, p_micro).
     * `c1` = Σ_w c(w1 w), `n1p_left` = N1+(w1·), `n1p_right` = N1+(·w2).
     * Runs ONE bounded driver action (the 1-row T count over the
     * persisted pair table) — train is eager in the same way
     * [[Sampling.dsirWeightsFull]] is. */
-  def train(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairCounts = bigramStream(docs, idCol, textCol)
+  def train(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    trainFromCounts(pairCounts(docs, idCol, textCol))
+
+  /** [[train]] over PRE-AGGREGATED (w1, w2, c12) counts — the refit
+    * entry point for an incremental corpus (union the per-batch
+    * [[pairCounts]] deltas; they are re-summed per bigram here, so
+    * unaggregated delta rows are fine). Marginals and the continuation
+    * distribution are NOT additive — they re-derive from the summed
+    * pair table, which is vocab²-bounded, so the refit never touches
+    * the corpus. */
+  def trainFromCounts(counts: DataFrame): DataFrame = {
+    val pairCounts = counts
       .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+      .agg(sum(col("c12")).as("c12"))
       .persist()
     NgramLm.synchronized {
       lastModelCache.foreach(_.unpersist(false))

@@ -66,6 +66,20 @@ class NgramLmSpec extends GraftSpec {
     assert(s(12L).getAs[Long]("sum_p_micro") == 0)
   }
 
+  test("incremental refit: merged per-slice count deltas equal the full-corpus model exactly") {
+    val extra = Seq((3L, "b c b"), (4L, "a b")).toDF("doc_id", "text")
+    val full = NgramLm.train(corpus.union(extra), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    // slices overlap in vocabulary (shared bigrams must re-sum) and
+    // arrive as separate delta tables
+    val merged = NgramLm.trainFromCounts(
+      NgramLm.pairCounts(corpus, "doc_id", "text")
+        .unionByName(NgramLm.pairCounts(extra, "doc_id", "text")))
+      .collect().map(_.toSeq).toSet
+    assert(merged == full,
+      s"incremental refit drifted:\n$merged\nvs\n$full")
+  }
+
   test("empty and single-word docs produce no bigrams, not errors") {
     val model = NgramLm.train(corpus, "doc_id", "text")
     val d = Seq((20L, ""), (21L, "a")).toDF("doc_id", "text")
