@@ -349,6 +349,44 @@ object Conversations {
         col("std_milli"), col("adv_bp"))
   }
 
+  /** Streaming twin of [[groupAdvantage]]'s GROUP-level statistics —
+    * the baseline a GRPO trainer joins its samples against, emitted as
+    * each candidate day closes. State per open group is O(1): count,
+    * sum, and a decimal(38,0) sum of squares; the deviation-square sum
+    * then comes from the algebraic identity
+    *
+    *   Σ(1000·x − m)² = 10⁶·Σx² − 2000·m·Σx + n·m²
+    *
+    * with m the SAME sign-split truncated mean_milli the batch form
+    * uses — so the streamed std_milli is bit-identical to
+    * [[groupAdvantage]]'s per-row fold (spec-proved), not a float
+    * approximation. Unscored (null-cents) rows stay out of every sum
+    * while their timestamps still advance the watermark
+    * ([[watermarkCents]]). Output per closed group: (user_id, day,
+    * n_candidates, sum_cents, mean_milli, std_milli). */
+  def groupStatsStream(events: DataFrame,
+                       watermark: String = "1 hour"): DataFrame = {
+    val e = watermarkCents(events, watermark)
+    e.groupBy(col("user_id"), window(col("ts"), "1 day"))
+      .agg(count(col("cents")).as("n_candidates"),
+        sum(col("cents")).as("_sum"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("_sq"))
+      .filter(col("n_candidates") >= 2)
+      .withColumn("day", date_format(col("window.start"), "yyyy-MM-dd"))
+      .withColumn("mean_milli", expr(
+        "CASE WHEN _sum >= 0 THEN (_sum * 1000L) div n_candidates " +
+          "ELSE -((-_sum * 1000L) div n_candidates) END"))
+      .withColumn("_devsum", expr(
+        "CAST(1000000 AS DECIMAL(38,0)) * _sq " +
+          "- CAST(2000 AS DECIMAL(38,0)) * mean_milli * _sum " +
+          "+ CAST(n_candidates AS DECIMAL(38,0)) * mean_milli * mean_milli"))
+      .withColumn("std_milli",
+        floor(sqrt(expr("CAST(_devsum div n_candidates AS LONG)")))
+          .cast("long"))
+      .select(col("user_id"), col("day"), col("n_candidates"),
+        col("_sum").as("sum_cents"), col("mean_milli"), col("std_milli"))
+  }
+
   /** Streaming twin of [[bestOfN]]: the day column becomes a tumbling
     * daily event-time window and the argmax is the same single-pass
     * `min(struct(-cents, event_id))` fold, so state per open group is

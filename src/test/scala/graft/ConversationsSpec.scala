@@ -376,6 +376,48 @@ class ConversationsSpec extends GraftSpec {
       out(1L).getAs[Long]("dev_milli") == 0)
   }
 
+  test("groupStatsStream equals the batch GRPO group statistics bit-for-bit (algebraic identity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, day: Int, u: Long, v: java.lang.Double) =
+      (id, ts(day * 1440), u, "view", v, "{}")
+    val rows = Seq(
+      ev(0, 1, 1L, 1.0), ev(1, 1, 1L, 3.0), ev(2, 1, 1L, 4.5),
+      ev(3, 1, 2L, 5.0), ev(4, 1, 2L, 5.0),
+      ev(5, 1, 4L, -1.0), ev(6, 1, 4L, -3.0),
+      ev(7, 1, 3L, 9.0),               // singleton → filtered
+      ev(8, 1, 5L, 2.0), ev(9, 1, 5L, null), ev(10, 1, 5L, 7.0))
+    val mem = MemoryStream[
+      (Long, Timestamp, Long, String, java.lang.Double, String)]
+    val out = Conversations.groupStatsStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props"), watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("gstats")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData(ev(9999, 100000, 99L, 1.0)) // watermark sentinel
+      q.processAllAvailable()
+      val got = spark.table("gstats").filter(col("user_id") =!= 99)
+        .select("user_id", "day", "n_candidates", "mean_milli",
+          "std_milli")
+        .collect().map(_.toSeq).toSet
+      // the batch baseline: group-level stats derived from the per-row
+      // fold — the stream's power-sum identity must match EXACTLY,
+      // including the truncated mean and the floor(sqrt) std
+      val batch = Conversations.groupAdvantage(rows
+          .toDF("event_id", "ts", "user_id", "event_type", "value",
+            "props"))
+        .select("user_id", "day", "n_candidates", "mean_milli",
+          "std_milli")
+        .distinct().collect().map(_.toSeq).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.nonEmpty && !got.exists(_.head == 3L))
+    } finally q.stop()
+  }
+
   test("leaderboard crash-replay: a replayed batch rewrites its snapshot from counts as of that batch only") {
     import graft.streaming.Leaderboard
     val wh = java.nio.file.Files.createTempDirectory("lb-replay").toString
