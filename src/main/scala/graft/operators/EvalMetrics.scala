@@ -283,6 +283,67 @@ object EvalMetrics {
         col("recall_k"), col("rr"), col("ndcg"))
   }
 
+  /** Deterministic percentile-bootstrap confidence interval for a mean
+    * score (Efron 1979) — the statistical-significance step an eval
+    * harness runs before claiming a benchmark delta is real. Every
+    * resample draw is a pure md5 function of (seed, replicate, slot):
+    * no RNG, stable under retries and partitioning, and an independent
+    * engine replays the WHOLE interval bit-for-bit.
+    *
+    * Integer discipline: scores are longs (micro-scale upstream); each
+    * replicate's mean is a sign-split integer division (exact); the CI
+    * bounds are nearest-rank (ceil) order statistics of the nBoot
+    * replicate means.
+    *
+    * Scale shape: slots rank once via the shared two-phase range pass
+    * (no global window); the draw grid is |eval set| × nBoot rows from
+    * a bounded-nBoot broadcast cross join; draws resolve by one
+    * rid-keyed equi-join; per-replicate means aggregate map-side.
+    * Bounded driver work: n (1-row), the nBoot means (require ≤ 10⁴),
+    * the point sum (1-row). Output: ONE row
+    * (n, n_boot, mean_micro, ci_lo_micro, ci_hi_micro). */
+  def bootstrapCi(scores: DataFrame, idCol: String, scoreCol: String,
+                  nBoot: Int = 200, seed: String = "bs",
+                  loBp: Int = 250, hiBp: Int = 9750): DataFrame = {
+    require(nBoot >= 1 && nBoot <= 10000, "nBoot must be in [1, 10000]")
+    require(loBp >= 0 && hiBp <= 10000 && loBp < hiBp,
+      "need 0 <= loBp < hiBp <= 10000")
+    val spark = scores.sparkSession
+    import spark.implicits._
+    val s = scores.select(col(idCol).as("_sid"),
+      col(scoreCol).cast("long").as("score"))
+    def signDiv(sumExpr: String, n: Long): String =
+      s"CASE WHEN $sumExpr >= 0 THEN ($sumExpr) div ${n}L " +
+        s"ELSE -((-($sumExpr)) div ${n}L) END"
+    val slotted = Sampling.stratumRank(
+        s.select(col("_sid").as("_id"), col("_sid").as("_ord")),
+        "_id", "_ord", lit("all"))
+      .select(col("id").as("_sid"), (col("rank") - 1L).as("rid"))
+      .join(s, Seq("_sid"))
+      .select(col("rid"), col("score"))
+    val n = slotted.count()
+    if (n == 0) {
+      return Seq.empty[(Long, Long, Long, Long, Long)].toDF(
+        "n", "n_boot", "mean_micro", "ci_lo_micro", "ci_hi_micro")
+    }
+    val reps = broadcast(spark.range(nBoot).toDF("b"))
+    val means = slotted.select(col("rid").as("slot"))
+      .crossJoin(reps)
+      .withColumn("rid", pmod(
+        conv(substring(md5(concat_ws(":", lit(seed), col("b"),
+          col("slot"))), 1, 8), 16, 10).cast("long"), lit(n)))
+      .join(slotted, Seq("rid"))
+      .groupBy(col("b"))
+      .agg(expr(signDiv("sum(score)", n)).as("m"))
+      .collect().map(_.getAs[Long]("m")).sorted
+    val tot = slotted.agg(coalesce(sum("score"), lit(0L))).head.getLong(0)
+    val mean = if (tot >= 0) tot / n else -((-tot) / n)
+    def atRank(bp: Int): Long =
+      means(math.max((bp.toLong * nBoot + 9999) / 10000, 1L).toInt - 1)
+    Seq((n, nBoot.toLong, mean, atRank(loBp), atRank(hiBp))).toDF(
+      "n", "n_boot", "mean_micro", "ci_lo_micro", "ci_hi_micro")
+  }
+
   /** Pairwise Cohen's kappa (Cohen 1960) — the companion to
     * [[fleissKappa]] that says WHICH raters disagree: for every rater
     * pair sharing at least `minCommon` items, observed agreement and

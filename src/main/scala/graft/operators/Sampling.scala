@@ -674,7 +674,7 @@ object Sampling {
     * collect and the output pass must see ONE sampled range layout);
     * returned frames are safe to hold lazily across further calls and
     * across threads — there is no cross-call cache state. */
-  private def stratumRank(df: DataFrame, idCol: String, scoreCol: String,
+  private[operators] def stratumRank(df: DataFrame, idCol: String, scoreCol: String,
                           stratum: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession

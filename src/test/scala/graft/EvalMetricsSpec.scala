@@ -140,6 +140,42 @@ class EvalMetricsSpec extends GraftSpec {
       "winner", "loser").count() == 0)
   }
 
+  test("bootstrapCi: draws replay a local md5 simulation; zero-width and empty cases") {
+    val scores = Seq((10L, 5L), (20L, 9L), (30L, 1L), (40L, 7L))
+      .toDF("id", "v")
+    val out = EvalMetrics.bootstrapCi(scores, "id", "v", nBoot = 8,
+      seed = "t", loBp = 2500, hiBp = 7500).collect().head
+    // local replay of the exact draw rule: slot order by id →
+    // values (5, 9, 1, 7); draw = first 8 md5 hex chars of
+    // "t:<b>:<slot>" mod n
+    def draw(b: Long, slot: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"t:$b:$slot".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 4).toInt
+    }
+    val vals = Array(5L, 9L, 1L, 7L)
+    val means = (0 until 8)
+      .map(b => (0 until 4).map(i => vals(draw(b.toLong, i.toLong))).sum / 4L)
+      .sorted
+    assert(out.getAs[Long]("n") == 4 && out.getAs[Long]("n_boot") == 8)
+    assert(out.getAs[Long]("mean_micro") == 22L / 4)
+    def rk(bp: Int) = math.max((bp.toLong * 8 + 9999) / 10000, 1L).toInt - 1
+    assert(out.getAs[Long]("ci_lo_micro") == means(rk(2500)) &&
+      out.getAs[Long]("ci_hi_micro") == means(rk(7500)),
+      s"ci != local sim: $out vs $means")
+    // identical scores: zero-width interval at the value
+    val flat = EvalMetrics.bootstrapCi(
+      Seq((1L, 3L), (2L, 3L)).toDF("id", "v"), "id", "v", nBoot = 5)
+      .collect().head
+    assert(flat.getAs[Long]("ci_lo_micro") == 3 &&
+      flat.getAs[Long]("ci_hi_micro") == 3 &&
+      flat.getAs[Long]("mean_micro") == 3)
+    // empty input: empty frame, not a crash
+    assert(EvalMetrics.bootstrapCi(
+      Seq.empty[(Long, Long)].toDF("id", "v"), "id", "v").count() == 0)
+  }
+
   test("cohenKappaPairs: hand-computed per-pair kappa — chance, perfect disagreement, minCommon floor") {
     // raters over items 1..4: A = (x,x,y,y), B = (x,y,y,x),
     // C = (y,y,x,x). A-B agree on 2/4 with balanced marginals → κ = 0;

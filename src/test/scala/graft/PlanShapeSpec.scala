@@ -225,6 +225,9 @@ class PlanShapeSpec extends GraftSpec {
       // threshold/range frames of a few rows against aggregates
       "a12_heavy_hitters", "a20_rfm", "a23_theta_overlap", "dq_checks",
       "l5_stats_skipping", "skew_hotcold_join",
+      // bootstrap resampling: the broadcast side is the nBoot-row
+      // replicate index (require-bounded at 10^4)
+      "td_bootstrap_ci",
       // ALS factor scoring: rank-sized factor tables
       "g4_als_recs")
     // Scala UDFs allowed ONLY with a stated bound (same discipline as
