@@ -717,6 +717,54 @@ private[graft] object QueriesTdSample {
         |   WHERE rk = GREATEST((9750 * 100 + 9999) // 10000, 1))
         |    AS ci_hi_micro
         |FROM nn, pt""".stripMargin)),
+    // paired bootstrap delta — the system-comparison form (is scorer A
+    // biased vs scorer B?): per-doc score difference (word count minus
+    // the chars/6 token heuristic — NEGATIVE for dense docs, exercising
+    // the sign-split divisions on both engines), then the same
+    // deterministic CI; an interval excluding 0 = significant bias
+    ("td_bootstrap_delta",
+      ((s, dir) =>
+      graft.operators.EvalMetrics.bootstrapCi(
+        docs(s, dir).select(col("doc_id"),
+          (size(TextFunctions.words(col("text"))).cast("long") -
+            expr("length(text) div 6")).as("score")),
+        "doc_id", "score", nBoot = 100)),
+      (wordsOnlyCte +
+      """, t AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) - (len(text) // 6) AS score FROM ws),
+        |r AS (SELECT doc_id, score,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rid
+        |  FROM t),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+        |g AS (SELECT br.range AS b, r2.rid AS slot
+        |      FROM r r2 CROSS JOIN range(100) br),
+        |d AS (SELECT g.b,
+        |  ('0x' || substr(md5('bs:' || CAST(g.b AS VARCHAR) || ':'
+        |    || CAST(g.slot AS VARCHAR)), 1, 8))::BIGINT % nn.n AS rid
+        |  FROM g, nn),
+        |m AS (SELECT d.b,
+        |  CASE WHEN SUM(r.score) >= 0
+        |    THEN CAST(CAST(SUM(r.score) AS BIGINT) // nn.n AS BIGINT)
+        |    ELSE -CAST(CAST(-SUM(r.score) AS BIGINT) // nn.n AS BIGINT)
+        |    END AS mean_b
+        |  FROM d JOIN r ON d.rid = r.rid CROSS JOIN nn
+        |  GROUP BY d.b, nn.n),
+        |o AS (SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b) AS rk
+        |      FROM m),
+        |pt AS (SELECT
+        |  CASE WHEN SUM(score) >= 0
+        |    THEN CAST(CAST(SUM(score) AS BIGINT) // nn.n AS BIGINT)
+        |    ELSE -CAST(CAST(-SUM(score) AS BIGINT) // nn.n AS BIGINT)
+        |    END AS mean_micro
+        |  FROM t, nn GROUP BY nn.n)
+        |SELECT nn.n, CAST(100 AS BIGINT) AS n_boot, pt.mean_micro,
+        |  (SELECT mean_b FROM o
+        |   WHERE rk = GREATEST((250 * 100 + 9999) // 10000, 1))
+        |    AS ci_lo_micro,
+        |  (SELECT mean_b FROM o
+        |   WHERE rk = GREATEST((9750 * 100 + 9999) // 10000, 1))
+        |    AS ci_hi_micro
+        |FROM nn, pt""".stripMargin)),
     // token-balanced output sharding: snake assignment over the token-
     // descending two-phase rank (no global window) — per-shard token
     // mass lands within one max-document of even; the oracle replays

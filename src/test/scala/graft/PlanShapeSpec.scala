@@ -227,7 +227,7 @@ class PlanShapeSpec extends GraftSpec {
       "l5_stats_skipping", "skew_hotcold_join",
       // bootstrap resampling: the broadcast side is the nBoot-row
       // replicate index (require-bounded at 10^4)
-      "td_bootstrap_ci",
+      "td_bootstrap_ci", "td_bootstrap_delta",
       // ALS factor scoring: rank-sized factor tables
       "g4_als_recs")
     // Scala UDFs allowed ONLY with a stated bound (same discipline as
