@@ -142,6 +142,19 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg()
+    // host-speed calibration: a fixed CPU-bound job whose time scales
+    // with this host's effective speed. Recorded in the artifact and
+    // used to NORMALIZE the >2x retime comparison below — a slower (or
+    // merely busier) host than the committed artifact's otherwise
+    // retimes dozens of gates for no reason (the r14 advice finding).
+    // min-of-2 so the first run's JIT warmup isn't billed.
+    def calibrate(): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 150000000L, 1L, 32)
+        .selectExpr("xxhash64(id) AS h").agg(Map("h" -> "sum")).head
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val calibSec = calibrate()
     // reps > 1 is a local profiling mode: prints per-rep times to stderr
     // and reports the LAST rep (steady-state) per query
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
@@ -186,22 +199,50 @@ object Bench {
     // regression). The prior per-query map is parsed from the artifact
     // this run is about to overwrite; capped so a globally-hot run
     // can't double its own wall time.
-    val priorTimes: Map[String, Double] = {
+    // speedRatio > 1 means THIS host is slower than the artifact's —
+    // prior times are scaled by it before the 2x test. Clamped: the
+    // calibration probe is CPU-only, so don't let it claim more than a
+    // 4x swing either way. An old artifact without calib_sec gets no
+    // normalization (ratio 1) — logged, not silent.
+    val (priorTimes: Map[String, Double], speedRatio: Double) = {
       val path = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
-      if (!java.nio.file.Files.exists(path)) Map.empty
+      if (!java.nio.file.Files.exists(path)) (Map.empty[String, Double], 1.0)
       else try {
         val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         val qs = """"queries":\{([^}]*)\}""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qs)
+        val parsed = """"([^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qs)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+        if (parsed.isEmpty)
+          // an artifact is present but its shape changed: regression
+          // tracking is OFF this run — say so instead of silently
+          // returning an empty map (the r14 advice finding)
+          System.err.println(s"# WARN prior bench artifact $path exists " +
+            "but no queries parsed — round-over-round retime disabled")
+        val priorCalib = """"calib_sec":([0-9.Ee+-]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        val ratio = priorCalib match {
+          case Some(c) if c > 0 =>
+            math.max(0.25, math.min(4.0, calibSec / c))
+          case _ =>
+            if (parsed.nonEmpty) System.err.println(
+              "# WARN prior artifact has no calib_sec — retime " +
+                "comparison is unnormalized for host speed")
+            1.0
+        }
+        (parsed, ratio)
+      } catch { case e: Throwable =>
+        System.err.println(s"# WARN prior bench artifact unreadable " +
+          s"(${e.getClass.getSimpleName}) — retime tracking disabled")
+        (Map.empty[String, Double], 1.0)
+      }
     }
     val top5 = firstPass.sortBy(-_._2).take(retimeN).map(_._1).toSet
     val regressed = firstPass
       .filter { case (n, t) =>
-        priorTimes.get(n).exists(prev => prev > 0 && t > 2.0 * prev) }
+        priorTimes.get(n).exists(prev =>
+          prev > 0 && t > 2.0 * prev * speedRatio) }
       .sortBy(-_._2).take(60).map(_._1)
     val worst = top5 ++ regressed ++
       firstPass.filterNot(p => top5(p._1)).filter(_._2 > stallSec)
@@ -250,6 +291,8 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,""" +
       s""""load":{"start":${r2l(loadStart)},"end":${r2l(loadEnd)}},""" +
+      s""""calib_sec":${r3(calibSec)},"speed_ratio":${r3(speedRatio)},""" +
+      s""""host":{"procs":${Runtime.getRuntime.availableProcessors}},""" +
       s""""retimed_worst":$retimedJson,"streaming":$streamingJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

@@ -1221,10 +1221,10 @@ object QueriesExtra {
         |              GREATEST(SUM(n_b), 1) AS tb FROM c),
         |p AS (
         |  SELECT c.bucket, c.n_a, c.n_b,
-        |    CAST(GREATEST(c.n_a, 1) * 1000000 // tt.ta AS BIGINT)
-        |      AS pa_micro,
-        |    CAST(GREATEST(c.n_b, 1) * 1000000 // tt.tb AS BIGINT)
-        |      AS pb_micro
+        |    CAST(GREATEST(GREATEST(c.n_a, 1) * 1000000 // tt.ta, 1)
+        |      AS BIGINT) AS pa_micro,
+        |    CAST(GREATEST(GREATEST(c.n_b, 1) * 1000000 // tt.tb, 1)
+        |      AS BIGINT) AS pb_micro
         |  FROM c, tt)
         |SELECT CAST(bucket AS INT) AS bucket,
         |  CAST(CASE bucket WHEN 0 THEN 10 WHEN 1 THEN 30 WHEN 2 THEN 60

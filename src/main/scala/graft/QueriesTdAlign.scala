@@ -326,8 +326,12 @@ private[graft] object QueriesTdAlign {
         |        FROM ex)
         |SELECT e.sid AS leaf_id, CAST(e.root AS BIGINT) AS root,
         |  e.depth, CAST(COUNT(*) AS BIGINT) AS n_turns,
-        |  string_agg(n.text, ' | ' ORDER BY e.pos) AS transcript
-        |FROM ex2 e JOIN n ON e.node = n.id
+        |  CAST(COALESCE(SUM(CASE WHEN n.text IS NULL THEN 1 END), 0)
+        |    AS BIGINT) AS n_missing,
+        |  CASE WHEN COUNT(*) = COUNT(n.text)
+        |    THEN string_agg(n.text, ' | ' ORDER BY e.pos)
+        |  END AS transcript
+        |FROM ex2 e LEFT JOIN n ON e.node = n.id
         |GROUP BY 1, 2, 3""".stripMargin),
     // pairwise Cohen's kappa (which raters disagree): canonical rating
     // per (user, day) = the argmax-cents event type; a bounded rater

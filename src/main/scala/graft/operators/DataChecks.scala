@@ -207,10 +207,15 @@ object DataChecks {
       .withColumn("n_b", coalesce(col("_nb"), lit(0L)))
       .withColumn("_ta", expr("greatest(sum(n_a) over (), 1L)"))
       .withColumn("_tb", expr("greatest(sum(n_b) over (), 1L)"))
+      // the OUTER greatest floors the micro share at 1: past 1e6 rows
+      // per side an empty bucket's greatest(n,1)*1e6 div total floors
+      // to 0 and the psi_term below would hit ln(0) — NULL on Spark,
+      // -inf on DuckDB, a cross-engine divergence at exactly the
+      // corpus-snapshot scale this audit is for
       .withColumn("pa_micro",
-        expr("greatest(n_a, 1L) * 1000000L div _ta"))
+        expr("greatest(greatest(n_a, 1L) * 1000000L div _ta, 1L)"))
       .withColumn("pb_micro",
-        expr("greatest(n_b, 1L) * 1000000L div _tb"))
+        expr("greatest(greatest(n_b, 1L) * 1000000L div _tb, 1L)"))
       .withColumn("psi_term", round(
         (col("pa_micro") - col("pb_micro")).cast("double") / lit(1e6) *
           log(col("pa_micro").cast("double") /
@@ -218,6 +223,48 @@ object DataChecks {
       .select(col("bucket").cast("int").as("bucket"), edgeCol.as("edge"),
         col("n_a"), col("n_b"), col("pa_micro"), col("pb_micro"),
         col("psi_term"))
+  }
+
+  /** Benford's-law first-digit audit over a positive integer column
+    * (amounts in cents, counts, ids-that-shouldn't-be-Benford): the
+    * classic fabricated-data / broken-ETL smell test. Emits one row
+    * per digit 1–9: observed count, observed share and the Benford
+    * expectation log10(1+1/d) in exact integer micros, and the signed
+    * deviation. The expectations are hardcoded micro constants so both
+    * engines compare against literally the same numbers — no
+    * transcendental evaluated at query time.
+    *
+    * The first digit comes from the DECIMAL RENDERING of the bigint
+    * (both engines print int64 identically) — no float log10, whose
+    * boundary behavior (10^k neighbors) could differ per engine.
+    * Non-positive values are excluded (Benford is defined on positive
+    * magnitudes) and reported in the n_skipped column.
+    *
+    * Scale shape: one map-side substring + a 9-ary hash aggregation —
+    * a single scan, no window, no collect. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val expMicro = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L,
+      9 -> 45757L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = df.select(col(valueCol).cast("long").as("v"))
+      .select(when(col("v") > 0,
+        substring(col("v").cast("string"), 1, 1).cast("int")).as("digit"))
+    val counts = digits.filter(col("digit").isNotNull)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val skipped = digits.filter(col("digit").isNull)
+      .agg(count(lit(1)).as("n_skipped"))
+    val exp = expMicro.toSeq.sortBy(_._1)
+      .toDF("digit", "expected_micro")
+    exp.join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("_t", expr("greatest(sum(n) over (), 1L)"))
+      .withColumn("observed_micro", expr("n * 1000000L div _t"))
+      .withColumn("dev_micro", col("observed_micro") - col("expected_micro"))
+      .crossJoin(skipped)
+      .select(col("digit"), col("n"), col("observed_micro"),
+        col("expected_micro"), col("dev_micro"), col("n_skipped"))
   }
 
   /** Union the per-check scalar frames into one (check_name, violations)

@@ -457,4 +457,222 @@ object EvalMetrics {
         "n_items", "n_ratings", "pbar_micro", "pe_micro", "kappa_micro")
     } finally nij.unpersist(false)
   }
+
+  /** Exact tie-corrected ROC AUC (the Mann–Whitney U form): the
+    * probability a random positive outscores a random negative, ties
+    * counting half — the quality-classifier acceptance number before a
+    * corpus-wide filter threshold is chosen. One row out:
+    * (n_pos, n_neg, win_pairs, tie_pairs, auc_micro) with
+    * auc_micro = (2·wins + ties)·10⁶ div (2·n_pos·n_neg), every step a
+    * floor on both engines; null when either class is empty.
+    *
+    * Scale shape: ONE hash aggregation to the distinct-score frame
+    * (pos/neg counts per score), then a single unpartitioned
+    * cumulative window over DISTINCT scores — bounded by score
+    * cardinality, not rows. A continuous score at 100 TB should be
+    * bucketed to fixed precision first (the caller rounds; AUC over
+    * rounded scores is the tie-corrected AUC of the rounding). Integer
+    * bound: 2·n_pos·n_neg and wins·10⁶ must fit int64 — n_pos·n_neg ≤
+    * ~4.6·10¹² rows-squared, far above any labeled eval set. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .select(col(scoreCol).as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("p"))
+      .groupBy(col("s"))
+      .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("ng"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("neg_below", coalesce(sum(col("ng")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("ng")).as("n_neg"),
+        sum(col("np") * col("neg_below")).as("win_pairs"),
+        sum(col("np") * col("ng")).as("tie_pairs"))
+      .withColumn("auc_micro",
+        expr("CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+          "(2L * win_pairs + tie_pairs) * 1000000L div " +
+          "(2L * n_pos * n_neg) END"))
+  }
+
+  /** Exact average precision (the PR-curve area as eval harnesses
+    * actually compute it): rank all rows by (score desc, id asc), and
+    * AP = mean over positives of precision-at-their-rank. Integer
+    * form: ap_micro = (Σ_{k rel} tp_k·10⁶ div k) div n_pos — floor at
+    * both steps, so the number replays engine-for-engine. One row out:
+    * (n, n_pos, ap_micro); null AP when there are no positives.
+    *
+    * Scale shape: one global sort (a single window) — average
+    * precision is inherently a total-order statistic. At 100 TB the
+    * caller evaluates per query/segment (partitioned windows) or on
+    * the top-N candidate pool, never the raw corpus. */
+  def averagePrecision(df: DataFrame, idCol: String, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("s").desc, col("id"))
+    df.select(col(idCol).as("id"), col(scoreCol).as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("p"))
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .withColumn("tp", sum(col("p")).over(
+        Window.orderBy(col("s").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("n_pos"),
+        sum(when(col("p") === 1L, expr("tp * 1000000L div k"))
+          .otherwise(0L)).as("_prec_sum"))
+      .withColumn("ap_micro",
+        expr("CASE WHEN n_pos > 0 THEN _prec_sum div n_pos END"))
+      .select(col("n"), col("n_pos"), col("ap_micro"))
+  }
+
+  /** Multiclass confusion statistics: per class — tp, fp, fn and
+    * exact-integer precision/recall/F1 micros (f1 via the algebraic
+    * form 2·tp·10⁶ div (2·tp + fp + fn), one floor). Classes are the
+    * union of actual and predicted labels, so a class the model never
+    * predicts (or invents) still gets its row. Precision is null for
+    * a never-predicted class, recall null for a never-true one.
+    *
+    * Scale shape: one hash aggregation per side keyed by class (the
+    * (actual, predicted) frame aggregates to |classes|² first — tiny),
+    * then arithmetic. No window, no collect. */
+  def confusion(df: DataFrame, actualCol: String,
+                predCol: String): DataFrame = {
+    val cells = df.select(col(actualCol).as("a"), col(predCol).as("g"))
+      .groupBy(col("a"), col("g")).agg(count(lit(1)).as("n"))
+    val tp = cells.filter(col("a") === col("g"))
+      .select(col("a").as("label"), col("n").as("tp"))
+    val act = cells.groupBy(col("a").as("label"))
+      .agg(sum(col("n")).as("n_actual"))
+    val prd = cells.groupBy(col("g").as("label"))
+      .agg(sum(col("n")).as("n_pred"))
+    act.join(prd, Seq("label"), "full")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_actual") - col("tp"))
+      .withColumn("precision_micro",
+        expr("CASE WHEN n_pred > 0 THEN tp * 1000000L div n_pred END"))
+      .withColumn("recall_micro",
+        expr("CASE WHEN n_actual > 0 THEN tp * 1000000L div n_actual END"))
+      .withColumn("f1_micro",
+        expr("CASE WHEN 2L * tp + fp + fn > 0 THEN " +
+          "2L * tp * 1000000L div (2L * tp + fp + fn) END"))
+  }
+
+  /** McNemar's paired test on two systems scored over the SAME items —
+    * the question "is B actually better than A, or do they just err on
+    * different rows?" answered from the discordant pairs alone. One
+    * row out: (n, both_right, both_wrong, a_only, b_only, chi2_micro)
+    * with the continuity-corrected statistic
+    * (|a_only − b_only| − 1)²·10⁶ div (a_only + b_only) — integer
+    * floor, null when there are no discordant pairs. (The paired
+    * bootstrap gate answers the same question by resampling; McNemar
+    * is its closed-form cross-check.)
+    *
+    * Scale shape: one map-side conditional aggregation — a single scan,
+    * no shuffle beyond the final 1-row reduce. */
+  def mcnemarPaired(df: DataFrame, aCorrectCol: String,
+                    bCorrectCol: String): DataFrame = {
+    df.select(col(aCorrectCol).cast("boolean").as("a"),
+        col(bCorrectCol).cast("boolean").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L))
+          .as("both_right"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L))
+          .as("both_wrong"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("a_only"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("b_only"))
+      .withColumn("chi2_micro",
+        expr("CASE WHEN a_only + b_only > 0 THEN " +
+          "(abs(a_only - b_only) - 1L) * (abs(a_only - b_only) - 1L) " +
+          "* 1000000L div (a_only + b_only) END"))
+  }
+
+  /** pass@k (Chen et al. 2021, Codex): per task with n samples of
+    * which c passed, the unbiased estimator
+    * 1 − C(n−c, k)/C(n, k) = 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i),
+    * computed as ONE integer division of the two unrolled products —
+    * exact, engine-replayable. Tasks with n < k are excluded (the
+    * estimator is undefined); n − c < k short-circuits to 10⁶.
+    * Output per task: (task, n, c, pass_micro).
+    *
+    * Scale shape: one hash aggregation per task, then per-row
+    * arithmetic. Integer bound: Π(n−i)·10⁶ must fit int64 — n^k ≤
+    * ~9·10¹², e.g. n ≤ 250 samples at k = 5 (real pass@k runs use
+    * n ≤ 200); k ≤ 8 enforced. */
+  def passAtK(df: DataFrame, taskCol: String, okCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, "k must be in [1, 8]")
+    val num = (0 until k).map(i => s"(n - c - ${i}L)").mkString(" * ")
+    val den = (0 until k).map(i => s"(n - ${i}L)").mkString(" * ")
+    df.select(col(taskCol).as("task"),
+        when(col(okCol).cast("boolean"), 1L).otherwise(0L).as("ok"))
+      .groupBy(col("task"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("c"))
+      .filter(col("n") >= k.toLong)
+      .withColumn("pass_micro",
+        expr(s"CASE WHEN n - c < ${k}L THEN 1000000L " +
+          s"ELSE 1000000L - ($num) * 1000000L div ($den) END"))
+  }
+
+  /** Krippendorff's alpha, nominal data, complete panels: reliability
+    * of a labeling crew beyond chance, the generalization of the two
+    * kappas already in this file (it handles any number of raters and
+    * derives chance from the label MARGINS, not per-rater ones).
+    * Restricted to items rated by exactly `m` raters so every term is
+    * integer-exact: observed disagreement per item is Σ_c n_ic(m−n_ic)
+    * over m(m−1) ordered pairs; expected disagreement comes from the
+    * pooled totals t_c over T = n_items·m ratings. alpha_micro =
+    * 10⁶ − do_micro·10⁶ div de_micro with do/de each a single integer
+    * floor — deterministic on both engines. One row out:
+    * (n_items, m, n_categories, do_micro, de_micro, alpha_micro);
+    * alpha is null when expected disagreement is zero (a single
+    * category in the pool).
+    *
+    * Scale shape: one (item, label) hash aggregation, a 1-row reduce
+    * per side, a label-keyed reduce for the margins. No window, no
+    * collect, no per-item division (the complete-panel restriction is
+    * what keeps (m_i − 1) constant and the arithmetic integral). */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        raterCol: String, labelCol: String,
+                        m: Int): DataFrame = {
+    require(m >= 2, "m (panel size) must be >= 2")
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val nic = ratings
+      .select(col(itemCol).as("item"), col(raterCol).as("rater"),
+        col(labelCol).as("label"))
+      .groupBy(col("item"), col("label"))
+      .agg(countDistinct(col("rater")).as("nic"))
+    val keep = nic.groupBy(col("item"))
+      .agg(sum(col("nic")).as("mi")).filter(col("mi") === m.toLong)
+      .select(col("item"))
+    val kept = nic.join(keep, Seq("item")).persist()
+    try {
+      val doRow = kept.agg(
+        countDistinct(col("item")).as("n_items"),
+        coalesce(sum(col("nic") * (lit(m.toLong) - col("nic"))), lit(0L))
+          .as("do_num")).head
+      val (nItems, doNum) = (doRow.getLong(0), doRow.getLong(1))
+      if (nItems == 0)
+        return Seq.empty[(Long, Long, Long, Long, Long, Long)].toDF(
+          "n_items", "m", "n_categories", "do_micro", "de_micro",
+          "alpha_micro")
+      val t = nItems * m.toLong // total ratings T
+      val deRow = kept.groupBy(col("label"))
+        .agg(sum(col("nic")).as("tc"))
+        .agg(count(lit(1)),
+          coalesce(sum(expr(s"tc * (${t}L - tc)")), lit(0L))).head
+      val (nCat, deNum) = (deRow.getLong(0), deRow.getLong(1))
+      val doMicro = doNum * 1000000L / (nItems * m.toLong * (m - 1L))
+      val deMicro = deNum * 1000000L / (t * (t - 1L))
+      val alphaCol =
+        if (deMicro == 0L) lit(null).cast("long")
+        else lit(1000000L - doMicro * 1000000L / deMicro)
+      Seq((nItems, m.toLong, nCat, doMicro, deMicro)).toDF(
+          "n_items", "m", "n_categories", "do_micro", "de_micro")
+        .withColumn("alpha_micro", alphaCol)
+    } finally kept.unpersist(false)
+  }
 }

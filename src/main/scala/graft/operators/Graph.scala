@@ -163,4 +163,48 @@ object Graph {
       labels.withColumnRenamed("lbl", "community")
     } finally { dir.unpersist(false); () }
   }
+
+  /** Multi-source BFS hop distances over an undirected graph: the
+    * blast-radius / influence-horizon query ("every vertex within
+    * `maxHops` of the seed set, and how far") — GDPR contact-tracing
+    * over identity graphs, fraud-ring proximity, cold-start seeding.
+    * Deterministic min-hop label propagation, one round per hop:
+    *   dist ← min(dist, min over in-neighbors(dist(u) + 1))
+    * Vertices unreached within maxHops are absent (the caller
+    * left-joins the vertex set if it wants explicit unreached rows).
+    * Returns (v, dist) with dist ∈ [0, maxHops].
+    *
+    * Scale shape mirrors [[pageRank]]: the doubled edge list is
+    * repartitioned on src once and persisted; each round shuffles only
+    * the reached-vertex frame (which only grows by the new frontier),
+    * aggregated by min. Rounds are FIXED (maxHops), so an unrolled-CTE
+    * oracle replays every round; per-round persist + count truncates
+    * lineage exactly like the other fixed-iteration graph ops. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32, "maxHops must be in [1, 32]")
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var dist = seeds.select(col("v")).distinct()
+      .withColumn("dist", lit(0L)).persist()
+    dist.count()
+    try {
+      (1 to maxHops).foreach { _ =>
+        val next = dist
+          .unionByName(
+            dir.join(dist, dir("src") === dist("v"))
+              .select(dir("dst").as("v"), (col("dist") + 1L).as("dist")))
+          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+          .persist()
+        next.count()
+        dist.unpersist(false)
+        dist = next
+      }
+      dist
+    } finally { dir.unpersist(false); () }
+  }
 }

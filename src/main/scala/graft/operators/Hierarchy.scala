@@ -47,14 +47,24 @@ object Hierarchy {
     (1L to rounds).foreach { _ =>
       val partner = jump.select(col("id").as("_jid"), col("at").as("_jat"),
         col("path").as("_jpath"), col("depth").as("_jdepth"))
+      // a row already past maxDepth is DOOMED (the final clamp marks it
+      // unresolved either way): freeze its path/depth/at instead of
+      // letting a cycle double them every round — without the freeze a
+      // cycle node's path reaches 2^rounds entries (megabyte rows at
+      // maxDepth = 100000), each round eagerly checkpointed. Resolvable
+      // rows never trip this: their depth only ever reaches the true
+      // chain length, and frozen rows stay O(maxDepth) because one last
+      // splice before freezing at most triples depth.
+      val frozen = col("depth") > maxDepth.toLong
+      val noSplice = col("_jid").isNull || frozen
       jump = jump.join(partner, jump("at") === partner("_jid"), "left")
         .select(col("id"),
-          when(col("_jid").isNull, col("at"))
+          when(noSplice, col("at"))
             .otherwise(col("_jat")).as("at"),
-          when(col("_jid").isNull, col("path"))
+          when(noSplice, col("path"))
             .otherwise(concat(col("path"), lit(">"), col("_jpath")))
             .as("path"),
-          when(col("_jid").isNull, col("depth"))
+          when(noSplice, col("depth"))
             // splicing the partner's segment adds its edge count + the
             // edge from this segment's tail to the partner's head
             .otherwise(col("depth") + col("_jdepth") + 1L).as("depth"))
@@ -86,11 +96,14 @@ object Hierarchy {
     *
     * Scale shape: leaves = one anti-join against the distinct-parent
     * set; the path explodes to (leaf, pos, node) — Σ path lengths
-    * rows, the same order as the tree itself — and joins texts by node
-    * id (a plain equi-join); the transcript reassembles with
-    * sort_array(collect_list(struct(pos, text))) inside one leaf-keyed
-    * aggregation, so order needs no window and no second shuffle.
-    * Output: (leaf_id, root, depth, n_turns, transcript). */
+    * rows, the same order as the tree itself — and LEFT-joins texts by
+    * node id (a plain equi-join; a node id missing from `texts` is a
+    * loud failure: the leaf row reports n_missing > 0 with a null
+    * transcript, never a silently shortened one); the transcript
+    * reassembles with sort_array(collect_list(struct(pos, text)))
+    * inside one leaf-keyed aggregation, so order needs no window and
+    * no second shuffle.
+    * Output: (leaf_id, root, depth, n_turns, n_missing, transcript). */
   def treeTranscripts(nodes: DataFrame, idCol: String, parentCol: String,
                       texts: DataFrame, textIdCol: String,
                       textCol: String, sep: String = " | ",
@@ -107,11 +120,20 @@ object Hierarchy {
         col("pos"), col("col").cast("long").as("node"))
     exploded
       .join(texts.select(col(textIdCol).cast("long").as("node"),
-        col(textCol).as("_t")), Seq("node"))
+        col(textCol).as("_t")), Seq("node"), "left")
       .groupBy(col("leaf_id"), col("root"), col("depth"))
       .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("_t").isNull, 1L).otherwise(0L)).as("n_missing"),
         concat_ws(sep, expr("transform(" +
           "sort_array(collect_list(struct(pos, _t))), x -> x._t)"))
-          .as("transcript"))
+          .as("_tx"))
+      // flattenPaths' loud-failure contract, applied here too: a node
+      // id absent from `texts` must NOT silently shorten the transcript
+      // (an inner join would) — the row surfaces with n_missing > 0 and
+      // a null transcript, never a partial one
+      .withColumn("transcript",
+        when(col("n_missing") === 0L, col("_tx")))
+      .select(col("leaf_id"), col("root"), col("depth"),
+        col("n_turns"), col("n_missing"), col("transcript"))
   }
 }

@@ -34,17 +34,16 @@ import graft.functions.TextFunctions
   * the exploded bigram stream (map-side partial combine does the heavy
   * lifting; the distinct-bigram table it produces is vocab²-bounded,
   * far below corpus size) and two marginal aggregations OVER THAT
-  * TABLE — the corpus is scanned once. The table persists for the
-  * marginal passes (single-slot deferred release, the
-  * [[Sampling.dsirWeightsFull]] precedent — the frames are
-  * deterministic, so eviction merely recomputes). Scoring joins the
+  * TABLE — the corpus is scanned once. The pair table persists only
+  * for the marginal passes and releases before train returns; the
+  * returned model frame is persisted with ownership handed to the
+  * caller ([[unpersistModel]] — the frames are deterministic, so a
+  * release merely recomputes). Scoring joins the
   * corpus bigram stream to the model by (w1, w2): a shuffled equi-join
   * at vocabulary scale, a broadcast when the planner sees a small
   * model — either survives 100 TB because neither side is ever
   * collected. */
 object NgramLm {
-
-  private var lastModelCache: Option[DataFrame] = None
 
   /** (doc_id, w1, w2) per adjacent lowercase word pair. */
   private def bigramStream(docs: DataFrame, idCol: String,
@@ -89,14 +88,16 @@ object NgramLm {
     * pair table, which is vocab²-bounded, so the refit never touches
     * the corpus. */
   def trainFromCounts(counts: DataFrame): DataFrame = {
+    // persistence is scoped to THIS call: the pair table persists only
+    // for the marginal passes below and releases before return, and the
+    // returned MODEL frame is persisted with ownership handed to the
+    // caller ([[unpersistModel]] when done). No module-level slot — a
+    // caller holding two models keeps both cached, and concurrent
+    // trains from different threads can't thrash each other.
     val pairCounts = counts
       .groupBy(col("w1"), col("w2"))
       .agg(sum(col("c12")).as("c12"))
       .persist()
-    NgramLm.synchronized {
-      lastModelCache.foreach(_.unpersist(false))
-      lastModelCache = Some(pairCounts)
-    }
     val left = pairCounts.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_left"))
     val right = pairCounts.groupBy(col("w2"))
@@ -106,7 +107,7 @@ object NgramLm {
     // as a literal: a broadcast 1-row frame would put a nested-loop
     // join in the plan of every downstream consumer of the model
     val t = pairCounts.agg(count(lit(1))).head.getLong(0)
-    pairCounts
+    val model = pairCounts
       .join(left, Seq("w1"))
       .join(right, Seq("w2"))
       .withColumn("cont_micro",
@@ -117,7 +118,19 @@ object NgramLm {
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
         col("n1p_left"), col("n1p_right"), col("cont_micro"),
         col("p_micro"))
+      .persist()
+    // materialize the (vocab²-bounded) model so the pair table can
+    // release now instead of leaking past return — train was already
+    // eager (the T count above), this adds one more bounded action
+    model.count()
+    pairCounts.unpersist(false)
+    model
   }
+
+  /** Release a model returned by [[train]]/[[trainFromCounts]]. The
+    * frames are deterministic, so a release is always safe: a consumer
+    * that still holds the model merely recomputes from the corpus. */
+  def unpersistModel(model: DataFrame): Unit = { model.unpersist(false); () }
 
   /** Per-document LM statistics under a trained `model` — the exact
     * integer core a perplexity-style filter thresholds on:

@@ -74,6 +74,17 @@ object Similarity {
   def matryoshkaRecall(queries: DataFrame, corpus: DataFrame,
                        k: Int, dims: Int): DataFrame = {
     require(k >= 1 && dims >= 1, "k and dims must be positive")
+    // slice past the array length is a silent no-op on BOTH engines, so
+    // dims >= the embedding width would make the audit trivially report
+    // recall_bp = 10000 ("no quality loss") instead of failing loudly —
+    // probe one corpus row (bounded driver action, the train precedent)
+    corpus.select(size(col("vec")).as("_w")).limit(1).collect()
+      .foreach { r =>
+        val w = r.getInt(0)
+        require(dims < w,
+          s"dims=$dims must be < the embedding width ($w): truncation " +
+            "would be a no-op and the audit would report perfect recall")
+      }
     def trunc(df: DataFrame, idc: String) = df
       .select(col(idc), slice(col("vec"), 1, dims).as("vec"))
     val full = bruteForceTopK(queries, corpus, k)

@@ -139,4 +139,24 @@ class DataChecksSpec extends GraftSpec {
     assert(shift(0).getAs[Long]("edge") == 10 &&
       shift(2).isNullAt(shift(2).fieldIndex("edge")))
   }
+
+  test("psi: a side past 1e6 rows keeps empty-bucket shares at 1 micro — no ln(0)/NULL terms") {
+    // 1.2M rows all in bucket 0: greatest(n,1)*1e6 div total floors an
+    // empty bucket's share to 0 without the outer floor, and psi_term
+    // would be NULL on Spark / -inf on DuckDB
+    val a = spark.range(1200000L).select(lit(1L).as("v"))
+    val b = Seq(1L, 50L).toDF("v")
+    val rows = DataChecks.psi(a, b, "v", edges = Seq(10L, 30L))
+      .collect().map(r => r.getAs[Int]("bucket") -> r).toMap
+    assert(rows.keySet == Set(0, 1, 2))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("pa_micro") >= 1L && r.getAs[Long]("pb_micro") >= 1L)
+      assert(!r.isNullAt(r.fieldIndex("psi_term")),
+        s"psi_term NULL in bucket ${r.getAs[Int]("bucket")}")
+      assert(!r.getAs[Double]("psi_term").isInfinite)
+    }
+    // the empty middle/overflow buckets on side A floored to exactly 1
+    assert(rows(1).getAs[Long]("n_a") == 0 &&
+      rows(1).getAs[Long]("pa_micro") == 1L)
+  }
 }

@@ -18,10 +18,42 @@ import org.apache.spark.sql.functions._
   * the scan rides each gate's own plan, nothing is collected.
   */
 class GateHygieneSpec extends GraftSpec {
+  import spark.implicits._
 
   // every C0 control char plus DEL; matched against the string CAST of
   // each column so strings nested in arrays/structs/maps are covered too
   private val ctrl = "[\\x00-\\x1F\\x7F]"
+
+  /** Columns of `df` whose string cast contains a control character in
+    * any row — the detector the sweep below runs per gate. */
+  private def ctrlOffendingCols(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val flags = df.columns.map(c =>
+      max(coalesce(col(c).cast("string").rlike(ctrl), lit(false)))
+        .as(c))
+    val row = df.agg(flags.head, flags.tail.toIndexedSeq: _*).collect()
+    if (row.isEmpty) Seq.empty
+    else df.columns.filter(c => row.head.getAs[Boolean](c)).toSeq
+  }
+
+  test("planted violations fire: the detector sees top-level, nested, and \\r control chars — and stays quiet on clean frames") {
+    // the exact round-11 failure shape: a newline inside a VALUE
+    val topLevel = Seq((1L, "a\nb"), (2L, "ok")).toDF("id", "transcript")
+    assert(ctrlOffendingCols(topLevel) == Seq("transcript"),
+      "detector missed a top-level \\n")
+    // nested inside an array column (covered via the string cast)
+    val nested = Seq((1L, Seq("clean", "tab\there"))).toDF("id", "turns")
+    assert(ctrlOffendingCols(nested) == Seq("turns"),
+      "detector missed a \\t nested in an array")
+    // \r and NUL count too
+    assert(ctrlOffendingCols(Seq(("x\rx")).toDF("v")) == Seq("v"))
+    assert(ctrlOffendingCols(Seq(("x\u0000x")).toDF("v")) == Seq("v"))
+    // a clean frame (spaces, unicode, punctuation) must NOT fire
+    val clean = Seq((1L, "hello | world", "café ok"))
+      .toDF("id", "a", "b")
+    assert(ctrlOffendingCols(clean).isEmpty, "false positive on clean data")
+    // and an empty frame is quiet, not an error
+    assert(ctrlOffendingCols(clean.limit(0)).isEmpty)
+  }
 
   test("no gate output value contains control characters (sf0.001)") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -31,16 +63,9 @@ class GateHygieneSpec extends GraftSpec {
         catch { case e: Throwable =>
           fail(s"gate $name failed to build at sf0.001: ${e.getMessage}")
         }
-      val flags = df.columns.map(c =>
-        max(coalesce(col(c).cast("string").rlike(ctrl), lit(false)))
-          .as(c))
-      val row = df.agg(flags.head, flags.tail.toIndexedSeq: _*).collect()
-      if (row.nonEmpty) {
-        val bad = df.columns.filter(c =>
-          row.head.getAs[Boolean](c))
-        if (bad.nonEmpty)
-          offenders += s"$name(${bad.mkString(",")})"
-      }
+      val bad = ctrlOffendingCols(df)
+      if (bad.nonEmpty)
+        offenders += s"$name(${bad.mkString(",")})"
     }
     assert(offenders.isEmpty,
       s"gates emitting control characters in output values: " +

@@ -52,6 +52,24 @@ class HierarchySpec extends GraftSpec {
       out(8L).getAs[Long]("depth") == 0)
   }
 
+  test("flattenPaths: cycle rows freeze once past maxDepth — no exponential path growth at large maxDepth") {
+    // maxDepth = 100000 → 17 doubling rounds: without the freeze a
+    // cycle node's path doubles every round to ~2^17 spliced entries
+    // (eagerly checkpointed each round); with it, path/depth stop
+    // growing once depth passes maxDepth, so doomed rows stay O(1).
+    // The bound is observable via depth before the final null-out: one
+    // last splice at most triples it, so depth must stay well under
+    // 4 * maxDepth rather than reaching 2^17 * cycleLen.
+    val cyc = nodes((5L, 6L), (6L, 7L), (7L, 5L), (8L, null))
+    val out = Hierarchy.flattenPaths(cyc, "id", "par", maxDepth = 100000)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    Seq(5L, 6L, 7L).foreach { bad =>
+      assert(!out(bad).getAs[Boolean]("resolved"))
+      assert(out(bad).isNullAt(out(bad).fieldIndex("path")))
+    }
+    assert(out(8L).getAs[Boolean]("resolved"))
+  }
+
   test("flattenPaths: chains deeper than maxDepth are a loud contract violation, shallow ones resolve") {
     // a 40-edge chain 0←1←…←40 with maxDepth 16: depth <= 16 resolves,
     // anything deeper reports false even when doubling happened to
@@ -84,6 +102,25 @@ class HierarchySpec extends GraftSpec {
       out(4L).getAs[Long]("n_turns") == 3 &&
       out(4L).getAs[Long]("root") == 1)
     assert(out(3L).getAs[String]("transcript") == "hi | bye")
+    assert(out.values.forall(_.getAs[Long]("n_missing") == 0))
+  }
+
+  test("treeTranscripts: a node id missing from texts is loud — n_missing > 0, null transcript, never shortened") {
+    val n = nodes((1L, null), (2L, 1L), (3L, 1L), (4L, 2L))
+    // node 2 (an INTERIOR node on leaf 4's path) has no text row
+    val texts = Seq((1L, "hi"), (3L, "bye"), (4L, "are"))
+      .toDF("id", "text")
+    val out = Hierarchy.treeTranscripts(n, "id", "par",
+        texts, "id", "text")
+      .collect().map(r => r.getAs[Long]("leaf_id") -> r).toMap
+    val r4 = out(4L)
+    assert(r4.getAs[Long]("n_turns") == 3 &&
+      r4.getAs[Long]("n_missing") == 1)
+    assert(r4.isNullAt(r4.fieldIndex("transcript")),
+      s"partial transcript leaked: ${r4.getAs[String]("transcript")}")
+    // the unaffected leaf still renders fully
+    assert(out(3L).getAs[String]("transcript") == "hi | bye" &&
+      out(3L).getAs[Long]("n_missing") == 0)
   }
 
   test("flattenPaths: heap-rule tree matches a locally computed walk (the gate's shape)") {

@@ -80,6 +80,23 @@ class NgramLmSpec extends GraftSpec {
       s"incremental refit drifted:\n$merged\nvs\n$full")
   }
 
+  test("persistence is caller-owned: two live models stay cached side by side; unpersistModel releases") {
+    import org.apache.spark.storage.StorageLevel
+    val m1 = NgramLm.train(corpus, "doc_id", "text")
+    val m2 = NgramLm.train(
+      Seq((5L, "x y x")).toDF("doc_id", "text"), "doc_id", "text")
+    // the old module-level single-slot cache unpersisted m1 when m2
+    // trained — both must remain cached now
+    assert(m1.storageLevel != StorageLevel.NONE, "m1 lost its cache")
+    assert(m2.storageLevel != StorageLevel.NONE, "m2 never cached")
+    // and both stay correct (m1 still scores its own corpus)
+    assert(NgramLm.scoreDocs(corpus, "doc_id", "text", m1).count() > 0)
+    NgramLm.unpersistModel(m1)
+    NgramLm.unpersistModel(m2)
+    assert(m1.storageLevel == StorageLevel.NONE &&
+      m2.storageLevel == StorageLevel.NONE)
+  }
+
   test("empty and single-word docs produce no bigrams, not errors") {
     val model = NgramLm.train(corpus, "doc_id", "text")
     val d = Seq((20L, ""), (21L, "a")).toDF("doc_id", "text")

@@ -104,15 +104,20 @@ class OracleTypeHygieneSpec extends GraftSpec {
     else if (duckFloat(t) || t.startsWith("DECIMAL")) Some("float")
     else None
 
-  test("oracle DuckDB output types carry no canonicalization hazard") {
-    assume(duckAvailable, "python3+duckdb not on this host; probe skipped")
+  /** The full audit over a (name -> oracle SQL) map: DESCRIBE every
+    * entry in DuckDB and compare against the Spark schema supplied by
+    * `sparkSchemaOf`. Returns the problem list (empty = clean). Both
+    * the registry sweep and the planted-violation self-test below run
+    * exactly this code path. */
+  private def auditProblems(oracles: Map[String, String],
+                            sparkSchemaOf: String => StructType): Seq[String] = {
     val sqlDir = Files.createTempDirectory("oracle_sql")
-    SparkEntry.oracleSql.foreach { case (name, sql) =>
+    oracles.foreach { case (name, sql) =>
       Files.writeString(sqlDir.resolve(s"$name.sql"), sql)
     }
     val described = describeAll(sqlDir)
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.oracleSql.keys.toSeq.sorted.foreach { name =>
+    oracles.keys.toSeq.sorted.foreach { name =>
       described.get(name) match {
         case None | Some(Left(_)) =>
           problems += s"$name: DuckDB cannot analyze oracle SQL: " +
@@ -123,8 +128,8 @@ class OracleTypeHygieneSpec extends GraftSpec {
               problems += s"$name.$c: oracle yields $t (canonicalizes " +
                 "fractionally; wrap in CAST(... AS BIGINT/DOUBLE))"
           }
-          val sparkSchema = SparkEntry.queries(name)(spark, sf).schema
-          val sparkCols = sparkSchema.fields.map(f => f.name -> f.dataType)
+          val sparkCols = sparkSchemaOf(name).fields
+            .map(f => f.name -> f.dataType)
           val sparkNames = sparkCols.map(_._1).toSet
           (duckCols.keySet -- sparkNames).foreach(c =>
             problems += s"$name.$c: oracle-only column (name drift)")
@@ -139,6 +144,49 @@ class OracleTypeHygieneSpec extends GraftSpec {
           }
       }
     }
+    problems.toSeq
+  }
+
+  test("planted violations fire: the audit catches each hazard class it exists for — and passes a clean fixture") {
+    assume(duckAvailable, "python3+duckdb not on this host; probe skipped")
+    def schema(fields: (String, DataType)*): StructType =
+      StructType(fields.map { case (n, t) => StructField(n, t) })
+    val fixtures = Map(
+      // the exact td_sft_assemble killer: bare SUM(int) -> HUGEINT
+      "bad_hugeint" -> "SELECT SUM(o_orderkey) AS s FROM orders",
+      // spark says column b, oracle says column a
+      "bad_drift" -> "SELECT 1 AS a",
+      // AVG renders 12.0 on DuckDB while the spark column is int64
+      "bad_class" -> "SELECT AVG(o_orderkey) AS v FROM orders",
+      // not analyzable at all
+      "bad_sql" -> "SELECT FROM nowhere_at_all",
+      // a correct gate shape: no findings expected
+      "good" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders")
+    val schemas = Map(
+      "bad_hugeint" -> schema("s" -> LongType),
+      "bad_drift" -> schema("b" -> IntegerType),
+      "bad_class" -> schema("v" -> LongType),
+      "bad_sql" -> schema("x" -> LongType),
+      "good" -> schema("n" -> LongType))
+    val problems = auditProblems(fixtures, schemas)
+    def hit(sub: String) = problems.exists(_.contains(sub))
+    assert(hit("bad_hugeint.s: oracle yields HUGEINT"),
+      s"HUGEINT lint silent:\n${problems.mkString("\n")}")
+    assert(hit("bad_drift.a: oracle-only column") &&
+      hit("bad_drift.b: spark-only column"),
+      s"name-drift lint silent:\n${problems.mkString("\n")}")
+    assert(hit("bad_class.v: spark LongType renders as int"),
+      s"render-class lint silent:\n${problems.mkString("\n")}")
+    assert(hit("bad_sql: DuckDB cannot analyze"),
+      s"analyze-failure lint silent:\n${problems.mkString("\n")}")
+    assert(!problems.exists(_.startsWith("good")),
+      s"false positive on the clean fixture:\n${problems.mkString("\n")}")
+  }
+
+  test("oracle DuckDB output types carry no canonicalization hazard") {
+    assume(duckAvailable, "python3+duckdb not on this host; probe skipped")
+    val problems = auditProblems(SparkEntry.oracleSql,
+      name => SparkEntry.queries(name)(spark, sf).schema)
     assert(problems.isEmpty,
       s"${problems.size} oracle type hazards:\n" + problems.mkString("\n"))
   }

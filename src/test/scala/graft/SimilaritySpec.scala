@@ -11,12 +11,13 @@ class SimilaritySpec extends GraftSpec {
     spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
 
-  test("matryoshkaRecall: truncation that reorders the top-k is caught; full width is a perfect 10000 bp") {
-    // query (1, 0): full cosines — a = 0.8, b ≈ 0.9 → full top-1 = b;
-    // first-dim-only cosines are both 1.0 → id tiebreak picks a, so
-    // recall@1 at dims=1 is 0, and at dims=2 (no truncation) 10000
-    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "vec")
-    val c = Seq((1L, Array(0.8f, 0.6f)), (2L, Array(0.9f, -0.436f)))
+  test("matryoshkaRecall: truncation that reorders the top-k is caught; an order-preserving prefix is a perfect 10000 bp") {
+    // query (1, 0, 0): full cosines — a = 0.8, b ≈ 0.9 → full top-1 =
+    // b; first-dim-only cosines are both 1.0 → id tiebreak picks a, so
+    // recall@1 at dims=1 is 0, and at dims=2 (order preserved) 10000
+    val q = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "vec")
+    val c = Seq((1L, Array(0.8f, 0.6f, 0.0f)),
+        (2L, Array(0.9f, -0.436f, 0.0f)))
       .toDF("id", "vec")
     val r1 = Similarity.matryoshkaRecall(q, c, k = 1, dims = 1)
       .collect().head
@@ -27,6 +28,19 @@ class SimilaritySpec extends GraftSpec {
       .collect().head
     assert(r2.getAs[Long]("n_hits") == 1 &&
       r2.getAs[Long]("recall_bp") == 10000)
+  }
+
+  test("matryoshkaRecall: dims >= the embedding width errors loudly instead of reporting perfect recall") {
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "vec")
+    val c = Seq((1L, Array(0.8f, 0.6f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.matryoshkaRecall(q, c, k = 1, dims = 2)
+    }
+    assert(e.getMessage.contains("embedding width"))
+    // past the width is just as degenerate
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaRecall(q, c, k = 1, dims = 7)
+    }
   }
 
   private def schemaFix(df: org.apache.spark.sql.DataFrame) = df
