@@ -1854,8 +1854,10 @@ object Queries {
 
   def all: Map[String, Q] =
     relational ++ pipeline ++ QueriesTrainingData.queries ++
-      QueriesSystem.queries ++ QueriesExtra.queries ++ QueriesSaas.queries
+      QueriesSystem.queries ++ QueriesExtra.queries ++
+      QueriesSaas.queries ++ QueriesEval.queries
   def allOracles: Map[String, String] =
     relationalOracles ++ pipelineOracles ++ QueriesTrainingData.oracles ++
-      QueriesSystem.oracles ++ QueriesExtra.oracles ++ QueriesSaas.oracles
+      QueriesSystem.oracles ++ QueriesExtra.oracles ++
+      QueriesSaas.oracles ++ QueriesEval.oracles
 }

@@ -474,13 +474,24 @@ object EvalMetrics {
     * rounded scores is the tie-corrected AUC of the rounding). Integer
     * bound: 2·n_pos·n_neg and wins·10⁶ must fit int64 — n_pos·n_neg ≤
     * ~4.6·10¹² rows-squared, far above any labeled eval set. */
-  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perScore = df
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    rocAucFromCounts(df
       .select(col(scoreCol).as("s"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("p"))
       .groupBy(col("s"))
-      .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("ng"))
+      .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("ng")))
+
+  /** [[rocAuc]] over PRE-AGGREGATED per-score (s, np, ng) counts — the
+    * incremental entry point (the [[NgramLm.trainFromCounts]] /
+    * [[bradleyTerryFromCounts]] pattern): per-score pos/neg counts are
+    * ADDITIVE across corpus slices, so an eval stream keeps per-batch
+    * count deltas, unions them, and refits the exact AUC here without
+    * rescoring old batches. Unaggregated delta rows are fine — they
+    * re-sum per score first. */
+  def rocAucFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = counts.groupBy(col("s"))
+      .agg(sum(col("np")).as("np"), sum(col("ng")).as("ng"))
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     perScore

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Classical statistics over warehouse columns, formulated for
+  * engine-exact replay: association tests between categoricals
+  * (chi-square cells, mutual information), distribution separation for
+  * classifier scores (Kolmogorov–Smirnov, decile gains/lift, Brier),
+  * and category entropy. The reference's reporting layer runs this
+  * class of question over ClickHouse (`webapps/ee-api` report
+  * endpoints aggregate event breakdowns per type/status); here they
+  * are the audit battery a training pipeline points at its own
+  * metadata columns.
+  *
+  * Determinism rules (shared with [[DataChecks.psi]] /
+  * [[Collocations.pmiBigrams]]): counts and shares are exact integer
+  * micros; where a transcendental is irreducible (ln in entropy/MI)
+  * it is applied ONCE per output row to integer-derived ratios and
+  * rounded — never summed across rows in floating point, so no
+  * engine-specific addition order can flip a hash.
+  *
+  * Scale shape: every operator here is one or two hash aggregations
+  * down to category/cell/score cardinality, then arithmetic on that
+  * small frame. The only windows run over DISTINCT scores or the
+  * margin cross-product — never over raw rows. */
+object Stats {
+
+  /** Chi-square independence cells for two categorical columns: the
+    * full margin cross-product (zero-observed cells included — they
+    * still carry expectation), with per-cell expected counts and the
+    * cell's chi-square contribution in exact integer MILLI units:
+    *   dev_milli  = (O·N − rt·ct)·1000 div N     ((O−E)·10³)
+    *   e_milli    = rt·ct·1000 div N              (E·10³)
+    *   term_milli = dev_milli² div e_milli        (cell χ²·10³)
+    * Milli (not micro) keeps dev_milli² inside int64 up to N ≈ 10⁸
+    * rows per table slice. The caller sums term_milli for the
+    * statistic (an integer sum — safe to total across rows, unlike
+    * floats). Output: (a, b, n_obs, rt, ct, e_milli, dev_milli,
+    * term_milli). */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("n")).as("rt"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("n")).as("ct"))
+    ra.crossJoin(cb)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("n_obs", coalesce(col("n"), lit(0L)))
+      .withColumn("_n", expr("sum(n_obs) over ()"))
+      .withColumn("dev_milli",
+        expr("(n_obs * _n - rt * ct) * 1000L div _n"))
+      .withColumn("e_milli", expr("rt * ct * 1000L div _n"))
+      .withColumn("term_milli",
+        expr("CASE WHEN e_milli > 0 THEN " +
+          "dev_milli * dev_milli div e_milli END"))
+      .select(col("a"), col("b"), col("n_obs"), col("rt"), col("ct"),
+        col("e_milli"), col("dev_milli"), col("term_milli"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic for a score split by a
+    * binary label: max over the score axis of |CDF⁺ − CDF⁻| in exact
+    * integer micros, plus the score where the max is reached (smallest
+    * such score — deterministic tiebreak). The threshold-picking
+    * companion to [[EvalMetrics.rocAuc]]: KS is the best achievable
+    * (recall − fallout) of any single cut. One row out:
+    * (n_pos, n_neg, ks_micro, ks_at_score); null when a class is
+    * empty.
+    *
+    * Scale shape: one aggregation to distinct scores, one cumulative
+    * window over them (score cardinality, not rows — bucket
+    * continuous scores first, as with rocAuc). */
+  def ksStatistic(df: DataFrame, scoreCol: String,
+                  labelCol: String): DataFrame = {
+    val perScore = df
+      .select(col(scoreCol).as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("p"))
+      .groupBy(col("s"))
+      .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("ng"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = perScore
+      .withColumn("cum_p", sum(col("np")).over(w))
+      .withColumn("cum_g", sum(col("ng")).over(w))
+      .withColumn("_tp", expr("sum(np) over ()"))
+      .withColumn("_tg", expr("sum(ng) over ()"))
+      .withColumn("gap_micro",
+        expr("CASE WHEN _tp > 0 AND _tg > 0 THEN " +
+          "abs(cum_p * 1000000L div _tp - cum_g * 1000000L div _tg) " +
+          "END"))
+    val top = gaps.agg(first(col("_tp")).as("n_pos"),
+      first(col("_tg")).as("n_neg"),
+      max(col("gap_micro")).as("ks_micro"))
+    // smallest score achieving the max: a second pass over the tiny
+    // distinct-score frame (left join keeps the one-row output when a
+    // class is empty and ks is null)
+    top.join(gaps.select(col("gap_micro").as("_g"), col("s")),
+        col("_g") === col("ks_micro"), "left")
+      .groupBy(col("n_pos"), col("n_neg"), col("ks_micro"))
+      .agg(min(col("s")).as("ks_at_score"))
+  }
+
+  /** Decile gains/lift table for a classifier score over a binary
+    * outcome — the campaign-targeting report ("the top 10% of scores
+    * captures X% of the positives at Y× lift"). Rows rank by (score
+    * desc, id asc); bucket k of `buckets` holds ranks
+    * (k·n div buckets, (k+1)·n div buckets] — the floor-split that
+    * both engines replay. Per bucket: n, n_pos, cumulative capture of
+    * all positives in micros, and lift (bucket positive rate over base
+    * rate) in micros. All integer.
+    *
+    * Scale shape: one global sort window (rank is a total-order
+    * statistic — at 100 TB run per segment or on score buckets), one
+    * bucket aggregation, one cumulative window over `buckets` rows. */
+  def gainsDeciles(df: DataFrame, idCol: String, scoreCol: String,
+                   labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, "buckets must be in [2,1000]")
+    val ord = Window.orderBy(col("s").desc, col("id"))
+    val ranked = df.select(col(idCol).as("id"), col(scoreCol).as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("p"))
+      .withColumn("r", row_number().over(ord).cast("long"))
+      .withColumn("_n", expr("count(1) over ()"))
+      // rank r in (k*n/buckets, (k+1)*n/buckets] -> bucket k: the
+      // closed form is (r*buckets - 1) div n
+      .withColumn("bucket", expr(s"(r * ${buckets}L - 1L) div _n"))
+    ranked.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("n_pos"))
+      .withColumn("_tn", expr("sum(n) over ()"))
+      .withColumn("_tp", expr("sum(n_pos) over ()"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("capture_micro",
+        expr("CASE WHEN _tp > 0 THEN cum_pos * 1000000L div _tp END"))
+      .withColumn("lift_micro",
+        expr("CASE WHEN _tp > 0 AND n > 0 THEN " +
+          "(n_pos * _tn) * 1000000L div (n * _tp) END"))
+      .select(col("bucket").cast("int").as("bucket"), col("n"),
+        col("n_pos"), col("cum_pos"), col("capture_micro"),
+        col("lift_micro"))
+  }
+
+  /** Brier score of a probabilistic classifier whose score is ALREADY
+    * an integer micro-probability in [0, 10⁶] (the
+    * [[Experiment.calibration]] input shape): mean squared error in
+    * micro units, brier_micro = Σ(score − y·10⁶)² div (n·10⁶) —
+    * exact integer, 0 = perfect, 10⁶ = always certainly wrong. One
+    * row: (n, brier_micro). Integer bound: the sum holds ≤ 9·10⁶
+    * maximally-wrong rows per slice; score a 100 TB eval per segment.
+    */
+  def brierScore(df: DataFrame, scoreMicroCol: String,
+                 labelCol: String): DataFrame = {
+    df.select(col(scoreMicroCol).cast("long").as("sm"),
+        when(col(labelCol).cast("boolean"), 1000000L).otherwise(0L)
+          .as("ym"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("(sm - ym) * (sm - ym)")).as("_sq"))
+      .withColumn("brier_micro",
+        expr("CASE WHEN n > 0 THEN _sq div (n * 1000000L) END"))
+      .select(col("n"), col("brier_micro"))
+  }
+
+  /** Per-category entropy terms of a categorical column: share in
+    * exact integer micros and the Shannon term −p·ln(p) rounded 6 dp
+    * (ONE ln per row over an integer-derived ratio — the psi_term
+    * discipline; the caller sums h_term for total entropy in nats,
+    * accepting the rounded-term semantics both engines share).
+    * Output per category: (category, n, p_micro, h_term). */
+  def categoricalEntropy(df: DataFrame, catCol: String): DataFrame = {
+    df.select(col(catCol).cast("string").as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n"))
+      .withColumn("_t", expr("greatest(sum(n) over (), 1L)"))
+      .withColumn("p_micro", expr("n * 1000000L div _t"))
+      .withColumn("h_term", round(
+        -(col("n").cast("double") / col("_t").cast("double")) *
+          log(col("n").cast("double") / col("_t").cast("double")), 6))
+      .select(col("category"), col("n"), col("p_micro"), col("h_term"))
+  }
+
+  /** Mutual-information cells between two categorical columns: for
+    * each OBSERVED cell, the joint and marginal shares in exact
+    * integer micros and the MI contribution
+    * p_ab·ln(p_ab·N² / (n_a·n_b)) rounded 6 dp (one ln per row over
+    * integer counts — the [[Collocations.pmiBigrams]] discipline;
+    * zero-observed cells contribute exactly 0 to MI and are omitted).
+    * Output: (a, b, n_ab, n_a, n_b, p_micro, mi_term). */
+  def mutualInformationCells(df: DataFrame, aCol: String,
+                             bCol: String): DataFrame = {
+    val pairs = df.select(col(aCol).as("a"), col(bCol).as("b"))
+    val cells = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ma = cells.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    cells.join(ma, Seq("a")).join(mb, Seq("b"))
+      .withColumn("_n", expr("sum(n_ab) over ()"))
+      .withColumn("p_micro", expr("n_ab * 1000000L div _n"))
+      .withColumn("mi_term", round(
+        (col("n_ab").cast("double") / col("_n").cast("double")) *
+          log((col("n_ab").cast("double") * col("_n").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double"))), 6))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("p_micro"), col("mi_term"))
+  }
+}

@@ -159,4 +159,28 @@ class DataChecksSpec extends GraftSpec {
     assert(rows(1).getAs[Long]("n_a") == 0 &&
       rows(1).getAs[Long]("pa_micro") == 1L)
   }
+
+  test("benford: first-digit counts, exact micro shares, and the hardcoded expectations; non-positives skipped") {
+    // 1..9 once each + 10..19 (ten more 1-leading values) + 0 and -5
+    val vals = (1L to 9L) ++ (10L to 19L) ++ Seq(0L, -5L)
+    val df = vals.toDF("v")
+    val rows = DataChecks.benford(df, "v")
+      .collect().map(r => r.getAs[Int]("digit") -> r).toMap
+    assert(rows.keySet == (1 to 9).toSet)
+    assert(rows(1).getAs[Long]("n") == 11 &&
+      rows(2).getAs[Long]("n") == 1)
+    // 19 kept values: digit-1 share = 11e6 div 19
+    assert(rows(1).getAs[Long]("observed_micro") == 578947L)
+    assert(rows(1).getAs[Long]("expected_micro") == 301029L &&
+      rows(9).getAs[Long]("expected_micro") == 45757L)
+    assert(rows(1).getAs[Long]("dev_micro") == 578947L - 301029L)
+    assert(rows.values.forall(_.getAs[Long]("n_skipped") == 2))
+    // a digit absent from the data still reports (n=0), Benford's
+    // report shape is the digit list
+    val sparse = Seq(100L).toDF("v")
+    val s = DataChecks.benford(sparse, "v")
+      .collect().map(r => r.getAs[Int]("digit") -> r).toMap
+    assert(s(7).getAs[Long]("n") == 0 &&
+      s(1).getAs[Long]("observed_micro") == 1000000L)
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.EvalMetrics
 
 class EvalMetricsSpec extends GraftSpec {
@@ -264,5 +266,146 @@ class EvalMetricsSpec extends GraftSpec {
     assert(q2.isNullAt(3) && q2.getLong(4) == 0L && q2.getLong(5) == 0L)
     assert(q2.getDouble(8) == 0.0)
     assert(q2.isNullAt(7) && q2.isNullAt(9))
+  }
+
+  test("rocAuc: hand-computed tie-corrected AUC; degenerate single-class input yields null") {
+    // pos scores {3, 2, 2}, neg scores {2, 1}: 4 wins, 2 ties of the 6
+    // pairs -> AUC = (4 + 2/2)/6 = 0.8333…
+    val df = Seq((3L, true), (2L, true), (2L, true), (2L, false),
+      (1L, false)).toDF("s", "y")
+    val r = EvalMetrics.rocAuc(df, "s", "y").collect().head
+    assert(r.getAs[Long]("n_pos") == 3 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Long]("win_pairs") == 4 &&
+      r.getAs[Long]("tie_pairs") == 2)
+    assert(r.getAs[Long]("auc_micro") == 833333L)
+    // perfect separation = exactly 10^6; reversed = 0
+    val sep = Seq((9L, true), (1L, false)).toDF("s", "y")
+    assert(EvalMetrics.rocAuc(sep, "s", "y").collect().head
+      .getAs[Long]("auc_micro") == 1000000L)
+    // all one class: AUC undefined -> null, not a crash
+    val one = Seq((1L, true), (2L, true)).toDF("s", "y")
+    val r1 = EvalMetrics.rocAuc(one, "s", "y").collect().head
+    assert(r1.isNullAt(r1.fieldIndex("auc_micro")))
+  }
+
+  test("rocAucFromCounts: merged per-slice count deltas equal the full-data AUC exactly") {
+    val full = Seq((3L, true), (2L, true), (2L, true), (2L, false),
+      (1L, false), (4L, false), (1L, true)).toDF("s", "y")
+    def cnt(f: org.apache.spark.sql.DataFrame) = f.groupBy(col("s"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("ng"))
+    val whole = EvalMetrics.rocAuc(full, "s", "y")
+      .collect().head.toSeq
+    // overlapping-score slices arrive as separate delta tables
+    val sliceA = full.limit(3)
+    val sliceB = full.exceptAll(sliceA)
+    val merged = EvalMetrics.rocAucFromCounts(
+        cnt(sliceA).unionByName(cnt(sliceB)))
+      .collect().head.toSeq
+    assert(merged == whole, s"merge drifted: $merged vs $whole")
+  }
+
+  test("averagePrecision: hand-computed AP with deterministic id tiebreak; no positives yields null") {
+    // rank order (score desc, id): id1(+), id2(-), id3(+), id4(-)
+    // AP = (P@1 + P@3)/2 = (1e6 + 666666)/2 -> floor 833333
+    val df = Seq((1L, 0.9, true), (2L, 0.8, false), (3L, 0.7, true),
+      (4L, 0.6, false)).toDF("id", "s", "y")
+    val r = EvalMetrics.averagePrecision(df, "id", "s", "y")
+      .collect().head
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("n_pos") == 2)
+    assert(r.getAs[Long]("ap_micro") == 833333L)
+    val none = Seq((1L, 0.9, false)).toDF("id", "s", "y")
+    val r0 = EvalMetrics.averagePrecision(none, "id", "s", "y")
+      .collect().head
+    assert(r0.isNullAt(r0.fieldIndex("ap_micro")))
+  }
+
+  test("confusion: per-class tp/fp/fn and exact micro P/R/F1, including never-predicted and invented classes") {
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+      ("c", "b")).toDF("actual", "pred")
+    val m = EvalMetrics.confusion(df, "actual", "pred")
+      .collect().map(r => r.getAs[String]("label") -> r).toMap
+    assert(m.keySet == Set("a", "b", "c"))
+    val a = m("a")
+    assert(a.getAs[Long]("tp") == 1 && a.getAs[Long]("fp") == 0 &&
+      a.getAs[Long]("fn") == 1)
+    assert(a.getAs[Long]("precision_micro") == 1000000L &&
+      a.getAs[Long]("recall_micro") == 500000L &&
+      a.getAs[Long]("f1_micro") == 666666L)
+    val b = m("b")
+    assert(b.getAs[Long]("tp") == 2 && b.getAs[Long]("fp") == 2 &&
+      b.getAs[Long]("fn") == 0)
+    assert(b.getAs[Long]("precision_micro") == 500000L &&
+      b.getAs[Long]("recall_micro") == 1000000L &&
+      b.getAs[Long]("f1_micro") == 666666L)
+    // c is never predicted: precision null, recall 0, f1 0
+    val c = m("c")
+    assert(c.isNullAt(c.fieldIndex("precision_micro")) &&
+      c.getAs[Long]("recall_micro") == 0L &&
+      c.getAs[Long]("f1_micro") == 0L)
+  }
+
+  test("mcnemarPaired: discordant-pair statistic with continuity correction; zero discordants yield null") {
+    val df = Seq((true, true), (true, false), (true, false),
+      (false, true), (false, false)).toDF("a", "b")
+    val r = EvalMetrics.mcnemarPaired(df, "a", "b").collect().head
+    assert(r.getAs[Long]("both_right") == 1 &&
+      r.getAs[Long]("both_wrong") == 1 &&
+      r.getAs[Long]("a_only") == 2 && r.getAs[Long]("b_only") == 1)
+    // (|2-1|-1)^2 * 1e6 / 3 = 0
+    assert(r.getAs[Long]("chi2_micro") == 0L)
+    // 5 vs 1 discordants: (4-1)^2... (|5-1|-1)^2 = 9 -> 9e6/6
+    val skew = (Seq.fill(5)((true, false)) :+ ((false, true)))
+      .toDF("a", "b")
+    assert(EvalMetrics.mcnemarPaired(skew, "a", "b").collect().head
+      .getAs[Long]("chi2_micro") == 1500000L)
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    val r0 = EvalMetrics.mcnemarPaired(agree, "a", "b").collect().head
+    assert(r0.isNullAt(r0.fieldIndex("chi2_micro")))
+  }
+
+  test("passAtK: unbiased estimator matches the combinatorial form; short-circuits and exclusions") {
+    // task t1: n=5, c=2, k=3 -> 1 - C(3,3)/C(5,3) = 0.9
+    // task t2: n=4, c=3 -> n-c < k -> exactly 1
+    // task t3: n=2 < k -> excluded
+    val rows =
+      Seq.fill(2)(("t1", true)) ++ Seq.fill(3)(("t1", false)) ++
+      Seq.fill(3)(("t2", true)) ++ Seq(("t2", false)) ++
+      Seq(("t3", true), ("t3", false))
+    val out = EvalMetrics.passAtK(rows.toDF("task", "ok"), "task", "ok",
+        k = 3)
+      .collect().map(r => r.getAs[String]("task") -> r).toMap
+    assert(out.keySet == Set("t1", "t2"))
+    assert(out("t1").getAs[Long]("pass_micro") == 900000L)
+    assert(out("t2").getAs[Long]("pass_micro") == 1000000L)
+    // k=1 reduces to c/n
+    val k1 = EvalMetrics.passAtK(rows.toDF("task", "ok"), "task", "ok",
+        k = 1)
+      .collect().map(r => r.getAs[String]("task") -> r).toMap
+    assert(k1("t1").getAs[Long]("pass_micro") == 400000L)
+  }
+
+  test("krippendorffAlpha: hand-computed nominal alpha over complete 2-rater panels; partial panels excluded") {
+    // items i1(a,a) i2(a,b) i3(b,b) i4(b,b), plus i5 rated once (drops)
+    val df = Seq(("i1", "r1", "a"), ("i1", "r2", "a"),
+      ("i2", "r1", "a"), ("i2", "r2", "b"),
+      ("i3", "r1", "b"), ("i3", "r2", "b"),
+      ("i4", "r1", "b"), ("i4", "r2", "b"),
+      ("i5", "r1", "a")).toDF("item", "rater", "lab")
+    val r = EvalMetrics.krippendorffAlpha(df, "item", "rater", "lab",
+      m = 2).collect().head
+    assert(r.getAs[Long]("n_items") == 4 &&
+      r.getAs[Long]("n_categories") == 2)
+    // Do = 2/8 -> 250000; De = 30/56 -> 535714;
+    // alpha = 1e6 - 250000e6 div 535714 = 533334
+    assert(r.getAs[Long]("do_micro") == 250000L &&
+      r.getAs[Long]("de_micro") == 535714L &&
+      r.getAs[Long]("alpha_micro") == 533334L)
+    // unanimous single category: De = 0 -> alpha null, not a crash
+    val uni = Seq(("i1", "r1", "x"), ("i1", "r2", "x")).toDF(
+      "item", "rater", "lab")
+    val r0 = EvalMetrics.krippendorffAlpha(uni, "item", "rater", "lab",
+      m = 2).collect().head
+    assert(r0.isNullAt(r0.fieldIndex("alpha_micro")))
   }
 }

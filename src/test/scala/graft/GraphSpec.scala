@@ -105,4 +105,23 @@ class GraphSpec extends GraftSpec {
       .as[(Long, Long)].collect().toMap
     assert(cc.values.toSet.size == 1)
   }
+
+  test("bfsDistances: multi-source min-hop distances, horizon-bounded, unreached vertices absent") {
+    // path 1-2-3-4, isolated pair 5-6; seeds {1, 6}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 6L).toDF("v")
+    val got = Graph.bfsDistances(edges, seeds, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 0L, 5L -> 1L),
+      s"got $got")
+    // 4 is 3 hops out — beyond the horizon, absent (loud by absence,
+    // the caller left-joins the vertex table for explicit rows)
+    assert(!got.contains(4L))
+    // undirected: seeding the other end walks the same path backwards;
+    // a vertex reachable from two seeds takes the MIN
+    val got2 = Graph.bfsDistances(edges, Seq(4L, 2L).toDF("v"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2(3L) == 1L && got2(1L) == 1L && got2(2L) == 0L)
+  }
 }

@@ -229,7 +229,14 @@ class PlanShapeSpec extends GraftSpec {
       // replicate index (require-bounded at 10^4)
       "td_bootstrap_ci", "td_bootstrap_delta",
       // ALS factor scoring: rank-sized factor tables
-      "g4_als_recs")
+      "g4_als_recs",
+      // Benford audit: the broadcast sides are the fixed 9-digit
+      // expectation frame and the 1-row skipped-count scalar
+      "dq_benford",
+      // chi-square cells: the cross product is the category-margin
+      // frame against itself (|statuses| x |priorities| = 15 cells
+      // here; category cardinality, never corpus rows)
+      "st_chi2_cells")
     // Scala UDFs allowed ONLY with a stated bound (same discipline as
     // the BNLJ whitelist: a NEW UDF is a conscious decision, not an
     // accident). Two groups:
