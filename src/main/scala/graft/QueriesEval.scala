@@ -571,7 +571,168 @@ object QueriesEval {
         |    * LN((CAST(c.n_ab AS DOUBLE) * t.nn)
         |      / (CAST(ma.n_a AS DOUBLE) * mb.n_b)), 6) AS mi_term
         |FROM cells c JOIN ma ON c.a = ma.a JOIN mb ON c.b = mb.b,
-        |  t""".stripMargin))
+        |  t""".stripMargin),
+    // t-closeness (the third anonymity rung after priv_kanon and
+    // priv_ldiv): per (nation, balance-band) class, the total-variation
+    // distance between its market-segment mix and the table's, exact
+    // integer micros with the missing-value mass added through the
+    // actual micro-share total (not 1e6 — floors)
+    ("priv_tclose",
+      ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long"))
+      graft.operators.Privacy.tClosenessByClass(
+        c, Seq("c_nationkey", "bal_band"), "c_mktsegment")
+    }),
+      """WITH c AS (
+        |  SELECT c_nationkey,
+        |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    c_mktsegment
+        |  FROM customer),
+        |cells AS (
+        |  SELECT c_nationkey, bal_band, c_mktsegment,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cv
+        |  FROM c GROUP BY 1, 2, 3),
+        |g AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS g_v
+        |      FROM c GROUP BY 1),
+        |gt AS (
+        |  SELECT c_mktsegment,
+        |    CAST(g_v * 1000000 // (SELECT CAST(SUM(g_v) AS BIGINT)
+        |      FROM g) AS BIGINT) AS pg_micro
+        |  FROM g),
+        |gtt AS (SELECT CAST(SUM(pg_micro) AS BIGINT) AS tot_pg FROM gt),
+        |cl AS (
+        |  SELECT c_nationkey, bal_band, CAST(SUM(n_cv) AS BIGINT)
+        |    AS n_c
+        |  FROM cells GROUP BY 1, 2),
+        |j AS (
+        |  SELECT cells.c_nationkey, cells.bal_band, cl.n_c,
+        |    CAST(cells.n_cv * 1000000 // cl.n_c AS BIGINT) AS pc_micro,
+        |    gt.pg_micro
+        |  FROM cells
+        |  JOIN cl USING (c_nationkey, bal_band)
+        |  JOIN gt USING (c_mktsegment))
+        |SELECT c_nationkey, bal_band,
+        |  CAST(MIN(n_c) AS BIGINT) AS class_size,
+        |  CAST((CAST(SUM(ABS(pc_micro - pg_micro)) AS BIGINT)
+        |    + (gtt.tot_pg - CAST(SUM(pg_micro) AS BIGINT))) // 2
+        |    AS BIGINT) AS tv_micro
+        |FROM j, gtt
+        |GROUP BY c_nationkey, bal_band, gtt.tot_pg""".stripMargin),
+    // Cochran's Q over three is-it-English classifiers on the SAME
+    // documents (length rule, source-majority, a parity coin) — the
+    // k-system generalization of eval_mcnemar, all integer
+    ("st_cochran_q",
+      ((s, dir) => {
+      val d = docs(s, dir)
+      val sys3 = d.select(col("source"), col("lang"), col("n_chars"))
+        .join(sourceMajority(d), Seq("source"))
+        .select(
+          ((col("n_chars") >= 300) === (col("lang") === "en")).as("sa"),
+          ((col("pred") === "en") === (col("lang") === "en")).as("sb"),
+          ((pmod(col("n_chars"), lit(2)) === 0) ===
+            (col("lang") === "en")).as("sc"))
+      Stats.cochranQ(sys3, Seq("sa", "sb", "sc"))
+    }),
+      s"""WITH $sourceMajoritySql,
+        |p AS (
+        |  SELECT
+        |    CASE WHEN (d.n_chars >= 300) = (d.lang = 'en')
+        |      THEN 1 ELSE 0 END AS xa,
+        |    CASE WHEN (maj.pred = 'en') = (d.lang = 'en')
+        |      THEN 1 ELSE 0 END AS xb,
+        |    CASE WHEN (d.n_chars % 2 = 0) = (d.lang = 'en')
+        |      THEN 1 ELSE 0 END AS xc
+        |  FROM documents d JOIN maj ON d.source = maj.source),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(xa) AS BIGINT) AS ga,
+        |    CAST(SUM(xb) AS BIGINT) AS gb,
+        |    CAST(SUM(xc) AS BIGINT) AS gc,
+        |    CAST(SUM(xa + xb + xc) AS BIGINT) AS sum_l,
+        |    CAST(SUM((xa + xb + xc) * (xa + xb + xc)) AS BIGINT)
+        |      AS sum_l_sq
+        |  FROM p)
+        |SELECT n_items, CAST(3 AS BIGINT) AS k, sum_l, sum_l_sq,
+        |  ga * ga + gb * gb + gc * gc AS sum_g_sq,
+        |  CASE WHEN 3 * sum_l - sum_l_sq > 0 THEN
+        |    CAST(2 * (3 * (ga * ga + gb * gb + gc * gc)
+        |      - sum_l * sum_l) * 1000000 // (3 * sum_l - sum_l_sq)
+        |      AS BIGINT) END AS q_micro
+        |FROM a""".stripMargin),
+    // additive seasonal decomposition of the daily event count
+    // (period 7): centered moving-average trend, per-weekday-phase
+    // seasonal mean, remainder — all exact integer milli units; the
+    // oracle replays the same window and the sign-split division
+    ("ts_seasonal",
+      ((s, dir) => {
+      val daily = events(s, dir)
+        .withColumn("d", to_date(col("ts").cast("timestamp")))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.seasonalDecompose(daily, period = 7)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n"), col("phase"), col("trend_milli"),
+          col("seasonal_milli"), col("remainder_milli"))
+    }),
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, n,
+        |    CAST((CAST(day AS DATE) - DATE '1970-01-01') % 7
+        |      AS BIGINT) AS phase,
+        |    COUNT(*) OVER win AS wn,
+        |    CAST(SUM(n * 1000) OVER win AS BIGINT) AS wsum
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |b AS (
+        |  SELECT day, n, phase,
+        |    CASE WHEN wn = 7 THEN wsum // 7 END AS trend_milli
+        |  FROM w),
+        |b2 AS (
+        |  SELECT *, CASE WHEN trend_milli IS NOT NULL
+        |    THEN n * 1000 - trend_milli END AS detr
+        |  FROM b),
+        |s AS (
+        |  SELECT phase, CAST(SUM(detr) AS BIGINT) AS sd,
+        |    CAST(COUNT(detr) AS BIGINT) AS cd
+        |  FROM b2 WHERE detr IS NOT NULL GROUP BY 1),
+        |s2 AS (
+        |  SELECT phase, CAST(CASE WHEN sd >= 0 THEN sd // cd
+        |    ELSE -((-sd) // cd) END AS BIGINT) AS seasonal_milli
+        |  FROM s)
+        |SELECT b2.day, b2.n, b2.phase, b2.trend_milli,
+        |  s2.seasonal_milli,
+        |  b2.detr - s2.seasonal_milli AS remainder_milli
+        |FROM b2 LEFT JOIN s2 USING (phase)""".stripMargin),
+    // column profile snapshot of the events table (string, key, and
+    // free-text columns — doubles excluded on purpose: float-to-string
+    // rendering is engine-specific): row/null/distinct counts and the
+    // modal value per column
+    ("dq_profile",
+      ((s, dir) => {
+      DataChecks.profile(events(s, dir),
+        Seq("event_type", "user_id", "props"))
+    }),
+      Seq("event_type", "user_id", "props").map { c =>
+        s"""SELECT '$c' AS column_name,
+          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_null,
+          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+          |  (SELECT v FROM (
+          |     SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS n
+          |     FROM events WHERE $c IS NOT NULL GROUP BY 1
+          |     ORDER BY n DESC, v LIMIT 1)) AS top_value,
+          |  CAST((SELECT n FROM (
+          |     SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS n
+          |     FROM events WHERE $c IS NOT NULL GROUP BY 1
+          |     ORDER BY n DESC, v LIMIT 1)) AS BIGINT) AS top_n
+          |FROM events""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "")))
 
   val queries: Map[String, Q] =
     gated.map(g => (g._1, g._2)).toMap

@@ -225,6 +225,40 @@ object DataChecks {
         col("psi_term"))
   }
 
+  /** One-pass-per-column table profile — the Great-Expectations-style
+    * summary a pipeline snapshots before accepting a dataset drop:
+    * per column, row count, null count, exact distinct count (nulls
+    * excluded, the SQL COUNT(DISTINCT) convention), and the modal
+    * value with its frequency (ties broken by the smaller rendered
+    * value — deterministic). Values render through a string cast so
+    * one report schema covers every column type.
+    * Output: (column_name, n_rows, n_null, n_distinct, top_value,
+    * top_n), one row per requested column.
+    *
+    * Scale shape: per column, one scan-shaped aggregate plus one
+    * value-keyed aggregation reduced to a single argmax row (a 1-row ×
+    * 1-row join assembles the report row); columns are bounded by the
+    * caller's list. Exact distinct is a shuffle per column — profile a
+    * 100 TB table on a sampled or bucketed slice, or swap in the HLL
+    * sketch variant the metrics layer already carries. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.map { c =>
+      val stats = df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"))
+      val top = df.select(col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("n"))
+        .agg(min(struct((-col("n")).as("nn"), col("v").as("tv"))).as("m"))
+        .select(col("m.tv").as("top_value"), (-col("m.nn")).as("top_n"))
+      stats.crossJoin(top)
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("top_value"), col("top_n"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Benford's-law first-digit audit over a positive integer column
     * (amounts in cents, counts, ids-that-shouldn't-be-Benford): the
     * classic fabricated-data / broken-ETL smell test. Emits one row

@@ -53,6 +53,54 @@ object Privacy {
         countDistinct(col(sensitive)).as("distinct_sensitive"))
       .filter(col("distinct_sensitive") < l)
 
+  /** t-closeness audit (Li et al. 2007) — the third rung of the
+    * anonymity ladder after k-anonymity and l-diversity: a class can
+    * be large AND diverse yet still leak if its sensitive-value MIX
+    * differs sharply from the table's. For categorical sensitive
+    * values the Earth-Mover distance reduces to total variation,
+    * tv = ½·Σ_v |p_class(v) − p_global(v)|, reported per class in
+    * exact integer micros (shares floored to micros first, then the
+    * integer abs-sum halves — engine-replayable). Output: one row per
+    * equivalence class with (quasi..., class_size, tv_micro); the
+    * caller thresholds (classes with tv over t leak).
+    *
+    * Scale shape: one (quasi, sensitive) hash aggregation, a
+    * sensitive-keyed join against the value-cardinality global-share
+    * frame (broadcast-sized), one class-keyed re-aggregation. Zero
+    * cells need no rows: a value absent from a class contributes its
+    * full global share, added via the complement identity
+    * Σ_missing p_g = 10⁶ − Σ_present p_g. */
+  def tClosenessByClass(df: DataFrame, quasi: Seq[String],
+                        sensitive: String): DataFrame = {
+    val cells = df.groupBy((quasi.map(col) :+ col(sensitive)): _*)
+      .agg(count(lit(1)).as("n_cv"))
+    val globals = df.groupBy(col(sensitive))
+      .agg(count(lit(1)).as("g_v"))
+      .withColumn("_n", expr("sum(g_v) over ()"))
+      .withColumn("pg_micro", expr("g_v * 1000000L div _n"))
+      // the micro-share total is NOT exactly 1e6 (floors) — carry the
+      // actual total so the missing-value mass below is exact
+      .withColumn("tot_pg", expr("sum(pg_micro) over ()"))
+      .select(col(sensitive), col("pg_micro"), col("tot_pg"))
+    cells
+      .withColumn("n_c",
+        sum(col("n_cv")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(quasi.map(col): _*)))
+      .join(globals, Seq(sensitive))
+      .withColumn("pc_micro", expr("n_cv * 1000000L div n_c"))
+      .groupBy(quasi.map(col): _*)
+      .agg(first(col("n_c")).as("class_size"),
+        sum(expr("abs(pc_micro - pg_micro)")).as("_present_gap"),
+        sum(col("pg_micro")).as("_present_global"),
+        first(col("tot_pg")).as("_tot_pg"))
+      // values never seen in the class contribute |0 - p_g| each:
+      // total global micro mass minus the mass of values present
+      .withColumn("tv_micro",
+        expr("(_present_gap + (_tot_pg - _present_global)) div 2L"))
+      .select((quasi.map(col) :+ col("class_size") :+
+        col("tv_micro")): _*)
+  }
+
   /** One-line audit summary: total classes, violating classes, rows in
     * violating classes, and the minimum class size observed. */
   def kAnonymitySummary(df: DataFrame, quasi: Seq[String],

@@ -140,6 +140,42 @@ object Stats {
         col("lift_micro"))
   }
 
+  /** Cochran's Q test — [[EvalMetrics.mcnemarPaired]] generalized to
+    * k systems scored over the SAME items: are the systems' success
+    * rates distinguishable at all? Q = (k−1)·(k·ΣG_j² − T²) /
+    * (k·ΣL_i − ΣL_i²) with G_j the per-system success totals, L_i the
+    * per-item success counts, T = ΣG = ΣL — every term an integer, Q
+    * reported in exact micros (one floor). One row out: (n_items, k,
+    * sum_l, sum_l_sq, sum_g_sq, q_micro); null when every item has
+    * all-or-nothing success (zero denominator). Q is χ²(k−1) under
+    * the null — with k = 2 it reduces to McNemar without continuity
+    * correction.
+    *
+    * Scale shape: ONE map-side conditional aggregation over the items
+    * (the per-item L is row-local arithmetic) — a single scan. Integer
+    * bound: k·ΣG²·10⁶ must fit int64 — n ≤ ~10⁶ items per slice at
+    * k ≤ 8; segment a larger eval. */
+  def cochranQ(df: DataFrame, correctCols: Seq[String]): DataFrame = {
+    val k = correctCols.size
+    require(k >= 2 && k <= 8, "cochranQ needs 2..8 system columns")
+    val xs = correctCols.zipWithIndex.map { case (c, i) =>
+      when(col(c).cast("boolean"), 1L).otherwise(0L).as(s"_x$i") }
+    val rows = df.select(xs: _*)
+      .withColumn("_l", (0 until k).map(i => col(s"_x$i")).reduce(_ + _))
+    val aggs = (0 until k).map(i => sum(col(s"_x$i")).as(s"_g$i")) ++
+      Seq(count(lit(1)).as("n_items"), sum(col("_l")).as("sum_l"),
+        sum(expr("_l * _l")).as("sum_l_sq"))
+    rows.agg(aggs.head, aggs.tail: _*)
+      .withColumn("sum_g_sq",
+        (0 until k).map(i => col(s"_g$i") * col(s"_g$i")).reduce(_ + _))
+      .withColumn("q_micro",
+        expr(s"CASE WHEN ${k}L * sum_l - sum_l_sq > 0 THEN " +
+          s"${k - 1}L * (${k}L * sum_g_sq - sum_l * sum_l) * 1000000L " +
+          s"div (${k}L * sum_l - sum_l_sq) END"))
+      .select(col("n_items"), lit(k.toLong).as("k"), col("sum_l"),
+        col("sum_l_sq"), col("sum_g_sq"), col("q_micro"))
+  }
+
   /** Brier score of a probabilistic classifier whose score is ALREADY
     * an integer micro-probability in [0, 10⁶] (the
     * [[Experiment.calibration]] input shape): mean squared error in

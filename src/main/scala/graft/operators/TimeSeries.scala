@@ -200,6 +200,56 @@ object TimeSeries {
       windowDays)
   }
 
+  /** Classical additive seasonal decomposition of a daily count
+    * series, integer-exact — the "is Monday always low, or is the
+    * pipeline broken" question a metrics dashboard answers before
+    * alerting on raw counts:
+    *   trend_milli    = centered `period`-day moving average ·10³
+    *                    (null at the edges where the window is short)
+    *   detrended      = n·10³ − trend
+    *   seasonal_milli = per-phase mean of the detrended values
+    *                    (truncating integer division — the phase is
+    *                    the day's offset mod period from 1970-01-01)
+    *   remainder_milli = detrended − seasonal
+    * Every step is integer arithmetic in milli units; `period` must be
+    * odd so the moving average centers exactly.
+    *
+    * `daily`: (d DATE, n LONG) — one row per day (gapfill first:
+    * [[gapfillDaily]]); returns (d, n, phase, trend_milli,
+    * seasonal_milli, remainder_milli).
+    *
+    * Scale shape: one ordered window over the DAY-count frame (3-4
+    * orders below event scale), one phase-keyed aggregation joined
+    * back by phase. */
+  def seasonalDecompose(daily: DataFrame, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1 && period <= 365,
+      "period must be odd, in [3, 365]")
+    val half = period / 2
+    val w = Window.orderBy(col("d")).rowsBetween(-half, half)
+    val base = daily.select(col("d"), col("n").cast("long").as("n"))
+      .withColumn("phase",
+        pmod(datediff(col("d"), to_date(lit("1970-01-01"))),
+          lit(period)).cast("long"))
+      .withColumn("_wn", count(lit(1)).over(w))
+      .withColumn("trend_milli",
+        when(col("_wn") === period,
+          expr(s"sum(n * 1000L) over (order by d rows between " +
+            s"$half preceding and $half following) div ${period}L")))
+      .withColumn("_detr",
+        when(col("trend_milli").isNotNull,
+          col("n") * 1000L - col("trend_milli")))
+    val seasonal = base.filter(col("_detr").isNotNull)
+      .groupBy(col("phase"))
+      .agg(sum(col("_detr")).as("_sd"), count(lit(1)).as("_cd"))
+      // truncating div (Spark semantics; the oracle sign-splits its
+      // floor division to match)
+      .select(col("phase"), expr("_sd div _cd").as("seasonal_milli"))
+    base.join(seasonal, Seq("phase"), "left")
+      .select(col("d"), col("n"), col("phase"), col("trend_milli"),
+        col("seasonal_milli"),
+        (col("_detr") - col("seasonal_milli")).as("remainder_milli"))
+  }
+
   /** The read half over STORED day sketches — `daily`: (d DATE,
     * sk BINARY hll sketch), e.g. the table
     * [[graft.streaming.EventPipeline.startDailySketches]] maintains.

@@ -160,6 +160,29 @@ class DataChecksSpec extends GraftSpec {
       rows(1).getAs[Long]("pa_micro") == 1L)
   }
 
+  test("profile: per-column row/null/distinct counts and the modal value with deterministic tiebreak") {
+    val df = Seq((Some(1L), Some("a")), (Some(2L), Some("a")),
+      (Some(3L), Some("b")), (None, None))
+      .toDF("k", "v")
+    val m = DataChecks.profile(df, Seq("k", "v"))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    val k = m("k")
+    assert(k.getAs[Long]("n_rows") == 4 && k.getAs[Long]("n_null") == 1 &&
+      k.getAs[Long]("n_distinct") == 3)
+    // all-distinct column: tie broken by the smallest rendered value
+    assert(k.getAs[String]("top_value") == "1" &&
+      k.getAs[Long]("top_n") == 1)
+    val v = m("v")
+    assert(v.getAs[Long]("n_distinct") == 2 &&
+      v.getAs[String]("top_value") == "a" && v.getAs[Long]("top_n") == 2)
+    // an all-null column profiles with a null mode, not an error
+    val nul = Seq[Option[String]](None, None).toDF("x")
+    val rx = DataChecks.profile(nul, Seq("x")).collect().head
+    assert(rx.getAs[Long]("n_null") == 2 &&
+      rx.getAs[Long]("n_distinct") == 0 &&
+      rx.isNullAt(rx.fieldIndex("top_value")))
+  }
+
   test("benford: first-digit counts, exact micro shares, and the hardcoded expectations; non-positives skipped") {
     // 1..9 once each + 10..19 (ten more 1-leading values) + 0 and -5
     val vals = (1L to 9L) ++ (10L to 19L) ++ Seq(0L, -5L)

@@ -33,6 +33,35 @@ class PrivacySpec extends GraftSpec {
     assert(got == Set(("DE", "AUTO", 2L, 1L), ("FR", "BIKE", 1L, 1L)))
   }
 
+  test("tClosenessByClass: hand-computed total-variation per class, missing values carry their global mass") {
+    // global sensitive mix: a x2, b x2 -> 500000 micros each
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("q", "s")
+    val m = Privacy.tClosenessByClass(df, Seq("q"), "s")
+      .collect().map(r => r.getAs[Long]("q") -> r).toMap
+    // both classes exactly match the global mix -> tv = 0
+    assert(m(1L).getAs[Long]("class_size") == 2 &&
+      m(1L).getAs[Long]("tv_micro") == 0L)
+    assert(m(2L).getAs[Long]("tv_micro") == 0L)
+    // skew one class: global becomes a x3, b x1 (pg = 750000/250000)
+    // class 1 = {a, a}: gap |1e6 - 750000| = 250000 present + 250000
+    // missing mass for b, halved -> 250000
+    // class 2 = {a, b}: gaps 250000 + 250000, halved -> 250000
+    val df2 = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+      .toDF("q", "s")
+    val m2 = Privacy.tClosenessByClass(df2, Seq("q"), "s")
+      .collect().map(r => r.getAs[Long]("q") -> r).toMap
+    assert(m2(1L).getAs[Long]("tv_micro") == 250000L)
+    assert(m2(2L).getAs[Long]("tv_micro") == 250000L)
+    // non-divisible global (a x5, b x1 of 6 -> 833333/166666, total
+    // 999999): class {a,a} gap 166667 + missing 166666 -> 166666 —
+    // the missing mass rides the ACTUAL micro total, not 1e6
+    val df3 = df2.union(Seq((3L, "a"), (3L, "a")).toDF("q", "s"))
+    val m3 = Privacy.tClosenessByClass(df3, Seq("q"), "s")
+      .collect().map(r => r.getAs[Long]("q") -> r).toMap
+    assert(m3(3L).getAs[Long]("tv_micro") == 166666L)
+  }
+
   test("kAnonymitySummary: counts classes, violators, rows at risk") {
     val got = Privacy.kAnonymitySummary(release,
         Seq("nation", "segment"), k = 5)

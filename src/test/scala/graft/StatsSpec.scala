@@ -69,6 +69,28 @@ class StatsSpec extends GraftSpec {
       m(4).getAs[Long]("lift_micro") == 0L)
   }
 
+  test("cochranQ: hand-computed 3-system Q; k=2 reduces to uncorrected McNemar; all-or-nothing null") {
+    // items: (1,1,0), (1,0,0), (1,1,1), (0,0,0)
+    // G = (3,2,1), T = 6, sumL2 = 14 -> Q = 2*(42-36)/(18-14) = 3.0
+    val df = Seq((true, true, false), (true, false, false),
+      (true, true, true), (false, false, false)).toDF("a", "b", "c")
+    val r = Stats.cochranQ(df, Seq("a", "b", "c")).collect().head
+    assert(r.getAs[Long]("n_items") == 4 && r.getAs[Long]("k") == 3)
+    assert(r.getAs[Long]("sum_l") == 6 &&
+      r.getAs[Long]("sum_l_sq") == 14 &&
+      r.getAs[Long]("sum_g_sq") == 14)
+    assert(r.getAs[Long]("q_micro") == 3000000L)
+    // k = 2: (1,0),(1,0),(0,1),(1,1),(0,0) -> (b-c)^2/(b+c) = 1/3
+    val two = Seq((true, false), (true, false), (false, true),
+      (true, true), (false, false)).toDF("a", "b")
+    assert(Stats.cochranQ(two, Seq("a", "b")).collect().head
+      .getAs[Long]("q_micro") == 333333L)
+    // every item all-right or all-wrong: denominator 0 -> null
+    val flat = Seq((true, true), (false, false)).toDF("a", "b")
+    val r0 = Stats.cochranQ(flat, Seq("a", "b")).collect().head
+    assert(r0.isNullAt(r0.fieldIndex("q_micro")))
+  }
+
   test("brierScore: exact micro MSE; perfect and inverted scores") {
     val df = Seq((1000000L, true), (0L, true), (500000L, false))
       .toDF("sm", "y")

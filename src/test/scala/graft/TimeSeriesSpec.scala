@@ -177,4 +177,39 @@ class TimeSeriesSpec extends GraftSpec {
     // HLL runs exact in sparse mode at these cardinalities
     exact.foreach { case (d, n) => assert(approx(d) == n, s"day $d") }
   }
+
+  test("seasonalDecompose: a perfectly periodic series decomposes to flat trend, exact phase means, zero remainder") {
+    import org.apache.spark.sql.functions._
+    // 14 days from the epoch, n = 10 + (day mod 7): pure seasonality
+    val daily = (0 until 14)
+      .map(i => (java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(i.toLong)), 10L + i % 7))
+      .toDF("d", "n")
+    val rows = TimeSeries.seasonalDecompose(daily, period = 7)
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay -> r)
+      .toMap
+    assert(rows.size == 14)
+    // full centered windows exist for days 3..10: any 7 consecutive
+    // values sum to 10+11+...+16 = 91 -> trend = 91000 div 7 = 13000
+    (3L to 10L).foreach { i =>
+      val r = rows(i)
+      assert(r.getAs[Long]("trend_milli") == 13000L, s"day $i")
+      assert(r.getAs[Long]("phase") == i % 7)
+      // detrended = (phase - 3) * 1000 exactly = the phase mean
+      assert(r.getAs[Long]("seasonal_milli") == (i % 7 - 3) * 1000,
+        s"day $i seasonal")
+      assert(r.getAs[Long]("remainder_milli") == 0L, s"day $i rem")
+    }
+    // edges: no full window -> null trend and remainder
+    Seq(0L, 1L, 2L, 11L, 12L, 13L).foreach { i =>
+      val r = rows(i)
+      assert(r.isNullAt(r.fieldIndex("trend_milli")), s"day $i")
+      assert(r.isNullAt(r.fieldIndex("remainder_milli")), s"day $i")
+    }
+    // even or out-of-range periods are rejected loudly
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalDecompose(daily, period = 4)
+    }
+  }
 }
