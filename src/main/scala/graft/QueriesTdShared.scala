@@ -299,6 +299,54 @@ private[graft] object QueriesTdShared {
       |  FROM pc JOIN lt USING (w1) JOIN rt USING (w2) CROSS JOIN tt)
       |""".stripMargin
 
+  /** Shared Kneser–Ney TRIGRAM CTE chain (td_kn_trigram +
+    * td_kn_trigram_doc): the per-doc trigram stream as
+    * `tg(doc_id, w1, w2, w3)` and the two-level interpolated model as
+    * `tm(w1, w2, w3, c123, c12, n1p_12, nc_23, nc_2d, n1p_2,
+    * cont_micro, pkn2_micro, p_micro)` — every count, marginal, and
+    * floored integer division of
+    * [[graft.operators.NgramLm.trainTrigram]] replayed exactly
+    * (cont_micro floors FIRST, then feeds pkn2, then p — the same
+    * order the Spark columns compute in). */
+  private[graft] val knTrigramCte = wordsOnlyCte +
+    """, pt AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+      |  FROM ws WHERE len(w) >= 3),
+      |tg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2,
+      |         w[i + 2] AS w3 FROM pt),
+      |tc AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+      |       FROM tg GROUP BY 1, 2, 3),
+      |pre AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+      |          CAST(COUNT(*) AS BIGINT) AS n1p_12
+      |        FROM tc GROUP BY 1, 2),
+      |c23 AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS nc_23
+      |        FROM tc GROUP BY 1, 2),
+      |mid AS (SELECT w2, CAST(SUM(nc_23) AS BIGINT) AS nc_2d,
+      |          CAST(COUNT(*) AS BIGINT) AS n1p_2
+      |        FROM c23 GROUP BY 1),
+      |un AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS nc_3
+      |       FROM c23 GROUP BY 1),
+      |ttt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c23),
+      |pair AS (
+      |  SELECT c23.w2, c23.w3, c23.nc_23, mid.nc_2d, mid.n1p_2,
+      |    CAST(un.nc_3 * 1000000 // GREATEST(t, 1) AS BIGINT)
+      |      AS cont_micro,
+      |    CAST(GREATEST(4 * c23.nc_23 - 3, 0) * 1000000
+      |        // (4 * mid.nc_2d)
+      |      + 3 * mid.n1p_2 * (un.nc_3 * 1000000 // GREATEST(t, 1))
+      |        // (4 * mid.nc_2d) AS BIGINT) AS pkn2_micro
+      |  FROM c23 JOIN mid USING (w2) JOIN un USING (w3)
+      |  CROSS JOIN ttt),
+      |tm AS (
+      |  SELECT tc.w1, tc.w2, tc.w3, tc.c123, pre.c12, pre.n1p_12,
+      |    pair.nc_23, pair.nc_2d, pair.n1p_2, pair.cont_micro,
+      |    pair.pkn2_micro,
+      |    CAST(GREATEST(4 * tc.c123 - 3, 0) * 1000000 // (4 * pre.c12)
+      |      + 3 * pre.n1p_12 * pair.pkn2_micro // (4 * pre.c12)
+      |      AS BIGINT) AS p_micro
+      |  FROM tc JOIN pre USING (w1, w2) JOIN pair USING (w2, w3))
+      |""".stripMargin
+
   /** Shared DSIR CTE chain: full-precision per-doc bigram
     * log-likelihood-ratio weights as `dw(doc_id, n_bigrams, li)`. */
   private[graft] val dsirCore = wordsOnlyCte +

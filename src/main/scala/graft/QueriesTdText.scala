@@ -1363,5 +1363,35 @@ private[graft] object QueriesTdText {
         |  CAST(SUM(mp.p) AS BIGINT) AS sum_p_micro,
         |  CAST(MIN(mp.p) AS BIGINT) AS min_p_micro
         |FROM bg JOIN mp ON bg.w1 = mp.w1 AND bg.w2 = mp.w2
+        |GROUP BY 1""".stripMargin)),
+    // interpolated Kneser-Ney TRIGRAM model — the full CCNet-grade LM
+    // ladder: discounted trigram + continuation-count bigram backoff +
+    // unigram continuation, every level exact integer micros floored
+    // in the same order on both engines; c123 >= 2 bounds the gated
+    // slice of the (inherently distinct-trigram-sized) model table
+    ("td_kn_trigram",
+      ((s, dir) =>
+      graft.operators.NgramLm.trainTrigram(docs(s, dir), "doc_id",
+        "text").filter(col("c123") >= 2)),
+      (knTrigramCte +
+      """SELECT w1, w2, w3, c123, c12, n1p_12, nc_23, nc_2d, n1p_2,
+        |  cont_micro, pkn2_micro, p_micro
+        |FROM tm WHERE c123 >= 2""".stripMargin)),
+    // per-doc trigram LM statistics (trained on the same corpus, so
+    // every trigram hits; the four-rung OOV ladder is spec'd in
+    // NgramLmSpec)
+    ("td_kn_trigram_doc",
+      ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.NgramLm.scoreDocsTrigram(d, "doc_id", "text",
+        graft.operators.NgramLm.trainTrigram(d, "doc_id", "text"))
+    }),
+      (knTrigramCte +
+      """SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(SUM(tm.p_micro) AS BIGINT) AS sum_p_micro,
+        |  CAST(MIN(tm.p_micro) AS BIGINT) AS min_p_micro
+        |FROM tg JOIN tm ON tg.w1 = tm.w1 AND tg.w2 = tm.w2
+        |  AND tg.w3 = tm.w3
         |GROUP BY 1""".stripMargin)))
 }

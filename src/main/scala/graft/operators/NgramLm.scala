@@ -167,4 +167,148 @@ object NgramLm {
         sum(col("_p")).as("sum_p_micro"),
         min(col("_p")).as("min_p_micro"))
   }
+
+  /** (doc_id, w1, w2, w3) per adjacent lowercase word triple. */
+  private def trigramStream(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val w = TextFunctions.words(col(textCol))
+    val tri = when(size(w) < 3,
+      array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+      .otherwise(arrays_zip(
+        slice(w, lit(1), size(w) - 2).as("w1"),
+        slice(w, lit(2), size(w) - 2).as("w2"),
+        slice(w, lit(3), size(w) - 2).as("w3"))
+        .cast("array<struct<w1:string,w2:string,w3:string>>"))
+    docs.select(col(idCol).as("doc_id"), explode(tri).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+  }
+
+  /** Raw (w1, w2, w3, c123) trigram counts of a corpus slice — the
+    * additive half of the trigram model, with the same delta-merge
+    * contract as [[pairCounts]]. */
+  def trigramCounts(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    trigramStream(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+
+  /** Interpolated Kneser–Ney TRIGRAM model — the full CCNet-grade LM
+    * ladder, one level up from [[train]]:
+    *
+    *   P(w3|w1 w2) = max(c123 − d, 0)/c12
+    *               + d·N1+(w1 w2 ·)/c12 · P_kn(w3|w2)
+    *   P_kn(w3|w2) = max(N1+(· w2 w3) − d, 0)/N1+(· w2 ·)
+    *               + d·N1+(w2 ·)/N1+(· w2 ·) · P_cont(w3)
+    *   P_cont(w3)  = N1+(· w3)/T,  T = |distinct (w2, w3)|
+    *
+    * with d = 3/4 cleared by scaling numerators by 4, every division a
+    * floor in exact integer micros — the bigram model's discipline
+    * applied at both interpolation levels. The lower level uses
+    * CONTINUATION counts (distinct left-context types), the textbook
+    * KN structure. Everything derives from ONE distinct-trigram table:
+    * c12/N1+(w1w2·) are its prefix marginals, N1+(·w2w3) its
+    * left-type counts, N1+(·w2·)/N1+(w2·)/N1+(·w3) marginals of THOSE.
+    *
+    * Output per distinct trigram: (w1, w2, w3, c123, c12, n1p_12,
+    * nc_23, nc_2d, n1p_2, cont_micro, pkn2_micro, p_micro).
+    *
+    * Scale shape: one corpus scan to trigram counts (map-side combine),
+    * then marginal aggregations OVER the distinct-trigram table and
+    * vocabulary-keyed equi-joins back. The model table is distinct-
+    * trigram-sized — inherently large for a trigram LM; persistence is
+    * caller-owned ([[unpersistModel]]), the same contract as [[train]].
+    * One bounded driver action (the 1-row T count). */
+  def trainTrigram(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    trainTrigramFromCounts(trigramCounts(docs, idCol, textCol))
+
+  /** [[trainTrigram]] over PRE-AGGREGATED (w1, w2, w3, c123) deltas —
+    * the incremental refit entry point (union per-batch
+    * [[trigramCounts]]; shared bigrams re-sum here). */
+  def trainTrigramFromCounts(counts: DataFrame): DataFrame = {
+    val tri = counts
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("c123")).as("c123"))
+      .persist()
+    val pre = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n1p_12"))
+    val c23 = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("nc_23"))
+      .persist()
+    val mid = c23.groupBy(col("w2"))
+      .agg(sum(col("nc_23")).as("nc_2d"), count(lit(1)).as("n1p_2"))
+    val uni = c23.groupBy(col("w3")).agg(count(lit(1)).as("nc_3"))
+    val t = c23.agg(count(lit(1))).head.getLong(0)
+    val pair = c23
+      .join(mid, Seq("w2"))
+      .join(uni, Seq("w3"))
+      .withColumn("cont_micro",
+        expr(s"nc_3 * 1000000L div greatest(${t}L, 1L)"))
+      .withColumn("pkn2_micro", expr(
+        "greatest(4L * nc_23 - 3L, 0L) * 1000000L div (4L * nc_2d) + " +
+          "3L * n1p_2 * cont_micro div (4L * nc_2d)"))
+      .select(col("w2"), col("w3"), col("nc_23"), col("nc_2d"),
+        col("n1p_2"), col("cont_micro"), col("pkn2_micro"))
+    val model = tri
+      .join(pre, Seq("w1", "w2"))
+      .join(pair, Seq("w2", "w3"))
+      .withColumn("p_micro", expr(
+        "greatest(4L * c123 - 3L, 0L) * 1000000L div (4L * c12) + " +
+          "3L * n1p_12 * pkn2_micro div (4L * c12)"))
+      .select(col("w1"), col("w2"), col("w3"), col("c123"), col("c12"),
+        col("n1p_12"), col("nc_23"), col("nc_2d"), col("n1p_2"),
+        col("cont_micro"), col("pkn2_micro"), col("p_micro"))
+      .persist()
+    model.count()
+    tri.unpersist(false)
+    c23.unpersist(false)
+    model
+  }
+
+  /** Per-document trigram LM statistics under a [[trainTrigram]]
+    * model: (doc_id, n_trigrams, n_hits, sum_p_micro, min_p_micro).
+    * OOV ladder, all integer-exact: unseen trigram with a seen
+    * (w1,w2) prefix scores the prefix backoff alone
+    * (3·n1p_12·pkn2 div (4·c12) — pkn2 falls back through ITS ladder
+    * when (w2,w3) is unseen); an unseen prefix falls to pkn2(w2,w3);
+    * an unseen (w2,w3) with a seen middle w2 falls to that level's
+    * backoff (3·n1p_2·cont div (4·nc_2d)); an unseen w2 falls to the
+    * bare cont(w3); a w3 never seen as a continuation scores 0. Docs
+    * shorter than 3 words are absent — the caller left-joins. */
+  def scoreDocsTrigram(docs: DataFrame, idCol: String, textCol: String,
+                       model: DataFrame): DataFrame = {
+    val tg = trigramStream(docs, idCol, textCol)
+    val exact = model.select(col("w1"), col("w2"), col("w3"),
+      col("p_micro").as("_p_exact"))
+    val pre = model.groupBy(col("w1"), col("w2"))
+      .agg(first(col("c12")).as("_c12"), first(col("n1p_12")).as("_n12"))
+    val pair = model.groupBy(col("w2"), col("w3"))
+      .agg(first(col("pkn2_micro")).as("_pkn2"))
+    val mid = model.groupBy(col("w2"))
+      .agg(first(col("nc_2d")).as("_nc2d"), first(col("n1p_2")).as("_n2"))
+    val uni = model.groupBy(col("w3"))
+      .agg(first(col("cont_micro")).as("_cont"))
+    tg.join(exact, Seq("w1", "w2", "w3"), "left")
+      .join(pre, Seq("w1", "w2"), "left")
+      .join(pair, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      // the lower-order estimate this trigram backs off INTO: the pair
+      // probability when (w2,w3) is known, else that level's own ladder
+      .withColumn("_p2", coalesce(
+        col("_pkn2"),
+        expr("3L * _n2 * coalesce(_cont, 0L) div (4L * _nc2d)"),
+        col("_cont"), lit(0L)))
+      .withColumn("_p", coalesce(
+        col("_p_exact"),
+        expr("3L * _n12 * _p2 div (4L * _c12)"),
+        col("_p2")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("_p_exact").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"),
+        sum(col("_p")).as("sum_p_micro"),
+        min(col("_p")).as("min_p_micro"))
+  }
 }

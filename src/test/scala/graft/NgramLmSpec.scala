@@ -97,6 +97,75 @@ class NgramLmSpec extends GraftSpec {
       m2.storageLevel == StorageLevel.NONE)
   }
 
+  test("trainTrigram: hand-computed interpolated KN trigram micro-probabilities") {
+    // corpus: "a b c a b c" + "a b d"
+    // distinct trigrams: abc(2) bca(1) cab(1) abd(1); T = 4 distinct
+    // (w2,w3); every cont_micro = 250000
+    val tri = Seq((1L, "a b c a b c"), (2L, "a b d"))
+      .toDF("doc_id", "text")
+    val modelDf = NgramLm.trainTrigram(tri, "doc_id", "text")
+    val m = modelDf.collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[String]("w3")) -> r).toMap
+    assert(m.size == 4)
+    val abc = m(("a", "b", "c"))
+    assert(abc.getAs[Long]("c123") == 2 && abc.getAs[Long]("c12") == 3 &&
+      abc.getAs[Long]("n1p_12") == 2)
+    // pkn2(b,c): 1e6 div 8 + 3*2*250000 div 8 = 125000 + 187500
+    assert(abc.getAs[Long]("pkn2_micro") == 312500L)
+    // p: g(4*2-3)*1e6 div 12 + 3*2*312500 div 12 = 416666 + 156250
+    assert(abc.getAs[Long]("p_micro") == 572916L)
+    assert(m(("b", "c", "a")).getAs[Long]("p_micro") == 578125L)
+    assert(m(("c", "a", "b")).getAs[Long]("p_micro") == 578125L)
+    // abd shares the (a,b) prefix: 1e6 div 12 + 156250
+    assert(m(("a", "b", "d")).getAs[Long]("p_micro") == 239583L)
+    NgramLm.unpersistModel(modelDf)
+  }
+
+  test("scoreDocsTrigram: same-corpus hits and the four-rung OOV backoff ladder") {
+    val corpus3 = Seq((1L, "a b c a b c"), (2L, "a b d"))
+      .toDF("doc_id", "text")
+    val model = NgramLm.trainTrigram(corpus3, "doc_id", "text")
+    val self = NgramLm.scoreDocsTrigram(corpus3, "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(self(1L).getAs[Long]("n_trigrams") == 4 &&
+      self(1L).getAs[Long]("n_hits") == 4 &&
+      self(1L).getAs[Long]("sum_p_micro") ==
+        572916L * 2 + 578125L * 2 &&
+      self(1L).getAs[Long]("min_p_micro") == 572916L)
+    assert(self(2L).getAs[Long]("sum_p_micro") == 239583L)
+    // ladder: seen prefix/unseen pair; unseen prefix/seen cont;
+    // fully unseen
+    val oov = Seq((10L, "a b a"), (11L, "x y c"), (12L, "x y z"))
+      .toDF("doc_id", "text")
+    val s = NgramLm.scoreDocsTrigram(oov, "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // (a,b,a): prefix backoff into the pair level's own backoff:
+    // _p2 = 3*2*250000 div 8 = 187500; _p = 3*2*187500 div 12 = 93750
+    assert(s(10L).getAs[Long]("n_hits") == 0 &&
+      s(10L).getAs[Long]("sum_p_micro") == 93750L)
+    assert(s(11L).getAs[Long]("sum_p_micro") == 250000L)
+    assert(s(12L).getAs[Long]("sum_p_micro") == 0L)
+    NgramLm.unpersistModel(model)
+  }
+
+  test("trigram incremental refit: merged per-slice deltas equal the full model; short docs are safe") {
+    val a = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val b = Seq((2L, "a b d"), (3L, "a b"), (4L, "")).toDF("doc_id", "text")
+    val full = NgramLm.trainTrigram(a.union(b), "doc_id", "text")
+    val merged = NgramLm.trainTrigramFromCounts(
+      NgramLm.trigramCounts(a, "doc_id", "text")
+        .unionByName(NgramLm.trigramCounts(b, "doc_id", "text")))
+    assert(merged.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet)
+    // sub-3-word docs produce no trigrams anywhere
+    assert(NgramLm.scoreDocsTrigram(
+      Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text",
+      full).count() == 0)
+    NgramLm.unpersistModel(full)
+    NgramLm.unpersistModel(merged)
+  }
+
   test("empty and single-word docs produce no bigrams, not errors") {
     val model = NgramLm.train(corpus, "doc_id", "text")
     val d = Seq((20L, ""), (21L, "a")).toDF("doc_id", "text")
