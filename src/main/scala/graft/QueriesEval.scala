@@ -708,6 +708,35 @@ object QueriesEval {
         |  s2.seasonal_milli,
         |  b2.detr - s2.seasonal_milli AS remainder_milli
         |FROM b2 LEFT JOIN s2 USING (phase)""".stripMargin),
+    // Spearman rank correlation between event value and arrival time
+    // over a bounded slice — tie-free via the (value, event_id) /
+    // (ts, event_id) total orders, so the exact 1 - 6*sum(d^2)/n(n^2-1)
+    // closed form holds, one integer floor
+    ("st_spearman",
+      ((s, dir) => {
+      val e = events(s, dir)
+        .filter(col("user_id") < 75 && col("value").isNotNull)
+        .select(col("event_id").as("id"), col("value").as("x"),
+          col("ts").as("y"))
+      Stats.spearman(e, "id", "x", "y")
+    }),
+      """WITH e AS (
+        |  SELECT event_id AS id, value AS x, ts AS y
+        |  FROM events WHERE user_id < 75 AND value IS NOT NULL),
+        |r AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY x, id) AS BIGINT)
+        |      AS rx,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY y, id) AS BIGINT) AS ry
+        |  FROM e),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d_sq
+        |  FROM r)
+        |SELECT n, sum_d_sq,
+        |  CASE WHEN n >= 2 THEN CAST(1000000
+        |    - 6 * sum_d_sq * 1000000 // (n * (n * n - 1)) AS BIGINT)
+        |    END AS rho_micro
+        |FROM a""".stripMargin),
     // column profile snapshot of the events table (string, key, and
     // free-text columns — doubles excluded on purpose: float-to-string
     // rendering is engine-specific): row/null/distinct counts and the

@@ -196,6 +196,34 @@ object Stats {
       .select(col("n"), col("brier_micro"))
   }
 
+  /** Spearman rank correlation between two columns, exact-integer: do
+    * the two orderings agree? Both rankings are made TIE-FREE by the
+    * (value, id) total order — the rho is then exactly
+    * 1 − 6·Σd²/(n(n²−1)) with d the per-row rank difference, reported
+    * in micros with one floor (sign-split, both engines agree). One
+    * row out: (n, sum_d_sq, rho_micro); null below 2 rows.
+    *
+    * Scale shape: two global rank windows (total-order statistics — at
+    * 100 TB rank per segment, or bucket values first), one map-side
+    * reduce. Integer bound: 6·Σd²·10⁶ ≤ int64 needs n ≤ ~50 000 rows
+    * per slice (Σd² < n³/3); segment a larger eval. */
+  def spearman(df: DataFrame, idCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val wx = Window.orderBy(col("x"), col("id"))
+    val wy = Window.orderBy(col("y"), col("id"))
+    df.select(col(idCol).as("id"), col(xCol).as("x"), col(yCol).as("y"))
+      .withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .withColumn("d", col("rx") - col("ry"))
+      .agg(count(lit(1)).as("n"), sum(expr("d * d")).as("sum_d_sq"))
+      // the divided quantity is non-negative, so the floor has no
+      // trunc-vs-floor hazard; the subtraction may go negative (rho<0)
+      .withColumn("rho_micro",
+        expr("CASE WHEN n >= 2 THEN 1000000L - " +
+          "6L * sum_d_sq * 1000000L div (n * (n * n - 1L)) END"))
+      .select(col("n"), col("sum_d_sq"), col("rho_micro"))
+  }
+
   /** Per-category entropy terms of a categorical column: share in
     * exact integer micros and the Shannon term −p·ln(p) rounded 6 dp
     * (ONE ln per row over an integer-derived ratio — the psi_term

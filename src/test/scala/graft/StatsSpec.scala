@@ -103,6 +103,28 @@ class StatsSpec extends GraftSpec {
       .getAs[Long]("brier_micro") == 0L)
   }
 
+  test("spearman: perfect, reversed, and tie-broken rankings score exactly") {
+    val up = Seq((1L, 10L, 1.0), (2L, 20L, 2.0), (3L, 30L, 3.0))
+      .toDF("id", "x", "y")
+    assert(Stats.spearman(up, "id", "x", "y").collect().head
+      .getAs[Long]("rho_micro") == 1000000L)
+    val down = Seq((1L, 10L, 3.0), (2L, 20L, 2.0), (3L, 30L, 1.0))
+      .toDF("id", "x", "y")
+    val r = Stats.spearman(down, "id", "x", "y").collect().head
+    assert(r.getAs[Long]("sum_d_sq") == 8 &&
+      r.getAs[Long]("rho_micro") == -1000000L)
+    // ties in x break by id: x-ranks for ids (1,2,3) are (2,3,1)
+    val tie = Seq((1L, 5L, 2.0), (2L, 5L, 3.0), (3L, 1L, 1.0))
+      .toDF("id", "x", "y")
+    // y-ranks (2,3,1) too -> d = 0 -> perfectly correlated
+    assert(Stats.spearman(tie, "id", "x", "y").collect().head
+      .getAs[Long]("rho_micro") == 1000000L)
+    // a single row: undefined -> null
+    val one = Seq((1L, 5L, 2.0)).toDF("id", "x", "y")
+    val r1 = Stats.spearman(one, "id", "x", "y").collect().head
+    assert(r1.isNullAt(r1.fieldIndex("rho_micro")))
+  }
+
   test("categoricalEntropy: uniform two-category split scores ln(2)/2 per term") {
     val df = Seq("a", "b").toDF("c")
     val rows = Stats.categoricalEntropy(df, "c").collect()
