@@ -1559,6 +1559,60 @@ object QueriesSystem {
         |c AS (SELECT winner, loser FROM x
         |      WHERE hi_c > lo_c AND winner <> loser),
         |""".stripMargin + QueriesTdShared.btFitSql)),
+    // live classifier-quality monitor over the same staged ingest
+    // stream: per-batch score-bucket count deltas land idempotently
+    // and the exact AUC + KS refit from the summed counts — the final
+    // snapshot must equal a batch evaluation of the whole input, which
+    // is exactly what the oracle computes
+    ("s5_quality_monitor",
+      ((s, dir) => {
+      val in = stageLeaderboardInput(s, dir)
+      val wh = tmp("graft-qm-wh"); val cp = tmp("graft-qm-cp")
+      val q = graft.streaming.QualityMonitor.start(s, in, wh, cp)
+      try q.awaitTermination() finally q.stop()
+      graft.streaming.QualityMonitor.current(s, wh)
+        .select(col("n_pos"), col("n_neg"), col("win_pairs"),
+          col("tie_pairs"), col("auc_micro"), col("ks_micro"),
+          col("ks_at_score"))
+    }),
+      """WITH e AS (
+        |  SELECT CAST(ROUND(value * 100) AS BIGINT) // 100 AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT s, CAST(SUM(p) AS BIGINT) AS np,
+        |    CAST(SUM(1 - p) AS BIGINT) AS ng
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT np, ng,
+        |    CAST(COALESCE(SUM(ng) OVER (ORDER BY s ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS neg_below,
+        |    CAST(SUM(np) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_p,
+        |    CAST(SUM(ng) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g,
+        |    s
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(ng) AS BIGINT) AS n_neg,
+        |    CAST(SUM(np * neg_below) AS BIGINT) AS win_pairs,
+        |    CAST(SUM(np * ng) AS BIGINT) AS tie_pairs
+        |  FROM c),
+        |gap AS (
+        |  SELECT c.s, ABS(cum_p * 1000000 // t.n_pos
+        |    - cum_g * 1000000 // t.n_neg) AS gap
+        |  FROM c, t),
+        |mx AS (SELECT CAST(MAX(gap) AS BIGINT) AS ks_micro FROM gap)
+        |SELECT t.n_pos, t.n_neg, t.win_pairs, t.tie_pairs,
+        |  CASE WHEN t.n_pos > 0 AND t.n_neg > 0 THEN
+        |    CAST((2 * t.win_pairs + t.tie_pairs) * 1000000
+        |      // (2 * t.n_pos * t.n_neg) AS BIGINT) END AS auc_micro,
+        |  mx.ks_micro,
+        |  CAST((SELECT MIN(s) FROM gap WHERE gap.gap = mx.ks_micro)
+        |    AS BIGINT) AS ks_at_score
+        |FROM t, mx""".stripMargin),
     ("s1_streaming",
       ((s, dir) => {
       val in = stageStreamingInput(s, dir)

@@ -71,12 +71,21 @@ object Stats {
     * window over them (score cardinality, not rows — bucket
     * continuous scores first, as with rocAuc). */
   def ksStatistic(df: DataFrame, scoreCol: String,
-                  labelCol: String): DataFrame = {
-    val perScore = df
+                  labelCol: String): DataFrame =
+    ksFromCounts(df
       .select(col(scoreCol).as("s"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("p"))
       .groupBy(col("s"))
-      .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("ng"))
+      .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("ng")))
+
+  /** [[ksStatistic]] over PRE-AGGREGATED per-score (s, np, ng) counts
+    * — the incremental entry point, sharing
+    * [[EvalMetrics.rocAucFromCounts]]'s delta-merge contract (per-score
+    * counts are additive across slices; unaggregated delta rows
+    * re-sum here). */
+  def ksFromCounts(counts: DataFrame): DataFrame = {
+    val perScore = counts.groupBy(col("s"))
+      .agg(sum(col("np")).as("np"), sum(col("ng")).as("ng"))
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gaps = perScore

@@ -96,8 +96,8 @@ object Leaderboard {
   /** `path` has at least one committed `_batch=` partition — through
     * Hadoop FS, so hdfs:// and file:// warehouses behave like plain
     * local paths. */
-  private def hasBatchPartitions(spark: SparkSession,
-                                 path: String): Boolean = {
+  private[streaming] def hasBatchPartitions(spark: SparkSession,
+                                            path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) &&

@@ -341,6 +341,54 @@ class ConversationsSpec extends GraftSpec {
     assert(snaps.select("batch_id").distinct().count() >= 2)
   }
 
+  test("quality monitor: per-batch count deltas + exact refit converge to the batch AUC/KS; replay is idempotent") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("qm-in").toFile
+    val wh = Files.createTempDirectory("qm-wh").toFile
+    val cp = Files.createTempDirectory("qm-cp").toFile
+    def line(id: Int, typ: String, v: Double) =
+      s"""{"message_id":"m$id","type":"track","timestamp":"2024-01-01T00:0${
+        id % 10}:00.000Z","user_id":"u$id","event":"$typ",""" +
+        s""""properties":"{\\"value\\": $v}"}"""
+    def write(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(mtime); ()
+    }
+    // buckets (whole units): purchases at 3,2,2 / others at 2,1 —
+    // the rocAuc spec's hand case: AUC = 833333
+    write("b0.json", 1000000L, Seq(
+      line(0, "purchase", 3.0), line(1, "purchase", 2.0),
+      line(2, "view", 2.0)))
+    write("b1.json", 2000000L, Seq(
+      line(3, "purchase", 2.0), line(4, "view", 1.0)))
+    val q = graft.streaming.QualityMonitor.start(spark,
+      in.getAbsolutePath, wh.getAbsolutePath, cp.getAbsolutePath,
+      maxFilesPerTrigger = 1)
+    try q.awaitTermination() finally q.stop()
+    val cur = graft.streaming.QualityMonitor.current(spark,
+      wh.getAbsolutePath).collect().head
+    assert(cur.getAs[Long]("n_pos") == 3 && cur.getAs[Long]("n_neg") == 2)
+    assert(cur.getAs[Long]("auc_micro") == 833333L)
+    assert(cur.getAs[Long]("batch_id") == 1)
+    // the per-batch audit trail exists (two snapshots committed)
+    val snaps = spark.read.parquet(
+      graft.streaming.QualityMonitor.snapshotsDir(wh.getAbsolutePath))
+    assert(snaps.select("batch_id").distinct().count() == 2)
+    // crash-replay: re-ingest batch 1's delta under the same id — the
+    // partition rewrites, counts must NOT double
+    import spark.implicits._
+    val replay = Seq((2L, 1L), (1L, 0L)).toDF("s", "p")
+    graft.streaming.QualityMonitor.ingestBatch(spark,
+      wh.getAbsolutePath, replay, 1L)
+    val after = graft.streaming.QualityMonitor.current(spark,
+      wh.getAbsolutePath).collect().head
+    assert(after.getAs[Long]("n_pos") == 3 &&
+      after.getAs[Long]("n_neg") == 2 &&
+      after.getAs[Long]("auc_micro") == 833333L,
+      s"replay changed the fit: $after")
+  }
+
   test("groupAdvantage: hand-computed GRPO normalization; zero-std and singleton groups; negative rewards") {
     def ev(id: Long, day: Int, u: Long, v: java.lang.Double) =
       (id, ts(day * 1440), u, "view", v, "{}")
