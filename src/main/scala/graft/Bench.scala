@@ -273,7 +273,7 @@ object Bench {
       // rejection-sampling twin (single-struct argmax state)
       Seq("recognized", "recognized_tws", "recognized_variant", "dedup",
           "conversations", "preference_pairs", "best_of_n",
-          "leaderboard")
+          "grpo_stats", "leaderboard")
         .map { mode =>
           s"""\"$mode\":${graft.tools.ThroughputBench.run(spark, staged, mode).json}"""
         }.mkString("{", ",", "}")

@@ -741,6 +741,371 @@ object QueriesEval {
     // free-text columns — doubles excluded on purpose: float-to-string
     // rendering is engine-specific): row/null/distinct counts and the
     // modal value per column
+    // CUSUM level-shift scan over the daily event count: cumulative
+    // deviations from the whole-series milli-floored mean, peak day
+    // flagged (earliest on ties) — all integer, both engines replay
+    // the same running sum
+    ("ts_changepoint",
+      ((s, dir) => {
+      val daily = events(s, dir)
+        .withColumn("d", to_date(col("ts").cast("timestamp")))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.cusumChangepoint(daily)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n"), col("dev_milli"), col("cusum_milli"),
+          col("is_peak"))
+    }),
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, n,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS s,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS c
+        |  FROM daily),
+        |d AS (
+        |  SELECT day, n,
+        |    n * 1000 - (CASE WHEN s >= 0 THEN s * 1000 // c
+        |      ELSE -((-s) * 1000 // c) END) AS dev_milli
+        |  FROM t),
+        |cu AS (
+        |  SELECT day, n, CAST(dev_milli AS BIGINT) AS dev_milli,
+        |    CAST(SUM(dev_milli) OVER (ORDER BY day) AS BIGINT)
+        |      AS cusum_milli
+        |  FROM d),
+        |pk AS (
+        |  SELECT day AS peak_day FROM cu
+        |  ORDER BY ABS(cusum_milli) DESC, day LIMIT 1)
+        |SELECT cu.day, cu.n, cu.dev_milli, cu.cusum_milli,
+        |  cu.day = pk.peak_day AS is_peak
+        |FROM cu, pk""".stripMargin),
+    // lag-1 and lag-7 autocorrelation of the daily event count —
+    // persistence and weekly seasonality in one report; exact integer
+    // sums-of-products, floor(sqrt) denominators (the groupAdvantage
+    // discipline), day-shift equi-join (no window at all)
+    ("ts_autocorr",
+      ((s, dir) => {
+      val daily = events(s, dir)
+        .withColumn("d", to_date(col("ts").cast("timestamp")))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.autocorrelation(daily, Seq(1, 7))
+    }),
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT UNNEST([1, 7]) AS lag),
+        |p AS (
+        |  SELECT lags.lag, a.n AS x, b.n AS y
+        |  FROM lags, daily a, daily b
+        |  WHERE date_diff('day', a.d, b.d) = lags.lag),
+        |agg AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM p GROUP BY 1),
+        |m AS (
+        |  SELECT lag, n_pairs,
+        |    CAST(n_pairs AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy AS num,
+        |    CAST(CAST(n_pairs AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx AS BIGINT) AS dx,
+        |    CAST(CAST(n_pairs AS HUGEINT) * syy
+        |      - CAST(sy AS HUGEINT) * sy AS BIGINT) AS dy
+        |  FROM agg),
+        |f AS (
+        |  SELECT lag, n_pairs, num,
+        |    CAST(FLOOR(SQRT(dx)) AS BIGINT)
+        |      * CAST(FLOOR(SQRT(dy)) AS BIGINT) AS den
+        |  FROM m)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN den > 0 THEN CASE WHEN num >= 0
+        |    THEN CAST(num * 1000000 // den AS BIGINT)
+        |    ELSE -CAST((-num) * 1000000 // den AS BIGINT) END
+        |  END AS r_micro
+        |FROM f""".stripMargin),
+    // median absolute deviation of document length — the robust scale
+    // for outlier clipping; both medians the exact lower order
+    // statistic over distinct values (never an interpolated
+    // percentile, which engines disagree on)
+    ("st_mad",
+      ((s, dir) => Stats.medianAbsoluteDeviation(docs(s, dir),
+        "n_chars")),
+      """WITH v AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |m1 AS (
+        |  SELECT MIN(x) AS median, MAX(n) AS n FROM (
+        |    SELECT x, SUM(c) OVER (ORDER BY x) AS cum,
+        |      SUM(c) OVER () AS n, (SUM(c) OVER () + 1) // 2 AS k
+        |    FROM (SELECT x, COUNT(*) AS c FROM v GROUP BY 1))
+        |  WHERE cum >= k),
+        |r AS (SELECT ABS(v.x - m1.median) AS x FROM v, m1),
+        |m2 AS (
+        |  SELECT MIN(x) AS mad FROM (
+        |    SELECT x, SUM(c) OVER (ORDER BY x) AS cum,
+        |      (SUM(c) OVER () + 1) // 2 AS k
+        |    FROM (SELECT x, COUNT(*) AS c FROM r GROUP BY 1))
+        |  WHERE cum >= k)
+        |SELECT CAST(m1.n AS BIGINT) AS n,
+        |  CAST(m1.median AS BIGINT) AS median,
+        |  CAST(m2.mad AS BIGINT) AS mad
+        |FROM m1, m2""".stripMargin),
+    // Theil-Sen robust trend of the daily event count: exact lower
+    // median of all pairwise micro-floored slopes — one wild day
+    // cannot move it; the pair join is day-squared by design (bounded
+    // before it runs)
+    ("st_theil_sen",
+      ((s, dir) => {
+      val daily = events(s, dir)
+        .withColumn("d", to_date(col("ts").cast("timestamp")))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      Stats.theilSen(daily)
+    }),
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |sl AS (
+        |  SELECT CASE WHEN b.n - a.n >= 0
+        |    THEN (b.n - a.n) * 1000000
+        |      // date_diff('day', a.d, b.d)
+        |    ELSE -((a.n - b.n) * 1000000
+        |      // date_diff('day', a.d, b.d)) END AS x
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |med AS (
+        |  SELECT MIN(x) AS slope_micro, MAX(n) AS n_pairs FROM (
+        |    SELECT x, SUM(c) OVER (ORDER BY x) AS cum,
+        |      SUM(c) OVER () AS n, (SUM(c) OVER () + 1) // 2 AS k
+        |    FROM (SELECT x, COUNT(*) AS c FROM sl GROUP BY 1))
+        |  WHERE cum >= k)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+        |  CAST(med.n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(med.slope_micro AS BIGINT) AS slope_micro
+        |FROM med""".stripMargin),
+    // winsorization audit at median ± 3·MAD (the Hampel identifier):
+    // the outlier fence, per-side clip counts, and the winsorized
+    // mean in exact micros — what a heavy-tailed length column needs
+    // before its mean is worth reporting
+    ("dq_winsorize",
+      ((s, dir) => Stats.winsorizedStats(docs(s, dir), "n_chars",
+        k = 3)),
+      """WITH v AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |m1 AS (
+        |  SELECT MIN(x) AS median, MAX(n) AS n FROM (
+        |    SELECT x, SUM(c) OVER (ORDER BY x) AS cum,
+        |      SUM(c) OVER () AS n, (SUM(c) OVER () + 1) // 2 AS k
+        |    FROM (SELECT x, COUNT(*) AS c FROM v GROUP BY 1))
+        |  WHERE cum >= k),
+        |r AS (SELECT ABS(v.x - m1.median) AS x FROM v, m1),
+        |m2 AS (
+        |  SELECT MIN(x) AS mad FROM (
+        |    SELECT x, SUM(c) OVER (ORDER BY x) AS cum,
+        |      (SUM(c) OVER () + 1) // 2 AS k
+        |    FROM (SELECT x, COUNT(*) AS c FROM r GROUP BY 1))
+        |  WHERE cum >= k),
+        |f AS (
+        |  SELECT m1.n, m1.median, m2.mad,
+        |    m1.median - 3 * m2.mad AS lo,
+        |    m1.median + 3 * m2.mad AS hi
+        |  FROM m1, m2),
+        |w AS (
+        |  SELECT f.n, f.median, f.mad, f.lo, f.hi,
+        |    CAST(SUM(CASE WHEN v.x < f.lo THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clipped_lo,
+        |    CAST(SUM(CASE WHEN v.x > f.hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clipped_hi,
+        |    SUM(CAST(GREATEST(LEAST(v.x, f.hi), f.lo) AS HUGEINT))
+        |      AS ws
+        |  FROM v, f GROUP BY 1, 2, 3, 4, 5)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(median AS BIGINT)
+        |    AS median, CAST(mad AS BIGINT) AS mad,
+        |  CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+        |  n_clipped_lo, n_clipped_hi,
+        |  CASE WHEN ws >= 0 THEN CAST(ws * 1000000 // n AS BIGINT)
+        |    ELSE -CAST((-ws) * 1000000 // n AS BIGINT) END
+        |    AS winsorized_mean_micro
+        |FROM w""".stripMargin),
+    // Kaplan–Meier churn survival over user lifetimes with 14-day
+    // right-censoring — the retention curve with honest uncertainty
+    // about still-active users; the oracle replays the product-limit
+    // fold step for step via WITH RECURSIVE
+    ("ts_kaplan_meier",
+      ((s, dir) => Stats.kaplanMeier(events(s, dir), "user_id", "ts",
+        censorDays = 14)),
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS BIGINT) AS t,
+        |    MAX(CAST(ts AS DATE)) AS last_day
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT MAX(last_day) AS mx FROM u),
+        |s AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN last_day < mx - INTERVAL 14 DAY
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN last_day < mx - INTERVAL 14 DAY
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM u, m GROUP BY 1),
+        |o AS (
+        |  SELECT t, d, c, ROW_NUMBER() OVER (ORDER BY t) AS rn,
+        |    CAST(SUM(d + c) OVER () AS BIGINT) AS n_total,
+        |    CAST(COALESCE(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS bfr
+        |  FROM s),
+        |rec AS (
+        |  SELECT rn, t, d, c, n_total - bfr AS n_risk,
+        |    (1000000 * (n_total - bfr - d)) // (n_total - bfr)
+        |      AS s_micro
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.t, o.d, o.c, o.n_total - o.bfr,
+        |    (rec.s_micro * (o.n_total - o.bfr - o.d))
+        |      // (o.n_total - o.bfr)
+        |  FROM rec JOIN o ON o.rn = rec.rn + 1)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_event,
+        |  c AS n_censored, CAST(s_micro AS BIGINT) AS s_micro
+        |FROM rec""".stripMargin),
+    // Gini concentration of document length across the corpus — the
+    // data-balance audit ("is corpus mass dominated by a few huge
+    // documents?"); doubled rank sums grouped by distinct value, so
+    // the only window runs over distinct lengths
+    ("st_gini",
+      ((s, dir) => Stats.giniConcentration(docs(s, dir), "n_chars")),
+      """WITH v AS (
+        |  SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+        |  GROUP BY 1),
+        |w AS (SELECT x, c,
+        |    CAST(SUM(c) OVER (ORDER BY x) - c AS BIGINT) AS f
+        |  FROM v),
+        |t AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT) * c) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * c * (2 * f + c + 1)) AS srx2
+        |  FROM w)
+        |SELECT n, CAST(sx AS BIGINT) AS sum_x,
+        |  CASE WHEN n >= 1 AND sx > 0 THEN
+        |    CAST((srx2 - (n + 1) * sx) * 1000000 // (n * sx)
+        |      AS BIGINT) END AS gini_micro,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |   WHERE n_chars IS NULL OR n_chars < 0) AS n_skipped
+        |FROM t""".stripMargin),
+    // Chao1 vocabulary-richness estimate from singleton/doubleton
+    // token counts — "how much vocabulary has this crawl slice NOT
+    // seen yet"; one aggregation to token cardinality, one to
+    // frequency-of-frequencies
+    ("st_chao1",
+      ((s, dir) => Stats.chao1Richness(
+        docs(s, dir).select(explode(split(lower(col("text")), "\\s+"))
+          .as("tok")), "tok")),
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM w GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2
+        |  FROM c)
+        |SELECT s_obs, f1, f2,
+        |  s_obs * 1000000 + CAST(CAST(f1 AS HUGEINT) * (f1 - 1)
+        |    * 1000000 // (2 * (f2 + 1)) AS BIGINT) AS chao1_micro
+        |FROM t""".stripMargin),
+    // isotonic calibration of P(lang = en) against length buckets —
+    // exact-rational PAV on the bucket table; the oracle replays the
+    // closed-form minimax max_{j<=i} min_{k>=i} avg(j..k) over the
+    // same buckets (floor commutes with max/min, so both roads land
+    // on the same micros)
+    ("eval_isotonic",
+      ((s, dir) => EvalMetrics.isotonicCalibration(
+        docs(s, dir).select(
+          expr("least(n_chars div 100, 50L)").as("b"),
+          (col("lang") === "en").as("y")), "b", "y")),
+      """WITH b AS (
+        |  SELECT LEAST(n_chars // 100, 50) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT b, n, p,
+        |    CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+        |    CAST(SUM(p) OVER (ORDER BY b) AS BIGINT) AS cp
+        |  FROM b),
+        |seg AS (
+        |  SELECT j.b AS jb, k.b AS kb,
+        |    (k.cp - j.cp + j.p) * 1000000 // (k.cn - j.cn + j.n)
+        |      AS avg_micro
+        |  FROM c j JOIN c k ON j.b <= k.b),
+        |mn AS (
+        |  SELECT i.b AS ib, s.jb AS jb, MIN(s.avg_micro) AS mv
+        |  FROM c i JOIN seg s ON s.jb <= i.b AND s.kb >= i.b
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT ib AS b, CAST(MAX(mv) AS BIGINT) AS iso_micro
+        |        FROM mn GROUP BY 1)
+        |SELECT b.b AS bucket, b.n, b.p AS n_pos, iso.iso_micro
+        |FROM b JOIN iso ON b.b = iso.b""".stripMargin),
+    // split-conformal coverage audit: per-source mean-length model on
+    // the even-doc_id calibration half, absolute residuals as
+    // nonconformity, the ceil((n+1)(1-alpha)) order statistic as the
+    // threshold, and the odd-half coverage it achieves (the conformal
+    // guarantee says >= 90%)
+    ("eval_conformal",
+      ((s, dir) => EvalMetrics.conformalCoverage(
+        docs(s, dir).select(col("source").as("g"),
+          col("n_chars").as("x"),
+          (pmod(col("doc_id"), lit(2)) === 0).as("is_cal")),
+        "g", "x", "is_cal", alphaMicro = 100000L)),
+      """WITH r AS (
+        |  SELECT source AS g, CAST(n_chars AS BIGINT) AS x,
+        |    doc_id % 2 = 0 AS is_cal
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |    AND source IS NOT NULL),
+        |mm AS (
+        |  SELECT g,
+        |    CASE WHEN SUM(x) >= 0
+        |      THEN SUM(x) * 1000000 // COUNT(*)
+        |      ELSE -((-SUM(x)) * 1000000 // COUNT(*))
+        |      END AS mean_micro
+        |  FROM r WHERE is_cal GROUP BY 1),
+        |sc AS (
+        |  SELECT r.is_cal, ABS(r.x * 1000000 - mm.mean_micro) AS res
+        |  FROM r JOIN mm ON r.g = mm.g),
+        |cnt AS (
+        |  SELECT CAST(SUM(CASE WHEN is_cal THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_cal,
+        |    CAST(SUM(CASE WHEN is_cal THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_test
+        |  FROM sc),
+        |k AS (SELECT n_cal, n_test,
+        |    CAST(((n_cal + 1) * 900000 + 999999) // 1000000
+        |      AS BIGINT) AS k
+        |  FROM cnt),
+        |dr AS (
+        |  SELECT res, COUNT(*) AS c FROM sc WHERE is_cal GROUP BY 1),
+        |q AS (
+        |  SELECT MIN(res) AS q_hat FROM (
+        |    SELECT res, SUM(c) OVER (ORDER BY res) AS cum FROM dr), k
+        |  WHERE cum >= k.k),
+        |cov AS (
+        |  SELECT CAST(SUM(CASE WHEN sc.res <=
+        |      COALESCE(q.q_hat, 9223372036854775807)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM sc, q WHERE NOT sc.is_cal)
+        |SELECT k.n_cal, k.n_test, k.k,
+        |  CAST(q.q_hat AS BIGINT) AS q_hat, cov.n_covered,
+        |  CASE WHEN k.n_test > 0 THEN
+        |    CAST(cov.n_covered * 1000000 // k.n_test AS BIGINT)
+        |    END AS coverage_micro
+        |FROM k, q, cov""".stripMargin),
     ("dq_profile",
       ((s, dir) => {
       DataChecks.profile(events(s, dir),

@@ -1613,6 +1613,95 @@ object QueriesSystem {
         |  CAST((SELECT MIN(s) FROM gap WHERE gap.gap = mx.ks_micro)
         |    AS BIGINT) AS ks_at_score
         |FROM t, mx""".stripMargin),
+    // live volume-drift monitor over the same staged ingest stream:
+    // per-batch day-count deltas land idempotently and the exact CUSUM
+    // level-shift scan refits from the summed counts — the final
+    // snapshot must equal a batch CUSUM of the whole input, which is
+    // exactly what the oracle computes
+    ("s5c_drift_monitor",
+      ((s, dir) => {
+      val in = stageLeaderboardInput(s, dir)
+      val wh = tmp("graft-dm-wh"); val cp = tmp("graft-dm-cp")
+      val q = graft.streaming.DriftMonitor.start(s, in, wh, cp)
+      try q.awaitTermination() finally q.stop()
+      graft.streaming.DriftMonitor.current(s, wh)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n"), col("dev_milli"), col("cusum_milli"),
+          col("is_peak"))
+    }),
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT day, n,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS s,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS c
+        |  FROM daily),
+        |d AS (
+        |  SELECT day, n,
+        |    n * 1000 - (CASE WHEN s >= 0 THEN s * 1000 // c
+        |      ELSE -((-s) * 1000 // c) END) AS dev_milli
+        |  FROM t),
+        |cu AS (
+        |  SELECT day, n, CAST(dev_milli AS BIGINT) AS dev_milli,
+        |    CAST(SUM(dev_milli) OVER (ORDER BY day) AS BIGINT)
+        |      AS cusum_milli
+        |  FROM d),
+        |pk AS (
+        |  SELECT day AS peak_day FROM cu
+        |  ORDER BY ABS(cusum_milli) DESC, day LIMIT 1)
+        |SELECT cu.day, cu.n, cu.dev_milli, cu.cusum_milli,
+        |  cu.day = pk.peak_day AS is_peak
+        |FROM cu, pk""".stripMargin),
+    // the GRPO group-baseline streaming twin driven end-to-end: the
+    // staged ingest stream through startConversations(mode=grpo_stats)
+    // — O(1) state per open group (count, sum, decimal sum of squares),
+    // closed days landing via the router — must equal the batch group
+    // statistics over the whole input, which is what the oracle
+    // computes (same sign-split mean and algebraic deviation-square
+    // identity as td_group_advantage)
+    ("s5b_grpo_stats",
+      ((s, dir) => {
+      val in = stageLeaderboardInput(s, dir)
+      val wh = tmp("graft-gs-wh"); val cp = tmp("graft-gs-cp")
+      val q = graft.streaming.EventPipeline.startConversations(
+        s, in, wh, cp, mode = "grpo_stats", statePartitions = 8)
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(s"$wh/grpo_stats")
+        .select(col("user_id"), col("day"), col("n_candidates"),
+          col("sum_cents"), col("mean_milli"), col("std_milli"))
+    }),
+      """WITH e AS (
+        |  SELECT CASE WHEN event_type IN ('signup', 'purchase')
+        |      THEN 'u' || CAST(user_id AS VARCHAR)
+        |      ELSE 'a' || CAST(user_id AS VARCHAR) END AS uid,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT uid AS user_id, day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |    SUM(CAST(cents AS HUGEINT) * cents) AS sq
+        |  FROM e GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |h AS (
+        |  SELECT *, CASE WHEN sum_cents >= 0
+        |      THEN (sum_cents * 1000) // n_candidates
+        |      ELSE -((-sum_cents * 1000) // n_candidates)
+        |      END AS mean_milli
+        |  FROM g),
+        |i AS (
+        |  SELECT *, CAST(1000000 AS HUGEINT) * sq
+        |      - CAST(2000 AS HUGEINT) * mean_milli * sum_cents
+        |      + CAST(n_candidates AS HUGEINT) * mean_milli * mean_milli
+        |      AS devsum
+        |  FROM h)
+        |SELECT user_id, day, n_candidates, sum_cents,
+        |  CAST(mean_milli AS BIGINT) AS mean_milli,
+        |  CAST(FLOOR(SQRT(CAST(devsum // n_candidates AS BIGINT)))
+        |    AS BIGINT) AS std_milli
+        |FROM i""".stripMargin),
     ("s1_streaming",
       ((s, dir) => {
       val in = stageStreamingInput(s, dir)

@@ -1003,6 +1003,93 @@ private[graft] object QueriesTdText {
         |    AS pmi
         |FROM bc JOIN uc u1 ON u1.t = string_split(b, ' ')[1]
         |JOIN uc u2 ON u2.t = string_split(b, ' ')[2], tot""".stripMargin)),
+    // Dunning log-likelihood-ratio collocations: the significance-
+    // test companion to td_pmi (PMI overweights rare pairs, G² does
+    // not) — per surviving bigram the 2x2 table and the four-term G²,
+    // each term one rounded ln over integer counts, summed in fixed
+    // order
+    ("td_llr_bigrams",
+      ((s, dir) =>
+      Collocations.llrBigrams(docs(s, dir), "text", minCount = 20L)),
+      (QueriesTdShared.wordsOnlyCte +
+      """, uni AS (SELECT unnest(w) AS t FROM ws),
+        |uc AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY 1),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS b
+        |  FROM ws WHERE len(w) >= 2),
+        |bc AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY 1
+        |  HAVING COUNT(*) >= 20),
+        |tot AS (SELECT (SELECT COUNT(*) FROM bg) AS nb),
+        |cells AS (
+        |  SELECT b, cb,
+        |    CAST(cb AS BIGINT) AS o11,
+        |    CAST(GREATEST(u1.c - cb, 0) AS BIGINT) AS o12,
+        |    CAST(GREATEST(u2.c - cb, 0) AS BIGINT) AS o21,
+        |    CAST(GREATEST(nb - u1.c - u2.c + cb, 0) AS BIGINT) AS o22,
+        |    CAST(nb AS BIGINT) AS nb
+        |  FROM bc JOIN uc u1 ON u1.t = string_split(b, ' ')[1]
+        |  JOIN uc u2 ON u2.t = string_split(b, ' ')[2], tot),
+        |m AS (
+        |  SELECT *, o11 + o12 AS r1, o21 + o22 AS r2,
+        |    o11 + o21 AS k1, o12 + o22 AS k2
+        |  FROM cells)
+        |SELECT b AS bigram, o11, o12, o21, o22,
+        |  (CASE WHEN o11 > 0 THEN ROUND(2.0 * o11 * LN(
+        |     CAST(o11 AS DOUBLE) * nb / (CAST(r1 AS DOUBLE) * k1)), 6)
+        |   ELSE 0.0 END +
+        |   CASE WHEN o12 > 0 THEN ROUND(2.0 * o12 * LN(
+        |     CAST(o12 AS DOUBLE) * nb / (CAST(r1 AS DOUBLE) * k2)), 6)
+        |   ELSE 0.0 END +
+        |   CASE WHEN o21 > 0 THEN ROUND(2.0 * o21 * LN(
+        |     CAST(o21 AS DOUBLE) * nb / (CAST(r2 AS DOUBLE) * k1)), 6)
+        |   ELSE 0.0 END +
+        |   CASE WHEN o22 > 0 THEN ROUND(2.0 * o22 * LN(
+        |     CAST(o22 AS DOUBLE) * nb / (CAST(r2 AS DOUBLE) * k2)), 6)
+        |   ELSE 0.0 END) + 0.0 AS llr
+        |FROM m""".stripMargin)),
+    // TextRank keyword centrality (Mihalcea & Tarau 2004): PageRank
+    // over the support-filtered word-adjacency graph — a composition
+    // of two gated operators (Collocations.adjacencyEdges feeding
+    // Graph.pageRank); the oracle unrolls the same three damped
+    // iterations over the same canonical edge set
+    ("td_textrank",
+      ((s, dir) => graft.operators.Graph.pageRank(
+        Collocations.adjacencyEdges(docs(s, dir), "text",
+          minCount = 5L), iterations = 3)
+        .select(col("v"), round(col("r"), 6).as("rank"))),
+      (QueriesTdShared.wordsOnlyCte +
+      """, uni AS (SELECT unnest(w) AS t FROM ws),
+        |keep AS (SELECT t FROM uni GROUP BY t HAVING COUNT(*) >= 5),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS b
+        |  FROM ws WHERE len(w) >= 2),
+        |e AS (
+        |  SELECT DISTINCT LEAST(a, z) AS src, GREATEST(a, z) AS dst
+        |  FROM (SELECT string_split(b, ' ')[1] AS a,
+        |          string_split(b, ' ')[2] AS z FROM bg)
+        |  WHERE a <> z
+        |    AND LEAST(a, z) IN (SELECT t FROM keep)
+        |    AND GREATEST(a, z) IN (SELECT t FROM keep)),
+        |dir AS (
+        |  SELECT src, dst FROM e
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+        |p0 AS (SELECT src AS v, 1.0::DOUBLE AS r FROM deg),
+        |p1 AS (
+        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p0.r / deg.deg) AS r
+        |  FROM dir JOIN p0 ON dir.src = p0.v
+        |  JOIN deg ON dir.src = deg.src GROUP BY dir.dst),
+        |p2 AS (
+        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p1.r / deg.deg) AS r
+        |  FROM dir JOIN p1 ON dir.src = p1.v
+        |  JOIN deg ON dir.src = deg.src GROUP BY dir.dst),
+        |p3 AS (
+        |  SELECT dir.dst AS v, 0.15 + 0.85 * SUM(p2.r / deg.deg) AS r
+        |  FROM dir JOIN p2 ON dir.src = p2.v
+        |  JOIN deg ON dir.src = deg.src GROUP BY dir.dst)
+        |SELECT v, ROUND(r, 6) + 0.0 AS rank FROM p3""".stripMargin)),
     // corpus statistics card: one ROLLUP pass publishes the per-
     // (source, lang), per-source, and grand-total doc/char/token
     // counts a data team reports with every corpus release. ROLLUP is

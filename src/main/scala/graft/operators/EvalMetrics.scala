@@ -686,4 +686,134 @@ object EvalMetrics {
         .withColumn("alpha_micro", alphaCol)
     } finally kept.unpersist(false)
   }
+
+  /** Isotonic calibration of a binary outcome against an ordered
+    * score bucket — pool-adjacent-violators (Ayer et al. 1955; the
+    * calibration method behind sklearn's `isotonic`): the calibrated
+    * positive rate per bucket is the best monotone non-decreasing fit
+    * in L2, which PAV computes by merging adjacent violating blocks.
+    * The fitted value for bucket i equals the closed-form minimax
+    * max_{j<=i} min_{k>=i} avg(j..k) — the oracle replays THAT form in
+    * SQL (a triple join over the bounded bucket table), while this
+    * side runs the exact-rational PAV stack (block comparisons via
+    * cross-multiplied BigInts, no float ever); both floor the block
+    * rate to micros at the very end, and floor commutes with max/min,
+    * so the two roads land on the same integer. Output per bucket:
+    * (bucket, n, n_pos, iso_micro).
+    *
+    * Scale shape: the corpus pays ONE hash aggregation down to the
+    * bucket table (bounded by `maxBuckets` — scores must be bucketed,
+    * never raw); the collect is limit-bounded BEFORE it happens and
+    * the PAV stack is O(buckets) on the driver. */
+  def isotonicCalibration(df: DataFrame, bucketCol: String,
+                          labelCol: String,
+                          maxBuckets: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = df
+      .select(col(bucketCol).cast("long").as("b"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("p"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("pos"))
+      .limit(maxBuckets + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(buckets.length <= maxBuckets,
+      s"distinct buckets exceed $maxBuckets — bucket the score first")
+    // PAV: blocks of (pos, n, members); merge while the previous
+    // block's rate exceeds the new one's (exact rational compare)
+    case class Block(pos: BigInt, n: BigInt,
+                     members: List[(Long, Long, Long)])
+    var stack = List.empty[Block]
+    buckets.foreach { case (b, n, pos) =>
+      var cur = Block(BigInt(pos), BigInt(n), List((b, n, pos)))
+      while (stack.nonEmpty &&
+        stack.head.pos * cur.n > cur.pos * stack.head.n) {
+        val prev = stack.head
+        stack = stack.tail
+        cur = Block(prev.pos + cur.pos, prev.n + cur.n,
+          prev.members ++ cur.members)
+      }
+      stack = cur :: stack
+    }
+    val rows = stack.reverse.flatMap { blk =>
+      val iso = (blk.pos * 1000000 / blk.n).toLong
+      blk.members.map { case (b, n, pos) => (b, n, pos, iso) }
+    }
+    rows.toDF("bucket", "n", "n_pos", "iso_micro")
+  }
+
+  /** Split-conformal coverage audit (Vovk et al. 2005; the
+    * distribution-free prediction-interval recipe): given a
+    * calibration/test split flag, a per-group point model (the group
+    * mean in floored micros — the simplest honest regressor), and the
+    * absolute residual as the nonconformity score, the threshold is
+    * the ⌈(n_cal+1)·(1−α)⌉-th smallest calibration nonconformity and
+    * the audit reports the test-set share covered by it — which the
+    * conformal guarantee says must be ≥ 1−α on exchangeable data.
+    * All integer: means floored to micros (sign-split), the order
+    * statistic exact via a cumulative count over DISTINCT
+    * nonconformity values, coverage in micros. When the calibration
+    * set is too small (k > n_cal) the threshold is +∞: q_hat is NULL
+    * and every test row counts covered — reported, not hidden. One
+    * row out: (n_cal, n_test, k, q_hat, n_covered, coverage_micro).
+    *
+    * Scale shape: one hash aggregation to group cardinality for the
+    * means, a broadcast-friendly equi-join back, one aggregation to
+    * distinct nonconformity values with a single cumulative window
+    * over THEM (distinct-residual cardinality, not rows — bucket the
+    * feature first if it is continuous). */
+  def conformalCoverage(df: DataFrame, groupCol: String, xCol: String,
+                        calCol: String,
+                        alphaMicro: Long = 100000L): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      "alphaMicro must be in (0, 1e6)")
+    val rows = df.select(col(groupCol).as("g"),
+      col(xCol).cast("long").as("x"),
+      col(calCol).cast("boolean").as("is_cal"))
+      .filter(col("x").isNotNull && col("g").isNotNull)
+    val means = rows.filter(col("is_cal"))
+      .groupBy(col("g"))
+      .agg(sum(col("x")).as("_sx"), count(lit(1)).as("_nx"))
+      .withColumn("mean_micro", expr(
+        "CASE WHEN _sx >= 0 THEN _sx * 1000000L div _nx " +
+          "ELSE -((-_sx) * 1000000L div _nx) END"))
+      .select(col("g"), col("mean_micro"))
+    // test rows whose group never appeared in calibration have no
+    // model: inner join drops them, and n_test counts what remains —
+    // the audit is over scoreable rows only (count reported)
+    val scored = rows.join(means, Seq("g"))
+      .withColumn("r", abs(col("x") * 1000000L - col("mean_micro")))
+    val calScored = scored.filter(col("is_cal"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val kExpr = expr(
+      s"((_ncal + 1) * (1000000 - $alphaMicro) + 999999) div 1000000")
+    val qhat = calScored.groupBy(col("r")).agg(count(lit(1)).as("c"))
+      .withColumn("_cum", sum(col("c")).over(w))
+      .withColumn("_ncal", expr("sum(c) over ()"))
+      .withColumn("k", kExpr)
+      .filter(col("_cum") >= col("k"))
+      .agg(min(col("r")).as("q_hat"))
+    // k > n_cal leaves the filter empty: re-derive (n_cal, k) from the
+    // scored frame so the one-row report survives with a NULL q_hat
+    val counts = scored.agg(
+      sum(when(col("is_cal"), 1L).otherwise(0L)).as("n_cal"),
+      sum(when(col("is_cal"), 0L).otherwise(1L)).as("n_test"))
+      .withColumn("k", expr("((n_cal + 1) * (1000000 - " +
+        s"$alphaMicro) + 999999) div 1000000"))
+    val covered = scored.filter(!col("is_cal"))
+      .crossJoin(qhat.select(col("q_hat")))
+      .agg(sum(when(col("r") <= coalesce(col("q_hat"),
+        lit(Long.MaxValue)), 1L).otherwise(0L)).as("n_covered"))
+    counts.crossJoin(qhat.select(col("q_hat")))
+      .crossJoin(covered)
+      .withColumn("coverage_micro", expr(
+        "CASE WHEN n_test > 0 THEN n_covered * 1000000L div n_test END"))
+      .select(col("n_cal"), col("n_test"), col("k"), col("q_hat"),
+        col("n_covered"), col("coverage_micro"))
+  }
 }

@@ -274,4 +274,224 @@ object Stats {
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         col("p_micro"), col("mi_term"))
   }
+
+  /** Kaplan–Meier survival curve over entity lifetimes with
+    * right-censoring (Kaplan & Meier 1958) — the churn/retention
+    * estimator: an entity's lifetime is the day span between its first
+    * and last observed event; the "death" (churn) is OBSERVED only if
+    * the entity has been silent for more than `censorDays` before the
+    * global last day — otherwise the lifetime is censored (the entity
+    * may still be alive). Survival is the classic product-limit
+    * estimate in exact integer micros with a per-step floor:
+    * s(tᵢ) = s(tᵢ₋₁)·(nᵢ−dᵢ) div nᵢ, s(start) = 10⁶ — the sequential
+    * fold both engines replay step for step (the oracle runs it as a
+    * WITH RECURSIVE). Censored-only times keep s unchanged (d=0) but
+    * still shrink the risk set, per the estimator. Output one row per
+    * distinct lifetime: (t, n_risk, n_event, n_censored, s_micro).
+    *
+    * Scale shape: one entity aggregation (hash agg to entity
+    * cardinality), one lifetime-day aggregation (bounded by the
+    * calendar span, NOT by entities), then a driver fold over that
+    * bounded table — the collect is limit-bounded BEFORE it happens
+    * (the bradleyTerry discipline). */
+  def kaplanMeier(df: DataFrame, idCol: String, tsCol: String,
+                  censorDays: Int = 14,
+                  maxTimes: Int = 100000): DataFrame = {
+    require(censorDays >= 0, "censorDays must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spans = df
+      .select(col(idCol).as("id"), col(tsCol).cast("date").as("d"))
+      .groupBy(col("id"))
+      .agg(min(col("d")).as("first_day"), max(col("d")).as("last_day"))
+      .withColumn("t", datediff(col("last_day"), col("first_day"))
+        .cast("long"))
+      // the global horizon is a window over the entity-sized frame,
+      // not the raw scan
+      .withColumn("_mx", expr("max(last_day) over ()"))
+      .withColumn("event",
+        col("last_day") < date_sub(col("_mx"), censorDays))
+    val times = spans.groupBy(col("t"))
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("event"), 0L).otherwise(1L)).as("c"))
+      .limit(maxTimes + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(times.length <= maxTimes,
+      s"distinct lifetimes exceed $maxTimes — lifetimes must be " +
+        "calendar-bounded buckets, not a per-row key")
+    val total = times.map(t => t._2 + t._3).sum
+    var atRisk = total
+    var s = 1000000L
+    val rows = times.sortBy(_._1).map { case (t, d, c) =>
+      val nRisk = atRisk
+      s = s * (nRisk - d) / nRisk // nRisk >= d+c >= 1 at every step
+      atRisk -= d + c
+      (t, nRisk, d, c, s)
+    }
+    rows.toSeq.toDF("t", "n_risk", "n_event", "n_censored", "s_micro")
+  }
+
+  /** Gini concentration of a non-negative numeric column — the
+    * data-balance audit ("how concentrated is corpus mass across
+    * documents/sources?"): the classic rank formula
+    * G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx) with ranks ascending by value,
+    * in exact integer micros. Σ rᵢxᵢ is computed GROUPED BY DISTINCT
+    * VALUE (for a run of c equal values after F smaller ones, the rank
+    * sum is c·F + c(c+1)/2 — tie order provably cannot change the
+    * total), so the only window runs over distinct values, never raw
+    * rows. Accumulation in decimal(38,0): rank·value sums overflow
+    * int64 at corpus scale. One row out: (n, sum_x, gini_micro).
+    * Null and negative inputs are rejected rows reported in n_skipped
+    * (Gini is defined on non-negative mass). */
+  def giniConcentration(df: DataFrame, valueCol: String): DataFrame = {
+    val vals = df.select(col(valueCol).cast("long").as("x"))
+    val good = vals.filter(col("x").isNotNull && col("x") >= 0)
+    val skipped = vals.filter(col("x").isNull || col("x") < 0)
+      .agg(count(lit(1)).as("n_skipped"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    good.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("_cum", sum(col("c")).over(w))
+      .withColumn("_f", col("_cum") - col("c"))
+      // per distinct value, DOUBLED rank sum (keeps /2 out of the
+      // formula — c·(2F+c+1) is always even): 2·Σ ranks = c·(2F+c+1)
+      .withColumn("_rx2", expr(
+        "CAST(x AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)) * " +
+          "(2 * _f + c + 1)"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("x").cast("decimal(38,0)") * col("c")).as("_sx"),
+        sum(col("_rx2")).as("_srx2"))
+      .withColumn("gini_micro",
+        expr("CASE WHEN n >= 1 AND _sx > 0 THEN CAST((_srx2 - " +
+          "(n + 1) * _sx) * 1000000 div (n * _sx) AS LONG) END"))
+      .crossJoin(skipped)
+      .select(col("n"), col("_sx").cast("long").as("sum_x"),
+        col("gini_micro"), col("n_skipped"))
+  }
+
+  /** Chao1 species-richness estimate (Chao 1984) over a token column —
+    * "how many distinct vocabulary items does the corpus REALLY have,
+    * given how many we've seen once or twice?": the bias-corrected
+    * form S = S_obs + f₁(f₁−1)/(2(f₂+1)) (defined even when no
+    * doubletons exist), in exact integer micros. The unseen-mass
+    * companion to the vocab-coverage gates: a crawl slice whose chao1
+    * far exceeds its observed vocabulary is still discovering its
+    * domain. One row out: (s_obs, f1, f2, chao1_micro).
+    *
+    * Scale shape: one hash aggregation to token cardinality, one to
+    * frequency-of-frequency (a handful of rows), no window over raw
+    * rows. */
+  def chao1Richness(df: DataFrame, tokenCol: String): DataFrame = {
+    df.select(col(tokenCol).as("tok"))
+      .filter(col("tok").isNotNull && length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("s_obs"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"))
+      // f1·(f1−1)·10⁶ overflows int64 past ~3M singletons — a real
+      // web-crawl vocabulary — so the correction runs in decimal
+      .withColumn("chao1_micro",
+        expr("s_obs * 1000000L + CAST(CAST(f1 AS DECIMAL(38,0)) * " +
+          "(f1 - 1) * 1000000 div (2L * (f2 + 1)) AS LONG)"))
+      .select(col("s_obs"), col("f1"), col("f2"), col("chao1_micro"))
+  }
+
+  /** The exact LOWER MEDIAN of a long column — the k-th smallest with
+    * k = (n+1) div 2, computed as a cumulative count over DISTINCT
+    * values (never an interpolated percentile, which engines disagree
+    * on for even counts). Returns a 1-row (n, median) frame. */
+  private def lowerMedian(vals: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("_cum", sum(col("c")).over(w))
+      .withColumn("_n", expr("sum(c) over ()"))
+      .withColumn("_k", expr("(_n + 1) div 2"))
+      .filter(col("_cum") >= col("_k"))
+      .agg(first(col("_n")).as("n"), min(col("x")).as("median"))
+  }
+
+  /** Median absolute deviation — the robust scale estimate (Hampel
+    * 1974) the outlier-clipping stage needs when a corpus metric has
+    * heavy tails (document lengths do): MAD = median(|x − median(x)|),
+    * both medians the exact lower order statistic. One row out:
+    * (n, median, mad). Null inputs are excluded (and counted).
+    *
+    * Scale shape: two aggregations to distinct-value cardinality with
+    * one cumulative window over each (distinct values, not rows), one
+    * broadcast 1-row join carrying the first median back. */
+  def medianAbsoluteDeviation(df: DataFrame,
+                              valueCol: String): DataFrame = {
+    val vals = df.select(col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val med = lowerMedian(vals)
+    val resid = vals.crossJoin(broadcast(med.select(col("median"))))
+      .select(abs(col("x") - col("median")).as("x"))
+    med.crossJoin(
+      lowerMedian(resid).select(col("median").as("mad")))
+      .select(col("n"), col("median"), col("mad"))
+  }
+
+  /** Robust clipping audit — winsorization at median ± k·MAD (the
+    * Hampel identifier): the outlier fence heavy-tailed corpus metrics
+    * need before a mean is worth reporting. Reports the fence, how
+    * many rows each side clips, and the winsorized mean in floored
+    * micros (sign-split) — all exact integer. One row out:
+    * (n, median, mad, lo, hi, n_clipped_lo, n_clipped_hi,
+    * winsorized_mean_micro).
+    *
+    * Scale shape: [[medianAbsoluteDeviation]]'s two distinct-value
+    * aggregations plus ONE more scan-shaped aggregate with the 1-row
+    * fence broadcast back — no new window. */
+  def winsorizedStats(df: DataFrame, valueCol: String,
+                      k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 100, "k must be in [1, 100]")
+    val vals = df.select(col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val fence = medianAbsoluteDeviation(df, valueCol)
+      .withColumn("lo", col("median") - lit(k.toLong) * col("mad"))
+      .withColumn("hi", col("median") + lit(k.toLong) * col("mad"))
+    vals.crossJoin(broadcast(fence))
+      .withColumn("_w", greatest(least(col("x"), col("hi")), col("lo")))
+      .groupBy(col("n"), col("median"), col("mad"), col("lo"), col("hi"))
+      .agg(sum(when(col("x") < col("lo"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        sum(col("_w").cast("decimal(38,0)")).as("_ws"))
+      .withColumn("winsorized_mean_micro", expr(
+        "CASE WHEN _ws >= 0 THEN CAST(_ws * 1000000 div n AS LONG) " +
+          "ELSE -CAST((-_ws) * 1000000 div n AS LONG) END"))
+      .select(col("n"), col("median"), col("mad"), col("lo"), col("hi"),
+        col("n_clipped_lo"), col("n_clipped_hi"),
+        col("winsorized_mean_micro"))
+  }
+
+  /** Theil–Sen robust trend estimate over a daily series (Theil 1950;
+    * Sen 1968): the median of all pairwise slopes — one wild day
+    * cannot move it, unlike least squares. Slopes are floored to
+    * micros per day (sign-split) and the median is the exact lower
+    * order statistic over them. One row out:
+    * (n_days, n_pairs, slope_micro).
+    *
+    * Scale shape: operates on the ROLLUP (day-bounded by `maxDays`,
+    * checked BEFORE the quadratic pair join): D days make D(D−1)/2
+    * pairs — at the 10-year cap that is ~6.7M slope rows, a few MB.
+    * The pair join is day² by design; never point this at raw rows. */
+  def theilSen(daily: DataFrame, maxDays: Int = 3660): DataFrame = {
+    val base = daily.select(col("d"), col("n").cast("long").as("n"))
+    require(base.limit(maxDays + 1).count() <= maxDays,
+      s"series exceeds $maxDays days — aggregate to a coarser grid")
+    val slopes = base.as("a").join(base.as("b"),
+        col("a.d") < col("b.d"))
+      .select(expr(
+        "CASE WHEN b.n - a.n >= 0 THEN " +
+          "(b.n - a.n) * 1000000L div datediff(b.d, a.d) " +
+          "ELSE -((a.n - b.n) * 1000000L div datediff(b.d, a.d)) END")
+        .as("x"))
+    val nDays = base.agg(count(lit(1)).as("n_days"))
+    nDays.crossJoin(lowerMedian(slopes)
+        .select(col("n").as("n_pairs"), col("median").as("slope_micro")))
+      .select(col("n_days"), col("n_pairs"), col("slope_micro"))
+  }
 }

@@ -266,4 +266,85 @@ object TimeSeries {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
         .as("active_approx"))
   }
+
+  /** CUSUM changepoint scan over a daily series (Page 1954) — the
+    * level-shift detector a pipeline points at its ingest-volume or
+    * quality-score rollup: the cumulative sum of deviations from the
+    * whole-series mean peaks exactly where the level changes. All
+    * integer: the mean is floored to millis (sign-split), per-day
+    * deviations and their running sum stay in exact milli units, and
+    * the peak is the day with max |cusum| (earliest day on ties).
+    * Output per day: (d, n, dev_milli, cusum_milli, is_peak).
+    * Integer bounds: |cusum| ≤ days · max|dev·10³| — int64-safe while
+    * daily totals stay under ~10¹², i.e. any rollup that fits a long.
+    *
+    * Scale shape: operates on the ROLLUP (the gapfill contract):
+    * every window here runs over the day-bounded frame, never events. */
+  def cusumChangepoint(daily: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.select(col("d"), col("n").cast("long").as("n"))
+      .withColumn("_s", expr("sum(n) over ()"))
+      .withColumn("_c", expr("count(1) over ()"))
+      .withColumn("_mean_milli", expr(
+        "CASE WHEN _s >= 0 THEN _s * 1000L div _c " +
+          "ELSE -((-_s) * 1000L div _c) END"))
+      .withColumn("dev_milli", col("n") * 1000L - col("_mean_milli"))
+      .withColumn("cusum_milli", sum(col("dev_milli")).over(w))
+    scored
+      .withColumn("_peak", expr(
+        "min(struct(-abs(cusum_milli), d)) over ()"))
+      .select(col("d"), col("n"), col("dev_milli"), col("cusum_milli"),
+        (col("d") === col("_peak.d")).as("is_peak"))
+  }
+
+  /** Lag-k autocorrelation of a daily series — the seasonality/
+    * persistence audit next to [[seasonalDecompose]]: Pearson r
+    * between (x_t, x_{t+k}) for each requested lag, in exact integer
+    * micros via the sums-of-products form
+    *
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²)),
+    *
+    * numerator sign-split, each √ a floor(sqrt) of an exactly-
+    * representable integer (the [[Conversations.groupAdvantage]]
+    * discipline — exact cross-engine while the radicand < 2⁵²; scale
+    * the rollup down first if daily totals push past that). Lag pairs
+    * come from an equi-join of the day frame against itself shifted
+    * by k days — day-bounded, no window at all. Output per lag:
+    * (lag, n_pairs, r_micro); r_micro is NULL when a side is
+    * constant (zero variance carries no correlation signal). */
+  def autocorrelation(daily: DataFrame,
+                      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(k => k >= 1 && k <= 3660),
+      "lags must be in [1, 3660]")
+    val base = daily.select(col("d"), col("n").cast("long").as("n"))
+    lags.map { k =>
+      val pairs = base.as("a").join(base.as("b"),
+          expr(s"date_add(a.d, $k) = b.d"))
+        .select(col("a.n").as("x"), col("b.n").as("y"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        .withColumn("lag", lit(k.toLong))
+        .withColumn("_num", expr(
+          "CAST(n_pairs AS DECIMAL(38,0)) * sxy " +
+            "- CAST(sx AS DECIMAL(38,0)) * sy"))
+        .withColumn("_dx", expr(
+          "CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxx " +
+            "- CAST(sx AS DECIMAL(38,0)) * sx AS LONG)"))
+        .withColumn("_dy", expr(
+          "CAST(CAST(n_pairs AS DECIMAL(38,0)) * syy " +
+            "- CAST(sy AS DECIMAL(38,0)) * sy AS LONG)"))
+        .withColumn("_den",
+          floor(sqrt(col("_dx"))).cast("long") *
+            floor(sqrt(col("_dy"))).cast("long"))
+        .withColumn("r_micro", expr(
+          "CASE WHEN _den > 0 THEN CASE WHEN _num >= 0 " +
+            "THEN CAST(_num * 1000000 div _den AS LONG) " +
+            "ELSE -CAST((-_num) * 1000000 div _den AS LONG) END END"))
+        .select(col("lag"), col("n_pairs"), col("r_micro"))
+    }.reduce(_ unionByName _)
+  }
 }

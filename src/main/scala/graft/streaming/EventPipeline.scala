@@ -664,8 +664,8 @@ object EventPipeline {
             stateStore: String = "hdfs",
             compactEvery: Int = 16,
             compactMaxFiles: Int = 8): StreamingQuery = {
-    require(Seq("conversations", "preference_pairs", "best_of_n")
-      .contains(mode), s"unsupported mode: $mode")
+    require(Seq("conversations", "preference_pairs", "best_of_n",
+      "grpo_stats").contains(mode), s"unsupported mode: $mode")
     val session = tunedSession(spark, statePartitions, stateStore)
     val events = alignmentEvents(session, inputDir, maxFilesPerTrigger)
     val out = mode match {
@@ -673,6 +673,8 @@ object EventPipeline {
         .assembleStream(events, gapMinutes, tokenBudget, minTurns, watermark)
       case "best_of_n" => graft.operators.Conversations
         .bestOfNStream(events, minCents = 150L, watermark = watermark)
+      case "grpo_stats" => graft.operators.Conversations
+        .groupStatsStream(events, watermark)
       case _ => graft.operators.Conversations
         .preferencePairsStream(events, watermark)
     }

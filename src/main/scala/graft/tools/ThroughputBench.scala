@@ -155,6 +155,15 @@ object ThroughputBench {
           maxFilesPerTrigger = 1, statePartitions = statePartitions,
           stateStore = stateStore, watermark = "10 minutes",
           compactEvery = compactEvery)
+      case "grpo_stats" =>
+        // the GRPO group-baseline mode: O(1) aggregates (count, sum,
+        // decimal sum of squares) per open group, closed-day group
+        // statistics via the router
+        EventPipeline.startConversations(spark, input.dir, wh, cp,
+          mode = "grpo_stats",
+          maxFilesPerTrigger = 1, statePartitions = statePartitions,
+          stateStore = stateStore, watermark = "10 minutes",
+          compactEvery = compactEvery)
       case "leaderboard" =>
         // the live Bradley-Terry mode: extremes state per open group
         // plus a per-batch count-delta landing and K-sized exact refit
@@ -164,7 +173,7 @@ object ThroughputBench {
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (recognized | recognized_tws | " +
           "recognized_variant | dedup | conversations | " +
-          "preference_pairs | best_of_n | leaderboard)")
+          "preference_pairs | best_of_n | grpo_stats | leaderboard)")
     }
     try q.awaitTermination() finally q.stop()
     // progress numInputRows double-counts a source referenced by more

@@ -44,4 +44,30 @@ class CollocationsSpec extends GraftSpec {
       (2.0 / 4) / ((4.0 / 6) * (4.0 / 6))) * 1e4) / 1e4
     assert(r == Map("a a" -> ((2L, 4L, 4L, expect))))
   }
+
+  test("llrBigrams: four-term G2 against the hand formula; zero cells contribute 0") {
+    val docs = (Seq.fill(20)("a b") ++ Seq.fill(10)("a c") ++
+      Seq.fill(10)("d b")).toDF("text")
+    val r = Collocations.llrBigrams(docs, "text", minCount = 10L)
+      .collect().map(x => x.getAs[String]("bigram") -> x).toMap
+    assert(r.keySet == Set("a b", "a c", "d b"))
+    val ab = r("a b")
+    assert(ab.getAs[Long]("o11") == 20 && ab.getAs[Long]("o12") == 10 &&
+      ab.getAs[Long]("o21") == 10 && ab.getAs[Long]("o22") == 0)
+    def t(o: Long, rs: Long, cs: Long): Double =
+      if (o == 0) 0.0
+      else math.rint(2.0 * o * math.log(o * 40.0 / (rs.toDouble * cs)) * 1e6) / 1e6
+    val expect = t(20, 30, 30) + t(10, 30, 10) + t(10, 10, 30) + t(0, 10, 10)
+    assert(ab.getAs[Double]("llr") == expect)
+  }
+
+  test("adjacencyEdges: canonical distinct pairs; support filter needs BOTH endpoints") {
+    val docs = Seq("x y z x").toDF("text")
+    val e1 = Collocations.adjacencyEdges(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(e1 == Set(("x", "y"), ("y", "z"), ("x", "z")))
+    // only x reaches count 2: no edge has both endpoints above support
+    val e2 = Collocations.adjacencyEdges(docs, "text", minCount = 2L)
+    assert(e2.count() == 0)
+  }
 }

@@ -883,4 +883,49 @@ class ConversationsSpec extends GraftSpec {
     assert(out("c-1").getAs[Int]("n_roles") == 1 &&
       out("c-1").getAs[Long]("n_role_repeats") == 2L)
   }
+
+  test("drift monitor: per-batch day deltas + exact CUSUM refit converge to the batch scan; replay is idempotent") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("dm-in").toFile
+    val wh = Files.createTempDirectory("dm-wh").toFile
+    val cp = Files.createTempDirectory("dm-cp").toFile
+    def line(id: Int, day: String, v: Double) =
+      s"""{"message_id":"dm$id","type":"track","timestamp":"$day T00:0${
+        id % 10}:00.000Z","user_id":"u$id","event":"view",""".replace(" T", "T") +
+        s""""properties":"{\\"value\\": $v}"}"""
+    def write(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(mtime); ()
+    }
+    // day counts 3, 1, 2 -> mean 2000 milli; cusum 1000, 0, 0 ->
+    // peak = earliest max |cusum| = day 1
+    write("b0.json", 1000000L, Seq(
+      line(0, "2024-01-01", 1.0), line(1, "2024-01-01", 1.0),
+      line(2, "2024-01-01", 1.0), line(3, "2024-01-02", 1.0)))
+    write("b1.json", 2000000L, Seq(
+      line(4, "2024-01-03", 1.0), line(5, "2024-01-03", 1.0)))
+    val q = graft.streaming.DriftMonitor.start(spark,
+      in.getAbsolutePath, wh.getAbsolutePath, cp.getAbsolutePath,
+      maxFilesPerTrigger = 1)
+    try q.awaitTermination() finally q.stop()
+    def snapshot() = graft.streaming.DriftMonitor.current(spark,
+      wh.getAbsolutePath).collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cusum_milli"),
+          r.getAs[Boolean]("is_peak"))).toMap
+    val cur = snapshot()
+    assert(cur == Map(
+      "2024-01-01" -> ((3L, 1000L, true)),
+      "2024-01-02" -> ((1L, 0L, false)),
+      "2024-01-03" -> ((2L, 0L, false))))
+    // crash-replay: re-ingest batch 1's delta under the same id — the
+    // partition rewrites, counts must NOT double
+    import spark.implicits._
+    val replay = Seq(java.sql.Date.valueOf("2024-01-03"),
+      java.sql.Date.valueOf("2024-01-03")).toDF("d")
+    graft.streaming.DriftMonitor.ingestBatch(spark,
+      wh.getAbsolutePath, replay, 1L)
+    assert(snapshot() == cur, "replay changed the scan")
+  }
 }

@@ -408,4 +408,59 @@ class EvalMetricsSpec extends GraftSpec {
       m = 2).collect().head
     assert(r0.isNullAt(r0.fieldIndex("alpha_micro")))
   }
+
+  test("isotonicCalibration: PAV merges violating blocks; monotone input passes through") {
+    val df = Seq.fill(2)((0L, false)).take(1) ++ Seq((0L, true)) ++
+      Seq((1L, false), (1L, false)) ++ Seq((2L, true), (2L, true))
+    val r = EvalMetrics.isotonicCalibration(
+      df.toDF("b", "y"), "b", "y").collect()
+      .map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("iso_micro"))
+      .toMap
+    // rates 1/2, 0/2, 2/2: PAV pools the first two -> 1/4, 1/4, 1
+    assert(r == Map(0L -> 250000L, 1L -> 250000L, 2L -> 1000000L))
+    val mono = Seq((0L, false), (1L, true), (1L, false), (2L, true))
+    val rm = EvalMetrics.isotonicCalibration(
+      mono.toDF("b", "y"), "b", "y").collect()
+      .map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("iso_micro"))
+      .toMap
+    assert(rm == Map(0L -> 0L, 1L -> 500000L, 2L -> 1000000L))
+  }
+
+  test("isotonicCalibration: a cascading violation re-merges earlier blocks") {
+    // rates 0.0, 1.0, 0.0: the third bucket first merges with the
+    // second (1/2), which then still violates... nothing earlier (0 <=
+    // 1/2), stop. Expect 0, 1/2, 1/2.
+    val df = Seq((0L, false), (1L, true), (2L, false))
+    val r = EvalMetrics.isotonicCalibration(
+      df.toDF("b", "y"), "b", "y").collect()
+      .map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("iso_micro"))
+      .toMap
+    assert(r == Map(0L -> 0L, 1L -> 500000L, 2L -> 500000L))
+  }
+
+  test("conformalCoverage: hand-computed threshold and coverage; tiny calibration set goes +inf") {
+    val rows = Seq(
+      ("g", 10L, true), ("g", 20L, true), ("g", 30L, true),
+      ("g", 40L, true), ("g", 50L, true),
+      ("g", 25L, false), ("g", 45L, false), ("g", 30L, false),
+      ("h", 99L, false) // no calibration model for h: dropped
+    ).toDF("g", "x", "is_cal")
+    val r = EvalMetrics.conformalCoverage(rows, "g", "x", "is_cal",
+      alphaMicro = 500000L).collect().head
+    // mean 30e6; cal residuals 20,10,0,10,20 (e6); k=ceil(6*.5)=3 ->
+    // q_hat=10e6; test residuals 5e6 (in), 15e6 (out), 0 (in)
+    assert(r.getAs[Long]("n_cal") == 5 && r.getAs[Long]("n_test") == 3)
+    assert(r.getAs[Long]("k") == 3 &&
+      r.getAs[Long]("q_hat") == 10000000L)
+    assert(r.getAs[Long]("n_covered") == 2 &&
+      r.getAs[Long]("coverage_micro") == 666666L)
+    // alpha=0.1 with n_cal=5 -> k=6 > n_cal: threshold +inf, NULL
+    // q_hat, every test row covered
+    val r2 = EvalMetrics.conformalCoverage(rows, "g", "x", "is_cal",
+      alphaMicro = 100000L).collect().head
+    assert(r2.getAs[Long]("k") == 6 &&
+      r2.isNullAt(r2.fieldIndex("q_hat")))
+    assert(r2.getAs[Long]("n_covered") == 3 &&
+      r2.getAs[Long]("coverage_micro") == 1000000L)
+  }
 }

@@ -220,7 +220,8 @@ class PlanShapeSpec extends GraftSpec {
       // retrieval eval / mining / audits: bounded query/label sides
       // (emb_label_noise drives the exact bruteForceTopK form on 10
       // query vectors; the celled ivfTopK form is the corpus path)
-      "td_bm25", "td_tfidf_terms", "td_pmi", "td_hybrid_rrf",
+      "td_bm25", "td_tfidf_terms", "td_pmi", "td_llr_bigrams",
+      "td_hybrid_rrf",
       "td_retrieval_eval", "emb_hard_negatives", "emb_label_noise",
       // threshold/range frames of a few rows against aggregates
       "a12_heavy_hitters", "a20_rfm", "a23_theta_overlap", "dq_checks",
@@ -236,7 +237,29 @@ class PlanShapeSpec extends GraftSpec {
       // chi-square cells: the cross product is the category-margin
       // frame against itself (|statuses| x |priorities| = 15 cells
       // here; category cardinality, never corpus rows)
-      "st_chi2_cells")
+      "st_chi2_cells",
+      // table profiler: per requested column, the report row is
+      // assembled by a 1-row x 1-row join (the scan-shaped stats
+      // aggregate against the argmax row of the value-keyed
+      // aggregation) — both sides are single-row scalars by
+      // construction, columns bounded by the caller's list
+      "dq_profile",
+      // Gini audit: the report row joins the 1-row skipped-count
+      // scalar (dq_benford's exact shape)
+      "st_gini",
+      // conformal audit: three 1-row scalar aggregates (counts,
+      // threshold, coverage) assemble the one-row report
+      "eval_conformal",
+      // MAD: the 1-row median joins back for residuals, and the
+      // 1-row x 1-row report assembly
+      "st_mad",
+      // Theil-Sen: the pairwise-slope inequality join runs over the
+      // DAY-bounded rollup (require-checked before the join) and the
+      // 1-row report assembly
+      "st_theil_sen",
+      // winsorization: the 1-row fence (median/MAD) broadcast back
+      // over the scan, plus the MAD report assembly
+      "dq_winsorize")
     // Scala UDFs allowed ONLY with a stated bound (same discipline as
     // the BNLJ whitelist: a NEW UDF is a conscious decision, not an
     // accident). Two groups:

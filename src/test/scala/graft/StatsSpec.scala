@@ -152,4 +152,99 @@ class StatsSpec extends GraftSpec {
     assert(Stats.mutualInformationCells(ind, "a", "b").collect()
       .forall(_.getAs[Double]("mi_term") == 0.0))
   }
+
+  test("kaplanMeier: hand-computed product-limit fold with censoring") {
+    val ev = Seq(
+      ("u1", "2024-01-01"), ("u1", "2024-01-05"),
+      ("u2", "2024-01-01"),
+      ("u3", "2024-01-20"), ("u3", "2024-01-31"),
+      ("u4", "2024-01-02"), ("u4", "2024-01-06"),
+      ("u5", "2024-01-25"), ("u5", "2024-01-31")
+    ).toDF("id", "ts")
+    val rows = Stats.kaplanMeier(ev, "id", "ts", censorDays = 14)
+      .collect().map(r => r.getAs[Long]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_event"),
+          r.getAs[Long]("n_censored"), r.getAs[Long]("s_micro"))).toMap
+    // horizon 2024-01-31; u1/u2/u4 silent > 14d -> events at t=4,0,4;
+    // u3 (t=11) and u5 (t=6) censored
+    assert(rows == Map(
+      0L -> ((5L, 1L, 0L, 800000L)),
+      4L -> ((4L, 2L, 0L, 400000L)),
+      6L -> ((2L, 0L, 1L, 400000L)),
+      11L -> ((1L, 0L, 1L, 400000L))))
+    // all entities still active: survival never leaves 1.0
+    val alive = Seq(("a", "2024-01-01"), ("a", "2024-01-31"),
+      ("b", "2024-01-20"), ("b", "2024-01-31")).toDF("id", "ts")
+    assert(Stats.kaplanMeier(alive, "id", "ts").collect()
+      .forall(_.getAs[Long]("s_micro") == 1000000L))
+  }
+
+  test("giniConcentration: hand-computed rank formula; uniform mass is 0; bad rows counted") {
+    val df = Seq(1L, 1L, 2L, 4L).toDF("x")
+    val r = Stats.giniConcentration(df, "x").collect().head
+    // sorted 1,1,2,4: 2*sum(r*x)=50, (n+1)*sum=40 -> 10e6/32 = 312500
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("sum_x") == 8)
+    assert(r.getAs[Long]("gini_micro") == 312500L)
+    val eq = Seq(7L, 7L, 7L).toDF("x")
+    assert(Stats.giniConcentration(eq, "x").collect().head
+      .getAs[Long]("gini_micro") == 0L)
+    val bad = Seq(Some(3L), None, Some(-1L), Some(5L)).toDF("x")
+    val rb = Stats.giniConcentration(bad, "x").collect().head
+    assert(rb.getAs[Long]("n") == 2 && rb.getAs[Long]("n_skipped") == 2)
+  }
+
+  test("chao1Richness: hand-computed bias-corrected estimate; empty tokens dropped") {
+    val toks = Seq("a", "a", "b", "c", "c", "d", "").toDF("tok")
+    val r = Stats.chao1Richness(toks, "tok").collect().head
+    // counts a:2 b:1 c:2 d:1 -> s_obs=4 f1=2 f2=2
+    assert(r.getAs[Long]("s_obs") == 4 && r.getAs[Long]("f1") == 2 &&
+      r.getAs[Long]("f2") == 2)
+    // 4e6 + 2*1*1e6 div (2*3) = 4333333
+    assert(r.getAs[Long]("chao1_micro") == 4333333L)
+    // no doubletons: the +1 keeps the correction defined
+    val singles = Seq("x", "y").toDF("tok")
+    val rs = Stats.chao1Richness(singles, "tok").collect().head
+    assert(rs.getAs[Long]("f2") == 0 &&
+      rs.getAs[Long]("chao1_micro") == 3000000L)
+  }
+
+  test("medianAbsoluteDeviation: exact lower medians, odd and even counts") {
+    val r = Stats.medianAbsoluteDeviation(
+      Seq(1L, 2L, 3L, 4L, 10L).toDF("x"), "x").collect().head
+    // median 3; residuals 2,1,0,1,7 -> mad 1
+    assert(r.getAs[Long]("n") == 5 && r.getAs[Long]("median") == 3 &&
+      r.getAs[Long]("mad") == 1)
+    val even = Stats.medianAbsoluteDeviation(
+      Seq(1L, 2L, 3L, 4L).toDF("x"), "x").collect().head
+    // lower median 2; residuals 1,0,1,2 -> lower median 1
+    assert(even.getAs[Long]("median") == 2 &&
+      even.getAs[Long]("mad") == 1)
+  }
+
+  test("theilSen: median pairwise slope with sign-split flooring; day bound enforced") {
+    val daily = Seq(("2024-01-01", 1L), ("2024-01-02", 3L),
+      ("2024-01-04", 2L))
+      .map { case (d, n) => (java.sql.Date.valueOf(d), n) }
+      .toDF("d", "n")
+    val r = Stats.theilSen(daily).collect().head
+    // slopes: 2e6, 333333, -500000 -> lower median 333333
+    assert(r.getAs[Long]("n_days") == 3 &&
+      r.getAs[Long]("n_pairs") == 3 &&
+      r.getAs[Long]("slope_micro") == 333333L)
+    intercept[IllegalArgumentException] {
+      Stats.theilSen(daily, maxDays = 2)
+    }
+  }
+
+  test("winsorizedStats: hand-computed Hampel fence, clip counts, winsorized mean") {
+    val df = ((1L to 9L) :+ 100L).toDF("x")
+    val r = Stats.winsorizedStats(df, "x", k = 3).collect().head
+    // median 5, MAD 2 -> fence [-1, 11]; 100 clips to 11
+    assert(r.getAs[Long]("median") == 5 && r.getAs[Long]("mad") == 2)
+    assert(r.getAs[Long]("lo") == -1 && r.getAs[Long]("hi") == 11)
+    assert(r.getAs[Long]("n_clipped_lo") == 0 &&
+      r.getAs[Long]("n_clipped_hi") == 1)
+    // winsorized sum 45 + 11 = 56 over 10 rows
+    assert(r.getAs[Long]("winsorized_mean_micro") == 5600000L)
+  }
 }

