@@ -150,8 +150,12 @@ object Bench {
     // min-of-2 so the first run's JIT warmup isn't billed.
     def calibrate(): Double = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
+      // sum DOUBLES: a long sum of 150M uniform random int64 hashes
+      // overflows int64 almost surely, and ANSI mode (Spark 4
+      // default) turns that into a fatal ARITHMETIC_OVERFLOW
       spark.range(0L, 150000000L, 1L, 32)
-        .selectExpr("xxhash64(id) AS h").agg(Map("h" -> "sum")).head
+        .selectExpr("CAST(xxhash64(id) AS DOUBLE) AS h")
+        .agg(Map("h" -> "sum")).head
       (System.nanoTime() - t0) / 1e9
     }.min
     val calibSec = calibrate()

@@ -132,4 +132,75 @@ object Collocations {
       .join(keep.select(col("t").as("dst")), "dst")
       .select(col("src"), col("dst"))
   }
+
+  /** Pairwise vocabulary overlap between document groups (sources,
+    * languages, snapshots) — the corpus-comparison card: for every
+    * unordered group pair, both vocabulary sizes, the shared
+    * vocabulary, and Jaccard similarity in exact integer micros.
+    * Zero-overlap pairs still emit a row (that IS the finding).
+    *
+    * Scale shape: one distinct (group, token) aggregation; the
+    * shared-vocabulary counts come from a TOKEN-keyed self-join (the
+    * per-token fan-out is the token's group count — bounded by the
+    * number of groups, never corpus rows); the full pair grid is the
+    * group-cardinality table against itself. */
+  def vocabOverlap(docs: DataFrame, textCol: String,
+                   groupCol: String): DataFrame = {
+    val tv = docs.select(col(groupCol).cast("string").as("g"),
+        explode(TextFunctions.words(col(textCol))).as("t"))
+      .distinct()
+    val sizes = tv.groupBy(col("g")).agg(count(lit(1)).as("nv"))
+    val common = tv.as("x").join(tv.as("y"),
+        col("x.t") === col("y.t") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("a"), col("y.g").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+    sizes.as("sa").join(sizes.as("sb"),
+        col("sa.g") < col("sb.g"))
+      .select(col("sa.g").as("a"), col("sb.g").as("b"),
+        col("sa.nv").as("n_a"), col("sb.nv").as("n_b"))
+      .join(common, Seq("a", "b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("jaccard_micro", expr(
+        "n_common * 1000000L div (n_a + n_b - n_common)"))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_micro"))
+  }
+
+  /** Zipf head concentration — "what share of all tokens do the top-k
+    * vocabulary items carry": the rank/mass audit a tokenizer or
+    * sampling change is judged against (a healthy natural-language
+    * corpus puts roughly half its mass in the top few hundred types).
+    * Ranks order by (count desc, token asc) — total, so both engines
+    * agree on ties. One row per requested k:
+    * (k, n_tokens, head_mass, total_mass, share_micro).
+    *
+    * Scale shape: one hash aggregation to vocabulary cardinality, one
+    * rank window over THAT (vocabulary-sized, never corpus rows), a
+    * bounded k-frame join. */
+  def zipfHead(docs: DataFrame, textCol: String,
+               ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 1000000),
+      "ks must be in [1, 1e6]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(TextFunctions.words(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("t"))
+    val ranked = counts
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn("_total", expr("sum(n) over ()"))
+    ranked
+      .crossJoin(broadcast(ks.map(_.toLong).toDF("k")))
+      .filter(col("_rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n")).as("head_mass"),
+        first(col("_total")).as("total_mass"))
+      .withColumn("share_micro",
+        expr("head_mass * 1000000L div total_mass"))
+      .select(col("k"), col("n_tokens"), col("head_mass"),
+        col("total_mass"), col("share_micro"))
+  }
 }

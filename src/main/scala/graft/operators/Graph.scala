@@ -207,4 +207,108 @@ object Graph {
       dist
     } finally { dir.unpersist(false); () }
   }
+
+  /** Personalized PageRank (Haveliwala 2002) — centrality RELATIVE TO
+    * a seed set: the restart mass goes only to seeds, so scores read
+    * as "how reachable is v from the things I care about". The
+    * recommendation/expansion primitive next to [[pageRank]]'s global
+    * centrality (seed a user's purchases, rank the rest of the
+    * graph). Same fixed-iteration damped loop, same undirected
+    * doubling; a fixed `iterations` run replays as unrolled SQL
+    * (the g1_pagerank precedent). Nodes carrying zero mass emit no
+    * row. Returns (v, r) — round for display at the gate.
+    *
+    * Scale shape: identical to [[pageRank]] — edges partitioned once,
+    * per-round node-sized rank shuffles; the seed indicator is a
+    * node-keyed equi-join, broadcast when small. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      "iterations must be in [1, 16]")
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .repartition(col("src"))
+      .persist()
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist()
+    val withDeg = dir.join(deg, "src").persist()
+    val seed = seeds.select(col("v")).distinct().persist()
+    var ranks = seed.withColumn("r", lit(1.0)).persist()
+    ranks.count()
+    try {
+      (1 to iterations).foreach { _ =>
+        val contrib = withDeg
+          .join(ranks, withDeg("src") === ranks("v"))
+          .select(col("dst").as("v"), (col("r") / col("deg")).as("m"))
+          .groupBy(col("v"))
+          .agg(sum(col("m")).as("_in"))
+        val next = contrib
+          .join(seed.withColumn("_s", lit(1.0)), Seq("v"), "full_outer")
+          .select(col("v"),
+            (lit(1.0 - damping) * coalesce(col("_s"), lit(0.0)) +
+              lit(damping) * coalesce(col("_in"), lit(0.0))).as("r"))
+          .filter(col("r") > 0.0)
+          .persist()
+        next.count()
+        ranks.unpersist(false)
+        ranks = next
+      }
+      ranks
+    } finally {
+      dir.unpersist(false)
+      deg.unpersist(false)
+      withDeg.unpersist(false)
+      seed.unpersist(false)
+    }
+  }
+
+  /** Degree assortativity of an undirected graph (Newman 2002) — "do
+    * hubs connect to hubs?": the Pearson correlation between the
+    * endpoint degrees over the DIRECTED edge list (each undirected
+    * edge counted in both orientations, the standard convention), in
+    * exact integer micros via the sums-of-products form with
+    * floor(sqrt) denominators (the [[graft.operators.TimeSeries
+    * .autocorrelation]] discipline; exact cross-engine while the
+    * radicands stay < 2⁵²). Social/co-occurrence graphs are typically
+    * disassortative (r < 0) — a crawl graph that suddenly isn't has
+    * changed shape. One row out: (n_edges_directed, r_micro); NULL
+    * when degrees are constant (a regular graph has no signal).
+    *
+    * Scale shape: one degree aggregation, two degree equi-joins back
+    * to the edge list, one scan-shaped global aggregate — no window,
+    * no collect. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    dir
+      .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")),
+        Seq("dst"))
+      .agg(count(lit(1)).as("n_edges_directed"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .withColumn("_num", expr(
+        "CAST(n_edges_directed AS DECIMAL(38,0)) * sxy " +
+          "- CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("_dx", expr(
+        "CAST(CAST(n_edges_directed AS DECIMAL(38,0)) * sxx " +
+          "- CAST(sx AS DECIMAL(38,0)) * sx AS LONG)"))
+      .withColumn("_dy", expr(
+        "CAST(CAST(n_edges_directed AS DECIMAL(38,0)) * syy " +
+          "- CAST(sy AS DECIMAL(38,0)) * sy AS LONG)"))
+      .withColumn("_den",
+        floor(sqrt(col("_dx"))).cast("long") *
+          floor(sqrt(col("_dy"))).cast("long"))
+      .withColumn("r_micro", expr(
+        "CASE WHEN _den > 0 THEN CASE WHEN _num >= 0 " +
+          "THEN CAST(_num * 1000000 div _den AS LONG) " +
+          "ELSE -CAST((-_num) * 1000000 div _den AS LONG) END END"))
+      .select(col("n_edges_directed"), col("r_micro"))
+  }
 }

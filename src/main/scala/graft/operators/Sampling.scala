@@ -949,4 +949,51 @@ object Sampling {
         coalesce(col("component"), col(idCol)).as("cluster"),
         col("cluster_size"))
   }
+
+  /** Neyman-optimal sample allocation across strata (Neyman 1934) —
+    * the survey-sampling rule a stratified eval/annotation budget
+    * should follow: allocate proportional to n_h·sigma_h, so variable
+    * strata get more of the budget than uniform ones. All integer:
+    * per-stratum population variance via the sums-of-products
+    * identity (decimals inside), sigma = floor(sqrt) (exact while the
+    * radicand < 2^52), weights w_h = n_h·sigma_h, floor shares of the
+    * budget, and the remainder distributed by largest fractional
+    * remainder (stratum-ascending tiebreak) — every step replayable.
+    * A zero-weight stratum (constant metric) gets only remainder
+    * seats. When ALL weights are zero the allocation is NULL — the
+    * caller asked to optimize on a signal that does not vary.
+    * Output per stratum: (stratum, n, sigma, weight, alloc).
+    *
+    * Scale shape: ONE hash aggregation to stratum cardinality; the
+    * remainder rank is a window over the stratum-bounded frame. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val agg = df.select(col(stratumCol).cast("string").as("stratum"),
+        col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("_sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("_sq"))
+      .withColumn("_var", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * _sq " +
+          "- CAST(_sx AS DECIMAL(38,0)) * _sx) " +
+          "div (CAST(n AS DECIMAL(38,0)) * n) AS LONG)"))
+      .withColumn("sigma", floor(sqrt(col("_var"))).cast("long"))
+      .withColumn("weight", col("n") * col("sigma"))
+      .withColumn("_tw", expr("sum(weight) over ()"))
+    val shared = agg
+      .withColumn("_floor", expr(
+        s"CASE WHEN _tw > 0 THEN ${budget}L * weight div _tw END"))
+      .withColumn("_remnum", expr(
+        s"CASE WHEN _tw > 0 THEN ${budget}L * weight % _tw END"))
+      .withColumn("_left", expr(
+        s"CASE WHEN _tw > 0 THEN ${budget}L - sum(_floor) over () END"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("_remnum").desc, col("stratum"))).cast("long"))
+    shared.select(col("stratum"), col("n"), col("sigma"), col("weight"),
+      expr("CASE WHEN _tw > 0 THEN _floor + " +
+        "(CASE WHEN _rk <= _left THEN 1L ELSE 0L END) END").as("alloc"))
+  }
 }

@@ -432,6 +432,71 @@ object Stats {
       .select(col("n"), col("median"), col("mad"))
   }
 
+  /** Index of dispersion (Fano factor) per key — the burstiness audit
+    * over a keyed daily rollup: D = variance/mean of each key's daily
+    * values; a Poisson-steady signal sits near 1, a bursty one far
+    * above. Exact integer micros via the population-variance identity
+    * D = (n·Σx² − (Σx)²) / (n·Σx) — one division per key, decimals
+    * inside (day counts squared overflow int64 at rollup scale), NULL
+    * when a key's mass is zero. Output per key:
+    * (key, n, total, dispersion_micro).
+    *
+    * Scale shape: operates on the ROLLUP (the gapfill contract): one
+    * hash aggregation to key cardinality, no window. */
+  def dispersionByKey(df: DataFrame, keyCol: String,
+                      valueCol: String): DataFrame = {
+    df.select(col(keyCol).cast("string").as("key"),
+        col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull && col("x") >= 0)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("_sq"))
+      .withColumn("dispersion_micro", expr(
+        "CASE WHEN total > 0 THEN " +
+          "CAST((CAST(n AS DECIMAL(38,0)) * _sq " +
+          "- CAST(total AS DECIMAL(38,0)) * total) * 1000000 " +
+          "div (CAST(n AS DECIMAL(38,0)) * total) AS LONG) END"))
+      .select(col("key"), col("n"), col("total"),
+        col("dispersion_micro"))
+  }
+
+  /** Decile boundary values of a long column — the exact lower
+    * quantile q_i = smallest x with cum-count ≥ ⌈i·n/10⌉, i = 1..9
+    * (never interpolated). Output: (decile, q). */
+  private def decileValues(vals: DataFrame): DataFrame = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("_cum", sum(col("c")).over(w))
+      .withColumn("_n", expr("sum(c) over ()"))
+      .crossJoin(broadcast((1L to 9L).toDF("decile")))
+      .filter(col("_cum") >= expr("(decile * _n + 9) div 10"))
+      .groupBy(col("decile")).agg(min(col("x")).as("q"))
+  }
+
+  /** QQ decile table between two distributions of the same metric —
+    * the drift/skew audit read as "at each decile, how far apart are
+    * the two populations": exact lower-quantile boundaries side by
+    * side plus their gap. Output per decile 1..9:
+    * (decile, q_a, q_b, gap).
+    *
+    * Scale shape: one distinct-value aggregation per side with one
+    * cumulative window over distinct values, a 9-row decile frame
+    * broadcast against each. */
+  def qqDeciles(a: DataFrame, b: DataFrame,
+                valueCol: String): DataFrame = {
+    def side(df: DataFrame) = decileValues(
+      df.select(col(valueCol).cast("long").as("x"))
+        .filter(col("x").isNotNull))
+    side(a).select(col("decile"), col("q").as("q_a"))
+      .join(side(b).select(col("decile"), col("q").as("q_b")),
+        Seq("decile"))
+      .withColumn("gap", col("q_b") - col("q_a"))
+      .select(col("decile"), col("q_a"), col("q_b"), col("gap"))
+  }
+
   /** Robust clipping audit — winsorization at median ± k·MAD (the
     * Hampel identifier): the outlier fence heavy-tailed corpus metrics
     * need before a mean is worth reporting. Reports the fence, how

@@ -70,4 +70,26 @@ class CollocationsSpec extends GraftSpec {
     val e2 = Collocations.adjacencyEdges(docs, "text", minCount = 2L)
     assert(e2.count() == 0)
   }
+
+  test("vocabOverlap: pairwise Jaccard with zero-overlap rows present") {
+    val docs = Seq(("g1", "a b c"), ("g2", "b c d"), ("g3", "x"))
+      .toDF("source", "text")
+    val r = Collocations.vocabOverlap(docs, "text", "source")
+      .collect().map(x => (x.getAs[String]("a"), x.getAs[String]("b")) ->
+        (x.getAs[Long]("n_common"), x.getAs[Long]("jaccard_micro"))).toMap
+    assert(r == Map(
+      ("g1", "g2") -> ((2L, 500000L)),
+      ("g1", "g3") -> ((0L, 0L)),
+      ("g2", "g3") -> ((0L, 0L))))
+  }
+
+  test("zipfHead: top-k mass shares with (count desc, token asc) rank") {
+    val docs = Seq("a a a b b c").toDF("text")
+    val r = Collocations.zipfHead(docs, "text", Seq(1, 2)).collect()
+      .map(x => x.getAs[Long]("k") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("head_mass"),
+          x.getAs[Long]("share_micro"))).toMap
+    assert(r == Map(1L -> ((1L, 3L, 500000L)),
+      2L -> ((2L, 5L, 833333L))))
+  }
 }

@@ -124,4 +124,30 @@ class GraphSpec extends GraftSpec {
       .as[(Long, Long)].collect().toMap
     assert(got2(3L) == 1L && got2(1L) == 1L && got2(2L) == 0L)
   }
+
+  test("assortativity: a star is perfectly disassortative; regular graphs have no signal") {
+    val star = Seq(("c", "a"), ("c", "b"), ("c", "d")).toDF("src", "dst")
+    val r = graft.operators.Graph.assortativity(star).collect().head
+    assert(r.getAs[Long]("n_edges_directed") == 6)
+    assert(r.getAs[Long]("r_micro") == -1000000L)
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val rc = graft.operators.Graph.assortativity(cycle).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("r_micro")))
+  }
+
+  test("personalizedPageRank: restart mass only at seeds; hand-folded 3-iteration values") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("v")
+    val r = graft.operators.Graph
+      .personalizedPageRank(edges, seeds, iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // fold by hand: deg a=1, b=2, c=1; p1 = (a .15, b .85);
+    // p2 = (a .51125, b .1275, c .36125); p3 below
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-12
+    assert(close(r("a"), 0.15 + 0.85 * (0.1275 / 2)))
+    assert(close(r("b"), 0.85 * (0.51125 + 0.36125)))
+    assert(close(r("c"), 0.85 * (0.1275 / 2)))
+    // no seed, no mass: nodes unreachable from seeds emit no row
+    assert(r.size == 3)
+  }
 }

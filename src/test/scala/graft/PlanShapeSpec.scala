@@ -259,7 +259,16 @@ class PlanShapeSpec extends GraftSpec {
       "st_theil_sen",
       // winsorization: the 1-row fence (median/MAD) broadcast back
       // over the scan, plus the MAD report assembly
-      "dq_winsorize")
+      "dq_winsorize",
+      // Zipf head: the 3-row k-frame broadcast against the
+      // vocabulary-sized rank table
+      "td_zipf_head",
+      // vocab overlap: the pair grid is the GROUP-cardinality size
+      // table against itself (st_chi2_cells precedent)
+      "td_vocab_overlap",
+      // QQ deciles: the 9-row decile frame broadcast against each
+      // side's distinct-value table
+      "st_qq_deciles")
     // Scala UDFs allowed ONLY with a stated bound (same discipline as
     // the BNLJ whitelist: a NEW UDF is a conscious decision, not an
     // accident). Two groups:

@@ -641,4 +641,22 @@ class SamplingSpec extends GraftSpec {
         }
       }
   }
+
+  test("neymanAllocation: n*sigma weights, floor shares, largest-remainder top-up; all-constant is null") {
+    val df = Seq(("s1", 0L), ("s1", 4L), ("s2", 5L), ("s2", 5L),
+      ("s3", 0L), ("s3", 8L)).toDF("source", "x")
+    val r = graft.operators.Sampling
+      .neymanAllocation(df, "source", "x", budget = 10L)
+      .collect().map(x => x.getAs[String]("stratum") ->
+        (x.getAs[Long]("sigma"), x.getAs[Long]("weight"),
+          x.getAs[Long]("alloc"))).toMap
+    // sigmas 2, 0, 4 -> weights 4, 0, 8 (tw 12); floors 3, 0, 6;
+    // one remainder seat goes to the largest fraction (s3)
+    assert(r == Map("s1" -> ((2L, 4L, 3L)), "s2" -> ((0L, 0L, 0L)),
+      "s3" -> ((4L, 8L, 7L))))
+    val const = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("source", "x")
+    val rc = graft.operators.Sampling
+      .neymanAllocation(const, "source", "x", budget = 10L).collect()
+    assert(rc.forall(_.isNullAt(rc.head.fieldIndex("alloc"))))
+  }
 }

@@ -247,4 +247,29 @@ class StatsSpec extends GraftSpec {
     // winsorized sum 45 + 11 = 56 over 10 rows
     assert(r.getAs[Long]("winsorized_mean_micro") == 5600000L)
   }
+
+  test("dispersionByKey: Fano factor per key; steady is 0, zero-mass is null") {
+    val daily = Seq(("k1", 2L), ("k1", 2L), ("k1", 2L),
+      ("k2", 1L), ("k2", 3L), ("k3", 0L), ("k3", 0L))
+      .toDF("key", "x")
+    val r = Stats.dispersionByKey(daily, "key", "x").collect()
+      .map(x => x.getAs[String]("key") -> x).toMap
+    assert(r("k1").getAs[Long]("dispersion_micro") == 0L)
+    // k2: (2*10 - 16) * 1e6 / (2*4) = 500000
+    assert(r("k2").getAs[Long]("dispersion_micro") == 500000L)
+    assert(r("k3").isNullAt(r("k3").fieldIndex("dispersion_micro")))
+  }
+
+  test("qqDeciles: exact lower-quantile boundaries and gaps") {
+    val a = (1L to 10L).toDF("x")
+    val b = (11L to 20L).toDF("x")
+    val r = Stats.qqDeciles(a, b, "x").collect()
+      .map(x => x.getAs[Long]("decile") ->
+        (x.getAs[Long]("q_a"), x.getAs[Long]("q_b"),
+          x.getAs[Long]("gap"))).toMap
+    assert(r.keySet == (1L to 9L).toSet)
+    (1L to 9L).foreach { i =>
+      assert(r(i) == ((i, i + 10L, 10L)), s"decile $i: ${r(i)}")
+    }
+  }
 }
