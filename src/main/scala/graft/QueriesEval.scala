@@ -884,6 +884,169 @@ object QueriesEval {
         |  CAST(med.n_pairs AS BIGINT) AS n_pairs,
         |  CAST(med.slope_micro AS BIGINT) AS slope_micro
         |FROM med""".stripMargin),
+    // Matthews correlation of the length-threshold classifier
+    // predicting English — the imbalance-honest single-number
+    // confusion summary; split floor(sqrt) radicands keep every step
+    // integer-exact
+    ("eval_mcc",
+      ((s, dir) => EvalMetrics.mcc(
+        docs(s, dir).select((col("lang") === "en").as("a"),
+          (col("n_chars") >= 500).as("p")), "a", "p")),
+      """WITH c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 500
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN lang <> 'en' AND n_chars < 500
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN lang <> 'en' AND n_chars >= 500
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN lang = 'en' AND n_chars < 500
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM documents),
+        |m AS (
+        |  SELECT *, CAST(tp AS HUGEINT) * tn
+        |      - CAST(fp AS HUGEINT) * fn AS num,
+        |    CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) AS BIGINT)
+        |      AS d1,
+        |    CAST(CAST(tn + fp AS HUGEINT) * (tn + fn) AS BIGINT)
+        |      AS d2
+        |  FROM c),
+        |f AS (
+        |  SELECT *, CAST(FLOOR(SQRT(d1)) AS BIGINT)
+        |    * CAST(FLOOR(SQRT(d2)) AS BIGINT) AS den
+        |  FROM m)
+        |SELECT tp, tn, fp, fn,
+        |  CASE WHEN den > 0 THEN CASE WHEN num >= 0
+        |    THEN CAST(num * 1000000 // den AS BIGINT)
+        |    ELSE -CAST((-num) * 1000000 // den AS BIGINT) END
+        |  END AS mcc_micro
+        |FROM f""".stripMargin),
+    // Cohen's d effect size of document length, English vs the rest —
+    // "the lengths differ significantly, but by how many pooled
+    // standard deviations?"; milli units, every division a floor
+    ("st_cohens_d",
+      ((s, dir) => Stats.cohensD(
+        docs(s, dir).select(col("n_chars").as("x"),
+          (col("lang") === "en").as("g")), "x", "g")),
+      """WITH r AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x, lang = 'en' AS g
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN g THEN x ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN g THEN 0 ELSE x END) AS BIGINT) AS sb,
+        |    SUM(CASE WHEN g THEN CAST(x AS HUGEINT) * x
+        |      ELSE 0 END) AS qa,
+        |    SUM(CASE WHEN g THEN 0
+        |      ELSE CAST(x AS HUGEINT) * x END) AS qb
+        |  FROM r),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN n_a > 0 THEN CASE WHEN sa >= 0
+        |      THEN sa * 1000000 // n_a
+        |      ELSE -((-sa) * 1000000 // n_a) END END AS mean_a_micro,
+        |    CASE WHEN n_b > 0 THEN CASE WHEN sb >= 0
+        |      THEN sb * 1000000 // n_b
+        |      ELSE -((-sb) * 1000000 // n_b) END END AS mean_b_micro,
+        |    CASE WHEN n_a >= 2 THEN CAST((CAST(n_a AS HUGEINT) * qa
+        |      - CAST(sa AS HUGEINT) * sa) // n_a AS BIGINT) END
+        |      AS ssa,
+        |    CASE WHEN n_b >= 2 THEN CAST((CAST(n_b AS HUGEINT) * qb
+        |      - CAST(sb AS HUGEINT) * sb) // n_b AS BIGINT) END
+        |      AS ssb
+        |  FROM a),
+        |f AS (
+        |  SELECT *, CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |    CAST(FLOOR(SQRT((ssa + ssb) // (n_a + n_b - 2)))
+        |      AS BIGINT) END AS sp
+        |  FROM m)
+        |SELECT n_a, n_b, CAST(mean_a_micro AS BIGINT) AS mean_a_micro,
+        |  CAST(mean_b_micro AS BIGINT) AS mean_b_micro, sp,
+        |  CASE WHEN sp > 0 THEN
+        |    CASE WHEN mean_a_micro - mean_b_micro >= 0
+        |    THEN CAST((mean_a_micro - mean_b_micro)
+        |      // (sp * 1000) AS BIGINT)
+        |    ELSE -CAST((mean_b_micro - mean_a_micro)
+        |      // (sp * 1000) AS BIGINT) END END AS d_milli
+        |FROM f""".stripMargin),
+    // Mann-Kendall trend test on the daily event count — the
+    // significance companion to st_theil_sen (conventionally reported
+    // together): pairwise sign statistic, tie-corrected variance,
+    // continuity-corrected z in micros
+    ("st_mann_kendall",
+      ((s, dir) => {
+      val daily = events(s, dir)
+        .withColumn("d", to_date(col("ts").cast("timestamp")))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      Stats.mannKendall(daily)
+    }),
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(SIGN(b.n - a.n)) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |t AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS n_days,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY n)),
+        |f AS (
+        |  SELECT p.n_pairs, p.s_stat, t.n_days,
+        |    t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie18
+        |      AS var18
+        |  FROM p, t),
+        |g AS (SELECT *, CAST(FLOOR(SQRT(var18 // 18)) AS BIGINT)
+        |      AS sqv FROM f)
+        |SELECT n_days, n_pairs, s_stat, CAST(var18 AS BIGINT)
+        |    AS var18,
+        |  CASE WHEN sqv > 0 THEN
+        |    CASE WHEN s_stat > 0
+        |      THEN CAST((s_stat - 1) * 1000000 // sqv AS BIGINT)
+        |    WHEN s_stat < 0
+        |      THEN -CAST((-s_stat - 1) * 1000000 // sqv AS BIGINT)
+        |    ELSE 0 END END AS z_micro
+        |FROM g""".stripMargin),
+    // HITS hubs/authorities over the directed customer->supplier
+    // graph (two max-normalized mutual-recursion rounds, unrolled in
+    // the oracle like g1_pagerank): hub = a customer whose suppliers
+    // are widely bought from, authority = a supplier bought by strong
+    // hubs
+    ("g10_hits",
+      ((s, dir) => {
+      val e = s.read.parquet(s"$dir/orders.parquet")
+        .join(s.read.parquet(s"$dir/lineitem.parquet"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      Graph.hits(e, iterations = 2)
+        .select(col("v"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+    }),
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src,
+        |    's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT src AS v, 1.0::DOUBLE AS r FROM e),
+        |a1 AS (SELECT dst AS v, SUM(h0.r) AS s
+        |       FROM e JOIN h0 ON e.src = h0.v GROUP BY 1),
+        |a1n AS (SELECT v, s / (SELECT MAX(s) FROM a1) AS r FROM a1),
+        |h1 AS (SELECT src AS v, SUM(a1n.r) AS s
+        |       FROM e JOIN a1n ON e.dst = a1n.v GROUP BY 1),
+        |h1n AS (SELECT v, s / (SELECT MAX(s) FROM h1) AS r FROM h1),
+        |a2 AS (SELECT dst AS v, SUM(h1n.r) AS s
+        |       FROM e JOIN h1n ON e.src = h1n.v GROUP BY 1),
+        |a2n AS (SELECT v, s / (SELECT MAX(s) FROM a2) AS r FROM a2),
+        |h2 AS (SELECT src AS v, SUM(a2n.r) AS s
+        |       FROM e JOIN a2n ON e.dst = a2n.v GROUP BY 1),
+        |h2n AS (SELECT v, s / (SELECT MAX(s) FROM h2) AS r FROM h2)
+        |SELECT COALESCE(h2n.v, a2n.v) AS v,
+        |  ROUND(h2n.r, 6) + 0.0 AS hub,
+        |  ROUND(a2n.r, 6) + 0.0 AS auth
+        |FROM h2n FULL OUTER JOIN a2n ON h2n.v = a2n.v""".stripMargin),
     // personalized PageRank from a 3-customer seed set over the
     // customer-supplier graph — centrality relative to what the seeds
     // touch (the recommendation-expansion primitive); oracle unrolls

@@ -571,6 +571,46 @@ object EvalMetrics {
           "2L * tp * 1000000L div (2L * tp + fp + fn) END"))
   }
 
+  /** Matthews correlation coefficient for a binary classifier — the
+    * single-number confusion summary that stays honest under class
+    * imbalance (unlike accuracy or F1): MCC = (tp·tn − fp·fn) /
+    * √((tp+fp)(tp+fn)) · √((tn+fp)(tn+fn)), in exact integer micros.
+    * The radicand is SPLIT into two ≤n² factors so each floor(sqrt)
+    * stays exact (< 2⁵² while n ≤ ~6·10⁷ scored rows — sample or
+    * shard beyond that; the product of all four counts would blow the
+    * bound at n ~ 10⁴). One row out:
+    * (tp, tn, fp, fn, mcc_micro); NULL when a margin is empty (MCC
+    * undefined).
+    *
+    * Scale shape: one scan-shaped 4-way conditional count — no
+    * window, no join. */
+  def mcc(df: DataFrame, actualCol: String,
+          predCol: String): DataFrame = {
+    df.select(col(actualCol).cast("boolean").as("a"),
+        col(predCol).cast("boolean").as("p"))
+      .agg(
+        sum(when(col("a") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("a") && !col("p"), 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("a") && col("p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("a") && !col("p"), 1L).otherwise(0L)).as("fn"))
+      .withColumn("_num", expr(
+        "CAST(tp AS DECIMAL(38,0)) * tn " +
+          "- CAST(fp AS DECIMAL(38,0)) * fn"))
+      .withColumn("_d1", expr(
+        "CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn) AS LONG)"))
+      .withColumn("_d2", expr(
+        "CAST(CAST(tn + fp AS DECIMAL(38,0)) * (tn + fn) AS LONG)"))
+      .withColumn("_den",
+        floor(sqrt(col("_d1"))).cast("long") *
+          floor(sqrt(col("_d2"))).cast("long"))
+      .withColumn("mcc_micro", expr(
+        "CASE WHEN _den > 0 THEN CASE WHEN _num >= 0 " +
+          "THEN CAST(_num * 1000000 div _den AS LONG) " +
+          "ELSE -CAST((-_num) * 1000000 div _den AS LONG) END END"))
+      .select(col("tp"), col("tn"), col("fp"), col("fn"),
+        col("mcc_micro"))
+  }
+
   /** McNemar's paired test on two systems scored over the SAME items —
     * the question "is B actually better than A, or do they just err on
     * different rows?" answered from the discordant pairs alone. One

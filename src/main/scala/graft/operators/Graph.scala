@@ -264,6 +264,53 @@ object Graph {
     }
   }
 
+  /** HITS hubs and authorities (Kleinberg 1999) over a DIRECTED edge
+    * set — the bipartite-credit companion to [[pageRank]]: a good hub
+    * points at good authorities and vice versa. Fixed `iterations`
+    * mutual-recursion rounds with MAX-normalization after each half
+    * step (a per-round scalar divide — replayable, unlike the L2 norm
+    * whose √ would compound float error), so the run unrolls into
+    * plain SQL like g1_pagerank. Returns the final hub and authority
+    * score per node (FULL OUTER of the two sides — a pure source has
+    * no authority row and vice versa); round for display at the gate.
+    *
+    * Scale shape: per round two node-keyed aggregations over the edge
+    * list and one 1-row max — edges partitioned once, never
+    * collected. */
+  def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 8,
+      "iterations must be in [1, 8]")
+    val e = edges.select(col("src"), col("dst")).persist()
+    var hubs = e.select(col("src").as("v")).distinct()
+      .withColumn("r", lit(1.0)).persist()
+    hubs.count()
+    var auths: DataFrame = null
+    try {
+      (1 to iterations).foreach { _ =>
+        val a = e.join(hubs, e("src") === hubs("v"))
+          .groupBy(e("dst").as("v")).agg(sum(col("r")).as("s"))
+        val aMax = a.agg(max(col("s")).as("m"))
+        val aN = a.crossJoin(broadcast(aMax))
+          .select(col("v"), (col("s") / col("m")).as("r")).persist()
+        aN.count()
+        if (auths != null) auths.unpersist(false)
+        auths = aN
+        val h = e.join(auths.withColumnRenamed("v", "_av"),
+            e("dst") === col("_av"))
+          .groupBy(e("src").as("v")).agg(sum(col("r")).as("s"))
+        val hMax = h.agg(max(col("s")).as("m"))
+        val hN = h.crossJoin(broadcast(hMax))
+          .select(col("v"), (col("s") / col("m")).as("r")).persist()
+        hN.count()
+        hubs.unpersist(false)
+        hubs = hN
+      }
+      hubs.select(col("v"), col("r").as("hub"))
+        .join(auths.select(col("v"), col("r").as("auth")),
+          Seq("v"), "full_outer")
+    } finally { e.unpersist(false); () }
+  }
+
   /** Degree assortativity of an undirected graph (Newman 2002) — "do
     * hubs connect to hubs?": the Pearson correlation between the
     * endpoint degrees over the DIRECTED edge list (each undirected

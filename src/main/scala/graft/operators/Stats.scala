@@ -432,6 +432,105 @@ object Stats {
       .select(col("n"), col("median"), col("mad"))
   }
 
+  /** Cohen's d standardized mean difference between two groups of a
+    * long metric — the effect-size number next to the A/B z-test
+    * ("significant, but is it BIG?"): d = (mean_a − mean_b) / s_p,
+    * with s_p the pooled SAMPLE standard deviation. All integer:
+    * means floored to micros (sign-split), per-group sample variances
+    * via the sums-of-products identity (decimals inside, each
+    * division a floor), s_p = floor(sqrt(pooled)) — exact while the
+    * pooled variance < 2⁵². One row out:
+    * (n_a, n_b, mean_a_micro, mean_b_micro, sp, d_milli); NULL d when
+    * either group has < 2 rows or the pooled variance is 0. d is
+    * reported in MILLI units (±0.2 small / ±0.8 large reads as
+    * ±200/±800).
+    *
+    * Scale shape: one scan-shaped two-group aggregation — no window,
+    * no join. */
+  def cohensD(df: DataFrame, valueCol: String,
+              groupCol: String): DataFrame = {
+    val rows = df.select(col(valueCol).cast("long").as("x"),
+        col(groupCol).cast("boolean").as("g"))
+      .filter(col("x").isNotNull && col("g").isNotNull)
+    rows.agg(
+        sum(when(col("g"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("g"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("g"), col("x")).otherwise(0L)).as("_sa"),
+        sum(when(!col("g"), col("x")).otherwise(0L)).as("_sb"),
+        sum(when(col("g"), col("x").cast("decimal(38,0)") * col("x"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("_qa"),
+        sum(when(!col("g"), col("x").cast("decimal(38,0)") * col("x"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("_qb"))
+      .withColumn("mean_a_micro", expr(
+        "CASE WHEN n_a > 0 THEN CASE WHEN _sa >= 0 " +
+          "THEN _sa * 1000000L div n_a " +
+          "ELSE -((-_sa) * 1000000L div n_a) END END"))
+      .withColumn("mean_b_micro", expr(
+        "CASE WHEN n_b > 0 THEN CASE WHEN _sb >= 0 " +
+          "THEN _sb * 1000000L div n_b " +
+          "ELSE -((-_sb) * 1000000L div n_b) END END"))
+      // sample sums of squared deviations: n·Σx² − (Σx)², divided by n
+      // (not n−1) here and recombined below so the pooled divisor is
+      // the standard (n_a − 1) + (n_b − 1)
+      .withColumn("_ssa", expr(
+        "CASE WHEN n_a >= 2 THEN CAST((CAST(n_a AS DECIMAL(38,0)) " +
+          "* _qa - CAST(_sa AS DECIMAL(38,0)) * _sa) div n_a " +
+          "AS LONG) END"))
+      .withColumn("_ssb", expr(
+        "CASE WHEN n_b >= 2 THEN CAST((CAST(n_b AS DECIMAL(38,0)) " +
+          "* _qb - CAST(_sb AS DECIMAL(38,0)) * _sb) div n_b " +
+          "AS LONG) END"))
+      .withColumn("sp", expr(
+        "CASE WHEN n_a >= 2 AND n_b >= 2 THEN " +
+          "CAST(FLOOR(SQRT((_ssa + _ssb) div (n_a + n_b - 2))) " +
+          "AS LONG) END"))
+      .withColumn("d_milli", expr(
+        "CASE WHEN sp > 0 THEN " +
+          "CASE WHEN mean_a_micro - mean_b_micro >= 0 " +
+          "THEN (mean_a_micro - mean_b_micro) div (sp * 1000L) " +
+          "ELSE -((mean_b_micro - mean_a_micro) div (sp * 1000L)) " +
+          "END END"))
+      .select(col("n_a"), col("n_b"), col("mean_a_micro"),
+        col("mean_b_micro"), col("sp"), col("d_milli"))
+  }
+
+  /** Mann–Kendall trend test over a daily series (Mann 1945; Kendall
+    * 1975) — the significance companion to [[theilSen]] (they are
+    * conventionally reported together): S = Σ_{i<j} sign(x_j − x_i)
+    * over day-ordered pairs, tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the
+    * continuity-corrected z in exact integer micros
+    * (z = (S∓1)/√Var, floor(sqrt) on the integer variance). One row
+    * out: (n_days, s_stat, var18, z_micro); z NULL when Var = 0.
+    *
+    * Scale shape: the [[theilSen]] contract — day-bounded (checked
+    * BEFORE the quadratic pair join), one tie aggregation over
+    * distinct values. */
+  def mannKendall(daily: DataFrame, maxDays: Int = 3660): DataFrame = {
+    val base = daily.select(col("d"), col("n").cast("long").as("n"))
+    require(base.limit(maxDays + 1).count() <= maxDays,
+      s"series exceeds $maxDays days — aggregate to a coarser grid")
+    val s = base.as("a").join(base.as("b"), col("a.d") < col("b.d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("b.n") - col("a.n")).cast("long")).as("s_stat"))
+    val nAndTies = base
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t")).as("n_days"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("_tie18"))
+    s.crossJoin(nAndTies)
+      .withColumn("var18", expr(
+        "n_days * (n_days - 1) * (2 * n_days + 5) - _tie18"))
+      .withColumn("_var", expr("var18 div 18L"))
+      .withColumn("_sqv", floor(sqrt(col("_var"))).cast("long"))
+      .withColumn("z_micro", expr(
+        "CASE WHEN _sqv > 0 THEN " +
+          "CASE WHEN s_stat > 0 THEN (s_stat - 1) * 1000000L div _sqv " +
+          "WHEN s_stat < 0 THEN -((-s_stat - 1) * 1000000L div _sqv) " +
+          "ELSE 0L END END"))
+      .select(col("n_days"), col("n_pairs"), col("s_stat"),
+        col("var18"), col("z_micro"))
+  }
+
   /** Index of dispersion (Fano factor) per key — the burstiness audit
     * over a keyed daily rollup: D = variance/mean of each key's daily
     * values; a Poisson-steady signal sits near 1, a bursty one far

@@ -463,4 +463,18 @@ class EvalMetricsSpec extends GraftSpec {
     assert(r2.getAs[Long]("n_covered") == 3 &&
       r2.getAs[Long]("coverage_micro") == 1000000L)
   }
+
+  test("mcc: perfect, uninformative, and undefined-margin cases") {
+    val perfect = Seq((true, true), (false, false)).toDF("a", "p")
+    val r = EvalMetrics.mcc(perfect, "a", "p").collect().head
+    assert(r.getAs[Long]("mcc_micro") == 1000000L)
+    val coin = Seq((true, true), (true, false), (false, false),
+      (false, true)).toDF("a", "p")
+    assert(EvalMetrics.mcc(coin, "a", "p").collect().head
+      .getAs[Long]("mcc_micro") == 0L)
+    // all-positive actuals: a zero margin leaves MCC undefined
+    val onesided = Seq((true, true), (true, false)).toDF("a", "p")
+    val r0 = EvalMetrics.mcc(onesided, "a", "p").collect().head
+    assert(r0.isNullAt(r0.fieldIndex("mcc_micro")))
+  }
 }

@@ -150,4 +150,19 @@ class GraphSpec extends GraftSpec {
     // no seed, no mass: nodes unreachable from seeds emit no row
     assert(r.size == 3)
   }
+
+  test("hits: hand-folded two-round max-normalized hubs and authorities") {
+    val e = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"))
+      .toDF("src", "dst")
+    val r = graft.operators.Graph.hits(e, iterations = 2).collect()
+      .map(x => x.getString(0) ->
+        (Option(x.get(1)).map(_.asInstanceOf[Double]),
+          Option(x.get(2)).map(_.asInstanceOf[Double]))).toMap
+    def close(x: Option[Double], y: Double) =
+      x.exists(v => math.abs(v - y) < 1e-12)
+    assert(close(r("c1")._1, 1.0) && r("c1")._2.isEmpty)
+    assert(close(r("c2")._1, 0.625) && r("c2")._2.isEmpty)
+    assert(r("s1")._1.isEmpty && close(r("s1")._2, 1.0))
+    assert(r("s2")._1.isEmpty && close(r("s2")._2, 0.6))
+  }
 }

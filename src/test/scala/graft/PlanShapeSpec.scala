@@ -268,7 +268,13 @@ class PlanShapeSpec extends GraftSpec {
       "td_vocab_overlap",
       // QQ deciles: the 9-row decile frame broadcast against each
       // side's distinct-value table
-      "st_qq_deciles")
+      "st_qq_deciles",
+      // HITS: the per-round 1-row max-normalization scalar broadcast
+      // back over the node-sized score table
+      "g10_hits",
+      // Mann-Kendall: the pairwise-sign inequality join runs over the
+      // DAY-bounded rollup (require-checked) + 1-row report assembly
+      "st_mann_kendall")
     // Scala UDFs allowed ONLY with a stated bound (same discipline as
     // the BNLJ whitelist: a NEW UDF is a conscious decision, not an
     // accident). Two groups:

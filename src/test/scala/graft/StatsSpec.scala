@@ -272,4 +272,32 @@ class StatsSpec extends GraftSpec {
       assert(r(i) == ((i, i + 10L, 10L)), s"decile $i: ${r(i)}")
     }
   }
+
+  test("cohensD: hand-folded pooled floors; tiny group is null") {
+    val df = Seq((2L, true), (4L, true), (0L, false), (2L, false))
+      .toDF("x", "g")
+    val r = Stats.cohensD(df, "x", "g").collect().head
+    // means 3e6 / 1e6; dev-square sums 2 + 2, pooled var (2+2)/2=2,
+    // sp = floor(sqrt 2) = 1 -> d_milli = 2e6 div 1000 = 2000
+    assert(r.getAs[Long]("mean_a_micro") == 3000000L &&
+      r.getAs[Long]("mean_b_micro") == 1000000L)
+    assert(r.getAs[Long]("sp") == 1 && r.getAs[Long]("d_milli") == 2000)
+    val tiny = Seq((1L, true), (0L, false), (2L, false)).toDF("x", "g")
+    val rt = Stats.cohensD(tiny, "x", "g").collect().head
+    assert(rt.isNullAt(rt.fieldIndex("d_milli")))
+  }
+
+  test("mannKendall: monotone series and all-tied series") {
+    def daily(vals: Seq[Long]) = vals.zipWithIndex.map { case (n, i) =>
+      (java.sql.Date.valueOf(s"2024-01-0${i + 1}"), n) }.toDF("d", "n")
+    val r = Stats.mannKendall(daily(Seq(1L, 2L, 3L))).collect().head
+    // S = 3, var18 = 3*2*11 = 66, var = 3, sqrt -> 1, z = (3-1)e6
+    assert(r.getAs[Long]("s_stat") == 3 &&
+      r.getAs[Long]("var18") == 66 &&
+      r.getAs[Long]("z_micro") == 2000000L)
+    val rt = Stats.mannKendall(daily(Seq(5L, 5L, 5L))).collect().head
+    assert(rt.getAs[Long]("s_stat") == 0 &&
+      rt.getAs[Long]("var18") == 0 &&
+      rt.isNullAt(rt.fieldIndex("z_micro")))
+  }
 }
