@@ -884,6 +884,69 @@ object QueriesEval {
         |  CAST(med.n_pairs AS BIGINT) AS n_pairs,
         |  CAST(med.slope_micro AS BIGINT) AS slope_micro
         |FROM med""".stripMargin),
+    // Wald-Wolfowitz runs test on the daily event count around its
+    // median — wandering vs random; cleared-denominator z with one
+    // floor(sqrt), median-equal days excluded
+    ("st_runs_test",
+      ((s, dir) => {
+      val daily = events(s, dir)
+        .withColumn("d", to_date(col("ts").cast("timestamp")))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      Stats.runsTest(daily)
+    }),
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT MIN(x) AS median FROM (
+        |    SELECT x, SUM(c) OVER (ORDER BY x) AS cum,
+        |      (SUM(c) OVER () + 1) // 2 AS k
+        |    FROM (SELECT n AS x, COUNT(*) AS c FROM daily GROUP BY 1))
+        |  WHERE cum >= k),
+        |sg AS (
+        |  SELECT d, CASE WHEN n > m.median THEN 1 ELSE 0 END AS s
+        |  FROM daily, m WHERE n <> m.median),
+        |runs AS (
+        |  SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM sg),
+        |agg AS (
+        |  SELECT CAST(SUM(s) AS BIGINT) AS n_above,
+        |    CAST(SUM(1 - s) AS BIGINT) AS n_below,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> s
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM runs),
+        |f AS (
+        |  SELECT *, n_above + n_below AS n,
+        |    2 * n_above * n_below AS ab2
+        |  FROM agg),
+        |g AS (
+        |  SELECT *, CASE WHEN n >= 2 THEN
+        |    CAST(FLOOR(SQRT(CAST(CAST(ab2 AS HUGEINT) * (ab2 - n)
+        |      // (n - 1) AS BIGINT))) AS BIGINT) END AS den
+        |  FROM f)
+        |SELECT n_above, n_below, n_runs,
+        |  CASE WHEN den > 0 THEN
+        |    CASE WHEN (n_runs - 1) * n - ab2 >= 0
+        |    THEN CAST(((n_runs - 1) * n - ab2) * 1000000 // den
+        |      AS BIGINT)
+        |    ELSE -CAST((ab2 - (n_runs - 1) * n) * 1000000 // den
+        |      AS BIGINT) END END AS z_micro
+        |FROM g""".stripMargin),
+    // Herfindahl concentration of documents across sources — the
+    // one-number balance summary next to st_gini: micro shares
+    // squared and summed
+    ("dq_herfindahl",
+      ((s, dir) => Stats.herfindahl(docs(s, dir), "source")),
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS tt,
+        |        n * 1000000 // CAST(SUM(n) OVER () AS BIGINT) AS s
+        |      FROM c)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(MIN(tt) AS BIGINT) AS total,
+        |  CAST(SUM(CAST(s AS HUGEINT) * s) // 1000000 AS BIGINT)
+        |    AS hhi_micro
+        |FROM t""".stripMargin),
     // Matthews correlation of the length-threshold classifier
     // predicting English — the imbalance-honest single-number
     // confusion summary; split floor(sqrt) radicands keep every step

@@ -432,6 +432,73 @@ object Stats {
       .select(col("n"), col("median"), col("mad"))
   }
 
+  /** Wald–Wolfowitz runs test over a daily series — "is the signal
+    * WANDERING (trends, regimes) or random around its level?": the
+    * sequence of above/below-median signs (median-equal days are
+    * excluded, the standard treatment), the run count R, and the
+    * normal z in exact integer micros via the cleared-denominator
+    * form z = ((R−1)·n − 2ab) / √(2ab(2ab−n) div (n−1)) with a = #
+    * above, b = # below, n = a + b — one floor(sqrt) on an integer
+    * radicand (< 2⁵² for any daily series shorter than ~50k days).
+    * One row out: (n_above, n_below, n_runs, z_micro); z NULL when a
+    * side is empty or the variance is 0.
+    *
+    * Scale shape: the [[theilSen]] contract — operates on the
+    * day-bounded rollup; one lag window ordered by day, one median
+    * pass over distinct values. */
+  def runsTest(daily: DataFrame): DataFrame = {
+    val base = daily.select(col("d"), col("n").cast("long").as("n"))
+    val med = lowerMedian(base.select(col("n").as("x")))
+      .select(col("median"))
+    val signs = base.crossJoin(broadcast(med))
+      .filter(col("n") =!= col("median"))
+      .withColumn("s", when(col("n") > col("median"), 1L)
+        .otherwise(0L))
+      .withColumn("_prev", lag(col("s"), 1)
+        .over(Window.orderBy(col("d"))))
+    signs.agg(
+        sum(col("s")).as("n_above"),
+        sum(lit(1L) - col("s")).as("n_below"),
+        (sum(when(col("_prev").isNull ||
+          col("_prev") =!= col("s"), 1L).otherwise(0L))).as("n_runs"))
+      .withColumn("_n", col("n_above") + col("n_below"))
+      .withColumn("_ab2", expr("2L * n_above * n_below"))
+      .withColumn("_rad", expr(
+        "CASE WHEN _n >= 2 THEN " +
+          "CAST(CAST(_ab2 AS DECIMAL(38,0)) * (_ab2 - _n) " +
+          "div (_n - 1) AS LONG) END"))
+      .withColumn("_den", floor(sqrt(col("_rad"))).cast("long"))
+      .withColumn("z_micro", expr(
+        "CASE WHEN _den > 0 THEN " +
+          "CASE WHEN (n_runs - 1) * _n - _ab2 >= 0 " +
+          "THEN ((n_runs - 1) * _n - _ab2) * 1000000L div _den " +
+          "ELSE -((_ab2 - (n_runs - 1) * _n) * 1000000L div _den) " +
+          "END END"))
+      .select(col("n_above"), col("n_below"), col("n_runs"),
+        col("z_micro"))
+  }
+
+  /** Herfindahl–Hirschman concentration of a keyed count — the
+    * one-number source-balance summary next to the Gini audit: with
+    * per-group shares in floored micros, HHI = Σ s_i² div 10⁶ (10⁶ =
+    * a single group holds everything; 10⁶/k = k equal groups). One
+    * row out: (n_groups, total, hhi_micro).
+    *
+    * Scale shape: one hash aggregation to group cardinality; the
+    * whole-frame window for the total runs over the group frame. */
+  def herfindahl(df: DataFrame, keyCol: String): DataFrame = {
+    df.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .withColumn("_t", expr("sum(n) over ()"))
+      .withColumn("_s", expr("n * 1000000L div _t"))
+      .agg(count(lit(1)).as("n_groups"),
+        first(col("_t")).as("total"),
+        sum(expr("CAST(_s AS DECIMAL(38,0)) * _s")).as("_ss"))
+      .withColumn("hhi_micro", expr("CAST(_ss div 1000000 AS LONG)"))
+      .select(col("n_groups"), col("total"), col("hhi_micro"))
+  }
+
   /** Cohen's d standardized mean difference between two groups of a
     * long metric — the effect-size number next to the A/B z-test
     * ("significant, but is it BIG?"): d = (mean_a − mean_b) / s_p,

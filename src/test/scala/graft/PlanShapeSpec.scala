@@ -274,7 +274,10 @@ class PlanShapeSpec extends GraftSpec {
       "g10_hits",
       // Mann-Kendall: the pairwise-sign inequality join runs over the
       // DAY-bounded rollup (require-checked) + 1-row report assembly
-      "st_mann_kendall")
+      "st_mann_kendall",
+      // runs test: the 1-row median broadcast back over the
+      // day-bounded rollup
+      "st_runs_test")
     // Scala UDFs allowed ONLY with a stated bound (same discipline as
     // the BNLJ whitelist: a NEW UDF is a conscious decision, not an
     // accident). Two groups:

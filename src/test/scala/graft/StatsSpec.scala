@@ -300,4 +300,36 @@ class StatsSpec extends GraftSpec {
       rt.getAs[Long]("var18") == 0 &&
       rt.isNullAt(rt.fieldIndex("z_micro")))
   }
+
+  test("runsTest: alternating vs blocked sequences; median-equal days excluded") {
+    def daily(vals: Seq[Long]) = vals.zipWithIndex.map { case (n, i) =>
+      (java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), n) }.toDF("d", "n")
+    // 1,9,1,9: median 1 -> equal-to-median days drop, 2 above remain
+    // as a single side: variance 0, z null
+    val r0 = Stats.runsTest(daily(Seq(1L, 9L, 1L, 9L))).collect().head
+    assert(r0.getAs[Long]("n_above") == 2 &&
+      r0.getAs[Long]("n_below") == 0 &&
+      r0.isNullAt(r0.fieldIndex("z_micro")))
+    // 0,9,0,9,0,9 around median 0: three above-runs... median is 0,
+    // the zeros drop; use a 6-day mix with median 3: 1,9,1,9,1,9 has
+    // lower median 1 -> drops; so use 0,9,2,9,0,9 (median 2 drops one)
+    val r = Stats.runsTest(daily(Seq(0L, 9L, 2L, 9L, 0L, 9L)))
+      .collect().head
+    // median of {0,9,2,9,0,9} lower = 2 -> signs for 0,9,9,0,9 =
+    // b,a,a,b,a -> runs = 4, a=3, b=2, n=5, ab2=12
+    assert(r.getAs[Long]("n_above") == 3 &&
+      r.getAs[Long]("n_below") == 2 && r.getAs[Long]("n_runs") == 4)
+    // z = ((4-1)*5 - 12)*1e6 / floor(sqrt(12*7 div 4)) = 3e6 / 4
+    assert(r.getAs[Long]("z_micro") == 750000L)
+  }
+
+  test("herfindahl: equal groups and single-group concentration") {
+    val eq = Seq("a", "b", "c", "d").toDF("k")
+    val r = Stats.herfindahl(eq, "k").collect().head
+    assert(r.getAs[Long]("n_groups") == 4 &&
+      r.getAs[Long]("hhi_micro") == 250000L)
+    val one = Seq("z", "z", "z").toDF("k")
+    assert(Stats.herfindahl(one, "k").collect().head
+      .getAs[Long]("hhi_micro") == 1000000L)
+  }
 }
