@@ -806,6 +806,14 @@ object QueriesEval {
         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
         |    SUM(CAST(y AS HUGEINT) * y) AS syy
         |  FROM p GROUP BY 1),
+        |aggl AS (
+        |  -- left-join the lag list so a lag with ZERO pairs (series
+        |  -- shorter than the lag) still emits a (lag, 0, NULL) row,
+        |  -- matching Spark's per-lag global aggregate
+        |  SELECT lags.lag,
+        |    CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |    agg.sx, agg.sy, agg.sxy, agg.sxx, agg.syy
+        |  FROM lags LEFT JOIN agg ON lags.lag = agg.lag),
         |m AS (
         |  SELECT lag, n_pairs,
         |    CAST(n_pairs AS HUGEINT) * sxy
@@ -814,16 +822,19 @@ object QueriesEval {
         |      - CAST(sx AS HUGEINT) * sx AS BIGINT) AS dx,
         |    CAST(CAST(n_pairs AS HUGEINT) * syy
         |      - CAST(sy AS HUGEINT) * sy AS BIGINT) AS dy
-        |  FROM agg),
+        |  FROM aggl),
         |f AS (
         |  SELECT lag, n_pairs, num,
         |    CAST(FLOOR(SQRT(dx)) AS BIGINT)
         |      * CAST(FLOOR(SQRT(dy)) AS BIGINT) AS den
         |  FROM m)
         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-        |  CASE WHEN den > 0 THEN CASE WHEN num >= 0
-        |    THEN CAST(num * 1000000 // den AS BIGINT)
-        |    ELSE -CAST((-num) * 1000000 // den AS BIGINT) END
+        |  CASE WHEN den > 0 THEN
+        |    GREATEST(CAST(-1000000 AS BIGINT),
+        |      LEAST(CAST(1000000 AS BIGINT),
+        |        CASE WHEN num >= 0
+        |          THEN CAST(num * 1000000 // den AS BIGINT)
+        |          ELSE -CAST((-num) * 1000000 // den AS BIGINT) END))
         |  END AS r_micro
         |FROM f""".stripMargin),
     // median absolute deviation of document length — the robust scale
@@ -993,7 +1004,8 @@ object QueriesEval {
           (col("lang") === "en").as("g")), "x", "g")),
       """WITH r AS (
         |  SELECT CAST(n_chars AS BIGINT) AS x, lang = 'en' AS g
-        |  FROM documents WHERE n_chars IS NOT NULL),
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
         |a AS (
         |  SELECT
         |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -1253,9 +1265,12 @@ object QueriesEval {
         |      * CAST(FLOOR(SQRT(dy)) AS BIGINT) AS den
         |  FROM m)
         |SELECT n_edges_directed,
-        |  CASE WHEN den > 0 THEN CASE WHEN num >= 0
-        |    THEN CAST(num * 1000000 // den AS BIGINT)
-        |    ELSE -CAST((-num) * 1000000 // den AS BIGINT) END
+        |  CASE WHEN den > 0 THEN
+        |    GREATEST(CAST(-1000000 AS BIGINT),
+        |      LEAST(CAST(1000000 AS BIGINT),
+        |        CASE WHEN num >= 0
+        |          THEN CAST(num * 1000000 // den AS BIGINT)
+        |          ELSE -CAST((-num) * 1000000 // den AS BIGINT) END))
         |  END AS r_micro
         |FROM f""".stripMargin),
     // pairwise vocabulary overlap between sources — the corpus-

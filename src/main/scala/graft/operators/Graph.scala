@@ -30,13 +30,23 @@ import org.apache.spark.sql.Column
   * `edges`: (src, dst) DISTINCT undirected pairs. Returns (v, r). */
 object Graph {
 
-  def pageRank(edges: DataFrame, iterations: Int = 3,
-               damping: Double = 0.85): DataFrame = {
-    val dir = edges.select(col("src"), col("dst"))
+  /** The shared prelude of every fixed-iteration loop in this file:
+    * the undirected edge list doubled into both orientations,
+    * repartitioned ON `src` once, and PERSISTED — so each round's
+    * edge-side join reuses the partitioning and only node-sized
+    * frames shuffle per round. Ownership contract: the CALLER
+    * unpersists (in its `finally`); the helper never does. */
+  private def directedEdges(edges: DataFrame,
+                            dedup: Boolean = false): DataFrame = {
+    val d = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"),
         col("src").as("dst")))
-      .repartition(col("src"))
-      .persist()
+    (if (dedup) d.distinct() else d).repartition(col("src")).persist()
+  }
+
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    val dir = directedEdges(edges)
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist()
     // contribution edge list with the degree folded in: r/deg joins on
@@ -58,11 +68,15 @@ object Graph {
         ranks.unpersist(false)
         ranks = next
       }
-      ranks
+      // eager localCheckpoint materializes the node-sized result into
+      // GC-managed storage so the loop's last persisted frame can be
+      // released here instead of leaking a cache entry per call
+      ranks.localCheckpoint(true)
     } finally {
       dir.unpersist(false)
       deg.unpersist(false)
       withDeg.unpersist(false)
+      ranks.unpersist(false)
     }
   }
 
@@ -83,9 +97,7 @@ object Graph {
     * `edges`: distinct undirected (src, dst) pairs, src ≠ dst.
     * Returns (v, n_triangles) for nodes in ≥1 triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val dir = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
+    val dir = directedEdges(edges)
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("v"), col("deg"))
     def ord(d: Column, id: Column): Column = struct(d, id)
@@ -102,6 +114,7 @@ object Graph {
       // it once and truncates the degree-join lineage, with storage
       // released by GC instead of caller-side unpersist bookkeeping
       .localCheckpoint(true)
+    dir.unpersist(false) // oriented is materialized; prelude no longer needed
     val e1 = oriented.select(col("a"), col("b").as("x"), col("ob").as("ox"))
     val e2 = oriented.select(col("a"), col("b").as("y"), col("ob").as("oy"))
     // wedges at the low vertex: unordered out-edge pairs, ordered by π
@@ -136,12 +149,7 @@ object Graph {
     * Returns (v, community). */
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dir = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"),
-        col("src").as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .persist()
+    val dir = directedEdges(edges, dedup = true)
     var labels = dir.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).persist()
     labels.count()
@@ -160,8 +168,8 @@ object Graph {
         labels.unpersist(false)
         labels = next
       }
-      labels.withColumnRenamed("lbl", "community")
-    } finally { dir.unpersist(false); () }
+      labels.withColumnRenamed("lbl", "community").localCheckpoint(true)
+    } finally { dir.unpersist(false); labels.unpersist(false); () }
   }
 
   /** Multi-source BFS hop distances over an undirected graph: the
@@ -183,12 +191,7 @@ object Graph {
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
                    maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 32, "maxHops must be in [1, 32]")
-    val dir = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"),
-        col("src").as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .persist()
+    val dir = directedEdges(edges, dedup = true)
     var dist = seeds.select(col("v")).distinct()
       .withColumn("dist", lit(0L)).persist()
     dist.count()
@@ -204,8 +207,8 @@ object Graph {
         dist.unpersist(false)
         dist = next
       }
-      dist
-    } finally { dir.unpersist(false); () }
+      dist.localCheckpoint(true)
+    } finally { dir.unpersist(false); dist.unpersist(false); () }
   }
 
   /** Personalized PageRank (Haveliwala 2002) — centrality RELATIVE TO
@@ -226,11 +229,7 @@ object Graph {
                            damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && iterations <= 16,
       "iterations must be in [1, 16]")
-    val dir = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"),
-        col("src").as("dst")))
-      .repartition(col("src"))
-      .persist()
+    val dir = directedEdges(edges)
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist()
     val withDeg = dir.join(deg, "src").persist()
@@ -255,12 +254,13 @@ object Graph {
         ranks.unpersist(false)
         ranks = next
       }
-      ranks
+      ranks.localCheckpoint(true)
     } finally {
       dir.unpersist(false)
       deg.unpersist(false)
       withDeg.unpersist(false)
       seed.unpersist(false)
+      ranks.unpersist(false)
     }
   }
 
@@ -274,41 +274,55 @@ object Graph {
     * score per node (FULL OUTER of the two sides — a pure source has
     * no authority row and vice versa); round for display at the gate.
     *
-    * Scale shape: per round two node-keyed aggregations over the edge
-    * list and one 1-row max — edges partitioned once, never
-    * collected. */
+    * Scale shape: the two half-steps join on `src` THEN on `dst`, so
+    * the edge list is kept as TWO persisted copies — partitioned by
+    * src and by dst — and neither half-step re-shuffles edges per
+    * round (only the node-sized score tables move, the [[pageRank]]
+    * discipline). Each half-step AGGREGATE is eagerly
+    * localCheckpoint'ed before its max is taken: the broadcast-max
+    * normalize references the aggregate TWICE (once feeding the 1-row
+    * max, once feeding the divide), so un-truncated lineage doubles
+    * per half-step — a 4^k logical-plan blow-up that stalls plan and
+    * plan-string machinery long before the data does. A flat
+    * LogicalRDD per half-step makes every round's plan constant-size
+    * and caps the edge-join aggregation at once per half-step. */
   def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
     require(iterations >= 1 && iterations <= 8,
       "iterations must be in [1, 8]")
-    val e = edges.select(col("src"), col("dst")).persist()
-    var hubs = e.select(col("src").as("v")).distinct()
-      .withColumn("r", lit(1.0)).persist()
-    hubs.count()
+    val e = edges.select(col("src"), col("dst"))
+    val eBySrc = e.repartition(col("src")).persist()
+    val eByDst = e.repartition(col("dst")).persist()
+    var hubs = eBySrc.select(col("src").as("v")).distinct()
+      .withColumn("r", lit(1.0)).localCheckpoint(true)
     var auths: DataFrame = null
     try {
       (1 to iterations).foreach { _ =>
-        val a = e.join(hubs, e("src") === hubs("v"))
-          .groupBy(e("dst").as("v")).agg(sum(col("r")).as("s"))
+        val a = eBySrc.join(hubs, eBySrc("src") === hubs("v"))
+          .groupBy(eBySrc("dst").as("v")).agg(sum(col("r")).as("s"))
+          .localCheckpoint(true)
         val aMax = a.agg(max(col("s")).as("m"))
-        val aN = a.crossJoin(broadcast(aMax))
-          .select(col("v"), (col("s") / col("m")).as("r")).persist()
-        aN.count()
-        if (auths != null) auths.unpersist(false)
-        auths = aN
-        val h = e.join(auths.withColumnRenamed("v", "_av"),
-            e("dst") === col("_av"))
-          .groupBy(e("src").as("v")).agg(sum(col("r")).as("s"))
+        // lazy: two scans of the flat checkpointed aggregate + the
+        // broadcast 1-row max — constant-size plan, cheap to re-read
+        auths = a.crossJoin(broadcast(aMax))
+          .select(col("v"), (col("s") / col("m")).as("r"))
+        val h = eByDst.join(auths.withColumnRenamed("v", "_av"),
+            eByDst("dst") === col("_av"))
+          .groupBy(eByDst("src").as("v")).agg(sum(col("r")).as("s"))
+          .localCheckpoint(true)
         val hMax = h.agg(max(col("s")).as("m"))
-        val hN = h.crossJoin(broadcast(hMax))
-          .select(col("v"), (col("s") / col("m")).as("r")).persist()
-        hN.count()
-        hubs.unpersist(false)
-        hubs = hN
+        hubs = h.crossJoin(broadcast(hMax))
+          .select(col("v"), (col("s") / col("m")).as("r"))
       }
+      // eager materialize so the persisted edge copies can release in
+      // the finally; checkpoint storage is GC-managed (no cache leak)
       hubs.select(col("v"), col("r").as("hub"))
         .join(auths.select(col("v"), col("r").as("auth")),
           Seq("v"), "full_outer")
-    } finally { e.unpersist(false); () }
+        .localCheckpoint(true)
+    } finally {
+      eBySrc.unpersist(false)
+      eByDst.unpersist(false)
+    }
   }
 
   /** Degree assortativity of an undirected graph (Newman 2002) — "do
@@ -324,14 +338,15 @@ object Graph {
     * when degrees are constant (a regular graph has no signal).
     *
     * Scale shape: one degree aggregation, two degree equi-joins back
-    * to the edge list, one scan-shaped global aggregate — no window,
-    * no collect. */
+    * to the PERSISTED doubled edge list (three consumers — the degree
+    * agg and both joins — so the prelude is cached, not rebuilt), one
+    * scan-shaped global aggregate — no window, no collect. The 1-row
+    * result is eagerly materialized so both caches release here. */
   def assortativity(edges: DataFrame): DataFrame = {
-    val dir = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"),
-        col("src").as("dst")))
+    val dir = directedEdges(edges)
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    dir
+      .persist()
+    try dir
       .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
       .join(deg.select(col("src").as("dst"), col("deg").as("y")),
         Seq("dst"))
@@ -352,10 +367,15 @@ object Graph {
       .withColumn("_den",
         floor(sqrt(col("_dx"))).cast("long") *
           floor(sqrt(col("_dy"))).cast("long"))
+      // floor(sqrt) can understate the denominator; clamp to the
+      // Pearson bound (same discipline as TimeSeries.autocorrelation)
       .withColumn("r_micro", expr(
-        "CASE WHEN _den > 0 THEN CASE WHEN _num >= 0 " +
+        "CASE WHEN _den > 0 THEN GREATEST(-1000000L, " +
+          "LEAST(1000000L, CASE WHEN _num >= 0 " +
           "THEN CAST(_num * 1000000 div _den AS LONG) " +
-          "ELSE -CAST((-_num) * 1000000 div _den AS LONG) END END"))
+          "ELSE -CAST((-_num) * 1000000 div _den AS LONG) END)) END"))
       .select(col("n_edges_directed"), col("r_micro"))
+      .localCheckpoint(true)
+    finally { dir.unpersist(false); deg.unpersist(false) }
   }
 }

@@ -340,10 +340,16 @@ object TimeSeries {
         .withColumn("_den",
           floor(sqrt(col("_dx"))).cast("long") *
             floor(sqrt(col("_dy"))).cast("long"))
+        // the floor(sqrt) denominator can UNDERSTATE the true
+        // denominator, overshooting |r| past 1e6 for tiny variances —
+        // clamp to the Pearson bound on both engines so the gate value
+        // always reads as a correlation
         .withColumn("r_micro", expr(
-          "CASE WHEN _den > 0 THEN CASE WHEN _num >= 0 " +
+          "CASE WHEN _den > 0 THEN GREATEST(-1000000L, " +
+            "LEAST(1000000L, CASE WHEN _num >= 0 " +
             "THEN CAST(_num * 1000000 div _den AS LONG) " +
-            "ELSE -CAST((-_num) * 1000000 div _den AS LONG) END END"))
+            "ELSE -CAST((-_num) * 1000000 div _den AS LONG) END)) " +
+            "END"))
         .select(col("lag"), col("n_pairs"), col("r_micro"))
     }.reduce(_ unionByName _)
   }

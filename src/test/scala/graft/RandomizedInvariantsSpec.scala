@@ -345,6 +345,62 @@ class RandomizedInvariantsSpec extends GraftSpec {
     }
   }
 
+  test("hits == driver-side fixed-iteration reference on random graphs; planted star hub dominates") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { trial =>
+      val n = 10 + trial * 3
+      val noise = (for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextDouble() < 0.15
+      } yield (s"v$a", s"v$b")).toSeq
+      // planted bipartite star: a super-hub plus 8 co-hubs all citing
+      // the same 5 authorities — 9 citers each, far above the ~0.15·n
+      // expected in-degree of any noise vertex
+      val star = (1 to 5).map(i => ("superhub", s"star$i")) ++
+        (for (c <- 1 to 8; i <- 1 to 5) yield (s"cohub$c", s"star$i"))
+      val edges = (noise ++ star).distinct
+      val iters = 1 + trial % 3
+      val got = graft.operators.Graph.hits(
+          edges.toDF("src", "dst"), iterations = iters)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+      // driver reference: same mutual recursion, max-normalized per
+      // half-step, seeded from hub=1 on every source node
+      val srcs = edges.map(_._1).distinct
+      var hub = srcs.map(_ -> 1.0).toMap
+      var auth = Map.empty[String, Double]
+      (1 to iters).foreach { _ =>
+        val a0 = edges.filter(e => hub.contains(e._1))
+          .groupBy(_._2).map { case (v, es) => v -> es.map(e => hub(e._1)).sum }
+        val am = a0.values.max
+        auth = a0.map { case (v, s) => v -> s / am }
+        val h0 = edges.filter(e => auth.contains(e._2))
+          .groupBy(_._1).map { case (v, es) => v -> es.map(e => auth(e._2)).sum }
+        val hm = h0.values.max
+        hub = h0.map { case (v, s) => v -> s / hm }
+      }
+      val verts = (hub.keySet ++ auth.keySet)
+      assert(got.keySet == verts, s"trial $trial vertex set")
+      verts.foreach { v =>
+        val (gh, ga) = got(v)
+        assert(gh.map(x => math.abs(x - hub.getOrElse(v, -1.0)) < 1e-9)
+          .getOrElse(!hub.contains(v)), s"trial $trial hub($v)")
+        assert(ga.map(x => math.abs(x - auth.getOrElse(v, -1.0)) < 1e-9)
+          .getOrElse(!auth.contains(v)), s"trial $trial auth($v)")
+      }
+      // semantic net: the planted super-hub carries the max hub score
+      // and every planted authority outscores every noise-only vertex
+      assert(got("superhub")._1.contains(hub.values.max), s"trial $trial superhub")
+      val starMin = (1 to 5).map(i => auth(s"star$i")).min
+      val noiseAuthMax = auth.filterNot(_._1.startsWith("star")).values
+        .foldLeft(0.0)(math.max)
+      assert(starMin > noiseAuthMax, s"trial $trial star dominance")
+    }
+  }
+
   test("multi-block ER matches are a superset of single-block matches " +
     "with equal-or-better distances") {
     import org.apache.spark.sql.functions.{element_at, split}

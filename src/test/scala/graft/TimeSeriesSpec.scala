@@ -227,7 +227,7 @@ class TimeSeriesSpec extends GraftSpec {
     assert(r("2024-01-03") == ((2000L, 0L, false)))
   }
 
-  test("autocorrelation: exact-square case hits 1e6; floor(sqrt) semantics pinned; constant series null") {
+  test("autocorrelation: exact-square case hits 1e6; overshoot clamps to the Pearson bound; constant series null") {
     val vals = Seq(0L, 2L, 0L, 2L, 0L, 2L)
     val daily = vals.zipWithIndex.map { case (n, i) =>
       (Date.valueOf(s"2024-01-0${i + 1}"), n) }.toDF("d", "n")
@@ -238,9 +238,10 @@ class TimeSeriesSpec extends GraftSpec {
       .toMap
     // lag 2 aligns the period exactly: r = 1
     assert(r(2L) == ((4L, Some(1000000L))))
-    // lag 1 anti-correlates; den = floor(sqrt 24)^2 = 16 underestimates
-    // so |r_micro| overshoots — the documented floor(sqrt) semantics
-    assert(r(1L) == ((5L, Some(-1500000L))))
+    // lag 1 anti-correlates; den = floor(sqrt 24)^2 = 16 understates
+    // the true denominator so the raw quotient overshoots to
+    // -1500000 — the Pearson-bound clamp pins it at -1e6
+    assert(r(1L) == ((5L, Some(-1000000L))))
     val const = (1 to 4).map(i =>
       (Date.valueOf(s"2024-01-0$i"), 7L)).toDF("d", "n")
     val rc = TimeSeries.autocorrelation(const, Seq(1)).collect().head
