@@ -170,6 +170,48 @@ object Queries {
         |      UNION ALL SELECT b FROM t
         |      UNION ALL SELECT c FROM t)
         |GROUP BY v""".stripMargin),
+    // G11: per-node local clustering coefficient over the same
+    // co-purchase graph as g2 — triangles over wedge capacity in exact
+    // micros; zero-triangle nodes emit 0, degree-1 nodes NULL
+    ("g11_clustering",
+      ((s, dir) => {
+      val items = li(s, dir).filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+        .distinct()
+      graft.operators.Graph.clusteringCoefficient(e)
+    }),
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.p AS src, y.p AS dst
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |dir AS (
+        |  SELECT src, dst FROM e
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM dir GROUP BY 1),
+        |t AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.src = e1.dst
+        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |tc AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT a AS v FROM t
+        |        UNION ALL SELECT b FROM t
+        |        UNION ALL SELECT c FROM t)
+        |  GROUP BY v)
+        |SELECT deg.v, deg.deg,
+        |  CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN deg.deg >= 2 THEN
+        |    CAST(2 * COALESCE(tc.n_triangles, 0) * 1000000
+        |      // (deg.deg * (deg.deg - 1)) AS BIGINT) END AS coeff_micro
+        |FROM deg LEFT JOIN tc ON deg.v = tc.v""".stripMargin),
     // G3: item-item co-purchase similarity — Jaccard over order sets
     // for part pairs with support ≥ 2, via the inverted-index self-join
     // (pair generation bounded by basket size, support filter before
@@ -546,6 +588,32 @@ object Queries {
       |  ('4', 'user1', 'test@example.com', 'Test User'),
       |  ('5', 'user1', 'test@example.com', 'Test User')
       |) t(message_id, user_id, email, name)""".stripMargin
+
+  /** The J1 user-recognition oracle — shared verbatim by the
+    * single-window (`j1_user_recognition`) and bucketed
+    * (`j1g_ur_bucketed`) batch forms, which must be row-identical. */
+  private val j1ResolvedOracle = adapterCte +
+    """, resolved AS (
+      |  SELECT
+      |    COALESCE(user_id,
+      |      CASE WHEN next_id_ts IS NOT NULL
+      |        AND next_id_ts <= timestamp + INTERVAL 30 DAY
+      |        THEN next_id END) AS user_id,
+      |    CASE WHEN user_id IS NULL AND next_id_ts IS NOT NULL
+      |      AND next_id_ts <= timestamp + INTERVAL 30 DAY
+      |      THEN 1 ELSE 0 END AS recognized
+      |  FROM (
+      |    SELECT *,
+      |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END)
+      |        OVER w AS next_id_ts,
+      |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
+      |    FROM env
+      |    WINDOW w AS (PARTITION BY anonymous_id
+      |      ORDER BY timestamp, message_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(recognized) AS BIGINT) AS n_recognized
+      |FROM resolved GROUP BY user_id""".stripMargin
 
   val pipelineGated: Seq[(String, Q, String)] = Seq(
     // A1/A5: billing active events, exact count-distinct, day grain
@@ -1738,28 +1806,20 @@ object Queries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("recognized"), 1).otherwise(0)).as("n_recognized"))),
-      (adapterCte +
-      """, resolved AS (
-        |  SELECT
-        |    COALESCE(user_id,
-        |      CASE WHEN next_id_ts IS NOT NULL
-        |        AND next_id_ts <= timestamp + INTERVAL 30 DAY
-        |        THEN next_id END) AS user_id,
-        |    CASE WHEN user_id IS NULL AND next_id_ts IS NOT NULL
-        |      AND next_id_ts <= timestamp + INTERVAL 30 DAY
-        |      THEN 1 ELSE 0 END AS recognized
-        |  FROM (
-        |    SELECT *,
-        |      MIN(CASE WHEN user_id IS NOT NULL THEN timestamp END)
-        |        OVER w AS next_id_ts,
-        |      FIRST_VALUE(user_id IGNORE NULLS) OVER w AS next_id
-        |    FROM env
-        |    WINDOW w AS (PARTITION BY anonymous_id
-        |      ORDER BY timestamp, message_id
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
-        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(recognized) AS BIGINT) AS n_recognized
-        |FROM resolved GROUP BY user_id""".stripMargin)),
+      j1ResolvedOracle),
+    // J1g: the bucketed-by-day batch variant — row-for-row the same
+    // resolution as j1 (same oracle verbatim), computed with per-task
+    // state bounded by (key, 7-day bucket) instead of a key's full
+    // history; bucketDays=7 < lookback=30 exercises the multi-bucket
+    // cross-join path (5 candidate buckets per event)
+    ("j1g_ur_bucketed",
+      ((s, dir) =>
+      UserRecognition.resolveBucketed(env(s, dir),
+          UserRecognition.URConfig(), bucketDays = 7)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("recognized"), 1).otherwise(0)).as("n_recognized"))),
+      j1ResolvedOracle),
     // J5/A6/A7: built-in profile build
     ("j5_profiles",
       ((s, dir) =>

@@ -1084,6 +1084,118 @@ object QueriesEval {
         |      THEN -CAST((-s_stat - 1) * 1000000 // sqv AS BIGINT)
         |    ELSE 0 END END AS z_micro
         |FROM g""".stripMargin),
+    // Mann-Whitney U rank-sum between English and non-English doc
+    // lengths — the nonparametric twin of st_cohens_d (no normality
+    // assumption); doubled mid-ranks keep ties integer, z in micros
+    // via the tie-corrected variance
+    ("st_mann_whitney",
+      ((s, dir) => Stats.mannWhitneyU(
+        docs(s, dir)
+          .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+          .select(col("n_chars").as("x"),
+            (col("lang") === "en").as("g")), "x", "g")),
+      """WITH r AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x, lang = 'en' AS g
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |cells AS (
+        |  SELECT x,
+        |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1),
+        |wf AS (
+        |  SELECT x, ca, c,
+        |    CAST(COALESCE(SUM(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS f
+        |  FROM cells),
+        |a AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(c - ca) AS BIGINT) AS n_b,
+        |    SUM(CAST(ca AS HUGEINT) * (2 * f + c + 1)) AS r2a,
+        |    SUM(CAST(c AS HUGEINT) * c * c - c) AS t
+        |  FROM wf),
+        |b AS (
+        |  SELECT n_a, n_b, t, n_a + n_b AS n,
+        |    CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT)
+        |      AS u2_a
+        |  FROM a),
+        |c2 AS (
+        |  SELECT *,
+        |    CAST(2 * CAST(n_a AS HUGEINT) * n_b - u2_a AS BIGINT)
+        |      AS u2_b,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND n >= 2 THEN
+        |      CAST(n_a AS HUGEINT) * n_b *
+        |        (CAST(n AS HUGEINT) * n * n - n - t)
+        |        // (3 * CAST(n AS HUGEINT) * (n - 1)) END AS var4
+        |  FROM b),
+        |d AS (
+        |  SELECT *, CASE WHEN var4 > 0 THEN
+        |    CAST(FLOOR(SQRT(CAST(var4 AS DOUBLE))) AS BIGINT) END
+        |    AS sig2
+        |  FROM c2)
+        |SELECT n_a, n_b, u2_a, u2_b, CAST(t AS BIGINT) AS tie_cubes,
+        |  CASE WHEN sig2 > 0 THEN
+        |    CASE WHEN u2_a - CAST(n_a AS HUGEINT) * n_b >= 0
+        |      THEN CAST((u2_a - CAST(n_a AS HUGEINT) * n_b)
+        |        * 1000000 // sig2 AS BIGINT)
+        |      ELSE -CAST((CAST(n_a AS HUGEINT) * n_b - u2_a)
+        |        * 1000000 // sig2 AS BIGINT) END END AS z_micro
+        |FROM d""".stripMargin),
+    // Kendall tau-b between bucketed doc length and bucketed word
+    // count — the concordance companion to st_spearman, computed on
+    // the distinct (x, y) cell table (pair MASS products, never row
+    // pairs); bucketing is the declared semantics
+    ("st_kendall_tau",
+      ((s, dir) => Stats.kendallTau(
+        docs(s, dir).filter(col("n_chars").isNotNull)
+          .select(expr("n_chars div 200").as("x"),
+            size(graft.functions.TextFunctions.words(col("text")))
+              .cast("long").as("_wc"))
+          .select(col("x"), expr("_wc div 8").as("y")),
+        "x", "y")),
+      """WITH r AS (
+        |  SELECT CAST(n_chars AS BIGINT) // 200 AS x,
+        |    CAST(len(list_filter(string_split_regex(lower(text),
+        |      '\s+'), w -> len(w) > 0)) AS BIGINT) // 8 AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |cells AS (
+        |  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT
+        |    SUM(CASE WHEN a.x < b.x AND a.y < b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS conc,
+        |    SUM(CASE WHEN a.x < b.x AND a.y > b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS disc
+        |  FROM cells a JOIN cells b
+        |    ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+        |xt AS (SELECT SUM(CAST(cx AS HUGEINT) * (cx - 1)) AS tx2
+        |       FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx
+        |             FROM cells GROUP BY x)),
+        |yt AS (SELECT SUM(CAST(cy AS HUGEINT) * (cy - 1)) AS ty2
+        |       FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy
+        |             FROM cells GROUP BY y)),
+        |f AS (
+        |  SELECT n, n_cells, conc, disc,
+        |    CAST(n AS HUGEINT) * (n - 1) - tx2 AS dx,
+        |    CAST(n AS HUGEINT) * (n - 1) - ty2 AS dy
+        |  FROM pm, tot, nc, xt, yt),
+        |g AS (
+        |  SELECT *, CASE WHEN dx > 0 AND dy > 0 THEN
+        |    CAST(FLOOR(SQRT(CAST(dx * dy AS DOUBLE))) AS BIGINT) END
+        |    AS den
+        |  FROM f)
+        |SELECT n, n_cells, CAST(conc AS BIGINT) AS conc,
+        |  CAST(disc AS BIGINT) AS disc,
+        |  CASE WHEN den > 0 THEN
+        |    CASE WHEN conc >= disc
+        |      THEN CAST(2 * (conc - disc) * 1000000 // den AS BIGINT)
+        |      ELSE -CAST(2 * (disc - conc) * 1000000 // den AS BIGINT)
+        |    END END AS tau_micro
+        |FROM g""".stripMargin),
     // HITS hubs/authorities over the directed customer->supplier
     // graph (two max-normalized mutual-recursion rounds, unrolled in
     // the oracle like g1_pagerank): hub = a customer whose suppliers

@@ -1480,5 +1480,39 @@ private[graft] object QueriesTdText {
         |  CAST(MIN(tm.p_micro) AS BIGINT) AS min_p_micro
         |FROM tg JOIN tm ON tg.w1 = tm.w1 AND tg.w2 = tm.w2
         |  AND tg.w3 = tm.w3
-        |GROUP BY 1""".stripMargin)))
+        |GROUP BY 1""".stripMargin)),
+    // per-SOURCE trigram self-novelty — complements td_ngram_novelty
+    // (per-doc vs a reference split): what share of each source's
+    // distinct doc-trigrams appears in NO other document of the whole
+    // corpus? A templated/duplicated source collapses here before
+    // whole-doc MinHash notices
+    ("td_source_novelty",
+      ((s, dir) => graft.operators.NgramLm.ngramNovelty(
+        docs(s, dir), "doc_id", "text", "source")),
+      (wordsOnlyCte +
+      """, pt AS (
+        |  SELECT doc_id, source, w, unnest(range(1, len(w) - 1)) AS i
+        |  FROM ws WHERE len(w) >= 3),
+        |tgd AS (
+        |  SELECT DISTINCT doc_id, source, w[i] AS w1, w[i + 1] AS w2,
+        |    w[i + 2] AS w3
+        |  FROM pt),
+        |dfc AS (
+        |  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tgd GROUP BY 1, 2, 3),
+        |pd AS (
+        |  SELECT tgd.doc_id, tgd.source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tg,
+        |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM tgd JOIN dfc USING (w1, w2, w3)
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tg) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN n_novel = n_tg THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fully_novel,
+        |  CAST(SUM(n_novel) * 1000000 // SUM(n_tg) AS BIGINT)
+        |    AS novelty_micro
+        |FROM pd GROUP BY 1""".stripMargin)))
 }

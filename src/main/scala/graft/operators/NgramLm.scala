@@ -184,6 +184,51 @@ object NgramLm {
         col("t.w3").as("w3"))
   }
 
+  /** Per-group trigram NOVELTY — the memorization/duplication audit a
+    * pretraining pipeline runs per source: what share of each doc's
+    * DISTINCT word trigrams appears in NO other document? A source
+    * whose novelty collapses is shipping templated or duplicated text
+    * the near-dup pass may be missing (trigram document frequency is
+    * finer-grained than whole-doc MinHash). Per group:
+    * (n_docs, n_trigrams, n_novel, n_fully_novel, novelty_micro) —
+    * docs with < 3 words carry no trigrams and are excluded;
+    * novelty_micro = Σnovel·10⁶ div Σtrigrams (floored, exact).
+    *
+    * Scale shape: the inverted-index shape — per-doc distinct
+    * trigrams (one corpus explode + dedup), document frequency by
+    * trigram (hash agg on the trigram key), one join back, then a
+    * group-sized rollup. No windows, no driver state; the trigram key
+    * shuffles twice, which is what any cross-doc n-gram statistic
+    * costs. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   groupCol: String): DataFrame = {
+    val tg = trigramStream(docs, idCol, textCol)
+      .distinct()
+      .persist()
+    try {
+      val dfreq = tg.groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("df"))
+      val perDoc = tg.join(dfreq, Seq("w1", "w2", "w3"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tg"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"))
+        .join(perDoc, Seq("doc_id"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tg")).as("n_trigrams"),
+          sum(col("n_novel")).as("n_novel"),
+          sum(when(col("n_novel") === col("n_tg"), 1L).otherwise(0L))
+            .as("n_fully_novel"))
+        // decimal inside: Σnovel·10⁶ can pass 2⁶³ on a 10¹³-token corpus
+        .withColumn("novelty_micro", expr(
+          "CASE WHEN n_trigrams > 0 THEN CAST(CAST(n_novel AS " +
+            "DECIMAL(38,0)) * 1000000 div n_trigrams AS LONG) END"))
+        .withColumnRenamed("grp", groupCol)
+        .localCheckpoint(true)
+    } finally { tg.unpersist(false); () }
+  }
+
   /** Raw (w1, w2, w3, c123) trigram counts of a corpus slice — the
     * additive half of the trigram model, with the same delta-merge
     * contract as [[pairCounts]]. */

@@ -561,6 +561,153 @@ object Stats {
         col("mean_b_micro"), col("sp"), col("d_milli"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two groups of a long
+    * metric — the NONPARAMETRIC two-sample test next to [[cohensD]]'s
+    * parametric effect size: does one group stochastically dominate
+    * the other, with no normality assumption? All integer via DOUBLED
+    * mid-ranks (a run of c equal values after F smaller ones
+    * contributes c·(2F + c + 1) to the doubled rank sum — ties need no
+    * fractional ranks), the tie-corrected normal approximation
+    *   4·Var(U)·3n(n−1) = n_a·n_b·(n³ − n − Σ(t³ − t)),
+    * and z in micros with the floor(sqrt) discipline (exact
+    * cross-engine while the radicand < 2⁵²; no continuity
+    * correction — both engines replay the same closed form). One row:
+    * (n_a, n_b, u2_a, u2_b, tie_cubes, z_micro) where u2_x = 2·U_x
+    * (doubled to stay integer; u2_a + u2_b = 2·n_a·n_b always —
+    * the gate-visible self-check). z NULL when a group is empty or
+    * the variance is 0 (all values tied).
+    *
+    * Scale shape: one value-grouped aggregation, one cumulative
+    * window over the DISTINCT-value frame (value-bounded, the
+    * [[giniConcentration]] rank discipline — never over raw rows),
+    * one global fold. */
+  def mannWhitneyU(df: DataFrame, valueCol: String,
+                   groupCol: String): DataFrame = {
+    val rows = df.select(col(valueCol).cast("long").as("x"),
+        col(groupCol).cast("boolean").as("g"))
+      .filter(col("x").isNotNull && col("g").isNotNull)
+    val cells = rows.groupBy(col("x"))
+      .agg(sum(when(col("g"), 1L).otherwise(0L)).as("ca"),
+        count(lit(1)).as("c"))
+    val below = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("f", coalesce(sum(col("c")).over(below), lit(0L)))
+      .agg(
+        sum(col("ca")).as("n_a"),
+        sum(col("c") - col("ca")).as("n_b"),
+        sum(col("ca").cast("decimal(38,0)") *
+          (lit(2L) * col("f") + col("c") + lit(1L))).as("_r2a"),
+        sum(col("c").cast("decimal(38,0)") * col("c") * col("c")
+          - col("c")).as("_t"))
+      .withColumn("u2_a", expr(
+        "CAST(_r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS LONG)"))
+      .withColumn("u2_b", expr(
+        "CAST(2 * CAST(n_a AS DECIMAL(38,0)) * n_b - u2_a AS LONG)"))
+      .withColumn("tie_cubes", expr("CAST(_t AS LONG)"))
+      .withColumn("_n", col("n_a") + col("n_b"))
+      .withColumn("_var4", expr(
+        "CASE WHEN n_a > 0 AND n_b > 0 AND _n >= 2 THEN " +
+          "CAST(n_a AS DECIMAL(38,0)) * n_b * " +
+          "(CAST(_n AS DECIMAL(38,0)) * _n * _n - _n - _t) " +
+          "div (3 * CAST(_n AS DECIMAL(38,0)) * (_n - 1)) END"))
+      .withColumn("_sig2", expr(
+        "CASE WHEN _var4 > 0 THEN " +
+          "CAST(FLOOR(SQRT(CAST(_var4 AS DOUBLE))) AS LONG) END"))
+      .withColumn("z_micro", expr(
+        "CASE WHEN _sig2 > 0 THEN " +
+          "CASE WHEN u2_a - CAST(n_a AS DECIMAL(38,0)) * n_b >= 0 " +
+          "THEN CAST((u2_a - CAST(n_a AS DECIMAL(38,0)) * n_b) " +
+          "* 1000000 div _sig2 AS LONG) " +
+          "ELSE -CAST((CAST(n_a AS DECIMAL(38,0)) * n_b - u2_a) " +
+          "* 1000000 div _sig2 AS LONG) END END"))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"),
+        col("tie_cubes"), col("z_micro"))
+  }
+
+  /** Kendall rank correlation tau-b over PRE-BUCKETED long pairs —
+    * the concordance companion to [[spearman]] (tau weights every
+    * pair equally; Spearman squares rank gaps): over all value pairs,
+    *   tau_b = (C − D) / √((n₀ − n_x)(n₀ − n_y)),
+    * C/D the concordant/discordant pair mass, n₀ = n(n−1)/2, n_x/n_y
+    * the tie-pair mass per axis — all computed on the DISTINCT
+    * (x, y) CELL table (c₁·c₂ products, never row pairs), doubled
+    * where needed to stay integer, tau in micros via floor(sqrt)
+    * (exact while the radicand < 2⁵²). The caller buckets continuous
+    * columns first (cells are the unit of work AND of the tie
+    * structure — bucketing IS the declared semantics here, not an
+    * approximation of raw-value tau).
+    *
+    * Scale shape: one (x, y) cell aggregation (bounded by
+    * `maxCells`, checked BEFORE the quadratic step — the
+    * [[kaplanMeier]] discipline), then a cell-pair inequality join —
+    * O(cells²) compare on a dim-sized table (broadcast NLJ by
+    * construction), corpus rows touched once. One row:
+    * (n, n_cells, conc, disc, tau_micro); tau NULL when either axis
+    * is constant. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 maxCells: Int = 20000): DataFrame = {
+    val cells = df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val nCells = cells.count()
+      require(nCells <= maxCells,
+        s"more than $maxCells distinct (x, y) cells — bucket the " +
+          "columns first (cells are the declared unit)")
+      val a = cells.select(col("x").as("x1"), col("y").as("y1"),
+        col("c").as("c1"))
+      val b = cells.select(col("x").as("x2"), col("y").as("y2"),
+        col("c").as("c2"))
+      val pairMass = a.join(broadcast(b),
+          col("x1") < col("x2") ||
+            (col("x1") === col("x2") && col("y1") < col("y2")))
+        .agg(
+          sum(when(col("x1") < col("x2") && col("y1") < col("y2"),
+            col("c1").cast("decimal(38,0)") * col("c2"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("_conc"),
+          sum(when(col("x1") < col("x2") && col("y1") > col("y2"),
+            col("c1").cast("decimal(38,0)") * col("c2"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("_disc"))
+      val tots = cells.agg(
+        sum(col("c")).as("n"),
+        sum(col("c").cast("decimal(38,0)") * (col("c") - 1))
+          .as("_tboth"))
+      val xt = cells.groupBy(col("x"))
+        .agg(sum(col("c")).as("cx"))
+        .agg(sum(col("cx").cast("decimal(38,0)") * (col("cx") - 1))
+          .as("_tx2"))
+      val yt = cells.groupBy(col("y"))
+        .agg(sum(col("c")).as("cy"))
+        .agg(sum(col("cy").cast("decimal(38,0)") * (col("cy") - 1))
+          .as("_ty2"))
+      pairMass.crossJoin(broadcast(tots)).crossJoin(broadcast(xt))
+        .crossJoin(broadcast(yt))
+        // doubled masses: 2n₀ = n(n−1), 2n_x = Σ tx(tx−1); the √ of the
+        // doubled product is 2·√(true product), cancelling the doubled
+        // numerator 2(C − D)
+        .withColumn("_dx", expr(
+          "CAST(n AS DECIMAL(38,0)) * (n - 1) - _tx2"))
+        .withColumn("_dy", expr(
+          "CAST(n AS DECIMAL(38,0)) * (n - 1) - _ty2"))
+        .withColumn("_den", expr(
+          "CASE WHEN _dx > 0 AND _dy > 0 THEN " +
+            "CAST(FLOOR(SQRT(CAST(_dx * _dy AS DOUBLE))) AS LONG) END"))
+        .withColumn("tau_micro", expr(
+          "CASE WHEN _den > 0 THEN " +
+            "CASE WHEN _conc >= _disc " +
+            "THEN CAST(2 * (_conc - _disc) * 1000000 div _den AS LONG) " +
+            "ELSE -CAST(2 * (_disc - _conc) * 1000000 div _den AS LONG) " +
+            "END END"))
+        .select(col("n"), lit(nCells).as("n_cells"),
+          expr("CAST(_conc AS LONG)").as("conc"),
+          expr("CAST(_disc AS LONG)").as("disc"), col("tau_micro"))
+        .localCheckpoint(true)
+    } finally { cells.unpersist(false); () }
+  }
+
   /** Mann–Kendall trend test over a daily series (Mann 1945; Kendall
     * 1975) — the significance companion to [[theilSen]] (they are
     * conventionally reported together): S = Σ_{i<j} sign(x_j − x_i)

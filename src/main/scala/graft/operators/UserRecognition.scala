@@ -70,25 +70,39 @@ object UserRecognition {
   private def nonEmpty(c: Column, isJsonObject: Boolean): Column =
     if (isJsonObject) c.isNotNull && c =!= "{}" else c.isNotNull
 
+  /** The (timestamp + identifier fields) struct describing the merge
+    * source event — shared by the window and bucketed batch paths. */
+  private def identStruct(config: URConfig): Column = struct(
+    (col("timestamp").as("_ts") +:
+      config.identifierFields.map(f => col(f).as(fieldAlias(f)))): _*)
+
+  private def isIdentCol(config: URConfig): Column = config.identifierFields
+    .map(f => nonEmpty(col(f), config.jsonObjectFields(f))).reduce(_ || _)
+
   /** Batch resolution under a config. One window pass: the first
     * identified event's (timestamp + identifier fields) struct is
     * computed per row over the forward frame; each identifier field is
     * then merged in when that event falls inside the lookback window. */
   def resolveConfigured(events: DataFrame, config: URConfig): DataFrame = {
     val anonKey = coalesce(config.anonymousIdFields.map(col): _*)
-    val isIdent = config.identifierFields
-      .map(f => nonEmpty(col(f), config.jsonObjectFields(f))).reduce(_ || _)
+    val isIdent = isIdentCol(config)
     val w = Window.partitionBy(anonKey)
       .orderBy(col("timestamp"), col("message_id"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val identEvent = first(
-      when(isIdent, struct(
-        (col("timestamp").as("_ts") +:
-          config.identifierFields.map(f => col(f).as(fieldAlias(f)))): _*)),
-      ignoreNulls = true).over(w)
+      when(isIdent, identStruct(config)), ignoreNulls = true).over(w)
     val withIdent = events
       .withColumn("_is_ident", isIdent)
       .withColumn("_ident", identEvent)
+    mergeIdent(withIdent, config)
+  }
+
+  /** Merge phase shared by [[resolveConfigured]] and
+    * [[resolveBucketed]]: `withIdent` carries `_is_ident` plus the
+    * candidate merge-source struct in `_ident`; each identifier field
+    * merges in when that candidate falls inside the lookback window. */
+  private def mergeIdent(withIdent: DataFrame, config: URConfig): DataFrame = {
+    val anonKey = coalesce(config.anonymousIdFields.map(col): _*)
     // no anonymous key -> recognition skipped entirely (ref getAnonId
     // :87-95 returns the event untouched); without this guard every
     // null-key event lands in one window partition and an identified
@@ -142,6 +156,70 @@ object UserRecognition {
   /** Backwards-compatible form: hardcoded anonymous_id -> user_id. */
   def resolveBatch(events: DataFrame, lookbackDays: Int = 30): DataFrame =
     resolveConfigured(events, URConfig(lookbackDays = lookbackDays))
+
+  /** Bucketed batch resolution — the bounded-state shape of
+    * [[resolveConfigured]] for the 100× case: the single-window form
+    * sorts EVERY event of an anonymous key in one window partition, so
+    * one bot key with years of history becomes one giant task. Here
+    * events land in `bucketDays`-wide day buckets and per-task state is
+    * bounded by (key, bucket), not by a key's full history:
+    *
+    *   1. same-bucket pass — the forward window of [[resolveConfigured]]
+    *      partitioned by (key, bucket): finds the first identified
+    *      event at-or-after each row WITHIN its bucket;
+    *   2. cross-bucket pass — every keyed event joins against the
+    *      per-(key, bucket) FIRST-identified-event table (a
+    *      bucket-count-bounded aggregate) over the next
+    *      ceil(lookback/bucketDays) buckets; the earliest non-empty
+    *      bucket's first is the global first, because bucket order is
+    *      time order. Derived from the RAW events, not the window
+    *      output, so the window pass stays single-consumer (no
+    *      double-compute, nothing to persist).
+    *
+    * A same-bucket hit is always at-or-before anything in a later
+    * bucket, so candidate choice is EXACT and the result is row-for-row
+    * identical to [[resolveConfigured]] (the shared [[mergeIdent]]
+    * re-checks the lookback horizon either way — a cross-bucket
+    * candidate beyond it is rejected there). Price: two extra shuffles
+    * (the candidate join back on message_id) — the trade a 100 TB
+    * backfill wants, since it buys away the unbounded-key task. */
+  def resolveBucketed(events: DataFrame, config: URConfig = URConfig(),
+                      bucketDays: Int = 0): DataFrame = {
+    val bd = if (bucketDays <= 0) config.lookbackDays else bucketDays
+    require(bd >= 1, "bucketDays must be >= 1")
+    val nBuckets = (config.lookbackDays + bd - 1) / bd
+    val anonKey = coalesce(config.anonymousIdFields.map(col): _*)
+    val isIdent = isIdentCol(config)
+    val ev = events
+      .withColumn("_urk", anonKey)
+      .withColumn("_urb",
+        floor(datediff(col("timestamp"), to_date(lit("1970-01-01"))) / bd)
+          .cast("long"))
+    val wb = Window.partitionBy(col("_urk"), col("_urb"))
+      .orderBy(col("timestamp"), col("message_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withSame = ev.withColumn("_same",
+      first(when(isIdent, identStruct(config)), ignoreNulls = true).over(wb))
+    val firsts = ev.filter(isIdent && col("_urk").isNotNull)
+      .groupBy(col("_urk"), col("_urb"))
+      .agg(min_by(identStruct(config),
+        struct(col("timestamp"), col("message_id"))).as("_bf"))
+    val later = ev
+      .filter(col("_urk").isNotNull)
+      .select(col("message_id").as("_emid"), col("_urk"),
+        explode(sequence(col("_urb") + 1, col("_urb") + nBuckets))
+          .as("_urb"))
+      .join(firsts, Seq("_urk", "_urb"))
+      .groupBy(col("_emid"))
+      .agg(min_by(col("_bf"), col("_urb")).as("_lf"))
+    mergeIdent(
+      withSame
+        .join(later, withSame("message_id") === later("_emid"), "left")
+        .withColumn("_ident", coalesce(col("_same"), col("_lf")))
+        .withColumn("_is_ident", isIdent)
+        .drop("_same", "_lf", "_emid", "_urk", "_urb"),
+      config)
+  }
 
   // ---- streaming form ------------------------------------------------
 

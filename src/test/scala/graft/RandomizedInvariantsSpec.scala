@@ -820,6 +820,39 @@ class RandomizedInvariantsSpec extends GraftSpec {
         batch.toSet.diff(gotA.toSet)}")
   }
 
+  test("bucketed UR resolution == single-window resolution on random multi-month streams") {
+    // resolveBucketed promises row-for-row equality with the window
+    // form; drive it with timestamps spanning 4 months (many 7-day
+    // buckets, identify events that expire past the 30-day lookback),
+    // sparse identities, and null anonymous keys
+    import graft.operators.UserRecognition
+    val rnd = new scala.util.Random(20240817)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 400).map { i =>
+      (f"m$i%03d",
+        if (rnd.nextInt(100) < 5) null
+        else s"a${rnd.nextInt(8)}",
+        if (rnd.nextInt(100) < 10) s"u${rnd.nextInt(5)}" else null,
+        new java.sql.Timestamp(
+          base + rnd.nextLong(120L * 86400000L)))
+    }
+    val df = events.toDF("message_id", "anonymous_id", "user_id",
+      "timestamp")
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.select("message_id", "user_id", "recognized")
+        .as[(String, Option[String], Boolean)].collect().toSet
+    val window = snap(UserRecognition.resolveBatch(df, lookbackDays = 30))
+    // multi-bucket path (5 candidate buckets) and the degenerate
+    // single-bucket path (bucket wider than the lookback)
+    Seq(7, 45).foreach { bd =>
+      val bucketed = snap(UserRecognition.resolveBucketed(df,
+        UserRecognition.URConfig(), bucketDays = bd))
+      assert(bucketed == window,
+        s"bucketDays=$bd diff ${bucketed.diff(window)} / ${
+          window.diff(bucketed)}")
+    }
+  }
+
   test("streaming conversation assembly and preference pairs == batch on random event streams") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
