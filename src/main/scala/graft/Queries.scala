@@ -212,6 +212,49 @@ object Queries {
         |    CAST(2 * COALESCE(tc.n_triangles, 0) * 1000000
         |      // (deg.deg * (deg.deg - 1)) AS BIGINT) END AS coeff_micro
         |FROM deg LEFT JOIN tc ON deg.v = tc.v""".stripMargin),
+    // G13: bounded 2-core peel over the same graph — three unrolled
+    // peel rounds (fixed budget, oracle-replayable) with the fixpoint
+    // reported; survivors are the dense backbone every member of
+    // which keeps >= 2 in-core neighbors
+    ("g13_kcore",
+      ((s, dir) => {
+      val items = li(s, dir).filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+        .distinct()
+      graft.operators.Graph.kCorePeel(e, k = 2, rounds = 3)
+    }),
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.p AS src, y.p AS dst
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |d0 AS (
+        |  SELECT src, dst FROM e
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |k1 AS (SELECT src FROM d0 GROUP BY src HAVING COUNT(*) >= 2),
+        |d1 AS (
+        |  SELECT d0.src, d0.dst FROM d0
+        |  JOIN k1 a ON d0.src = a.src JOIN k1 b ON d0.dst = b.src),
+        |k2 AS (SELECT src FROM d1 GROUP BY src HAVING COUNT(*) >= 2),
+        |d2 AS (
+        |  SELECT d1.src, d1.dst FROM d1
+        |  JOIN k2 a ON d1.src = a.src JOIN k2 b ON d1.dst = b.src),
+        |k3 AS (SELECT src FROM d2 GROUP BY src HAVING COUNT(*) >= 2),
+        |d3 AS (
+        |  SELECT d2.src, d2.dst FROM d2
+        |  JOIN k3 a ON d2.src = a.src JOIN k3 b ON d2.dst = b.src),
+        |conv AS (
+        |  SELECT (SELECT COUNT(*) FROM d3)
+        |    = (SELECT COUNT(*) FROM d2) AS converged)
+        |SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS core_deg,
+        |  conv.converged
+        |FROM d3 CROSS JOIN conv
+        |GROUP BY 1, conv.converged""".stripMargin),
     // G3: item-item co-purchase similarity — Jaccard over order sets
     // for part pairs with support ≥ 2, via the inverted-index self-join
     // (pair generation bounded by basket size, support filter before

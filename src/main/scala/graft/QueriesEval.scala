@@ -20,6 +20,47 @@ object QueriesEval {
   private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** Whole-corpus moments SQL — shared verbatim by `st_moments` and
+    * `st_moments_merge` (merged per-source partials must reproduce the
+    * whole-corpus numbers exactly). Power sums exact in HUGEINT; the
+    * finalize mirrors Spark's IEEE-double chain op for op (only
+    * exactly-rounded ops — +, −, ×, ÷, sqrt, floor). */
+  private val momentsOracleSql =
+    """WITH r AS (
+      |  SELECT CAST(n_chars AS HUGEINT) AS x FROM documents
+      |  WHERE n_chars IS NOT NULL),
+      |p AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s1,
+      |    SUM(x * x) AS s2, SUM(x * x * x) AS s3,
+      |    SUM(x * x * x * x) AS s4
+      |  FROM r),
+      |d AS (
+      |  SELECT n,
+      |    CASE WHEN n > 0 THEN CASE WHEN s1 >= 0
+      |      THEN CAST(s1 * 1000000 // n AS BIGINT)
+      |      ELSE -CAST((-s1) * 1000000 // n AS BIGINT) END END
+      |      AS mean_micro,
+      |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
+      |    CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+      |    CAST(s4 AS DOUBLE) AS d4
+      |  FROM p),
+      |c AS (
+      |  SELECT *, nd * d2 - d1 * d1 AS nm2,
+      |    nd * nd * d3 - 3 * nd * d2 * d1 + 2 * d1 * d1 * d1 AS n2m3,
+      |    nd * nd * nd * d4 - 4 * nd * nd * d3 * d1
+      |      + 6 * nd * d2 * d1 * d1 - 3 * d1 * d1 * d1 * d1 AS n3m4
+      |  FROM d)
+      |SELECT n, mean_micro,
+      |  CASE WHEN n >= 2 THEN CAST(FLOOR(nm2 / nd) AS BIGINT) END
+      |    AS m2,
+      |  CASE WHEN nm2 > 0 AND n >= 2 THEN
+      |    CAST(FLOOR(1000 * n2m3 / (nm2 * SQRT(nm2))) AS BIGINT) END
+      |    AS skew_milli,
+      |  CASE WHEN nm2 > 0 AND n >= 2 THEN
+      |    CAST(FLOOR(1000 * n3m4 / (nm2 * nm2)) - 3000 AS BIGINT) END
+      |    AS kurt_excess_milli
+      |FROM c""".stripMargin
+
   /** Source-majority predicted language: the per-source argmax lang
     * (count desc, lang asc tiebreak) — the baseline "classifier" the
     * confusion/McNemar gates grade against the true lang column. */
@@ -1195,6 +1236,165 @@ object QueriesEval {
         |      THEN CAST(2 * (conc - disc) * 1000000 // den AS BIGINT)
         |      ELSE -CAST(2 * (disc - conc) * 1000000 // den AS BIGINT)
         |    END END AS tau_micro
+        |FROM g""".stripMargin),
+    // Welch's unequal-variance t on the same split as st_cohens_d —
+    // the test statistic when the two groups' spreads differ (the
+    // pooled t assumes they don't); Welch-Satterthwaite dof in millis
+    ("st_welch_t",
+      ((s, dir) => Stats.welchT(
+        docs(s, dir)
+          .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+          .select(col("n_chars").as("x"),
+            (col("lang") === "en").as("g")), "x", "g")),
+      """WITH r AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x, lang = 'en' AS g
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN g THEN x ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN g THEN 0 ELSE x END) AS BIGINT) AS sb,
+        |    SUM(CASE WHEN g THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |      AS qa,
+        |    SUM(CASE WHEN g THEN 0 ELSE CAST(x AS HUGEINT) * x END)
+        |      AS qb
+        |  FROM r),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN n_a > 0 THEN CASE WHEN sa >= 0
+        |      THEN CAST(sa * 1000000 // n_a AS BIGINT)
+        |      ELSE -CAST((-sa) * 1000000 // n_a AS BIGINT) END END
+        |      AS mean_a_micro,
+        |    CASE WHEN n_b > 0 THEN CASE WHEN sb >= 0
+        |      THEN CAST(sb * 1000000 // n_b AS BIGINT)
+        |      ELSE -CAST((-sb) * 1000000 // n_b AS BIGINT) END END
+        |      AS mean_b_micro,
+        |    CASE WHEN n_a >= 2 THEN
+        |      CAST((CAST(n_a AS HUGEINT) * qa
+        |        - CAST(sa AS HUGEINT) * sa)
+        |        // (CAST(n_a AS HUGEINT) * (n_a - 1)) AS BIGINT) END
+        |      AS va,
+        |    CASE WHEN n_b >= 2 THEN
+        |      CAST((CAST(n_b AS HUGEINT) * qb
+        |        - CAST(sb AS HUGEINT) * sb)
+        |        // (CAST(n_b AS HUGEINT) * (n_b - 1)) AS BIGINT) END
+        |      AS vb
+        |  FROM a),
+        |w AS (
+        |  SELECT *, va // n_a AS ra, vb // n_b AS rb FROM m),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN
+        |      CAST(FLOOR(SQRT(ra + rb)) AS BIGINT) END AS se
+        |  FROM w)
+        |SELECT n_a, n_b, mean_a_micro, mean_b_micro, se,
+        |  CASE WHEN se > 0 THEN
+        |    CASE WHEN mean_a_micro - mean_b_micro >= 0
+        |      THEN (mean_a_micro - mean_b_micro) // (se * 1000)
+        |      ELSE -((mean_b_micro - mean_a_micro) // (se * 1000))
+        |    END END AS t_milli,
+        |  CASE WHEN ra IS NOT NULL AND rb IS NOT NULL AND
+        |    (CAST(ra AS HUGEINT) * ra // (n_a - 1)
+        |      + CAST(rb AS HUGEINT) * rb // (n_b - 1)) > 0 THEN
+        |    CAST(CAST(ra + rb AS HUGEINT) * (ra + rb) * 1000
+        |      // (CAST(ra AS HUGEINT) * ra // (n_a - 1)
+        |        + CAST(rb AS HUGEINT) * rb // (n_b - 1)) AS BIGINT)
+        |    END AS dof_milli
+        |FROM f""".stripMargin),
+    // Cramer's V from the chi-square cells of order status x priority
+    // — the bounded [0,1] association strength, comparable across
+    // tables (raw chi-square mass is not)
+    ("st_cramers_v",
+      ((s, dir) => Stats.cramersV(
+        s.read.parquet(s"$dir/orders.parquet"),
+        "o_orderstatus", "o_orderpriority")),
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS a, o_orderpriority AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS rt FROM cells
+        |       GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS ct FROM cells
+        |       GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+        |x AS (
+        |  SELECT ra.a, cb.b, CAST(COALESCE(cells.n, 0) AS BIGINT)
+        |      AS n_obs,
+        |    ra.rt, cb.ct, tot.nn,
+        |    (COALESCE(cells.n, 0) * tot.nn - ra.rt * cb.ct) * 1000
+        |      AS devnum
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b, tot),
+        |y AS (
+        |  SELECT a, b, n_obs,
+        |    CAST(rt * ct * 1000 // nn AS BIGINT) AS e_milli,
+        |    CAST(CASE WHEN devnum >= 0 THEN devnum // nn
+        |      ELSE -((-devnum) // nn) END AS BIGINT) AS dev_milli
+        |  FROM x),
+        |z AS (
+        |  SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows_cat,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols_cat,
+        |    CAST(SUM(CASE WHEN e_milli > 0
+        |      THEN dev_milli * dev_milli // e_milli ELSE 0 END)
+        |      AS BIGINT) AS chi2_milli
+        |  FROM y)
+        |SELECT n, n_rows_cat, n_cols_cat, chi2_milli,
+        |  CASE WHEN LEAST(n_rows_cat - 1, n_cols_cat - 1) > 0
+        |      AND n > 0 THEN
+        |    CAST(FLOOR(SQRT(CAST(CAST(chi2_milli AS HUGEINT)
+        |      * 1000000000 // (CAST(n AS HUGEINT)
+        |        * LEAST(n_rows_cat - 1, n_cols_cat - 1))
+        |      AS DOUBLE))) AS BIGINT) END AS v_micro
+        |FROM z""".stripMargin),
+    // distribution shape of document length from commutative power
+    // sums — skewness + excess kurtosis; partials exact decimal, the
+    // finalize in IEEE doubles (only exactly-rounded ops)
+    ("st_moments",
+      ((s, dir) => Stats.momentsProfile(
+        docs(s, dir).filter(col("n_chars").isNotNull), "n_chars")),
+      momentsOracleSql),
+    // the SAME numbers derived from per-source partial rows merged by
+    // plain addition — the distributed-moments/merge identity the
+    // map-side-combine story rests on (oracle is the WHOLE-corpus
+    // computation: merge(partials) must equal it exactly)
+    ("st_moments_merge",
+      ((s, dir) => Stats.momentsFromPartials(Stats.momentsPartials(
+        docs(s, dir).filter(col("n_chars").isNotNull), "n_chars",
+        slices = Seq("source")))),
+      momentsOracleSql),
+    // expected calibration error of the pseudo-score st_brier uses —
+    // 10 equal-width confidence bins, per-bin |mean score - accuracy|
+    // weighted by mass, plus the worst bin
+    ("eval_ece",
+      ((s, dir) => EvalMetrics.expectedCalibrationError(
+        docs(s, dir).select(
+          least(col("n_chars") * 2000, lit(1000000L)).cast("long")
+            .as("sm"),
+          (col("lang") === "en").as("y")), "sm", "y")),
+      """WITH d AS (
+        |  SELECT LEAST(n_chars * 2000, 1000000) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (
+        |  SELECT LEAST(s * 10 // 1000000, 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS nk,
+        |    CAST(SUM(s) AS BIGINT) AS ss,
+        |    CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM d GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(bin AS BIGINT) AS bin, nk,
+        |    ABS(ss // nk - sy * 1000000 // nk) AS gap
+        |  FROM b)
+        |SELECT CAST(SUM(nk) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+        |  CAST(SUM(CAST(nk AS HUGEINT) * gap) // SUM(nk) AS BIGINT)
+        |    AS ece_micro,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap_micro,
+        |  (SELECT bin FROM g ORDER BY gap DESC, bin ASC LIMIT 1)
+        |    AS max_gap_bin
         |FROM g""".stripMargin),
     // HITS hubs/authorities over the directed customer->supplier
     // graph (two max-normalized mutual-recursion rounds, unrolled in

@@ -745,6 +745,49 @@ object EvalMetrics {
     * bucket table (bounded by `maxBuckets` — scores must be bucketed,
     * never raw); the collect is limit-bounded BEFORE it happens and
     * the PAV stack is O(buckets) on the driver. */
+  /** Expected calibration error (Naeini 2015) of a classifier whose
+    * score is an integer micro-probability in [0, 10⁶] — THE
+    * one-number calibration summary next to [[isotonicCalibration]]'s
+    * per-bucket repair and [[graft.operators.Stats.brierScore]]'s
+    * squared loss: equal-width confidence bins, per bin the gap
+    * |mean score − accuracy|, weighted by bin mass.
+    * ece_micro = Σ_k n_k·|conf_k − acc_k| div n, every mean floored
+    * to micros. score = 10⁶ folds into the top bin (the standard
+    * closed-right edge). One row:
+    * (n, n_bins_used, ece_micro, max_gap_micro, max_gap_bin).
+    *
+    * Scale shape: one scan-shaped aggregation to ≤ nBins rows, then
+    * a 1-row fold — no window over raw rows, no join. */
+  def expectedCalibrationError(df: DataFrame, scoreMicroCol: String,
+                               labelCol: String,
+                               nBins: Int = 10): DataFrame = {
+    require(nBins >= 1 && nBins <= 1000, "nBins must be in [1, 1000]")
+    val rows = df.select(col(scoreMicroCol).cast("long").as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
+    val bins = rows
+      .withColumn("bin",
+        least(expr(s"s * $nBins div 1000000"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("s")).as("_ss"),
+        sum(col("y")).as("_sy"))
+      .withColumn("conf_micro", expr("_ss div nk"))
+      .withColumn("acc_micro", expr("_sy * 1000000L div nk"))
+      .withColumn("gap_micro", abs(col("conf_micro") - col("acc_micro")))
+    bins.agg(
+        sum(col("nk")).as("n"),
+        count(lit(1)).as("n_bins_used"),
+        sum(col("nk").cast("decimal(38,0)") * col("gap_micro"))
+          .as("_w"),
+        max(struct(col("gap_micro"), (-col("bin")).as("_nb")))
+          .as("_mx"))
+      .withColumn("ece_micro",
+        expr("CASE WHEN n > 0 THEN CAST(_w div n AS LONG) END"))
+      .select(col("n"), col("n_bins_used"), col("ece_micro"),
+        col("_mx.gap_micro").as("max_gap_micro"),
+        (-col("_mx._nb")).as("max_gap_bin"))
+  }
+
   def isotonicCalibration(df: DataFrame, bucketCol: String,
                           labelCol: String,
                           maxBuckets: Int = 10000): DataFrame = {

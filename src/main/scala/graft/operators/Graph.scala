@@ -355,6 +355,56 @@ object Graph {
     }
   }
 
+  /** Bounded k-core peel (Seidman 1983) — the dense-backbone filter
+    * next to [[labelPropagation]]'s communities: repeatedly remove
+    * nodes of degree < k; what survives is the k-core, the region
+    * where every member keeps ≥ k neighbors INSIDE the surviving set.
+    * The peel runs a FIXED `rounds` budget (the [[pageRank]] design
+    * bargain: an unrolled-CTE oracle replays every round; graphs
+    * whose low-degree fringe is shallow — most real ones — converge
+    * well inside it) and reports whether the last round was a
+    * FIXPOINT, so a non-converged run is loud, never silent. Returns
+    * (v, core_deg, converged) for surviving nodes.
+    *
+    * Scale shape: per round one degree aggregation over the
+    * suriving-edge frame + one semi-join back — the edge frame only
+    * shrinks; the shared [[directedEdges]] prelude partitions it on
+    * src once. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16]")
+    val dir0 = directedEdges(edges, dedup = true)
+    var cur = dir0
+    var converged = false
+    try {
+      (1 to rounds).foreach { _ =>
+        if (!converged) {
+          val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("d"))
+            .filter(col("d") >= k).select(col("src").as("_kv"))
+          val next = cur
+            .join(keep.withColumnRenamed("_kv", "src"), Seq("src"),
+              "left_semi")
+            .join(keep.withColumnRenamed("_kv", "dst"), Seq("dst"),
+              "left_semi")
+            .select(col("src"), col("dst"))
+            .repartition(col("src"))
+            .persist()
+          val nNext = next.count()
+          val nCur = cur.count() // cached — cheap re-read
+          if (cur ne dir0) cur.unpersist(false)
+          converged = nNext == nCur
+          cur = next
+        }
+      }
+      cur.groupBy(col("src").as("v")).agg(count(lit(1)).as("core_deg"))
+        .withColumn("converged", lit(converged))
+        .localCheckpoint(true)
+    } finally {
+      dir0.unpersist(false)
+      if (cur ne dir0) cur.unpersist(false)
+    }
+  }
+
   /** Degree assortativity of an undirected graph (Newman 2002) — "do
     * hubs connect to hubs?": the Pearson correlation between the
     * endpoint degrees over the DIRECTED edge list (each undirected

@@ -561,6 +561,189 @@ object Stats {
         col("mean_b_micro"), col("sp"), col("d_milli"))
   }
 
+  /** Welch's unequal-variance t statistic between two groups of a
+    * long metric — the robust default when group variances differ
+    * (the plain pooled t silently assumes they don't; [[cohensD]]
+    * stays the effect-size companion). All integer: micro means
+    * (sign-split floors), per-group SAMPLE variances via the
+    * sums-of-products identity, the standard error floor(sqrt) of
+    * va div n_a + vb div n_b, and the Welch–Satterthwaite degrees of
+    * freedom in millis with every division a floor. One row:
+    * (n_a, n_b, mean_a_micro, mean_b_micro, se, t_milli, dof_milli);
+    * NULL t when either group has < 2 rows or the SE floors to 0.
+    *
+    * Scale shape: one scan-shaped two-group aggregation — no window,
+    * no join (the [[cohensD]] contract). */
+  def welchT(df: DataFrame, valueCol: String,
+             groupCol: String): DataFrame = {
+    val rows = df.select(col(valueCol).cast("long").as("x"),
+        col(groupCol).cast("boolean").as("g"))
+      .filter(col("x").isNotNull && col("g").isNotNull)
+    rows.agg(
+        sum(when(col("g"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("g"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("g"), col("x")).otherwise(0L)).as("_sa"),
+        sum(when(!col("g"), col("x")).otherwise(0L)).as("_sb"),
+        sum(when(col("g"), col("x").cast("decimal(38,0)") * col("x"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("_qa"),
+        sum(when(!col("g"), col("x").cast("decimal(38,0)") * col("x"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("_qb"))
+      .withColumn("mean_a_micro", expr(
+        "CASE WHEN n_a > 0 THEN CASE WHEN _sa >= 0 " +
+          "THEN _sa * 1000000L div n_a " +
+          "ELSE -((-_sa) * 1000000L div n_a) END END"))
+      .withColumn("mean_b_micro", expr(
+        "CASE WHEN n_b > 0 THEN CASE WHEN _sb >= 0 " +
+          "THEN _sb * 1000000L div n_b " +
+          "ELSE -((-_sb) * 1000000L div n_b) END END"))
+      // SAMPLE variances: (nΣx² − (Σx)²) div (n(n−1))
+      .withColumn("_va", expr(
+        "CASE WHEN n_a >= 2 THEN CAST((CAST(n_a AS DECIMAL(38,0)) " +
+          "* _qa - CAST(_sa AS DECIMAL(38,0)) * _sa) " +
+          "div (CAST(n_a AS DECIMAL(38,0)) * (n_a - 1)) AS LONG) END"))
+      .withColumn("_vb", expr(
+        "CASE WHEN n_b >= 2 THEN CAST((CAST(n_b AS DECIMAL(38,0)) " +
+          "* _qb - CAST(_sb AS DECIMAL(38,0)) * _sb) " +
+          "div (CAST(n_b AS DECIMAL(38,0)) * (n_b - 1)) AS LONG) END"))
+      .withColumn("_ra", expr("_va div n_a"))
+      .withColumn("_rb", expr("_vb div n_b"))
+      .withColumn("se", expr(
+        "CASE WHEN _ra IS NOT NULL AND _rb IS NOT NULL THEN " +
+          "CAST(FLOOR(SQRT(_ra + _rb)) AS LONG) END"))
+      .withColumn("t_milli", expr(
+        "CASE WHEN se > 0 THEN " +
+          "CASE WHEN mean_a_micro - mean_b_micro >= 0 " +
+          "THEN (mean_a_micro - mean_b_micro) div (se * 1000L) " +
+          "ELSE -((mean_b_micro - mean_a_micro) div (se * 1000L)) " +
+          "END END"))
+      // Welch–Satterthwaite: (ra+rb)² / (ra²/(n_a−1) + rb²/(n_b−1)),
+      // in millis, every division floored (nested-floor semantics
+      // DECLARED — both engines replay the identical chain)
+      .withColumn("dof_milli", expr(
+        "CASE WHEN _ra IS NOT NULL AND _rb IS NOT NULL AND " +
+          "(CAST(_ra AS DECIMAL(38,0)) * _ra div (n_a - 1) " +
+          " + CAST(_rb AS DECIMAL(38,0)) * _rb div (n_b - 1)) > 0 " +
+          "THEN CAST(CAST(_ra + _rb AS DECIMAL(38,0)) * (_ra + _rb) " +
+          "* 1000 div (CAST(_ra AS DECIMAL(38,0)) * _ra div (n_a - 1) " +
+          "+ CAST(_rb AS DECIMAL(38,0)) * _rb div (n_b - 1)) " +
+          "AS LONG) END"))
+      .select(col("n_a"), col("n_b"), col("mean_a_micro"),
+        col("mean_b_micro"), col("se"), col("t_milli"),
+        col("dof_milli"))
+  }
+
+  /** Cramér's V association strength from the [[chiSquareCells]]
+    * table — the bounded [0, 1] companion to the raw chi-square mass
+    * (comparable across tables of different size and shape):
+    * V = √(χ² / (n·min(r−1, c−1))), in micros via
+    * floor(sqrt(χ²_milli·10⁹ div (n·k))) — the double-radicand
+    * floor(sqrt) discipline. One row:
+    * (n, n_rows_cat, n_cols_cat, chi2_milli, v_micro); NULL V for a
+    * degenerate 1×m table.
+    *
+    * Scale shape: one aggregation over the cells frame (category-
+    * bounded), nothing row-sized. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    chiSquareCells(df, aCol, bCol)
+      .agg(sum(col("n_obs")).as("n"),
+        countDistinct(col("a")).as("n_rows_cat"),
+        countDistinct(col("b")).as("n_cols_cat"),
+        sum(coalesce(col("term_milli"), lit(0L))).as("chi2_milli"))
+      .withColumn("_k", least(col("n_rows_cat") - 1,
+        col("n_cols_cat") - 1))
+      .withColumn("v_micro", expr(
+        "CASE WHEN _k > 0 AND n > 0 THEN " +
+          "CAST(FLOOR(SQRT(CAST(CAST(chi2_milli AS DECIMAL(38,0)) " +
+          "* 1000000000 div (CAST(n AS DECIMAL(38,0)) * _k) " +
+          "AS DOUBLE))) AS LONG) END"))
+      .select(col("n"), col("n_rows_cat"), col("n_cols_cat"),
+        col("chi2_milli"), col("v_micro"))
+  }
+
+  /** Third/fourth-moment profile (skewness + excess kurtosis) from
+    * COMMUTATIVE POWER SUMS — the distributed-moments shape: each
+    * partition folds (n, Σx, Σx², Σx³, Σx⁴) map-side (decimal — no
+    * float summation-order nondeterminism), partials merge by plain
+    * addition ([[momentsFromPartials]] is the incremental entry
+    * point), and the finalize derives the central moments
+    *   M2 = Σx² − (Σx)²/n,  M3 = Σx³ − 3·Σx²·x̄ + 2n·x̄³,
+    *   M4 = Σx⁴ − 4·Σx³·x̄ + 6·Σx²·x̄² − 3n·x̄⁴
+    * in N-SCALED form (n·M2, n²·M3, n³·M4 — ×n^k clears every
+    * fraction; the n-powers then cancel exactly in both ratios:
+    * skew = n²M3 / (nM2)^{3/2}, kurt = n³M4 / (nM2)²). The PARTIALS
+    * stay exact decimal; the n-scaled combinations and the two ratios
+    * are evaluated in IEEE doubles using ONLY exactly-rounded ops
+    * (+, −, ×, ÷, sqrt, floor — never pow/ln, whose libm rounding
+    * differs across engines), so the finalize is bit-deterministic
+    * cross-engine while decimal(38) could not even hold n³·Σx⁴ at
+    * corpus scale. One row: (n, mean_micro, m2, skew_milli,
+    * kurt_excess_milli); NULLs when n < 2 or M2 ≤ 0.
+    *
+    * Numerics: the one-pass power-sum form cancels catastrophically
+    * when |x̄| ≫ sd — recentre the metric first in that regime (the
+    * standard one-pass caveat, declared). */
+  def momentsProfile(df: DataFrame, valueCol: String): DataFrame =
+    momentsFromPartials(momentsPartials(df, valueCol))
+
+  /** Partition-foldable partial rows (n, s1, s2, s3, s4) — one global
+    * row, or one per `slices` key (per-source / per-day partials that
+    * [[momentsFromPartials]] later merges by plain addition). */
+  def momentsPartials(df: DataFrame, valueCol: String,
+                      slices: Seq[String] = Nil): DataFrame = {
+    val x = col(valueCol).cast("decimal(38,0)")
+    val base = df.filter(col(valueCol).isNotNull)
+    val aggs = Seq(count(lit(1)).as("n"), sum(x).as("s1"),
+      sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+      sum(x * x * x * x).as("s4"))
+    if (slices.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+    else base.groupBy(slices.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .drop(slices: _*)
+  }
+
+  /** Finalize merged partials (re-sums delta rows first — the
+    * additive-counts contract shared with
+    * [[graft.operators.NgramLm.trainFromCounts]]). */
+  def momentsFromPartials(partials: DataFrame): DataFrame = {
+    partials
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), sum(col("s3")).as("s3"),
+        sum(col("s4")).as("s4"))
+      .withColumn("mean_micro", expr(
+        "CASE WHEN n > 0 THEN CASE WHEN s1 >= 0 " +
+          "THEN CAST(s1 * 1000000 div n AS LONG) " +
+          "ELSE -CAST((-s1) * 1000000 div n AS LONG) END END"))
+      // n-scaled central sums IN DOUBLES (decimal(38) cannot hold
+      // n³·Σx⁴ at corpus scale; every op below is IEEE exactly-rounded
+      // so both engines replay it bit-for-bit):
+      // n·M2 = n·s2 − s1²; n²·M3 = n²·s3 − 3n·s2·s1 + 2·s1³;
+      // n³·M4 = n³·s4 − 4n²·s3·s1 + 6n·s2·s1² − 3·s1⁴
+      .withColumn("_nd", expr("CAST(n AS DOUBLE)"))
+      .withColumn("_d1", expr("CAST(s1 AS DOUBLE)"))
+      .withColumn("_d2", expr("CAST(s2 AS DOUBLE)"))
+      .withColumn("_d3", expr("CAST(s3 AS DOUBLE)"))
+      .withColumn("_d4", expr("CAST(s4 AS DOUBLE)"))
+      .withColumn("_nm2", expr("_nd * _d2 - _d1 * _d1"))
+      .withColumn("_n2m3", expr(
+        "_nd * _nd * _d3 - 3 * _nd * _d2 * _d1 + 2 * _d1 * _d1 * _d1"))
+      .withColumn("_n3m4", expr(
+        "_nd * _nd * _nd * _d4 - 4 * _nd * _nd * _d3 * _d1 " +
+          "+ 6 * _nd * _d2 * _d1 * _d1 - 3 * _d1 * _d1 * _d1 * _d1"))
+      .withColumn("m2", expr(
+        "CASE WHEN n >= 2 THEN CAST(FLOOR(_nm2 / _nd) AS LONG) END"))
+      // skew = n²M3 / (nM2)^{3/2}, the ^{3/2} as x·sqrt(x) (sqrt is
+      // exactly rounded; pow is not); kurt = n³M4 / (nM2)²
+      .withColumn("skew_milli", expr(
+        "CASE WHEN _nm2 > 0 AND n >= 2 THEN " +
+          "CAST(FLOOR(1000 * _n2m3 / (_nm2 * SQRT(_nm2))) AS LONG) " +
+          "END"))
+      .withColumn("kurt_excess_milli", expr(
+        "CASE WHEN _nm2 > 0 AND n >= 2 THEN " +
+          "CAST(FLOOR(1000 * _n3m4 / (_nm2 * _nm2)) - 3000 AS LONG) " +
+          "END"))
+      .select(col("n"), col("mean_micro"), col("m2"),
+        col("skew_milli"), col("kurt_excess_milli"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between two groups of a long
     * metric — the NONPARAMETRIC two-sample test next to [[cohensD]]'s
     * parametric effect size: does one group stochastically dominate

@@ -477,4 +477,25 @@ class EvalMetricsSpec extends GraftSpec {
     val r0 = EvalMetrics.mcc(onesided, "a", "p").collect().head
     assert(r0.isNullAt(r0.fieldIndex("mcc_micro")))
   }
+
+  test("expectedCalibrationError: hand bins, mass weighting, worst bin; perfect calibration is 0") {
+    // scores 50k(y=0) -> bin 0 gap 50k; two 950k (one right) -> bin 9
+    // conf 950k acc 500k gap 450k; ece = (1*50k + 2*450k) div 3
+    val df = Seq((50000L, false), (950000L, true), (950000L, false))
+      .toDF("sm", "y")
+    val r = EvalMetrics.expectedCalibrationError(df, "sm", "y")
+      .collect().head
+    assert(r.getAs[Long]("n") == 3L &&
+      r.getAs[Long]("n_bins_used") == 2L)
+    assert(r.getAs[Long]("ece_micro") == 316666L)
+    assert(r.getAs[Long]("max_gap_micro") == 450000L &&
+      r.getAs[Long]("max_gap_bin") == 9L)
+    // a perfectly calibrated bin: conf == acc -> ece 0; score 1e6
+    // folds into the top bin (closed right edge)
+    val perfect = Seq((1000000L, true), (0L, false)).toDF("sm", "y")
+    val rp = EvalMetrics.expectedCalibrationError(perfect, "sm", "y")
+      .collect().head
+    assert(rp.getAs[Long]("ece_micro") == 0L &&
+      rp.getAs[Long]("n_bins_used") == 2L)
+  }
 }

@@ -80,6 +80,46 @@ class GraphSpec extends GraftSpec {
     assert(tri(e) == tri(e.map(_.swap)))
   }
 
+  test("clusteringCoefficient: triangle+pendant and a path — exact micros, 0 and NULL cases") {
+    // triangle {a,b,c} + pendant d on a, plus a disjoint path e-f-g:
+    // a: deg 3, 1 triangle -> 2e6 div 6 = 333333; b, c: deg 2 -> 1e6;
+    // d, e, g: deg 1 -> NULL (undefined); f: deg 2, 0 triangles -> 0
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"),
+      ("e", "f"), ("f", "g")).toDF("src", "dst")
+    val r = graft.operators.Graph.clusteringCoefficient(edges)
+      .collect()
+      .map(x => x.getString(0) -> ((x.getAs[Long]("deg"),
+        x.getAs[Long]("n_triangles"),
+        if (x.isNullAt(x.fieldIndex("coeff_micro"))) None
+        else Some(x.getAs[Long]("coeff_micro"))))).toMap
+    assert(r("a") == ((3L, 1L, Some(333333L))))
+    assert(r("b") == ((2L, 1L, Some(1000000L))))
+    assert(r("c") == ((2L, 1L, Some(1000000L))))
+    assert(r("d") == ((1L, 0L, None)))
+    assert(r("f") == ((2L, 0L, Some(0L))))
+    assert(r("e") == ((1L, 0L, None)) && r("g") == ((1L, 0L, None)))
+  }
+
+  test("kCorePeel: chain peels in cascading rounds; round budget reports non-convergence loudly") {
+    // triangle {a,b,c} + chain c-d-e at k=2: round 1 drops e (deg 1),
+    // round 2 drops d (now deg 1), round 3 finds the fixpoint
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+      ("d", "e")).toDF("src", "dst")
+    def run(rounds: Int) = graft.operators.Graph
+      .kCorePeel(edges, k = 2, rounds = rounds).collect()
+      .map(x => x.getString(0) ->
+        ((x.getAs[Long]("core_deg"), x.getAs[Boolean]("converged"))))
+      .toMap
+    val full = run(3)
+    assert(full == Map("a" -> ((2L, true)), "b" -> ((2L, true)),
+      "c" -> ((2L, true))))
+    // one round: e gone but d (now degree 1) still present, and the
+    // non-fixpoint is reported, not silent
+    val partial = run(1)
+    assert(partial.keySet == Set("a", "b", "c", "d"))
+    assert(partial("c") == ((3L, false)) && partial("d") == ((1L, false)))
+  }
+
   test("labelPropagation: two cliques over a bridge stay two communities") {
     import graft.operators.{Dedup, Graph}
     // K4 on {1..4}, K4 on {11..14}, one bridge 4-11

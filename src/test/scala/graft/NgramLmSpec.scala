@@ -172,4 +172,23 @@ class NgramLmSpec extends GraftSpec {
     assert(NgramLm.scoreDocs(d, "doc_id", "text", model).count() == 0)
     assert(NgramLm.train(d, "doc_id", "text").count() == 0)
   }
+
+  test("ngramNovelty: hand-computed per-source df==1 shares; short docs excluded") {
+    // d1 "x y z w": trigrams {x y z, y z w}; d2 "x y z": {x y z};
+    // d3 "p q r": {p q r}; d4 "a b": no trigram (excluded from n_docs)
+    // df: "x y z"->2 docs, "y z w"->1, "p q r"->1
+    val docs = Seq(
+      (1L, "x y z w", "A"), (2L, "x y z", "A"),
+      (3L, "p q r", "B"), (4L, "a b", "A")).toDF("doc_id", "text", "src")
+    val r = NgramLm.ngramNovelty(docs, "doc_id", "text", "src")
+      .collect()
+      .map(x => x.getString(0) -> ((x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_trigrams"), x.getAs[Long]("n_novel"),
+        x.getAs[Long]("n_fully_novel"),
+        x.getAs[Long]("novelty_micro")))).toMap
+    // A: d1 (2 tg, 1 novel), d2 (1 tg, 0 novel) -> 1e6/3 = 333333,
+    // no fully-novel doc; B: d3 is 1/1 novel -> 1e6, fully novel
+    assert(r("A") == ((2L, 3L, 1L, 0L, 333333L)))
+    assert(r("B") == ((1L, 1L, 1L, 1L, 1000000L)))
+  }
 }

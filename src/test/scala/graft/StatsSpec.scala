@@ -287,6 +287,105 @@ class StatsSpec extends GraftSpec {
     assert(rt.isNullAt(rt.fieldIndex("d_milli")))
   }
 
+  test("welchT: hand-folded unequal-variance t and Satterthwaite dof; tiny group null") {
+    // a = {2, 4}, b = {0, 2}: va = vb = 2, ra = rb = 1,
+    // se = floor(sqrt 2) = 1, t_milli = 2e6 div 1000 = 2000,
+    // dof = (1+1)^2 / (1/1 + 1/1) = 2 -> 2000 milli (exact for equal
+    // groups with equal variance)
+    val df = Seq((2L, true), (4L, true), (0L, false), (2L, false))
+      .toDF("x", "g")
+    val r = Stats.welchT(df, "x", "g").collect().head
+    assert(r.getAs[Long]("se") == 1L && r.getAs[Long]("t_milli") == 2000L)
+    assert(r.getAs[Long]("dof_milli") == 2000L)
+    val tiny = Seq((1L, true), (0L, false), (2L, false)).toDF("x", "g")
+    val rt = Stats.welchT(tiny, "x", "g").collect().head
+    assert(rt.isNullAt(rt.fieldIndex("t_milli")))
+  }
+
+  test("momentsProfile: hand power sums -> central sum, skew, excess kurtosis; merge identity") {
+    // x = {0, 0, 6}: M2 = 24 (central sum), skew = 16/8^1.5 = 0.7071
+    // -> floor 707 milli, kurt = 96/64 - 3 = -1.5 -> -1500 milli
+    val df = Seq(0L, 0L, 6L).toDF("x")
+    val r = Stats.momentsProfile(df, "x").collect().head
+    assert(r.getAs[Long]("mean_micro") == 2000000L)
+    assert(r.getAs[Long]("m2") == 24L)
+    assert(r.getAs[Long]("skew_milli") == 707L)
+    assert(r.getAs[Long]("kurt_excess_milli") == -1500L)
+    // per-slice partials merged by addition reproduce the whole
+    val sliced = Seq((0L, "a"), (0L, "b"), (6L, "b")).toDF("x", "s")
+    val m = Stats.momentsFromPartials(
+      Stats.momentsPartials(sliced, "x", slices = Seq("s")))
+      .collect().head
+    assert(m.getAs[Long]("skew_milli") == 707L &&
+      m.getAs[Long]("kurt_excess_milli") == -1500L)
+    // constant series: m2 = 0 -> shape stats null
+    val const = Seq(5L, 5L).toDF("x")
+    val rc = Stats.momentsProfile(const, "x").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("skew_milli")) &&
+      rc.isNullAt(rc.fieldIndex("kurt_excess_milli")))
+  }
+
+  test("cramersV: perfect association is 1e6; independence is 0; 1xM table null") {
+    // perfect 2x2 association: chi2 = n -> V = 1
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val rp = Stats.cramersV(perfect, "a", "b").collect().head
+    assert(rp.getAs[Long]("v_micro") == 1000000L)
+    // exact independence: every cell at its expectation -> chi2 = 0
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val ri = Stats.cramersV(indep, "a", "b").collect().head
+    assert(ri.getAs[Long]("chi2_milli") == 0L &&
+      ri.getAs[Long]("v_micro") == 0L)
+    val degenerate = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val rd = Stats.cramersV(degenerate, "a", "b").collect().head
+    assert(rd.isNullAt(rd.fieldIndex("v_micro")))
+  }
+
+  test("mannWhitneyU: hand-folded doubled mid-ranks, tie variance, dominance; constant series null") {
+    // a = {1, 3}, b = {2, 2}: cells (1: ca1 c1 f0), (2: ca0 c2 f1),
+    // (3: ca1 c1 f3) -> 2R_a = 1*(0+1+1) + 1*(6+1+1) = 10,
+    // u2_a = 10 - 2*3 = 4 (U_a = 2: the 3 beats both 2s), u2_b = 4,
+    // T = 2^3-2 = 6, var4 = 4*(64-4-6) div 36 = 6, sig2 = 2, z = 0
+    val even = Seq((1L, true), (3L, true), (2L, false), (2L, false))
+      .toDF("x", "g")
+    val r = Stats.mannWhitneyU(even, "x", "g").collect().head
+    assert(r.getAs[Long]("u2_a") == 4L && r.getAs[Long]("u2_b") == 4L)
+    assert(r.getAs[Long]("tie_cubes") == 6L &&
+      r.getAs[Long]("z_micro") == 0L)
+    // full dominance a = {5, 6} over b = {1, 2}: u2_a = 8 = 2*n_a*n_b,
+    // var4 = 4*60 div 36 = 6, sig2 = 2, z = (8-4)*1e6 div 2 = 2e6
+    val dom = Seq((5L, true), (6L, true), (1L, false), (2L, false))
+      .toDF("x", "g")
+    val rd = Stats.mannWhitneyU(dom, "x", "g").collect().head
+    assert(rd.getAs[Long]("u2_a") == 8L &&
+      rd.getAs[Long]("z_micro") == 2000000L)
+    // all values tied: variance 0 -> z null (u2 still splits the ties)
+    val const = Seq((7L, true), (7L, false)).toDF("x", "g")
+    val rc = Stats.mannWhitneyU(const, "x", "g").collect().head
+    assert(rc.getAs[Long]("u2_a") == 1L &&
+      rc.isNullAt(rc.fieldIndex("z_micro")))
+  }
+
+  test("kendallTau: perfect, reversed, tie-cancelled; cell bound enforced") {
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val r = Stats.kendallTau(up, "x", "y").collect().head
+    assert(r.getAs[Long]("conc") == 3L && r.getAs[Long]("disc") == 0L)
+    assert(r.getAs[Long]("tau_micro") == 1000000L)
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    assert(Stats.kendallTau(down, "x", "y").collect().head
+      .getAs[Long]("tau_micro") == -1000000L)
+    // the 2x2 grid: one concordant and one discordant diagonal, the
+    // x-tied and y-tied pairs count to neither -> tau exactly 0
+    val grid = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val rg = Stats.kendallTau(grid, "x", "y").collect().head
+    assert(rg.getAs[Long]("conc") == 1L && rg.getAs[Long]("disc") == 1L)
+    assert(rg.getAs[Long]("tau_micro") == 0L)
+    intercept[IllegalArgumentException] {
+      Stats.kendallTau(up, "x", "y", maxCells = 2)
+    }
+  }
+
   test("mannKendall: monotone series and all-tied series") {
     def daily(vals: Seq[Long]) = vals.zipWithIndex.map { case (n, i) =>
       (java.sql.Date.valueOf(s"2024-01-0${i + 1}"), n) }.toDF("d", "n")
