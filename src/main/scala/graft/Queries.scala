@@ -212,6 +212,45 @@ object Queries {
         |    CAST(2 * COALESCE(tc.n_triangles, 0) * 1000000
         |      // (deg.deg * (deg.deg - 1)) AS BIGINT) END AS coeff_micro
         |FROM deg LEFT JOIN tc ON deg.v = tc.v""".stripMargin),
+    // G14: two-hop reach / radius-2 harmonic centrality over the same
+    // graph — direct neighbors at weight 1, exactly-distance-2 nodes
+    // at weight 1/2, exact micros (no transcendental)
+    ("g14_reach",
+      ((s, dir) => {
+      val items = li(s, dir).filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+        .distinct()
+      graft.operators.Graph.twoHopReach(e)
+    }),
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.p AS src, y.p AS dst
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |dir AS (
+        |  SELECT src, dst FROM e
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |n1 AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS n1
+        |       FROM dir GROUP BY 1),
+        |h2 AS (
+        |  SELECT DISTINCT e1.src AS v, e2.dst AS u
+        |  FROM dir e1 JOIN dir e2 ON e1.dst = e2.src
+        |  WHERE e1.src <> e2.dst),
+        |h2x AS (
+        |  SELECT h2.v, h2.u FROM h2
+        |  LEFT JOIN dir ON dir.src = h2.v AND dir.dst = h2.u
+        |  WHERE dir.src IS NULL),
+        |n2 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n2
+        |       FROM h2x GROUP BY 1)
+        |SELECT n1.v, n1.n1, CAST(COALESCE(n2.n2, 0) AS BIGINT) AS n2,
+        |  CAST(n1.n1 * 1000000 + COALESCE(n2.n2, 0) * 500000
+        |    AS BIGINT) AS h2_micro
+        |FROM n1 LEFT JOIN n2 ON n1.v = n2.v""".stripMargin),
     // G13: bounded 2-core peel over the same graph — three unrolled
     // peel rounds (fixed budget, oracle-replayable) with the fixpoint
     // reported; survivors are the dense backbone every member of

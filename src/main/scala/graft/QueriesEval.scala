@@ -1125,6 +1125,67 @@ object QueriesEval {
         |      THEN -CAST((-s_stat - 1) * 1000000 // sqv AS BIGINT)
         |    ELSE 0 END END AS z_micro
         |FROM g""".stripMargin),
+    // lagged cross-correlation between daily order volume and daily
+    // ship volume — the lead/lag audit between two rollups (shipping
+    // trails ordering); the lag list LEFT-JOINs so a lag with zero
+    // pairs still emits (lag, 0, NULL)
+    ("ts_crosscorr",
+      ((s, dir) => {
+      val da = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val db = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.crossCorrelation(da, db,
+        Seq(-7, 0, 1, 7, 30))
+    }),
+      """WITH da AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |db AS (
+        |  SELECT l_shipdate AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |lags AS (SELECT UNNEST([-7, 0, 1, 7, 30]) AS lag),
+        |p AS (
+        |  SELECT lags.lag, a.n AS x, b.n AS y
+        |  FROM lags, da a, db b
+        |  WHERE date_diff('day', a.d, b.d) = lags.lag),
+        |agg AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM p GROUP BY 1),
+        |aggl AS (
+        |  SELECT lags.lag,
+        |    CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |    agg.sx, agg.sy, agg.sxy, agg.sxx, agg.syy
+        |  FROM lags LEFT JOIN agg ON lags.lag = agg.lag),
+        |m AS (
+        |  SELECT lag, n_pairs,
+        |    CAST(n_pairs AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy AS num,
+        |    CAST(CAST(n_pairs AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx AS BIGINT) AS dx,
+        |    CAST(CAST(n_pairs AS HUGEINT) * syy
+        |      - CAST(sy AS HUGEINT) * sy AS BIGINT) AS dy
+        |  FROM aggl),
+        |f AS (
+        |  SELECT lag, n_pairs, num,
+        |    CAST(FLOOR(SQRT(dx)) AS BIGINT)
+        |      * CAST(FLOOR(SQRT(dy)) AS BIGINT) AS den
+        |  FROM m)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN den > 0 THEN
+        |    GREATEST(CAST(-1000000 AS BIGINT),
+        |      LEAST(CAST(1000000 AS BIGINT),
+        |        CASE WHEN num >= 0
+        |          THEN CAST(num * 1000000 // den AS BIGINT)
+        |          ELSE -CAST((-num) * 1000000 // den AS BIGINT) END))
+        |  END AS r_micro
+        |FROM f""".stripMargin),
     // Mann-Whitney U rank-sum between English and non-English doc
     // lengths — the nonparametric twin of st_cohens_d (no normality
     // assumption); doubled mid-ranks keep ties integer, z in micros

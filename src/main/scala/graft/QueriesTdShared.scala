@@ -125,6 +125,96 @@ private[graft] object QueriesTdShared {
   private[graft] def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** Synthetic messy URL for a doc: the embedded page number is
+    * `pageId` (vary it per doc for the canon gate; fold it mod K so
+    * K docs share a page for the URL-dedup gate) while the
+    * scheme-case / default-port / trailing-slash / tracking-param /
+    * fragment variants cycle on the RAW id. Shared by `td_url_canon`
+    * and `dedup_url`. */
+  private[graft] def syntheticUrl(id: org.apache.spark.sql.Column,
+      pageId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      element_at(array(lit("https://"), lit("HTTPS://"), lit("http://")),
+        pmod(id, lit(3)).cast("int") + 1),
+      element_at(typedLit(UrlHosts), (pmod(id, lit(8)) + 1).cast("int")),
+      element_at(array(lit(""), lit(":443"), lit(":80")),
+        pmod(id, lit(3)).cast("int") + 1),
+      element_at(typedLit(UrlPaths), (pmod(id, lit(5)) + 1).cast("int")),
+      pageId,
+      element_at(array(lit("/"), lit("")),
+        pmod(id, lit(2)).cast("int") + 1),
+      element_at(array(lit("?utm_source=x&q=1"),
+        lit("?q=2&utm_campaign=y&gclid=g1"),
+        lit("?fbclid=f&utm_medium=z"), lit("")),
+        pmod(id, lit(4)).cast("int") + 1),
+      element_at(array(lit("#frag"), lit("")),
+        pmod(id, lit(2)).cast("int") + 1))
+
+  /** The matching DuckDB `u(doc_id, url)` CTE body (no `WITH`):
+    * `pageSql` is the SQL expression for the embedded page number. */
+  private[graft] def syntheticUrlCte(pageSql: String): String =
+    s"""u AS (
+       |  SELECT doc_id,
+       |    (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTPS://'
+       |       ELSE 'http://' END)
+       |    || ${duckList(UrlHosts)}[CAST(doc_id % 8 AS INT) + 1]
+       |    || (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN ':443'
+       |          ELSE ':80' END)
+       |    || ${duckList(UrlPaths)}[CAST(doc_id % 5 AS INT) + 1]
+       |    || $pageSql
+       |    || (CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END)
+       |    || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&q=1'
+       |          WHEN 1 THEN '?q=2&utm_campaign=y&gclid=g1'
+       |          WHEN 2 THEN '?fbclid=f&utm_medium=z' ELSE '' END)
+       |    || (CASE doc_id % 2 WHEN 0 THEN '#frag' ELSE '' END) AS url
+       |  FROM documents)""".stripMargin
+
+  /** The canonical-URL rewrite replayed in SQL, continuing from a
+    * `u(doc_id, url)` CTE and ending in `cu(doc_id, url, canon)` —
+    * byte-for-byte the [[graft.operators.UrlFilter.canonicalUrl]]
+    * semantics (fragment drop, scheme/authority lowercase,
+    * default-port strip, trailing-slash trim, tracking-param
+    * removal). */
+  private[graft] val urlCanonChainSql =
+    """st AS (
+      |  SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag
+      |  FROM u),
+      |sh0 AS (
+      |  SELECT doc_id, url, nofrag,
+      |    regexp_extract(nofrag,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS sh
+      |  FROM st),
+      |parts AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN lower(sh) LIKE 'http://%' AND lower(sh) LIKE '%:80'
+      |           THEN substr(lower(sh), 1, length(sh) - 3)
+      |         WHEN lower(sh) LIKE 'https://%' AND lower(sh) LIKE '%:443'
+      |           THEN substr(lower(sh), 1, length(sh) - 4)
+      |         ELSE lower(sh) END AS shp,
+      |    substr(nofrag, length(sh) + 1) AS tail
+      |  FROM sh0),
+      |pq AS (
+      |  SELECT doc_id, url, shp,
+      |    CASE WHEN strpos(tail, '?') = 0 THEN tail
+      |         ELSE substr(tail, 1, strpos(tail, '?') - 1) END AS p,
+      |    CASE WHEN strpos(tail, '?') = 0 THEN ''
+      |         ELSE substr(tail, strpos(tail, '?') + 1) END AS qs
+      |  FROM parts),
+      |canon0 AS (
+      |  SELECT doc_id, url, shp,
+      |    CASE WHEN p LIKE '%/' AND length(p) > 1
+      |         THEN substr(p, 1, length(p) - 1) ELSE p END AS p2,
+      |    list_filter(string_split(qs, '&'), x -> len(x) > 0
+      |      AND NOT regexp_matches(x,
+      |        '^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|ttclid|mc_eid)='))
+      |      AS ps
+      |  FROM pq),
+      |cu AS (
+      |  SELECT doc_id, url,
+      |    shp || p2 || (CASE WHEN len(ps) > 0
+      |      THEN '?' || array_to_string(ps, '&') ELSE '' END) AS canon
+      |  FROM canon0)""".stripMargin
+
   /** Unigram-encode oracle CTE chain: enumerate EVERY segmentation
     * path of every distinct corpus word under the pinned vocab
     * (feasible because the synthetic vocabulary is small), with the

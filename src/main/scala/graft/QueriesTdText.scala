@@ -769,78 +769,33 @@ private[graft] object QueriesTdText {
     // the group-free rewrite byte-for-byte
     ("td_url_canon",
       ((s, dir) => {
-      val id = col("doc_id")
-      val url = concat(
-        element_at(array(lit("https://"), lit("HTTPS://"), lit("http://")),
-          pmod(id, lit(3)).cast("int") + 1),
-        element_at(typedLit(UrlHosts), (pmod(id, lit(8)) + 1).cast("int")),
-        element_at(array(lit(""), lit(":443"), lit(":80")),
-          pmod(id, lit(3)).cast("int") + 1),
-        element_at(typedLit(UrlPaths), (pmod(id, lit(5)) + 1).cast("int")),
-        id,
-        element_at(array(lit("/"), lit("")),
-          pmod(id, lit(2)).cast("int") + 1),
-        element_at(array(lit("?utm_source=x&q=1"),
-          lit("?q=2&utm_campaign=y&gclid=g1"),
-          lit("?fbclid=f&utm_medium=z"), lit("")),
-          pmod(id, lit(4)).cast("int") + 1),
-        element_at(array(lit("#frag"), lit("")),
-          pmod(id, lit(2)).cast("int") + 1))
+      val url = syntheticUrl(col("doc_id"), col("doc_id"))
       docs(s, dir).select(col("doc_id"), url.as("url"),
         UrlFilter.canonicalUrl(url).as("canon"))
     }),
-      (s"""WITH u AS (
-         |  SELECT doc_id,
-         |    (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTPS://'
-         |       ELSE 'http://' END)
-         |    || ${duckList(UrlHosts)}[CAST(doc_id % 8 AS INT) + 1]
-         |    || (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN ':443'
-         |          ELSE ':80' END)
-         |    || ${duckList(UrlPaths)}[CAST(doc_id % 5 AS INT) + 1]
-         |    || doc_id
-         |    || (CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END)
-         |    || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&q=1'
-         |          WHEN 1 THEN '?q=2&utm_campaign=y&gclid=g1'
-         |          WHEN 2 THEN '?fbclid=f&utm_medium=z' ELSE '' END)
-         |    || (CASE doc_id % 2 WHEN 0 THEN '#frag' ELSE '' END) AS url
-         |  FROM documents),
-         |st AS (
-         |  SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag
-         |  FROM u),
-         |sh0 AS (
-         |  SELECT doc_id, url, nofrag,
-         |    regexp_extract(nofrag,
-         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS sh
-         |  FROM st),
-         |parts AS (
-         |  SELECT doc_id, url,
-         |    CASE WHEN lower(sh) LIKE 'http://%' AND lower(sh) LIKE '%:80'
-         |           THEN substr(lower(sh), 1, length(sh) - 3)
-         |         WHEN lower(sh) LIKE 'https://%' AND lower(sh) LIKE '%:443'
-         |           THEN substr(lower(sh), 1, length(sh) - 4)
-         |         ELSE lower(sh) END AS shp,
-         |    substr(nofrag, length(sh) + 1) AS tail
-         |  FROM sh0),
-         |pq AS (
-         |  SELECT doc_id, url, shp,
-         |    CASE WHEN strpos(tail, '?') = 0 THEN tail
-         |         ELSE substr(tail, 1, strpos(tail, '?') - 1) END AS p,
-         |    CASE WHEN strpos(tail, '?') = 0 THEN ''
-         |         ELSE substr(tail, strpos(tail, '?') + 1) END AS qs
-         |  FROM parts),
-         |canon AS (
-         |  SELECT doc_id, url, shp,
-         |    CASE WHEN p LIKE '%/' AND length(p) > 1
-         |         THEN substr(p, 1, length(p) - 1) ELSE p END AS p2,
-         |    list_filter(string_split(qs, '&'), x -> len(x) > 0
-         |      AND NOT regexp_matches(x,
-         |        '^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|ttclid|mc_eid)='))
-         |      AS ps
-         |  FROM pq)
-         |SELECT doc_id, url,
-         |  shp || p2 || (CASE WHEN len(ps) > 0
-         |    THEN '?' || array_to_string(ps, '&') ELSE '' END) AS canon
-         |FROM canon""".stripMargin)),
+      // NOTE: no outer stripMargin — the interpolated fragments are
+      // already stripped and contain '||' concatenations a second
+      // margin pass would mangle
+      (s"WITH ${syntheticUrlCte("doc_id")},\n" +
+        s"$urlCanonChainSql\n" +
+        "SELECT doc_id, url, canon FROM cu")),
+    // URL-keyed dedup: fold the page number mod 40 so ~125 docs share
+    // each page under scheme-case/port/slash/tracking/frag variants;
+    // grouping on the CANONICAL form must collapse exactly the
+    // variants the canonicalizer declares equivalent (http vs https
+    // stay distinct — that split is the gate's teeth)
+    ("dedup_url",
+      ((s, dir) => {
+      val url = syntheticUrl(col("doc_id"), pmod(col("doc_id"), lit(40)))
+      UrlFilter.canonicalDedup(
+        docs(s, dir).select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+    }),
+      (s"WITH ${syntheticUrlCte("(doc_id % 40)")},\n" +
+        s"$urlCanonChainSql\n" +
+        "SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
+        "  CAST(MIN(doc_id) AS BIGINT) AS survivor_id\n" +
+        "FROM cu GROUP BY 1")),
     // HTML -> text extraction (the WET step of a crawl corpus): the
     // documents are wrapped in a deterministic HTML envelope (tags,
     // comments, script/style, encoded entities), then extracted; the

@@ -355,6 +355,42 @@ object Graph {
     }
   }
 
+  /** Two-hop reach / bounded harmonic centrality — "how much of the
+    * graph does v touch within two hops?": n1 = |N1(v)| direct
+    * neighbors, n2 = |N2(v)| nodes at distance EXACTLY 2, and the
+    * harmonic score Σ 1/d truncated at radius 2 in exact micros
+    * (h2_micro = n1·10⁶ + n2·5·10⁵ — reciprocals of 1 and 2 are
+    * exact, no transcendental). The influence/coverage audit between
+    * [[triangleCounts]]' closed wedges and [[bfsDistances]]' seeded
+    * horizons. Returns (v, n1, n2, h2_micro).
+    *
+    * Scale shape: one degree aggregation + one wedge self-join with
+    * a distinct and an anti-join back to the edge set. The wedge
+    * stage is Σ deg² — a power-law hub makes that the dominant term
+    * (the price of EXACT 2-hop sets; the sketch alternative is an HLL
+    * per frontier, traded away here for oracle replayability). */
+  def twoHopReach(edges: DataFrame): DataFrame = {
+    val dir = directedEdges(edges, dedup = true)
+    try {
+      val n1 = dir.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("n1"))
+      val hop2 = dir.as("e1")
+        .join(dir.as("e2"), col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("v"), col("e2.dst").as("u"))
+        .filter(col("v") =!= col("u"))
+        .distinct()
+        .join(dir.select(col("src").as("v"), col("dst").as("u")),
+          Seq("v", "u"), "left_anti")
+        .groupBy(col("v")).agg(count(lit(1)).as("n2"))
+      n1.join(hop2, Seq("v"), "left")
+        .select(col("v"), col("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"))
+        .withColumn("h2_micro",
+          col("n1") * 1000000L + col("n2") * 500000L)
+        .localCheckpoint(true)
+    } finally { dir.unpersist(false); () }
+  }
+
   /** Bounded k-core peel (Seidman 1983) — the dense-backbone filter
     * next to [[labelPropagation]]'s communities: repeatedly remove
     * nodes of degree < k; what survives is the k-core, the region

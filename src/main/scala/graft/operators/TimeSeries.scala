@@ -319,9 +319,40 @@ object TimeSeries {
       "lags must be in [1, 3660]")
     val base = daily.select(col("d"), col("n").cast("long").as("n"))
     lags.map { k =>
-      val pairs = base.as("a").join(base.as("b"),
+      lagPearsonMicro(base.as("a").join(base.as("b"),
           expr(s"date_add(a.d, $k) = b.d"))
-        .select(col("a.n").as("x"), col("b.n").as("y"))
+        .select(col("a.n").as("x"), col("b.n").as("y")), k)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Lagged CROSS-correlation between two daily series — "does A lead
+    * B?": Pearson r between (A at day d, B at day d+k) for each lag
+    * (negative k = B leads A), same exact-integer sums-of-products /
+    * floor(sqrt) / Pearson-clamp discipline as [[autocorrelation]].
+    * The pipeline question it answers: does ingest volume lead order
+    * volume, does a quality dip lead a traffic dip, and by how many
+    * days. Output per lag: (lag, n_pairs, r_micro).
+    *
+    * Scale shape: both sides are DAY ROLLUPS (the gapfill contract) —
+    * the joins and aggregates are day-bounded, never event-sized. */
+  def crossCorrelation(dailyA: DataFrame, dailyB: DataFrame,
+                       lags: Seq[Int] = Seq(-7, -1, 0, 1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(k => k >= -3660 && k <= 3660),
+      "lags must be in [-3660, 3660]")
+    val a = dailyA.select(col("d"), col("n").cast("long").as("n"))
+    val b = dailyB.select(col("d"), col("n").cast("long").as("n"))
+    lags.map { k =>
+      lagPearsonMicro(a.as("a").join(b.as("b"),
+          expr(s"date_add(a.d, $k) = b.d"))
+        .select(col("a.n").as("x"), col("b.n").as("y")), k)
+    }.reduce(_ unionByName _)
+  }
+
+  /** One lag's Pearson in exact integer micros (shared by
+    * [[autocorrelation]] and [[crossCorrelation]]): the
+    * sums-of-products form with decimal(38) interiors, floor(sqrt)
+    * denominators, and the Pearson-bound clamp. */
+  private def lagPearsonMicro(pairs: DataFrame, k: Int): DataFrame = {
       pairs.agg(count(lit(1)).as("n_pairs"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
@@ -351,6 +382,5 @@ object TimeSeries {
             "ELSE -CAST((-_num) * 1000000 div _den AS LONG) END)) " +
             "END"))
         .select(col("lag"), col("n_pairs"), col("r_micro"))
-    }.reduce(_ unionByName _)
   }
 }

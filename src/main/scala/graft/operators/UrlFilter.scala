@@ -115,4 +115,23 @@ object UrlFilter {
     flag(df, urlCol, blockedDomains, blockedPathParts)
       .filter(!col("blocked"))
       .drop("host", "registered_domain", "reason", "blocked")
+
+  /** URL-keyed dedup groups — the crawl-corpus collapse step BEFORE
+    * any content hashing: re-fetches of one page under scheme-case /
+    * default-port / trailing-slash / tracking-param / fragment
+    * variants all share a [[canonicalUrl]], so grouping on it finds
+    * them at the cost of one hash aggregation (no shingles, no
+    * signatures). Survivor = smallest id (the [[Dedup]] convention).
+    * One row per canonical URL: (canon, n_docs, survivor_id) —
+    * filter `n_docs >= 2` for the collapse report.
+    *
+    * Scale shape: one narrow projection (the canonicalizer is pure
+    * string ops, codegen'd) + one hash aggregation on the canonical
+    * key — map-side combined, no window, no join. */
+  def canonicalDedup(df: DataFrame, idCol: String,
+                     urlCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        canonicalUrl(col(urlCol)).as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("survivor_id"))
 }

@@ -100,6 +100,26 @@ class GraphSpec extends GraftSpec {
     assert(r("e") == ((1L, 0L, None)) && r("g") == ((1L, 0L, None)))
   }
 
+  test("twoHopReach: path and star — exact distance-2 sets, micros") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Graph.twoHopReach(df).collect()
+        .map(x => x.getString(0) -> ((x.getAs[Long]("n1"),
+          x.getAs[Long]("n2"), x.getAs[Long]("h2_micro")))).toMap
+    val p = run(path)
+    // a-b-c-d: ends reach 1 direct + 1 at distance 2; middles 2 + 1
+    assert(p("a") == ((1L, 1L, 1500000L)))
+    assert(p("b") == ((2L, 1L, 2500000L)))
+    assert(p("c") == ((2L, 1L, 2500000L)))
+    assert(p("d") == ((1L, 1L, 1500000L)))
+    // star center reaches everything directly (n2 = 0); leaves see
+    // the other two leaves through the hub
+    val star = Seq(("h", "x"), ("h", "y"), ("h", "z")).toDF("src", "dst")
+    val s = run(star)
+    assert(s("h") == ((3L, 0L, 3000000L)))
+    assert(s("x") == ((1L, 2L, 2000000L)))
+  }
+
   test("kCorePeel: chain peels in cascading rounds; round budget reports non-convergence loudly") {
     // triangle {a,b,c} + chain c-d-e at k=2: round 1 drops e (deg 1),
     // round 2 drops d (now deg 1), round 3 finds the fixpoint

@@ -247,4 +247,23 @@ class TimeSeriesSpec extends GraftSpec {
     val rc = TimeSeries.autocorrelation(const, Seq(1)).collect().head
     assert(rc.isNullAt(rc.fieldIndex("r_micro")))
   }
+
+  test("crossCorrelation: a 1-day-shifted copy peaks at lag 1; empty lag emits (lag, 0, null)") {
+    val a = Seq(0L, 2L, 0L, 2L).zipWithIndex.map { case (n, i) =>
+      (Date.valueOf(s"2024-01-0${i + 1}"), n) }.toDF("d", "n")
+    // B is A delayed one day: days 2-5 carry A's days 1-4
+    val b = Seq(0L, 2L, 0L, 2L).zipWithIndex.map { case (n, i) =>
+      (Date.valueOf(s"2024-01-0${i + 2}"), n) }.toDF("d", "n")
+    val r = TimeSeries.crossCorrelation(a, b, Seq(0, 1, 30)).collect()
+      .map(x => x.getAs[Long]("lag") ->
+        ((x.getAs[Long]("n_pairs"),
+          Option(x.getAs[Any]("r_micro")).map(_.asInstanceOf[Long]))))
+      .toMap
+    // aligned at the true delay: perfect correlation over all 4 pairs
+    assert(r(1L) == ((4L, Some(1000000L))))
+    // misaligned by the period half: anti-correlated, clamp pins -1e6
+    assert(r(0L) == ((3L, Some(-1000000L))))
+    // a lag past the overlap emits the degenerate row, not no row
+    assert(r(30L) == ((0L, None)))
+  }
 }

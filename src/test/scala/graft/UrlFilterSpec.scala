@@ -93,4 +93,20 @@ class UrlFilterSpec extends GraftSpec {
     val plan = kept.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
+
+  test("canonicalDedup: variants of one page collapse, schemes stay split, min id survives") {
+    val df = Seq(
+      (1L, "https://ex.com/a?utm_source=1"),
+      (2L, "HTTPS://ex.com:443/a/"),
+      (3L, "http://ex.com/a"),
+      (7L, "https://ex.com/a#frag")).toDF("doc_id", "url")
+    val r = graft.operators.UrlFilter.canonicalDedup(df, "doc_id", "url")
+      .collect()
+      .map(x => x.getString(0) ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("survivor_id"))))
+      .toMap
+    assert(r("https://ex.com/a") == ((3L, 1L)))
+    assert(r("http://ex.com/a") == ((1L, 3L)))
+    assert(r.size == 2)
+  }
 }
