@@ -238,6 +238,9 @@ class PlanShapeSpec extends GraftSpec {
       // frame against itself (|statuses| x |priorities| = 15 cells
       // here; category cardinality, never corpus rows)
       "st_chi2_cells",
+      // Cramér's V composes the same chi-square cell frame (category
+      // margins crossed) into its one-row summary
+      "st_cramers_v",
       // table profiler: per requested column, the report row is
       // assembled by a 1-row x 1-row join (the scan-shaped stats
       // aggregate against the argmax row of the value-keyed
@@ -383,5 +386,49 @@ class PlanShapeSpec extends GraftSpec {
     val textKeyed = exchanges.filter(_.contains("text"))
     assert(textKeyed.isEmpty,
       s"an exchange is keyed on the transcript: $textKeyed")
+  }
+
+  test("kendall tau's gate frame is the EAGER bounded result, not a lazy quadratic") {
+    // kendallTau require-bounds the cell table BEFORE its quadratic
+    // pair join, runs the join eagerly (the broadcast NLJ executes
+    // inside the operator, against ≤ maxCells rows — StatsSpec pins
+    // the guard), and hands back a materialized localCheckpoint — so
+    // the gate's own plan must be a flat checkpoint scan with no
+    // joins left to run at corpus scale
+    val p = plan("st_kendall_tau")
+    assert(p.contains("ExistingRDD"),
+      s"expected a materialized checkpoint scan in:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the quadratic leaked into the gate plan:\n$p")
+  }
+
+  test("mann-whitney and moments are scan-shaped: partial aggregation, no row-sized window") {
+    // MWU's only window runs over the DISTINCT-value frame (after the
+    // value aggregation), so the raw scan must feed a two-level
+    // HashAggregate first; the moments profile is one partial-agg scan
+    // with no window and no join at all
+    val pm = plan("st_mann_whitney")
+    assert("HashAggregate".r.findAllIn(pm).length >= 2,
+      s"expected partial+final value aggregation in:\n$pm")
+    val mo = plan("st_moments")
+    assert("HashAggregate".r.findAllIn(mo).length >= 2,
+      s"expected partial+final power-sum aggregation in:\n$mo")
+    assert(!mo.contains("Window") && !mo.contains("Join"),
+      s"moments should be a pure scan+fold:\n$mo")
+  }
+
+  test("URL-canonical dedup is one hash aggregation over a codegen'd projection") {
+    val p = plan("dedup_url")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one shuffle (the canon-key agg) in:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"canonical dedup must not join or window:\n$p")
+  }
+
+  test("ECE bins aggregate with a map-side partial and no window") {
+    val p = plan("eval_ece")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final bin aggregation in:\n$p")
+    assert(!p.contains("Window"), s"ECE must not window:\n$p")
   }
 }
