@@ -96,6 +96,50 @@ object Queries {
         |  FROM dir JOIN p2 ON dir.src = p2.v JOIN deg ON dir.src = deg.src
         |  GROUP BY dir.dst)
         |SELECT v, ROUND(r, 6) AS rank FROM p3""".stripMargin),
+    // G15: WEIGHTED PageRank over the same customer–supplier graph
+    // with edge weight = number of distinct linking orders — the
+    // multiplicity g1's distinct() deliberately drops; integer
+    // out-mass keeps the denominators exact, the oracle unrolls the
+    // same 3 damped rounds
+    ("g15_wpagerank",
+      ((s, dir) => {
+      val e = tbl(s, dir, "orders")
+        .join(li(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"),
+          col("o_orderkey"))
+        .groupBy(col("src"), col("dst"))
+        .agg(countDistinct(col("o_orderkey")).as("w"))
+      graft.operators.Graph.pageRankWeighted(e, iterations = 3)
+        .select(col("v"), round(col("r"), 6).as("rank"))
+    }),
+      """WITH e AS (
+        |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |dir AS (
+        |  SELECT src, dst, w FROM e
+        |  UNION ALL SELECT dst AS src, src AS dst, w FROM e),
+        |wo AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+        |       FROM dir GROUP BY src),
+        |p0 AS (SELECT src AS v, 1.0::DOUBLE AS r FROM wo),
+        |p1 AS (
+        |  SELECT dir.dst AS v,
+        |    0.15 + 0.85 * SUM(p0.r * dir.w / wo.wout) AS r
+        |  FROM dir JOIN p0 ON dir.src = p0.v JOIN wo ON dir.src = wo.src
+        |  GROUP BY dir.dst),
+        |p2 AS (
+        |  SELECT dir.dst AS v,
+        |    0.15 + 0.85 * SUM(p1.r * dir.w / wo.wout) AS r
+        |  FROM dir JOIN p1 ON dir.src = p1.v JOIN wo ON dir.src = wo.src
+        |  GROUP BY dir.dst),
+        |p3 AS (
+        |  SELECT dir.dst AS v,
+        |    0.15 + 0.85 * SUM(p2.r * dir.w / wo.wout) AS r
+        |  FROM dir JOIN p2 ON dir.src = p2.v JOIN wo ON dir.src = wo.src
+        |  GROUP BY dir.dst)
+        |SELECT v, ROUND(r, 6) AS rank FROM p3""".stripMargin),
     // G2: per-node triangle counts over the part co-purchase graph of a
     // 10% order sample (parts sharing an order = an edge; each order's
     // item set is a clique, so triangles exist at every SF). Spark side

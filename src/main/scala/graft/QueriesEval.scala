@@ -20,16 +20,13 @@ object QueriesEval {
   private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
     s.read.parquet(s"$dir/events.parquet")
 
-  /** Whole-corpus moments SQL — shared verbatim by `st_moments` and
-    * `st_moments_merge` (merged per-source partials must reproduce the
-    * whole-corpus numbers exactly). Power sums exact in HUGEINT; the
-    * finalize mirrors Spark's IEEE-double chain op for op (only
-    * exactly-rounded ops — +, −, ×, ÷, sqrt, floor). */
-  private val momentsOracleSql =
-    """WITH r AS (
-      |  SELECT CAST(n_chars AS HUGEINT) AS x FROM documents
-      |  WHERE n_chars IS NOT NULL),
-      |p AS (
+  /** Moments finalize chain continuing from an `r(x HUGEINT)` CTE —
+    * power sums exact in HUGEINT; the finalize mirrors Spark's
+    * IEEE-double chain op for op (only exactly-rounded ops — +, −,
+    * ×, ÷, sqrt, floor). Shared by `st_moments`, `st_moments_merge`,
+    * and the streaming `s5d_moments_monitor` gate. */
+  private[graft] val momentsChainFromR =
+    """p AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s1,
       |    SUM(x * x) AS s2, SUM(x * x * x) AS s3,
       |    SUM(x * x * x * x) AS s4
@@ -60,6 +57,14 @@ object QueriesEval {
       |    CAST(FLOOR(1000 * n3m4 / (nm2 * nm2)) - 3000 AS BIGINT) END
       |    AS kurt_excess_milli
       |FROM c""".stripMargin
+
+  /** Whole-corpus document-length moments SQL (st_moments /
+    * st_moments_merge). */
+  private val momentsOracleSql =
+    "WITH r AS (\n" +
+      "  SELECT CAST(n_chars AS HUGEINT) AS x FROM documents\n" +
+      "  WHERE n_chars IS NOT NULL),\n" +
+      momentsChainFromR
 
   /** Source-majority predicted language: the per-source argmax lang
     * (count desc, lang asc tiebreak) — the baseline "classifier" the
@@ -1456,6 +1461,43 @@ object QueriesEval {
         |  CAST(MAX(gap) AS BIGINT) AS max_gap_micro,
         |  (SELECT bin FROM g ORDER BY gap DESC, bin ASC LIMIT 1)
         |    AS max_gap_bin
+        |FROM g""".stripMargin),
+    // Murphy decomposition of the Brier score over the same bins as
+    // eval_ece: reliability (calibration penalty), resolution (skill),
+    // uncertainty (base-rate floor) — each term floored micros
+    ("eval_brier_decomp",
+      ((s, dir) => EvalMetrics.brierDecomposition(
+        docs(s, dir).select(
+          least(col("n_chars") * 2000, lit(1000000L)).cast("long")
+            .as("sm"),
+          (col("lang") === "en").as("y")), "sm", "y")),
+      """WITH d AS (
+        |  SELECT LEAST(n_chars * 2000, 1000000) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (
+        |  SELECT LEAST(s * 10 // 1000000, 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS nk,
+        |    CAST(SUM(s) AS BIGINT) AS ss,
+        |    CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM d GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(nk) AS BIGINT) AS n,
+        |    CAST(SUM(sy) * 1000000 // SUM(nk) AS BIGINT) AS obar
+        |  FROM b),
+        |g AS (
+        |  SELECT b.nk, ss // nk AS conf, sy * 1000000 // nk AS acc,
+        |    t.n, t.obar
+        |  FROM b, t)
+        |SELECT MAX(n) AS n, MAX(obar) AS obar_micro,
+        |  CAST(SUM(CAST(nk AS HUGEINT) * (conf - acc) * (conf - acc))
+        |    // (CAST(MAX(n) AS HUGEINT) * 1000000) AS BIGINT)
+        |    AS reliability_micro,
+        |  CAST(SUM(CAST(nk AS HUGEINT) * (acc - obar) * (acc - obar))
+        |    // (CAST(MAX(n) AS HUGEINT) * 1000000) AS BIGINT)
+        |    AS resolution_micro,
+        |  CAST(MAX(obar) * (1000000 - MAX(obar)) // 1000000 AS BIGINT)
+        |    AS uncertainty_micro
         |FROM g""".stripMargin),
     // HITS hubs/authorities over the directed customer->supplier
     // graph (two max-normalized mutual-recursion rounds, unrolled in

@@ -1654,6 +1654,27 @@ object QueriesSystem {
         |SELECT cu.day, cu.n, cu.dev_milli, cu.cusum_milli,
         |  cu.day = pk.peak_day AS is_peak
         |FROM cu, pk""".stripMargin),
+    // live distribution-shape monitor over the same staged stream:
+    // per-batch power-sum partials (n, Σx..Σx⁴ of the value cents)
+    // land idempotently and the moment profile refits from the summed
+    // partials — the final snapshot must equal the batch
+    // momentsProfile of the whole input (the st_moments_merge
+    // identity, live), which is what the oracle computes
+    ("s5d_moments_monitor",
+      ((s, dir) => {
+      val in = stageLeaderboardInput(s, dir)
+      val wh = tmp("graft-mm-wh"); val cp = tmp("graft-mm-cp")
+      val q = graft.streaming.MomentsMonitor.start(s, in, wh, cp)
+      try q.awaitTermination() finally q.stop()
+      graft.streaming.MomentsMonitor.current(s, wh)
+        .select(col("n"), col("mean_micro"), col("m2"),
+          col("skew_milli"), col("kurt_excess_milli"))
+    }),
+      ("WITH r AS (\n" +
+        "  SELECT CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)" +
+        " AS x\n" +
+        "  FROM events WHERE value IS NOT NULL),\n" +
+        QueriesEval.momentsChainFromR)),
     // the GRPO group-baseline streaming twin driven end-to-end: the
     // staged ingest stream through startConversations(mode=grpo_stats)
     // — O(1) state per open group (count, sum, decimal sum of squares),

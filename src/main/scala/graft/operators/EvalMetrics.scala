@@ -761,18 +761,7 @@ object EvalMetrics {
   def expectedCalibrationError(df: DataFrame, scoreMicroCol: String,
                                labelCol: String,
                                nBins: Int = 10): DataFrame = {
-    require(nBins >= 1 && nBins <= 1000, "nBins must be in [1, 1000]")
-    val rows = df.select(col(scoreMicroCol).cast("long").as("s"),
-        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
-      .filter(col("s").isNotNull)
-    val bins = rows
-      .withColumn("bin",
-        least(expr(s"s * $nBins div 1000000"), lit(nBins - 1L)))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("nk"), sum(col("s")).as("_ss"),
-        sum(col("y")).as("_sy"))
-      .withColumn("conf_micro", expr("_ss div nk"))
-      .withColumn("acc_micro", expr("_sy * 1000000L div nk"))
+    val bins = calibrationBins(df, scoreMicroCol, labelCol, nBins)
       .withColumn("gap_micro", abs(col("conf_micro") - col("acc_micro")))
     bins.agg(
         sum(col("nk")).as("n"),
@@ -786,6 +775,67 @@ object EvalMetrics {
       .select(col("n"), col("n_bins_used"), col("ece_micro"),
         col("_mx.gap_micro").as("max_gap_micro"),
         (-col("_mx._nb")).as("max_gap_bin"))
+  }
+
+  /** The shared equal-width confidence-bin frame:
+    * (bin, nk, _sy, conf_micro, acc_micro) with floored micro means;
+    * score = 10⁶ folds into the top bin. */
+  private def calibrationBins(df: DataFrame, scoreMicroCol: String,
+                              labelCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1 && nBins <= 1000, "nBins must be in [1, 1000]")
+    df.select(col(scoreMicroCol).cast("long").as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
+      .withColumn("bin",
+        least(expr(s"s * $nBins div 1000000"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("s")).as("_ss"),
+        sum(col("y")).as("_sy"))
+      .withColumn("conf_micro", expr("_ss div nk"))
+      .withColumn("acc_micro", expr("_sy * 1000000L div nk"))
+  }
+
+  /** Murphy (1973) Brier decomposition over the same bins as
+    * [[expectedCalibrationError]]: reliability (how far each bin's
+    * confidence sits from its accuracy — the penalty), resolution
+    * (how far bin accuracies spread from the base rate — the skill),
+    * uncertainty (the base rate's own variance — the floor). All in
+    * floored micros: rel = Σnₖ(conf−acc)² div (n·10⁶),
+    * res = Σnₖ(acc−ō)² div (n·10⁶), unc = ō(10⁶−ō) div 10⁶ — the
+    * exact identity brier = rel − res + unc holds pre-flooring; the
+    * floored terms are each exact, DECLARED semantics. One row:
+    * (n, obar_micro, reliability_micro, resolution_micro,
+    * uncertainty_micro).
+    *
+    * Scale shape: one scan-shaped bin aggregation, windows only over
+    * the ≤ nBins bin frame, then a 1-row fold. */
+  def brierDecomposition(df: DataFrame, scoreMicroCol: String,
+                         labelCol: String, nBins: Int = 10): DataFrame = {
+    val bins = calibrationBins(df, scoreMicroCol, labelCol, nBins)
+      .withColumn("_n", expr("sum(nk) over ()"))
+      .withColumn("_obar", expr(
+        "sum(_sy) over () * 1000000L div sum(nk) over ()"))
+    bins.agg(
+        first(col("_n")).as("n"),
+        first(col("_obar")).as("obar_micro"),
+        sum(col("nk").cast("decimal(38,0)") *
+          (col("conf_micro") - col("acc_micro")) *
+          (col("conf_micro") - col("acc_micro"))).as("_rel"),
+        sum(col("nk").cast("decimal(38,0)") *
+          (col("acc_micro") - col("_obar")) *
+          (col("acc_micro") - col("_obar"))).as("_res"))
+      .withColumn("reliability_micro", expr(
+        "CASE WHEN n > 0 THEN " +
+          "CAST(_rel div (CAST(n AS DECIMAL(38,0)) * 1000000) " +
+          "AS LONG) END"))
+      .withColumn("resolution_micro", expr(
+        "CASE WHEN n > 0 THEN " +
+          "CAST(_res div (CAST(n AS DECIMAL(38,0)) * 1000000) " +
+          "AS LONG) END"))
+      .withColumn("uncertainty_micro", expr(
+        "obar_micro * (1000000L - obar_micro) div 1000000L"))
+      .select(col("n"), col("obar_micro"), col("reliability_micro"),
+        col("resolution_micro"), col("uncertainty_micro"))
   }
 
   def isotonicCalibration(df: DataFrame, bucketCol: String,

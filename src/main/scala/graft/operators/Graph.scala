@@ -80,6 +80,57 @@ object Graph {
     }
   }
 
+  /** Edge-WEIGHTED PageRank — [[pageRank]] with per-edge multiplicity
+    * (co-purchase counts, interaction frequencies) instead of the
+    * plain adjacency: each round distributes r(u)·w(u,v)/Σw(u,·).
+    * Weights must be INTEGER-VALUED (long) — the out-mass Σw is then
+    * an exact long (no float summation-order nondeterminism in the
+    * static denominators), and each round's only float work is the
+    * damped sum the unrolled-CTE oracle replays like g1_pagerank.
+    * `edges`: (src, dst, w) distinct undirected pairs with w ≥ 1.
+    * Returns (v, r).
+    *
+    * Scale shape: identical to [[pageRank]] — the weighted edge list
+    * is repartitioned on src once and persisted with the out-mass
+    * folded in; per round only the node-sized rank table shuffles. */
+  def pageRankWeighted(edges: DataFrame, iterations: Int = 3,
+                       damping: Double = 0.85): DataFrame = {
+    val dir = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst"), col("w").cast("long").as("w")))
+      .repartition(col("src"))
+      .persist()
+    val wout = dir.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      .persist()
+    val withW = dir.join(wout, "src").persist()
+    var ranks = wout.select(col("src").as("v"), lit(1.0).as("r"))
+      .persist()
+    ranks.count()
+    try {
+      (1 to iterations).foreach { _ =>
+        val next = withW
+          .join(ranks, withW("src") === ranks("v"))
+          .select(col("dst"),
+            (col("r") * col("w") / col("wout")).as("m"))
+          .groupBy(col("dst"))
+          .agg((lit(1.0 - damping) + lit(damping) * sum(col("m")))
+            .as("r"))
+          .select(col("dst").as("v"), col("r"))
+          .persist()
+        next.count()
+        ranks.unpersist(false)
+        ranks = next
+      }
+      ranks.localCheckpoint(true)
+    } finally {
+      dir.unpersist(false)
+      wout.unpersist(false)
+      withW.unpersist(false)
+      ranks.unpersist(false)
+    }
+  }
+
   /** Per-node triangle participation counts over an undirected graph —
     * the clustering/cohesion metric next to [[pageRank]]'s centrality
     * (each triangle {x,y,z} increments all three nodes).

@@ -498,4 +498,19 @@ class EvalMetricsSpec extends GraftSpec {
     assert(rp.getAs[Long]("ece_micro") == 0L &&
       rp.getAs[Long]("n_bins_used") == 2L)
   }
+
+  test("brierDecomposition: hand-folded reliability/resolution/uncertainty") {
+    // same 3 rows as the ECE case: obar = 333333, rel =
+    // (1*50000^2 + 2*450000^2) div 3e6 = 135833, res =
+    // (1*obar^2 + 2*(500000-obar)^2) div 3e6 = 55555, unc =
+    // obar*(1e6-obar) div 1e6 = 222222
+    val df = Seq((50000L, false), (950000L, true), (950000L, false))
+      .toDF("sm", "y")
+    val r = EvalMetrics.brierDecomposition(df, "sm", "y").collect().head
+    assert(r.getAs[Long]("n") == 3L &&
+      r.getAs[Long]("obar_micro") == 333333L)
+    assert(r.getAs[Long]("reliability_micro") == 135833L)
+    assert(r.getAs[Long]("resolution_micro") == 55555L)
+    assert(r.getAs[Long]("uncertainty_micro") == 222222L)
+  }
 }

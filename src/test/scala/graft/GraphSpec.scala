@@ -100,6 +100,24 @@ class GraphSpec extends GraftSpec {
     assert(r("e") == ((1L, 0L, None)) && r("g") == ((1L, 0L, None)))
   }
 
+  test("pageRankWeighted: unit weights equal plain pageRank; a heavy edge pulls rank") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    val plain = graft.operators.Graph.pageRank(
+        edges.toDF("src", "dst"), iterations = 3).collect()
+      .map(r => r.getString(0) -> math.rint(r.getDouble(1) * 1e9)).toMap
+    val unit = graft.operators.Graph.pageRankWeighted(
+        edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+        iterations = 3).collect()
+      .map(r => r.getString(0) -> math.rint(r.getDouble(1) * 1e9)).toMap
+    assert(unit == plain, s"unit-weight ranks diverge: $unit vs $plain")
+    // h cites x with 10x the mass it cites y: x must outrank y
+    val star = Seq(("h", "x", 10L), ("h", "y", 1L))
+      .toDF("src", "dst", "w")
+    val r = graft.operators.Graph.pageRankWeighted(star, iterations = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("x") > r("y"), s"weighted pull failed: $r")
+  }
+
   test("twoHopReach: path and star — exact distance-2 sets, micros") {
     val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
     def run(df: org.apache.spark.sql.DataFrame) =
