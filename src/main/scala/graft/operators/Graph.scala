@@ -34,14 +34,26 @@ object Graph {
     * the undirected edge list doubled into both orientations,
     * repartitioned ON `src` once, and PERSISTED — so each round's
     * edge-side join reuses the partitioning and only node-sized
-    * frames shuffle per round. Ownership contract: the CALLER
-    * unpersists (in its `finally`); the helper never does. */
+    * frames shuffle per round. The doubling is `inline(array(e, eᵀ))`
+    * — ONE generator over one scan — not a self-union: a union's two
+    * arms each re-evaluate the upstream edge derivation (typically a
+    * join + distinct over the fact table), doubling the most
+    * expensive stage of every graph job for no semantic difference
+    * (same multiset; both orientations of a row fan out from the
+    * same input row). Ownership contract: the CALLER unpersists (in
+    * its `finally`); the helper never does. */
   private def directedEdges(edges: DataFrame,
-                            dedup: Boolean = false): DataFrame = {
-    val d = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"),
-        col("src").as("dst")))
-    (if (dedup) d.distinct() else d).repartition(col("src")).persist()
+                            dedup: Boolean = false): DataFrame =
+    doubled(edges, dedup).repartition(col("src")).persist()
+
+  /** The doubling alone (pre-repartition/persist) — split out so plan
+    * audits/specs can pin the one-scan claim. */
+  private[graft] def doubled(edges: DataFrame,
+                             dedup: Boolean = false): DataFrame = {
+    val d = edges.select(inline(array(
+      struct(col("src"), col("dst")),
+      struct(col("dst").as("src"), col("src").as("dst")))))
+    if (dedup) d.distinct() else d
   }
 
   def pageRank(edges: DataFrame, iterations: Int = 3,
@@ -95,10 +107,13 @@ object Graph {
     * folded in; per round only the node-sized rank table shuffles. */
   def pageRankWeighted(edges: DataFrame, iterations: Int = 3,
                        damping: Double = 0.85): DataFrame = {
+    // single-generator doubling (see directedEdges): one upstream
+    // evaluation, not one per union arm
     val dir = edges
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .unionByName(edges.select(col("dst").as("src"),
-        col("src").as("dst"), col("w").cast("long").as("w")))
+      .select(inline(array(
+        struct(col("src"), col("dst"), col("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w")))))
       .repartition(col("src"))
       .persist()
     val wout = dir.groupBy(col("src")).agg(sum(col("w")).as("wout"))
@@ -149,6 +164,18 @@ object Graph {
     * Returns (v, n_triangles) for nodes in ≥1 triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val dir = directedEdges(edges)
+    try triangleCountsFromDir(dir)
+    finally dir.unpersist(false)
+  }
+
+  /** [[triangleCounts]] over a caller-built [[directedEdges]] prelude —
+    * lets [[clusteringCoefficient]] share ONE doubled/persisted edge
+    * list between its degree aggregation and the triangle pipeline
+    * instead of building (and paying the upstream edge derivation
+    * for) two. The caller owns `dir`'s unpersist; the returned frame
+    * is safe to consume after it (the oriented edge list is eagerly
+    * checkpointed here, so nothing downstream re-reads `dir`). */
+  private def triangleCountsFromDir(dir: DataFrame): DataFrame = {
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("v"), col("deg"))
     def ord(d: Column, id: Column): Column = struct(d, id)
@@ -165,7 +192,6 @@ object Graph {
       // it once and truncates the degree-join lineage, with storage
       // released by GC instead of caller-side unpersist bookkeeping
       .localCheckpoint(true)
-    dir.unpersist(false) // oriented is materialized; prelude no longer needed
     val e1 = oriented.select(col("a"), col("b").as("x"), col("ob").as("ox"))
     val e2 = oriented.select(col("a"), col("b").as("y"), col("ob").as("oy"))
     // wedges at the low vertex: unordered out-edge pairs, ordered by π
@@ -197,7 +223,10 @@ object Graph {
     val dir = directedEdges(edges)
     val deg = dir.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("deg"))
-    val tri = triangleCounts(edges)
+    // share the ONE doubled/persisted edge list with the triangle
+    // pipeline instead of letting triangleCounts rebuild it (which
+    // re-ran the upstream edge derivation a second time)
+    val tri = triangleCountsFromDir(dir)
     try deg
       .join(tri, Seq("v"), "left")
       .select(col("v"), col("deg"),
@@ -370,7 +399,10 @@ object Graph {
   def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
     require(iterations >= 1 && iterations <= 8,
       "iterations must be in [1, 8]")
-    val e = edges.select(col("src"), col("dst"))
+    // materialize the upstream edge derivation ONCE (it is typically a
+    // join + distinct over the fact table) before fanning out into the
+    // two partitioned copies — otherwise each repartition re-runs it
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val eBySrc = e.repartition(col("src")).persist()
     val eByDst = e.repartition(col("dst")).persist()
     var hubs = eBySrc.select(col("src").as("v")).distinct()

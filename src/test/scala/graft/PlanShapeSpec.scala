@@ -431,4 +431,28 @@ class PlanShapeSpec extends GraftSpec {
       s"expected partial+final bin aggregation in:\n$p")
     assert(!p.contains("Window"), s"ECE must not window:\n$p")
   }
+
+  test("graph edge doubling evaluates its upstream ONCE (inline generator, not a self-union)") {
+    // r16 optimization: doubling the undirected edge list as
+    // e.unionByName(eᵀ) re-ran the upstream edge derivation (a join +
+    // distinct over the fact table) once per union arm — every graph
+    // gate paid its most expensive stage twice. The inline(array(..))
+    // generator doubles rows from ONE evaluation; this pins both the
+    // single-scan claim and the generator's presence.
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val e = spark.read.parquet(s"$dir/orders.parquet")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    val p = operators.Graph.doubled(e)
+      .queryExecution.executedPlan.toString()
+    assert("Scan parquet".r.findAllIn(p).length == 2, // orders + lineitem
+      s"expected exactly one scan of each upstream table in:\n$p")
+    assert(p.contains("Generate"),
+      s"expected the inline(array(..)) generator in:\n$p")
+    // both orientations really are emitted (semantics unchanged)
+    val n = e.count()
+    assert(operators.Graph.doubled(e).count() == 2 * n)
+  }
 }
