@@ -46,3 +46,58 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // neighbor.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+
+// ---- Parallel test groups (r17) ----
+// The full suite ran serially in ONE forked JVM (69 min on the r16
+// build host); the r16 driver run hit its wall-clock cap with a
+// streaming suite still live. Split the suites into forked JVM groups
+// that run concurrently: each group gets its own SparkSession
+// (local[4]) and heap, fully isolating shared-session state. Heavy
+// suites are pinned to spread the load; the rest are hashed.
+val graftTestGroups = 6
+val graftTestGroupPins: Map[String, Int] = Map(
+  // measured-heavy / streaming suites, one anchor per group
+  "graft.StreamingSpec" -> 0,
+  "graft.ConversationsSpec" -> 1,
+  "graft.RandomizedInvariantsSpec" -> 2,
+  "graft.SinkRouterSpec" -> 3,
+  "graft.SamplingSpec" -> 4,
+  "graft.CorpusIngestSpec" -> 5,
+  // second-tier suites, spread away from their anchors
+  "graft.AnnIngestSpec" -> 2,
+  "graft.FrequencySpec" -> 1,
+  "graft.CdcSpec" -> 3,
+  "graft.CommitLogSpec" -> 4,
+  "graft.EvalMetricsSpec" -> 5,
+  "graft.OperatorsSpec" -> 1,
+  "graft.ChainSpec" -> 2,
+  "graft.PlanShapeSpec" -> 3,
+  "graft.StatsSpec" -> 4,
+  "graft.SimilaritySpec" -> 5,
+  "graft.DedupSpec" -> 0,
+  "graft.JdbcSinkSpec" -> 0,
+  // the 332-gate hygiene sweep gets a PRIVATE JVM: group 6 is outside
+  // the hash range (hash % graftTestGroups < 6), so nothing else lands
+  // there — the sweep is the suite's longest single test and under
+  // 6-way sibling contention it blew the 600 s per-test limit
+  "graft.GateHygieneSpec" -> 6,
+)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = ((Test / javaOptions).value.filterNot(_.startsWith("-Xmx"))
+    :+ s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "12g")}").toVector
+  tests
+    .groupBy(t => graftTestGroupPins.getOrElse(
+      t.name, math.abs(t.name.hashCode) % graftTestGroups))
+    .toSeq.sortBy(_._1)
+    .map { case (g, ts) =>
+      Tests.Group(s"group$g", ts,
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+    }
+}
+// let all groups run at once (+1 for the pinned-private group 6)
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, graftTestGroups + 1),
+  Tags.limitAll(math.max(graftTestGroups + 3, 9)))
+// per-test durations in the log so group balance stays measurable
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")

@@ -53,7 +53,7 @@ class AnnIngestSpec extends GraftSpec {
       // equidistant from both seeds: cos identical -> lower cell wins
       23L -> Array(1f, 1f, 0f, 0f)))
     val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     val cells = spark.read.parquet(out)
       .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
     assert(cells == Map(0L -> 0, 1L -> 1, 2L -> 0, 10L -> 1, 23L -> 0))
@@ -71,7 +71,7 @@ class AnnIngestSpec extends GraftSpec {
     stage(in, 1, Seq(5L -> Array(0.2f, 0.8f, 0f, 0f),
       6L -> Array(0.8f, 0.2f, 0f, 0f)))
     val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     // physical layout: cell directories under each batch-commit scope
     // (partition pruning on cell is the probe-time index lookup; the
     // _batch level is the idempotent-replay commit unit)
@@ -100,7 +100,7 @@ class AnnIngestSpec extends GraftSpec {
     // into _batch=1; batch 2 keeps its own partition
     val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2,
       compactEvery = 3)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     val batchDirs = new java.io.File(s"$idx/vectors").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(batchDirs == Set("_batch=1", "_batch=2"), s"got $batchDirs")
@@ -124,7 +124,7 @@ class AnnIngestSpec extends GraftSpec {
       10L -> Array(0.9f, 0.1f, 0f, 0f), 11L -> Array(0.8f, 0.2f, 0f, 0f),
       12L -> Array(0.1f, 0.9f, 0f, 0f), 13L -> Array(0.2f, 0.8f, 0f, 0f)))
     val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     AnnIngest.rebuild(spark, idx, nlist = 2, iters = 2)
     // fresh epoch folded into the newest batch scope (layout stays
     // append-compatible: future batches add sibling _batch= dirs)
@@ -176,7 +176,7 @@ class AnnIngestSpec extends GraftSpec {
     stage(in, 1, Seq(
       10L -> Array(0.9f, 0.1f, 0f, 0f), 12L -> Array(0.1f, 0.9f, 0f, 0f)))
     val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     // keep the pre-rebuild state, run the rebuild, keep its result
     val preVec = tmp("ai-rbc-prevec"); val preCent = tmp("ai-rbc-precent")
     copyDir(new java.io.File(s"$idx/vectors"), new java.io.File(preVec))
@@ -237,7 +237,7 @@ class AnnIngestSpec extends GraftSpec {
     stage(in, 1, Seq(10L -> Array(0.9f, 0.1f, 0f, 0f),
       12L -> Array(0.1f, 0.9f, 0f, 0f)))
     val q = AnnIngest.start(spark, in, idx, out, cp, nlist = 2)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     val vec = s"$idx/vectors"
     // reconstruct "compaction crashed right after its manifest": the
     // fold of batches 0+1 is staged (cell-partitioned), olds deleted

@@ -61,11 +61,11 @@ class ConversationsSpec extends GraftSpec {
       .outputMode("append").start()
     try {
       mem.addData(rawRows: _*)
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       // a far-future sentinel advances the watermark so every real
       // conversation's session window closes and emits
       mem.addData(ev(9999, 10000, 99, "view"))
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       val cols = Seq("user_id", "n_turns", "all_turns", "total_tokens",
         "truncated", "text")
       val got = spark.table("conv_stream")
@@ -110,12 +110,12 @@ class ConversationsSpec extends GraftSpec {
     // run 1: two turns arrive, the session stays OPEN, process stops
     write("b0.json", Seq(line(0, 0, 1), line(1, 10, 1)))
     val q1 = start()
-    try q1.processAllAvailable() finally q1.stop()
+    StreamTest.processAll(q1)
     // run 2 (fresh query, same checkpoint): a third same-session turn
     // plus a far-future sentinel that closes every session
     write("b1.json", Seq(line(2, 20, 1), line(9, 10000, 99)))
     val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
+    StreamTest.processAll(q2)
 
     val rows = spark.read.parquet(outd.getAbsolutePath)
       .filter(col("user_id") === 1).collect()
@@ -172,9 +172,9 @@ class ConversationsSpec extends GraftSpec {
       .outputMode("append").start()
     try {
       mem.addData(rows: _*)
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       mem.addData(ev(9999, 100000, 99, "a")) // watermark sentinel
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       val got = spark.table("pref_stream")
         .filter(col("user_id") =!= 99).collect().map(_.toSeq).toSet
       val want = graft.operators.Conversations.preferencePairs(
@@ -223,9 +223,9 @@ class ConversationsSpec extends GraftSpec {
       .outputMode("append").start()
     try {
       mem.addData(rows: _*)
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       mem.addData(ev(9999, 100000, 99, "a")) // watermark sentinel
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       val got = spark.table("bofn_stream")
         .filter(col("user_id") =!= 99).collect().map(_.toSeq).toSet
       val want = batch.values.map(_.toSeq).toSet
@@ -261,12 +261,12 @@ class ConversationsSpec extends GraftSpec {
     // run 1: the day's current best is 9.0 (id 1); group stays open
     write("b0.json", Seq(line(0, 0, 1, 0.5), line(1, 10, 1, 9.0)))
     val q1 = start()
-    try q1.processAllAvailable() finally q1.stop()
+    StreamTest.processAll(q1)
     // run 2 (fresh query, same checkpoint): a LOWER-scored late event
     // must not displace the restored argmax; sentinel closes the day
     write("b1.json", Seq(line(2, 20, 1, 3.0), line(9, 10000, 99, 1.0)))
     val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
+    StreamTest.processAll(q2)
 
     val rows = spark.read.parquet(outd.getAbsolutePath)
       .filter(col("user_id") === 1).collect()
@@ -315,7 +315,7 @@ class ConversationsSpec extends GraftSpec {
     val q = graft.streaming.Leaderboard.start(spark,
       in.getAbsolutePath, wh.getAbsolutePath, cp.getAbsolutePath,
       watermark = "0 seconds", maxFilesPerTrigger = 1)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
 
     val events = Seq(
       (0L, ts(10), 1L, "A", 9.0, "{}"), (1L, ts(20), 1L, "B", 1.0, "{}"),
@@ -365,7 +365,7 @@ class ConversationsSpec extends GraftSpec {
     val q = graft.streaming.QualityMonitor.start(spark,
       in.getAbsolutePath, wh.getAbsolutePath, cp.getAbsolutePath,
       maxFilesPerTrigger = 1)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     val cur = graft.streaming.QualityMonitor.current(spark,
       wh.getAbsolutePath).collect().head
     assert(cur.getAs[Long]("n_pos") == 3 && cur.getAs[Long]("n_neg") == 2)
@@ -445,9 +445,9 @@ class ConversationsSpec extends GraftSpec {
       .outputMode("append").start()
     try {
       mem.addData(rows: _*)
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       mem.addData(ev(9999, 100000, 99L, 1.0)) // watermark sentinel
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       val got = spark.table("gstats").filter(col("user_id") =!= 99)
         .select("user_id", "day", "n_candidates", "mean_milli",
           "std_milli")
@@ -559,11 +559,11 @@ class ConversationsSpec extends GraftSpec {
       mem.addData(
         (0L, ts(10), 1L, "A", 9.0, "{}"),
         (1L, ts(20), 1L, "B", 1.0, "{}"))
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       // the ONLY watermark-advancing late event is unscored
       mem.addData((9999L, ts(100000), 99L,
         "Z", null.asInstanceOf[java.lang.Double], "{}"))
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       val got = spark.table("bofn_null")
         .filter(col("user_id") =!= 99).collect()
       assert(got.length == 1, "unscored sentinel failed to close the day")
@@ -908,7 +908,7 @@ class ConversationsSpec extends GraftSpec {
     val q = graft.streaming.DriftMonitor.start(spark,
       in.getAbsolutePath, wh.getAbsolutePath, cp.getAbsolutePath,
       maxFilesPerTrigger = 1)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     def snapshot() = graft.streaming.DriftMonitor.current(spark,
       wh.getAbsolutePath).collect()
       .map(r => r.getAs[java.sql.Date]("d").toString ->

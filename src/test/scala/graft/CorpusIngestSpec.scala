@@ -48,7 +48,7 @@ class CorpusIngestSpec extends GraftSpec {
     // fold after batch 1 must not change any outcome
     val q = CorpusIngest.start(spark, in, idx, out, cp, n = 3,
       threshold = 0.5, compactEvery = 2)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     val got = spark.read.parquet(out)
       .select(col("doc_id"), col("status")).as[(Long, String)]
       .collect().toMap
@@ -90,7 +90,7 @@ class CorpusIngestSpec extends GraftSpec {
     }
     val q = CorpusIngest.start(spark, in, idx, out, cp, n = 3,
       threshold = 0.5)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     val got = spark.read.parquet(out)
       .select(col("doc_id"), col("status")).as[(Long, String)]
       .collect().toMap

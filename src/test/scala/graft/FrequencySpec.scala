@@ -19,14 +19,14 @@ class FrequencySpec extends GraftSpec {
     try {
       // batch 1: hot 60x among 40 distinct tail items
       in.addData(Seq.fill(60)("hot") ++ (0 until 40).map(i => s"t$i"): _*)
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       val b1 = spark.table("mg_cand")
         .groupBy("item").agg(max("min_count").as("mc"))
         .as[(String, Long)].collect().toMap
       assert(b1.contains("hot"), s"hot missing from $b1")
       // batch 2: hot again — state carries over, count grows
       in.addData(Seq.fill(50)("hot") ++ (0 until 40).map(i => s"u$i"): _*)
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       val b2 = spark.table("mg_cand")
         .groupBy("item").agg(max("min_count").as("mc"), max("max_count").as("xc"))
         .as[(String, Long, Long)].collect()

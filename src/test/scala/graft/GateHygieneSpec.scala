@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
 class GateHygieneSpec extends GraftSpec {
   import spark.implicits._
 
+  // The all-gates sweep below runs 332 gate plans in ONE test — the
+  // longest legitimate test in the repo (~10 min with parallel-group
+  // siblings competing for cores). 30 min still catches a true wedge while
+  // never failing a merely-slow sweep; the suite is also pinned to a
+  // private JVM group in build.sbt so siblings don't starve it.
+  override val timeLimit: org.scalatest.time.Span =
+    org.scalatest.time.Span(1800, org.scalatest.time.Seconds)
+
   // every C0 control char plus DEL; matched against the string CAST of
   // each column so strings nested in arrays/structs/maps are covered too
   private val ctrl = "[\\x00-\\x1F\\x7F]"

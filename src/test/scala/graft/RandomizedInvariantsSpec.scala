@@ -892,9 +892,9 @@ class RandomizedInvariantsSpec extends GraftSpec {
       val sentinel = (9999L, Timestamp.valueOf("2024-03-20 00:00:00"),
         99L, "view", 1.0, """{"k": 1}""")
       Seq(q1 -> mem, q2 -> mem2).foreach { case (q, m) =>
-        m.addData(a: _*); q.processAllAvailable()
-        m.addData(b: _*); q.processAllAvailable()
-        m.addData(sentinel); q.processAllAvailable()
+        m.addData(a: _*); StreamTest.processAllBounded(q)
+        m.addData(b: _*); StreamTest.processAllBounded(q)
+        m.addData(sentinel); StreamTest.processAllBounded(q)
       }
       val gotConv = spark.table("rand_conv")
         .filter(col("user_id") =!= 99)

@@ -31,7 +31,7 @@ class StreamingSpec extends GraftSpec {
     json.unionAll(json).coalesce(1).write.mode("overwrite").text(in)
     val n = env.count()
     val q = EventPipeline.start(spark, in, wh, cp)
-    try q.processAllAvailable() finally q.stop()
+    StreamTest.processAll(q)
     val landed = spark.read.parquet(s"$wh/events")
     assert(landed.count() == n)
     assert(landed.select("message_id").distinct().count() == n)
@@ -57,14 +57,14 @@ class StreamingSpec extends GraftSpec {
     val q1 = EventPipeline.startRecognized(spark, in, wh, cp,
       maxFilesPerTrigger = 1, statePartitions = 2,
       openProps = "variant")
-    try q1.awaitTermination() finally q1.stop()
+    StreamTest.drain(q1)
     // run 2: a NEW query on the same checkpoint parses more variants
     // and the restored UR buffer still evicts merged
     stage("b1.txt", 1700000060000L, Seq(i1))
     val q2 = EventPipeline.startRecognized(spark, in, wh, cp,
       maxFilesPerTrigger = 1, statePartitions = 2,
       openProps = "variant")
-    try q2.awaitTermination() finally q2.stop()
+    StreamTest.drain(q2)
     val landed = spark.read.parquet(s"$wh/events")
     assert(landed.schema("properties").dataType.typeName
       .contains("variant"), "variant storage type lost across restart")
@@ -89,7 +89,7 @@ class StreamingSpec extends GraftSpec {
       val wh = tmp("graft-wh"); val cp = tmp("graft-cp")
       val q = EventPipeline.start(spark, in, wh, cp,
         openProps = openProps)
-      try q.processAllAvailable() finally q.stop()
+      StreamTest.processAll(q)
       spark.read.parquet(s"$wh/events")
     }
     val jsonRun = land("json")
@@ -116,7 +116,7 @@ class StreamingSpec extends GraftSpec {
     json.unionAll(json).coalesce(1).write.mode("overwrite").text(in)
     val n = env.count()
     val q = EventPipeline.start(spark, in, wh, cp, statePartitions = 3)
-    try q.processAllAvailable() finally q.stop()
+    StreamTest.processAll(q)
     val landed = spark.read.parquet(s"$wh/events")
     assert(landed.count() == n)
     assert(landed.select("message_id").distinct().count() == n)
@@ -136,7 +136,7 @@ class StreamingSpec extends GraftSpec {
     val n = env.count()
     val q = EventPipeline.start(spark, in, wh, cp,
       statePartitions = 2, stateStore = "rocksdb")
-    try q.processAllAvailable() finally q.stop()
+    StreamTest.processAll(q)
     val landed = spark.read.parquet(s"$wh/events")
     assert(landed.count() == n)
     assert(landed.select("message_id").distinct().count() == n)
@@ -160,7 +160,7 @@ class StreamingSpec extends GraftSpec {
     json.repartition(40).write.mode("overwrite").text(in)
     val q = EventPipeline.start(spark, in, wh, cp,
       compactEvery = 1, compactMaxFiles = 1)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     assert(spark.read.parquet(s"$wh/events").count() == 200)
     val partDir = new java.io.File(s"$wh/events/graft_dt=2024-03-01")
     assert(partDir.isDirectory)
@@ -192,13 +192,13 @@ class StreamingSpec extends GraftSpec {
     writeCfg("table_a")
     writeEvents("b1.txt", 0 until 20)
     val q1 = EventPipeline.start(spark, in, wh, cp, configDir = Some(cfg))
-    try q1.awaitTermination() finally q1.stop()
+    StreamTest.drain(q1)
     assert(spark.read.parquet(s"$wh/table_a").count() == 20)
     // edit the config; NEW events (new files, new ids) must reroute
     writeCfg("table_b")
     writeEvents("b2.txt", 20 until 35)
     val q2 = EventPipeline.start(spark, in, wh, cp, configDir = Some(cfg))
-    try q2.awaitTermination() finally q2.stop()
+    StreamTest.drain(q2)
     assert(spark.read.parquet(s"$wh/table_b").count() == 15)
     assert(spark.read.parquet(s"$wh/table_a").count() == 20)
   }
@@ -279,10 +279,10 @@ class StreamingSpec extends GraftSpec {
     }
     evs("b1.txt", 0 until 10, Seq("corrupt {not json"))
     val q1 = EventPipeline.start(spark, in, wh, cp, dedupWatermark = "1 hour")
-    try q1.awaitTermination() finally q1.stop()
+    StreamTest.drain(q1)
     evs("b2.txt", 10 until 25)
     val q2 = EventPipeline.start(spark, in, wh, cp, dedupWatermark = "1 hour")
-    try q2.awaitTermination() finally q2.stop()
+    StreamTest.drain(q2)
     assert(spark.read.parquet(s"$wh/events").count() == 25,
       "backfill events after a corrupt line must not be dropped as late")
     assert(spark.read.parquet(s"$wh/quarantine").count() == 1)
@@ -304,7 +304,7 @@ class StreamingSpec extends GraftSpec {
     java.nio.file.Files.write(new java.io.File(in, "b1.txt").toPath,
       lines.mkString("\n").getBytes("UTF-8"))
     val q = EventPipeline.start(spark, in, wh, cp, configDir = Some(cfg))
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     assert(spark.read.parquet(s"$wh/table_a").count() == 10)
   }
 
@@ -341,7 +341,7 @@ class StreamingSpec extends GraftSpec {
     stage("b1.txt", 1700000060000L, Seq(i1, a2)) // a2 redelivered
     val q = EventPipeline.startRecognized(spark, in, wh, cp,
       maxFilesPerTrigger = 1, statePartitions = 2)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     // exactly ONE stateful operator in the streaming plan (UR; dedup is
     // the sink MERGE, not a second state store) and its state is
     // bounded by the buffered-anonymous volume, not the corpus
@@ -384,7 +384,7 @@ class StreamingSpec extends GraftSpec {
     stage("b1.txt", 1700000060000L, Seq(i1))
     val q = EventPipeline.startRecognized(spark, in, wh, cp,
       maxFilesPerTrigger = 1, statePartitions = 2)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     val landed = spark.read.parquet(s"$wh/events")
       .select(col("message_id"), col("user_id")).collect()
       .map(r => r.getString(0) -> Option(r.getString(1))).toMap
@@ -417,7 +417,7 @@ class StreamingSpec extends GraftSpec {
         val q1 = EventPipeline.startRecognized(spark, in, wh, cp,
           maxFilesPerTrigger = 1, statePartitions = 2,
           stateStore = store, urEngine = engine)
-        try q1.awaitTermination() finally q1.stop()
+        StreamTest.drain(q1)
         // reference semantics: the anonymous event lands IMMEDIATELY,
         // unidentified — the later identify must OVERWRITE it via MERGE
         val landed1 = spark.read.parquet(s"$wh/events")
@@ -431,7 +431,7 @@ class StreamingSpec extends GraftSpec {
         val q2 = EventPipeline.startRecognized(spark, in, wh, cp,
           maxFilesPerTrigger = 1, statePartitions = 2,
           stateStore = store, urEngine = engine)
-        try q2.awaitTermination() finally q2.stop()
+        StreamTest.drain(q2)
         val landed = spark.read.parquet(s"$wh/events")
           .select(col("message_id"), col("user_id")).collect()
           .map(r => r.getString(0) -> Option(r.getString(1))).toMap
@@ -489,10 +489,10 @@ class StreamingSpec extends GraftSpec {
     // the sentinel-advanced watermark and closes every real window
     val qc = EventPipeline.startConversations(spark, in, wh,
       tmp("graft-cv-cp1"), mode = "conversations", gapMinutes = 1440)
-    try qc.awaitTermination() finally qc.stop()
+    StreamTest.drain(qc)
     val qp = EventPipeline.startConversations(spark, in, wh,
       tmp("graft-cv-cp2"), mode = "preference_pairs")
-    try qp.awaitTermination() finally qp.stop()
+    StreamTest.drain(qp)
     // batch expectation: the SAME event frame the pipeline derives
     val evts = env.select(
       col("message_id").as("event_id"),
@@ -547,7 +547,7 @@ class StreamingSpec extends GraftSpec {
     ).toDF("value")
     good.unionAll(bad).coalesce(1).write.mode("overwrite").text(in)
     val q = EventPipeline.start(spark, in, wh, cp)
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     val events = spark.read.parquet(s"$wh/events")
     assert(events.count() == 51)
     assert(events.filter(col("message_id") === "mX")
@@ -572,7 +572,7 @@ class StreamingSpec extends GraftSpec {
     val keys = Seq(("wk0", graft.sources.WriteKeyAuth.createHash(
       "spec-secret-0", salt = Some("specsalt")))).toDF("id", "credential")
     val q = EventPipeline.start(spark, in, wh, cp, authKeys = Some(keys))
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     val nGood = env.filter(col("write_key") === "wk0:spec-secret-0").count()
     val nWrong = env.filter(col("write_key") === "wk0:wrong").count()
     val events = spark.read.parquet(s"$wh/events")
@@ -605,7 +605,7 @@ class StreamingSpec extends GraftSpec {
       // retry must not be droppable as late data either
       val q = EventPipeline.start(spark, s"$in/$tag", wh,
         s"$cp/$tag", authKeys = Some(keys), dedupWatermark = "2400 hours")
-      try q.awaitTermination() finally q.stop()
+      StreamTest.drain(q)
     }
     run("wrong", "r1")
     assert(!new java.io.File(s"$wh/events").exists() ||
@@ -630,7 +630,7 @@ class StreamingSpec extends GraftSpec {
     // watermark must exceed the replayed span or old events are dropped
     val q = EventPipeline.start(spark, in, wh, cp,
       dedupWatermark = "2400 hours")
-    try q.awaitTermination() finally q.stop()
+    StreamTest.drain(q)
     val landed = spark.read.parquet(s"$wh/events")
     assert(landed.count() == n) // every batch appended, none lost/duplicated
     assert(landed.select("message_id").distinct().count() == n)
@@ -654,7 +654,7 @@ class StreamingSpec extends GraftSpec {
       "message_id STRING, connection_id STRING, type STRING, timestamp TIMESTAMP")
     val stream = spark.readStream.schema(schema).json(in)
     val q = EventPipeline.startMetrics(stream, cp, out)
-    try q.processAllAvailable() finally q.stop()
+    StreamTest.processAll(q)
     val got = spark.read.parquet(out)
       .select(date_format(col("period"), "HH:mm").as("minute"),
         col("connection_id"), col("type"), col("events"))
@@ -680,7 +680,7 @@ class StreamingSpec extends GraftSpec {
         "anonymous_id STRING, timestamp TIMESTAMP")).json(in)
     val q = EventPipeline.startDailySketches(stream, "anonymous_id",
       "timestamp", cp, out)
-    try q.processAllAvailable() finally q.stop()
+    StreamTest.processAll(q)
     val daily = spark.read.parquet(out)
     // the four real days closed (the sentinel's own day stays open)
     assert(daily.count() == 4)
@@ -755,7 +755,7 @@ class StreamingSpec extends GraftSpec {
       .agg(count(lit(1)).as("n_events"))
     val q = sessions.writeStream.format("memory").queryName("sess_out")
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    StreamTest.processAll(q)
     val got = spark.table("sess_out")
       .select("anonymous_id", "n_events")
       .as[(String, Long)].collect().groupBy(_._1)
@@ -778,7 +778,7 @@ class StreamingSpec extends GraftSpec {
     val resolved = UserRecognition.streamingResolve(stream)
     val q = resolved.writeStream.format("memory").queryName("ur_out")
       .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
+    StreamTest.processAll(q)
     val got = spark.table("ur_out")
       .select("message_id", "user_id").as[(String, Option[String])]
       .collect().toSeq.map { case (m, u) => (m, u.getOrElse("")) }.sorted
@@ -819,7 +819,7 @@ class StreamingSpec extends GraftSpec {
         else UserRecognition.streamingResolve(stream)
       val q = resolved.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
-      try q.processAllAvailable() finally q.stop()
+      StreamTest.processAll(q)
       sess.table(name).select("message_id", "user_id")
         .as[(String, Option[String])](
           org.apache.spark.sql.Encoders.product[(String, Option[String])])
@@ -853,7 +853,7 @@ class StreamingSpec extends GraftSpec {
       UserRecognition.URConfig(identifierFields = Seq("user_id", "traits")))
     val q = resolved.writeStream.format("memory").queryName("urc_out")
       .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
+    StreamTest.processAll(q)
     val got = spark.table("urc_out").as[String].collect()
       .map { j =>
         val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
@@ -888,11 +888,11 @@ class StreamingSpec extends GraftSpec {
         ("u1", ts(3), "c1"),   // 3 min after i1 -> attributed
         ("u2", ts(9), "c2"),   // 9 min after i2 -> outside 5-min window
         ("u3", ts(2), "c3"))   // no impression -> dropped (inner join)
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       // advance both watermarks far enough to finalize earlier matches
       imps.addData(("u9", ts(40), "i9"))
       convs.addData(("u9", ts(41), "c9"))
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       val rows = spark.table("attr")
         .select("imp_id", "conv_id", "lag_seconds")
         .as[(String, String, Long)].collect().toSet
@@ -912,7 +912,7 @@ class StreamingSpec extends GraftSpec {
     spark.streams.addListener(log)
     try {
       val q = EventPipeline.start(spark, in, wh, cp)
-      try q.processAllAvailable() finally q.stop()
+      StreamTest.processAll(q)
       // listener events are delivered async; wait for at least one
       val deadline = System.currentTimeMillis() + 20000
       while (log.snapshot.isEmpty && System.currentTimeMillis() < deadline)
@@ -953,10 +953,10 @@ class StreamingSpec extends GraftSpec {
     try {
       // batch 1: 2 events for w1 (out of order within the batch), 1 for w2
       in.addData(("w1", ts(5), 2L), ("w1", ts(1), 1L), ("w2", ts(0), 10L))
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       // batch 2: two more w1 events — the counter must CONTINUE at 3
       in.addData(("w1", ts(9), 3L), ("w1", ts(8), 4L))
-      q.processAllAvailable()
+      StreamTest.processAllBounded(q)
       val got = spark.table("quota")
         .select("workspace_id", "event_id", "seq", "billable")
         .as[(String, Long, Long, Boolean)].collect().toSet
@@ -985,14 +985,14 @@ class StreamingSpec extends GraftSpec {
         .coalesce(1).write.mode("overwrite").text(dir)
     stage(in, first)
     val q1 = EventPipeline.start(spark, in, wh, cp, quotaPerMonth = Some(9L))
-    try q1.processAllAvailable() finally q1.stop()
+    StreamTest.processAll(q1)
     // second tranche arrives after a restart: the durable delta counter
     // must keep counting from 7, so exactly 2 of these are billable
     env.filter(col("message_id").isin(second.toSeq: _*))
       .select(to_json(struct(env.columns.map(col): _*)).as("value"))
       .coalesce(1).write.mode("append").text(in)
     val q2 = EventPipeline.start(spark, in, wh, cp, quotaPerMonth = Some(9L))
-    try q2.processAllAvailable() finally q2.stop()
+    StreamTest.processAll(q2)
     val landed = spark.read.parquet(s"$wh/events")
       .select(col("message_id"), col("billable"))
       .as[(String, Boolean)].collect().toMap
@@ -1015,7 +1015,7 @@ class StreamingSpec extends GraftSpec {
     // flag join must follow the rename instead of failing analysis
     val q = EventPipeline.start(spark, in, wh, cp,
       layout = "jitsu-legacy", quotaPerMonth = Some(4L))
-    try q.processAllAvailable() finally q.stop()
+    StreamTest.processAll(q)
     val landed = spark.read.parquet(s"$wh/events")
       .select(col("eventn_ctx_event_id"), col("billable"))
       .as[(String, Boolean)].collect().toMap
@@ -1242,7 +1242,7 @@ class StreamingSpec extends GraftSpec {
         else UserRecognition.resolveTagged(tagged, cfg)
       val q = resolved.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
-      try q.processAllAvailable() finally q.stop()
+      StreamTest.processAll(q)
       s2.table(name).as[String](org.apache.spark.sql.Encoders.STRING)
         .collect().toSeq.sorted
     }
@@ -1310,7 +1310,7 @@ class StreamingSpec extends GraftSpec {
         else UserRecognition.resolveTagged(tagged, cfg)
       val q = resolved.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
-      try q.processAllAvailable() finally q.stop()
+      StreamTest.processAll(q)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       s2.table(name).as[String](org.apache.spark.sql.Encoders.STRING)
         .collect().toSeq.map { j =>
@@ -1380,7 +1380,7 @@ class StreamingSpec extends GraftSpec {
         else UserRecognition.resolveTagged(tagged, cfg)
       val q = resolved.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
-      try q.processAllAvailable() finally q.stop()
+      StreamTest.processAll(q)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       s2.table(name).as[String](org.apache.spark.sql.Encoders.STRING)
         .collect().toSeq.map { j =>
