@@ -82,7 +82,8 @@ object Bench {
         .repartition(4).write.mode("overwrite").text(in)
       val q = graft.streaming.EventPipeline.start(
         spark, in, s"$wr/swh", s"$wr/cp", statePartitions = 4)
-      q.awaitTermination(); q.stop()
+      q.awaitTermination(300000); q.stop() // bounded: a wedged warmup
+                                           // must not hang the bench
       // JDBC: Derby boot + CREATE + staged MERGE on an in-memory db
       val jdbc = new graft.sinks.JdbcSink(
         "jdbc:derby:memory:graftwarm;create=true",
@@ -209,8 +210,18 @@ object Bench {
     // 4x swing either way. An old artifact without calib_sec gets no
     // normalization (ratio 1) — logged, not silent.
     val (priorTimes: Map[String, Double], speedRatio: Double) = {
-      val path = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      // The comparison baseline is decoupled from the OUTPUT file: a
+      // bench run on a loaded host overwrites BENCH_FULL.json in place,
+      // and r16's driver run committed its loaded-host artifact there
+      // (calib 0.306 vs the quiet 0.125), which would have made the >2x
+      // retime normalization compare every later run against a hot
+      // baseline. BENCH_QUIET.json is the committed quiet-host
+      // reference and wins when present.
+      val quiet = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_QUIET.json"))
+      val path = if (java.nio.file.Files.exists(quiet)) quiet
+        else java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
       if (!java.nio.file.Files.exists(path)) (Map.empty[String, Double], 1.0)
       else try {
         val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
@@ -266,22 +277,37 @@ object Bench {
     // layout → MERGE sink) over time-sliced micro-batches of this sf's
     // events — events/sec is the number batch query times cannot answer.
     // Skipped in subset-profiling mode (SPARK_GRAFT_ONLY).
-    val streamingJson = if (only.nonEmpty) "{}" else {
-      val staged = graft.tools.ThroughputBench.stageBatches(
-        spark, sfDir, numBatches = 10)
-      // recognized_tws = the transformWithState/ListState UR engine;
-      // recognized_variant = open props stored as Spark 4 VariantType;
-      // conversations = the alignment-data mode (session-window SFT
-      // assembly in-stream); preference_pairs = its DPO twin
-      // (tumbling-day extremes in-stream); best_of_n = the
-      // rejection-sampling twin (single-struct argmax state)
-      Seq("recognized", "recognized_tws", "recognized_variant", "dedup",
-          "conversations", "preference_pairs", "best_of_n",
-          "grpo_stats", "leaderboard")
-        .map { mode =>
-          s"""\"$mode\":${graft.tools.ThroughputBench.run(spark, staged, mode).json}"""
-        }.mkString("{", ",", "}")
-    }
+    val streamingReports: Seq[(String, graft.tools.ThroughputBench.Report)] =
+      if (only.nonEmpty) Seq.empty else {
+        val staged = graft.tools.ThroughputBench.stageBatches(
+          spark, sfDir, numBatches = 10)
+        // recognized_tws = the transformWithState/ListState UR engine;
+        // recognized_variant = open props stored as Spark 4 VariantType;
+        // conversations = the alignment-data mode (session-window SFT
+        // assembly in-stream); preference_pairs = its DPO twin
+        // (tumbling-day extremes in-stream); best_of_n = the
+        // rejection-sampling twin (single-struct argmax state)
+        Seq("recognized", "recognized_tws", "recognized_variant", "dedup",
+            "conversations", "preference_pairs", "best_of_n",
+            "grpo_stats", "leaderboard")
+          .map { mode =>
+            mode -> graft.tools.ThroughputBench.run(spark, staged, mode)
+          }
+      }
+    // full per-mode detail (batches, percentiles, state rows) → the file
+    val streamingJson = streamingReports
+      .map { case (m, r) => s"""\"$m\":${r.json}""" }.mkString("{", ",", "}")
+    // stdout gets events/sec ONLY: the r15 stdout line was truncated at
+    // the FRONT by the driver's ~2000-char tail capture because the
+    // full streaming section (~1400 chars) pushed it over — which cost
+    // the r16 round its entire round-over-round comparison
+    // (PERF_r16.json n_common: 0)
+    // same key path ("streaming".<mode>."events_per_sec") as the full
+    // artifact so existing parsers keep working on the short line
+    val streamingBrief = streamingReports
+      .map { case (m, r) =>
+        s"""\"$m\":{"events_per_sec":${math.rint(r.steadyEventsPerSec)}}""" }
+      .mkString("{", ",", "}")
     val loadEnd = loadAvg()
     val total = results.map(_._2).sum
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -306,8 +332,9 @@ object Bench {
     // across rounds), the fast tail folded into "rest".
     def r2(v: Double): Double = math.rint(v * 100) / 100
     val byTime = results.sortBy(-_._2)
-    val budget = 1200 // leaves room for the load + streaming sections
-                      // inside the driver's ~2000-char stdout capture
+    val budget = 1000 // whole line must fit the driver's ~2000-char
+                      // stdout tail capture: ~200 fixed + ~270 brief
+                      // streaming + 1000 queries ≈ 1500 with margin
     val kept = new StringBuilder
     var nKept = 0
     var keptSec = 0.0
@@ -320,7 +347,26 @@ object Bench {
     }
     val restN = results.size - nKept
     val restSec = r2(math.max(0.0, total - keptSec))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":{${kept.toString}},"rest":{"n":$restN,"sec":$restSec},"load":{"start":${r2(loadStart)},"end":${r2(loadEnd)}},"streaming":$streamingJson,"full":"$outFile","sf":"$sfDir"}""")
+    val stdoutLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":{${kept.toString}},"rest":{"n":$restN,"sec":$restSec},"load":{"start":${r2(loadStart)},"end":${r2(loadEnd)}},"streaming":$streamingBrief,"full":"$outFile","sf":"$sfDir"}"""
+    // hard guarantee, not a budget guess: if anything above ever grows
+    // the line past the capture window, drop query entries until it fits
+    val capture = 1900
+    val finalLine = if (stdoutLine.length <= capture) stdoutLine else {
+      val over = stdoutLine.length - capture
+      // rebuild with a smaller query section
+      val kept2 = new StringBuilder
+      var n2 = 0
+      var sec2 = 0.0
+      byTime.foreach { case (k, v) =>
+        val entry = (if (n2 == 0) "" else ",") + "\"" + k + "\":" + r2(v)
+        if (kept2.length + entry.length <= math.max(200, budget - over)) {
+          kept2.append(entry); n2 += 1; sec2 += v
+        }
+      }
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":{${kept2.toString}},"rest":{"n":${results.size - n2},"sec":${r2(math.max(0.0, total - sec2))}},"load":{"start":${r2(loadStart)},"end":${r2(loadEnd)}},"streaming":$streamingBrief,"full":"$outFile","sf":"$sfDir"}"""
+    }
+    println(finalLine)
+    graft.operators.Dedup.releaseCaches() // drop the last pairing call's pinned inputs (driver teardown contract)
     spark.stop()
   }
 }

@@ -39,6 +39,7 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.operators.Dedup.releaseCaches() // drop the last pairing call's pinned inputs (driver teardown contract)
     spark.stop()
   }
 }

@@ -52,6 +52,22 @@ object Dedup {
     lastPairCaches = dfs.toList
   }
 
+  /** ONE-LIVE-PAIRING-CALL CONTRACT (public API note): the registry
+    * above is a single slot — building pairing frames A then B and only
+    * THEN evaluating A silently loses A's input caches (A recomputes;
+    * results are unchanged, the double-evaluation optimization is not).
+    * Evaluate each pairing result before constructing the next, which
+    * is what every declared query and the bench's serial drive do. The
+    * last call's caches otherwise stay pinned (MEMORY_AND_DISK) until
+    * the next call; long-lived sessions should release them explicitly:
+    */
+  def releaseCaches(): Unit = Dedup.synchronized {
+    lastPairCaches.foreach(_.unpersist(false))
+    lastPairCaches = Nil
+    lastSimhashCache.foreach(_.unpersist(false))
+    lastSimhashCache = None
+  }
+
   /** Exact dedup on a digest of `cols`: keeps the row with the smallest
     * `idCol` per digest. Returns the surviving rows. */
   def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame = {
