@@ -30,6 +30,21 @@ import org.apache.spark.sql.Column
   * `edges`: (src, dst) DISTINCT undirected pairs. Returns (v, r). */
 object Graph {
 
+  /** FAULT-TOLERANCE TRADE, every `localCheckpoint(true)` in this file:
+    * localCheckpoint materializes to EXECUTOR-LOCAL block storage and
+    * truncates lineage — after it, the blocks are the only copy, so on
+    * a real cluster an executor loss mid-iteration kills the job (no
+    * recompute path). That is the right default here: the iterative
+    * loops otherwise grow 4^k logical plans (see [[hits]]) and the
+    * bench/gates run single-JVM where "executor loss" means the whole
+    * process died anyway. Cluster deployments that need mid-job
+    * survival should swap in `spark.sparkContext.setCheckpointDir`
+    * (reliable storage) + `.checkpoint()` — same lineage truncation,
+    * one extra write/read of a node-sized frame per round — or
+    * `persist(StorageLevel.MEMORY_AND_DISK_2)` for replica-based
+    * recovery. See SCALE.md "Iterative graph loops and executor loss".
+    */
+
   /** The shared prelude of every fixed-iteration loop in this file:
     * the undirected edge list doubled into both orientations,
     * repartitioned ON `src` once, and PERSISTED — so each round's
@@ -344,22 +359,14 @@ object Graph {
       .persist()
     val withDeg = dir.join(deg, "src").persist()
     val seed = seeds.select(col("v")).distinct().persist()
+    // restart mass as UNION rows, not a per-round join: see pprRound
+    val seedMass = seed.select(col("v"), lit(0.0).as("m"),
+      lit(1.0).as("_s"))
     var ranks = seed.withColumn("r", lit(1.0)).persist()
     ranks.count()
     try {
       (1 to iterations).foreach { _ =>
-        val contrib = withDeg
-          .join(ranks, withDeg("src") === ranks("v"))
-          .select(col("dst").as("v"), (col("r") / col("deg")).as("m"))
-          .groupBy(col("v"))
-          .agg(sum(col("m")).as("_in"))
-        val next = contrib
-          .join(seed.withColumn("_s", lit(1.0)), Seq("v"), "full_outer")
-          .select(col("v"),
-            (lit(1.0 - damping) * coalesce(col("_s"), lit(0.0)) +
-              lit(damping) * coalesce(col("_in"), lit(0.0))).as("r"))
-          .filter(col("r") > 0.0)
-          .persist()
+        val next = pprRound(withDeg, ranks, seedMass, damping).persist()
         next.count()
         ranks.unpersist(false)
         ranks = next
@@ -372,6 +379,54 @@ object Graph {
       seed.unpersist(false)
       ranks.unpersist(false)
     }
+  }
+
+  /** One personalizedPageRank round. The restart mass arrives as seed
+    * ROWS (v, m=0, _s=1) unioned into the contribution aggregation, so
+    * r(v) = (1-d)·Σ_s + d·Σ_m comes out of the SINGLE hash aggregate —
+    * the pre-r17 shape joined the aggregated contributions FULL OUTER
+    * against the seed table every round, which cost an extra Exchange +
+    * sort per round (full_outer cannot broadcast; the seed side
+    * re-shuffled each iteration). Same arithmetic: the union arms add
+    * only +0.0 terms to the opposite sums, which IEEE addition leaves
+    * exact; a v with no contributions sums m over {0.0} = 0.0, exactly
+    * coalesce(_in, 0.0) of the join form. Split out so PlanAudit can
+    * dump the round-body plan (the loop's final frame is a checkpoint
+    * scan and shows nothing).
+    */
+  private[graft] def pprRound(withDeg: DataFrame, ranks: DataFrame,
+                              seedMass: DataFrame,
+                              damping: Double): DataFrame =
+    withDeg
+      .join(ranks, withDeg("src") === ranks("v"))
+      .select(col("dst").as("v"), (col("r") / col("deg")).as("m"),
+        lit(0.0).as("_s"))
+      .unionByName(seedMass)
+      .groupBy(col("v"))
+      .agg(sum(col("m")).as("_in"), sum(col("_s")).as("_sd"))
+      .select(col("v"),
+        (lit(1.0 - damping) * col("_sd") +
+          lit(damping) * col("_in")).as("r"))
+      .filter(col("r") > 0.0)
+
+  /** The PRE-r17 round shape (aggregate, then FULL OUTER against the
+    * seed table) — kept reproducible so the before/after plan diff in
+    * plans/r17/ is checkable from one build; not called by any query.
+    */
+  private[graft] def pprRoundJoinForm(withDeg: DataFrame,
+                                      ranks: DataFrame, seed: DataFrame,
+                                      damping: Double): DataFrame = {
+    val contrib = withDeg
+      .join(ranks, withDeg("src") === ranks("v"))
+      .select(col("dst").as("v"), (col("r") / col("deg")).as("m"))
+      .groupBy(col("v"))
+      .agg(sum(col("m")).as("_in"))
+    contrib
+      .join(seed.withColumn("_s", lit(1.0)), Seq("v"), "full_outer")
+      .select(col("v"),
+        (lit(1.0 - damping) * coalesce(col("_s"), lit(0.0)) +
+          lit(damping) * coalesce(col("_in"), lit(0.0))).as("r"))
+      .filter(col("r") > 0.0)
   }
 
   /** HITS hubs and authorities (Kleinberg 1999) over a DIRECTED edge
