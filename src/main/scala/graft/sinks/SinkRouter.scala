@@ -507,9 +507,21 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
     * partition count is pinned (AQE would coalesce a small shuffle down to
     * one task, serializing the creation of every partition file); pinning
     * keeps date-files created in parallel while each date still lands in
-    * exactly one task → one file per date per batch. */
-  private def writePartitioned(df: DataFrame, path: String, mode: SaveMode): Unit = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    * exactly one task → one file per date per batch.
+    *
+    * `dateCount` — the number of DISTINCT dates in `df`, which every
+    * caller already knows (batch routing / rewriteDates / touched
+    * partitions). The task count is min(shuffle partitions, dateCount):
+    * with D dates, at most D tasks ever hold a file, and the excess
+    * tasks are pure commit-protocol overhead that grows with the core
+    * count — the r16 scaling block showed the sink gates running FASTER
+    * on 8 cores than 32 for exactly this reason (guide §6: file counts
+    * and task counts must not scale with cores). At scale (D ≥ cores)
+    * the count is unchanged. */
+  private def writePartitioned(df: DataFrame, path: String, mode: SaveMode,
+                               dateCount: Int): Unit = {
+    val conf = df.sparkSession.sessionState.conf.numShufflePartitions
+    val n = math.max(1, math.min(conf, dateCount))
     val parted = df.repartition(n, col(DateCol))
     val clustered =
       if (options.sortWithinPartitionsBy.isEmpty) parted
@@ -543,11 +555,12 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
         s"column name '$DateCol' is reserved for the sink's date partition")
     val incoming = withDate(base)
     if (!tableExists(path)) {
-      writePartitioned(incoming, path, SaveMode.Overwrite)
+      writePartitioned(incoming, path, SaveMode.Overwrite, batchDates.length)
       persistSchema(path, nullable(incoming.schema))
     } else {
       val (aligned, evolved) = alignToTable(spark, path, incoming)
-      if (!options.deduplicate) writePartitioned(aligned, path, SaveMode.Append)
+      if (!options.deduplicate)
+        writePartitioned(aligned, path, SaveMode.Append, batchDates.length)
       else mergeInto(spark, path, evolved, aligned, batchDates)
     }
   }
@@ -604,10 +617,13 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
         s"column name '$DateCol' is reserved for the sink's date partition")
     val incoming = withDate(base)
     if (!tableExists(path)) {
-      writePartitioned(incoming, path, SaveMode.Overwrite)
-      persistSchema(path, nullable(incoming.schema))
-      incoming.select(col(DateCol)).distinct().collect()
+      // dates were always collected for the return value; collecting
+      // them BEFORE the write also sizes its task count
+      val dates = incoming.select(col(DateCol)).distinct().collect()
         .map(_.getDate(0)).toSeq
+      writePartitioned(incoming, path, SaveMode.Overwrite, dates.length)
+      persistSchema(path, nullable(incoming.schema))
+      dates
     } else {
       val aligned = alignToTable(spark, path, incoming)._1.persist()
       try {
@@ -616,7 +632,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
         val dirs = dates.map(d => s"$DateCol=$d").toSeq
         val id = java.util.UUID.randomUUID().toString.take(8)
         val stage = s"$path/.stage-$id"
-        writePartitioned(aligned, stage, SaveMode.Overwrite)
+        writePartitioned(aligned, stage, SaveMode.Overwrite, dates.length)
         val stagedNames = listDir(stage)
           .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
         commitSwap(path, id, dirs, stagedNames)
@@ -706,7 +722,9 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
 
     val id = java.util.UUID.randomUUID().toString.take(8)
     val stage = s"$path/.stage-$id"
-    prof("stageWrite") { writePartitioned(merged, stage, SaveMode.Overwrite) }
+    prof("stageWrite") {
+      writePartitioned(merged, stage, SaveMode.Overwrite, rewriteDates.length)
+    }
     beforeSwapHook()
     // Commit point: persist the swap manifest (touched dates + which have
     // staged output). Crash before this line -> recover() rolls the merge
@@ -981,7 +999,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
       .filter(!predicate)
     val id = java.util.UUID.randomUUID().toString.take(8)
     val stage = s"$path/.stage-$id"
-    writePartitioned(keep, stage, SaveMode.Overwrite)
+    writePartitioned(keep, stage, SaveMode.Overwrite, touched.length)
     val stagedNames = listDir(stage)
       .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
     val dirNames = touched.map(d => s"$DateCol=$d").toSeq
@@ -1066,7 +1084,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
         .join(broadcast(keys), Seq(pk), "left_anti")
       val id = java.util.UUID.randomUUID().toString.take(8)
       val stage = s"$path/.stage-$id"
-      writePartitioned(keep, stage, SaveMode.Overwrite)
+      writePartitioned(keep, stage, SaveMode.Overwrite, touched.length)
       val stagedNames = listDir(stage)
         .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
       val dirNames = touched.map(d => s"$DateCol=$d").toSeq
@@ -1216,7 +1234,7 @@ class SinkRouter(warehouseDir: String, options: SinkOptions = SinkOptions()) {
       .filter(col(DateCol).isin(dates: _*))
     val id = java.util.UUID.randomUUID().toString.take(8)
     val stage = s"$path/.stage-$id"
-    writePartitioned(rows, stage, SaveMode.Overwrite) // 1 file per date
+    writePartitioned(rows, stage, SaveMode.Overwrite, crowded.length) // 1 file per date
     val stagedNames = listDir(stage)
       .filter(_.getName.startsWith(s"$DateCol=")).map(_.getName).toSet
     commitSwap(path, id, crowded.toSeq, stagedNames)
