@@ -25,6 +25,19 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Join-strategy knobs (guide §3.1/§9), adopted by the r17
+      // evaluation (OPTIMIZATION_r17.md "preferSortMergeJoin
+      // evaluation"): let the planner pick shuffled-hash join where its
+      // size conditions hold — the sort in SMJ is pure overhead when
+      // the per-partition build side fits in memory — and let AQE
+      // rewrite SMJ→SHJ at runtime when every post-shuffle partition is
+      // under 64 MB (bounded build-side memory; AQE skew-split applies
+      // to SHJ too, so a skewed partition still splits rather than
+      // OOMs). Env-overridable for A/B measurement.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("GRAFT_SHJ_THRESHOLD", "67108864"))
       .config("spark.sql.session.timeZone", "UTC")
       // UR trait merge concatenates own+identified key maps; later (identified)
       // keys must win, as in lodash merge
