@@ -445,10 +445,20 @@ class PlanShapeSpec extends GraftSpec {
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
+    // count scan RELATIONS in the optimized logical plan, not physical
+    // "Scan parquet" substrings: the physical rendering (AQE wrappers,
+    // columnar scan naming) shifts across Spark versions without any
+    // semantic change (r16 ADVICE)
+    val optimized = operators.Graph.doubled(e)
+      .queryExecution.optimizedPlan
+    val scans = optimized.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation => r
+    }.length
+    assert(scans == 2, // orders + lineitem, each exactly once
+      s"expected exactly one scan relation per upstream table in:\n$optimized")
     val p = operators.Graph.doubled(e)
       .queryExecution.executedPlan.toString()
-    assert("Scan parquet".r.findAllIn(p).length == 2, // orders + lineitem
-      s"expected exactly one scan of each upstream table in:\n$p")
     assert(p.contains("Generate"),
       s"expected the inline(array(..)) generator in:\n$p")
     // both orientations really are emitted (semantics unchanged)
