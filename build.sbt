@@ -76,11 +76,13 @@ val graftTestGroupPins: Map[String, Int] = Map(
   "graft.SimilaritySpec" -> 5,
   "graft.DedupSpec" -> 0,
   "graft.JdbcSinkSpec" -> 0,
-  // the 332-gate hygiene sweep gets a PRIVATE JVM: group 6 is outside
+  // the two 332-gate sweep suites get a PRIVATE JVM: group 6 is outside
   // the hash range (hash % graftTestGroups < 6), so nothing else lands
-  // there — the sweep is the suite's longest single test and under
-  // 6-way sibling contention it blew the 600 s per-test limit
+  // there — each sweep is a single ~9-minute test and under 6-way
+  // sibling contention either can blow the 600 s per-test limit (both
+  // have 1800 s overrides; uncontended they run well under it)
   "graft.GateHygieneSpec" -> 6,
+  "graft.OracleTypeHygieneSpec" -> 7,
 )
 Test / testGrouping := {
   val tests = (Test / definedTests).value
@@ -95,9 +97,9 @@ Test / testGrouping := {
         Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
     }
 }
-// let all groups run at once (+1 for the pinned-private group 6)
+// let all groups run at once (+2 for the pinned-private groups 6/7)
 Global / concurrentRestrictions := Seq(
-  Tags.limit(Tags.ForkedTestGroup, graftTestGroups + 1),
-  Tags.limitAll(math.max(graftTestGroups + 3, 9)))
+  Tags.limit(Tags.ForkedTestGroup, graftTestGroups + 2),
+  Tags.limitAll(math.max(graftTestGroups + 4, 10)))
 // per-test durations in the log so group balance stays measurable
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")

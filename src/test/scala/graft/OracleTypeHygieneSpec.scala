@@ -35,6 +35,13 @@ import org.apache.spark.sql.types._
   */
 class OracleTypeHygieneSpec extends GraftSpec {
 
+  // The full-audit test below builds all 332 gate frames to read their
+  // schemas — like GateHygieneSpec's sweep it is legitimately ~9 min
+  // and pinned to the private sweep JVM group in build.sbt; the raised
+  // bound still catches a true wedge without failing a slow sweep.
+  override val timeLimit: org.scalatest.time.Span =
+    org.scalatest.time.Span(1800, org.scalatest.time.Seconds)
+
   private val tables = Seq("events", "documents", "embeddings",
     "lineitem", "orders", "customer", "supplier", "part", "nation",
     "region")

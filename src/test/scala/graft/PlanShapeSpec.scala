@@ -7,6 +7,12 @@ package graft
   * data, are under test). */
 class PlanShapeSpec extends GraftSpec {
 
+  // The registry-wide sweeps below render all 332 gate plans in single
+  // tests (~8 min under parallel-group contention) — raise the per-test
+  // bound the same way as the sweep suites; a true wedge still trips it.
+  override val timeLimit: org.scalatest.time.Span =
+    org.scalatest.time.Span(1800, org.scalatest.time.Seconds)
+
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String =
